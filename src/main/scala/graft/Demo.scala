@@ -1,0 +1,26 @@
+package graft
+
+import graft.ts._
+
+/** Example entry point driving the library through its public API:
+  * load the events table as a keyed tick stream, run a few baselib
+  * operators, print results. `sbt "runMain graft.Demo [sfDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get()
+
+    val ev = Sources.events(spark, sfDir)
+    println(s"events rows = ${ev.df.count()}")
+    ev.df.orderBy("seq").show(3, truncate = false)
+
+    println("user 12: running count + accum of value")
+    ev.demultiplex("12").accum().runningCount().df.orderBy("ts").show(5, truncate = false)
+
+    val l = Sources.curve(spark, "k", Seq("2020-01-01 00:00:00" -> 1.0, "2020-01-03 00:00:00" -> 3.0))
+    val r = Sources.curve(spark, "k", Seq("2020-01-01 00:00:00" -> 100.0, "2020-01-02 00:00:00" -> 2.0))
+    println("merge(left-wins) = " + l.merge(r).run().map(_._2).mkString(", "))
+    spark.stop()
+  }
+}

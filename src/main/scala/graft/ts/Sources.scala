@@ -1,0 +1,127 @@
+package graft.ts
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Input adapters (reference §2.1): curve / const / timer / null_ts and the
+  * driver test tables. All produce the canonical tick schema (Tick.scala).
+  *
+  * In the reference these are engine input adapters
+  * (`csp/baselib.py:73-83`, `csp/curve.py:16-60`); here a source is just a
+  * DataFrame with `(key, ts, seq, value…)` columns — batch replay of
+  * history IS the simulation mode, Catalyst replaces the hand-rolled
+  * scheduler.
+  */
+object Sources {
+
+  /** csp.curve (reference `csp/curve.py:16-60`): replay an explicit list of
+    * (time, value) ticks. seq increments in list order so duplicate
+    * timestamps keep their scheduling order (Execution-Modes.md).
+    */
+  def curve(spark: SparkSession, key: String, points: Seq[(String, Double)]): TickStream = {
+    val rows = points.zipWithIndex.map { case ((t, v), i) =>
+      (key, Timestamp.valueOf(t.replace("T", " ")), i.toLong, v)
+    }
+    import spark.implicits._
+    TickStream(rows.toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE))
+  }
+
+  /** Generic curve over any value type T. */
+  def curveOf[T](spark: SparkSession, key: String, points: Seq[(String, T)])(implicit
+      enc: org.apache.spark.sql.Encoder[(String, Timestamp, Long, T)]): TickStream = {
+    val rows = points.zipWithIndex.map { case ((t, v), i) =>
+      (key, Timestamp.valueOf(t.replace("T", " ")), i.toLong, v)
+    }
+    TickStream(spark.createDataset(rows)(enc).toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE))
+  }
+
+  /** csp.const (reference `csp/baselib.py:73`): one tick at `at`. */
+  def const(spark: SparkSession, key: String, value: Double, at: String): TickStream =
+    curve(spark, key, Seq(at -> value))
+
+  /** csp.timer (reference `csp/baselib.py:74-83`): periodic tick every
+    * `intervalSec` from start to end. Batch: `sequence` + `explode` —
+    * generated distributed, no driver loop.
+    */
+  def timer(spark: SparkSession, key: String, start: String, end: String,
+            intervalSec: Long, value: Double = 1.0): TickStream = {
+    val df = spark
+      .range(1)
+      .select(
+        explode(
+          sequence(
+            lit(Timestamp.valueOf(start.replace("T", " "))),
+            lit(Timestamp.valueOf(end.replace("T", " "))),
+            expr(s"interval $intervalSec seconds"))).as(Tick.TS))
+      .select(
+        lit(key).as(Tick.KEY),
+        col(Tick.TS),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(Tick.TS)) - 1).cast(LongType).as(Tick.SEQ),
+        lit(value).as(Tick.VALUE))
+    TickStream(df)
+  }
+
+  /** csp.null_ts (reference `csp/baselib.py:544-551`): never ticks. */
+  def nullTs(spark: SparkSession): TickStream = {
+    val schema = StructType(Seq(
+      StructField(Tick.KEY, StringType), StructField(Tick.TS, TimestampType),
+      StructField(Tick.SEQ, LongType), StructField(Tick.VALUE, DoubleType)))
+    TickStream(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  /** The driver `events` table as a keyed tick stream: key = user_id,
+    * seq = event_id (globally monotone ⇒ preserves insertion order for
+    * duplicate timestamps). Equivalent of a managed sim adapter demuxing
+    * one source by symbol (reference `csp/impl/adaptermanager.py:7-45`) —
+    * in Spark that demux is just the partitioning axis.
+    *
+    * The raw parquet carries nanosecond timestamps; with nanosAsLong they
+    * arrive as Long epoch-nanos. We keep `tsNanos` for full fidelity and
+    * derive microsecond `ts` (SURVEY §1.2 nanosecond note).
+    */
+  def events(spark: SparkSession, sfDir: String): TickStream = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")) // integral div: Long/Long via `/` is double → precision loss at epoch-nanos magnitude
+      case _        => col("ts")
+    }
+    val tsNanos = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _        => unix_micros(col("ts")) * 1000L
+    }
+    TickStream(raw.select(
+      col("user_id").cast(StringType).as(Tick.KEY),
+      tsCol.as(Tick.TS),
+      tsNanos.as("tsNanos"),
+      col("event_id").as(Tick.SEQ),
+      col("value").as(Tick.VALUE),
+      col("event_type"),
+      col("props")))
+  }
+
+  /** Generic parquet reader in the shape of the reference's ParquetReader
+    * (`csp/adapters/parquet.py:109-357`): symbol column → key, time column
+    * → ts; remaining columns are payload. seq from a per-key row_number in
+    * time order when no natural sequence exists.
+    */
+  def parquet(spark: SparkSession, path: String, symbolColumn: String,
+              timeColumn: String, seqColumn: Option[String] = None): TickStream = {
+    val raw = spark.read.parquet(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(symbolColumn)).orderBy(col(timeColumn))
+    val seqCol = seqColumn.map(col(_).cast(LongType))
+      .getOrElse((row_number().over(w) - 1).cast(LongType))
+    val payload = raw.columns.filterNot(c => c == symbolColumn || c == timeColumn).map(col)
+    TickStream(raw.select(
+      Seq(col(symbolColumn).cast(StringType).as(Tick.KEY),
+          col(timeColumn).as(Tick.TS), seqCol.as(Tick.SEQ)) ++ payload: _*))
+  }
+
+  /** Load a driver TPC-H-ish table as a plain DataFrame. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

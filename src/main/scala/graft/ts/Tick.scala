@@ -1,0 +1,58 @@
+package graft.ts
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical tick-stream column contract.
+  *
+  * A tick stream is a DataFrame with at least:
+  *   - `key: String`  — the parallelism axis (csp basket key / symbol).
+  *     Reference: dict baskets `Dict[K, ts[T]]` (reference
+  *     `csp/baselib.py:554-580`) shard streams by key; Spark shards by
+  *     partition on the same axis, which is what makes the design hold at
+  *     100 TB — all per-stream operators are `partitionBy(key)` window or
+  *     map-side operations, never a global sort.
+  *   - `ts: Timestamp` — event time (engine time in the reference,
+  *     `cpp/csp/engine/RootEngine.cpp:150-167` sim loop).
+  *   - `seq: Long`     — engine-cycle disambiguator: total order within a
+  *     key is `(ts, seq)`. Materializes csp's duplicate-timestamp cycle
+  *     semantics (`docs/wiki/concepts/Execution-Modes.md`).
+  *   - one or more value columns, `value` by default.
+  */
+object Tick {
+  val KEY = "key"
+  val TS = "ts"
+  val SEQ = "seq"
+  val VALUE = "value"
+
+  /** Columns every tick stream carries; everything else is payload. */
+  val meta: Seq[String] = Seq(KEY, TS, SEQ)
+}
+
+/** Session factory with the scale-appropriate defaults used everywhere
+  * (tests, Verify, Bench). local[32] stands in for a multi-executor
+  * cluster; shuffle partitions sized to cores, AQE on for runtime
+  * re-planning (skew joins, partition coalescing at 100 TB).
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the events table is written with nanosecond parquet timestamps;
+      // Spark's TimestampType is microseconds. Reading NANOS as Long keeps
+      // full fidelity (csp engine time is ns-capable, SURVEY §1.2); sources
+      // derive a TimestampType column from it.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

