@@ -21,6 +21,17 @@ object Demo {
     val l = Sources.curve(spark, "k", Seq("2020-01-01 00:00:00" -> 1.0, "2020-01-03 00:00:00" -> 3.0))
     val r = Sources.curve(spark, "k", Seq("2020-01-01 00:00:00" -> 100.0, "2020-01-02 00:00:00" -> 2.0))
     println("merge(left-wins) = " + l.merge(r).run().map(_._2).mkString(", "))
+
+    println("as-of: purchase value sampled at each click, per user")
+    val clicks = graft.ts.TickStream(ev.df.filter(org.apache.spark.sql.functions.col("event_type") === "click"))
+    val purchases = graft.ts.TickStream(ev.df.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+    val sampled = graft.operators.AsOf.sample(clicks, purchases)
+    sampled.df.orderBy("seq").show(5, truncate = false)
+
+    println("rolling 5-tick mean/max + ema(0.3) of value per user")
+    val st = graft.operators.Stats.ticks(ev, 5).mean().max().done
+    graft.operators.Sequential.ema(graft.ts.TickStream(st.df), 0.3)
+      .df.orderBy("seq").select("key", "ts", "value", "mean", "max", "ema").show(5, truncate = false)
     spark.stop()
   }
 }

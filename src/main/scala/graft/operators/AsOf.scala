@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ts.{Tick, TickStream}
+
+/** The as-of kernel (SURVEY §2.5/§7.1): csp's temporal-join family —
+  * `sample` (reference `csp/baselib.py:290-297`), cross-stream binary math
+  * (`csp/math.py:252-300`), `struct_fromts` (`baselib.py:684-701`),
+  * `filter(flag, x)` (`baselib.py:412-418`) — are all "attach the last
+  * value of reference stream(s) at-or-before each driving tick".
+  *
+  * Implementation: union the streams tagged by source, one
+  * `last(col, ignoreNulls = true)` window per reference, filter back to
+  * driving rows. ONE shuffle (by key), no join explosion, scales linearly:
+  * at 100 TB this is a single repartition+sort per key — the same shape
+  * Spark uses for any window aggregate. A dedicated SparkPlan could fuse
+  * the union away but adds no asymptotic win (SURVEY §4 note).
+  *
+  * Tie semantics: a reference tick at the same engine time as a driving
+  * tick IS visible to it (csp delivers same-cycle input updates before the
+  * node fires); ref rows order before driving rows at equal ts.
+  */
+object AsOf {
+  import Tick._
+
+  private val SRC = "__src"
+
+  /** Attach `refs` (name → stream) as columns to `driving`'s ticks.
+    * Output: driving's rows + one column per ref holding the as-of value
+    * (null until the ref first ticks).
+    */
+  def join(driving: TickStream, refs: Seq[(String, TickStream)]): TickStream = {
+    val refNames = refs.map(_._1)
+    val dCols = driving.df.columns.toSeq
+    val d = driving.df.withColumn(SRC, lit(0))
+    val tagged = refs.zipWithIndex.map { case ((name, ref), i) =>
+      val r = ref.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(name))
+      // null-fill driving payload columns so unionByName aligns
+      r.withColumn(SRC, lit(i + 1))
+    }
+    val unioned = tagged.foldLeft(d) { (acc, r) => acc.unionByName(r, allowMissingColumns = true) }
+    // refs sort before driving at equal (ts): driving sees same-time ref ticks
+    val ord = Window.partitionBy(KEY)
+      .orderBy(col(TS), when(col(SRC) === 0, 1).otherwise(0), col(SEQ))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLasts = refNames.foldLeft(unioned) { (acc, name) =>
+      acc.withColumn(name, last(col(name), ignoreNulls = true).over(ord))
+    }
+    TickStream(withLasts.filter(col(SRC) === 0).drop(SRC)
+      .select(dCols.map(col) ++ refNames.map(col): _*))
+  }
+
+  /** csp.sample(trigger, x) (`baselib.py:290-297`): value of x at trigger
+    * ticks; trigger ticks before x first ticks produce nothing. */
+  def sample(trigger: TickStream, x: TickStream): TickStream = {
+    val joined = join(trigger, Seq("__sampled" -> x))
+    TickStream(joined.df.filter(col("__sampled").isNotNull)
+      .withColumn(VALUE, col("__sampled")).drop("__sampled"))
+  }
+
+  /** csp.filter(flag, x) cross-stream (`baselib.py:412-418`): pass x ticks
+    * while the last value of `flag` is true. */
+  def filterBy(flag: TickStream, x: TickStream): TickStream = {
+    val joined = join(x, Seq("__flag" -> flag))
+    TickStream(joined.df.filter(col("__flag") === true).drop("__flag"))
+  }
+
+  /** Cross-stream binary op (`csp/math.py:252-300`): fire on any tick of
+    * either input once both are valid, applying `f` to the last values. */
+  def binop(x: TickStream, y: TickStream, f: (Column, Column) => Column,
+            as: String = VALUE): TickStream = {
+    // engine-cycle alignment: two streams ticking at the same (key, ts)
+    // share a cycle (one fire), matching the reference scheduler
+    // (Execution-Modes.md duplicate-timestamp rules); same-ts ticks on ONE
+    // stream are separate cycles → align by within-ts ordinal.
+    def cyc(df: DataFrame, vAs: String) = df.select(
+      col(KEY), col(TS), col(SEQ), col(VALUE).as(vAs),
+      (row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1).as("__c"))
+    val u = cyc(x.df, "__x").withColumn("__src", lit(0))
+      .unionByName(cyc(y.df, "__y").withColumn("__src", lit(1)), allowMissingColumns = true)
+    val ord = Window.partitionBy(KEY).orderBy(col(TS), col("__c"), col("__src"), col(SEQ))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lasts = u
+      .withColumn("__lx", last(col("__x"), ignoreNulls = true).over(ord))
+      .withColumn("__ly", last(col("__y"), ignoreNulls = true).over(ord))
+    // one output per cycle: the last row of each (key, ts, cycle) group has
+    // seen every same-cycle update
+    val keepLast = row_number().over(
+      Window.partitionBy(col(KEY), col(TS), col("__c")).orderBy(col("__src").desc, col(SEQ).desc))
+    val out = lasts.withColumn("__rn", keepLast).filter(col("__rn") === 1)
+      .filter(col("__lx").isNotNull && col("__ly").isNotNull)
+      .select(col(KEY), col(TS),
+        (row_number().over(Window.partitionBy(KEY).orderBy(col(TS), col("__c"))) - 1)
+          .cast("long").as(SEQ),
+        f(col("__lx"), col("__ly")).as(as))
+    TickStream(out)
+  }
+
+  /** struct_fromts (`baselib.py:684-701`): snapshot the last value of each
+    * named input at trigger ticks into one struct column. */
+  def structFromTs(trigger: TickStream, inputs: Seq[(String, TickStream)]): TickStream = {
+    val joined = join(trigger, inputs)
+    TickStream(joined.df.withColumn(VALUE, struct(inputs.map { case (n, _) => col(n) }: _*))
+      .drop(inputs.map(_._1): _*))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ts.{Tick, TickStream}
+
+/** Basket / routing operators (SURVEY §2.4). A basket is just a TickStream
+  * whose `key` column is the member axis — Spark's partitioning axis, so
+  * demultiplex/dynamic_demultiplex are free filters/groupBys and the
+  * interesting ops are gate (buffering) and multiplex (key-switched join).
+  */
+object Baskets {
+  import Tick._
+
+  /** csp.gate(x, release) (reference `csp/baselib.py:507-522`): while the
+    * last `release` value is false (or not yet valid) buffer x's ticks;
+    * when `release` turns true flush the buffer as one list tick; while
+    * open, pass ticks through as single-element lists.
+    *
+    * Batch lowering: as-of the release state onto x's rows, number the
+    * "opening" release ticks, group closed rows by the opening that will
+    * flush them. Two window passes + one aggregation — all partitioned by
+    * key, no driver state.
+    */
+  def gate(x: TickStream, release: TickStream): TickStream = {
+    val xs = x.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)).withColumn("__src", lit(0))
+    val rs = release.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).cast("boolean").as("__rel"))
+      .withColumn("__src", lit(1))
+    val u = xs.unionByName(rs, allowMissingColumns = true)
+    // release visible to same-ts x ticks → release rows order first on ties
+    val ord = Window.partitionBy(KEY)
+      .orderBy(col(TS), when(col("__src") === 1, 0).otherwise(1), col(SEQ))
+    val ordAll = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val prevRel = last(when(col("__src") === 1, col("__rel")), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val annotated = u
+      .withColumn("__open", last(when(col("__src") === 1, col("__rel")), ignoreNulls = true).over(ordAll))
+      .withColumn("__opening",
+        (col("__src") === 1 && col("__rel") && !coalesce(prevRel, lit(false))).cast("int"))
+      .withColumn("__openCnt", sum(col("__opening")).over(ordAll))
+    val passThrough = annotated.filter(col("__src") === 0 && col("__open") === true)
+      .select(col(KEY), col(TS), col(SEQ), array(col(VALUE)).as(VALUE))
+    val buffered = annotated.filter(col("__src") === 0 && (col("__open").isNull || col("__open") === false))
+      .select(col(KEY), col(TS), col(SEQ), col(VALUE), (coalesce(col("__openCnt"), lit(0L)) + 1).as("__flushNo"))
+    val openings = annotated.filter(col("__opening") === 1)
+      .select(col(KEY), col("__openCnt").as("__flushNo"), col(TS).as("__fts"), col(SEQ).as("__fseq"))
+    val flushed = buffered
+      .join(openings, Seq(KEY, "__flushNo")) // inner: never-flushed rows drop (engine ended closed)
+      .groupBy(col(KEY), col("__fts"), col("__fseq"))
+      .agg(transform(array_sort(collect_list(struct(col(TS), col(SEQ), col(VALUE)))),
+        s => s(VALUE)).as(VALUE))
+      .select(col(KEY), col("__fts").as(TS), col("__fseq").as(SEQ), col(VALUE))
+    TickStream(passThrough.unionByName(flushed))
+  }
+
+  /** csp.multiplex(basket, key) (reference `csp/baselib.py:554-580`):
+    * emit the selected member's ticks; on selector change, emit the newly
+    * selected member's last value if valid. `sel`'s value column holds
+    * member names; the selector stream is broadcast across members (small
+    * by construction — one logical control stream).
+    */
+  def multiplex(basket: TickStream, sel: TickStream): TickStream = {
+    val members = basket.df.select(col(KEY)).distinct()
+    val selPerMember = sel.df
+      .select(col(TS), col(SEQ), col(VALUE).cast("string").as("__sel"))
+      .crossJoin(broadcast(members).select(col(KEY)))
+      .withColumn("__src", lit(1))
+    val xs = basket.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)).withColumn("__src", lit(0))
+    val u = xs.unionByName(selPerMember, allowMissingColumns = true)
+    val ord = Window.partitionBy(KEY)
+      .orderBy(col(TS), when(col("__src") === 1, 0).otherwise(1), col(SEQ))
+    val ordAll = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val prevSel = last(when(col("__src") === 1, col("__sel")), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val annotated = u
+      .withColumn("__cur", last(when(col("__src") === 1, col("__sel")), ignoreNulls = true).over(ordAll))
+      .withColumn("__lastVal", last(when(col("__src") === 0, col(VALUE)), ignoreNulls = true).over(ordAll))
+      .withColumn("__prevSel", prevSel)
+    val memberTicks = annotated.filter(col("__src") === 0 && col("__cur") === col(KEY))
+      .select(col(KEY), col(TS), col(SEQ), col(VALUE))
+    // member tick in the same engine cycle as the key change → one fire with
+    // the new value (scheduler delivers both updates before the node runs)
+    val sameTsTick = functions.max(when(col("__src") === 0, lit(1)))
+      .over(Window.partitionBy(col(KEY), col(TS)))
+    val keyChanges = annotated.withColumn("__hasTick", sameTsTick).filter(
+      col("__src") === 1 && col("__sel") === col(KEY) &&
+        (col("__prevSel").isNull || col("__prevSel") =!= col("__sel")) &&
+        col("__lastVal").isNotNull && col("__hasTick").isNull)
+      .select(col(KEY), col(TS), col(SEQ), col("__lastVal").as(VALUE))
+    val out = memberTicks.unionByName(keyChanges)
+    TickStream(out.select(lit("mux").as(KEY), col(TS),
+      (row_number().over(Window.partitionBy(lit(1)).orderBy(col(TS), col(SEQ))) - 1)
+        .cast("long").as(SEQ), col(VALUE)))
+  }
+
+  /** csp.flatten (`baselib.py:494-503`): merge all members into one stream
+    * under a single key (keeps per-member seq order via resequence). */
+  def flatten(basket: TickStream, as: String = "flat"): TickStream =
+    TickStream(basket.df.withColumn(KEY, lit(as))).resequence
+
+  /** basketlib.sample_basket (`csp/basketlib.py:69-97`): snapshot every
+    * valid member at trigger ticks. Trigger broadcast across members,
+    * then the plain as-of kernel per member partition. */
+  def sampleBasket(trigger: TickStream, basket: TickStream): TickStream = {
+    val members = basket.df.select(col(KEY)).distinct()
+    val trigPerMember = TickStream(trigger.df
+      .select(col(TS), col(SEQ)).crossJoin(broadcast(members).select(col(KEY)))
+      .withColumn(VALUE, lit(null).cast(basket.df.schema(VALUE).dataType)))
+    AsOf.sample(trigPerMember, basket)
+  }
+}

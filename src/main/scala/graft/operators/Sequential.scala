@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ts.{Tick, TickStream}
+
+/** Sequential per-key recurrences (the EMA family, Kahan running sums):
+  * stats whose value depends on every prior tick through an O(1) state
+  * update (reference C++ accumulators EMA:1473..HalflifeDebiasEMA:1804 in
+  * `cpp/csp/cppnodes/statsimpl.h`). A window-function lowering would be
+  * O(n·window); the right Spark shape is ONE repartition by key + in-
+  * partition sort + a streaming scan: `repartition(key) →
+  * sortWithinPartitions(key, ts, seq) → mapPartitions` with per-key state
+  * reset on key change. Linear work, spill-safe (Spark's sort is
+  * external), scales to any number of keys — this is exactly the batch
+  * twin of the `transformWithState` streaming lowering (SURVEY §2.9).
+  */
+object Sequential {
+  import Tick._
+
+  /** Run a per-key ordered scan appending `outFields`. `step` returns the
+    * appended values for each row; `init` produces fresh state per key. */
+  def perKeyScan[S](x: TickStream, outFields: Seq[StructField])(
+      init: () => S)(step: (S, Row) => Seq[Any]): TickStream = {
+    val df = x.df
+    val outSchema = StructType(df.schema.fields ++ outFields)
+    val keyIdx = df.schema.fieldIndex(KEY)
+    val sorted = df.repartition(col(KEY)).sortWithinPartitions(col(KEY), col(TS), col(SEQ))
+    val out = sorted.mapPartitions { it =>
+      var curKey: String = null
+      var state: S = null.asInstanceOf[S]
+      it.map { row =>
+        val k = row.getString(keyIdx)
+        if (k != curKey) { curKey = k; state = init() }
+        Row.fromSeq(row.toSeq ++ step(state, row))
+      }
+    }(Encoders.row(outSchema))
+    TickStream(out)
+  }
+
+  private def valueIdx(x: TickStream) = x.df.schema.fieldIndex(VALUE)
+  private def tsIdx(x: TickStream) = x.df.schema.fieldIndex(TS)
+
+  final private class EmaState {
+    var num = 0.0; var num2 = 0.0; var w = 0.0; var w2 = 0.0
+    var lastMicros = Long.MinValue
+    var unadjusted = Double.NaN
+  }
+
+  /** csp.stats.ema (stats.py:2910; C++ EMA:1473 / AdjustedEMA:1542).
+    * adjust=true: y = Σ(1−α)^(t−i)·x_i / Σ(1−α)^(t−i) (pandas-equivalent);
+    * adjust=false: y_t = (1−α)·y_{t−1} + α·x_t. */
+  def ema(x: TickStream, alpha: Double, adjust: Boolean = true,
+          as: String = "ema"): TickStream = {
+    val vi = valueIdx(x)
+    val d = 1.0 - alpha
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
+      val v = row.getDouble(vi)
+      if (adjust) {
+        s.num = v + d * s.num; s.w = 1.0 + d * s.w
+        Seq(s.num / s.w)
+      } else {
+        s.unadjusted = if (s.unadjusted.isNaN) v else d * s.unadjusted + alpha * v
+        Seq(s.unadjusted)
+      }
+    }
+  }
+
+  /** Time-decay EMA with halflife (HalflifeEMA:1723): weight of a tick
+    * decays by exp(−ln2·Δt/halflife); adjusted (normalized) form. */
+  def emaHalflife(x: TickStream, halflifeSec: Double, as: String = "ema"): TickStream = {
+    val vi = valueIdx(x); val ti = tsIdx(x)
+    val lambda = math.log(2.0) / (halflifeSec * 1e6) // per microsecond
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
+      val v = row.getDouble(vi)
+      val t = row.getTimestamp(ti).getTime * 1000L +
+        (row.getTimestamp(ti).getNanos / 1000) % 1000
+      val decay = if (s.lastMicros == Long.MinValue) 0.0 else math.exp(-lambda * (t - s.lastMicros))
+      s.num = v + decay * s.num; s.w = 1.0 + decay * s.w; s.lastMicros = t
+      Seq(s.num / s.w)
+    }
+  }
+
+  /** EWM variance with debias (AlphaDebiasEMA:1620 / ema_var stats.py:3127):
+    * weighted E[x], E[x²] accumulation; debias factor W²/(W²−W₂). */
+  def emaVar(x: TickStream, alpha: Double, as: String = "ema_var"): TickStream = {
+    val vi = valueIdx(x)
+    val d = 1.0 - alpha
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
+      val v = row.getDouble(vi)
+      s.num = v + d * s.num; s.num2 = v * v + d * s.num2
+      s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
+      val mean = s.num / s.w
+      val biased = s.num2 / s.w - mean * mean
+      val denom = s.w * s.w - s.w2
+      Seq(if (denom <= 0) Double.NaN else biased * s.w * s.w / denom)
+    }
+  }
+
+  def emaStd(x: TickStream, alpha: Double, as: String = "ema_std"): TickStream = {
+    val withVar = emaVar(x, alpha, "__ev")
+    TickStream(withVar.df.withColumn(as, sqrt(col("__ev"))).drop("__ev"))
+  }
+
+  final private class KahanState { var sum = 0.0; var c = 0.0 }
+
+  /** Kahan-compensated running sum (KahanSum:94): fp-stable cumulative sum
+    * for long streams where naive summation drifts. */
+  def kahanCumsum(x: TickStream, as: String = "ksum"): TickStream = {
+    val vi = valueIdx(x)
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new KahanState) { (s, row) =>
+      val y = row.getDouble(vi) - s.c
+      val t = s.sum + y
+      s.c = (t - s.sum) - y
+      s.sum = t
+      Seq(s.sum)
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+import graft.ts.{Tick, TickStream}
+
+/** Rolling / expanding window statistics (reference `csp/stats.py`, C++
+  * accumulators `cpp/csp/cppnodes/statsimpl.h:24-1890`). csp recomputes a
+  * stat on every tick over a tick-count or time window; the Spark batch
+  * twin is a window function over `rowsBetween` / `rangeBetween` frames —
+  * partitioned by key, so the shape is one shuffle+sort per key regardless
+  * of data size (the 100 TB plan: Spark's WindowExec already streams
+  * frames without materializing more than the frame buffer).
+  *
+  * Everything here is built from codegen'd built-in aggregates; the few
+  * stats Spark lacks (exact interpolated quantile, windowed rank of the
+  * current value, product) are composed from `collect_list` + higher-order
+  * array functions, which stay inside Tungsten (no UDF / no Python).
+  * Sequential stats that are inherently O(n) recurrences (the EMA family)
+  * live in [[Sequential]].
+  */
+object Stats {
+  import Tick._
+
+  /** Tick-count window of n rows (csp `interval=n`, stats.py:59). */
+  def ticks(x: TickStream, n: Int, minWindow: Int = 1): Rolling =
+    Rolling(x, x.w.rowsBetween(-(n - 1), 0), minWindow)
+
+  /** Time window (csp `interval=timedelta`, stats.py:66): left-open
+    * (t − interval, t], matching the reference's expiry of ticks aged
+    * exactly `interval` (`_time_window_updates`). Frame over epoch micros.
+    */
+  def time(x: TickStream, seconds: Long, minWindow: Int = 1): Rolling = {
+    val withE = TickStream(x.df.withColumn("__em", unix_micros(col(TS))))
+    val spec = Window.partitionBy(KEY).orderBy(col("__em"))
+      .rangeBetween(-(seconds * 1000000L - 1), 0)
+    Rolling(withE, spec, minWindow)
+  }
+
+  /** Expanding window (csp `interval=None`). */
+  def expanding(x: TickStream, minWindow: Int = 1): Rolling =
+    Rolling(x, x.w.rowsBetween(Window.unboundedPreceding, 0), minWindow)
+
+  final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int) {
+    private val v = col(VALUE)
+    private def gated(c: Column): Column =
+      if (minWindow <= 1) c
+      else when(functions.count(v).over(spec) >= minWindow, c)
+
+    private def add(name: String, c: Column): Rolling =
+      Rolling(TickStream(x.df.withColumn(name, gated(c))), spec, minWindow)
+
+    /** Drop helper columns and return the stream. */
+    def done: TickStream = TickStream(x.df.drop("__em"))
+
+    // ---- simple moments (statsimpl.h Count:24..Mean:135) ----
+    def count(name: String = "count"): Rolling = add(name, functions.count(v).over(spec))
+    def sum(name: String = "sum"): Rolling = add(name, functions.sum(v).over(spec))
+    /** Exact decimal sum — order-independent, for oracle-exact money sums. */
+    def sumExact(name: String = "sum", scale: Int = 2): Rolling =
+      add(name, functions.sum(v.cast(s"decimal(30,$scale)")).over(spec))
+    def mean(name: String = "mean"): Rolling = add(name, avg(v).over(spec))
+    def min(name: String = "min"): Rolling = add(name, functions.min(v).over(spec))
+    def max(name: String = "max"): Rolling = add(name, functions.max(v).over(spec))
+    def first(name: String = "first"): Rolling =
+      add(name, functions.first(v, ignoreNulls = true).over(spec))
+    def last(name: String = "last"): Rolling =
+      add(name, functions.last(v, ignoreNulls = true).over(spec))
+
+    /** Product (statsimpl.h Product:288): exact sequential fold over the
+      * frame (matches a single-threaded engine's fp result bit-for-bit). */
+    def prod(name: String = "prod"): Rolling =
+      add(name, aggregate(collect_list(v).over(spec), lit(1.0), (acc, e) => acc * e))
+
+    /** Distinct values in window (statsimpl.h Unique:242). */
+    def unique(name: String = "unique"): Rolling =
+      add(name, size(array_distinct(collect_list(v).over(spec))))
+
+    // ---- dispersion (Variance:383, StandardError:744) ----
+    def varSamp(name: String = "var"): Rolling = add(name, var_samp(v).over(spec))
+    def stddev(name: String = "stddev"): Rolling = add(name, stddev_samp(v).over(spec))
+    def sem(name: String = "sem"): Rolling =
+      add(name, stddev_samp(v).over(spec) / sqrt(functions.count(v).over(spec)))
+
+    /** Geometric mean (stats.py:2119). */
+    def gmean(name: String = "gmean"): Rolling = add(name, exp(avg(log(v)).over(spec)))
+
+    /** Skew (Skew:873). bias=true → population g1 = m3/m2^1.5; bias=false
+      * → sample-adjusted (the reference's default), computed from central
+      * moments so both sides of an oracle can share the formula. */
+    def skew(name: String = "skew", bias: Boolean = false): Rolling = {
+      val n = functions.count(v).over(spec).cast("double")
+      val m = avg(v).over(spec)
+      val m2 = avg(v * v).over(spec) - m * m
+      val m3 = avg(v * v * v).over(spec) - lit(3) * m * avg(v * v).over(spec) + lit(2) * m * m * m
+      val g1 = m3 / pow(m2, 1.5)
+      add(name, if (bias) g1 else sqrt(n * (n - 1)) / (n - 2) * g1)
+    }
+
+    /** Excess kurtosis (Kurtosis:979). */
+    def kurt(name: String = "kurt", bias: Boolean = false): Rolling = {
+      val n = functions.count(v).over(spec).cast("double")
+      val m = avg(v).over(spec)
+      val e2 = avg(v * v).over(spec)
+      val e3 = avg(v * v * v).over(spec)
+      val e4 = avg(v * v * v * v).over(spec)
+      val m2 = e2 - m * m
+      val m4 = e4 - lit(4) * m * e3 + lit(6) * m * m * e2 - lit(3) * m * m * m * m
+      val g2 = m4 / (m2 * m2) - lit(3.0)
+      add(name,
+        if (bias) g2
+        else ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + lit(6.0)))
+    }
+
+    /** Exact quantile, linear interpolation (Quantile:1127; csp offers
+      * multiple interpolation modes — linear is the default). */
+    def quantile(q: Double, name: String = "quantile"): Rolling = {
+      val sorted = array_sort(collect_list(v).over(spec))
+      val n = size(sorted)
+      val pos = lit(q) * (n.cast("double") - 1)
+      val lo = floor(pos).cast("int")
+      val hi = ceil(pos).cast("int")
+      val frac = pos - lo.cast("double")
+      val value = element_at(sorted, lo + 1) * (lit(1.0) - frac) +
+        element_at(sorted, hi + 1) * frac
+      add(name, value)
+    }
+    def median(name: String = "median"): Rolling = quantile(0.5, name)
+
+    /** Rank of the current value within the window (Rank:1291), method
+      * "min" (count of strictly-smaller values). */
+    def rank(name: String = "rank"): Rolling = {
+      val lst = collect_list(v).over(spec)
+      add(name, size(filter(lst, e => e < v)))
+    }
+
+    /** Time of window extremum (ArgMinMax:1402): earliest tick holding the
+      * extreme value, as epoch micros (deterministic tie-break via struct
+      * ordering — no engine-dependent arbitrary pick). */
+    def argmin(name: String = "argmin"): Rolling =
+      add(name, functions.min(struct(v.as("v"), unix_micros(col(TS)).as("t"))).over(spec).getField("t"))
+    def argmax(name: String = "argmax"): Rolling =
+      add(name, functions.max(struct(v.as("v"), unix_micros(col(TS)).as("t"))).over(spec).getField("t"))
+
+    /** cross_sectional (stats.py:3265): full window contents. */
+    def crossSectional(name: String = "xs"): Rolling =
+      add(name, collect_list(v).over(spec))
+
+    // ---- bivariate (Covariance:535, Correlation:660) over a second col --
+    def cov(other: Column, name: String = "cov"): Rolling =
+      add(name, covar_samp(v, other).over(spec))
+    def corr(other: Column, name: String = "corr"): Rolling =
+      add(name, functions.corr(v, other).over(spec))
+
+    /** Weighted mean (WeightedMean:340): sum(w·x)/sum(w) over the frame. */
+    def weightedMean(weight: Column, name: String = "wmean"): Rolling =
+      add(name, functions.sum(v * weight).over(spec) / functions.sum(weight).over(spec))
+  }
+}

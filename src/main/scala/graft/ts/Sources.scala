@@ -29,13 +29,16 @@ object Sources {
     TickStream(rows.toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE))
   }
 
-  /** Generic curve over any value type T. */
-  def curveOf[T](spark: SparkSession, key: String, points: Seq[(String, T)])(implicit
-      enc: org.apache.spark.sql.Encoder[(String, Timestamp, Long, T)]): TickStream = {
+  /** Generic curve over any Spark-typed value (Boolean, String, arrays…). */
+  def curveOf[T](spark: SparkSession, key: String, points: Seq[(String, T)],
+                 valueType: DataType): TickStream = {
     val rows = points.zipWithIndex.map { case ((t, v), i) =>
-      (key, Timestamp.valueOf(t.replace("T", " ")), i.toLong, v)
+      org.apache.spark.sql.Row(key, Timestamp.valueOf(t.replace("T", " ")), i.toLong, v)
     }
-    TickStream(spark.createDataset(rows)(enc).toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE))
+    val schema = StructType(Seq(
+      StructField(Tick.KEY, StringType), StructField(Tick.TS, TimestampType),
+      StructField(Tick.SEQ, LongType), StructField(Tick.VALUE, valueType)))
+    TickStream(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
   }
 
   /** csp.const (reference `csp/baselib.py:73`): one tick at `at`. */

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Baskets, Sequential, Stats}
+import graft.ts.Sources
+
+/** Golden-replay tests in the reference's style (`test_engine.py:42-57`,
+  * `test_stats.py:46-80`): tiny curves in, exact outputs asserted.
+  * EMA/skew/kurt goldens from pandas — the reference's own stats oracle
+  * (`test_stats.py:1-24`).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def day(i: Int) = f"2020-01-$i%02d 00:00:00"
+  def c(vals: (Int, Double)*) = Sources.curve(spark, "k", vals.map { case (d, v) => day(d) -> v })
+
+  test("sample: value of x at trigger ticks (baselib.py:290-297)") {
+    val x = c(1 -> 10.0, 3 -> 30.0, 5 -> 50.0)
+    val trig = c(2 -> 0, 3 -> 0, 4 -> 0, 6 -> 0)
+    val out = AsOf.sample(trig, x).run()
+    assert(out.map(_._2) == Seq(10.0, 30.0, 30.0, 50.0)) // same-ts tick visible
+  }
+
+  test("sample before x ever ticks produces nothing") {
+    val x = c(5 -> 50.0)
+    val trig = c(1 -> 0, 2 -> 0)
+    assert(AsOf.sample(trig, x).run().isEmpty)
+  }
+
+  test("binop: fires on either tick once both valid; same-ts = one cycle (math.py:252-300)") {
+    val x = c(1 -> 1.0, 3 -> 3.0)
+    val y = c(2 -> 20.0, 3 -> 30.0, 4 -> 40.0)
+    val out = AsOf.binop(x, y, _ + _).run()
+    // t2: x=1,y=20 → 21; t3: both tick same cycle → one fire 33; t4: 43
+    assert(out.map(_._2) == Seq(21.0, 33.0, 43.0))
+  }
+
+  test("filterBy: pass x while flag's last value is true (baselib.py:412-418)") {
+    val flag = Sources.curveOf(spark, "k", Seq(day(2) -> true, day(4) -> false), org.apache.spark.sql.types.BooleanType)
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0, 5 -> 5.0)
+    assert(AsOf.filterBy(flag, x).run().map(_._2) == Seq(2.0, 3.0))
+  }
+
+  test("structFromTs snapshots last values at trigger (baselib.py:684-701)") {
+    val a = c(1 -> 1.0, 3 -> 3.0)
+    val b = c(2 -> 20.0)
+    val trig = c(4 -> 0.0)
+    val row = AsOf.structFromTs(trig, Seq("a" -> a, "b" -> b)).df.collect()(0)
+    val s = row.getAs[org.apache.spark.sql.Row]("value")
+    assert(s.getDouble(0) == 3.0 && s.getDouble(1) == 20.0)
+  }
+
+  test("gate buffers while closed, flushes on open (baselib.py:507-522)") {
+    val x = c(1 -> 1.0, 2 -> 2.0, 4 -> 4.0, 6 -> 6.0)
+    val rel = Sources.curveOf(spark, "k",
+      Seq(day(3) -> true, day(5) -> false, day(7) -> true), org.apache.spark.sql.types.BooleanType)
+    val out = Baskets.gate(x, rel).run()
+    assert(out.map(_._2.asInstanceOf[scala.collection.Seq[Double]].toSeq) == Seq(Seq(1.0, 2.0), Seq(4.0), Seq(6.0)))
+    assert(out.map(_._1.toString.substring(8, 10)) == Seq("03", "04", "07"))
+  }
+
+  test("multiplex: selected member ticks + key-change emission (baselib.py:554-580)") {
+    val basket = graft.ts.TickStream(
+      Sources.curve(spark, "a", Seq(day(1) -> 1.0, day(3) -> 3.0, day(5) -> 5.0)).df
+        .unionByName(Sources.curve(spark, "b", Seq(day(2) -> 20.0, day(4) -> 40.0)).df))
+    val sel = Sources.curveOf(spark, "sel", Seq(day(1) -> "a", day(4) -> "b"), org.apache.spark.sql.types.StringType)
+    val out = Baskets.multiplex(basket, sel).run()
+    // a@1, a@3, then key→b at t4: b's tick at t4 emits (sel visible same-ts), not a@5
+    assert(out.map(_._2) == Seq(1.0, 3.0, 40.0))
+  }
+
+  test("rolling tick-window stats vs hand goldens") {
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0, 6 -> 8.0)
+    val r = Stats.ticks(x, 3).sum().mean().min().max().prod().unique().done
+    val rows = r.df.orderBy("ts").collect()
+    assert(rows.map(_.getAs[Double]("sum")).toSeq == Seq(1.0, 4.0, 6.0, 10.0, 11.0, 17.0))
+    assert(rows.map(_.getAs[Double]("max")).toSeq == Seq(1.0, 3.0, 3.0, 5.0, 5.0, 8.0))
+    assert(rows.map(_.getAs[Double]("prod")).toSeq == Seq(1.0, 3.0, 6.0, 30.0, 40.0, 160.0))
+    assert(rows.map(_.getAs[Int]("unique")).toSeq == Seq(1, 2, 3, 3, 3, 3))
+  }
+
+  test("median/quantile linear interpolation vs pandas") {
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0, 6 -> 8.0)
+    val rows = Stats.ticks(x, 3, minWindow = 3).median().done.df.orderBy("ts").collect()
+    val med = rows.map(r => Option(r.get(r.fieldIndex("median"))).map(_.asInstanceOf[Double]))
+    assert(med.toSeq == Seq(None, None, Some(2.0), Some(3.0), Some(4.0), Some(5.0)))
+    val q = Stats.ticks(x, 4, minWindow = 4).quantile(0.25, "q").done.df.orderBy("ts").collect()
+      .map(r => Option(r.get(r.fieldIndex("q"))).map(_.asInstanceOf[Double]))
+    assert(q.toSeq == Seq(None, None, None, Some(1.75), Some(2.75), Some(3.5)))
+  }
+
+  test("skew/kurt sample-adjusted vs pandas (window 4)") {
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0, 6 -> 8.0)
+    val rows = Stats.ticks(x, 4, minWindow = 4).skew().kurt().done.df.orderBy("ts").collect()
+    val sk = rows.flatMap(r => Option(r.get(r.fieldIndex("skew"))).map(_.asInstanceOf[Double]))
+    val ku = rows.flatMap(r => Option(r.get(r.fieldIndex("kurt"))).map(_.asInstanceOf[Double]))
+    val expSk = Seq(0.7528371991, 0.0, 0.56)
+    val expKu = Seq(0.3428571429, -1.2, 0.928)
+    sk.zip(expSk).foreach { case (g, e) => assert(math.abs(g - e) < 1e-7, s"skew $g vs $e") }
+    ku.zip(expKu).foreach { case (g, e) => assert(math.abs(g - e) < 1e-7, s"kurt $g vs $e") }
+  }
+
+  test("time-window stats: left-open (t-interval, t] eviction") {
+    // 1-day window = 86400s: at t2 the t1 tick (age exactly 1d) is evicted
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0)
+    val rows = Stats.time(x, 86400).count("n").done.df.orderBy("ts").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L, 1L))
+    val rows2 = Stats.time(x, 2 * 86400).count("n").done.df.orderBy("ts").collect()
+    assert(rows2.map(_.getAs[Long]("n")).toSeq == Seq(1L, 2L, 2L))
+  }
+
+  test("argmin/argmax return time of extremum") {
+    val x = c(1 -> 5.0, 2 -> 1.0, 3 -> 3.0)
+    val rows = Stats.expanding(x).argmin().argmax().done.df.orderBy("ts").collect()
+    val toDay = (us: Long) => java.time.Instant.ofEpochMilli(us / 1000).toString.substring(8, 10)
+    assert(rows.map(r => toDay(r.getAs[Long]("argmin"))).toSeq == Seq("01", "02", "02"))
+    assert(rows.map(r => toDay(r.getAs[Long]("argmax"))).toSeq == Seq("01", "01", "01"))
+  }
+
+  test("ema adjust=true/false and ema_var vs pandas ewm") {
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0, 6 -> 8.0)
+    val adjT = Sequential.ema(x, 0.5, adjust = true).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema"))
+    val expT = Seq(1.0, 2.3333333333, 2.1428571429, 3.6666666667, 3.8387096774, 5.9523809524)
+    adjT.zip(expT).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+    val adjF = Sequential.ema(x, 0.5, adjust = false).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema"))
+    assert(adjF.toSeq == Seq(1.0, 2.0, 2.0, 3.5, 3.75, 5.875))
+    val v = Sequential.emaVar(x, 0.5).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var")).drop(1)
+    val expV = Seq(2.0, 0.7142857143, 3.5714285714, 1.7096774194, 7.4239631336)
+    v.zip(expV).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+  }
+
+  test("emaHalflife: equal spacing halves weight per step") {
+    // halflife = 1 day, daily ticks → decay 0.5 each step ≡ alpha-adjusted 0.5
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0)
+    val hl = Sequential.emaHalflife(x, 86400.0).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema"))
+    val expT = Seq(1.0, 2.3333333333, 2.1428571429, 3.6666666667)
+    hl.zip(expT).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+  }
+
+  test("kahan cumsum matches plain sum on clean data") {
+    val x = c(1 -> 1.5, 2 -> 2.5, 3 -> 3.0)
+    val rows = Sequential.kahanCumsum(x).df.orderBy("ts").collect()
+    assert(rows.map(_.getAs[Double]("ksum")).toSeq == Seq(1.5, 4.0, 7.0))
+  }
+}
