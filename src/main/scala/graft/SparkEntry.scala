@@ -1,13 +1,424 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Baskets, Sequential, Stats}
+import graft.ts.{Sources, Tick, TickStream}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY §2 inventory), each with a DuckDB-equivalent `oracleSql` where
+  * SQL-expressible. Column names are aliased identically on both sides
+  * (the driver's compare sorts columns by name before hashing).
+  *
+  * Determinism conventions (Spark and DuckDB must hash-match bit-for-bit):
+  *  - money/value sums go through DECIMAL (order-independent, exact),
+  *    then cast to double;
+  *  - single-operation double arithmetic (diff, lag, division of identical
+  *    operands) is IEEE-identical — no rounding needed;
+  *  - multi-term fp expressions (moments, quantile interpolation) are
+  *    computed from the same algebraic formula on both sides and rounded;
+  *  - timestamps are never emitted raw — epoch micros/millis longs only
+  *    (the events table is nanosecond parquet; Spark truncates to micros).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def ev(s: SparkSession, dir: String): TickStream = Sources.events(s, dir)
+  private def uid: Column = col(Tick.KEY).cast(LongType).as("user_id")
+
+  /** Flagship: per-user running PnL-ish pipeline on sf0.001 — as-of join
+    * of purchase value onto clicks + rolling stats + EMA. */
+  def entry(spark: SparkSession): DataFrame = {
+    val e = ev(spark, "/root/testdata/sf0.001")
+    val clicks = TickStream(e.df.filter(col("event_type") === "click"))
+    val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+    val sampled = AsOf.sample(clicks, purchases)
+    val st = Stats.ticks(sampled, 5).mean("roll_mean").done
+    Sequential.ema(st, 0.3).df
+      .select(uid, col("seq").as("event_id"), col("value"), col("roll_mean"), col("ema"))
+  }
+
+  // DuckDB window spec used in every oracle
+  private val W = "PARTITION BY user_id ORDER BY ts, event_id"
+  private def WR(n: Int) = s"$W ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / TPC-H-ish (scan, agg, broadcast join, top-n) ----
+    "q1_lineitem_agg" -> { (s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(30,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(30,4)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    "q2_revenue_by_nation" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+      val o = Sources.table(s, dir, "orders")
+      val c = Sources.table(s, dir, "customer")
+      val n = Sources.table(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+    },
+    "q3_top_orders" -> { (s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    "q4_order_rank" -> { (s, dir) =>
+      Sources.table(s, dir, "orders")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+    },
+
+    // ---- baselib single-stream ops on the events tick stream ----
+    "q_filter" -> { (s, dir) =>
+      ev(s, dir).where(col(Tick.VALUE) > 100)
+        .df.select(col("seq").as("event_id"), col("value"))
+    },
+    "q_count" -> { (s, dir) =>
+      ev(s, dir).runningCount("cnt").df.select(col("seq").as("event_id"), col("cnt"))
+    },
+    "q_accum" -> { (s, dir) =>
+      ev(s, dir).mapValue(_.cast("decimal(30,2)")).accum("acc")
+        .df.select(col("seq").as("event_id"), col("acc").cast("double").as("cum_value"))
+    },
+    "q_diff" -> { (s, dir) =>
+      ev(s, dir).diff(1, "d").df.filter(col("d").isNotNull)
+        .select(col("seq").as("event_id"), col("d"))
+    },
+    "q_delay" -> { (s, dir) =>
+      ev(s, dir).delayTicks(3).df.select(col("seq").as("event_id"), col("value"))
+    },
+    "q_dropdups" -> { (s, dir) =>
+      val types = ev(s, dir).df.withColumn(Tick.VALUE, col("event_type"))
+      TickStream(types).dropDups().df.select(col("seq").as("event_id"))
+    },
+    "q_firstn" -> { (s, dir) =>
+      ev(s, dir).firstN(5).df.select(col("seq").as("event_id"))
+    },
+    "q_merge" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val r = TickStream(e.df.filter(col("event_type") === "error"))
+      l.merge(r).df.select(col("seq").as("event_id"))
+    },
+    "q_sample_asof" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val clicks = TickStream(e.df.filter(col("event_type") === "click"))
+      val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+      AsOf.sample(clicks, purchases).df.select(col("seq").as("event_id"), col("value"))
+    },
+    "q_times" -> { (s, dir) =>
+      ev(s, dir).times("time_us").df.select(col("seq").as("event_id"), col("time_us"))
+    },
+    "q_split_true" -> { (s, dir) =>
+      ev(s, dir).split(col("event_type") === "purchase")._1
+        .df.select(col("seq").as("event_id"))
+    },
+    "q_gate" -> { (s, dir) => // rows-only: list output not SQL-hashable
+      val e = ev(s, dir)
+      val rel = TickStream(e.df.filter(col("event_type").isin("signup", "error"))
+        .withColumn(Tick.VALUE, col("event_type") === "signup"))
+      Baskets.gate(TickStream(e.df.filter(col("event_type") === "purchase")), rel)
+        .df.select(col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col(Tick.TS)).as("time_us"), size(col(Tick.VALUE)).as("n_flushed"))
+    },
+
+    // ---- rolling stats (SURVEY §2.6) ----
+    "q_stats_basic" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir), 10).mean("m").min("mn").max("mx").count("cnt").done
+        .df.select(col("seq").as("event_id"), round(col("m"), 6).as("mean_v"),
+          col("mn"), col("mx"), col("cnt"))
+    },
+    "q_stats_sum" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir).mapValue(_.cast("decimal(30,2)")), 10).sum("sm").done
+        .df.select(col("seq").as("event_id"), col("sm").cast("double").as("sum_v"))
+    },
+    "q_stats_var" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir), 10, minWindow = 2).varExact("v").stddevExact("sd").semExact("se").done
+        .df.filter(col("v").isNotNull)
+        .select(col("seq").as("event_id"), col("v").as("var_v"),
+          col("sd").as("std_v"), col("se").as("sem_v"))
+    },
+    "q_stats_skew" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir), 20, minWindow = 4).skew("sk").kurt("ku").done
+        .df.filter(col("sk").isNotNull)
+        .select(col("seq").as("event_id"), round(col("sk"), 4).as("skew_v"),
+          round(col("ku"), 4).as("kurt_v"))
+    },
+    "q_stats_quantile" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir), 10).median("md").quantile(0.25, "q25").done
+        .df.select(col("seq").as("event_id"), round(col("md"), 6).as("median_v"),
+          round(col("q25"), 6).as("q25_v"))
+    },
+    "q_stats_time_window" -> { (s, dir) =>
+      Stats.time(ev(s, dir).mapValue(_.cast("decimal(30,2)")), 3600).count("cnt").sum("sm").done
+        .df.select(col("seq").as("event_id"), col("cnt"),
+          col("sm").cast("double").as("sum_v"))
+    },
+    "q_stats_rank_arg" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir), 10).rank("rk").argmin("amn").argmax("amx").done
+        .df.select(col("seq").as("event_id"), col("rk"), col("amn"), col("amx"))
+    },
+    "q_stats_prod" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir).mapValue(_ / 100.0), 5).prod("p").done
+        .df.select(col("seq").as("event_id"), round(col("p"), 8).as("prod_v"))
+    },
+    "q_stats_misc" -> { (s, dir) =>
+      val types = TickStream(ev(s, dir).df)
+      Stats.ticks(types, 10).first("f").last("l").unique("u").gmean("g").done
+        .df.select(col("seq").as("event_id"), col("f").as("first_v"),
+          col("l").as("last_v"), col("u").as("uniq_v"), round(col("g"), 6).as("gmean_v"))
+    },
+    "q_ema" -> { (s, dir) => // rows-only: sequential recurrence, no SQL twin
+      Sequential.ema(ev(s, dir), 0.2, adjust = true)
+        .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("ema_v"))
+    },
+    "q_ema_halflife" -> { (s, dir) => // rows-only
+      Sequential.emaHalflife(ev(s, dir), 3600.0)
+        .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("ema_v"))
+    },
+
+    // ---- text analysis / dedup (LLM pipeline ops) ----
+    "q_tokens" -> { (s, dir) =>
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_bpe"))
+    },
+    "q_langid" -> { (s, dir) =>
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+    "q_quality" -> { (s, dir) =>
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+    "q_fingerprint" -> { (s, dir) =>
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Sources.table(s, dir, "documents"), "text", "doc_id")
+    },
+    "q_jaccard_consec" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d2 = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
+      d.join(d2, "doc_id")
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"),
+          round(Dedup.ngramJaccard(col("text"), col("t2"), 3), 6).as("jaccard"))
+    },
+    "q_minhash_pairs" -> { (s, dir) => // rows-only: xxhash64 has no DuckDB twin
+      Dedup.minhashPairs(Sources.table(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    "q_simhash_pairs" -> { (s, dir) => // rows-only
+      Dedup.simhashPairs(Sources.table(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+    },
+
+    // ---- similarity search ----
+    "q_knn" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+    "q_embed_pairs" -> { (s, dir) =>
+      Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    },
+    "q_lsh_pairs" -> { (s, dir) => // rows-only: driver-seeded hyperplanes
+      Similarity.lshPairs(Sources.table(s, dir, "embeddings"), 0.3,
+        tables = 16, bits = 6)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    },
+    "q_multimodal" -> { (s, dir) => // rows-only: stub decode plumbing
+      graft.llm.Multimodal.extractFeatures(
+        graft.llm.Multimodal.asMedia(Sources.table(s, dir, "documents"), "doc_id", "text"), 8)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_rank" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_filter" -> "SELECT event_id, value FROM events WHERE value > 100",
+    "q_count" ->
+      s"SELECT event_id, count(*) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt FROM events",
+    "q_accum" ->
+      s"SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value FROM events",
+    "q_diff" ->
+      s"SELECT event_id, d FROM (SELECT event_id, value - lag(value) OVER ($W) AS d FROM events) WHERE d IS NOT NULL",
+    "q_delay" ->
+      s"SELECT event_id, value FROM (SELECT event_id, lag(value, 3) OVER ($W) AS value FROM events) WHERE value IS NOT NULL",
+    "q_dropdups" ->
+      s"""SELECT event_id FROM (SELECT event_id,
+         |  event_type = lag(event_type) OVER ($W) AS same
+         |FROM events) WHERE same IS NULL OR NOT same""".stripMargin,
+    "q_firstn" ->
+      s"SELECT event_id FROM (SELECT event_id, row_number() OVER ($W) AS rn FROM events) WHERE rn <= 5",
+    "q_merge" ->
+      "SELECT event_id FROM events WHERE event_type IN ('purchase', 'error')",
+    "q_sample_asof" ->
+      s"""SELECT event_id, sampled AS value FROM (
+         |  SELECT event_id, event_type,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         |      OVER ($W) AS sampled
+         |  FROM events WHERE event_type IN ('click', 'purchase'))
+         |WHERE event_type = 'click' AND sampled IS NOT NULL""".stripMargin,
+    "q_times" -> "SELECT event_id, epoch_us(ts) AS time_us FROM events",
+    "q_split_true" -> "SELECT event_id FROM events WHERE event_type = 'purchase'",
+    "q_stats_basic" ->
+      s"""SELECT event_id, round(avg(value) OVER (${WR(10)}), 6) AS mean_v,
+         |  min(value) OVER (${WR(10)}) AS mn, max(value) OVER (${WR(10)}) AS mx,
+         |  count(*) OVER (${WR(10)}) AS cnt FROM events""".stripMargin,
+    "q_stats_sum" ->
+      s"SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (${WR(10)}) AS DOUBLE) AS sum_v FROM events",
+    "q_stats_var" ->
+      s"""SELECT event_id, v AS var_v, sqrt(v) AS std_v, sqrt(v) / sqrt(n) AS sem_v FROM (
+         |  SELECT event_id, CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w * count(*) OVER w
+         |      - SUM(CAST(value AS DECIMAL(28,2))) OVER w * SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+         |    / (count(*) OVER w * (count(*) OVER w - 1)) AS v
+         |  FROM events WINDOW w AS (${WR(10)})) WHERE v IS NOT NULL""".stripMargin,
+    "q_stats_skew" ->
+      s"""SELECT event_id, round(CASE WHEN n >= 4 THEN sqrt(n*(n-1))/(n-2) * m3 / (m2 ^ 1.5) END, 4) AS skew_v,
+         |  round(CASE WHEN n >= 4 THEN ((n-1)/((n-2)*(n-3))) * ((n+1) * (m4/(m2*m2) - 3.0) + 6.0) END, 4) AS kurt_v
+         |FROM (
+         |  SELECT event_id, CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    avg(value*value) OVER w - (avg(value) OVER w) * (avg(value) OVER w) AS m2,
+         |    avg(value*value*value) OVER w - 3 * (avg(value) OVER w) * (avg(value*value) OVER w)
+         |      + 2 * (avg(value) OVER w) * (avg(value) OVER w) * (avg(value) OVER w) AS m3,
+         |    avg(value*value*value*value) OVER w - 4 * (avg(value) OVER w) * (avg(value*value*value) OVER w)
+         |      + 6 * (avg(value) OVER w) * (avg(value) OVER w) * (avg(value*value) OVER w)
+         |      - 3 * (avg(value) OVER w) * (avg(value) OVER w) * (avg(value) OVER w) * (avg(value) OVER w) AS m4
+         |  FROM events WINDOW w AS (${WR(20)})) WHERE n >= 4""".stripMargin,
+    "q_stats_quantile" ->
+      s"""SELECT event_id, round(quantile_cont(value, 0.5) OVER (${WR(10)}), 6) AS median_v,
+         |  round(quantile_cont(value, 0.25) OVER (${WR(10)}), 6) AS q25_v FROM events""".stripMargin,
+    "q_stats_time_window" ->
+      s"""SELECT event_id,
+         |  count(*) OVER w AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_v
+         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_stats_rank_arg" ->
+      s"""SELECT event_id,
+         |  len(list_filter(list(value) OVER w, x -> x < value)) AS rk,
+         |  (min({'v': value, 't': epoch_us(ts)}) OVER w).t AS amn,
+         |  (max({'v': value, 't': epoch_us(ts)}) OVER w).t AS amx
+         |FROM events WINDOW w AS (${WR(10)})""".stripMargin,
+    "q_stats_prod" ->
+      s"""SELECT event_id, round(list_reduce(list_prepend(1.0, list(value / 100.0) OVER (${WR(5)})), (a, b) -> a * b), 8) AS prod_v
+         |FROM events""".stripMargin,
+    "q_stats_misc" ->
+      s"""SELECT event_id, first_value(value) OVER w AS first_v, last_value(value) OVER w AS last_v,
+         |  len(list_distinct(list(value) OVER w)) AS uniq_v,
+         |  round(exp(avg(ln(value)) OVER w), 6) AS gmean_v
+         |FROM events WINDOW w AS (${WR(10)})""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id, len(string_split_regex(text, ' +')) AS n_tok,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |  WHEN hf >= he AND hf >= hd AND hf >= hs THEN 'fr'
+        |  WHEN hs >= he AND hs >= hd THEN 'es'
+        |  WHEN he >= hd THEN 'en'
+        |  ELSE 'de' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS he,
+        |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t))) AS hd,
+        |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t))) AS hf,
+        |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['el','la','los','y','es','un','una','en','por','para'], t))) AS hs
+        |FROM documents)""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id, round((
+        |  least(nt / 64.0, 1.0)
+        |  + nd / nt
+        |  + least((hs / nt) * 5.0, 1.0)) / 3.0, 6) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS nt,
+        |  CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE) AS nd,
+        |  CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) AS hs
+        |FROM documents)""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp FROM documents",
+    "q_dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
+        |FROM documents""".stripMargin,
+    "q_jaccard_consec" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_knn" ->
+      """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY (
+        |      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
+        |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_embed_pairs" ->
+      """SELECT id1, id2, round(cosine, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.35""".stripMargin
+  )
 }

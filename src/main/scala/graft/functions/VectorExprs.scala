@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/hash hot paths.
+  *
+  * The composable higher-order-function formulations (zip_with +
+  * aggregate, nested transform) are interpreted per element — measured
+  * ~1µs/element, which turns 7M hash-mixes into 12s. These expressions do
+  * the same math in one tight JVM loop per row (~5ns/element). They are
+  * the library's equivalent of the reference's C++ kernels
+  * (`cpp/csp/cppnodes`, baselibimpl/statsimpl) — except here they slot into Catalyst
+  * plans and distribute like any other expression.
+  */
+object VectorExprs {
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33; z
+  }
+
+  /** Cosine similarity of two float/double arrays in double precision,
+    * sequential accumulation (bit-compatible with a left-fold). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** k-permutation MinHash signature over pre-hashed shingles: one pass,
+    * perm j's hash = splitmix-style mix of (h ⊕ j·golden). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val m = mix64(h ^ (j * 0x9e3779b97f4a7c15L))
+          if (m < out(j)) out(j) = m
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** 64-bit SimHash from an array of token hashes: majority vote per bit. */
+  case class SimHashSig(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val cnt = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (cnt(j) * 2 >= n) sig |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Sign-random-projection signatures: one bucket id per table, bit j =
+    * sign of ⟨v, plane_tj⟩. Planes ride along in the expression (small:
+    * tables×bits×dim doubles, broadcast with the plan). */
+  case class SrpSig(child: Expression, planes: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val dim = arr.numElements()
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+      val out = new Array[Long](planes.length)
+      var t = 0
+      while (t < planes.length) {
+        val table = planes(t)
+        var sig = 0L
+        var j = 0
+        while (j < table.length) {
+          val p = table(j)
+          var dot = 0.0
+          var d = 0
+          val lim = math.min(dim, p.length)
+          while (d < lim) { dot += v(d) * p(d); d += 1 }
+          if (dot >= 0) sig |= (1L << j)
+          j += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  // Spark 4 Column no longer exposes .expr — bridge through the classic
+  // ExpressionUtils (same machinery functions._ uses internally).
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))
+  def simhashSig(hashes: Column): Column = column(SimHashSig(expression(hashes)))
+  def srpSig(vec: Column, planes: Array[Array[Array[Double]]]): Column =
+    column(SrpSig(expression(vec), planes))
+}

@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shuffle shape:
+  *
+  *  - exact: groupBy(content hash) — one shuffle keyed by a 128-bit hash,
+  *    perfectly balanced (hash keys), then keep-first.
+  *  - MinHash + LSH: signature computation is a map-side projection; the
+  *    only shuffle is the band-bucket explode (b rows/doc), and candidate
+  *    verification touches just same-bucket groups — never the n² pairs.
+  *  - SimHash: map-side 64-bit signature; near-dup = same signature bucket
+  *    (or banded sub-keys for hamming>0 tolerance).
+  *  - n-gram Jaccard: exact verifier over candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per normalized content.
+    * Returns (id, canonical_id); rows where id != canonical_id are dups. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    df.select(col(idCol), fp.as("fp"))
+      .withColumn("canonical_id", min(col(idCol)).over(Window.partitionBy("fp")))
+      .drop("fp")
+  }
+
+  // ---- MinHash ----
+
+  private val P = 2305843009213693951L // 2^61 - 1 (Mersenne), fits long mult via wrap-safe mixing
+
+  /** k-permutation MinHash signature over pre-hashed shingles — native
+    * Expression (one pass over the shingles; the equivalent nested
+    * `transform` is interpreted per element and measured 300× slower). */
+  def minhashSignatureFromBase(baseHashes: Column, numHashes: Int): Column =
+    graft.functions.VectorExprs.minhashSig(baseHashes, numHashes)
+
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column =
+    minhashSignatureFromBase(Shingles.hashedShingles(text, shingleN), numHashes)
+
+  /** LSH banding: explode the signature into `bands` band-hashes.
+    * Docs sharing any band-hash are candidates. Output: (id, band, bucket).
+    * Shingle hashing is materialized as its own projection so the k
+    * permutations share ONE tokenize+hash pass (expression trees would
+    * otherwise re-derive the shingles per permutation — a 30× constant). */
+  def lshBuckets(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatureFromBase(col("__base"), numHashes)
+    // persist() is a materialization BARRIER, not just a cache: without it
+    // CollapseProject inlines the signature expression into every band
+    // (and the candidate join's two branches re-run the whole thing) — a
+    // measured 40× slowdown. At 100 TB the equivalent is writing the
+    // signature table once and joining against it.
+    val sigs = df
+      .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
+      .select(col(idCol), sig.as("sig"))
+      .persist()
+    sigs
+      .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs (id1 < id2), verified with exact
+    * n-gram Jaccard ≥ threshold. The join is bucket-equi (band, bucket) —
+    * no cross join anywhere. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double, numHashes: Int = 32, bands: Int = 16,
+                   shingleN: Int = 2): DataFrame = {
+    val b = lshBuckets(df, textCol, idCol, numHashes, bands, shingleN).persist()
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    val cand = l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // verify against PRE-computed distinct shingle sets (one tokenize per
+    // doc, not one per candidate pair — the constant that matters when a
+    // skewed corpus makes many candidates)
+    val sets = df.select(col(idCol),
+      array_distinct(Shingles.shingles(col(textCol), shingleN)).as("s"))
+    val withSets = cand
+      .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val uni = size(array_union(col("s1"), col("s2"))).cast("double")
+    withSets
+      .withColumn("jaccard", when(uni === 0, lit(0.0)).otherwise(inter / uni))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Exact word-n-gram Jaccard similarity between two texts. */
+  def ngramJaccard(t1: Column, t2: Column, n: Int = 3): Column = {
+    val s1 = array_distinct(Shingles.shingles(t1, n))
+    val s2 = array_distinct(Shingles.shingles(t2, n))
+    val inter = size(array_intersect(s1, s2)).cast("double")
+    val uni = size(array_union(s1, s2)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the signature is the
+    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1). Pure
+    * expression — per-doc map work, no shuffle. */
+  def simhash(text: Column): Column =
+    graft.functions.VectorExprs.simhashSig(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within hamming ≤ maxDist, bucketed by the
+    * 4-way band trick (pairs within distance d share ≥1 of d+1 bands). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sig")).persist()
+    val banded = sigs.select(col(idCol), col("sig"), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("s1"))
+    val r = banded.select(col("band"), col("bucket"), col(idCol).as("id2"), col("sig").as("s2"))
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decoded-media feature row (top-level so Catalyst codegen can
+  * instantiate it — nested case classes fall back to the interpreter). */
+case class Feat(media_id: Long, format: String, n_bytes: Int, features: Array[Float])
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The decode kernels themselves are STUBBED (no image/audio libraries in
+  * this environment — the `decodeFake` below is a deterministic
+  * placeholder, clearly marked); the Spark-side contract is real and
+  * tested: schema, batch iteration shape, partition sizing. At 100 TB the
+  * shape is mapPartitions over binary blobs with
+  * `spark.sql.files.maxPartitionBytes` tuned so one partition of blobs +
+  * one batch of decoded tensors fits an executor — identical to how a
+  * Pandas-UDF/`mapInPandas` pipeline batches in PySpark.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Wrap a text/documents table as fake media rows (bytes of the text) —
+    * the stand-in corpus for plumbing tests. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      encode(col(payloadCol), "UTF-8").as("media"),
+      struct(lit("fake/raw").as("format"),
+        length(col(payloadCol)).cast(IntegerType).as("width"),
+        lit(1).as("height")).as("meta"))
+
+  /** STUB decode kernel: a real pipeline plugs an image/audio decoder in
+    * here (JNI or vectorized library); this deterministic fake hashes the
+    * bytes into a fixed-length feature vector so the distributed plumbing
+    * (batching, schema, ordering) is fully exercisable. */
+  private def decodeFake(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    i = 0
+    while (i < dim) {
+      h ^= h >>> 33; h *= -7723592293110705685L; h ^= h >>> 29
+      out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction over media batches: binary in, fixed-dim float
+    * vector out. Runs per partition — no shuffle; decode cost dominates
+    * and scales linearly with executors. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        Feat(r.getLong(idIdx), r.getStruct(metaIdx).getString(0), bytes.length,
+          decodeFake(bytes, dim))
+      }
+    }(Encoders.product[Feat]).toDF()
+  }
+
+  /** STUB resize: real kernel would decode+resample; the fake subsamples
+    * bytes. Keeps the contract: binary → binary + updated meta. */
+  def resize(media: DataFrame, maxBytes: Int): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("media"), col("meta")).map { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      val out = if (bytes.length <= maxBytes) bytes
+      else { val step = bytes.length.toDouble / maxBytes
+        Array.tabulate(maxBytes)(i => bytes((i * step).toInt)) }
+      Row(r.getLong(0), out, Row("fake/resized", out.length, 1))
+    }(enc)
+  }
+
+  /** Frame sampling for video-like payloads: split the blob into `frames`
+    * equal chunks, keep every `stride`-th. Output one row per kept frame. */
+  def sampleFrames(media: DataFrame, frames: Int, stride: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame", IntegerType),
+      StructField("chunk", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("media")).flatMap { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      val sz = math.max(1, bytes.length / frames)
+      (0 until frames by stride).iterator
+        .map(f => Row(r.getLong(0), f, bytes.slice(f * sz, math.min((f + 1) * sz, bytes.length))))
+        .filter(_.getAs[Array[Byte]](2).nonEmpty)
+    }(enc)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with the query set broadcast — the
+  * corpus is scanned once, never shuffled; at 100 TB the cost is one pass
+  * per query batch (the right shape when queries ≪ corpus).
+  *
+  * Scale path: sign-random-projection LSH — per-vector signatures computed
+  * map-side against driver-seeded hyperplanes (deterministic), candidates
+  * from bucket-equi joins, exact cosine only within buckets.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float/double array columns — native
+    * Expression, double accumulation in array order (bit-identical to a
+    * sequential left-fold, so DuckDB list_sum oracles still match). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosineSim(a, b)
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors. `queries` must be small (it is broadcast). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "vec_id", qVec: String = "embedding",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
+    * Brute force over broadcast right side — use `lshPairs` at scale. */
+  def thresholdPairs(df: DataFrame, threshold: Double,
+                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val l = df.select(col(id).as("id1"), col(vec).as("__v1"))
+    val r = df.select(col(id).as("id2"), col(vec).as("__v2"))
+    l.crossJoin(broadcast(r)).filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("__v1"), col("__v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Deterministic hyperplanes for SRP-LSH: `tables` signatures of `bits`
+    * bits each, planes seeded (xorshift-free — plain LCG on (table, bit,
+    * dim) is enough for sign projections). */
+  private def planes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP-LSH signature buckets: (id, table, bucket). Vectors sharing a
+    * bucket in any table are ANN candidates. */
+  def lshBuckets(df: DataFrame, tables: Int = 8, bits: Int = 12, dim: Int = 64,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val ps = planes(tables, bits, dim).map(_.map(_.toArray).toArray).toArray
+    val sig = graft.functions.VectorExprs.srpSig(col(vec), ps)
+    df.select(col(id), posexplode(sig))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+  }
+
+  /** LSH-bucketed near-neighbor pairs with exact cosine verification —
+    * the 100 TB path: no cross join, bucket-equi shuffle only. */
+  def lshPairs(df: DataFrame, threshold: Double, tables: Int = 8, bits: Int = 12,
+               dim: Int = 64, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val b = lshBuckets(df, tables, bits, dim, id, vec).persist()
+    val cand = b.select(col("table"), col("bucket"), col(id).as("id1"))
+      .join(b.select(col("table"), col("bucket"), col(id).as("id2")), Seq("table", "bucket"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
+    val vecs = df.select(col(id), col(vec))
+    cand
+      .join(vecs.select(col(id).as("id1"), col(vec).as("__v1")), "id1")
+      .join(vecs.select(col(id).as("id2"), col(vec).as("__v2")), "id2")
+      .withColumn("cosine", cosine(col("__v1"), col("__v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is pure Column expressions (whole-stage codegen, no UDFs):
+  * a scan + project per document, embarrassingly parallel — the 100 TB
+  * shape is "read parquet, project, write", no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " +")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-budget estimate: word runs and punctuation count
+    * separately (≈ GPT-style pre-tokenizer split). */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "para"))
+
+  /** Per-language stopword hit count (n-gram-free heuristic language ID:
+    * the language whose function words dominate). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    size(filter(tokens(lower(text)), t => sw.map(w => t === lit(w)).reduce(_ || _)))
+  }
+
+  /** Heuristic language ID over the built-in stopword lists; "und"
+    * (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score components + composite (length/punct/stopword ratios —
+    * the standard cheap pre-filters for web-scale corpora). */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val meanWordLen = (nChar - nTok + 1) / nTok
+    val stopRatio = stopwordHits(text, "en").cast("double") / nTok
+    val punctRatio = (nChar - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))) / nChar
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    struct(nTok.as("n_tokens"), meanWordLen.as("mean_word_len"),
+      stopRatio.as("stopword_ratio"), punctRatio.as("punct_ratio"),
+      distinctRatio.as("distinct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, lexical
+    * diversity, and presence of function words. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens") / lit(64.0), lit(1.0))
+    val divScore = f.getField("distinct_ratio")
+    val stopScore = least(f.getField("stopword_ratio") * lit(5.0), lit(1.0))
+    round((lenScore + divScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  /** Rolling-hash document fingerprint: min xxhash64 over word 5-gram
+    * shingles — one 64-bit near-dup signature (a 1-row minhash). */
+  def rollingFingerprint(text: Column, n: Int = 5): Column =
+    array_min(Shingles.hashedShingles(text, n))
+}
+
+/** Word-shingle machinery shared by fingerprinting and MinHash dedup. */
+object Shingles {
+  /** Word n-gram shingles as strings; docs shorter than n collapse to one
+    * whole-doc shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** xxhash64 of each shingle (codegen'd, 64-bit). */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+}

@@ -85,6 +85,26 @@ object Stats {
     def sem(name: String = "sem"): Rolling =
       add(name, stddev_samp(v).over(spec) / sqrt(functions.count(v).over(spec)))
 
+    /** Exact-decimal sample variance for fixed-scale inputs (e.g. prices
+      * with 2 decimals): var = (n·Σx² − (Σx)²) / (n(n−1)) with the sums in
+      * DECIMAL — the numerator is exact, so the result is identical across
+      * engines/summation orders, no rounding games (csp's Kahan/recalc
+      * machinery, statsimpl.h KahanSum:94, solves the same fp-drift
+      * problem; exact decimal is the Spark-native answer). */
+    private def varExactCol(scale: Int): Column = {
+      val n = functions.count(v).over(spec)
+      val sx = functions.sum(v.cast(s"decimal(28,$scale)")).over(spec)
+      val sx2 = functions.sum((v * v).cast(s"decimal(28,${2 * scale})")).over(spec)
+      val num = sx2 * n - sx * sx
+      when(n > 1, num.cast("double") / (n * (n - 1)).cast("double"))
+    }
+    def varExact(name: String = "var", scale: Int = 2): Rolling =
+      add(name, varExactCol(scale))
+    def stddevExact(name: String = "stddev", scale: Int = 2): Rolling =
+      add(name, sqrt(varExactCol(scale)))
+    def semExact(name: String = "sem", scale: Int = 2): Rolling =
+      add(name, sqrt(varExactCol(scale)) / sqrt(functions.count(v).over(spec)))
+
     /** Geometric mean (stats.py:2119). */
     def gmean(name: String = "gmean"): Rolling = add(name, exp(avg(log(v)).over(spec)))
 

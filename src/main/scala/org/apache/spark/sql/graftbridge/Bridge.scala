@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4's Column is connect-compatible and no longer exposes `.expr`;
+  * the classic bridge (`ExpressionUtils`) is `private[sql]`. This shim
+  * lives in the sql package namespace to re-export the two conversions the
+  * library's native expressions need — the same mechanism
+  * `org.apache.spark.sql.functions` uses internally.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

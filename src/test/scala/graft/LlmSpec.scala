@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (3L, "completely different content about spark window aggregation semantics here"),
+    (4L, "der schnelle braune fuchs springt und ist ein hund mit der zeit")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L && out(0L) == 0L && out(3L) == 3L)
+  }
+
+  test("minhash LSH finds exact and near dup pairs, not unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical → 0 distance; near-dup small; different large") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) == 0)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+  }
+
+  test("ngram jaccard exact values") {
+    val j = docs.filter($"doc_id" === 0).crossJoin(docs.filter($"doc_id" === 1).select($"text".as("t2")))
+      .select(Dedup.ngramJaccard($"text", $"t2", 3).as("j")).collect()(0).getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("language id picks dominant stopword language") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en" && out(4L) == "de")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val r = docs.filter($"doc_id" === 3).select(
+      TextAnalysis.tokenCount($"text"), TextAnalysis.tokenCountBpeish(concat($"text", lit(", ok!")))
+    ).collect()(0)
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 9 + 3) // ", ok!" → comma, ok, bang
+  }
+
+  test("brute-force cosine top-k on orthogonal-ish vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 1)
+      .collect()(0)
+    assert(top1.getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(top1.getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("lsh pairs agree with brute-force threshold pairs on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 20L).map { i =>
+      val v = if (i < 10) base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+      else Array.fill(64)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.thresholdPairs(vecs, 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairs(vecs, 0.95, tables = 8, bits = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty)
+    assert(lsh.subsetOf(bf))
+    assert(lsh.size >= bf.size * 8 / 10) // ≥80% recall with 8 tables
+  }
+
+  test("multimodal plumbing: features, resize, frame sampling") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 5 && feats.head.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    // deterministic: same bytes → same features
+    val f = feats.map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    assert(f(0L) == f(1L))
+    val resized = Multimodal.resize(media, 16).collect()
+    assert(resized.forall(_.getAs[Array[Byte]]("media").length <= 16))
+    val frames = Multimodal.sampleFrames(media, frames = 4, stride = 2)
+    assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) == 2))
+  }
+}
