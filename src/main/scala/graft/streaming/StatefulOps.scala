@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ts.{Tick, TickStream}
+
+/** Streaming lowering of the stateful operators (SURVEY §2.9): the same
+  * per-key O(1)-state recurrences that [[graft.operators.Sequential]] runs
+  * as a batch sorted scan, carried across micro-batches with
+  * `flatMapGroupsWithState` — csp's realtime mode with identical results
+  * to simulation mode (the reference's core promise,
+  * `docs/wiki/concepts/Execution-Modes.md`).
+  *
+  * Ordering contract: rows are processed in (ts, seq) order *within* each
+  * micro-batch; across batches the source must deliver in order (csp's
+  * realtime engine assumes the same of its push adapters — out-of-order
+  * arrival there is governed by adapter-level policies like Kafka's
+  * `adjust_out_of_order_time`, reference `csp/adapters/kafka.py:144`).
+  */
+object StatefulOps {
+
+  case class TickRow(key: String, tsMicros: Long, seq: Long, value: Double)
+  case class EmaOut(key: String, tsMicros: Long, seq: Long, value: Double, ema: Double)
+  case class EmaState(num: Double, den: Double)
+  case class GateState(open: Boolean, buffer: List[(Long, Long, Double)])
+  case class GateOut(key: String, tsMicros: Long, seq: Long, values: Seq[Double])
+  case class AsOfState(last: Double, valid: Boolean)
+  case class SampleOut(key: String, tsMicros: Long, seq: Long, value: Double)
+
+  /** Streaming adjusted EMA (csp.stats.ema, stats.py:2910): per-key state
+    * = (num, den) of the normalized recurrence — identical math to
+    * Sequential.ema, so batch and streaming outputs match exactly. */
+  def emaStream(ticks: Dataset[TickRow], alpha: Double,
+                timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[EmaOut] = {
+    val d = 1.0 - alpha
+    implicit val outEnc = Encoders.product[EmaOut]
+    implicit val stEnc = Encoders.product[EmaState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[TickRow], state: GroupState[EmaState]) =>
+          var s = state.getOption.getOrElse(EmaState(0.0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r.tsMicros, r.seq)).map { r =>
+            s = EmaState(r.value + d * s.num, 1.0 + d * s.den)
+            EmaOut(key, r.tsMicros, r.seq, r.value, s.num / s.den)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming csp.gate (baselib.py:507-522): release ticks are encoded as
+    * rows with seq < 0 and value = 1.0/0.0 (open/close); data rows buffer
+    * while closed and flush as one list on opening. */
+  def gateStream(ticks: Dataset[TickRow]): Dataset[GateOut] = {
+    implicit val outEnc = Encoders.product[GateOut]
+    implicit val stEnc = Encoders.product[GateState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TickRow], state: GroupState[GateState]) =>
+          var s = state.getOption.getOrElse(GateState(open = false, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[GateOut]()
+          rows.toSeq.sortBy(r => (r.tsMicros, math.abs(r.seq))).foreach { r =>
+            if (r.seq < 0) { // release tick
+              val opening = r.value > 0.5 && !s.open
+              s = s.copy(open = r.value > 0.5)
+              if (opening && s.buffer.nonEmpty) {
+                out += GateOut(key, r.tsMicros, -r.seq, s.buffer.reverse.map(_._3))
+                s = s.copy(buffer = Nil)
+              }
+            } else if (s.open) {
+              out += GateOut(key, r.tsMicros, r.seq, Seq(r.value))
+            } else {
+              s = s.copy(buffer = (r.tsMicros, r.seq, r.value) :: s.buffer)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming as-of sample (csp.sample, baselib.py:290-297): reference
+    * rows carry seq < 0; trigger rows emit the last valid ref value. */
+  def sampleStream(ticks: Dataset[TickRow]): Dataset[SampleOut] = {
+    implicit val outEnc = Encoders.product[SampleOut]
+    implicit val stEnc = Encoders.product[AsOfState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TickRow], state: GroupState[AsOfState]) =>
+          var s = state.getOption.getOrElse(AsOfState(0.0, valid = false))
+          val out = scala.collection.mutable.ArrayBuffer[SampleOut]()
+          // refs sort before triggers on engine-time ties (same-cycle
+          // visibility, as in the batch AsOf kernel)
+          rows.toSeq.sortBy(r => (r.tsMicros, r.seq >= 0, math.abs(r.seq))).foreach { r =>
+            if (r.seq < 0) s = AsOfState(r.value, valid = true)
+            else if (s.valid) out += SampleOut(key, r.tsMicros, r.seq, s.last)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Batch TickStream → typed rows for the streaming API (test bridge). */
+  def toTickRows(x: TickStream): Dataset[TickRow] = {
+    implicit val enc = Encoders.product[TickRow]
+    x.df.select(col(Tick.KEY).as("key"), unix_micros(col(Tick.TS)).as("tsMicros"),
+      col(Tick.SEQ).as("seq"), col(Tick.VALUE).cast("double").as("value")).as[TickRow]
+  }
+}

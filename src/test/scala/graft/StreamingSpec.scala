@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.TickRow
+import graft.ts.Sources
+
+/** Batch/streaming parity: the same operator run in simulation mode
+  * (batch sorted scan) and realtime mode (flatMapGroupsWithState over
+  * micro-batches) must produce identical results — the reference's
+  * dual-execution guarantee (Execution-Modes.md).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming EMA across micro-batches == batch Sequential.ema") {
+    import org.apache.spark.sql.Encoders
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val outEnc = Encoders.product[StatefulOps.EmaOut]
+
+    val ev = Sources.events(spark, TestSpark.sf)
+    val batch = graft.operators.Sequential.ema(ev, 0.2).df
+      .select("key", "seq", "ema").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ticks = StatefulOps.toTickRows(ev).collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[TickRow]
+    val q = StatefulOps.emaStream(mem.toDS(), 0.2).writeStream.outputMode("append")
+      .format("memory").queryName("ema_par").trigger(Trigger.ProcessingTime(0)).start()
+    // 5 in-order micro-batches: state must carry across batch boundaries
+    ticks.grouped(ticks.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("ema_par").collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    q.stop()
+
+    assert(stream.size == batch.size)
+    stream.foreach { case (k, v) =>
+      assert(math.abs(v - batch(k)) < 1e-12, s"$k: stream $v vs batch ${batch(k)}")
+    }
+  }
+
+  test("streaming gate buffers across micro-batches") {
+    import org.apache.spark.sql.Encoders
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+    // key k: data at t1,t2 while closed; open at t3 → flush [1,2]; data t4 open → [4]
+    val rows = Seq(
+      TickRow("k", 1000L, 0, 1.0), TickRow("k", 2000L, 1, 2.0),
+      TickRow("k", 3000L, -2, 1.0), // release open (seq<0 encoding)
+      TickRow("k", 4000L, 3, 4.0))
+    val mem = MemoryStream[TickRow]
+    val q = StatefulOps.gateStream(mem.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("gate_par").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    val out = spark.table("gate_par").collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](3).toList)).sortBy(_._1)
+    q.stop()
+    assert(out.toList == List((3000L, List(1.0, 2.0)), (4000L, List(4.0))))
+  }
+
+  test("streaming as-of sample across micro-batches") {
+    import org.apache.spark.sql.Encoders
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[TickRow]
+    val q = StatefulOps.sampleStream(mem.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("sample_par").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: trigger before ref → nothing; ref arrives
+    mem.addData(TickRow("k", 1000L, 1, 0.0), TickRow("k", 2000L, -1, 42.0))
+    q.processAllAvailable()
+    // batch 2: trigger → samples 42.0 from state; new ref; same-ts trigger sees it
+    mem.addData(TickRow("k", 3000L, 2, 0.0), TickRow("k", 4000L, -3, 7.0),
+      TickRow("k", 4000L, 4, 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sample_par").collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    q.stop()
+    assert(out.toList == List((3000L, 42.0), (4000L, 7.0)))
+  }
+}
