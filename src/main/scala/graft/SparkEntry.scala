@@ -247,6 +247,103 @@ object SparkEntry {
         tables = 16, bits = 6)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // ---- cross-stream ops (as-of kernel family) ----
+    "q_binop_spread" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val x = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val y = TickStream(e.df.filter(col("event_type") === "click"))
+      AsOf.binop(x, y, _ - _, "spread").df
+        .select(uid, unix_micros(col(Tick.TS)).as("time_us"), col("spread"))
+    },
+    "q_filterby" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val flag = TickStream(e.df.filter(col("event_type").isin("signup", "error"))
+        .withColumn(Tick.VALUE, col("event_type") === "signup"))
+      val x = TickStream(e.df.filter(col("event_type") === "purchase"))
+      AsOf.filterBy(flag, x).df.select(col("seq").as("event_id"))
+    },
+    "q_struct_fromts" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val trig = TickStream(e.df.filter(col("event_type") === "signup"))
+      val p = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val c = TickStream(e.df.filter(col("event_type") === "click"))
+      AsOf.join(trig, Seq("p" -> p, "c" -> c)).df
+        .select(col("seq").as("event_id"), col("p"), col("c"))
+    },
+    "q_multiplex" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val basket = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val sel = TickStream(e.df.filter(col("event_type") === "signup")
+        .select(lit("sel").as(Tick.KEY), col(Tick.TS), col(Tick.SEQ),
+          col(Tick.KEY).as(Tick.VALUE)))
+      Baskets.multiplex(basket, sel).df
+        .select(unix_micros(col(Tick.TS)).as("time_us"), col(Tick.VALUE))
+    },
+
+    // ---- more baselib / sources ----
+    "q_unroll" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").filter(col("doc_id") < 20)
+      val ts = TickStream(docs.select(
+        col("doc_id").cast(StringType).as(Tick.KEY),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as(Tick.TS),
+        lit(0L).as(Tick.SEQ), split(col("text"), " +").as(Tick.VALUE)))
+      ts.unroll.df.select(col(Tick.KEY).cast(LongType).as("doc_id"),
+        col(Tick.SEQ).as("pos"), col(Tick.VALUE).as("token"))
+    },
+    "q_collect" -> { (s, dir) =>
+      val e = ev(s, dir)
+      TickStream(e.df.withColumn(Tick.VALUE, col("event_type"))).df
+        .withColumn("types_md5", md5(concat_ws(",",
+          collect_list(col(Tick.VALUE)).over(e.wAll))))
+        .select(col("seq").as("event_id"), col("types_md5"))
+    },
+    "q_cross_sectional" -> { (s, dir) =>
+      Stats.ticks(ev(s, dir), 10).crossSectional("xs").done.df
+        .withColumn("xs_md5", md5(concat_ws(",", col("xs"))))
+        .select(col("seq").as("event_id"), col("xs_md5"))
+    },
+    "q_dropnans" -> { (s, dir) =>
+      ev(s, dir).dropNans.df.select(col("seq").as("event_id"))
+    },
+    "q_cast" -> { (s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_linenumber").cast("double").as("line_d"))
+    },
+    "q_timer" -> { (s, dir) =>
+      Sources.timer(s, "t", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600)
+        .times("time_us").df.select(col("time_us"))
+    },
+    "q_default" -> { (s, dir) =>
+      val e = ev(s, dir)
+      TickStream(e.df.filter(col("event_type") === "purchase")
+        .select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE)))
+        .defaultValue(0.0, "2024-01-01 00:00:00")
+        .df.select(uid, unix_micros(col(Tick.TS)).as("time_us"), col(Tick.VALUE))
+    },
+    "q_cov_corr" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withW = TickStream(e.df.withColumn("w",
+        get_json_object(col("props"), "$.k").cast(LongType)))
+      Stats.ticks(withW, 10, minWindow = 2)
+        .covExact(col("w"), "cv").corrExact(col("w"), "cr").done.df
+        .select(col("seq").as("event_id"), col("cv").as("cov_v"), col("cr").as("corr_v"))
+    },
+    "q_weighted_mean" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withW = TickStream(e.df.withColumn("w",
+        get_json_object(col("props"), "$.k").cast(LongType)))
+      Stats.expanding(withW).weightedMeanExact(col("w"), "wm").done.df
+        .select(col("seq").as("event_id"), col("wm").as("wmean_v"))
+    },
+    "q_poisson_timer" -> { (s, dir) => // rows-only: seeded RNG, no SQL twin
+      Sources.poissonTimer(s, "p", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0.01)
+        .times("time_us").df.select(col("time_us"))
+    },
+    "q_brownian" -> { (s, dir) => // rows-only
+      Sources.brownian(s, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600, 0.0, 1.0)
+        .df.select(col("seq").as("step"), round(col(Tick.VALUE), 6).as("path"))
+    },
     "q_multimodal" -> { (s, dir) => // rows-only: stub decode plumbing
       graft.llm.Multimodal.extractFeatures(
         graft.llm.Multimodal.asMedia(Sources.table(s, dir, "documents"), "doc_id", "text"), 8)
@@ -397,6 +494,87 @@ object SparkEntry {
         |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_binop_spread" ->
+      s"""SELECT user_id, epoch_us(ts) AS time_us, lp - lc AS spread FROM (
+         |  SELECT user_id, ts,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER ($W) AS lp,
+         |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER ($W) AS lc
+         |  FROM events WHERE event_type IN ('purchase', 'click'))
+         |WHERE lp IS NOT NULL AND lc IS NOT NULL""".stripMargin,
+    "q_filterby" ->
+      s"""SELECT event_id FROM (
+         |  SELECT event_id, event_type,
+         |    last_value(CASE WHEN event_type = 'signup' THEN true
+         |      WHEN event_type = 'error' THEN false END IGNORE NULLS) OVER ($W) AS f
+         |  FROM events WHERE event_type IN ('signup', 'error', 'purchase'))
+         |WHERE event_type = 'purchase' AND f""".stripMargin,
+    "q_struct_fromts" ->
+      s"""SELECT event_id, lp AS p, lc AS c FROM (
+         |  SELECT event_id, event_type,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER ($W) AS lp,
+         |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER ($W) AS lc
+         |  FROM events WHERE event_type IN ('signup', 'purchase', 'click'))
+         |WHERE event_type = 'signup'""".stripMargin,
+    "q_multiplex" ->
+      """WITH s AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lastp,
+        |    last_value(CASE WHEN event_type = 'signup' THEN user_id END IGNORE NULLS)
+        |      OVER (ORDER BY ts, event_id) AS sel
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT epoch_us(ts) AS time_us, value FROM s
+        |WHERE event_type = 'purchase' AND sel = user_id
+        |UNION ALL
+        |SELECT epoch_us(ts), lastp FROM (
+        |  SELECT ts, user_id, lastp, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+        |  FROM s WHERE event_type = 'signup')
+        |WHERE (prev IS NULL OR prev <> user_id) AND lastp IS NOT NULL""".stripMargin,
+    "q_unroll" ->
+      """SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+        |FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        |      FROM documents WHERE doc_id < 20)""".stripMargin,
+    "q_collect" ->
+      s"SELECT event_id, md5(array_to_string(list(event_type) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), ',')) AS types_md5 FROM events",
+    "q_cross_sectional" ->
+      s"SELECT event_id, md5(array_to_string(list(value) OVER (${WR(10)}), ',')) AS xs_md5 FROM events",
+    "q_dropnans" ->
+      "SELECT event_id FROM events WHERE NOT isnan(value)",
+    "q_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS DOUBLE) AS line_d FROM lineitem",
+    "q_timer" ->
+      """SELECT epoch_us(g) AS time_us FROM generate_series(
+        |  TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
+        |  INTERVAL 1 HOUR) t(g)""".stripMargin,
+    "q_default" ->
+      """SELECT user_id, epoch_us(ts) AS time_us, value FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT user_id, epoch_us(TIMESTAMP '2024-01-01 00:00:00'), 0.0 FROM (
+        |  SELECT user_id, min(ts) AS mt FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |WHERE mt > TIMESTAMP '2024-01-01 00:00:00'""".stripMargin,
+    "q_cov_corr" ->
+      s"""SELECT event_id,
+         |  CASE WHEN cnt > 1 THEN num / (cnt * (cnt - 1)) END AS cov_v,
+         |  CASE WHEN cnt > 1 AND dx > 0 AND dy > 0 THEN num / (sqrt(dx) * sqrt(dy)) END AS corr_v
+         |FROM (
+         |  SELECT event_id, count(*) OVER w AS cnt,
+         |    CAST(SUM(CAST(value * w AS DECIMAL(28,4))) OVER w * count(*) OVER w
+         |      - SUM(CAST(value AS DECIMAL(28,2))) OVER w * SUM(CAST(w AS DECIMAL(28,2))) OVER w AS DOUBLE) AS num,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w * count(*) OVER w
+         |      - SUM(CAST(value AS DECIMAL(28,2))) OVER w * SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS dx,
+         |    CAST(SUM(CAST(w * w AS DECIMAL(28,4))) OVER w * count(*) OVER w
+         |      - SUM(CAST(w AS DECIMAL(28,2))) OVER w * SUM(CAST(w AS DECIMAL(28,2))) OVER w AS DOUBLE) AS dy
+         |  FROM (SELECT event_id, user_id, ts, value,
+         |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
+         |  WINDOW w AS (${WR(10)}))""".stripMargin,
+    "q_weighted_mean" ->
+      s"""SELECT event_id, CASE WHEN den > 0 THEN num / den END AS wmean_v FROM (
+         |  SELECT event_id,
+         |    CAST(SUM(CAST(value * w AS DECIMAL(28,2))) OVER ww AS DOUBLE) AS num,
+         |    CAST(SUM(CAST(w AS DECIMAL(28,0))) OVER ww AS DOUBLE) AS den
+         |  FROM (SELECT event_id, user_id, ts, value,
+         |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
+         |  WINDOW ww AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
     "q_knn" ->
       """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -175,8 +175,41 @@ object Stats {
     def corr(other: Column, name: String = "corr"): Rolling =
       add(name, functions.corr(v, other).over(spec))
 
+    /** Exact-decimal sample covariance / correlation (same engine-portable
+      * construction as varExact: exact integer/decimal numerators, one
+      * double division at the end). */
+    private def covNum(other: Column, scale: Int): (Column, Column) = {
+      val n = functions.count(v).over(spec)
+      val sx = functions.sum(v.cast(s"decimal(28,$scale)")).over(spec)
+      val sy = functions.sum(other.cast(s"decimal(28,$scale)")).over(spec)
+      val sxy = functions.sum((v * other).cast(s"decimal(28,${2 * scale})")).over(spec)
+      (sxy * n - sx * sy, n)
+    }
+    def covExact(other: Column, name: String = "cov", scale: Int = 2): Rolling = {
+      val (num, n) = covNum(other, scale)
+      add(name, when(n > 1, num.cast("double") / (n * (n - 1)).cast("double")))
+    }
+    def corrExact(other: Column, name: String = "corr", scale: Int = 2): Rolling = {
+      val (num, n) = covNum(other, scale)
+      val sx = functions.sum(v.cast(s"decimal(28,$scale)")).over(spec)
+      val sx2 = functions.sum((v * v).cast(s"decimal(28,${2 * scale})")).over(spec)
+      val sy = functions.sum(other.cast(s"decimal(28,$scale)")).over(spec)
+      val sy2 = functions.sum((other * other).cast(s"decimal(28,${2 * scale})")).over(spec)
+      val dx = (sx2 * n - sx * sx).cast("double")
+      val dy = (sy2 * n - sy * sy).cast("double")
+      add(name, when(n > 1 && dx > 0 && dy > 0,
+        num.cast("double") / (sqrt(dx) * sqrt(dy))))
+    }
+
     /** Weighted mean (WeightedMean:340): sum(w·x)/sum(w) over the frame. */
     def weightedMean(weight: Column, name: String = "wmean"): Rolling =
       add(name, functions.sum(v * weight).over(spec) / functions.sum(weight).over(spec))
+
+    /** Exact-decimal weighted mean (integer weights, fixed-scale values). */
+    def weightedMeanExact(weight: Column, name: String = "wmean", scale: Int = 2): Rolling = {
+      val num = functions.sum((v * weight).cast(s"decimal(28,$scale)")).over(spec).cast("double")
+      val den = functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("double")
+      add(name, when(den > 0, num / den))
+    }
   }
 }

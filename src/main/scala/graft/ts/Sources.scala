@@ -2,7 +2,7 @@ package graft.ts
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -127,4 +127,53 @@ object Sources {
   /** Load a driver TPC-H-ish table as a plain DataFrame. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- seeded random sources (reference csp/random.py:18,70,135) ------
+  // Deterministic across runs AND partitions: randomness derives from
+  // xxhash64(row-id, seed), not from RNG state — so generation distributes
+  // over executors with no sequential dependency (csp generates these
+  // single-threaded; at scale the hash-counter construction is the only
+  // shape that parallelizes reproducibly).
+
+  private def unit(idCol: Column, seed: Long): Column =
+    shiftrightunsigned(xxhash64(idCol, lit(seed)), 11).cast(DoubleType) / lit((1L << 53).toDouble)
+
+  /** csp.random.poisson_timer: ticks with exponential inter-arrival at
+    * `ratePerSec`, from `start` until `end`. */
+  def poissonTimer(spark: SparkSession, key: String, start: String, end: String,
+                   ratePerSec: Double, seed: Long = 42L): TickStream = {
+    val startTs = Timestamp.valueOf(start.replace("T", " "))
+    val endTs = Timestamp.valueOf(end.replace("T", " "))
+    val durSec = (endTs.getTime - startTs.getTime) / 1000.0
+    val n = math.max(16L, (durSec * ratePerSec * 3).toLong) // 3× headroom, then filter
+    val gaps = spark.range(n).select(
+      col("id"),
+      (-log(lit(1.0) - unit(col("id"), seed)) / lit(ratePerSec)).as("gap"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    TickStream(gaps
+      .withColumn("offsetSec", sum(col("gap")).over(w))
+      .withColumn(Tick.TS, timestamp_micros(unix_micros(lit(startTs)) + (col("offsetSec") * 1e6).cast(LongType)))
+      .filter(col(Tick.TS) <= lit(endTs))
+      .select(lit(key).as(Tick.KEY), col(Tick.TS), col("id").as(Tick.SEQ), lit(1.0).as(Tick.VALUE)))
+  }
+
+  /** csp.random.brownian_motion_1d: arithmetic Brownian path sampled every
+    * `intervalSec` (Box–Muller increments, seed-deterministic). */
+  def brownian(spark: SparkSession, key: String, start: String, end: String,
+               intervalSec: Long, mu: Double = 0.0, sigma: Double = 1.0,
+               seed: Long = 42L): TickStream = {
+    val grid = timer(spark, key, start, end, intervalSec).df
+    val dt = intervalSec.toDouble
+    val u1 = unit(col(Tick.SEQ), seed)
+    val u2 = unit(col(Tick.SEQ), seed + 1)
+    val gauss = sqrt(lit(-2.0) * log(greatest(u1, lit(1e-300)))) * cos(lit(2 * math.Pi) * u2)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(Tick.KEY).orderBy(Tick.TS, Tick.SEQ)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    TickStream(grid
+      .withColumn("inc", when(col(Tick.SEQ) === 0, 0.0)
+        .otherwise(lit(mu * dt) + lit(sigma * math.sqrt(dt)) * gauss))
+      .withColumn(Tick.VALUE, sum(col("inc")).over(w))
+      .drop("inc"))
+  }
 }
