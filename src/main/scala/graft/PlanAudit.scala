@@ -1,0 +1,27 @@
+package graft
+
+import graft.ts.GraftSession
+
+/** Prints physical-plan summaries for representative queries — the
+  * scale-readiness audit: pushed filters, pruned schemas, broadcast vs
+  * shuffle joins, whole-stage codegen coverage.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = args.drop(1) match {
+      case Array() => Seq("q1_lineitem_agg", "q2_revenue_by_nation", "q_filter",
+        "q_stats_basic", "q_sample_asof", "q_knn", "q_dedup_exact")
+      case qs => qs.toSeq
+    }
+    interesting.foreach { name =>
+      println(s"\n========== $name ==========")
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      // summarize: keep operator lines, drop column spam
+      plan.linesIterator.map(_.take(200)).foreach(println)
+    }
+    spark.stop()
+  }
+}

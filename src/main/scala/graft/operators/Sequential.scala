@@ -104,6 +104,26 @@ object Sequential {
     TickStream(withVar.df.withColumn(as, sqrt(col("__ev"))).drop("__ev"))
   }
 
+  /** csp.feedback (reference `csp/impl/wiring/feedback.py:20-85`): the
+    * bound value is delivered on the NEXT engine cycle at the same or a
+    * later timestamp — i.e. each tick may read state derived from all
+    * prior ticks' outputs, never its own. In batch that is precisely a
+    * per-key ordered scan whose state is the previous cycle's output:
+    * `prev` is passed to `step`, and `step`'s result becomes the next
+    * `prev`. (Streaming twin: state in flatMapGroupsWithState —
+    * StatefulOps.) This closes csp's only graph-cycle construct with no
+    * DAG cycle in Spark (SURVEY §7.5 hard-part 1).
+    */
+  def feedback(x: TickStream, as: String = "fb", init: Double = Double.NaN)(
+      step: (Double, Row) => Double): TickStream = {
+    final class FbState { var prev: Double = init }
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new FbState) { (s, row) =>
+      val out = step(s.prev, row)
+      s.prev = out
+      Seq(out)
+    }
+  }
+
   final private class KahanState { var sum = 0.0; var c = 0.0 }
 
   /** Kahan-compensated running sum (KahanSum:94): fp-stable cumulative sum

@@ -154,6 +154,58 @@ final case class TickStream(df: DataFrame) {
   def resequence: TickStream =
     TickStream(df.withColumn(SEQ, row_number().over(w).cast(LongType) - 1))
 
+  // ---- history access (reference builtin_functions.py:105-269, buffers
+  // TimeSeries.h:63) — csp's value_at/values_at over the per-edge history
+  // buffer map to lag / bounded collect_list: the "buffer" is the window
+  // frame, sized by the request instead of a global buffering policy. ----
+
+  /** csp.value_at(x, index): value `n` ticks ago (0 = current). */
+  def valueAt(n: Int, as: String = "value_at"): TickStream =
+    TickStream(df.withColumn(as, lag(VALUE, n).over(w)))
+
+  /** csp.values_at(x): last `n` values (oldest→newest) as a list. */
+  def valuesAt(n: Int, as: String = "values_at"): TickStream =
+    TickStream(df.withColumn(as, collect_list(col(VALUE)).over(wRows(n))))
+
+  /** csp.times_at over the same frame: matching tick times (epoch µs). */
+  def timesAt(n: Int, as: String = "times_at"): TickStream =
+    TickStream(df.withColumn(as, collect_list(unix_micros(col(TS))).over(wRows(n))))
+
+  // ---- struct ops (§2.3) ----
+
+  /** csp.struct_field (`baselib.py:676-681`): project a struct field,
+    * ticking only when it is set. */
+  def structField(field: String, as: String = VALUE): TickStream =
+    TickStream(df.withColumn(as, col(s"$VALUE.$field"))
+      .filter(col(as).isNotNull))
+
+  /** csp.exprtk (`baselib.py:625-673`): string math expressions over the
+    * tick — Catalyst IS the expression compiler (SURVEY §2.10). */
+  def evalExpr(sqlExpr: String, as: String): TickStream =
+    TickStream(df.withColumn(as, expr(sqlExpr)))
+
+  // ---- PushMode shims (reference common_definitions.py:274-289;
+  // Execution-Modes.md duplicate-timestamp table). Applied at a source to
+  // choose how same-timestamp ticks on one edge are delivered. ----
+
+  /** PushMode.LAST_VALUE: collapse same-(key, ts) ticks to the last. */
+  def pushModeLastValue: TickStream = {
+    val wTie = Window.partitionBy(KEY, TS)
+    TickStream(df.withColumn("__mx", max(col(SEQ)).over(wTie))
+      .filter(col(SEQ) === col("__mx")).drop("__mx"))
+  }
+
+  /** PushMode.NON_COLLAPSING: one engine cycle per tick (dense per-key
+    * seq = cycle number — the default canonical form). */
+  def pushModeNonCollapsing: TickStream = resequence
+
+  /** PushMode.BURST: all same-(key, ts) ticks delivered as one list. */
+  def pushModeBurst: TickStream =
+    TickStream(df.groupBy(col(KEY), col(TS))
+      .agg(min(col(SEQ)).as(SEQ),
+        transform(array_sort(collect_list(struct(col(SEQ).as("s"), col(VALUE).as("v")))),
+          x => x("v")).as(VALUE)))
+
   /** Collect to the golden-test shape `Seq[(Instant-like ts, value)]` the
     * reference's csp.run returns (`csp/impl/wiring/runtime.py:160-221`). */
   def run(): Seq[(java.sql.Timestamp, Any)] =

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sequential
+import graft.ts.{Sources, TickStream}
+
+/** History buffers, PushModes, struct ops, feedback — reference
+  * `test_history.py` / `test_engine.py:775-806` patterns. */
+class HistorySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def day(i: Int) = f"2020-01-$i%02d 00:00:00"
+  def c(vals: (Int, Double)*) = Sources.curve(spark, "k", vals.map { case (d, v) => day(d) -> v })
+
+  test("valueAt / valuesAt (builtin_functions.py:105-269)") {
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0)
+    val rows = x.valueAt(1).valuesAt(2).df.orderBy("ts").collect()
+    assert(rows.map(r => Option(r.get(r.fieldIndex("value_at")))).toSeq ==
+      Seq(None, Some(1.0), Some(2.0)))
+    assert(rows.map(_.getAs[scala.collection.Seq[Double]]("values_at").toList).toSeq ==
+      Seq(List(1.0), List(1.0, 2.0), List(2.0, 3.0)))
+  }
+
+  test("PushModes on duplicate timestamps (test_engine.py:775-806)") {
+    val dup = TickStream(Sources.curve(spark, "k",
+      Seq(day(1) -> 1.0, day(1) -> 2.0, day(2) -> 3.0)).df)
+    assert(dup.pushModeLastValue.run().map(_._2) == Seq(2.0, 3.0))
+    assert(dup.pushModeNonCollapsing.run().map(_._2) == Seq(1.0, 2.0, 3.0))
+    val burst = dup.pushModeBurst.run().map(_._2.asInstanceOf[scala.collection.Seq[Double]].toList)
+    assert(burst == Seq(List(1.0, 2.0), List(3.0)))
+  }
+
+  test("structField projects set fields only (baselib.py:676-681)") {
+    import spark.implicits._
+    val df = Seq(
+      ("k", java.sql.Timestamp.valueOf(day(1)), 0L, (Some(1.0), "a")),
+      ("k", java.sql.Timestamp.valueOf(day(2)), 1L, (None: Option[Double], "b")))
+      .toDF("key", "ts", "seq", "value")
+    val out = TickStream(df).structField("_1", "f").df.collect()
+    assert(out.length == 1 && out(0).getAs[Double]("f") == 1.0)
+  }
+
+  test("evalExpr: Catalyst as the exprtk compiler (baselib.py:625-673)") {
+    val x = c(1 -> 4.0)
+    assert(x.evalExpr("sqrt(value) + 1", "y").df.collect()(0).getAs[Double]("y") == 3.0)
+  }
+
+  test("feedback: next-cycle delivery of own output (feedback.py:20-85)") {
+    // decayed accumulator: out_t = 0.5 * prev_out + x_t, prev from LAST cycle
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 4.0)
+    val vi = x.df.schema.fieldIndex("value")
+    val out = Sequential.feedback(x, "acc")((prev, row) =>
+      (if (prev.isNaN) 0.0 else 0.5 * prev) + row.getDouble(vi))
+      .df.orderBy("ts").collect().map(_.getAs[Double]("acc"))
+    assert(out.toSeq == Seq(1.0, 2.5, 5.25))
+  }
+}
