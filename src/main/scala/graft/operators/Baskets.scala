@@ -100,6 +100,40 @@ object Baskets {
   def flatten(basket: TickStream, as: String = "flat"): TickStream =
     TickStream(basket.df.withColumn(KEY, lit(as))).resequence
 
+  /** basketlib.sync (`csp/basketlib.py:14-66`): when any member ticks, a
+    * window of `thresholdSec` opens; members ticking within it are
+    * collected and emitted together at window expiry (last value per
+    * member wins inside one window). Batch lowering: a per-basket
+    * sequential scan assigns window groups (state = window start), then a
+    * groupBy builds the member→value map. The basket is one logical
+    * partition — the scale axis is many baskets (basketId), matching the
+    * reference's one-engine-per-graph model. */
+  def sync(basket: TickStream, thresholdSec: Double, basketId: String = "sync"): TickStream = {
+    import org.apache.spark.sql.types._
+    val tagged = TickStream(basket.df
+      .select(col(KEY).as("__member"), col(TS), col(SEQ), col(VALUE))
+      .withColumn(KEY, lit(basketId)))
+    val grouped = graft.operators.Sequential.perKeyScan(tagged,
+      Seq(StructField("__grp", LongType), StructField("__gend", LongType))) { () =>
+      new java.util.concurrent.atomic.AtomicLongArray(2) // (groupId, windowEndMicros)
+    } { (s, row) =>
+      val tsIdx = row.fieldIndex(TS)
+      val t = row.getTimestamp(tsIdx).getTime * 1000L
+      if (s.get(1) == 0L || t >= s.get(1)) { // expired → new window
+        s.set(0, s.get(0) + 1)
+        s.set(1, t + (thresholdSec * 1e6).toLong)
+      }
+      Seq(s.get(0), s.get(1))
+    }
+    TickStream(grouped.df
+      // last value per member within a window (csp sync keeps the latest)
+      .groupBy(col(KEY), col("__grp"), col("__gend"), col("__member"))
+      .agg(max_by(col(VALUE), col(SEQ)).as("__v"))
+      .groupBy(col(KEY), col("__grp"), col("__gend"))
+      .agg(map_from_entries(collect_list(struct(col("__member"), col("__v")))).as(VALUE))
+      .select(col(KEY), timestamp_micros(col("__gend")).as(TS), col("__grp").as(SEQ), col(VALUE)))
+  }
+
   /** basketlib.sample_basket (`csp/basketlib.py:69-97`): snapshot every
     * valid member at trigger ticks. Trigger broadcast across members,
     * then the plain as-of kernel per member partition. */

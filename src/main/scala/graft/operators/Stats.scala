@@ -44,6 +44,30 @@ object Stats {
   def expanding(x: TickStream, minWindow: Int = 1): Rolling =
     Rolling(x, x.w.rowsBetween(Window.unboundedPreceding, 0), minWindow)
 
+  /** csp stats `reset` parameter (stats.py:218-280): a reset tick clears
+    * the window. Epoch-partition trick (SURVEY §2.9): number the resets,
+    * tag each data tick with its epoch, and make (key, epoch) the window
+    * partition — frames can never cross a reset. Reset applies before a
+    * same-timestamp data tick (reset-first tie rule). */
+  def withReset(x: TickStream, resets: TickStream): TickStream = {
+    val xs = x.df.withColumn("__src", lit(0))
+    val rs = resets.df.select(col(KEY), col(TS), col(SEQ)).withColumn("__src", lit(1))
+    val u = xs.unionByName(rs, allowMissingColumns = true)
+    val ord = Window.partitionBy(KEY)
+      .orderBy(col(TS), when(col("__src") === 1, 0).otherwise(1), col(SEQ))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    TickStream(u
+      .withColumn("__epoch", functions.sum(when(col("__src") === 1, 1).otherwise(0)).over(ord))
+      .filter(col("__src") === 0)
+      .withColumn(KEY, concat_ws("#", col(KEY), col("__epoch")))
+      .drop("__src", "__epoch"))
+  }
+
+  /** csp stats `trigger` parameter: recompute-at-trigger is the as-of
+    * sample of the per-tick stat stream — `AsOf.sample(trigger, stat)`. */
+  def onTrigger(trigger: TickStream, stat: TickStream): TickStream =
+    AsOf.sample(trigger, stat)
+
   final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int) {
     private val v = col(VALUE)
     private def gated(c: Column): Column =

@@ -1,0 +1,43 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output adapters (reference §2.2). In Spark a sink is just a writer:
+  * the reference's ParquetWriter/CSV publish (file rotation, struct
+  * flattening — `csp/adapters/output_adapters/parquet.py:40-240`) maps to
+  * `df.write` with partitioning; print/log to show/foreach. Kafka and
+  * websocket publishers need connector jars not present in this
+  * environment — the mapping is documented in SURVEY §2.2 and the write
+  * path is identical (`writeStream.format(...)`).
+  */
+object Sinks {
+
+  /** Parquet publish, partitioned by key — the scalable layout: each
+    * key's history is co-located, replay scans prune by key. */
+  def writeParquet(x: TickStream, path: String, partitionByKey: Boolean = true): Unit = {
+    val w = x.df.write.mode("overwrite")
+    (if (partitionByKey) w.partitionBy(Tick.KEY) else w).parquet(path)
+  }
+
+  /** Round-trip read of a written tick store. */
+  def readParquet(spark: SparkSession, path: String): TickStream =
+    TickStream(spark.read.parquet(path))
+
+  /** CSV publish/read (reference `csp/adapters/csv.py:29-113`). */
+  def writeCsv(x: TickStream, path: String): Unit =
+    x.df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, symbolColumn: String = Tick.KEY,
+              timeColumn: String = Tick.TS): TickStream = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    TickStream(raw
+      .withColumn(Tick.KEY, col(symbolColumn).cast("string"))
+      .withColumn(Tick.TS, col(timeColumn).cast("timestamp"))
+      .withColumn(Tick.SEQ, col(Tick.SEQ).cast("long")))
+  }
+
+  /** csp.print (`baselib.py:181-201`). */
+  def printTicks(x: TickStream, n: Int = 20): Unit =
+    x.df.orderBy(Tick.TS, Tick.SEQ).show(n, truncate = false)
+}

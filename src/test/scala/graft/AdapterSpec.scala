@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Baskets, Stats}
+import graft.ts.{Sinks, Sources, TickStream}
+
+/** Adapter round-trips (FIXTURES §5), sync, reset-epoch stats, and the
+  * driver's entry smoke. */
+class AdapterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def day(i: Int) = f"2020-01-$i%02d 00:00:00"
+  def c(key: String, vals: (Int, Double)*) =
+    Sources.curve(spark, key, vals.map { case (d, v) => day(d) -> v })
+
+  test("driver entry() returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("parquet write→read round-trip preserves ticks (ParquetWriter §2.2)") {
+    val x = TickStream(c("a", 1 -> 1.0, 2 -> 2.0).df.unionByName(c("b", 1 -> 10.0).df))
+    val path = "/tmp/graft_test_parquet"
+    Sinks.writeParquet(x, path)
+    val back = Sinks.readParquet(spark, path)
+    assert(back.df.count() == 3)
+    assert(back.demultiplex("a").run().map(_._2) == Seq(1.0, 2.0))
+  }
+
+  test("csv write→read round-trip (csv.py:29-113)") {
+    val x = c("a", 1 -> 1.5, 2 -> 2.5)
+    val path = "/tmp/graft_test_csv"
+    Sinks.writeCsv(x, path)
+    val back = Sinks.readCsv(spark, path)
+    assert(back.run().map(_._2) == Seq(1.5, 2.5))
+  }
+
+  test("sync collects members within threshold windows (basketlib.py:14-66)") {
+    // members a,b tick at t1 00:00 and t1 00:30; c ticks at t1 02:00 (new window)
+    val basket = TickStream(
+      Sources.curve(spark, "a", Seq("2020-01-01 00:00:00" -> 1.0)).df
+        .unionByName(Sources.curve(spark, "b", Seq("2020-01-01 00:30:00" -> 2.0)).df)
+        .unionByName(Sources.curve(spark, "c", Seq("2020-01-01 02:00:00" -> 3.0)).df))
+    val out = Baskets.sync(basket, thresholdSec = 3600).df.orderBy("seq").collect()
+    assert(out.length == 2)
+    val m1 = out(0).getAs[Map[String, Double]]("value")
+    val m2 = out(1).getAs[Map[String, Double]]("value")
+    assert(m1 == Map("a" -> 1.0, "b" -> 2.0))
+    assert(m2 == Map("c" -> 3.0))
+  }
+
+  test("stats reset clears the window at reset ticks (stats.py:218-280)") {
+    val x = c("k", 1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0)
+    val resets = c("k", 3 -> 0.0) // reset at t3, before t3's data tick
+    val withR = Stats.withReset(x, resets)
+    val sums = Stats.expanding(withR).sum("s").done.df.orderBy("ts").collect()
+      .map(_.getAs[Double]("s"))
+    assert(sums.toSeq == Seq(1.0, 3.0, 3.0, 7.0)) // restart at t3
+  }
+}
