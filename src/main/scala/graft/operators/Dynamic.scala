@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.{Tick, TickStream}
+
+/** csp.dynamic (reference `csp/impl/wiring/dynamic.py:13-156`,
+  * `DynamicEngine.cpp`): spawn a sub-graph instance per dynamic-basket
+  * key. In Spark this construct dissolves: a "sub-graph per key" is just
+  * the pipeline applied under per-key partitioning — every graft operator
+  * already partitions by `key`, so instantiation is applying the pipeline
+  * function once to the whole keyed stream. The helpers below make the
+  * correspondence explicit (snapkey/attach args, reference
+  * `dynamic.py:66-100`).
+  */
+object Dynamic {
+
+  /** Run `pipeline` as the per-key sub-graph over a dynamic basket: the
+    * pipeline sees the whole keyed stream; per-key state isolation comes
+    * from the operators' partitioning (csp gets it from per-engine
+    * instances). */
+  def perKey(basket: TickStream)(pipeline: TickStream => TickStream): TickStream =
+    pipeline(basket)
+
+  /** csp.snapkey(): materialize the sub-graph's key as a value column. */
+  def snapkey(x: TickStream, as: String = "snap_key"): TickStream =
+    TickStream(x.df.withColumn(as, col(Tick.KEY)))
+
+  /** Key appearance/removal events (dynamic basket lifecycle,
+    * `baselib.py:600-612`): first and last tick per key. */
+  def keyEvents(x: TickStream): TickStream = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(Tick.KEY)
+    val marked = x.df
+      .withColumn("__first", min(col(Tick.SEQ)).over(w))
+      .withColumn("__last", max(col(Tick.SEQ)).over(w))
+    // union (not if/else) so a single-tick key still has both lifecycle events
+    val added = marked.filter(col(Tick.SEQ) === col("__first")).withColumn("event", lit("added"))
+    val removed = marked.filter(col(Tick.SEQ) === col("__last")).withColumn("event", lit("removed"))
+    TickStream(added.unionByName(removed).drop("__first", "__last"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** csp.DataFrame veneer (reference `csp/dataframe.py:13-260`): a dict of
+  * named edges over a shared time axis with pandas-style column algebra.
+  * Here each named edge is a column of one wide DataFrame keyed by
+  * (key, ts, seq); arithmetic between edges broadcasts per row after an
+  * as-of alignment — the reference's `__add__`/`__getitem__` surface
+  * (`dataframe.py:23-128`). `toDF` IS `to_pandas` (the result is already
+  * a Spark DataFrame; `.toPandas()` finishes the trip).
+  */
+final case class GraftFrame(df: DataFrame) {
+  import Tick._
+
+  def edges: Seq[String] = df.columns.filterNot(Tick.meta.contains).toSeq
+
+  /** Add/replace a named edge as an expression over existing edges. */
+  def withEdge(name: String, e: Column): GraftFrame = GraftFrame(df.withColumn(name, e))
+
+  /** `frame[col]` filter semantics (`dataframe.py:23`): keep rows where a
+    * boolean edge is true (csp.filter over every edge). */
+  def where(flag: Column): GraftFrame = GraftFrame(df.filter(flag))
+
+  /** Forward-fill edges to the union time axis (valid-last-value
+    * semantics, §1.4.3) — what makes cross-edge arithmetic well-defined
+    * when edges tick at different times. */
+  def ffill(): GraftFrame = {
+    val w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    GraftFrame(edges.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    })
+  }
+
+  /** Collect to the host (reference to_pandas, `dataframe.py:156`). */
+  def toDF: DataFrame = df.orderBy(KEY, TS, SEQ)
+}
+
+object GraftFrame {
+  import Tick._
+
+  /** Build from named tick streams: outer-align on (key, ts, seq), one
+    * column per edge (reference ctor `dataframe.py:13-21`). */
+  def apply(edges: (String, TickStream)*): GraftFrame = {
+    val frames = edges.map { case (name, s) =>
+      s.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(name))
+    }
+    GraftFrame(frames.reduce((a, b) => a.join(b, Seq(KEY, TS, SEQ), "full_outer")))
+  }
+}

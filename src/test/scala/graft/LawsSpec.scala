@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Dynamic}
+import graft.ts.{GraftFrame, Sources, TickStream}
+
+/** Property-style tests (seeded random cases) for ordering/merge laws
+  * (SURVEY §5 commitment) plus GraftFrame / Dynamic coverage. */
+class LawsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def day(i: Int) = f"2020-01-$i%02d 00:00:00"
+  def curveOf(key: String, vals: Seq[(Int, Double)]) =
+    Sources.curve(spark, key, vals.map { case (d, v) => day(d) -> v })
+
+  private val rnd = new scala.util.Random(42)
+  private def randomCurve(): Seq[(Int, Double)] = {
+    val n = 1 + rnd.nextInt(6)
+    rnd.shuffle((1 to 9).toList).take(n).sorted
+      .map(d => d -> (rnd.nextInt(101) - 50).toDouble)
+  }
+
+  test("law: disjoint-time merge contains all ticks in time order") {
+    (1 to 8).foreach { _ =>
+      val a = randomCurve()
+      val bShift = randomCurve().map { case (d, v) => (d + 10) -> v }
+      val l = curveOf("k", a)
+      val r = Sources.curve(spark, "k",
+        bShift.map { case (d, v) => f"2020-01-$d%02d 00:00:00" -> v })
+      assert(l.merge(r).run().map(_._2) == (a.map(_._2) ++ bShift.map(_._2)))
+    }
+  }
+
+  test("law: merge left-wins on every colliding timestamp") {
+    (1 to 8).foreach { _ =>
+      val a = randomCurve()
+      val l = curveOf("k", a)
+      val r = curveOf("k", a.map { case (d, v) => (d, v + 1000) })
+      assert(l.merge(r).run().map(_._2) == a.map(_._2))
+    }
+  }
+
+  test("law: sample(x, x) is identity on values") {
+    (1 to 8).foreach { _ =>
+      val a = randomCurve()
+      val x = curveOf("k", a)
+      assert(AsOf.sample(x, x).run().map(_._2) == a.map(_._2))
+    }
+  }
+
+  test("law: every sampled value was x's current value at trigger time") {
+    (1 to 8).foreach { _ =>
+      val a = randomCurve()
+      val t = randomCurve()
+      val sampled = AsOf.sample(curveOf("k", t), curveOf("k", a)).run()
+      sampled.foreach { case (ts, v) =>
+        val eligible = a.filter { case (d, _) => !java.sql.Timestamp.valueOf(day(d)).after(ts) }
+        assert(eligible.nonEmpty && eligible.last._2 == v)
+      }
+    }
+  }
+
+  test("GraftFrame: edge algebra after ffill (dataframe.py:72-128)") {
+    val bid = curveOf("k", Seq(1 -> 10.0, 3 -> 12.0))
+    val ask = curveOf("k", Seq(2 -> 14.0))
+    val f = GraftFrame("bid" -> bid, "ask" -> ask).ffill()
+      .withEdge("mid", (org.apache.spark.sql.functions.col("bid") +
+        org.apache.spark.sql.functions.col("ask")) / 2)
+    val mids = f.toDF.collect().map(r => Option(r.get(r.fieldIndex("mid"))))
+    assert(mids.toSeq == Seq(None, Some(12.0), Some(13.0)))
+  }
+
+  test("Dynamic.perKey + keyEvents lifecycle") {
+    val basket = TickStream(curveOf("a", Seq(1 -> 1.0, 3 -> 2.0)).df
+      .unionByName(curveOf("b", Seq(2 -> 5.0)).df))
+    val counted = Dynamic.perKey(basket)(_.runningCount())
+    assert(counted.demultiplex("a").df.count() == 2)
+    val ev = Dynamic.keyEvents(basket).df.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("event")))
+    assert(ev.toSet == Set(("a", "added"), ("a", "removed"), ("b", "added"), ("b", "removed")))
+  }
+}
