@@ -336,6 +336,14 @@ object SparkEntry {
       Stats.expanding(withW).weightedMeanExact(col("w"), "wm").done.df
         .select(col("seq").as("event_id"), col("wm").as("wmean_v"))
     },
+    "q_value_at" -> { (s, dir) =>
+      ev(s, dir).valueAt(2, "v2").df.filter(col("v2").isNotNull)
+        .select(col("seq").as("event_id"), col("v2"))
+    },
+    "q_values_at" -> { (s, dir) =>
+      ev(s, dir).valuesAt(5, "vs").df
+        .select(col("seq").as("event_id"), md5(concat_ws(",", col("vs"))).as("vs_md5"))
+    },
     "q_poisson_timer" -> { (s, dir) => // rows-only: seeded RNG, no SQL twin
       Sources.poissonTimer(s, "p", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0.01)
         .times("time_us").df.select(col("time_us"))
@@ -575,6 +583,10 @@ object SparkEntry {
          |  FROM (SELECT event_id, user_id, ts, value,
          |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
          |  WINDOW ww AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
+    "q_value_at" ->
+      s"SELECT event_id, v2 FROM (SELECT event_id, lag(value, 2) OVER ($W) AS v2 FROM events) WHERE v2 IS NOT NULL",
+    "q_values_at" ->
+      s"SELECT event_id, md5(array_to_string(list(value) OVER (${WR(5)}), ',')) AS vs_md5 FROM events",
     "q_knn" ->
       """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -68,6 +68,13 @@ object Stats {
   def onTrigger(trigger: TickStream, stat: TickStream): TickStream =
     AsOf.sample(trigger, stat)
 
+  /** csp stats `ignore_na` (stats.py:218-280): ignore_na=false (the csp
+    * default) is Spark's native double behavior — NaN poisons the frame's
+    * sum/mean until it slides out. ignore_na=true nulls the NaNs so
+    * aggregates skip them (ticks still advance the window). */
+  def ignoreNa(x: TickStream): TickStream =
+    x.mapValue(v => when(!isnan(v), v))
+
   final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int) {
     private val v = col(VALUE)
     private def gated(c: Column): Column =

@@ -47,6 +47,16 @@ class HistorySpec extends AnyFunSuite {
     assert(x.evalExpr("sqrt(value) + 1", "y").df.collect()(0).getAs[Double]("y") == 3.0)
   }
 
+  test("ignore_na semantics: NaN poisons (default) vs skipped (stats.py:218-280)") {
+    val x = c(1 -> 1.0, 2 -> Double.NaN, 3 -> 3.0)
+    val poisoned = graft.operators.Stats.ticks(x, 2).sum("s").done.df.orderBy("ts")
+      .collect().map(_.getAs[Double]("s"))
+    assert(poisoned(1).isNaN && poisoned(2).isNaN) // NaN inside both frames
+    val skipped = graft.operators.Stats.ticks(graft.operators.Stats.ignoreNa(x), 2)
+      .sum("s").done.df.orderBy("ts").collect().map(_.getAs[Double]("s"))
+    assert(skipped.toSeq == Seq(1.0, 1.0, 3.0))
+  }
+
   test("feedback: next-cycle delivery of own output (feedback.py:20-85)") {
     // decayed accumulator: out_t = 0.5 * prev_out + x_t, prev from LAST cycle
     val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 4.0)
