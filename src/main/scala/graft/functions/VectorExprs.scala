@@ -97,6 +97,24 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Fraction of positions where two equal-length long arrays agree —
+    * the MinHash jaccard estimator (E[agree] = jaccard). */
+  case class SigAgreement(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var eq = 0
+      var i = 0
+      while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+      if (n == 0) 0.0 else eq.toDouble / n
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Sign-random-projection signatures: one bucket id per table, bit j =
     * sign of ⟨v, plane_tj⟩. Planes ride along in the expression (small:
     * tables×bits×dim doubles, broadcast with the plan). */
@@ -138,6 +156,7 @@ object VectorExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))
   def simhashSig(hashes: Column): Column = column(SimHashSig(expression(hashes)))
   def srpSig(vec: Column, planes: Array[Array[Array[Double]]]): Column =

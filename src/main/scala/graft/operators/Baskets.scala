@@ -57,37 +57,50 @@ object Baskets {
 
   /** csp.multiplex(basket, key) (reference `csp/baselib.py:554-580`):
     * emit the selected member's ticks; on selector change, emit the newly
-    * selected member's last value if valid. `sel`'s value column holds
-    * member names; the selector stream is broadcast across members (small
-    * by construction — one logical control stream).
+    * selected member's last value if valid.
+    *
+    * Shape: the selector is ONE logical sequence (as in the reference's
+    * single-threaded engine), so the current-selection is a single-
+    * partition window over basket ∪ selector — cheap because one basket's
+    * traffic is one engine's traffic; many baskets parallelize by basket
+    * id. Key-change values resolve in per-member partitions (parallel).
+    * (A first cut broadcast the selector per member — |sel| × |members|
+    * rows, measured 30M at sf0.1. Never copy a control stream per key.)
     */
   def multiplex(basket: TickStream, sel: TickStream): TickStream = {
-    val members = basket.df.select(col(KEY)).distinct()
-    val selPerMember = sel.df
-      .select(col(TS), col(SEQ), col(VALUE).cast("string").as("__sel"))
-      .crossJoin(broadcast(members).select(col(KEY)))
+    val b = basket.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)).withColumn("__src", lit(0))
+    val s = sel.df.select(col(VALUE).cast("string").as("__selv"), col(TS), col(SEQ))
       .withColumn("__src", lit(1))
-    val xs = basket.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)).withColumn("__src", lit(0))
-    val u = xs.unionByName(selPerMember, allowMissingColumns = true)
-    val ord = Window.partitionBy(KEY)
+    val u = b.unionByName(s, allowMissingColumns = true)
+    // engine order: selector updates visible to same-ts member ticks
+    val g = Window.partitionBy(lit("__basket__"))
       .orderBy(col(TS), when(col("__src") === 1, 0).otherwise(1), col(SEQ))
-    val ordAll = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val prevSel = last(when(col("__src") === 1, col("__sel")), ignoreNulls = true)
-      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
-    val annotated = u
-      .withColumn("__cur", last(when(col("__src") === 1, col("__sel")), ignoreNulls = true).over(ordAll))
-      .withColumn("__lastVal", last(when(col("__src") === 0, col(VALUE)), ignoreNulls = true).over(ordAll))
-      .withColumn("__prevSel", prevSel)
-    val memberTicks = annotated.filter(col("__src") === 0 && col("__cur") === col(KEY))
+    val withSel = u
+      .withColumn("__cur", last(when(col("__src") === 1, col("__selv")), ignoreNulls = true)
+        .over(g.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__prev", last(when(col("__src") === 1, col("__selv")), ignoreNulls = true)
+        .over(g.rowsBetween(Window.unboundedPreceding, -1)))
+    val memberTicks = withSel.filter(col("__src") === 0 && col("__cur") === col(KEY))
       .select(col(KEY), col(TS), col(SEQ), col(VALUE))
-    // member tick in the same engine cycle as the key change → one fire with
-    // the new value (scheduler delivers both updates before the node runs)
-    val sameTsTick = functions.max(when(col("__src") === 0, lit(1)))
+    val changes = withSel
+      .filter(col("__src") === 1 && (col("__prev").isNull || col("__prev") =!= col("__selv")))
+      .select(col("__selv").as(KEY), col(TS), col(SEQ)).withColumn("__chg", lit(1))
+    // last member value at each change row: union the (few) change rows
+    // into the per-member partitions — change orders before same-ts ticks
+    val u2 = basket.df.select(col(KEY), col(TS), col(SEQ), col(VALUE))
+      .withColumn("__chg", lit(0))
+      .unionByName(changes, allowMissingColumns = true)
+    val pm = Window.partitionBy(KEY)
+      .orderBy(col(TS), when(col("__chg") === 1, 0).otherwise(1), col(SEQ))
+    // member tick in the same engine cycle as the key change → one fire
+    // with the new value (suppress the key-change emission)
+    val sameTsTick = functions.max(when(col("__chg") === 0, lit(1)))
       .over(Window.partitionBy(col(KEY), col(TS)))
-    val keyChanges = annotated.withColumn("__hasTick", sameTsTick).filter(
-      col("__src") === 1 && col("__sel") === col(KEY) &&
-        (col("__prevSel").isNull || col("__prevSel") =!= col("__sel")) &&
-        col("__lastVal").isNotNull && col("__hasTick").isNull)
+    val keyChanges = u2
+      .withColumn("__lastVal", last(when(col("__chg") === 0, col(VALUE)), ignoreNulls = true)
+        .over(pm.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__hasTick", sameTsTick)
+      .filter(col("__chg") === 1 && col("__lastVal").isNotNull && col("__hasTick").isNull)
       .select(col(KEY), col(TS), col(SEQ), col("__lastVal").as(VALUE))
     val out = memberTicks.unionByName(keyChanges)
     TickStream(out.select(lit("mux").as(KEY), col(TS),
