@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+import graft.streaming.StatefulOps.{EmaOut, EmaState, TickRow}
+
+/** transformWithState lowering (Spark 4 StatefulProcessor + RocksDB state
+  * store) — the arbitrary-stateful-operator API the engine standardizes
+  * on for realtime (SURVEY §2.9 "TWS"): typed per-key state handles
+  * (value/list/map), timers for csp-alarm semantics
+  * (`csp.schedule_alarm`, reference `builtin_functions.py:286-303`), and
+  * state TTL for buffering policies. `flatMapGroupsWithState` versions
+  * live in [[StatefulOps]]; this is the forward API.
+  */
+object TwsOps {
+
+  /** Adjusted EMA as a StatefulProcessor: ValueState carries (num, den)
+    * across micro-batches — same math as Sequential.ema (batch twin). */
+  class EmaProcessor(alpha: Double) extends StatefulProcessor[String, TickRow, EmaOut] {
+    @transient private var state: ValueState[EmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EmaState]("ema", Encoders.product[EmaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TickRow],
+                                 timerValues: TimerValues): Iterator[EmaOut] = {
+      val d = 1.0 - alpha
+      var s = if (state.exists()) state.get() else EmaState(0.0, 0.0)
+      val out = rows.toSeq.sortBy(r => (r.tsMicros, r.seq)).map { r =>
+        s = EmaState(r.value + d * s.num, 1.0 + d * s.den)
+        EmaOut(key, r.tsMicros, r.seq, r.value, s.num / s.den)
+      }
+      state.update(s)
+      out.iterator
+    }
+  }
+
+  def emaTws(ticks: Dataset[TickRow], alpha: Double): Dataset[EmaOut] = {
+    implicit val outEnc = Encoders.product[EmaOut]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new EmaProcessor(alpha), TimeMode.None(), OutputMode.Append())
+  }
+
+  case class Heartbeat(key: String, deadlineMs: Long)
+  case class TickEvt(key: String, eventTime: java.sql.Timestamp, seq: Long, value: Double)
+
+  /** csp-alarm demo: emit a heartbeat-timeout event when a key sees no
+    * tick for `timeoutMs` of EVENT time. Each tick cancels the pending
+    * alarm and schedules a new one (csp.schedule_alarm / cancel_alarm,
+    * reference `builtin_functions.py:286-303`); event-time timers fire as
+    * the watermark passes the deadline — deterministic in replay, exactly
+    * like csp alarms in simulation mode. */
+  class TimeoutProcessor(timeoutMs: Long) extends StatefulProcessor[String, TickEvt, Heartbeat] {
+    @transient private var lastTimer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTimer = getHandle.getValueState[Long]("deadline", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TickEvt],
+                                 timerValues: TimerValues): Iterator[Heartbeat] = {
+      val maxTs = rows.map(_.eventTime.getTime).max
+      if (lastTimer.exists()) getHandle.deleteTimer(lastTimer.get()) // cancel_alarm
+      val deadline = maxTs + timeoutMs
+      getHandle.registerTimer(deadline) // schedule_alarm
+      lastTimer.update(deadline)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Heartbeat] = {
+      lastTimer.clear()
+      Iterator.single(Heartbeat(key, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  def heartbeatTimeout(ticks: Dataset[TickEvt], timeoutMs: Long): Dataset[Heartbeat] = {
+    implicit val outEnc = Encoders.product[Heartbeat]
+    implicit val inEnc = Encoders.product[TickEvt]
+    ticks.withWatermark("eventTime", "0 seconds").as[TickEvt]
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new TimeoutProcessor(timeoutMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}

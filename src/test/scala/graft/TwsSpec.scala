@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulOps.TickRow
+import graft.streaming.TwsOps
+import graft.ts.Sources
+
+/** transformWithState (StatefulProcessor + RocksDB state store) parity:
+  * same batch==streaming guarantee as the flatMapGroupsWithState path. */
+class TwsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("transformWithState EMA across micro-batches == batch Sequential.ema") {
+    import org.apache.spark.sql.Encoders
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+
+    val ev = Sources.events(spark, TestSpark.sf)
+    val batch = graft.operators.Sequential.ema(ev, 0.4).df
+      .select("key", "seq", "ema").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ticks = graft.streaming.StatefulOps.toTickRows(ev)
+      .collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+    val mem = MemoryStream[TickRow]
+    val q = TwsOps.emaTws(mem.toDS(), 0.4).writeStream.outputMode("append")
+      .format("memory").queryName("tws_ema").trigger(Trigger.ProcessingTime(0)).start()
+    ticks.grouped(ticks.size / 4 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("tws_ema").collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    q.stop()
+
+    assert(stream.size == batch.size)
+    stream.foreach { case (k, v) =>
+      assert(math.abs(v - batch(k)) < 1e-12, s"$k: tws $v vs batch ${batch(k)}")
+    }
+  }
+
+  test("transformWithState event-time timers fire as csp alarms") {
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.TwsOps.TickEvt
+    implicit val tickEnc = Encoders.product[TickEvt]
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val mem = MemoryStream[TickEvt]
+    val q = TwsOps.heartbeatTimeout(mem.toDS(), timeoutMs = 500)
+      .writeStream.outputMode("append").format("memory").queryName("tws_hb")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // a,b tick at t=1s → alarms at 1.5s; a re-arms at 3s → alarm 3.5s
+    mem.addData(TickEvt("a", ts(1), 0, 1.0), TickEvt("b", ts(1), 1, 2.0))
+    q.processAllAvailable()
+    mem.addData(TickEvt("a", ts(3), 2, 3.0)) // watermark → 1s
+    q.processAllAvailable()
+    mem.addData(TickEvt("c", ts(5), 3, 4.0)) // watermark → 3s: b@1.5s fires
+    q.processAllAvailable()
+    mem.addData(TickEvt("d", ts(7), 4, 5.0)) // watermark → 5s: a@3.5s fires
+    q.processAllAvailable()
+    val fired = spark.table("tws_hb").collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(fired.contains("a") && fired.contains("b"))
+    // b fired exactly once despite a's re-arm (cancel_alarm semantics)
+    assert(spark.table("tws_hb").filter("key = 'b'").count() == 1)
+  }
+}
