@@ -108,6 +108,36 @@ object Baskets {
         .cast("long").as(SEQ), col(VALUE)))
   }
 
+  /** struct_collectts (`baselib.py:704-709`): build a map from the members
+    * that ticked at one engine time (vs struct_fromts's last-valid
+    * snapshot). Grouping axis = ts across the basket. */
+  def structCollectTs(basket: TickStream): TickStream =
+    TickStream(basket.df.groupBy(col(TS))
+      .agg(map_from_entries(collect_list(struct(col(KEY), col(VALUE)))).as(VALUE))
+      .select(lit("collectts").as(KEY), col(TS), lit(0L).as(SEQ), col(VALUE)))
+
+  /** stats.list_to_numpy equivalent (`csp/stats.py:195-210`): members →
+    * one vector tick per engine time, lanes ordered by the given member
+    * list (fillNa for missing lanes). csp vectorizes across symbols for
+    * speed; in Spark the key partition IS the vector lane — this exists
+    * for pipelines that want explicit vector values (e.g. embeddings). */
+  def toVector(basket: TickStream, members: Seq[String], fillNa: Double = Double.NaN): TickStream = {
+    val m = map_from_entries(collect_list(struct(col(KEY), col(VALUE))))
+    val lanes = transform(typedlit(members), k => coalesce(element_at(m, k), lit(fillNa)))
+    TickStream(basket.df.groupBy(col(TS))
+      .agg(lanes.as(VALUE))
+      .select(lit("vec").as(KEY), col(TS), lit(0L).as(SEQ), col(VALUE)))
+  }
+
+  /** numpy_to_list inverse: vector ticks → per-member rows. */
+  def fromVector(vec: TickStream, members: Seq[String]): TickStream = {
+    val exploded = vec.df.select(col(TS), posexplode(col(VALUE)).as(Seq("__lane", VALUE)))
+    val names = typedlit(members)
+    TickStream(exploded
+      .select(element_at(names, col("__lane") + 1).as(KEY), col(TS), lit(0L).as(SEQ), col(VALUE)))
+      .resequence
+  }
+
   /** csp.flatten (`baselib.py:494-503`): merge all members into one stream
     * under a single key (keeps per-member seq order via resequence). */
   def flatten(basket: TickStream, as: String = "flat"): TickStream =

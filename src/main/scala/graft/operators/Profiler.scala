@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** csp.profiler parity (reference `csp/profiler.py:70-511`): per-node
+  * execution metrics. The reference counts node executions and cycle
+  * times inside its engine loop; Spark already instruments every physical
+  * operator — this utility surfaces those metrics per plan node after an
+  * action, the `graph_info`/`ProfilerInfo` equivalent
+  * (`profiler.py:202-377`). Utilization ≙ rows flowing vs operators.
+  */
+object Profiler {
+
+  final case class NodeMetric(node: String, metrics: Map[String, Long])
+  final case class Profile(rows: Long, wallNanos: Long, nodes: Seq[NodeMetric]) {
+    def numOperators: Int = nodes.size
+    def totalOutputRows: Long =
+      nodes.flatMap(_.metrics.get("number of output rows")).sum
+    def render: String =
+      f"rows=$rows wall=${wallNanos / 1e9}%.3fs operators=$numOperators\n" +
+        nodes.map(n => s"  ${n.node}: " +
+          n.metrics.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", "))
+          .mkString("\n")
+  }
+
+  /** Execute the frame's own physical plan and collect per-operator
+    * metrics — csp's per-node exec counts/times. (count() would build a
+    * different plan; AQE wraps the final plan, so unwrap it.) */
+  def profile(df: DataFrame): Profile = {
+    val t0 = System.nanoTime()
+    val rows = df.queryExecution.toRdd.count() // executes THIS plan
+    val wall = System.nanoTime() - t0
+    val root = df.queryExecution.executedPlan
+    // AQE nests the real operators inside QueryStageExec.plan (not
+    // children) — walk through stage boundaries explicitly
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val nodes = walk(root).filter(_.metrics.nonEmpty).map { p =>
+      NodeMetric(p.nodeName,
+        p.metrics.map { case (k, m) => m.name.getOrElse(k).toString -> m.value }.toMap
+          .filter(_._2 > 0))
+    }
+    Profile(rows, wall, nodes)
+  }
+}

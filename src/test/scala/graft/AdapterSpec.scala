@@ -49,6 +49,32 @@ class AdapterSpec extends AnyFunSuite {
     assert(m2 == Map("c" -> 3.0))
   }
 
+  test("profiler surfaces per-operator metrics (profiler.py:202-377)") {
+    val p = graft.operators.Profiler.profile(
+      Stats.ticks(graft.ts.Sources.events(spark, TestSpark.sf), 5).mean().done.df)
+    assert(p.rows == 1000L)
+    assert(p.numOperators > 0 && p.totalOutputRows >= 1000L)
+    assert(p.nodes.exists(_.node.toLowerCase.contains("scan")))
+  }
+
+  test("basket ⇄ vector conversion (stats.py:195-210)") {
+    val basket = TickStream(c("a", 1 -> 1.0, 2 -> 2.0).df
+      .unionByName(c("b", 1 -> 10.0).df))
+    val vec = Baskets.toVector(basket, Seq("a", "b"), fillNa = -1.0)
+    val rows = vec.df.orderBy("ts").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("value").toList)
+    assert(rows.toSeq == Seq(List(1.0, 10.0), List(2.0, -1.0)))
+    val back = Baskets.fromVector(vec, Seq("a", "b"))
+    assert(back.demultiplex("a").run().map(_._2) == Seq(1.0, 2.0))
+  }
+
+  test("struct_collectts maps ticked members per engine time (baselib.py:704-709)") {
+    val basket = TickStream(c("a", 1 -> 1.0).df.unionByName(c("b", 1 -> 10.0, 2 -> 20.0).df))
+    val out = Baskets.structCollectTs(basket).df.orderBy("ts").collect()
+      .map(_.getAs[Map[String, Double]]("value"))
+    assert(out.toSeq == Seq(Map("a" -> 1.0, "b" -> 10.0), Map("b" -> 20.0)))
+  }
+
   test("stats reset clears the window at reset ticks (stats.py:218-280)") {
     val x = c("k", 1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0)
     val resets = c("k", 3 -> 0.0) // reset at t3, before t3's data tick
