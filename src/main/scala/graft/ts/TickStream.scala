@@ -206,6 +206,28 @@ final case class TickStream(df: DataFrame) {
         transform(array_sort(collect_list(struct(col(SEQ).as("s"), col(VALUE).as("v")))),
           x => x("v")).as(VALUE)))
 
+  // ---- Edge DSL (reference `csp/impl/wiring/edge.py:33-259`, math ops
+  // `csp/math.py:101-135`): arithmetic/comparison between streams goes
+  // through the as-of kernel (fire on either tick once both valid);
+  // scalar variants are per-tick column ops. ----
+
+  def +(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ + _)
+  def -(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ - _)
+  def *(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ * _)
+  def /(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ / _)
+  def <(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ < _)
+  def >(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ > _)
+  def +(c: Double): TickStream = mapValue(_ + c)
+  def -(c: Double): TickStream = mapValue(_ - c)
+  def *(c: Double): TickStream = mapValue(_ * c)
+  def /(c: Double): TickStream = mapValue(_ / c)
+  def unary_- : TickStream = mapValue(v => -v)
+  def absTicks: TickStream = mapValue(abs)
+  def ln: TickStream = mapValue(log(_))
+  def expTicks: TickStream = mapValue(exp)
+  def sqrtTicks: TickStream = mapValue(sqrt)
+  def powTicks(p: Double): TickStream = mapValue(pow(_, p))
+
   /** Collect to the golden-test shape `Seq[(Instant-like ts, value)]` the
     * reference's csp.run returns (`csp/impl/wiring/runtime.py:160-221`). */
   def run(): Seq[(java.sql.Timestamp, Any)] =

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+import graft.ts.{Sources, TickStream}
+
+/** Engine-cycle fidelity (SURVEY §7.5 hard part 2): duplicate-timestamp
+  * scheduling — unroll bursts become separate cycles at one engine time,
+  * downstream operators observe them in cycle order, and as-of sampling
+  * at a shared timestamp sees the LAST same-time cycle (reference
+  * Execution-Modes.md worked example; `test_engine.py:734`). Plus the
+  * Edge DSL (`edge.py:33-259`).
+  */
+class EngineSemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def day(i: Int) = f"2020-01-$i%02d 00:00:00"
+  def c(vals: (Int, Double)*) = Sources.curve(spark, "k", vals.map { case (d, v) => day(d) -> v })
+
+  test("unroll cycles observed in order by running count at one timestamp") {
+    import spark.implicits._
+    val burst = TickStream(Seq(("k", java.sql.Timestamp.valueOf(day(1)), 0L, Seq(10.0, 20.0, 30.0)))
+      .toDF("key", "ts", "seq", "value"))
+    val counted = burst.unroll.runningCount().df.orderBy("seq").collect()
+    assert(counted.map(r => (r.getAs[Double]("value"), r.getAs[Long]("count"))).toSeq ==
+      Seq((10.0, 1L), (20.0, 2L), (30.0, 3L)))
+  }
+
+  test("sample at a shared timestamp sees the last same-time cycle") {
+    import spark.implicits._
+    val burst = TickStream(Seq(("k", java.sql.Timestamp.valueOf(day(1)), 0L, Seq(10.0, 20.0, 30.0)))
+      .toDF("key", "ts", "seq", "value")).unroll
+    val trig = c(1 -> 0.0)
+    assert(AsOf.sample(trig, burst).run().map(_._2) == Seq(30.0))
+  }
+
+  test("delayTicks crosses same-timestamp cycle boundaries") {
+    import spark.implicits._
+    val burst = TickStream(Seq(("k", java.sql.Timestamp.valueOf(day(1)), 0L, Seq(1.0, 2.0, 3.0)))
+      .toDF("key", "ts", "seq", "value")).unroll
+    assert(burst.delayTicks(1).run().map(_._2) == Seq(1.0, 2.0))
+  }
+
+  test("Edge DSL: cross-stream arithmetic and scalar ops (edge.py:33-259)") {
+    val x = c(1 -> 10.0, 3 -> 30.0)
+    val y = c(2 -> 4.0)
+    assert((x + y).run().map(_._2) == Seq(14.0, 34.0))
+    assert((x - y).run().map(_._2) == Seq(6.0, 26.0))
+    assert((x / y).run().map(_._2) == Seq(2.5, 7.5))
+    assert((x * 2.0).run().map(_._2) == Seq(20.0, 60.0))
+    assert((-x).run().map(_._2) == Seq(-10.0, -30.0))
+    assert(x.powTicks(2).run().map(_._2) == Seq(100.0, 900.0))
+    val cmp = (x > y).run().map(_._2)
+    assert(cmp == Seq(true, true))
+  }
+}
