@@ -97,6 +97,37 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Word n-gram hashes from per-token hashes: out[i] = mix(h_i … h_{i+n-1})
+    * chained — no shingle STRINGS are ever built (string construction was
+    * the dominant cost of MinHash signatures at scale). Docs shorter than
+    * n collapse to one whole-doc hash. */
+  case class NgramHash(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) {
+        var acc = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < len) { acc = mix64(acc ^ arr.getLong(i)); i += 1 }
+        new GenericArrayData(Array(acc))
+      } else {
+        val out = new Array[Long](len - n + 1)
+        var i = 0
+        while (i <= len - n) {
+          var acc = 0x9e3779b97f4a7c15L
+          var j = 0
+          while (j < n) { acc = mix64(acc ^ arr.getLong(i + j)); j += 1 }
+          out(i) = acc
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Fraction of positions where two equal-length long arrays agree —
     * the MinHash jaccard estimator (E[agree] = jaccard). */
   case class SigAgreement(left: Expression, right: Expression)
@@ -157,6 +188,7 @@ object VectorExprs {
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
+  def ngramHash(tokenHashes: Column, n: Int): Column = column(NgramHash(expression(tokenHashes), n))
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))
   def simhashSig(hashes: Column): Column = column(SimHashSig(expression(hashes)))
   def srpSig(vec: Column, planes: Array[Array[Array[Double]]]): Column =

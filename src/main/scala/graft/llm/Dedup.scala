@@ -93,10 +93,10 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id2"), col("sig").as("__s2")), "id2")
       .filter(est >= threshold - 0.2)
       .select("id1", "id2")
-    // verify against PRE-computed distinct shingle sets (one tokenize per
-    // doc, not one per candidate pair)
+    // verify against PRE-computed distinct HASHED shingle sets (64-bit
+    // hashes: collision probability negligible, no string construction)
     val sets = df.select(col(idCol),
-      array_distinct(Shingles.shingles(col(textCol), shingleN)).as("s")).persist()
+      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("s")).persist()
     val withSets = prefiltered
       .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")

@@ -90,7 +90,10 @@ object Shingles {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** xxhash64 of each shingle (codegen'd, 64-bit). */
+  /** 64-bit hash of each shingle WITHOUT building shingle strings:
+    * per-token xxhash64, then a native rolling n-gram combine — the
+    * measured hot path of MinHash signature computation. */
   def hashedShingles(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.functions.VectorExprs.ngramHash(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)), n)
 }
