@@ -336,6 +336,16 @@ object SparkEntry {
       Stats.expanding(withW).weightedMeanExact(col("w"), "wm").done.df
         .select(col("seq").as("event_id"), col("wm").as("wmean_v"))
     },
+    "q_cov_matrix" -> { (s, dir) =>
+      val vec = TickStream(Sources.table(s, dir, "embeddings")
+        .select(lit("v").as(Tick.KEY),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as(Tick.TS),
+          col("vec_id").as(Tick.SEQ),
+          transform(slice(col("embedding"), 1, 8), _.cast("double")).as(Tick.VALUE)))
+      Stats.covCorrMatrix(vec, exact = true)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"),
+          round(col("corr"), 6).as("corr"))
+    },
     "q_value_at" -> { (s, dir) =>
       ev(s, dir).valueAt(2, "v2").df.filter(col("v2").isNotNull)
         .select(col("seq").as("event_id"), col("v2"))
@@ -583,6 +593,26 @@ object SparkEntry {
          |  FROM (SELECT event_id, user_id, ts, value,
          |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
          |  WINDOW ww AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
+    "q_cov_matrix" ->
+      """SELECT i, j,
+        |  round((sxy - sx * sy / n) / (n - 1), 6) AS cov,
+        |  round((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr
+        |FROM (
+        |  SELECT i, j, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(xi AS DECIMAL(30,14))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(xj AS DECIMAL(30,14))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xi * xj AS DECIMAL(30,14))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(xi * xi AS DECIMAL(30,14))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(xj * xj AS DECIMAL(30,14))) AS DOUBLE) AS syy
+        |  FROM (
+        |    SELECT va.i - 1 AS i, vb.j - 1 AS j,
+        |      CAST(va.xi AS DOUBLE) AS xi, CAST(vb.xj AS DOUBLE) AS xj
+        |    FROM (SELECT vec_id, generate_subscripts(embedding[1:8], 1) AS i,
+        |            unnest(embedding[1:8]) AS xi FROM embeddings) va
+        |    JOIN (SELECT vec_id, generate_subscripts(embedding[1:8], 1) AS j,
+        |            unnest(embedding[1:8]) AS xj FROM embeddings) vb
+        |    USING (vec_id))
+        |  GROUP BY i, j)""".stripMargin,
     "q_value_at" ->
       s"SELECT event_id, v2 FROM (SELECT event_id, lag(value, 2) OVER ($W) AS v2 FROM events) WHERE v2 IS NOT NULL",
     "q_values_at" ->

@@ -75,6 +75,33 @@ object Stats {
   def ignoreNa(x: TickStream): TickStream =
     x.mapValue(v => when(!isnan(v), v))
 
+  /** cov_matrix / corr_matrix (stats.py:2337/2694) over vector ticks
+    * (lanes = basket members, see Baskets.toVector): one generator
+    * produces the d² lane pairs per tick, then a single groupBy(i,j)
+    * aggregates the pairwise moments — shuffle is keyed by lane pair
+    * (≤ d² rows out), work linear in ticks. Output: (i, j, cov, corr). */
+  def covCorrMatrix(vec: TickStream, ddof: Int = 1,
+                    exact: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val v = col(VALUE)
+    val pairs = flatten(transform(v, (xi, i) =>
+      transform(v, (xj, j) => struct(i.as("i"), j.as("j"), xi.as("xi"), xj.as("xj")))))
+    // exact=true routes the sums through DECIMAL (order-independent across
+    // partitionings/engines — the oracle-portable path)
+    def s(c: Column) = if (exact) sum(c.cast("decimal(30,14)")).cast("double") else sum(c)
+    vec.df.select(explode(pairs).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xi").cast("double").as("xi"),
+        col("p.xj").cast("double").as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), s(col("xi")).as("sx"), s(col("xj")).as("sy"),
+        s(col("xi") * col("xj")).as("sxy"),
+        s(col("xi") * col("xi")).as("sxx"), s(col("xj") * col("xj")).as("syy"))
+      .select(col("i"), col("j"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - ddof)).as("cov"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+           sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
+  }
+
   final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int) {
     private val v = col(VALUE)
     private def gated(c: Column): Column =

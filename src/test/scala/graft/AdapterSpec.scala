@@ -75,6 +75,22 @@ class AdapterSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Map("a" -> 1.0, "b" -> 10.0), Map("b" -> 20.0)))
   }
 
+  test("cov/corr matrix over vector ticks (stats.py:2337/2694)") {
+    // lanes: x = [1,2,3], y = [2,4,6] (perfectly correlated), z = [1,0,1]
+    val basket = TickStream(
+      c("x", 1 -> 1.0, 2 -> 2.0, 3 -> 3.0).df
+        .unionByName(c("y", 1 -> 2.0, 2 -> 4.0, 3 -> 6.0).df)
+        .unionByName(c("z", 1 -> 1.0, 2 -> 0.0, 3 -> 1.0).df))
+    val vec = Baskets.toVector(basket, Seq("x", "y", "z"))
+    val m = graft.operators.Stats.covCorrMatrix(vec).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(m((0, 0))._1 - 1.0) < 1e-12)      // var(x) = 1
+    assert(math.abs(m((0, 1))._1 - 2.0) < 1e-12)      // cov(x, 2x) = 2
+    assert(math.abs(m((0, 1))._2 - 1.0) < 1e-12)      // corr(x, 2x) = 1
+    assert(math.abs(m((1, 1))._1 - 4.0) < 1e-12)      // var(y) = 4
+    assert(m((0, 2))._2 < 1e-12)                       // corr(x, z) = 0
+  }
+
   test("stats reset clears the window at reset ticks (stats.py:218-280)") {
     val x = c("k", 1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0)
     val resets = c("k", 3 -> 0.0) // reset at t3, before t3's data tick
