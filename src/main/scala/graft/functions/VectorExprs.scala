@@ -26,10 +26,36 @@ object VectorExprs {
   }
 
   /** Cosine similarity of two float/double arrays in double precision,
-    * sequential accumulation (bit-compatible with a left-fold). */
+    * sequential accumulation (bit-compatible with a left-fold). Full
+    * codegen (doGenCode) so the kernel stays inside WholeStageCodegen —
+    * no per-row boxing on the brute-force scan path. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val get = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.$get($i);
+           |  double $y = (double) $b.$get($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |""".stripMargin
+      })
+    }
+
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StatefulOps.TickRow
+
+/** Watermarked time-window aggregations — the Structured Streaming surface
+  * csp does not have (its sim mode is perfectly ordered; SURVEY §2.9
+  * watermark row): tumbling/sliding/session windows with late-data
+  * eviction, exposed over the same tick rows the stateful operators use.
+  * In batch mode the identical calls run as ordinary group-bys — one more
+  * same-code-both-modes surface.
+  */
+object WindowedAggs {
+
+  private def withEventTime(ticks: Dataset[TickRow], watermarkDelay: String): DataFrame =
+    ticks.withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", watermarkDelay)
+
+  /** Tumbling-window count/sum/mean per key. */
+  def tumbling(ticks: Dataset[TickRow], windowLen: String,
+               watermarkDelay: String = "0 seconds"): DataFrame =
+    withEventTime(ticks, watermarkDelay)
+      .groupBy(col("key"), window(col("eventTime"), windowLen))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"), avg("value").as("mean_v"))
+      .select(col("key"), col("window.start").as("w_start"),
+        col("n"), col("sum_v"), col("mean_v"))
+
+  /** Sliding-window variant. */
+  def sliding(ticks: Dataset[TickRow], windowLen: String, slide: String,
+              watermarkDelay: String = "0 seconds"): DataFrame =
+    withEventTime(ticks, watermarkDelay)
+      .groupBy(col("key"), window(col("eventTime"), windowLen, slide))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("key"), col("window.start").as("w_start"), col("n"), col("sum_v"))
+
+  /** Session windows (gap-based) — csp's closest native analogue is
+    * basketlib.sync's threshold grouping. */
+  def session(ticks: Dataset[TickRow], gap: String,
+              watermarkDelay: String = "0 seconds"): DataFrame =
+    withEventTime(ticks, watermarkDelay)
+      .groupBy(col("key"), session_window(col("eventTime"), gap))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("key"), col("session_window.start").as("w_start"), col("n"), col("sum_v"))
+}

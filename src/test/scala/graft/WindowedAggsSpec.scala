@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulOps.TickRow
+import graft.streaming.WindowedAggs
+
+class WindowedAggsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def us(sec: Int) = (1700000000L + sec) * 1000000L
+
+  test("tumbling windows with watermark emit finalized windows; late data dropped") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[TickRow]
+    val q = WindowedAggs.tumbling(mem.toDS(), "10 seconds", "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("wa_tumble")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(TickRow("a", us(1), 0, 1.0), TickRow("a", us(5), 1, 2.0))
+    q.processAllAvailable()
+    mem.addData(TickRow("a", us(12), 2, 4.0)) // watermark → 5s (window [0,10) still open)
+    q.processAllAvailable()
+    mem.addData(TickRow("a", us(25), 3, 8.0)) // watermark → 12s: [0,10) finalizes
+    q.processAllAvailable()
+    mem.addData(TickRow("a", us(3), 4, 100.0)) // LATE: before watermark → dropped
+    mem.addData(TickRow("a", us(35), 5, 16.0)) // watermark → 25s: [10,20) finalizes
+    q.processAllAvailable()
+    val out = spark.table("wa_tumble").collect()
+      .map(r => (r.getTimestamp(1).getTime / 1000 % 100, r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(out.contains((0L, 2L, 3.0)))  // [0,10): two ticks, sum 3 — late 100.0 NOT included
+    assert(out.contains((10L, 1L, 4.0))) // [10,20): one tick
+  }
+
+  test("session windows group by gap in batch mode (same call, no stream)") {
+    import spark.implicits._
+    val ticks = Seq(
+      TickRow("a", us(0), 0, 1.0), TickRow("a", us(5), 1, 2.0), // one session (gap 10)
+      TickRow("a", us(30), 2, 4.0)).toDS() // new session
+    val out = WindowedAggs.session(ticks, "10 seconds").orderBy("w_start").collect()
+    assert(out.map(r => (r.getLong(2), r.getDouble(3))).toSeq == Seq((2L, 3.0), (1L, 4.0)))
+  }
+}
