@@ -206,6 +206,19 @@ final case class TickStream(df: DataFrame) {
         transform(array_sort(collect_list(struct(col(SEQ).as("s"), col(VALUE).as("v")))),
           x => x("v")).as(VALUE)))
 
+  /** csp.stop_engine(x) (`baselib.py:535-541`): in simulation the engine
+    * halts at the first tick of x — batch twin: truncate every stream at
+    * that engine time. Here: keep this stream's ticks strictly before the
+    * stopper's first tick (per key; global stop = stopper keyed "*"). */
+  def until(stopper: TickStream): TickStream = {
+    val stopAt = stopper.df.groupBy(col(KEY))
+      .agg(min(struct(col(TS), col(SEQ))).as("__stop"))
+    TickStream(df.join(broadcast(stopAt), Seq(KEY), "left")
+      .filter(col("__stop").isNull ||
+        struct(col(TS), col(SEQ)) < col("__stop"))
+      .drop("__stop"))
+  }
+
   // ---- Edge DSL (reference `csp/impl/wiring/edge.py:33-259`, math ops
   // `csp/math.py:101-135`): arithmetic/comparison between streams goes
   // through the as-of kernel (fire on either tick once both valid);

@@ -43,6 +43,12 @@ class EngineSemanticsSpec extends AnyFunSuite {
     assert(burst.delayTicks(1).run().map(_._2) == Seq(1.0, 2.0))
   }
 
+  test("until: stop-engine truncation at stopper's first tick (baselib.py:535-541)") {
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0)
+    val stop = c(3 -> 0.0)
+    assert(x.until(stop).run().map(_._2) == Seq(1.0, 2.0))
+  }
+
   test("Edge DSL: cross-stream arithmetic and scalar ops (edge.py:33-259)") {
     val x = c(1 -> 10.0, 3 -> 30.0)
     val y = c(2 -> 4.0)
