@@ -35,11 +35,14 @@ object Baskets {
     val ordAll = ord.rowsBetween(Window.unboundedPreceding, 0)
     val prevRel = last(when(col("__src") === 1, col("__rel")), ignoreNulls = true)
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    // persist: three output branches (pass-through, buffered, openings)
+    // read this chained-window subplan — barrier avoids 3× recompute
     val annotated = u
       .withColumn("__open", last(when(col("__src") === 1, col("__rel")), ignoreNulls = true).over(ordAll))
       .withColumn("__opening",
         (col("__src") === 1 && col("__rel") && !coalesce(prevRel, lit(false))).cast("int"))
       .withColumn("__openCnt", sum(col("__opening")).over(ordAll))
+      .persist()
     val passThrough = annotated.filter(col("__src") === 0 && col("__open") === true)
       .select(col(KEY), col(TS), col(SEQ), array(col(VALUE)).as(VALUE))
     val buffered = annotated.filter(col("__src") === 0 && (col("__open").isNull || col("__open") === false))
