@@ -354,6 +354,14 @@ object SparkEntry {
       ev(s, dir).valuesAt(5, "vs").df
         .select(col("seq").as("event_id"), md5(concat_ws(",", col("vs"))).as("vs_md5"))
     },
+    "q_sync" -> { (s, dir) => // rows-only: threshold-window member alignment
+      val e = ev(s, dir)
+      Baskets.sync(TickStream(e.df.select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE))),
+        thresholdSec = 3600)
+        .df.select(col(Tick.SEQ).as("window_no"),
+          unix_micros(col(Tick.TS)).as("window_end_us"),
+          size(map_keys(col(Tick.VALUE))).as("n_members"))
+    },
     "q_poisson_timer" -> { (s, dir) => // rows-only: seeded RNG, no SQL twin
       Sources.poissonTimer(s, "p", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0.01)
         .times("time_us").df.select(col("time_us"))

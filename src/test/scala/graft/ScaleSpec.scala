@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Sequential, Stats}
+import graft.ts.{Sinks, TickStream}
+
+/** Scale-shape sanity: per-key isolation with many keys (the 100 TB axis)
+  * and partition-pruned replay from the key-partitioned parquet layout. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** 500 keys × 40 ticks, deterministic values: v(k, i) = k + i. */
+  private lazy val many: TickStream = {
+    val df = spark.range(500L * 40L).select(
+      concat(lit("k"), (col("id") % 500).cast("string")).as("key"),
+      timestamp_micros(lit(1700000000000000L) + expr("id div 500") * 60000000L).as("ts"),
+      expr("id div 500").as("seq"),
+      ((col("id") % 500) + expr("id div 500")).cast("double").as("value"))
+    TickStream(df)
+  }
+
+  test("per-key isolation at 500 keys: stats and EMA never leak across keys") {
+    // expanding sum for key k after all 40 ticks = 40k + 780
+    val sums = Stats.expanding(many).sum("s").done.df
+      .groupBy("key").agg(max("s").as("total"))
+    val bad = sums.filter(
+      col("total") =!= (regexp_replace(col("key"), "k", "").cast("double") * 40 + lit(780.0)))
+    assert(bad.count() == 0)
+    // EMA of constant-increment series stays within the key's value range
+    val ema = Sequential.ema(many, 0.5).df
+      .withColumn("k", regexp_replace(col("key"), "k", "").cast("double"))
+      .filter(col("ema") < col("k") || col("ema") > col("k") + 39)
+    assert(ema.count() == 0)
+  }
+
+  test("as-of kernel at 500 keys: sample returns the driving key's own ref value") {
+    val refs = TickStream(many.df.filter(col("seq") % 2 === 0))
+    val trig = TickStream(many.df.filter(col("seq") % 2 === 1))
+    val out = AsOf.sample(trig, refs)
+    // sampled value = key's ref at seq-1 = value - 1
+    val bad = out.df.filter(col("value") =!=
+      regexp_replace(col("key"), "k", "").cast("double") + col("seq") - 1)
+    assert(bad.count() == 0)
+  }
+
+  test("key-partitioned parquet replay prunes partitions on demultiplex") {
+    val path = "/tmp/graft_scale_parquet"
+    Sinks.writeParquet(TickStream(many.df.filter(col("key").isin("k1", "k2", "k3"))), path)
+    val back = Sinks.readParquet(spark, path).demultiplex("k2")
+    assert(back.df.count() == 40)
+    val plan = back.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("k2"),
+      s"expected partition pruning in:\n${plan.take(800)}")
+  }
+}
