@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sequential, Stats}
+import graft.ts.Sources
+
+/** Gapped-series stats vs pandas (the reference's oracle,
+  * `test_stats.py:22-24`, tolerance 1e-7): time-window eviction on
+  * irregular spacing and time-decay EMA — the cases where tick-count and
+  * time semantics diverge (FIXTURES §2 gapped curve). */
+class GappedSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // days 1,2,3,8,9,10 — a 5-day gap mid-series
+  private lazy val x = Sources.curve(spark, "k", Seq(
+    "2020-01-01 00:00:00" -> 1.0, "2020-01-02 00:00:00" -> 2.0,
+    "2020-01-03 00:00:00" -> 3.0, "2020-01-08 00:00:00" -> 8.0,
+    "2020-01-09 00:00:00" -> 9.0, "2020-01-10 00:00:00" -> 10.0))
+
+  test("3-day time window matches pandas rolling('3D') across the gap") {
+    val rows = Stats.time(x, 3 * 86400).mean("m").sum("s").count("n").done
+      .df.orderBy("ts").collect()
+    assert(rows.map(_.getAs[Double]("m")).toSeq == Seq(1.0, 1.5, 2.0, 8.0, 8.5, 9.0))
+    assert(rows.map(_.getAs[Double]("s")).toSeq == Seq(1.0, 3.0, 6.0, 8.0, 17.0, 27.0))
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(1L, 2L, 3L, 1L, 2L, 3L))
+  }
+
+  test("halflife-2d EMA matches pandas ewm(halflife, times) across the gap") {
+    val got = Sequential.emaHalflife(x, 2 * 86400.0).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema"))
+    val exp = Seq(1.0, 1.585786437627, 2.226540919661, 6.379615484181,
+      7.70104309523, 8.65806879767)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-7, s"$g vs $e") // reference tolerance
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+import graft.ts.TickStream
+
+/** Seeded random series with NaN injection vs pandas rolling — the
+  * reference's stats test pattern (`test_stats.py:26-42`
+  * generate_random_data, seed 42, pnan=0.1, first value forced NaN;
+  * tolerance 1e-7). ignore_na semantics: pandas rolling skips NaNs, so
+  * the comparison runs through Stats.ignoreNa. */
+class RandomStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("rolling mean/std/count over 200 seeded points with NaNs match pandas") {
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(getClass.getResource("/random_stats_golden.csv").toString)
+      .withColumn("key", lit("k"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", col("value").cast("double"))
+    val got = Stats.ticks(Stats.ignoreNa(TickStream(csv)), 10)
+      .mean("m").stddev("sd").count("n").done.df
+      .orderBy("seq")
+      .select("seq", "m", "sd", "n", "exp_mean", "exp_std", "exp_count")
+      .collect()
+    assert(got.length == 200)
+    got.foreach { r =>
+      val seq = r.get(0).asInstanceOf[Number].longValue
+      def chk(gotIdx: Int, expIdx: Int, label: String): Unit = {
+        val g = Option(r.get(gotIdx)).map(_.asInstanceOf[Double]).filterNot(_.isNaN)
+        val e = Option(r.get(expIdx)).map(_.asInstanceOf[Double]).filterNot(_.isNaN)
+        (g, e) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-7, s"$label@$seq: $a vs $b")
+          case (a, b) => assert(a == b, s"$label@$seq null-mismatch: $a vs $b")
+        }
+      }
+      chk(1, 4, "mean")
+      chk(2, 5, "std")
+      assert(r.get(3).asInstanceOf[Number].longValue == r.get(6).asInstanceOf[Number].longValue, s"count@$seq")
+    }
+  }
+}
