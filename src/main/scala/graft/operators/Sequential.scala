@@ -68,6 +68,15 @@ object Sequential {
     }
   }
 
+  /** csp ema parameterizations (`_validate_ema` stats.py:324-355):
+    * span/com are alpha reparameterizations. */
+  def emaSpan(x: TickStream, span: Double, adjust: Boolean = true,
+              as: String = "ema"): TickStream =
+    ema(x, 2.0 / (span + 1.0), adjust, as)
+  def emaCom(x: TickStream, com: Double, adjust: Boolean = true,
+             as: String = "ema"): TickStream =
+    ema(x, 1.0 / (1.0 + com), adjust, as)
+
   /** Time-decay EMA with halflife (HalflifeEMA:1723): weight of a tick
     * decays by exp(−ln2·Δt/halflife); adjusted (normalized) form. */
   def emaHalflife(x: TickStream, halflifeSec: Double, as: String = "ema"): TickStream = {

@@ -134,6 +134,22 @@ class OperatorsSpec extends AnyFunSuite {
     v.zip(expV).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
   }
 
+  test("ema span/com reparameterizations vs pandas (stats.py:324-355)") {
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0)
+    val sp = Sequential.emaSpan(x, 3).df.orderBy("ts").collect().map(_.getAs[Double]("ema"))
+    Seq(1.0, 2.3333333333, 2.1428571429, 3.6666666667).zip(sp).foreach { case (e, g) =>
+      assert(math.abs(g - e) < 1e-9) }
+    val cm = Sequential.emaCom(x, 2).df.orderBy("ts").collect().map(_.getAs[Double]("ema"))
+    Seq(1.0, 2.2, 2.1052631579, 3.3076923077).zip(cm).foreach { case (e, g) =>
+      assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("dropDups with epsilon tolerance (baselib.py:424-454)") {
+    val x = c(1 -> 1.0, 2 -> 1.0000001, 3 -> 1.5, 4 -> 1.5000001)
+    assert(x.dropDups(eps = Some(1e-6)).run().map(_._2) == Seq(1.0, 1.5))
+    assert(x.dropDups().run().map(_._2).size == 4) // exact compare keeps all
+  }
+
   test("emaHalflife: equal spacing halves weight per step") {
     // halflife = 1 day, daily ticks → decay 0.5 each step ≡ alpha-adjusted 0.5
     val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0)
