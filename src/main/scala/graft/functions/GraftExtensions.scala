@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.VectorExprs._
+
+/** SparkSessionExtensions entry point: exposes the library's native
+  * kernels as SQL functions, so `spark.sql("SELECT cosine_sim(a, b) …")`
+  * works from pure SQL (and from any JDBC/thrift front end). Activate
+  * with `--conf spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`; on a live
+  * session, `GraftExtensions.register(spark)`.
+  *
+  * This is the library's only use of the extensions API: the operators
+  * themselves stay plain DataFrame compositions (SURVEY §4 — no custom
+  * planner rules needed; Catalyst's existing optimizations suffice).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.VectorExprs", null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1), "k"))),
+    (FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(hashes) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHashSig(es(0))),
+    (FunctionIdentifier("ngram_hash"),
+      info("ngram_hash", "ngram_hash(token_hashes, n) - rolling n-gram hashes"),
+      (es: Seq[Expression]) => NgramHash(es(0), intArg(es(1), "n"))),
+    (FunctionIdentifier("sig_agreement"),
+      info("sig_agreement", "sig_agreement(a, b) - fraction of agreeing positions"),
+      (es: Seq[Expression]) => SigAgreement(es(0), es(1))))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
+}

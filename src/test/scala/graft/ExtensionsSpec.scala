@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExtensions
+
+/** SQL-function registration: the native kernels callable from pure SQL. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native kernels callable from SQL after register()") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS DOUBLE), 0.0), array(CAST(1.0 AS DOUBLE), 0.0)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sig = spark.sql(
+      "SELECT minhash_sig(transform(split('a b c d e', ' '), t -> xxhash64(t)), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 8)
+    val agree = spark.sql("SELECT sig_agreement(array(1L, 2L, 3L, 4L), array(1L, 2L, 9L, 9L)) AS a")
+      .collect()(0).getDouble(0)
+    assert(agree == 0.5)
+    val nh = spark.sql(
+      "SELECT size(ngram_hash(transform(split('a b c d', ' '), t -> xxhash64(t)), 2)) AS n")
+      .collect()(0).getInt(0)
+    assert(nh == 3)
+  }
+
+  test("GraftExtensions class wires the same functions via withExtensions") {
+    // instantiate the extensions entry point against a fresh builder;
+    // restore the suite's default session afterwards
+    val prev = spark // force init
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").appName("ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val ok = s2.sql("SELECT simhash_sig(array(xxhash64('x'))) AS s").collect()(0).getLong(0)
+      assert(ok != 0L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+  }
+}
