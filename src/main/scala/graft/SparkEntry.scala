@@ -370,6 +370,13 @@ object SparkEntry {
       Sources.brownian(s, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600, 0.0, 1.0)
         .df.select(col("seq").as("step"), round(col(Tick.VALUE), 6).as("path"))
     },
+    "q_ivf_knn" -> { (s, dir) => // rows-only: iterative centroids, no SQL twin
+      val e = Sources.table(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.buildCentroids(e, k = 8, iters = 2)
+      graft.llm.Ivf.topK(e.filter(col("vec_id") < 10), e, cents, k = 3, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    },
     "q_multimodal" -> { (s, dir) => // rows-only: stub decode plumbing
       graft.llm.Multimodal.extractFeatures(
         graft.llm.Multimodal.asMedia(Sources.table(s, dir, "documents"), "doc_id", "text"), 8)

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path alongside SRP-LSH: k cells from a deterministic Lloyd
+  * refinement, vectors assigned to their nearest centroid, queries probe
+  * only the `nprobe` nearest cells.
+  *
+  * 100 TB shape: centroids are tiny and broadcast everywhere; the corpus
+  * is scanned map-side for assignment (one pass per Lloyd iteration, no
+  * shuffle of vectors — only of per-(cell, lane) partial sums); search
+  * shuffles just the probed cells' candidates. Determinism: centroid init
+  * is the first k vectors by id (seeded sampling would also do), so
+  * replays are identical — no RNG state anywhere.
+  */
+object Ivf {
+
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
+
+  /** Deterministic k-cell coarse quantizer: init = k lowest-id vectors,
+    * `iters` Lloyd steps (assign to max-cosine centroid, re-average). */
+  def buildCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
+                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    var centroids = corpus.orderBy(col(id)).limit(k)
+      .select((row_number().over(Window.orderBy(col(id))) - 1).as("cell"),
+        transform(col(vec), _.cast("double")).as("centroid"))
+    (1 to iters).foreach { _ =>
+      val assigned = assign(corpus, centroids, id, vec)
+      centroids = assigned
+        .join(corpus.select(col(id), col(vec)), id)
+        .select(col("cell"), posexplode(transform(col(vec), _.cast("double"))))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg("col").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("centroid"))
+      centroids = centroids.persist()
+    }
+    centroids
+  }
+
+  /** Map each vector to its max-cosine cell (centroids broadcast). */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+             id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    corpus.select(col(id), col(vec))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cos(col(vec), col("centroid")))
+      .groupBy(col(id))
+      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
+    * within them. Queries must be small (broadcast). */
+  def topK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+           k: Int, nprobe: Int = 4,
+           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cells = assign(corpus, centroids, id, vec)
+    val indexed = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+      .join(cells.select(col(id).as("neighbor_id"), col("cell")), "neighbor_id")
+    val qProbes = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cos(col("__qv"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    qProbes.join(indexed, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos(col("__qv"), col("__cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk", "cosine")
+  }
+}

@@ -85,6 +85,23 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh.size >= bf.size * 8 / 10) // ≥80% recall with 8 tables
   }
 
+  test("IVF ANN recovers brute-force neighbors on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.llm.Ivf.buildCentroids(vecs, k = 4, iters = 2)
+    val queries = vecs.filter($"vec_id" < 4)
+    val ivf = graft.llm.Ivf.topK(queries, vecs, cents, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = graft.llm.Similarity.bruteForceTopK(queries, vecs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tight clusters + nprobe=1: IVF should recover ≥ 90% of true top-3
+    assert(ivf.intersect(bf).size >= bf.size * 9 / 10, s"ivf=$ivf bf=$bf")
+  }
+
   test("multimodal plumbing: features, resize, frame sampling") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
