@@ -121,6 +121,10 @@ object Stats {
     def sumExact(name: String = "sum", scale: Int = 2): Rolling =
       add(name, functions.sum(v.cast(s"decimal(30,$scale)")).over(spec))
     def mean(name: String = "mean"): Rolling = add(name, avg(v).over(spec))
+    // NaN note (csp ignore_na=false parity): Spark orders NaN largest, so
+    // max poisons to NaN while min silently skips it — route NaN-bearing
+    // streams through Stats.ignoreNa (csp ignore_na=true) for symmetric
+    // behavior, or pre-filter with dropNans.
     def min(name: String = "min"): Rolling = add(name, functions.min(v).over(spec))
     def max(name: String = "max"): Rolling = add(name, functions.max(v).over(spec))
     def first(name: String = "first"): Rolling =
