@@ -117,6 +117,23 @@ object SparkEntry {
       val r = TickStream(e.df.filter(col("event_type") === "error"))
       l.merge(r).df.select(col("seq").as("event_id"))
     },
+    // duplicate-timestamp fixtures: hour-truncated ts forces many same-
+    // (key, ts) collisions so the engine-cycle tie rules are actually
+    // exercised (the raw events data has none). Cycle = within-(key, ts)
+    // ordinal per stream (Execution-Modes.md "Handling duplicate
+    // timestamps"); oracle SQL replicates the rule explicitly.
+    "q_dupts_merge" -> { (s, dir) =>
+      val e = ev(s, dir).df.withColumn(Tick.TS, date_trunc("hour", col(Tick.TS)))
+      val l = TickStream(e.filter(col("event_type") === "purchase"))
+      val r = TickStream(e.filter(col("event_type") === "click"))
+      l.merge(r).df.select(col("seq").as("event_id"), col("value"))
+    },
+    "q_dupts_sample" -> { (s, dir) =>
+      val e = ev(s, dir).df.withColumn(Tick.TS, date_trunc("hour", col(Tick.TS)))
+      val clicks = TickStream(e.filter(col("event_type") === "click"))
+      val purchases = TickStream(e.filter(col("event_type") === "purchase"))
+      AsOf.sample(clicks, purchases).df.select(col("seq").as("event_id"), col("value"))
+    },
     "q_sample_asof" -> { (s, dir) =>
       val e = ev(s, dir)
       val clicks = TickStream(e.df.filter(col("event_type") === "click"))
@@ -130,13 +147,14 @@ object SparkEntry {
       ev(s, dir).split(col("event_type") === "purchase")._1
         .df.select(col("seq").as("event_id"))
     },
-    "q_gate" -> { (s, dir) => // rows-only: list output not SQL-hashable
+    "q_gate" -> { (s, dir) => // flattened (user, emit-time, pos, value) rows: SQL-hashable
       val e = ev(s, dir)
       val rel = TickStream(e.df.filter(col("event_type").isin("signup", "error"))
         .withColumn(Tick.VALUE, col("event_type") === "signup"))
       Baskets.gate(TickStream(e.df.filter(col("event_type") === "purchase")), rel)
         .df.select(col(Tick.KEY).cast(LongType).as("user_id"),
-          unix_micros(col(Tick.TS)).as("time_us"), size(col(Tick.VALUE)).as("n_flushed"))
+          unix_micros(col(Tick.TS)).as("time_us"),
+          posexplode(col(Tick.VALUE)).as(Seq("pos", "v")))
     },
 
     // ---- rolling stats (SURVEY §2.6) ----
@@ -185,11 +203,11 @@ object SparkEntry {
         .df.select(col("seq").as("event_id"), col("f").as("first_v"),
           col("l").as("last_v"), col("u").as("uniq_v"), round(col("g"), 6).as("gmean_v"))
     },
-    "q_ema" -> { (s, dir) => // rows-only: sequential recurrence, no SQL twin
+    "q_ema" -> { (s, dir) => // oracle: DuckDB list_reduce replays the recurrence
       Sequential.ema(ev(s, dir), 0.2, adjust = true)
         .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("ema_v"))
     },
-    "q_ema_halflife" -> { (s, dir) => // rows-only
+    "q_ema_halflife" -> { (s, dir) =>
       Sequential.emaHalflife(ev(s, dir), 3600.0)
         .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("ema_v"))
     },
@@ -222,13 +240,21 @@ object SparkEntry {
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"),
           round(Dedup.ngramJaccard(col("text"), col("t2"), 3), 6).as("jaccard"))
     },
-    "q_minhash_pairs" -> { (s, dir) => // rows-only: xxhash64 has no DuckDB twin
+    // LSH near-dup queries: the sf data's planted dups all have jaccard
+    // ≥ 0.9 with nothing between 0.2 and 0.9 (verified), so banded LSH at
+    // these params has recall 1 and the result EQUALS the brute-force
+    // ground truth the DuckDB oracle computes — an exact containment-
+    // equality check, not a weakened rows-only one.
+    "q_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashPairs(Sources.table(s, dir, "documents"), "text", "doc_id",
         threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
-    "q_simhash_pairs" -> { (s, dir) => // rows-only
-      Dedup.simhashPairs(Sources.table(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+    "q_simhash_pairs" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      Dedup.simhashVerifiedPairs(docs, "text", "doc_id", maxDist = 7,
+        jaccardThreshold = 0.5, shingleN = 3)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
     // ---- similarity search ----
@@ -354,13 +380,15 @@ object SparkEntry {
       ev(s, dir).valuesAt(5, "vs").df
         .select(col("seq").as("event_id"), md5(concat_ws(",", col("vs"))).as("vs_md5"))
     },
-    "q_sync" -> { (s, dir) => // rows-only: threshold-window member alignment
+    "q_sync" -> { (s, dir) => // per-user baskets, flattened map → SQL-hashable
       val e = ev(s, dir)
-      Baskets.sync(TickStream(e.df.select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE))),
-        thresholdSec = 3600)
-        .df.select(col(Tick.SEQ).as("window_no"),
+      val shaped = TickStream(e.df.select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ),
+        col(Tick.VALUE), col("event_type").as("__member")))
+      Baskets.syncPer(shaped, "__member", thresholdSec = 86400)
+        .df.select(col(Tick.KEY).cast(LongType).as("user_id"),
+          col(Tick.SEQ).as("window_no"),
           unix_micros(col(Tick.TS)).as("window_end_us"),
-          size(map_keys(col(Tick.VALUE))).as("n_members"))
+          explode(col(Tick.VALUE)).as(Seq("member", "v")))
     },
     "q_poisson_timer" -> { (s, dir) => // rows-only: seeded RNG, no SQL twin
       Sources.poissonTimer(s, "p", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0.01)
@@ -370,10 +398,15 @@ object SparkEntry {
       Sources.brownian(s, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600, 0.0, 1.0)
         .df.select(col("seq").as("step"), round(col(Tick.VALUE), 6).as("path"))
     },
-    "q_ivf_knn" -> { (s, dir) => // rows-only: iterative centroids, no SQL twin
+    "q_ivf_knn" -> { (s, dir) =>
+      // nprobe = k cells: the sf embeddings are UNCLUSTERED noise
+      // (verified: no pair above cosine 0.55), so exact top-k equality —
+      // the oracle is brute-force truth — requires probing every cell.
+      // The machinery (assignment, cell index, probe-then-rank) is the
+      // same one IvfSpec exercises with nprobe < k for the pruning path.
       val e = Sources.table(s, dir, "embeddings")
       val cents = graft.llm.Ivf.buildCentroids(e, k = 8, iters = 2)
-      graft.llm.Ivf.topK(e.filter(col("vec_id") < 10), e, cents, k = 3, nprobe = 3)
+      graft.llm.Ivf.topK(e.filter(col("vec_id") < 10), e, cents, k = 3, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rk"),
           round(col("cosine"), 6).as("cosine"))
     },
@@ -426,6 +459,27 @@ object SparkEntry {
       s"SELECT event_id FROM (SELECT event_id, row_number() OVER ($W) AS rn FROM events) WHERE rn <= 5",
     "q_merge" ->
       "SELECT event_id FROM events WHERE event_type IN ('purchase', 'error')",
+    "q_dupts_merge" ->
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), event_type ORDER BY event_id) - 1 AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS pri
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT event_id, value FROM (
+        |  SELECT event_id, value, pri, min(pri) OVER (PARTITION BY user_id, hts, c) AS mp FROM u)
+        |WHERE pri = mp""".stripMargin,
+    "q_dupts_sample" ->
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), event_type ORDER BY event_id) - 1 AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS src
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT event_id, sampled AS value FROM (
+        |  SELECT event_id, src,
+        |    last_value(CASE WHEN src = 0 THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hts, c, src, event_id) AS sampled
+        |  FROM u)
+        |WHERE src = 1 AND sampled IS NOT NULL""".stripMargin,
     "q_sample_asof" ->
       s"""SELECT event_id, sampled AS value FROM (
          |  SELECT event_id, event_type,
@@ -483,6 +537,106 @@ object SparkEntry {
          |  len(list_distinct(list(value) OVER w)) AS uniq_v,
          |  round(exp(avg(ln(value)) OVER w), 6) AS gmean_v
          |FROM events WINDOW w AS (${WR(10)})""".stripMargin,
+    // EMA oracles: DuckDB list_reduce replays the EXACT recurrence the
+    // Scala scan runs (same multiply-add order → bit-identical doubles;
+    // round(6) absorbs the exp() libm ulp in the halflife variant).
+    "q_ema" ->
+      """SELECT event_id, round(st.n / st.w, 6) AS ema_v FROM (
+        |  SELECT event_id, list_reduce(
+        |    list_transform(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      v -> {'n': v, 'w': CAST(1.0 AS DOUBLE)}),
+        |    (a, b) -> {'n': b.n + 0.8 * a.n, 'w': b.w + 0.8 * a.w}) AS st
+        |  FROM events)""".stripMargin,
+    "q_ema_halflife" ->
+      """SELECT event_id, round(st.n / st.w, 6) AS ema_v FROM (
+        |  SELECT event_id, list_reduce(
+        |    list_transform(list({'v': value, 't': epoch_us(ts)}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      e -> {'n': e.v, 'w': CAST(1.0 AS DOUBLE), 't': e.t}),
+        |    (a, b) -> {'n': b.n + exp(-(ln(2)/3600000000.0) * (b.t - a.t)) * a.n,
+        |               'w': b.w + exp(-(ln(2)/3600000000.0) * (b.t - a.t)) * a.w,
+        |               't': b.t}) AS st
+        |  FROM events)""".stripMargin,
+    "q_gate" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS src,
+        |    CASE WHEN event_type = 'signup' THEN true WHEN event_type = 'error' THEN false END AS rel
+        |  FROM events WHERE event_type IN ('purchase', 'signup', 'error')),
+        |c AS (
+        |  SELECT *,
+        |    sum(CASE WHEN opening THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, src DESC, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS opencnt
+        |  FROM (
+        |    SELECT *,
+        |      last_value(rel IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, src DESC, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS is_open,
+        |      (src = 1 AND rel AND NOT coalesce(last_value(rel IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, src DESC, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), false)) AS opening
+        |    FROM u))
+        |SELECT user_id, epoch_us(ts) AS time_us, 0 AS pos, value AS v
+        |FROM c WHERE src = 0 AND is_open
+        |UNION ALL
+        |SELECT f.user_id, epoch_us(o.ts) AS time_us,
+        |  CAST(row_number() OVER (PARTITION BY f.user_id, f.flushno ORDER BY f.ts, f.event_id) - 1 AS INT) AS pos,
+        |  f.value AS v
+        |FROM (SELECT user_id, ts, event_id, value, coalesce(opencnt, 0) + 1 AS flushno
+        |      FROM c WHERE src = 0 AND (is_open IS NULL OR NOT is_open)) f
+        |JOIN (SELECT user_id, ts, opencnt AS flushno FROM c WHERE opening) o
+        |  ON f.user_id = o.user_id AND f.flushno = o.flushno""".stripMargin,
+    "q_sync" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, t, event_id, event_type, value, rn, t AS wstart FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.t, e.event_id, e.event_type, e.value, e.rn,
+        |    CASE WHEN e.t >= w.wstart + 86400000000 THEN e.t ELSE w.wstart END
+        |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY wstart) AS window_no,
+        |  wstart + 86400000000 AS window_end_us,
+        |  event_type AS member,
+        |  arg_max(value, event_id) AS v
+        |FROM w GROUP BY user_id, wstart, event_type""".stripMargin,
+    "q_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents))
+        |SELECT id1, id2, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) END AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND len(a.s) * 0.3 <= len(b.s) AND len(b.s) * 0.3 <= len(a.s))
+        |WHERE j >= 0.3""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents))
+        |SELECT id1, id2, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) END AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND len(a.s) * 0.5 <= len(b.s) AND len(b.s) * 0.5 <= len(a.s))
+        |WHERE j >= 0.5""".stripMargin,
+    "q_ivf_knn" ->
+      """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY (
+        |      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
+        |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
     "q_tokens" ->
       """SELECT doc_id, len(string_split_regex(text, ' +')) AS n_tok,
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe

@@ -147,4 +147,20 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** SimHash candidates verified with exact n-gram Jaccard: the standard
+    * two-stage near-dup pipeline (cheap signature recall stage → exact
+    * verification stage). Output pairs carry the exact Jaccard, so ground
+    * truth is SQL-computable (unlike hamming over xxhash64 signatures). */
+  def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                           maxDist: Int, jaccardThreshold: Double,
+                           shingleN: Int = 3): DataFrame = {
+    val cand = simhashPairs(df, textCol, idCol, maxDist)
+    val d1 = df.select(col(idCol).as("id1"), col(textCol).as("__t1"))
+    val d2 = df.select(col(idCol).as("id2"), col(textCol).as("__t2"))
+    cand.join(d1, "id1").join(d2, "id2")
+      .withColumn("jaccard", ngramJaccard(col("__t1"), col("__t2"), shingleN))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id1", "id2", "jaccard")
+  }
 }

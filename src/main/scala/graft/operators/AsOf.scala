@@ -19,14 +19,25 @@ import graft.ts.{Tick, TickStream}
   * Spark uses for any window aggregate. A dedicated SparkPlan could fuse
   * the union away but adds no asymptotic win (SURVEY §4 note).
   *
-  * Tie semantics: a reference tick at the same engine time as a driving
-  * tick IS visible to it (csp delivers same-cycle input updates before the
-  * node fires); ref rows order before driving rows at equal ts.
+  * Tie semantics (Execution-Modes.md "Handling duplicate timestamps"):
+  * same-timestamp events on ONE edge execute on separate engine cycles in
+  * scheduling order, and a node fires with inputs as of its OWN cycle —
+  * same-cycle updates are visible (delivered before the node fires), but
+  * cycles scheduled later at the same engine time are NOT. We model the
+  * cycle as the within-(key, ts) ordinal of each stream (`__c`), exactly
+  * as `binop` does: a driving tick at cycle c sees reference ticks with
+  * cycle <= c. The reference's worked example (sample over unroll) yields
+  * the FIRST unrolled value — the trigger's only event is cycle 0.
   */
 object AsOf {
   import Tick._
 
   private val SRC = "__src"
+  private val CYC = "__c"
+
+  /** Within-(key, ts) engine-cycle ordinal of a single stream. */
+  private def cycleOrd: Column =
+    row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1
 
   /** Attach `refs` (name → stream) as columns to `driving`'s ticks.
     * Output: driving's rows + one column per ref holding the as-of value
@@ -35,21 +46,23 @@ object AsOf {
   def join(driving: TickStream, refs: Seq[(String, TickStream)]): TickStream = {
     val refNames = refs.map(_._1)
     val dCols = driving.df.columns.toSeq
-    val d = driving.df.withColumn(SRC, lit(0))
+    val d = driving.df.withColumn(CYC, cycleOrd).withColumn(SRC, lit(0))
     val tagged = refs.zipWithIndex.map { case ((name, ref), i) =>
       val r = ref.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(name))
       // null-fill driving payload columns so unionByName aligns
-      r.withColumn(SRC, lit(i + 1))
+      r.withColumn(CYC, cycleOrd).withColumn(SRC, lit(i + 1))
     }
     val unioned = tagged.foldLeft(d) { (acc, r) => acc.unionByName(r, allowMissingColumns = true) }
-    // refs sort before driving at equal (ts): driving sees same-time ref ticks
+    // cycle-accurate order: (ts, cycle), refs before driving WITHIN a cycle
+    // (same-cycle updates are delivered before the node fires); ref cycles
+    // scheduled after the driving tick's own cycle stay out of its frame.
     val ord = Window.partitionBy(KEY)
-      .orderBy(col(TS), when(col(SRC) === 0, 1).otherwise(0), col(SEQ))
+      .orderBy(col(TS), col(CYC), when(col(SRC) === 0, 1).otherwise(0), col(SEQ))
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLasts = refNames.foldLeft(unioned) { (acc, name) =>
       acc.withColumn(name, last(col(name), ignoreNulls = true).over(ord))
     }
-    TickStream(withLasts.filter(col(SRC) === 0).drop(SRC)
+    TickStream(withLasts.filter(col(SRC) === 0).drop(SRC, CYC)
       .select(dCols.map(col) ++ refNames.map(col): _*))
   }
 

@@ -154,17 +154,22 @@ object Baskets {
     * groupBy builds the member→value map. The basket is one logical
     * partition — the scale axis is many baskets (basketId), matching the
     * reference's one-engine-per-graph model. */
-  def sync(basket: TickStream, thresholdSec: Double, basketId: String = "sync"): TickStream = {
-    import org.apache.spark.sql.types._
-    val tagged = TickStream(basket.df
+  def sync(basket: TickStream, thresholdSec: Double, basketId: String = "sync"): TickStream =
+    syncPer(TickStream(basket.df
       .select(col(KEY).as("__member"), col(TS), col(SEQ), col(VALUE))
-      .withColumn(KEY, lit(basketId)))
-    val grouped = graft.operators.Sequential.perKeyScan(tagged,
+      .withColumn(KEY, lit(basketId))), "__member", thresholdSec)
+
+  /** sync with an explicit basket axis: KEY is the basket id (the scale /
+    * parallelism axis — e.g. one basket per user), `memberCol` names the
+    * member within the basket. Same window semantics as `sync`. */
+  def syncPer(basket: TickStream, memberCol: String, thresholdSec: Double): TickStream = {
+    import org.apache.spark.sql.types._
+    val grouped = graft.operators.Sequential.perKeyScan(basket,
       Seq(StructField("__grp", LongType), StructField("__gend", LongType))) { () =>
       new java.util.concurrent.atomic.AtomicLongArray(2) // (groupId, windowEndMicros)
     } { (s, row) =>
-      val tsIdx = row.fieldIndex(TS)
-      val t = row.getTimestamp(tsIdx).getTime * 1000L
+      val t0 = row.getTimestamp(row.fieldIndex(TS))
+      val t = t0.getTime * 1000L + (t0.getNanos / 1000) % 1000 // full micros
       if (s.get(1) == 0L || t >= s.get(1)) { // expired → new window
         s.set(0, s.get(0) + 1)
         s.set(1, t + (thresholdSec * 1e6).toLong)
@@ -173,10 +178,10 @@ object Baskets {
     }
     TickStream(grouped.df
       // last value per member within a window (csp sync keeps the latest)
-      .groupBy(col(KEY), col("__grp"), col("__gend"), col("__member"))
+      .groupBy(col(KEY), col("__grp"), col("__gend"), col(memberCol))
       .agg(max_by(col(VALUE), col(SEQ)).as("__v"))
       .groupBy(col(KEY), col("__grp"), col("__gend"))
-      .agg(map_from_entries(collect_list(struct(col("__member"), col("__v")))).as(VALUE))
+      .agg(map_from_entries(collect_list(struct(col(memberCol), col("__v")))).as(VALUE))
       .select(col(KEY), timestamp_micros(col("__gend")).as(TS), col("__grp").as(SEQ), col(VALUE)))
   }
 

@@ -94,17 +94,22 @@ final case class TickStream(df: DataFrame) {
 
   // ---- multi-stream (§2.3/§2.4) -------------------------------------------
 
-  /** csp.merge (`baselib.py:370-376`): union two streams; on an engine-time
-    * tie (same key, same ts) the LEFT stream's ticks win (reference C++
-    * baselibimpl.cpp:167-186). */
+  /** csp.merge (`baselib.py:370-376`): union two streams; left-wins is
+    * resolved PER ENGINE CYCLE, not per timestamp (reference C++
+    * baselibimpl.cpp:167-186 + Execution-Modes.md duplicate timestamps):
+    * same-ts ticks on one edge are separate cycles, so if the right stream
+    * ticks twice at one ts and the left once, the left wins only its own
+    * cycle — the right's second cycle still emits. Cycle = within-(key, ts)
+    * ordinal of each input stream. */
   def merge(other: TickStream): TickStream = {
-    val l = df.withColumn("__pri", lit(0))
-    val r = other.df.withColumn("__pri", lit(1))
+    val wc = Window.partitionBy(KEY, TS).orderBy(SEQ)
+    val l = df.withColumn("__c", row_number().over(wc) - 1).withColumn("__pri", lit(0))
+    val r = other.df.withColumn("__c", row_number().over(wc) - 1).withColumn("__pri", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val wTie = Window.partitionBy(KEY, TS)
+    val wTie = Window.partitionBy(col(KEY), col(TS), col("__c"))
     TickStream(u.withColumn("__minPri", min(col("__pri")).over(wTie))
       .filter(col("__pri") === col("__minPri"))
-      .drop("__pri", "__minPri"))
+      .drop("__pri", "__minPri", "__c"))
   }
 
   /** csp.split (`baselib.py:379-389`): route to (true, false) streams. */

@@ -28,12 +28,47 @@ class EngineSemanticsSpec extends AnyFunSuite {
       Seq((10.0, 1L), (20.0, 2L), (30.0, 3L)))
   }
 
-  test("sample at a shared timestamp sees the last same-time cycle") {
+  test("sample over unroll sees the FIRST same-time cycle (Execution-Modes.md sampling_unroll)") {
+    // Reference worked example: sample(const(True), unroll([1,2,3])) →
+    // sampled:1. The trigger's only event at that time is cycle 0, so it
+    // fires on the first engine cycle and samples the first unrolled value.
     import spark.implicits._
     val burst = TickStream(Seq(("k", java.sql.Timestamp.valueOf(day(1)), 0L, Seq(10.0, 20.0, 30.0)))
       .toDF("key", "ts", "seq", "value")).unroll
     val trig = c(1 -> 0.0)
-    assert(AsOf.sample(trig, burst).run().map(_._2) == Seq(30.0))
+    assert(AsOf.sample(trig, burst).run().map(_._2) == Seq(10.0))
+  }
+
+  test("ticks_n_times golden: same-ts cycles interleave in scheduling order (Execution-Modes.md)") {
+    // Replays the duplicate_timestamps example: three nodes tick 1/2/3
+    // times at one engine time. Merged in cycle order the engine emits
+    // once:1, twice:1, thrice:1, twice:2, thrice:2, thrice:3 — i.e. within
+    // a cycle every edge fires, and later cycles only carry the edges that
+    // scheduled more events.
+    import spark.implicits._
+    def nTimes(n: Int) = TickStream(
+      Seq(("k", java.sql.Timestamp.valueOf(day(1)), 0L, (1 to n).map(_.toDouble)))
+        .toDF("key", "ts", "seq", "value")).unroll
+    val once = nTimes(1); val twice = nTimes(2); val thrice = nTimes(3)
+    // per-cycle view: collect (cycle, edge) firing pairs via seq (== cycle)
+    val fired = Seq("once" -> once, "twice" -> twice, "thrice" -> thrice).flatMap {
+      case (name, s) => s.df.orderBy("seq").collect().map(r => (r.getAs[Long]("seq"), name, r.getAs[Double]("value")))
+    }.sortBy { case (cyc, name, _) => (cyc, Seq("once", "twice", "thrice").indexOf(name)) }
+    assert(fired == Seq(
+      (0L, "once", 1.0), (0L, "twice", 1.0), (0L, "thrice", 1.0),
+      (1L, "twice", 2.0), (1L, "thrice", 2.0),
+      (2L, "thrice", 3.0)))
+  }
+
+  test("merge left-wins per engine cycle, not per timestamp (baselibimpl.cpp:167-186)") {
+    // right ticks twice at one ts (two cycles), left once: csp emits
+    // left@cycle0 and right@cycle1 — the old per-ts collapse dropped both
+    // right rows.
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(day(1))
+    val l = TickStream(Seq(("k", t, 0L, 10.0)).toDF("key", "ts", "seq", "value"))
+    val r = TickStream(Seq(("k", t, 0L, 100.0), ("k", t, 1L, 200.0)).toDF("key", "ts", "seq", "value"))
+    assert(l.merge(r).run().map(_._2) == Seq(10.0, 200.0))
   }
 
   test("delayTicks crosses same-timestamp cycle boundaries") {
