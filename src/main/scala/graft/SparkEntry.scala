@@ -362,6 +362,43 @@ object SparkEntry {
       Stats.expanding(withW).weightedMeanExact(col("w"), "wm").done.df
         .select(col("seq").as("event_id"), col("wm").as("wmean_v"))
     },
+    // ---- weighted dispersion family (statsimpl.h:455-1052) ----
+    "q_weighted_var" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withW = TickStream(e.df.withColumn("w",
+        get_json_object(col("props"), "$.k").cast(LongType)))
+      Stats.ticks(withW, 10, minWindow = 2)
+        .weightedVarExact(col("w"), "wvar_v")
+        .weightedStddevExact(col("w"), "wstd_v")
+        .weightedSemExact(col("w"), "wsem_v").done
+        .df.select(col("seq").as("event_id"), col("wvar_v"), col("wstd_v"), col("wsem_v"))
+    },
+    "q_weighted_cov" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withW = TickStream(e.df
+        .withColumn("y", get_json_object(col("props"), "$.k").cast(LongType))
+        .withColumn("wt", col(Tick.SEQ) % 5 + 1))
+      Stats.ticks(withW, 10, minWindow = 2)
+        .weightedCovExact(col("y"), col("wt"), "wcov_v")
+        .weightedCorrExact(col("y"), col("wt"), "wcorr_v").done
+        .df.select(col("seq").as("event_id"), col("wcov_v"), col("wcorr_v"))
+    },
+    "q_weighted_skew" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withW = TickStream(e.df.withColumn("w",
+        get_json_object(col("props"), "$.k").cast(LongType)))
+      Stats.ticks(withW, 20, minWindow = 4)
+        .weightedSkew(col("w"), "sk").weightedKurt(col("w"), "ku").done
+        .df.select(col("seq").as("event_id"),
+          round(col("sk"), 4).as("wskew_v"), round(col("ku"), 4).as("wkurt_v"))
+    },
+    "q_ema_cov" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withY = TickStream(e.df.withColumn("y",
+        get_json_object(col("props"), "$.k").cast(DoubleType)))
+      Sequential.emaCov(withY, "y", 0.2)
+        .df.select(col("seq").as("event_id"), round(col("ema_cov"), 6).as("ema_cov_v"))
+    },
     "q_cov_matrix" -> { (s, dir) =>
       val vec = TickStream(Sources.table(s, dir, "embeddings")
         .select(lit("v").as(Tick.KEY),
@@ -762,6 +799,71 @@ object SparkEntry {
          |  FROM (SELECT event_id, user_id, ts, value,
          |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
          |  WINDOW ww AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
+    "q_weighted_var" ->
+      s"""SELECT event_id,
+         |  CASE WHEN cnt >= 2 AND ws > 1 THEN num / (ws * (ws - 1)) END AS wvar_v,
+         |  CASE WHEN cnt >= 2 AND ws > 1 THEN sqrt(num / (ws * (ws - 1))) END AS wstd_v,
+         |  CASE WHEN cnt >= 2 AND ws > 1 THEN sqrt(num / (ws * (ws - 1)) / ws) END AS wsem_v
+         |FROM (
+         |  SELECT event_id, count(*) OVER w AS cnt,
+         |    CAST(SUM(CAST(w AS DECIMAL(28,0))) OVER w AS DOUBLE) AS ws,
+         |    CAST(SUM(CAST(value * value * w AS DECIMAL(28,4))) OVER w * CAST(SUM(CAST(w AS DECIMAL(28,0))) OVER w AS BIGINT)
+         |      - SUM(CAST(value * w AS DECIMAL(28,2))) OVER w * SUM(CAST(value * w AS DECIMAL(28,2))) OVER w AS DOUBLE) AS num
+         |  FROM (SELECT event_id, user_id, ts, value,
+         |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
+         |  WINDOW w AS (${WR(10)}))""".stripMargin,
+    "q_weighted_cov" ->
+      s"""SELECT event_id,
+         |  CASE WHEN cnt >= 2 AND ws > 1 THEN numxy / (ws * (ws - 1)) END AS wcov_v,
+         |  CASE WHEN cnt >= 2 AND ws > 1 AND numx > 0 AND numy > 0
+         |    THEN numxy / (sqrt(numx) * sqrt(numy)) END AS wcorr_v
+         |FROM (
+         |  SELECT event_id, count(*) OVER w AS cnt,
+         |    CAST(SUM(CAST(wt AS DECIMAL(28,0))) OVER w AS DOUBLE) AS ws,
+         |    CAST(SUM(CAST(value * y * wt AS DECIMAL(28,4))) OVER w * CAST(SUM(CAST(wt AS DECIMAL(28,0))) OVER w AS BIGINT)
+         |      - SUM(CAST(value * wt AS DECIMAL(28,2))) OVER w * SUM(CAST(y * wt AS DECIMAL(28,2))) OVER w AS DOUBLE) AS numxy,
+         |    CAST(SUM(CAST(value * value * wt AS DECIMAL(28,4))) OVER w * CAST(SUM(CAST(wt AS DECIMAL(28,0))) OVER w AS BIGINT)
+         |      - SUM(CAST(value * wt AS DECIMAL(28,2))) OVER w * SUM(CAST(value * wt AS DECIMAL(28,2))) OVER w AS DOUBLE) AS numx,
+         |    CAST(SUM(CAST(y * y * wt AS DECIMAL(28,4))) OVER w * CAST(SUM(CAST(wt AS DECIMAL(28,0))) OVER w AS BIGINT)
+         |      - SUM(CAST(y * wt AS DECIMAL(28,2))) OVER w * SUM(CAST(y * wt AS DECIMAL(28,2))) OVER w AS DOUBLE) AS numy
+         |  FROM (SELECT event_id, user_id, ts, value,
+         |          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS y,
+         |          event_id % 5 + 1 AS wt FROM events)
+         |  WINDOW w AS (${WR(10)}))""".stripMargin,
+    "q_weighted_skew" ->
+      s"""SELECT event_id,
+         |  round(CASE WHEN cnt >= 4 AND vx > 0
+         |    THEN sqrt(n * (n - 1)) / (n - 2) * ((mx3 - 3 * mx * vx - mx * mx * mx) / (vx ^ 1.5)) END, 4) AS wskew_v,
+         |  round(CASE WHEN cnt >= 4 AND vx > 0
+         |    THEN ((n + 1) * (n - 1) / ((n - 2) * (n - 3))) * ((mx4 - 4 * mx * mx3 + 6 * mx2 * mx * mx - 3 * mx * mx * mx * mx) / (vx * vx))
+         |      - 3 * ((n - 1) / (n + 1)) * ((n + 1) * (n - 1) / ((n - 2) * (n - 3))) END, 4) AS wkurt_v
+         |FROM (
+         |  SELECT event_id, cnt, n, ws,
+         |    sx / ws AS mx, sx2 / ws AS mx2, sx3 / ws AS mx3, sx4 / ws AS mx4,
+         |    CAST(sx2 * wsd - sxd * sxd AS DOUBLE) / (ws * ws) AS vx
+         |  FROM (
+         |    SELECT event_id, count(*) OVER w AS cnt, CAST(count(*) OVER w AS DOUBLE) AS n,
+         |      CAST(SUM(CAST(w AS DECIMAL(28,0))) OVER w AS DOUBLE) AS ws,
+         |      CAST(SUM(CAST(w AS DECIMAL(28,0))) OVER w AS BIGINT) AS wsd,
+         |      SUM(CAST(value * w AS DECIMAL(28,2))) OVER w AS sxd,
+         |      CAST(SUM(CAST(value * w AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sx,
+         |      SUM(CAST(value * value * w AS DECIMAL(28,4))) OVER w AS sx2,
+         |      CAST(SUM(CAST(value * value * value * w AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx3,
+         |      CAST(SUM(CAST(value * value * value * value * w AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sx4
+         |    FROM (SELECT event_id, user_id, ts, value,
+         |            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS w FROM events)
+         |    WINDOW w AS (${WR(20)})))""".stripMargin,
+    "q_ema_cov" ->
+      """SELECT event_id, round(CASE WHEN st.w * st.w - st.w2 <= 0 THEN 'NaN'::DOUBLE
+        |  ELSE (st.xy / st.w - (st.x / st.w) * (st.y / st.w)) * st.w * st.w / (st.w * st.w - st.w2) END, 6) AS ema_cov_v
+        |FROM (
+        |  SELECT event_id, list_reduce(
+        |    list_transform(list({'xv': value, 'yv': y}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      e -> {'xy': e.xv * e.yv, 'x': e.xv, 'y': e.yv, 'w': CAST(1.0 AS DOUBLE), 'w2': CAST(1.0 AS DOUBLE)}),
+        |    (a, b) -> {'xy': b.xy + 0.8 * a.xy, 'x': b.x + 0.8 * a.x, 'y': b.y + 0.8 * a.y,
+        |               'w': b.w + 0.8 * a.w, 'w2': b.w2 + 0.8 * 0.8 * a.w2}) AS st
+        |  FROM (SELECT event_id, user_id, ts, value,
+        |          CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y FROM events))""".stripMargin,
     "q_cov_matrix" ->
       """SELECT i, j,
         |  round((sxy - sx * sy / n) / (n - 1), 6) AS cov,

@@ -113,6 +113,33 @@ object Sequential {
     TickStream(withVar.df.withColumn(as, sqrt(col("__ev"))).drop("__ev"))
   }
 
+  final private class EmaCovState {
+    var nxy = 0.0; var nx = 0.0; var ny = 0.0; var w = 0.0; var w2 = 0.0
+  }
+
+  /** csp.stats.ema_cov (stats.py:3009): exponential moving covariance of x
+    * (the value column) and a second column y, composed exactly as the
+    * reference composes it — ema(x·y) − ema(x)·ema(y), all adjusted EMAs —
+    * with the AlphaDebiasEMA:1620 factor W²/(W² − W₂) unless bias=true. */
+  def emaCov(x: TickStream, yCol: String, alpha: Double, bias: Boolean = false,
+             as: String = "ema_cov"): TickStream = {
+    val vi = valueIdx(x)
+    val yi = x.df.schema.fieldIndex(yCol)
+    val d = 1.0 - alpha
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaCovState) { (s, row) =>
+      val xv = row.getDouble(vi)
+      val yv = row.getDouble(yi)
+      s.nxy = xv * yv + d * s.nxy; s.nx = xv + d * s.nx; s.ny = yv + d * s.ny
+      s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
+      val biasCov = s.nxy / s.w - (s.nx / s.w) * (s.ny / s.w)
+      if (bias) Seq(biasCov)
+      else {
+        val denom = s.w * s.w - s.w2
+        Seq(if (denom <= 0) Double.NaN else biasCov * s.w * s.w / denom)
+      }
+    }
+  }
+
   /** csp.feedback (reference `csp/impl/wiring/feedback.py:20-85`): the
     * bound value is delivered on the NEXT engine cycle at the same or a
     * later timestamp — i.e. each tick may read state derived from all

@@ -273,5 +273,108 @@ object Stats {
       val den = functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("double")
       add(name, when(den > 0, num / den))
     }
+
+    // ---- weighted dispersion family (WeightedVariance:455,
+    // WeightedCovariance:593, WeightedCorrelation:702,
+    // WeightedStandardError:788, WeightedSkew:926, WeightedKurtosis:1052).
+    // Frequency-weight semantics: denominators use W − ddof with W = Σw;
+    // sem divides the variance by W; skew/kurt bias factors use the TICK
+    // count n, not W. Exact-decimal numerators (order-independent) as in
+    // varExact — the homogeneous-window 0 case falls out exactly (the
+    // reference needs a consecutive-value counter to fight fp drift;
+    // exact arithmetic doesn't). ----
+    private def wW(weight: Column): Column =
+      functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("double")
+    private def wS(c: Column, scale: Int): Column =
+      functions.sum(c.cast(s"decimal(28,$scale)")).over(spec)
+
+    /** Exact weighted-variance numerator W·Σwx² − (Σwx)², and W. W is
+      * integer-valued; multiplying as LONG keeps the decimal product well
+      * inside precision 38 on both engines (decimal×decimal would overflow
+      * DuckDB's 38-digit cap). */
+    private def wVarNum(of: Column, weight: Column, scale: Int): (Column, Column) = {
+      val ww = functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("long")
+      val sx = wS(of * weight, scale)
+      val sx2 = wS(of * of * weight, 2 * scale)
+      ((sx2 * ww - sx * sx).cast("double"), ww.cast("double"))
+    }
+
+    def weightedVarExact(weight: Column, name: String = "wvar", ddof: Int = 1,
+                         scale: Int = 2): Rolling = {
+      val (num, w) = wVarNum(v, weight, scale)
+      add(name, when(w > ddof, num / (w * (w - ddof))))
+    }
+    def weightedStddevExact(weight: Column, name: String = "wstd", ddof: Int = 1,
+                            scale: Int = 2): Rolling = {
+      val (num, w) = wVarNum(v, weight, scale)
+      add(name, when(w > ddof, sqrt(num / (w * (w - ddof)))))
+    }
+    /** Weighted standard error: sqrt(var_w / W) (WeightedStandardError:824). */
+    def weightedSemExact(weight: Column, name: String = "wsem", ddof: Int = 1,
+                         scale: Int = 2): Rolling = {
+      val (num, w) = wVarNum(v, weight, scale)
+      add(name, when(w > ddof, sqrt(num / (w * (w - ddof)) / w)))
+    }
+
+    private def wCovNum(other: Column, weight: Column, scale: Int): (Column, Column) = {
+      val ww = functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("long")
+      val sx = wS(v * weight, scale)
+      val sy = wS(other * weight, scale)
+      val sxy = wS(v * other * weight, 2 * scale)
+      ((sxy * ww - sx * sy).cast("double"), ww.cast("double"))
+    }
+    def weightedCovExact(other: Column, weight: Column, name: String = "wcov",
+                         ddof: Int = 1, scale: Int = 2): Rolling = {
+      val (num, w) = wCovNum(other, weight, scale)
+      add(name, when(w > ddof, num / (w * (w - ddof))))
+    }
+    /** Weighted correlation: the W − ddof denominators cancel, so corr =
+      * num_xy / sqrt(num_x · num_y) over the exact numerators. */
+    def weightedCorrExact(other: Column, weight: Column, name: String = "wcorr",
+                          scale: Int = 2): Rolling = {
+      val (numXY, w) = wCovNum(other, weight, scale)
+      val (numX, _) = wVarNum(v, weight, scale)
+      val (numY, _) = wVarNum(other, weight, scale)
+      add(name, when(w > 1 && numX > 0 && numY > 0, numXY / (sqrt(numX) * sqrt(numY))))
+    }
+
+    /** Weighted skew (WeightedSkew:926): weighted moments Σwxᵏ/W and the
+      * ddof=0 weighted variance feed skewCompute; the small-sample bias
+      * factor uses the tick count n. */
+    def weightedSkew(weight: Column, name: String = "wskew",
+                     bias: Boolean = false, scale: Int = 2): Rolling = {
+      val n = functions.count(v).over(spec).cast("double")
+      val w = wW(weight)
+      val mx = wS(v * weight, scale).cast("double") / w
+      val mx3 = wS(v * v * v * weight, 3 * scale).cast("double") / w
+      val (num, _) = wVarNum(v, weight, scale)
+      val vx = num / (w * w) // ddof = 0
+      val g1 = (mx3 - lit(3) * mx * vx - mx * mx * mx) / pow(vx, 1.5)
+      add(name, when(n > 2 && vx > 0,
+        if (bias) g1 else sqrt(n * (n - 1)) / (n - 2) * g1))
+    }
+
+    /** Weighted excess kurtosis (WeightedKurtosis:1052). */
+    def weightedKurt(weight: Column, name: String = "wkurt", bias: Boolean = false,
+                     excess: Boolean = true, scale: Int = 2): Rolling = {
+      val n = functions.count(v).over(spec).cast("double")
+      val w = wW(weight)
+      val mx = wS(v * weight, scale).cast("double") / w
+      val mx2 = wS(v * v * weight, 2 * scale).cast("double") / w
+      val mx3 = wS(v * v * v * weight, 3 * scale).cast("double") / w
+      val mx4 = wS(v * v * v * v * weight, 4 * scale).cast("double") / w
+      val (num, _) = wVarNum(v, weight, scale)
+      val vx = num / (w * w) // ddof = 0
+      val g2 = (mx4 - lit(4) * mx * mx3 + lit(6) * mx2 * mx * mx -
+        lit(3) * mx * mx * mx * mx) / (vx * vx)
+      val out =
+        if (bias) { if (excess) g2 - 3 else g2 }
+        else {
+          val kfactor = (n + 1) * (n - 1) / ((n - 2) * (n - 3))
+          val ub = kfactor * g2 - lit(3) * ((n - 1) / (n + 1)) * kfactor
+          if (excess) ub else ub + 3
+        }
+      add(name, when(n > 3 && vx > 0, out))
+    }
   }
 }

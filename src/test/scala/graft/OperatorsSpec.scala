@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{AsOf, Baskets, Sequential, Stats}
-import graft.ts.Sources
+import graft.ts.{Sources, TickStream}
 
 /** Golden-replay tests in the reference's style (`test_engine.py:42-57`,
   * `test_stats.py:46-80`): tiny curves in, exact outputs asserted.
@@ -163,5 +163,64 @@ class OperatorsSpec extends AnyFunSuite {
     val x = c(1 -> 1.5, 2 -> 2.5, 3 -> 3.0)
     val rows = Sequential.kahanCumsum(x).df.orderBy("ts").collect()
     assert(rows.map(_.getAs[Double]("ksum")).toSeq == Seq(1.5, 4.0, 7.0))
+  }
+
+  test("weighted var/std/sem/cov/corr degenerate to unweighted at w=1 (statsimpl.h:455-1052)") {
+    import org.apache.spark.sql.functions._
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0)
+    val one = lit(1L)
+    val r = Stats.expanding(TickStream(x.df.withColumn("y", col("value") * 2 + 1)), minWindow = 2)
+      .varExact("v").weightedVarExact(one, "wv")
+      .stddevExact("sd").weightedStddevExact(one, "wsd")
+      .semExact("se").weightedSemExact(one, "wse")
+      .covExact(col("y"), "cv").weightedCovExact(col("y"), one, "wcv")
+      .corrExact(col("y"), "cr").weightedCorrExact(col("y"), one, "wcr")
+      .done.df.orderBy("ts").collect().drop(1)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("v") - row.getAs[Double]("wv")) < 1e-12)
+      assert(math.abs(row.getAs[Double]("sd") - row.getAs[Double]("wsd")) < 1e-12)
+      assert(math.abs(row.getAs[Double]("se") - row.getAs[Double]("wse")) < 1e-12)
+      assert(math.abs(row.getAs[Double]("cv") - row.getAs[Double]("wcv")) < 1e-12)
+      assert(math.abs(row.getAs[Double]("cr") - row.getAs[Double]("wcr")) < 1e-12)
+    }
+  }
+
+  test("weighted skew/kurt degenerate to unweighted at w=1") {
+    import org.apache.spark.sql.functions._
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0, 6 -> 8.0)
+    val r = Stats.expanding(x, minWindow = 4)
+      .skew("sk").weightedSkew(lit(1L), "wsk")
+      .kurt("ku").weightedKurt(lit(1L), "wku")
+      .done.df.orderBy("ts").collect().drop(3)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("sk") - row.getAs[Double]("wsk")) < 1e-9)
+      assert(math.abs(row.getAs[Double]("ku") - row.getAs[Double]("wku")) < 1e-9)
+    }
+  }
+
+  test("weighted variance doubles the weight = duplicates the tick") {
+    import org.apache.spark.sql.functions._
+    // frequency-weight semantics: w=2 on a tick == that tick appearing twice
+    val xw = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0)
+    val wcol = when(col("value") === 3.0, 2L).otherwise(1L)
+    val wv = Stats.expanding(TickStream(xw.df)).weightedVarExact(wcol, "wv")
+      .done.df.orderBy("ts").collect().map(_.getAs[java.lang.Double]("wv"))
+    val dup = c(1 -> 1.0, 2 -> 3.0, 2 -> 3.0, 3 -> 2.0)
+    val uv = Stats.expanding(dup).varExact("v").done.df.orderBy("ts", "seq").collect()
+      .map(_.getAs[java.lang.Double]("v"))
+    // compare at the aligned end points: after {1}, {1,3,3}, {1,3,3,2}
+    assert(math.abs(wv(1) - uv(2)) < 1e-12)
+    assert(math.abs(wv(2) - uv(3)) < 1e-12)
+  }
+
+  test("emaCov(x, x) equals emaVar(x) and w=cycle composition (stats.py:3009)") {
+    import org.apache.spark.sql.functions._
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0)
+    val withSelf = TickStream(x.df.withColumn("y", col("value")))
+    val cov = Sequential.emaCov(withSelf, "y", 0.5).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_cov")).drop(1)
+    val vr = Sequential.emaVar(x, 0.5).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var")).drop(1)
+    cov.zip(vr).foreach { case (cg, vg) => assert(math.abs(cg - vg) < 1e-12, s"$cg vs $vg") }
   }
 }
