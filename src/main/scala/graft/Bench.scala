@@ -23,9 +23,9 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Drop persist()ed intermediates (minhash/LSH/IVF) so caches don't
+      // Release the operators' registered persist-barriers so caches don't
       // accumulate across queries and skew later timings.
-      spark.sharedState.cacheManager.clearCache()
+      graft.util.Caching.release()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -20,9 +20,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // LSH/multiplex queries persist() intermediates as materialization
-      // barriers; drop them between queries so 49 queries don't accumulate
-      spark.sharedState.cacheManager.clearCache()
+      // LSH/gate queries register persist-barriers with Caching; release
+      // them after each query's materialization (the library's own release
+      // path — no session-wide clearCache needed)
+      graft.util.Caching.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,12 +33,30 @@ object VectorExprs {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
+    // Element getter per CHILD: cosine_sim(array<float>, array<double>) is
+    // legal and each side must be read with its own element width.
+    private def isFloatChild(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType): Boolean = dt match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires array<float> or array<double> inputs, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
         org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-      val isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-      val get = if (isFloat) "getFloat" else "getDouble"
+      val getA = if (isFloatChild(left)) "getFloat" else "getDouble"
+      val getB = if (isFloatChild(right)) "getFloat" else "getDouble"
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
@@ -47,8 +65,8 @@ object VectorExprs {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double $x = (double) $a.$get($i);
-           |  double $y = (double) $b.$get($i);
+           |  double $x = (double) $a.$getA($i);
+           |  double $y = (double) $b.$getB($i);
            |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
            |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -59,13 +77,14 @@ object VectorExprs {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val aFloat = isFloatChild(left)
+      val bFloat = isFloatChild(right)
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }

@@ -49,15 +49,15 @@ object Dedup {
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
     val sig = minhashSignatureFromBase(col("__base"), numHashes)
-    // persist() is a materialization BARRIER, not just a cache: without it
-    // CollapseProject inlines the signature expression into every band
-    // (and the candidate join's two branches re-run the whole thing) — a
-    // measured 40× slowdown. At 100 TB the equivalent is writing the
-    // signature table once and joining against it.
-    val sigs = df
+    // Caching.barrier is a materialization BARRIER, not just a cache:
+    // without it CollapseProject inlines the signature expression into
+    // every band (and the candidate join's two branches re-run the whole
+    // thing) — a measured 40× slowdown. At 100 TB the equivalent is
+    // writing the signature table once and joining against it. Released
+    // by the caller via Caching.release() after materialization.
+    val sigs = graft.util.Caching.barrier(df
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
-      .select(col(idCol), sig.as("sig"))
-      .persist()
+      .select(col(idCol), sig.as("sig")))
     sigs
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
@@ -73,10 +73,9 @@ object Dedup {
     val rows = numHashes / bands
     // one signature table, persisted: banding, the estimate prefilter, and
     // (at 100 TB) incremental reruns all read it
-    val sigs = df
+    val sigs = graft.util.Caching.barrier(df
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
-      .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig"))
-      .persist()
+      .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig")))
     val banded = sigs
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
@@ -95,8 +94,8 @@ object Dedup {
       .select("id1", "id2")
     // verify against PRE-computed distinct HASHED shingle sets (64-bit
     // hashes: collision probability negligible, no string construction)
-    val sets = df.select(col(idCol),
-      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("s")).persist()
+    val sets = graft.util.Caching.barrier(df.select(col(idCol),
+      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("s")))
     val withSets = prefiltered
       .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")
@@ -135,7 +134,8 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     val bands = maxDist + 1
     val width = 64 / bands
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sig")).persist()
+    val sigs = graft.util.Caching.barrier(
+      df.select(col(idCol), simhash(col(textCol)).as("sig")))
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))

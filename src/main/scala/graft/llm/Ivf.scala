@@ -1,46 +1,80 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
   * scale path alongside SRP-LSH: k cells from a deterministic Lloyd
   * refinement, vectors assigned to their nearest centroid, queries probe
   * only the `nprobe` nearest cells.
   *
-  * 100 TB shape: centroids are tiny and broadcast everywhere; the corpus
-  * is scanned map-side for assignment (one pass per Lloyd iteration, no
-  * shuffle of vectors — only of per-(cell, lane) partial sums); search
-  * shuffles just the probed cells' candidates. Determinism: centroid init
-  * is the first k vectors by id (seeded sampling would also do), so
-  * replays are identical — no RNG state anywhere.
+  * 100 TB shape: centroids are tiny (k × dim doubles) and live on the
+  * driver between Lloyd iterations — exactly the data that must be
+  * broadcast for assignment anyway. Each iteration is ONE distributed
+  * pass over the corpus (assignment + per-(cell, lane) partial sums);
+  * only k × dim aggregated rows come back. No persist chain, no lineage
+  * growth across iterations.
+  *
+  * Determinism: init = first k vectors by id; per-lane means go through
+  * DECIMAL sums (order-independent regardless of shuffle fetch order —
+  * double avg() would let partial-merge order flip centroid bits and
+  * near-tie cell assignments between runs).
   */
 object Ivf {
 
   private def cos(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  /** DECIMAL(38,18) holds |lane sums| up to 1e19 exactly — embedding
+    * components are O(1), so this is safe past 10^18 vectors per cell. */
+  private val SumType = DecimalType(38, 18)
+
+  private def centroidFrame(spark: SparkSession,
+                            cents: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+  }
+
   /** Deterministic k-cell coarse quantizer: init = k lowest-id vectors,
-    * `iters` Lloyd steps (assign to max-cosine centroid, re-average). */
+    * `iters` Lloyd steps (assign to max-cosine centroid, re-average).
+    * Returns a local (cell, centroid) frame ready for broadcast. */
   def buildCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    var centroids = corpus.orderBy(col(id)).limit(k)
-      .select((row_number().over(Window.orderBy(col(id))) - 1).as("cell"),
-        transform(col(vec), _.cast("double")).as("centroid"))
+    val spark = corpus.sparkSession
+    var cents: Seq[(Int, Array[Double])] = corpus.orderBy(col(id)).limit(k)
+      .select(transform(col(vec), _.cast("double")).as("v"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
     (1 to iters).foreach { _ =>
-      val assigned = assign(corpus, centroids, id, vec)
-      centroids = assigned
+      val assigned = assign(corpus, centroidFrame(spark, cents), id, vec)
+      // one distributed pass: per-(cell, lane) decimal sums + counts;
+      // k × dim result rows collect to the driver (the next broadcast)
+      val lanes = assigned
         .join(corpus.select(col(id), col(vec)), id)
         .select(col("cell"), posexplode(transform(col(vec), _.cast("double"))))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg("col").as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x("m")).as("centroid"))
-      centroids = centroids.persist()
+        .agg(sum(col("col").cast(SumType)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = lanes.groupBy(_.getInt(0))
+      // empty cells keep their previous centroid (standard Lloyd)
+      cents = cents.map { case (c, prev) =>
+        byCell.get(c) match {
+          case None => (c, prev)
+          case Some(rows) =>
+            val v = prev.clone()
+            rows.foreach { r =>
+              v(r.getInt(1)) = r.getDecimal(2)
+                .divide(java.math.BigDecimal.valueOf(r.getLong(3)),
+                  18, java.math.RoundingMode.HALF_EVEN)
+                .doubleValue()
+            }
+            (c, v)
+        }
+      }
     }
-    centroids
+    centroidFrame(spark, cents)
   }
 
   /** Map each vector to its max-cosine cell (centroids broadcast). */

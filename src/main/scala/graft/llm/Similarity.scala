@@ -73,7 +73,7 @@ object Similarity {
     * the 100 TB path: no cross join, bucket-equi shuffle only. */
   def lshPairs(df: DataFrame, threshold: Double, tables: Int = 8, bits: Int = 12,
                dim: Int = 64, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val b = lshBuckets(df, tables, bits, dim, id, vec).persist()
+    val b = graft.util.Caching.barrier(lshBuckets(df, tables, bits, dim, id, vec))
     val cand = b.select(col("table"), col("bucket"), col(id).as("id1"))
       .join(b.select(col("table"), col("bucket"), col(id).as("id2")), Seq("table", "bucket"))
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct()

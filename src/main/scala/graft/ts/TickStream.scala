@@ -140,12 +140,16 @@ final case class TickStream(df: DataFrame) {
   def demultiplex(key: String): TickStream = TickStream(df.filter(col(KEY) === key))
 
   /** csp.default (`baselib.py:525-532`): inject `v` at `at` unless the
-    * stream already ticks at (or before) that time. */
-  def defaultValue(v: Double, at: String): TickStream = {
+    * stream already ticks at (or before) that time. The injected literal is
+    * cast to the STREAM's value type (a Double default on an Int stream
+    * must not silently widen the whole stream). */
+  def defaultValue(v: Any, at: String): TickStream = {
     val start = java.sql.Timestamp.valueOf(at.replace("T", " "))
+    val vType = df.schema(VALUE).dataType
     val keys = df.select(KEY).distinct()
-    val injected = keys.select(col(KEY), lit(start).as(TS), lit(-1L).as(SEQ), lit(v).as(VALUE))
-    val u = df.select(col(KEY), col(TS), col(SEQ), col(VALUE).cast(DoubleType).as(VALUE))
+    val injected = keys.select(col(KEY), lit(start).as(TS), lit(-1L).as(SEQ),
+      lit(v).cast(vType).as(VALUE))
+    val u = df.select(col(KEY), col(TS), col(SEQ), col(VALUE))
       .unionByName(injected)
     // drop the injected row for keys whose first real tick is at <= start
     val first = Window.partitionBy(KEY)
@@ -248,7 +252,10 @@ final case class TickStream(df: DataFrame) {
 
   /** Collect to the golden-test shape `Seq[(Instant-like ts, value)]` the
     * reference's csp.run returns (`csp/impl/wiring/runtime.py:160-221`). */
-  def run(): Seq[(java.sql.Timestamp, Any)] =
-    df.orderBy(TS, SEQ).select(TS, VALUE).collect()
+  def run(): Seq[(java.sql.Timestamp, Any)] = {
+    val out = df.orderBy(TS, SEQ).select(TS, VALUE).collect()
       .map(r => (r.getTimestamp(0), r.get(1))).toSeq
+    graft.util.Caching.release() // drop any operator persist-barriers
+    out
+  }
 }

@@ -1,0 +1,39 @@
+package graft.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+
+/** Persist-barrier registry.
+  *
+  * Several operators persist() an intermediate as a materialization
+  * BARRIER (CollapseProject would otherwise inline an expensive expression
+  * into every consumer branch — a measured 40× on the MinHash signature
+  * table). The barrier is required while the query runs, but a long-lived
+  * session must not leak the cache afterwards: results are lazy, so the
+  * operator itself can never know when the caller has materialized them.
+  *
+  * Contract: operators register barriers here; the caller releases them
+  * after consuming a result (`TickStream.run()`, `Verify`, and `Bench` do
+  * so automatically). Releasing is idempotent and safe mid-plan — an
+  * unpersisted barrier only costs recompute, never correctness.
+  */
+object Caching {
+  private val registry = ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` as a barrier and register it for later release. */
+  def barrier(df: DataFrame): DataFrame = synchronized {
+    registry += df.persist()
+    df
+  }
+
+  /** Unpersist every registered barrier (non-blocking). Call after the
+    * consuming action of a query built from barrier-using operators. */
+  def release(): Unit = synchronized {
+    registry.foreach(_.unpersist(false))
+    registry.clear()
+  }
+
+  /** Number of currently registered (unreleased) barriers — test hook. */
+  def outstanding: Int = synchronized(registry.size)
+}

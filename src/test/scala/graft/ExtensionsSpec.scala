@@ -27,6 +27,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nh == 3)
   }
 
+  test("cosine_sim handles mixed float/double arrays per child and rejects non-arrays") {
+    GraftExtensions.register(spark)
+    // float left, double right: each side must be read with its own width
+    val mixed = spark.sql(
+      """SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                  array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS c""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(mixed - 1.0) < 1e-12)
+    val mixedOrth = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS c""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(mixedOrth) < 1e-12)
+    // type check fires at analysis, not runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim('abc', array(1.0))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+
   test("GraftExtensions class wires the same functions via withExtensions") {
     // instantiate the extensions entry point against a fresh builder;
     // restore the suite's default session afterwards

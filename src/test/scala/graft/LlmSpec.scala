@@ -102,6 +102,19 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.intersect(bf).size >= bf.size * 9 / 10, s"ivf=$ivf bf=$bf")
   }
 
+  test("Caching.release drops every operator persist-barrier (no cache leak)") {
+    graft.util.Caching.release() // clean slate (earlier tests ran barrier ops)
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+    pairs.count() // materialize: barriers populate
+    assert(graft.util.Caching.outstanding > 0)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    graft.util.Caching.release()
+    assert(graft.util.Caching.outstanding == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a shared session must hold no cached RDDs after release()")
+  }
+
   test("multimodal plumbing: features, resize, frame sampling") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
