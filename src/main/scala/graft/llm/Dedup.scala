@@ -64,22 +64,48 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /** Degenerate-bucket guard: keep only (grouping) buckets with at most
+    * `maxBucketSize` members before a bucket self-join. One pathological
+    * bucket (empty/boilerplate docs all hashing together) would otherwise
+    * go quadratic — 10M identical docs = 10^14 candidate pairs. The window
+    * count partitions exactly like the join key, so the guard rides the
+    * join's own shuffle. Dropped buckets are NOT silent: inspect them with
+    * `oversizedBuckets` (exact duplicates they contain are `exact`'s job,
+    * which stays linear). */
+  private[llm] def capBuckets(banded: DataFrame, keys: Seq[String],
+                              maxBucketSize: Int): DataFrame =
+    banded
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+
+  /** The (band, bucket) groups a `maxBucketSize` guard would exclude, with
+    * their sizes — monitoring hook so capped runs are auditable. */
+  def oversizedBuckets(df: DataFrame, textCol: String, idCol: String,
+                       maxBucketSize: Int, numHashes: Int = 32, bands: Int = 16,
+                       shingleN: Int = 2): DataFrame =
+    lshBuckets(df, textCol, idCol, numHashes, bands, shingleN)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucketSize)
+
   /** MinHash+LSH near-dup candidate pairs (id1 < id2), verified with exact
     * n-gram Jaccard ≥ threshold. The join is bucket-equi (band, bucket) —
-    * no cross join anywhere. */
+    * no cross join anywhere; buckets above `maxBucketSize` are excluded
+    * from candidate generation (see `capBuckets`). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, numHashes: Int = 32, bands: Int = 16,
-                   shingleN: Int = 2): DataFrame = {
+                   shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // one signature table, persisted: banding, the estimate prefilter, and
     // (at 100 TB) incremental reruns all read it
     val sigs = graft.util.Caching.barrier(df
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
       .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig")))
-    val banded = sigs
+    val banded = capBuckets(sigs
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize)
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")), Seq("band", "bucket"))
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
@@ -131,15 +157,16 @@ object Dedup {
   /** SimHash near-dup pairs within hamming ≤ maxDist, bucketed by the
     * 4-way band trick (pairs within distance d share ≥1 of d+1 bands). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val bands = maxDist + 1
     val width = 64 / bands
     val sigs = graft.util.Caching.barrier(
       df.select(col(idCol), simhash(col(textCol)).as("sig")))
-    val banded = sigs.select(col(idCol), col("sig"), posexplode(
+    val banded = capBuckets(sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("s1"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("id2"), col("sig").as("s2"))
     l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
@@ -154,8 +181,8 @@ object Dedup {
     * truth is SQL-computable (unlike hamming over xxhash64 signatures). */
   def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
                            maxDist: Int, jaccardThreshold: Double,
-                           shingleN: Int = 3): DataFrame = {
-    val cand = simhashPairs(df, textCol, idCol, maxDist)
+                           shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val cand = simhashPairs(df, textCol, idCol, maxDist, maxBucketSize)
     val d1 = df.select(col(idCol).as("id1"), col(textCol).as("__t1"))
     val d2 = df.select(col(idCol).as("id2"), col(textCol).as("__t2"))
     cand.join(d1, "id1").join(d2, "id2")

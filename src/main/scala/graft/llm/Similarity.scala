@@ -70,10 +70,16 @@ object Similarity {
   }
 
   /** LSH-bucketed near-neighbor pairs with exact cosine verification —
-    * the 100 TB path: no cross join, bucket-equi shuffle only. */
+    * the 100 TB path: no cross join, bucket-equi shuffle only. Buckets
+    * above `maxBucketSize` are excluded before the self-join (a degenerate
+    * bucket — e.g. zero vectors all signing identically — would go
+    * quadratic); audit exclusions via `Dedup`-style bucket counts over
+    * `lshBuckets`. */
   def lshPairs(df: DataFrame, threshold: Double, tables: Int = 8, bits: Int = 12,
-               dim: Int = 64, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val b = graft.util.Caching.barrier(lshBuckets(df, tables, bits, dim, id, vec))
+               dim: Int = 64, id: String = "vec_id", vec: String = "embedding",
+               maxBucketSize: Int = 1000): DataFrame = {
+    val b = graft.util.Caching.barrier(graft.llm.Dedup.capBuckets(
+      lshBuckets(df, tables, bits, dim, id, vec), Seq("table", "bucket"), maxBucketSize))
     val cand = b.select(col("table"), col("bucket"), col(id).as("id1"))
       .join(b.select(col("table"), col("bucket"), col(id).as("id2")), Seq("table", "bucket"))
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct()

@@ -14,6 +14,14 @@ import graft.ts.{Tick, TickStream}
 object Baskets {
   import Tick._
 
+  /** Explicit single-partition window key. Non-foldable (derived from a
+    * column) so Spark 4's EliminateWindowPartitions doesn't strip it —
+    * a bare literal is removed, leaving an empty partition spec and the
+    * "No Partition Defined" warning. Used ONLY where single-partition IS
+    * the operator's semantic: a lone control stream, or one output
+    * stream's dense cycle counter (the scale axis is many baskets). */
+  private def onePartition: org.apache.spark.sql.Column = pmod(col(SEQ), lit(1L))
+
   /** csp.gate(x, release) (reference `csp/baselib.py:507-522`): while the
     * last `release` value is false (or not yet valid) buffer x's ticks;
     * when `release` turns true flush the buffer as one list tick; while
@@ -35,14 +43,14 @@ object Baskets {
     val ordAll = ord.rowsBetween(Window.unboundedPreceding, 0)
     val prevRel = last(when(col("__src") === 1, col("__rel")), ignoreNulls = true)
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
-    // persist: three output branches (pass-through, buffered, openings)
-    // read this chained-window subplan — barrier avoids 3× recompute
-    val annotated = u
+    // barrier: three output branches (pass-through, buffered, openings)
+    // read this chained-window subplan — avoids 3× recompute; released by
+    // the caller via Caching.release() after materialization
+    val annotated = graft.util.Caching.barrier(u
       .withColumn("__open", last(when(col("__src") === 1, col("__rel")), ignoreNulls = true).over(ordAll))
       .withColumn("__opening",
         (col("__src") === 1 && col("__rel") && !coalesce(prevRel, lit(false))).cast("int"))
-      .withColumn("__openCnt", sum(col("__opening")).over(ordAll))
-      .persist()
+      .withColumn("__openCnt", sum(col("__opening")).over(ordAll)))
     val passThrough = annotated.filter(col("__src") === 0 && col("__open") === true)
       .select(col(KEY), col(TS), col(SEQ), array(col(VALUE)).as(VALUE))
     val buffered = annotated.filter(col("__src") === 0 && (col("__open").isNull || col("__open") === false))
@@ -62,35 +70,48 @@ object Baskets {
     * emit the selected member's ticks; on selector change, emit the newly
     * selected member's last value if valid.
     *
-    * Shape: the selector is ONE logical sequence (as in the reference's
-    * single-threaded engine), so the current-selection is a single-
-    * partition window over basket ∪ selector — cheap because one basket's
-    * traffic is one engine's traffic; many baskets parallelize by basket
-    * id. Key-change values resolve in per-member partitions (parallel).
-    * (A first cut broadcast the selector per member — |sel| × |members|
-    * rows, measured 30M at sf0.1. Never copy a control stream per key.)
+    * 100 TB shape: ONLY the selector (a tiny control stream) is globally
+    * ordered — its ticks become validity intervals [ts, nextTs) that are
+    * BROADCAST. Member ticks resolve their current selection with a
+    * broadcast hash join (equi-key on the selected member + range
+    * post-filter): the basket is never shuffled and never funnels through
+    * one partition. Key-change values resolve in per-member partitions,
+    * and only for keys the selector ever names (broadcast semi-join cull).
+    * (A first cut ran one global window over basket ∪ selector — correct,
+    * but serializes the whole basket through a single partition; an even
+    * earlier cut copied the selector per member — |sel| × |members| rows,
+    * measured 30M at sf0.1. Never globally sort a data stream to align it
+    * with a control stream.)
     */
   def multiplex(basket: TickStream, sel: TickStream): TickStream = {
-    val b = basket.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)).withColumn("__src", lit(0))
-    val s = sel.df.select(col(VALUE).cast("string").as("__selv"), col(TS), col(SEQ))
-      .withColumn("__src", lit(1))
-    val u = b.unionByName(s, allowMissingColumns = true)
-    // engine order: selector updates visible to same-ts member ticks
-    val g = Window.partitionBy(lit("__basket__"))
-      .orderBy(col(TS), when(col("__src") === 1, 0).otherwise(1), col(SEQ))
-    val withSel = u
-      .withColumn("__cur", last(when(col("__src") === 1, col("__selv")), ignoreNulls = true)
-        .over(g.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__prev", last(when(col("__src") === 1, col("__selv")), ignoreNulls = true)
-        .over(g.rowsBetween(Window.unboundedPreceding, -1)))
-    val memberTicks = withSel.filter(col("__src") === 0 && col("__cur") === col(KEY))
+    // 1. selector validity intervals — selector stream only. Selector
+    //    updates are visible to same-ts member ticks (engine order), so a
+    //    member tick at exactly nextTs belongs to the NEXT interval
+    //    (strict upper bound); duplicate-ts selector cycles yield empty
+    //    [T, T) intervals for all but the last — last-at-ts wins.
+    val sw = Window.partitionBy(onePartition).orderBy(col(TS), col(SEQ))
+    val intervals = sel.df
+      .select(col(VALUE).cast("string").as("__selv"), col(TS), col(SEQ))
+      .withColumn("__endTs", lead(col(TS), 1).over(sw))
+      .withColumn("__prevSel", lag(col("__selv"), 1).over(sw))
+    // 2. member ticks of the currently selected member: broadcast range
+    //    join — equi on the member key, range on the validity interval
+    val memberTicks = basket.df
+      .join(broadcast(intervals.select(col("__selv"), col(TS).as("__fromTs"), col("__endTs"))),
+        col(KEY) === col("__selv") && col(TS) >= col("__fromTs") &&
+          (col("__endTs").isNull || col(TS) < col("__endTs")))
       .select(col(KEY), col(TS), col(SEQ), col(VALUE))
-    val changes = withSel
-      .filter(col("__src") === 1 && (col("__prev").isNull || col("__prev") =!= col("__selv")))
+    // 3. selector CHANGES (new member selected) — the rows that may need a
+    //    last-value emission
+    val changes = intervals
+      .filter(col("__prevSel").isNull || col("__prevSel") =!= col("__selv"))
       .select(col("__selv").as(KEY), col(TS), col(SEQ)).withColumn("__chg", lit(1))
-    // last member value at each change row: union the (few) change rows
-    // into the per-member partitions — change orders before same-ts ticks
+    // 4. last member value at each change row: union the (few) change rows
+    //    into per-member partitions, restricted to members the selector
+    //    ever names — change orders before same-ts ticks
+    val chgKeys = changes.select(col(KEY)).distinct()
     val u2 = basket.df.select(col(KEY), col(TS), col(SEQ), col(VALUE))
+      .join(broadcast(chgKeys), Seq(KEY), "leftsemi")
       .withColumn("__chg", lit(0))
       .unionByName(changes, allowMissingColumns = true)
     val pm = Window.partitionBy(KEY)
@@ -106,8 +127,11 @@ object Baskets {
       .filter(col("__chg") === 1 && col("__lastVal").isNotNull && col("__hasTick").isNull)
       .select(col(KEY), col(TS), col(SEQ), col("__lastVal").as(VALUE))
     val out = memberTicks.unionByName(keyChanges)
+    // 5. the output is ONE stream (keyed "mux"): its dense cycle counter is
+    //    inherently sequential, same as the reference's single engine —
+    //    partition by the output key (constant) to say so explicitly
     TickStream(out.select(lit("mux").as(KEY), col(TS),
-      (row_number().over(Window.partitionBy(lit(1)).orderBy(col(TS), col(SEQ))) - 1)
+      (row_number().over(Window.partitionBy(onePartition).orderBy(col(TS), col(SEQ))) - 1)
         .cast("long").as(SEQ), col(VALUE)))
   }
 

@@ -51,19 +51,22 @@ object Sources {
     */
   def timer(spark: SparkSession, key: String, start: String, end: String,
             intervalSec: Long, value: Double = 1.0): TickStream = {
+    val startTs = Timestamp.valueOf(start.replace("T", " "))
     val df = spark
       .range(1)
       .select(
         explode(
           sequence(
-            lit(Timestamp.valueOf(start.replace("T", " "))),
+            lit(startTs),
             lit(Timestamp.valueOf(end.replace("T", " "))),
             expr(s"interval $intervalSec seconds"))).as(Tick.TS))
       .select(
         lit(key).as(Tick.KEY),
         col(Tick.TS),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1)).orderBy(Tick.TS)) - 1).cast(LongType).as(Tick.SEQ),
+        // seq is arithmetic (tick index on the grid) — no window, so the
+        // generator stays embarrassingly parallel
+        ((unix_micros(col(Tick.TS)) - unix_micros(lit(startTs)))
+          / (intervalSec * 1000000L)).cast(LongType).as(Tick.SEQ),
         lit(value).as(Tick.VALUE))
     TickStream(df)
   }
@@ -139,20 +142,41 @@ object Sources {
     shiftrightunsigned(xxhash64(idCol, lit(seed)), 11).cast(DoubleType) / lit((1L << 53).toDouble)
 
   /** csp.random.poisson_timer: ticks with exponential inter-arrival at
-    * `ratePerSec`, from `start` until `end`. */
+    * `ratePerSec`, from `start` until `end`.
+    *
+    * The arrival-time prefix sum is computed as a two-pass per-block scan
+    * (running sum within 64k-id blocks, then tiny block offsets cumulated
+    * and broadcast back) — the naive single global window would funnel the
+    * whole stream through one partition. Deterministic: every sum follows
+    * id order (within-block window scans + ordered block cumsum), never a
+    * shuffle-order-dependent reduce. */
   def poissonTimer(spark: SparkSession, key: String, start: String, end: String,
                    ratePerSec: Double, seed: Long = 42L): TickStream = {
+    import org.apache.spark.sql.expressions.Window
     val startTs = Timestamp.valueOf(start.replace("T", " "))
     val endTs = Timestamp.valueOf(end.replace("T", " "))
     val durSec = (endTs.getTime - startTs.getTime) / 1000.0
     val n = math.max(16L, (durSec * ratePerSec * 3).toLong) // 3× headroom, then filter
+    val blockSize = 1L << 16
     val gaps = spark.range(n).select(
       col("id"),
+      (col("id") / blockSize).cast(LongType).as("__blk"),
       (-log(lit(1.0) - unit(col("id"), seed)) / lit(ratePerSec)).as("gap"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    TickStream(gaps
-      .withColumn("offsetSec", sum(col("gap")).over(w))
+    val wb = Window.partitionBy("__blk").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = gaps.withColumn("__local", sum(col("gap")).over(wb))
+    // per-block totals (n / 64k rows — tiny), cumulated in block order;
+    // non-foldable constant partition: single-partition by design on a
+    // tiny set (a literal would be stripped by EliminateWindowPartitions)
+    val wOff = Window.partitionBy(pmod(col("__blk"), lit(1L))).orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__blk")
+      .agg(max_by(col("__local"), col("id")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0.0)))
+      .select("__blk", "__off")
+    TickStream(local
+      .join(broadcast(offsets), "__blk")
+      .withColumn("offsetSec", col("__local") + col("__off"))
       .withColumn(Tick.TS, timestamp_micros(unix_micros(lit(startTs)) + (col("offsetSec") * 1e6).cast(LongType)))
       .filter(col(Tick.TS) <= lit(endTs))
       .select(lit(key).as(Tick.KEY), col(Tick.TS), col("id").as(Tick.SEQ), lit(1.0).as(Tick.VALUE)))

@@ -102,6 +102,24 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.intersect(bf).size >= bf.size * 9 / 10, s"ivf=$ivf bf=$bf")
   }
 
+  test("bucket-size guard: 1k identical docs never reach the quadratic self-join") {
+    val many = spark.range(1000).select(col("id").as("doc_id"),
+      lit("same boilerplate text repeated in every single document forever").as("text"))
+    // guard on: the one degenerate bucket per band is excluded -> no
+    // candidate pairs at all (exact duplicates are Dedup.exact's job)
+    val pairs = Dedup.minhashPairs(many, "text", "doc_id", threshold = 0.5, maxBucketSize = 100)
+    assert(pairs.count() == 0)
+    // and the exclusion is auditable, not silent
+    val over = Dedup.oversizedBuckets(many, "text", "doc_id", maxBucketSize = 100)
+    val sizes = over.collect().map(_.getAs[Long]("size"))
+    assert(sizes.nonEmpty && sizes.forall(_ == 1000L))
+    // exact dedup still collapses the group linearly
+    val canon = Dedup.exact(many, "text", "doc_id")
+      .filter(col("doc_id") =!= col("canonical_id")).count()
+    assert(canon == 999L)
+    graft.util.Caching.release()
+  }
+
   test("Caching.release drops every operator persist-barrier (no cache leak)") {
     graft.util.Caching.release() // clean slate (earlier tests ran barrier ops)
     spark.sharedState.cacheManager.clearCache()
