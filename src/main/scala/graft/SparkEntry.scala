@@ -167,6 +167,16 @@ object SparkEntry {
       Stats.ticks(ev(s, dir).mapValue(_.cast("decimal(30,2)")), 10).sum("sm").done
         .df.select(col("seq").as("event_id"), col("sm").cast("double").as("sum_v"))
     },
+    // sampler + min_data_points (stats.py:218-280): purchases observed at
+    // click ticks (NaN until the first purchase), NaN-aware validity gate
+    "q_stats_sampler" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val x = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val sampler = TickStream(e.df.filter(col("event_type") === "click"))
+      val sampled = Stats.ignoreNa(Stats.sampledBy(x, sampler))
+      Stats.ticks(sampled, 10).withMinDataPoints(8).mean("m").done
+        .df.select(col("seq").as("event_id"), round(col("m"), 6).as("mean_v"))
+    },
     "q_stats_var" -> { (s, dir) =>
       Stats.ticks(ev(s, dir), 10, minWindow = 2).varExact("v").stddevExact("sd").semExact("se").done
         .df.filter(col("v").isNotNull)
@@ -287,6 +297,23 @@ object SparkEntry {
         .withColumn(Tick.VALUE, col("event_type") === "signup"))
       val x = TickStream(e.df.filter(col("event_type") === "purchase"))
       AsOf.filterBy(flag, x).df.select(col("seq").as("event_id"))
+    },
+    // Math-DSL tail (math.py floordiv/mod/min/max/comparisons) in one
+    // cycle-aligned binop pass: the struct carries all six ops so the
+    // as-of kernel runs once, not six times.
+    "q_edge_math" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val x = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val y = TickStream(e.df.filter(col("event_type") === "click"))
+      AsOf.binop(x, y, (a, b) => {
+        val m = abs(b) + lit(1.0) // guaranteed-positive modulus/divisor
+        struct(floor(a / m).cast("double").as("fdiv"), pmod(a, m).as("pm"),
+          least(a, b).as("mn"), greatest(a, b).as("mx"),
+          (a <= b).as("le"), (a === b).as("eq"))
+      }, "m").df
+        .select(uid, unix_micros(col(Tick.TS)).as("time_us"),
+          col("m.fdiv").as("fdiv"), col("m.pm").as("pm"), col("m.mn").as("mn"),
+          col("m.mx").as("mx"), col("m.le").as("le"), col("m.eq").as("eq"))
     },
     "q_struct_fromts" -> { (s, dir) =>
       val e = ev(s, dir)
@@ -532,6 +559,14 @@ object SparkEntry {
          |  count(*) OVER (${WR(10)}) AS cnt FROM events""".stripMargin,
     "q_stats_sum" ->
       s"SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (${WR(10)}) AS DOUBLE) AS sum_v FROM events",
+    "q_stats_sampler" ->
+      s"""SELECT event_id, CASE WHEN cnt >= 8 THEN round(m, 6) END AS mean_v FROM (
+         |  SELECT event_id, avg(lp) OVER w AS m, count(lp) OVER w AS cnt FROM (
+         |    SELECT event_id, user_id, ts, event_type,
+         |      last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER ($W) AS lp
+         |    FROM events WHERE event_type IN ('purchase', 'click'))
+         |  WHERE event_type = 'click'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))""".stripMargin,
     "q_stats_var" ->
       s"""SELECT event_id, v AS var_v, sqrt(v) AS std_v, sqrt(v) / sqrt(n) AS sem_v FROM (
          |  SELECT event_id, CAST(count(*) OVER w AS DOUBLE) AS n,
@@ -732,6 +767,24 @@ object SparkEntry {
          |      WHEN event_type = 'error' THEN false END IGNORE NULLS) OVER ($W) AS f
          |  FROM events WHERE event_type IN ('signup', 'error', 'purchase'))
          |WHERE event_type = 'purchase' AND f""".stripMargin,
+    // pmod replicated as Catalyst computes it (r = a mod m; r < 0 ? r + m
+    // : r). NOTE: DuckDB's % operator is bit-identical to the JVM's %,
+    // but its fmod() FUNCTION is not (a - trunc(a/m)*m style, off in the
+    // last ulp) — use %, never fmod(), in double-exact oracles.
+    "q_edge_math" ->
+      s"""SELECT user_id, epoch_us(ts) AS time_us,
+         |  floor(lp / (abs(lc) + 1.0)) AS fdiv,
+         |  CASE WHEN lp % (abs(lc) + 1.0) < 0
+         |       THEN lp % (abs(lc) + 1.0) + (abs(lc) + 1.0)
+         |       ELSE lp % (abs(lc) + 1.0) END AS pm,
+         |  least(lp, lc) AS mn, greatest(lp, lc) AS mx,
+         |  lp <= lc AS le, lp = lc AS eq
+         |FROM (
+         |  SELECT user_id, ts,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER ($W) AS lp,
+         |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER ($W) AS lc
+         |  FROM events WHERE event_type IN ('purchase', 'click'))
+         |WHERE lp IS NOT NULL AND lc IS NOT NULL""".stripMargin,
     "q_struct_fromts" ->
       s"""SELECT event_id, lp AS p, lc AS c FROM (
          |  SELECT event_id, event_type,

@@ -75,6 +75,25 @@ object Stats {
   def ignoreNa(x: TickStream): TickStream =
     x.mapValue(v => when(!isnan(v), v))
 
+  /** csp stats `sampler` parameter (stats.py:218-280, docstring
+    * stats.py:1686-1717): observations enter the window when the SAMPLER
+    * ticks, taking x's value as of that engine cycle — NaN when x has not
+    * ticked yet. Feed the result to any window builder; combine with
+    * [[ignoreNa]] / `minDataPoints` for the reference's NaN-police knobs. */
+  def sampledBy(x: TickStream, sampler: TickStream): TickStream = {
+    val joined = AsOf.join(sampler, Seq("__samp" -> x))
+    TickStream(joined.df
+      .withColumn(VALUE, coalesce(col("__samp").cast("double"), lit(Double.NaN)))
+      .drop("__samp"))
+  }
+
+  // csp stats `recalc` parameter (stats.py:218-280) intentionally has no
+  // counterpart: it exists to rebuild the reference's mutable accumulators
+  // when floating-point drift from incremental add/remove grows. The batch
+  // lowering evaluates every window frame independently (WindowExec frames
+  // or the *Exact DECIMAL sums) — there is no incremental accumulator to
+  // drift, so recalc is semantically a no-op here.
+
   /** cov_matrix / corr_matrix (stats.py:2337/2694) over vector ticks
     * (lanes = basket members, see Baskets.toVector): one generator
     * produces the d² lane pairs per tick, then a single groupBy(i,j)
@@ -102,11 +121,23 @@ object Stats {
            sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
   }
 
-  final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int) {
+  final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int,
+                           minDataPoints: Int = 0) {
     private val v = col(VALUE)
-    private def gated(c: Column): Column =
-      if (minWindow <= 1) c
-      else when(functions.count(v).over(spec) >= minWindow, c)
+
+    /** csp stats `min_data_points` (stats.py:218-280): unlike min_window
+      * (which counts TICKS in the frame), this requires at least n
+      * NON-NaN observations — the NaN-aware validity gate. */
+    def withMinDataPoints(n: Int): Rolling = copy(minDataPoints = n)
+
+    private def gated(c: Column): Column = {
+      val base =
+        if (minWindow <= 1) c
+        else when(functions.count(v).over(spec) >= minWindow, c)
+      if (minDataPoints <= 0) base
+      else when(functions.count(when(!isnan(v.cast("double")), v)).over(spec)
+        >= minDataPoints, base)
+    }
 
     private def add(name: String, c: Column): Rolling =
       Rolling(TickStream(x.df.withColumn(name, gated(c))), spec, minWindow)

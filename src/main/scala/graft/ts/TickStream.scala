@@ -239,16 +239,72 @@ final case class TickStream(df: DataFrame) {
   def /(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ / _)
   def <(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ < _)
   def >(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ > _)
+  def <=(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ <= _)
+  def >=(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ >= _)
+  /** csp.eq / csp.ne (`math.py:COMP_OPS`). */
+  def ===(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ === _)
+  def =!=(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ =!= _)
+  /** csp.pow between streams (`math.py:pow`). */
+  def powOf(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, pow)
+  /** csp.floordiv (`math.py:floordiv`, python // semantics: floor of the
+    * quotient, also for negatives). */
+  def floorDiv(o: TickStream): TickStream =
+    graft.operators.AsOf.binop(this, o,
+      (a, b) => floor(a / b).cast(DoubleType)) // Spark floor → BIGINT; python float // float → float
+  /** csp.mod (`math.py:mod`, python % semantics: result carries the
+    * DIVISOR's sign — not the JVM's truncation %, and not pmod either,
+    * which keeps the truncated remainder when the divisor is negative). */
+  def modOf(o: TickStream): TickStream =
+    graft.operators.AsOf.binop(this, o, TickStream.pythonMod)
+  /** csp.min / csp.max between streams (`math.py:min,max`). */
+  def minWith(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, least(_, _))
+  def maxWith(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, greatest(_, _))
+  /** csp.and_ / or_ / not_ (`math.py:82-95`) over boolean streams. */
+  def and(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ && _)
+  def or(o: TickStream): TickStream = graft.operators.AsOf.binop(this, o, _ || _)
+  def not: TickStream = mapValue(!_)
+
   def +(c: Double): TickStream = mapValue(_ + c)
   def -(c: Double): TickStream = mapValue(_ - c)
   def *(c: Double): TickStream = mapValue(_ * c)
   def /(c: Double): TickStream = mapValue(_ / c)
+  def <(c: Double): TickStream = mapValue(_ < c)
+  def >(c: Double): TickStream = mapValue(_ > c)
+  def <=(c: Double): TickStream = mapValue(_ <= c)
+  def >=(c: Double): TickStream = mapValue(_ >= c)
   def unary_- : TickStream = mapValue(v => -v)
   def absTicks: TickStream = mapValue(abs)
   def ln: TickStream = mapValue(log(_))
   def expTicks: TickStream = mapValue(exp)
   def sqrtTicks: TickStream = mapValue(sqrt)
   def powTicks(p: Double): TickStream = mapValue(pow(_, p))
+  def floorDiv(c: Double): TickStream = mapValue(v => floor(v / c).cast(DoubleType))
+  def modOf(c: Double): TickStream = mapValue(TickStream.pythonMod(_, lit(c)))
+  /** Unary tail of `math.py:MATH_OPS` — all map to codegen'd built-ins. */
+  def log2Ticks: TickStream = mapValue(log2)
+  def log10Ticks: TickStream = mapValue(log10)
+  def exp2Ticks: TickStream = mapValue(pow(lit(2.0), _))
+  def sinTicks: TickStream = mapValue(sin)
+  def cosTicks: TickStream = mapValue(cos)
+  def tanTicks: TickStream = mapValue(tan)
+  def asinTicks: TickStream = mapValue(asin)
+  def acosTicks: TickStream = mapValue(acos)
+  def atanTicks: TickStream = mapValue(atan)
+  def sinhTicks: TickStream = mapValue(sinh)
+  def coshTicks: TickStream = mapValue(cosh)
+  def tanhTicks: TickStream = mapValue(tanh)
+  def asinhTicks: TickStream = mapValue(asinh)
+  def acoshTicks: TickStream = mapValue(acosh)
+  def atanhTicks: TickStream = mapValue(atanh)
+  /** csp.erf (`math.py:erf`): Abramowitz–Stegun 7.1.26 rational
+    * approximation in pure Column arithmetic (|err| ≤ 1.5e-7) — stays
+    * inside whole-stage codegen; the JVM has no native erf. */
+  def erfTicks: TickStream = mapValue { x =>
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * abs(x))
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t + lit(1.421413741)) * t
+      - lit(0.284496736)) * t + lit(0.254829592)) * t
+    signum(x) * (lit(1.0) - poly * exp(-x * x))
+  }
 
   /** Collect to the golden-test shape `Seq[(Instant-like ts, value)]` the
     * reference's csp.run returns (`csp/impl/wiring/runtime.py:160-221`). */
@@ -257,5 +313,13 @@ final case class TickStream(df: DataFrame) {
       .map(r => (r.getTimestamp(0), r.get(1))).toSeq
     graft.util.Caching.release() // drop any operator persist-barriers
     out
+  }
+}
+
+object TickStream {
+  /** Python `%`: remainder with the divisor's sign (math.py mod). */
+  private[ts] def pythonMod(a: Column, b: Column): Column = {
+    val r = a % b
+    when(r =!= 0 && signum(r) =!= signum(b), r + b).otherwise(r)
   }
 }

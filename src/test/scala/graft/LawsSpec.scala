@@ -41,6 +41,51 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: math-DSL tail matches scala.math / python semantics per tick") {
+    // aligned streams (same timestamps) so binop fires on every tick pair
+    val xs = Seq(1 -> 7.0, 2 -> -7.0, 3 -> 2.5, 4 -> -2.5, 5 -> 0.5)
+    val ys = Seq(1 -> 3.0, 2 -> 3.0, 3 -> -2.0, 4 -> -2.0, 5 -> 0.25)
+    val x = curveOf("k", xs)
+    val y = curveOf("k", ys)
+    def vals(t: TickStream): Seq[Double] = t.run().map(_._2.asInstanceOf[Double])
+    def bools(t: TickStream): Seq[Boolean] = t.run().map(_._2.asInstanceOf[Boolean])
+    // python // and % semantics (floor division, divisor-sign mod)
+    assert(vals(x.floorDiv(y)) == Seq(2.0, -3.0, -2.0, 1.0, 2.0))
+    assert(vals(x.modOf(y)) == xs.zip(ys).map { case ((_, a), (_, b)) =>
+      val r = a % b; if (r != 0 && ((r < 0) != (b < 0))) r + b else r
+    })
+    assert(vals(x.minWith(y)) == xs.zip(ys).map { case ((_, a), (_, b)) => math.min(a, b) })
+    assert(vals(x.maxWith(y)) == xs.zip(ys).map { case ((_, a), (_, b)) => math.max(a, b) })
+    // Spark's POW evaluates via StrictMath — may differ from Math.pow by 1 ulp
+    assert(vals(x.powOf(y)).zip(xs.zip(ys).map { case ((_, a), (_, b)) => math.pow(a, b) })
+      .forall { case (g, w) => math.abs(g - w) <= 1e-12 })
+    assert(bools(x <= y) == xs.zip(ys).map { case ((_, a), (_, b)) => a <= b })
+    assert(bools(x >= y) == xs.zip(ys).map { case ((_, a), (_, b)) => a >= b })
+    assert(bools(x === y) == xs.zip(ys).map { case ((_, a), (_, b)) => a == b })
+    assert(bools(x =!= y) == xs.zip(ys).map { case ((_, a), (_, b)) => a != b })
+    // unary tail vs scala.math (same libm entry points as python's math.*)
+    val u = curveOf("k", Seq(1 -> 0.3, 2 -> 0.7, 3 -> 0.9))
+    def close(got: Seq[Double], want: Seq[Double], tol: Double = 1e-12) =
+      got.zip(want).forall { case (g, w) => math.abs(g - w) <= tol }
+    assert(close(vals(u.sinTicks), Seq(0.3, 0.7, 0.9).map(math.sin)))
+    assert(close(vals(u.acosTicks), Seq(0.3, 0.7, 0.9).map(math.acos)))
+    assert(close(vals(u.atanhTicks), Seq(0.3, 0.7, 0.9).map(x0 => 0.5 * math.log((1 + x0) / (1 - x0)))))
+    assert(close(vals(u.log2Ticks), Seq(0.3, 0.7, 0.9).map(x0 => math.log(x0) / math.log(2))))
+    assert(close(vals(u.exp2Ticks), Seq(0.3, 0.7, 0.9).map(x0 => math.pow(2, x0))))
+    // erf: A&S 7.1.26 rational approximation, |err| <= 1.5e-7
+    val erfWant = Seq(0.3286267594591274, 0.6778011938374184, 0.7969082124228322)
+    assert(close(vals(u.erfTicks), erfWant, 2e-7))
+    assert(vals(u.erfTicks.unary_-.absTicks) == vals(u.erfTicks)) // odd-function sanity via DSL chain
+    // boolean streams
+    val p = Sources.curveOf(spark, "k", Seq(day(1) -> true, day(2) -> false),
+      org.apache.spark.sql.types.BooleanType)
+    val q = Sources.curveOf(spark, "k", Seq(day(1) -> true, day(2) -> true),
+      org.apache.spark.sql.types.BooleanType)
+    assert(bools(p.and(q)) == Seq(true, false))
+    assert(bools(p.or(q)) == Seq(true, true))
+    assert(bools(p.not) == Seq(false, true))
+  }
+
   test("law: sample(x, x) is identity on values") {
     (1 to 8).foreach { _ =>
       val a = randomCurve()

@@ -29,6 +29,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(AsOf.sample(trig, x).run().isEmpty)
   }
 
+  test("sampler: observations enter at sampler ticks, NaN before x is valid (stats.py:218-280)") {
+    val x = c(2 -> 10.0, 4 -> 40.0)
+    val sampler = c(1 -> 0, 2 -> 0, 3 -> 0, 5 -> 0)
+    val out = Stats.sampledBy(x, sampler).run().map(_._2.asInstanceOf[Double])
+    assert(out.length == 4)
+    assert(out(0).isNaN)                       // x not valid yet → NaN observation
+    assert(out.drop(1) == Seq(10.0, 10.0, 40.0))
+  }
+
+  test("min_data_points: NaN-aware gate, distinct from min_window (stats.py:218-280)") {
+    // 5 ticks, the middle one NaN: min_window counts ticks (5), the
+    // min_data_points gate counts non-NaN observations (4)
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> Double.NaN, 4 -> 4.0, 5 -> 5.0)
+    val stat = Stats.expanding(Stats.ignoreNa(x)).withMinDataPoints(3).mean("m").done
+    val out = stat.df.orderBy("ts").select("m").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // valid only once 3 non-NaN observations accumulated: at tick 4
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty)
+    assert(out(3).contains((1.0 + 2.0 + 4.0) / 3))
+    assert(out(4).contains((1.0 + 2.0 + 4.0 + 5.0) / 4))
+    // min_window alone (tick count, NaN included) already passes at tick 3
+    // (the mean is NaN-poisoned but "valid" by tick count)
+    val byWindow = Stats.expanding(x, minWindow = 3).mean("m").done
+      .df.orderBy("ts").select("m").collect()
+    assert(!byWindow(2).isNullAt(0))
+  }
+
   test("binop: fires on either tick once both valid; same-ts = one cycle (math.py:252-300)") {
     val x = c(1 -> 1.0, 3 -> 3.0)
     val y = c(2 -> 20.0, 3 -> 30.0, 4 -> 40.0)
