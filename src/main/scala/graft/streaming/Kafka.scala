@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+/** Kafka adapter (reference `csp/adapters/kafka.py:39-266`; MsgMapper
+  * protocol `csp/adapters/utils.py`).
+  *
+  * csp's KafkaAdapterManager wraps librdkafka and demultiplexes one
+  * consumer into per-key timeseries; the Spark-native twin is the built-in
+  * `kafka` Structured-Streaming connector: `readStream.format("kafka")`
+  * already handles the consumer group, partition assignment and replay
+  * cursors, and the per-key demux is the keyed-tick-stream partitioning
+  * axis (exactly like the parquet sim adapter in `Sources`).
+  *
+  * Split into two layers so the message protocol is testable without a
+  * broker:
+  *  - [[Kafka.mapRaw]] / [[Kafka.encode]] — pure DataFrame transforms
+  *    between the Kafka wire schema (key/value binary + topic/partition/
+  *    offset/timestamp) and tick rows. Unit-tested against static frames.
+  *  - [[Kafka.subscribe]] / [[Kafka.publish]] — bind those transforms to
+  *    `readStream`/`writeStream format("kafka")`. Exercised only when the
+  *    spark-sql-kafka connector is on the classpath (spec is gated).
+  */
+object Kafka {
+  import graft.ts.Tick._
+
+  /** MsgMapper (csp `JSONTextMessageMapper` / `RawTextMessageMapper` /
+    * `RawBytesMessageMapper`): how a Kafka value payload becomes a tick
+    * value column. (Proto/Avro payloads: use `RawBytes` and decode with a
+    * registered expression — the spark-avro module is not bundled here.) */
+  sealed trait MsgMapper { def decode(value: Column): Column }
+  /** JSON text payload → struct of `schema` (csp JSONTextMessageMapper). */
+  final case class JsonMapper(schema: StructType) extends MsgMapper {
+    def decode(value: Column): Column = from_json(value.cast("string"), schema)
+  }
+  /** UTF-8 text payload as-is (csp RawTextMessageMapper). */
+  case object RawText extends MsgMapper {
+    def decode(value: Column): Column = value.cast("string")
+  }
+  /** Opaque bytes (csp RawBytesMessageMapper / BytesMessageProtoMapper). */
+  case object RawBytes extends MsgMapper {
+    def decode(value: Column): Column = value
+  }
+
+  /** Start offset (csp KafkaStartOffset / start_offset param): LATEST /
+    * EARLIEST map to the connector's startingOffsets; a timestamp maps to
+    * startingTimestamp (replay-from-time). */
+  sealed trait StartOffset { private[Kafka] def options: Map[String, String] }
+  case object Latest extends StartOffset {
+    private[Kafka] def options = Map("startingOffsets" -> "latest")
+  }
+  case object Earliest extends StartOffset {
+    private[Kafka] def options = Map("startingOffsets" -> "earliest")
+  }
+  final case class FromTime(epochMillis: Long) extends StartOffset {
+    private[Kafka] def options = Map("startingTimestamp" -> epochMillis.toString)
+  }
+
+  /** Meta columns a subscriber may request (csp meta_field_map keys). */
+  val MetaFields: Set[String] = Set("partition", "offset", "timestamp", "key", "live")
+
+  /** Map raw Kafka wire rows (key/value binary, topic, partition, offset,
+    * timestamp) to tick rows: key → tick key, Kafka timestamp → ts,
+    * offset → seq (monotone per partition — the scheduling order csp's
+    * adapter preserves), decoded payload → value, plus any requested meta
+    * columns. `keyFilter` is csp's `key=` subscription (None = wildcard).
+    * `liveAfter`: rows with timestamp >= this instant are flagged live
+    * (csp's replay/live distinction at the push-pull boundary). */
+  def mapRaw(raw: DataFrame, mapper: MsgMapper,
+             keyFilter: Option[String] = None,
+             metaFieldMap: Map[String, String] = Map.empty,
+             liveAfter: Option[java.sql.Timestamp] = None): DataFrame = {
+    require(metaFieldMap.keySet.subsetOf(MetaFields),
+      s"unsupported meta fields: ${metaFieldMap.keySet -- MetaFields} (supported: $MetaFields)")
+    val filtered = keyFilter.fold(raw)(k => raw.filter(col("key").cast("string") === k))
+    val metaCols = metaFieldMap.toSeq.map {
+      case ("partition", as) => col("partition").as(as)
+      case ("offset", as)    => col("offset").as(as)
+      case ("timestamp", as) => col("timestamp").as(as)
+      case ("key", as)       => col("key").cast("string").as(as)
+      case ("live", as) =>
+        liveAfter.fold(lit(true))(t => col("timestamp") >= lit(t)).as(as)
+    }
+    filtered.select(
+      Seq(col("key").cast("string").as(KEY),
+        col("timestamp").as(TS),
+        col("offset").as(SEQ),
+        mapper.decode(col("value")).as(VALUE)) ++ metaCols: _*)
+  }
+
+  /** Encode tick rows back to the Kafka wire shape: `keyCol` → key,
+    * the value column JSON-serialized (struct) or cast to string/binary.
+    * csp publish's field_map is a prior `select`/`struct` on the caller. */
+  def encode(df: DataFrame, keyCol: String, valueCol: String = VALUE): DataFrame = {
+    val v = df.schema(valueCol).dataType match {
+      case _: StructType => to_json(col(valueCol))
+      case org.apache.spark.sql.types.BinaryType => col(valueCol)
+      case _ => col(valueCol).cast("string")
+    }
+    df.select(col(keyCol).cast("string").as("key"), v.cast("binary").as("value"))
+  }
+
+  /** True when the spark-sql-kafka connector is on the classpath. */
+  def connectorAvailable: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  /** csp KafkaAdapterManager.subscribe → a streaming tick DataFrame.
+    * `groupId` maps to the connector's kafka.group.id (consume-once
+    * semantics, exclusive of startOffset — same rule as the reference). */
+  def subscribe(spark: SparkSession, broker: String, topic: String,
+                mapper: MsgMapper,
+                startOffset: StartOffset = Latest,
+                groupId: Option[String] = None,
+                keyFilter: Option[String] = None,
+                metaFieldMap: Map[String, String] = Map.empty,
+                options: Map[String, String] = Map.empty): DataFrame = {
+    require(groupId.isEmpty || startOffset == Latest,
+      "startOffset is not supported when consuming with groupId (kafka.py:72)")
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", broker)
+      .option("subscribe", topic)
+      .options(startOffset.options)
+      .options(groupId.map("kafka.group.id" -> _).toMap)
+      .options(options)
+    mapRaw(reader.load(), mapper, keyFilter, metaFieldMap,
+      liveAfter = Some(new java.sql.Timestamp(System.currentTimeMillis())))
+  }
+
+  /** csp KafkaAdapterManager.publish → a writeStream bound to the topic;
+    * caller starts it (and owns the checkpoint location). */
+  def publish(ticks: DataFrame, broker: String, topic: String,
+              keyCol: String = KEY, valueCol: String = VALUE,
+              options: Map[String, String] = Map.empty): DataStreamWriter[org.apache.spark.sql.Row] =
+    encode(ticks, keyCol, valueCol).writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", broker)
+      .option("topic", topic)
+      .options(options)
+}

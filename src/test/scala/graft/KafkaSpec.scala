@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Kafka
+
+/** Kafka adapter: the message-protocol layer is pure DataFrame transforms
+  * over the connector's wire schema, so it is fully tested without a
+  * broker; the readStream/writeStream binding is gated on the connector
+  * jar (absent in this sandbox → cancels, compiles everywhere). */
+class KafkaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the exact schema format("kafka") produces
+  private def wireRows = Seq(
+    ("u1", """{"px": 1.5, "qty": 10}""", "trades", 0, 100L, "2024-01-01 00:00:00"),
+    ("u2", """{"px": 2.5, "qty": 20}""", "trades", 1, 101L, "2024-01-01 00:00:01"),
+    ("u1", """{"px": 3.5, "qty": 30}""", "trades", 0, 102L, "2024-01-01 00:00:02")
+  ).toDF("k", "v", "topic", "partition", "offset", "t")
+    .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"),
+      col("topic"), col("partition"), col("offset"),
+      col("t").cast("timestamp").as("timestamp"),
+      lit(0).as("timestampType"))
+
+  test("mapRaw: JSON mapper + meta field map + key filter (kafka.py:133-196)") {
+    val schema = StructType(Seq(
+      StructField("px", DoubleType), StructField("qty", LongType)))
+    val ticks = Kafka.mapRaw(wireRows, Kafka.JsonMapper(schema),
+      keyFilter = Some("u1"),
+      metaFieldMap = Map("partition" -> "part", "offset" -> "off", "live" -> "live"),
+      liveAfter = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+    val rows = ticks.orderBy("seq").collect()
+    assert(rows.length == 2) // key filter
+    assert(rows.map(_.getAs[String]("key")).toSeq == Seq("u1", "u1"))
+    assert(rows.map(_.getAs[Long]("seq")).toSeq == Seq(100L, 102L)) // offset → seq
+    assert(rows.head.getAs[org.apache.spark.sql.Row]("value").getDouble(0) == 1.5)
+    assert(rows.map(_.getAs[Int]("part")).toSeq == Seq(0, 0))
+    assert(rows.map(_.getAs[Boolean]("live")).toSeq == Seq(false, true)) // replay vs live
+  }
+
+  test("mapRaw rejects unknown meta fields") {
+    val e = intercept[IllegalArgumentException] {
+      Kafka.mapRaw(wireRows, Kafka.RawText, metaFieldMap = Map("headers" -> "h"))
+    }
+    assert(e.getMessage.contains("unsupported meta fields"))
+  }
+
+  test("encode: struct value → JSON bytes; round-trips through mapRaw") {
+    val schema = StructType(Seq(StructField("px", DoubleType), StructField("qty", LongType)))
+    val ticks = Kafka.mapRaw(wireRows, Kafka.JsonMapper(schema))
+    val encoded = Kafka.encode(ticks, keyCol = "key")
+    assert(encoded.columns.toSeq == Seq("key", "value"))
+    val back = encoded.select(col("key").cast("string"),
+      from_json(col("value").cast("string"), schema).as("v")).orderBy("key").collect()
+    assert(back.length == 3)
+    assert(back.head.getAs[org.apache.spark.sql.Row]("v").getDouble(0) == 1.5)
+    // raw text values pass through as bytes of the string
+    val rawBack = Kafka.encode(
+      Kafka.mapRaw(wireRows, Kafka.RawText), keyCol = "key")
+      .select(col("value").cast("string")).collect().map(_.getString(0))
+    assert(rawBack.exists(_.contains("\"px\": 1.5")))
+  }
+
+  test("subscribe/publish bind to the kafka connector (gated on classpath)") {
+    assume(Kafka.connectorAvailable, "spark-sql-kafka connector not on classpath")
+    val df = Kafka.subscribe(spark, "localhost:9092", "t", Kafka.RawText,
+      startOffset = Kafka.Earliest, metaFieldMap = Map("offset" -> "off"))
+    assert(df.isStreaming)
+    assert(df.columns.contains("off"))
+  }
+
+  test("subscribe enforces the groupId/startOffset exclusivity rule") {
+    // pure validation — fails before any connector lookup (kafka.py:72)
+    val e = intercept[IllegalArgumentException] {
+      Kafka.subscribe(spark, "b:9092", "t", Kafka.RawText,
+        startOffset = Kafka.Earliest, groupId = Some("g"))
+    }
+    assert(e.getMessage.contains("startOffset"))
+  }
+}

@@ -44,6 +44,56 @@ class TwsSpec extends AnyFunSuite {
     }
   }
 
+  test("kill + restart from checkpoint mid-stream bit-matches batch Sequential.ema") {
+    // the reference's core sim==realtime promise: a restarted engine must
+    // produce exactly what an uninterrupted run produces. Here: run half
+    // the stream, stop the query (crash), start a NEW query from the same
+    // checkpoint (RocksDB state + committed offsets), feed the rest.
+    import org.apache.spark.sql.Encoders
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+
+    val ev = Sources.events(spark, TestSpark.sf)
+    val batch = graft.operators.Sequential.ema(ev, 0.4).df
+      .select("key", "seq", "ema").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ticks = graft.streaming.StatefulOps.toTickRows(ev)
+      .collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+    val (firstHalf, secondHalf) = ticks.splitAt(ticks.size / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
+
+    val mem = MemoryStream[TickRow]
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    val sink = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Double)]
+    def start() =
+      TwsOps.emaTws(mem.toDS(), 0.4).writeStream.outputMode("append")
+        .foreachBatch { (batchDf: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.EmaOut], _: Long) =>
+          val rows = batchDf.collect().map(o => (o.key, o.seq) -> o.ema)
+          sink.synchronized { sink ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+
+    val q1 = start()
+    mem.addData(firstHalf: _*)
+    q1.processAllAvailable()
+    q1.stop() // the crash
+
+    mem.addData(secondHalf: _*)
+    val q2 = start() // recovery: offsets + RocksDB state from ckpt
+    q2.processAllAvailable()
+    val recovered = sink.synchronized(sink.toMap)
+    q2.stop()
+
+    assert(recovered.size == batch.size)
+    // BIT-exact, not tolerance: state round-trips through RocksDB as the
+    // same doubles and the recurrence order is identical
+    recovered.foreach { case (k, v) =>
+      assert(v == batch(k), s"$k: recovered $v vs batch ${batch(k)}")
+    }
+  }
+
   test("transformWithState event-time timers fire as csp alarms") {
     import org.apache.spark.sql.Encoders
     import graft.streaming.TwsOps.TickEvt
