@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Push adapter (reference `csp/impl/pushadapter.py` GenericPushAdapter +
+  * `pushpulladapter.py`): csp lets any thread push ticks into a running
+  * realtime engine; the push-pull variant replays stored history first,
+  * then switches to live pushes, in ONE stream.
+  *
+  * Spark-native twin: a DataSourceV2 `MicroBatchStream`. Producers call
+  * [[PushQueue.push]]; each micro-batch picks up whatever arrived since
+  * the last offset. History seeded via [[PushQueue.seed]] sits at the
+  * front of the log, so a fresh query replays it before any live tick —
+  * exactly the push-pull contract (`pushpulladapter.py` "replay events in
+  * time order before transitioning to live").
+  *
+  * Rows are copied INTO the planned [[InputPartition]] (the same strategy
+  * as Spark's own MemoryStream), so executors never touch the queue; the
+  * producer side lives in the driver process. This is the API-surface
+  * twin of csp's in-process adapter — a cross-process feed at scale is the
+  * Kafka adapter's job.
+  */
+object PushQueue {
+  /** One pushed tick in canonical shape. */
+  final case class PushedTick(key: String, tsMicros: Long, seq: Long, value: Double)
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("ts", TimestampType),
+    StructField("seq", LongType), StructField("value", DoubleType)))
+
+  private val queues = new ConcurrentHashMap[String, ArrayBuffer[PushedTick]]()
+
+  private def log(name: String): ArrayBuffer[PushedTick] =
+    queues.computeIfAbsent(name, _ => ArrayBuffer.empty[PushedTick])
+
+  /** Push one tick from any thread (csp GenericPushAdapter.push_tick). */
+  def push(name: String, key: String, tsMicros: Long, seq: Long, value: Double): Unit = {
+    val l = log(name); l.synchronized { l += PushedTick(key, tsMicros, seq, value) }
+  }
+
+  /** Seed replay history (the PULL side of push-pull): call before the
+    * query starts; a new query replays these before any live tick. */
+  def seed(name: String, history: Seq[PushedTick]): Unit = {
+    val l = log(name); l.synchronized { l.prependAll(history) }
+  }
+
+  private[streaming] def size(name: String): Long = {
+    val l = log(name); l.synchronized(l.length.toLong)
+  }
+  private[streaming] def slice(name: String, from: Long, until: Long): Array[PushedTick] = {
+    val l = log(name); l.synchronized { l.slice(from.toInt, until.toInt).toArray }
+  }
+  /** Test/lifecycle hook: drop a queue entirely. */
+  def clear(name: String): Unit = queues.remove(name)
+
+  /** readStream entry point: one tick row per push, canonical schema. */
+  def readStream(spark: SparkSession, name: String): DataFrame =
+    spark.readStream.format(classOf[PushDataSource].getName)
+      .option("queue", name).load()
+}
+
+/** DataSourceV2 provider for `format(classOf[PushDataSource].getName)`. */
+final class PushDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PushQueue.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PushTable(properties.getOrDefault("queue", "default"))
+}
+
+private final class PushTable(queueName: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-push($queueName)"
+  override def schema(): StructType = PushQueue.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = PushQueue.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PushMicroBatchStream(queueName)
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "graft-push is a streaming-only source")
+    }
+}
+
+private final case class PushOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private final class PushMicroBatchStream(queueName: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = PushOffset(0L)
+  override def latestOffset(): Offset = PushOffset(PushQueue.size(queueName))
+  override def deserializeOffset(json: String): Offset = PushOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // log retained for restart-replay
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val rows = PushQueue.slice(queueName,
+      start.asInstanceOf[PushOffset].n, end.asInstanceOf[PushOffset].n)
+    if (rows.isEmpty) Array.empty else Array(PushPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[PushPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val t = rows(i)
+        InternalRow(UTF8String.fromString(t.key), t.tsMicros, t.seq, t.value)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+private final case class PushPartition(rows: Array[PushQueue.PushedTick])
+  extends InputPartition

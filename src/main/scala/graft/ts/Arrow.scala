@@ -1,0 +1,40 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.ArrowBridge
+
+/** Arrow adapter (reference `csp/adapters/arrow.py:50-317`): csp ticks
+  * record batches in and out of a graph so Arrow-speaking systems
+  * (pandas, polars, flight services) can exchange data zero-copy-ish.
+  *
+  * The Spark twin exchanges a DataFrame with Arrow record-batch payloads
+  * (each chunk self-describing, schema included — the same wire format
+  * Spark's own pyspark bridge uses). Batch conversion runs DISTRIBUTED
+  * (mapPartitions over the query's own partitions); only the final
+  * byte payloads come to the driver, which is the interchange boundary
+  * by definition.
+  */
+object Arrow {
+
+  /** DataFrame → Arrow record-batch payloads (one or more per partition,
+    * capped at `maxRecordsPerBatch` rows each). */
+  def toBatches(df: DataFrame, maxRecordsPerBatch: Int = 1 << 14): Array[Array[Byte]] = {
+    val schema = df.schema
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val max = maxRecordsPerBatch.toLong
+    df.queryExecution.toRdd
+      .mapPartitions(it => ArrowBridge.toBatches(it, schema, max, tz))
+      .collect()
+  }
+
+  /** Arrow record-batch payloads (+ the schema's JSON) → DataFrame. */
+  def fromBatches(spark: SparkSession, batches: Seq[Array[Byte]],
+                  schemaJson: String): DataFrame =
+    ArrowBridge.toDataFrame(batches.iterator, schemaJson, spark)
+
+  /** Tick-stream convenience round trip. */
+  def toBatches(x: TickStream): Array[Array[Byte]] = toBatches(x.df)
+  def fromBatches(spark: SparkSession, batches: Seq[Array[Byte]],
+                  like: TickStream): TickStream =
+    TickStream(fromBatches(spark, batches, like.df.schema.json))
+}

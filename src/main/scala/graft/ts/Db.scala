@@ -1,0 +1,52 @@
+package graft.ts
+
+import java.util.Properties
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** DB adapter (reference `csp/adapters/db.py:178-440`): csp's DBReader
+  * wraps a DBAPI connection, maps a time accessor + symbol column onto
+  * rows, and replays them as ticks. The Spark twin wraps `spark.read.jdbc`
+  * — predicate pushdown, partitioned parallel reads and dialect handling
+  * come from the JDBC source; the tick mapping is the same symbol/time
+  * convention as the parquet reader (`Sources.parquet`).
+  */
+object Db {
+
+  /** Read `table` (or a `(subquery) alias`) as a keyed tick stream.
+    * `partitionOptions`: pass the standard JDBC partitioning options
+    * (partitionColumn/lowerBound/upperBound/numPartitions) to spread the
+    * read over executors — a single unpartitioned JDBC read is the
+    * bottleneck at scale. */
+  def read(spark: SparkSession, url: String, table: String,
+           symbolColumn: String, timeColumn: String,
+           seqColumn: Option[String] = None,
+           connectionProperties: Map[String, String] = Map.empty,
+           partitionOptions: Map[String, String] = Map.empty): TickStream = {
+    val raw = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(connectionProperties).options(partitionOptions)
+      .load()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(symbolColumn)).orderBy(col(timeColumn))
+    val seqCol = seqColumn.map(col(_).cast(LongType))
+      .getOrElse((row_number().over(w) - 1).cast(LongType))
+    val payload = raw.columns
+      .filterNot(c => c.equalsIgnoreCase(symbolColumn) || c.equalsIgnoreCase(timeColumn))
+      .map(col)
+    TickStream(raw.select(
+      Seq(col(symbolColumn).cast("string").as(Tick.KEY),
+        col(timeColumn).cast("timestamp").as(Tick.TS), seqCol.as(Tick.SEQ)) ++ payload.toSeq: _*))
+  }
+
+  /** Publish a tick stream to a JDBC table (append). */
+  def write(x: TickStream, url: String, table: String,
+            connectionProperties: Map[String, String] = Map.empty,
+            mode: String = "append"): Unit = {
+    val props = new Properties()
+    connectionProperties.foreach { case (k, v) => props.setProperty(k, v) }
+    x.df.write.mode(mode).jdbc(url, table, props)
+  }
+}

@@ -40,4 +40,32 @@ object Sinks {
   /** csp.print (`baselib.py:181-201`). */
   def printTicks(x: TickStream, n: Int = 20): Unit =
     x.df.orderBy(Tick.TS, Tick.SEQ).show(n, truncate = false)
+
+  /** csp.log (`baselib.py:204-274`): emit every tick to the logging
+    * system, tagged. Runs DISTRIBUTED (executor-side slf4j loggers), in
+    * time order within each key partition — the same ordering guarantee
+    * the engine gives a log node per edge. */
+  def logTicks(x: TickStream, tag: String = "graft.tick"): Unit =
+    foreachTick(x) { row =>
+      org.slf4j.LoggerFactory.getLogger(tag).info(row.mkString(" | "))
+    }
+
+  /** OutputAdapter (reference `csp/impl/outputadapter.py`): run a user
+    * callback per tick, keys co-located and time-ordered within each
+    * partition (csp calls the adapter per tick on one thread; here each
+    * key's sequence is one partition's iteration). The callback runs on
+    * executors — it must be serializable and side-effect-safe. */
+  def foreachTick(x: TickStream)(f: org.apache.spark.sql.Row => Unit): Unit =
+    x.df.repartition(col(Tick.KEY))
+      .sortWithinPartitions(Tick.KEY, Tick.TS, Tick.SEQ)
+      .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => it.foreach(f))
+
+  /** Streaming OutputAdapter: a ForeachWriter wired the same way —
+    * `x.df.writeStream.foreach(Sinks.foreachWriter(f)).start()`. */
+  def foreachWriter(f: org.apache.spark.sql.Row => Unit): org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+    new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      def open(partitionId: Long, epochId: Long): Boolean = true
+      def process(value: org.apache.spark.sql.Row): Unit = f(value)
+      def close(errorOrNull: Throwable): Unit = ()
+    }
 }

@@ -1,0 +1,30 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.arrow.ArrowConverters
+import org.apache.spark.sql.types.StructType
+
+/** Arrow interchange shim: Spark's own Arrow serialization machinery
+  * (`ArrowConverters`, the code path pyspark/SparkR use for their Arrow
+  * exchange) is `private[sql]` — re-exported here for the graft Arrow
+  * adapter. Same namespace mechanism as [[Bridge]].
+  */
+object ArrowBridge {
+
+  /** InternalRows → Arrow record-batch payloads (batch messages only; the
+    * schema travels separately as JSON, the same convention
+    * [[toDataFrame]] expects). Runs inside mapPartitions on executors. */
+  def toBatches(rows: Iterator[InternalRow], schema: StructType,
+                maxRecordsPerBatch: Long, timeZoneId: String): Iterator[Array[Byte]] =
+    ArrowConverters.toBatchIterator(
+      rows, schema, maxRecordsPerBatch, timeZoneId,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false,
+      org.apache.spark.TaskContext.get())
+
+  /** Arrow batch payloads → DataFrame (schema from `schemaJson`). */
+  def toDataFrame(batches: Iterator[Array[Byte]], schemaJson: String,
+                  spark: SparkSession): DataFrame =
+    ArrowConverters.toDataFrame(batches, schemaJson,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.PushQueue
+import graft.streaming.PushQueue.PushedTick
+
+/** GenericPushAdapter twin: ticks pushed from the test thread flow into a
+  * running streaming query; seeded history replays FIRST (push-pull). */
+class PushAdapterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def us(sec: Int): Long = 1700000000000000L + sec * 1000000L
+
+  test("pushed ticks arrive through the DataSourceV2 micro-batch source") {
+    PushQueue.clear("t1")
+    val q = PushQueue.readStream(spark, "t1").writeStream
+      .outputMode("append").format("memory").queryName("push_t1")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      PushQueue.push("t1", "a", us(1), 0, 1.5)
+      PushQueue.push("t1", "b", us(2), 1, 2.5)
+      q.processAllAvailable()
+      PushQueue.push("t1", "a", us(3), 2, 3.5) // a later batch
+      q.processAllAvailable()
+      val rows = spark.table("push_t1").orderBy("seq").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "a"))
+      assert(rows.map(_.getDouble(3)).toSeq == Seq(1.5, 2.5, 3.5))
+      assert(rows.head.getTimestamp(1).getTime == us(1) / 1000)
+    } finally q.stop()
+  }
+
+  test("push-pull: seeded history replays before live pushes (pushpulladapter.py)") {
+    PushQueue.clear("t2")
+    PushQueue.seed("t2", Seq(
+      PushedTick("h", us(0), -2, 100.0), PushedTick("h", us(1), -1, 200.0)))
+    val q = PushQueue.readStream(spark, "t2").writeStream
+      .outputMode("append").format("memory").queryName("push_t2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable() // first micro-batch: history only
+      val replayed = spark.table("push_t2").orderBy("seq").collect()
+      assert(replayed.map(_.getDouble(3)).toSeq == Seq(100.0, 200.0))
+      PushQueue.push("t2", "l", us(5), 0, 300.0) // now live
+      q.processAllAvailable()
+      val all = spark.table("push_t2").orderBy("seq").collect()
+      assert(all.map(_.getDouble(3)).toSeq == Seq(100.0, 200.0, 300.0))
+    } finally q.stop()
+  }
+}
