@@ -113,6 +113,40 @@ object Sequential {
     TickStream(withVar.df.withColumn(as, sqrt(col("__ev"))).drop("__ev"))
   }
 
+  /** csp ema `horizon` parameter (stats.py:2910, `_validate_ema`:324-355):
+    * ticks older than `horizon` drop out entirely — the EMA becomes a
+    * finite-window computation (and must be the ADJUSTED form, for weight
+    * normalization; the reference raises on adjust=false, stats.py:328).
+    * Being a window stat, it lowers to a window FRAME + in-frame weighted
+    * fold, not a scan — weights (1−α)^age over the last `horizon` ticks.
+    *
+    * ignore_na matches the reference/pandas: false (default) ages a value
+    * by ABSOLUTE position (a NaN still ages its neighbors), true by
+    * relative position among non-NaN values only.
+    */
+  def emaHorizon(x: TickStream, alpha: Double, horizon: Int,
+                 ignoreNa: Boolean = false, as: String = "ema"): TickStream = {
+    require(horizon >= 1, "horizon must be >= 1")
+    val d = 1.0 - alpha
+    val frame = x.w.rowsBetween(-(horizon - 1), 0)
+    val lst = collect_list(col(VALUE)).over(frame)
+    val n = size(lst)
+    // (value, absolute index) pairs for the non-NaN elements
+    val pairs = filter(
+      zip_with(lst, sequence(lit(0), n - 1), (v, i) => struct(v.as("v"), i.as("i"))),
+      p => !isnan(p("v")))
+    val weighted =
+      if (ignoreNa) // relative age among the non-NaN survivors
+        transform(pairs, (p, j) => struct(p("v").as("v"),
+          pow(lit(d), (size(pairs) - 1 - j).cast("double")).as("w")))
+      else // absolute age: NaNs still age their neighbors
+        transform(pairs, p => struct(p("v").as("v"),
+          pow(lit(d), (n - 1 - p("i")).cast("double")).as("w")))
+    val num = aggregate(weighted, lit(0.0), (acc, p) => acc + p("v") * p("w"))
+    val den = aggregate(weighted, lit(0.0), (acc, p) => acc + p("w"))
+    TickStream(x.df.withColumn(as, when(den > 0, num / den).otherwise(lit(Double.NaN))))
+  }
+
   final private class EmaCovState {
     var nxy = 0.0; var nx = 0.0; var ny = 0.0; var w = 0.0; var w2 = 0.0
   }

@@ -87,6 +87,35 @@ object Stats {
       .drop("__samp"))
   }
 
+  /** csp `_synchronize_bivariate` (stats.py:285-305): bivariate stats
+    * (cov/corr/ema_cov) require x and y to tick on the SAME engine cycle;
+    * with allow_non_overlapping=true, out-of-sync ticks are discarded
+    * (the reference raises otherwise — here the dropped side is simply
+    * absent from the inner join, and `unsynchronized` reports them).
+    * Cycle identity = (key, ts, within-ts ordinal), as everywhere else.
+    * Output: x's rows + y's value as column `yAs` — ready for
+    * `Rolling.cov/corr(col(yAs))` or [[Sequential.emaCov]]. */
+  def synchronizeBivariate(x: TickStream, y: TickStream, yAs: String = "y"): TickStream = {
+    def cyc(df: org.apache.spark.sql.DataFrame) = df.withColumn("__c",
+      row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1)
+    val xs = cyc(x.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)))
+    val ys = cyc(y.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(yAs))).drop(SEQ)
+    TickStream(xs.join(ys, Seq(KEY, TS, "__c")).drop("__c"))
+  }
+
+  /** The ticks `synchronizeBivariate` would discard (monitoring hook —
+    * the reference's allow_non_overlapping=false error path). */
+  def unsynchronized(x: TickStream, y: TickStream): org.apache.spark.sql.DataFrame = {
+    def cyc(df: org.apache.spark.sql.DataFrame) = df.withColumn("__c",
+      row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1)
+    val xs = cyc(x.df.select(col(KEY), col(TS), col(SEQ))).withColumn("__side", lit("x"))
+    val ys = cyc(y.df.select(col(KEY), col(TS), col(SEQ))).withColumn("__side", lit("y"))
+    val both = xs.select(col(KEY), col(TS), col("__c"))
+      .intersect(ys.select(col(KEY), col(TS), col("__c")))
+    xs.unionByName(ys).join(both, Seq(KEY, TS, "__c"), "left_anti")
+      .select(col(KEY), col(TS), col(SEQ), col("__side"))
+  }
+
   // csp stats `recalc` parameter (stats.py:218-280) intentionally has no
   // counterpart: it exists to rebuild the reference's mutable accumulators
   // when floating-point drift from incremental add/remove grows. The batch

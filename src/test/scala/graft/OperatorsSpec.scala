@@ -56,6 +56,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!byWindow(2).isNullAt(0))
   }
 
+  test("ema horizon: finite window, equals hand-weighted fold (stats.py:2910)") {
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0)
+    val alpha = 0.4; val d = 1 - alpha
+    val out = Sequential.emaHorizon(x, alpha, horizon = 2).df
+      .orderBy("ts").select("ema").collect().map(_.getDouble(0))
+    // horizon 2: y_t = (x_t + d x_{t-1}) / (1 + d)
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - (2.0 + d * 1.0) / (1 + d)) < 1e-12)
+    assert(math.abs(out(2) - (3.0 + d * 2.0) / (1 + d)) < 1e-12)
+    assert(math.abs(out(3) - (4.0 + d * 3.0) / (1 + d)) < 1e-12)
+    // horizon >= length degenerates to the adjusted EMA
+    val full = Sequential.emaHorizon(x, alpha, horizon = 10).df
+      .orderBy("ts").select("ema").collect().map(_.getDouble(0))
+    val adj = Sequential.ema(x, alpha).df.orderBy("ts").select("ema").collect().map(_.getDouble(0))
+    full.zip(adj).foreach { case (h, a) => assert(math.abs(h - a) < 1e-12) }
+  }
+
+  test("ema horizon ignore_na: absolute vs relative aging (stats.py ignore_na doc)") {
+    val x = c(1 -> 1.0, 2 -> Double.NaN, 3 -> 3.0)
+    val alpha = 0.5; val d = 0.5
+    val abs3 = Sequential.emaHorizon(x, alpha, horizon = 3, ignoreNa = false).df
+      .orderBy("ts").select("ema").collect().map(_.getDouble(0))
+    // absolute aging at t3: weights d^2 for x1, d^0 for x3 (NaN holds its slot)
+    assert(math.abs(abs3(2) - (3.0 + d * d * 1.0) / (1 + d * d)) < 1e-12)
+    val rel3 = Sequential.emaHorizon(x, alpha, horizon = 3, ignoreNa = true).df
+      .orderBy("ts").select("ema").collect().map(_.getDouble(0))
+    // relative aging: x1 is the 2nd-newest non-NaN → weight d^1
+    assert(math.abs(rel3(2) - (3.0 + d * 1.0) / (1 + d)) < 1e-12)
+  }
+
+  test("synchronize_bivariate: common cycles kept, out-of-sync discarded (stats.py:285)") {
+    val x = c(1 -> 10.0, 2 -> 20.0, 4 -> 40.0)
+    val y = c(1 -> 1.0, 3 -> 3.0, 4 -> 4.0)
+    val sync = Stats.synchronizeBivariate(x, y).df.orderBy("ts").collect()
+    assert(sync.length == 2) // t1 and t4 only
+    assert(sync.map(r => (r.getAs[Double]("value"), r.getAs[Double]("y"))).toSeq
+      == Seq((10.0, 1.0), (40.0, 4.0)))
+    val dropped = Stats.unsynchronized(x, y).collect()
+      .map(r => (r.getAs[String]("__side"), r.getAs[java.sql.Timestamp]("ts").toString))
+    assert(dropped.length == 2) // x@t2 and y@t3
+    assert(dropped.map(_._1).sorted.toSeq == Seq("x", "y"))
+  }
+
   test("binop: fires on either tick once both valid; same-ts = one cycle (math.py:252-300)") {
     val x = c(1 -> 1.0, 3 -> 3.0)
     val y = c(2 -> 20.0, 3 -> 30.0, 4 -> 40.0)
