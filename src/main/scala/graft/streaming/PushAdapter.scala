@@ -34,12 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Kafka adapter's job.
   */
 object PushQueue {
-  /** One pushed tick in canonical shape. */
-  final case class PushedTick(key: String, tsMicros: Long, seq: Long, value: Double)
+  /** One pushed tick in canonical shape (+ optional text payload for
+    * message-bearing sources like the WebSocket adapter). */
+  final case class PushedTick(key: String, tsMicros: Long, seq: Long,
+                              value: Double, text: String = null)
 
   val schema: StructType = StructType(Seq(
     StructField("key", StringType), StructField("ts", TimestampType),
-    StructField("seq", LongType), StructField("value", DoubleType)))
+    StructField("seq", LongType), StructField("value", DoubleType),
+    StructField("text", StringType)))
 
   private val queues = new ConcurrentHashMap[String, ArrayBuffer[PushedTick]]()
 
@@ -47,8 +50,9 @@ object PushQueue {
     queues.computeIfAbsent(name, _ => ArrayBuffer.empty[PushedTick])
 
   /** Push one tick from any thread (csp GenericPushAdapter.push_tick). */
-  def push(name: String, key: String, tsMicros: Long, seq: Long, value: Double): Unit = {
-    val l = log(name); l.synchronized { l += PushedTick(key, tsMicros, seq, value) }
+  def push(name: String, key: String, tsMicros: Long, seq: Long, value: Double,
+           text: String = null): Unit = {
+    val l = log(name); l.synchronized { l += PushedTick(key, tsMicros, seq, value, text) }
   }
 
   /** Seed replay history (the PULL side of push-pull): call before the
@@ -120,7 +124,8 @@ private final class PushMicroBatchStream(queueName: String) extends MicroBatchSt
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
         val t = rows(i)
-        InternalRow(UTF8String.fromString(t.key), t.tsMicros, t.seq, t.value)
+        InternalRow(UTF8String.fromString(t.key), t.tsMicros, t.seq, t.value,
+          if (t.text == null) null else UTF8String.fromString(t.text))
       }
       override def close(): Unit = ()
     }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.util.concurrent.CompletionStage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapter status side-channel (reference `csp/adapters/status.py`): every
+  * managed adapter in csp exposes a `status()` timeseries of
+  * (level, status_code, msg) alongside its data stream. Here each named
+  * adapter writes status ticks into its own push queue
+  * (`status:<adapter>`), readable as a stream like any other source.
+  */
+object AdapterStatus {
+  // csp.adapters.status.Level
+  val DEBUG = 0; val INFO = 1; val WARNING = 2; val ERROR = 3; val CRITICAL = 4
+
+  private def queueName(adapter: String) = s"status:$adapter"
+
+  /** Emit one status tick for `adapter` (any thread). */
+  def emit(adapter: String, level: Int, statusCode: Int, msg: String): Unit =
+    PushQueue.push(queueName(adapter), adapter,
+      System.currentTimeMillis() * 1000L, statusCode.toLong, level.toDouble, msg)
+
+  /** The status stream of `adapter`: (ts, level, status_code, msg) —
+    * csp's Status struct shape (`status.py:6-16`). */
+  def stream(spark: SparkSession, adapter: String): DataFrame =
+    PushQueue.readStream(spark, queueName(adapter))
+      .select(col("ts"), col("value").cast("int").as("level"),
+        col("seq").cast("int").as("status_code"), col("text").as("msg"))
+}
+
+/** WebSocket adapter (reference `csp/adapters/websocket.py:390-460`):
+  * csp's WebsocketAdapterManager subscribes a realtime engine to a WS
+  * endpoint. The Spark twin rides the push adapter: a JDK11+
+  * `java.net.http.WebSocket` client pumps incoming text frames into a
+  * [[PushQueue]] (frame text in the `text` column), which a streaming
+  * query reads via the graft-push DataSourceV2 source; JSON payload
+  * decoding reuses `from_json` exactly like the Kafka MsgMapper.
+  * Connection lifecycle flows through [[AdapterStatus]] — the reference's
+  * `status()` side-channel.
+  *
+  * (This sandbox has no network and no WS server dependency, so the spec
+  * drives the listener methods directly; `connect` binds wherever a
+  * ws:// endpoint exists.)
+  */
+object WebSocketAdapter {
+
+  /** Incoming text frames → pushed ticks. Public for direct spec drive. */
+  final class QueueListener(queue: String, keyOf: String => String)
+      extends WebSocket.Listener {
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val buf = new StringBuilder
+
+    override def onText(ws: WebSocket, data: CharSequence,
+                        last: Boolean): CompletionStage[_] = {
+      buf.append(data)
+      if (last) {
+        val msg = buf.toString(); buf.clear()
+        PushQueue.push(queue, keyOf(msg),
+          System.currentTimeMillis() * 1000L, seq.getAndIncrement(), 0.0, msg)
+      }
+      if (ws != null) ws.request(1)
+      null
+    }
+
+    override def onOpen(ws: WebSocket): Unit = {
+      AdapterStatus.emit(queue, AdapterStatus.INFO, 0, "connected")
+      if (ws != null) ws.request(1)
+    }
+
+    override def onError(ws: WebSocket, error: Throwable): Unit =
+      AdapterStatus.emit(queue, AdapterStatus.ERROR, 4, String.valueOf(error.getMessage))
+
+    override def onClose(ws: WebSocket, statusCode: Int,
+                         reason: String): CompletionStage[_] = {
+      AdapterStatus.emit(queue, AdapterStatus.WARNING, statusCode, reason)
+      null
+    }
+  }
+
+  /** Connect and start pumping frames into queue `name`; returns the
+    * WebSocket handle (caller closes). `keyOf` extracts the tick key from
+    * a frame (default: constant "ws"). */
+  def connect(url: String, name: String,
+              keyOf: String => String = _ => "ws"): WebSocket =
+    HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(url), new QueueListener(name, keyOf))
+      .join()
+
+  /** The subscribed stream: one tick per received frame, frame text in
+    * `text` — decode with `from_json(col("text"), schema)` as needed. */
+  def stream(spark: SparkSession, name: String): DataFrame =
+    PushQueue.readStream(spark, name)
+}

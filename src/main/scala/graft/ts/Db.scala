@@ -29,16 +29,13 @@ object Db {
       .option("url", url).option("dbtable", table)
       .options(connectionProperties).options(partitionOptions)
       .load()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(symbolColumn)).orderBy(col(timeColumn))
-    val seqCol = seqColumn.map(col(_).cast(LongType))
-      .getOrElse((row_number().over(w) - 1).cast(LongType))
-    val payload = raw.columns
-      .filterNot(c => c.equalsIgnoreCase(symbolColumn) || c.equalsIgnoreCase(timeColumn))
-      .map(col)
-    TickStream(raw.select(
-      Seq(col(symbolColumn).cast("string").as(Tick.KEY),
-        col(timeColumn).cast("timestamp").as(Tick.TS), seqCol.as(Tick.SEQ)) ++ payload.toSeq: _*))
+    // JDBC dialects may uppercase identifiers (Derby does) — resolve the
+    // caller's names against the actual result schema before the generic
+    // pull mapping.
+    def actual(name: String): String =
+      raw.columns.find(_.equalsIgnoreCase(name)).getOrElse(name)
+    Sources.fromDataFrame(raw, actual(symbolColumn), actual(timeColumn),
+      seqColumn.map(actual))
   }
 
   /** Publish a tick stream to a JDBC table (append). */

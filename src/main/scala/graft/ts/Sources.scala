@@ -109,14 +109,15 @@ object Sources {
       col("props")))
   }
 
-  /** Generic parquet reader in the shape of the reference's ParquetReader
-    * (`csp/adapters/parquet.py:109-357`): symbol column → key, time column
-    * → ts; remaining columns are payload. seq from a per-key row_number in
-    * time order when no natural sequence exists.
-    */
-  def parquet(spark: SparkSession, path: String, symbolColumn: String,
-              timeColumn: String, seqColumn: Option[String] = None): TickStream = {
-    val raw = spark.read.parquet(path)
+  /** Generic PULL adapter (reference `csp/impl/pulladapter.py` +
+    * `adaptermanager.py:7-45`): ANY DataFrame whose rows carry a symbol
+    * and a time accessor becomes a replayable tick source — symbol column
+    * → key, time column → ts, natural sequence column or a derived
+    * per-key row_number. The parquet / JDBC / CSV readers are exactly
+    * this mapping composed over their loaders; batch replay of the rows
+    * in (key, ts, seq) order IS the simulation run. */
+  def fromDataFrame(raw: DataFrame, symbolColumn: String, timeColumn: String,
+                    seqColumn: Option[String] = None): TickStream = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(symbolColumn)).orderBy(col(timeColumn))
     val seqCol = seqColumn.map(col(_).cast(LongType))
@@ -124,8 +125,14 @@ object Sources {
     val payload = raw.columns.filterNot(c => c == symbolColumn || c == timeColumn).map(col)
     TickStream(raw.select(
       Seq(col(symbolColumn).cast(StringType).as(Tick.KEY),
-          col(timeColumn).as(Tick.TS), seqCol.as(Tick.SEQ)) ++ payload: _*))
+          col(timeColumn).cast(TimestampType).as(Tick.TS), seqCol.as(Tick.SEQ)) ++ payload: _*))
   }
+
+  /** Generic parquet reader in the shape of the reference's ParquetReader
+    * (`csp/adapters/parquet.py:109-357`). */
+  def parquet(spark: SparkSession, path: String, symbolColumn: String,
+              timeColumn: String, seqColumn: Option[String] = None): TickStream =
+    fromDataFrame(spark.read.parquet(path), symbolColumn, timeColumn, seqColumn)
 
   /** Load a driver TPC-H-ish table as a plain DataFrame. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ts.{Sources, Tick, TickStream}
+
+object StructSpec {
+  // csp.Struct twin (struct.py:17-169): a case class with an Encoder.
+  // Defaults = default parameters; unset fields = Option/null; nesting =
+  // nested case classes.
+  case class Inner(qty: Long = 1L, note: Option[String] = None)
+  case class Trade(px: Double, inner: Inner = Inner(), tag: Option[String] = None)
+
+  // "Inheritance": csp merges base-class fields into subclasses
+  // (struct.py:25-30). Scala case classes share fields through a trait;
+  // streams of either type align by name.
+  trait HasPx { def px: Double }
+  case class Quote(px: Double, sz: Long) extends HasPx
+  case class Print(px: Double, venue: String) extends HasPx
+}
+
+/** csp.Struct surface (SURVEY §2.3 struct ops; reference struct.py):
+  * defaults, unset fields, nesting, inheritance-by-name, and the
+  * struct_field tick-when-set rule — settled against case-class Encoders
+  * and Spark struct columns. */
+class StructSpec extends AnyFunSuite {
+  import StructSpec._
+  lazy val spark = TestSpark.spark
+
+  test("defaults and unset fields round-trip through the Encoder") {
+    import spark.implicits._
+    val ds = Seq(Trade(1.5), Trade(2.5, Inner(5, Some("n")), Some("t"))).toDS()
+    val back = ds.collect()
+    assert(back(0).inner == Inner(1L, None)) // defaults applied, None survives
+    assert(back(0).tag.isEmpty && back(1).tag.contains("t"))
+    // unset Option maps to SQL NULL — the "field not set" state
+    val nulls = ds.select(col("tag")).collect().map(_.isNullAt(0))
+    assert(nulls.toSeq == Seq(true, false))
+  }
+
+  test("struct_field ticks only when the field is SET (baselib.py:676-681)") {
+    import spark.implicits._
+    val df = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, Trade(1.0)),
+      ("k", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L,
+        Trade(2.0, tag = Some("hit")))
+    ).toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE)
+    val ticks = TickStream(df).structField("tag")
+    assert(ticks.run().map(_._2) == Seq("hit")) // unset field did not tick
+  }
+
+  test("inheritance-by-name: base-field streams from different structs align") {
+    import spark.implicits._
+    val quotes = Seq(Quote(10.0, 5), Quote(11.0, 6)).toDS()
+    val prints = Seq(Print(10.5, "X")).toDS()
+    // the shared base field projects uniformly from either subclass
+    val pxs = quotes.select(col("px")).unionByName(prints.select(col("px")))
+      .collect().map(_.getDouble(0)).sorted
+    assert(pxs.toSeq == Seq(10.0, 10.5, 11.0))
+  }
+
+  test("dynamic struct access on schema-less frames (getField / dot path)") {
+    val ev = Sources.events(spark, TestSpark.sf)
+    // props is a runtime JSON payload — dynamic access without a case class
+    val k = ev.df.select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    assert(k.count() > 0)
+    val built = ev.df.withColumn("s", struct(col(Tick.KEY).as("id"), col("value")))
+      .select(col("s").getField("id")).limit(1).collect()
+    assert(built.nonEmpty)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{AdapterStatus, PushQueue, WebSocketAdapter}
+
+/** WebSocket adapter: listener → push queue → streaming query, plus the
+  * status side-channel. No network in this sandbox, so the spec drives
+  * the JDK WebSocket.Listener callbacks directly (same code path a live
+  * socket invokes). */
+class WebSocketSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("frames pushed by the listener flow into a streaming query with JSON decode") {
+    PushQueue.clear("ws1")
+    val listener = new WebSocketAdapter.QueueListener("ws1",
+      keyOf = m => if (m.contains("\"sym\":\"A\"")) "A" else "B")
+    // a fragmented frame (last=false then last=true) must assemble
+    listener.onText(null, """{"sym":"A","px""", false)
+    listener.onText(null, """":1.5}""", true)
+    listener.onText(null, """{"sym":"B","px":2.5}""", true)
+
+    val schema = StructType(Seq(StructField("sym", StringType), StructField("px", DoubleType)))
+    val q = WebSocketAdapter.stream(spark, "ws1")
+      .withColumn("msg", from_json(col("text"), schema))
+      .writeStream.outputMode("append").format("memory").queryName("ws_t1")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ws_t1").orderBy("seq").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getString(0)).toSeq == Seq("A", "B")) // keyOf routing
+      assert(rows.map(_.getAs[org.apache.spark.sql.Row]("msg").getDouble(1)).toSeq == Seq(1.5, 2.5))
+    } finally q.stop()
+  }
+
+  test("status side-channel carries open/error/close lifecycle (status.py)") {
+    PushQueue.clear("status:ws2")
+    val listener = new WebSocketAdapter.QueueListener("ws2", _ => "ws")
+    listener.onOpen(null)
+    listener.onError(null, new RuntimeException("boom"))
+    listener.onClose(null, 1000, "bye")
+
+    val q = AdapterStatus.stream(spark, "ws2")
+      .writeStream.outputMode("append").format("memory").queryName("ws_status")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ws_status").orderBy("status_code").collect()
+      val byMsg = rows.map(r => r.getAs[String]("msg") -> r.getAs[Int]("level")).toMap
+      assert(byMsg("connected") == AdapterStatus.INFO)
+      assert(byMsg("boom") == AdapterStatus.ERROR)
+      assert(byMsg("bye") == AdapterStatus.WARNING)
+    } finally q.stop()
+  }
+}
