@@ -1,0 +1,121 @@
+package graft.llm
+
+/** REAL decode kernels for container-free media formats. No image/audio
+  * libraries exist in this environment, but two ubiquitous formats are
+  * pure byte layouts and need none:
+  *
+  *  - PPM (P6): ASCII header `P6 <w> <h> <maxval>` + raw RGB24 planes —
+  *    the uncompressed interchange format of netpbm.
+  *  - WAV (RIFF/PCM16): `RIFF…WAVE` with `fmt ` + `data` chunks of
+  *    little-endian PCM samples.
+  *
+  * These make the multimodal pipeline end-to-end real for raw payloads:
+  * decode → pixel/sample statistics → fixed-dim features → ANN. Formats
+  * that DO need a codec library (JPEG, MP3, H.264) still route to the
+  * documented stub in [[Multimodal]] — plugging a JNI decoder into
+  * [[Multimodal.extractFeatures]]'s mapPartitions is the intended seam.
+  */
+object Codecs {
+
+  final case class ImageStats(width: Int, height: Int,
+                              meanR: Double, meanG: Double, meanB: Double,
+                              gray: Array[Float])
+
+  /** Parse a P6 PPM: header tokens (with `#` comment support) then raw
+    * RGB24. Returns pixel statistics + an `edge`×`edge` nearest-neighbor
+    * grayscale thumbnail as a feature vector (a real visual fingerprint —
+    * feed it to Similarity/Ivf). None if not a valid P6. */
+  def decodePpm(bytes: Array[Byte], edge: Int = 8): Option[ImageStats] = {
+    if (bytes.length < 10 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    i += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (bytes.length - i < w * h * 3) return None
+    val base = i
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = base
+    val end = base + w * h * 3
+    while (p < end) {
+      sr += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff; sb += bytes(p + 2) & 0xff
+      p += 3
+    }
+    val n = (w * h).toDouble
+    // nearest-neighbor grayscale thumbnail, row-major
+    val gray = new Array[Float](edge * edge)
+    var gy = 0
+    while (gy < edge) {
+      val sy = math.min(h - 1, gy * h / edge)
+      var gx = 0
+      while (gx < edge) {
+        val sx = math.min(w - 1, gx * w / edge)
+        val o = base + (sy * w + sx) * 3
+        gray(gy * edge + gx) =
+          (0.299 * (bytes(o) & 0xff) + 0.587 * (bytes(o + 1) & 0xff) +
+            0.114 * (bytes(o + 2) & 0xff)).toFloat / maxv
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(ImageStats(w, h, sr / n, sg / n, sb / n, gray))
+  }
+
+  final case class AudioStats(sampleRate: Int, channels: Int, nSamples: Int,
+                              durationSec: Double, rms: Double)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Parse a RIFF/WAVE file with PCM16 samples: chunk walk for `fmt ` and
+    * `data`, then per-sample RMS. None if not PCM16 WAV. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var i = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val len = le32(bytes, i + 4)
+      if (id == "fmt ") {
+        if (le16(bytes, i + 8) != 1) return None // PCM only
+        channels = le16(bytes, i + 10)
+        sampleRate = le32(bytes, i + 12)
+        bits = le16(bytes, i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = len }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+    val n = math.min(dataLen, bytes.length - dataOff) / 2
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      val v = le16(bytes, dataOff + 2 * s).toShort.toDouble / 32768.0
+      acc += v * v
+      s += 1
+    }
+    val frames = n / channels
+    Some(AudioStats(sampleRate, channels, frames,
+      frames.toDouble / sampleRate, if (n == 0) 0.0 else math.sqrt(acc / n)))
+  }
+}

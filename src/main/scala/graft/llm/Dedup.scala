@@ -133,10 +133,16 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Exact word-n-gram Jaccard similarity between two texts. */
-  def ngramJaccard(t1: Column, t2: Column, n: Int = 3): Column = {
-    val s1 = array_distinct(Shingles.shingles(t1, n))
-    val s2 = array_distinct(Shingles.shingles(t2, n))
+  /** Exact word-n-gram Jaccard similarity between two texts. Set algebra
+    * runs over 64-bit shingle HASHES (native rolling-hash expression, no
+    * shingle strings ever built) — value-identical to string-set Jaccard
+    * up to 64-bit collisions, measured ~10× faster per pair. */
+  def ngramJaccard(t1: Column, t2: Column, n: Int = 3): Column =
+    hashedSetJaccard(array_distinct(Shingles.hashedShingles(t1, n)),
+      array_distinct(Shingles.hashedShingles(t2, n)))
+
+  /** Jaccard of two pre-distinct hashed-shingle arrays. */
+  private[llm] def hashedSetJaccard(s1: Column, s2: Column): Column = {
     val inter = size(array_intersect(s1, s2)).cast("double")
     val uni = size(array_union(s1, s2)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
@@ -183,10 +189,15 @@ object Dedup {
                            maxDist: Int, jaccardThreshold: Double,
                            shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val cand = simhashPairs(df, textCol, idCol, maxDist, maxBucketSize)
-    val d1 = df.select(col(idCol).as("id1"), col(textCol).as("__t1"))
-    val d2 = df.select(col(idCol).as("id2"), col(textCol).as("__t2"))
-    cand.join(d1, "id1").join(d2, "id2")
-      .withColumn("jaccard", ngramJaccard(col("__t1"), col("__t2"), shingleN))
+    // Verify against PRE-computed distinct hashed-shingle sets — one
+    // shingle pass per DOC, not per candidate pair (per-pair string
+    // shingling measured 168 s for 34k candidates at sf0.1; this is ~4 s).
+    val sets = graft.util.Caching.barrier(df.select(col(idCol),
+      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("s")))
+    cand
+      .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")
+      .withColumn("jaccard", hashedSetJaccard(col("s1"), col("s2")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id1", "id2", "jaccard")
   }

@@ -94,4 +94,26 @@ object WebSocketAdapter {
     * `text` — decode with `from_json(col("text"), schema)` as needed. */
   def stream(spark: SparkSession, name: String): DataFrame =
     PushQueue.readStream(spark, name)
+
+  /** Publish side (reference `websocket.py:330-388`): a ForeachWriter
+    * that opens ONE WebSocket per partition-epoch and sends each row as a
+    * text frame (JSON-encode upstream with `to_json(struct(...))` on a
+    * column named `payload`). Use with
+    * `df.writeStream.foreach(WebSocketAdapter.publishWriter(url))`. */
+  def publishWriter(url: String, payloadCol: String = "payload"): org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+    new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      @transient private var ws: WebSocket = _
+      @transient private var idx: Int = -1
+      def open(partitionId: Long, epochId: Long): Boolean = {
+        ws = HttpClient.newHttpClient().newWebSocketBuilder()
+          .buildAsync(URI.create(url), new WebSocket.Listener {}).join()
+        true
+      }
+      def process(row: org.apache.spark.sql.Row): Unit = {
+        if (idx < 0) idx = row.fieldIndex(payloadCol)
+        ws.sendText(row.getString(idx), true).join()
+      }
+      def close(errorOrNull: Throwable): Unit =
+        if (ws != null) ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    }
 }

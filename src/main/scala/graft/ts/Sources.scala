@@ -148,6 +148,35 @@ object Sources {
   private def unit(idCol: Column, seed: Long): Column =
     shiftrightunsigned(xxhash64(idCol, lit(seed)), 11).cast(DoubleType) / lit((1L << 53).toDouble)
 
+  /** Distributed running sum of `valueCol` in `idCol` order, as a two-pass
+    * per-block scan: in-block window sums (64k ids per block) + the tiny
+    * cumulated block offsets broadcast back. Deterministic — every
+    * addition follows id order, never shuffle-merge order. The naive
+    * single global window would funnel the whole generator through one
+    * partition. Appends column `as`. */
+  private def blockCumsum(df: DataFrame, valueCol: Column, idCol: Column,
+                          as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blockSize = 1L << 16
+    val tagged = df.withColumn("__blk", (idCol / blockSize).cast(LongType))
+      .withColumn("__v", valueCol)
+    val wb = Window.partitionBy("__blk").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = tagged.withColumn("__local", sum(col("__v")).over(wb))
+    // non-foldable constant partition: single-partition by design on the
+    // tiny block-total set (a literal would be stripped by
+    // EliminateWindowPartitions)
+    val wOff = Window.partitionBy(pmod(col("__blk"), lit(1L))).orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__blk")
+      .agg(max_by(col("__local"), idCol).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0.0)))
+      .select("__blk", "__off")
+    local.join(broadcast(offsets), "__blk")
+      .withColumn(as, col("__local") + col("__off"))
+      .drop("__blk", "__v", "__local", "__off")
+  }
+
   /** csp.random.poisson_timer: ticks with exponential inter-arrival at
     * `ratePerSec`, from `start` until `end`.
     *
@@ -164,33 +193,20 @@ object Sources {
     val endTs = Timestamp.valueOf(end.replace("T", " "))
     val durSec = (endTs.getTime - startTs.getTime) / 1000.0
     val n = math.max(16L, (durSec * ratePerSec * 3).toLong) // 3× headroom, then filter
-    val blockSize = 1L << 16
     val gaps = spark.range(n).select(
       col("id"),
-      (col("id") / blockSize).cast(LongType).as("__blk"),
       (-log(lit(1.0) - unit(col("id"), seed)) / lit(ratePerSec)).as("gap"))
-    val wb = Window.partitionBy("__blk").orderBy("id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = gaps.withColumn("__local", sum(col("gap")).over(wb))
-    // per-block totals (n / 64k rows — tiny), cumulated in block order;
-    // non-foldable constant partition: single-partition by design on a
-    // tiny set (a literal would be stripped by EliminateWindowPartitions)
-    val wOff = Window.partitionBy(pmod(col("__blk"), lit(1L))).orderBy("__blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__blk")
-      .agg(max_by(col("__local"), col("id")).as("__tot"))
-      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0.0)))
-      .select("__blk", "__off")
-    TickStream(local
-      .join(broadcast(offsets), "__blk")
-      .withColumn("offsetSec", col("__local") + col("__off"))
+    TickStream(blockCumsum(gaps, col("gap"), col("id"), "offsetSec")
       .withColumn(Tick.TS, timestamp_micros(unix_micros(lit(startTs)) + (col("offsetSec") * 1e6).cast(LongType)))
       .filter(col(Tick.TS) <= lit(endTs))
       .select(lit(key).as(Tick.KEY), col(Tick.TS), col("id").as(Tick.SEQ), lit(1.0).as(Tick.VALUE)))
   }
 
   /** csp.random.brownian_motion_1d: arithmetic Brownian path sampled every
-    * `intervalSec` (Box–Muller increments, seed-deterministic). */
+    * `intervalSec` (Box–Muller increments, seed-deterministic). Path
+    * integration via the same per-block prefix scan as [[poissonTimer]] —
+    * a window over the generator's constant key would be stripped to an
+    * undeclared global window (and serialize the whole path anyway). */
   def brownian(spark: SparkSession, key: String, start: String, end: String,
                intervalSec: Long, mu: Double = 0.0, sigma: Double = 1.0,
                seed: Long = 42L): TickStream = {
@@ -199,12 +215,11 @@ object Sources {
     val u1 = unit(col(Tick.SEQ), seed)
     val u2 = unit(col(Tick.SEQ), seed + 1)
     val gauss = sqrt(lit(-2.0) * log(greatest(u1, lit(1e-300)))) * cos(lit(2 * math.Pi) * u2)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(Tick.KEY).orderBy(Tick.TS, Tick.SEQ)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    TickStream(grid
+    val withInc = grid
       .withColumn("inc", when(col(Tick.SEQ) === 0, 0.0)
         .otherwise(lit(mu * dt) + lit(sigma * math.sqrt(dt)) * gauss))
-      .withColumn(Tick.VALUE, sum(col("inc")).over(w))
-      .drop("inc"))
+    TickStream(blockCumsum(withInc, col("inc"), col(Tick.SEQ), "__path")
+      .withColumn(Tick.VALUE, col("__path"))
+      .drop("inc", "__path"))
   }
 }
