@@ -8,14 +8,25 @@ import org.apache.spark.sql.types._
   * instantiate it — nested case classes fall back to the interpreter). */
 case class Feat(media_id: Long, format: String, n_bytes: Int, features: Array[Float])
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed in partition-sized batches.
+/** Real image-decode output (Codecs.decodePpm). */
+case class ImageRow(media_id: Long, decoded: Boolean, width: Int, height: Int,
+                    mean_r: Double, mean_g: Double, mean_b: Double,
+                    gray: Array[Float])
+
+/** Real audio-decode output (Codecs.decodeWav). */
+case class AudioRow(media_id: Long, decoded: Boolean, sample_rate: Int,
+                    channels: Int, n_samples: Int, duration_sec: Double, rms: Double)
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, processed in partition-sized batches.
   *
-  * The decode kernels themselves are STUBBED (no image/audio libraries in
-  * this environment — the `decodeFake` below is a deterministic
-  * placeholder, clearly marked); the Spark-side contract is real and
-  * tested: schema, batch iteration shape, partition sizing. At 100 TB the
-  * shape is mapPartitions over binary blobs with
+  * Decode is REAL for the container-free formats ([[Codecs]]: PPM P6
+  * images, PCM16 WAV audio — `decodeImages`/`decodeAudio` below produce
+  * true pixel/sample statistics and a usable visual fingerprint). Formats
+  * that need a codec library (JPEG/MP3/H.264 — none exists in this
+  * environment) route to the clearly-marked `decodeFake` stub; a real
+  * pipeline plugs its JNI/vectorized decoder into the same mapPartitions
+  * seam. At 100 TB the shape is mapPartitions over binary blobs with
   * `spark.sql.files.maxPartitionBytes` tuned so one partition of blobs +
   * one batch of decoded tensors fits an executor — identical to how a
   * Pandas-UDF/`mapInPandas` pipeline batches in PySpark.
@@ -72,6 +83,46 @@ object Multimodal {
           decodeFake(bytes, dim))
       }
     }(Encoders.product[Feat]).toDF()
+  }
+
+  /** REAL image decode for raw PPM (P6) payloads ([[Codecs.decodePpm]]):
+    * true pixel statistics + an edge×edge grayscale thumbnail — a usable
+    * visual fingerprint (cosine-ANN it via Similarity/Ivf). Payloads that
+    * are not valid P6 yield decoded=false with zeroed stats. Same
+    * per-partition shape as extractFeatures: decode cost scales linearly
+    * with executors, no shuffle. */
+  def decodeImages(media: DataFrame, edge: Int = 8): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Codecs.decodePpm(r.getAs[Array[Byte]](mIdx), edge) match {
+          case Some(s) => ImageRow(id, decoded = true, s.width, s.height,
+            s.meanR, s.meanG, s.meanB, s.gray)
+          case None => ImageRow(id, decoded = false, 0, 0, 0.0, 0.0, 0.0,
+            new Array[Float](edge * edge))
+        }
+      }
+    }(Encoders.product[ImageRow]).toDF()
+  }
+
+  /** REAL audio decode for RIFF/PCM16 WAV payloads ([[Codecs.decodeWav]]):
+    * sample rate / channels / duration / RMS loudness — the audio-quality
+    * signals a curation pipeline filters on. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Codecs.decodeWav(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(a) => AudioRow(id, decoded = true, a.sampleRate, a.channels,
+            a.nSamples, a.durationSec, a.rms)
+          case None => AudioRow(id, decoded = false, 0, 0, 0, 0.0, 0.0)
+        }
+      }
+    }(Encoders.product[AudioRow]).toDF()
   }
 
   /** STUB resize: real kernel would decode+resample; the fake subsamples

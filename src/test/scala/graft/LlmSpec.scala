@@ -133,6 +133,58 @@ class LlmSpec extends AnyFunSuite {
       "a shared session must hold no cached RDDs after release()")
   }
 
+  test("real PPM image decode: pixel stats, thumbnail fingerprint, ANN-ready") {
+    // build P6 PPMs byte-by-byte: 2x2 red image and a 4x4 gradient
+    def ppm(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header = s"P6\n# test\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y); val o = (y * w + x) * 3
+        body(o) = r.toByte; body(o + 1) = g.toByte; body(o + 2) = b.toByte
+      }
+      header ++ body
+    }
+    val red = ppm(2, 2, (_, _) => (200, 10, 30))
+    val grad = ppm(4, 4, (x, y) => (x * 60, y * 60, 0))
+    val media = Seq((0L, red), (1L, grad), (2L, "not an image".getBytes)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("image/ppm").as("format"),
+        lit(0).as("width"), lit(0).as("height")))
+    val out = Multimodal.decodeImages(media, edge = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(1) && out(0L).getInt(2) == 2 && out(0L).getInt(3) == 2)
+    assert(out(0L).getDouble(4) == 200.0 && out(0L).getDouble(5) == 10.0 && out(0L).getDouble(6) == 30.0)
+    assert(out(1L).getBoolean(1))
+    assert(math.abs(out(1L).getDouble(4) - 90.0) < 1e-9) // mean of 0,60,120,180
+    assert(!out(2L).getBoolean(1)) // non-image flagged, not crashed
+    // thumbnail is a usable similarity fingerprint: identical image → cos 1
+    val gray = out(0L).getAs[scala.collection.Seq[Float]](7)
+    assert(gray.length == 4 && gray.forall(g => g > 0f && g < 1f))
+  }
+
+  test("real WAV audio decode: rate, duration, RMS (PCM16 RIFF)") {
+    def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // half-scale square wave: RMS = 0.5 in units of full scale
+    val sq = wav(8000, Array.tabulate[Short](8000)(i => if (i % 2 == 0) 16384 else -16384))
+    val silent = wav(16000, Array.fill[Short](16000)(0))
+    val media = Seq((0L, sq), (1L, silent), (2L, "noise".getBytes)).toDF("media_id", "media")
+    val out = Multimodal.decodeAudio(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(1) && out(0L).getInt(2) == 8000)
+    assert(math.abs(out(0L).getDouble(5) - 1.0) < 1e-9) // 8000 samples @ 8kHz = 1s
+    assert(math.abs(out(0L).getDouble(6) - 0.5) < 1e-9)  // |16384|/32768 = 0.5 RMS
+    assert(out(1L).getBoolean(1) && out(1L).getDouble(6) == 0.0 && out(1L).getInt(2) == 16000)
+    assert(!out(2L).getBoolean(1))
+  }
+
   test("multimodal plumbing: features, resize, frame sampling") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
