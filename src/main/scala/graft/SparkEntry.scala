@@ -260,6 +260,12 @@ object SparkEntry {
         threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
+    // near-dup clustering: transitive closure of the verified pair graph
+    // (min-label propagation), canonical = min reachable id
+    "q_dedup_cluster" -> { (s, dir) =>
+      Dedup.nearDupClusters(Sources.table(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
+    },
     "q_simhash_pairs" -> { (s, dir) =>
       val docs = Sources.table(s, dir, "documents")
       Dedup.simhashVerifiedPairs(docs, "text", "doc_id", maxDist = 7,
@@ -479,6 +485,19 @@ object SparkEntry {
         graft.llm.Multimodal.asMedia(Sources.table(s, dir, "documents"), "doc_id", "text"), 8)
         .select(col("media_id"), col("n_bytes"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    },
+    // REAL image decode end-to-end with an independent oracle: build a
+    // 12x1 P6 PPM from each doc's first 36 ASCII chars, run the actual
+    // decoder (Codecs.decodePpm via mapPartitions), and let DuckDB
+    // recompute the per-channel pixel means from the character codes.
+    "q_multimodal_decode" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val media = docs.select(col("doc_id").as("media_id"),
+        encode(concat(lit("P6\n12 1\n255\n"), substring(col("text"), 1, 36)), "UTF-8").as("media"))
+      graft.llm.Multimodal.decodeImages(media, edge = 2)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     }
   )
 
@@ -682,6 +701,24 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |    AND len(a.s) * 0.3 <= len(b.s) AND len(b.s) * 0.3 <= len(a.s))
         |WHERE j >= 0.3""".stripMargin,
+    // transitive closure via recursive CTE over the brute-force pair graph
+    // (LSH recall is exactly 1 on this data — see q_minhash_pairs note)
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
     "q_simhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
@@ -713,6 +750,14 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, ' +')) AS n_tok,
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+    // independent recomputation of the PPM decoder's pixel means from the
+    // character codes (ASCII text == payload bytes)
+    "q_multimodal_decode" ->
+      """SELECT doc_id, 12 AS width, 1 AS height,
+        |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 1 + 3*i, 1))), 'avg') AS mean_r,
+        |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 2 + 3*i, 1))), 'avg') AS mean_g,
+        |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 3 + 3*i, 1))), 'avg') AS mean_b
+        |FROM documents WHERE length(text) >= 36""".stripMargin,
     "q_langid" ->
       """SELECT doc_id, CASE
         |  WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'

@@ -133,6 +133,52 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Near-dup CLUSTERING: canonical id per document = the smallest id
+    * reachable through the near-dup pair graph (connected components) —
+    * the curation stage after pair generation: "keep one doc per
+    * near-dup cluster", transitively (A~B, B~C ⇒ one survivor of
+    * {A,B,C} even when A~C is below threshold).
+    *
+    * Min-label propagation over the edge list, one round per component
+    * diameter (near-dup clusters are dense and shallow — converges in a
+    * few rounds). 100 TB shape: each round is one groupBy + join on the
+    * EDGE subgraph only (docs without any near-dup never enter the loop);
+    * superseded label tables unpersist as soon as the next is
+    * materialized. Deterministic: labels are ids, min is min. */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, numHashes: Int = 32, bands: Int = 16,
+                      shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, threshold, numHashes, bands,
+      shingleN, maxBucketSize).select(col("id1"), col("id2"))
+    val edges = graft.util.Caching.barrier(
+      pairs.union(pairs.select(col("id2"), col("id1"))).toDF("src", "dst"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy("src").agg(min("dlabel").as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changes = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changes == 0
+    }
+    // labels stays cached until the caller consumes `out` (releasing it
+    // earlier would re-run the whole iteration lineage on materialization)
+    graft.util.Caching.barrier(labels)
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("canonical_id"))
+  }
+
   /** Exact word-n-gram Jaccard similarity between two texts. Set algebra
     * runs over 64-bit shingle HASHES (native rolling-hash expression, no
     * shingle strings ever built) — value-identical to string-set Jaccard

@@ -102,6 +102,26 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.intersect(bf).size >= bf.size * 9 / 10, s"ivf=$ivf bf=$bf")
   }
 
+  test("near-dup clustering: transitive closure beyond direct pairs") {
+    // chain 0~1~2 where 0-2 falls BELOW the pair threshold: clustering
+    // must still unite all three (transitivity); 3 stays alone
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val chain = Seq(
+      (0L, base),
+      (1L, base.replace("lima", "mike")),                       // 1 word off 0
+      (2L, base.replace("lima", "mike").replace("foxtrot", "x")), // 1 off 1, 2 off 0
+      (3L, "completely unrelated content with nothing shared at all here today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(chain, "text", "doc_id", threshold = 0.65, shingleN = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.contains((0L, 2L))) // below threshold directly
+    val clusters = Dedup.nearDupClusters(chain, "text", "doc_id", threshold = 0.65, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    graft.util.Caching.release()
+  }
+
   test("bucket-size guard: 1k identical docs never reach the quadratic self-join") {
     val many = spark.range(1000).select(col("id").as("doc_id"),
       lit("same boilerplate text repeated in every single document forever").as("text"))
