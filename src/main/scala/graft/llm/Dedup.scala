@@ -150,8 +150,18 @@ object Dedup {
                       shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val pairs = minhashPairs(df, textCol, idCol, threshold, numHashes, bands,
       shingleN, maxBucketSize).select(col("id1"), col("id2"))
+    components(pairs, df.select(col(idCol)), idCol)
+  }
+
+  /** Connected components of an undirected (id1, id2) pair graph over the
+    * universe `ids`: (id, canonical_id = min reachable id). The generic
+    * clustering core of [[nearDupClusters]] — also feed it
+    * `Similarity.lshPairs`/`thresholdPairs` output for embedding-space
+    * dedup clusters. */
+  def components(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val p = pairs.select(col(pairs.columns(0)).as("id1"), col(pairs.columns(1)).as("id2"))
     val edges = graft.util.Caching.barrier(
-      pairs.union(pairs.select(col("id2"), col("id1"))).toDF("src", "dst"))
+      p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     labels.count()
@@ -171,10 +181,10 @@ object Dedup {
       labels = next
       converged = changes == 0
     }
-    // labels stays cached until the caller consumes `out` (releasing it
+    // labels stays cached until the caller consumes the result (releasing
     // earlier would re-run the whole iteration lineage on materialization)
     graft.util.Caching.barrier(labels)
-    df.select(col(idCol))
+    ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("canonical_id"))
   }

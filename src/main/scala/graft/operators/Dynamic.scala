@@ -26,6 +26,13 @@ object Dynamic {
   def snapkey(x: TickStream, as: String = "snap_key"): TickStream =
     TickStream(x.df.withColumn(as, col(Tick.KEY)))
 
+  /** csp.dynamic_collect (`baselib.py:600-612`): map of the dynamic
+    * basket's members that ticked at each engine time. Identical to the
+    * static-basket struct_collectts because membership IS key presence at
+    * that time — a key absent from the map at t either hasn't appeared
+    * yet or didn't tick this cycle, exactly the reference's dict. */
+  def collect(basket: TickStream): TickStream = Baskets.structCollectTs(basket)
+
   /** Key appearance/removal events (dynamic basket lifecycle,
     * `baselib.py:600-612`): first and last tick per key. */
   def keyEvents(x: TickStream): TickStream = {

@@ -92,9 +92,12 @@ object Sequential {
     }
   }
 
-  /** EWM variance with debias (AlphaDebiasEMA:1620 / ema_var stats.py:3127):
-    * weighted E[x], E[x²] accumulation; debias factor W²/(W²−W₂). */
-  def emaVar(x: TickStream, alpha: Double, as: String = "ema_var"): TickStream = {
+  /** EWM variance (AlphaDebiasEMA:1620 / ema_var stats.py:3127): weighted
+    * E[x], E[x²] accumulation; bias=false (the reference default) applies
+    * the debias factor W²/(W²−W₂), bias=true returns the biased moment —
+    * the full bias matrix from the reference's test_stats.py. */
+  def emaVar(x: TickStream, alpha: Double, bias: Boolean = false,
+             as: String = "ema_var"): TickStream = {
     val vi = valueIdx(x)
     val d = 1.0 - alpha
     perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
@@ -103,13 +106,17 @@ object Sequential {
       s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
       val mean = s.num / s.w
       val biased = s.num2 / s.w - mean * mean
-      val denom = s.w * s.w - s.w2
-      Seq(if (denom <= 0) Double.NaN else biased * s.w * s.w / denom)
+      if (bias) Seq(biased)
+      else {
+        val denom = s.w * s.w - s.w2
+        Seq(if (denom <= 0) Double.NaN else biased * s.w * s.w / denom)
+      }
     }
   }
 
-  def emaStd(x: TickStream, alpha: Double, as: String = "ema_std"): TickStream = {
-    val withVar = emaVar(x, alpha, "__ev")
+  def emaStd(x: TickStream, alpha: Double, bias: Boolean = false,
+             as: String = "ema_std"): TickStream = {
+    val withVar = emaVar(x, alpha, bias, "__ev")
     TickStream(withVar.df.withColumn(as, sqrt(col("__ev"))).drop("__ev"))
   }
 

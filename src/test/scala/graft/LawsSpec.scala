@@ -124,5 +124,9 @@ class LawsSpec extends AnyFunSuite {
     val ev = Dynamic.keyEvents(basket).df.collect()
       .map(r => (r.getAs[String]("key"), r.getAs[String]("event")))
     assert(ev.toSet == Set(("a", "added"), ("a", "removed"), ("b", "added"), ("b", "removed")))
+    // dynamic_collect: per-cycle map tracks membership as keys appear
+    val maps = Dynamic.collect(basket).run()
+      .map(_._2.asInstanceOf[Map[String, Any]].keySet)
+    assert(maps == Seq(Set("a"), Set("b"), Set("a"))) // t1: a, t2: b, t3: a
   }
 }

@@ -292,5 +292,20 @@ class OperatorsSpec extends AnyFunSuite {
     val vr = Sequential.emaVar(x, 0.5).df.orderBy("ts").collect()
       .map(_.getAs[Double]("ema_var")).drop(1)
     cov.zip(vr).foreach { case (cg, vg) => assert(math.abs(cg - vg) < 1e-12, s"$cg vs $vg") }
+    // bias matrix (test_stats.py adjust×bias grid): biased moments agree
+    // across the family, std is sqrt(var) in both modes, debiased > biased
+    val covB = Sequential.emaCov(withSelf, "y", 0.5, bias = true).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_cov")).drop(1)
+    val vrB = Sequential.emaVar(x, 0.5, bias = true).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var")).drop(1)
+    covB.zip(vrB).foreach { case (cg, vg) => assert(math.abs(cg - vg) < 1e-12) }
+    val stB = Sequential.emaStd(x, 0.5, bias = true).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_std")).drop(1)
+    stB.zip(vrB).foreach { case (s2, v2) => assert(math.abs(s2 * s2 - v2) < 1e-12) }
+    vrB.zip(vr).foreach { case (b, u) => assert(b < u) } // debias inflates
+    // pandas golden for the biased branch: ewm(alpha=.5, adjust=True).var(bias=True)
+    val pandasBiasedVar = Seq(0.8888888888888888, 0.40816326530612246,
+      2.222222222222222, 1.1030176899063473)
+    vrB.zip(pandasBiasedVar).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g vs $w") }
   }
 }
