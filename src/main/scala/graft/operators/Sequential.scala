@@ -77,9 +77,13 @@ object Sequential {
              as: String = "ema"): TickStream =
     ema(x, 1.0 / (1.0 + com), adjust, as)
 
-  /** Time-decay EMA with halflife (HalflifeEMA:1723): weight of a tick
-    * decays by exp(−ln2·Δt/halflife); adjusted (normalized) form. */
-  def emaHalflife(x: TickStream, halflifeSec: Double, as: String = "ema"): TickStream = {
+  /** Time-decay EMA with halflife (HalflifeEMA:1723 /
+    * `_ema_halflife_adjusted` stats.py): weight of a tick decays by
+    * exp(−ln2·Δt/halflife). adjust=true normalizes by the decayed weight
+    * sum; adjust=false is the plain recursive form
+    * y_t = decay·y_{t−1} + (1−decay)·x_t (`_ema_halflife`). */
+  def emaHalflife(x: TickStream, halflifeSec: Double, adjust: Boolean = true,
+                  as: String = "ema"): TickStream = {
     val vi = valueIdx(x); val ti = tsIdx(x)
     val lambda = math.log(2.0) / (halflifeSec * 1e6) // per microsecond
     perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
@@ -87,8 +91,14 @@ object Sequential {
       val t = row.getTimestamp(ti).getTime * 1000L +
         (row.getTimestamp(ti).getNanos / 1000) % 1000
       val decay = if (s.lastMicros == Long.MinValue) 0.0 else math.exp(-lambda * (t - s.lastMicros))
-      s.num = v + decay * s.num; s.w = 1.0 + decay * s.w; s.lastMicros = t
-      Seq(s.num / s.w)
+      s.lastMicros = t
+      if (adjust) {
+        s.num = v + decay * s.num; s.w = 1.0 + decay * s.w
+        Seq(s.num / s.w)
+      } else {
+        s.unadjusted = if (s.unadjusted.isNaN) v else decay * s.unadjusted + (1.0 - decay) * v
+        Seq(s.unadjusted)
+      }
     }
   }
 

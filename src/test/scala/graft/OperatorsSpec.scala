@@ -227,6 +227,10 @@ class OperatorsSpec extends AnyFunSuite {
       .map(_.getAs[Double]("ema"))
     val expT = Seq(1.0, 2.3333333333, 2.1428571429, 3.6666666667)
     hl.zip(expT).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+    // unadjusted form: plain recursion y = 0.5*y + 0.5*x at daily spacing
+    val un = Sequential.emaHalflife(x, 86400.0, adjust = false).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema"))
+    assert(un.toSeq == Seq(1.0, 2.0, 2.0, 3.5))
   }
 
   test("kahan cumsum matches plain sum on clean data") {
