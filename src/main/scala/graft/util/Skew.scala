@@ -1,0 +1,39 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew handling for joins whose hot keys overwhelm one reducer.
+  *
+  * First line of defense is AQE's runtime skew-join splitting (on by
+  * default in GraftSession) — it rewrites sort-merge joins after seeing
+  * real partition sizes. Explicit salting remains the deterministic
+  * pre-planned answer when (a) the join feeds an operator AQE can't
+  * split (a window over the join key), or (b) the skew is known and you
+  * want the plan fixed at authoring time — the 100 TB "one user id is 5%
+  * of the events table" case.
+  */
+object Skew {
+
+  /** Salted equi-join: scatter the BIG side's rows across `salt` buckets
+    * and replicate the SMALL side once per bucket, so one hot key spreads
+    * over `salt` reducers instead of melting one. Result is exactly
+    * `big.join(small, key)` (inner). Replication factor applies to the
+    * small side only — size it like a broadcast candidate × salt. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int = 16): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    // salt from a hash of the row id: uniform, no RNG state, and
+    // independent of the key (that's the point — one key, many buckets)
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-N key histogram — the reconnaissance step before choosing a
+    * salt factor (or deciding a key is broadcast-size after all). */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(key).count().orderBy(col("count").desc).limit(topN)
+}

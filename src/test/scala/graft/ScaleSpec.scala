@@ -54,4 +54,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("k2"),
       s"expected partition pruning in:\n${plan.take(800)}")
   }
+
+  test("salted join equals plain join on a 90%-skewed key") {
+    import spark.implicits._
+    // 10k rows, 90% under one hot key
+    val big = spark.range(10000).select(
+      when(col("id") % 10 < 9, "hot").otherwise(concat(lit("k"), col("id") % 50)).as("k"),
+      col("id").as("v"))
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("k", "label")
+    val plain = big.join(dim, "k")
+    val salted = graft.util.Skew.saltedJoin(big, dim, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    // identical multiset of (k, v, label)
+    val a = plain.select("k", "v", "label").collect().map(_.toSeq).sortBy(_.toString)
+    val b = salted.select("k", "v", "label").collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+    // the hot key really spreads: >1 distinct salt bucket used
+    val buckets = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(8L)))
+      .filter(col("k") === "hot").select("__salt").distinct().count()
+    assert(buckets > 1)
+    // and the histogram tool surfaces the skew
+    val top = graft.util.Skew.keyHistogram(big, "k", 1).collect()(0)
+    assert(top.getString(0) == "hot" && top.getLong(1) == 9000L)
+  }
 }
