@@ -193,6 +193,11 @@ final case class TickStream(df: DataFrame) {
   def evalExpr(sqlExpr: String, as: String): TickStream =
     TickStream(df.withColumn(as, expr(sqlExpr)))
 
+  /** Struct.to_json (reference `PyStructToJson.cpp` / struct.py to_yaml):
+    * serialize a struct-valued stream — Spark's native to_json. */
+  def toJson(as: String = VALUE): TickStream =
+    TickStream(df.withColumn(as, to_json(col(VALUE))))
+
   // ---- PushMode shims (reference common_definitions.py:274-289;
   // Execution-Modes.md duplicate-timestamp table). Applied at a source to
   // choose how same-timestamp ticks on one edge are delivered. ----
@@ -296,6 +301,8 @@ final case class TickStream(df: DataFrame) {
   def asinhTicks: TickStream = mapValue(asinh)
   def acoshTicks: TickStream = mapValue(acosh)
   def atanhTicks: TickStream = mapValue(atanh)
+  /** csp.bitwise_not (`math.py:62`) over integer streams. */
+  def bitNot: TickStream = mapValue(bitwise_not)
   /** csp.erf (`math.py:erf`): Abramowitz–Stegun 7.1.26 rational
     * approximation in pure Column arithmetic (|err| ≤ 1.5e-7) — stays
     * inside whole-stage codegen; the JVM has no native erf. */

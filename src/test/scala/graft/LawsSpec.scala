@@ -76,6 +76,15 @@ class LawsSpec extends AnyFunSuite {
     val erfWant = Seq(0.3286267594591274, 0.6778011938374184, 0.7969082124228322)
     assert(close(vals(u.erfTicks), erfWant, 2e-7))
     assert(vals(u.erfTicks.unary_-.absTicks) == vals(u.erfTicks)) // odd-function sanity via DSL chain
+    // integer stream: bitwise_not
+    val ints = Sources.curveOf(spark, "k", Seq(day(1) -> 5L, day(2) -> -1L),
+      org.apache.spark.sql.types.LongType)
+    assert(ints.bitNot.run().map(_._2) == Seq(-6L, 0L))
+    // struct stream: to_json serialization
+    val structed = TickStream(ints.df.withColumn("value",
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("value").as("v"))))
+    assert(structed.toJson().run().map(_._2) == Seq("""{"v":5}""", """{"v":-1}"""))
     // boolean streams
     val p = Sources.curveOf(spark, "k", Seq(day(1) -> true, day(2) -> false),
       org.apache.spark.sql.types.BooleanType)
