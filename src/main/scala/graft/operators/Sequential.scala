@@ -164,6 +164,32 @@ object Sequential {
     TickStream(x.df.withColumn(as, when(den > 0, num / den).otherwise(lit(Double.NaN))))
   }
 
+  /** Time-decay EWM variance (HalflifeDebiasEMA:1804): moments decay by
+    * exp(−ln2·Δt/halflife) — the weight-square sum by decay² — with the
+    * same W²/(W²−W₂) debias as the alpha form. Equal spacing degenerates
+    * to emaVar with α = 1 − decay (law in the spec). */
+  def emaVarHalflife(x: TickStream, halflifeSec: Double, bias: Boolean = false,
+                     as: String = "ema_var"): TickStream = {
+    val vi = valueIdx(x); val ti = tsIdx(x)
+    val lambda = math.log(2.0) / (halflifeSec * 1e6)
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
+      val v = row.getDouble(vi)
+      val t = row.getTimestamp(ti).getTime * 1000L +
+        (row.getTimestamp(ti).getNanos / 1000) % 1000
+      val decay = if (s.lastMicros == Long.MinValue) 0.0 else math.exp(-lambda * (t - s.lastMicros))
+      s.lastMicros = t
+      s.num = v + decay * s.num; s.num2 = v * v + decay * s.num2
+      s.w = 1.0 + decay * s.w; s.w2 = 1.0 + decay * decay * s.w2
+      val mean = s.num / s.w
+      val biased = s.num2 / s.w - mean * mean
+      if (bias) Seq(biased)
+      else {
+        val denom = s.w * s.w - s.w2
+        Seq(if (denom <= 0) Double.NaN else biased * s.w * s.w / denom)
+      }
+    }
+  }
+
   final private class EmaCovState {
     var nxy = 0.0; var nx = 0.0; var ny = 0.0; var w = 0.0; var w2 = 0.0
   }

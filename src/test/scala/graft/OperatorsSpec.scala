@@ -233,6 +233,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(un.toSeq == Seq(1.0, 2.0, 2.0, 3.5))
   }
 
+  test("emaVarHalflife: equal spacing degenerates to alpha-EMA variance") {
+    // halflife 1 day, daily ticks → decay 0.5 ≡ emaVar(alpha = 0.5)
+    val x = c(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 4 -> 5.0, 5 -> 4.0)
+    val hl = Sequential.emaVarHalflife(x, 86400.0).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var"))
+    val al = Sequential.emaVar(x, 0.5).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var"))
+    hl.zip(al).drop(1).foreach { case (h, a) => assert(math.abs(h - a) < 1e-12, s"$h vs $a") }
+    // biased variant agrees with the alpha biased variant too
+    val hlB = Sequential.emaVarHalflife(x, 86400.0, bias = true).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var"))
+    val alB = Sequential.emaVar(x, 0.5, bias = true).df.orderBy("ts").collect()
+      .map(_.getAs[Double]("ema_var"))
+    hlB.zip(alB).drop(1).foreach { case (h, a) => assert(math.abs(h - a) < 1e-12) }
+  }
+
   test("kahan cumsum matches plain sum on clean data") {
     val x = c(1 -> 1.5, 2 -> 2.5, 3 -> 3.0)
     val rows = Sequential.kahanCumsum(x).df.orderBy("ts").collect()
