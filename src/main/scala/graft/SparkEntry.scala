@@ -260,6 +260,10 @@ object SparkEntry {
         threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
+    "q_repetition" -> { (s, dir) =>
+      graft.llm.TextAnalysis.repetitionStats(
+        Sources.table(s, dir, "documents"), "doc_id", "text", ngram = 3)
+    },
     // near-dup clustering: transitive closure of the verified pair graph
     // (min-label propagation), canonical = min reachable id
     "q_dedup_cluster" -> { (s, dir) =>
@@ -701,6 +705,28 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |    AND len(a.s) * 0.3 <= len(b.s) AND len(b.s) * 0.3 <= len(a.s))
         |WHERE j >= 0.3""".stripMargin,
+    // entropy folds over the SORTED count list on both engines so the
+    // double summation order is identical
+    "q_repetition" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |ent AS (
+        |  SELECT doc_id, list_sort(list(c)) AS cs FROM tc GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |sc AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s),
+        |rep AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition_ratio
+        |  FROM sc GROUP BY doc_id)
+        |SELECT ent.doc_id,
+        |  round(log2(list_sum(cs)) - list_sum(list_transform(cs, c -> c * log2(c))) / list_sum(cs), 6) AS token_entropy,
+        |  repetition_ratio
+        |FROM ent JOIN rep ON ent.doc_id = rep.doc_id""".stripMargin,
     // transitive closure via recursive CTE over the brute-force pair graph
     // (LSH recall is exactly 1 on this data — see q_minhash_pairs note)
     "q_dedup_cluster" ->

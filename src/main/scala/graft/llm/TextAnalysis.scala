@@ -69,6 +69,35 @@ object TextAnalysis {
     round((lenScore + divScore + stopScore) / lit(3.0), 6)
   }
 
+  /** Token-distribution Shannon entropy (bits) and repetition ratio
+    * (share of the single most common word `ngram`) — the standard
+    * repetitiveness filters for web-scale corpora (low entropy / high
+    * repetition ⇒ boilerplate, keyword stuffing, generation loops).
+    *
+    * Shape: explode + two aggregations, shuffled by (doc, term) — scales
+    * like a word count. Determinism: the entropy log-sum folds over the
+    * SORTED per-doc count list (H = log2 n − Σ c·log2 c / n), so
+    * shuffle-merge order cannot wiggle low-order bits. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      ngram: Int = 3): DataFrame = {
+    val tokCounts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val n = aggregate(col("__cs"), lit(0L), _ + _).cast("double")
+    val s = aggregate(col("__cs"), lit(0.0),
+      (acc, c) => acc + c.cast("double") * log2(c.cast("double")))
+    val ent = tokCounts.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__c"))).as("__cs"))
+      .select(col(idCol), round(log2(n) - s / n, 6).as("token_entropy"))
+    val rep = df
+      .select(col(idCol), explode(Shingles.shingles(col(textCol), ngram)).as("__s"))
+      .groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("__c")).cast("double") / sum(col("__c")).cast("double"), 6)
+        .as("repetition_ratio"))
+    ent.join(rep, idCol)
+  }
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))

@@ -102,6 +102,22 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.intersect(bf).size >= bf.size * 9 / 10, s"ivf=$ivf bf=$bf")
   }
 
+  test("repetition stats: entropy and repeated-ngram ratio on crafted docs") {
+    val crafted = Seq(
+      (0L, "spam spam spam spam"),                   // 1 distinct token: H = 0
+      (1L, "a b a b"),                               // uniform 2: H = 1 bit
+      (2L, "w x y z")                                // uniform 4: H = 2 bits
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.repetitionStats(crafted, "doc_id", "text", ngram = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 == 0.0)
+    assert(out(1L)._1 == 1.0)
+    assert(out(2L)._1 == 2.0)
+    // doc 0 bigrams: 3x "spam spam" → ratio 1; doc 2: 3 distinct → 1/3
+    assert(out(0L)._2 == 1.0)
+    assert(out(2L)._2 == 0.333333)
+  }
+
   test("near-dup clustering: transitive closure beyond direct pairs") {
     // chain 0~1~2 where 0-2 falls BELOW the pair threshold: clustering
     // must still unite all three (transitivity); 3 stays alone
