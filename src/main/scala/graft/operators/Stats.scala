@@ -169,10 +169,31 @@ object Stats {
     }
 
     private def add(name: String, c: Column): Rolling =
-      Rolling(TickStream(x.df.withColumn(name, gated(c))), spec, minWindow)
+      copy(x = TickStream(x.df.withColumn(name, gated(c))))
+
+    // ---- memoized base window sums ----------------------------------
+    // WindowExec evaluates every named window expression independently —
+    // identical aggregates are NOT deduplicated in the physical plan, and
+    // sliding frames recompute per row, so a var+stddev+sem chain would
+    // pay for the same DECIMAL sums three times. Base sums are memoized
+    // as hidden `__g_*` columns (dropped by `done`) and shared by every
+    // stat derived from them. Values are unchanged: the derived
+    // expressions read the exact same sums.
+    private val BasePrefix = "__g_"
+    private def memo(tag: String, c: => Column): (Rolling, Column) = {
+      val name = BasePrefix + tag
+      if (x.df.columns.contains(name)) (this, col(name))
+      else (copy(x = TickStream(x.df.withColumn(name, c))), col(name))
+    }
+    private def memoN: (Rolling, Column) =
+      memo("cnt", functions.count(v).over(spec))
+    /** Decimal sum of an expression over the frame, memoized by tag. */
+    private def memoSum(tag: String, e: Column, scale: Int): (Rolling, Column) =
+      memo(s"s_${tag}_$scale", functions.sum(e.cast(s"decimal(28,$scale)")).over(spec))
 
     /** Drop helper columns and return the stream. */
-    def done: TickStream = TickStream(x.df.drop("__em"))
+    def done: TickStream = TickStream(
+      x.df.drop(x.df.columns.filter(_.startsWith(BasePrefix)).toSeq: _*).drop("__em"))
 
     // ---- simple moments (statsimpl.h Count:24..Mean:135) ----
     def count(name: String = "count"): Rolling = add(name, functions.count(v).over(spec))
@@ -212,47 +233,61 @@ object Stats {
       * DECIMAL — the numerator is exact, so the result is identical across
       * engines/summation orders, no rounding games (csp's Kahan/recalc
       * machinery, statsimpl.h KahanSum:94, solves the same fp-drift
-      * problem; exact decimal is the Spark-native answer). */
-    private def varExactCol(scale: Int): Column = {
-      val n = functions.count(v).over(spec)
-      val sx = functions.sum(v.cast(s"decimal(28,$scale)")).over(spec)
-      val sx2 = functions.sum((v * v).cast(s"decimal(28,${2 * scale})")).over(spec)
-      val num = sx2 * n - sx * sx
-      when(n > 1, num.cast("double") / (n * (n - 1)).cast("double"))
+      * problem; exact decimal is the Spark-native answer). The n/Σx/Σx²
+      * base sums are memoized, so var+stddev+sem chains share ONE set. */
+    private def varExactParts(scale: Int): (Rolling, Column) = {
+      val (r1, n) = memoN
+      val (r2, sx) = r1.memoSum("x", v, scale)
+      val (r3, sx2) = r2.memoSum("xx", v * v, 2 * scale)
+      (r3, when(n > 1, (sx2 * n - sx * sx).cast("double") / (n * (n - 1)).cast("double")))
     }
-    def varExact(name: String = "var", scale: Int = 2): Rolling =
-      add(name, varExactCol(scale))
-    def stddevExact(name: String = "stddev", scale: Int = 2): Rolling =
-      add(name, sqrt(varExactCol(scale)))
-    def semExact(name: String = "sem", scale: Int = 2): Rolling =
-      add(name, sqrt(varExactCol(scale)) / sqrt(functions.count(v).over(spec)))
+    def varExact(name: String = "var", scale: Int = 2): Rolling = {
+      val (r, ve) = varExactParts(scale); r.add(name, ve)
+    }
+    def stddevExact(name: String = "stddev", scale: Int = 2): Rolling = {
+      val (r, ve) = varExactParts(scale); r.add(name, sqrt(ve))
+    }
+    def semExact(name: String = "sem", scale: Int = 2): Rolling = {
+      val (r0, ve) = varExactParts(scale)
+      val (r, n) = r0.memoN
+      r.add(name, sqrt(ve) / sqrt(n))
+    }
 
     /** Geometric mean (stats.py:2119). */
     def gmean(name: String = "gmean"): Rolling = add(name, exp(avg(log(v)).over(spec)))
+
+    /** Raw moment avg E[xᵖ] over the frame, memoized (skew+kurt chains
+      * share E[x]…E[x³] instead of re-evaluating per stat). */
+    private def memoAvg(power: Int): (Rolling, Column) =
+      memo(s"a$power", avg(Seq.fill(power)(v).reduce(_ * _)).over(spec))
 
     /** Skew (Skew:873). bias=true → population g1 = m3/m2^1.5; bias=false
       * → sample-adjusted (the reference's default), computed from central
       * moments so both sides of an oracle can share the formula. */
     def skew(name: String = "skew", bias: Boolean = false): Rolling = {
-      val n = functions.count(v).over(spec).cast("double")
-      val m = avg(v).over(spec)
-      val m2 = avg(v * v).over(spec) - m * m
-      val m3 = avg(v * v * v).over(spec) - lit(3) * m * avg(v * v).over(spec) + lit(2) * m * m * m
+      val (r0, n0) = memoN
+      val n = n0.cast("double")
+      val (r1, m) = r0.memoAvg(1)
+      val (r2, e2) = r1.memoAvg(2)
+      val (r3, e3) = r2.memoAvg(3)
+      val m2 = e2 - m * m
+      val m3 = e3 - lit(3) * m * e2 + lit(2) * m * m * m
       val g1 = m3 / pow(m2, 1.5)
-      add(name, if (bias) g1 else sqrt(n * (n - 1)) / (n - 2) * g1)
+      r3.add(name, if (bias) g1 else sqrt(n * (n - 1)) / (n - 2) * g1)
     }
 
     /** Excess kurtosis (Kurtosis:979). */
     def kurt(name: String = "kurt", bias: Boolean = false): Rolling = {
-      val n = functions.count(v).over(spec).cast("double")
-      val m = avg(v).over(spec)
-      val e2 = avg(v * v).over(spec)
-      val e3 = avg(v * v * v).over(spec)
-      val e4 = avg(v * v * v * v).over(spec)
+      val (r0, n0) = memoN
+      val n = n0.cast("double")
+      val (r1, m) = r0.memoAvg(1)
+      val (r2, e2) = r1.memoAvg(2)
+      val (r3, e3) = r2.memoAvg(3)
+      val (r4, e4) = r3.memoAvg(4)
       val m2 = e2 - m * m
       val m4 = e4 - lit(4) * m * e3 + lit(6) * m * m * e2 - lit(3) * m * m * m * m
       val g2 = m4 / (m2 * m2) - lit(3.0)
-      add(name,
+      r4.add(name,
         if (bias) g2
         else ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + lit(6.0)))
     }
@@ -299,27 +334,33 @@ object Stats {
 
     /** Exact-decimal sample covariance / correlation (same engine-portable
       * construction as varExact: exact integer/decimal numerators, one
-      * double division at the end). */
-    private def covNum(other: Column, scale: Int): (Column, Column) = {
-      val n = functions.count(v).over(spec)
-      val sx = functions.sum(v.cast(s"decimal(28,$scale)")).over(spec)
-      val sy = functions.sum(other.cast(s"decimal(28,$scale)")).over(spec)
-      val sxy = functions.sum((v * other).cast(s"decimal(28,${2 * scale})")).over(spec)
-      (sxy * n - sx * sy, n)
+      * double division at the end). Base sums memoized and shared between
+      * cov and corr (the second column's tag carries its expression hash
+      * so different `other`s don't collide). */
+    private def otherTag(other: Column): String =
+      (other.toString.hashCode.toLong & 0xffffffffL).toString
+    private def covParts(other: Column, scale: Int): (Rolling, Column, Column) = {
+      val t = otherTag(other)
+      val (r1, n) = memoN
+      val (r2, sx) = r1.memoSum("x", v, scale)
+      val (r3, sy) = r2.memoSum(s"y$t", other, scale)
+      val (r4, sxy) = r3.memoSum(s"xy$t", v * other, 2 * scale)
+      (r4, sxy * n - sx * sy, n)
     }
     def covExact(other: Column, name: String = "cov", scale: Int = 2): Rolling = {
-      val (num, n) = covNum(other, scale)
-      add(name, when(n > 1, num.cast("double") / (n * (n - 1)).cast("double")))
+      val (r, num, n) = covParts(other, scale)
+      r.add(name, when(n > 1, num.cast("double") / (n * (n - 1)).cast("double")))
     }
     def corrExact(other: Column, name: String = "corr", scale: Int = 2): Rolling = {
-      val (num, n) = covNum(other, scale)
-      val sx = functions.sum(v.cast(s"decimal(28,$scale)")).over(spec)
-      val sx2 = functions.sum((v * v).cast(s"decimal(28,${2 * scale})")).over(spec)
-      val sy = functions.sum(other.cast(s"decimal(28,$scale)")).over(spec)
-      val sy2 = functions.sum((other * other).cast(s"decimal(28,${2 * scale})")).over(spec)
+      val t = otherTag(other)
+      val (r0, num, n) = covParts(other, scale)
+      val (r1, sx) = r0.memoSum("x", v, scale)
+      val (r2, sx2) = r1.memoSum("xx", v * v, 2 * scale)
+      val (r3, sy) = r2.memoSum(s"y$t", other, scale)
+      val (r4, sy2) = r3.memoSum(s"yy$t", other * other, 2 * scale)
       val dx = (sx2 * n - sx * sx).cast("double")
       val dy = (sy2 * n - sy * sy).cast("double")
-      add(name, when(n > 1 && dx > 0 && dy > 0,
+      r4.add(name, when(n > 1 && dx > 0 && dy > 0,
         num.cast("double") / (sqrt(dx) * sqrt(dy))))
     }
 
@@ -343,59 +384,72 @@ object Stats {
     // varExact — the homogeneous-window 0 case falls out exactly (the
     // reference needs a consecutive-value counter to fight fp drift;
     // exact arithmetic doesn't). ----
-    private def wW(weight: Column): Column =
-      functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("double")
-    private def wS(c: Column, scale: Int): Column =
-      functions.sum(c.cast(s"decimal(28,$scale)")).over(spec)
+    /** Σw as a LONG (weights are integer-valued; multiplying the decimal
+      * moment sums by a LONG keeps products well inside precision 38 on
+      * both engines — decimal×decimal would overflow DuckDB's 38-digit
+      * cap). Memoized; every weighted stat shares it. */
+    private def wWParts(weight: Column): (Rolling, Column) = {
+      val t = otherTag(weight)
+      val (r, s) = memoSum(s"w$t", weight, 0)
+      (r, s.cast("long"))
+    }
+    /** Weighted moment sums Σ(xᵏ·w), memoized per (power, weight, scale). */
+    private def wMomParts(r0: Rolling, of: Column, ofTag: String, weight: Column,
+                          power: Int, scale: Int): (Rolling, Column) = {
+      val t = otherTag(weight)
+      val e = Seq.fill(power)(of).reduce(_ * _) * weight
+      r0.memoSum(s"${ofTag}p${power}w$t", e, power * scale)
+    }
 
-    /** Exact weighted-variance numerator W·Σwx² − (Σwx)², and W. W is
-      * integer-valued; multiplying as LONG keeps the decimal product well
-      * inside precision 38 on both engines (decimal×decimal would overflow
-      * DuckDB's 38-digit cap). */
-    private def wVarNum(of: Column, weight: Column, scale: Int): (Column, Column) = {
-      val ww = functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("long")
-      val sx = wS(of * weight, scale)
-      val sx2 = wS(of * of * weight, 2 * scale)
-      ((sx2 * ww - sx * sx).cast("double"), ww.cast("double"))
+    /** Exact weighted-variance numerator W·Σwx² − (Σwx)², and W(double). */
+    private def wVarParts(of: Column, ofTag: String, weight: Column,
+                          scale: Int): (Rolling, Column, Column) = {
+      val (r1, ww) = wWParts(weight)
+      val (r2, sx) = wMomParts(r1, of, ofTag, weight, 1, scale)
+      val (r3, sx2) = wMomParts(r2, of, ofTag, weight, 2, scale)
+      (r3, (sx2 * ww - sx * sx).cast("double"), ww.cast("double"))
     }
 
     def weightedVarExact(weight: Column, name: String = "wvar", ddof: Int = 1,
                          scale: Int = 2): Rolling = {
-      val (num, w) = wVarNum(v, weight, scale)
-      add(name, when(w > ddof, num / (w * (w - ddof))))
+      val (r, num, w) = wVarParts(v, "x", weight, scale)
+      r.add(name, when(w > ddof, num / (w * (w - ddof))))
     }
     def weightedStddevExact(weight: Column, name: String = "wstd", ddof: Int = 1,
                             scale: Int = 2): Rolling = {
-      val (num, w) = wVarNum(v, weight, scale)
-      add(name, when(w > ddof, sqrt(num / (w * (w - ddof)))))
+      val (r, num, w) = wVarParts(v, "x", weight, scale)
+      r.add(name, when(w > ddof, sqrt(num / (w * (w - ddof)))))
     }
     /** Weighted standard error: sqrt(var_w / W) (WeightedStandardError:824). */
     def weightedSemExact(weight: Column, name: String = "wsem", ddof: Int = 1,
                          scale: Int = 2): Rolling = {
-      val (num, w) = wVarNum(v, weight, scale)
-      add(name, when(w > ddof, sqrt(num / (w * (w - ddof)) / w)))
+      val (r, num, w) = wVarParts(v, "x", weight, scale)
+      r.add(name, when(w > ddof, sqrt(num / (w * (w - ddof)) / w)))
     }
 
-    private def wCovNum(other: Column, weight: Column, scale: Int): (Column, Column) = {
-      val ww = functions.sum(weight.cast("decimal(28,0)")).over(spec).cast("long")
-      val sx = wS(v * weight, scale)
-      val sy = wS(other * weight, scale)
-      val sxy = wS(v * other * weight, 2 * scale)
-      ((sxy * ww - sx * sy).cast("double"), ww.cast("double"))
+    private def wCovParts(other: Column, weight: Column,
+                          scale: Int): (Rolling, Column, Column) = {
+      val t = otherTag(weight); val ty = otherTag(other)
+      val (r1, ww) = wWParts(weight)
+      val (r2, sx) = wMomParts(r1, v, "x", weight, 1, scale)
+      val (r3, sy) = wMomParts(r2, other, s"y$ty", weight, 1, scale)
+      val (r4, sxy) = r3.memoSum(s"xy${ty}w$t", v * other * weight, 2 * scale)
+      (r4, (sxy * ww - sx * sy).cast("double"), ww.cast("double"))
     }
     def weightedCovExact(other: Column, weight: Column, name: String = "wcov",
                          ddof: Int = 1, scale: Int = 2): Rolling = {
-      val (num, w) = wCovNum(other, weight, scale)
-      add(name, when(w > ddof, num / (w * (w - ddof))))
+      val (r, num, w) = wCovParts(other, weight, scale)
+      r.add(name, when(w > ddof, num / (w * (w - ddof))))
     }
     /** Weighted correlation: the W − ddof denominators cancel, so corr =
       * num_xy / sqrt(num_x · num_y) over the exact numerators. */
     def weightedCorrExact(other: Column, weight: Column, name: String = "wcorr",
                           scale: Int = 2): Rolling = {
-      val (numXY, w) = wCovNum(other, weight, scale)
-      val (numX, _) = wVarNum(v, weight, scale)
-      val (numY, _) = wVarNum(other, weight, scale)
-      add(name, when(w > 1 && numX > 0 && numY > 0, numXY / (sqrt(numX) * sqrt(numY))))
+      val ty = otherTag(other)
+      val (r0, numXY, w) = wCovParts(other, weight, scale)
+      val (r1, numX, _) = r0.wVarParts(v, "x", weight, scale)
+      val (r2, numY, _) = r1.wVarParts(other, s"y$ty", weight, scale)
+      r2.add(name, when(w > 1 && numX > 0 && numY > 0, numXY / (sqrt(numX) * sqrt(numY))))
     }
 
     /** Weighted skew (WeightedSkew:926): weighted moments Σwxᵏ/W and the
@@ -403,27 +457,33 @@ object Stats {
       * factor uses the tick count n. */
     def weightedSkew(weight: Column, name: String = "wskew",
                      bias: Boolean = false, scale: Int = 2): Rolling = {
-      val n = functions.count(v).over(spec).cast("double")
-      val w = wW(weight)
-      val mx = wS(v * weight, scale).cast("double") / w
-      val mx3 = wS(v * v * v * weight, 3 * scale).cast("double") / w
-      val (num, _) = wVarNum(v, weight, scale)
+      val (r0, n0) = memoN
+      val n = n0.cast("double")
+      val (r1, num, w) = r0.wVarParts(v, "x", weight, scale)
+      val (r2, sx) = r1.wMomParts(r1, v, "x", weight, 1, scale)
+      val (r3, sx3) = r2.wMomParts(r2, v, "x", weight, 3, scale)
+      val mx = sx.cast("double") / w
+      val mx3 = sx3.cast("double") / w
       val vx = num / (w * w) // ddof = 0
       val g1 = (mx3 - lit(3) * mx * vx - mx * mx * mx) / pow(vx, 1.5)
-      add(name, when(n > 2 && vx > 0,
+      r3.add(name, when(n > 2 && vx > 0,
         if (bias) g1 else sqrt(n * (n - 1)) / (n - 2) * g1))
     }
 
     /** Weighted excess kurtosis (WeightedKurtosis:1052). */
     def weightedKurt(weight: Column, name: String = "wkurt", bias: Boolean = false,
                      excess: Boolean = true, scale: Int = 2): Rolling = {
-      val n = functions.count(v).over(spec).cast("double")
-      val w = wW(weight)
-      val mx = wS(v * weight, scale).cast("double") / w
-      val mx2 = wS(v * v * weight, 2 * scale).cast("double") / w
-      val mx3 = wS(v * v * v * weight, 3 * scale).cast("double") / w
-      val mx4 = wS(v * v * v * v * weight, 4 * scale).cast("double") / w
-      val (num, _) = wVarNum(v, weight, scale)
+      val (r0, n0) = memoN
+      val n = n0.cast("double")
+      val (r1, num, w) = r0.wVarParts(v, "x", weight, scale)
+      val (r2, sx) = r1.wMomParts(r1, v, "x", weight, 1, scale)
+      val (r3, sx2) = r2.wMomParts(r2, v, "x", weight, 2, scale)
+      val (r4, sx3) = r3.wMomParts(r3, v, "x", weight, 3, scale)
+      val (r5, sx4) = r4.wMomParts(r4, v, "x", weight, 4, scale)
+      val mx = sx.cast("double") / w
+      val mx2 = sx2.cast("double") / w
+      val mx3 = sx3.cast("double") / w
+      val mx4 = sx4.cast("double") / w
       val vx = num / (w * w) // ddof = 0
       val g2 = (mx4 - lit(4) * mx * mx3 + lit(6) * mx2 * mx * mx -
         lit(3) * mx * mx * mx * mx) / (vx * vx)
@@ -434,7 +494,7 @@ object Stats {
           val ub = kfactor * g2 - lit(3) * ((n - 1) / (n + 1)) * kfactor
           if (excess) ub else ub + 3
         }
-      add(name, when(n > 3 && vx > 0, out))
+      r5.add(name, when(n > 3 && vx > 0, out))
     }
   }
 }

@@ -135,6 +135,14 @@ class LlmSpec extends AnyFunSuite {
     val clusters = Dedup.nearDupClusters(chain, "text", "doc_id", threshold = 0.65, shingleN = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // the distributed label-propagation path (forced by driverEdgeLimit=0)
+    // must produce the identical mapping as the driver union-find
+    val pairDf = Dedup.minhashPairs(chain, "text", "doc_id", threshold = 0.65, shingleN = 2)
+      .select("id1", "id2")
+    val distributed = Dedup.components(pairDf, chain.select("doc_id"), "doc_id",
+      driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == clusters)
     graft.util.Caching.release()
   }
 
