@@ -75,13 +75,17 @@ object TextAnalysis {
     * repetition ⇒ boilerplate, keyword stuffing, generation loops).
     *
     * Shape: explode + two aggregations, shuffled by (doc, term) — scales
-    * like a word count. Determinism: the entropy log-sum folds over the
-    * SORTED per-doc count list (H = log2 n − Σ c·log2 c / n), so
-    * shuffle-merge order cannot wiggle low-order bits. */
+    * like a word count. Both metrics depend only on the COUNT MULTISET,
+    * so grouping runs over 64-bit term hashes (xxhash64 tokens, native
+    * rolling shingle hashes — no shingle strings built, long shuffle keys
+    * instead of strings; 64-bit collisions are value-negligible).
+    * Determinism: the entropy log-sum folds over the SORTED per-doc count
+    * list (H = log2 n − Σ c·log2 c / n), so shuffle-merge order cannot
+    * wiggle low-order bits. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 3): DataFrame = {
     val tokCounts = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), explode(transform(tokens(col(textCol)), t => xxhash64(t))).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
     val n = aggregate(col("__cs"), lit(0L), _ + _).cast("double")
     val s = aggregate(col("__cs"), lit(0.0),
@@ -90,7 +94,7 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("__c"))).as("__cs"))
       .select(col(idCol), round(log2(n) - s / n, 6).as("token_entropy"))
     val rep = df
-      .select(col(idCol), explode(Shingles.shingles(col(textCol), ngram)).as("__s"))
+      .select(col(idCol), explode(Shingles.hashedShingles(col(textCol), ngram)).as("__s"))
       .groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
       .agg(round(max(col("__c")).cast("double") / sum(col("__c")).cast("double"), 6)
