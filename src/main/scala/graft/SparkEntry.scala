@@ -627,10 +627,12 @@ object SparkEntry {
     "q_stats_prod" ->
       s"""SELECT event_id, round(list_reduce(list_prepend(1.0, list(value / 100.0) OVER (${WR(5)})), (a, b) -> a * b), 8) AS prod_v
          |FROM events""".stripMargin,
+    // ln guard mirrors Spark: log(x<=0) is NULL (avg skips it); DuckDB's
+    // ln(0) ERRORS instead — surfaces at sf0.1 where zero values exist
     "q_stats_misc" ->
       s"""SELECT event_id, first_value(value) OVER w AS first_v, last_value(value) OVER w AS last_v,
          |  len(list_distinct(list(value) OVER w)) AS uniq_v,
-         |  round(exp(avg(ln(value)) OVER w), 6) AS gmean_v
+         |  round(exp(avg(CASE WHEN value > 0 THEN ln(value) END) OVER w), 6) AS gmean_v
          |FROM events WINDOW w AS (${WR(10)})""".stripMargin,
     // EMA oracles: DuckDB list_reduce replays the EXACT recurrence the
     // Scala scan runs (same multiply-add order → bit-identical doubles;
