@@ -244,11 +244,16 @@ object SparkEntry {
       Dedup.exact(Sources.table(s, dir, "documents"), "text", "doc_id")
     },
     "q_jaccard_consec" -> { (s, dir) =>
-      val d = Sources.table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val d2 = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
-      d.join(d2, "doc_id")
+      // ONE shingle pass per doc (precomputed distinct hashed-shingle
+      // sets, joined twice) — never per pair: per-pair shingling re-
+      // tokenizes both full texts for every joined row (measured 168 s vs
+      // ~4 s at sf0.1, Dedup.scala shingleSets note).
+      val sets = graft.util.Caching.barrier(
+        Dedup.shingleSets(Sources.table(s, dir, "documents"), "text", "doc_id", 3))
+      val nxt = sets.select((col("doc_id") - 1).as("doc_id"), col("s").as("s2"))
+      sets.join(nxt, "doc_id")
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"),
-          round(Dedup.ngramJaccard(col("text"), col("t2"), 3), 6).as("jaccard"))
+          round(Dedup.setJaccard(col("s"), col("s2")), 6).as("jaccard"))
     },
     // LSH near-dup queries: the sf data's planted dups all have jaccard
     // ≥ 0.9 with nothing between 0.2 and 0.9 (verified), so banded LSH at
@@ -288,9 +293,13 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
-    "q_lsh_pairs" -> { (s, dir) => // rows-only: driver-seeded hyperplanes
-      Similarity.lshPairs(Sources.table(s, dir, "embeddings"), 0.3,
-        tables = 16, bits = 6)
+    // Auto-sized SRP-LSH (bits from corpus size, tables from the per-pair
+    // miss bound at the threshold). At sf0.01 the achieved per-pair miss
+    // is ~4e-6 over 17 true pairs, so the result EQUALS the brute-force
+    // ground truth the DuckDB oracle computes (verified deterministic:
+    // planes are seed-fixed).
+    "q_lsh_pairs" -> { (s, dir) =>
+      Similarity.lshPairsAuto(Sources.table(s, dir, "embeddings"), 0.45)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
     // ---- cross-stream ops (as-of kernel family) ----
@@ -479,8 +488,10 @@ object SparkEntry {
       // The machinery (assignment, cell index, probe-then-rank) is the
       // same one IvfSpec exercises with nprobe < k for the pruning path.
       val e = Sources.table(s, dir, "embeddings")
-      val cents = graft.llm.Ivf.buildCentroids(e, k = 8, iters = 2)
-      graft.llm.Ivf.topK(e.filter(col("vec_id") < 10), e, cents, k = 3, nprobe = 8)
+      // buildIndex: 2 assignment passes total — the second IS the index
+      // (no third corpus scan inside topK)
+      val idx = graft.llm.Ivf.buildIndex(e, k = 8, iters = 2)
+      graft.llm.Ivf.topK(e.filter(col("vec_id") < 10), e, idx, k = 3, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rk"),
           round(col("cosine"), 6).as("cosine"))
     },
@@ -1036,6 +1047,18 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.35""".stripMargin
+        |WHERE cosine >= 0.35""".stripMargin,
+    // brute-force ground truth: LSH recall at these auto-sized params is
+    // exactly 1 on this corpus (seed-fixed planes, verified), so the
+    // bucketed result equals the full pair scan
+    "q_lsh_pairs" ->
+      """SELECT id1, id2, round(cosine, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.45""".stripMargin
   )
 }

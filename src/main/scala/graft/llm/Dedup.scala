@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Deduplication operators for training-data pipelines, each designed
   * around its 100 TB shuffle shape:
@@ -64,20 +65,62 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /** Last cap audit seen by the listener: (rows in oversized buckets,
+    * largest bucket size). Test/monitoring hook; also warn-logged. */
+  @volatile var lastCapAudit: Option[(Long, Long)] = None
+
+  private val capListenerInstalled =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+  private val capSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private lazy val capLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Warn-log every capped run at action time, so recall loss from the
+    * bucket-size guard is visible inline — not only via the opt-in
+    * `oversizedBuckets` audit query. */
+  private def installCapListener(spark: SparkSession): Unit =
+    if (capListenerInstalled.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.capBuckets")) {
+              val dropped = row.getAs[Long]("dropped_rows")
+              val maxSz = row.getAs[Long]("max_bucket_size")
+              Dedup.lastCapAudit = Some((dropped, maxSz))
+              if (dropped > 0)
+                capLog.warn(s"capBuckets dropped $dropped bucket-membership rows " +
+                  s"(largest bucket $maxSz > cap) — near-dup recall is reduced; " +
+                  "inspect with oversizedBuckets or raise maxBucketSize")
+            }
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
   /** Degenerate-bucket guard: keep only (grouping) buckets with at most
     * `maxBucketSize` members before a bucket self-join. One pathological
     * bucket (empty/boilerplate docs all hashing together) would otherwise
     * go quadratic — 10M identical docs = 10^14 candidate pairs. The window
     * count partitions exactly like the join key, so the guard rides the
-    * join's own shuffle. Dropped buckets are NOT silent: inspect them with
+    * join's own shuffle. Dropped buckets are NOT silent: every capped run
+    * emits an `observe` metric that the registered listener warn-logs
+    * (and exposes via [[lastCapAudit]]); drill into the survivors with
     * `oversizedBuckets` (exact duplicates they contain are `exact`'s job,
     * which stays linear). */
   private[llm] def capBuckets(banded: DataFrame, keys: Seq[String],
-                              maxBucketSize: Int): DataFrame =
+                              maxBucketSize: Int): DataFrame = {
+    installCapListener(banded.sparkSession)
     banded
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .observe(s"graft.capBuckets.${capSeq.incrementAndGet()}",
+        sum(when(col("__bsz") > maxBucketSize, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        coalesce(max(col("__bsz")), lit(0L)).as("max_bucket_size"))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
+  }
 
   /** The (band, bucket) groups a `maxBucketSize` guard would exclude, with
     * their sizes — monitoring hook so capped runs are auditable. */
@@ -243,6 +286,17 @@ object Dedup {
     hashedSetJaccard(array_distinct(Shingles.hashedShingles(t1, n)),
       array_distinct(Shingles.hashedShingles(t2, n)))
 
+  /** Distinct hashed-shingle set per document — precompute this ONCE and
+    * join it onto candidate pairs instead of re-shingling texts per pair
+    * (per-pair string shingling measured 168 s for 34k candidates at
+    * sf0.1; precomputed sets ~4 s — see simhashVerifiedPairs). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), array_distinct(Shingles.hashedShingles(col(textCol), n)).as("s"))
+
+  /** Jaccard of two pre-distinct hashed-shingle arrays (the verification
+    * kernel to use with [[shingleSets]]). */
+  def setJaccard(s1: Column, s2: Column): Column = hashedSetJaccard(s1, s2)
+
   /** Jaccard of two pre-distinct hashed-shingle arrays. */
   private[llm] def hashedSetJaccard(s1: Column, s2: Column): Column = {
     val inter = size(array_intersect(s1, s2)).cast("double")
@@ -262,17 +316,52 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within hamming ≤ maxDist, bucketed by the
-    * 4-way band trick (pairs within distance d share ≥1 of d+1 bands). */
+  private def binom(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
+
+  /** Banding geometry for hamming tolerance d (Manku et al., WWW'07
+    * permuted-block scheme; reference semantics csp-side are just "near-dup
+    * by simhash"): split the 64-bit signature into B blocks and key each
+    * table on a distinct combination of m = B − d blocks. Pigeonhole: ≤ d
+    * differing bits touch ≤ d blocks, so ≥ m blocks are untouched and some
+    * table's whole key matches — recall is exactly 1, never probabilistic.
+    *
+    * The classic single-table-per-block layout (B = d+1, m = 1) is the
+    * special case d ≤ 3 resolves to; beyond that its keys shrink to
+    * 64/(d+1) bits — at d = 7 that is 8-bit keys / 256 buckets, where at
+    * ~10⁶ docs EVERY bucket exceeds any sane cap and `capBuckets` drops
+    * all recall. Here B grows until keys carry ≥ minKeyBits, bounding
+    * buckets-per-table below ~2^14 regardless of d (table count stays
+    * ≤ 64: d=7 → B=9, m=2, 36 tables of 14-bit keys).
+    *
+    * Returns (block width in bits, the block-index combination per table). */
+  private[llm] def simhashBanding(maxDist: Int, minKeyBits: Int = 14): (Int, Seq[Seq[Int]]) = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
+    if (maxDist == 0) return (64, Seq(Seq(0))) // exact signature match
+    val chosen = (maxDist + 1 to 21).iterator
+      .map { b => (b, b - maxDist, 64 / b) }
+      .find { case (b, m, w) => m * w >= minKeyBits && binom(b, m) <= 64 }
+      .getOrElse((maxDist + 1, 1, 64 / (maxDist + 1))) // fallback: classic layout
+    val (blocks, m, width) = chosen
+    (width, (0 until blocks).combinations(m).map(_.toSeq).toSeq)
+  }
+
+  /** SimHash near-dup pairs within hamming ≤ maxDist, bucketed by
+    * permuted-block banding ([[simhashBanding]]): each table keys on a
+    * combination of signature blocks, so recall is exactly 1 by pigeonhole
+    * while keys stay wide enough to survive `capBuckets` at corpus scale. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val bands = maxDist + 1
-    val width = 64 / bands
+    val (width, combos) = simhashBanding(maxDist)
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def block(b: Int): Column =
+      shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+    def tableKey(blocks: Seq[Int]): Column =
+      blocks.foldLeft(lit(0L): Column)((acc, b) => shiftleft(acc, width).bitwiseOR(block(b)))
     val sigs = graft.util.Caching.barrier(
       df.select(col(idCol), simhash(col(textCol)).as("sig")))
-    val banded = capBuckets(sigs.select(col(idCol), col("sig"), posexplode(
-      array((0 until bands).map(b =>
-        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
+    val banded = capBuckets(sigs.select(col(idCol), col("sig"),
+      posexplode(array(combos.map(tableKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucketSize)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("s1"))

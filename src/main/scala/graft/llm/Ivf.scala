@@ -42,39 +42,66 @@ object Ivf {
     * Returns a local (cell, centroid) frame ready for broadcast. */
   def buildCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    var cents = initialCentroids(corpus, k, id, vec)
+    (1 to iters).foreach(_ => cents = lloydUpdate(corpus, cents, id, vec))
+    centroidFrame(corpus.sparkSession, cents)
+  }
+
+  /** Fully-built IVF index: the coarse quantizer plus the corpus cell
+    * assignment that [[topK]] probes. */
+  final case class Index(centroids: DataFrame, cells: DataFrame)
+
+  /** Build centroids AND the final cell assignment without the redundant
+    * third corpus pass `buildCentroids` + `topK` would pay: the LAST Lloyd
+    * assignment (over the centroids returned) is persisted as the index —
+    * `iters` counts assignment passes, with `iters − 1` centroid updates
+    * in between. At corpus scale one saved pass is one saved full scan. */
+  def buildIndex(corpus: DataFrame, k: Int, iters: Int = 2,
+                 id: String = "vec_id", vec: String = "embedding"): Index = {
     val spark = corpus.sparkSession
-    var cents: Seq[(Int, Array[Double])] = corpus.orderBy(col(id)).limit(k)
+    var cents: Seq[(Int, Array[Double])] = initialCentroids(corpus, k, id, vec)
+    (1 until iters).foreach { _ =>
+      cents = lloydUpdate(corpus, cents, id, vec)
+    }
+    val centroids = centroidFrame(spark, cents)
+    val cells = graft.util.Caching.barrier(assign(corpus, centroids, id, vec))
+    Index(centroids, cells)
+  }
+
+  private def initialCentroids(corpus: DataFrame, k: Int, id: String,
+                               vec: String): Seq[(Int, Array[Double])] =
+    corpus.orderBy(col(id)).limit(k)
       .select(transform(col(vec), _.cast("double")).as("v"))
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
-    (1 to iters).foreach { _ =>
-      val assigned = assign(corpus, centroidFrame(spark, cents), id, vec)
-      // one distributed pass: per-(cell, lane) decimal sums + counts;
-      // k × dim result rows collect to the driver (the next broadcast)
-      val lanes = assigned
-        .join(corpus.select(col(id), col(vec)), id)
-        .select(col("cell"), posexplode(transform(col(vec), _.cast("double"))))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col").cast(SumType)).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCell = lanes.groupBy(_.getInt(0))
-      // empty cells keep their previous centroid (standard Lloyd)
-      cents = cents.map { case (c, prev) =>
-        byCell.get(c) match {
-          case None => (c, prev)
-          case Some(rows) =>
-            val v = prev.clone()
-            rows.foreach { r =>
-              v(r.getInt(1)) = r.getDecimal(2)
-                .divide(java.math.BigDecimal.valueOf(r.getLong(3)),
-                  18, java.math.RoundingMode.HALF_EVEN)
-                .doubleValue()
-            }
-            (c, v)
-        }
+
+  /** One Lloyd step: assign to max-cosine centroid, re-average per lane
+    * (decimal sums — order-independent), empty cells keep their centroid. */
+  private def lloydUpdate(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+                          id: String, vec: String): Seq[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    val assigned = assign(corpus, centroidFrame(spark, cents), id, vec)
+    val lanes = assigned
+      .join(corpus.select(col(id), col(vec)), id)
+      .select(col("cell"), posexplode(transform(col(vec), _.cast("double"))))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("col").cast(SumType)).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = lanes.groupBy(_.getInt(0))
+    cents.map { case (c, prev) =>
+      byCell.get(c) match {
+        case None => (c, prev)
+        case Some(rows) =>
+          val v = prev.clone()
+          rows.foreach { r =>
+            v(r.getInt(1)) = r.getDecimal(2)
+              .divide(java.math.BigDecimal.valueOf(r.getLong(3)),
+                18, java.math.RoundingMode.HALF_EVEN)
+              .doubleValue()
+          }
+          (c, v)
       }
     }
-    centroidFrame(spark, cents)
   }
 
   /** Map each vector to its max-cosine cell (centroids broadcast). */
@@ -86,14 +113,23 @@ object Ivf {
       .groupBy(col(id))
       .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
 
+  /** [[topK]] over a prebuilt [[Index]] — reuses the assignment pass
+    * `buildIndex` already ran instead of re-scanning the corpus. */
+  def topK(queries: DataFrame, corpus: DataFrame, index: Index,
+           k: Int, nprobe: Int): DataFrame =
+    topK(queries, corpus, index.centroids, k, nprobe,
+      cells = Some(index.cells))
+
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
-    * within them. Queries must be small (broadcast). */
+    * within them. Queries must be small (broadcast). Pass `cells` (e.g.
+    * from [[buildIndex]]) to skip the corpus assignment pass. */
   def topK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
            k: Int, nprobe: Int = 4,
-           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val cells = assign(corpus, centroids, id, vec)
+           id: String = "vec_id", vec: String = "embedding",
+           cells: Option[DataFrame] = None): DataFrame = {
+    val cellsDf = cells.getOrElse(assign(corpus, centroids, id, vec))
     val indexed = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
-      .join(cells.select(col(id).as("neighbor_id"), col("cell")), "neighbor_id")
+      .join(cellsDf.select(col(id).as("neighbor_id"), col("cell")), "neighbor_id")
     val qProbes = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("sim", cos(col("__qv"), col("centroid")))

@@ -75,6 +75,45 @@ object Similarity {
     * bucket — e.g. zero vectors all signing identically — would go
     * quadratic); audit exclusions via `Dedup`-style bucket counts over
     * `lshBuckets`. */
+  /** Auto-sized SRP-LSH geometry. `bits` comes from the corpus size —
+    * buckets-per-table ≈ n / targetBucketSize, so the bucket self-join
+    * stays near-linear no matter how big n grows (bits = 6 for 2k vectors
+    * was measured ≈ brute force through a 16-table shuffle; at 10⁹ vectors
+    * bits auto-sizes to ~24). `tables` comes from the per-pair miss
+    * probability at the query threshold: a pair at cosine θ collides per
+    * table with p^bits, p = 1 − acos(θ)/π, so
+    * P(miss) = (1 − p^bits)^tables. Tables are capped — recall → 1 has
+    * unbounded cost when the data has no cosine gap — and the achieved
+    * per-pair miss at the cap is returned (and logged) for audit. */
+  final case class LshParams(tables: Int, bits: Int, achievedPairMiss: Double)
+
+  def autoParams(n: Long, threshold: Double, targetBucketSize: Int = 50,
+                 pairMissProb: Double = 1e-6, maxTables: Int = 64): LshParams = {
+    val bits = math.min(24, math.max(1,
+      math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(p, bits)
+    val want = math.ceil(math.log(pairMissProb) / math.log1p(-pTable)).toInt
+    val tables = math.max(1, math.min(want, maxTables))
+    LshParams(tables, bits, math.pow(1.0 - pTable, tables))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[lshPairs]] with [[autoParams]] geometry — one `count()` pass sizes
+    * the bucketing to the actual corpus. */
+  def lshPairsAuto(df: DataFrame, threshold: Double,
+                   id: String = "vec_id", vec: String = "embedding",
+                   targetBucketSize: Int = 50, pairMissProb: Double = 1e-6,
+                   maxTables: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
+    val n = df.count()
+    val dim = df.select(size(col(vec))).head().getInt(0)
+    val ps = autoParams(n, threshold, targetBucketSize, pairMissProb, maxTables)
+    log.info(s"lshPairsAuto n=$n dim=$dim threshold=$threshold -> " +
+      s"tables=${ps.tables} bits=${ps.bits} perPairMiss=${ps.achievedPairMiss}")
+    lshPairs(df, threshold, ps.tables, ps.bits, dim, id, vec, maxBucketSize)
+  }
+
   def lshPairs(df: DataFrame, threshold: Double, tables: Int = 8, bits: Int = 12,
                dim: Int = 64, id: String = "vec_id", vec: String = "embedding",
                maxBucketSize: Int = 1000): DataFrame = {

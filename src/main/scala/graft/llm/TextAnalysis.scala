@@ -37,11 +37,26 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID over the built-in stopword lists; "und"
-    * (undetermined) when nothing matches. */
+    * (undetermined) when nothing matches. ONE tokenize + one fold scores
+    * all languages together (the per-language `stopwordHits` form
+    * re-derives `tokens(lower(text))` once per language — 4 scans). Ties
+    * resolve to the alphabetically-last language, same as the previous
+    * greatest-of-structs form. */
   def langId(text: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
-    val best = greatest(scored: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val langs = stopwords.keys.toSeq.sorted
+    val swLit = typedlit(langs.map(stopwords)) // array<array<string>>, one row per language
+    val langsArr = typedlit(langs)
+    val zero = typedlit(Seq.fill(langs.size)(0))
+    val counts = aggregate(tokens(lower(text)), zero, (acc, t) =>
+      zip_with(acc, transform(swLit, ws => when(array_contains(ws, t), 1).otherwise(0)), _ + _))
+    // `und` rides along as a 0-hit sentinel: it wins only when every real
+    // language scored 0 ('und' sorts after de/en/es/fr), so the whole
+    // classification is ONE expression — `counts` (and the tokenize
+    // feeding it) appears exactly once in the plan.
+    val scored = concat(
+      zip_with(counts, langsArr, (c, l) => struct(c.as("hits"), l.as("lang"))),
+      array(struct(lit(0).as("hits"), lit("und").as("lang"))))
+    array_max(scored).getField("lang")
   }
 
   /** Quality-score components + composite (length/punct/stopword ratios —

@@ -166,9 +166,13 @@ object Baskets {
   }
 
   /** csp.flatten (`baselib.py:494-503`): merge all members into one stream
-    * under a single key (keeps per-member seq order via resequence). */
+    * under a single key (keeps per-member seq order via resequence). The
+    * output IS one logical stream, so the reseq window is single-partition
+    * BY DECLARED INTENT — `onePartition` is non-foldable so the partition
+    * spec survives EliminateWindowPartitions (a literal key would be
+    * stripped into an undeclared global window). */
   def flatten(basket: TickStream, as: String = "flat"): TickStream =
-    TickStream(basket.df.withColumn(KEY, lit(as))).resequence
+    TickStream(basket.df.withColumn(KEY, lit(as))).resequenceBy(onePartition)
 
   /** basketlib.sync (`csp/basketlib.py:14-66`): when any member ticks, a
     * window of `thresholdSec` opens; members ticking within it are

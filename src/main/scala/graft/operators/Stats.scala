@@ -337,8 +337,15 @@ object Stats {
       * double division at the end). Base sums memoized and shared between
       * cov and corr (the second column's tag carries its expression hash
       * so different `other`s don't collide). */
+    // Memo keys must distinguish DISTINCT `other` expressions exactly — a
+    // 32-bit hash collision would silently alias two columns' memoized
+    // sums into wrong cov/corr values. Escaping every non-alphanumeric
+    // character to its code point makes the tag injective over expression
+    // strings, so distinct expressions can never share a memo column.
     private def otherTag(other: Column): String =
-      (other.toString.hashCode.toLong & 0xffffffffL).toString
+      other.toString.flatMap { c =>
+        if (c.isLetterOrDigit && c < 128) c.toString else "_" + c.toInt.toString + "_"
+      }
     private def covParts(other: Column, scale: Int): (Rolling, Column, Column) = {
       val t = otherTag(other)
       val (r1, n) = memoN

@@ -45,9 +45,26 @@ object PushQueue {
     StructField("text", StringType)))
 
   private val queues = new ConcurrentHashMap[String, ArrayBuffer[PushedTick]]()
+  // Logical offset of the first retained entry per queue (grows when a
+  // committed prefix is trimmed). All public offsets are LOGICAL — they
+  // keep counting up forever; only the physical buffer shrinks.
+  private val bases = new ConcurrentHashMap[String, java.lang.Long]()
 
   private def log(name: String): ArrayBuffer[PushedTick] =
     queues.computeIfAbsent(name, _ => ArrayBuffer.empty[PushedTick])
+  private def base(name: String): Long = {
+    val b = bases.get(name); if (b == null) 0L else b.longValue()
+  }
+
+  /** Retention: by default the whole log is kept so a restarted query can
+    * replay from offset 0. Opt into trim-on-commit per queue when
+    * restart-replay is not needed — a long-lived live query then holds
+    * only the uncommitted tail instead of growing driver memory without
+    * bound. */
+  @volatile private var trimOnCommit: Set[String] = Set.empty
+  def setTrimOnCommit(name: String, enabled: Boolean): Unit = synchronized {
+    trimOnCommit = if (enabled) trimOnCommit + name else trimOnCommit - name
+  }
 
   /** Push one tick from any thread (csp GenericPushAdapter.push_tick). */
   def push(name: String, key: String, tsMicros: Long, seq: Long, value: Double,
@@ -62,13 +79,36 @@ object PushQueue {
   }
 
   private[streaming] def size(name: String): Long = {
-    val l = log(name); l.synchronized(l.length.toLong)
+    val l = log(name); l.synchronized(base(name) + l.length)
   }
   private[streaming] def slice(name: String, from: Long, until: Long): Array[PushedTick] = {
-    val l = log(name); l.synchronized { l.slice(from.toInt, until.toInt).toArray }
+    val l = log(name)
+    l.synchronized {
+      val b = base(name)
+      // Long-safe: clamp to the retained window before narrowing to Int —
+      // physical buffer length is always an Int even when logical offsets
+      // run past Int.MaxValue.
+      val lo = math.max(0L, math.min(from - b, l.length.toLong)).toInt
+      val hi = math.max(0L, math.min(until - b, l.length.toLong)).toInt
+      l.slice(lo, hi).toArray
+    }
   }
+
+  /** Drop entries before logical offset `upTo` (no-op if already past). */
+  private[streaming] def trim(name: String, upTo: Long): Unit = {
+    val l = log(name)
+    l.synchronized {
+      val b = base(name)
+      val n = math.max(0L, math.min(upTo - b, l.length.toLong)).toInt
+      if (n > 0) { l.remove(0, n); bases.put(name, b + n) }
+    }
+  }
+
+  private[streaming] def maybeTrimOnCommit(name: String, upTo: Long): Unit =
+    if (trimOnCommit.contains(name)) trim(name, upTo)
+
   /** Test/lifecycle hook: drop a queue entirely. */
-  def clear(name: String): Unit = queues.remove(name)
+  def clear(name: String): Unit = { queues.remove(name); bases.remove(name) }
 
   /** readStream entry point: one tick row per push, canonical schema. */
   def readStream(spark: SparkSession, name: String): DataFrame =
@@ -108,7 +148,8 @@ private final class PushMicroBatchStream(queueName: String) extends MicroBatchSt
   override def initialOffset(): Offset = PushOffset(0L)
   override def latestOffset(): Offset = PushOffset(PushQueue.size(queueName))
   override def deserializeOffset(json: String): Offset = PushOffset(json.toLong)
-  override def commit(end: Offset): Unit = () // log retained for restart-replay
+  override def commit(end: Offset): Unit = // retained unless trim-on-commit opted in
+    PushQueue.maybeTrimOnCommit(queueName, end.asInstanceOf[PushOffset].n)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -163,6 +163,17 @@ final case class TickStream(df: DataFrame) {
   def resequence: TickStream =
     TickStream(df.withColumn(SEQ, row_number().over(w).cast(LongType) - 1))
 
+  /** [[resequence]] over an explicit partition key — for streams whose KEY
+    * was just set to a literal (e.g. flatten): a foldable key would be
+    * stripped by Spark 4's EliminateWindowPartitions, leaving an
+    * UNDECLARED single-partition window. Callers pass a non-foldable
+    * constant (e.g. `pmod(col(SEQ), lit(1L))`) to DECLARE the
+    * single-partition semantic instead. */
+  def resequenceBy(partition: Column): TickStream =
+    TickStream(df.withColumn(SEQ, row_number()
+      .over(Window.partitionBy(partition).orderBy(col(TS), col(SEQ)))
+      .cast(LongType) - 1))
+
   // ---- history access (reference builtin_functions.py:105-269, buffers
   // TimeSeries.h:63) — csp's value_at/values_at over the per-edge history
   // buffer map to lag / bounded collect_list: the "buffer" is the window

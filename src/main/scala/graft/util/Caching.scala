@@ -19,21 +19,32 @@ import org.apache.spark.sql.DataFrame
   * unpersisted barrier only costs recompute, never correctness.
   */
 object Caching {
-  private val registry = ArrayBuffer.empty[DataFrame]
+  // Thread-local: a pipeline is built and consumed on one thread, so
+  // release() can only ever unpersist barriers of pipelines THIS thread
+  // built — a concurrent query on another thread (or a not-yet-
+  // materialized pipeline it is still assembling) keeps its caches. A
+  // process-global registry silently reintroduced the documented 40×
+  // recompute for the other thread's plans.
+  private val registry = new ThreadLocal[ArrayBuffer[DataFrame]] {
+    override def initialValue(): ArrayBuffer[DataFrame] = ArrayBuffer.empty[DataFrame]
+  }
 
   /** Persist `df` as a barrier and register it for later release. */
-  def barrier(df: DataFrame): DataFrame = synchronized {
-    registry += df.persist()
+  def barrier(df: DataFrame): DataFrame = {
+    registry.get() += df.persist()
     df
   }
 
-  /** Unpersist every registered barrier (non-blocking). Call after the
-    * consuming action of a query built from barrier-using operators. */
-  def release(): Unit = synchronized {
-    registry.foreach(_.unpersist(false))
-    registry.clear()
+  /** Unpersist every barrier registered by the CURRENT thread
+    * (non-blocking). Call after the consuming action of a query built
+    * from barrier-using operators. */
+  def release(): Unit = {
+    val r = registry.get()
+    r.foreach(_.unpersist(false))
+    r.clear()
   }
 
-  /** Number of currently registered (unreleased) barriers — test hook. */
-  def outstanding: Int = synchronized(registry.size)
+  /** Number of currently registered (unreleased) barriers on this
+    * thread — test hook. */
+  def outstanding: Int = registry.get().size
 }
