@@ -473,11 +473,15 @@ object SparkEntry {
           unix_micros(col(Tick.TS)).as("window_end_us"),
           explode(col(Tick.VALUE)).as(Seq("member", "v")))
     },
-    "q_poisson_timer" -> { (s, dir) => // rows-only: seeded RNG, no SQL twin
+    // Seeded RNG sources, fully oracle-checked: the unit draws come from a
+    // splitmix-style mixer with 32-bit multiply constants, so DuckDB
+    // replays them bit-exactly in HUGEINT mod-2^64 arithmetic and then
+    // re-runs the exponential / Box–Muller / prefix-sum transform.
+    "q_poisson_timer" -> { (s, dir) =>
       Sources.poissonTimer(s, "p", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0.01)
         .times("time_us").df.select(col("time_us"))
     },
-    "q_brownian" -> { (s, dir) => // rows-only
+    "q_brownian" -> { (s, dir) =>
       Sources.brownian(s, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600, 0.0, 1.0)
         .df.select(col("seq").as("step"), round(col(Tick.VALUE), 6).as("path"))
     },
@@ -495,11 +499,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rk"),
           round(col("cosine"), 6).as("cosine"))
     },
-    "q_multimodal" -> { (s, dir) => // rows-only: stub decode plumbing
-      graft.llm.Multimodal.extractFeatures(
-        graft.llm.Multimodal.asMedia(Sources.table(s, dir, "documents"), "doc_id", "text"), 8)
-        .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    // REAL audio decode end-to-end with an independent oracle (the WAV
+    // twin of q_multimodal_decode): build a PCM16 mono WAV from each doc's
+    // first 32 ASCII chars (fixed payload ⇒ constant 44-byte header), run
+    // the actual decoder (Codecs.decodeWav via mapPartitions), and let
+    // DuckDB recompute sample stats + RMS from the character codes. The
+    // stub feature-extraction plumbing stays spec-covered (MultimodalSpec).
+    "q_multimodal" -> { (s, dir) =>
+      val dataLen = 32
+      val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      val header = bb.array()
+      val docs = Sources.table(s, dir, "documents")
+      val media = docs.select(col("doc_id").as("media_id"),
+        concat(lit(header),
+          encode(rpad(substring(col("text"), 1, dataLen), dataLen, "x"), "UTF-8")).as("media"))
+      graft.llm.Multimodal.decodeAudio(media)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_sec"), col("rms"))
     },
     // REAL image decode end-to-end with an independent oracle: build a
     // 12x1 P6 PPM from each doc's first 36 ASCII chars, run the actual
@@ -515,6 +536,16 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }
   )
+
+  /** DuckDB CTE chain replaying `Sources.unit(i, seed)` bit-exactly:
+    * Java-long wrap arithmetic via HUGEINT mod 2^64 (every product is
+    * 64×32 bits, so it fits 128-bit signed), unsigned shifts via UBIGINT.
+    * Emits CTEs `<p>0..<p>2` and `<p>u(i BIGINT, u DOUBLE)`. */
+  private def unitCte(p: String, src: String, seed: Long): String =
+    s"""${p}0 AS (SELECT i, CAST((CAST(i AS HUGEINT) * 2654435761 + $seed) % 18446744073709551616 AS UBIGINT) AS z FROM $src),
+       |${p}1 AS (SELECT i, CAST((CAST(xor(z, z >> 33) AS HUGEINT) * 2246822507) % 18446744073709551616 AS UBIGINT) AS z FROM ${p}0),
+       |${p}2 AS (SELECT i, CAST((CAST(xor(z, z >> 29) AS HUGEINT) * 3266489917) % 18446744073709551616 AS UBIGINT) AS z FROM ${p}1),
+       |${p}u AS (SELECT CAST(i AS BIGINT) AS i, CAST(xor(z, z >> 32) >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM ${p}2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_lineitem_agg" ->
@@ -797,6 +828,40 @@ object SparkEntry {
         |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 2 + 3*i, 1))), 'avg') AS mean_g,
         |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 3 + 3*i, 1))), 'avg') AS mean_b
         |FROM documents WHERE length(text) >= 36""".stripMargin,
+    // independent recomputation of the WAV decoder's PCM16 sample RMS
+    // from the character codes (little-endian sample = c0 + 256*c1; ASCII
+    // payload, so chars == bytes and samples are positive)
+    "q_multimodal" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS n_samples,
+        |  16.0 / 8000.0 AS duration_sec,
+        |  sqrt(list_reduce(list_transform(
+        |    list_transform(range(0, 16), k ->
+        |      CAST(unicode(substr(rp, 2*k+1, 1)) + 256 * unicode(substr(rp, 2*k+2, 1)) AS DOUBLE) / 32768.0),
+        |    v -> v * v), (a, b) -> a + b) / 16.0) AS rms
+        |FROM (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS rp FROM documents)""".stripMargin,
+    // replay the mixer draws (unitCte == Sources.unit bit-for-bit), then
+    // the exponential gaps and the id-ordered left-fold prefix sum — the
+    // q_ema list_reduce pattern, so double association matches Spark's
+    // running-window fold exactly
+    "q_poisson_timer" ->
+      s"""WITH ids AS (SELECT i::UBIGINT AS i FROM range(0, 2592) t(i)),
+         |${unitCte("a", "ids", 42)},
+         |gaps AS (SELECT i, (-ln(1.0 - u)) / 0.01 AS gap FROM au),
+         |cum AS (SELECT i, list_reduce(list(gap) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), (a, b) -> a + b) AS off FROM gaps)
+         |SELECT time_us FROM (
+         |  SELECT 1704067200000000 + CAST(trunc(off * 1000000.0) AS BIGINT) AS time_us FROM cum)
+         |WHERE time_us <= 1704153600000000""".stripMargin,
+    // Box–Muller increments from two replayed draw streams + the same
+    // left-fold path integration
+    "q_brownian" ->
+      s"""WITH ids AS (SELECT i::UBIGINT AS i FROM range(0, 25) t(i)),
+         |${unitCte("a", "ids", 42)},
+         |${unitCte("b", "ids", 43)},
+         |inc AS (SELECT au.i AS i, CASE WHEN au.i = 0 THEN 0.0 ELSE
+         |    60.0 * (sqrt(-2.0 * ln(greatest(au.u, 1e-300))) * cos(2 * pi() * bu.u)) END AS inc
+         |  FROM au JOIN bu ON au.i = bu.i),
+         |cum AS (SELECT i, list_reduce(list(inc) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), (a, b) -> a + b) AS path FROM inc)
+         |SELECT i AS step, round(path, 6) AS path FROM cum""".stripMargin,
     "q_langid" ->
       """SELECT doc_id, CASE
         |  WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'

@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   * (`cpp/csp/cppnodes`, baselibimpl/statsimpl) — except here they slot into Catalyst
   * plans and distribute like any other expression.
   */
+/** JVM kernel for [[VectorExprs.UnitDraw]] — public so generated code can
+  * call it by name. Java long mult/add wrap ≡ unsigned mod 2^64. */
+object Mixers {
+  def unit(i: Long, seed: Long): Double = {
+    var z = i * 2654435761L + seed
+    z = (z ^ (z >>> 33)) * 2246822507L
+    z = (z ^ (z >>> 29)) * 3266489917L
+    z ^= z >>> 32
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+}
+
 object VectorExprs {
 
   @inline private def mix64(z0: Long): Long = {
@@ -23,6 +35,30 @@ object VectorExprs {
     z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
     z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
     z ^= z >>> 33; z
+  }
+
+  /** Counter-mode unit draw in [0,1): splitmix-style mixer restricted to
+    * 32-BIT multiply constants, so an oracle engine can replay it in ANSI
+    * SQL with 128-bit mod-2^64 arithmetic (a 64×32-bit product fits a
+    * signed 128-bit value; 64×64 would not). Native expression because
+    * Column `*` under ANSI mode rejects the intentional wraparound. */
+  case class UnitDraw(child: Expression, seed: Long) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType || child.dataType == IntegerType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unit_draw requires an integral input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any = {
+      val i = input match { case l: Long => l; case n: Int => n.toLong }
+      Mixers.unit(i, seed)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Mixers.unit((long) $c, ${seed}L)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** Cosine similarity of two float/double arrays in double precision,
@@ -232,6 +268,7 @@ object VectorExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
   def ngramHash(tokenHashes: Column, n: Int): Column = column(NgramHash(expression(tokenHashes), n))
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))

@@ -139,14 +139,21 @@ object Sources {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   // ---- seeded random sources (reference csp/random.py:18,70,135) ------
-  // Deterministic across runs AND partitions: randomness derives from
-  // xxhash64(row-id, seed), not from RNG state — so generation distributes
-  // over executors with no sequential dependency (csp generates these
-  // single-threaded; at scale the hash-counter construction is the only
-  // shape that parallelizes reproducibly).
+  // Deterministic across runs AND partitions: randomness derives from a
+  // counter-mode hash of (row-id, seed), not from RNG state — so
+  // generation distributes over executors with no sequential dependency
+  // (csp generates these single-threaded; at scale the hash-counter
+  // construction is the only shape that parallelizes reproducibly).
+  //
+  // The mixer is splitmix-style with 32-BIT multiply constants: every step
+  // is expressible in ANSI SQL via 128-bit (HUGEINT) mod-2^64 arithmetic
+  // (a 64×32-bit product fits 96 bits), so an external engine can replay
+  // the draws bit-exactly and oracle-check the downstream math — xxhash64
+  // has no SQL twin. Java long mult/add wrap ≡ unsigned mod 2^64; shifts
+  // are unsigned.
 
   private def unit(idCol: Column, seed: Long): Column =
-    shiftrightunsigned(xxhash64(idCol, lit(seed)), 11).cast(DoubleType) / lit((1L << 53).toDouble)
+    graft.functions.VectorExprs.unitDraw(idCol, seed)
 
   /** Distributed running sum of `valueCol` in `idCol` order, as a two-pass
     * per-block scan: in-block window sums (64k ids per block) + the tiny
