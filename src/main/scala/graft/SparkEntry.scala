@@ -189,10 +189,16 @@ object SparkEntry {
         .select(col("seq").as("event_id"), round(col("sk"), 4).as("skew_v"),
           round(col("ku"), 4).as("kurt_v"))
     },
+    // full interpolation-mode matrix (linear/lower/higher/midpoint/
+    // nearest) off ONE memoized sorted frame
     "q_stats_quantile" -> { (s, dir) =>
-      Stats.ticks(ev(s, dir), 10).median("md").quantile(0.25, "q25").done
+      Stats.ticks(ev(s, dir), 10).median("md").quantile(0.25, "q25")
+        .quantile(0.25, "q25lo", "lower").quantile(0.25, "q25hi", "higher")
+        .quantile(0.25, "q25mid", "midpoint").quantile(0.25, "q25near", "nearest").done
         .df.select(col("seq").as("event_id"), round(col("md"), 6).as("median_v"),
-          round(col("q25"), 6).as("q25_v"))
+          round(col("q25"), 6).as("q25_v"), col("q25lo").as("q25_lo"),
+          col("q25hi").as("q25_hi"), round(col("q25mid"), 6).as("q25_mid"),
+          col("q25near").as("q25_near"))
     },
     "q_stats_time_window" -> { (s, dir) =>
       Stats.time(ev(s, dir).mapValue(_.cast("decimal(30,2)")), 3600).count("cnt").sum("sm").done
@@ -200,8 +206,10 @@ object SparkEntry {
           col("sm").cast("double").as("sum_v"))
     },
     "q_stats_rank_arg" -> { (s, dir) =>
-      Stats.ticks(ev(s, dir), 10).rank("rk").argmin("amn").argmax("amx").done
-        .df.select(col("seq").as("event_id"), col("rk"), col("amn"), col("amx"))
+      Stats.ticks(ev(s, dir), 10).rank("rk").rank("rkmax", "max").rank("rkavg", "avg")
+        .argmin("amn").argmax("amx").done
+        .df.select(col("seq").as("event_id"), col("rk"), col("rkmax"),
+          col("rkavg"), col("amn"), col("amx"))
     },
     "q_stats_prod" -> { (s, dir) =>
       Stats.ticks(ev(s, dir).mapValue(_ / 100.0), 5).prod("p").done
@@ -216,6 +224,17 @@ object SparkEntry {
     "q_ema" -> { (s, dir) => // oracle: DuckDB list_reduce replays the recurrence
       Sequential.ema(ev(s, dir), 0.2, adjust = true)
         .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("ema_v"))
+    },
+    // NaN surface of the EMA family: 'error' ticks become NaN inputs,
+    // ignoreNa=true skips them in the recurrence, minDataPoints=3 gates
+    // the first outputs — the oracle replays the same gated recurrence
+    "q_ema_nan" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withNa = TickStream(e.df.withColumn(Tick.VALUE,
+        when(col("event_type") === "error", lit(Double.NaN)).otherwise(col(Tick.VALUE))))
+      Sequential.ema(withNa, 0.2, adjust = true, ignoreNa = true, minDataPoints = 3)
+        .df.select(col("seq").as("event_id"),
+          when(!isnan(col("ema")), round(col("ema"), 6)).as("ema_v"))
     },
     "q_ema_halflife" -> { (s, dir) =>
       Sequential.emaHalflife(ev(s, dir), 3600.0)
@@ -652,8 +671,20 @@ object SparkEntry {
          |      - 3 * (avg(value) OVER w) * (avg(value) OVER w) * (avg(value) OVER w) * (avg(value) OVER w) AS m4
          |  FROM events WINDOW w AS (${WR(20)})) WHERE n >= 4""".stripMargin,
     "q_stats_quantile" ->
-      s"""SELECT event_id, round(quantile_cont(value, 0.5) OVER (${WR(10)}), 6) AS median_v,
-         |  round(quantile_cont(value, 0.25) OVER (${WR(10)}), 6) AS q25_v FROM events""".stripMargin,
+      s"""SELECT event_id,
+         |  round(sl[l5 + 1] * (1 - f5) + sl[h5 + 1] * f5, 6) AS median_v,
+         |  round(sl[lo + 1] * (1 - frac) + sl[hi + 1] * frac, 6) AS q25_v,
+         |  sl[lo + 1] AS q25_lo, sl[hi + 1] AS q25_hi,
+         |  round(CASE WHEN frac = 0 THEN sl[lo + 1] ELSE (sl[lo + 1] + sl[hi + 1]) / 2 END, 6) AS q25_mid,
+         |  CASE WHEN frac < 0.5 THEN sl[lo + 1] ELSE sl[hi + 1] END AS q25_near
+         |FROM (
+         |  SELECT event_id, sl,
+         |    CAST(floor(p25) AS INT) AS lo, CAST(ceil(p25) AS INT) AS hi, p25 - floor(p25) AS frac,
+         |    CAST(floor(p50) AS INT) AS l5, CAST(ceil(p50) AS INT) AS h5, p50 - floor(p50) AS f5
+         |  FROM (
+         |    SELECT event_id, sl, 0.25 * (CAST(len(sl) AS DOUBLE) - 1) AS p25,
+         |      0.5 * (CAST(len(sl) AS DOUBLE) - 1) AS p50
+         |    FROM (SELECT event_id, list_sort(list(value) OVER (${WR(10)})) AS sl FROM events)))""".stripMargin,
     "q_stats_time_window" ->
       s"""SELECT event_id,
          |  count(*) OVER w AS cnt,
@@ -661,11 +692,13 @@ object SparkEntry {
          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_stats_rank_arg" ->
-      s"""SELECT event_id,
+      s"""SELECT event_id, rk, rkmax, CAST(rk + rkmax AS DOUBLE) / 2.0 AS rkavg, amn, amx
+         |FROM (SELECT event_id,
          |  len(list_filter(list(value) OVER w, x -> x < value)) AS rk,
+         |  len(list_filter(list(value) OVER w, x -> x <= value)) - 1 AS rkmax,
          |  (min({'v': value, 't': epoch_us(ts)}) OVER w).t AS amn,
          |  (max({'v': value, 't': epoch_us(ts)}) OVER w).t AS amx
-         |FROM events WINDOW w AS (${WR(10)})""".stripMargin,
+         |FROM events WINDOW w AS (${WR(10)}))""".stripMargin,
     "q_stats_prod" ->
       s"""SELECT event_id, round(list_reduce(list_prepend(1.0, list(value / 100.0) OVER (${WR(5)})), (a, b) -> a * b), 8) AS prod_v
          |FROM events""".stripMargin,
@@ -686,6 +719,20 @@ object SparkEntry {
         |      v -> {'n': v, 'w': CAST(1.0 AS DOUBLE)}),
         |    (a, b) -> {'n': b.n + 0.8 * a.n, 'w': b.w + 0.8 * a.w}) AS st
         |  FROM events)""".stripMargin,
+    // BRANCH-FREE fold: k is the validity flag (0.0/1.0) and the decay
+    // factor is 0.8*k + (1-k), exact in both arms (0.8*1+0.0 and
+    // 0.0+1.0) — a CASE inside the reduce lambda mis-executes on full-
+    // table vector batches in DuckDB 1.0.0 (verified: correct filtered,
+    // wrong unfiltered), so the skip logic must be arithmetic
+    "q_ema_nan" ->
+      """SELECT event_id, CASE WHEN st.c >= 3 THEN round(st.n / st.w, 6) END AS ema_v FROM (
+        |  SELECT event_id, list_reduce(
+        |    list({'n': value * k, 'w': k, 'c': k}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    (a, b) -> {'n': b.n + (0.8 * b.w + (1.0 - b.w)) * a.n,
+        |               'w': b.w + (0.8 * b.w + (1.0 - b.w)) * a.w,
+        |               'c': a.c + b.c}) AS st
+        |  FROM (SELECT user_id, ts, event_id, value,
+        |        CAST(CAST(event_type <> 'error' AS INT) AS DOUBLE) AS k FROM events))""".stripMargin,
     "q_ema_halflife" ->
       """SELECT event_id, round(st.n / st.w, 6) AS ema_v FROM (
         |  SELECT event_id, list_reduce(

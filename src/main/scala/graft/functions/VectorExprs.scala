@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   * (`cpp/csp/cppnodes`, baselibimpl/statsimpl) — except here they slot into Catalyst
   * plans and distribute like any other expression.
   */
+/** Max-tracking accumulator (AccumulatorV2 has sum/list built-ins only). */
+final class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var m = 0L
+  override def isZero: Boolean = m == 0L
+  override def copy(): MaxAccumulator = { val c = new MaxAccumulator; c.m = m; c }
+  override def reset(): Unit = m = 0L
+  override def add(v: Long): Unit = m = math.max(m, v)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    m = math.max(m, other.value)
+  override def value: Long = m
+}
+
 /** JVM kernel for [[VectorExprs.UnitDraw]] — public so generated code can
   * call it by name. Java long mult/add wrap ≡ unsigned mod 2^64. */
 object Mixers {
@@ -35,6 +47,27 @@ object VectorExprs {
     z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
     z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
     z ^= z >>> 33; z
+  }
+
+  /** Audit-tapped threshold gate: evaluates `child <= cap` while feeding
+    * two accumulators (rows over cap; max value seen). Lets a filter that
+    * silently drops data report HOW MUCH it dropped without a second
+    * pass — Dataset.observe's CollectMetrics was measured undelivered for
+    * bucket-cap plan shapes under AQE in this Spark build. Counts can
+    * over-report under task retries (accumulator semantics) — it is an
+    * audit signal, never an input to results. CodegenFallback: the gate
+    * sits above a window aggregate, which already bounds codegen. */
+  case class CapGate(child: Expression, cap: Int,
+                     dropped: org.apache.spark.util.LongAccumulator,
+                     maxSeen: MaxAccumulator)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[Long]
+      maxSeen.add(v)
+      if (v > cap) { dropped.add(1L); false } else true
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** Counter-mode unit draw in [0,1): splitmix-style mixer restricted to
@@ -269,6 +302,9 @@ object VectorExprs {
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))
+  def capGate(c: Column, cap: Int, dropped: org.apache.spark.util.LongAccumulator,
+              maxSeen: MaxAccumulator): Column =
+    column(CapGate(expression(c), cap, dropped, maxSeen))
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
   def ngramHash(tokenHashes: Column, n: Int): Column = column(NgramHash(expression(tokenHashes), n))
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))

@@ -65,40 +65,52 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
-  /** Last cap audit seen by the listener: (rows in oversized buckets,
+  /** Last cap audit swept by the listener: (rows in oversized buckets,
     * largest bucket size). Test/monitoring hook; also warn-logged. */
   @volatile var lastCapAudit: Option[(Long, Long)] = None
 
+  private final class CapAudit(val name: String,
+                               val dropped: org.apache.spark.util.LongAccumulator,
+                               val maxSeen: graft.functions.MaxAccumulator) {
+    var reportedDropped: Long = -1L
+  }
+  private val capAudits = scala.collection.mutable.ArrayBuffer.empty[CapAudit]
   private val capListenerInstalled =
     java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
   private val capSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private lazy val capLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Warn-log every capped run at action time, so recall loss from the
-    * bucket-size guard is visible inline — not only via the opt-in
-    * `oversizedBuckets` audit query. */
+  /** Sweep the registered cap-audit accumulators after every query action
+    * and warn-log any NEW drops, so recall loss from the bucket-size
+    * guard is visible inline — not only via the opt-in `oversizedBuckets`
+    * audit query. (Accumulators rather than Dataset.observe: the
+    * CollectMetrics metric is silently undelivered for these bucketed
+    * self-join shapes under AQE in this Spark build.) */
   private def installCapListener(spark: SparkSession): Unit =
     if (capListenerInstalled.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String,
                                qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft.capBuckets")) {
-              val dropped = row.getAs[Long]("dropped_rows")
-              val maxSz = row.getAs[Long]("max_bucket_size")
-              Dedup.lastCapAudit = Some((dropped, maxSz))
-              if (dropped > 0)
-                capLog.warn(s"capBuckets dropped $dropped bucket-membership rows " +
-                  s"(largest bucket $maxSz > cap) — near-dup recall is reduced; " +
-                  "inspect with oversizedBuckets or raise maxBucketSize")
-            }
-          }
+                               durationNs: Long): Unit = Dedup.sweepCapAudits()
         override def onFailure(funcName: String,
                                qe: org.apache.spark.sql.execution.QueryExecution,
                                exception: Exception): Unit = ()
       })
     }
+
+  private def sweepCapAudits(): Unit = capAudits.synchronized {
+    capAudits.foreach { a =>
+      val d = a.dropped.value.longValue
+      if (d != a.reportedDropped) {
+        a.reportedDropped = d
+        lastCapAudit = Some((d, a.maxSeen.value))
+        if (d > 0)
+          capLog.warn(s"${a.name}: dropped $d bucket-membership rows " +
+            s"(largest bucket ${a.maxSeen.value} > cap) — near-dup recall is " +
+            "reduced; inspect with oversizedBuckets or raise maxBucketSize")
+      }
+    }
+  }
 
   /** Degenerate-bucket guard: keep only (grouping) buckets with at most
     * `maxBucketSize` members before a bucket self-join. One pathological
@@ -110,15 +122,25 @@ object Dedup {
     * (and exposes via [[lastCapAudit]]); drill into the survivors with
     * `oversizedBuckets` (exact duplicates they contain are `exact`'s job,
     * which stays linear). */
+  /** CALLER CONTRACT: wrap the result in `Caching.barrier` BEFORE a self-
+    * join. The audit gate lives on the filter; without the cache barrier,
+    * AQE's empty-relation propagation can prune the branch carrying the
+    * gate (one empty join side skips the other) and the drop counters
+    * would read 0 on exactly the degenerate corpora they exist to flag.
+    * With the barrier the gate runs once — during cache materialization —
+    * regardless of join-branch pruning, and both branches share it. */
   private[llm] def capBuckets(banded: DataFrame, keys: Seq[String],
                               maxBucketSize: Int): DataFrame = {
-    installCapListener(banded.sparkSession)
+    val spark = banded.sparkSession
+    installCapListener(spark)
+    val name = s"graft.capBuckets.${capSeq.incrementAndGet()}"
+    val dropped = spark.sparkContext.longAccumulator(s"$name.droppedRows")
+    val maxSeen = new graft.functions.MaxAccumulator
+    spark.sparkContext.register(maxSeen, s"$name.maxBucketSize")
+    capAudits.synchronized { capAudits += new CapAudit(name, dropped, maxSeen) }
     banded
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .observe(s"graft.capBuckets.${capSeq.incrementAndGet()}",
-        sum(when(col("__bsz") > maxBucketSize, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
-        coalesce(max(col("__bsz")), lit(0L)).as("max_bucket_size"))
-      .filter(col("__bsz") <= maxBucketSize)
+      .filter(graft.functions.VectorExprs.capGate(col("__bsz"), maxBucketSize, dropped, maxSeen))
       .drop("__bsz")
   }
 
@@ -144,11 +166,11 @@ object Dedup {
     val sigs = graft.util.Caching.barrier(df
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
       .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig")))
-    val banded = capBuckets(sigs
+    val banded = graft.util.Caching.barrier(capBuckets(sigs
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"), maxBucketSize)
+      Seq("band", "bucket"), maxBucketSize))
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")), Seq("band", "bucket"))
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
@@ -335,7 +357,7 @@ object Dedup {
     * ≤ 64: d=7 → B=9, m=2, 36 tables of 14-bit keys).
     *
     * Returns (block width in bits, the block-index combination per table). */
-  private[llm] def simhashBanding(maxDist: Int, minKeyBits: Int = 14): (Int, Seq[Seq[Int]]) = {
+  private[graft] def simhashBanding(maxDist: Int, minKeyBits: Int = 14): (Int, Seq[Seq[Int]]) = {
     require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
     if (maxDist == 0) return (64, Seq(Seq(0))) // exact signature match
     val chosen = (maxDist + 1 to 21).iterator
@@ -360,10 +382,10 @@ object Dedup {
       blocks.foldLeft(lit(0L): Column)((acc, b) => shiftleft(acc, width).bitwiseOR(block(b)))
     val sigs = graft.util.Caching.barrier(
       df.select(col(idCol), simhash(col(textCol)).as("sig")))
-    val banded = capBuckets(sigs.select(col(idCol), col("sig"),
-      posexplode(array(combos.map(tableKey): _*)))
+    val banded = graft.util.Caching.barrier(capBuckets(sigs
+      .select(col(idCol), col("sig"), posexplode(array(combos.map(tableKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"), maxBucketSize)
+      Seq("band", "bucket"), maxBucketSize))
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("s1"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("id2"), col("sig").as("s2"))
     l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))

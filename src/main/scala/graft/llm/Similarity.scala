@@ -117,6 +117,9 @@ object Similarity {
   def lshPairs(df: DataFrame, threshold: Double, tables: Int = 8, bits: Int = 12,
                dim: Int = 64, id: String = "vec_id", vec: String = "embedding",
                maxBucketSize: Int = 1000): DataFrame = {
+    // barrier REQUIRED around the audited cap (Dedup.capBuckets caller
+    // contract): the gate must run during cache materialization, immune
+    // to AQE empty-side join pruning
     val b = graft.util.Caching.barrier(graft.llm.Dedup.capBuckets(
       lshBuckets(df, tables, bits, dim, id, vec), Seq("table", "bucket"), maxBucketSize))
     val cand = b.select(col("table"), col("bucket"), col(id).as("id1"))

@@ -47,24 +47,48 @@ object Sequential {
     var num = 0.0; var num2 = 0.0; var w = 0.0; var w2 = 0.0
     var lastMicros = Long.MinValue
     var unadjusted = Double.NaN
+    var valid = 0L; var nanGap = 0
+    def gate(minDataPoints: Int, out: Double): Seq[Any] =
+      Seq(if (valid >= math.max(1, minDataPoints)) out else Double.NaN)
   }
 
   /** csp.stats.ema (stats.py:2910; C++ EMA:1473 / AdjustedEMA:1542).
     * adjust=true: y = Σ(1−α)^(t−i)·x_i / Σ(1−α)^(t−i) (pandas-equivalent);
-    * adjust=false: y_t = (1−α)·y_{t−1} + α·x_t. */
+    * adjust=false: y_t = (1−α)·y_{t−1} + α·x_t.
+    *
+    * NaN handling (the common csp `_setup` surface, stats.py:218-280):
+    * ignoreNa=false (default, = pandas ignore_na=False) ages weights by
+    * ABSOLUTE position — a NaN tick contributes no value but still decays
+    * what came before; ignoreNa=true skips NaN ticks entirely (relative
+    * positions). Either way the output at a NaN tick is the carried
+    * state, never NaN-poisoned. minDataPoints: NaN until that many
+    * non-NaN observations arrived. */
   def ema(x: TickStream, alpha: Double, adjust: Boolean = true,
-          as: String = "ema"): TickStream = {
+          as: String = "ema", ignoreNa: Boolean = false,
+          minDataPoints: Int = 0): TickStream = {
     val vi = valueIdx(x)
     val d = 1.0 - alpha
     perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
       val v = row.getDouble(vi)
-      if (adjust) {
+      if (v.isNaN) {
+        if (!ignoreNa) { s.num = d * s.num; s.w = d * s.w; s.nanGap += 1 }
+      } else if (adjust) {
         s.num = v + d * s.num; s.w = 1.0 + d * s.w
-        Seq(s.num / s.w)
+        s.valid += 1; s.nanGap = 0
       } else {
-        s.unadjusted = if (s.unadjusted.isNaN) v else d * s.unadjusted + alpha * v
-        Seq(s.unadjusted)
+        // unadjusted with an aged gap: y = (d^(k+1)·y + α·x)/(d^(k+1) + α)
+        // — the k = 0 path keeps the exact historical arithmetic
+        s.unadjusted =
+          if (s.unadjusted.isNaN) v
+          else if (s.nanGap == 0) d * s.unadjusted + alpha * v
+          else {
+            val dk = math.pow(d, s.nanGap + 1.0)
+            (dk * s.unadjusted + alpha * v) / (dk + alpha)
+          }
+        s.valid += 1; s.nanGap = 0
       }
+      if (adjust) s.gate(minDataPoints, if (s.w == 0.0) Double.NaN else s.num / s.w)
+      else s.gate(minDataPoints, s.unadjusted)
     }
   }
 
@@ -83,22 +107,32 @@ object Sequential {
     * sum; adjust=false is the plain recursive form
     * y_t = decay·y_{t−1} + (1−decay)·x_t (`_ema_halflife`). */
   def emaHalflife(x: TickStream, halflifeSec: Double, adjust: Boolean = true,
-                  as: String = "ema"): TickStream = {
+                  as: String = "ema", ignoreNa: Boolean = false,
+                  minDataPoints: Int = 0): TickStream = {
     val vi = valueIdx(x); val ti = tsIdx(x)
     val lambda = math.log(2.0) / (halflifeSec * 1e6) // per microsecond
     perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
       val v = row.getDouble(vi)
       val t = row.getTimestamp(ti).getTime * 1000L +
         (row.getTimestamp(ti).getNanos / 1000) % 1000
-      val decay = if (s.lastMicros == Long.MinValue) 0.0 else math.exp(-lambda * (t - s.lastMicros))
-      s.lastMicros = t
-      if (adjust) {
-        s.num = v + decay * s.num; s.w = 1.0 + decay * s.w
-        Seq(s.num / s.w)
+      if (v.isNaN) {
+        // time decay is absolute by nature: with ignoreNa=false the NaN
+        // tick advances the clock (ages history); with ignoreNa=true it is
+        // invisible — the NEXT valid tick decays over the full gap anyway
+        if (!ignoreNa && s.lastMicros != Long.MinValue) {
+          val decay = math.exp(-lambda * (t - s.lastMicros))
+          s.num = decay * s.num; s.w = decay * s.w
+          s.lastMicros = t
+        }
       } else {
-        s.unadjusted = if (s.unadjusted.isNaN) v else decay * s.unadjusted + (1.0 - decay) * v
-        Seq(s.unadjusted)
+        val decay = if (s.lastMicros == Long.MinValue) 0.0 else math.exp(-lambda * (t - s.lastMicros))
+        s.lastMicros = t
+        if (adjust) { s.num = v + decay * s.num; s.w = 1.0 + decay * s.w }
+        else s.unadjusted = if (s.unadjusted.isNaN) v else decay * s.unadjusted + (1.0 - decay) * v
+        s.valid += 1
       }
+      if (adjust) s.gate(minDataPoints, if (s.w == 0.0) Double.NaN else s.num / s.w)
+      else s.gate(minDataPoints, s.unadjusted)
     }
   }
 
@@ -107,20 +141,32 @@ object Sequential {
     * the debias factor W²/(W²−W₂), bias=true returns the biased moment —
     * the full bias matrix from the reference's test_stats.py. */
   def emaVar(x: TickStream, alpha: Double, bias: Boolean = false,
-             as: String = "ema_var"): TickStream = {
+             as: String = "ema_var", ignoreNa: Boolean = false,
+             minDataPoints: Int = 0): TickStream = {
     val vi = valueIdx(x)
     val d = 1.0 - alpha
     perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaState) { (s, row) =>
       val v = row.getDouble(vi)
-      s.num = v + d * s.num; s.num2 = v * v + d * s.num2
-      s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
-      val mean = s.num / s.w
-      val biased = s.num2 / s.w - mean * mean
-      if (bias) Seq(biased)
-      else {
-        val denom = s.w * s.w - s.w2
-        Seq(if (denom <= 0) Double.NaN else biased * s.w * s.w / denom)
+      if (v.isNaN) {
+        if (!ignoreNa) {
+          s.num = d * s.num; s.num2 = d * s.num2
+          s.w = d * s.w; s.w2 = d * d * s.w2
+        }
+      } else {
+        s.num = v + d * s.num; s.num2 = v * v + d * s.num2
+        s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
+        s.valid += 1
       }
+      val out = if (s.w == 0.0) Double.NaN else {
+        val mean = s.num / s.w
+        val biased = s.num2 / s.w - mean * mean
+        if (bias) biased
+        else {
+          val denom = s.w * s.w - s.w2
+          if (denom <= 0) Double.NaN else biased * s.w * s.w / denom
+        }
+      }
+      s.gate(minDataPoints, out)
     }
   }
 
@@ -192,6 +238,7 @@ object Sequential {
 
   final private class EmaCovState {
     var nxy = 0.0; var nx = 0.0; var ny = 0.0; var w = 0.0; var w2 = 0.0
+    var valid = 0L
   }
 
   /** csp.stats.ema_cov (stats.py:3009): exponential moving covariance of x
@@ -199,21 +246,33 @@ object Sequential {
     * reference composes it — ema(x·y) − ema(x)·ema(y), all adjusted EMAs —
     * with the AlphaDebiasEMA:1620 factor W²/(W² − W₂) unless bias=true. */
   def emaCov(x: TickStream, yCol: String, alpha: Double, bias: Boolean = false,
-             as: String = "ema_cov"): TickStream = {
+             as: String = "ema_cov", ignoreNa: Boolean = false,
+             minDataPoints: Int = 0): TickStream = {
     val vi = valueIdx(x)
     val yi = x.df.schema.fieldIndex(yCol)
     val d = 1.0 - alpha
     perKeyScan(x, Seq(StructField(as, DoubleType)))(() => new EmaCovState) { (s, row) =>
       val xv = row.getDouble(vi)
       val yv = row.getDouble(yi)
-      s.nxy = xv * yv + d * s.nxy; s.nx = xv + d * s.nx; s.ny = yv + d * s.ny
-      s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
-      val biasCov = s.nxy / s.w - (s.nx / s.w) * (s.ny / s.w)
-      if (bias) Seq(biasCov)
-      else {
-        val denom = s.w * s.w - s.w2
-        Seq(if (denom <= 0) Double.NaN else biasCov * s.w * s.w / denom)
+      if (xv.isNaN || yv.isNaN) { // a pair is valid only when BOTH are
+        if (!ignoreNa) {
+          s.nxy = d * s.nxy; s.nx = d * s.nx; s.ny = d * s.ny
+          s.w = d * s.w; s.w2 = d * d * s.w2
+        }
+      } else {
+        s.nxy = xv * yv + d * s.nxy; s.nx = xv + d * s.nx; s.ny = yv + d * s.ny
+        s.w = 1.0 + d * s.w; s.w2 = 1.0 + d * d * s.w2
+        s.valid += 1
       }
+      val out = if (s.w == 0.0) Double.NaN else {
+        val biasCov = s.nxy / s.w - (s.nx / s.w) * (s.ny / s.w)
+        if (bias) biasCov
+        else {
+          val denom = s.w * s.w - s.w2
+          if (denom <= 0) Double.NaN else biasCov * s.w * s.w / denom
+        }
+      }
+      Seq(if (s.valid >= math.max(1, minDataPoints)) out else Double.NaN)
     }
   }
 

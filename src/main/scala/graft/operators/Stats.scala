@@ -218,9 +218,19 @@ object Stats {
     def prod(name: String = "prod"): Rolling =
       add(name, aggregate(collect_list(v).over(spec), lit(1.0), (acc, e) => acc * e))
 
+    /** Memoized sorted window frame — ONE collect_list + array_sort shared
+      * by every order statistic in the chain (quantile/median/rank/unique
+      * each rebuilding it would pay the dominant cost per stat; WindowExec
+      * does not deduplicate identical aggregates). NaNs sort last, so the
+      * non-NaN prefix is a slice. */
+    private def memoSorted: (Rolling, Column) =
+      memo("sorted", array_sort(collect_list(v).over(spec)))
+
     /** Distinct values in window (statsimpl.h Unique:242). */
-    def unique(name: String = "unique"): Rolling =
-      add(name, size(array_distinct(collect_list(v).over(spec))))
+    def unique(name: String = "unique"): Rolling = {
+      val (r, sorted) = memoSorted
+      r.add(name, size(array_distinct(sorted)))
+    }
 
     // ---- dispersion (Variance:383, StandardError:744) ----
     def varSamp(name: String = "var"): Rolling = add(name, var_samp(v).over(spec))
@@ -292,26 +302,64 @@ object Stats {
         else ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + lit(6.0)))
     }
 
-    /** Exact quantile, linear interpolation (Quantile:1127; csp offers
-      * multiple interpolation modes — linear is the default). */
-    def quantile(q: Double, name: String = "quantile"): Rolling = {
-      val sorted = array_sort(collect_list(v).over(spec))
-      val n = size(sorted)
+    /** Exact quantile (Quantile:1127, statsimpl.h 1186-1232 interpolation
+      * switch; csp `quantile(interpolate=)` stats.py:1800-1838). Modes:
+      * linear (default) / lower / higher / midpoint / nearest — nearest
+      * resolves frac==0.5 to the HIGHER element, as the C++ does. NaNs are
+      * treated as missing (csp ignore_na=True default: they sort last and
+      * are sliced off); ignoreNa=false poisons the stat to NaN when any
+      * NaN is in the window. */
+    def quantile(q: Double, name: String = "quantile",
+                 interpolate: String = "linear", ignoreNa: Boolean = true): Rolling = {
+      require(Seq("linear", "lower", "higher", "midpoint", "nearest").contains(interpolate),
+        s"unknown interpolation '$interpolate'")
+      val (r, sortedRaw) = memoSorted
+      val nanCnt = size(filter(sortedRaw, e => isnan(e)))
+      val n = size(sortedRaw) - nanCnt
+      def el(i: Column): Column = element_at(sortedRaw, i + 1)
       val pos = lit(q) * (n.cast("double") - 1)
       val lo = floor(pos).cast("int")
       val hi = ceil(pos).cast("int")
       val frac = pos - lo.cast("double")
-      val value = element_at(sorted, lo + 1) * (lit(1.0) - frac) +
-        element_at(sorted, hi + 1) * frac
-      add(name, value)
+      val value = interpolate match {
+        case "linear"   => el(lo) * (lit(1.0) - frac) + el(hi) * frac
+        case "lower"    => el(lo)
+        case "higher"   => el(hi)
+        case "midpoint" => when(frac === 0, el(lo)).otherwise((el(lo) + el(hi)) / 2)
+        case "nearest"  => when(frac < 0.5, el(lo)).otherwise(el(hi))
+      }
+      val guarded = when(n >= 1, value)
+      r.add(name, if (ignoreNa) guarded
+                  else when(nanCnt > 0, lit(Double.NaN)).otherwise(guarded))
     }
     def median(name: String = "median"): Rolling = quantile(0.5, name)
 
-    /** Rank of the current value within the window (Rank:1291), method
-      * "min" (count of strictly-smaller values). */
-    def rank(name: String = "rank"): Rolling = {
-      val lst = collect_list(v).over(spec)
-      add(name, size(filter(lst, e => e < v)))
+    /** Rank of the current value within the window (Rank:1291,
+      * statsimpl.h 1360-1388; csp `rank(method=, na_option=)`
+      * stats.py:1992-2052), 0-indexed. method: "min" = count of strictly
+      * smaller values; "max" = highest rank among ties; "avg" = their
+      * mean (a double). na_option: "keep" = NaN tick ranks null; "last" =
+      * rank the last non-NaN value in the window instead. */
+    def rank(name: String = "rank", method: String = "min",
+             naOption: String = "keep"): Rolling = {
+      require(Seq("min", "max", "avg").contains(method), s"unknown rank method '$method'")
+      require(Seq("keep", "last").contains(naOption), s"unknown na_option '$naOption'")
+      val (r0, sorted) = memoSorted
+      val (r, cur) =
+        if (naOption == "last") {
+          val (r1, lst) = r0.memo("wlst", collect_list(v).over(spec))
+          (r1, element_at(filter(lst, e => !isnan(e)), -1))
+        } else (r0, v)
+      // NaN elements compare false on both predicates, so the sorted frame
+      // needs no NaN slicing here
+      val minRank = size(filter(sorted, e => e < cur))
+      lazy val maxRank = size(filter(sorted, e => e <= cur)) - 1
+      val base: Column = method match {
+        case "min" => minRank
+        case "max" => maxRank
+        case "avg" => (minRank + maxRank).cast("double") / 2.0
+      }
+      r.add(name, when(!isnan(cur.cast("double")), base))
     }
 
     /** Time of window extremum (ArgMinMax:1402): earliest tick holding the

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity}
+
+/** Scale geometry of the near-dup candidate generators: permuted-block
+  * simhash banding (exact pigeonhole recall with keys wide enough to
+  * survive bucket caps at corpus scale), auto-sized SRP-LSH, and the
+  * inline bucket-cap audit. */
+class NearDupScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash banding pigeonhole: any pair within maxDist shares a table key") {
+    val rnd = new scala.util.Random(7)
+    for (d <- 1 to 7) {
+      val (width, combos) = Dedup.simhashBanding(d)
+      val m = combos.head.size
+      assert(m * width >= 14, s"d=$d keys must stay selective: ${m * width} bits")
+      assert(combos.size <= 64, s"d=$d table count bounded: ${combos.size}")
+      def key(sig: Long, blocks: Seq[Int]): Long =
+        blocks.foldLeft(0L)((acc, b) =>
+          (acc << width) | ((sig >>> (b * width)) & ((1L << width) - 1)))
+      (1 to 200).foreach { _ =>
+        val a = rnd.nextLong()
+        var b = a
+        (1 to rnd.nextInt(d + 1)).foreach(_ => b ^= 1L << rnd.nextInt(64))
+        assert(combos.exists(c => key(a, c) == key(b, c)),
+          s"d=$d: pair within distance must collide in some table")
+      }
+    }
+  }
+
+  test("maxDist=7 banding survives a 20k-doc corpus under a tight bucket cap") {
+    // classic d+1-band banding at d=7 means 8-bit keys / 256 buckets: at
+    // 20k docs EVERY bucket exceeds cap 50 and recall collapses to 0.
+    // Permuted-block banding keys on >=14 bits -> ~1.2 docs/bucket.
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.fill(5000)(rnd.alphanumeric.take(7).mkString)
+    val texts = (0 until 20000).map(i =>
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val planted = texts :+ (20000L, texts(0)._2) // signature distance 0
+    val docs = spark.createDataFrame(planted).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 7, maxBucketSize = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caching.release()
+    assert(pairs.contains((0L, 20000L)),
+      "planted duplicate must survive bucket caps at 20k docs")
+  }
+
+  test("capBuckets recall loss is audited inline, not opt-in") {
+    Dedup.lastCapAudit = None
+    val many = spark.range(300).select(col("id").as("doc_id"),
+      lit("the same boilerplate text in every document").as("text"))
+    Dedup.minhashPairs(many, "text", "doc_id", threshold = 0.5, maxBucketSize = 100).count()
+    graft.util.Caching.release()
+    // QueryExecutionListener delivery is async on the listener bus
+    val deadline = System.nanoTime() + 5000000000L
+    while (Dedup.lastCapAudit.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val audit = Dedup.lastCapAudit
+    assert(audit.exists(_._1 > 0), s"capped run must surface dropped rows, got $audit")
+    assert(audit.exists(_._2 >= 300L), s"largest bucket size must surface, got $audit")
+  }
+
+  test("lshPairsAuto equals brute-force threshold pairs (auto-sized recall ~1)") {
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    val planted = (0 until 5).map(i =>
+      (300L + i, base(i)._2.map(x => x + rnd.nextGaussian().toFloat * 0.1f)))
+    val df = spark.createDataFrame(base ++ planted).toDF("vec_id", "embedding")
+    val brute = Similarity.thresholdPairs(df, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.lshPairsAuto(df, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caching.release()
+    assert(brute.nonEmpty, "test data must contain true pairs")
+    assert(auto == brute, s"missed=${(brute -- auto).take(5)} extra=${(auto -- brute).take(5)}")
+  }
+}

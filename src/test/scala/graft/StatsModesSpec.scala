@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sequential, Stats}
+import graft.ts.{Sources, TickStream}
+
+/** Quantile interpolation modes, rank methods/NaN options, and the EMA
+  * family's ignore_na / min_data_points surface (reference
+  * `csp/stats.py:1800-1838,1992-2052`, `statsimpl.h:1127-1244,1291-1388`,
+  * `_setup` stats.py:218-280; expected values hand-computed to the same
+  * formulas pandas/numpy use, the reference's own golden source). */
+class StatsModesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def curveOf(vs: Seq[Double]): TickStream =
+    Sources.curve(spark, "k", vs.zipWithIndex.map { case (v, i) =>
+      (f"2024-01-01 00:00:${i}%02d", v)
+    })
+
+  private def lastRow(df: org.apache.spark.sql.DataFrame, col0: String): Double =
+    df.orderBy(col("seq")).collect().last.getAs[Double](col0)
+
+  test("quantile interpolation matrix: linear/lower/higher/midpoint/nearest") {
+    val s = curveOf(Seq(3.0, 1.0, 4.0, 1.5, 9.0))
+    val r = Stats.ticks(s, 10)
+      .quantile(0.3, "lin").quantile(0.3, "lo", "lower").quantile(0.3, "hi", "higher")
+      .quantile(0.3, "mid", "midpoint").quantile(0.3, "near", "nearest").done.df
+    val last = r.orderBy(col("seq")).collect().last
+    // sorted [1.0, 1.5, 3.0, 4.0, 9.0], pos = 0.3*4 = 1.2, frac = 0.2
+    assert(math.abs(last.getAs[Double]("lin") - (1.5 * 0.8 + 3.0 * 0.2)) < 1e-12)
+    assert(last.getAs[Double]("lo") == 1.5)
+    assert(last.getAs[Double]("hi") == 3.0)
+    assert(last.getAs[Double]("mid") == 2.25)
+    assert(last.getAs[Double]("near") == 1.5) // frac < 0.5 -> lower
+  }
+
+  test("quantile nearest resolves the frac=0.5 tie to the HIGHER element (statsimpl.h NEAREST)") {
+    val s = curveOf(Seq(1.0, 1.5, 3.0, 4.0)) // sorted = input; pos = 0.5*3 = 1.5
+    val r = Stats.ticks(s, 10).quantile(0.5, "near", "nearest").done.df
+    assert(lastRow(r, "near") == 3.0)
+  }
+
+  test("quantile NaN policy: ignore_na=true slices NaNs out, false poisons") {
+    val s = curveOf(Seq(1.0, Double.NaN, 2.0))
+    val dfT = Stats.ticks(s, 10).quantile(0.5, "q").done.df
+    assert(lastRow(dfT, "q") == 1.5)
+    val dfF = Stats.ticks(s, 10).quantile(0.5, "q", ignoreNa = false).done.df
+    assert(lastRow(dfF, "q").isNaN)
+  }
+
+  test("rank methods on the csp doc example [1,2,2,3,2]: min=1 max=3 avg=2") {
+    val s = curveOf(Seq(1.0, 2.0, 2.0, 3.0, 2.0))
+    val r = Stats.ticks(s, 10)
+      .rank("mn").rank("mx", "max").rank("av", "avg").done.df
+    val last = r.orderBy(col("seq")).collect().last
+    assert(last.getAs[Int]("mn") == 1)
+    assert(last.getAs[Int]("mx") == 3)
+    assert(last.getAs[Double]("av") == 2.0)
+  }
+
+  test("rank na_option: keep nulls the NaN tick, last ranks the previous valid value") {
+    val s = curveOf(Seq(1.0, Double.NaN, 2.0))
+    val keep = Stats.ticks(s, 10).rank("r").done.df.orderBy(col("seq")).collect()
+    assert(keep(1).isNullAt(keep(1).fieldIndex("r")))
+    assert(keep(2).getAs[Int]("r") == 1)
+    val lastOpt = Stats.ticks(s, 10).rank("r", naOption = "last").done.df
+      .orderBy(col("seq")).collect()
+    assert(lastOpt(1).getAs[Int]("r") == 0) // rank of carried 1.0 in window [1.0, NaN]
+  }
+
+  test("quantile/median/rank/unique share ONE memoized sorted frame") {
+    val r = Stats.ticks(curveOf(Seq(3.0, 1.0, 2.0)), 10)
+      .median("md").quantile(0.25, "q").rank("rk").unique("u")
+    val sortedCols = r.x.df.columns.filter(_.startsWith("__g_sorted"))
+    assert(sortedCols.length == 1, s"expected one shared sorted frame, got ${sortedCols.toSeq}")
+  }
+
+  test("cov/corr memo tags never collide: distinct `other` columns get distinct base sums") {
+    val s = TickStream(curveOf(Seq(1.0, 2.0, 3.0)).df
+      .withColumn("y1", col("value") * 2)
+      .withColumn("y2", col("value") * -1))
+    val r = Stats.ticks(s, 10)
+      .covExact(col("y1"), "c1").covExact(col("y2"), "c2")
+    val yTags = r.x.df.columns.filter(c => c.startsWith("__g_s_y"))
+    assert(yTags.length == 2, s"distinct others must memoize separately: ${yTags.toSeq}")
+    val last = r.done.df.orderBy(col("seq")).collect().last
+    assert(last.getAs[Double]("c1") == 2.0)  // cov(x, 2x) over {1,2,3} = 2*var = 2
+    assert(last.getAs[Double]("c2") == -1.0) // cov(x, -x) = -var = -1
+  }
+
+  // ---- EMA family NaN / min_data_points surface ----
+
+  test("ema adjust=true: absolute aging (ignore_na=false) vs skip (true) match pandas ewm") {
+    val s = curveOf(Seq(1.0, Double.NaN, 2.0))
+    val abs = Sequential.ema(s, 0.2, adjust = true).df.orderBy(col("seq")).collect()
+    assert(abs(0).getAs[Double]("ema") == 1.0)
+    assert(abs(1).getAs[Double]("ema") == 1.0) // NaN tick carries state, never poisons
+    // num = 2 + 0.8^2*1 = 2.64, w = 1 + 0.64 = 1.64
+    assert(math.abs(abs(2).getAs[Double]("ema") - 2.64 / 1.64) < 1e-12)
+    val skip = Sequential.ema(s, 0.2, adjust = true, ignoreNa = true)
+      .df.orderBy(col("seq")).collect()
+    // num = 2 + 0.8*1 = 2.8, w = 1.8
+    assert(math.abs(skip(2).getAs[Double]("ema") - 2.8 / 1.8) < 1e-12)
+  }
+
+  test("ema adjust=false: NaN gap ages the unadjusted recurrence (pandas old_wt form)") {
+    val s = curveOf(Seq(1.0, Double.NaN, 2.0))
+    val abs = Sequential.ema(s, 0.2, adjust = false).df.orderBy(col("seq")).collect()
+    // dk = 0.8^2: y = (0.64*1 + 0.2*2) / (0.64 + 0.2)
+    assert(math.abs(abs(2).getAs[Double]("ema") - 1.04 / 0.84) < 1e-12)
+    val skip = Sequential.ema(s, 0.2, adjust = false, ignoreNa = true)
+      .df.orderBy(col("seq")).collect()
+    assert(math.abs(skip(2).getAs[Double]("ema") - (0.8 * 1 + 0.2 * 2)) < 1e-12)
+  }
+
+  test("ema min_data_points gates the first outputs with NaN") {
+    val s = curveOf(Seq(1.0, 2.0, 3.0))
+    val out = Sequential.ema(s, 0.2, minDataPoints = 2).df.orderBy(col("seq")).collect()
+    assert(out(0).getAs[Double]("ema").isNaN)
+    assert(!out(1).getAs[Double]("ema").isNaN && !out(2).getAs[Double]("ema").isNaN)
+  }
+
+  test("emaVar/emaCov/emaHalflife ignore_na=true equals the NaN-free stream on valid ticks") {
+    val withNa = curveOf(Seq(1.0, Double.NaN, 2.0, 4.0))
+    val clean = TickStream(withNa.df.filter(!isnan(col("value")))).resequence
+    def vals(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] =
+      df.filter(!isnan(col("value"))).orderBy(col("ts")).collect().map(_.getAs[Double](c)).toSeq
+    def same(a: Seq[Double], b: Seq[Double]): Boolean = // NaN-tolerant bitwise equality
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) }
+    assert(same(vals(Sequential.emaVar(withNa, 0.3, ignoreNa = true).df, "ema_var"),
+      vals(Sequential.emaVar(clean, 0.3).df, "ema_var")))
+    assert(same(vals(Sequential.emaHalflife(withNa, 2.0, ignoreNa = true).df, "ema"),
+      vals(Sequential.emaHalflife(clean, 2.0).df, "ema")))
+    val withY = TickStream(withNa.df.withColumn("y", col("value") * 2))
+    val cleanY = TickStream(clean.df.withColumn("y", col("value") * 2))
+    assert(same(vals(Sequential.emaCov(withY, "y", 0.3, ignoreNa = true).df, "ema_cov"),
+      vals(Sequential.emaCov(cleanY, "y", 0.3).df, "ema_cov")))
+  }
+}
