@@ -72,10 +72,30 @@ object Kafka {
   def mapRaw(raw: DataFrame, mapper: MsgMapper,
              keyFilter: Option[String] = None,
              metaFieldMap: Map[String, String] = Map.empty,
-             liveAfter: Option[java.sql.Timestamp] = None): DataFrame = {
+             liveAfter: Option[java.sql.Timestamp] = None,
+             adjustOutOfOrderTime: Boolean = false,
+             tickTimestampFromField: Option[String] = None,
+             startTime: Option[java.sql.Timestamp] = None,
+             includeMsgBeforeStartTime: Boolean = true): DataFrame = {
     require(metaFieldMap.keySet.subsetOf(MetaFields),
       s"unsupported meta fields: ${metaFieldMap.keySet -- MetaFields} (supported: $MetaFields)")
     val filtered = keyFilter.fold(raw)(k => raw.filter(col("key").cast("string") === k))
+    val decoded = mapper.decode(col("value"))
+    // csp `tick_timestamp_from_field` (kafka.py:145): during replay the
+    // engine tick time can come from a payload field instead of the
+    // broker timestamp.
+    val rawTs = tickTimestampFromField
+      .map(f => decoded.getField(f).cast("timestamp"))
+      .getOrElse(col("timestamp"))
+    // csp `adjust_out_of_order_time` (kafka.py:144,164): force time to
+    // max(time, prev_time) so replay stays monotone per source partition.
+    // Sim-replay (batch) only, like the reference: the running max is a
+    // per-partition window in offset order — the exact consumption order.
+    val ts =
+      if (!adjustOutOfOrderTime) rawTs
+      else max(rawTs).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("partition")).orderBy(col("offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
     val metaCols = metaFieldMap.toSeq.map {
       case ("partition", as) => col("partition").as(as)
       case ("offset", as)    => col("offset").as(as)
@@ -84,11 +104,17 @@ object Kafka {
       case ("live", as) =>
         liveAfter.fold(lit(true))(t => col("timestamp") >= lit(t)).as(as)
     }
-    filtered.select(
+    val mapped = filtered.select(
       Seq(col("key").cast("string").as(KEY),
-        col("timestamp").as(TS),
+        ts.as(TS),
         col("offset").as(SEQ),
-        mapper.decode(col("value")).as(VALUE)) ++ metaCols: _*)
+        decoded.as(VALUE)) ++ metaCols: _*)
+    // csp `include_msg_before_start_time=False` (kafka.py:146): drop
+    // replay rows whose (possibly field-derived) time predates the run.
+    startTime match {
+      case Some(t) if !includeMsgBeforeStartTime => mapped.filter(col(TS) >= lit(t))
+      case _ => mapped
+    }
   }
 
   /** Encode tick rows back to the Kafka wire shape: `keyCol` → key,

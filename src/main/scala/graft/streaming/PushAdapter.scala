@@ -116,6 +116,39 @@ object PushQueue {
       .option("queue", name).load()
 }
 
+/** Streaming PushMode shims + the documented micro-batch deviation
+  * (reference `common_definitions.py:274-289`; SURVEY §7.5.5).
+  *
+  * NON_COLLAPSING: the push source already emits one ROW per push with a
+  * distinct seq, and nothing downstream collapses them — each pushed tick
+  * keeps its own engine cycle. DOCUMENTED DEVIATION from csp's realtime
+  * engine: ticks queued between triggers are all delivered inside ONE
+  * micro-batch (still distinct cycles, ordered by seq) instead of being
+  * spread across wall-clock engine cycles; the difference is observable
+  * only through per-cycle wall-clock side effects (e.g. csp.now() read
+  * between two queued ticks), never through values, ordering, or cycle
+  * counts — which is what the parity spec pins.
+  *
+  * LAST_VALUE: csp collapses the queue to the newest value at each engine
+  * cycle; the micro-batch twin collapses per (key, ts) WITHIN each batch
+  * — apply [[lastValue]] inside `foreachBatch`. Collapse granularity is
+  * the trigger interval rather than the engine poll loop (same deviation
+  * class as above). */
+object PushModes {
+  /** Per-batch LAST_VALUE collapse — use inside foreachBatch. */
+  def lastValue(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wTie = Window.partitionBy(col("key"), col("ts"))
+    batch.withColumn("__mx", max(col("seq")).over(wTie))
+      .filter(col("seq") === col("__mx")).drop("__mx")
+  }
+
+  /** NON_COLLAPSING is the identity on the push source's row stream —
+    * named so call sites document the chosen mode. */
+  def nonCollapsing(stream: DataFrame): DataFrame = stream
+}
+
 /** DataSourceV2 provider for `format(classOf[PushDataSource].getName)`. */
 final class PushDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PushQueue.schema

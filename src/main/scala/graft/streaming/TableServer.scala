@@ -1,0 +1,150 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.ts.{Tick, TickStream}
+
+/** Live-table publish with snapshot + delta semantics (reference
+  * WebsocketTableAdapter / TableManager, `csp/adapters/websocket.py:
+  * 62-120,312-390`, and the perspective adapter built on the same
+  * manager, `csp/adapters/perspective.py`):
+  *
+  *  - a table holds the LAST row per index value (or an append log when
+  *    unindexed);
+  *  - a subscriber first receives the full snapshot in `"snap"` chunks of
+  *    ≤ 100 records, then every subsequent update as `"update"` messages;
+  *  - with `deltaUpdates=true`, indexed updates carry ONLY the fields
+  *    that changed since the previous value of that index (plus the
+  *    index itself) — the reference's delta_updates wire contract;
+  *  - every message carries a per-subscriber monotone `messageID`.
+  *
+  * Transport seam: a subscriber is any `String => Unit` JSON consumer —
+  * hand it a WebSocket/SSE session's send method (the reference binds the
+  * same manager to a tornado handler). Feeding is driver-side by design,
+  * exactly like the reference's single-process engine: a UI table is a
+  * driver-scale object; the DISTRIBUTED work (the query producing the
+  * ticks) stays on the cluster and only the final keyed stream collects.
+  */
+final class TableServer(deltaUpdates: Boolean = false) {
+
+  final class Table private[TableServer] (val name: String, val index: Option[String]) {
+    private val snapshotByIndex = mutable.LinkedHashMap.empty[Any, Map[String, Any]]
+    private val appendLog = mutable.ArrayBuffer.empty[Map[String, Any]]
+    private val subscribers = mutable.ArrayBuffer.empty[Subscriber]
+
+    private final class Subscriber(val send: String => Unit) {
+      var messageId = 0L
+      def push(messageType: String, records: Seq[Map[String, Any]]): Unit = {
+        send(Json.obj(
+          "messageType" -> messageType,
+          "messageID" -> messageId,
+          "data" -> records))
+        messageId += 1
+      }
+    }
+
+    /** Current materialized rows (index order = first-seen, like the
+      * reference's dict snapshot). Monitoring/test hook. */
+    def snapshot: Seq[Map[String, Any]] = synchronized {
+      if (index.isDefined) snapshotByIndex.values.toSeq else appendLog.toSeq
+    }
+
+    /** Subscribe a JSON consumer: full snapshot first (chunks of 100),
+      * then deltas as they arrive. */
+    def subscribe(send: String => Unit): Unit = synchronized {
+      val sub = new Subscriber(send)
+      snapshot.grouped(100).foreach(chunk => sub.push("snap", chunk))
+      subscribers += sub
+    }
+
+    def unsubscribe(send: String => Unit): Unit = synchronized {
+      subscribers.filterInPlace(_.send ne send)
+    }
+
+    /** Apply one update row (column → value). */
+    def update(row: Map[String, Any]): Unit = synchronized {
+      val out = index match {
+        case Some(ix) =>
+          val ixVal = row.getOrElse(ix,
+            throw new IllegalArgumentException(s"update for indexed table '$name' lacks '$ix'"))
+          val prev = snapshotByIndex.getOrElse(ixVal, Map.empty)
+          val merged = prev ++ row
+          snapshotByIndex(ixVal) = merged
+          if (deltaUpdates && prev.nonEmpty) {
+            val changed = row.filter { case (k, v) => prev.get(k) != Some(v) }
+            if (changed.isEmpty) return // nothing new: the reference sends no message
+            changed + (ix -> ixVal)
+          } else merged
+        case None =>
+          appendLog += row
+          row
+      }
+      subscribers.foreach(_.push("update", Seq(out)))
+    }
+  }
+
+  private val tables = mutable.LinkedHashMap.empty[String, Table]
+
+  def createTable(name: String, index: Option[String] = None): Table = synchronized {
+    require(!tables.contains(name), s"Table $name already exists")
+    val t = new Table(name, index)
+    tables(name) = t
+    t
+  }
+
+  def table(name: String): Table = synchronized(tables(name))
+
+  /** Publish a BATCH tick stream into a table in engine-time order —
+    * the sim-replay twin of the reference's live publish. `columns`
+    * selects/renames what lands on the table (csp publish field_map). */
+  def publishBatch(t: Table, x: TickStream, columns: Map[String, String]): Unit = {
+    x.df.orderBy(Tick.TS, Tick.SEQ).toLocalIterator().forEachRemaining { row =>
+      t.update(columns.map { case (from, to) => to -> row.get(row.fieldIndex(from)) })
+    }
+  }
+
+  /** Streaming publish: wire into `df.writeStream.foreachBatch(
+  * server.foreachBatch(t, columns))` — each micro-batch applies in
+  * (ts, seq) order on the driver, the same per-batch collect shape the
+  * reference's engine thread uses. */
+  def foreachBatch(t: Table, columns: Map[String, String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      batch.orderBy(Tick.TS, Tick.SEQ).collect().foreach { row =>
+        t.update(columns.map { case (from, to) => to -> row.get(row.fieldIndex(from)) })
+      }
+    }
+}
+
+/** Minimal JSON writer for the table wire format (strings, numbers,
+  * booleans, nulls, sequences, string-keyed maps). */
+private[streaming] object Json {
+  def obj(fields: (String, Any)*): String =
+    fields.map { case (k, v) => s"${str(k)}:${value(v)}" }.mkString("{", ",", "}")
+
+  private def value(v: Any): String = v match {
+    case null => "null"
+    case s: String => str(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case f: Float => value(f.toDouble)
+    case n: Number => n.toString
+    case ts: java.sql.Timestamp => str(ts.toString)
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => s"${str(String.valueOf(k))}:${value(x)}" }.mkString("{", ",", "}")
+    case xs: Iterable[_] => xs.map(value).mkString("[", ",", "]")
+    case other => str(String.valueOf(other))
+  }
+
+  private def str(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -24,6 +24,52 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): TickStream =
     TickStream(spark.read.parquet(path))
 
+  /** Rotation bucket for a tick's timestamp: floor(ts / period),
+    * formatted like the reference's timestamped file names. */
+  private def rotationCol(periodSec: Long): org.apache.spark.sql.Column =
+    date_format(timestamp_seconds(
+      floor(unix_micros(col(Tick.TS)) / lit(periodSec * 1000000L)).cast("long") * periodSec),
+      "yyyyMMdd_HHmmss")
+
+  /** Time-rotated parquet publish (reference ParquetWriter
+    * filename_provider rotation, `output_adapters/parquet.py:40-240`):
+    * each `rotatePeriodSec` window of ticks lands in its own
+    * `rotation=yyyyMMdd_HHmmss` directory. The Spark-native equivalent of
+    * filename-timestamp rotation IS time-partitioned layout — replay
+    * prunes by rotation window exactly like the reference picks files,
+    * and at 100 TB the partition column is what makes time-range scans
+    * cheap. `fileVisitor` mirrors the reference's file_visitor: invoked
+    * once per committed data file after the write (rotation boundaries +
+    * shutdown collapse to one commit in batch). */
+  def writeParquetRotated(x: TickStream, path: String, rotatePeriodSec: Long,
+                          partitionByKey: Boolean = false,
+                          fileVisitor: Option[String => Unit] = None): Unit = {
+    val parts = Seq("rotation") ++ (if (partitionByKey) Seq(Tick.KEY) else Nil)
+    x.df.withColumn("rotation", rotationCol(rotatePeriodSec))
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    fileVisitor.foreach { visit =>
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(x.df.sparkSession.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet")) visit(f)
+      }
+    }
+  }
+
+  /** Streaming twin: append micro-batches into the same rotated layout —
+    * exactly-once via the checkpoint, file rotation driven by event time
+    * (late data lands in its own window's directory rather than a
+    * wrongly-named current file). Caller starts the returned query. */
+  def streamParquetRotated(ticks: DataFrame, path: String, checkpoint: String,
+                           rotatePeriodSec: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ticks.withColumn("rotation", rotationCol(rotatePeriodSec))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("rotation")
+
   /** CSV publish/read (reference `csp/adapters/csv.py:29-113`). */
   def writeCsv(x: TickStream, path: String): Unit =
     x.df.write.mode("overwrite").option("header", "true").csv(path)

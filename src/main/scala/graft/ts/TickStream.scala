@@ -224,6 +224,29 @@ final case class TickStream(df: DataFrame) {
     * seq = cycle number — the default canonical form). */
   def pushModeNonCollapsing: TickStream = resequence
 
+  /** Batch lowering of csp.schedule_alarm with DATA-DEPENDENT times
+    * (reference `impl/builtin_functions.py:295-303`): every tick of this
+    * stream schedules an alarm at `ts + delaySec` carrying `value` — both
+    * Column expressions of the scheduling tick, so delay and payload can
+    * depend on the data (csp's in-node `schedule_alarm(alarm, when(x),
+    * f(x))`). Returns the alarm stream; merge it back into a timeline
+    * with [[graft.ts.TickStream.merge]]/union (alarms at a timestamp
+    * shared with a source tick deliver on a later engine cycle — their
+    * seq carries the scheduling tick's seq, and resequencing puts them
+    * after that cycle, matching the engine's "alarms fire after input
+    * events already scheduled at that time").
+    *
+    * `endTime` drops alarms scheduled past the run's end, as the engine
+    * does at shutdown. Streaming twin: event-time timers in
+    * `TwsOps.transformWithState` (TwsOps.scala) — this is the sim-replay
+    * lowering of the same construct. */
+  def scheduleAlarm(delaySec: Column, value: Column,
+                    endTime: Option[java.sql.Timestamp] = None): TickStream = {
+    val at = timestamp_micros(unix_micros(col(TS)) + (delaySec * lit(1e6)).cast(LongType))
+    val alarms = df.select(col(KEY), at.as(TS), col(SEQ), value.as(VALUE))
+    TickStream(endTime.fold(alarms)(t => alarms.filter(col(TS) <= lit(t))))
+  }
+
   /** PushMode.BURST: all same-(key, ts) ticks delivered as one list. */
   def pushModeBurst: TickStream =
     TickStream(df.groupBy(col(KEY), col(TS))

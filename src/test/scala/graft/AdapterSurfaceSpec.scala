@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Kafka, PushModes, TableServer}
+import graft.ts.{Sinks, Sources, Tick, TickStream}
+
+/** Round-4 adapter-surface closures: rotated parquet publish, the
+  * snapshot+delta table server, Kafka replay-time adjustments, the batch
+  * schedule_alarm lowering, and the per-batch LAST_VALUE shim. */
+class AdapterSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hours3 = Sources.curve(spark, "k", Seq(
+    "2024-01-01 00:10:00" -> 1.0, "2024-01-01 00:50:00" -> 2.0,
+    "2024-01-01 01:10:00" -> 3.0, "2024-01-01 02:59:00" -> 4.0))
+
+  test("rotated parquet publish: one directory per rotation window, round-trip, file visitor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rot").toString
+    val visited = scala.collection.mutable.ArrayBuffer.empty[String]
+    Sinks.writeParquetRotated(hours3, dir, rotatePeriodSec = 3600,
+      fileVisitor = Some(p => visited.synchronized { visited += p }))
+    val rotations = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("rotation=")).map(_.getName).sorted
+    assert(rotations.toSeq == Seq("rotation=20240101_000000",
+      "rotation=20240101_010000", "rotation=20240101_020000"))
+    assert(visited.nonEmpty && visited.forall(_.endsWith(".parquet")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4)
+    assert(back.filter(col("rotation") === "20240101_000000").count() == 2)
+    // timestamps and values survive the rotation partitioning
+    assert(back.agg(sum(col(Tick.VALUE))).head().getDouble(0) == 10.0)
+  }
+
+  test("table server: snapshot then deltas; delta_updates sends changed fields only") {
+    val server = new TableServer(deltaUpdates = true)
+    val t = server.createTable("px", index = Some("sym"))
+    val early = scala.collection.mutable.ArrayBuffer.empty[String]
+    t.subscribe(early += _) // before any data: no snap chunks
+    assert(early.isEmpty)
+    t.update(Map("sym" -> "A", "px" -> 1.0, "qty" -> 10L))
+    t.update(Map("sym" -> "B", "px" -> 2.0, "qty" -> 20L))
+    t.update(Map("sym" -> "A", "px" -> 1.5, "qty" -> 10L)) // only px changed
+    // early subscriber: first update full (new index), third delta = px+sym only
+    assert(early.length == 3)
+    assert(early(0).contains("\"messageType\":\"update\"") && early(0).contains("\"qty\":10"))
+    assert(early(2).contains("\"px\":1.5") && !early(2).contains("qty"),
+      s"delta must carry only changed fields: ${early(2)}")
+    // late subscriber: one snap chunk with the CURRENT two rows
+    val late = scala.collection.mutable.ArrayBuffer.empty[String]
+    t.subscribe(late += _)
+    assert(late.length == 1 && late(0).contains("\"messageType\":\"snap\""))
+    assert(late(0).contains("\"px\":1.5") && late(0).contains("\"sym\":\"B\""))
+    assert(t.snapshot.map(_("sym")).toSet == Set("A", "B"))
+  }
+
+  test("table server publishBatch applies a tick stream in engine-time order") {
+    val server = new TableServer()
+    val t = server.createTable("vals", index = Some("key"))
+    server.publishBatch(t, hours3, Map(Tick.KEY -> "key", Tick.VALUE -> "v"))
+    assert(t.snapshot == Seq(Map("key" -> "k", "v" -> 4.0))) // last tick wins per index
+  }
+
+  private def wire(rows: Seq[(String, String, Int, Long, String)]) =
+    rows.toDF("k", "v", "partition", "offset", "t")
+      .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"),
+        lit("trades").as("topic"), col("partition"), col("offset"),
+        col("t").cast("timestamp").as("timestamp"), lit(0).as("timestampType"))
+
+  test("Kafka adjust_out_of_order_time: replay time forced to running max per partition") {
+    val raw = wire(Seq(
+      ("u", "a", 0, 100L, "2024-01-01 00:00:05"),
+      ("u", "b", 0, 101L, "2024-01-01 00:00:03"), // out of order → adjusted to 00:00:05
+      ("u", "c", 0, 102L, "2024-01-01 00:00:09"),
+      ("u", "d", 1, 50L, "2024-01-01 00:00:01"))) // other partition: own clock
+    val ticks = Kafka.mapRaw(raw, Kafka.RawText, adjustOutOfOrderTime = true)
+      .orderBy("seq").collect()
+    val times = ticks.map(_.getAs[java.sql.Timestamp](Tick.TS).toString)
+    assert(times.toSeq == Seq("2024-01-01 00:00:01.0", "2024-01-01 00:00:05.0",
+      "2024-01-01 00:00:05.0", "2024-01-01 00:00:09.0"))
+  }
+
+  test("Kafka tick_timestamp_from_field + include_msg_before_start_time") {
+    val schema = StructType(Seq(StructField("px", DoubleType), StructField("at", StringType)))
+    val raw = wire(Seq(
+      ("u", """{"px": 1.0, "at": "2024-01-01 00:00:01"}""", 0, 1L, "2024-01-01 09:00:00"),
+      ("u", """{"px": 2.0, "at": "2024-01-01 00:00:07"}""", 0, 2L, "2024-01-01 09:00:00")))
+    val ticks = Kafka.mapRaw(raw, Kafka.JsonMapper(schema),
+      tickTimestampFromField = Some("at"),
+      startTime = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
+      includeMsgBeforeStartTime = false).collect()
+    assert(ticks.length == 1) // the 00:00:01 message predates the run
+    assert(ticks.head.getAs[java.sql.Timestamp](Tick.TS).toString == "2024-01-01 00:00:07.0")
+  }
+
+  test("schedule_alarm batch lowering: data-dependent delay and payload merge into the timeline") {
+    val src = Sources.curve(spark, "k", Seq(
+      "2024-01-01 00:00:00" -> 2.0, "2024-01-01 00:00:10" -> 5.0))
+    // alarm fires value*10 after `value` seconds — both data-dependent
+    val alarms = src.scheduleAlarm(col(Tick.VALUE), col(Tick.VALUE) * 10,
+      endTime = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:14")))
+    val merged = TickStream(src.df.unionByName(alarms.df)).resequence.df
+      .orderBy(Tick.TS, Tick.SEQ)
+      .select(unix_micros(col(Tick.TS)), col(Tick.VALUE)).collect()
+      .map(r => (r.getLong(0) / 1000000 % 100, r.getDouble(1))).toSeq
+    // t=0 src 2.0; t=2 alarm 20; t=10 src 5.0; (t=15 alarm dropped by endTime)
+    assert(merged == Seq((0L, 2.0), (2L, 20.0), (10L, 5.0)))
+  }
+
+  test("PushModes.lastValue collapses same-(key, ts) pushes within a batch") {
+    val batch = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 1.0, null: String),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 2.0, null: String),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L, 3.0, null: String)
+    ).toDF("key", "ts", "seq", "value", "text")
+    val out = PushModes.lastValue(batch).orderBy("seq").collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(2.0, 3.0))
+    assert(PushModes.nonCollapsing(batch).count() == 3)
+  }
+}

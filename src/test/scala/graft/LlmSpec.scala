@@ -148,7 +148,9 @@ class LlmSpec extends AnyFunSuite {
 
   test("bucket-size guard: 1k identical docs never reach the quadratic self-join") {
     val many = spark.range(1000).select(col("id").as("doc_id"),
-      lit("same boilerplate text repeated in every single document forever").as("text"))
+      // non-foldable constant text: a literal folds the signature pipeline
+      // and strips the bucket windows' partition spec
+      when(col("id") >= 0, "same boilerplate text repeated in every single document forever").as("text"))
     // guard on: the one degenerate bucket per band is excluded -> no
     // candidate pairs at all (exact duplicates are Dedup.exact's job)
     val pairs = Dedup.minhashPairs(many, "text", "doc_id", threshold = 0.5, maxBucketSize = 100)

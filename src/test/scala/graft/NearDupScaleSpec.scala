@@ -53,7 +53,9 @@ class NearDupScaleSpec extends AnyFunSuite {
   test("capBuckets recall loss is audited inline, not opt-in") {
     Dedup.lastCapAudit = None
     val many = spark.range(300).select(col("id").as("doc_id"),
-      lit("the same boilerplate text in every document").as("text"))
+      // non-foldable constant text (a literal would fold the whole
+      // signature pipeline and strip the bucket windows' partition spec)
+      when(col("id") >= 0, "the same boilerplate text in every document").as("text"))
     Dedup.minhashPairs(many, "text", "doc_id", threshold = 0.5, maxBucketSize = 100).count()
     graft.util.Caching.release()
     // QueryExecutionListener delivery is async on the listener bus

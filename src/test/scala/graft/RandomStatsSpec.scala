@@ -17,7 +17,9 @@ class RandomStatsSpec extends AnyFunSuite {
   test("rolling mean/std/count over 200 seeded points with NaNs match pandas") {
     val csv = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(getClass.getResource("/random_stats_golden.csv").toString)
-      .withColumn("key", lit("k"))
+      // non-foldable constant key: a literal would be stripped by
+      // EliminateWindowPartitions into an undeclared global window
+      .withColumn("key", when(col("ts_us").isNotNull, "k"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("value", col("value").cast("double"))
     val got = Stats.ticks(Stats.ignoreNa(TickStream(csv)), 10)
