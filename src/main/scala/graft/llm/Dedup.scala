@@ -161,11 +161,15 @@ object Dedup {
                    threshold: Double, numHashes: Int = 32, bands: Int = 16,
                    shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    // one signature table, persisted: banding, the estimate prefilter, and
-    // (at 100 TB) incremental reruns all read it
+    // ONE enriched table, persisted, carrying signature AND distinct
+    // shingle set from a single tokenize+shingle pass: banding, the
+    // estimate prefilter, and exact verification all read it. (Separate
+    // sig/set barriers cost a second full corpus scan — at 100 TB that is
+    // the dominant cost of the whole pipeline.)
     val sigs = graft.util.Caching.barrier(df
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
-      .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig")))
+      .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig"),
+        array_distinct(col("__base")).as("__set")))
     val banded = graft.util.Caching.barrier(capBuckets(sigs
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
@@ -183,13 +187,12 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id2"), col("sig").as("__s2")), "id2")
       .filter(est >= threshold - 0.2)
       .select("id1", "id2")
-    // verify against PRE-computed distinct HASHED shingle sets (64-bit
-    // hashes: collision probability negligible, no string construction)
-    val sets = graft.util.Caching.barrier(df.select(col(idCol),
-      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("s")))
+    // verify against the PRE-computed distinct HASHED shingle sets riding
+    // the same cached table (64-bit hashes: collision probability
+    // negligible, no string construction)
     val withSets = prefiltered
-      .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
-      .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")
+      .join(sigs.select(col(idCol).as("id1"), col("__set").as("s1")), "id1")
+      .join(sigs.select(col(idCol).as("id2"), col("__set").as("s2")), "id2")
     val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
     val uni = size(array_union(col("s1"), col("s2"))).cast("double")
     withSets
@@ -373,15 +376,20 @@ object Dedup {
     * combination of signature blocks, so recall is exactly 1 by pigeonhole
     * while keys stay wide enough to survive `capBuckets` at corpus scale. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                   maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsFrom(graft.util.Caching.barrier(
+      df.select(col(idCol), simhash(col(textCol)).as("sig"))),
+      idCol, maxDist, maxBucketSize)
+
+  /** Candidate core over a (persisted) `(id, sig, …)` frame. */
+  private def simhashPairsFrom(sigs: DataFrame, idCol: String,
+                               maxDist: Int, maxBucketSize: Int): DataFrame = {
     val (width, combos) = simhashBanding(maxDist)
     val mask = if (width >= 64) -1L else (1L << width) - 1
     def block(b: Int): Column =
       shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
     def tableKey(blocks: Seq[Int]): Column =
       blocks.foldLeft(lit(0L): Column)((acc, b) => shiftleft(acc, width).bitwiseOR(block(b)))
-    val sigs = graft.util.Caching.barrier(
-      df.select(col(idCol), simhash(col(textCol)).as("sig")))
     val banded = graft.util.Caching.barrier(capBuckets(sigs
       .select(col(idCol), col("sig"), posexplode(array(combos.map(tableKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
@@ -401,15 +409,17 @@ object Dedup {
   def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
                            maxDist: Int, jaccardThreshold: Double,
                            shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val cand = simhashPairs(df, textCol, idCol, maxDist, maxBucketSize)
-    // Verify against PRE-computed distinct hashed-shingle sets — one
-    // shingle pass per DOC, not per candidate pair (per-pair string
-    // shingling measured 168 s for 34k candidates at sf0.1; this is ~4 s).
-    val sets = graft.util.Caching.barrier(df.select(col(idCol),
-      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("s")))
-    cand
-      .join(sets.select(col(idCol).as("id1"), col("s").as("s1")), "id1")
-      .join(sets.select(col(idCol).as("id2"), col("s").as("s2")), "id2")
+    // ONE corpus pass computes signature AND the distinct hashed-shingle
+    // verification set into the same cached table — one shingle pass per
+    // DOC, never per candidate pair (per-pair string shingling measured
+    // 168 s for 34k candidates at sf0.1; this is ~4 s), and no second
+    // scan for a separate sets table.
+    val enriched = graft.util.Caching.barrier(df.select(col(idCol),
+      simhash(col(textCol)).as("sig"),
+      array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("__set")))
+    simhashPairsFrom(enriched, idCol, maxDist, maxBucketSize)
+      .join(enriched.select(col(idCol).as("id1"), col("__set").as("s1")), "id1")
+      .join(enriched.select(col(idCol).as("id2"), col("__set").as("s2")), "id2")
       .withColumn("jaccard", hashedSetJaccard(col("s1"), col("s2")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id1", "id2", "jaccard")
