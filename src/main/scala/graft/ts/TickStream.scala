@@ -177,19 +177,56 @@ final case class TickStream(df: DataFrame) {
   // ---- history access (reference builtin_functions.py:105-269, buffers
   // TimeSeries.h:63) — csp's value_at/values_at over the per-edge history
   // buffer map to lag / bounded collect_list: the "buffer" is the window
-  // frame, sized by the request instead of a global buffering policy. ----
+  // frame, sized by the request instead of a global ring buffer. ----
+
+  private val PolicyKey = "graft.bufferPolicy.tickCount"
+
+  /** csp.set_buffering_policy(ts, tick_count)
+    * (`impl/builtin_functions.py:271-283`): declare how much history this
+    * edge retains. The batch engine retains FULL history by construction
+    * (the window frame is the buffer), so the policy's runtime effect
+    * here is the csp-compatibility contract: a declared policy makes
+    * deeper history requests FAIL — exactly the error a csp node hits
+    * when its buffer was sized too small — instead of silently working in
+    * batch and then failing on the realtime engine. Streaming twin: the
+    * frame/state sizing in StatefulOps/TwsOps is bounded by the same
+    * request sizes. Carried as column metadata, so it survives the
+    * operator chain. */
+  def withBufferPolicy(tickCount: Int): TickStream = {
+    require(tickCount >= 1, "tick_count must be >= 1")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(SEQ).metadata).putLong(PolicyKey, tickCount.toLong).build()
+    TickStream(df.withColumn(SEQ, col(SEQ).as(SEQ, md)))
+  }
+
+  /** Declared retention, if a buffering policy was set upstream. */
+  def bufferPolicy: Option[Long] = {
+    val m = df.schema(SEQ).metadata
+    if (m.contains(PolicyKey)) Some(m.getLong(PolicyKey)) else None
+  }
+
+  private def requireWithinPolicy(needed: Int): Unit =
+    bufferPolicy.foreach(p => require(needed <= p,
+      s"history request needs $needed ticks but the declared buffering " +
+        s"policy retains only $p (csp: raise set_buffering_policy tick_count)"))
 
   /** csp.value_at(x, index): value `n` ticks ago (0 = current). */
-  def valueAt(n: Int, as: String = "value_at"): TickStream =
+  def valueAt(n: Int, as: String = "value_at"): TickStream = {
+    requireWithinPolicy(n + 1)
     TickStream(df.withColumn(as, lag(VALUE, n).over(w)))
+  }
 
   /** csp.values_at(x): last `n` values (oldest→newest) as a list. */
-  def valuesAt(n: Int, as: String = "values_at"): TickStream =
+  def valuesAt(n: Int, as: String = "values_at"): TickStream = {
+    requireWithinPolicy(n)
     TickStream(df.withColumn(as, collect_list(col(VALUE)).over(wRows(n))))
+  }
 
   /** csp.times_at over the same frame: matching tick times (epoch µs). */
-  def timesAt(n: Int, as: String = "times_at"): TickStream =
+  def timesAt(n: Int, as: String = "times_at"): TickStream = {
+    requireWithinPolicy(n)
     TickStream(df.withColumn(as, collect_list(unix_micros(col(TS))).over(wRows(n))))
+  }
 
   // ---- struct ops (§2.3) ----
 

@@ -66,4 +66,20 @@ class HistorySpec extends AnyFunSuite {
       .df.orderBy("ts").collect().map(_.getAs[Double]("acc"))
     assert(out.toSeq == Seq(1.0, 2.5, 5.25))
   }
+
+  test("buffering policy: declared retention bounds history requests (builtin_functions.py:271-283)") {
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0).withBufferPolicy(3)
+    assert(x.bufferPolicy.contains(3L))
+    // within policy: fine, and the policy survives the operator chain
+    val chained = x.valueAt(2, "v2").mapValue(v => v)
+    assert(chained.bufferPolicy.contains(3L))
+    assert(chained.valuesAt(3).df.count() == 3)
+    // beyond policy: the csp-parity failure instead of silently working
+    val e = intercept[IllegalArgumentException](x.valueAt(3))
+    assert(e.getMessage.contains("buffering"))
+    val e2 = intercept[IllegalArgumentException](x.valuesAt(4))
+    assert(e2.getMessage.contains("buffering"))
+    // no declared policy: batch-native unlimited history
+    assert(c(1 -> 1.0, 2 -> 2.0).valueAt(5).df.count() == 2)
+  }
 }
