@@ -70,6 +70,21 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .partitionBy("rotation")
 
+  /** Bucketed tick store: pre-shuffled and pre-sorted by key, registered
+    * as a table, so every later equi-join / groupBy on the key reads
+    * co-located data with NO exchange — the storage-level twin of a
+    * co-partitioned keyed stream. At 100 TB, bucketing the canonical
+    * store once amortizes the shuffle out of every downstream as-of
+    * join, dedup groupBy, and per-key scan that keys the same way
+    * (joins need equal bucket counts on both sides). */
+  def writeBucketed(df: DataFrame, table: String, path: String, buckets: Int,
+                    keyCols: Seq[String] = Seq(Tick.KEY)): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+
   /** CSV publish/read (reference `csp/adapters/csv.py:29-113`). */
   def writeCsv(x: TickStream, path: String): Unit =
     x.df.write.mode("overwrite").option("header", "true").csv(path)

@@ -35,6 +35,27 @@ class AdapterSurfaceSpec extends AnyFunSuite {
     assert(back.agg(sum(col(Tick.VALUE))).head().getDouble(0) == 10.0)
   }
 
+  test("bucketed tick store: co-located key joins run with NO shuffle exchange") {
+    val ev = Sources.events(spark, TestSpark.sf).df.select("key", "ts", "seq", "value")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_bk1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_bk2").toString
+    Sinks.writeBucketed(ev, "bk_left", d1, buckets = 4)
+    Sinks.writeBucketed(ev.withColumnRenamed("value", "v2"), "bk_right", d2, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_left").groupBy("key").count()
+        .join(spark.table("bk_right").groupBy("key").count().withColumnRenamed("count", "c2"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_left"); spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
   test("table server: snapshot then deltas; delta_updates sends changed fields only") {
     val server = new TableServer(deltaUpdates = true)
     val t = server.createTable("px", index = Some("sym"))
