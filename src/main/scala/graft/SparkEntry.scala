@@ -177,6 +177,18 @@ object SparkEntry {
       Stats.ticks(sampled, 10).withMinDataPoints(8).mean("m").done
         .df.select(col("seq").as("event_id"), round(col("m"), 6).as("mean_v"))
     },
+    // reset epochs: 'error' ticks clear the rolling window (epoch-
+    // partition lowering); the oracle recounts epochs with the same
+    // reset-first tie rule and recomputes the exact-decimal mean
+    "q_stats_reset" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val x = TickStream(e.df.filter(col("event_type") =!= "error"))
+      val resets = TickStream(e.df.filter(col("event_type") === "error"))
+      Stats.ticks(Stats.withReset(x, resets), 10)
+        .sumExact("sm").count("cnt").done
+        .df.select(col("seq").as("event_id"),
+          round(col("sm").cast("double") / col("cnt"), 6).as("mean_v"))
+    },
     "q_stats_var" -> { (s, dir) =>
       Stats.ticks(ev(s, dir), 10, minWindow = 2).varExact("v").stddevExact("sd").semExact("se").done
         .df.filter(col("v").isNotNull)
@@ -691,6 +703,20 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_v
          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // epoch = number of resets at-or-before the tick's time (reset-first
+    // tie rule); mean via exact DECIMAL sum so engine summation order
+    // cannot matter
+    "q_stats_reset" ->
+      """SELECT event_id,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 6) AS mean_v
+        |FROM (
+        |  SELECT d.user_id, d.ts, d.event_id, d.value,
+        |    (SELECT count(*) FROM events r
+        |     WHERE r.event_type = 'error' AND r.user_id = d.user_id AND r.ts <= d.ts) AS epoch
+        |  FROM events d WHERE d.event_type <> 'error')
+        |WINDOW w AS (PARTITION BY user_id, epoch ORDER BY ts, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_stats_rank_arg" ->
       s"""SELECT event_id, rk, rkmax, CAST(rk + rkmax AS DOUBLE) / 2.0 AS rkavg, amn, amx
          |FROM (SELECT event_id,

@@ -63,6 +63,12 @@ object Stats {
       .drop("__src", "__epoch"))
   }
 
+  /** Inverse of [[withReset]]'s epoch-suffixed key — apply AFTER the
+    * window stats are built so the stream keys join again with
+    * non-epoched streams (e.g. an [[onTrigger]] sampler). */
+  def restoreKey(x: TickStream): TickStream =
+    TickStream(x.df.withColumn(KEY, regexp_replace(col(KEY), "#\\d+$", "")))
+
   /** csp stats `trigger` parameter: recompute-at-trigger is the as-of
     * sample of the per-tick stat stream — `AsOf.sample(trigger, stat)`. */
   def onTrigger(trigger: TickStream, stat: TickStream): TickStream =

@@ -90,6 +90,26 @@ class StatsModesSpec extends AnyFunSuite {
     assert(last.getAs[Double]("c2") == -1.0) // cov(x, -x) = -var = -1
   }
 
+  test("parameter interplay: sampler -> reset -> min_data_points -> trigger in one chain (stats.py:218-280)") {
+    val x = Sources.curve(spark, "k", (1 to 6).map(i => s"2024-01-01 00:0$i:00" -> i.toDouble))
+    val sampler = Sources.curve(spark, "k", Seq(
+      "2024-01-01 00:02:30" -> 0.0, "2024-01-01 00:03:30" -> 0.0,
+      "2024-01-01 00:04:54" -> 0.0, "2024-01-01 00:05:30" -> 0.0))
+    val resets = Sources.curve(spark, "k", Seq("2024-01-01 00:04:00" -> 0.0))
+    val trigger = Sources.curve(spark, "k", Seq(
+      "2024-01-01 00:03:42" -> 0.0, "2024-01-01 00:06:00" -> 0.0))
+    // observations enter on sampler ticks (x as-of: 2,3 | reset | 4,5),
+    // the reset splits the window epoch, min_data_points=2 gates the
+    // first post-reset sample, and the trigger reads the stat as-of
+    val sampled = Stats.sampledBy(x, sampler)
+    val stat = Stats.restoreKey(
+      Stats.ticks(Stats.withReset(sampled, resets), 10).withMinDataPoints(2).mean("m").done)
+    val out = Stats.onTrigger(trigger,
+      graft.ts.TickStream(stat.df.withColumn("value", col("m")))).df
+      .orderBy("ts").collect().map(_.getAs[Double]("value")).toSeq
+    assert(out == Seq(2.5, 4.5), s"got $out")
+  }
+
   // ---- EMA family NaN / min_data_points surface ----
 
   test("ema adjust=true: absolute aging (ignore_na=false) vs skip (true) match pandas ewm") {
