@@ -306,6 +306,16 @@ object SparkEntry {
       Dedup.nearDupClusters(Sources.table(s, dir, "documents"), "text", "doc_id",
         threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
     },
+    // decontamination: drop training docs that near-duplicate any doc of
+    // a held-out reference slice (doc_id % 10 == 0) — banded cross-corpus
+    // candidates + exact set verification, oracle = brute-force truth
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+        threshold = 0.3, shingleN = 2)
+        .select("doc_id")
+    },
     "q_simhash_pairs" -> { (s, dir) =>
       val docs = Sources.table(s, dir, "documents")
       Dedup.simhashVerifiedPairs(docs, "text", "doc_id", maxDist = 7,
@@ -862,6 +872,20 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |bad AS (
+        |  SELECT DISTINCT t.doc_id FROM sh t JOIN sh r
+        |  ON t.doc_id % 10 <> 0 AND r.doc_id % 10 = 0
+        |    AND len(list_distinct(list_concat(t.s, r.s))) > 0
+        |    AND CAST(len(list_intersect(t.s, r.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(t.s, r.s))) >= 0.3)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "q_simhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3

@@ -201,6 +201,58 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Cross-corpus near-dup pairs (leftId, rightId, jaccard ≥ threshold) —
+    * the DECONTAMINATION kernel: which training docs near-duplicate a
+    * reference (benchmark / test-set) doc. Same banded MinHash geometry
+    * as [[minhashPairs]], but candidates come from joining LEFT band
+    * buckets to RIGHT band buckets — never a cross join. At 100 TB the
+    * reference corpus is typically orders of magnitude smaller than the
+    * training corpus, so its banded table broadcasts and the training
+    * side is one scan + one bucket-equi probe. */
+  def crossPairs(left: DataFrame, right: DataFrame, textCol: String, idCol: String,
+                 threshold: Double, numHashes: Int = 32, bands: Int = 16,
+                 shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    def enrich(df: DataFrame): DataFrame = graft.util.Caching.barrier(df
+      .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
+      .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig"),
+        array_distinct(col("__base")).as("__set")))
+    def banded(sigs: DataFrame): DataFrame = capBuckets(sigs
+      .select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize)
+    val l = enrich(left)
+    val r = enrich(right)
+    val cand = graft.util.Caching.barrier(banded(l)).select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(graft.util.Caching.barrier(banded(r)).select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
+      .select("id1", "id2").distinct()
+    val withSets = cand
+      .join(l.select(col(idCol).as("id1"), col("__set").as("s1")), "id1")
+      .join(r.select(col(idCol).as("id2"), col("__set").as("s2")), "id2")
+    withSets
+      .withColumn("jaccard", hashedSetJaccard(col("s1"), col("s2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Decontamination: the rows of `train` whose text does NOT
+    * near-duplicate any `reference` doc at `threshold` (exact duplicates
+    * are a subset — jaccard 1). The standard pre-training hygiene pass:
+    * drop benchmark/test-set leakage from the training corpus. One
+    * banded candidate join + one anti-join; the train corpus is scanned,
+    * never self-joined. */
+  def decontaminate(train: DataFrame, reference: DataFrame, textCol: String,
+                    idCol: String, threshold: Double, numHashes: Int = 32,
+                    bands: Int = 16, shingleN: Int = 2,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val contaminated = crossPairs(train, reference, textCol, idCol, threshold,
+      numHashes, bands, shingleN, maxBucketSize)
+      .select(col("id1").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup CLUSTERING: canonical id per document = the smallest id
     * reachable through the near-dup pair graph (connected components) —
     * the curation stage after pair generation: "keep one doc per

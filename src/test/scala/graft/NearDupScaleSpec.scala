@@ -66,6 +66,28 @@ class NearDupScaleSpec extends AnyFunSuite {
     assert(audit.exists(_._2 >= 300L), s"largest bucket size must surface, got $audit")
   }
 
+  test("decontamination drops train docs that near-duplicate the reference set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the creek"), // near-dup of ref 100
+      (3L, "entirely unrelated training document about spark aggregation internals"),
+      (4L, "held out benchmark question about the capital of france")     // exact dup of ref 101
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "held out benchmark question about the capital of france")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, ref, "text", "doc_id", threshold = 0.5, shingleN = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.util.Caching.release()
+    assert(kept == Set(3L), s"only the unrelated doc survives, got $kept")
+    val pairs = Dedup.crossPairs(train, ref, "text", "doc_id", threshold = 0.5, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caching.release()
+    assert(pairs.contains((1L, 100L)) && pairs.contains((4L, 101L)) && pairs.contains((2L, 100L)))
+    assert(!pairs.exists(_._1 == 3L))
+  }
+
   test("lshPairsAuto equals brute-force threshold pairs (auto-sized recall ~1)") {
     val rnd = new scala.util.Random(3)
     def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
