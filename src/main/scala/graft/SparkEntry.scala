@@ -306,6 +306,14 @@ object SparkEntry {
       Dedup.nearDupClusters(Sources.table(s, dir, "documents"), "text", "doc_id",
         threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
     },
+    // sequence packing: next-fit docs into 64-token context bins over 8
+    // independent packing streams; the oracle replays the same (bin,
+    // used) recurrence per stream with a branch-free list fold
+    "q_pack" -> { (s, dir) =>
+      graft.llm.Packing.packSequences(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, streams = 8)
+    },
     // decontamination: drop training docs that near-duplicate any doc of
     // a held-out reference slice (doc_id % 10 == 0) — banded cross-corpus
     // candidates + exact set verification, oracle = brute-force truth
@@ -872,6 +880,22 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+    // next-fit state (bin, used) replayed per stream; the fit test is
+    // arithmetic (CAST(bool AS INT)), not CASE — see the q_ema_nan note
+    // on CASE inside list_reduce lambdas
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(text, ' +')) AS INT) AS n,
+        |    CAST(doc_id % 8 AS INT) AS stream FROM documents),
+        |p AS (
+        |  SELECT doc_id, n, stream, list_reduce(
+        |    list_transform(list({'n': n}) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      e -> {'bin': CAST(0 AS BIGINT), 'used': e.n}),
+        |    (a, b) -> {'bin': a.bin + 1 - CAST(a.used + b.used <= 64 AS INT),
+        |               'used': CAST(a.used + b.used <= 64 AS INT) * (a.used + b.used)
+        |                       + (1 - CAST(a.used + b.used <= 64 AS INT)) * b.used}) AS st
+        |  FROM d)
+        |SELECT doc_id, n AS n_tok, stream, st.bin AS bin, n > 64 AS oversize FROM p""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2

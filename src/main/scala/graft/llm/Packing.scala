@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for training batches: assign documents to fixed
+  * token-budget bins (context windows), the standard pre-training step
+  * between curation and tokenization.
+  *
+  * Algorithm: NEXT-FIT per packing stream — docs are split into
+  * `streams` independent streams (doc_id mod streams) and each stream is
+  * packed sequentially in id order: a doc goes into the current bin if it
+  * fits, else opens the next bin. Next-fit (not first-fit) on purpose:
+  * its state is O(1), the scan is a single pass, the result is fully
+  * DETERMINISTIC given ids, and an external engine can replay it (the
+  * driver oracle does) — first-fit's open-bin search gives ~10% better
+  * utilization but destroys replayability and O(1) state.
+  *
+  * 100 TB shape: streams are the parallelism axis (pick ≥ cluster
+  * cores); each stream is one repartition bucket scanned once —
+  * `repartition(streams) → sortWithinPartitions → mapPartitions`, the
+  * same lowering as every sequential recurrence here (Sequential.scala).
+  * Docs longer than `maxTokens` get a bin of their own (flagged
+  * oversize), never silently dropped. */
+object Packing {
+
+  final case class Packed(doc_id: Long, n_tok: Int, stream: Int, bin: Long,
+                          oversize: Boolean)
+
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, streams: Int = 64): DataFrame = {
+    require(maxTokens >= 1 && streams >= 1)
+    val withTok = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tok"),
+      (col(idCol) % streams).cast(IntegerType).as("stream"))
+    val sorted = withTok.repartition(col("stream"))
+      .sortWithinPartitions(col("stream"), col("doc_id"))
+    sorted.mapPartitions { it =>
+      var curStream = -1
+      var bin = 0L
+      var used = 0
+      it.map { r =>
+        val s = r.getInt(2)
+        if (s != curStream) { curStream = s; bin = 0L; used = 0 }
+        val n = r.getInt(1)
+        val fits = used > 0 && used + n <= maxTokens
+        if (fits) used += n
+        else { if (used > 0) bin += 1; used = n } // first doc of a stream opens bin 0
+        Packed(r.getLong(0), n, s, bin, n > maxTokens)
+      }
+    }(Encoders.product[Packed]).toDF()
+  }
+
+  /** Per-bin utilization summary (monitoring): bins, mean fill ratio,
+    * oversize count. */
+  def packingStats(packed: DataFrame, maxTokens: Int): Row =
+    packed.groupBy("stream", "bin").agg(sum("n_tok").as("fill"))
+      .agg(count(lit(1)).as("bins"),
+        avg(col("fill") / maxTokens.toDouble).as("mean_fill"),
+        sum(when(col("fill") > maxTokens, 1).otherwise(0)).as("oversize_bins"))
+      .head()
+}

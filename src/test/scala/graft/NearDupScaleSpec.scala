@@ -66,6 +66,31 @@ class NearDupScaleSpec extends AnyFunSuite {
     assert(audit.exists(_._2 >= 300L), s"largest bucket size must surface, got $audit")
   }
 
+  test("sequence packing: next-fit bins per stream, oversize flagged, budget respected") {
+    // one stream (ids all ≡ 0 mod 1): tokens 3,4,5,9,2 into budget 8 →
+    // bins [3+4]=7, [5+2... next-fit: 5 then 9 doesn't fit → new bin; 9>8
+    // oversize alone; 2 opens next
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"),
+      (3L, "a b c d e f g h i"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Packing.packSequences(docs, "doc_id", "text", maxTokens = 8, streams = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"), r.getAs[Boolean]("oversize")))
+    assert(out.toSeq == Seq((0L, 0L, false), (1L, 0L, false), (2L, 1L, false),
+      (3L, 2L, true), (4L, 3L, false)))
+    val stats = graft.llm.Packing.packingStats(
+      graft.llm.Packing.packSequences(docs, "doc_id", "text", 8, 1), 8)
+    assert(stats.getAs[Long]("bins") == 4L && stats.getAs[Long]("oversize_bins") == 1L)
+    // budget law on a bigger corpus: no non-oversize bin exceeds maxTokens
+    val many = (0L until 500L).map(i => (i, ("tok " * (1 + (i % 37)).toInt).trim)).toDF("doc_id", "text")
+    val packed = graft.llm.Packing.packSequences(many, "doc_id", "text", maxTokens = 64, streams = 4)
+    val over = packed.filter(!col("oversize"))
+      .groupBy("stream", "bin").agg(sum("n_tok").as("fill"))
+      .filter(col("fill") > 64).count()
+    assert(over == 0L)
+  }
+
   test("decontamination drops train docs that near-duplicate the reference set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river"),
