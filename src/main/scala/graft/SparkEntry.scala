@@ -306,6 +306,15 @@ object SparkEntry {
       Dedup.nearDupClusters(Sources.table(s, dir, "documents"), "text", "doc_id",
         threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
     },
+    // deterministic hash-rate sampling + quality/language gates composed:
+    // the oracle replays the mixer draw and both analysis formulas
+    "q_curation" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Curation.languageFilter(
+        graft.llm.Curation.sampleByHash(docs, "doc_id", 0.5, seed = 7),
+        "text", Seq("en", "de"))
+        .select(col("doc_id"))
+    },
     // sequence packing: next-fit docs into 64-token context bins over 8
     // independent packing streams; the oracle replays the same (bin,
     // used) recurrence per stream with a branch-free list fold
@@ -880,6 +889,27 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+    // the mixer draw replayed over doc ids + the langid scoring formula
+    "q_curation" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 7)},
+         |keep AS (SELECT i AS doc_id FROM au WHERE u < 0.5),
+         |lang AS (SELECT doc_id, CASE
+         |  WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+         |  WHEN hf >= he AND hf >= hd AND hf >= hs THEN 'fr'
+         |  WHEN hs >= he AND hs >= hd THEN 'es'
+         |  WHEN he >= hd THEN 'en'
+         |  ELSE 'de' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS he,
+         |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t))) AS hd,
+         |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t))) AS hf,
+         |  len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['el','la','los','y','es','un','una','en','por','para'], t))) AS hs
+         |FROM documents))
+         |SELECT d.doc_id FROM documents d
+         |JOIN keep k ON d.doc_id = k.doc_id
+         |JOIN lang l ON l.doc_id = d.doc_id
+         |WHERE l.lang_pred IN ('en', 'de')""".stripMargin,
     // next-fit state (bin, used) replayed per stream; the fit test is
     // arithmetic (CAST(bool AS INT)), not CASE — see the q_ema_nan note
     // on CASE inside list_reduce lambdas

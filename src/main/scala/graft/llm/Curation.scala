@@ -1,0 +1,31 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation utilities that compose the analysis operators into the
+  * standard keep/drop decisions of a training-data pipeline. */
+object Curation {
+
+  /** Deterministic sampling: keep a row iff its seeded counter-mode unit
+    * draw falls under `rate`. Reproducible across runs, partitionings,
+    * AND engines (the mixer is SQL-replayable — VectorExprs.UnitDraw), so
+    * "the 10% sample" is pinned forever and any subset relation holds:
+    * sample(0.1) ⊆ sample(0.2) for the same seed. The 100 TB shape is a
+    * pushdown-friendly filter — no shuffle, no RNG state. */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+                   seed: Long = 42L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
+    df.filter(graft.functions.VectorExprs.unitDraw(col(idCol), seed) < rate)
+  }
+
+  /** Quality gate: the composite [[TextAnalysis.qualityScore]] with a
+    * minimum threshold — the cheap keep/drop pre-filter. */
+  def qualityFilter(df: DataFrame, textCol: String, minScore: Double): DataFrame =
+    df.filter(TextAnalysis.qualityScore(col(textCol)) >= minScore)
+
+  /** Language gate: keep rows whose [[TextAnalysis.langId]] is in
+    * `langs`. */
+  def languageFilter(df: DataFrame, textCol: String, langs: Seq[String]): DataFrame =
+    df.filter(TextAnalysis.langId(col(textCol)).isin(langs: _*))
+}

@@ -66,6 +66,24 @@ class NearDupScaleSpec extends AnyFunSuite {
     assert(audit.exists(_._2 >= 300L), s"largest bucket size must surface, got $audit")
   }
 
+  test("deterministic sampling: pinned subsets, monotone in rate, reproducible") {
+    import graft.llm.Curation
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") >= 0, "the text of the document").as("text"))
+    val s10 = Curation.sampleByHash(docs, "doc_id", 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s30 = Curation.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30), "same seed: lower rate must be a subset of higher")
+    assert(math.abs(s30.size - 600) < 100, s"rate ~ fraction kept: ${s30.size}")
+    val again = Curation.sampleByHash(docs, "doc_id", 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == s10, "reproducible across runs")
+    val otherSeed = Curation.sampleByHash(docs, "doc_id", 0.1, seed = 99).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(otherSeed != s10, "seed selects a different subset")
+  }
+
   test("sequence packing: next-fit bins per stream, oversize flagged, budget respected") {
     // one stream (ids all ≡ 0 mod 1): tokens 3,4,5,9,2 into budget 8 →
     // bins [3+4]=7, [5+2... next-fit: 5 then 9 doesn't fit → new bin; 9>8
