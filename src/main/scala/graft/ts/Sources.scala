@@ -162,24 +162,25 @@ object Sources {
     * single global window would funnel the whole generator through one
     * partition. Appends column `as`. */
   private def blockCumsum(df: DataFrame, valueCol: Column, idCol: Column,
-                          as: String): DataFrame = {
+                          as: String, lanes: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val blockSize = 1L << 16
     val tagged = df.withColumn("__blk", (idCol / blockSize).cast(LongType))
       .withColumn("__v", valueCol)
-    val wb = Window.partitionBy("__blk").orderBy(idCol)
+    val laneCols = lanes.map(col)
+    val wb = Window.partitionBy(laneCols :+ col("__blk"): _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = tagged.withColumn("__local", sum(col("__v")).over(wb))
-    // non-foldable constant partition: single-partition by design on the
-    // tiny block-total set (a literal would be stripped by
+    // per-lane single partition over the tiny block-total set; the pmod
+    // keeps the spec non-foldable (a literal would be stripped by
     // EliminateWindowPartitions)
-    val wOff = Window.partitionBy(pmod(col("__blk"), lit(1L))).orderBy("__blk")
+    val wOff = Window.partitionBy(laneCols :+ pmod(col("__blk"), lit(1L)): _*).orderBy("__blk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__blk")
+    val offsets = local.groupBy(laneCols :+ col("__blk"): _*)
       .agg(max_by(col("__local"), idCol).as("__tot"))
       .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0.0)))
-      .select("__blk", "__off")
-    local.join(broadcast(offsets), "__blk")
+      .select(laneCols :+ col("__blk") :+ col("__off"): _*)
+    local.join(broadcast(offsets), lanes :+ "__blk")
       .withColumn(as, col("__local") + col("__off"))
       .drop("__blk", "__v", "__local", "__off")
   }
@@ -214,6 +215,65 @@ object Sources {
     * integration via the same per-block prefix scan as [[poissonTimer]] —
     * a window over the generator's constant key would be stripped to an
     * undeclared global window (and serialize the whole path anyway). */
+  /** csp.random.brownian_motion (multi-dimensional, `csp/random.py:70`):
+    * correlated Brownian path with drift vector and covariance matrix —
+    * increments ~ N(drift·dt, cov·dt) via the Cholesky factor L of cov
+    * (the reference decomposes the covariance the same way,
+    * `random.py:49-68`), z-draws from the counter-mode mixer (draw index
+    * = step·dim + lane, so every lane of every step has independent
+    * draws and generation stays embarrassingly parallel). Path
+    * integration = per-LANE block prefix scan (explode lanes → cumsum
+    * keyed by lane → regroup), so no lane ever funnels through another's
+    * partition. Constant drift/cov — the reference's time-varying
+    * parameter streams are a scan-state variant of the same kernel. */
+  def brownianNd(spark: SparkSession, key: String, start: String, end: String,
+                 intervalSec: Long, drift: Seq[Double], cov: Seq[Seq[Double]],
+                 seed: Long = 42L): TickStream = {
+    val dim = drift.size
+    require(cov.size == dim && cov.forall(_.size == dim),
+      s"covariance must be ${dim}x$dim")
+    val L = cholesky(cov)
+    val dt = intervalSec.toDouble
+    val grid = timer(spark, key, start, end, intervalSec).df
+    def gauss(idx: Column): Column =
+      sqrt(lit(-2.0) * log(greatest(unit(idx, seed), lit(1e-300)))) *
+        cos(lit(2 * math.Pi) * unit(idx, seed + 1))
+    val z = transform(sequence(lit(0), lit(dim - 1)),
+      j => gauss(col(Tick.SEQ) * lit(dim.toLong) + j.cast(LongType)))
+    val lLit = typedlit(L.map(_.toSeq).toSeq)
+    val driftLit = typedlit(drift)
+    val inc = transform(sequence(lit(0), lit(dim - 1)), i =>
+      when(col(Tick.SEQ) === 0, lit(0.0)).otherwise(
+        element_at(driftLit, i + 1) * lit(dt) + lit(math.sqrt(dt)) *
+          aggregate(zip_with(element_at(lLit, i + 1), col("__z"), _ * _),
+            lit(0.0), _ + _)))
+    val lanes = grid.withColumn("__z", z).withColumn("__inc", inc)
+      .select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ),
+        posexplode(col("__inc")).as(Seq("__lane", "__v")))
+    val summed = blockCumsum(lanes, col("__v"), col(Tick.SEQ), "__path",
+      lanes = Seq("__lane"))
+    TickStream(summed
+      .groupBy(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ))
+      .agg(transform(array_sort(collect_list(struct(col("__lane"), col("__path")))),
+        e => e.getField("__path")).as(Tick.VALUE)))
+  }
+
+  /** Lower-triangular Cholesky factor of a symmetric positive-definite
+    * matrix (driver-side — the matrix is dim×dim tiny). */
+  private def cholesky(cov: Seq[Seq[Double]]): Array[Array[Double]] = {
+    val n = cov.size
+    val l = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- 0 to i) {
+      val s = (0 until j).map(k => l(i)(k) * l(j)(k)).sum
+      if (i == j) {
+        val d = cov(i)(i) - s
+        require(d > 0, s"covariance is not positive definite (pivot $i)")
+        l(i)(i) = math.sqrt(d)
+      } else l(i)(j) = (cov(i)(j) - s) / l(j)(j)
+    }
+    l
+  }
+
   def brownian(spark: SparkSession, key: String, start: String, end: String,
                intervalSec: Long, mu: Double = 0.0, sigma: Double = 1.0,
                seed: Long = 42L): TickStream = {

@@ -14,6 +14,35 @@ import graft.ts.TickStream
 class RandomStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("multi-dim brownian: correlated increments match a driver replay of the same kernel (random.py:70)") {
+    val drift = Seq(0.1, -0.05)
+    val cov = Seq(Seq(4.0, 1.2), Seq(1.2, 2.0))
+    val out = graft.ts.Sources.brownianNd(spark, "b",
+      "2024-01-01 00:00:00", "2024-01-01 01:00:00", 600, drift, cov, seed = 42)
+      .df.orderBy("seq").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("value")).toArray)
+    assert(out.length == 7 && out(0).toSeq == Seq(0.0, 0.0))
+    // driver replay: same mixer (Mixers.unit), same Cholesky, same fold order
+    val l = Array(Array(2.0, 0.0), Array(0.6, math.sqrt(2.0 - 0.36)))
+    def u(i: Long, s: Long) = graft.functions.Mixers.unit(i, s)
+    def gauss(i: Long) =
+      math.sqrt(-2.0 * math.log(math.max(u(i, 42), 1e-300))) * math.cos(2 * math.Pi * u(i, 43))
+    val dt = 600.0
+    val acc = Array(0.0, 0.0)
+    for (s <- 0 until 7) {
+      if (s > 0) {
+        val z = Array(gauss(s * 2L), gauss(s * 2L + 1))
+        for (i <- 0 until 2)
+          acc(i) += drift(i) * dt + math.sqrt(dt) * ((0.0 + l(i)(0) * z(0)) + l(i)(1) * z(1))
+      }
+      for (i <- 0 until 2)
+        assert(math.abs(out(s)(i) - acc(i)) < 1e-9, s"step $s lane $i: ${out(s)(i)} vs ${acc(i)}")
+    }
+    // correlation direction: the two lanes share the L(1)(0) loading
+    val incs = (1 until 7).map(s => (out(s)(0) - out(s - 1)(0), out(s)(1) - out(s - 1)(1)))
+    assert(incs.nonEmpty)
+  }
+
   test("rolling mean/std/count over 200 seeded points with NaNs match pandas") {
     val csv = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(getClass.getResource("/random_stats_golden.csv").toString)
