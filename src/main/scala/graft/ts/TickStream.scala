@@ -228,6 +228,17 @@ final case class TickStream(df: DataFrame) {
     TickStream(df.withColumn(as, collect_list(unix_micros(col(TS))).over(wRows(n))))
   }
 
+  /** csp.items_at (`impl/builtin_functions.py:243-268`): times AND values
+    * of the last `n` ticks together — ONE window collect of (t, v)
+    * structs instead of the two passes `times_at` + `values_at` would
+    * cost (the reference offers it as "the same but faster" for exactly
+    * this reason). */
+  def itemsAt(n: Int, as: String = "items_at"): TickStream = {
+    requireWithinPolicy(n)
+    TickStream(df.withColumn(as, collect_list(
+      struct(unix_micros(col(TS)).as("t"), col(VALUE).as("v"))).over(wRows(n))))
+  }
+
   // ---- struct ops (§2.3) ----
 
   /** csp.struct_field (`baselib.py:676-681`): project a struct field,

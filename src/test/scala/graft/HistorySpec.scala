@@ -67,6 +67,22 @@ class HistorySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0, 2.5, 5.25))
   }
 
+  test("items_at: one pass == times_at zip values_at (builtin_functions.py:243-268)") {
+    val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0)
+    val rows = x.itemsAt(2).timesAt(2).valuesAt(2).df.orderBy("ts").collect()
+    rows.foreach { r =>
+      val items = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("items_at"))
+        .map(s => (s.getLong(0), s.getDouble(1)))
+      val zipped = r.getSeq[Long](r.fieldIndex("times_at"))
+        .zip(r.getSeq[Double](r.fieldIndex("values_at")))
+      assert(items == zipped)
+    }
+    assert(rows.last.getSeq[org.apache.spark.sql.Row](rows.last.fieldIndex("items_at")).size == 2)
+    // policy applies to items_at too
+    val e = intercept[IllegalArgumentException](x.withBufferPolicy(1).itemsAt(2))
+    assert(e.getMessage.contains("buffering"))
+  }
+
   test("buffering policy: declared retention bounds history requests (builtin_functions.py:271-283)") {
     val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0).withBufferPolicy(3)
     assert(x.bufferPolicy.contains(3L))
