@@ -517,9 +517,43 @@ object SparkEntry {
       ev(s, dir).valueAt(2, "v2").df.filter(col("v2").isNotNull)
         .select(col("seq").as("event_id"), col("v2"))
     },
+    // vectorized array-lane rolling stats (stats.py:195-210): 8 lanes per
+    // tick, 4 keyed streams, ONE Window node — per-lane results exploded
+    // only in the final projection so the oracle can compare them. Folds
+    // run in frame order, so DuckDB's list_reduce replays them bit-exactly.
+    "q_stats_vec" -> { (s, dir) =>
+      val vec = TickStream(Sources.table(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(4L)).cast(StringType).as(Tick.KEY),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as(Tick.TS),
+          col("vec_id").as(Tick.SEQ),
+          transform(slice(col("embedding"), 1, 8), _.cast("double")).as(Tick.VALUE)))
+      Stats.ticksVec(vec, 5).sum("sm").mean("mn").min("lo").max("hi").varSamp("vr")
+        .done.df
+        .select(col(Tick.SEQ).as("vec_id"),
+          posexplode(arrays_zip(col("sm"), col("mn"), col("lo"), col("hi"), col("vr"))))
+        .select(col("vec_id"), col("pos").as("lane"),
+          round(col("col.sm"), 6).as("sum_v"), round(col("col.mn"), 6).as("mean_v"),
+          col("col.lo").as("min_v"), col("col.hi").as("max_v"),
+          round(col("col.vr"), 6).as("var_v"))
+    },
     "q_values_at" -> { (s, dir) =>
       ev(s, dir).valuesAt(5, "vs").df
         .select(col("seq").as("event_id"), md5(concat_ws(",", col("vs"))).as("vs_md5"))
+    },
+    // value_at by TIME offset over a duplicate-timestamp stream (hour-
+    // truncated ts): exercises the exact-match duplicate-policy rules
+    // (TimeSeries.h:315-400) — LAST = last dup at the matched hour,
+    // FIRST = first dup only when the target lands exactly on it — plus
+    // the zero-offset cycle-accurate frame and the default fill.
+    "q_value_at_time" -> { (s, dir) =>
+      val HOUR = 3600L * 1000000L
+      val e = TickStream(ev(s, dir).df.withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+      e.valueAtTime(-HOUR, "v_1h")
+        .valueAtTime(-HOUR, "v_1h_first", duplicatePolicy = "first")
+        .valueAtTime(0L, "v_now_first", duplicatePolicy = "first")
+        .valueAtTime(-HOUR, "v_1h_dflt", default = Some(lit(-1.0)))
+        .df.select(col("seq").as("event_id"), col("v_1h"), col("v_1h_first"),
+          col("v_now_first"), col("v_1h_dflt"))
     },
     "q_sync" -> { (s, dir) => // per-user baskets, flattened map → SQL-hashable
       val e = ev(s, dir)
@@ -1239,8 +1273,48 @@ object SparkEntry {
         |  GROUP BY i, j)""".stripMargin,
     "q_value_at" ->
       s"SELECT event_id, v2 FROM (SELECT event_id, lag(value, 2) OVER ($W) AS v2 FROM events) WHERE v2 IS NOT NULL",
+    // list_reduce replays the Spark-side frame folds element-for-element
+    // (same init, same order) — sums/variance are bit-exact before round
+    "q_stats_vec" ->
+      """WITH v AS (
+        |  SELECT vec_id, vec_id % 4 AS k, i - 1 AS lane, CAST(x AS DOUBLE) AS xv
+        |  FROM (SELECT vec_id, generate_subscripts(embedding[1:8], 1) AS i,
+        |        unnest(embedding[1:8]) AS x FROM embeddings)),
+        |f AS (
+        |  SELECT vec_id, lane,
+        |    list(xv) OVER (PARTITION BY k, lane ORDER BY vec_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM v)
+        |SELECT vec_id, lane,
+        |  round(list_reduce(fr, (a, b) -> a + b), 6) AS sum_v,
+        |  round(list_reduce(fr, (a, b) -> a + b) / len(fr), 6) AS mean_v,
+        |  list_reduce(fr, (a, b) -> least(a, b)) AS min_v,
+        |  list_reduce(fr, (a, b) -> greatest(a, b)) AS max_v,
+        |  CASE WHEN len(fr) > 1 THEN
+        |    round((list_reduce(list_transform(fr, e -> e * e), (a, b) -> a + b)
+        |           - list_reduce(fr, (a, b) -> a + b) * list_reduce(fr, (a, b) -> a + b) / len(fr))
+        |          / (len(fr) - 1), 6) END AS var_v
+        |FROM f""".stripMargin,
     "q_values_at" ->
       s"SELECT event_id, md5(array_to_string(list(value) OVER (${WR(5)}), ',')) AS vs_md5 FROM events",
+    // matched tick = struct-max over the range frame ending at t - 1h;
+    // FIRST_VALUE applies only on an exact timestamp match (the engine's
+    // "counter intuitive" rule, TimeSeries.h:122-125)
+    "q_value_at_time" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS t, event_id, value,
+        |    (min({'s': event_id, 'v': value}) OVER (PARTITION BY user_id, date_trunc('hour', ts))).v AS fv
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, t, fv AS fnow,
+        |    max({'t': t, 's': event_id, 'v': value, 'f': fv}) OVER w1 AS mx
+        |  FROM u
+        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000 PRECEDING))
+        |SELECT event_id, mx.v AS v_1h,
+        |  CASE WHEN mx.t = t - 3600000000 THEN mx.f ELSE mx.v END AS v_1h_first,
+        |  fnow AS v_now_first,
+        |  coalesce(mx.v, -1.0) AS v_1h_dflt
+        |FROM m""".stripMargin,
     "q_knn" ->
       """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

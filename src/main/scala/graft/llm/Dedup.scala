@@ -75,10 +75,27 @@ object Dedup {
     var reportedDropped: Long = -1L
   }
   private val capAudits = scala.collection.mutable.ArrayBuffer.empty[CapAudit]
-  private val capListenerInstalled =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+  // Weak keys: sessions must be collectable after stop() — the listener
+  // itself dies with the session's listener bus, only the dedup flag here
+  // must not pin the session.
+  private val capListenerInstalled = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val capSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val capHookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
   private lazy val capLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Currently registered (un-evicted) cap audits — test hook. */
+  private[llm] def capAuditCount: Int = capAudits.synchronized(capAudits.size)
+
+  /** Final-sweep and evict all cap audits. Wired to [[graft.util.Caching
+    * .release]] so the registry is bounded by one query's capBuckets
+    * calls, not the process lifetime (it previously grew one accumulator
+    * pair per call, forever). */
+  private[llm] def pruneCapAudits(): Unit = {
+    sweepCapAudits()
+    capAudits.synchronized(capAudits.clear())
+  }
 
   /** Sweep the registered cap-audit accumulators after every query action
     * and warn-log any NEW drops, so recall loss from the bucket-size
@@ -133,6 +150,8 @@ object Dedup {
                               maxBucketSize: Int): DataFrame = {
     val spark = banded.sparkSession
     installCapListener(spark)
+    if (capHookInstalled.compareAndSet(false, true))
+      graft.util.Caching.onRelease(() => pruneCapAudits())
     val name = s"graft.capBuckets.${capSeq.incrementAndGet()}"
     val dropped = spark.sparkContext.longAccumulator(s"$name.droppedRows")
     val maxSeen = new graft.functions.MaxAccumulator
@@ -224,13 +243,22 @@ object Dedup {
       Seq("band", "bucket"), maxBucketSize)
     val l = enrich(left)
     val r = enrich(right)
-    val cand = graft.util.Caching.barrier(banded(l)).select(col("band"), col("bucket"), col(idCol).as("id1"))
-      .join(graft.util.Caching.barrier(banded(r)).select(col("band"), col("bucket"), col(idCol).as("id2")),
+    // Two barriers total (the enriched tables, each consumed twice: band
+    // explode + set-verify join). The banded tables are each consumed
+    // ONCE, so they carry no barrier — and the reference side is
+    // explicitly broadcast (both its banded buckets and its shingle
+    // sets): at 100 TB the benchmark corpus is tiny next to the training
+    // corpus, so the candidate probe and the verify join are map-side on
+    // the train scan. (The capBuckets barrier contract is for SELF-joins;
+    // here a pruned audit branch can only happen when the OTHER corpus is
+    // empty, in which case there is no recall to lose.)
+    val cand = banded(l).select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(broadcast(banded(r).select(col("band"), col("bucket"), col(idCol).as("id2"))),
         Seq("band", "bucket"))
       .select("id1", "id2").distinct()
     val withSets = cand
       .join(l.select(col(idCol).as("id1"), col("__set").as("s1")), "id1")
-      .join(r.select(col(idCol).as("id2"), col("__set").as("s2")), "id2")
+      .join(broadcast(r.select(col(idCol).as("id2"), col("__set").as("s2"))), "id2")
     withSets
       .withColumn("jaccard", hashedSetJaccard(col("s1"), col("s2")))
       .filter(col("jaccard") >= threshold)
@@ -289,11 +317,18 @@ object Dedup {
     * either way. */
   def components(pairs: DataFrame, ids: DataFrame, idCol: String,
                  driverEdgeLimit: Int = 5000000): DataFrame = {
-    val p = pairs.select(col(pairs.columns(0)).as("id1"), col(pairs.columns(1)).as("id2"))
-    val spark = p.sparkSession
-    val integral = p.schema.fields.forall(f =>
+    val p0 = pairs.select(col(pairs.columns(0)).as("id1"), col(pairs.columns(1)).as("id2"))
+    val spark = p0.sparkSession
+    val integral = p0.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
+    // Persist-barrier BEFORE take: CollectLimit scans partitions in
+    // escalating waves, and when the result is smaller than the limit it
+    // exhausts every partition — each wave re-executing the whole
+    // candidate-generation pipeline on an uncached frame (measured 17 s
+    // vs 3 s for the pipeline itself at sf0.1). One materialization
+    // serves the take and any fallback iteration.
+    val p = graft.util.Caching.barrier(p0)
     val taken = if (integral) p.take(driverEdgeLimit + 1) else Array.empty[org.apache.spark.sql.Row]
     if (integral && taken.isEmpty) // no near-dups: everything is its own cluster
       return ids.select(col(idCol), col(idCol).as("canonical_id"))
@@ -418,7 +453,19 @@ object Dedup {
     val chosen = (maxDist + 1 to 21).iterator
       .map { b => (b, b - maxDist, 64 / b) }
       .find { case (b, m, w) => m * w >= minKeyBits && binom(b, m) <= 64 }
-      .getOrElse((maxDist + 1, 1, 64 / (maxDist + 1))) // fallback: classic layout
+      .getOrElse {
+        // No (B, m) satisfies both key width and the 64-table cap — the
+        // classic B = d+1 layout is the only recall-1 geometry left, and
+        // its narrow keys (64/(d+1) bits) are exactly the bucket-collapse
+        // hazard the scheme exists to avoid. NOT silent: at corpus scale
+        // capBuckets will drop membership rows and recall with them.
+        capLog.warn(s"simhashBanding: maxDist=$maxDist admits no layout with " +
+          s">=$minKeyBits-bit keys under 64 tables; falling back to classic " +
+          s"B=${maxDist + 1} layout with ${64 / (maxDist + 1)}-bit keys — " +
+          "buckets will be few and large; expect capBuckets drops (recall " +
+          "loss) on large corpora. Prefer maxDist <= 7 or raise maxBucketSize.")
+        (maxDist + 1, 1, 64 / (maxDist + 1)) // fallback: classic layout
+      }
     val (blocks, m, width) = chosen
     (width, (0 until blocks).combinations(m).map(_.toSeq).toSeq)
   }

@@ -48,8 +48,12 @@ object Ivf {
   }
 
   /** Fully-built IVF index: the coarse quantizer plus the corpus cell
-    * assignment that [[topK]] probes. */
-  final case class Index(centroids: DataFrame, cells: DataFrame)
+    * assignment that [[topK]] probes. Carries the id/vec column names it
+    * was built with so probing uses the same columns (an index built on
+    * custom names previously could not be probed — the overload
+    * hard-coded the defaults). */
+  final case class Index(centroids: DataFrame, cells: DataFrame,
+                         id: String = "vec_id", vec: String = "embedding")
 
   /** Build centroids AND the final cell assignment without the redundant
     * third corpus pass `buildCentroids` + `topK` would pay: the LAST Lloyd
@@ -65,7 +69,7 @@ object Ivf {
     }
     val centroids = centroidFrame(spark, cents)
     val cells = graft.util.Caching.barrier(assign(corpus, centroids, id, vec))
-    Index(centroids, cells)
+    Index(centroids, cells, id, vec)
   }
 
   private def initialCentroids(corpus: DataFrame, k: Int, id: String,
@@ -118,7 +122,7 @@ object Ivf {
   def topK(queries: DataFrame, corpus: DataFrame, index: Index,
            k: Int, nprobe: Int): DataFrame =
     topK(queries, corpus, index.centroids, k, nprobe,
-      cells = Some(index.cells))
+      id = index.id, vec = index.vec, cells = Some(index.cells))
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
     * within them. Queries must be small (broadcast). Pass `cells` (e.g.

@@ -100,18 +100,22 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** [[lshPairs]] with [[autoParams]] geometry — one `count()` pass sizes
-    * the bucketing to the actual corpus. */
+  /** [[lshPairs]] with [[autoParams]] geometry. Sizing needs the corpus
+    * row count and vector width; pass `n`/`dim` when the caller already
+    * knows them (it usually does — catalog stats, upstream bookkeeping),
+    * because at 100 TB the fallback `count()` is a full corpus scan and
+    * `head()` is a partition read, both paid before any real work. */
   def lshPairsAuto(df: DataFrame, threshold: Double,
                    id: String = "vec_id", vec: String = "embedding",
                    targetBucketSize: Int = 50, pairMissProb: Double = 1e-6,
-                   maxTables: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
-    val n = df.count()
-    val dim = df.select(size(col(vec))).head().getInt(0)
-    val ps = autoParams(n, threshold, targetBucketSize, pairMissProb, maxTables)
-    log.info(s"lshPairsAuto n=$n dim=$dim threshold=$threshold -> " +
+                   maxTables: Int = 64, maxBucketSize: Int = 1000,
+                   n: Option[Long] = None, dim: Option[Int] = None): DataFrame = {
+    val nRows = n.getOrElse(df.count())
+    val width = dim.getOrElse(df.select(size(col(vec))).head().getInt(0))
+    val ps = autoParams(nRows, threshold, targetBucketSize, pairMissProb, maxTables)
+    log.info(s"lshPairsAuto n=$nRows dim=$width threshold=$threshold -> " +
       s"tables=${ps.tables} bits=${ps.bits} perPairMiss=${ps.achievedPairMiss}")
-    lshPairs(df, threshold, ps.tables, ps.bits, dim, id, vec, maxBucketSize)
+    lshPairs(df, threshold, ps.tables, ps.bits, width, id, vec, maxBucketSize)
   }
 
   def lshPairs(df: DataFrame, threshold: Double, tables: Int = 8, bits: Int = 12,

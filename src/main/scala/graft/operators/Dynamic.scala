@@ -26,6 +26,34 @@ object Dynamic {
   def snapkey(x: TickStream, as: String = "snap_key"): TickStream =
     TickStream(x.df.withColumn(as, col(Tick.KEY)))
 
+  /** csp.snap(x) argument to csp.dynamic (`dynamic.py:120-141`,
+    * docs Create-Dynamic-Baskets: "snap the current value of x at
+    * sub-graph instantiation"): capture x's value AT SPAWN — the key's
+    * FIRST trigger tick, cycle-accurate via the as-of machinery — and
+    * carry it to every row of the instance as a per-instance constant
+    * column, exactly the scalar argument the spawned csp sub-graph
+    * receives. `x` must share the trigger's key domain (re-key a global
+    * scalar stream first, e.g. via [[Baskets.multiplex]] validity
+    * intervals). Keys whose spawn predates x's first tick get null (the
+    * reference defers instantiation until snap inputs are valid —
+    * filter on `isNotNull` for that semantic). */
+  def snap(trigger: TickStream, x: TickStream, as: String = "snap"): TickStream = {
+    import Tick._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(KEY)
+    val spawns = TickStream(trigger.df
+      .withColumn("__f", min(struct(col(TS), col(SEQ))).over(w))
+      .filter(col(TS) === col("__f.ts") && col(SEQ) === col("__f.seq"))
+      .drop("__f"))
+    val vals = AsOf.sample(spawns, x).df.select(col(KEY), col(VALUE).as(as))
+    TickStream(trigger.df.join(vals, Seq(KEY), "left"))
+  }
+
+  /** csp.attach() argument (`dynamic.py:142-151`): the trigger basket's
+    * own time series for the instance key. Under per-key partitioning the
+    * keyed stream IS that series — attach is the identity, made explicit
+    * so ported graphs read one-to-one. */
+  def attach(basket: TickStream): TickStream = basket
+
   /** csp.dynamic_collect (`baselib.py:600-612`): map of the dynamic
     * basket's members that ticked at each engine time. Identical to the
     * static-basket struct_collectts because membership IS key presence at

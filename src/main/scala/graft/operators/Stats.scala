@@ -354,7 +354,11 @@ object Stats {
       val (r, cur) =
         if (naOption == "last") {
           val (r1, lst) = r0.memo("wlst", collect_list(v).over(spec))
-          (r1, element_at(filter(lst, e => !isnan(e)), -1))
+          // try_element_at: an all-NaN frame (e.g. leading NaN ticks)
+          // filters to an empty array, where element_at(-1) throws under
+          // ANSI mode; the rank is null there, matching "keep" on a frame
+          // with no rankable value
+          (r1, try_element_at(filter(lst, e => !isnan(e)), lit(-1)))
         } else (r0, v)
       // NaN elements compare false on both predicates, so the sorted frame
       // needs no NaN slicing here
@@ -556,6 +560,126 @@ object Stats {
           if (excess) ub else ub + 3
         }
       r5.add(name, when(n > 3 && vx > 0, out))
+    }
+  }
+
+  // ---- vectorized array-lane rolling stats --------------------------------
+
+  /** [[RollingVec]] over a tick-count window — the vectorized twin of
+    * [[ticks]] for `ts[np.ndarray]` streams (stats.py:195-210;
+    * Use-Statistical-Nodes.md:53: csp runs every stat elementwise on
+    * array ticks, "orders of magnitude faster" than one edge per symbol).
+    * VALUE is an ArrayType column, one lane per basket member/symbol. */
+  def ticksVec(x: TickStream, n: Int, minWindow: Int = 1): RollingVec =
+    RollingVec(x, x.w.rowsBetween(-(n - 1), 0), minWindow)
+
+  /** [[RollingVec]] over a left-open time window (the [[time]] twin). */
+  def timeVec(x: TickStream, seconds: Long, minWindow: Int = 1): RollingVec = {
+    val withE = TickStream(x.df.withColumn("__em", unix_micros(col(TS))))
+    val spec = Window.partitionBy(KEY).orderBy(col("__em"))
+      .rangeBetween(-(seconds * 1000000L - 1), 0)
+    RollingVec(withE, spec, minWindow)
+  }
+
+  /** [[RollingVec]] over the expanding window (the [[expanding]] twin). */
+  def expandingVec(x: TickStream, minWindow: Int = 1): RollingVec =
+    RollingVec(x, x.w.rowsBetween(Window.unboundedPreceding, 0), minWindow)
+
+  /** Elementwise rolling stats over array-valued ticks, computed per LANE
+    * in a single Window node: ONE memoized `collect_list` of the frame
+    * (shared by every stat in the chain, like [[Rolling]]'s `__g_*` sums)
+    * + `zip_with`/`aggregate` lane folds. No explode, no per-lane keys, no
+    * extra shuffle — at 1000 lanes the scalar alternative multiplies the
+    * row count (and the keyed shuffle) ×1000; this keeps one row per tick.
+    *
+    * Folds run in frame order (ts, seq), so results are bit-reproducible
+    * and SQL-replayable via `list_reduce` over the same frame list.
+    * NaN-bearing lanes follow csp ignore_na=false (NaN poisons its lane's
+    * sum/mean until it slides out; min/max follow Spark's `least`/
+    * `greatest` NaN ordering) — route through [[ignoreNa]]-style masking
+    * upstream for skip semantics. */
+  final case class RollingVec(x: TickStream, spec: WindowSpec, minWindow: Int) {
+    import Tick._
+    private val v = col(VALUE)
+    private val BasePrefix = "__gv_"
+
+    private def memo(tag: String, c: => Column): (RollingVec, Column) = {
+      val name = BasePrefix + tag
+      if (x.df.columns.contains(name)) (this, col(name))
+      else (copy(x = TickStream(x.df.withColumn(name, c))), col(name))
+    }
+
+    /** The window frame as a list of lane arrays — the one aggregate every
+      * stat folds over (WindowExec would not deduplicate it otherwise). */
+    private def memoFrame: (RollingVec, Column) =
+      memo("fr", collect_list(v).over(spec))
+
+    private def gated(fr: Column, c: Column): Column =
+      if (minWindow <= 1) c else when(size(fr) >= minWindow, c)
+
+    private def add(name: String, c: Column): RollingVec =
+      copy(x = TickStream(x.df.withColumn(name, c)))
+
+    private def dbl(a: Column): Column = transform(a, _.cast("double"))
+
+    /** Left fold of the frame's arrays: init = first tick's lanes, merged
+      * pairwise — sequential in frame order, one pass. */
+    private def fold(fr: Column, merge: (Column, Column) => Column): Column =
+      aggregate(slice(fr, lit(2), size(fr) - 1), dbl(element_at(fr, 1)),
+        (acc, e) => zip_with(acc, e, (a, b) => merge(a, b.cast("double"))))
+
+    def done: TickStream = TickStream(
+      x.df.drop(x.df.columns.filter(_.startsWith(BasePrefix)).toSeq: _*).drop("__em"))
+
+    /** Ticks in the frame (scalar — identical for every lane). */
+    def count(name: String = "count"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, size(fr)))
+    }
+
+    def sum(name: String = "sum"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, fold(fr, _ + _)))
+    }
+
+    def mean(name: String = "mean"): RollingVec = {
+      val (r, fr) = memoFrame
+      val n = size(fr).cast("double")
+      r.add(name, gated(fr, transform(fold(fr, _ + _), _ / n)))
+    }
+
+    def min(name: String = "min"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, fold(fr, least(_, _))))
+    }
+
+    def max(name: String = "max"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, fold(fr, greatest(_, _))))
+    }
+
+    /** Per-lane sample variance: (Σx² − (Σx)²/n) / (n − ddof), both sums
+      * folded in frame order in ONE pass (struct accumulator). */
+    def varSamp(name: String = "var", ddof: Int = 1): RollingVec = {
+      val (r, fr) = memoFrame
+      val e1 = dbl(element_at(fr, 1))
+      val init = struct(e1.as("s"), zip_with(e1, e1, _ * _).as("ss"))
+      val folded = aggregate(slice(fr, lit(2), size(fr) - 1), init, (acc, e) =>
+        struct(
+          zip_with(acc.getField("s"), e, (a, b) => a + b.cast("double")).as("s"),
+          zip_with(acc.getField("ss"), e,
+            (a, b) => a + b.cast("double") * b.cast("double")).as("ss")))
+      val n = size(fr).cast("double")
+      val out = zip_with(folded.getField("s"), folded.getField("ss"),
+        (s, ss) => when(n > ddof, (ss - s * s / n) / (n - lit(ddof))))
+      r.add(name, gated(fr, out))
+    }
+
+    def stddev(name: String = "stddev", ddof: Int = 1): RollingVec = {
+      val tmp = s"${BasePrefix}vtmp_$name"
+      val r = varSamp(tmp, ddof)
+      r.copy(x = TickStream(r.x.df
+        .withColumn(name, transform(col(tmp), sqrt(_))).drop(tmp)))
     }
   }
 }

@@ -159,9 +159,15 @@ final case class TickStream(df: DataFrame) {
       .drop("__minTs"))
   }
 
+  // SEQ carries stream-level metadata (the declared buffering policy);
+  // any op that REBUILDS the SEQ column must re-attach it or downstream
+  // history requests would silently bypass the declared retention.
+  private def seqMeta: org.apache.spark.sql.types.Metadata = df.schema(SEQ).metadata
+
   /** Assign a fresh dense per-key seq in (ts, seq) order. */
   def resequence: TickStream =
-    TickStream(df.withColumn(SEQ, row_number().over(w).cast(LongType) - 1))
+    TickStream(df.withColumn(SEQ,
+      (row_number().over(w).cast(LongType) - 1).as(SEQ, seqMeta)))
 
   /** [[resequence]] over an explicit partition key — for streams whose KEY
     * was just set to a literal (e.g. flatten): a foldable key would be
@@ -170,9 +176,9 @@ final case class TickStream(df: DataFrame) {
     * constant (e.g. `pmod(col(SEQ), lit(1L))`) to DECLARE the
     * single-partition semantic instead. */
   def resequenceBy(partition: Column): TickStream =
-    TickStream(df.withColumn(SEQ, row_number()
+    TickStream(df.withColumn(SEQ, (row_number()
       .over(Window.partitionBy(partition).orderBy(col(TS), col(SEQ)))
-      .cast(LongType) - 1))
+      .cast(LongType) - 1).as(SEQ, seqMeta)))
 
   // ---- history access (reference builtin_functions.py:105-269, buffers
   // TimeSeries.h:63) — csp's value_at/values_at over the per-edge history
@@ -210,10 +216,104 @@ final case class TickStream(df: DataFrame) {
       s"history request needs $needed ticks but the declared buffering " +
         s"policy retains only $p (csp: raise set_buffering_policy tick_count)"))
 
-  /** csp.value_at(x, index): value `n` ticks ago (0 = current). */
-  def valueAt(n: Int, as: String = "value_at"): TickStream = {
+  /** csp.value_at(x, index): value `n` ticks ago (0 = current).
+    * `default` fills when fewer than n+1 ticks exist (csp raises without
+    * one; the batch twin yields null — a whole run cannot abort on the
+    * warm-up rows every stream has). */
+  def valueAt(n: Int, as: String = "value_at",
+              default: Option[Column] = None): TickStream = {
     requireWithinPolicy(n + 1)
-    TickStream(df.withColumn(as, lag(VALUE, n).over(w)))
+    val v = lag(VALUE, n).over(w)
+    TickStream(df.withColumn(as, default.fold(v)(d => coalesce(v, d))))
+  }
+
+  // ---- time-offset history access (builtin_functions.py:105-269;
+  // TimeSeries.h getValueIndex/getValueIndexRange:315-400). The reference
+  // resolves `value_at(x, timedelta)` with a binary search over the ring
+  // buffer; here the "search" is a RANGE window frame ending at
+  // ts + delta — the matched tick is the frame's max (ts, seq) struct,
+  // one window pass, no self-join. Duplicate-timestamp rules follow the
+  // C++ engine (TimeSeries.h:118-127), which overrides the python
+  // docstring where they disagree:
+  //   LAST_VALUE  -> chronologically-last tick with ts <= target;
+  //   FIRST_VALUE -> the FIRST tick at the matched timestamp when it
+  //                  equals the target EXACTLY, else same as LAST (the
+  //                  documented "slightly counter intuitive" case). ----
+
+  /** Matched-tick struct (t: epoch µs, v: value-under-policy) at
+    * ts + deltaMicros, null when no tick is old enough. */
+  private def matchedAtTime(deltaMicros: Long, duplicatePolicy: String): (DataFrame, Column) = {
+    require(deltaMicros <= 0, s"time offset must be non-positive, got $deltaMicros µs")
+    require(Seq("last", "first").contains(duplicatePolicy),
+      s"unknown duplicate_policy '$duplicatePolicy' (last|first)")
+    val t = unix_micros(col(TS))
+    // deltaMicros < 0: a RANGE frame ending at ts + delta — peers at the
+    // CURRENT timestamp can never reach a strictly-past target, so range
+    // peer-inclusion is harmless. deltaMicros == 0: the target IS the
+    // current timestamp, where csp's buffer holds only ticks up to the
+    // current engine cycle — the ROWS frame is the cycle-accurate one.
+    val frame =
+      if (deltaMicros == 0) w.rowsBetween(Window.unboundedPreceding, 0)
+      else Window.partitionBy(KEY).orderBy(t)
+        .rangeBetween(Window.unboundedPreceding, deltaMicros)
+    if (duplicatePolicy == "last") {
+      // (t, seq) is unique per key, so max(struct) IS the latest tick
+      val m = max(struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))).over(frame)
+      (df, when(m.isNotNull, struct(m.getField("t").as("t"), m.getField("v").as("v"))))
+    } else {
+      // carry each tick's first-value-at-its-timestamp so the frame max
+      // can answer the exact-match case without a second frame pass
+      val firstAtTs = min(struct(col(SEQ).as("s"), col(VALUE).as("v")))
+        .over(Window.partitionBy(KEY, TS)).getField("v")
+      val df2 = df.withColumn("__fts", firstAtTs)
+      val m = max(struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"),
+        col("__fts").as("f"))).over(frame)
+      val v = when(m.getField("t") === t + lit(deltaMicros), m.getField("f"))
+        .otherwise(m.getField("v"))
+      (df2, when(m.isNotNull, struct(m.getField("t").as("t"), v.as("v"))))
+    }
+  }
+
+  /** csp.value_at(x, timedelta, duplicate_policy=, default=): the value in
+    * effect `-delta` ago (delta ≤ 0, µs). Null when the stream is younger
+    * than the offset, unless `default` fills it. */
+  def valueAtTime(deltaMicros: Long, as: String = "value_at",
+                  duplicatePolicy: String = "last",
+                  default: Option[Column] = None): TickStream = {
+    val (d, m) = matchedAtTime(deltaMicros, duplicatePolicy)
+    val v = m.getField("v")
+    TickStream(d.withColumn(as, default.fold(v)(dv => coalesce(v, dv))).drop("__fts"))
+  }
+
+  /** csp.time_at(x, timedelta): the matched tick's time (epoch µs). */
+  def timeAtTime(deltaMicros: Long, as: String = "time_at",
+                 duplicatePolicy: String = "last",
+                 default: Option[Column] = None): TickStream = {
+    val (d, m) = matchedAtTime(deltaMicros, duplicatePolicy)
+    val t = m.getField("t")
+    TickStream(d.withColumn(as, default.fold(t)(dv => coalesce(t, dv))).drop("__fts"))
+  }
+
+  /** csp.item_at(x, timedelta): (t, v) struct — one frame pass, same
+    * "the same but faster" contract as items_at. */
+  def itemAtTime(deltaMicros: Long, as: String = "item_at",
+                 duplicatePolicy: String = "last"): TickStream = {
+    val (d, m) = matchedAtTime(deltaMicros, duplicatePolicy)
+    TickStream(d.withColumn(as, m).drop("__fts"))
+  }
+
+  /** csp.value_at(x, datetime): the value in effect at a FIXED time,
+    * evaluated at each tick as min(fixed, now) — before `fixed`, the
+    * answer tracks the running last value; after it, it freezes. */
+  def valueAtDatetime(atMicros: Long, as: String = "value_at",
+                      default: Option[Column] = None): TickStream = {
+    val t = unix_micros(col(TS))
+    // conditional aggregate over the full history frame: ticks with
+    // ts <= fixed, among ticks <= now (the ROWS frame)
+    val m = max(when(t <= lit(atMicros), struct(t.as("t"), col(SEQ).as("s"),
+      col(VALUE).as("v")))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val v = m.getField("v")
+    TickStream(df.withColumn(as, default.fold(v)(dv => coalesce(v, dv))))
   }
 
   /** csp.values_at(x): last `n` values (oldest→newest) as a list. */
@@ -289,10 +389,40 @@ final case class TickStream(df: DataFrame) {
     * `TwsOps.transformWithState` (TwsOps.scala) — this is the sim-replay
     * lowering of the same construct. */
   def scheduleAlarm(delaySec: Column, value: Column,
-                    endTime: Option[java.sql.Timestamp] = None): TickStream = {
+                    endTime: Option[java.sql.Timestamp] = None,
+                    handleAs: Option[String] = None): TickStream = {
     val at = timestamp_micros(unix_micros(col(TS)) + (delaySec * lit(1e6)).cast(LongType))
     val alarms = df.select(col(KEY), at.as(TS), col(SEQ), value.as(VALUE))
-    TickStream(endTime.fold(alarms)(t => alarms.filter(col(TS) <= lit(t))))
+    val withEnd = endTime.fold(alarms)(t => alarms.filter(col(TS) <= lit(t)))
+    // handle = (scheduling cycle, fire time): unique per schedule_alarm
+    // call even when one tick schedules several alarms at different
+    // delays — the batch twin of the engine's AlarmHandle
+    TickStream(handleAs.fold(withEnd)(h =>
+      withEnd.withColumn(h, struct(col(SEQ).as("s"), unix_micros(col(TS)).as("t")))))
+  }
+
+  /** Batch lowering of csp.cancel_alarm (`builtin_functions.py:356-361`;
+    * engine test `test_engine.py:123-215`): drop every scheduled alarm in
+    * THIS stream whose handle appears in `cancels` at-or-before the
+    * alarm's fire time. "At-or-before" matches the engine: an alarm
+    * scheduled for NOW can still be cancelled by a node that runs in an
+    * earlier cycle of the same engine time (test_engine.py:205-207
+    * cancels a same-timestamp alarm). A cancel AFTER the fire time is a
+    * no-op — the alarm already delivered, exactly as the engine's handle
+    * becomes stale.
+    *
+    * `this` = alarm stream (e.g. from [[scheduleAlarm]] with `handleAs`);
+    * `cancels` = ticks whose VALUE (or `handleCol`) holds the handle to
+    * cancel. One anti-join on (key, handle) — broadcastable when the
+    * cancel set is small, keyed-shuffle otherwise. Streaming twin:
+    * `getHandle.deleteTimer` in TwsOps.TimeoutProcessor. */
+  def cancelAlarms(cancels: TickStream, handleCol: String,
+                   cancelHandleCol: String = VALUE): TickStream = {
+    val c = cancels.df.select(col(KEY).as("__ck"),
+      unix_micros(col(TS)).as("__cts"), col(cancelHandleCol).as("__ch"))
+    TickStream(df.join(c,
+      col(KEY) === col("__ck") && col(handleCol) === col("__ch") &&
+        col("__cts") <= unix_micros(col(TS)), "left_anti"))
   }
 
   /** PushMode.BURST: all same-(key, ts) ticks delivered as one list. */

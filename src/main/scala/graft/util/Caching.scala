@@ -35,6 +35,17 @@ object Caching {
     df
   }
 
+  // Process-wide end-of-query hooks (e.g. Dedup's cap-audit registry
+  // evicts its swept accumulators here so a long-lived session doesn't
+  // accumulate one entry per capBuckets call forever).
+  private val releaseHooks = ArrayBuffer.empty[() => Unit]
+
+  /** Register a hook to run on every [[release]] (after barriers are
+    * unpersisted). Register once per subsystem, at first use. */
+  def onRelease(hook: () => Unit): Unit = releaseHooks.synchronized {
+    releaseHooks += hook
+  }
+
   /** Unpersist every barrier registered by the CURRENT thread
     * (non-blocking). Call after the consuming action of a query built
     * from barrier-using operators. */
@@ -42,6 +53,7 @@ object Caching {
     val r = registry.get()
     r.foreach(_.unpersist(false))
     r.clear()
+    releaseHooks.synchronized(releaseHooks.toList).foreach(_())
   }
 
   /** Number of currently registered (unreleased) barriers on this

@@ -131,6 +131,35 @@ class AdapterSurfaceSpec extends AnyFunSuite {
     assert(merged == Seq((0L, 2.0), (2L, 20.0), (10L, 5.0)))
   }
 
+  test("cancel_alarm batch lowering (builtin_functions.py:356-361, test_engine.py:123-215)") {
+    val src = Sources.curve(spark, "k", Seq(
+      "2024-01-01 00:00:00" -> 2.0, "2024-01-01 00:00:10" -> 5.0))
+    val alarms = src.scheduleAlarm(col(Tick.VALUE), col(Tick.VALUE) * 10,
+      handleAs = Some("h"))
+    // (1) cancel-at-schedule-time (test_alarm cancel=True): every handle
+    // cancelled at the scheduling tick's own time -> NO alarm ever fires
+    val all = TickStream(src.df
+      .withColumn("h", struct(col(Tick.SEQ).as("s"),
+        (unix_micros(col(Tick.TS)) + (col(Tick.VALUE) * 1e6).cast("long")).as("t"))))
+    assert(alarms.cancelAlarms(TickStream(all.df), "h", "h").df.count() == 0)
+    // (2) same-timestamp cancel is effective (test_engine.py:205-207):
+    // zero-delay alarm cancelled by a tick at the SAME engine time
+    val zero = src.scheduleAlarm(lit(0.0), col(Tick.VALUE), handleAs = Some("h"))
+    val cancelFirst = TickStream(all.df
+      .filter(col(Tick.SEQ) === 0)
+      .withColumn("h", struct(col(Tick.SEQ).as("s"), unix_micros(col(Tick.TS)).as("t"))))
+    val left = zero.cancelAlarms(cancelFirst, "h", "h").df.collect()
+    assert(left.length == 1 && left(0).getAs[Double](Tick.VALUE) == 5.0)
+    // (3) cancel AFTER the fire time is a stale handle — no-op
+    val lateCancel = TickStream(all.df
+      .filter(col(Tick.SEQ) === 0)
+      .withColumn(Tick.TS, lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:09")))
+      .withColumn("h", struct(col(Tick.SEQ).as("s"),
+        (unix_micros(lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          + lit(2000000L)).as("t"))))
+    assert(alarms.cancelAlarms(lateCancel, "h", "h").df.count() == 2)
+  }
+
   test("PushModes.lastValue collapses same-(key, ts) pushes within a batch") {
     val batch = Seq(
       ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 1.0, null: String),

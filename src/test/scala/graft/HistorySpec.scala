@@ -83,6 +83,52 @@ class HistorySpec extends AnyFunSuite {
     assert(e.getMessage.contains("buffering"))
   }
 
+  test("value_at by timedelta: duplicate-policy matrix (builtin_functions.py:105-180, TimeSeries.h:315-400)") {
+    // The reference's own example series: (09:30, 0), (09:31, 1),
+    // (09:31, 2), (09:33, 3), read at the 09:33 tick. Duplicate-timestamp
+    // expectations follow the C++ getValueIndex doc (TimeSeries.h:118-127)
+    // — the binding python docstring disagrees with its own engine on the
+    // exact-match LAST_VALUE case and the engine wins.
+    def t(m: String) = s"2020-01-01 09:$m:00"
+    val x = TickStream(Sources.curve(spark, "k",
+      Seq(t("30") -> 0.0, t("31") -> 1.0, t("31") -> 2.0, t("33") -> 3.0)).df)
+    val MIN = 60L * 1000000L
+    val out = x
+      .valueAtTime(0L, "v0")
+      .valueAtTime(-MIN / 2, "v30s")
+      .valueAtTime(-MIN, "v1m")
+      .valueAtTime(-2 * MIN, "v2m_last")
+      .valueAtTime(-2 * MIN, "v2m_first", duplicatePolicy = "first")
+      .valueAtTime(-4 * MIN, "v4m")
+      .valueAtTime(-4 * MIN, "v4m_d", default = Some(lit(-1.0)))
+      .timeAtTime(-2 * MIN, "t2m")
+      .itemAtTime(-2 * MIN, "i2m")
+      .valueAtDatetime(java.sql.Timestamp.valueOf(t("30")).getTime * 1000L, "vfix")
+      .df.orderBy("ts", "seq").collect()
+    val last = out.last
+    def d(n: String): Double = last.getAs[Double](n)
+    assert(d("v0") == 3.0)       // value_at(x) -> last value
+    assert(d("v30s") == 2.0)     // half a minute ago -> 09:31's last
+    assert(d("v1m") == 2.0)      // 09:32 -> last at-or-before = 09:31's last
+    assert(d("v2m_last") == 2.0) // exact 09:31, LAST_VALUE -> last dup
+    assert(d("v2m_first") == 1.0) // exact 09:31, FIRST_VALUE -> first dup
+    assert(last.isNullAt(last.fieldIndex("v4m"))) // 09:29: out of bounds
+    assert(d("v4m_d") == -1.0)   // ... default fills
+    val t0931 = java.sql.Timestamp.valueOf(t("31")).getTime * 1000L
+    assert(last.getAs[Long]("t2m") == t0931) // time_at -> matched tick time
+    val item = last.getStruct(last.fieldIndex("i2m"))
+    assert(item.getLong(0) == t0931 && item.getDouble(1) == 2.0)
+    assert(d("vfix") == 0.0)     // value_at(x, datetime(09:30)) -> 0
+    // FIRST_VALUE when the target does NOT land on the matched timestamp:
+    // "slightly counter intuitive" — same as LAST (TimeSeries.h:122-125)
+    assert(d("v1m") == x.valueAtTime(-MIN, "vf", duplicatePolicy = "first")
+      .df.orderBy("ts", "seq").collect().last.getAs[Double]("vf"))
+    // zero offset is CYCLE-accurate on duplicate timestamps: at the first
+    // 09:31 cycle the buffer does not yet hold the second 09:31 tick
+    assert(out(1).getAs[Double]("v0") == 1.0)
+    assert(out(2).getAs[Double]("v0") == 2.0)
+  }
+
   test("buffering policy: declared retention bounds history requests (builtin_functions.py:271-283)") {
     val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0).withBufferPolicy(3)
     assert(x.bufferPolicy.contains(3L))

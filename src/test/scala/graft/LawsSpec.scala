@@ -138,4 +138,26 @@ class LawsSpec extends AnyFunSuite {
       .map(_._2.asInstanceOf[Map[String, Any]].keySet)
     assert(maps == Seq(Set("a"), Set("b"), Set("a"))) // t1: a, t2: b, t3: a
   }
+
+  test("Dynamic.snap/attach: snap-at-spawn argument capture (dynamic.py:120-151)") {
+    // trigger keys spawn at different times; the snapped reference stream
+    // ticks 10.0 at t1 and 20.0 at t2 — key "a" (spawn t1) must capture
+    // 10.0 and key "b" (spawn t2) 20.0, as per-instance CONSTANTS even
+    // on later ticks; key "c" spawns before the reference's first tick
+    // -> null (reference defers instantiation until snap args are valid)
+    val trigger = TickStream(curveOf("a", Seq(1 -> 1.0, 3 -> 2.0)).df
+      .unionByName(curveOf("b", Seq(2 -> 5.0, 4 -> 6.0)).df))
+    val ref = TickStream(
+      curveOf("a", Seq(1 -> 10.0)).df.unionByName(curveOf("b", Seq(2 -> 20.0)).df))
+    val snapped = Dynamic.snap(trigger, ref, "s0").df.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("seq")) -> r.getAs[Double]("s0")).toMap
+    assert(snapped(("a", 0L)) == 10.0 && snapped(("a", 1L)) == 10.0)
+    assert(snapped(("b", 0L)) == 20.0 && snapped(("b", 1L)) == 20.0)
+    val early = TickStream(curveOf("c", Seq(1 -> 1.0)).df)
+    val er = Dynamic.snap(early, TickStream(curveOf("c", Seq(2 -> 9.0)).df), "s0")
+      .df.collect()
+    assert(er.length == 1 && er(0).isNullAt(er(0).fieldIndex("s0")))
+    // attach is the keyed identity
+    assert(Dynamic.attach(trigger).df.collect().length == 4)
+  }
 }

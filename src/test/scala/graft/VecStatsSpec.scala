@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+import graft.ts.{Tick, TickStream}
+
+/** Vectorized array-lane rolling stats (stats.py:195-210,
+  * Use-Statistical-Nodes.md:53): elementwise results must equal the
+  * scalar Rolling path applied to each lane as its own keyed stream, and
+  * the whole chain must plan as ONE Window node (the point of the
+  * vectorized path — no explode, no per-lane shuffle). */
+class VecStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture: TickStream = {
+    import spark.implicits._
+    // 2 keys × 6 ticks × 3 lanes, values chosen to exercise negative,
+    // fractional, and tied-extremum lanes
+    val rows = for {
+      k <- Seq("a", "b"); i <- 0 until 6
+    } yield (k, java.sql.Timestamp.valueOf(f"2020-01-${i + 1}%02d 00:00:00"), i.toLong,
+      Seq(i * 1.5 - 2.0, math.pow(-1, i) * (i + 0.25), if (i % 3 == 0) 7.0 else i.toDouble))
+    TickStream(rows.toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE))
+  }
+
+  test("per-lane equivalence with the scalar Rolling path") {
+    val x = fixture
+    val vec = Stats.ticksVec(x, 3).count("cnt").sum("sm").mean("mn")
+      .min("lo").max("hi").varSamp("vr").stddev("sd").done
+    // scalar oracle: explode lanes into their own keyed streams
+    val lanes = TickStream(x.df.select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ),
+      posexplode(col(Tick.VALUE)))
+      .withColumn(Tick.KEY, concat_ws("#", col(Tick.KEY), col("pos")))
+      .withColumnRenamed("col", Tick.VALUE))
+    val scalar = Stats.ticks(lanes, 3).sum("sm").mean("mn").min("lo").max("hi")
+      .varSamp("vr").stddev("sd").done
+
+    val vrows = vec.df.orderBy(Tick.KEY, Tick.SEQ).collect()
+    val smap = scalar.df.collect().map { r =>
+      (r.getAs[String](Tick.KEY), r.getAs[Long](Tick.SEQ)) -> r
+    }.toMap
+    assert(vrows.nonEmpty)
+    vrows.foreach { r =>
+      val (k, s) = (r.getAs[String](Tick.KEY), r.getAs[Long](Tick.SEQ))
+      def d(n: String): scala.collection.Seq[Double] = r.getAs[scala.collection.Seq[Double]](n)
+      assert(r.getAs[Int]("cnt") == math.min(s + 1, 3))
+      for (lane <- 0 until 3) {
+        val o = smap((s"$k#$lane", s))
+        def near(a: Double, b: Double) = (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+        assert(near(d("sm")(lane), o.getAs[Double]("sm")), s"sum k=$k s=$s l=$lane")
+        assert(near(d("mn")(lane), o.getAs[Double]("mn")), s"mean k=$k s=$s l=$lane")
+        assert(d("lo")(lane) == o.getAs[Double]("lo"), s"min k=$k s=$s l=$lane")
+        assert(d("hi")(lane) == o.getAs[Double]("hi"), s"max k=$k s=$s l=$lane")
+        val ov = o.get(o.fieldIndex("vr"))
+        if (ov == null) assert(s == 0) // 1-tick frame: ddof gate nulls both
+        else {
+          assert(near(d("vr")(lane), ov.asInstanceOf[Double]), s"var k=$k s=$s l=$lane")
+          assert(near(d("sd")(lane), math.sqrt(ov.asInstanceOf[Double])), s"sd k=$k s=$s l=$lane")
+        }
+      }
+    }
+  }
+
+  test("whole chain plans as a single Window node (no explode, no extra shuffle)") {
+    val plan = Stats.ticksVec(fixture, 5).sum("sm").mean("mn").min("lo")
+      .max("hi").varSamp("vr").done.df.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.count(l => l.contains("Window ["))
+    assert(windows == 1, s"expected 1 Window node, got $windows in:\n$plan")
+    assert(!plan.contains("Generate"), "explode leaked into the vectorized plan")
+  }
+
+  test("expanding and time-window variants agree with scalar twins") {
+    val x = fixture
+    val vexp = Stats.expandingVec(x).mean("mn").done.df
+      .orderBy(Tick.KEY, Tick.SEQ).collect()
+    val lanes = TickStream(x.df.select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ),
+      posexplode(col(Tick.VALUE)))
+      .withColumn(Tick.KEY, concat_ws("#", col(Tick.KEY), col("pos")))
+      .withColumnRenamed("col", Tick.VALUE))
+    val sexp = Stats.expanding(lanes).mean("mn").done.df.collect().map { r =>
+      (r.getAs[String](Tick.KEY), r.getAs[Long](Tick.SEQ)) -> r.getAs[Double]("mn")
+    }.toMap
+    vexp.foreach { r =>
+      val (k, s) = (r.getAs[String](Tick.KEY), r.getAs[Long](Tick.SEQ))
+      val m = r.getAs[scala.collection.Seq[Double]]("mn")
+      for (lane <- 0 until 3)
+        assert(math.abs(m(lane) - sexp((s"$k#$lane", s))) < 1e-9)
+    }
+    // 2-day time window == 2-tick window on this daily fixture
+    val vt = Stats.timeVec(x, 2 * 86400).sum("sm").done.df
+      .orderBy(Tick.KEY, Tick.SEQ).collect()
+    val v2 = Stats.ticksVec(x, 2).sum("sm").done.df
+      .orderBy(Tick.KEY, Tick.SEQ).collect()
+    vt.zip(v2).foreach { case (a, b) =>
+      assert(a.getAs[scala.collection.Seq[Double]]("sm") ==
+        b.getAs[scala.collection.Seq[Double]]("sm"))
+    }
+  }
+
+  test("minWindow gates whole-array results") {
+    val x = fixture
+    val rows = Stats.ticksVec(x, 3, minWindow = 2).mean("mn").done.df
+      .orderBy(Tick.KEY, Tick.SEQ).collect()
+    rows.foreach { r =>
+      val s = r.getAs[Long](Tick.SEQ)
+      if (s == 0) assert(r.isNullAt(r.fieldIndex("mn")))
+      else assert(!r.isNullAt(r.fieldIndex("mn")))
+    }
+  }
+}
