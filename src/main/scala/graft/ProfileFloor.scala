@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiler
+import graft.ts.{GraftSession, Sources}
+
+/** Scratch diagnostic: attribute the ~2 s floor on simple keyed-window
+  * queries (q_delay / q_default) — scan vs shuffle vs window cost. */
+object ProfileFloor {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.get()
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[floor] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm-up: JVM + codegen + parquet footer caches
+    timed("warmup count")(Sources.events(spark, dir).df.count())
+    timed("scan only")(Sources.events(spark, dir).df.queryExecution.toRdd.count())
+    val e = Sources.events(spark, dir)
+    timed("scan+shuffle (repartition key)")(
+      e.df.repartition(col(graft.ts.Tick.KEY)).queryExecution.toRdd.count())
+    timed("q_delay equivalent")(
+      e.delayTicks(3).df.queryExecution.toRdd.count())
+    timed("q_delay again")(
+      e.delayTicks(3).df.queryExecution.toRdd.count())
+    val p = Profiler.profile(e.delayTicks(3).df)
+    println(p.render)
+    spark.stop()
+  }
+}

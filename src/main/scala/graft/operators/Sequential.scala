@@ -43,6 +43,86 @@ object Sequential {
   private def valueIdx(x: TickStream) = x.df.schema.fieldIndex(VALUE)
   private def tsIdx(x: TickStream) = x.df.schema.fieldIndex(TS)
 
+  /** STATEFUL exprtk (reference `baselib.py:625-673` `state_vars`;
+    * `test_baselib.py:354` `csp.exprtk("FOO := FOO + x", {"x": x},
+    * {"FOO": 100})`): expressions with per-key state variables updated on
+    * every tick. The stateless surface is `TickStream.evalExpr` (Catalyst
+    * compiles the string); state turns each tick into an O(1) recurrence,
+    * so the lowering is the [[perKeyScan]] bridge — but the expression
+    * compiler is STILL Catalyst: each statement is resolved once through
+    * the real analyzer (full function registry) and bound to the row
+    * schema, then interpreted per row with the state vars appended as
+    * extra columns. No hand-rolled parser, full SQL function surface.
+    *
+    * `expressionStr` is `;`-separated statements: `VAR := <sql-expr>`
+    * assigns a declared state variable (visible to later statements and
+    * the next tick); a bare expression (or the last assignment) is the
+    * tick's output. Statement syntax is Spark SQL, the library's
+    * documented exprtk dialect (SURVEY §2.10). State variables are
+    * doubles, per key, initialized from `stateVars` at key start. */
+  def evalExprStateful(x: TickStream, expressionStr: String,
+                       stateVars: Seq[(String, Double)],
+                       as: String = "expr"): TickStream = {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, GenericInternalRow}
+
+    val Assign = "^([A-Za-z_][A-Za-z0-9_]*)\\s*:=\\s*(.+)$".r
+    val stmts: Seq[(Option[String], String)] = expressionStr.split(";").toSeq
+      .map(_.trim).filter(_.nonEmpty).map {
+        case Assign(name, rhs) => (Some(name), rhs)
+        case s => (None, s)
+      }
+    require(stmts.nonEmpty, "exprtk expression is empty")
+
+    val spark = x.df.sparkSession
+    val stateNames = stateVars.map(_._1)
+    val baseSchema = x.df.schema
+    val evalSchema = StructType(baseSchema.fields ++
+      stateNames.map(n => StructField(n, DoubleType)))
+    val emptyDF = spark.createDataFrame(
+      new java.util.ArrayList[Row](), evalSchema)
+    val attrs = emptyDF.queryExecution.analyzed.output
+    val bound: Seq[(Int, Expression)] = stmts.map { case (target, rhs) =>
+      val analyzed = emptyDF.select(expr(rhs).cast(DoubleType))
+        .queryExecution.analyzed.expressions.head
+      val stripped = analyzed match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+      val idx = target.map { n =>
+        val i = stateNames.indexOf(n)
+        require(i >= 0, s"assignment to undeclared state variable '$n' " +
+          s"(declare it in stateVars, csp: the state_vars dict)")
+        i
+      }.getOrElse(-1)
+      (idx, BindReferences.bindReference(stripped, attrs, allowFailures = false))
+    }
+
+    val nBase = baseSchema.length
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(baseSchema)
+    perKeyScan(x, Seq(StructField(as, DoubleType)))(
+      () => stateVars.map(_._2).toArray) { (st, row) =>
+      val ir = toCatalyst(row).asInstanceOf[InternalRow]
+      val full = new GenericInternalRow(nBase + st.length)
+      var i = 0
+      while (i < nBase) { full.update(i, ir.get(i, baseSchema(i).dataType)); i += 1 }
+      var j = 0
+      while (j < st.length) { full.update(nBase + j, st(j)); j += 1 }
+      var out: Any = null
+      bound.foreach { case (idx, e) =>
+        out = e.eval(full)
+        if (idx >= 0) {
+          // null (e.g. a null input column) poisons the var to NaN — a
+          // csp state var is always a double, never absent
+          val d = if (out == null) Double.NaN else out.asInstanceOf[Double]
+          st(idx) = d
+          full.update(nBase + idx, d)
+        }
+      }
+      Seq(out)
+    }
+  }
+
   final private class EmaState {
     var num = 0.0; var num2 = 0.0; var w = 0.0; var w2 = 0.0
     var lastMicros = Long.MinValue

@@ -47,6 +47,33 @@ class HistorySpec extends AnyFunSuite {
     assert(x.evalExpr("sqrt(value) + 1", "y").df.collect()(0).getAs[Double]("y") == 3.0)
   }
 
+  test("stateful exprtk: state vars updated per tick (test_baselib.py:354)") {
+    // the reference's own case: exprtk("FOO := FOO + x", {"x": x},
+    // {"FOO": 100}) over x = 0..4 -> 100, 101, 103, 106, 110
+    val x = TickStream(Sources.curve(spark, "k",
+      (0 until 5).map(i => day(i + 1) -> i.toDouble)).df)
+    val out = Sequential.evalExprStateful(x, "FOO := FOO + value",
+      Seq("FOO" -> 100.0), "y").df.orderBy("ts").collect().map(_.getAs[Double]("y"))
+    assert(out.toSeq == Seq(100.0, 101.0, 103.0, 106.0, 110.0))
+    // multi-statement: assignments feed later statements; the bare final
+    // expression is the output; state is PER KEY
+    val two = TickStream(x.df.unionByName(
+      Sources.curve(spark, "j", (0 until 3).map(i => day(i + 1) -> 10.0)).df))
+    val r2 = Sequential.evalExprStateful(two,
+      "N := N + 1; S := S + value; S / N", Seq("N" -> 0.0, "S" -> 0.0), "avg")
+      .df.collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("seq")) -> r.getAs[Double]("avg")).toMap
+    assert(r2(("k", 4L)) == 2.0)  // running mean of 0..4
+    assert(r2(("j", 2L)) == 10.0) // j's state untouched by k
+    // full SQL function surface through the analyzer
+    val fn = Sequential.evalExprStateful(x, "M := greatest(M, value); sqrt(M)",
+      Seq("M" -> 0.0), "z").df.orderBy("ts").collect().map(_.getAs[Double]("z"))
+    assert(fn.last == 2.0)
+    // undeclared state var fails at wiring time, as csp does
+    val e = intercept[IllegalArgumentException](
+      Sequential.evalExprStateful(x, "BAR := 1", Seq.empty, "y"))
+    assert(e.getMessage.contains("undeclared"))
+  }
+
   test("ignore_na semantics: NaN poisons (default) vs skipped (stats.py:218-280)") {
     val x = c(1 -> 1.0, 2 -> Double.NaN, 3 -> 3.0)
     val poisoned = graft.operators.Stats.ticks(x, 2).sum("s").done.df.orderBy("ts")
