@@ -44,6 +44,7 @@ object SparkEntry {
   // DuckDB window spec used in every oracle
   private val W = "PARTITION BY user_id ORDER BY ts, event_id"
   private def WR(n: Int) = s"$W ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+  private val WR_ALL = s"$W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational / TPC-H-ish (scan, agg, broadcast join, top-n) ----
@@ -236,6 +237,53 @@ object SparkEntry {
     "q_ema" -> { (s, dir) => // oracle: DuckDB list_reduce replays the recurrence
       Sequential.ema(ev(s, dir), 0.2, adjust = true)
         .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("ema_v"))
+    },
+    // stateful exprtk (baselib.py:625-673): a decaying accumulator held in
+    // a state var; the oracle replays the identical left fold
+    "q_exprtk_state" -> { (s, dir) =>
+      Sequential.evalExprStateful(ev(s, dir), "A := 0.8 * A + value; A",
+        Seq("A" -> 0.0), "a")
+        .df.select(col("seq").as("event_id"), round(col("a"), 6).as("decay_v"))
+    },
+    // Kahan-compensated cumulative sum (statsimpl.h KahanSum:94): the
+    // oracle replays the exact compensation arithmetic in a struct fold
+    "q_kahan" -> { (s, dir) =>
+      Sequential.kahanCumsum(ev(s, dir), "ks")
+        .df.select(col("seq").as("event_id"), round(col("ks"), 6).as("ksum_v"))
+    },
+    // EWM variance with the W²/(W²−W₂) debias (AlphaDebiasEMA:1620): the
+    // oracle replays the four-moment recurrence; the first tick per key
+    // (denominator 0 -> NaN) is filtered identically on both sides
+    "q_ema_var" -> { (s, dir) =>
+      Sequential.emaVar(ev(s, dir), 0.2)
+        .df.filter(!isnan(col("ema_var")))
+        .select(col("seq").as("event_id"), round(col("ema_var"), 6).as("evar_v"))
+    },
+    // ema horizon (stats.py:324-355): finite-window adjusted EMA — weights
+    // (1-α)^age over the last 10 ticks, in-frame weighted fold
+    "q_ema_horizon" -> { (s, dir) =>
+      Sequential.emaHorizon(ev(s, dir), 0.2, horizon = 10)
+        .df.select(col("seq").as("event_id"), round(col("ema"), 6).as("emah_v"))
+    },
+    // dynamic snap-at-spawn (dynamic.py:120-141): each user's sub-graph
+    // spawns at their first click and captures the last purchase value
+    // as of that cycle as a per-instance constant
+    "q_dynamic_snap" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val clicks = TickStream(e.df.filter(col("event_type") === "click"))
+      val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+      graft.operators.Dynamic.snap(clicks, purchases, "s0").df
+        .filter(col("s0").isNotNull)
+        .select(col(Tick.KEY).cast(LongType).as("user_id"), col("s0")).distinct()
+    },
+    // flatten (baselib.py:494-503): all per-user streams merged into ONE
+    // logical stream; the new dense seq is the declared single-partition
+    // resequence — the oracle is a global row_number
+    "q_flatten" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val withId = TickStream(e.df.withColumn("event_id", col(Tick.SEQ)))
+      graft.operators.Baskets.flatten(withId).df
+        .select(col("event_id"), col(Tick.SEQ).as("flat_seq"))
     },
     // NaN surface of the EMA family: 'error' ticks become NaN inputs,
     // ignoreNa=true skips them in the recurrence, minDataPoints=3 gates
@@ -806,6 +854,49 @@ object SparkEntry {
         |      v -> {'n': v, 'w': CAST(1.0 AS DOUBLE)}),
         |    (a, b) -> {'n': b.n + 0.8 * a.n, 'w': b.w + 0.8 * a.w}) AS st
         |  FROM events)""".stripMargin,
+    "q_exprtk_state" ->
+      s"""SELECT event_id, round(list_reduce(
+         |  list_prepend(CAST(0.0 AS DOUBLE), list(value) OVER (${WR_ALL})),
+         |  (a, b) -> 0.8 * a + b), 6) AS decay_v FROM events""".stripMargin,
+    // exact Kahan replay: y = v - c; t = s + y; c = (t - s) - y; s = t
+    "q_kahan" ->
+      s"""SELECT event_id, round((list_reduce(
+         |  list_prepend({'s': CAST(0.0 AS DOUBLE), 'c': CAST(0.0 AS DOUBLE), 'v': CAST(0.0 AS DOUBLE)},
+         |    list_transform(list(value) OVER (${WR_ALL}),
+         |      x -> {'s': CAST(0.0 AS DOUBLE), 'c': CAST(0.0 AS DOUBLE), 'v': x})),
+         |  (a, b) -> {'s': a.s + (b.v - a.c),
+         |             'c': ((a.s + (b.v - a.c)) - a.s) - (b.v - a.c),
+         |             'v': CAST(0.0 AS DOUBLE)})).s, 6) AS ksum_v FROM events""".stripMargin,
+    "q_ema_var" ->
+      s"""SELECT event_id, round((st.n2 / st.w - (st.n / st.w) * (st.n / st.w))
+         |    * st.w * st.w / (st.w * st.w - st.w2), 6) AS evar_v
+         |FROM (
+         |  SELECT event_id, list_reduce(
+         |    list_transform(list(value) OVER (${WR_ALL}),
+         |      v -> {'n': v, 'n2': v * v, 'w': CAST(1.0 AS DOUBLE), 'w2': CAST(1.0 AS DOUBLE)}),
+         |    (a, b) -> {'n': b.n + 0.8 * a.n, 'n2': b.n2 + 0.8 * a.n2,
+         |               'w': b.w + 0.8 * a.w, 'w2': b.w2 + 0.8 * 0.8 * a.w2}) AS st
+         |  FROM events)
+         |WHERE st.w * st.w - st.w2 > 0""".stripMargin,
+    "q_ema_horizon" ->
+      s"""WITH f AS (SELECT event_id, list(value) OVER (${WR(10)}) AS fr FROM events)
+         |SELECT event_id, round(
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(0, len(fr)), i -> fr[i + 1] * pow(0.8, CAST(len(fr) - 1 - i AS DOUBLE)))),
+         |    (a, b) -> a + b)
+         |  / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(0, len(fr)), i -> pow(0.8, CAST(len(fr) - 1 - i AS DOUBLE)))),
+         |    (a, b) -> a + b), 6) AS emah_v
+         |FROM f""".stripMargin,
+    "q_dynamic_snap" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS fts FROM events
+        |  WHERE event_type = 'click' GROUP BY 1)
+        |SELECT e.user_id, arg_max(e.value, e.ts) AS s0
+        |FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts <= fc.fts
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY e.user_id""".stripMargin,
+    "q_flatten" ->
+      "SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS flat_seq FROM events",
     // BRANCH-FREE fold: k is the validity flag (0.0/1.0) and the decay
     // factor is 0.8*k + (1-k), exact in both arms (0.8*1+0.0 and
     // 0.0+1.0) — a CASE inside the reduce lambda mis-executes on full-
