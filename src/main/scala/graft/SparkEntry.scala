@@ -141,6 +141,55 @@ object SparkEntry {
       val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
       AsOf.sample(clicks, purchases).df.select(col("seq").as("event_id"), col("value"))
     },
+    // delay by TIME (baselib.py:324-352): ticks shifted one hour
+    "q_delay_time" -> { (s, dir) =>
+      ev(s, dir).delayTime(3600).df
+        .select(col("seq").as("event_id"), unix_micros(col(Tick.TS)).as("t_us"))
+    },
+    // stop_engine / until (baselib.py:535-541): per-key truncation at the
+    // stopper's first tick — here each user's stream stops at their first
+    // 'error' event
+    "q_until" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val stopper = TickStream(e.df.filter(col("event_type") === "error"))
+      e.until(stopper).df.select(col("seq").as("event_id"))
+    },
+    // struct_field (baselib.py:676-681): project a struct member, ticking
+    // only when it is set (purchases carry px, other types leave it unset)
+    "q_struct_field" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val st = TickStream(e.df.withColumn(Tick.VALUE, struct(
+        when(col("event_type") === "purchase", col(Tick.VALUE)).as("px"),
+        col("event_type").as("et"))))
+      st.structField("px", "px").df.select(col("seq").as("event_id"), col("px"))
+    },
+    // PushMode.BURST on the duplicate-timestamp fixture: same-(key, ts)
+    // ticks delivered as ONE list in cycle order
+    "q_dupts_burst" -> { (s, dir) =>
+      val e = TickStream(ev(s, dir).df
+        .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+      e.pushModeBurst.df.select(uid, col(Tick.SEQ).as("event_id"),
+        md5(concat_ws(",", col(Tick.VALUE))).as("vals_md5"))
+    },
+    // struct_collectts (baselib.py:704-709): the members that ticked at
+    // each engine time as one map tick (vs struct_fromts's snapshot)
+    "q_collectts" -> { (s, dir) =>
+      graft.operators.Baskets.structCollectTs(ev(s, dir)).df
+        .select(unix_micros(col(Tick.TS)).as("time_us"),
+          md5(concat_ws(",", transform(array_sort(map_entries(col(Tick.VALUE))),
+            e => concat_ws("=", e("key"), e("value"))))).as("m_md5"))
+    },
+    // csp.DataFrame veneer (dataframe.py:13-260): two edges outer-aligned,
+    // forward-filled, and combined with pandas-style column algebra
+    "q_frame" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val clicks = TickStream(e.df.filter(col("event_type") === "click"))
+      val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+      graft.ts.GraftFrame("c" -> clicks, "p" -> purchases).ffill()
+        .withEdge("mid", (col("c") + col("p")) / 2)
+        .where(col("c").isNotNull && col("p").isNotNull)
+        .df.select(col(Tick.SEQ).as("event_id"), round(col("mid"), 6).as("mid"))
+    },
     "q_times" -> { (s, dir) =>
       ev(s, dir).times("time_us").df.select(col("seq").as("event_id"), col("time_us"))
     },
@@ -897,6 +946,34 @@ object SparkEntry {
         |GROUP BY e.user_id""".stripMargin,
     "q_flatten" ->
       "SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS flat_seq FROM events",
+    "q_delay_time" ->
+      "SELECT event_id, epoch_us(ts + INTERVAL 1 HOUR) AS t_us FROM events",
+    "q_until" ->
+      """SELECT e.event_id FROM events e LEFT JOIN (
+        |  SELECT user_id, min(ts) AS sts FROM events WHERE event_type = 'error' GROUP BY 1) s
+        |ON e.user_id = s.user_id
+        |WHERE s.sts IS NULL OR e.ts < s.sts""".stripMargin,
+    "q_struct_field" ->
+      "SELECT event_id, value AS px FROM events WHERE event_type = 'purchase'",
+    "q_dupts_burst" ->
+      """SELECT user_id, min(event_id) AS event_id,
+        |  md5(array_to_string(list(value ORDER BY event_id), ',')) AS vals_md5
+        |FROM (SELECT user_id, date_trunc('hour', ts) AS hts, event_id, value FROM events)
+        |GROUP BY user_id, hts""".stripMargin,
+    "q_collectts" ->
+      """SELECT epoch_us(ts) AS time_us,
+        |  md5(string_agg(CAST(user_id AS VARCHAR) || '=' || CAST(value AS VARCHAR), ','
+        |    ORDER BY CAST(user_id AS VARCHAR), value)) AS m_md5
+        |FROM events GROUP BY ts""".stripMargin,
+    "q_frame" ->
+      """SELECT event_id, round((c + p) / 2.0, 6) AS mid FROM (
+        |  SELECT event_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE c IS NOT NULL AND p IS NOT NULL""".stripMargin,
     // BRANCH-FREE fold: k is the validity flag (0.0/1.0) and the decay
     // factor is 0.8*k + (1-k), exact in both arms (0.8*1+0.0 and
     // 0.0+1.0) — a CASE inside the reduce lambda mis-executes on full-
