@@ -146,6 +146,42 @@ object SparkEntry {
       ev(s, dir).delayTime(3600).df
         .select(col("seq").as("event_id"), unix_micros(col(Tick.TS)).as("t_us"))
     },
+    // values_at/times_at over a TIME range with the TimeIndexPolicy
+    // matrix (PyInputProxy.cpp:175-235) on the dup-timestamp fixture:
+    // inclusive/inclusive through now, strict interior, and the
+    // extrapolated window with boundary-clamped times
+    "q_values_at_range" -> { (s, dir) =>
+      val HOUR = 3600L * 1000000L
+      val e = TickStream(ev(s, dir).df
+        .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+      e.valuesAtRange(Some(-2 * HOUR), Some(0L), "inclusive", "inclusive", "v_ii")
+        .valuesAtRange(Some(-3 * HOUR), Some(0L), "exclusive", "exclusive", "v_xx")
+        .valuesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "v_ee")
+        .timesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "t_ee")
+        .df.select(col("seq").as("event_id"),
+          md5(concat_ws(",", col("v_ii"))).as("ii_md5"),
+          md5(concat_ws(",", col("v_xx"))).as("xx_md5"),
+          md5(concat_ws(",", col("v_ee"))).as("ee_md5"),
+          md5(concat_ws(",", col("t_ee"))).as("te_md5"))
+    },
+    // drop_dups with eps: last-EMITTED comparison (baselib.py:435-442) —
+    // a slow drift re-emits once the cumulative move reaches eps
+    "q_dropdups_eps" -> { (s, dir) =>
+      ev(s, dir).dropDups(Some(5.0)).df.select(col("seq").as("event_id"))
+    },
+    // demultiplex: one member's stream out of the keyed basket
+    "q_demux" -> { (s, dir) =>
+      ev(s, dir).demultiplex("7").df.select(col("seq").as("event_id"), col("value"))
+    },
+    // sample_basket (basketlib.py:69-97): snapshot every valid member at
+    // trigger ticks — trigger = user 0's clicks, basket = purchases
+    "q_sample_basket" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val trigger = TickStream(e.df.filter(col("event_type") === "click" && col(Tick.KEY) === "0"))
+      val basket = TickStream(e.df.filter(col("event_type") === "purchase"))
+      graft.operators.Baskets.sampleBasket(trigger, basket).df
+        .select(uid, unix_micros(col(Tick.TS)).as("t_us"), col(Tick.VALUE).as("sampled"))
+    },
     // stop_engine / until (baselib.py:535-541): per-key truncation at the
     // stopper's first tick — here each user's stream stops at their first
     // 'error' event
@@ -948,6 +984,68 @@ object SparkEntry {
       "SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS flat_seq FROM events",
     "q_delay_time" ->
       "SELECT event_id, epoch_us(ts + INTERVAL 1 HOUR) AS t_us FROM events",
+    // policy algebra replayed over the same sorted frame lists; struct
+    // sort (t, e, v) = Spark's array_sort of (t, s, v)
+    "q_values_at_range" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS t, event_id, value FROM events),
+        |w AS (
+        |  SELECT user_id, t, event_id,
+        |    list_sort(list({'t': t, 'e': event_id, 'v': value}) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cyc,
+        |    coalesce(list_sort(list({'t': t, 'e': event_id, 'v': value}) OVER (
+        |      PARTITION BY user_id ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000 PRECEDING)), []) AS rng
+        |  FROM u),
+        |p AS (
+        |  SELECT event_id, t,
+        |    list_filter(cyc, x -> x.t >= t - 7200000000) AS ii,
+        |    list_filter(cyc, x -> x.t > t - 10800000000 AND x.t < t) AS xx,
+        |    list_filter(rng, x -> x.t <= t - 7200000000) AS bef,
+        |    list_filter(rng, x -> x.t > t - 7200000000) AS aft
+        |  FROM w),
+        |q AS (
+        |  SELECT event_id, t, ii, xx,
+        |    CASE WHEN len(bef) > 0 THEN
+        |      list_concat([{'t': greatest(bef[len(bef)].t, t - 7200000000),
+        |                    'e': bef[len(bef)].e, 'v': bef[len(bef)].v}], aft)
+        |    ELSE aft END AS ee0
+        |  FROM p),
+        |r AS (
+        |  SELECT event_id, ii, xx,
+        |    CASE WHEN len(ee0) > 0 AND ee0[len(ee0)].t < t - 3600000000 THEN
+        |      list_concat(ee0, [{'t': t - 3600000000, 'e': ee0[len(ee0)].e, 'v': ee0[len(ee0)].v}])
+        |    ELSE ee0 END AS ee
+        |  FROM q)
+        |SELECT event_id,
+        |  md5(coalesce(array_to_string(list_transform(ii, x -> x.v), ','), '')) AS ii_md5,
+        |  md5(coalesce(array_to_string(list_transform(xx, x -> x.v), ','), '')) AS xx_md5,
+        |  md5(coalesce(array_to_string(list_transform(ee, x -> x.v), ','), '')) AS ee_md5,
+        |  md5(coalesce(array_to_string(list_transform(ee, x -> x.t), ','), '')) AS te_md5
+        |FROM r""".stripMargin,
+    // last-emitted recurrence replayed with a recursive walk per user
+    "q_dropdups_eps" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_id, value, rn, true AS emit, value AS prev
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.value, e.rn,
+        |    (isnan(e.value) <> isnan(w.prev) OR (NOT isnan(e.value) AND abs(e.value - w.prev) >= 5.0)) AS emit,
+        |    CASE WHEN (isnan(e.value) <> isnan(w.prev) OR (NOT isnan(e.value) AND abs(e.value - w.prev) >= 5.0))
+        |      THEN e.value ELSE w.prev END AS prev
+        |  FROM e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT event_id FROM walk WHERE emit""".stripMargin,
+    "q_demux" ->
+      "SELECT event_id, value FROM events WHERE user_id = 7",
+    "q_sample_basket" ->
+      """WITH trig AS (SELECT ts FROM events WHERE event_type = 'click' AND user_id = 0),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, epoch_us(t.ts) AS t_us, arg_max(p.value, p.ts) AS sampled
+        |FROM trig t JOIN p ON p.ts <= t.ts
+        |GROUP BY p.user_id, t.ts""".stripMargin,
     "q_until" ->
       """SELECT e.event_id FROM events e LEFT JOIN (
         |  SELECT user_id, min(ts) AS sts FROM events WHERE event_type = 'error' GROUP BY 1) s

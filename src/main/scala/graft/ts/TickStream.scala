@@ -62,21 +62,47 @@ final case class TickStream(df: DataFrame) {
     TickStream(df.withColumn(TS, col(TS) + expr(s"interval $seconds seconds")))
 
   /** csp.drop_dups (`baselib.py:424-454`): drop consecutive duplicate
-    * values; NaN-aware (consecutive NaNs are dups), optional float eps. */
-  def dropDups(eps: Option[Double] = None): TickStream = {
-    val prev = lag(VALUE, 1).over(w)
-    val cur = col(VALUE)
-    val same = eps match {
-      case Some(e) => abs(cur - prev) <= lit(e) || (isnan(cur) && isnan(prev))
-      case None =>
-        val nanSafe =
-          if (df.schema(VALUE).dataType == DoubleType || df.schema(VALUE).dataType == FloatType)
-            (cur === prev) || (isnan(cur) && isnan(prev))
-          else cur === prev
-        nanSafe
-    }
-    TickStream(df.withColumn("__dup", coalesce(same, lit(false)))
-      .filter(!col("__dup")).drop("__dup"))
+    * values; NaN-aware (consecutive NaNs are dups), optional float eps.
+    * Exact equality compares against the previous TICK (identical to the
+    * reference's last-emitted state for equality chains) — a pure window
+    * lag. The eps form is NOT: `_drop_dups_float` (baselib.py:435-442)
+    * compares against the last EMITTED value and emits at `>= eps`, so a
+    * slow drift re-emits once the cumulative move reaches eps — that
+    * state crosses dropped ticks and needs the per-key scan. */
+  def dropDups(eps: Option[Double] = None): TickStream = eps match {
+    case Some(e) => dropDupsEps(e)
+    case None =>
+      val prev = lag(VALUE, 1).over(w)
+      val cur = col(VALUE)
+      val same =
+        if (df.schema(VALUE).dataType == DoubleType || df.schema(VALUE).dataType == FloatType)
+          (cur === prev) || (isnan(cur) && isnan(prev))
+        else cur === prev
+      TickStream(df.withColumn("__dup", coalesce(same, lit(false)))
+        .filter(!col("__dup")).drop("__dup"))
+  }
+
+  private def dropDupsEps(eps: Double): TickStream = {
+    val vi = df.schema.fieldIndex(VALUE)
+    val ki = df.schema.fieldIndex(KEY)
+    val sorted = df.repartition(col(KEY)).sortWithinPartitions(col(KEY), col(TS), col(SEQ))
+    val out = sorted.mapPartitions { it =>
+      var curKey: String = null
+      var prev = Double.NaN
+      var has = false
+      it.filter { row =>
+        val k = row.getString(ki)
+        if (k != curKey) { curKey = k; has = false }
+        val v = row.getDouble(vi)
+        // baselib.py:440: emit on first tick, NaN-ness change, or
+        // |x - last_emitted| >= eps
+        val emit = !has || (v.isNaN != prev.isNaN) ||
+          (!v.isNaN && math.abs(v - prev) >= eps)
+        if (emit) { prev = v; has = true }
+        emit
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+    TickStream(out)
   }
 
   /** csp.drop_nans (`baselib.py:457-461`). */
@@ -337,6 +363,113 @@ final case class TickStream(df: DataFrame) {
     requireWithinPolicy(n)
     TickStream(df.withColumn(as, collect_list(
       struct(unix_micros(col(TS)).as("t"), col(VALUE).as("v"))).over(wRows(n))))
+  }
+
+  // ---- range history access (builtin_functions.py:196-269;
+  // PyInputProxy.cpp computeStartIndex/computeEndIndex:175-235,
+  // NumpyConversions.h adjustStartAndEndTime:173-192). values_at/
+  // times_at/items_at with a [now+start, now+end] TIME window and
+  // TimeIndexPolicy per boundary:
+  //   INCLUSIVE    — ticks at the boundary time are in;
+  //   EXCLUSIVE    — strictly inside the boundary;
+  //   EXTRAPOLATE  — start: the LAST tick at-or-before the boundary is
+  //                  prepended (LAST_VALUE dup rule) with its reported
+  //                  time clamped UP to the boundary; end: when no tick
+  //                  sits exactly at the boundary, the value in effect
+  //                  there is appended, stamped at the boundary (the
+  //                  reference's csp.const window test yields [5, 5]
+  //                  with times [start, end] exactly this way). ----
+
+  /** The (t: epoch µs, s, v) structs of the requested range, ascending.
+    * One window collect + higher-order filters — the policy algebra runs
+    * per row inside codegen'd array expressions, not extra frames. */
+  private def rangeItems(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
+                         startPolicy: String, endPolicy: String): Column = {
+    val pols = Seq("inclusive", "exclusive", "extrapolate")
+    require(pols.contains(startPolicy) && pols.contains(endPolicy),
+      s"unknown TimeIndexPolicy ($startPolicy/$endPolicy); one of $pols")
+    val e = endDeltaMicros.getOrElse(0L)
+    require(e <= 0, s"end offset must be non-positive, got $e")
+    startDeltaMicros.foreach(sd => require(sd <= e,
+      s"start offset $sd must come before end offset $e"))
+    val t = unix_micros(col(TS))
+    // e == 0: the window's end is the CURRENT cycle — rows frame, so
+    // later same-timestamp cycles stay invisible (engine parity); e < 0:
+    // the target is strictly past, a range frame is cycle-safe
+    val frame =
+      if (e == 0) w.rowsBetween(Window.unboundedPreceding, 0)
+      else Window.partitionBy(KEY).orderBy(t).rangeBetween(Window.unboundedPreceding, e)
+    // array_sort orders dup-timestamp ticks by cycle (t, then seq) —
+    // collect_list's intra-frame order is not guaranteed for ties.
+    // coalesce: an EMPTY frame (all ticks newer than the window end)
+    // yields null from the window aggregate — the API contract is an
+    // empty list, like the reference's empty ndarray
+    val emptyTyped = filter(
+      array(struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))), _ => lit(false))
+    val lst = coalesce(array_sort(collect_list(
+      struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))).over(frame)), emptyTyped)
+    val endT = t + lit(e)
+    val endKept = endPolicy match {
+      case "exclusive" => filter(lst, x => x("t") < endT)
+      case _ => lst // the frame itself ends at-or-before endT
+    }
+    val withStart = startDeltaMicros match {
+      case None => endKept // "from the start"
+      case Some(sd) =>
+        val startT = t + lit(sd)
+        startPolicy match {
+          case "inclusive" => filter(endKept, x => x("t") >= startT)
+          case "exclusive" => filter(endKept, x => x("t") > startT)
+          case "extrapolate" =>
+            val before = filter(endKept, x => x("t") <= startT)
+            val last = element_at(before, -1)
+            val prefix = when(size(before) > 0,
+              array(struct(greatest(last("t"), startT).as("t"),
+                last("s").as("s"), last("v").as("v"))))
+              .otherwise(slice(endKept, lit(1), lit(0))) // typed empty
+            concat(prefix, filter(endKept, x => x("t") > startT))
+        }
+    }
+    if (endPolicy == "extrapolate") {
+      val lastE = element_at(withStart, -1)
+      when(size(withStart) > 0 && lastE("t") < endT,
+        concat(withStart, array(struct(endT.as("t"), lastE("s").as("s"), lastE("v").as("v")))))
+        .otherwise(withStart)
+    } else withStart
+  }
+
+  /** csp.values_at(x, start, end, start_policy, end_policy) over a TIME
+    * range (offsets in µs ≤ 0; None start = from the beginning, None
+    * end = through the current cycle). */
+  def valuesAtRange(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
+                    startPolicy: String = "inclusive", endPolicy: String = "inclusive",
+                    as: String = "values_at"): TickStream =
+    TickStream(df.withColumn(as, transform(
+      rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy), _("v"))))
+
+  /** csp.times_at over the same range — epoch µs, boundary-clamped under
+    * EXTRAPOLATE exactly as the reference reports them. */
+  def timesAtRange(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
+                   startPolicy: String = "inclusive", endPolicy: String = "inclusive",
+                   as: String = "times_at"): TickStream =
+    TickStream(df.withColumn(as, transform(
+      rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy), _("t"))))
+
+  /** csp.items_at over the same range — (t, v) structs, one pass. */
+  def itemsAtRange(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
+                   startPolicy: String = "inclusive", endPolicy: String = "inclusive",
+                   as: String = "items_at"): TickStream =
+    TickStream(df.withColumn(as, transform(
+      rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy),
+      x => struct(x("t").as("t"), x("v").as("v")))))
+
+  /** csp.values_at(x, startIdx, endIdx) by TICK index (both ≤ 0; e.g.
+    * (-3, -1) = third-last through last-but-one), ascending. */
+  def valuesAtIndexRange(startIdx: Int, endIdx: Int, as: String = "values_at"): TickStream = {
+    require(startIdx <= endIdx && endIdx <= 0, s"bad index range [$startIdx, $endIdx]")
+    requireWithinPolicy(-startIdx + 1)
+    TickStream(df.withColumn(as,
+      collect_list(col(VALUE)).over(w.rowsBetween(startIdx, endIdx))))
   }
 
   // ---- struct ops (§2.3) ----

@@ -156,6 +156,54 @@ class HistorySpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("v0") == 2.0)
   }
 
+  test("values_at time range: TimeIndexPolicy matrix (PyInputProxy.cpp:175-235, test_history.py:268-545)") {
+    // dup-timestamp fixture: (1s,1) (2s,2) (3s,3) (3s,31) (3s,32) (4s,4) (5s,5)
+    def sec(i: Int) = s"2020-01-01 00:00:0$i"
+    val x = TickStream(Sources.curve(spark, "k", Seq(
+      sec(1) -> 1.0, sec(2) -> 2.0, sec(3) -> 3.0, sec(3) -> 31.0,
+      sec(3) -> 32.0, sec(4) -> 4.0, sec(5) -> 5.0)).df)
+    val S = 1000000L
+    def lastVals(ts: graft.ts.TickStream, c: String): Seq[Double] = {
+      val r = ts.df.orderBy("ts", "seq").collect().last
+      r.getAs[scala.collection.Seq[Double]](c).toSeq
+    }
+    // at the 5s tick:
+    assert(lastVals(x.valuesAtRange(Some(-4 * S), Some(0L)), "values_at") ==
+      Seq(1.0, 2.0, 3.0, 31.0, 32.0, 4.0, 5.0))               // inclusive both
+    assert(lastVals(x.valuesAtRange(Some(-4 * S), Some(0L),
+      "exclusive", "exclusive"), "values_at") ==
+      Seq(2.0, 3.0, 31.0, 32.0, 4.0))                          // strict interior
+    // extrapolate start: only the LAST dup at the boundary survives
+    // (LAST_VALUE rule — test_history.py:530 expects [38, 39, 40] there)
+    assert(lastVals(x.valuesAtRange(Some(-2 * S), Some(0L),
+      "extrapolate", "extrapolate"), "values_at") == Seq(32.0, 4.0, 5.0))
+    assert(lastVals(x.valuesAtRange(Some(-3 * S), Some(-1 * S),
+      "extrapolate", "extrapolate"), "values_at") ==
+      Seq(2.0, 3.0, 31.0, 32.0, 4.0))                          // exact end: no pad
+    // None bounds: from the start / through now
+    assert(lastVals(x.valuesAtRange(None, None), "values_at").size == 7)
+    // csp.const window (test_history.py:494-497): a single old tick with
+    // both boundaries extrapolated -> [v, v] with times [start, end]
+    val c2 = TickStream(Sources.curve(spark, "k",
+      Seq(sec(1) -> 5.0, sec(5) -> 7.0)).df)
+    val r2 = c2.valuesAtRange(Some(-3 * S), Some(-1 * S), "extrapolate", "extrapolate")
+      .timesAtRange(Some(-3 * S), Some(-1 * S), "extrapolate", "extrapolate")
+      .df.orderBy("ts", "seq").collect().last
+    // window [2s, 4s] at now=5s: value in effect over the whole window is
+    // the 1s tick -> [5.0 clamped to 2s, 5.0 padded at 4s]
+    assert(r2.getAs[scala.collection.Seq[Double]]("values_at").toSeq == Seq(5.0, 5.0))
+    assert(r2.getAs[scala.collection.Seq[Long]]("times_at").toSeq ==
+      Seq(java.sql.Timestamp.valueOf(sec(2)).getTime * 1000L,
+        java.sql.Timestamp.valueOf(sec(4)).getTime * 1000L))
+    // items_at == zip(times_at, values_at) on the same policies
+    val itRow = x.itemsAtRange(Some(-2 * S), Some(0L), "extrapolate", "extrapolate")
+      .df.orderBy("ts", "seq").collect().last
+    val it = itRow.getSeq[org.apache.spark.sql.Row](itRow.fieldIndex("items_at"))
+    assert(it.map(_.getDouble(1)) == Seq(32.0, 4.0, 5.0))
+    // index range: (-3, -1) = third-last..last-but-one, ascending
+    assert(lastVals(x.valuesAtIndexRange(-3, -1), "values_at") == Seq(31.0, 32.0, 4.0))
+  }
+
   test("buffering policy: declared retention bounds history requests (builtin_functions.py:271-283)") {
     val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0).withBufferPolicy(3)
     assert(x.bufferPolicy.contains(3L))

@@ -218,6 +218,18 @@ class OperatorsSpec extends AnyFunSuite {
     val x = c(1 -> 1.0, 2 -> 1.0000001, 3 -> 1.5, 4 -> 1.5000001)
     assert(x.dropDups(eps = Some(1e-6)).run().map(_._2) == Seq(1.0, 1.5))
     assert(x.dropDups().run().map(_._2).size == 4) // exact compare keeps all
+    // _drop_dups_float compares against the last EMITTED value, so a slow
+    // drift re-emits once the cumulative move reaches eps (and the
+    // boundary is >=, not >) — baselib.py:435-442
+    val drift = c(1 -> 1.0, 2 -> 1.4, 3 -> 1.8)
+    assert(drift.dropDups(eps = Some(0.5)).run().map(_._2) == Seq(1.0, 1.8))
+    val boundary = c(1 -> 1.0, 2 -> 1.5)
+    assert(boundary.dropDups(eps = Some(0.5)).run().map(_._2) == Seq(1.0, 1.5))
+    // NaN-ness change always emits; consecutive NaNs are dups
+    val nan = c(1 -> 1.0, 2 -> Double.NaN, 3 -> Double.NaN, 4 -> 1.0)
+    val out = nan.dropDups(eps = Some(0.5)).run().map(_._2)
+    assert(out.length == 3 && out(0) == 1.0 &&
+      out(1).asInstanceOf[Double].isNaN && out(2) == 1.0)
   }
 
   test("emaHalflife: equal spacing halves weight per step") {
