@@ -361,6 +361,19 @@ object SparkEntry {
         .filter(col("s0").isNotNull)
         .select(col(Tick.KEY).cast(LongType).as("user_id"), col("s0")).distinct()
     },
+    // Product-quantization ANN: iters=0 codebook (= first-8 subvectors,
+    // fully SQL-replayable), encode to 4 codes/vector, ADC top-5 — every
+    // distance a sequential lane fold, bit-identical to the oracle
+    "q_pq_knn" -> { (s, dir) =>
+      val emb = Sources.table(s, dir, "embeddings")
+        .select(col("vec_id"), transform(slice(col("embedding"), 1, 16), _.cast("double")).as("embedding"))
+      val books = graft.llm.Pq.buildCodebooks(emb, m = 4, k = 8, iters = 0, dim = 16)
+      val enc = graft.llm.Pq.encode(emb, books)
+      val queries = emb.filter(col("vec_id") < 3)
+      graft.llm.Pq.adcTopK(queries, enc, books, kNN = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("dist"), 6).as("dist"))
+    },
     // flatten (baselib.py:494-503): all per-user streams merged into ONE
     // logical stream; the new dense seq is the declared single-partition
     // resequence — the oracle is a global row_number
@@ -1040,6 +1053,38 @@ object SparkEntry {
         |SELECT event_id FROM walk WHERE emit""".stripMargin,
     "q_demux" ->
       "SELECT event_id, value FROM events WHERE user_id = 7",
+    // PQ replay: codebook = first-8 subvectors; per-(vector, subspace)
+    // argmin via struct min over bit-identical fold distances; ADC sum
+    // folds the per-subspace lookups in subspace order
+    "q_pq_knn" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |cbv AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e
+        |  FROM (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 8)),
+        |dists AS (
+        |  SELECT b.vec_id, s.s, c.j,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(0, 4),
+        |        i -> (b.e[s.s * 4 + i + 1] - c.e[s.s * 4 + i + 1]) * (b.e[s.s * 4 + i + 1] - c.e[s.s * 4 + i + 1]))),
+        |      (a, x) -> a + x) AS d
+        |  FROM base b, range(0, 4) s(s), cbv c),
+        |codes AS (
+        |  SELECT vec_id, s, (min({'d': d, 'j': j})).j AS code FROM dists GROUP BY vec_id, s),
+        |scores AS (
+        |  SELECT qd.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list({'s': n.s, 'd': qd.d})), x -> x.d)),
+        |      (a, x) -> a + x) AS dist
+        |  FROM codes n
+        |  JOIN dists qd ON qd.s = n.s AND qd.j = n.code
+        |  WHERE qd.vec_id < 3 AND n.vec_id <> qd.vec_id
+        |  GROUP BY qd.vec_id, n.vec_id)
+        |SELECT query_id, neighbor_id, rk, round(dist, 6) AS dist FROM (
+        |  SELECT query_id, neighbor_id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+        |  FROM scores)
+        |WHERE rk <= 5""".stripMargin,
     "q_sample_basket" ->
       """WITH trig AS (SELECT ts FROM events WHERE event_type = 'click' AND user_id = 0),
         |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization (PQ) for embedding compression + ANN — the
+  * third leg of the similarity-search scale story next to SRP-LSH
+  * (Similarity) and IVF (Ivf): split each d-dim vector into `m`
+  * subspaces, k-means each subspace to `k` centroids, and store each
+  * vector as `m` small codes. At 100 TB this is the difference between
+  * 3 KB/vector of floats and `m` bytes/vector (768-dim float32 → 96
+  * bytes at m=96, 32×), with query scoring done against the CODES via
+  * an asymmetric distance table (ADC) — one broadcast lookup table per
+  * query, no decompression, no full-vector reads.
+  *
+  * Everything is deterministic (init = subvectors of the first `k`
+  * corpus vectors by id; per-lane Lloyd averages through DECIMAL sums,
+  * same discipline as [[Ivf]]), and every distance is a SEQUENTIAL
+  * left fold in lane order — bit-reproducible and SQL-replayable.
+  */
+object Pq {
+
+  /** Codebooks: m × k × (d/m) centroid table, small enough to live in
+    * the plan (typedlit) — the 100 TB shape broadcasts it to every
+    * encode/scoring task. */
+  final case class Codebooks(m: Int, dsub: Int, cb: Seq[Seq[Seq[Double]]])
+
+  private def dbl(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Squared L2 between a subvector slice of `v` (subspace s) and a
+    * centroid literal — sequential fold in lane order. */
+  private def subDist(v: Column, s: Int, dsub: Int, cent: Seq[Double]): Column = {
+    val centLit = typedlit(cent)
+    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+      val a = element_at(v, lit(s * dsub) + i + 1).cast("double")
+      val c = element_at(centLit, i + 1)
+      acc + (a - c) * (a - c)
+    })
+  }
+
+  /** Deterministic PQ codebooks: per subspace, init = the first `k`
+    * vectors' subvectors (by id order), `iters` Lloyd refinements with
+    * DECIMAL lane sums. iters=0 keeps the init — fully SQL-replayable. */
+  def buildCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 2,
+                     id: String = "vec_id", vec: String = "embedding",
+                     dim: Int = 0): Codebooks = {
+    val d = if (dim > 0) dim else corpus.select(size(col(vec))).head().getInt(0)
+    require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    val init: Seq[Seq[Seq[Double]]] = {
+      val rows = corpus.orderBy(col(id)).limit(k)
+        .select(dbl(slice(col(vec), 1, d))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until m).map(s => rows.toSeq.map(r => r.slice(s * dsub, (s + 1) * dsub).toSeq))
+    }
+    var cb = init
+    (1 to iters).foreach { _ =>
+      // ONE corpus pass refines every subspace: explode (subspace,
+      // assigned code, lane, value), aggregate decimal lane sums
+      val assigns = encode(corpus, Codebooks(m, dsub, cb), id, vec)
+        .join(corpus.select(col(id), col(vec)), id)
+      val lanes = assigns.select(posexplode(col("codes")).as(Seq("s", "code")), col(vec))
+        .select(col("s"), col("code"), posexplode(
+          transform(sequence(lit(0), lit(dsub - 1)),
+            i => element_at(col(vec), col("s") * dsub + i + 1).cast("double"))))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(38, 18))).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = lanes.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = (0 until m).map(s => (0 until k).map { j =>
+        byCell.get((s, j)) match {
+          case None => cb(s)(j) // empty cell keeps its centroid
+          case Some(rows) =>
+            val v = cb(s)(j).toArray
+            rows.foreach { r =>
+              v(r.getInt(2)) = r.getDecimal(3)
+                .divide(java.math.BigDecimal.valueOf(r.getLong(4)),
+                  18, java.math.RoundingMode.HALF_EVEN).doubleValue()
+            }
+            v.toSeq
+        }
+      })
+    }
+    Codebooks(m, dsub, cb)
+  }
+
+  /** Encode the corpus: (id, codes[m]) — per subspace, the argmin-L2
+    * centroid (strict <, so ties take the LOWEST code; deterministic).
+    * Map-side only: the codebook rides the plan, no shuffle. */
+  def encode(corpus: DataFrame, books: Codebooks,
+             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val codeCols: Seq[Column] = (0 until books.m).map { s =>
+      val k = books.cb(s).size
+      // fold over candidate codes: keep (bestDist, bestCode)
+      val best = (0 until k).foldLeft(struct(lit(Double.MaxValue).as("d"), lit(-1).as("j"))) {
+        (acc, j) =>
+          val d = subDist(col(vec), s, books.dsub, books.cb(s)(j))
+          when(d < acc.getField("d"), struct(d.as("d"), lit(j).as("j"))).otherwise(acc)
+      }
+      best.getField("j")
+    }
+    corpus.select(col(id), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: per query, a lookup table (distance from the query's
+    * subvector to every centroid, per subspace) is computed ONCE and
+    * broadcast with the query; each encoded vector scores as the SUM of
+    * m table lookups — never touching the original floats. Returns
+    * (query_id, neighbor_id, rk, dist). */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, books: Codebooks, kNN: Int,
+              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val k = books.cb.head.size
+    // lut[s] = array of k distances for subspace s
+    val lutCols: Seq[Column] = (0 until books.m).map { s =>
+      array((0 until k).map(j => subDist(col(vec), s, books.dsub, books.cb(s)(j))): _*)
+    }
+    val q = queries.select(col(id).as("query_id"), array(lutCols: _*).as("__lut"))
+    // score = sequential fold over subspaces of lut[s][code[s]]
+    val score = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+    broadcast(q).join(encoded.select(col(id).as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rk") <= kNN)
+      .select("query_id", "neighbor_id", "rk", "dist")
+  }
+}

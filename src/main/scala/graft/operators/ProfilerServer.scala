@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Live profiler view (reference `csp/profiler.py:457-511`:
+  * `Profiler(http_port=...)` serves per-node exec stats over HTTP while
+  * the graph runs). The Spark twin: [[Profiler.profile]] collects the
+  * per-operator metrics (Spark's own instrumentation — what csp's engine
+  * hooks count by hand); this server publishes the recorded profiles on
+  * an embedded JDK HttpServer, no extra dependency. The Spark UI remains
+  * the deep view; this is the csp-parity surface: one URL with the
+  * node-level table (`/`) and machine-readable metrics
+  * (`/metrics.json`).
+  */
+final class ProfilerServer private (server: HttpServer) {
+
+  @volatile private var profiles: List[(String, Profiler.Profile)] = Nil
+
+  /** Record a profile under a name — shown immediately on the page. */
+  def record(name: String, p: Profiler.Profile): Unit =
+    profiles = ((name, p) :: profiles).take(ProfilerServer.MaxProfiles)
+
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def metricsJson: String = {
+    val ps = profiles.map { case (name, p) =>
+      val nodes = p.nodes.map { n =>
+        val ms = n.metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsonStr(k)}: $v" }.mkString(", ")
+        s"""{"node": ${jsonStr(n.node)}, "metrics": {$ms}}"""
+      }.mkString(", ")
+      s"""{"name": ${jsonStr(name)}, "rows": ${p.rows}, "wallNanos": ${p.wallNanos},
+         |"numOperators": ${p.numOperators}, "totalOutputRows": ${p.totalOutputRows},
+         |"nodes": [$nodes]}""".stripMargin.replace("\n", " ")
+    }
+    s"""{"profiles": [${ps.mkString(", ")}]}"""
+  }
+
+  private def indexHtml: String = {
+    val body = profiles.map { case (name, p) =>
+      val rows = p.nodes.map { n =>
+        val ms = n.metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${esc(k)}=$v" }.mkString(", ")
+        s"<tr><td>${esc(n.node)}</td><td>$ms</td></tr>"
+      }.mkString("\n")
+      f"""<h2>${esc(name)}</h2>
+         |<p>rows=${p.rows} wall=${p.wallNanos / 1e9}%.3fs operators=${p.numOperators}
+         |output-rows=${p.totalOutputRows}</p>
+         |<table border="1" cellpadding="4"><tr><th>operator</th><th>metrics</th></tr>
+         |$rows</table>""".stripMargin
+    }.mkString("\n<hr/>\n")
+    s"""<!DOCTYPE html><html><head><title>graft profiler</title></head>
+       |<body><h1>graft profiler</h1>
+       |${if (profiles.isEmpty) "<p>No profiler info available...</p>" else body}
+       |</body></html>""".stripMargin
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (code, body, ctype) = ex.getRequestURI.getPath match {
+      case "/metrics.json" => (200, metricsJson, "application/json")
+      case "/" | "/index.html" => (200, indexHtml, "text/html; charset=utf-8")
+      case _ => (404, "not found", "text/plain")
+    }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
+
+object ProfilerServer {
+  private val MaxProfiles = 100
+
+  /** Start on `port` (0 = ephemeral; read back via `.port`). */
+  def start(port: Int = 0): ProfilerServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val ps = new ProfilerServer(server)
+    server.createContext("/", (ex: HttpExchange) => ps.handle(ex))
+    server.setExecutor(null) // serve on the dispatch thread; monitoring load only
+    server.start()
+    ps
+  }
+
+  /** Convenience: profile a frame and publish it in one call. */
+  def profileAndRecord(ps: ProfilerServer, name: String,
+                       df: org.apache.spark.sql.DataFrame): Profiler.Profile = {
+    val p = Profiler.profile(df)
+    ps.record(name, p)
+    p
+  }
+}

@@ -57,6 +57,34 @@ class AdapterSpec extends AnyFunSuite {
     assert(p.nodes.exists(_.node.toLowerCase.contains("scan")))
   }
 
+  test("profiler live HTTP view (profiler.py:457-511)") {
+    val ps = graft.operators.ProfilerServer.start()
+    try {
+      val p = graft.operators.ProfilerServer.profileAndRecord(ps, "mean5",
+        Stats.ticks(graft.ts.Sources.events(spark, TestSpark.sf), 5).mean().done.df)
+      assert(p.rows == 1000L)
+      def get(path: String): String = {
+        val url = new java.net.URI(s"http://127.0.0.1:${ps.port}$path").toURL
+        val in = url.openStream()
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      val json = get("/metrics.json")
+      assert(json.contains("\"name\": \"mean5\"") && json.contains("\"rows\": 1000"))
+      assert(json.contains("number of output rows") || json.contains("nodes"))
+      val html = get("/")
+      assert(html.contains("graft profiler") && html.contains("mean5"))
+      // empty-state page after a fresh server, like the reference's
+      // "No profiler info available..."
+      val ps2 = graft.operators.ProfilerServer.start()
+      try {
+        val url = new java.net.URI(s"http://127.0.0.1:${ps2.port}/").toURL
+        val in = url.openStream()
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        assert(s.contains("No profiler info available"))
+      } finally ps2.stop()
+    } finally ps.stop()
+  }
+
   test("basket ⇄ vector conversion (stats.py:195-210)") {
     val basket = TickStream(c("a", 1 -> 1.0, 2 -> 2.0).df
       .unionByName(c("b", 1 -> 10.0).df))
