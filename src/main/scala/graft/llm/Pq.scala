@@ -93,13 +93,14 @@ object Pq {
              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val codeCols: Seq[Column] = (0 until books.m).map { s =>
       val k = books.cb(s).size
-      // fold over candidate codes: keep (bestDist, bestCode)
-      val best = (0 until k).foldLeft(struct(lit(Double.MaxValue).as("d"), lit(-1).as("j"))) {
-        (acc, j) =>
-          val d = subDist(col(vec), s, books.dsub, books.cb(s)(j))
-          when(d < acc.getField("d"), struct(d.as("d"), lit(j).as("j"))).otherwise(acc)
-      }
-      best.getField("j")
+      // argmin via array_min over (dist, code) structs — struct ordering
+      // gives min dist with ties to the LOWEST code, and the expression
+      // stays LINEAR in k (a fold of when(d < acc.d, ...) duplicates the
+      // accumulator per step — exponential codegen, measured seconds of
+      // JIT per task at k=8)
+      array_min(array((0 until k).map(j =>
+        struct(subDist(col(vec), s, books.dsub, books.cb(s)(j)).as("d"),
+          lit(j).as("j"))): _*)).getField("j")
     }
     corpus.select(col(id), array(codeCols: _*).as("codes"))
   }

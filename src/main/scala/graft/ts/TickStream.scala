@@ -342,6 +342,22 @@ final case class TickStream(df: DataFrame) {
     TickStream(df.withColumn(as, default.fold(v)(dv => coalesce(v, dv))))
   }
 
+  /** csp.time_at(x, index): time (epoch µs) `n` ticks ago. */
+  def timeAt(n: Int, as: String = "time_at",
+             default: Option[Column] = None): TickStream = {
+    requireWithinPolicy(n + 1)
+    val t = lag(unix_micros(col(TS)), n).over(w)
+    TickStream(df.withColumn(as, default.fold(t)(d => coalesce(t, d))))
+  }
+
+  /** csp.item_at(x, index): (t, v) of the tick `n` back — one lag of a
+    * struct, the "same but faster" contract. */
+  def itemAt(n: Int, as: String = "item_at"): TickStream = {
+    requireWithinPolicy(n + 1)
+    TickStream(df.withColumn(as,
+      lag(struct(unix_micros(col(TS)).as("t"), col(VALUE).as("v")), n).over(w)))
+  }
+
   /** csp.values_at(x): last `n` values (oldest→newest) as a list. */
   def valuesAt(n: Int, as: String = "values_at"): TickStream = {
     requireWithinPolicy(n)
@@ -393,21 +409,27 @@ final case class TickStream(df: DataFrame) {
     startDeltaMicros.foreach(sd => require(sd <= e,
       s"start offset $sd must come before end offset $e"))
     val t = unix_micros(col(TS))
-    // e == 0: the window's end is the CURRENT cycle — rows frame, so
-    // later same-timestamp cycles stay invisible (engine parity); e < 0:
-    // the target is strictly past, a range frame is cycle-safe
-    val frame =
-      if (e == 0) w.rowsBetween(Window.unboundedPreceding, 0)
-      else Window.partitionBy(KEY).orderBy(t).rangeBetween(Window.unboundedPreceding, e)
+    // The collect frame is BOUNDED below at the window start (None =
+    // from the beginning, the semantic ask): an unbounded frame would
+    // carry the whole per-key history in every row's list — O(n²) per
+    // key, measured 43 s vs ~1 s at sf0.1. The EXTRAPOLATE prefix (one
+    // tick from before the window) comes from a SEPARATE O(1)
+    // max-struct aggregate, never a list.
+    val tickStruct = struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))
+    val frame = Window.partitionBy(KEY).orderBy(t)
+      .rangeBetween(startDeltaMicros.getOrElse(Window.unboundedPreceding), e)
     // array_sort orders dup-timestamp ticks by cycle (t, then seq) —
     // collect_list's intra-frame order is not guaranteed for ties.
-    // coalesce: an EMPTY frame (all ticks newer than the window end)
-    // yields null from the window aggregate — the API contract is an
-    // empty list, like the reference's empty ndarray
-    val emptyTyped = filter(
-      array(struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))), _ => lit(false))
-    val lst = coalesce(array_sort(collect_list(
-      struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))).over(frame)), emptyTyped)
+    // coalesce: an EMPTY frame yields null from the window aggregate —
+    // the API contract is an empty list, like the reference's ndarray
+    val emptyTyped = filter(array(tickStruct), _ => lit(false))
+    val lst0 = coalesce(array_sort(collect_list(tickStruct).over(frame)), emptyTyped)
+    // e == 0: the window end is the CURRENT cycle — range frames include
+    // ALL peers at the current timestamp, so later same-ts cycles must
+    // be filtered out by (t, seq) for engine parity
+    val lst =
+      if (e == 0) filter(lst0, x => x("t") < t || (x("t") === t && x("s") <= col(SEQ)))
+      else lst0
     val endT = t + lit(e)
     val endKept = endPolicy match {
       case "exclusive" => filter(lst, x => x("t") < endT)
@@ -418,15 +440,25 @@ final case class TickStream(df: DataFrame) {
       case Some(sd) =>
         val startT = t + lit(sd)
         startPolicy match {
-          case "inclusive" => filter(endKept, x => x("t") >= startT)
+          case "inclusive" => endKept // the frame starts at startT
           case "exclusive" => filter(endKept, x => x("t") > startT)
           case "extrapolate" =>
-            val before = filter(endKept, x => x("t") <= startT)
-            val last = element_at(before, -1)
-            val prefix = when(size(before) > 0,
-              array(struct(greatest(last("t"), startT).as("t"),
-                last("s").as("s"), last("v").as("v"))))
-              .otherwise(slice(endKept, lit(1), lit(0))) // typed empty
+            // the value in effect AT the window start: last tick with
+            // ts <= startT (LAST_VALUE dup rule), time clamped up —
+            // a constant-size aggregate over (unbounded, startT]
+            val beforeFrame = Window.partitionBy(KEY).orderBy(t)
+              .rangeBetween(Window.unboundedPreceding, sd)
+            val bm0 = max(tickStruct).over(beforeFrame)
+            // sd == 0: the boundary IS the current cycle — restrict the
+            // candidates to this cycle via the already-filtered list
+            val bm = if (sd == 0) element_at(filter(lst, x => x("t") <= startT), -1) else bm0
+            val prefixOk =
+              if (endPolicy == "exclusive") bm.isNotNull && greatest(bm("t"), startT) < endT
+              else bm.isNotNull
+            val prefix = when(prefixOk,
+              array(struct(greatest(bm("t"), startT).as("t"),
+                bm("s").as("s"), bm("v").as("v"))))
+              .otherwise(emptyTyped)
             concat(prefix, filter(endKept, x => x("t") > startT))
         }
     }

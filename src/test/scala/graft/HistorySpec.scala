@@ -21,6 +21,15 @@ class HistorySpec extends AnyFunSuite {
       Seq(None, Some(1.0), Some(2.0)))
     assert(rows.map(_.getAs[scala.collection.Seq[Double]]("values_at").toList).toSeq ==
       Seq(List(1.0), List(1.0, 2.0), List(2.0, 3.0)))
+    // time_at / item_at index forms: tick n back, with default fill
+    val ti = x.timeAt(1, "t1", default = Some(lit(-1L))).itemAt(1, "i1")
+      .df.orderBy("ts").collect()
+    val d1 = java.sql.Timestamp.valueOf(day(1)).getTime * 1000L
+    assert(ti(0).getAs[Long]("t1") == -1L)
+    assert(ti(1).getAs[Long]("t1") == d1)
+    val item = ti(2).getStruct(ti(2).fieldIndex("i1"))
+    assert(item.getLong(0) == java.sql.Timestamp.valueOf(day(2)).getTime * 1000L
+      && item.getDouble(1) == 2.0)
   }
 
   test("PushModes on duplicate timestamps (test_engine.py:775-806)") {
