@@ -105,6 +105,15 @@ object Pq {
     corpus.select(col(id), array(codeCols: _*).as("codes"))
   }
 
+  /** lut[s] = array of k distances from `v`'s subspace-s slice to every
+    * centroid — the per-query ADC table. */
+  private def lut(v: Column, books: Codebooks): Column = {
+    val k = books.cb.head.size
+    array((0 until books.m).map { s =>
+      array((0 until k).map(j => subDist(v, s, books.dsub, books.cb(s)(j))): _*)
+    }: _*)
+  }
+
   /** ADC top-k: per query, a lookup table (distance from the query's
     * subvector to every centroid, per subspace) is computed ONCE and
     * broadcast with the query; each encoded vector scores as the SUM of
@@ -112,17 +121,59 @@ object Pq {
     * (query_id, neighbor_id, rk, dist). */
   def adcTopK(queries: DataFrame, encoded: DataFrame, books: Codebooks, kNN: Int,
               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val k = books.cb.head.size
-    // lut[s] = array of k distances for subspace s
-    val lutCols: Seq[Column] = (0 until books.m).map { s =>
-      array((0 until k).map(j => subDist(col(vec), s, books.dsub, books.cb(s)(j))): _*)
-    }
-    val q = queries.select(col(id).as("query_id"), array(lutCols: _*).as("__lut"))
+    val q = queries.select(col(id).as("query_id"), lut(col(vec), books).as("__lut"))
     // score = sequential fold over subspaces of lut[s][code[s]]
     val score = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
     broadcast(q).join(encoded.select(col(id).as("neighbor_id"), col("codes")),
         col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rk") <= kNN)
+      .select("query_id", "neighbor_id", "rk", "dist")
+  }
+
+  /** IVF-PQ index: the coarse quantizer routes queries to cells, PQ
+    * codes score within them — the standard billion-scale ANN layout
+    * (coarse cells bound the scan, codes bound the bytes). `cells`
+    * carries (id, cell, codes); persist/write it bucketed by cell. */
+  final case class IvfPqIndex(centroids: DataFrame, books: Codebooks, cells: DataFrame)
+
+  /** Build the composed index in two corpus passes (cell assignment via
+    * [[Ivf.buildIndex]], codes via [[encode]] — both map-side after the
+    * small Lloyd aggregates). */
+  def buildIvfPqIndex(corpus: DataFrame, kCells: Int, m: Int, k: Int,
+                      cellIters: Int = 2, pqIters: Int = 2,
+                      id: String = "vec_id", vec: String = "embedding",
+                      dim: Int = 0): IvfPqIndex = {
+    val ivf = Ivf.buildIndex(corpus, kCells, cellIters, id, vec)
+    val books = buildCodebooks(corpus, m, k, pqIters, id, vec, dim)
+    val cells = graft.util.Caching.barrier(
+      ivf.cells.join(encode(corpus, books, id, vec), id))
+    IvfPqIndex(ivf.centroids, books, cells)
+  }
+
+  /** IVF-PQ top-k: probe the `nprobe` max-cosine cells per query (as
+    * [[Ivf.topK]]), then ADC-score ONLY the codes in those cells — the
+    * scan is |corpus| · nprobe / kCells encoded rows, each m byte
+    * lookups. Queries broadcast with their LUTs; with cell-bucketed
+    * storage the probe is a pruned scan, no shuffle. */
+  def ivfAdcTopK(queries: DataFrame, index: IvfPqIndex, kNN: Int, nprobe: Int = 4,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val books = index.books
+    val qProbes = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("sim", graft.functions.VectorExprs.cosineSim(col("__qv"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("cell"), lut(col("__qv"), books).as("__lut"))
+    val score = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+    broadcast(qProbes)
+      .join(index.cells.select(col(id).as("neighbor_id"), col("cell"), col("codes")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dist", score)
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))))

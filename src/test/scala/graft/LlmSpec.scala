@@ -145,6 +145,22 @@ class LlmSpec extends AnyFunSuite {
     // so per-point code choice between the twins may shift once Lloyd
     // moves one of them — the code-sharing property is asserted on the
     // iters=0 codebook above, where ties resolve deterministically)
+
+    // IVF-PQ composition: probing ALL cells must reproduce flat ADC
+    // exactly; probing 1 cell on separated clusters keeps own-cluster
+    // neighbors only
+    val idx = graft.llm.Pq.buildIvfPqIndex(vecs, kCells = 4, m = 2, k = 4,
+      cellIters = 2, pqIters = 0)
+    val qs = vecs.filter($"vec_id" < 2)
+    val full = graft.llm.Pq.ivfAdcTopK(qs, idx, kNN = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val flat = graft.llm.Pq.adcTopK(qs, graft.llm.Pq.encode(vecs, idx.books), idx.books, kNN = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(full == flat, s"nprobe=all must equal flat ADC\nivf=$full\nflat=$flat")
+    val one = graft.llm.Pq.ivfAdcTopK(qs, idx, kNN = 5, nprobe = 1).collect()
+    assert(one.forall(r => r.getLong(1) % 4 == r.getLong(0) % 4),
+      "nprobe=1 neighbors must come from the query's own cluster")
+    graft.util.Caching.release()
   }
 
   test("repetition stats: entropy and repeated-ngram ratio on crafted docs") {
