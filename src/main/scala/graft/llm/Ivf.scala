@@ -37,6 +37,21 @@ object Ivf {
     cents.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
   }
 
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Double])] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** Map-side nearest-cell expression: argmax cosine over the (tiny)
+    * centroid set riding the plan as literals — `array_min` over
+    * (−sim, cell) structs, so ties take the LOWEST cell, matching the
+    * previous `max_by(cell, struct(sim, −cell))` exactly. Replaces a
+    * crossJoin + groupBy(id) (one full shuffle of the corpus per Lloyd
+    * iteration) with a pure projection. */
+  private def cellExpr(cents: Seq[(Int, Array[Double])], vec: Column): Column =
+    array_min(array(cents.map { case (c, v) =>
+      struct((-cos(vec, typedlit(v.toSeq))).as("negSim"), lit(c).as("cell"))
+    }: _*)).getField("cell")
+
   /** Deterministic k-cell coarse quantizer: init = k lowest-id vectors,
     * `iters` Lloyd steps (assign to max-cosine centroid, re-average).
     * Returns a local (cell, centroid) frame ready for broadcast. */
@@ -62,15 +77,33 @@ object Ivf {
     * in between. At corpus scale one saved pass is one saved full scan. */
   def buildIndex(corpus: DataFrame, k: Int, iters: Int = 2,
                  id: String = "vec_id", vec: String = "embedding"): Index = {
-    val spark = corpus.sparkSession
+    val cents = indexCentroids(corpus, k, iters, id, vec)
+    val centroids = centroidFrame(corpus.sparkSession, cents)
+    val cells = graft.util.Caching.barrier(
+      corpus.select(col(id), cellExpr(cents, col(vec)).as("cell")))
+    Index(centroids, cells, id, vec)
+  }
+
+  /** [[buildIndex]]'s centroid convention (`iters` assignment passes ⇒
+    * `iters − 1` refinements) without the assignment pass — for callers
+    * (IVF-PQ) that fold the assignment into their own corpus pass. */
+  private def indexCentroids(corpus: DataFrame, k: Int, iters: Int,
+                             id: String, vec: String): Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = initialCentroids(corpus, k, id, vec)
     (1 until iters).foreach { _ =>
       cents = lloydUpdate(corpus, cents, id, vec)
     }
-    val centroids = centroidFrame(spark, cents)
-    val cells = graft.util.Caching.barrier(assign(corpus, centroids, id, vec))
-    Index(centroids, cells, id, vec)
+    cents
   }
+
+  private[llm] def indexCentroidFrame(corpus: DataFrame, k: Int, iters: Int,
+                                      id: String, vec: String): DataFrame =
+    centroidFrame(corpus.sparkSession, indexCentroids(corpus, k, iters, id, vec))
+
+  /** Nearest-cell column for a prebuilt centroid frame — lets IVF-PQ
+    * compute (cell, codes) in ONE corpus projection instead of a join. */
+  private[llm] def cellColumn(centroids: DataFrame, vec: Column): Column =
+    cellExpr(collectCentroids(centroids), vec)
 
   private def initialCentroids(corpus: DataFrame, k: Int, id: String,
                                vec: String): Seq[(Int, Array[Double])] =
@@ -80,14 +113,16 @@ object Ivf {
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
 
   /** One Lloyd step: assign to max-cosine centroid, re-average per lane
-    * (decimal sums — order-independent), empty cells keep their centroid. */
+    * (decimal sums — order-independent), empty cells keep their centroid.
+    * ONE corpus projection — the cell is computed map-side alongside the
+    * lanes (no assignment shuffle, no corpus self-join for `vec`; the
+    * old shape paid both per iteration — at 100 TB each was a full
+    * corpus shuffle). */
   private def lloydUpdate(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
                           id: String, vec: String): Seq[(Int, Array[Double])] = {
-    val spark = corpus.sparkSession
-    val assigned = assign(corpus, centroidFrame(spark, cents), id, vec)
-    val lanes = assigned
-      .join(corpus.select(col(id), col(vec)), id)
-      .select(col("cell"), posexplode(transform(col(vec), _.cast("double"))))
+    val lanes = corpus
+      .select(cellExpr(cents, col(vec)).as("cell"),
+        posexplode(transform(col(vec), _.cast("double"))))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(col("col").cast(SumType)).as("s"), count(lit(1)).as("n"))
       .collect()
@@ -108,14 +143,13 @@ object Ivf {
     }
   }
 
-  /** Map each vector to its max-cosine cell (centroids broadcast). */
+  /** Map each vector to its max-cosine cell — a pure projection (the
+    * centroid table is collected to the driver and rides the plan as
+    * literals; it is k × dim doubles, the same bytes a broadcast would
+    * ship). No crossJoin, no groupBy: assignment is shuffle-free. */
   def assign(corpus: DataFrame, centroids: DataFrame,
              id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    corpus.select(col(id), col(vec))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cos(col(vec), col("centroid")))
-      .groupBy(col(id))
-      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+    corpus.select(col(id), cellExpr(collectCentroids(centroids), col(vec)).as("cell"))
 
   /** [[topK]] over a prebuilt [[Index]] — reuses the assignment pass
     * `buildIndex` already ran instead of re-scanning the corpus. */

@@ -57,10 +57,12 @@ object Pq {
     }
     var cb = init
     (1 to iters).foreach { _ =>
-      // ONE corpus pass refines every subspace: explode (subspace,
-      // assigned code, lane, value), aggregate decimal lane sums
-      val assigns = encode(corpus, Codebooks(m, dsub, cb), id, vec)
-        .join(corpus.select(col(id), col(vec)), id)
+      // ONE corpus pass refines every subspace: codes are computed
+      // map-side NEXT TO the vector (no encode→corpus self-join — that
+      // was a full shuffle join per refinement), then explode (subspace,
+      // assigned code, lane, value) and aggregate decimal lane sums
+      val assigns = corpus.select(
+        codesExpr(Codebooks(m, dsub, cb), col(vec)).as("codes"), col(vec))
       val lanes = assigns.select(posexplode(col("codes")).as(Seq("s", "code")), col(vec))
         .select(col("s"), col("code"), posexplode(
           transform(sequence(lit(0), lit(dsub - 1)),
@@ -90,7 +92,13 @@ object Pq {
     * centroid (strict <, so ties take the LOWEST code; deterministic).
     * Map-side only: the codebook rides the plan, no shuffle. */
   def encode(corpus: DataFrame, books: Codebooks,
-             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+             id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    corpus.select(col(id), codesExpr(books, col(vec)).as("codes"))
+
+  /** The codes[m] column for a vector — pure projection, codebook rides
+    * the plan. Shared by [[encode]], the Lloyd loop, and the IVF-PQ
+    * one-pass index build. */
+  private[llm] def codesExpr(books: Codebooks, vec: Column): Column = {
     val codeCols: Seq[Column] = (0 until books.m).map { s =>
       val k = books.cb(s).size
       // argmin via array_min over (dist, code) structs — struct ordering
@@ -99,10 +107,10 @@ object Pq {
       // accumulator per step — exponential codegen, measured seconds of
       // JIT per task at k=8)
       array_min(array((0 until k).map(j =>
-        struct(subDist(col(vec), s, books.dsub, books.cb(s)(j)).as("d"),
+        struct(subDist(vec, s, books.dsub, books.cb(s)(j)).as("d"),
           lit(j).as("j"))): _*)).getField("j")
     }
-    corpus.select(col(id), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
 
   /** lut[s] = array of k distances from `v`'s subspace-s slice to every
@@ -140,25 +148,31 @@ object Pq {
     * carries (id, cell, codes); persist/write it bucketed by cell. */
   final case class IvfPqIndex(centroids: DataFrame, books: Codebooks, cells: DataFrame)
 
-  /** Build the composed index in two corpus passes (cell assignment via
-    * [[Ivf.buildIndex]], codes via [[encode]] — both map-side after the
-    * small Lloyd aggregates). */
+  /** Build the composed index with ONE final corpus projection: after
+    * the (small-result) Lloyd aggregates pick centroids and codebooks,
+    * (id, cell, codes) is a single map-side pass — no assignment pass,
+    * no encode→cells join (the previous shape paid a corpus shuffle
+    * join to zip the two). */
   def buildIvfPqIndex(corpus: DataFrame, kCells: Int, m: Int, k: Int,
                       cellIters: Int = 2, pqIters: Int = 2,
                       id: String = "vec_id", vec: String = "embedding",
                       dim: Int = 0): IvfPqIndex = {
-    val ivf = Ivf.buildIndex(corpus, kCells, cellIters, id, vec)
+    val centroids = Ivf.indexCentroidFrame(corpus, kCells, cellIters, id, vec)
     val books = buildCodebooks(corpus, m, k, pqIters, id, vec, dim)
     val cells = graft.util.Caching.barrier(
-      ivf.cells.join(encode(corpus, books, id, vec), id))
-    IvfPqIndex(ivf.centroids, books, cells)
+      corpus.select(col(id), Ivf.cellColumn(centroids, col(vec)).as("cell"),
+        codesExpr(books, col(vec)).as("codes")))
+    IvfPqIndex(centroids, books, cells)
   }
 
   /** IVF-PQ top-k: probe the `nprobe` max-cosine cells per query (as
     * [[Ivf.topK]]), then ADC-score ONLY the codes in those cells — the
     * scan is |corpus| · nprobe / kCells encoded rows, each m byte
     * lookups. Queries broadcast with their LUTs; with cell-bucketed
-    * storage the probe is a pruned scan, no shuffle. */
+    * storage the probe is a pruned scan, no shuffle — plan-proven in
+    * LlmSpec ("IVF-PQ probe over cell-bucketed store" asserts every
+    * exchange is query-side; the cell-PARTITIONED variant additionally
+    * shows dynamic partition pruning skipping non-probed cells). */
   def ivfAdcTopK(queries: DataFrame, index: IvfPqIndex, kNN: Int, nprobe: Int = 4,
                  id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val books = index.books

@@ -163,6 +163,60 @@ class LlmSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  private def clusteredVecs(seed: Int, n: Long, dim: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0L until n).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF-PQ probe over cell-bucketed store: NO shuffle on the cells-scan side") {
+    val vecs = clusteredVecs(13, 64, 16)
+    val idx = graft.llm.Pq.buildIvfPqIndex(vecs, kCells = 4, m = 2, k = 4,
+      cellIters = 2, pqIters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_bk").toString
+    graft.ts.Sinks.writeBucketed(idx.cells, "ivfpq_cells", dir, buckets = 4,
+      keyCols = Seq("cell"))
+    try {
+      val stored = graft.llm.Pq.IvfPqIndex(idx.centroids, idx.books,
+        spark.table("ivfpq_cells"))
+      val qs = vecs.filter($"vec_id" < 2)
+      val top = graft.llm.Pq.ivfAdcTopK(qs, stored, kNN = 3, nprobe = 1)
+      assert(top.collect().nonEmpty)
+      val planStr = top.queryExecution.executedPlan.toString
+      // every exchange in the plan must be on the TINY query side (the
+      // probe-selection and final-top-k windows partition by query_id);
+      // the stored codes table feeds the broadcast join with no shuffle
+      val parts = "Exchange hashpartitioning\\((\\w+)".r
+        .findAllMatchIn(planStr).map(_.group(1)).toList
+      assert(parts.nonEmpty && parts.forall(_ == "query_id"),
+        s"probe must not shuffle the cells scan; exchange keys = $parts\n${planStr.take(1200)}")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfpq_cells")
+    graft.util.Caching.release()
+  }
+
+  test("IVF-PQ probe over cell-partitioned store: non-probed cells pruned at the scan") {
+    val vecs = clusteredVecs(17, 64, 16)
+    val idx = graft.llm.Pq.buildIvfPqIndex(vecs, kCells = 4, m = 2, k = 4,
+      cellIters = 2, pqIters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_pt").toString + "/cells"
+    idx.cells.write.partitionBy("cell").parquet(dir)
+    val stored = graft.llm.Pq.IvfPqIndex(idx.centroids, idx.books,
+      spark.read.parquet(dir))
+    val qs = vecs.filter($"vec_id" < 2)
+    val top = graft.llm.Pq.ivfAdcTopK(qs, stored, kNN = 3, nprobe = 1)
+    assert(top.collect().nonEmpty)
+    val planStr = top.queryExecution.executedPlan.toString
+    // dynamic partition pruning from the broadcast probe side: the codes
+    // scan reads ONLY the probed cells' partitions — the "pruned scan"
+    // the 100 TB layout promises
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cell scan\n${planStr.take(1500)}")
+    graft.util.Caching.release()
+  }
+
   test("repetition stats: entropy and repeated-ngram ratio on crafted docs") {
     val crafted = Seq(
       (0L, "spam spam spam spam"),                   // 1 distinct token: H = 0
