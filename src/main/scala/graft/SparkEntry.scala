@@ -154,8 +154,11 @@ object SparkEntry {
       val HOUR = 3600L * 1000000L
       val e = TickStream(ev(s, dir).df
         .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
-      e.valuesAtRange(Some(-2 * HOUR), Some(0L), "inclusive", "inclusive", "v_ii")
-        .valuesAtRange(Some(-3 * HOUR), Some(0L), "exclusive", "exclusive", "v_xx")
+      // widest frame FIRST: the [-3h, 0] collect is memoized and the
+      // three narrower calls derive their lists by array filter —
+      // ONE window collect for the whole policy matrix (rawRangeList)
+      e.valuesAtRange(Some(-3 * HOUR), Some(0L), "exclusive", "exclusive", "v_xx")
+        .valuesAtRange(Some(-2 * HOUR), Some(0L), "inclusive", "inclusive", "v_ii")
         .valuesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "v_ee")
         .timesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "t_ee")
         .df.select(col("seq").as("event_id"),

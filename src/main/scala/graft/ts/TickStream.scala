@@ -396,11 +396,72 @@ final case class TickStream(df: DataFrame) {
   //                  reference's csp.const window test yields [5, 5]
   //                  with times [start, end] exactly this way). ----
 
+  private val RangeMemoPrefix = "__g_ritems_"
+
+  private def rangeMemoName(sd: Option[Long], e: Long): String =
+    s"$RangeMemoPrefix${sd.fold("u")(_.toString)}_$e"
+
+  private def parseRangeMemo(name: String): Option[(String, Option[Long], Long)] =
+    name.stripPrefix(RangeMemoPrefix).split('_') match {
+      case Array(sdTok, eTok) =>
+        val sd = if (sdTok == "u") None else Some(sdTok.toLong)
+        Some((name, sd, eTok.toLong))
+      case _ => None
+    }
+
+  /** The raw sorted (t, s, v) list over the [now+sd, now+e] range frame —
+    * MEMOIZED as a hidden `__g_ritems_*` column (same discipline as
+    * Stats.Rolling's `__g_*` sums: WindowExec keeps one list buffer per
+    * named collect, so four stacked range-history calls would maintain
+    * four per-row lists over the same sorted partition). A later call
+    * whose frame is COVERED by an existing memo derives its list with a
+    * codegen'd array filter instead of a new window collect; call the
+    * widest frame first and a whole policy matrix shares ONE collect. */
+  private def rawRangeList(sd: Option[Long], e: Long): (DataFrame, Column) = {
+    val t = unix_micros(col(TS))
+    val covering = df.columns.filter(_.startsWith(RangeMemoPrefix))
+      .flatMap(parseRangeMemo)
+      .filter { case (_, mSd, mE) =>
+        (mSd.isEmpty || (sd.isDefined && mSd.get <= sd.get)) && mE >= e }
+    if (covering.nonEmpty) {
+      // narrowest cover wins (least filtering; exact match scores 0)
+      val (name, mSd, mE) = covering.minBy { case (_, mSd, mE) =>
+        (mE - e).toDouble + (mSd match {
+          case None => if (sd.isEmpty) 0.0 else 1e18
+          case Some(ms) => (sd.get - ms).toDouble
+        })
+      }
+      val needStart = sd.isDefined && mSd.forall(_ < sd.get)
+      val needEnd = mE > e
+      val narrowed =
+        if (!needStart && !needEnd) col(name)
+        else filter(col(name), x => {
+          val s = if (needStart) x("t") >= t + lit(sd.get) else lit(true)
+          val en = if (needEnd) x("t") <= t + lit(e) else lit(true)
+          s && en
+        })
+      (df, narrowed)
+    } else {
+      val tickStruct = struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))
+      val frame = Window.partitionBy(KEY).orderBy(t)
+        .rangeBetween(sd.getOrElse(Window.unboundedPreceding), e)
+      // array_sort orders dup-timestamp ticks by cycle (t, then seq) —
+      // collect_list's intra-frame order is not guaranteed for ties.
+      // coalesce: an EMPTY frame yields null from the window aggregate —
+      // the API contract is an empty list, like the reference's ndarray
+      val emptyTyped = filter(array(tickStruct), _ => lit(false))
+      val raw = coalesce(array_sort(collect_list(tickStruct).over(frame)), emptyTyped)
+      val name = rangeMemoName(sd, e)
+      (df.withColumn(name, raw), col(name))
+    }
+  }
+
   /** The (t: epoch µs, s, v) structs of the requested range, ascending.
-    * One window collect + higher-order filters — the policy algebra runs
-    * per row inside codegen'd array expressions, not extra frames. */
+    * One (memoized) window collect + higher-order filters — the policy
+    * algebra runs per row inside codegen'd array expressions, not extra
+    * frames. Returns the df too: the memo column may have been added. */
   private def rangeItems(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
-                         startPolicy: String, endPolicy: String): Column = {
+                         startPolicy: String, endPolicy: String): (DataFrame, Column) = {
     val pols = Seq("inclusive", "exclusive", "extrapolate")
     require(pols.contains(startPolicy) && pols.contains(endPolicy),
       s"unknown TimeIndexPolicy ($startPolicy/$endPolicy); one of $pols")
@@ -416,14 +477,8 @@ final case class TickStream(df: DataFrame) {
     // tick from before the window) comes from a SEPARATE O(1)
     // max-struct aggregate, never a list.
     val tickStruct = struct(t.as("t"), col(SEQ).as("s"), col(VALUE).as("v"))
-    val frame = Window.partitionBy(KEY).orderBy(t)
-      .rangeBetween(startDeltaMicros.getOrElse(Window.unboundedPreceding), e)
-    // array_sort orders dup-timestamp ticks by cycle (t, then seq) —
-    // collect_list's intra-frame order is not guaranteed for ties.
-    // coalesce: an EMPTY frame yields null from the window aggregate —
-    // the API contract is an empty list, like the reference's ndarray
     val emptyTyped = filter(array(tickStruct), _ => lit(false))
-    val lst0 = coalesce(array_sort(collect_list(tickStruct).over(frame)), emptyTyped)
+    val (d, lst0) = rawRangeList(startDeltaMicros, e)
     // e == 0: the window end is the CURRENT cycle — range frames include
     // ALL peers at the current timestamp, so later same-ts cycles must
     // be filtered out by (t, seq) for engine parity
@@ -462,38 +517,50 @@ final case class TickStream(df: DataFrame) {
             concat(prefix, filter(endKept, x => x("t") > startT))
         }
     }
-    if (endPolicy == "extrapolate") {
-      val lastE = element_at(withStart, -1)
-      when(size(withStart) > 0 && lastE("t") < endT,
-        concat(withStart, array(struct(endT.as("t"), lastE("s").as("s"), lastE("v").as("v")))))
-        .otherwise(withStart)
-    } else withStart
+    val items =
+      if (endPolicy == "extrapolate") {
+        val lastE = element_at(withStart, -1)
+        when(size(withStart) > 0 && lastE("t") < endT,
+          concat(withStart, array(struct(endT.as("t"), lastE("s").as("s"), lastE("v").as("v")))))
+          .otherwise(withStart)
+      } else withStart
+    (d, items)
   }
+
+  /** Drop the hidden range-history memo columns ([[rawRangeList]]) —
+    * queries that `select` explicit output columns never see them; call
+    * this when handing the raw df on. */
+  def dropRangeMemo: TickStream = TickStream(
+    df.drop(df.columns.filter(_.startsWith(RangeMemoPrefix)).toSeq: _*))
 
   /** csp.values_at(x, start, end, start_policy, end_policy) over a TIME
     * range (offsets in µs ≤ 0; None start = from the beginning, None
-    * end = through the current cycle). */
+    * end = through the current cycle). Stacked calls share one window
+    * collect when the widest frame is requested first ([[rawRangeList]]). */
   def valuesAtRange(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
                     startPolicy: String = "inclusive", endPolicy: String = "inclusive",
-                    as: String = "values_at"): TickStream =
-    TickStream(df.withColumn(as, transform(
-      rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy), _("v"))))
+                    as: String = "values_at"): TickStream = {
+    val (d, items) = rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy)
+    TickStream(d.withColumn(as, transform(items, _("v"))))
+  }
 
   /** csp.times_at over the same range — epoch µs, boundary-clamped under
     * EXTRAPOLATE exactly as the reference reports them. */
   def timesAtRange(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
                    startPolicy: String = "inclusive", endPolicy: String = "inclusive",
-                   as: String = "times_at"): TickStream =
-    TickStream(df.withColumn(as, transform(
-      rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy), _("t"))))
+                   as: String = "times_at"): TickStream = {
+    val (d, items) = rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy)
+    TickStream(d.withColumn(as, transform(items, _("t"))))
+  }
 
   /** csp.items_at over the same range — (t, v) structs, one pass. */
   def itemsAtRange(startDeltaMicros: Option[Long], endDeltaMicros: Option[Long],
                    startPolicy: String = "inclusive", endPolicy: String = "inclusive",
-                   as: String = "items_at"): TickStream =
-    TickStream(df.withColumn(as, transform(
-      rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy),
+                   as: String = "items_at"): TickStream = {
+    val (d, items) = rangeItems(startDeltaMicros, endDeltaMicros, startPolicy, endPolicy)
+    TickStream(d.withColumn(as, transform(items,
       x => struct(x("t").as("t"), x("v").as("v")))))
+  }
 
   /** csp.values_at(x, startIdx, endIdx) by TICK index (both ≤ 0; e.g.
     * (-3, -1) = third-last through last-but-one), ascending. */

@@ -213,6 +213,38 @@ class HistorySpec extends AnyFunSuite {
     assert(lastVals(x.valuesAtIndexRange(-3, -1), "values_at") == Seq(31.0, 32.0, 4.0))
   }
 
+  test("stacked range-history calls share ONE memoized window collect") {
+    def sec(i: Int) = s"2020-01-01 00:00:0$i"
+    val x = TickStream(Sources.curve(spark, "k", Seq(
+      sec(1) -> 1.0, sec(2) -> 2.0, sec(3) -> 3.0, sec(3) -> 31.0,
+      sec(3) -> 32.0, sec(4) -> 4.0, sec(5) -> 5.0)).df)
+    val S = 1000000L
+    // widest frame first: the three narrower calls must derive their
+    // lists from the [-4s, 0] memo by array filter, not new collects
+    val stacked = x
+      .valuesAtRange(Some(-4 * S), Some(0L), "exclusive", "exclusive", "a")
+      .valuesAtRange(Some(-2 * S), Some(0L), "extrapolate", "extrapolate", "b")
+      .valuesAtRange(Some(-3 * S), Some(-1 * S), "extrapolate", "extrapolate", "c")
+      .timesAtRange(Some(-3 * S), Some(-1 * S), "inclusive", "inclusive", "d")
+    val plan = stacked.df.queryExecution.optimizedPlan.toString
+    assert("collect_list".r.findAllIn(plan).size == 1,
+      s"expected ONE shared collect, plan:\n${plan.take(1200)}")
+    // every derived column matches its fresh (own-collect) computation
+    def vals(ts: graft.ts.TickStream, c: String): Seq[List[Any]] =
+      ts.df.orderBy("ts", "seq").collect()
+        .map(_.getAs[scala.collection.Seq[Any]](c).toList).toSeq
+    assert(vals(stacked, "a") ==
+      vals(x.valuesAtRange(Some(-4 * S), Some(0L), "exclusive", "exclusive", "a"), "a"))
+    assert(vals(stacked, "b") ==
+      vals(x.valuesAtRange(Some(-2 * S), Some(0L), "extrapolate", "extrapolate", "b"), "b"))
+    assert(vals(stacked, "c") ==
+      vals(x.valuesAtRange(Some(-3 * S), Some(-1 * S), "extrapolate", "extrapolate", "c"), "c"))
+    assert(vals(stacked, "d") ==
+      vals(x.timesAtRange(Some(-3 * S), Some(-1 * S), "inclusive", "inclusive", "d"), "d"))
+    // dropRangeMemo strips the hidden helper column
+    assert(stacked.dropRangeMemo.df.columns.forall(!_.startsWith("__g_ritems_")))
+  }
+
   test("buffering policy: declared retention bounds history requests (builtin_functions.py:271-283)") {
     val x = c(1 -> 1.0, 2 -> 2.0, 3 -> 3.0).withBufferPolicy(3)
     assert(x.bufferPolicy.contains(3L))
