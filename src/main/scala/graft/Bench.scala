@@ -21,7 +21,13 @@ object Bench {
     // rebuilds the plan and releases persist-barriers, so nothing warm
     // carries between runs except the JIT — which is the point.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional query-name filter (args), e.g. the sf-scaling harness
+    // timing just the expensive queries — no args = the full suite
+    val wanted = if (args.isEmpty) SparkEntry.queries.keySet else args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown bench queries: $unknown")
+    val results = SparkEntry.queries.toSeq.filter(q => wanted(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         // Execute the query's OWN physical plan (count() builds a

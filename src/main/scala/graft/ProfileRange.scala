@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.{GraftSession, Tick, TickStream}
+
+/** Stage attribution for the range-history pipeline (q_values_at_range):
+  * times the keyed scan, the bare window collect, one policy call, and
+  * the full stacked four-call matrix, so regressions can be pinned to a
+  * stage instead of guessed at (same role as [[ProfileFloor]] for the
+  * simple-window floor).
+  */
+object ProfileRange {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val HOUR = 3600L * 1000000L
+
+    def events = TickStream(graft.ts.Sources.events(spark, sfDir).df
+      .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+
+    def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        graft.util.Caching.release()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$tag%-28s ${times(times.length / 2)}%.3f s (min ${times.head}%.3f)")
+    }
+
+    time("scan+truncate only")(events.df)
+    val t = unix_micros(col(Tick.TS))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(Tick.KEY).orderBy(t).rangeBetween(-3 * HOUR, 0)
+    time("bare widest collect")(events.df.withColumn("l",
+      array_sort(collect_list(struct(t.as("t"), col(Tick.SEQ).as("s"),
+        col(Tick.VALUE).as("v"))).over(frame))))
+    time("one call (ii)")(events
+      .valuesAtRange(Some(-2 * HOUR), Some(0L), "inclusive", "inclusive", "v_ii").df)
+    time("one call (ee)")(events
+      .valuesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "v_ee").df)
+    time("four stacked + md5")(events
+      .valuesAtRange(Some(-3 * HOUR), Some(0L), "exclusive", "exclusive", "v_xx")
+      .valuesAtRange(Some(-2 * HOUR), Some(0L), "inclusive", "inclusive", "v_ii")
+      .valuesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "v_ee")
+      .timesAtRange(Some(-2 * HOUR), Some(-HOUR), "extrapolate", "extrapolate", "t_ee")
+      .df.select(col("seq"),
+        md5(concat_ws(",", col("v_ii"))).as("ii_md5"),
+        md5(concat_ws(",", col("v_xx"))).as("xx_md5"),
+        md5(concat_ws(",", col("v_ee"))).as("ee_md5"),
+        md5(concat_ws(",", col("t_ee"))).as("te_md5")))
+    spark.stop()
+  }
+}

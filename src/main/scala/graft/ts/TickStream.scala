@@ -524,7 +524,16 @@ final case class TickStream(df: DataFrame) {
           concat(withStart, array(struct(endT.as("t"), lastE("s").as("s"), lastE("v").as("v")))))
           .otherwise(withStart)
       } else withStart
-    (d, items)
+    // memoize the POLICY-APPLIED list as well: values_at + times_at over
+    // the same (frame, policies) — the reference's items_at "same but
+    // faster" pattern — must not evaluate the policy algebra twice
+    // (ProjectExec does not reliably share these big array expressions
+    // across output columns; measured ~0.45 s per extra EXTRAPOLATE
+    // evaluation at sf0.1)
+    val pName = s"$RangeMemoPrefix${startDeltaMicros.fold("u")(_.toString)}_${e}_" +
+      s"${startPolicy.take(3)}_${endPolicy.take(3)}" // exc / ext / inc
+    if (d.columns.contains(pName)) (d, col(pName))
+    else (d.withColumn(pName, items), col(pName))
   }
 
   /** Drop the hidden range-history memo columns ([[rawRangeList]]) —
