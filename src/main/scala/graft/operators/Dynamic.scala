@@ -61,6 +61,50 @@ object Dynamic {
     * yet or didn't tick this cycle, exactly the reference's dict. */
   def collect(basket: TickStream): TickStream = Baskets.structCollectTs(basket)
 
+  /** csp.remove_dynamic_key (`builtin_functions.py:311`,
+    * `test_baskets.py:160-210`): explicit key eviction from a dynamic
+    * basket. In the reference a removal ends the key's sub-graph
+    * INSTANCE; the key's next data tick re-adds it as a FRESH instance
+    * (REMOVE_DYNAMIC_KEY → "added" again in the lifecycle). Batch
+    * lowering: an `epoch` column counts the removal cycles before each
+    * data tick, so (key, epoch) is the instance identity — per-instance
+    * operators partition on it (the same trick as Stats.reset's epoch
+    * partitions) and a re-added key's state starts from scratch.
+    *
+    * Cycle rule: a data tick at the SAME engine time as the removal
+    * still belongs to the old instance (the removal takes effect after
+    * its cycle). One keyed window pass — no joins, no driver state. */
+  def removeKey(basket: TickStream, removals: TickStream,
+                epochCol: String = "epoch"): TickStream = {
+    import Tick._
+    val data = basket.df.withColumn("__rm", lit(0))
+    val rm = removals.df.select(col(KEY), col(TS), col(SEQ)).withColumn("__rm", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(KEY)
+      .orderBy(col(TS), col("__rm"), col(SEQ))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    TickStream(data.unionByName(rm, allowMissingColumns = true)
+      .withColumn(epochCol, sum(col("__rm")).over(w).cast("long"))
+      .filter(col("__rm") === 0)
+      .drop("__rm"))
+  }
+
+  /** Lifecycle with EXPLICIT removals: "added" at each (key, epoch)
+    * instance's first tick — a key re-added after removal fires "added"
+    * again, per the reference's changes-stream — and "removed" at the
+    * removal ticks themselves. */
+  def keyEvents(x: TickStream, removals: TickStream): TickStream = {
+    import Tick._
+    val epoched = removeKey(x, removals)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(KEY), col("epoch"))
+    val added = epoched.df
+      .withColumn("__first", min(struct(col(TS), col(SEQ))).over(w))
+      .filter(col(TS) === col("__first.ts") && col(SEQ) === col("__first.seq"))
+      .drop("__first").withColumn("event", lit("added"))
+    val removed = removals.df.select(col(KEY), col(TS), col(SEQ))
+      .withColumn("event", lit("removed"))
+    TickStream(added.unionByName(removed, allowMissingColumns = true))
+  }
+
   /** Key appearance/removal events (dynamic basket lifecycle,
     * `baselib.py:600-612`): first and last tick per key. */
   def keyEvents(x: TickStream): TickStream = {

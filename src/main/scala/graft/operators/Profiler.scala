@@ -16,8 +16,21 @@ object Profiler {
     def numOperators: Int = nodes.size
     def totalOutputRows: Long =
       nodes.flatMap(_.metrics.get("number of output rows")).sum
+    /** Reference `cycle_count` (profiler.py:531): cycles where ANY node
+      * ticked. Batch analog: every operator's output rows count its
+      * ticks, so the widest operator saw every active cycle. */
+    def cycleCount: Long =
+      nodes.flatMap(_.metrics.get("number of output rows")).maxOption.getOrElse(rows)
+    /** Reference `utilization` (profiler.py:534): total node ticks /
+      * (nodes × active cycles) — the average fraction of the graph
+      * executing per cycle. Same ratio over Spark's per-operator
+      * output-row metrics. */
+    def utilization: Double =
+      if (numOperators == 0 || cycleCount == 0) 0.0
+      else totalOutputRows.toDouble / (numOperators.toDouble * cycleCount)
     def render: String =
-      f"rows=$rows wall=${wallNanos / 1e9}%.3fs operators=$numOperators\n" +
+      f"rows=$rows wall=${wallNanos / 1e9}%.3fs operators=$numOperators " +
+        f"cycles=$cycleCount utilization=$utilization%.3f\n" +
         nodes.map(n => s"  ${n.node}: " +
           n.metrics.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", "))
           .mkString("\n")

@@ -47,6 +47,7 @@ final class ProfilerServer private (server: HttpServer) {
       }.mkString(", ")
       s"""{"name": ${jsonStr(name)}, "rows": ${p.rows}, "wallNanos": ${p.wallNanos},
          |"numOperators": ${p.numOperators}, "totalOutputRows": ${p.totalOutputRows},
+         |"cycleCount": ${p.cycleCount}, "utilization": ${p.utilization},
          |"nodes": [$nodes]}""".stripMargin.replace("\n", " ")
     }
     s"""{"profiles": [${ps.mkString(", ")}]}"""
@@ -61,7 +62,8 @@ final class ProfilerServer private (server: HttpServer) {
       }.mkString("\n")
       f"""<h2>${esc(name)}</h2>
          |<p>rows=${p.rows} wall=${p.wallNanos / 1e9}%.3fs operators=${p.numOperators}
-         |output-rows=${p.totalOutputRows}</p>
+         |output-rows=${p.totalOutputRows} cycles=${p.cycleCount}
+         |utilization=${p.utilization}%.3f</p>
          |<table border="1" cellpadding="4"><tr><th>operator</th><th>metrics</th></tr>
          |$rows</table>""".stripMargin
     }.mkString("\n<hr/>\n")

@@ -101,6 +101,42 @@ object StatefulOps {
       }
   }
 
+  case class CountOut(key: String, tsMicros: Long, seq: Long, count: Long)
+
+  /** Streaming csp.remove_dynamic_key (builtin_functions.py:311): removal
+    * rows (seq < 0, the gate/sample marker convention) tear the key's
+    * sub-graph instance DOWN via `GroupState.remove()`; the key's next
+    * data tick starts a fresh instance — running count restarts at 1,
+    * matching the batch (key, epoch) lowering in
+    * [[graft.operators.Dynamic.removeKey]] exactly. Removal of an absent
+    * key is a no-op (idempotent eviction). */
+  def countStreamWithRemoval(ticks: Dataset[TickRow]): Dataset[CountOut] = {
+    implicit val outEnc = Encoders.product[CountOut]
+    implicit val stEnc = Encoders.scalaLong
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TickRow], state: GroupState[Long]) =>
+          // same-cycle rule as the batch lowering: a data tick at the
+          // removal's timestamp still belongs to the old instance, so
+          // data (seq >= 0) sorts BEFORE removal on engine-time ties
+          var cnt: Option[Long] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[CountOut]()
+          rows.toSeq.sortBy(r => (r.tsMicros, r.seq < 0, math.abs(r.seq))).foreach { r =>
+            if (r.seq < 0) cnt = None
+            else {
+              val c = cnt.getOrElse(0L) + 1L
+              cnt = Some(c)
+              out += CountOut(key, r.tsMicros, r.seq, c)
+            }
+          }
+          cnt match {
+            case Some(c) => state.update(c)
+            case None => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+  }
+
   /** Batch TickStream → typed rows for the streaming API (test bridge). */
   def toTickRows(x: TickStream): Dataset[TickRow] = {
     implicit val enc = Encoders.product[TickRow]

@@ -1,0 +1,54 @@
+package graft.ts
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** csp.Enum / csp.DynamicEnum (reference `csp/impl/enum.py:10-130`):
+  * typed enum metadata over the SURVEY §1.2 string mapping.
+  *
+  * Columns keep carrying the member NAME as a plain string (enums
+  * serialize by name in the reference too, `Enum._serialize`); what the
+  * reference's metaclass adds — declared members, int values, validation
+  * of strings/ints into members — lives here as driver-side metadata and
+  * codegen'd Column expressions (map literals ride the plan; no UDF).
+  */
+final case class GraftEnum(name: String, members: Seq[(String, Int)]) {
+  require(members.nonEmpty, s"enum $name needs at least one member")
+  require(members.map(_._1).distinct.size == members.size, s"duplicate enum names in $name")
+  require(members.map(_._2).distinct.size == members.size, s"duplicate enum values in $name")
+
+  private val byName = members.toMap
+  def names: Seq[String] = members.map(_._1)
+  def value(n: String): Int =
+    byName.getOrElse(n, throw new NoSuchElementException(s"$name has no member '$n'"))
+
+  private def nameToValue: Column =
+    map(members.flatMap { case (n, v) => Seq(lit(n), lit(v)) }: _*)
+  private def valueToName: Column =
+    map(members.flatMap { case (n, v) => Seq(lit(v), lit(n)) }: _*)
+
+  /** Enum name → int value column; unknown name → null. */
+  def toValue(c: Column): Column = element_at(nameToValue, c)
+
+  /** Int value → enum name column (csp.Enum(v)); unknown value → null. */
+  def fromValue(c: Column): Column = element_at(valueToName, c.cast("int"))
+
+  /** Enum._validate (enum.py:68-76): canonicalize a string column to a
+    * declared member name. Unknown non-null input raises (ANSI
+    * raise_error, the reference's ValueError) unless `lenient`, which
+    * nulls it out instead. */
+  def validate(c: Column, lenient: Boolean = false): Column = {
+    val known = toValue(c).isNotNull
+    val bad: Column =
+      if (lenient) lit(null).cast("string")
+      else raise_error(concat(lit(s"Cannot convert value to enum $name: "), c))
+    when(c.isNull, lit(null).cast("string")).when(known, c).otherwise(bad)
+  }
+}
+
+object GraftEnum {
+  /** csp.DynamicEnum (enum.py:111-130): build from a name list,
+    * enumerating values from `start`. */
+  def of(name: String, values: Seq[String], start: Int = 0): GraftEnum =
+    GraftEnum(name, values.zipWithIndex.map { case (n, i) => (n, i + start) })
+}

@@ -55,6 +55,14 @@ class AdapterSpec extends AnyFunSuite {
     assert(p.rows == 1000L)
     assert(p.numOperators > 0 && p.totalOutputRows >= 1000L)
     assert(p.nodes.exists(_.node.toLowerCase.contains("scan")))
+    // utilization summary (profiler.py:531-534): ticks/(nodes × cycles).
+    // cycle_count = the widest operator's tick count; with every
+    // operator ticking ≤ that, the ratio lands in (0, 1].
+    assert(p.cycleCount >= 1000L)
+    assert(p.utilization > 0.0 && p.utilization <= 1.0)
+    assert(p.utilization ==
+      p.totalOutputRows.toDouble / (p.numOperators.toDouble * p.cycleCount))
+    assert(p.render.contains("utilization="))
   }
 
   test("profiler live HTTP view (profiler.py:457-511)") {
@@ -71,8 +79,10 @@ class AdapterSpec extends AnyFunSuite {
       val json = get("/metrics.json")
       assert(json.contains("\"name\": \"mean5\"") && json.contains("\"rows\": 1000"))
       assert(json.contains("number of output rows") || json.contains("nodes"))
+      assert(json.contains("\"cycleCount\":") && json.contains("\"utilization\":"))
       val html = get("/")
       assert(html.contains("graft profiler") && html.contains("mean5"))
+      assert(html.contains("utilization="))
       // empty-state page after a fresh server, like the reference's
       // "No profiler info available..."
       val ps2 = graft.operators.ProfilerServer.start()

@@ -139,6 +139,55 @@ class LawsSpec extends AnyFunSuite {
     assert(maps == Seq(Set("a"), Set("b"), Set("a"))) // t1: a, t2: b, t3: a
   }
 
+  test("Dynamic.removeKey: eviction ends the instance, next tick re-adds fresh (test_baskets.py:160-210)") {
+    // key "a" ticks at t1, t2; removed at t3; re-added at t4, ticks t5.
+    // key "b" ticks at t2, t4 and is never removed.
+    val basket = TickStream(curveOf("a", Seq(1 -> 1.0, 2 -> 2.0, 4 -> 3.0, 5 -> 4.0)).df
+      .unionByName(curveOf("b", Seq(2 -> 5.0, 4 -> 6.0)).df))
+    val removals = TickStream(curveOf("a", Seq(3 -> 0.0)).df)
+    val epoched = Dynamic.removeKey(basket, removals)
+    val rows = epoched.df.orderBy("ts", "key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("value"), r.getAs[Long]("epoch")))
+    // a's pre-removal ticks are epoch 0, post-removal epoch 1 (fresh
+    // instance); b never changes epoch
+    assert(rows.toSeq == Seq(("a", 1.0, 0L), ("a", 2.0, 0L), ("b", 5.0, 0L),
+      ("a", 3.0, 1L), ("b", 6.0, 0L), ("a", 4.0, 1L)))
+    // per-instance operators partition on (key, epoch): count restarts
+    val counted = Dynamic.perKey(epoched)(ts => graft.ts.TickStream(ts.df.withColumn(
+      "cnt", org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("key", "epoch").orderBy("ts", "seq")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))))
+    val cnts = counted.df.filter(org.apache.spark.sql.functions.col("key") === "a")
+      .orderBy("ts").collect().map(_.getAs[Long]("cnt"))
+    assert(cnts.toSeq == Seq(1L, 2L, 1L, 2L), "re-added instance must restart its state")
+    // same-cycle rule: a data tick AT the removal time stays in the old epoch
+    val sameCycle = Dynamic.removeKey(
+      TickStream(curveOf("a", Seq(3 -> 9.0)).df), removals)
+      .df.collect().map(_.getAs[Long]("epoch"))
+    assert(sameCycle.toSeq == Seq(0L))
+    // lifecycle: re-add fires "added" again; removal fires "removed" at t3
+    val ev = Dynamic.keyEvents(basket, removals).df.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("event"),
+        r.getAs[java.sql.Timestamp]("ts").toString.take(10)))
+    assert(ev.count(e => e._1 == "a" && e._2 == "added") == 2)
+    assert(ev.toSet.contains(("a", "removed", day(3).take(10))))
+    assert(ev.count(e => e._1 == "b" && e._2 == "added") == 1)
+    // streaming parity: removal rows (seq < 0) call state.remove() —
+    // the count restarts exactly like the batch epochs
+    def us(i: Int) = java.sql.Timestamp.valueOf(day(i)).getTime * 1000L
+    import graft.streaming.StatefulOps
+    val spark2 = spark; import spark2.implicits._
+    val ticks = Seq(
+      StatefulOps.TickRow("a", us(1), 0, 1.0), StatefulOps.TickRow("a", us(2), 1, 2.0),
+      StatefulOps.TickRow("a", us(3), -1, 0.0), // removal marker
+      StatefulOps.TickRow("a", us(4), 2, 3.0), StatefulOps.TickRow("a", us(5), 3, 4.0),
+      StatefulOps.TickRow("b", us(2), 0, 5.0), StatefulOps.TickRow("b", us(4), 1, 6.0)).toDS()
+    val sc = StatefulOps.countStreamWithRemoval(ticks).collect()
+      .sortBy(r => (r.key, r.tsMicros)).map(r => (r.key, r.count))
+    assert(sc.toSeq == Seq(("a", 1L), ("a", 2L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+  }
+
   test("Dynamic.snap/attach: snap-at-spawn argument capture (dynamic.py:120-151)") {
     // trigger keys spawn at different times; the snapped reference stream
     // ticks 10.0 at t1 and 20.0 at t2 — key "a" (spawn t1) must capture
