@@ -598,6 +598,18 @@ final case class TickStream(df: DataFrame) {
   def toJson(as: String = VALUE): TickStream =
     TickStream(df.withColumn(as, to_json(col(VALUE))))
 
+  /** Struct.to_yaml (reference `csp/impl/struct.py:312-315`): block-style
+    * YAML of the struct-valued stream, schema-driven at plan time —
+    * nested structs indent, arrays emit `- item` lines, strings are
+    * double-quoted (valid YAML for any loader; the reference's ruamel
+    * dump differs only in quoting style). All codegen'd string
+    * expressions, no UDF. */
+  def toYaml(as: String = VALUE): TickStream = {
+    val dt = df.schema(VALUE).dataType
+    TickStream(df.withColumn(as,
+      concat(TickStream.yamlOf(col(VALUE), dt, 0), lit("\n"))))
+  }
+
   // ---- PushMode shims (reference common_definitions.py:274-289;
   // Execution-Modes.md duplicate-timestamp table). Applied at a source to
   // choose how same-timestamp ticks on one edge are delivered. ----
@@ -781,5 +793,41 @@ object TickStream {
   private[ts] def pythonMod(a: Column, b: Column): Column = {
     val r = a % b
     when(r =!= 0 && signum(r) =!= signum(b), r + b).otherwise(r)
+  }
+
+  /** YAML scalar: strings double-quoted with escapes, null → `null`,
+    * timestamps ISO, everything else via string cast. */
+  private def yamlScalar(c: Column, dt: DataType): Column = {
+    val s = dt match {
+      case StringType => concat(lit("\""),
+        regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), lit("\""))
+      case TimestampType => concat(lit("\""),
+        date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("\""))
+      case _ => c.cast(StringType)
+    }
+    coalesce(s, lit("null"))
+  }
+
+  /** Schema-driven block-style YAML (see [[TickStream.toYaml]]). */
+  private[ts] def yamlOf(c: Column, dt: DataType, indent: Int): Column = dt match {
+    case st: StructType =>
+      val pad = "  " * indent
+      val fieldLines = st.fields.map { f =>
+        val fc = c.getField(f.name)
+        f.dataType match {
+          case s2: StructType =>
+            when(fc.isNull, lit(s"$pad${f.name}: null"))
+              .otherwise(concat(lit(s"$pad${f.name}:\n"), yamlOf(fc, s2, indent + 1)))
+          case ArrayType(et, _) =>
+            when(fc.isNull, lit(s"$pad${f.name}: null"))
+              .when(size(fc) === 0, lit(s"$pad${f.name}: []"))
+              .otherwise(concat(lit(s"$pad${f.name}:\n"), array_join(
+                transform(fc, x => concat(lit(s"$pad- "), yamlScalar(x, et))), "\n")))
+          case other =>
+            concat(lit(s"$pad${f.name}: "), yamlScalar(fc, other))
+        }
+      }
+      concat_ws("\n", fieldLines.toSeq: _*)
+    case other => yamlScalar(c, other)
   }
 }

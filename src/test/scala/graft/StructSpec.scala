@@ -70,4 +70,57 @@ class StructSpec extends AnyFunSuite {
       .select(col("s").getField("id")).limit(1).collect()
     assert(built.nonEmpty)
   }
+
+  test("Struct.to_yaml: block style, nesting, arrays, quoting (struct.py:312-315)") {
+    import spark.implicits._
+    val df = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L,
+        Trade(1.5, Inner(5, Some("say \"hi\"")), None))
+    ).toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE)
+      .withColumn(Tick.VALUE, struct(col(s"${Tick.VALUE}.px").as("px"),
+        col(s"${Tick.VALUE}.inner").as("inner"), col(s"${Tick.VALUE}.tag").as("tag"),
+        array(lit(1.0), lit(2.5)).as("xs"), typedlit(Seq.empty[Long]).as("empty")))
+    val y = TickStream(df).toYaml("y").df.select("y").head().getString(0)
+    assert(y ==
+      """px: 1.5
+        |inner:
+        |  qty: 5
+        |  note: "say \"hi\""
+        |tag: null
+        |xs:
+        |- 1.0
+        |- 2.5
+        |empty: []
+        |""".stripMargin)
+    // any YAML loader reads it back: snakeyaml ships with Spark
+    val parsed = new org.yaml.snakeyaml.Yaml()
+      .load(y).asInstanceOf[java.util.Map[String, Any]]
+    assert(parsed.get("px") == 1.5)
+    assert(parsed.get("inner").asInstanceOf[java.util.Map[String, Any]].get("note") == "say \"hi\"")
+    assert(parsed.get("xs").asInstanceOf[java.util.List[Any]].size() == 2)
+  }
+
+  test("GraftEnum: typed validation and name<->value mapping (enum.py:10-130)") {
+    import spark.implicits._
+    val side = graft.ts.GraftEnum.of("Side", Seq("BUY", "SELL"))
+    assert(side.value("SELL") == 1)
+    val df = Seq("BUY", "SELL", null).toDF("s")
+    assert(df.select(side.toValue(col("s"))).collect().map(r =>
+      if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq == Seq(0, 1, -1))
+    assert(df.select(side.fromValue(lit(1))).head().getString(0) == "SELL")
+    // validate: members pass through, null stays null
+    assert(df.select(side.validate(col("s"))).collect().map(r =>
+      Option(r.getString(0))).toSeq == Seq(Some("BUY"), Some("SELL"), None))
+    // unknown member: lenient -> null, strict -> raise (Enum._validate's ValueError)
+    val bad = Seq("HOLD").toDF("s")
+    assert(bad.select(side.validate(col("s"), lenient = true)).head().isNullAt(0))
+    val err = intercept[Exception](bad.select(side.validate(col("s"))).collect())
+    assert(err.getMessage.contains("Cannot convert value to enum"))
+    // DynamicEnum start offset + duplicate rejection (EnumMeta checks)
+    assert(graft.ts.GraftEnum.of("P", Seq("LOW", "HIGH"), start = 5).value("HIGH") == 6)
+    intercept[IllegalArgumentException](
+      graft.ts.GraftEnum("E", Seq("A" -> 0, "A" -> 1)))
+    intercept[IllegalArgumentException](
+      graft.ts.GraftEnum("E", Seq("A" -> 0, "B" -> 0)))
+  }
 }
