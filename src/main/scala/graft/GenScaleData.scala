@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** Deterministic synthetic-data generator for the sf-scaling study
+  * (TESTDATA.md schema; /root/testdata is read-only, so 10× data is
+  * generated here). Shapes mirror the driver fixtures: events = 1M×sf
+  * rows / 15k×sf users over a 30-day window, documents = 50k×sf docs
+  * from a small vocab with exact + near duplicates, embeddings =
+  * 20k×sf unit-norm 64-dim vectors in 10 clusters.
+  *
+  * Everything derives from xxhash64(id, salt) — fully distributed
+  * (spark.range + projections, no driver loops, no RNG state), so the
+  * same command produces the same bytes at any partitioning and any
+  * scale: exactly how a 100 TB fixture would be built on a cluster.
+  *
+  * Usage: runMain graft.GenScaleData <outDir> <sf> — writes
+  * events/documents/embeddings(/lineitem stub) parquet under outDir.
+  */
+object GenScaleData {
+
+  private def h(salt: Int, c: org.apache.spark.sql.Column) =
+    abs(xxhash64(lit(salt), c))
+
+  def events(spark: SparkSession, sf: Double): DataFrame = {
+    val n = (1000000 * sf).toLong
+    val users = math.max(10, (15000 * sf).toLong)
+    val spanMicros = 30L * 24 * 3600 * 1000000
+    val startMicros = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+    val step = spanMicros / n
+    val types = array(Seq("click", "view", "purchase", "signup", "error").map(lit): _*)
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(startMicros) + col("id") * step +
+        h(1, col("id")) % step).as("ts"),
+      (h(2, col("id")) % users).as("user_id"),
+      element_at(types, (h(3, col("id")) % 5 + 1).cast("int")).as("event_type"),
+      round((h(4, col("id")) % 20000) / 100.0 + 0.01, 2).as("value"),
+      concat(lit("{\"k\": "), (h(5, col("id")) % 100).cast("string"), lit("}")).as("props"))
+  }
+
+  private val Vocab = Seq("spark", "batch", "line", "column", "order", "small",
+    "sort", "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+    "query", "big", "key", "window", "row", "part", "table", "stream", "merge",
+    "data", "a", "vector", "join", "plan", "shuffle", "cache")
+
+  def documents(spark: SparkSession, sf: Double): DataFrame = {
+    val n = (50000 * sf).toLong
+    val vocab = array(Vocab.map(lit): _*)
+    val langs = array(Seq("en", "en", "en", "de", "zh", "fr", "es").map(lit): _*)
+    // ~6% of docs are duplicates of an earlier "base" doc: half exact,
+    // half near (one word appended) — feeds minhash/simhash/cluster/
+    // jaccard with the same pair density at every scale
+    val id = col("id")
+    val isDup = h(10, id) % 100 < 6 && id >= 10
+    val baseId = when(isDup, id - (h(11, id) % least(id, lit(1000)) + 1)).otherwise(id)
+    val len = (h(12, baseId) % 40 + 30).cast("int") // 30..69 words
+    val words = transform(sequence(lit(0), len - 1),
+      i => element_at(vocab, (h(13, baseId * 128 + i) % Vocab.size + 1).cast("int")))
+    val baseText = array_join(words, " ")
+    val text = when(isDup && h(14, id) % 2 === 0,
+      concat(baseText, lit(" "), element_at(vocab, (h(15, id) % Vocab.size + 1).cast("int"))))
+      .otherwise(baseText)
+    spark.range(n).select(
+      id.as("doc_id"),
+      text.as("text"),
+      element_at(langs, (h(16, id) % 7 + 1).cast("int")).as("lang"),
+      concat(lit("src"), (h(17, id) % 20).cast("string")).as("source"),
+      length(text).as("n_chars"))
+  }
+
+  def embeddings(spark: SparkSession, sf: Double): DataFrame = {
+    val n = (20000 * sf).toLong
+    val dim = 64
+    val id = col("id")
+    // ~1% of vectors are jittered copies of an earlier one (cosine
+    // ≈ 0.99) — explicit TRUE near-dup pairs that scale linearly.
+    // The bulk geometry is pure random (matching the driver fixture's
+    // ≈7e-5 random-pair probability at cosine 0.45 / dim 64): ANY
+    // cluster signal fattens that tail and the pair set itself goes
+    // O(n²) — a fixture pathology first measured as a 15.8×
+    // q_lsh_pairs "blowup" (even the pure-random tail keeps the
+    // OUTPUT quadratic at this threshold; see README scaling table).
+    val isDup = h(19, id) % 100 < 1 && id >= 10
+    val baseId = when(isDup, id - (h(23, id) % least(id, lit(1000)) + 1)).otherwise(id)
+    val label = (h(20, baseId) % 10).cast("int")
+    def u(salt: Int, c: org.apache.spark.sql.Column) =
+      (h(salt, c) % 2000001L) / 1000000.0 - 1.0
+    val jitter = when(isDup, lit(0.1)).otherwise(lit(1.0))
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => u(22, baseId * dim + i) + jitter * lit(0.12) * u(24, id * dim + i))
+    val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
+    spark.range(n).select(
+      id.as("vec_id"),
+      transform(raw, x => (x / norm).cast("float")).as("embedding"),
+      label.as("label"))
+  }
+
+  /** Minimal lineitem stub — Bench warms the session with its count. */
+  def lineitemStub(spark: SparkSession, sf: Double): DataFrame =
+    spark.range((600000 * sf).toLong).select(
+      col("id").as("l_orderkey"),
+      (h(30, col("id")) % 50 + 1).cast("double").as("l_quantity"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: GenScaleData <outDir> <sf>")
+    val (outDir, sf) = (args(0), args(1).toDouble)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    events(spark, sf).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    documents(spark, sf).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embeddings(spark, sf).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    lineitemStub(spark, sf).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    println(s"wrote sf=$sf to $outDir")
+    spark.stop()
+  }
+}

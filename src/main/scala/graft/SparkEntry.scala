@@ -364,6 +364,17 @@ object SparkEntry {
         .filter(col("s0").isNotNull)
         .select(col(Tick.KEY).cast(LongType).as("user_id"), col("s0")).distinct()
     },
+    // csp.remove_dynamic_key (builtin_functions.py:311): per-user
+    // purchases form the dynamic basket; error events evict the key.
+    // epoch = sub-graph instance id (count of removals strictly before
+    // the tick; a re-added key is a fresh instance)
+    "q_remove_key" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val removals = TickStream(e.df.filter(col("event_type") === "error"))
+      graft.operators.Dynamic.removeKey(purchases, removals).df
+        .select(col(Tick.SEQ).as("event_id"), col("epoch"))
+    },
     // Product-quantization ANN: iters=0 codebook (= first-8 subvectors,
     // fully SQL-replayable), encode to 4 codes/vector, ADC top-5 — every
     // distance a sequential lane fold, bit-identical to the oracle
@@ -996,6 +1007,20 @@ object SparkEntry {
         |FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts <= fc.fts
         |WHERE e.event_type = 'purchase'
         |GROUP BY e.user_id""".stripMargin,
+    // epoch = removals sorted strictly before the data tick ((ts, rm,
+    // event_id) order: a purchase AT the removal's timestamp stays in
+    // the old instance — the same-cycle rule)
+    "q_remove_key" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rm
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |w AS (
+        |  SELECT event_id, rm, sum(rm) OVER (PARTITION BY user_id
+        |    ORDER BY ts, rm, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+        |  FROM u)
+        |SELECT event_id, epoch FROM w WHERE rm = 0""".stripMargin,
     "q_flatten" ->
       "SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS flat_seq FROM events",
     "q_delay_time" ->
