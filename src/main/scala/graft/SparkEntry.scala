@@ -141,6 +141,50 @@ object SparkEntry {
       val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
       AsOf.sample(clicks, purchases).df.select(col("seq").as("event_id"), col("value"))
     },
+    // csp.const / csp.curve / csp.null_ts (baselib.py:73, 544-551):
+    // literal sources merged — the null stream contributes nothing
+    "q_sources_const" -> { (s, dir) =>
+      val c = Sources.const(s, "c", 5.0, "2024-01-01 00:00:00")
+      val cv = Sources.curve(s, "v", Seq(
+        "2024-01-01 00:00:00" -> 1.0, "2024-01-01 01:00:00" -> 2.0))
+      val n = Sources.nullTs(s)
+      c.df.unionByName(cv.df).unionByName(n.df)
+        .select(col(Tick.KEY).as("k"), unix_micros(col(Tick.TS)).as("t_us"),
+          col(Tick.VALUE).as("value"))
+    },
+    // list_to_numpy -> numpy_to_list roundtrip (stats.py:195-210): users
+    // 0-4 become vector lanes per engine time (missing lanes filled),
+    // then explode back to per-member rows
+    "q_fromvector" -> { (s, dir) =>
+      val members = Seq("0", "1", "2", "3", "4")
+      val basket = TickStream(ev(s, dir).df.filter(col(Tick.KEY).isin(members: _*)))
+      val vec = Baskets.toVector(basket, members, fillNa = -1.0)
+      Baskets.fromVector(vec, members).df
+        .select(col(Tick.KEY).as("member"), unix_micros(col(Tick.TS)).as("t_us"),
+          col(Tick.VALUE).as("value"))
+    },
+    // _synchronize_bivariate (stats.py:285-305): per-(user, hour) cycle
+    // alignment of purchases and clicks; out-of-sync ticks discarded
+    "q_bivariate_sync" -> { (s, dir) =>
+      val e = TickStream(ev(s, dir).df
+        .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+      val x = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val y = TickStream(e.df.filter(col("event_type") === "click"))
+      Stats.synchronizeBivariate(x, y, "y").df
+        .select(col(Tick.SEQ).as("event_id"), col(Tick.VALUE).as("value"), col("y"))
+    },
+    // stats `trigger` parameter: the rolling stat recomputes only at
+    // trigger ticks = as-of sample of the per-tick stat (Stats.onTrigger)
+    "q_stats_trigger" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val clicks = TickStream(e.df.filter(col("event_type") === "click"))
+      val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val stat = Stats.ticks(purchases, 5).mean("m").done
+      val statV = TickStream(stat.df
+        .withColumn(Tick.VALUE, round(col("m"), 6)).drop("m"))
+      Stats.onTrigger(clicks, statV).df
+        .select(col(Tick.SEQ).as("event_id"), col(Tick.VALUE).as("trig_mean"))
+    },
     // delay by TIME (baselib.py:324-352): ticks shifted one hour
     "q_delay_time" -> { (s, dir) =>
       ev(s, dir).delayTime(3600).df
@@ -869,6 +913,44 @@ object SparkEntry {
          |  FROM events WHERE event_type IN ('click', 'purchase'))
          |WHERE event_type = 'click' AND sampled IS NOT NULL""".stripMargin,
     "q_times" -> "SELECT event_id, epoch_us(ts) AS time_us FROM events",
+    "q_sources_const" ->
+      """SELECT * FROM (VALUES
+        |  ('c', epoch_us(TIMESTAMP '2024-01-01 00:00:00'), 5.0),
+        |  ('v', epoch_us(TIMESTAMP '2024-01-01 00:00:00'), 1.0),
+        |  ('v', epoch_us(TIMESTAMP '2024-01-01 01:00:00'), 2.0)) t(k, t_us, value)""".stripMargin,
+    "q_fromvector" ->
+      """WITH m AS (SELECT unnest(['0','1','2','3','4']) AS member),
+        |t AS (SELECT DISTINCT ts FROM events WHERE user_id BETWEEN 0 AND 4),
+        |e AS (SELECT user_id, ts, value FROM events WHERE user_id BETWEEN 0 AND 4)
+        |SELECT m.member, epoch_us(t.ts) AS t_us, coalesce(e.value, -1.0) AS value
+        |FROM t CROSS JOIN m
+        |LEFT JOIN e ON e.ts = t.ts AND CAST(e.user_id AS VARCHAR) = m.member""".stripMargin,
+    "q_bivariate_sync" ->
+      """WITH x AS (SELECT user_id, date_trunc('hour', ts) AS h, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |y AS (SELECT user_id, date_trunc('hour', ts) AS h, value AS y,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT x.event_id, x.value, y.y
+        |FROM x JOIN y ON x.user_id = y.user_id AND x.h = y.h AND x.rn = y.rn""".stripMargin,
+    "q_stats_trigger" ->
+      s"""WITH p AS (SELECT user_id, ts, event_id,
+         |    round(avg(value) OVER (${WR(5)}), 6) AS m
+         |  FROM events WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT user_id, ts, event_id, NULL AS m, 0 AS is_p
+         |  FROM events WHERE event_type = 'click'
+         |  UNION ALL SELECT user_id, ts, event_id, m, 1 FROM p)
+         |SELECT event_id, sampled AS trig_mean FROM (
+         |  SELECT event_id, is_p,
+         |    last_value(CASE WHEN is_p = 1 THEN m END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sampled
+         |  FROM u)
+         |WHERE is_p = 0 AND sampled IS NOT NULL""".stripMargin,
     "q_split_true" -> "SELECT event_id FROM events WHERE event_type = 'purchase'",
     "q_stats_basic" ->
       s"""SELECT event_id, round(avg(value) OVER (${WR(10)}), 6) AS mean_v,
