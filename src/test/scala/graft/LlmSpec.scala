@@ -172,6 +172,18 @@ class LlmSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("Ivf.assign is a pure projection: zero exchanges, zero aggregates") {
+    val vecs = clusteredVecs(29, 64, 16)
+    val cents = graft.llm.Ivf.buildCentroids(vecs, k = 4, iters = 1)
+    val assigned = graft.llm.Ivf.assign(vecs, cents)
+    assert(assigned.collect().length == 64)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the old shape paid crossJoin + groupBy(id) — a full corpus shuffle
+    // per Lloyd iteration; the argmax now rides the projection
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n${plan.take(800)}")
+    assert(!plan.contains("HashAggregate"), s"assign must not aggregate:\n${plan.take(800)}")
+  }
+
   test("IVF-PQ probe over cell-bucketed store: NO shuffle on the cells-scan side") {
     val vecs = clusteredVecs(13, 64, 16)
     val idx = graft.llm.Pq.buildIvfPqIndex(vecs, kCells = 4, m = 2, k = 4,
