@@ -173,6 +173,16 @@ object SparkEntry {
       Stats.synchronizeBivariate(x, y, "y").df
         .select(col(Tick.SEQ).as("event_id"), col(Tick.VALUE).as("value"), col("y"))
     },
+    // csp.feedback (feedback.py:20-85): next-cycle self-delivery — each
+    // tick reads state derived from all PRIOR outputs. The decayed
+    // accumulator y = 0.9·y_prev + v replays in SQL as the same
+    // sequential left fold, so the recurrence is bit-exact
+    "q_feedback" -> { (s, dir) =>
+      val e = ev(s, dir)
+      Sequential.feedback(e, "fb", init = 0.0) { (prev, row) =>
+        prev * 0.9 + row.getDouble(row.fieldIndex(Tick.VALUE))
+      }.df.select(col(Tick.SEQ).as("event_id"), round(col("fb"), 6).as("fb"))
+    },
     // stats `trigger` parameter: the rolling stat recomputes only at
     // trigger ticks = as-of sample of the per-tick stat (Stats.onTrigger)
     "q_stats_trigger" -> { (s, dir) =>
@@ -936,6 +946,12 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'click')
         |SELECT x.event_id, x.value, y.y
         |FROM x JOIN y ON x.user_id = y.user_id AND x.h = y.h AND x.rn = y.rn""".stripMargin,
+    // the same sequential left fold perKeyScan runs (list_reduce folds
+    // left in list order) — bit-exact recurrence replay
+    "q_feedback" ->
+      s"""SELECT event_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list(value) OVER ($WR_ALL)), (acc, v) -> acc * 0.9 + v), 6) AS fb
+         |FROM events""".stripMargin,
     "q_stats_trigger" ->
       s"""WITH p AS (SELECT user_id, ts, event_id,
          |    round(avg(value) OVER (${WR(5)}), 6) AS m
