@@ -99,21 +99,113 @@ object GenScaleData {
       label.as("label"))
   }
 
-  /** Minimal lineitem stub — Bench warms the session with its count. */
-  def lineitemStub(spark: SparkSession, sf: Double): DataFrame =
-    spark.range((600000 * sf).toLong).select(
-      col("id").as("l_orderkey"),
-      (h(30, col("id")) % 50 + 1).cast("double").as("l_quantity"))
+  // ---- TPC-H-ish star schema (same table shapes as the driver
+  // fixtures: region 5, nation 25, customer 150k×sf, supplier 10k×sf,
+  // part 200k×sf, orders 1.5M×sf, lineitem 6M×sf) ----
+
+  private def money(salt: Int, c: org.apache.spark.sql.Column, max: Int) =
+    round((h(salt, c) % (max * 100L)) / 100.0 + 0.01, 2)
+
+  private def dateIn(salt: Int, c: org.apache.spark.sql.Column) = {
+    val start = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime * 1000
+    timestamp_micros(lit(start) + (h(salt, c) % 2404L) * 86400000000L) // ..2001-08
+  }
+
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
+      .toDF("r_regionkey", "r_name")
+  }
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(25).select(
+      col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey"))
+
+  def customer(spark: SparkSession, sf: Double): DataFrame = {
+    val segs = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY").map(lit): _*)
+    spark.range((150000 * sf).toLong).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      (h(31, col("id")) % 25).cast("int").as("c_nationkey"),
+      money(32, col("id"), 10000).as("c_acctbal"),
+      element_at(segs, (h(33, col("id")) % 5 + 1).cast("int")).as("c_mktsegment"))
+  }
+
+  def supplier(spark: SparkSession, sf: Double): DataFrame =
+    spark.range((10000 * sf).toLong).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      (h(34, col("id")) % 25).cast("int").as("s_nationkey"),
+      money(35, col("id"), 10000).as("s_acctbal"))
+
+  def part(spark: SparkSession, sf: Double): DataFrame = {
+    val adjs = array(Seq("large", "hot", "blue", "spring", "dark",
+      "plain", "tiny", "misty").map(lit): _*)
+    val nouns = array(Seq("ring", "bolt", "gear", "shoe", "cap",
+      "band", "drum", "plate").map(lit): _*)
+    val types = array(Seq("STANDARD", "SMALL", "MEDIUM", "LARGE",
+      "ECONOMY", "PROMO").map(lit): _*)
+    spark.range((200000 * sf).toLong).select(
+      col("id").as("p_partkey"),
+      concat(element_at(adjs, (h(36, col("id")) % 8 + 1).cast("int")), lit(" "),
+        element_at(nouns, (h(37, col("id")) % 8 + 1).cast("int"))).as("p_name"),
+      concat(lit("Brand#"), (h(38, col("id")) % 25).cast("string")).as("p_brand"),
+      element_at(types, (h(39, col("id")) % 6 + 1).cast("int")).as("p_type"),
+      (h(40, col("id")) % 50 + 1).cast("int").as("p_size"),
+      round(lit(900.0) + col("id") * 0.1, 1).as("p_retailprice"))
+  }
+
+  def orders(spark: SparkSession, sf: Double): DataFrame = {
+    val nCust = math.max(10, (150000 * sf).toLong)
+    val prios = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW").map(lit): _*)
+    val statuses = array(Seq("O", "F", "P").map(lit): _*)
+    spark.range((1500000 * sf).toLong).select(
+      col("id").as("o_orderkey"),
+      (h(41, col("id")) % nCust).as("o_custkey"),
+      element_at(statuses, (h(42, col("id")) % 3 + 1).cast("int")).as("o_orderstatus"),
+      money(43, col("id"), 400000).as("o_totalprice"),
+      dateIn(44, col("id")).as("o_orderdate"),
+      element_at(prios, (h(45, col("id")) % 5 + 1).cast("int")).as("o_orderpriority"))
+  }
+
+  def lineitem(spark: SparkSession, sf: Double): DataFrame = {
+    val nOrd = math.max(10, (1500000 * sf).toLong)
+    val nPart = math.max(10, (200000 * sf).toLong)
+    val nSupp = math.max(10, (10000 * sf).toLong)
+    val rf = array(Seq("R", "N", "A").map(lit): _*)
+    val ls = array(Seq("O", "F").map(lit): _*)
+    spark.range((6000000 * sf).toLong).select(
+      (h(46, col("id")) % nOrd).as("l_orderkey"), // ~Poisson(4) lines/order
+      (h(47, col("id")) % nPart).as("l_partkey"),
+      (h(48, col("id")) % nSupp).as("l_suppkey"),
+      (h(49, col("id")) % 7 + 1).cast("int").as("l_linenumber"),
+      (h(50, col("id")) % 50 + 1).cast("double").as("l_quantity"),
+      money(51, col("id"), 100000).as("l_extendedprice"),
+      round((h(52, col("id")) % 11L) / 100.0, 2).as("l_discount"),
+      round((h(53, col("id")) % 9L) / 100.0, 2).as("l_tax"),
+      element_at(rf, (h(54, col("id")) % 3 + 1).cast("int")).as("l_returnflag"),
+      element_at(ls, (h(55, col("id")) % 2 + 1).cast("int")).as("l_linestatus"),
+      dateIn(56, col("id")).as("l_shipdate"))
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: GenScaleData <outDir> <sf>")
     val (outDir, sf) = (args(0), args(1).toDouble)
     val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    events(spark, sf).write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    documents(spark, sf).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(spark, sf).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    lineitemStub(spark, sf).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    w(events(spark, sf), "events")
+    w(documents(spark, sf), "documents")
+    w(embeddings(spark, sf), "embeddings")
+    w(region(spark), "region"); w(nation(spark), "nation")
+    w(customer(spark, sf), "customer"); w(supplier(spark, sf), "supplier")
+    w(part(spark, sf), "part"); w(orders(spark, sf), "orders")
+    w(lineitem(spark, sf), "lineitem")
     println(s"wrote sf=$sf to $outDir")
     spark.stop()
   }
