@@ -1114,9 +1114,9 @@ object SparkEntry {
         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rm
         |  FROM events WHERE event_type IN ('purchase', 'error')),
         |w AS (
-        |  SELECT event_id, rm, sum(rm) OVER (PARTITION BY user_id
+        |  SELECT event_id, rm, CAST(sum(rm) OVER (PARTITION BY user_id
         |    ORDER BY ts, rm, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
         |  FROM u)
         |SELECT event_id, epoch FROM w WHERE rm = 0""".stripMargin,
     "q_flatten" ->
