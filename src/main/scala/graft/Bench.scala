@@ -15,38 +15,50 @@ object Bench {
     // warm the session (JVM + codegen paths) so per-query times measure the
     // queries, not first-use setup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // Median of N runs per query: single-run timings on this harness were
-    // measured to swing up to ~8× per query (JIT/GC/AQE ordering effects);
-    // the median is the number the scoreboard can trust. Every iteration
-    // rebuilds the plan and releases persist-barriers, so nothing warm
-    // carries between runs except the JIT — which is the point.
+    // Median of N INTERLEAVED passes per query. Consecutive same-query
+    // runs (the old shape) leave a multi-minute machine-load spike free
+    // to hit all N samples of an alphabetically-contiguous block at once
+    // — which is exactly what the round-6 driver record showed
+    // (q_dynamic_snap…q_gate 2–7× slower, untouched code, isolated
+    // re-runs normal). Round-robin passes spread each query's samples
+    // across the whole wall-clock window, so a spike inflates at most
+    // one sample per query and the median survives. Every run rebuilds
+    // the plan and releases persist-barriers, so nothing warm carries
+    // between runs except the JIT — which is the point.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional query-name filter (args), e.g. the sf-scaling harness
     // timing just the expensive queries — no args = the full suite
     val wanted = if (args.isEmpty) SparkEntry.queries.keySet else args.toSet
     val unknown = wanted -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown bench queries: $unknown")
-    val results = SparkEntry.queries.toSeq.filter(q => wanted(q._1))
-      .sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        // Execute the query's OWN physical plan (count() builds a
-        // different, column-pruned plan — projection-only queries would
-        // degenerate to parquet row counts and report fiction).
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Release the operators' registered persist-barriers so caches
-        // don't accumulate across queries/iterations and skew timings.
-        graft.util.Caching.release()
-        dt
-      }.sorted
-      name -> times(times.length / 2)
+    val suite = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; (name, fn) <- suite) {
+      val t0 = System.nanoTime()
+      // Execute the query's OWN physical plan (count() builds a
+      // different, column-pruned plan — projection-only queries would
+      // degenerate to parquet row counts and report fiction).
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release the operators' registered persist-barriers so caches
+      // don't accumulate across queries/iterations and skew timings.
+      graft.util.Caching.release()
+      samples(name) = samples(name) :+ dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = suite.map { case (name, _) =>
+      val ts = samples(name).sorted
+      (name, ts(ts.length / 2), ts.head)
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    // per-query min alongside the median: the min is the load-noise-free
+    // floor, so a median/min gap flags harness contention, not code.
+    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"interleaved":true,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
