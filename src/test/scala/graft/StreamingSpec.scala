@@ -63,6 +63,123 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toList == List((3000L, List(1.0, 2.0)), (4000L, List(4.0))))
   }
 
+  // ---- batch ≡ stream parity matrix ---------------------------------------
+  // The reference's core promise: simulation (batch) and realtime
+  // (streaming) runs of the same operator produce identical results
+  // (Execution-Modes.md). Each row runs one §2.3/§2.6 operator through
+  // BOTH lowerings on the events fixture — the batch window/sorted-scan
+  // and the flatMapGroupsWithState twin fed in 5 micro-batches — and
+  // asserts per-(key, seq) equality.
+
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import graft.ts.TickStream
+  import graft.operators.{Sequential, Stats}
+
+  private def batchMap(ts: TickStream, valueCol: String): Map[(String, Long), Double] = {
+    val df = ts.df.select(
+      org.apache.spark.sql.functions.col("key"),
+      org.apache.spark.sql.functions.col("seq"),
+      org.apache.spark.sql.functions.col(valueCol).cast("double"))
+    df.collect().filterNot(_.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  private def runStream(name: String, rows: Seq[TickRow],
+      build: Dataset[TickRow] => Dataset[StatefulOps.ValOut]): Map[(String, Long), Double] = {
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[TickRow]
+    val q = build(mem.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+    // 5 in-order micro-batches: state must carry across batch boundaries
+    rows.grouped(rows.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val out = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    q.stop()
+    out
+  }
+
+  private def assertParity(name: String, batch: Map[(String, Long), Double],
+      stream: Map[(String, Long), Double]): Unit = {
+    assert(stream.size == batch.size,
+      s"$name: stream ${stream.size} rows vs batch ${batch.size}")
+    batch.foreach { case (k, b) =>
+      val s = stream.getOrElse(k, Double.NaN)
+      val ok = (b.isNaN && s.isNaN) || math.abs(s - b) <= 1e-9 * math.max(1.0, math.max(math.abs(s), math.abs(b)))
+      assert(ok, s"$name @ $k: stream $s vs batch $b")
+    }
+  }
+
+  test("batch≡stream parity matrix over the baselib + stats set") {
+    val ev = Sources.events(spark, TestSpark.sf)
+    // quantized variant forces consecutive dups; NaN variant forces drops
+    val evQ = ev.mapValue(v => org.apache.spark.sql.functions.floor(v * 5.0))
+    val evN = ev.mapValue(v => org.apache.spark.sql.functions
+      .when(v < 0.1, org.apache.spark.sql.functions.lit(Double.NaN)).otherwise(v))
+    def rowsOf(x: TickStream): Seq[TickRow] =
+      StatefulOps.toTickRows(x).collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+    val rows = rowsOf(ev)
+    val rowsQ = rowsOf(evQ)
+    val rowsN = rowsOf(evN)
+
+    val matrix: Seq[(String, Map[(String, Long), Double], Seq[TickRow],
+        Dataset[TickRow] => Dataset[StatefulOps.ValOut])] = Seq(
+      ("par_filter", batchMap(ev.where(org.apache.spark.sql.functions.col("value") > 0.5), "value"),
+        rows, StatefulOps.filterStream(_, _ > 0.5)),
+      ("par_split", batchMap(ev.split(org.apache.spark.sql.functions.col("value") > 0.5)._2, "value"),
+        rows, StatefulOps.filterStream(_, v => !(v > 0.5))),
+      ("par_apply", batchMap(ev.mapValue(v => v * 2.0 + 1.0), "value"),
+        rows, StatefulOps.mapStream(_, v => v * 2.0 + 1.0)),
+      ("par_dropnans", batchMap(evN.dropNans, "value"),
+        rowsN, StatefulOps.dropNansStream),
+      ("par_times", batchMap(ev.times("t"), "t"),
+        rows, StatefulOps.timesStream),
+      ("par_count", batchMap(ev.runningCount(), "count"),
+        rows, StatefulOps.countStream),
+      ("par_accum", batchMap(ev.accum(), "accum"),
+        rows, StatefulOps.accumStream),
+      ("par_diff", batchMap(ev.diff(1), "diff"),
+        rows, StatefulOps.diffStream(_, 1)),
+      ("par_delay", batchMap(ev.delayTicks(3), "value"),
+        rows, StatefulOps.delayTicksStream(_, 3)),
+      ("par_firstn", batchMap(ev.firstN(5), "value"),
+        rows, StatefulOps.firstNStream(_, 5)),
+      ("par_dropdups", batchMap(evQ.dropDups(None), "value"),
+        rowsQ, StatefulOps.dropDupsStream),
+      ("par_dropdups_eps", batchMap(ev.dropDups(Some(0.3)), "value"),
+        rows, StatefulOps.dropDupsEpsStream(_, 0.3)),
+      ("par_kahan", batchMap(Sequential.kahanCumsum(ev), "ksum"),
+        rows, StatefulOps.kahanStream),
+      ("par_rolling_mean", batchMap(Stats.ticks(ev, 20, minWindow = 5).mean("m").done, "m"),
+        rows, StatefulOps.rollingMeanStream(_, 20, 5)),
+      ("par_rolling_min", batchMap(Stats.ticks(ev, 10).min("mn").done, "mn"),
+        rows, StatefulOps.rollingMinStream(_, 10)),
+      ("par_rolling_max", batchMap(Stats.ticks(ev, 10).max("mx").done, "mx"),
+        rows, StatefulOps.rollingMaxStream(_, 10)),
+      ("par_expanding_var", batchMap(Stats.expanding(ev).varSamp("v").done, "v"),
+        rows, StatefulOps.expandingVarStream))
+
+    matrix.foreach { case (name, batch, data, build) =>
+      assertParity(name, batch, runStream(name, data, build))
+    }
+  }
+
+  test("batch≡stream parity: stats reset (expanding sum, reset-first ties)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Sources.events(spark, TestSpark.sf)
+    val data = TickStream(ev.df.filter(col("event_type") =!= "error"))
+    val resets = TickStream(ev.df.filter(col("event_type") === "error"))
+    val batch = batchMap(
+      Stats.restoreKey(Stats.expanding(Stats.withReset(data, resets)).sum("rsum").done), "rsum")
+    // markers: seq = -(seq+1) (avoids -0); scanStream's control-first tie
+    // sort reproduces the batch epoch-partition's reset-first rule
+    val markers = StatefulOps.toTickRows(resets).collect()
+      .map(r => r.copy(seq = -(r.seq + 1), value = 0.0))
+    val rows = (StatefulOps.toTickRows(data).collect() ++ markers).toSeq
+      .sortBy(r => (r.tsMicros, r.seq >= 0, math.abs(r.seq)))
+    assertParity("par_reset_sum", batch, runStream("par_reset_sum", rows, StatefulOps.resetSumStream))
+  }
+
   test("streaming as-of sample across micro-batches") {
     import org.apache.spark.sql.Encoders
     implicit val tickEnc = Encoders.product[TickRow]
