@@ -363,18 +363,34 @@ object Dedup {
     }
     val edges = graft.util.Caching.barrier(
       p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst"))
+    // Iterative min-label propagation, with two guards the >cap boundary
+    // spec (NearDupScaleSpec) forces:
+    //  - localCheckpoint per round, NOT persist: persist reuses cached
+    //    blocks but the LOGICAL plan still embeds the previous round's
+    //    plan twice per round (once under the neighbor-min join, once
+    //    under the outer join) — 2^rounds subtrees, and by round ~9 even
+    //    plan stringification OOMs the driver. Checkpointing truncates
+    //    the lineage to the materialized partitions, so plan size stays
+    //    constant across rounds — the only shape that survives an
+    //    iterative algorithm at 100 TB.
+    //  - pointer jumping (label ← min(label, label-of-label)) halves the
+    //    remaining component diameter each round → O(log d) rounds
+    //    instead of O(d); labels are always ids present in the table, so
+    //    the self-join hop is total.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    labels.count()
+      .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     while (!converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy("src").agg(min("dlabel").as("nmin"))
-      val next = labels
+      val cand = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
+      val next = cand
+        .join(cand.select(col("id").as("label"), col("label").as("__ll")), Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        .localCheckpoint()
       val changes = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
@@ -382,8 +398,8 @@ object Dedup {
       labels = next
       converged = changes == 0
     }
-    // labels stays cached until the caller consumes the result (releasing
-    // earlier would re-run the whole iteration lineage on materialization)
+    // labels is a materialized checkpoint; register it so the caller's
+    // release() frees the blocks after consuming the result
     graft.util.Caching.barrier(labels)
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -131,6 +131,29 @@ class NearDupScaleSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 3L))
   }
 
+  test("components: distributed min-label path activates past the driver edge cap and matches union-find") {
+    // 1000 chain-shaped components of diameter 9 (9000 edges) + 1000
+    // edge-free singletons: the chains force multiple label-propagation
+    // rounds (one hop of min-label travel per round), the singletons
+    // exercise the identity fallback join. With driverEdgeLimit = 1000
+    // the integral-id take() returns limit+1 rows, so the driver
+    // union-find CANNOT serve the call — the distributed branch is the
+    // only way this output exists.
+    val edges = (0L until 10000L).filter(_ % 10 != 9).map(i => (i + 1, i)) // reversed: direction-free
+      .toDF("id1", "id2")
+    val ids = spark.range(11000).select(col("id").as("doc_id"))
+    assert(edges.count() > 1000, "fixture must exceed the driver edge cap")
+    val distributed = Dedup.components(edges, ids, "doc_id", driverEdgeLimit = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.util.Caching.release()
+    val driver = Dedup.components(edges, ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.util.Caching.release()
+    val expected = (0L until 11000L).map(i => i -> (if (i < 10000) i - i % 10 else i)).toMap
+    assert(distributed == expected, "distributed path must produce exact min-label components")
+    assert(driver == expected, "driver union-find must produce exact min-label components")
+  }
+
   test("lshPairsAuto equals brute-force threshold pairs (auto-sized recall ~1)") {
     val rnd = new scala.util.Random(3)
     def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
