@@ -40,6 +40,86 @@ object Mixers {
   }
 }
 
+/** JVM kernels for [[VectorExprs.NearestCell]] / [[VectorExprs.PqCodes]] —
+  * top-level object so generated code can call the static forwarders by
+  * name. Accumulation order, tie rule, and NaN ordering are bit-identical
+  * to the unrolled `array_min` over (dist, index) struct literals these
+  * kernels replace above the documented k thresholds (`Ivf.LiteralCellMax`,
+  * `Pq.LiteralCodeMax`). */
+object AnnKernels {
+
+  /** Argmax-cosine centroid index; ties and all-NaN rows take the LOWEST
+    * index — the `array_min((−sim, cell) struct…)` ordering exactly
+    * (struct min: NaN sorts last, −0.0 < +0.0 handled by
+    * `Double.compare`). */
+  def nearestCosine(a: ArrayData, aFloat: Boolean, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestSim = cosine(a, aFloat, cents(0))
+    var c = 1
+    while (c < cents.length) {
+      val s = cosine(a, aFloat, cents(c))
+      if (!java.lang.Double.isNaN(s) &&
+          (java.lang.Double.isNaN(bestSim) || java.lang.Double.compare(s, bestSim) > 0)) {
+        best = c; bestSim = s
+      }
+      c += 1
+    }
+    best
+  }
+
+  // same accumulation order as CosineSim (one loop: dot, na, nb)
+  private def cosine(a: ArrayData, aFloat: Boolean, cent: Array[Double]): Double = {
+    val n = math.min(a.numElements(), cent.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = cent(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** PQ code per subspace: argmin-L2, ties → lowest code; per-subspace
+    * distance is the same left-fold Σ(a−c)² as the `subDist` aggregate
+    * expression it replaces. */
+  def pqCodes(a: ArrayData, aFloat: Boolean, dsub: Int,
+              cb: Array[Array[Array[Double]]]): Array[Int] = {
+    val out = new Array[Int](cb.length)
+    var s = 0
+    while (s < cb.length) {
+      val ks = cb(s)
+      var best = 0
+      var bestD = subDist(a, aFloat, s * dsub, ks(0))
+      var j = 1
+      while (j < ks.length) {
+        val d = subDist(a, aFloat, s * dsub, ks(j))
+        if (!java.lang.Double.isNaN(d) &&
+            (java.lang.Double.isNaN(bestD) || java.lang.Double.compare(d, bestD) < 0)) {
+          best = j; bestD = d
+        }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  private def subDist(a: ArrayData, aFloat: Boolean, off: Int, cent: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < cent.length) {
+      val x = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+      val diff = x - cent(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+}
+
 object VectorExprs {
 
   @inline private def mix64(z0: Long): Long = {
@@ -296,9 +376,72 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  private def vecTypeCheck(dt: DataType, who: String) = dt match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$who requires array<float> or array<double> input, got ${other.catalogString}")
+  }
+
+  /** Nearest-centroid cell (argmax cosine, ties → lowest index) with the
+    * centroid matrix riding the plan as a REFERENCE object, not literals:
+    * the generated bytecode is one [[AnnKernels.nearestCosine]] call,
+    * constant in k. The unrolled literal-struct fold (`Ivf.cellExpr`'s
+    * small-k path) duplicates the cosine loop k times in generated Java
+    * and crosses Janino's method-size cliff past a few hundred cells —
+    * this expression is the documented large-k path, still a pure
+    * projection (no join, no shuffle). */
+  case class NearestCell(child: Expression, cents: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def checkInputDataTypes() = vecTypeCheck(child.dataType, "nearest_cell")
+    override def nullSafeEval(input: Any): Any =
+      AnnKernels.nearestCosine(input.asInstanceOf[ArrayData], isFloat, cents)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.AnnKernels.nearestCosine($c, $isFloat, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** PQ codes[m] (argmin-L2 per subspace, ties → lowest code) with the
+    * codebook as a plan reference — the large-k twin of `Pq.codesExpr`'s
+    * literal fold, same rationale as [[NearestCell]]. */
+  case class PqCodes(child: Expression, dsub: Int, cb: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def checkInputDataTypes() = vecTypeCheck(child.dataType, "pq_codes")
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(AnnKernels.pqCodes(input.asInstanceOf[ArrayData], isFloat, dsub, cb))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("cb", cb, "double[][][]")
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.AnnKernels.pqCodes($c, $isFloat, $dsub, $ref))")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Spark 4 Column no longer exposes .expr — bridge through the classic
   // ExpressionUtils (same machinery functions._ uses internally).
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    column(NearestCell(expression(vec), cents))
+  def pqCodes(vec: Column, dsub: Int, cb: Array[Array[Array[Double]]]): Column =
+    column(PqCodes(expression(vec), dsub, cb))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))

@@ -41,16 +41,50 @@ object Ivf {
     centroids.select(col("cell"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
 
+  /** Above this cell count the unrolled literal fold below is replaced by
+    * the [[graft.functions.VectorExprs.NearestCell]] kernel expression:
+    * the fold duplicates the cosine loop once per cell in generated Java,
+    * and past a few hundred cells the method crosses Janino's size cliff
+    * (the same cliff the PQ when-fold hit at k=8 before it became a
+    * struct fold). The kernel keeps the plan a pure projection — the
+    * centroid matrix rides as a reference object instead of literals —
+    * with bytecode constant in k. Both paths are spec-asserted equal
+    * (LlmSpec, k=1024). */
+  private[graft] val LiteralCellMax = 256
+
   /** Map-side nearest-cell expression: argmax cosine over the (tiny)
     * centroid set riding the plan as literals — `array_min` over
     * (−sim, cell) structs, so ties take the LOWEST cell, matching the
     * previous `max_by(cell, struct(sim, −cell))` exactly. Replaces a
     * crossJoin + groupBy(id) (one full shuffle of the corpus per Lloyd
-    * iteration) with a pure projection. */
+    * iteration) with a pure projection. Above [[LiteralCellMax]] cells,
+    * the same semantics via the constant-bytecode kernel expression. */
   private def cellExpr(cents: Seq[(Int, Array[Double])], vec: Column): Column =
-    array_min(array(cents.map { case (c, v) =>
-      struct((-cos(vec, typedlit(v.toSeq))).as("negSim"), lit(c).as("cell"))
-    }: _*)).getField("cell")
+    if (cents.size <= LiteralCellMax)
+      array_min(array(cents.map { case (c, v) =>
+        struct((-cos(vec, typedlit(v.toSeq))).as("negSim"), lit(c).as("cell"))
+      }: _*)).getField("cell")
+    else {
+      val sorted = cents.sortBy(_._1).toArray
+      require(sorted.indices.forall(i => sorted(i)._1 == i),
+        "kernel cell assignment requires dense 0..k-1 cell ids")
+      graft.functions.VectorExprs.nearestCell(vec, sorted.map(_._2))
+    }
+
+  /** Test seam: force one dispatch arm of [[cellExpr]] on the same
+    * centroid set (the agreement spec's handle). */
+  private[graft] def cellExprForced(cents: Seq[(Int, Array[Double])], vec: Column,
+                                  useKernel: Boolean): Column =
+    if (useKernel) {
+      val sorted = cents.sortBy(_._1).toArray
+      graft.functions.VectorExprs.nearestCell(vec, sorted.map(_._2))
+    } else
+      array_min(array(cents.map { case (c, v) =>
+        struct((-cos(vec, typedlit(v.toSeq))).as("negSim"), lit(c).as("cell"))
+      }: _*)).getField("cell")
+
+  private[graft] def collectCentroidsForTest(centroids: DataFrame): Seq[(Int, Array[Double])] =
+    collectCentroids(centroids)
 
   /** Deterministic k-cell coarse quantizer: init = k lowest-id vectors,
     * `iters` Lloyd steps (assign to max-cosine centroid, re-average).

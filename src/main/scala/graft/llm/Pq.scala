@@ -95,10 +95,25 @@ object Pq {
              id: String = "vec_id", vec: String = "embedding"): DataFrame =
     corpus.select(col(id), codesExpr(books, col(vec)).as("codes"))
 
+  /** Above this per-subspace centroid count, [[codesExpr]] switches from
+    * the literal struct fold (k × m argmin branches in generated Java —
+    * Janino's method-size cliff at production k=256 byte codes) to the
+    * [[graft.functions.VectorExprs.PqCodes]] kernel expression: codebook
+    * rides as a reference object, bytecode constant in k·m, still a pure
+    * projection. Paths spec-asserted equal (LlmSpec). */
+  private[graft] val LiteralCodeMax = 64
+
   /** The codes[m] column for a vector — pure projection, codebook rides
     * the plan. Shared by [[encode]], the Lloyd loop, and the IVF-PQ
     * one-pass index build. */
-  private[llm] def codesExpr(books: Codebooks, vec: Column): Column = {
+  private[graft] def codesExpr(books: Codebooks, vec: Column): Column =
+    if (books.cb.head.size <= LiteralCodeMax) codesExprLiteral(books, vec)
+    else graft.functions.VectorExprs.pqCodes(vec, books.dsub,
+      books.cb.map(_.map(_.toArray).toArray).toArray)
+
+  /** Literal-fold arm of [[codesExpr]] (small k; also the agreement
+    * spec's reference path). */
+  private[graft] def codesExprLiteral(books: Codebooks, vec: Column): Column = {
     val codeCols: Seq[Column] = (0 until books.m).map { s =>
       val k = books.cb(s).size
       // argmin via array_min over (dist, code) structs — struct ordering
@@ -112,6 +127,12 @@ object Pq {
     }
     array(codeCols: _*)
   }
+
+  /** Kernel arm of [[codesExpr]] regardless of k (the agreement spec's
+    * handle). */
+  private[graft] def codesExprKernel(books: Codebooks, vec: Column): Column =
+    graft.functions.VectorExprs.pqCodes(vec, books.dsub,
+      books.cb.map(_.map(_.toArray).toArray).toArray)
 
   /** lut[s] = array of k distances from `v`'s subspace-s slice to every
     * centroid — the per-query ADC table. */

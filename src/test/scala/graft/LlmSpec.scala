@@ -184,6 +184,64 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"assign must not aggregate:\n${plan.take(800)}")
   }
 
+  test("cell assignment at k=1024: kernel path agrees with the literal fold and stays a projection") {
+    // k > LiteralCellMax forces the NearestCell kernel expression; the
+    // literal fold (forced via the test seam on the SAME centroid set,
+    // where the unrolled codegen is still compilable) must agree bit-
+    // for-bit, and the kernel plan must stay shuffle-free.
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 400L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 1024).map(c => (c, Array.fill(dim)(rnd.nextGaussian())))
+    assert(cents.size > graft.llm.Ivf.LiteralCellMax)
+    def run(useKernel: Boolean): Map[Long, Int] =
+      vecs.select($"vec_id", graft.llm.Ivf.cellExprForced(cents, $"embedding", useKernel).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel = run(useKernel = true)
+    val literal = run(useKernel = false)
+    assert(kernel == literal, s"kernel vs literal disagree: ${
+      kernel.collect { case (id, c) if literal(id) != c => (id, c, literal(id)) }.take(5)}")
+    // the auto dispatch at k=1024 is the kernel, and assign stays a pure
+    // projection — over a REAL scan (a local relation would constant-fold
+    // the projection into a LocalTableScan and prove nothing)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cell1024").toString + "/vecs"
+    vecs.write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val centFrame = cents.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+    val assigned = graft.llm.Ivf.assign(stored, centFrame)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("nearestcell"),
+      s"k=1024 must dispatch to the kernel expression\n${plan.take(600)}")
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"kernel assign must stay a projection:\n${plan.take(800)}")
+    // "*(n)" prefixes mark WholeStageCodegen stages in this rendering
+    assert(plan.contains("*(1) Project"),
+      s"kernel expression must stay inside whole-stage codegen\n${plan.take(600)}")
+    assert(assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == kernel)
+  }
+
+  test("PQ codes above LiteralCodeMax: kernel path agrees with the literal fold") {
+    val dim = 8; val m = 2; val k = 96 // > LiteralCodeMax=64
+    val rnd = new scala.util.Random(43)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = (0 until m).map(s => (0 until k).map(j => Seq.fill(dim / m)(rnd.nextGaussian())))
+    val books = graft.llm.Pq.Codebooks(m, dim / m, cb)
+    def run(c: org.apache.spark.sql.Column): Map[Long, Seq[Int]] =
+      vecs.select($"vec_id", c.as("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val kernel = run(graft.llm.Pq.codesExprKernel(books, $"embedding"))
+    val literal = run(graft.llm.Pq.codesExprLiteral(books, $"embedding"))
+    assert(kernel == literal)
+    // auto dispatch at k=96 is the kernel (analyzed plan — the local
+    // fixture constant-folds the executed plan into a LocalTableScan)
+    val enc = graft.llm.Pq.encode(vecs, books)
+    assert(enc.queryExecution.analyzed.toString.toLowerCase.contains("pqcodes"),
+      "k>LiteralCodeMax must dispatch to the kernel expression")
+    assert(run(graft.llm.Pq.codesExpr(books, $"embedding")) == kernel)
+  }
+
   test("IVF-PQ probe over cell-bucketed store: NO shuffle on the cells-scan side") {
     val vecs = clusteredVecs(13, 64, 16)
     val idx = graft.llm.Pq.buildIvfPqIndex(vecs, kCells = 4, m = 2, k = 4,
