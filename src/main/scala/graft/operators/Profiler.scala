@@ -36,6 +36,45 @@ object Profiler {
           .mkString("\n")
   }
 
+  /** Static graph census — the reference's `csp.profiler.graph_info`
+    * (`profiler.py:70-130`: `GraphInfo` with node_count, edge_count,
+    * nodetype_counts, longest_path). csp walks the wiring-time node
+    * graph; the Spark "wiring" is the optimized logical plan, so one
+    * Catalyst traversal yields the same census — no execution needed. */
+  final case class GraphInfo(nodeCount: Int, edgeCount: Int,
+                             nodetypeCounts: Map[String, Int],
+                             longestPath: Seq[String]) {
+    /** Reference `most_common_node` (profiler.py:124). */
+    def mostCommonNode: (String, Int) = nodetypeCounts.maxBy(_._2)
+    /** Reference `format_info` (profiler.py:85), same ordering. */
+    def render: String =
+      s"Nodes: $nodeCount\nEdges: $edgeCount\n" +
+        nodetypeCounts.toSeq.sortBy { case (n, c) => (-c, n) }
+          .map { case (n, c) => f"$n%-30s $c" }.mkString("\n") +
+        s"\nLongest path (${longestPath.size}): ${longestPath.mkString(" -> ")}"
+  }
+
+  /** One traversal of the optimized logical plan: node/edge counts,
+    * counts by operator class, and the names along the longest
+    * root-to-leaf path (ties: first child branch, like the reference's
+    * DFS). */
+  def graphInfo(df: DataFrame): GraphInfo = {
+    var nodes = 0
+    var edges = 0
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+      nodes += 1
+      counts(p.nodeName) += 1
+      edges += p.children.size
+      val deepest =
+        if (p.children.isEmpty) Seq.empty[String]
+        else p.children.map(walk).maxBy(_.size)
+      p.nodeName +: deepest
+    }
+    val path = walk(df.queryExecution.optimizedPlan)
+    GraphInfo(nodes, edges, counts.toMap, path)
+  }
+
   /** Execute the frame's own physical plan and collect per-operator
     * metrics — csp's per-node exec counts/times. (count() would build a
     * different plan; AQE wraps the final plan, so unwrap it.) */

@@ -18,10 +18,17 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class ProfilerServer private (server: HttpServer) {
 
   @volatile private var profiles: List[(String, Profiler.Profile)] = Nil
+  @volatile private var graphs: List[(String, Profiler.GraphInfo)] = Nil
 
   /** Record a profile under a name — shown immediately on the page. */
   def record(name: String, p: Profiler.Profile): Unit =
     profiles = ((name, p) :: profiles).take(ProfilerServer.MaxProfiles)
+
+  /** Record a static graph census ([[Profiler.graphInfo]]) — the
+    * reference serves `graph_info` beside runtime stats
+    * (profiler.py:457-511); here both land on `/metrics.json`. */
+  def recordGraph(name: String, g: Profiler.GraphInfo): Unit =
+    graphs = ((name, g) :: graphs).take(ProfilerServer.MaxProfiles)
 
   def port: Int = server.getAddress.getPort
 
@@ -50,7 +57,15 @@ final class ProfilerServer private (server: HttpServer) {
          |"cycleCount": ${p.cycleCount}, "utilization": ${p.utilization},
          |"nodes": [$nodes]}""".stripMargin.replace("\n", " ")
     }
-    s"""{"profiles": [${ps.mkString(", ")}]}"""
+    val gs = graphs.map { case (name, g) =>
+      val counts = g.nodetypeCounts.toSeq.sortBy { case (n, c) => (-c, n) }
+        .map { case (n, c) => s"${jsonStr(n)}: $c" }.mkString(", ")
+      val path = g.longestPath.map(jsonStr).mkString(", ")
+      s"""{"name": ${jsonStr(name)}, "nodeCount": ${g.nodeCount},
+         |"edgeCount": ${g.edgeCount}, "nodetypeCounts": {$counts},
+         |"longestPath": [$path]}""".stripMargin.replace("\n", " ")
+    }
+    s"""{"profiles": [${ps.mkString(", ")}], "graphs": [${gs.mkString(", ")}]}"""
   }
 
   private def indexHtml: String = {

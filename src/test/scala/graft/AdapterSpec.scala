@@ -65,6 +65,39 @@ class AdapterSpec extends AnyFunSuite {
     assert(p.render.contains("utilization="))
   }
 
+  test("graph_info census on a known pipeline (profiler.py:70-130)") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.ts.Sources.events(spark, TestSpark.sf)
+    val df = ev.df.filter(col("value") > 0.0).groupBy("key")
+      .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+    val gi = graft.operators.Profiler.graphInfo(df)
+    // census invariants of a plan TREE + the operators we know survive
+    // optimization: Aggregate at the root, the Filter above the scan
+    assert(gi.nodeCount == gi.nodetypeCounts.values.sum)
+    assert(gi.edgeCount == gi.nodeCount - 1, "plan is a tree")
+    assert(gi.nodetypeCounts.getOrElse("Aggregate", 0) == 1)
+    assert(gi.nodetypeCounts.getOrElse("Filter", 0) >= 1)
+    assert(gi.longestPath.head == "Aggregate", s"root first: ${gi.longestPath}")
+    assert(gi.longestPath.size <= gi.nodeCount && gi.longestPath.nonEmpty)
+    assert(gi.mostCommonNode._2 >= 1)
+    assert(gi.render.contains(s"Nodes: ${gi.nodeCount}"))
+    // a join widens the census, never shrinks it
+    val joined = df.join(df.withColumnRenamed("s", "s2"), "key")
+    val gj = graft.operators.Profiler.graphInfo(joined)
+    assert(gj.nodetypeCounts.getOrElse("Join", 0) == 1)
+    assert(gj.nodeCount > gi.nodeCount)
+    // served beside utilization on /metrics.json
+    val ps = graft.operators.ProfilerServer.start()
+    try {
+      ps.recordGraph("census", gi)
+      val url = new java.net.URI(s"http://127.0.0.1:${ps.port}/metrics.json").toURL
+      val in = url.openStream()
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(json.contains("\"graphs\":") && json.contains("\"census\"") &&
+        json.contains("\"nodeCount\": " + gi.nodeCount) && json.contains("\"longestPath\":"))
+    } finally ps.stop()
+  }
+
   test("profiler live HTTP view (profiler.py:457-511)") {
     val ps = graft.operators.ProfilerServer.start()
     try {
