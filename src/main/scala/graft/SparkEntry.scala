@@ -750,6 +750,29 @@ object SparkEntry {
           col("col.lo").as("min_v"), col("col.hi").as("max_v"),
           round(col("col.vr"), 6).as("var_v"))
     },
+    // 2-D lanes (NumpyNDArray ticks, csp/typing.py:24-55): a 2×2 matrix
+    // per tick from the first 4 embedding entries; elementwise rolling
+    // stats via the nested zip_with fold — one row per tick end-to-end
+    "q_stats_vec2d" -> { (s, dir) =>
+      val vec = TickStream(Sources.table(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(4L)).cast(StringType).as(Tick.KEY),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as(Tick.TS),
+          col("vec_id").as(Tick.SEQ),
+          transform(sequence(lit(0), lit(1)), i =>
+            transform(sequence(lit(0), lit(1)), j =>
+              element_at(col("embedding"), i * 2 + j + 1).cast("double"))).as(Tick.VALUE)))
+      Stats.ticksVec(vec, 5).sum2d("sm").mean2d("mn").min2d("lo").max2d("hi")
+        .done.df
+        .select(col(Tick.SEQ).as("vec_id"),
+          posexplode(arrays_zip(col("sm"), col("mn"), col("lo"), col("hi"))))
+        .select(col("vec_id"), col("pos").as("i"), col("col.sm").as("sm"),
+          col("col.mn").as("mn"), col("col.lo").as("lo"), col("col.hi").as("hi"))
+        .select(col("vec_id"), col("i"),
+          posexplode(arrays_zip(col("sm"), col("mn"), col("lo"), col("hi"))))
+        .select(col("vec_id"), col("i"), col("pos").as("j"),
+          round(col("col.sm"), 6).as("sum_v"), round(col("col.mn"), 6).as("mean_v"),
+          col("col.lo").as("min_v"), col("col.hi").as("max_v"))
+    },
     "q_values_at" -> { (s, dir) =>
       ev(s, dir).valuesAt(5, "vs").df
         .select(col("seq").as("event_id"), md5(concat_ws(",", col("vs"))).as("vs_md5"))
@@ -1731,6 +1754,25 @@ object SparkEntry {
         |    round((list_reduce(list_transform(fr, e -> e * e), (a, b) -> a + b)
         |           - list_reduce(fr, (a, b) -> a + b) * list_reduce(fr, (a, b) -> a + b) / len(fr))
         |          / (len(fr) - 1), 6) END AS var_v
+        |FROM f""".stripMargin,
+    // 2-D lane (i, j) ≙ flat lane 2i+j over the first 4 embedding
+    // entries; same frame-order list_reduce replay as q_stats_vec
+    "q_stats_vec2d" ->
+      """WITH v AS (
+        |  SELECT vec_id, vec_id % 4 AS k, (i - 1) // 2 AS i2, (i - 1) % 2 AS j2,
+        |    CAST(x AS DOUBLE) AS xv
+        |  FROM (SELECT vec_id, generate_subscripts(embedding[1:4], 1) AS i,
+        |        unnest(embedding[1:4]) AS x FROM embeddings)),
+        |f AS (
+        |  SELECT vec_id, i2, j2,
+        |    list(xv) OVER (PARTITION BY k, i2, j2 ORDER BY vec_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM v)
+        |SELECT vec_id, i2 AS i, j2 AS j,
+        |  round(list_reduce(fr, (a, b) -> a + b), 6) AS sum_v,
+        |  round(list_reduce(fr, (a, b) -> a + b) / len(fr), 6) AS mean_v,
+        |  list_reduce(fr, (a, b) -> least(a, b)) AS min_v,
+        |  list_reduce(fr, (a, b) -> greatest(a, b)) AS max_v
         |FROM f""".stripMargin,
     "q_values_at" ->
       s"SELECT event_id, md5(array_to_string(list(value) OVER (${WR(5)}), ',')) AS vs_md5 FROM events",

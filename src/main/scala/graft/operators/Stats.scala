@@ -681,5 +681,40 @@ object Stats {
       r.copy(x = TickStream(r.x.df
         .withColumn(name, transform(col(tmp), sqrt(_))).drop(tmp)))
     }
+
+    // ---- 2-D lanes (reference `NumpyNDArray[T]`, csp/typing.py:24-55) ----
+    // A matrix per tick (`ts[np.ndarray]` with ndim=2) maps to a nested
+    // ArrayType VALUE; elementwise stats are the same memoized-frame fold
+    // with one more zip_with level — still one row per tick, no explode,
+    // no extra shuffle. Deeper nesting follows the same pattern; the
+    // cov/corr-matrix special case stays in [[covCorrMatrix]].
+
+    private def dbl2(m: Column): Column = transform(m, r => transform(r, _.cast("double")))
+
+    private def fold2d(fr: Column, merge: (Column, Column) => Column): Column =
+      aggregate(slice(fr, lit(2), size(fr) - 1), dbl2(element_at(fr, 1)),
+        (acc, e) => zip_with(acc, e, (ar, br) =>
+          zip_with(ar, br, (a, b) => merge(a, b.cast("double")))))
+
+    def sum2d(name: String = "sum"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, fold2d(fr, _ + _)))
+    }
+
+    def mean2d(name: String = "mean"): RollingVec = {
+      val (r, fr) = memoFrame
+      val n = size(fr).cast("double")
+      r.add(name, gated(fr, transform(fold2d(fr, _ + _), row => transform(row, _ / n))))
+    }
+
+    def min2d(name: String = "min"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, fold2d(fr, least(_, _))))
+    }
+
+    def max2d(name: String = "max"): RollingVec = {
+      val (r, fr) = memoFrame
+      r.add(name, gated(fr, fold2d(fr, greatest(_, _))))
+    }
   }
 }
