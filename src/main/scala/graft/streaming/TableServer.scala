@@ -29,7 +29,8 @@ import graft.ts.{Tick, TickStream}
   */
 final class TableServer(deltaUpdates: Boolean = false) {
 
-  final class Table private[TableServer] (val name: String, val index: Option[String]) {
+  final class Table private[TableServer] (val name: String, val index: Option[String],
+                                          val schema: Seq[(String, String)]) {
     private val snapshotByIndex = mutable.LinkedHashMap.empty[Any, Map[String, Any]]
     private val appendLog = mutable.ArrayBuffer.empty[Map[String, Any]]
     private val subscribers = mutable.ArrayBuffer.empty[Subscriber]
@@ -43,6 +44,19 @@ final class TableServer(deltaUpdates: Boolean = false) {
           "data" -> records))
         messageId += 1
       }
+      /** The typed-schema hello frame (reference perspective adapter,
+        * `csp/adapters/perspective.py:237-246`: the table is created
+        * client-side FROM a column→type schema plus the index, before any
+        * data arrives). One frame, before the first snap chunk. */
+      def pushSchema(): Unit = {
+        send(Json.obj(
+          "messageType" -> "schema",
+          "messageID" -> messageId,
+          "table" -> name,
+          "index" -> index.orNull,
+          "data" -> Seq(scala.collection.immutable.ListMap(schema: _*))))
+        messageId += 1
+      }
     }
 
     /** Current materialized rows (index order = first-seen, like the
@@ -51,10 +65,12 @@ final class TableServer(deltaUpdates: Boolean = false) {
       if (index.isDefined) snapshotByIndex.values.toSeq else appendLog.toSeq
     }
 
-    /** Subscribe a JSON consumer: full snapshot first (chunks of 100),
-      * then deltas as they arrive. */
+    /** Subscribe a JSON consumer: typed-schema frame first (when the
+      * table declares one), then the full snapshot (chunks of 100), then
+      * deltas as they arrive. */
     def subscribe(send: String => Unit): Unit = synchronized {
       val sub = new Subscriber(send)
+      if (schema.nonEmpty) sub.pushSchema()
       snapshot.grouped(100).foreach(chunk => sub.push("snap", chunk))
       subscribers += sub
     }
@@ -87,9 +103,10 @@ final class TableServer(deltaUpdates: Boolean = false) {
 
   private val tables = mutable.LinkedHashMap.empty[String, Table]
 
-  def createTable(name: String, index: Option[String] = None): Table = synchronized {
+  def createTable(name: String, index: Option[String] = None,
+                  schema: Seq[(String, String)] = Nil): Table = synchronized {
     require(!tables.contains(name), s"Table $name already exists")
-    val t = new Table(name, index)
+    val t = new Table(name, index, schema)
     tables(name) = t
     t
   }
@@ -114,6 +131,28 @@ final class TableServer(deltaUpdates: Boolean = false) {
       batch.orderBy(Tick.TS, Tick.SEQ).collect().foreach { row =>
         t.update(columns.map { case (from, to) => to -> row.get(row.fieldIndex(from)) })
       }
+    }
+}
+
+object TableServer {
+  import org.apache.spark.sql.types._
+
+  /** Perspective-typed column schema from a Spark schema, through the
+    * publish rename map — the reference's `perspective_type_map`
+    * (`csp/adapters/perspective.py:237-246` + utils: int→integer,
+    * float→float, bool→boolean, datetime→datetime, everything else —
+    * including Enum — a string). Pair with
+    * `createTable(name, index, schema)`. */
+  def perspectiveSchema(schema: StructType,
+                        columns: Map[String, String]): Seq[(String, String)] =
+    columns.toSeq.map { case (from, to) =>
+      to -> (schema(from).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "integer"
+        case FloatType | DoubleType | _: DecimalType => "float"
+        case BooleanType => "boolean"
+        case TimestampType | TimestampNTZType | DateType => "datetime"
+        case _ => "string"
+      })
     }
 }
 

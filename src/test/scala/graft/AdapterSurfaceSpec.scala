@@ -78,6 +78,44 @@ class AdapterSurfaceSpec extends AnyFunSuite {
     assert(t.snapshot.map(_("sym")).toSet == Set("A", "B"))
   }
 
+  test("perspective schema handshake: typed schema frame precedes snap and deltas (perspective.py:202-253)") {
+    val server = new TableServer(deltaUpdates = true)
+    // schema derived from a Spark schema through the publish rename map
+    val sparkSchema = StructType(Seq(
+      StructField("sym", StringType), StructField("px", DoubleType),
+      StructField("qty", LongType), StructField("live", BooleanType),
+      StructField("at", TimestampType)))
+    val schema = TableServer.perspectiveSchema(sparkSchema,
+      Map("sym" -> "sym", "px" -> "px", "qty" -> "qty", "live" -> "live", "at" -> "at"))
+    assert(schema.toMap == Map("sym" -> "string", "px" -> "float",
+      "qty" -> "integer", "live" -> "boolean", "at" -> "datetime"))
+    val t = server.createTable("px2", index = Some("sym"), schema = schema)
+    // early subscriber (no data yet): schema frame alone, messageID 0
+    val early = scala.collection.mutable.ArrayBuffer.empty[String]
+    t.subscribe(early += _)
+    assert(early.length == 1, s"schema hello must arrive before any data: $early")
+    assert(early(0).contains("\"messageType\":\"schema\"") &&
+      early(0).contains("\"messageID\":0") &&
+      early(0).contains("\"index\":\"sym\"") &&
+      early(0).contains("\"px\":\"float\"") && early(0).contains("\"qty\":\"integer\""))
+    t.update(Map("sym" -> "A", "px" -> 1.0))
+    // schema, then the delta — monotone messageIDs across frame kinds
+    assert(early.length == 2 && early(1).contains("\"messageType\":\"update\"") &&
+      early(1).contains("\"messageID\":1"))
+    // late subscriber: schema THEN snap, in that order
+    val late = scala.collection.mutable.ArrayBuffer.empty[String]
+    t.subscribe(late += _)
+    assert(late.length == 2)
+    assert(late(0).contains("\"messageType\":\"schema\"") && late(0).contains("\"table\":\"px2\""))
+    assert(late(1).contains("\"messageType\":\"snap\"") && late(1).contains("\"px\":1.0"))
+    // schema-less tables keep the old framing (no hello frame)
+    val bare = server.createTable("bare", index = Some("k"))
+    val sub = scala.collection.mutable.ArrayBuffer.empty[String]
+    bare.update(Map("k" -> "x", "v" -> 1.0))
+    bare.subscribe(sub += _)
+    assert(sub.length == 1 && sub(0).contains("\"messageType\":\"snap\""))
+  }
+
   test("table server publishBatch applies a tick stream in engine-time order") {
     val server = new TableServer()
     val t = server.createTable("vals", index = Some("key"))
