@@ -51,14 +51,20 @@ object Bench {
       val ts = samples(name).sorted
       (name, ts(ts.length / 2), ts.head)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    // 4 decimals (0.1 ms) halves the line length — the driver's record
+    // capture has truncated the HEAD of long lines in past rounds
+    // (BENCH_r6 lost q1..q_dupts_merge), so keep the line short and put
+    // the sacrificial min map FIRST and the medians-of-record LAST,
+    // where a head truncation cannot reach them.
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
     // per-query min alongside the median: the min is the load-noise-free
     // floor, so a median/min gap flags harness contention, not code.
-    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + f(mn) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"interleaved":true,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters":$iters,"interleaved":true,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
