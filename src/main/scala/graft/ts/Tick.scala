@@ -49,6 +49,13 @@ object GraftSession {
       // full fidelity (csp engine time is ns-capable, SURVEY §1.2); sources
       // derive a TimestampType column from it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, so it must land at session build: the default
+      // generated-class cache holds 100 entries, and any workload cycling
+      // through >100 distinct plans in one session (the interleaved
+      // bench; a long-lived multi-query service) evicts every query's
+      // classes between its own runs — each pass pays full Janino
+      // recompilation. 1000 entries keeps the cache a cache.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
