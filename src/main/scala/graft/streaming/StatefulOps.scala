@@ -173,123 +173,150 @@ object StatefulOps {
       }
   }
 
-  /** csp.filter (`baselib.py:412-418`) — twin of `TickStream.where`. */
-  def filterStream(t: Dataset[TickRow], p: Double => Boolean): Dataset[ValOut] =
-    scanStream(t, Nil)((s, r) => (s, Some(r.value).filter(p)))
+  /** One scan operator: initial state vector + step function. The SAME
+    * Step value drives both streaming runtimes — [[scanStream]]
+    * (flatMapGroupsWithState) and [[TwsOps.scanTws]] (transformWithState
+    * + RocksDB) — so the dual-runtime parity specs compare one
+    * definition, not two transcriptions. */
+  final case class Step(init: Seq[Double],
+                        fn: (Seq[Double], TickRow) => (Seq[Double], Option[Double]))
 
-  /** csp.apply (`baselib.py:399-409`) — twin of `TickStream.mapValue`. */
-  def mapStream(t: Dataset[TickRow], f: Double => Double): Dataset[ValOut] =
-    scanStream(t, Nil)((s, r) => (s, Some(f(r.value))))
+  /** The §2.3 baselib / §2.6 stats step library (csp references on each). */
+  object Steps {
+    /** csp.filter (`baselib.py:412-418`) — twin of `TickStream.where`. */
+    def filter(p: Double => Boolean): Step = Step(Nil, (s, r) => (s, Some(r.value).filter(p)))
 
-  /** csp.drop_nans (`baselib.py:457-461`) — twin of `dropNans`. */
-  def dropNansStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Nil)((s, r) => (s, Some(r.value).filterNot(_.isNaN)))
+    /** csp.apply (`baselib.py:399-409`) — twin of `TickStream.mapValue`. */
+    def map(f: Double => Double): Step = Step(Nil, (s, r) => (s, Some(f(r.value))))
 
-  /** csp.times (`baselib.py:744-757`) — twin of `times` (epoch micros;
-    * micros < 2^53 stay exact in the Double lane). */
-  def timesStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Nil)((s, r) => (s, Some(r.tsMicros.toDouble)))
+    /** csp.drop_nans (`baselib.py:457-461`) — twin of `dropNans`. */
+    val dropNans: Step = Step(Nil, (s, r) => (s, Some(r.value).filterNot(_.isNaN)))
 
-  /** csp.count (`baselib.py:317-321`) — twin of `runningCount`. */
-  def countStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Seq(0.0))((s, _) => { val c = s.head + 1; (Seq(c), Some(c)) })
+    /** csp.times (`baselib.py:744-757`) — twin of `times` (epoch micros;
+      * micros < 2^53 stay exact in the Double lane). */
+    val times: Step = Step(Nil, (s, r) => (s, Some(r.tsMicros.toDouble)))
 
-  /** csp.accum (`baselib.py:615-622`) — twin of `accum`. */
-  def accumStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Seq(0.0))((s, r) => { val a = s.head + r.value; (Seq(a), Some(a)) })
+    /** csp.count (`baselib.py:317-321`) — twin of `runningCount`. */
+    val count: Step = Step(Seq(0.0), (s, _) => { val c = s.head + 1; (Seq(c), Some(c)) })
 
-  /** csp.diff (`baselib.py:355-367`) — twin of `diff`: ticks only once the
-    * n-back value exists (the batch lowering's null-lag rows don't tick). */
-  def diffStream(t: Dataset[TickRow], n: Int = 1): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** csp.accum (`baselib.py:615-622`) — twin of `accum`. */
+    val accum: Step = Step(Seq(0.0), (s, r) => { val a = s.head + r.value; (Seq(a), Some(a)) })
+
+    /** csp.diff (`baselib.py:355-367`) — twin of `diff`: ticks only once
+      * the n-back value exists (null-lag batch rows don't tick). */
+    def diff(n: Int): Step = Step(Nil, (s, r) => {
       val q = s :+ r.value
       if (q.length > n) (q.tail, Some(r.value - q.head)) else (q, None)
-    }
+    })
 
-  /** csp.delay by ticks (`baselib.py:324-352`) — twin of `delayTicks`:
-    * the n-back value emitted at the current tick's time. */
-  def delayTicksStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** csp.delay by ticks (`baselib.py:324-352`) — twin of `delayTicks`:
+      * the n-back value emitted at the current tick's time. */
+    def delayTicks(n: Int): Step = Step(Nil, (s, r) => {
       val q = s :+ r.value
       if (q.length > n) (q.tail, Some(q.head)) else (q, None)
-    }
+    })
 
-  /** csp.firstN (`baselib.py:301-314`) — twin of `firstN`. */
-  def firstNStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
-    scanStream(t, Seq(0.0)) { (s, r) =>
+    /** csp.firstN (`baselib.py:301-314`) — twin of `firstN`. */
+    def firstN(n: Int): Step = Step(Seq(0.0), (s, r) => {
       val c = s.head + 1
       (Seq(c), if (c <= n) Some(r.value) else None)
-    }
+    })
 
-  /** csp.drop_dups exact (`baselib.py:424-434`) — twin of `dropDups(None)`:
-    * previous-TICK comparison, NaN-aware. */
-  def dropDupsStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** csp.drop_dups exact (`baselib.py:424-434`) — twin of
+      * `dropDups(None)`: previous-TICK comparison, NaN-aware. */
+    val dropDups: Step = Step(Nil, (s, r) => {
       val dup = s.nonEmpty && (s.head == r.value || (s.head.isNaN && r.value.isNaN))
       (Seq(r.value), if (dup) None else Some(r.value))
-    }
+    })
 
-  /** csp._drop_dups_float (`baselib.py:435-442`) — twin of `dropDups(eps)`:
-    * last-EMITTED comparison, re-emits once cumulative drift ≥ eps. */
-  def dropDupsEpsStream(t: Dataset[TickRow], eps: Double): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** csp._drop_dups_float (`baselib.py:435-442`) — twin of
+      * `dropDups(eps)`: last-EMITTED comparison, re-emits at drift ≥ eps. */
+    def dropDupsEps(eps: Double): Step = Step(Nil, (s, r) => {
       val emit = s.isEmpty || (r.value.isNaN != s.head.isNaN) ||
         (!r.value.isNaN && math.abs(r.value - s.head) >= eps)
       if (emit) (Seq(r.value), Some(r.value)) else (s, None)
-    }
+    })
 
-  /** Kahan-compensated running sum — twin of `Sequential.kahanCumsum`.
-    * State = (sum, compensation); bit-identical to the batch scan because
-    * both run the same fold in (ts, seq) order. */
-  def kahanStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Seq(0.0, 0.0)) { (s, r) =>
+    /** Kahan-compensated running sum — twin of `Sequential.kahanCumsum`.
+      * State = (sum, compensation); bit-identical to the batch scan
+      * because both run the same fold in (ts, seq) order. */
+    val kahan: Step = Step(Seq(0.0, 0.0), (s, r) => {
       val y = r.value - s(1)
       val tt = s(0) + y
       (Seq(tt, (tt - s(0)) - y), Some(tt))
-    }
+    })
 
-  /** csp stats `reset` over an expanding sum (`stats.py:218-280`) — twin of
-    * `Stats.withReset` + expanding sum: reset markers (seq < 0) clear the
-    * accumulation and win same-timestamp ties (scanStream's control-first
-    * sort = the batch epoch-partition's reset-first ordering). */
-  def resetSumStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Seq(0.0)) { (s, r) =>
+    /** csp stats `reset` over an expanding sum (`stats.py:218-280`) —
+      * twin of `Stats.withReset` + expanding sum: reset markers (seq < 0)
+      * clear the accumulation and win same-timestamp ties (the scan's
+      * control-first sort = the batch epoch-partition's reset-first
+      * ordering). */
+    val resetSum: Step = Step(Seq(0.0), (s, r) => {
       if (r.seq < 0) (Seq(0.0), None)
       else { val a = s.head + r.value; (Seq(a), Some(a)) }
-    }
+    })
 
-  /** n-tick rolling mean with min_window (`stats.py` tick-window stats) —
-    * twin of `Stats.ticks(x, n, minWindow).mean`. */
-  def rollingMeanStream(t: Dataset[TickRow], n: Int, minWindow: Int = 1): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** n-tick rolling mean with min_window — twin of
+      * `Stats.ticks(x, n, minWindow).mean`. */
+    def rollingMean(n: Int, minWindow: Int = 1): Step = Step(Nil, (s, r) => {
       val q = (s :+ r.value).takeRight(n)
       (q, if (q.length >= minWindow) Some(q.sum / q.length) else None)
-    }
+    })
 
-  /** n-tick rolling min — twin of `Stats.ticks(x, n).min`. */
-  def rollingMinStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** n-tick rolling min — twin of `Stats.ticks(x, n).min`. */
+    def rollingMin(n: Int): Step = Step(Nil, (s, r) => {
       val q = (s :+ r.value).takeRight(n)
       (q, Some(q.min))
-    }
+    })
 
-  /** n-tick rolling max — twin of `Stats.ticks(x, n).max`. */
-  def rollingMaxStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
-    scanStream(t, Nil) { (s, r) =>
+    /** n-tick rolling max — twin of `Stats.ticks(x, n).max`. */
+    def rollingMax(n: Int): Step = Step(Nil, (s, r) => {
       val q = (s :+ r.value).takeRight(n)
       (q, Some(q.max))
-    }
+    })
 
-  /** Expanding sample variance (Welford) — twin of
-    * `Stats.expanding(x).varSamp`; ticks from the second observation. */
-  def expandingVarStream(t: Dataset[TickRow]): Dataset[ValOut] =
-    scanStream(t, Seq(0.0, 0.0, 0.0)) { (s, r) =>
+    /** Expanding sample variance (Welford) — twin of
+      * `Stats.expanding(x).varSamp`; ticks from the second observation. */
+    val expandingVar: Step = Step(Seq(0.0, 0.0, 0.0), (s, r) => {
       val n = s(0) + 1
       val d = r.value - s(1)
       val m = s(1) + d / n
       val m2 = s(2) + d * (r.value - m)
       (Seq(n, m, m2), if (n >= 2) Some(m2 / (n - 1)) else None)
-    }
+    })
+  }
+
+  /** Run a [[Step]] on the flatMapGroupsWithState runtime. */
+  def scanStream(ticks: Dataset[TickRow], step: Step): Dataset[ValOut] =
+    scanStream(ticks, step.init)(step.fn)
+
+  def filterStream(t: Dataset[TickRow], p: Double => Boolean): Dataset[ValOut] =
+    scanStream(t, Steps.filter(p))
+  def mapStream(t: Dataset[TickRow], f: Double => Double): Dataset[ValOut] =
+    scanStream(t, Steps.map(f))
+  def dropNansStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.dropNans)
+  def timesStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.times)
+  def countStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.count)
+  def accumStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.accum)
+  def diffStream(t: Dataset[TickRow], n: Int = 1): Dataset[ValOut] =
+    scanStream(t, Steps.diff(n))
+  def delayTicksStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
+    scanStream(t, Steps.delayTicks(n))
+  def firstNStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
+    scanStream(t, Steps.firstN(n))
+  def dropDupsStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.dropDups)
+  def dropDupsEpsStream(t: Dataset[TickRow], eps: Double): Dataset[ValOut] =
+    scanStream(t, Steps.dropDupsEps(eps))
+  def kahanStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.kahan)
+  def resetSumStream(t: Dataset[TickRow]): Dataset[ValOut] = scanStream(t, Steps.resetSum)
+  def rollingMeanStream(t: Dataset[TickRow], n: Int, minWindow: Int = 1): Dataset[ValOut] =
+    scanStream(t, Steps.rollingMean(n, minWindow))
+  def rollingMinStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
+    scanStream(t, Steps.rollingMin(n))
+  def rollingMaxStream(t: Dataset[TickRow], n: Int): Dataset[ValOut] =
+    scanStream(t, Steps.rollingMax(n))
+  def expandingVarStream(t: Dataset[TickRow]): Dataset[ValOut] =
+    scanStream(t, Steps.expandingVar)
 
   /** Batch TickStream → typed rows for the streaming API (test bridge). */
   def toTickRows(x: TickStream): Dataset[TickRow] = {

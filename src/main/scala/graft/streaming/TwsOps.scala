@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming._
 
-import graft.streaming.StatefulOps.{EmaOut, EmaState, TickRow}
+import graft.streaming.StatefulOps.{EmaOut, EmaState, ScanState, TickRow, ValOut}
 
 /** transformWithState lowering (Spark 4 StatefulProcessor + RocksDB state
   * store) — the arbitrary-stateful-operator API the engine standardizes
@@ -41,6 +41,45 @@ object TwsOps {
     ticks.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new EmaProcessor(alpha), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Generic per-key scan as a StatefulProcessor — [[StatefulOps.scanStream]]
+    * on the transformWithState runtime (typed ValueState in RocksDB), so
+    * every named baselib/stats twin built on `scanStream`'s step
+    * functions runs unchanged on the forward API. Same ordering contract:
+    * (ts, seq) within a micro-batch, control rows (seq < 0) first on
+    * engine-time ties. */
+  class ScanProcessor(init: Seq[Double],
+                      step: (Seq[Double], TickRow) => (Seq[Double], Option[Double]))
+      extends StatefulProcessor[String, TickRow, ValOut] {
+    @transient private var state: ValueState[ScanState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScanState]("scan", Encoders.product[ScanState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TickRow],
+                                 timerValues: TimerValues): Iterator[ValOut] = {
+      var s = if (state.exists()) state.get().s else init
+      val out = scala.collection.mutable.ArrayBuffer[ValOut]()
+      rows.toSeq.sortBy(r => (r.tsMicros, r.seq >= 0, math.abs(r.seq))).foreach { r =>
+        val (s2, o) = step(s, r)
+        s = s2
+        o.foreach(v => out += ValOut(key, r.tsMicros, r.seq, v))
+      }
+      state.update(ScanState(s))
+      out.iterator
+    }
+  }
+
+  def scanTws(ticks: Dataset[TickRow], init: Seq[Double])(
+      step: (Seq[Double], TickRow) => (Seq[Double], Option[Double])): Dataset[ValOut] = {
+    implicit val outEnc = Encoders.product[ValOut]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new ScanProcessor(init, step), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Run a [[StatefulOps.Step]] on the transformWithState runtime. */
+  def scanTws(ticks: Dataset[TickRow], step: StatefulOps.Step): Dataset[ValOut] =
+    scanTws(ticks, step.init)(step.fn)
 
   case class Heartbeat(key: String, deadlineMs: Long)
   case class TickEvt(key: String, eventTime: java.sql.Timestamp, seq: Long, value: Double)

@@ -94,6 +94,50 @@ class TwsSpec extends AnyFunSuite {
     }
   }
 
+  test("Step library runs identically on both streaming runtimes (TWS/RocksDB vs fMGWS)") {
+    // the SAME Step value (one definition: init + fn) through
+    // transformWithState with RocksDB state AND flatMapGroupsWithState,
+    // micro-batched differently (4 vs 5 chunks) — per-(key, seq) equal.
+    // The fMGWS side is itself batch-asserted in StreamingSpec, so this
+    // closes batch ≡ fMGWS ≡ TWS for the whole scan library.
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.Steps
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+
+    val ticks = graft.streaming.StatefulOps.toTickRows(Sources.events(spark, TestSpark.sf))
+      .collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+
+    def run(name: String, chunks: Int,
+            build: org.apache.spark.sql.Dataset[TickRow] => org.apache.spark.sql.Dataset[StatefulOps.ValOut])
+        : Map[(String, Long), Double] = {
+      val mem = MemoryStream[TickRow]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      ticks.grouped(ticks.size / chunks + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      q.stop()
+      out
+    }
+
+    val steps = Seq(
+      "accum" -> Steps.accum, "diff2" -> Steps.diff(2), "kahan" -> Steps.kahan,
+      "rmean" -> Steps.rollingMean(20, 5), "evar" -> Steps.expandingVar,
+      "ddups" -> Steps.dropDupsEps(0.3))
+    steps.foreach { case (nm, st) =>
+      val tws = run(s"tws_$nm", 4, ds => TwsOps.scanTws(ds, st))
+      val fm = run(s"fm_$nm", 5, ds => StatefulOps.scanStream(ds, st))
+      assert(tws.size == fm.size, s"$nm: ${tws.size} vs ${fm.size}")
+      // bit-exact: identical fold, identical order; state round-trips
+      // through RocksDB as the same doubles
+      tws.foreach { case (k, v) =>
+        assert(v == fm(k) || (v.isNaN && fm(k).isNaN), s"$nm @ $k: tws $v vs fMGWS ${fm(k)}")
+      }
+    }
+  }
+
   test("transformWithState event-time timers fire as csp alarms") {
     import org.apache.spark.sql.Encoders
     import graft.streaming.TwsOps.TickEvt
