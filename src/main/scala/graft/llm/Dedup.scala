@@ -194,9 +194,18 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit(42)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucketSize))
+    // NO distinct here: a pair colliding in k bands appears k times, but
+    // deduping the RAW candidate set is the pipeline's only
+    // full-candidate shuffle (sf1 profile: 14.3M-row exchange + two
+    // 1 GB-peak hash aggregates to drop 1.8% of rows — same-pair copies
+    // live in different (band, bucket) partitions, so partial aggregation
+    // catches none of them pre-shuffle). The sig/set joins below are
+    // broadcast (map-side); verifying the k copies costs k small array
+    // ops, and the dedup moves to the verified OUTPUT (a threshold-pass
+    // pair set, orders of magnitude smaller than the candidates).
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")), Seq("band", "bucket"))
-      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
+      .filter(col("id1") < col("id2")).select("id1", "id2")
     // cheap signature-agreement estimate (E[agree] = jaccard) culls the
     // candidate set ~16x before the exact set verification; margin 0.2
     // keeps miss probability under 1% at j = threshold with 32 hashes
@@ -218,6 +227,7 @@ object Dedup {
       .withColumn("jaccard", when(uni === 0, lit(0.0)).otherwise(inter / uni))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+      .distinct() // multi-band copies of the same pair verify identically
   }
 
   /** Cross-corpus near-dup pairs (leftId, rightId, jaccard ≥ threshold) —
@@ -252,6 +262,13 @@ object Dedup {
     // the train scan. (The capBuckets barrier contract is for SELF-joins;
     // here a pruned audit branch can only happen when the OTHER corpus is
     // empty, in which case there is no recall to lose.)
+    // distinct EARLY here, unlike minhashPairs' deferral: cross-corpus
+    // candidates are dominated by true matches, and a contaminated doc
+    // collides with its reference twin in up to ALL bands — the dedup
+    // factor is ~bands (measured: deferring it cost q_decontaminate
+    // +50% at sf1), not minhashPairs' ~2%. The candidate set itself is
+    // small (≈ contaminated docs × bands, the broadcast side bounds it),
+    // so this shuffle is cheap.
     val cand = banded(l).select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(broadcast(banded(r).select(col("band"), col("bucket"), col(idCol).as("id2"))),
         Seq("band", "bucket"))
@@ -511,10 +528,14 @@ object Dedup {
       Seq("band", "bucket"), maxBucketSize))
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("s1"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("id2"), col("sig").as("s2"))
+    // dist is map-side and pure in the pair, so filter BEFORE distinct:
+    // the dedup exchange then carries only within-distance pairs instead
+    // of the full multi-table candidate set (same deferral as
+    // minhashPairs — the distinct is the only full-candidate shuffle)
     l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** SimHash candidates verified with exact n-gram Jaccard: the standard
