@@ -1,0 +1,25 @@
+package graft
+
+import graft.ts.GraftSession
+
+/** Per-query plan-metrics profiler: runs one SparkEntry query warm, then
+  * profiles its own physical plan via [[graft.operators.Profiler]] — the
+  * drill-down used whenever a bench row looks expensive (found the
+  * 14M-row candidate-distinct exchange in minhashPairs, r7).
+  *
+  * Usage: runMain graft.ProfileQuery <sfDir> <queryName>
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ProfileQuery <sfDir> <queryName>")
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(args(1))
+    fn(spark, args(0)).queryExecution.toRdd.count() // warm (JIT + planning)
+    graft.util.Caching.release()
+    val p = graft.operators.Profiler.profile(fn(spark, args(0)))
+    graft.util.Caching.release()
+    println(p.render)
+    spark.stop()
+  }
+}
