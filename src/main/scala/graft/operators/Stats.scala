@@ -157,7 +157,9 @@ object Stats {
   }
 
   final case class Rolling(x: TickStream, spec: WindowSpec, minWindow: Int,
-                           minDataPoints: Int = 0) {
+                           minDataPoints: Int = 0,
+                           memoDefs: Vector[(String, Column)] = Vector.empty,
+                           outDefs: Vector[(String, Column)] = Vector.empty) {
     private val v = col(VALUE)
 
     /** csp stats `min_data_points` (stats.py:218-280): unlike min_window
@@ -175,7 +177,7 @@ object Stats {
     }
 
     private def add(name: String, c: Column): Rolling =
-      copy(x = TickStream(x.df.withColumn(name, gated(c))))
+      copy(outDefs = outDefs :+ (name -> gated(c)))
 
     // ---- memoized base window sums ----------------------------------
     // WindowExec evaluates every named window expression independently —
@@ -185,21 +187,51 @@ object Stats {
     // as hidden `__g_*` columns (dropped by `done`) and shared by every
     // stat derived from them. Values are unchanged: the derived
     // expressions read the exact same sums.
+    //
+    // Memos and stat outputs are DEFINITIONS, materialized by `done` in
+    // two batched projections (all memos in one select, all stats in
+    // one select). One withColumn per memo — the previous shape — put a
+    // Project (the extracted aggregate argument) between consecutive
+    // Window nodes, which blocks Catalyst's CollapseWindow: a cov+corr
+    // chain planned SIX sequential Window passes over each sorted
+    // partition. Batched, the same chain plans at most two (memo Window
+    // + stat Window — the stats read memo outputs, so those two cannot
+    // merge, but each is a single pass).
     private val BasePrefix = "__g_"
     private def memo(tag: String, c: => Column): (Rolling, Column) = {
       val name = BasePrefix + tag
-      if (x.df.columns.contains(name)) (this, col(name))
-      else (copy(x = TickStream(x.df.withColumn(name, c))), col(name))
+      if (memoDefs.exists(_._1 == name) || x.df.columns.contains(name)) (this, col(name))
+      else (copy(memoDefs = memoDefs :+ (name -> c)), col(name))
     }
+
+    /** Memo-column names defined so far (test hook — memo-sharing laws). */
+    private[graft] def memoTags: Seq[String] = memoDefs.map(_._1)
     private def memoN: (Rolling, Column) =
       memo("cnt", functions.count(v).over(spec))
     /** Decimal sum of an expression over the frame, memoized by tag. */
     private def memoSum(tag: String, e: Column, scale: Int): (Rolling, Column) =
       memo(s"s_${tag}_$scale", functions.sum(e.cast(s"decimal(28,$scale)")).over(spec))
 
-    /** Drop helper columns and return the stream. */
-    def done: TickStream = TickStream(
-      x.df.drop(x.df.columns.filter(_.startsWith(BasePrefix)).toSeq: _*).drop("__em"))
+    /** Materialize memo + stat definitions (two batched projections →
+      * at most two Window nodes), drop helpers, return the stream. */
+    def done: TickStream = {
+      val base = x.df
+      val withMemos =
+        if (memoDefs.isEmpty) base
+        else base.select(base.columns.map(col).toSeq ++
+          memoDefs.map { case (n, c) => c.as(n) }: _*)
+      val outNames = outDefs.map(_._1).toSet
+      val withOuts =
+        if (outDefs.isEmpty) withMemos
+        else withMemos.select(
+          // a stat named like an existing column replaces it (withColumn
+          // semantics of the previous shape)
+          withMemos.columns.filterNot(outNames.contains).map(col).toSeq ++
+            outDefs.map { case (n, c) => c.as(n) }: _*)
+      TickStream(withOuts
+        .drop(withOuts.columns.filter(_.startsWith(BasePrefix)).toSeq: _*)
+        .drop("__em"))
+    }
 
     // ---- simple moments (statsimpl.h Count:24..Mean:135) ----
     def count(name: String = "count"): Rolling = add(name, functions.count(v).over(spec))

@@ -73,8 +73,8 @@ class StatsModesSpec extends AnyFunSuite {
   test("quantile/median/rank/unique share ONE memoized sorted frame") {
     val r = Stats.ticks(curveOf(Seq(3.0, 1.0, 2.0)), 10)
       .median("md").quantile(0.25, "q").rank("rk").unique("u")
-    val sortedCols = r.x.df.columns.filter(_.startsWith("__g_sorted"))
-    assert(sortedCols.length == 1, s"expected one shared sorted frame, got ${sortedCols.toSeq}")
+    val sortedCols = r.memoTags.filter(_.startsWith("__g_sorted"))
+    assert(sortedCols.length == 1, s"expected one shared sorted frame, got $sortedCols")
   }
 
   test("cov/corr memo tags never collide: distinct `other` columns get distinct base sums") {
@@ -83,8 +83,8 @@ class StatsModesSpec extends AnyFunSuite {
       .withColumn("y2", col("value") * -1))
     val r = Stats.ticks(s, 10)
       .covExact(col("y1"), "c1").covExact(col("y2"), "c2")
-    val yTags = r.x.df.columns.filter(c => c.startsWith("__g_s_y"))
-    assert(yTags.length == 2, s"distinct others must memoize separately: ${yTags.toSeq}")
+    val yTags = r.memoTags.filter(_.startsWith("__g_s_y"))
+    assert(yTags.length == 2, s"distinct others must memoize separately: $yTags")
     val last = r.done.df.orderBy(col("seq")).collect().last
     assert(last.getAs[Double]("c1") == 2.0)  // cov(x, 2x) over {1,2,3} = 2*var = 2
     assert(last.getAs[Double]("c2") == -1.0) // cov(x, -x) = -var = -1
