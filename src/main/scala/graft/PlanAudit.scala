@@ -11,6 +11,11 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("windows")) {
+      windowCensus(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"),
+        args.lift(2).map(_.toInt).getOrElse(3))
+      spark.stop(); return
+    }
     val interesting = args.drop(1) match {
       case Array() => Seq("q1_lineitem_agg", "q2_revenue_by_nation", "q_filter",
         "q_stats_basic", "q_sample_asof", "q_knn", "q_dedup_exact")
@@ -23,5 +28,23 @@ object PlanAudit {
       plan.linesIterator.map(_.take(200)).foreach(println)
     }
     spark.stop()
+  }
+
+  /** Suite-wide plan census: flags queries whose optimized plan holds
+    * ≥ `threshold` Window nodes — the shape that found the r7 Rolling
+    * memo-chain defect (six same-spec Windows split by extracted-argument
+    * Projects). Remaining multi-Window plans are structurally multi-spec
+    * (per-branch cycle ordinals in as-of/merge, gate's dependent layers).
+    * Usage: runMain graft.PlanAudit windows <sfDir> [threshold] */
+  def windowCensus(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                   threshold: Int): Unit = {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+        val w = "Window \\[".r.findAllIn(plan).length
+        if (w >= threshold) println(s"$name windows=$w")
+      } catch { case t: Throwable => println(s"$name ERROR ${t.getClass.getSimpleName}") }
+      graft.util.Caching.release()
+    }
   }
 }
