@@ -1,10 +1,104 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 import graft.ts.GraftSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line of per-query wall seconds. */
+  * prints per-query wall seconds as JSON.
+  *
+  * Output contract (driver-parseable, truncation-hardened):
+  *   - one SHORT line per query: `{"bench_query":"q1","median":…,"min":…}`
+  *     (plus `"err":"…"` if any sample threw) — these lines are ~50 chars,
+  *     so the driver's long-line head-truncation (which ate q1…q_cov_corr
+  *     from BENCH_r04–r07) cannot lose them;
+  *   - one final summary line `{"metric":"total",…,"queries":{medians}}`.
+  *     The medians map is the ONLY map on that line — `queries_min` moved
+  *     to the per-query lines, halving the line vs r7.
+  *
+  * A query that throws is REPORTED, not swallowed: its `err` carries the
+  * exception class+message, its median is the time-to-throw (so a
+  * fail-fast regression is still visible), and the summary line gains an
+  * `"errors":{name:count}` map. Exit code stays 0 — correctness is
+  * CORRECTNESS's job; the bench's job is a self-auditing record.
+  */
 object Bench {
+
+  /** One query's measured record across the interleaved passes. */
+  final case class QueryResult(name: String, median: Double, min: Double, err: Option[String], errCount: Int)
+
+  /** Run `iters` interleaved round-robin passes over `suite` and collect
+    * per-query medians/mins/errors. Interleaving rationale: consecutive
+    * same-query runs let a multi-minute machine-load spike hit all N
+    * samples of an alphabetically-contiguous block at once (the round-6
+    * driver record showed exactly that); round-robin spreads each query's
+    * samples across the whole wall-clock window so a spike inflates at
+    * most one sample per query and the median survives. Every run
+    * rebuilds the plan and releases persist-barriers, so nothing warm
+    * carries between runs except the JIT — which is the point.
+    */
+  def measure(
+      spark: SparkSession,
+      suite: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String,
+      iters: Int): Seq[QueryResult] = {
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val errors = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; (name, fn) <- suite) {
+      val t0 = System.nanoTime()
+      // Execute the query's OWN physical plan (count() builds a
+      // different, column-pruned plan — projection-only queries would
+      // degenerate to parquet row counts and report fiction).
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+      catch {
+        case e: Throwable =>
+          errors(name) = errors(name) :+ s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release the operators' registered persist-barriers so caches
+      // don't accumulate across queries/iterations and skew timings.
+      graft.util.Caching.release()
+      samples(name) = samples(name) :+ dt
+    }
+    suite.map { case (name, _) =>
+      val ts = samples(name).sorted
+      val errs = errors(name)
+      QueryResult(name, ts(ts.length / 2), ts.head, errs.headOption, errs.length)
+    }
+  }
+
+  // 4 decimals (0.1 ms): keeps the summary line short — the driver's
+  // record capture truncates the HEAD of long lines (BENCH_r04–r07).
+  private def f(d: Double): String =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** Render the line-per-query records followed by the one summary line
+    * (always LAST — the driver reads the record from the tail). */
+  def renderLines(results: Seq[QueryResult], iters: Int, sfDir: String): Seq[String] = {
+    val perQuery = results.map { r =>
+      val err = r.err.map(e => s""","err":${jstr(e)},"err_count":${r.errCount}""").getOrElse("")
+      s"""{"bench_query":${jstr(r.name)},"median":${f(r.median)},"min":${f(r.min)}$err}"""
+    }
+    val medians = results.map(r => jstr(r.name) + ":" + f(r.median)).mkString("{", ",", "}")
+    val failed = results.filter(_.err.isDefined)
+    val errMap =
+      if (failed.isEmpty) ""
+      else failed.map(r => jstr(r.name) + ":" + r.errCount).mkString(""","errors":{""", ",", "}")
+    val total = results.map(_.median).sum
+    perQuery :+
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","iters":$iters,"interleaved":true$errMap,"queries":$medians,"sf":${jstr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,16 +109,6 @@ object Bench {
     // warm the session (JVM + codegen paths) so per-query times measure the
     // queries, not first-use setup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // Median of N INTERLEAVED passes per query. Consecutive same-query
-    // runs (the old shape) leave a multi-minute machine-load spike free
-    // to hit all N samples of an alphabetically-contiguous block at once
-    // — which is exactly what the round-6 driver record showed
-    // (q_dynamic_snap…q_gate 2–7× slower, untouched code, isolated
-    // re-runs normal). Round-robin passes spread each query's samples
-    // across the whole wall-clock window, so a spike inflates at most
-    // one sample per query and the median survives. Every run rebuilds
-    // the plan and releases persist-barriers, so nothing warm carries
-    // between runs except the JIT — which is the point.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional query-name filter (args), e.g. the sf-scaling harness
     // timing just the expensive queries — no args = the full suite
@@ -32,39 +116,8 @@ object Bench {
     val unknown = wanted -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown bench queries: $unknown")
     val suite = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
-    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
-    for (_ <- 1 to iters; (name, fn) <- suite) {
-      val t0 = System.nanoTime()
-      // Execute the query's OWN physical plan (count() builds a
-      // different, column-pruned plan — projection-only queries would
-      // degenerate to parquet row counts and report fiction).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Release the operators' registered persist-barriers so caches
-      // don't accumulate across queries/iterations and skew timings.
-      graft.util.Caching.release()
-      samples(name) = samples(name) :+ dt
-    }
-    val results = suite.map { case (name, _) =>
-      val ts = samples(name).sorted
-      (name, ts(ts.length / 2), ts.head)
-    }
-    // 4 decimals (0.1 ms) halves the line length — the driver's record
-    // capture has truncated the HEAD of long lines in past rounds
-    // (BENCH_r6 lost q1..q_dupts_merge), so keep the line short and put
-    // the sacrificial min map FIRST and the medians-of-record LAST,
-    // where a head truncation cannot reach them.
-    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f(med) }
-      .mkString("{", ",", "}")
-    // per-query min alongside the median: the min is the load-noise-free
-    // floor, so a median/min gap flags harness contention, not code.
-    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + f(mn) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters":$iters,"interleaved":true,"queries_min":$qsMin,"queries":$qs,"sf":"$sfDir"}""")
+    val results = measure(spark, suite, sfDir, iters)
+    renderLines(results, iters, sfDir).foreach(println)
     spark.stop()
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench harness self-audit: a failing query must surface an `err` record
+  * (not a silent -1 sample), and the rendered record must keep the
+  * medians map on its own final line — the driver reads from the tail and
+  * has truncated the HEAD of long lines in past rounds. */
+class BenchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val good: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(10).toDF("v")
+  private val broken: (SparkSession, String) => DataFrame =
+    (_, _) => throw new IllegalStateException("deliberately broken")
+
+  test("measure records per-query errors instead of swallowing them") {
+    val suite = Seq("z_ok" -> good, "z_broken" -> broken)
+    val rs = Bench.measure(spark, suite, TestSpark.sf, iters = 2)
+    val byName = rs.map(r => r.name -> r).toMap
+    assert(byName("z_ok").err.isEmpty)
+    assert(byName("z_ok").median >= 0.0)
+    val b = byName("z_broken")
+    assert(b.err.isDefined, "broken query must carry an err")
+    assert(b.err.get.contains("IllegalStateException"))
+    assert(b.err.get.contains("deliberately broken"))
+    assert(b.errCount == 2, "every failing sample counted")
+  }
+
+  test("renderLines: short per-query lines, medians-only summary last") {
+    val rs = Seq(
+      Bench.QueryResult("z_ok", 0.1234, 0.1111, None, 0),
+      Bench.QueryResult("z_broken", 0.0010, 0.0009, Some("IllegalStateException: x"), 2))
+    val lines = Bench.renderLines(rs, iters = 2, sfDir = "/tmp/sf")
+    assert(lines.length == 3)
+    assert(lines(0) == """{"bench_query":"z_ok","median":0.1234,"min":0.1111}""")
+    assert(lines(1).contains(""""err":"IllegalStateException: x""""))
+    assert(lines(1).contains(""""err_count":2"""))
+    val last = lines.last
+    assert(last.startsWith("""{"metric":"total""""))
+    assert(last.contains(""""errors":{"z_broken":2}"""))
+    // the medians map is the LAST key before sf — nothing after it can
+    // push it into a head truncation window
+    assert(last.contains(""""queries":{"z_ok":0.1234,"z_broken":0.0010}"""))
+    assert(!last.contains("queries_min"), "min map moved to per-query lines")
+  }
+
+  test("renderLines omits errors map when clean") {
+    val rs = Seq(Bench.QueryResult("q", 1.0, 0.9, None, 0))
+    val last = Bench.renderLines(rs, 3, "/tmp/sf").last
+    assert(!last.contains("errors"))
+  }
+}
