@@ -513,13 +513,14 @@ object Dedup {
       df.select(col(idCol), simhash(col(textCol)).as("sig"))),
       idCol, maxDist, maxBucketSize)
 
-  /** Candidate core over a (persisted) `(id, sig, …)` frame.
-    * `dedupEarly=false` skips the candidate distinct (a pair colliding in
-    * k of the banding tables appears k times) for callers that verify and
-    * dedup downstream, where the threshold-pass set is tiny. */
+  /** Candidate core over a (persisted) `(id, sig, …)` frame. Always
+    * dedups the candidates EARLY (a pair colliding in k of the banding
+    * tables appears k times): the measured A/B (README, r7) showed
+    * deferring the distinct past verification regresses simhash
+    * 6.7 → 19.2 s at sf1 — the 3.4× duplication makes the per-copy
+    * verify cost exceed the (id1, id2, dist) dedup exchange it saves. */
   private def simhashPairsFrom(sigs: DataFrame, idCol: String,
-                               maxDist: Int, maxBucketSize: Int,
-                               dedupEarly: Boolean = true): DataFrame = {
+                               maxDist: Int, maxBucketSize: Int): DataFrame = {
     val (width, combos) = simhashBanding(maxDist)
     val mask = if (width >= 64) -1L else (1L << width) - 1
     def block(b: Int): Column =
@@ -536,10 +537,10 @@ object Dedup {
     // the dedup exchange then carries only within-distance pairs instead
     // of the full multi-table candidate set (same deferral as
     // minhashPairs — the distinct is the only full-candidate shuffle)
-    val cand = l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("dist"))
       .filter(col("dist") <= maxDist)
-    if (dedupEarly) cand.distinct() else cand
+      .distinct()
   }
 
   /** SimHash candidates verified with exact n-gram Jaccard: the standard
@@ -557,14 +558,10 @@ object Dedup {
     val enriched = graft.util.Caching.barrier(df.select(col(idCol),
       simhash(col(textCol)).as("sig"),
       array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("__set")))
-    // dedupEarly stays TRUE here, unlike minhashPairs' deferral: the
-    // 64-table banding duplicates each pair ~3.4× (sf1), and verifying
-    // the copies (array_intersect over ~hundreds-element shingle sets)
-    // costs far more than the (id1, id2, dist) dedup exchange it would
-    // save — measured 6.7 s → 19.2 s deferred. The deferral rule is
-    // dup-factor × per-pair verify cost vs dedup shuffle bytes:
-    // minhash (1.8% dups) defers, simhash (3.4×) and crossPairs
-    // (~bands×) dedup early.
+    // simhashPairsFrom dedups its candidates early, unlike minhashPairs'
+    // deferral — see its doc for the measured rule (dup-factor ×
+    // per-pair verify cost vs dedup shuffle bytes: minhash at 1.8% dups
+    // defers; simhash at 3.4× and crossPairs at ~bands× dedup early).
     simhashPairsFrom(enriched, idCol, maxDist, maxBucketSize)
       .join(enriched.select(col(idCol).as("id1"), col("__set").as("s1")), "id1")
       .join(enriched.select(col(idCol).as("id2"), col("__set").as("s2")), "id2")
