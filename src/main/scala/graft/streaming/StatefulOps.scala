@@ -284,6 +284,192 @@ object StatefulOps {
       val m2 = s(2) + d * (r.value - m)
       (Seq(n, m, m2), if (n >= 2) Some(m2 / (n - 1)) else None)
     })
+
+    /** csp.value_at(x, index) tick history (`builtin_functions.py:105`) —
+      * twin of `TickStream.valueAt(n)`: the value n ticks back, emitted
+      * once n+1 ticks exist (the batch twin's warm-up rows are null). */
+    def valueAt(n: Int): Step = Step(Nil, (s, r) => {
+      val q = (s :+ r.value).takeRight(n + 1)
+      (q, if (q.length > n) Some(q.head) else None)
+    })
+
+    /** csp.stats.ema_var (stats.py:3127) — twin of `Sequential.emaVar`
+      * (adjust form, ignore_na=false): state = (num, num2, w, w2, valid),
+      * debiased by W²/(W²−W₂) unless `bias`. */
+    def emaVar(alpha: Double, bias: Boolean = false): Step = {
+      val d = 1.0 - alpha
+      Step(Seq(0.0, 0.0, 0.0, 0.0, 0.0), (s, r) => {
+        val Seq(num, num2, w, w2, valid) = s
+        val s2 =
+          if (r.value.isNaN) Seq(d * num, d * num2, d * w, d * d * w2, valid)
+          else Seq(r.value + d * num, r.value * r.value + d * num2,
+            1.0 + d * w, 1.0 + d * d * w2, valid + 1)
+        val out = if (s2(2) == 0.0) Double.NaN else {
+          val mean = s2(0) / s2(2)
+          val biased = s2(1) / s2(2) - mean * mean
+          if (bias) biased
+          else {
+            val denom = s2(2) * s2(2) - s2(3)
+            if (denom <= 0) Double.NaN else biased * s2(2) * s2(2) / denom
+          }
+        }
+        (s2, Some(if (s2(4) >= 1) out else Double.NaN))
+      })
+    }
+
+    /** Time-decay EMA with halflife (stats.py `_ema_halflife_adjusted`) —
+      * twin of `Sequential.emaHalflife` (adjust form): weights decay by
+      * exp(−ln2·Δt/halflife); state = (num, w, lastMicros, valid).
+      * Micros < 2^53 stay exact in the Double state lane. */
+    def emaHalflife(halflifeSec: Double): Step = {
+      val lambda = math.log(2.0) / (halflifeSec * 1e6)
+      Step(Seq(0.0, 0.0, Double.NaN, 0.0), (s, r) => {
+        val Seq(num, w, lastT, valid) = s
+        val s2 =
+          if (r.value.isNaN) {
+            if (lastT.isNaN) s
+            else {
+              val decay = math.exp(-lambda * (r.tsMicros - lastT))
+              Seq(decay * num, decay * w, r.tsMicros.toDouble, valid)
+            }
+          } else {
+            val decay = if (lastT.isNaN) 0.0 else math.exp(-lambda * (r.tsMicros - lastT))
+            Seq(r.value + decay * num, 1.0 + decay * w, r.tsMicros.toDouble, valid + 1)
+          }
+        val out = if (s2(1) == 0.0) Double.NaN else s2(0) / s2(1)
+        (s2, Some(if (s2(3) >= 1) out else Double.NaN))
+      })
+    }
+  }
+
+  // ---- two-input operators (tagged-union lowering) -------------------------
+  // csp's cross-stream operators take TWO time series; Structured
+  // Streaming's stateful operators take ONE grouped input, so the lowering
+  // is a tagged union: src=0 is the REFERENCE input (the sampled x / the
+  // filter flag / binop's left), src=1 the primary. The scan runner sorts
+  // (tsMicros, src, seq) — reference rows first on engine-time ties, the
+  // batch as-of kernel's same-cycle visibility rule (AsOf.join's
+  // refs-before-trigger ordering). Duplicate-timestamp CYCLE alignment
+  // (two same-ts ticks on one stream = two cycles) is the batch kernels'
+  // domain; the streaming runner assumes in-order delivery with each row
+  // its own cycle, as csp's realtime push adapters do.
+
+  case class TickRow2(key: String, tsMicros: Long, seq: Long, value: Double, src: Int)
+
+  /** One two-input scan operator: the same (init, step) shape as [[Step]]
+    * over tagged rows, driving both [[scanStream2]] (fMGWS) and
+    * [[TwsOps.scanTws2]] (transformWithState + RocksDB). */
+  final case class Step2(init: Seq[Double],
+                         fn: (Seq[Double], TickRow2) => (Seq[Double], Option[Double]))
+
+  /** The §2.5 cross-stream step library (csp references on each). */
+  object Steps2 {
+    /** csp.sample(trigger, x) (`baselib.py:290-297`) — twin of
+      * `AsOf.sample`: src=0 carries x, src=1 the trigger; triggers before
+      * x first ticks produce nothing. */
+    val sample: Step2 = Step2(Seq(Double.NaN, 0.0), (s, r) =>
+      if (r.src == 0) (Seq(r.value, 1.0), None)
+      else if (s(1) > 0.5) (s, Some(s(0)))
+      else (s, None))
+
+    /** csp.filter(flag, x) cross-stream (`baselib.py:412-418`) — twin of
+      * `AsOf.filterBy`: src=0 is the flag lane (1.0/0.0), src=1 the data;
+      * data passes while the last flag is true, drops before any flag. */
+    val filterBy: Step2 = Step2(Seq(0.0, 0.0), (s, r) =>
+      if (r.src == 0) (Seq(r.value, 1.0), None)
+      else if (s(1) > 0.5 && s(0) > 0.5) (s, Some(r.value))
+      else (s, None))
+
+    /** Cross-stream binop (`csp/math.py:252-300`) — twin of `AsOf.binop`:
+      * fire on any tick of either input once both are valid, applying `f`
+      * to the last values. */
+    def binop(f: (Double, Double) => Double): Step2 =
+      Step2(Seq(Double.NaN, 0.0, Double.NaN, 0.0), (s, r) => {
+        val s2 = if (r.src == 0) Seq(r.value, 1.0, s(2), s(3))
+                 else Seq(s(0), s(1), r.value, 1.0)
+        (s2, if (s2(1) > 0.5 && s2(3) > 0.5) Some(f(s2(0), s2(2))) else None)
+      })
+  }
+
+  /** Tag + union two tick streams for the two-input scan runners. */
+  def tagUnion(ref: Dataset[TickRow], primary: Dataset[TickRow]): Dataset[TickRow2] = {
+    implicit val enc = Encoders.product[TickRow2]
+    ref.withColumn("src", lit(0)).as[TickRow2]
+      .unionByName(primary.withColumn("src", lit(1)).as[TickRow2])
+  }
+
+  /** Run a [[Step2]] on the flatMapGroupsWithState runtime. */
+  def scanStream2(ticks: Dataset[TickRow2], step: Step2): Dataset[ValOut] = {
+    implicit val outEnc = Encoders.product[ValOut]
+    implicit val stEnc = Encoders.product[ScanState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TickRow2], state: GroupState[ScanState]) =>
+          var s = state.getOption.map(_.s).getOrElse(step.init)
+          val out = scala.collection.mutable.ArrayBuffer[ValOut]()
+          rows.toSeq.sortBy(r => (r.tsMicros, r.src, r.seq)).foreach { r =>
+            val (s2, o) = step.fn(s, r)
+            s = s2
+            o.foreach(v => out += ValOut(key, r.tsMicros, r.seq, v))
+          }
+          state.update(ScanState(s))
+          out.iterator
+      }
+  }
+
+  // ---- bivariate operators (two value lanes on one stream) -----------------
+
+  case class PairRow(key: String, tsMicros: Long, seq: Long, x: Double, y: Double)
+
+  /** One bivariate scan operator — the [[Step]] shape over (x, y) rows,
+    * driving both [[scanPairStream]] and [[TwsOps.scanPairTws]]. */
+  final case class StepP(init: Seq[Double],
+                         fn: (Seq[Double], PairRow) => (Seq[Double], Option[Double]))
+
+  object StepsP {
+    /** csp.stats.ema_cov (stats.py:3127 bivariate surface) — twin of
+      * `Sequential.emaCov` (adjust form, ignore_na=false): a pair is
+      * valid only when BOTH lanes are; state = (nxy, nx, ny, w, w2,
+      * valid), debiased by W²/(W²−W₂) unless `bias`. */
+    def emaCov(alpha: Double, bias: Boolean = false): StepP = {
+      val d = 1.0 - alpha
+      StepP(Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0), (s, r) => {
+        val Seq(nxy, nx, ny, w, w2, valid) = s
+        val s2 =
+          if (r.x.isNaN || r.y.isNaN)
+            Seq(d * nxy, d * nx, d * ny, d * w, d * d * w2, valid)
+          else Seq(r.x * r.y + d * nxy, r.x + d * nx, r.y + d * ny,
+            1.0 + d * w, 1.0 + d * d * w2, valid + 1)
+        val out = if (s2(3) == 0.0) Double.NaN else {
+          val biasCov = s2(0) / s2(3) - (s2(1) / s2(3)) * (s2(2) / s2(3))
+          if (bias) biasCov
+          else {
+            val denom = s2(3) * s2(3) - s2(4)
+            if (denom <= 0) Double.NaN else biasCov * s2(3) * s2(3) / denom
+          }
+        }
+        (s2, Some(if (s2(5) >= 1) out else Double.NaN))
+      })
+    }
+  }
+
+  /** Run a [[StepP]] on the flatMapGroupsWithState runtime. */
+  def scanPairStream(ticks: Dataset[PairRow], step: StepP): Dataset[ValOut] = {
+    implicit val outEnc = Encoders.product[ValOut]
+    implicit val stEnc = Encoders.product[ScanState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[PairRow], state: GroupState[ScanState]) =>
+          var s = state.getOption.map(_.s).getOrElse(step.init)
+          val out = scala.collection.mutable.ArrayBuffer[ValOut]()
+          rows.toSeq.sortBy(r => (r.tsMicros, r.seq)).foreach { r =>
+            val (s2, o) = step.fn(s, r)
+            s = s2
+            o.foreach(v => out += ValOut(key, r.tsMicros, r.seq, v))
+          }
+          state.update(ScanState(s))
+          out.iterator
+      }
   }
 
   /** Run a [[Step]] on the flatMapGroupsWithState runtime. */

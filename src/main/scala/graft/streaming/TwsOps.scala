@@ -81,6 +81,67 @@ object TwsOps {
   def scanTws(ticks: Dataset[TickRow], step: StatefulOps.Step): Dataset[ValOut] =
     scanTws(ticks, step.init)(step.fn)
 
+  import graft.streaming.StatefulOps.{PairRow, Step2, StepP, TickRow2}
+
+  /** Two-input scan as a StatefulProcessor — [[StatefulOps.scanStream2]]
+    * on the transformWithState runtime. Same ordering contract: reference
+    * rows (src=0) before primary rows on engine-time ties. */
+  class Scan2Processor(step: Step2) extends StatefulProcessor[String, TickRow2, ValOut] {
+    @transient private var state: ValueState[ScanState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScanState]("scan2", Encoders.product[ScanState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TickRow2],
+                                 timerValues: TimerValues): Iterator[ValOut] = {
+      var s = if (state.exists()) state.get().s else step.init
+      val out = scala.collection.mutable.ArrayBuffer[ValOut]()
+      rows.toSeq.sortBy(r => (r.tsMicros, r.src, r.seq)).foreach { r =>
+        val (s2, o) = step.fn(s, r)
+        s = s2
+        o.foreach(v => out += ValOut(key, r.tsMicros, r.seq, v))
+      }
+      state.update(ScanState(s))
+      out.iterator
+    }
+  }
+
+  /** Run a [[StatefulOps.Step2]] on the transformWithState runtime. */
+  def scanTws2(ticks: Dataset[TickRow2], step: Step2): Dataset[ValOut] = {
+    implicit val outEnc = Encoders.product[ValOut]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new Scan2Processor(step), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Bivariate scan as a StatefulProcessor — [[StatefulOps.scanPairStream]]
+    * on the transformWithState runtime. */
+  class ScanPairProcessor(step: StepP) extends StatefulProcessor[String, PairRow, ValOut] {
+    @transient private var state: ValueState[ScanState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScanState]("scanp", Encoders.product[ScanState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PairRow],
+                                 timerValues: TimerValues): Iterator[ValOut] = {
+      var s = if (state.exists()) state.get().s else step.init
+      val out = scala.collection.mutable.ArrayBuffer[ValOut]()
+      rows.toSeq.sortBy(r => (r.tsMicros, r.seq)).foreach { r =>
+        val (s2, o) = step.fn(s, r)
+        s = s2
+        o.foreach(v => out += ValOut(key, r.tsMicros, r.seq, v))
+      }
+      state.update(ScanState(s))
+      out.iterator
+    }
+  }
+
+  /** Run a [[StatefulOps.StepP]] on the transformWithState runtime. */
+  def scanPairTws(ticks: Dataset[PairRow], step: StepP): Dataset[ValOut] = {
+    implicit val outEnc = Encoders.product[ValOut]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new ScanPairProcessor(step), TimeMode.None(), OutputMode.Append())
+  }
+
   case class Heartbeat(key: String, deadlineMs: Long)
   case class TickEvt(key: String, eventTime: java.sql.Timestamp, seq: Long, value: Double)
 

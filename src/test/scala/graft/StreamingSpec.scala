@@ -157,7 +157,13 @@ class StreamingSpec extends AnyFunSuite {
       ("par_rolling_max", batchMap(Stats.ticks(ev, 10).max("mx").done, "mx"),
         rows, StatefulOps.rollingMaxStream(_, 10)),
       ("par_expanding_var", batchMap(Stats.expanding(ev).varSamp("v").done, "v"),
-        rows, StatefulOps.expandingVarStream))
+        rows, StatefulOps.expandingVarStream),
+      ("par_value_at", batchMap(ev.valueAt(3, "va"), "va"),
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.valueAt(3))),
+      ("par_ema_var", batchMap(Sequential.emaVar(ev, 0.1), "ema_var"),
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.emaVar(0.1))),
+      ("par_ema_halflife", batchMap(Sequential.emaHalflife(ev, 3600.0), "ema"),
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.emaHalflife(3600.0))))
 
     matrix.foreach { case (name, batch, data, build) =>
       assertParity(name, batch, runStream(name, data, build))
@@ -178,6 +184,99 @@ class StreamingSpec extends AnyFunSuite {
     val rows = (StatefulOps.toTickRows(data).collect() ++ markers).toSeq
       .sortBy(r => (r.tsMicros, r.seq >= 0, math.abs(r.seq)))
     assertParity("par_reset_sum", batch, runStream("par_reset_sum", rows, StatefulOps.resetSumStream))
+  }
+
+  test("batch≡stream parity: two-input as-of family + bivariate ema_cov on BOTH runtimes") {
+    // The stateful tail the r7 matrix left out: cross-stream operators
+    // (sample / filter-by / binop — genuinely TWO-input, lowered as a
+    // tagged union) and bivariate state (ema_cov), each run through the
+    // fMGWS runtime AND the transformWithState/RocksDB runtime from ONE
+    // Step2/StepP definition, asserted against the batch kernel.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, unix_micros}
+    import graft.operators.AsOf
+    import graft.streaming.StatefulOps.{PairRow, TickRow2, ValOut}
+    import graft.streaming.TwsOps
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val ev = Sources.events(spark, TestSpark.sf)
+    // unique (key, ts): duplicate-timestamp CYCLE alignment is the batch
+    // kernels' domain (covered by q_dupts_*); the streaming runner
+    // processes each row as its own cycle
+    val evU = TickStream(ev.df.withColumn("__rn",
+        row_number().over(Window.partitionBy("key", "ts").orderBy("seq")))
+      .filter(col("__rn") === 1).drop("__rn"))
+    val refS = TickStream(evU.df.filter(col("seq") % 2 === 0))
+    val priS = TickStream(evU.df.filter(col("seq") % 2 === 1))
+
+    def rows2(ref: TickStream, pri: TickStream): Seq[TickRow2] = {
+      def tag(x: TickStream, src: Int) = StatefulOps.toTickRows(x).collect()
+        .map(r => TickRow2(r.key, r.tsMicros, r.seq, r.value, src))
+      (tag(ref, 0) ++ tag(pri, 1)).toSeq.sortBy(r => (r.tsMicros, r.src, r.seq))
+    }
+
+    def runTagged(name: String, data: Seq[TickRow2],
+        build: Dataset[TickRow2] => Dataset[ValOut], byTs: Boolean): Map[(String, Long), Double] = {
+      implicit val enc = Encoders.product[TickRow2]
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[TickRow2]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      data.grouped(data.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(if (byTs) 1 else 2)) -> r.getDouble(3)).toMap
+      q.stop()
+      out
+    }
+
+    // csp.sample(trigger, x): batch keyed by the trigger's (key, seq)
+    val batchSample = batchMap(AsOf.sample(priS, refS), "value")
+    // csp.filter(flag, x): flag = (ref value > 0.5), data = primary rows
+    val flagS = refS.mapValue(v => v > 0.5)
+    val batchFilterBy = batchMap(AsOf.filterBy(flagS, priS), "value")
+    // cross-stream spread: batch regenerates seq as the cycle ordinal, so
+    // compare keyed by (key, tsMicros) — unique per key by construction
+    val batchBinop = AsOf.binop(refS, priS, (a, b) => a - b).df
+      .select(col("key"), unix_micros(col("ts")), col("value").cast("double")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val twoInput = Seq(
+      ("par2_sample", rows2(refS, priS), StatefulOps.Steps2.sample, batchSample, false),
+      ("par2_filterby", rows2(flagS, priS), StatefulOps.Steps2.filterBy, batchFilterBy, false),
+      ("par2_binop", rows2(refS, priS), StatefulOps.Steps2.binop(_ - _), batchBinop, true))
+    twoInput.foreach { case (name, data, step, batch, byTs) =>
+      assertParity(s"${name}_fmgws", batch,
+        runTagged(s"${name}_fmgws", data, StatefulOps.scanStream2(_, step), byTs))
+      assertParity(s"${name}_tws", batch,
+        runTagged(s"${name}_tws", data, TwsOps.scanTws2(_, step), byTs))
+    }
+
+    // bivariate ema_cov: one stream, two value lanes (x = value, y derived)
+    val evY = TickStream(evU.df.withColumn("y",
+      col("value").cast("double") * 0.7 + 2.0))
+    val batchEmaCov = batchMap(Sequential.emaCov(evY, "y", 0.2), "ema_cov")
+    val pairRows = evY.df.select(col("key"), unix_micros(col("ts")).as("tsMicros"),
+        col("seq"), col("value").cast("double").as("x"), col("y")).collect()
+      .map(r => PairRow(r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq.sortBy(r => (r.tsMicros, r.seq))
+    def runPair(name: String, build: Dataset[PairRow] => Dataset[ValOut]): Map[(String, Long), Double] = {
+      implicit val enc = Encoders.product[PairRow]
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[PairRow]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      pairRows.grouped(pairRows.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      q.stop()
+      out
+    }
+    val covStep = StatefulOps.StepsP.emaCov(0.2)
+    assertParity("parp_ema_cov_fmgws", batchEmaCov,
+      runPair("parp_ema_cov_fmgws", StatefulOps.scanPairStream(_, covStep)))
+    assertParity("parp_ema_cov_tws", batchEmaCov,
+      runPair("parp_ema_cov_tws", TwsOps.scanPairTws(_, covStep)))
   }
 
   test("streaming as-of sample across micro-batches") {
