@@ -138,6 +138,59 @@ class TwsSpec extends AnyFunSuite {
     }
   }
 
+  test("soak: 100k-row RocksDB session, 20 micro-batches, two kill/recover cycles") {
+    // The multi-batch endurance case the short parity fixtures don't
+    // cover: sf0.1 volume (100k ticks, 20 keys) through transformWithState
+    // with RocksDB state, fed as 20 micro-batches with TWO mid-stream
+    // query kills + checkpoint recoveries. The state (Kahan compensated
+    // sum — the most drift-sensitive recurrence in the Step library) must
+    // round-trip RocksDB snapshots and the checkpoint restore path
+    // BIT-exactly: the batch twin is the truth.
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.Steps
+    implicit val tickEnc = Encoders.product[TickRow]
+    implicit val sq = spark.sqlContext
+
+    val ev = Sources.events(spark, "/root/testdata/sf0.1")
+    val batch = graft.operators.Sequential.kahanCumsum(ev).df
+      .select("key", "seq", "ksum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ticks = StatefulOps.toTickRows(ev).collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+    assert(ticks.size == 100000)
+    val chunks = ticks.grouped(ticks.size / 20 + 1).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-soak").toString
+
+    val mem = MemoryStream[TickRow]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Double)]
+    def start() = TwsOps.scanTws(mem.toDS(), Steps.kahan).writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StatefulOps.ValOut], _: Long) =>
+        val rows = df.collect().map(o => (o.key, o.seq) -> o.value)
+        sink.synchronized { sink ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    var q = start()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      mem.addData(c: _*)
+      q.processAllAvailable()
+      if (i == 6 || i == 13) { // two crashes at 35% and 70% of the stream
+        q.stop()
+        q = start() // recovery: offsets + RocksDB state from ckpt
+      }
+    }
+    q.processAllAvailable()
+    val out = sink.synchronized(sink.toMap)
+    q.stop()
+
+    assert(out.size == batch.size, s"soak: stream ${out.size} rows vs batch ${batch.size}")
+    out.foreach { case (k, v) =>
+      assert(v == batch(k), s"soak @ $k: stream $v vs batch ${batch(k)}")
+    }
+  }
+
   test("transformWithState event-time timers fire as csp alarms") {
     import org.apache.spark.sql.Encoders
     import graft.streaming.TwsOps.TickEvt
