@@ -714,39 +714,61 @@ object Stats {
         .withColumn(name, transform(col(tmp), sqrt(_))).drop(tmp)))
     }
 
-    // ---- 2-D lanes (reference `NumpyNDArray[T]`, csp/typing.py:24-55) ----
-    // A matrix per tick (`ts[np.ndarray]` with ndim=2) maps to a nested
-    // ArrayType VALUE; elementwise stats are the same memoized-frame fold
-    // with one more zip_with level — still one row per tick, no explode,
-    // no extra shuffle. Deeper nesting follows the same pattern; the
+    // ---- N-D lanes (reference `NumpyNDArray[T]`, csp/typing.py:24-55) ----
+    // An ndarray per tick (`ts[np.ndarray]`, ndim ≥ 2) maps to an
+    // ndim-nested ArrayType VALUE; elementwise stats are the same
+    // memoized-frame fold with one more zip_with level per dimension —
+    // still one row per tick, no explode, no extra shuffle. The recursion
+    // is depth-generic (the 2-D surface delegates at ndim = 2; ndim = 3
+    // is spec-asserted against per-lane scalar oracles); the
     // cov/corr-matrix special case stays in [[covCorrMatrix]].
 
-    private def dbl2(m: Column): Column = transform(m, r => transform(r, _.cast("double")))
+    private def castNd(c: Column, ndim: Int): Column =
+      if (ndim == 0) c.cast("double") else transform(c, e => castNd(e, ndim - 1))
 
-    private def fold2d(fr: Column, merge: (Column, Column) => Column): Column =
-      aggregate(slice(fr, lit(2), size(fr) - 1), dbl2(element_at(fr, 1)),
-        (acc, e) => zip_with(acc, e, (ar, br) =>
-          zip_with(ar, br, (a, b) => merge(a, b.cast("double")))))
+    private def zipNd(a: Column, b: Column, ndim: Int,
+                      merge: (Column, Column) => Column): Column =
+      if (ndim == 0) merge(a, b.cast("double"))
+      else zip_with(a, b, (x, y) => zipNd(x, y, ndim - 1, merge))
 
-    def sum2d(name: String = "sum"): RollingVec = {
+    private def mapNd(c: Column, ndim: Int, f: Column => Column): Column =
+      if (ndim == 0) f(c) else transform(c, e => mapNd(e, ndim - 1, f))
+
+    private def foldNd(fr: Column, ndim: Int, merge: (Column, Column) => Column): Column =
+      aggregate(slice(fr, lit(2), size(fr) - 1), castNd(element_at(fr, 1), ndim),
+        (acc, e) => zipNd(acc, e, ndim, merge))
+
+    def sumNd(ndim: Int, name: String = "sum"): RollingVec = {
+      require(ndim >= 1, s"ndim must be >= 1, got $ndim")
       val (r, fr) = memoFrame
-      r.add(name, gated(fr, fold2d(fr, _ + _)))
+      r.add(name, gated(fr, foldNd(fr, ndim, _ + _)))
     }
 
-    def mean2d(name: String = "mean"): RollingVec = {
+    def meanNd(ndim: Int, name: String = "mean"): RollingVec = {
+      require(ndim >= 1, s"ndim must be >= 1, got $ndim")
       val (r, fr) = memoFrame
       val n = size(fr).cast("double")
-      r.add(name, gated(fr, transform(fold2d(fr, _ + _), row => transform(row, _ / n))))
+      r.add(name, gated(fr, mapNd(foldNd(fr, ndim, _ + _), ndim, _ / n)))
     }
 
-    def min2d(name: String = "min"): RollingVec = {
+    def minNd(ndim: Int, name: String = "min"): RollingVec = {
+      require(ndim >= 1, s"ndim must be >= 1, got $ndim")
       val (r, fr) = memoFrame
-      r.add(name, gated(fr, fold2d(fr, least(_, _))))
+      r.add(name, gated(fr, foldNd(fr, ndim, least(_, _))))
     }
 
-    def max2d(name: String = "max"): RollingVec = {
+    def maxNd(ndim: Int, name: String = "max"): RollingVec = {
+      require(ndim >= 1, s"ndim must be >= 1, got $ndim")
       val (r, fr) = memoFrame
-      r.add(name, gated(fr, fold2d(fr, greatest(_, _))))
+      r.add(name, gated(fr, foldNd(fr, ndim, greatest(_, _))))
     }
+
+    def sum2d(name: String = "sum"): RollingVec = sumNd(2, name)
+
+    def mean2d(name: String = "mean"): RollingVec = meanNd(2, name)
+
+    def min2d(name: String = "min"): RollingVec = minNd(2, name)
+
+    def max2d(name: String = "max"): RollingVec = maxNd(2, name)
   }
 }

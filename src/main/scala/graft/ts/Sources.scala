@@ -71,6 +71,49 @@ object Sources {
     TickStream(df)
   }
 
+  /** Wall-time stamp for a late realtime timer tick — the
+    * `allow_deviation` rule (reference `csp/baselib.py:74-83`): a timer
+    * whose engine fell behind by MORE than one interval fires at wall
+    * time (`now`) instead of back-dating to its scheduled grid time;
+    * on-time ticks (lag ≤ interval) keep the exact grid stamp either
+    * way. Pure in (scheduled, now) so the rule is unit-testable; the
+    * streaming shim passes `current_timestamp()` as `now`. */
+  def deviatedTs(scheduled: Column, now: Column, intervalMicros: Long): Column =
+    when(unix_micros(now) - unix_micros(scheduled) > intervalMicros, now)
+      .otherwise(scheduled)
+
+  /** csp.timer realtime shim (reference `csp/baselib.py:74-83`,
+    * `allow_deviation` knob): a streaming tick grid over Spark's `rate`
+    * source. The rate source's native timestamps ARE the scheduled grid
+    * (start + n·interval, regardless of engine lag) — csp's
+    * `allow_deviation=False` back-dating behavior; `allowDeviation=true`
+    * re-stamps ticks that are late by more than one interval with wall
+    * time via [[deviatedTs]]. Intervals must be a whole number of
+    * seconds or a whole divisor of one second (the rate source emits on
+    * second boundaries). Batch/simulation timers are exact by
+    * construction — use [[timer]]. */
+  def timerStream(spark: SparkSession, key: String, intervalMicros: Long,
+                  value: Double = 1.0, allowDeviation: Boolean = false): DataFrame = {
+    require(intervalMicros > 0, "csp.timer interval must be > 0")
+    val perSec = 1000000L % intervalMicros == 0
+    require(perSec || intervalMicros % 1000000L == 0,
+      s"timerStream interval must divide or be a multiple of 1s, got ${intervalMicros}µs")
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", if (perSec) 1000000L / intervalMicros else 1L)
+      .load() // (timestamp: scheduled grid time, value: tick ordinal)
+    val grid =
+      if (perSec) rate
+      else { // slow timers: keep every k-th one-per-second row
+        val k = intervalMicros / 1000000L
+        rate.filter(col("value") % k === 0).withColumn("value", col("value") / k)
+      }
+    val ts = if (allowDeviation)
+      deviatedTs(col("timestamp"), current_timestamp(), intervalMicros)
+    else col("timestamp")
+    grid.select(lit(key).as(Tick.KEY), ts.as(Tick.TS),
+      col("value").cast(LongType).as(Tick.SEQ), lit(value).as(Tick.VALUE))
+  }
+
   /** csp.null_ts (reference `csp/baselib.py:544-551`): never ticks. */
   def nullTs(spark: SparkSession): TickStream = {
     val schema = StructType(Seq(

@@ -18,6 +18,49 @@ class AdapterSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("timer allow_deviation rule: late ticks fire at wall time (baselib.py:74-83)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+    def at(ms: Long) = new Timestamp(t0.getTime + ms)
+    val df = spark.createDataFrame(Seq(
+      (1, at(0), at(500)),   // lag 0.5s ≤ 1s interval → keep grid stamp
+      (2, at(0), at(1000)),  // lag exactly one interval → still on time
+      (3, at(0), at(1500)))) // lag 1.5s > interval → deviate to wall time
+      .toDF("id", "scheduled", "now")
+    val out = df.select(col("id"),
+        Sources.deviatedTs(col("scheduled"), col("now"), 1000000L).as("ts"))
+      .collect().map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(out(1) == at(0))
+    assert(out(2) == at(0))
+    assert(out(3) == at(1500))
+  }
+
+  test("timerStream emits the scheduled tick grid over the rate source") {
+    // live realtime source: ~1.5 s of a 100 ms timer. The SCHEDULED
+    // stamps are exact grid points regardless of machine load, so the
+    // assertions are load-safe; only the tick COUNT needs headroom.
+    val q = Sources.timerStream(spark, "t", intervalMicros = 100000L, value = 7.0)
+      .writeStream.outputMode("append").format("memory").queryName("timer_live").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("timer_live").orderBy("seq").collect()
+    assert(rows.length >= 5, s"expected ≥5 ticks, got ${rows.length}")
+    assert(rows.forall(_.getAs[String]("key") == "t"))
+    assert(rows.forall(_.getAs[Double]("value") == 7.0))
+    val stamps = rows.map(r => r.getAs[java.sql.Timestamp]("ts").getTime)
+    val seqs = rows.map(_.getAs[Long]("seq"))
+    // consecutive grid points are exactly interval apart, seq is the ordinal
+    seqs.zip(stamps).sliding(2).foreach { case Array((s1, t1), (s2, t2)) =>
+      assert(s2 == s1 + 1)
+      assert(t2 - t1 == 100L, s"grid spacing $t1 -> $t2")
+    }
+    // slow-timer arm constructs (every k-th row) and stays streaming
+    assert(Sources.timerStream(spark, "t", 2000000L).isStreaming)
+  }
+
   test("parquet write→read round-trip preserves ticks (ParquetWriter §2.2)") {
     val x = TickStream(c("a", 1 -> 1.0, 2 -> 2.0).df.unionByName(c("b", 1 -> 10.0).df))
     val path = "/tmp/graft_test_parquet"

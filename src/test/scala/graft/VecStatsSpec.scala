@@ -99,6 +99,35 @@ class VecStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ndim=3 lanes through the nested-ArrayType recursion (typing.py:24-45)") {
+    import spark.implicits._
+    // 2 keys × 5 ticks, each tick a 2×2×2 ndarray — the depth the r7
+    // surface stopped at (ndim=2) plus one recursion level
+    def cell(k: String, i: Int, a: Int, b: Int, c: Int): Double =
+      (if (k == "a") 1 else -1) * (i + 1.0) * (a * 4 + b * 2 + c + 1) - (i % 3) * 0.5
+    val rows = for { k <- Seq("a", "b"); i <- 0 until 5 } yield
+      (k, java.sql.Timestamp.valueOf(f"2020-01-${i + 1}%02d 00:00:00"), i.toLong,
+        Seq.tabulate(2)(a => Seq.tabulate(2)(b => Seq.tabulate(2)(c => cell(k, i, a, b, c)))))
+    val x = TickStream(rows.toDF(Tick.KEY, Tick.TS, Tick.SEQ, Tick.VALUE))
+
+    val out = Stats.ticksVec(x, 3).sumNd(3, "sm").meanNd(3, "mn")
+      .minNd(3, "lo").maxNd(3, "hi").done.df.orderBy(Tick.KEY, Tick.SEQ).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (k, s) = (r.getAs[String](Tick.KEY), r.getAs[Long](Tick.SEQ).toInt)
+      val frame = (math.max(0, s - 2) to s).toSeq // rolling 3-tick window
+      def lane(n: String)(a: Int, b: Int, c: Int): Double =
+        r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](n)(a)(b)(c)
+      for (a <- 0 until 2; b <- 0 until 2; c <- 0 until 2) {
+        val vals = frame.map(i => cell(k, i, a, b, c))
+        assert(math.abs(lane("sm")(a, b, c) - vals.sum) < 1e-9, s"sum $k $s [$a$b$c]")
+        assert(math.abs(lane("mn")(a, b, c) - vals.sum / vals.length) < 1e-9, s"mean $k $s [$a$b$c]")
+        assert(lane("lo")(a, b, c) == vals.min, s"min $k $s [$a$b$c]")
+        assert(lane("hi")(a, b, c) == vals.max, s"max $k $s [$a$b$c]")
+      }
+    }
+  }
+
   test("minWindow gates whole-array results") {
     val x = fixture
     val rows = Stats.ticksVec(x, 3, minWindow = 2).mean("mn").done.df
