@@ -392,21 +392,29 @@ object VectorExprs {
     * and crosses Janino's method-size cliff past a few hundred cells —
     * this expression is the documented large-k path, still a pure
     * projection (no join, no shuffle). */
-  case class NearestCell(child: Expression, cents: Array[Array[Double]])
+  case class NearestCell(child: Expression, cents: Array[Array[Double]],
+                         cellIds: Array[Int])
       extends UnaryExpression {
+    require(cellIds.length == cents.length,
+      s"cellIds (${cellIds.length}) must parallel cents (${cents.length})")
     override def dataType: DataType = IntegerType
     private def isFloat: Boolean =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
     override def checkInputDataTypes() = vecTypeCheck(child.dataType, "nearest_cell")
+    // nearestCosine returns the ARRAY INDEX of the winning centroid; the
+    // parallel cellIds array maps it to the caller's cell id, so sparse
+    // or filtered centroid frames work identically to the literal arm
+    // (which carries each cell id in its struct).
     override def nullSafeEval(input: Any): Any =
-      AnnKernels.nearestCosine(input.asInstanceOf[ArrayData], isFloat, cents)
+      cellIds(AnnKernels.nearestCosine(input.asInstanceOf[ArrayData], isFloat, cents))
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
         org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
       val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ids = ctx.addReferenceObj("cellIds", cellIds, "int[]")
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.AnnKernels.nearestCosine($c, $isFloat, $ref)")
+        s"$ids[graft.functions.AnnKernels.nearestCosine($c, $isFloat, $ref)]")
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -438,8 +446,9 @@ object VectorExprs {
   // ExpressionUtils (same machinery functions._ uses internally).
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
-  def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
-    column(NearestCell(expression(vec), cents))
+  def nearestCell(vec: Column, cents: Array[Array[Double]],
+                  cellIds: Array[Int]): Column =
+    column(NearestCell(expression(vec), cents, cellIds))
   def pqCodes(vec: Column, dsub: Int, cb: Array[Array[Array[Double]]]): Column =
     column(PqCodes(expression(vec), dsub, cb))
 

@@ -333,7 +333,8 @@ object Dedup {
     * groupBy + join per component-diameter round. Identical mapping
     * either way. */
   def components(pairs: DataFrame, ids: DataFrame, idCol: String,
-                 driverEdgeLimit: Int = 5000000): DataFrame = {
+                 driverEdgeLimit: Int = 5000000,
+                 reliableCheckpoint: Boolean = false): DataFrame = {
     val p0 = pairs.select(col(pairs.columns(0)).as("id1"), col(pairs.columns(1)).as("id2"))
     val spark = p0.sparkSession
     val integral = p0.schema.fields.forall(f =>
@@ -382,7 +383,7 @@ object Dedup {
       p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst"))
     // Iterative min-label propagation, with two guards the >cap boundary
     // spec (NearDupScaleSpec) forces:
-    //  - localCheckpoint per round, NOT persist: persist reuses cached
+    //  - checkpoint per round, NOT persist: persist reuses cached
     //    blocks but the LOGICAL plan still embeds the previous round's
     //    plan twice per round (once under the neighbor-min join, once
     //    under the outer join) — 2^rounds subtrees, and by round ~9 even
@@ -394,8 +395,24 @@ object Dedup {
     //    remaining component diameter each round → O(log d) rounds
     //    instead of O(d); labels are always ids present in the table, so
     //    the self-join hop is total.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // localCheckpoint (default) keeps blocks executor-local and
+    // unreplicated — fastest, but one lost executor mid-iteration fails
+    // the job. reliableCheckpoint=true writes each round to the
+    // SparkContext checkpoint dir instead (set it first): the opt-in for
+    // long-running cluster jobs where executor loss is expected.
+    // Either way the PREVIOUS round's blocks are freed eagerly after
+    // `labels = next` — the async ContextCleaner GC would otherwise let
+    // a long label-propagation run accumulate every round's storage.
+    if (reliableCheckpoint)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "components(reliableCheckpoint=true) needs spark.sparkContext.setCheckpointDir")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     while (!converged) {
       val nbrMin = edges
@@ -404,14 +421,13 @@ object Dedup {
       val cand = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val next = cand
+      val next = ckpt(cand
         .join(cand.select(col("id").as("label"), col("label").as("__ll")), Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .select(col("id"), least(col("label"), coalesce(col("__ll"), col("label"))).as("label")))
       val changes = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist(false)
+      release(labels)
       labels = next
       converged = changes == 0
     }

@@ -65,10 +65,10 @@ object Ivf {
         struct((-cos(vec, typedlit(v.toSeq))).as("negSim"), lit(c).as("cell"))
       }: _*)).getField("cell")
     else {
+      // the kernel returns cellIds(argmax), so sparse/filtered centroid
+      // frames behave exactly like the literal arm — no density contract
       val sorted = cents.sortBy(_._1).toArray
-      require(sorted.indices.forall(i => sorted(i)._1 == i),
-        "kernel cell assignment requires dense 0..k-1 cell ids")
-      graft.functions.VectorExprs.nearestCell(vec, sorted.map(_._2))
+      graft.functions.VectorExprs.nearestCell(vec, sorted.map(_._2), sorted.map(_._1))
     }
 
   /** Test seam: force one dispatch arm of [[cellExpr]] on the same
@@ -77,7 +77,7 @@ object Ivf {
                                   useKernel: Boolean): Column =
     if (useKernel) {
       val sorted = cents.sortBy(_._1).toArray
-      graft.functions.VectorExprs.nearestCell(vec, sorted.map(_._2))
+      graft.functions.VectorExprs.nearestCell(vec, sorted.map(_._2), sorted.map(_._1))
     } else
       array_min(array(cents.map { case (c, v) =>
         struct((-cos(vec, typedlit(v.toSeq))).as("negSim"), lit(c).as("cell"))

@@ -220,14 +220,18 @@ object Stats {
         if (memoDefs.isEmpty) base
         else base.select(base.columns.map(col).toSeq ++
           memoDefs.map { case (n, c) => c.as(n) }: _*)
-      val outNames = outDefs.map(_._1).toSet
+      // withColumn replacement semantics (the pre-batching shape): a stat
+      // re-using a name — another stat's or an existing column's — wins
+      // with its LAST definition and keeps the original column position.
+      val dedupedOuts = outDefs.foldLeft(Vector.empty[(String, Column)]) {
+        (acc, d) => acc.filterNot(_._1 == d._1) :+ d
+      }
+      val outMap = dedupedOuts.toMap
       val withOuts =
-        if (outDefs.isEmpty) withMemos
+        if (dedupedOuts.isEmpty) withMemos
         else withMemos.select(
-          // a stat named like an existing column replaces it (withColumn
-          // semantics of the previous shape)
-          withMemos.columns.filterNot(outNames.contains).map(col).toSeq ++
-            outDefs.map { case (n, c) => c.as(n) }: _*)
+          withMemos.columns.map(n => outMap.get(n).fold(col(n))(_.as(n))).toSeq ++
+            dedupedOuts.collect { case (n, c) if !withMemos.columns.contains(n) => c.as(n) }: _*)
       TickStream(withOuts
         .drop(withOuts.columns.filter(_.startsWith(BasePrefix)).toSeq: _*)
         .drop("__em"))

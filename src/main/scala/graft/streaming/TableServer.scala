@@ -145,8 +145,13 @@ object TableServer {
     * `createTable(name, index, schema)`. */
   def perspectiveSchema(schema: StructType,
                         columns: Map[String, String]): Seq[(String, String)] =
-    columns.toSeq.map { case (from, to) =>
-      to -> (schema(from).dataType match {
+    // iterate the StructType's field order, not the Map's: HashMap
+    // ordering varies with size, and the hello frame's field order must
+    // be stable run-to-run
+    { columns.keys.foreach(schema(_)) // unknown source column still throws
+      schema.fields.toSeq.flatMap(f => columns.get(f.name).map(to => (f, to)))
+    }.map { case (f, to) =>
+      to -> (f.dataType match {
         case ByteType | ShortType | IntegerType | LongType => "integer"
         case FloatType | DoubleType | _: DecimalType => "float"
         case BooleanType => "boolean"

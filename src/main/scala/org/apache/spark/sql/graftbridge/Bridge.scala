@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The materialized RDD behind a checkpointed Dataset (`LogicalRDD` is
+    * `private[sql]`): lets iterative algorithms free the PREVIOUS round's
+    * checkpoint blocks deterministically instead of waiting for the async
+    * ContextCleaner to GC them. None for non-checkpointed frames. */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

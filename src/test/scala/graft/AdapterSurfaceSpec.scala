@@ -89,6 +89,12 @@ class AdapterSurfaceSpec extends AnyFunSuite {
       Map("sym" -> "sym", "px" -> "px", "qty" -> "qty", "live" -> "live", "at" -> "at"))
     assert(schema.toMap == Map("sym" -> "string", "px" -> "float",
       "qty" -> "integer", "live" -> "boolean", "at" -> "datetime"))
+    // deterministic hello-frame field order: the StructType's, not the
+    // rename Map's iteration order (HashMap ordering shifts at >4 entries)
+    assert(schema.map(_._1) == Seq("sym", "px", "qty", "live", "at"))
+    intercept[IllegalArgumentException] {
+      TableServer.perspectiveSchema(sparkSchema, Map("nope" -> "nope"))
+    }
     val t = server.createTable("px2", index = Some("sym"), schema = schema)
     // early subscriber (no data yet): schema frame alone, messageID 0
     val early = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -221,6 +221,25 @@ class LlmSpec extends AnyFunSuite {
     assert(assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == kernel)
   }
 
+  test("kernel cell assignment on SPARSE cell ids matches the literal arm") {
+    // a user-supplied filtered centroid frame (gappy, unordered ids) must
+    // behave identically on both dispatch arms: the kernel carries the
+    // sorted cell-id array and returns cellIds(argmax), not the argmax
+    // index itself
+    val dim = 6
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // 300 centroids (> LiteralCellMax) with ids 7, 17, 27, … — no 0..k-1
+    val cents = (0 until 300).map(c => (c * 10 + 7, Array.fill(dim)(rnd.nextGaussian())))
+    def run(useKernel: Boolean): Map[Long, Int] =
+      vecs.select($"vec_id", graft.llm.Ivf.cellExprForced(cents, $"embedding", useKernel).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel = run(useKernel = true)
+    assert(kernel == run(useKernel = false))
+    assert(kernel.values.forall(c => c % 10 == 7), "cells must be the sparse ids")
+  }
+
   test("PQ codes above LiteralCodeMax: kernel path agrees with the literal fold") {
     val dim = 8; val m = 2; val k = 96 // > LiteralCodeMax=64
     val rnd = new scala.util.Random(43)

@@ -152,6 +152,22 @@ class NearDupScaleSpec extends AnyFunSuite {
     val expected = (0L until 11000L).map(i => i -> (if (i < 10000) i - i % 10 else i)).toMap
     assert(distributed == expected, "distributed path must produce exact min-label components")
     assert(driver == expected, "driver union-find must produce exact min-label components")
+
+    // reliableCheckpoint opt-in: without a checkpoint dir it fails fast
+    // (not mid-iteration); with one, the per-round checkpoint-dir writes
+    // (the executor-loss-safe arm for long runs) produce the same result
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.components(edges, ids, "doc_id", driverEdgeLimit = 1000,
+          reliableCheckpoint = true)
+      }
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val reliable = Dedup.components(edges, ids, "doc_id", driverEdgeLimit = 1000,
+      reliableCheckpoint = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.util.Caching.release()
+    assert(reliable == expected, "reliable-checkpoint path must match")
   }
 
   test("lshPairsAuto equals brute-force threshold pairs (auto-sized recall ~1)") {

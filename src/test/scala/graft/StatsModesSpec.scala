@@ -70,6 +70,18 @@ class StatsModesSpec extends AnyFunSuite {
     assert(lastOpt(1).getAs[Int]("r") == 0) // rank of carried 1.0 in window [1.0, NaN]
   }
 
+  test("done() keeps withColumn replacement semantics for re-used stat names") {
+    val x = curveOf(Seq(1.0, 2.0, 3.0))
+    // same name twice: LAST definition wins, exactly one column
+    val re = Stats.expanding(x).sum("s").mean("s").done.df
+    assert(re.columns.count(_ == "s") == 1)
+    assert(lastRow(re, "s") == 2.0) // mean, not sum=6
+    // a stat shadowing an existing column replaces it IN PLACE
+    val sh = Stats.expanding(x).sum("value").done.df
+    assert(sh.columns.toSeq == x.df.columns.toSeq)
+    assert(lastRow(sh, "value") == 6.0)
+  }
+
   test("quantile/median/rank/unique share ONE memoized sorted frame") {
     val r = Stats.ticks(curveOf(Seq(3.0, 1.0, 2.0)), 10)
       .median("md").quantile(0.25, "q").rank("rk").unique("u")
