@@ -398,6 +398,39 @@ object StatefulOps {
       .unionByName(primary.withColumn("src", lit(1)).as[TickRow2])
   }
 
+  case class VecOut(key: String, tsMicros: Long, seq: Long, values: Seq[Double])
+
+  /** csp.struct_fromts (`baselib.py:684-701`) as an N-input scan — twin of
+    * `AsOf.structFromTs`: srcs 0..n−1 are the snapshot inputs, src = n the
+    * trigger; a trigger tick emits the last value of every input (NaN for
+    * an input that has not ticked yet — the batch twin's null lanes). The
+    * same step drives [[structStream]] (fMGWS) and [[TwsOps.structTws]].
+    */
+  def structFromTsStep(n: Int): (Seq[Double], TickRow2) => (Seq[Double], Option[Seq[Double]]) =
+    (s, r) =>
+      if (r.src < n) (s.updated(r.src, r.value), None)
+      else (s, Some(s))
+
+  /** Run [[structFromTsStep]] on the flatMapGroupsWithState runtime. */
+  def structStream(ticks: Dataset[TickRow2], nInputs: Int): Dataset[VecOut] = {
+    val step = structFromTsStep(nInputs)
+    implicit val outEnc = Encoders.product[VecOut]
+    implicit val stEnc = Encoders.product[ScanState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TickRow2], state: GroupState[ScanState]) =>
+          var s = state.getOption.map(_.s).getOrElse(Seq.fill(nInputs)(Double.NaN))
+          val out = scala.collection.mutable.ArrayBuffer[VecOut]()
+          rows.toSeq.sortBy(r => (r.tsMicros, r.src, r.seq)).foreach { r =>
+            val (s2, o) = step(s, r)
+            s = s2
+            o.foreach(v => out += VecOut(key, r.tsMicros, r.seq, v))
+          }
+          state.update(ScanState(s))
+          out.iterator
+      }
+  }
+
   /** Run a [[Step2]] on the flatMapGroupsWithState runtime. */
   def scanStream2(ticks: Dataset[TickRow2], step: Step2): Dataset[ValOut] = {
     implicit val outEnc = Encoders.product[ValOut]

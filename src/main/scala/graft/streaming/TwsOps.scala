@@ -142,6 +142,37 @@ object TwsOps {
       .transformWithState(new ScanPairProcessor(step), TimeMode.None(), OutputMode.Append())
   }
 
+  import graft.streaming.StatefulOps.VecOut
+
+  /** [[StatefulOps.structFromTsStep]] on the transformWithState runtime —
+    * the N-input struct_fromts snapshot with RocksDB state. */
+  class StructProcessor(nInputs: Int) extends StatefulProcessor[String, TickRow2, VecOut] {
+    private val step = StatefulOps.structFromTsStep(nInputs)
+    @transient private var state: ValueState[ScanState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScanState]("struct", Encoders.product[ScanState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TickRow2],
+                                 timerValues: TimerValues): Iterator[VecOut] = {
+      var s = if (state.exists()) state.get().s else Seq.fill(nInputs)(Double.NaN)
+      val out = scala.collection.mutable.ArrayBuffer[VecOut]()
+      rows.toSeq.sortBy(r => (r.tsMicros, r.src, r.seq)).foreach { r =>
+        val (s2, o) = step(s, r)
+        s = s2
+        o.foreach(v => out += VecOut(key, r.tsMicros, r.seq, v))
+      }
+      state.update(ScanState(s))
+      out.iterator
+    }
+  }
+
+  def structTws(ticks: Dataset[TickRow2], nInputs: Int): Dataset[VecOut] = {
+    implicit val outEnc = Encoders.product[VecOut]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new StructProcessor(nInputs), TimeMode.None(), OutputMode.Append())
+  }
+
   case class Heartbeat(key: String, deadlineMs: Long)
   case class TickEvt(key: String, eventTime: java.sql.Timestamp, seq: Long, value: Double)
 

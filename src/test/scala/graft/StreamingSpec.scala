@@ -277,6 +277,44 @@ class StreamingSpec extends AnyFunSuite {
       runPair("parp_ema_cov_fmgws", StatefulOps.scanPairStream(_, covStep)))
     assertParity("parp_ema_cov_tws", batchEmaCov,
       runPair("parp_ema_cov_tws", TwsOps.scanPairTws(_, covStep)))
+
+    // struct_fromts: a THREE-input operator (two snapshot inputs + the
+    // trigger) — the N-input generalization of the tagged-union lowering
+    val refA = TickStream(evU.df.filter(col("seq") % 3 === 0))
+    val refB = TickStream(evU.df.filter(col("seq") % 3 === 1))
+    val trig = TickStream(evU.df.filter(col("seq") % 3 === 2))
+    val batchStruct = graft.operators.AsOf.structFromTs(trig, Seq("a" -> refA, "b" -> refB))
+      .df.select(col("key"), col("seq"), col("value.a"), col("value.b")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Seq(
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val structRows = (StatefulOps.toTickRows(refA).collect().map(r => TickRow2(r.key, r.tsMicros, r.seq, r.value, 0)) ++
+      StatefulOps.toTickRows(refB).collect().map(r => TickRow2(r.key, r.tsMicros, r.seq, r.value, 1)) ++
+      StatefulOps.toTickRows(trig).collect().map(r => TickRow2(r.key, r.tsMicros, r.seq, r.value, 2)))
+      .toSeq.sortBy(r => (r.tsMicros, r.src, r.seq))
+    def runStruct(name: String,
+        build: Dataset[TickRow2] => Dataset[StatefulOps.VecOut]): Map[(String, Long), Seq[Double]] = {
+      implicit val enc = Encoders.product[TickRow2]
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[TickRow2]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      structRows.grouped(structRows.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getSeq[Double](3).toSeq).toMap
+      q.stop()
+      out
+    }
+    def assertStructParity(name: String, stream: Map[(String, Long), Seq[Double]]): Unit = {
+      assert(stream.size == batchStruct.size, s"$name: ${stream.size} vs ${batchStruct.size}")
+      batchStruct.foreach { case (k, b) =>
+        val s = stream(k)
+        b.zip(s).foreach { case (bv, sv) =>
+          assert((bv.isNaN && sv.isNaN) || bv == sv, s"$name @ $k: $s vs $b") }
+      }
+    }
+    assertStructParity("par3_struct_fmgws", runStruct("par3_struct_fmgws", StatefulOps.structStream(_, 2)))
+    assertStructParity("par3_struct_tws", runStruct("par3_struct_tws", TwsOps.structTws(_, 2)))
   }
 
   test("streaming as-of sample across micro-batches") {
