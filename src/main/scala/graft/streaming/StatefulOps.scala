@@ -380,6 +380,23 @@ object StatefulOps {
       else if (s(1) > 0.5 && s(0) > 0.5) (s, Some(r.value))
       else (s, None))
 
+    /** csp.merge (`baselib.py:370-376`) — twin of `TickStream.merge`:
+      * left (src=0) wins PER ENGINE CYCLE, not per timestamp — same-ts
+      * ticks on one input are separate cycles (within-ts ordinals), so a
+      * right tick is dropped only when a left tick occupies the SAME
+      * cycle ordinal at that timestamp. State = (lastTsMicros, leftCount,
+      * rightCount) at the current timestamp; the runner's (ts, src, seq)
+      * sort delivers a cycle's left rows before its right rows, so
+      * rightOrdinal ≥ leftCount ⇔ the cycle has no left claimant.
+      * (Micros < 2^53 stay exact in the Double state lane.) */
+    val merge: Step2 = Step2(Seq(Double.NaN, 0.0, 0.0), (s, r) => {
+      val t = r.tsMicros.toDouble
+      val sameTs = !s(0).isNaN && s(0) == t
+      val (lc, rc) = if (sameTs) (s(1), s(2)) else (0.0, 0.0)
+      if (r.src == 0) (Seq(t, lc + 1, rc), Some(r.value))
+      else (Seq(t, lc, rc + 1), if (rc >= lc) Some(r.value) else None)
+    })
+
     /** Cross-stream binop (`csp/math.py:252-300`) — twin of `AsOf.binop`:
       * fire on any tick of either input once both are valid, applying `f`
       * to the last values. */

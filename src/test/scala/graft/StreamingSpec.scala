@@ -315,6 +315,60 @@ class StreamingSpec extends AnyFunSuite {
     }
     assertStructParity("par3_struct_fmgws", runStruct("par3_struct_fmgws", StatefulOps.structStream(_, 2)))
     assertStructParity("par3_struct_tws", runStruct("par3_struct_tws", TwsOps.structTws(_, 2)))
+
+    // merge on the disjoint-ts event split (both runtimes) — per-cycle
+    // tie resolution gets its own dup-ts fixture in the next test
+    val batchMerge = batchMap(refS.merge(priS), "value")
+    val mergeRows = rows2(refS, priS)
+    assertParity("par2_merge_fmgws", batchMerge,
+      runTagged("par2_merge_fmgws", mergeRows, StatefulOps.scanStream2(_, StatefulOps.Steps2.merge), false))
+    assertParity("par2_merge_tws", batchMerge,
+      runTagged("par2_merge_tws", mergeRows, TwsOps.scanTws2(_, StatefulOps.Steps2.merge), false))
+  }
+
+  test("batch≡stream parity: merge resolves duplicate-ts ties per CYCLE on both runtimes") {
+    // the baselibimpl.cpp:167-186 rule: left wins only the cycles it
+    // occupies — right's surplus same-ts cycles still emit. Fixture:
+    //   ts=2000 has TWO left cycles (v2, v3) and THREE right cycles
+    //   (v20, v30, v50): cycles 0/1 go left, cycle 2 emits right v50.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StatefulOps.TickRow2
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    import spark.implicits._
+    val left = TickStream(Seq(
+      ("k", ts(1000), 0L, 1.0), ("k", ts(2000), 2L, 2.0), ("k", ts(2000), 4L, 3.0))
+      .toDF("key", "ts", "seq", "value"))
+    val right = TickStream(Seq(
+      ("k", ts(1000), 1L, 10.0), ("k", ts(2000), 3L, 20.0), ("k", ts(2000), 5L, 30.0),
+      ("k", ts(2000), 7L, 50.0), ("k", ts(3000), 6L, 40.0))
+      .toDF("key", "ts", "seq", "value"))
+    val expected = left.merge(right).df.select("seq", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expected == Map(0L -> 1.0, 2L -> 2.0, 4L -> 3.0, 7L -> 50.0, 6L -> 40.0),
+      s"batch merge truth: $expected")
+
+    val rows = (StatefulOps.toTickRows(left).collect().map(r => TickRow2(r.key, r.tsMicros, r.seq, r.value, 0)) ++
+      StatefulOps.toTickRows(right).collect().map(r => TickRow2(r.key, r.tsMicros, r.seq, r.value, 1)))
+      .toSeq.sortBy(r => (r.tsMicros, r.src, r.seq))
+    def run(name: String, build: Dataset[TickRow2] => Dataset[StatefulOps.ValOut]): Map[Long, Double] = {
+      implicit val enc = Encoders.product[TickRow2]
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[TickRow2]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      // split mid-2000: the 2000-cycle rows stay within one batch (the
+      // in-order same-cycle delivery contract), batches split elsewhere
+      mem.addData(rows.filter(_.tsMicros < 2000000): _*); q.processAllAvailable()
+      mem.addData(rows.filter(r => r.tsMicros >= 2000000 && r.tsMicros < 3000000): _*); q.processAllAvailable()
+      mem.addData(rows.filter(_.tsMicros >= 3000000): _*); q.processAllAvailable()
+      val out = spark.table(name).collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      q.stop()
+      out
+    }
+    assert(run("par_merge_dup_fmgws",
+      StatefulOps.scanStream2(_, StatefulOps.Steps2.merge)) == expected)
+    assert(run("par_merge_dup_tws",
+      graft.streaming.TwsOps.scanTws2(_, StatefulOps.Steps2.merge)) == expected)
   }
 
   test("streaming as-of sample across micro-batches") {
