@@ -408,9 +408,19 @@ object Dedup {
         "components(reliableCheckpoint=true) needs spark.sparkContext.setCheckpointDir")
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // Free the previous round deterministically: its cached blocks, and —
+    // on the reliable arm — its checkpoint FILES, which Spark otherwise
+    // deletes only under the non-default
+    // spark.cleaner.referenceTracking.cleanCheckpoints flag; a 100-round
+    // propagation would accumulate 100 rounds of label files.
     def release(df: DataFrame): Unit =
-      org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(df)
-        .foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(df).foreach { rdd =>
+        rdd.unpersist(blocking = false)
+        if (reliableCheckpoint) rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var converged = false

@@ -161,13 +161,19 @@ class NearDupScaleSpec extends AnyFunSuite {
         Dedup.components(edges, ids, "doc_id", driverEdgeLimit = 1000,
           reliableCheckpoint = true)
       }
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     val reliable = Dedup.components(edges, ids, "doc_id", driverEdgeLimit = 1000,
       reliableCheckpoint = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     graft.util.Caching.release()
     assert(reliable == expected, "reliable-checkpoint path must match")
+    // intermediate rounds' checkpoint files are freed eagerly — only the
+    // final labels round may remain on disk (its result was just consumed)
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(ckptDir).iterator().asScala
+      .count(_.getFileName.toString.startsWith("rdd-"))
+    assert(rddDirs <= 1, s"stale checkpoint rounds left on disk: $rddDirs")
   }
 
   test("lshPairsAuto equals brute-force threshold pairs (auto-sized recall ~1)") {
