@@ -863,8 +863,133 @@ object SparkEntry {
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+    },
+
+    // ---- adapter / infrastructure round-trips (SURVEY §2.1/§2.2/util):
+    // each query pushes data through a real adapter surface (write+read,
+    // or a utility rewrite) and aggregates the round-tripped rows, so the
+    // DuckDB oracle over the SOURCE table proves end-to-end fidelity ----
+
+    // Generic pull adapter (pulladapter.py): any DataFrame + symbol/time
+    // accessor becomes a keyed tick stream. Aggregates are tie-order-free
+    // (derived per-key seq is not deterministic under equal timestamps).
+    "q_pull_adapter" -> { (s, dir) =>
+      val t = Sources.fromDataFrame(Sources.table(s, dir, "orders"), "o_custkey", "o_orderdate")
+      t.df.groupBy(col(Tick.KEY).cast(LongType).as("custkey"))
+        .agg(count(lit(1)).as("cnt"), max(col(Tick.SEQ)).as("max_seq"),
+          min(unix_micros(col(Tick.TS))).as("min_ts_us"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).cast("double").as("sum_price"))
+    },
+    // CSV publish → read round trip (µs timestamp fidelity via the
+    // explicit timestampFormat in Sinks).
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val path = rtDir("csv", dir)
+      val base = ev(s, dir).df.select(
+        col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE), col("event_type"))
+      graft.ts.Sinks.writeCsv(graft.ts.TickStream(base), path)
+      graft.ts.Sinks.readCsv(s, path).df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"),
+          min(unix_micros(col(Tick.TS))).as("min_ts_us"))
+    },
+    // Arrow record-batch out → in round trip (the interchange boundary:
+    // batch conversion runs distributed, payloads cross the driver).
+    "q_arrow_roundtrip" -> { (s, dir) =>
+      val base = ev(s, dir).df.select(
+        col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE), col("event_type"))
+      val batches = graft.ts.Arrow.toBatches(base, 1 << 13)
+      graft.ts.Arrow.fromBatches(s, batches.toSeq, base.schema.json)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"),
+          min(unix_micros(col(Tick.TS))).as("min_ts_us"))
+    },
+    // JDBC write → read round trip on embedded Derby (db.py DBReader
+    // shape). Subset keeps the single-node insert bounded; Derby
+    // preserves µs timestamps. Column names come back as created
+    // (quoted DDL), re-aliased defensively anyway.
+    "q_jdbc_roundtrip" -> { (s, dir) =>
+      val url = s"jdbc:derby:${rtDir("derby", dir)};create=true"
+      val sub = ev(s, dir).df
+        .filter(col(Tick.KEY).cast(LongType) % 20 === 0)
+        .select(col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE), col("event_type"))
+        .coalesce(4)
+      graft.ts.Db.write(graft.ts.TickStream(sub), url, "graft_events_rt", mode = "overwrite")
+      val back = graft.ts.Db.read(s, url, "graft_events_rt", Tick.KEY, Tick.TS, Some(Tick.SEQ)).df
+      back.select(back.columns.map(c => col(s"`$c`").as(c.toLowerCase)): _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"),
+          min(unix_micros(col(Tick.TS))).as("min_ts_us"))
+    },
+    // Time-rotated parquet publish → replay: each 1-day window lands in
+    // its own rotation=yyyyMMdd_HHmmss partition; the group-by proves
+    // window assignment AND per-window content against the source.
+    "q_parquet_rotated" -> { (s, dir) =>
+      val path = rtDir("rotated", dir)
+      graft.ts.Sinks.writeParquetRotated(ev(s, dir), path, rotatePeriodSec = 86400L)
+      graft.ts.Sinks.readParquet(s, path).df
+        .groupBy("rotation")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"))
+    },
+    // Bucketed tick store: bucketBy(key) write, then a groupBy + join
+    // that both ride the bucketing (zero Exchange — plan-asserted in
+    // SinksSpec); result equals a per-key window count over the source.
+    "q_bucketed_join" -> { (s, dir) =>
+      val path = rtDir("bucketed", dir)
+      graft.ts.Sinks.writeBucketed(
+        ev(s, dir).df.select(col(Tick.KEY), col(Tick.SEQ), col(Tick.VALUE)),
+        "graft_ev_bucketed", path, buckets = 8)
+      val t = s.table("graft_ev_bucketed")
+      val agg = t.groupBy(Tick.KEY).agg(count(lit(1)).as("key_cnt"))
+      t.join(agg, Tick.KEY).select(col(Tick.SEQ).as("event_id"), col("key_cnt"))
+    },
+    // Salted equi-join (Skew.saltedJoin): result must equal the plain
+    // inner join — the salt is pure plumbing.
+    "q_skew_join" -> { (s, dir) =>
+      val big = Sources.table(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+      val small = Sources.table(s, dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+      graft.util.Skew.saltedJoin(big, small, "suppkey")
+        .groupBy("s_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    },
+    // csp.dynamic_demultiplex: split by a RUNTIME value (event_type) into
+    // a dynamic basket, run the per-key sub-graph (running count) over it.
+    "q_dynamic_demux" -> { (s, dir) =>
+      val byType = graft.ts.TickStream(ev(s, dir).df.withColumn(Tick.KEY, col("event_type")))
+      graft.operators.Dynamic.perKey(byType)(_.runningCount("cnt"))
+        .df.select(col(Tick.SEQ).as("event_id"), col("cnt"))
+    },
+    // get_basket_field (baselib.py:688-703): per-member struct-field
+    // projection over the keyed basket, ticking only when the field is
+    // set (null field ⇒ no tick for that member this cycle).
+    "q_basket_field" -> { (s, dir) =>
+      val structs = graft.ts.TickStream(ev(s, dir).df.withColumn(Tick.VALUE,
+        struct(when(col("event_type") === "purchase", col(Tick.VALUE)).as("v"),
+          col("event_type").as("t"))))
+      structs.structField("v", "v").df.select(col(Tick.SEQ).as("event_id"), col("v"))
+    },
+    // csp.Enum: validate → toValue → fromValue over the event_type
+    // domain; all codegen'd map-literal expressions.
+    "q_enum" -> { (s, dir) =>
+      val et = graft.ts.GraftEnum.of("EventType",
+        Seq("click", "error", "purchase", "signup", "view"), start = 1)
+      ev(s, dir).df
+        .select(et.toValue(et.validate(col("event_type"))).as("ev_val"))
+        .groupBy("ev_val")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ev_name", et.fromValue(col("ev_val")))
     }
   )
+
+  /** Scratch dir for the adapter round-trip queries: stable per
+    * (surface, sf-dir) so repeated runs overwrite rather than accumulate. */
+  private def rtDir(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/${name}_${Integer.toHexString(dir.hashCode)}"
 
   /** DuckDB CTE chain replaying `Sources.unit(i, seed)` bit-exactly:
     * Java-long wrap arithmetic via HUGEINT mod 2^64 (every product is
@@ -1828,6 +1953,52 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.45""".stripMargin
+        |WHERE cosine >= 0.45""".stripMargin,
+    // ---- adapter / infrastructure round-trips: oracle over the SOURCE
+    // table — the Spark side must survive its write+read unchanged ----
+    "q_pull_adapter" ->
+      """SELECT o_custkey AS custkey, COUNT(*) AS cnt, COUNT(*) - 1 AS max_seq,
+        |  CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS min_ts_us,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_arrow_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_jdbc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+        |FROM events WHERE user_id % 20 = 0 GROUP BY 1""".stripMargin,
+    "q_parquet_rotated" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 86400000000) * 86400000000),
+        |    '%Y%m%d_%H%M%S') AS rotation,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_bucketed_join" ->
+      "SELECT event_id, count(*) OVER (PARTITION BY user_id) AS key_cnt FROM events",
+    "q_skew_join" ->
+      """SELECT s_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin,
+    "q_dynamic_demux" ->
+      """SELECT event_id, count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt FROM events""".stripMargin,
+    "q_basket_field" ->
+      "SELECT event_id, value AS v FROM events WHERE event_type = 'purchase'",
+    "q_enum" ->
+      """SELECT ev_val, COUNT(*) AS cnt, ev_name FROM (
+        |  SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END AS ev_val,
+        |    event_type AS ev_name
+        |  FROM events) GROUP BY 1, 3""".stripMargin
   )
 }

@@ -85,13 +85,20 @@ object Sinks {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
 
-  /** CSV publish/read (reference `csp/adapters/csv.py:29-113`). */
+  /** CSV publish/read (reference `csp/adapters/csv.py:29-113`).
+    * Timestamps are written with microsecond fraction: the default CSV
+    * format stops at milliseconds, which silently truncates tick times
+    * on a round trip (TimestampType is microseconds). */
+  private val CsvTsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   def writeCsv(x: TickStream, path: String): Unit =
-    x.df.write.mode("overwrite").option("header", "true").csv(path)
+    x.df.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", CsvTsFormat).csv(path)
 
   def readCsv(spark: SparkSession, path: String, symbolColumn: String = Tick.KEY,
               timeColumn: String = Tick.TS): TickStream = {
-    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .option("timestampFormat", CsvTsFormat).csv(path)
     TickStream(raw
       .withColumn(Tick.KEY, col(symbolColumn).cast("string"))
       .withColumn(Tick.TS, col(timeColumn).cast("timestamp"))

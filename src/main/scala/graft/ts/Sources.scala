@@ -165,7 +165,8 @@ object Sources {
       .partitionBy(col(symbolColumn)).orderBy(col(timeColumn))
     val seqCol = seqColumn.map(col(_).cast(LongType))
       .getOrElse((row_number().over(w) - 1).cast(LongType))
-    val payload = raw.columns.filterNot(c => c == symbolColumn || c == timeColumn).map(col)
+    val payload = raw.columns
+      .filterNot(c => c == symbolColumn || c == timeColumn || seqColumn.contains(c)).map(col)
     TickStream(raw.select(
       Seq(col(symbolColumn).cast(StringType).as(Tick.KEY),
           col(timeColumn).cast(TimestampType).as(Tick.TS), seqCol.as(Tick.SEQ)) ++ payload: _*))
