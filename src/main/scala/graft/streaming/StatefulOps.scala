@@ -448,6 +448,51 @@ object StatefulOps {
       }
   }
 
+  /** One vector-output scan operator — the [[Step]] shape with a list
+    * emission, for the §2.9 tick-history surfaces (values_at / times_at)
+    * whose result at each tick is the ring buffer itself. Drives both
+    * [[scanVecStream]] (fMGWS) and [[TwsOps.scanVecTws]] (RocksDB). */
+  final case class StepV(init: Seq[Double],
+                         fn: (Seq[Double], TickRow) => (Seq[Double], Option[Seq[Double]]))
+
+  /** Tick-history step library (reference `builtin_functions.py:105-269`;
+    * ring buffer `TimeSeries.h`). */
+  object StepsV {
+    /** csp.values_at(x) — twin of `TickStream.valuesAt(n)`: the last ≤n
+      * values, oldest→newest, emitted at every tick (shorter while the
+      * buffer warms, exactly the batch ROWS-frame collect). */
+    def valuesAt(n: Int): StepV = StepV(Nil, (s, r) => {
+      val q = (s :+ r.value).takeRight(n)
+      (q, Some(q))
+    })
+
+    /** csp.times_at(x) — twin of `timesAt(n)`: the buffer's tick times
+      * (epoch µs; micros < 2^53 stay exact in the Double lane). */
+    def timesAt(n: Int): StepV = StepV(Nil, (s, r) => {
+      val q = (s :+ r.tsMicros.toDouble).takeRight(n)
+      (q, Some(q))
+    })
+  }
+
+  /** Run a [[StepV]] on the flatMapGroupsWithState runtime. */
+  def scanVecStream(ticks: Dataset[TickRow], step: StepV): Dataset[VecOut] = {
+    implicit val outEnc = Encoders.product[VecOut]
+    implicit val stEnc = Encoders.product[ScanState]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TickRow], state: GroupState[ScanState]) =>
+          var s = state.getOption.map(_.s).getOrElse(step.init)
+          val out = scala.collection.mutable.ArrayBuffer[VecOut]()
+          rows.toSeq.sortBy(r => (r.tsMicros, r.seq >= 0, math.abs(r.seq))).foreach { r =>
+            val (s2, o) = step.fn(s, r)
+            s = s2
+            o.foreach(v => out += VecOut(key, r.tsMicros, r.seq, v))
+          }
+          state.update(ScanState(s))
+          out.iterator
+      }
+  }
+
   /** Run a [[Step2]] on the flatMapGroupsWithState runtime. */
   def scanStream2(ticks: Dataset[TickRow2], step: Step2): Dataset[ValOut] = {
     implicit val outEnc = Encoders.product[ValOut]

@@ -173,6 +173,37 @@ object TwsOps {
       .transformWithState(new StructProcessor(nInputs), TimeMode.None(), OutputMode.Append())
   }
 
+  /** Vector-output scan as a StatefulProcessor — [[StatefulOps.scanVecStream]]
+    * (the values_at / times_at history surfaces) on the
+    * transformWithState runtime. */
+  class ScanVecProcessor(step: StatefulOps.StepV)
+      extends StatefulProcessor[String, TickRow, VecOut] {
+    @transient private var state: ValueState[ScanState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScanState]("scanv", Encoders.product[ScanState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TickRow],
+                                 timerValues: TimerValues): Iterator[VecOut] = {
+      var s = if (state.exists()) state.get().s else step.init
+      val out = scala.collection.mutable.ArrayBuffer[VecOut]()
+      rows.toSeq.sortBy(r => (r.tsMicros, r.seq >= 0, math.abs(r.seq))).foreach { r =>
+        val (s2, o) = step.fn(s, r)
+        s = s2
+        o.foreach(v => out += VecOut(key, r.tsMicros, r.seq, v))
+      }
+      state.update(ScanState(s))
+      out.iterator
+    }
+  }
+
+  /** Run a [[StatefulOps.StepV]] on the transformWithState runtime. */
+  def scanVecTws(ticks: Dataset[TickRow], step: StatefulOps.StepV): Dataset[VecOut] = {
+    implicit val outEnc = Encoders.product[VecOut]
+    ticks.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new ScanVecProcessor(step), TimeMode.None(), OutputMode.Append())
+  }
+
   case class Heartbeat(key: String, deadlineMs: Long)
   case class TickEvt(key: String, eventTime: java.sql.Timestamp, seq: Long, value: Double)
 

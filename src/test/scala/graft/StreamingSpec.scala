@@ -326,6 +326,61 @@ class StreamingSpec extends AnyFunSuite {
       runTagged("par2_merge_tws", mergeRows, TwsOps.scanTws2(_, StatefulOps.Steps2.merge), false))
   }
 
+  test("batch≡stream parity: values_at/times_at history buffers on BOTH runtimes") {
+    // The r8 matrix's last named gap (r7 verdict task 3): the tick-history
+    // surfaces whose per-tick result is the ring buffer itself. One StepV
+    // definition drives fMGWS and transformWithState/RocksDB; batch truth
+    // is the collect_list ROWS-frame lowering.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.TwsOps
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val ev = Sources.events(spark, TestSpark.sf)
+    val rows = StatefulOps.toTickRows(ev).collect().toSeq.sortBy(r => (r.tsMicros, r.seq))
+
+    def batchVec(ts: TickStream, vecCol: String): Map[(String, Long), Seq[Double]] =
+      ts.df.select(col("key"), col("seq"), col(vecCol).cast("array<double>"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2).toSeq).toMap
+
+    def runVec(name: String, build: Dataset[StatefulOps.TickRow] => Dataset[StatefulOps.VecOut])
+        : Map[(String, Long), Seq[Double]] = {
+      implicit val enc = Encoders.product[StatefulOps.TickRow]
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[StatefulOps.TickRow]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      rows.grouped(rows.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getSeq[Double](3).toSeq).toMap
+      q.stop()
+      out
+    }
+
+    def assertVecParity(name: String, batch: Map[(String, Long), Seq[Double]],
+        stream: Map[(String, Long), Seq[Double]]): Unit = {
+      assert(stream.size == batch.size, s"$name: ${stream.size} vs ${batch.size}")
+      batch.foreach { case (k, b) =>
+        assert(stream(k) == b, s"$name @ $k: ${stream(k)} vs $b")
+      }
+    }
+
+    val vAt = StatefulOps.StepsV.valuesAt(5)
+    val batchValues = batchVec(ev.valuesAt(5, "vs"), "vs")
+    assertVecParity("parv_values_at_fmgws", batchValues,
+      runVec("parv_values_at_fmgws", StatefulOps.scanVecStream(_, vAt)))
+    assertVecParity("parv_values_at_tws", batchValues,
+      runVec("parv_values_at_tws", TwsOps.scanVecTws(_, vAt)))
+
+    val tAt = StatefulOps.StepsV.timesAt(5)
+    val batchTimes = batchVec(ev.timesAt(5, "ts5"), "ts5")
+    assertVecParity("parv_times_at_fmgws", batchTimes,
+      runVec("parv_times_at_fmgws", StatefulOps.scanVecStream(_, tAt)))
+    assertVecParity("parv_times_at_tws", batchTimes,
+      runVec("parv_times_at_tws", TwsOps.scanVecTws(_, tAt)))
+  }
+
   test("batch≡stream parity: merge resolves duplicate-ts ties per CYCLE on both runtimes") {
     // the baselibimpl.cpp:167-186 rule: left wins only the cycles it
     // occupies — right's surplus same-ts cycles still emit. Fixture:
