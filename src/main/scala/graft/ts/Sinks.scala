@@ -45,7 +45,14 @@ object Sinks {
                           partitionByKey: Boolean = false,
                           fileVisitor: Option[String => Unit] = None): Unit = {
     val parts = Seq("rotation") ++ (if (partitionByKey) Seq(Tick.KEY) else Nil)
+    // Shuffle once on the partition columns before the partitioned write:
+    // without it EVERY upstream task opens a file in EVERY rotation
+    // directory (tasks × windows small files — the write pattern that
+    // melts a 100 TB table's metadata), with it each directory gets one
+    // file per owning task. A single hot window serializes into one task
+    // here; partitionByKey spreads it across keys when that matters.
     x.df.withColumn("rotation", rotationCol(rotatePeriodSec))
+      .repartition(parts.map(col): _*)
       .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
     fileVisitor.foreach { visit =>
       val root = new org.apache.hadoop.fs.Path(path)
