@@ -983,8 +983,47 @@ object SparkEntry {
         .groupBy("ev_val")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("ev_name", et.fromValue(col("ev_val")))
+    },
+    // Watermarked window family (§2.9) — batch twins of the Structured
+    // Streaming WindowedAggs surface: the SAME calls run as group-bys in
+    // batch (watermark a no-op), so the DuckDB oracle proves the window
+    // assignment arithmetic. Spark's window() aligns starts to the epoch
+    // origin; the oracle replays floor-to-start in integer micros.
+    // DECIMAL values keep group sums order-independent (hash-exact).
+    "q_window_tumbling" -> { (s, dir) =>
+      graft.streaming.WindowedAggs.tumblingFrame(wticks(s, dir), "1 day")
+        .select(col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col("w_start")).as("w_start_us"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          (col("sum_v").cast("double") / col("n")).as("mean_v"))
+    },
+    // Sliding: each event lands in len/slide = 4 overlapping windows;
+    // the oracle unnests the same start set per row.
+    "q_window_sliding" -> { (s, dir) =>
+      graft.streaming.WindowedAggs.slidingFrame(wticks(s, dir), "1 day", "6 hours")
+        .select(col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col("w_start")).as("w_start_us"), col("n"),
+          col("sum_v").cast("double").as("sum_v"))
+    },
+    // Session (gap-based): sessions merge while consecutive gaps stay
+    // STRICTLY under the gap (half-open [start, last+gap) ranges); the
+    // oracle is the classic gaps-and-islands lowering with the same
+    // >= gap break rule.
+    "q_window_session" -> { (s, dir) =>
+      graft.streaming.WindowedAggs.sessionFrame(wticks(s, dir), "3 hours")
+        .select(col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col("w_start")).as("w_start_us"), col("n"),
+          col("sum_v").cast("double").as("sum_v"))
     }
   )
+
+  /** Events as the frame shape WindowedAggs consumes: integral
+    * nanos→micros (`div`, not `/` — double division loses precision at
+    * epoch-nanos magnitude), DECIMAL value for exact group sums. */
+  private def wticks(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df.select(col(Tick.KEY),
+      expr("tsNanos div 1000").as("tsMicros"),
+      col(Tick.VALUE).cast("decimal(30,2)").as(Tick.VALUE))
 
   /** Scratch dir for the adapter round-trip queries: stable per
     * (surface, sf-dir) so repeated runs overwrite rather than accumulate. */
@@ -1999,6 +2038,37 @@ object SparkEntry {
         |  SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
         |    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END AS ev_val,
         |    event_type AS ev_name
-        |  FROM events) GROUP BY 1, 3""".stripMargin
+        |  FROM events) GROUP BY 1, 3""".stripMargin,
+    // windows: starts are epoch-aligned integer-micro arithmetic;
+    // 1 day = 86400000000 us, 6 h = 21600000000 us, 3 h = 10800000000 us
+    "q_window_tumbling" ->
+      """SELECT user_id,
+        |  (epoch_us(ts) // 86400000000) * 86400000000 AS w_start_us,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS mean_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT user_id, w_start_us, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v
+        |FROM (
+        |  SELECT user_id, value,
+        |    unnest(range(((epoch_us(ts) - 86400000000) // 21600000000 + 1) * 21600000000,
+        |                 (epoch_us(ts) // 21600000000 + 1) * 21600000000,
+        |                 21600000000)) AS w_start_us
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_window_session" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS t, value,
+        |    CASE WHEN t - lag(t) OVER win IS NULL
+        |      OR t - lag(t) OVER win >= 10800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        |SELECT user_id, MIN(t) AS w_start_us, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }

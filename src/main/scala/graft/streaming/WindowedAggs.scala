@@ -14,33 +14,48 @@ import graft.streaming.StatefulOps.TickRow
   */
 object WindowedAggs {
 
-  private def withEventTime(ticks: Dataset[TickRow], watermarkDelay: String): DataFrame =
+  private def withEventTime(ticks: DataFrame, watermarkDelay: String): DataFrame =
     ticks.withColumn("eventTime", timestamp_micros(col("tsMicros")))
       .withWatermark("eventTime", watermarkDelay)
 
-  /** Tumbling-window count/sum/mean per key. */
-  def tumbling(ticks: Dataset[TickRow], windowLen: String,
-               watermarkDelay: String = "0 seconds"): DataFrame =
+  /** Frame-level core: any (key, tsMicros, value) frame, value type free —
+    * batch callers pass DECIMAL values so the group sums are exact
+    * (order-independent) and hash-match the DuckDB oracle. */
+  def tumblingFrame(ticks: DataFrame, windowLen: String,
+                    watermarkDelay: String = "0 seconds"): DataFrame =
     withEventTime(ticks, watermarkDelay)
       .groupBy(col("key"), window(col("eventTime"), windowLen))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"), avg("value").as("mean_v"))
       .select(col("key"), col("window.start").as("w_start"),
         col("n"), col("sum_v"), col("mean_v"))
 
-  /** Sliding-window variant. */
-  def sliding(ticks: Dataset[TickRow], windowLen: String, slide: String,
-              watermarkDelay: String = "0 seconds"): DataFrame =
+  def slidingFrame(ticks: DataFrame, windowLen: String, slide: String,
+                   watermarkDelay: String = "0 seconds"): DataFrame =
     withEventTime(ticks, watermarkDelay)
       .groupBy(col("key"), window(col("eventTime"), windowLen, slide))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
       .select(col("key"), col("window.start").as("w_start"), col("n"), col("sum_v"))
 
-  /** Session windows (gap-based) — csp's closest native analogue is
-    * basketlib.sync's threshold grouping. */
-  def session(ticks: Dataset[TickRow], gap: String,
-              watermarkDelay: String = "0 seconds"): DataFrame =
+  def sessionFrame(ticks: DataFrame, gap: String,
+                   watermarkDelay: String = "0 seconds"): DataFrame =
     withEventTime(ticks, watermarkDelay)
       .groupBy(col("key"), session_window(col("eventTime"), gap))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
       .select(col("key"), col("session_window.start").as("w_start"), col("n"), col("sum_v"))
+
+  /** Tumbling-window count/sum/mean per key. */
+  def tumbling(ticks: Dataset[TickRow], windowLen: String,
+               watermarkDelay: String = "0 seconds"): DataFrame =
+    tumblingFrame(ticks.toDF(), windowLen, watermarkDelay)
+
+  /** Sliding-window variant. */
+  def sliding(ticks: Dataset[TickRow], windowLen: String, slide: String,
+              watermarkDelay: String = "0 seconds"): DataFrame =
+    slidingFrame(ticks.toDF(), windowLen, slide, watermarkDelay)
+
+  /** Session windows (gap-based) — csp's closest native analogue is
+    * basketlib.sync's threshold grouping. */
+  def session(ticks: Dataset[TickRow], gap: String,
+              watermarkDelay: String = "0 seconds"): DataFrame =
+    sessionFrame(ticks.toDF(), gap, watermarkDelay)
 }
