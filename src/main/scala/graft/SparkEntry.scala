@@ -773,6 +773,36 @@ object SparkEntry {
           round(col("col.sm"), 6).as("sum_v"), round(col("col.mn"), 6).as("mean_v"),
           col("col.lo").as("min_v"), col("col.hi").as("max_v"))
     },
+    // 3-D lanes (ndim=3 NumpyNDArray, csp/typing.py:24-45): a 2×2×2
+    // tensor per tick from the first 8 embedding entries through the
+    // depth-generic Nd recursion — the oracle decomposes the flat index
+    // the same way and replays the frame fold per (i,j,k) lane.
+    "q_stats_vec3d" -> { (s, dir) =>
+      val vec = TickStream(Sources.table(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(4L)).cast(StringType).as(Tick.KEY),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as(Tick.TS),
+          col("vec_id").as(Tick.SEQ),
+          transform(sequence(lit(0), lit(1)), i =>
+            transform(sequence(lit(0), lit(1)), j =>
+              transform(sequence(lit(0), lit(1)), k =>
+                element_at(col("embedding"), i * 4 + j * 2 + k + 1).cast("double"))))
+            .as(Tick.VALUE)))
+      Stats.ticksVec(vec, 5).sumNd(3, "sm").minNd(3, "lo").maxNd(3, "hi")
+        .done.df
+        .select(col(Tick.SEQ).as("vec_id"),
+          posexplode(arrays_zip(col("sm"), col("lo"), col("hi"))))
+        .select(col("vec_id"), col("pos").as("i"), col("col.sm").as("sm"),
+          col("col.lo").as("lo"), col("col.hi").as("hi"))
+        .select(col("vec_id"), col("i"),
+          posexplode(arrays_zip(col("sm"), col("lo"), col("hi"))))
+        .select(col("vec_id"), col("i"), col("pos").as("j"), col("col.sm").as("sm"),
+          col("col.lo").as("lo"), col("col.hi").as("hi"))
+        .select(col("vec_id"), col("i"), col("j"),
+          posexplode(arrays_zip(col("sm"), col("lo"), col("hi"))))
+        .select(col("vec_id"), col("i"), col("j"), col("pos").as("k"),
+          round(col("col.sm"), 6).as("sum_v"),
+          col("col.lo").as("min_v"), col("col.hi").as("max_v"))
+    },
     "q_values_at" -> { (s, dir) =>
       ev(s, dir).valuesAt(5, "vs").df
         .select(col("seq").as("event_id"), md5(concat_ws(",", col("vs"))).as("vs_md5"))
@@ -1935,6 +1965,23 @@ object SparkEntry {
         |SELECT vec_id, i2 AS i, j2 AS j,
         |  round(list_reduce(fr, (a, b) -> a + b), 6) AS sum_v,
         |  round(list_reduce(fr, (a, b) -> a + b) / len(fr), 6) AS mean_v,
+        |  list_reduce(fr, (a, b) -> least(a, b)) AS min_v,
+        |  list_reduce(fr, (a, b) -> greatest(a, b)) AS max_v
+        |FROM f""".stripMargin,
+    // ndim=3: flat index 1..8 decomposes as (i,j,k) = (//4, //2 % 2, % 2)
+    "q_stats_vec3d" ->
+      """WITH v AS (
+        |  SELECT vec_id, vec_id % 4 AS kk, (i - 1) // 4 AS i3,
+        |    ((i - 1) // 2) % 2 AS j3, (i - 1) % 2 AS k3, CAST(x AS DOUBLE) AS xv
+        |  FROM (SELECT vec_id, generate_subscripts(embedding[1:8], 1) AS i,
+        |        unnest(embedding[1:8]) AS x FROM embeddings)),
+        |f AS (
+        |  SELECT vec_id, i3, j3, k3,
+        |    list(xv) OVER (PARTITION BY kk, i3, j3, k3 ORDER BY vec_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM v)
+        |SELECT vec_id, i3 AS i, j3 AS j, k3 AS k,
+        |  round(list_reduce(fr, (a, b) -> a + b), 6) AS sum_v,
         |  list_reduce(fr, (a, b) -> least(a, b)) AS min_v,
         |  list_reduce(fr, (a, b) -> greatest(a, b)) AS max_v
         |FROM f""".stripMargin,
