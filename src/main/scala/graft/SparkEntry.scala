@@ -1044,6 +1044,90 @@ object SparkEntry {
         .select(col(Tick.KEY).cast(LongType).as("user_id"),
           unix_micros(col("w_start")).as("w_start_us"), col("n"),
           col("sum_v").cast("double").as("sum_v"))
+    },
+    // Kafka subscribe wire mapping as sim replay (kafka.py:39-266): the
+    // events table is re-encoded to the Kafka wire shape (key/value
+    // binary, partition, offset, broker timestamp; JSON text payload),
+    // then mapped back through the SAME Kafka.mapRaw the streaming
+    // subscribe uses — JsonMapper decode, meta fields, the live flag at
+    // the replay→live boundary, tick_timestamp_from_field (a payload
+    // timestamp, backdated 1h on 'error' rows to force disorder) and
+    // adjust_out_of_order_time (running max per partition in offset
+    // order). The oracle replays the whole trip in integer micros.
+    "q_kafka_replay" -> { (s, dir) =>
+      import graft.streaming.Kafka
+      val e = ev(s, dir).df
+      val tf = when(col("event_type") === "error",
+        col(Tick.TS) - expr("INTERVAL 1 HOUR")).otherwise(col(Tick.TS))
+      val payload = concat(lit("{\"et\":\""), col("event_type"),
+        lit("\",\"v\":"), col(Tick.VALUE).cast(StringType),
+        lit(",\"tf\":\""), date_format(tf, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        lit("\"}"))
+      val wire = e.select(col(Tick.KEY).cast(BinaryType).as("key"),
+        payload.cast(BinaryType).as("value"),
+        lit("events").as("topic"),
+        pmod(col(Tick.KEY).cast(LongType), lit(8L)).cast(IntegerType).as("partition"),
+        col(Tick.SEQ).as("offset"),
+        col(Tick.TS).as("timestamp"))
+      val schema = StructType(Seq(StructField("et", StringType),
+        StructField("v", DoubleType), StructField("tf", StringType)))
+      Kafka.mapRaw(wire, Kafka.JsonMapper(schema),
+        metaFieldMap = Map("partition" -> "part", "offset" -> "off", "live" -> "live"),
+        liveAfter = Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+        adjustOutOfOrderTime = true,
+        tickTimestampFromField = Some("tf"))
+        .select(col(Tick.SEQ).as("event_id"),
+          col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col(Tick.TS)).as("ts_us"),
+          col(Tick.VALUE).getField("et").as("et"),
+          col(Tick.VALUE).getField("v").as("val_v"),
+          col("part"), col("off"), col("live").cast(IntegerType).as("live"))
+    },
+    // PushMode.LAST_VALUE (common_definitions.py:274-289): same-(key,ts)
+    // cycles collapse to the last tick — dup-ts stream built by hour
+    // truncation, like the other q_dupts_* fixtures.
+    "q_dupts_last" -> { (s, dir) =>
+      val e = TickStream(ev(s, dir).df
+        .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+      e.pushModeLastValue.df.select(col(Tick.SEQ).as("event_id"),
+        unix_micros(col(Tick.TS)).as("ts_us"), col(Tick.VALUE).as("val_v"))
+    },
+    // PushMode.NON_COLLAPSING: every tick its own engine cycle — the
+    // canonical dense per-key cycle numbering (resequence).
+    "q_pushmode_seq" -> { (s, dir) =>
+      val e = TickStream(ev(s, dir).df
+        .withColumn(Tick.TS, date_trunc("hour", col(Tick.TS))))
+      e.pushModeNonCollapsing.df.select(col(Tick.KEY).cast(LongType).as("user_id"),
+        col(Tick.SEQ).as("cycle"), unix_micros(col(Tick.TS)).as("ts_us"),
+        col(Tick.VALUE).as("val_v"))
+    },
+    // schedule_alarm + cancel_alarm batch lowering (builtin_functions
+    // .py:295-303,356-361; engine semantics test_engine.py:123-215):
+    // purchases schedule an alarm at ts + floor(value) minutes carrying
+    // value; even-seq rows cancel at half the delay (at-or-before fire ⇒
+    // dropped), seq%4==1 rows cancel at DOUBLE the delay (stale unless
+    // the delay is zero — the at-fire-time equality edge the engine
+    // honors). The oracle replays the handle algebra arithmetically.
+    "q_alarm_cancel" -> { (s, dir) =>
+      val purchases = TickStream(ev(s, dir).df
+        .filter(col("event_type") === "purchase"))
+      val alarms = purchases.scheduleAlarm(floor(col(Tick.VALUE)) * lit(60.0),
+        col(Tick.VALUE), handleAs = Some("h"))
+      val fireUs = unix_micros(col(Tick.TS)) +
+        (floor(col(Tick.VALUE)) * lit(6.0e7)).cast(LongType)
+      val cancels = TickStream(purchases.df
+        .filter(pmod(col(Tick.SEQ), lit(4L)) =!= lit(3L))
+        .select(col(Tick.KEY),
+          timestamp_micros(unix_micros(col(Tick.TS)) +
+            when(pmod(col(Tick.SEQ), lit(2L)) === 0,
+              (floor(col(Tick.VALUE)) * lit(3.0e7)).cast(LongType))
+              .otherwise((floor(col(Tick.VALUE)) * lit(1.2e8)).cast(LongType))).as(Tick.TS),
+          col(Tick.SEQ),
+          struct(col(Tick.SEQ).as("s"), fireUs.as("t")).as(Tick.VALUE)))
+      alarms.cancelAlarms(cancels, "h")
+        .df.select(col(Tick.SEQ).as("event_id"),
+          col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col(Tick.TS)).as("fire_us"), col(Tick.VALUE).as("val_v"))
     }
   )
 
@@ -2116,6 +2200,42 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS sid FROM b)
         |SELECT user_id, MIN(t) AS w_start_us, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v
-        |FROM sess GROUP BY user_id, sid""".stripMargin
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    // wire replay: tf backdates errors 1h; adjust = running max per
+    // kafka partition (user_id % 8) in offset (= event_id) order
+    "q_kafka_replay" ->
+      """SELECT event_id, user_id,
+        |  max(tf) OVER (PARTITION BY part ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS ts_us,
+        |  event_type AS et, value AS val_v, part,
+        |  event_id AS off,
+        |  CAST(ts >= TIMESTAMP '2024-01-20 00:00:00' AS INT) AS live
+        |FROM (SELECT *, epoch_us(ts) - CASE WHEN event_type = 'error'
+        |        THEN 3600000000 ELSE 0 END AS tf,
+        |      CAST(user_id % 8 AS INT) AS part FROM events)""".stripMargin,
+    "q_dupts_last" ->
+      """SELECT event_id, epoch_us(date_trunc('hour', ts)) AS ts_us, value AS val_v
+        |FROM events
+        |QUALIFY event_id = max(event_id) OVER (
+        |  PARTITION BY user_id, date_trunc('hour', ts))""".stripMargin,
+    "q_pushmode_seq" ->
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('hour', ts), event_id) - 1 AS cycle,
+        |  epoch_us(date_trunc('hour', ts)) AS ts_us, value AS val_v
+        |FROM events""".stripMargin,
+    // cancelled iff the cancel lands at-or-before the fire time:
+    // even seq cancels at +d/2, seq%4==1 at +2d (stale unless d = 0)
+    "q_alarm_cancel" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) + CAST(floor(value) * 60000000 AS BIGINT) AS fire_us,
+        |  value AS val_v
+        |FROM events WHERE event_type = 'purchase'
+        |  AND NOT ((event_id % 2 = 0
+        |            AND CAST(floor(value) * 30000000 AS BIGINT)
+        |                <= CAST(floor(value) * 60000000 AS BIGINT))
+        |        OR (event_id % 4 = 1
+        |            AND CAST(floor(value) * 120000000 AS BIGINT)
+        |                <= CAST(floor(value) * 60000000 AS BIGINT)))""".stripMargin
   )
 }
