@@ -844,6 +844,17 @@ object SparkEntry {
       Sources.brownian(s, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600, 0.0, 1.0)
         .df.select(col("seq").as("step"), round(col(Tick.VALUE), 6).as("path"))
     },
+    // Multi-dim correlated brownian (csp/random.py:49-70): 2-D path with
+    // drift and covariance [[1,.6],[.6,2]] — Cholesky [[1,0],[.6,√1.64]].
+    // The oracle replays the counter-mode draws at index step·2+lane and
+    // the identical Cholesky linear combination per lane.
+    "q_brownian2d" -> { (s, dir) =>
+      Sources.brownianNd(s, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600,
+        Seq(0.1, -0.05), Seq(Seq(1.0, 0.6), Seq(0.6, 2.0)))
+        .df.select(col("seq").as("step"),
+          posexplode(transform(col(Tick.VALUE), v => round(v, 6))))
+        .select(col("step"), col("pos").as("lane"), col("col").as("path"))
+    },
     "q_ivf_knn" -> { (s, dir) =>
       // nprobe = k cells: the sf embeddings are UNCLUSTERED noise
       // (verified: no pair above cosine 0.55), so exact top-k equality —
@@ -1785,6 +1796,26 @@ object SparkEntry {
          |  FROM au JOIN bu ON au.i = bu.i),
          |cum AS (SELECT i, list_reduce(list(inc) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), (a, b) -> a + b) AS path FROM inc)
          |SELECT i AS step, round(path, 6) AS path FROM cum""".stripMargin,
+    "q_brownian2d" ->
+      s"""WITH ids AS (SELECT i::UBIGINT AS i FROM range(0, 50) t(i)),
+         |${unitCte("a", "ids", 42)},
+         |${unitCte("b", "ids", 43)},
+         |z AS (SELECT au.i AS idx,
+         |    sqrt(-2.0 * ln(greatest(au.u, 1e-300))) * cos(2 * pi() * bu.u) AS z
+         |  FROM au JOIN bu ON au.i = bu.i),
+         |st AS (SELECT CAST(z0.idx // 2 AS BIGINT) AS i, z0.z AS z0, z1.z AS z1
+         |  FROM z z0 JOIN z z1 ON z1.idx = z0.idx + 1 WHERE z0.idx % 2 = 0),
+         |inc AS (SELECT i,
+         |  CASE WHEN i = 0 THEN 0.0 ELSE 0.1 * 3600.0 + 60.0 * (1.0 * z0) END AS inc0,
+         |  CASE WHEN i = 0 THEN 0.0 ELSE -0.05 * 3600.0 + 60.0 * (0.6 * z0 + sqrt(1.64) * z1) END AS inc1
+         |  FROM st),
+         |cum AS (SELECT i,
+         |  list_reduce(list(inc0) OVER w, (a, b) -> a + b) AS p0,
+         |  list_reduce(list(inc1) OVER w, (a, b) -> a + b) AS p1
+         |  FROM inc WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT i AS step, 0 AS lane, round(p0, 6) AS path FROM cum
+         |UNION ALL
+         |SELECT i AS step, 1 AS lane, round(p1, 6) AS path FROM cum""".stripMargin,
     "q_langid" ->
       """SELECT doc_id, CASE
         |  WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
