@@ -1056,6 +1056,17 @@ object SparkEntry {
           unix_micros(col("w_start")).as("w_start_us"), col("n"),
           col("sum_v").cast("double").as("sum_v"))
     },
+    // Struct.to_json / Struct.to_yaml (PyStructToJson.cpp, struct.py:312):
+    // serialize a struct-of-(string, long, array<long>) stream both ways;
+    // the oracle rebuilds the exact wire strings (JSON compact form, YAML
+    // block form with quoted strings and `- item` array lines).
+    "q_serialize" -> { (s, dir) =>
+      val structs = TickStream(ev(s, dir).df.withColumn(Tick.VALUE,
+        struct(col("event_type").as("t"), col(Tick.SEQ).as("n"),
+          array(pmod(col(Tick.SEQ), lit(10L)), col(Tick.KEY).cast(LongType)).as("xs"))))
+      structs.toJson("j").toYaml("y").df
+        .select(col(Tick.SEQ).as("event_id"), col("j"), col("y"))
+    },
     // Kafka subscribe wire mapping as sim replay (kafka.py:39-266): the
     // events table is re-encoded to the Kafka wire shape (key/value
     // binary, partition, offset, broker timestamp; JSON text payload),
@@ -2232,6 +2243,14 @@ object SparkEntry {
         |SELECT user_id, MIN(t) AS w_start_us, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q_serialize" ->
+      """SELECT event_id,
+        |  '{"t":"' || event_type || '","n":' || event_id || ',"xs":['
+        |    || (event_id % 10) || ',' || user_id || ']}' AS j,
+        |  't: "' || event_type || '"' || chr(10) || 'n: ' || event_id || chr(10)
+        |    || 'xs:' || chr(10) || '- ' || (event_id % 10) || chr(10)
+        |    || '- ' || user_id || chr(10) AS y
+        |FROM events""".stripMargin,
     // wire replay: tf backdates errors 1h; adjust = running max per
     // kafka partition (user_id % 8) in offset (= event_id) order
     "q_kafka_replay" ->
