@@ -1088,7 +1088,7 @@ object SparkEntry {
       val wire = e.select(col(Tick.KEY).cast(BinaryType).as("key"),
         payload.cast(BinaryType).as("value"),
         lit("events").as("topic"),
-        pmod(col(Tick.KEY).cast(LongType), lit(8L)).cast(IntegerType).as("partition"),
+        pmod(col(Tick.KEY).cast(LongType), lit(32L)).cast(IntegerType).as("partition"),
         col(Tick.SEQ).as("offset"),
         col(Tick.TS).as("timestamp"))
       val schema = StructType(Seq(StructField("et", StringType),
@@ -2252,7 +2252,8 @@ object SparkEntry {
         |    || '- ' || user_id || chr(10) AS y
         |FROM events""".stripMargin,
     // wire replay: tf backdates errors 1h; adjust = running max per
-    // kafka partition (user_id % 8) in offset (= event_id) order
+    // kafka partition (user_id % 32 — sized like a real topic, so the
+    // per-partition scan parallelizes) in offset (= event_id) order
     "q_kafka_replay" ->
       """SELECT event_id, user_id,
         |  max(tf) OVER (PARTITION BY part ORDER BY event_id
@@ -2262,7 +2263,7 @@ object SparkEntry {
         |  CAST(ts >= TIMESTAMP '2024-01-20 00:00:00' AS INT) AS live
         |FROM (SELECT *, epoch_us(ts) - CASE WHEN event_type = 'error'
         |        THEN 3600000000 ELSE 0 END AS tf,
-        |      CAST(user_id % 8 AS INT) AS part FROM events)""".stripMargin,
+        |      CAST(user_id % 32 AS INT) AS part FROM events)""".stripMargin,
     "q_dupts_last" ->
       """SELECT event_id, epoch_us(date_trunc('hour', ts)) AS ts_us, value AS val_v
         |FROM events
