@@ -565,6 +565,16 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // Embedding-cosine near-dup CLUSTERING: the threshold-pair pipeline
+    // composed with the connected-components kernel (the same hybrid
+    // union-find / distributed min-label engine the text dedup uses).
+    // canonical_id = component minimum; the oracle closes the edge set
+    // transitively with a recursive min-label CTE.
+    "q_embed_cluster" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      val pairs = Similarity.thresholdPairs(e, 0.35).select(col("id1"), col("id2"))
+      Dedup.components(pairs, e.select(col("vec_id")), "vec_id")
+    },
     // Auto-sized SRP-LSH (bits from corpus size, tables from the per-pair
     // miss bound at the threshold). At sf0.01 the achieved per-pair miss
     // is ~4e-6 over 17 true pairs, so the result EQUALS the brute-force
@@ -2154,6 +2164,22 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35""".stripMargin,
+    "q_embed_cluster" ->
+      """WITH RECURSIVE e1 AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |    FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |  WHERE cosine >= 0.35),
+        |ed AS (SELECT id1, id2 FROM e1 UNION ALL SELECT id2 AS id1, id1 AS id2 FROM e1),
+        |lbl(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ed.id2, lbl.lab FROM lbl JOIN ed ON ed.id1 = lbl.id)
+        |SELECT id AS vec_id, min(lab) AS canonical_id FROM lbl GROUP BY id""".stripMargin,
     // brute-force ground truth: LSH recall at these auto-sized params is
     // exactly 1 on this corpus (seed-fixed planes, verified), so the
     // bucketed result equals the full pair scan
