@@ -16,6 +16,11 @@ object PlanAudit {
         args.lift(2).map(_.toInt).getOrElse(3))
       spark.stop(); return
     }
+    if (args.headOption.contains("exchanges")) {
+      exchangeCensus(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"),
+        args.lift(2).map(_.toInt).getOrElse(4))
+      spark.stop(); return
+    }
     val interesting = args.drop(1) match {
       case Array() => Seq("q1_lineitem_agg", "q2_revenue_by_nation", "q_filter",
         "q_stats_basic", "q_sample_asof", "q_knn", "q_dedup_exact")
@@ -43,6 +48,29 @@ object PlanAudit {
         val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
         val w = "Window \\[".r.findAllIn(plan).length
         if (w >= threshold) println(s"$name windows=$w")
+      } catch { case t: Throwable => println(s"$name ERROR ${t.getClass.getSimpleName}") }
+      graft.util.Caching.release()
+    }
+  }
+
+  /** Suite-wide shuffle census: per-query count of Exchange operators in
+    * the executed plan (AQE-final where available) — every Exchange is a
+    * full materialize-and-repartition of its input, THE unit of cost that
+    * compounds at 100 TB. Queries at-or-over `threshold` print with their
+    * exchange kinds so a new query that accidentally stacks shuffles
+    * (e.g. a groupBy that doesn't ride an existing partitioning) shows up
+    * in one run. Usage: runMain graft.PlanAudit exchanges <sfDir> [threshold] */
+  def exchangeCensus(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     threshold: Int): Unit = {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
+        val single = "Exchange SinglePartition".r.findAllIn(plan).length
+        val range = "Exchange rangepartitioning".r.findAllIn(plan).length
+        val total = hash + single + range
+        if (total >= threshold)
+          println(s"$name exchanges=$total (hash=$hash single=$single range=$range)")
       } catch { case t: Throwable => println(s"$name ERROR ${t.getClass.getSimpleName}") }
       graft.util.Caching.release()
     }
