@@ -317,6 +317,18 @@ object StatefulOps {
       })
     }
 
+    /** csp.stats.ema adjust form (AlphaEMA, statsimpl.h) — twin of
+      * `Sequential.ema(alpha, adjust = true)` on non-NaN data:
+      * num = v + (1−α)·num, w = 1 + (1−α)·w, ema = num/w. */
+    def ema(alpha: Double): Step = {
+      val d = 1.0 - alpha
+      Step(Seq(0.0, 0.0), (s, r) => {
+        val num = r.value + d * s(0)
+        val w = 1.0 + d * s(1)
+        (Seq(num, w), Some(num / w))
+      })
+    }
+
     /** Time-decay EMA with halflife (stats.py `_ema_halflife_adjusted`) —
       * twin of `Sequential.emaHalflife` (adjust form): weights decay by
       * exp(−ln2·Δt/halflife); state = (num, w, lastMicros, valid).
@@ -406,6 +418,24 @@ object StatefulOps {
                  else Seq(s(0), s(1), r.value, 1.0)
         (s2, if (s2(1) > 0.5 && s2(3) > 0.5) Some(f(s2(0), s2(2))) else None)
       })
+
+    /** Compose csp.sample with ANY single-input [[Step]]: the csp graph
+      * `f(csp.sample(trigger, x))` as one stateful node. src=0 (x)
+      * updates the snapshot silently; a trigger tick (src=1) feeds the
+      * snapshot value through `inner` at the trigger's cycle — nothing
+      * fires before x first ticks, exactly like `sample`. State =
+      * (lastX, valid) ++ inner's state (variable length is fine — the
+      * runtimes persist the whole vector). This is how a multi-operator
+      * csp pipeline (e.g. the flagship sample → rolling mean → ema) runs
+      * on the streaming runtimes without materializing the intermediate
+      * stream: composition in the state machine, not the query graph. */
+    def sampleThen(inner: Step): Step2 =
+      Step2(Seq(Double.NaN, 0.0) ++ inner.init, (s, r) =>
+        if (r.src == 0) (Seq(r.value, 1.0) ++ s.drop(2), None)
+        else if (s(1) > 0.5) {
+          val (st2, out) = inner.fn(s.drop(2), TickRow(r.key, r.tsMicros, r.seq, s(0)))
+          (s.take(2) ++ st2, out)
+        } else (s, None))
   }
 
   /** Tag + union two tick streams for the two-input scan runners. */

@@ -444,4 +444,64 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(out.toList == List((3000L, 42.0), (4000L, 7.0)))
   }
+
+  test("flagship pipeline (sample → rolling mean5 → ema 0.3) on BOTH runtimes == batch") {
+    // The capstone composition: the README/SparkEntry flagship graph —
+    // purchase values as-of-sampled onto clicks, 5-tick rolling mean,
+    // ema(0.3) — as ONE composed state machine per output
+    // (Steps2.sampleThen), run on flatMapGroupsWithState AND
+    // transformWithState/RocksDB, asserted equal to the batch pipeline
+    // (AsOf.sample → Stats.ticks.mean → Sequential.ema) per (key, seq).
+    import org.apache.spark.sql.{Dataset, Encoders}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    import graft.operators.{AsOf, Sequential, Stats}
+    import graft.streaming.StatefulOps.{TickRow2, ValOut}
+    import graft.streaming.TwsOps
+    import graft.ts.TickStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val ev = Sources.events(spark, TestSpark.sf)
+    val evU = TickStream(ev.df.withColumn("__rn",
+        row_number().over(Window.partitionBy("key", "ts").orderBy("seq")))
+      .filter(col("__rn") === 1).drop("__rn"))
+    val clicks = TickStream(evU.df.filter(col("event_type") === "click"))
+    val purchases = TickStream(evU.df.filter(col("event_type") === "purchase"))
+
+    val sampled = AsOf.sample(clicks, purchases)
+    val st = Stats.ticks(sampled, 5).mean("roll_mean").done
+    val batchMean = batchMap(st, "roll_mean")
+    val batchEma = batchMap(Sequential.ema(st, 0.3), "ema")
+
+    val data = (StatefulOps.toTickRows(purchases).collect().map(r =>
+        TickRow2(r.key, r.tsMicros, r.seq, r.value, 0)) ++
+      StatefulOps.toTickRows(clicks).collect().map(r =>
+        TickRow2(r.key, r.tsMicros, r.seq, r.value, 1))).toSeq
+      .sortBy(r => (r.tsMicros, r.src, r.seq))
+
+    def run(name: String, build: Dataset[TickRow2] => Dataset[ValOut]): Map[(String, Long), Double] = {
+      implicit val enc = Encoders.product[TickRow2]
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[TickRow2]
+      val q = build(mem.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      data.grouped(data.size / 5 + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      q.stop()
+      out
+    }
+
+    val meanStep = StatefulOps.Steps2.sampleThen(StatefulOps.Steps.rollingMean(5))
+    val emaStep = StatefulOps.Steps2.sampleThen(StatefulOps.Steps.ema(0.3))
+    assertParity("flagship_mean_fmgws", batchMean,
+      run("flagship_mean_fmgws", StatefulOps.scanStream2(_, meanStep)))
+    assertParity("flagship_mean_tws", batchMean,
+      run("flagship_mean_tws", TwsOps.scanTws2(_, meanStep)))
+    assertParity("flagship_ema_fmgws", batchEma,
+      run("flagship_ema_fmgws", StatefulOps.scanStream2(_, emaStep)))
+    assertParity("flagship_ema_tws", batchEma,
+      run("flagship_ema_tws", TwsOps.scanTws2(_, emaStep)))
+  }
 }
