@@ -31,6 +31,69 @@ class PushAdapterSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("realtime app end-to-end: push-pull adapter → composed sample→ema pipeline == batch") {
+    // The full realtime stack a porting user runs: GenericPushAdapter
+    // (seeded replay history + live pushes from another thread) feeding
+    // the COMPOSED flagship state machine (Steps2.sampleThen(Steps.ema)),
+    // asserted equal to the batch pipeline (AsOf.sample → Sequential.ema)
+    // on the same ticks — adapter, operator, and sink in one wire.
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.functions.{col, unix_micros, when}
+    import org.apache.spark.sql.types._
+    import graft.operators.{AsOf, Sequential}
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.TickRow2
+    import graft.ts.TickStream
+
+    // fixture: 2 keys, purchases (p) and clicks (c) interleaved
+    val ticks = Seq(
+      ("a", 1, 0L, 10.0, "p"), ("a", 2, 1L, 1.0, "c"), ("a", 3, 2L, 2.0, "c"),
+      ("b", 2, 3L, 20.0, "p"), ("b", 4, 4L, 3.0, "c"),
+      ("a", 5, 5L, 30.0, "p"), ("a", 6, 6L, 4.0, "c"),
+      ("b", 6, 7L, 40.0, "p"), ("b", 7, 8L, 5.0, "c"), ("b", 8, 9L, 6.0, "c"))
+
+    // batch truth on the identical rows
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("ts", TimestampType), StructField("seq", LongType),
+      StructField("value", DoubleType), StructField("et", StringType)))
+    val rows = ticks.map { case (k, sec, seq, v, et) =>
+      Row(k, new java.sql.Timestamp(us(sec) / 1000), seq, v, et) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val purchases = TickStream(df.filter(col("et") === "p").drop("et"))
+    val clicks = TickStream(df.filter(col("et") === "c").drop("et"))
+    val batch = Sequential.ema(AsOf.sample(clicks, purchases), 0.3).df
+      .select("key", "seq", "ema").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // realtime: first 5 ticks are seeded replay history, rest pushed live
+    PushQueue.clear("rt1")
+    PushQueue.seed("rt1", ticks.take(5).map { case (k, sec, seq, v, et) =>
+      PushedTick(k, us(sec), seq, v, et) })
+    implicit val enc = Encoders.product[TickRow2]
+    val tagged = PushQueue.readStream(spark, "rt1")
+      .select(col("key"), unix_micros(col("ts")).as("tsMicros"), col("seq"),
+        col("value"), when(col("text") === "p", 0).otherwise(1).as("src"))
+      .as[TickRow2]
+    val pipeline = StatefulOps.scanStream2(tagged,
+      StatefulOps.Steps2.sampleThen(StatefulOps.Steps.ema(0.3)))
+    val q = pipeline.writeStream.outputMode("append").format("memory")
+      .queryName("rt_app").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable() // replay micro-batch
+      ticks.slice(5, 8).foreach { case (k, sec, seq, v, et) =>
+        PushQueue.push("rt1", k, us(sec), seq, v, et) }
+      q.processAllAvailable() // live wave 1
+      ticks.drop(8).foreach { case (k, sec, seq, v, et) =>
+        PushQueue.push("rt1", k, us(sec), seq, v, et) }
+      q.processAllAvailable() // live wave 2
+      val stream = spark.table("rt_app").collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      assert(stream.size == batch.size, s"stream ${stream.size} vs batch ${batch.size}")
+      batch.foreach { case (k, b) =>
+        assert(math.abs(stream(k) - b) < 1e-12, s"$k: ${stream(k)} vs $b") }
+    } finally q.stop()
+  }
+
   test("push-pull: seeded history replays before live pushes (pushpulladapter.py)") {
     PushQueue.clear("t2")
     PushQueue.seed("t2", Seq(
