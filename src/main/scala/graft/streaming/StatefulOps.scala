@@ -317,6 +317,16 @@ object StatefulOps {
       })
     }
 
+    /** csp.feedback (feedback.py:20-85) — twin of `Sequential.feedback`:
+      * each tick reads the recurrence state derived from all PRIOR
+      * outputs (next-cycle self-delivery), never its own. csp's only
+      * graph-cycle construct is a one-slot state machine here too. */
+    def feedback(init: Double)(f: (Double, Double) => Double): Step =
+      Step(Seq(init), (s, r) => {
+        val out = f(s.head, r.value)
+        (Seq(out), Some(out))
+      })
+
     /** csp.stats.ema adjust form (AlphaEMA, statsimpl.h) — twin of
       * `Sequential.ema(alpha, adjust = true)` on non-NaN data:
       * num = v + (1−α)·num, w = 1 + (1−α)·w, ema = num/w. */

@@ -163,7 +163,13 @@ class StreamingSpec extends AnyFunSuite {
       ("par_ema_var", batchMap(Sequential.emaVar(ev, 0.1), "ema_var"),
         rows, StatefulOps.scanStream(_, StatefulOps.Steps.emaVar(0.1))),
       ("par_ema_halflife", batchMap(Sequential.emaHalflife(ev, 3600.0), "ema"),
-        rows, StatefulOps.scanStream(_, StatefulOps.Steps.emaHalflife(3600.0))))
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.emaHalflife(3600.0))),
+      ("par_ema", batchMap(Sequential.ema(ev, 0.3), "ema"),
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.ema(0.3))),
+      // csp.feedback: the decayed accumulator q_feedback runs in batch
+      ("par_feedback", batchMap(Sequential.feedback(ev, "fb", 0.0) { (prev, row) =>
+          prev * 0.9 + row.getDouble(row.fieldIndex(graft.ts.Tick.VALUE)) }, "fb"),
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.feedback(0.0)((p, v) => p * 0.9 + v))))
 
     matrix.foreach { case (name, batch, data, build) =>
       assertParity(name, batch, runStream(name, data, build))

@@ -125,7 +125,8 @@ class TwsSpec extends AnyFunSuite {
     val steps = Seq(
       "accum" -> Steps.accum, "diff2" -> Steps.diff(2), "kahan" -> Steps.kahan,
       "rmean" -> Steps.rollingMean(20, 5), "evar" -> Steps.expandingVar,
-      "ddups" -> Steps.dropDupsEps(0.3))
+      "ddups" -> Steps.dropDupsEps(0.3), "ema" -> Steps.ema(0.3),
+      "feedback" -> Steps.feedback(0.0)((p, v) => p * 0.9 + v))
     steps.foreach { case (nm, st) =>
       val tws = run(s"tws_$nm", 4, ds => TwsOps.scanTws(ds, st))
       val fm = run(s"fm_$nm", 5, ds => StatefulOps.scanStream(ds, st))
