@@ -1,0 +1,52 @@
+package graft.ts
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** csp.schedule_on_engine_stop (reference `csp/baselib.py:735-741`):
+  * register a no-arg cleanup to run when the engine stops.
+  *
+  * The reference implements it as a node whose stop() callback invokes
+  * `f`. Spark has two "engine stop" moments and both are covered:
+  *   - batch simulation: the run ends when the driving action returns —
+  *     [[run]] wraps the graph body and fires the hooks in a finally;
+  *   - realtime: a streaming query terminating IS the engine stop —
+  *     [[installListener]] fires the hooks from
+  *     `StreamingQueryListener.onQueryTerminated`.
+  *
+  * Hooks are drained on fire (one engine run = one stop, like the
+  * reference's per-run node lifecycle); exceptions in one hook do not
+  * starve the rest, matching csp's independent node stop() calls.
+  */
+object EngineStop {
+  private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** csp.schedule_on_engine_stop(f). */
+  def schedule(f: () => Unit): Unit = hooks.add(f)
+
+  /** Fire and drain all registered hooks (registration order). */
+  private[graft] def fire(): Unit = {
+    var h = hooks.poll()
+    while (h != null) {
+      try h() catch { case scala.util.control.NonFatal(_) => }
+      h = hooks.poll()
+    }
+  }
+
+  /** Batch twin: run the graph body (the driving action), then stop the
+    * engine — hooks fire even when the body throws, like csp's stop()
+    * callbacks on an errored run. */
+  def run[T](body: => T): T = try body finally fire()
+
+  /** Realtime twin: fire the hooks when any streaming query of this
+    * session terminates. Returns the listener so callers can remove it. */
+  def installListener(spark: SparkSession): StreamingQueryListener = {
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = fire()
+    }
+    spark.streams.addListener(l)
+    l
+  }
+}

@@ -84,6 +84,41 @@ class EngineSemanticsSpec extends AnyFunSuite {
     assert(x.until(stop).run().map(_._2) == Seq(1.0, 2.0))
   }
 
+  test("schedule_on_engine_stop: hooks fire at run end, on error, and at query termination (baselib.py:735-741)") {
+    import graft.ts.EngineStop
+    // batch: hooks fire in registration order when the driving action ends
+    val fired = scala.collection.mutable.ArrayBuffer[Int]()
+    EngineStop.schedule(() => fired += 1)
+    EngineStop.schedule(() => fired += 2)
+    val n = EngineStop.run { c(1 -> 1.0, 2 -> 2.0).run().size }
+    assert(n == 2 && fired.toSeq == Seq(1, 2))
+    // drained: a second run fires nothing
+    EngineStop.run(()); assert(fired.size == 2)
+    // errored run still stops the engine (csp stop() on error)
+    EngineStop.schedule(() => fired += 3)
+    intercept[RuntimeException](EngineStop.run(throw new RuntimeException("boom")))
+    assert(fired.toSeq == Seq(1, 2, 3))
+    // realtime: query termination IS the engine stop
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.scalaInt
+    implicit val sq = spark.sqlContext
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = EngineStop.installListener(spark)
+    try {
+      EngineStop.schedule(() => flag.set(true))
+      val mem = MemoryStream[Int]
+      val q = mem.toDS().writeStream.outputMode("append").format("memory")
+        .queryName("stop_hook").trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(1); q.processAllAvailable()
+      q.stop()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!flag.get() && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(flag.get(), "stop hook did not fire on query termination")
+    } finally spark.streams.removeListener(l)
+  }
+
   test("Edge DSL: cross-stream arithmetic and scalar ops (edge.py:33-259)") {
     val x = c(1 -> 10.0, 3 -> 30.0)
     val y = c(2 -> 4.0)
