@@ -42,6 +42,17 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces post-shuffle partitions by BYTES (minPartitionSize
+      // 1 MB default), but tick-stream window stages are compute-bound
+      // per row: a filtered sub-stream a few MB wide still carries heavy
+      // per-row work (array collects, policy algebra, stacked aggregates),
+      // and byte-based coalescing was measured squeezing it onto 2 of 32
+      // cores (q_values_at_range: 18% utilization). 256k (A/B'd against
+      // 64k and the default) keeps genuinely tiny stages coalesced while
+      // letting small-but-hot stages use the cluster; 64k over-splits
+      // many-small-stage plans (q_sync, q_stats_reset regressed), and
+      // large stages are governed by the advisory size as before.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the events table is written with nanosecond parquet timestamps;
