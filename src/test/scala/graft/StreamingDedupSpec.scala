@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, StreamingDedup}
+
+/** Test-fixture document (top-level: streaming encoders need an
+  * outer-free case class). */
+case class SdDoc(docId: Long, text: String)
+
+/** Online dedup == batch dedup: the streaming [[StreamingDedup]]
+  * operators, fed the corpus as micro-batches in id order, must produce
+  * exactly the batch [[Dedup]] answers (same fingerprint/minhash
+  * expressions, first-seen == min-id under ordered arrival, no bucket at
+  * its cap). Runs on the transformWithState/RocksDB runtime including a
+  * mid-stream kill + checkpoint recovery.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  
+
+  /** Deterministic corpus: base docs from a seeded RNG, planted exact
+    * dups and near-dups (word-level edits) — the same shape as the
+    * driver's documents fixture, sized for a streaming spec. */
+  lazy val corpus: Seq[SdDoc] = {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+      "victor", "whiskey", "xray", "yankee", "zulu")
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 120).map(i => SdDoc(i.toLong, sentence(18 + rnd.nextInt(18))))
+    // 20 near-dups: copy an earlier doc, mutate 1-2 words
+    val near = (0 until 20).map { i =>
+      val src = base(rnd.nextInt(base.size))
+      val words = src.text.split(" ").toBuffer
+      words(rnd.nextInt(words.size)) = vocab(rnd.nextInt(vocab.size))
+      if (i % 2 == 0) words(rnd.nextInt(words.size)) = vocab(rnd.nextInt(vocab.size))
+      SdDoc(200L + i, words.mkString(" "))
+    }
+    // 10 exact dups (with whitespace/case jitter the fingerprint normalizes)
+    val exact = (0 until 10).map { i =>
+      val src = base(rnd.nextInt(base.size))
+      val t = if (i % 2 == 0) "  " + src.text.toUpperCase + " " else src.text + "  "
+      SdDoc(300L + i, t)
+    }
+    base ++ near ++ exact
+  }
+
+  private def feed[T](mem: MemoryStream[T], data: Seq[T], chunks: Int,
+                         q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    data.grouped(data.size / chunks + 1).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+
+  test("streaming exact dedup == batch Dedup.exact under ordered arrival") {
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val df = spark.createDataset(corpus).toDF()
+    val batch = Dedup.exact(df, "text", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[SdDoc]
+    val q = StreamingDedup.exactFlags(mem.toDF(), "text", "docId")
+      .writeStream.outputMode("append").format("memory").queryName("sd_exact")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    feed(mem, corpus.sortBy(_.docId), 5, q)
+    val stream = spark.table("sd_exact").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+
+    assert(stream.size == corpus.size)
+    assert(batch.size == corpus.size)
+    corpus.foreach { d =>
+      assert(stream(d.docId) == batch(d.docId),
+        s"doc ${d.docId}: stream canonical ${stream(d.docId)} vs batch ${batch(d.docId)}")
+    }
+    // sanity: the fixture actually contains duplicate groups
+    assert(stream.count { case (id, canon) => id != canon } >= 10)
+  }
+
+  test("streaming minhash pairs == batch Dedup.minhashPairs, exactly-once across bands") {
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val thr = 0.6
+    val df = spark.createDataset(corpus).toDF()
+    val batchPairs = Dedup.minhashPairs(df, "text", "docId", thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.util.Caching.release()
+
+    val mem = MemoryStream[SdDoc]
+    val q = StreamingDedup.minhashPairs(mem.toDF(), "text", "docId", thr)
+      .writeStream.outputMode("append").format("memory").queryName("sd_minhash")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    feed(mem, corpus.sortBy(_.docId), 5, q)
+    val streamRows = spark.table("sd_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    q.stop()
+
+    // first-matching-band emission: no pair appears twice in the RAW output
+    assert(streamRows.length == streamRows.map(_._1).distinct.length,
+      "a pair was emitted from more than one band")
+    val stream = streamRows.toMap
+    assert(stream.keySet == batchPairs.keySet,
+      s"pair sets differ: stream-only=${stream.keySet -- batchPairs.keySet} " +
+        s"batch-only=${batchPairs.keySet -- stream.keySet}")
+    stream.foreach { case (k, j) =>
+      assert(math.abs(j - batchPairs(k)) < 1e-12, s"$k: jaccard $j vs ${batchPairs(k)}")
+    }
+    // sanity: the planted near-dups are actually found
+    assert(stream.nonEmpty && stream.size >= 15, s"only ${stream.size} pairs")
+  }
+
+  test("exact dedup state survives kill + checkpoint recovery") {
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val df = spark.createDataset(corpus).toDF()
+    val batch = Dedup.exact(df, "text", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val ordered = corpus.sortBy(_.docId)
+    val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt").toString
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[SdDoc]
+    def start() =
+      StreamingDedup.exactFlags(mem.toDF(), "text", "docId")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.ExactFlag], _: Long) =>
+          val rows = b.collect().map(f => f.docId -> f.canonicalId)
+          sink.synchronized { sink ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+
+    val q1 = start()
+    mem.addData(firstHalf: _*)
+    q1.processAllAvailable()
+    q1.stop() // crash: exact-dup groups straddle the split
+
+    mem.addData(secondHalf: _*)
+    val q2 = start() // recovery: fingerprint → first-seen id from RocksDB
+    q2.processAllAvailable()
+    val recovered = sink.synchronized(sink.toMap)
+    q2.stop()
+
+    assert(recovered.size == corpus.size)
+    corpus.foreach { d =>
+      assert(recovered(d.docId) == batch(d.docId),
+        s"doc ${d.docId}: recovered ${recovered(d.docId)} vs batch ${batch(d.docId)}")
+    }
+  }
+}
