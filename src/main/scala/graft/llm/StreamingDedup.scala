@@ -204,4 +204,155 @@ object StreamingDedup {
       .transformWithState(new BucketProcessor(threshold, numHashes, bands, maxBucketSize),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- streaming decontamination (stateless broadcast-index probe) ----
+
+  /** A verified contamination hit: arriving doc `docId` near-duplicates
+    * reference doc `refId` at `jaccard` ≥ threshold. */
+  case class ContamMatch(docId: Long, refId: Long, jaccard: Double)
+
+  /** A clean (uncontaminated) document passed through the filter. */
+  case class CleanDoc(docId: Long, text: String)
+
+  /** The banded reference corpus as a driver-built hash index:
+    * bandKey → bucket members. The reference (benchmark/test-set) corpus
+    * is the SMALL side by the same contract under which batch
+    * [[Dedup.crossPairs]] broadcasts it; oversized buckets are excluded
+    * exactly like `capBuckets` (the static side is fully known, so the
+    * batch retroactive-exclusion semantics apply verbatim). */
+  private[llm] def refIndex(reference: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int, bands: Int, shingleN: Int,
+                            maxBucketSize: Int): Map[String, Array[Member]] = {
+    val rows = numHashes / bands
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val enriched = reference
+      .select(col(idCol).cast("long").as("docId"),
+        Shingles.hashedShingles(col(textCol), shingleN).as("base"))
+      .select(col("docId"),
+        graft.functions.VectorExprs.minhashSig(col("base"), numHashes).as("sig"),
+        array_distinct(col("base")).as("set"))
+      .as[(Long, Array[Long], Array[Long])]
+      .collect()
+    val buckets = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Member]]
+    enriched.foreach { case (id, sig, set) =>
+      var b = 0
+      while (b < bands) {
+        val k = new StringBuilder().append(b).append(':')
+        var i = b * rows
+        while (i < (b + 1) * rows) { k.append(sig(i)).append(','); i += 1 }
+        buckets.getOrElseUpdate(k.toString, scala.collection.mutable.ArrayBuffer.empty) +=
+          Member(id, sig, set)
+        b += 1
+      }
+    }
+    buckets.iterator
+      .filter(_._2.length <= maxBucketSize)
+      .map { case (k, v) => k -> v.toArray }
+      .toMap
+  }
+
+  private def jaccardSets(a: Array[Long], b: Array[Long]): Double = {
+    val sa = a.sorted; val sb = b.sorted
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1 else j += 1
+    }
+    val union = sa.length + sb.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Per-doc verified reference matches: probe each of the doc's band
+    * keys against the broadcast index, verify once per distinct refId. */
+  private def probeMatches(idx: Map[String, Array[Member]], id: Long,
+                           sig: Array[Long], set: Array[Long], threshold: Double,
+                           numHashes: Int, bands: Int): Seq[ContamMatch] = {
+    val rows = numHashes / bands
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[ContamMatch]
+    var b = 0
+    while (b < bands) {
+      val k = new StringBuilder().append(b).append(':')
+      var i = b * rows
+      while (i < (b + 1) * rows) { k.append(sig(i)).append(','); i += 1 }
+      idx.get(k.toString).foreach(_.foreach { m =>
+        if (seen.add(m.docId)) {
+          val j = jaccardSets(set, m.set)
+          if (j >= threshold) out += ContamMatch(id, m.docId, j)
+        }
+      })
+      b += 1
+    }
+    out.toSeq
+  }
+
+  /** Live contamination monitor: every verified (arriving doc, reference
+    * doc) near-dup hit, exactly once per pair — the streaming twin of
+    * [[Dedup.crossPairs]]. STATELESS: the reference corpus is static
+    * (benchmarks don't change mid-run), so it rides a driver-built
+    * broadcast index and each arriving doc probes its own `bands` keys
+    * in place — no state store, no shuffle on the stream side, restart
+    * is trivially safe. 100 TB shape: this is a broadcast hash join the
+    * operator performs per-band IN PLACE, avoiding the batch pipeline's
+    * ×bands row explosion on the big side; per-doc cost is bounded by
+    * the reference bucket sizes (capped), independent of stream volume.
+    *
+    * Vs batch crossPairs: online there is no train-side bucket to cap
+    * (the "train bucket" over an infinite stream is unbounded and never
+    * materialized), so a doc in what batch would call an oversized train
+    * bucket still gets checked — strictly better recall at the same
+    * verify cost; reference-side capping is identical. */
+  def contaminationMatches(stream: DataFrame, reference: DataFrame,
+                           textCol: String, idCol: String, threshold: Double,
+                           numHashes: Int = 32, bands: Int = 16, shingleN: Int = 2,
+                           maxBucketSize: Int = 1000): Dataset[ContamMatch] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[ContamMatch]
+    val bc = spark.sparkContext.broadcast(
+      refIndex(reference, textCol, idCol, numHashes, bands, shingleN, maxBucketSize))
+    stream.select(col(idCol).cast("long").as("docId"),
+        Shingles.hashedShingles(col(textCol), shingleN).as("base"))
+      .select(col("docId"),
+        graft.functions.VectorExprs.minhashSig(col("base"), numHashes).as("sig"),
+        array_distinct(col("base")).as("set"))
+      .as[(Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { case (id, sig, set) =>
+          probeMatches(idx, id, sig, set, threshold, numHashes, bands)
+        }
+      }
+  }
+
+  /** Live decontamination filter: the sub-stream of arriving docs with NO
+    * verified reference match — the streaming twin of
+    * [[Dedup.decontaminate]], same probe as [[contaminationMatches]]
+    * (stateless, shuffle-free; the per-doc verdict needs no anti-join
+    * because the whole reference index is visible to every executor). */
+  def decontaminate(stream: DataFrame, reference: DataFrame,
+                    textCol: String, idCol: String, threshold: Double,
+                    numHashes: Int = 32, bands: Int = 16, shingleN: Int = 2,
+                    maxBucketSize: Int = 1000): Dataset[CleanDoc] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[CleanDoc]
+    val bc = spark.sparkContext.broadcast(
+      refIndex(reference, textCol, idCol, numHashes, bands, shingleN, maxBucketSize))
+    stream.select(col(idCol).cast("long").as("docId"), col(textCol).as("text"),
+        Shingles.hashedShingles(col(textCol), shingleN).as("base"))
+      .select(col("docId"), col("text"),
+        graft.functions.VectorExprs.minhashSig(col("base"), numHashes).as("sig"),
+        array_distinct(col("base")).as("set"))
+      .as[(Long, String, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.collect { case (id, text, sig, set)
+          if probeMatches(idx, id, sig, set, threshold, numHashes, bands).isEmpty =>
+            CleanDoc(id, text)
+        }
+      }
+  }
 }

@@ -123,6 +123,70 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.size >= 15, s"only ${stream.size} pairs")
   }
 
+  /** Reference (benchmark) corpus: mutated copies of some train docs plus
+    * a few verbatim ones — the contamination the filter must catch. */
+  lazy val reference: Seq[SdDoc] = {
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val mutated = (0 until 12).map { i =>
+      val src = corpus(rnd.nextInt(120))
+      val words = src.text.split(" ").toBuffer
+      words(rnd.nextInt(words.size)) = vocab(rnd.nextInt(vocab.size))
+      SdDoc(900L + i, words.mkString(" "))
+    }
+    val verbatim = (0 until 4).map(i => SdDoc(950L + i, corpus(rnd.nextInt(120)).text))
+    mutated ++ verbatim
+  }
+
+  test("streaming decontamination == batch crossPairs/decontaminate, stateless") {
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val thr = 0.6
+    val trainDf = spark.createDataset(corpus).toDF()
+    val refDf = spark.createDataset(reference).toDF()
+    val batchPairs = Dedup.crossPairs(trainDf, refDf, "text", "docId", thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batchClean = Dedup.decontaminate(trainDf, refDf, "text", "docId", thr)
+      .select("docId").collect().map(_.getLong(0)).toSet
+    graft.util.Caching.release()
+
+    val mem = MemoryStream[SdDoc]
+    val q = StreamingDedup.contaminationMatches(mem.toDF(), refDf, "text", "docId", thr)
+      .writeStream.outputMode("append").format("memory").queryName("sd_contam")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    feed(mem, corpus.sortBy(_.docId), 4, q)
+    val streamRows = spark.table("sd_contam").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    q.stop()
+
+    // stateless exactly-once: no pair emitted twice even across bands
+    assert(streamRows.length == streamRows.map(_._1).distinct.length)
+    val stream = streamRows.toMap
+    assert(stream.keySet == batchPairs.keySet,
+      s"stream-only=${stream.keySet -- batchPairs.keySet} " +
+        s"batch-only=${batchPairs.keySet -- stream.keySet}")
+    stream.foreach { case (k, j) =>
+      assert(math.abs(j - batchPairs(k)) < 1e-12, s"$k: jaccard $j vs ${batchPairs(k)}")
+    }
+    assert(stream.size >= 12, s"only ${stream.size} contamination hits")
+
+    // the clean-filter form: surviving ids == batch decontaminate ids
+    val mem2 = MemoryStream[SdDoc]
+    val q2 = StreamingDedup.decontaminate(mem2.toDF(), refDf, "text", "docId", thr)
+      .writeStream.outputMode("append").format("memory").queryName("sd_clean")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    feed(mem2, corpus.sortBy(_.docId), 4, q2)
+    val streamClean = spark.table("sd_clean").collect().map(_.getLong(0)).toSet
+    q2.stop()
+    assert(streamClean == batchClean,
+      s"stream-only=${streamClean -- batchClean} batch-only=${batchClean -- streamClean}")
+    assert(batchClean.size < corpus.size, "fixture has no contamination")
+  }
+
   test("exact dedup state survives kill + checkpoint recovery") {
     import org.apache.spark.sql.Encoders
     implicit val docEnc = Encoders.product[SdDoc]
