@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Online ANN serving: top-k nearest neighbors for a LIVE stream of query
+  * embeddings against a STATIC IVF-indexed corpus — the retrieval shape
+  * of a production vector index (the index rests, queries arrive). The
+  * streaming twin of [[Ivf.topK]]: identical probe geometry (nprobe
+  * nearest cells per query, exact cosine within them, same tie-breaks),
+  * re-expressed for micro-batch execution.
+  *
+  * Plan shape per micro-batch (the 1000-executor view):
+  * - centroid probe: k centroids are driver-collected (k-bounded, same
+  *   bound as batch `collectCentroids`) and scanned per query JVM-side —
+  *   the batch form's crossJoin(broadcast(centroids)) + rank window,
+  *   collapsed into a flatMap because append-mode streams forbid
+  *   non-time windows;
+  * - candidate generation: stream-static equi-join on `cell` — the
+  *   corpus never broadcasts and never re-shuffles per batch (the cell
+  *   assignment is the partition key, exactly the IVF contract: nprobe
+  *   cells bound the scan);
+  * - per-query top-k: a STATELESS StatefulProcessor (every candidate of
+  *   a query lives in the same micro-batch as the query row itself, so
+  *   the grouped sort-take needs no cross-batch state — the processor is
+  *   a per-batch grouped map, not an accumulator).
+  *
+  * Cosines are computed by the same [[graft.functions.VectorExprs]]
+  * kernel as batch; the JVM centroid probe replicates its exact
+  * accumulation order on float-widened doubles, so stream == batch is
+  * bit-equal (StreamingSimilaritySpec asserts map equality on cosines).
+  */
+object StreamingSimilarity {
+
+  /** One ranked neighbor for an arriving query. */
+  case class KnnHit(queryId: Long, neighborId: Long, rk: Int, cosine: Double)
+
+  private[llm] case class Probe(queryId: Long, qv: Array[Double], cell: Int)
+  private[llm] case class Cand(queryId: Long, neighborId: Long, cosine: Double)
+
+  /** Bit-exact replica of the CosineSim kernel's accumulation
+    * (index-order dot/na/nb, then dot / (√na · √nb)). */
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Stateless per-batch grouped top-k (batch tie-break: cosine desc,
+    * then neighbor id asc). */
+  class TopKProcessor(k: Int) extends StatefulProcessor[Long, Cand, KnnHit] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[Cand],
+                                 timerValues: TimerValues): Iterator[KnnHit] =
+      rows.toSeq.sortBy(c => (-c.cosine, c.neighborId)).take(k).zipWithIndex
+        .map { case (c, i) => KnnHit(c.queryId, c.neighborId, i + 1, c.cosine) }
+        .iterator
+  }
+
+  /** Top-k neighbors per arriving query against `corpus` via `index`.
+    * `queries` is a streaming DataFrame with the index's id/vec columns
+    * (override with `id`/`vec`). The corpus-side joined table is
+    * barrier-persisted so micro-batches re-probe, not re-build — release
+    * with `graft.util.Caching.release()` when the query stops. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, index: Ivf.Index,
+              k: Int, nprobe: Int = 4,
+              id: String = null, vec: String = null): Dataset[KnnHit] = {
+    val qid = Option(id).getOrElse(index.id)
+    val qvec = Option(vec).getOrElse(index.vec)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[KnnHit]
+    implicit val probeEnc = Encoders.product[Probe]
+    implicit val candEnc = Encoders.product[Cand]
+
+    // k-bounded driver collect — the same bound batch topK pays for its
+    // broadcast(centroids); float→double widening is exact, so the JVM
+    // probe sees the very values the batch expression computes on
+    val cents: Array[(Int, Array[Double])] = index.centroids
+      .select(col("cell"), col("centroid").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+
+    val indexed = graft.util.Caching.barrier(
+      corpus.select(col(index.id).as("neighborId"), col(index.vec).as("cv"))
+        .join(index.cells.select(col(index.id).as("neighborId"), col("cell")), "neighborId"))
+
+    val probes: Dataset[Probe] = queries
+      .select(col(qid).cast("long").as("queryId"),
+        col(qvec).cast(ArrayType(DoubleType)).as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qId, qv) =>
+        // batch rank window semantics: sim desc, cell asc, top nprobe
+        bcCents.value.iterator
+          .map { case (cell, cv) => (cell, cosine(qv, cv)) }
+          .toSeq.sortBy { case (cell, sim) => (-sim, cell) }
+          .take(nprobe)
+          .map { case (cell, _) => Probe(qId, qv, cell) }
+      }
+
+    probes.toDF()
+      .join(indexed, "cell")
+      .filter(col("queryId") =!= col("neighborId"))
+      .withColumn("cosine", graft.functions.VectorExprs.cosineSim(col("qv"), col("cv")))
+      .select(col("queryId"), col("neighborId"), col("cosine"))
+      .as[Cand]
+      .groupByKey(_.queryId)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Ivf, StreamingSimilarity}
+
+/** Query vector for the streaming ANN spec (top-level for the encoder). */
+case class SsQuery(vec_id: Long, embedding: Array[Float])
+
+/** Online ANN == batch IVF: the streaming [[StreamingSimilarity.ivfTopK]]
+  * must produce bit-identical (neighbor, rank, cosine) results to batch
+  * [[Ivf.topK]] over the same prebuilt index — including the centroid
+  * probe tie-breaks, which the streaming side evaluates JVM-side. */
+class StreamingSimilaritySpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("streaming ivfTopK == batch Ivf.topK, bit-equal cosines") {
+    import org.apache.spark.sql.Encoders
+    implicit val qEnc = Encoders.product[SsQuery]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    // clustered corpus (4 tight clusters, 32-dim) — the IVF-friendly shape
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val corpus = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val index = Ivf.buildIndex(corpus, k = 4, iters = 2)
+
+    val queryRows = (0L until 24L).map { i =>
+      val c = centers((i % 4).toInt)
+      SsQuery(1000L + i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val queriesDf = spark.createDataset(queryRows)
+      .toDF("vec_id", "embedding")
+    val batch = Ivf.topK(queriesDf, corpus, index, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+
+    val mem = MemoryStream[SsQuery]
+    val q = StreamingSimilarity.ivfTopK(mem.toDF(), corpus, index, k = 5, nprobe = 2)
+      .writeStream.outputMode("append").format("memory").queryName("ss_knn")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queryRows.grouped(7).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("ss_knn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    q.stop()
+    graft.util.Caching.release()
+
+    assert(stream.size == batch.size, s"stream ${stream.size} rows vs batch ${batch.size}")
+    assert(stream.size == 24 * 5)
+    batch.foreach { case (key, (nbr, cos)) =>
+      val (snbr, scos) = stream(key)
+      assert(snbr == nbr && scos == cos, // bit-equal, not tolerance
+        s"$key: stream ($snbr, $scos) vs batch ($nbr, $cos)")
+    }
+  }
+}
