@@ -36,7 +36,12 @@ class StreamingDedupSpec extends AnyFunSuite {
       "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
       "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
       "victor", "whiskey", "xray", "yankee", "zulu")
-    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // every third word a function word: natural-language shape, so the
+    // quality gate in the composed-pipeline test separates these from junk
+    val stops = Vector("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    def sentence(n: Int) = (0 until n).map(i =>
+      if (i % 3 == 2) stops(rnd.nextInt(stops.size))
+      else vocab(rnd.nextInt(vocab.size))).mkString(" ")
     val base = (0 until 120).map(i => SdDoc(i.toLong, sentence(18 + rnd.nextInt(18))))
     // 20 near-dups: copy an earlier doc, mutate 1-2 words
     val near = (0 until 20).map { i =>
@@ -185,6 +190,60 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamClean == batchClean,
       s"stream-only=${streamClean -- batchClean} batch-only=${batchClean -- streamClean}")
     assert(batchClean.size < corpus.size, "fixture has no contamination")
+  }
+
+  test("composed online ingest hygiene: quality gate -> decontaminate -> dedup flag in ONE query") {
+    // the full arrival-time pipeline as a single streaming query — one
+    // stateless quality filter, one stateless broadcast decontamination
+    // probe, ONE shuffle (the fingerprint groupByKey) — equal to the
+    // composed batch pipeline on the same corpus
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val junk = (0 until 15).map(i => SdDoc(400L + i, Seq.fill(40 + i)("spam").mkString(" ")))
+    val feedDocs = (corpus ++ junk).sortBy(_.docId)
+    val trainDf = spark.createDataset(feedDocs).toDF()
+    val refDf = spark.createDataset(reference).toDF()
+    // threshold from the batch expression itself: strictly between the
+    // junk band and the vocab band, so the gate provably drops rows
+    val scores = trainDf.select(org.apache.spark.sql.functions.col("docId"),
+        graft.llm.TextAnalysis.qualityScore(
+          org.apache.spark.sql.functions.col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val junkMax: Double = junk.map(d => scores(d.docId)).max
+    val realMin: Double = corpus.map(d => scores(d.docId)).min
+    assert(junkMax < realMin, s"fixture junk ($junkMax) not separable from real ($realMin)")
+    val minScore = (junkMax + realMin) / 2
+    val thr = 0.6
+
+    val batchFlags = Dedup.exact(
+        Dedup.decontaminate(
+          graft.llm.Curation.qualityFilter(trainDf, "text", minScore),
+          refDf, "text", "docId", thr),
+        "text", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.Caching.release()
+
+    val mem = MemoryStream[SdDoc]
+    val gated = graft.llm.Curation.qualityFilter(mem.toDF(), "text", minScore)
+    val clean = StreamingDedup.decontaminate(gated, refDf, "text", "docId", thr)
+    val q = StreamingDedup.exactFlags(clean.toDF(), "text", "docId")
+      .writeStream.outputMode("append").format("memory").queryName("sd_pipeline")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    feed(mem, feedDocs, 5, q)
+    val stream = spark.table("sd_pipeline").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+
+    assert(stream == batchFlags,
+      s"stream-only=${stream.keySet -- batchFlags.keySet} " +
+        s"batch-only=${batchFlags.keySet -- stream.keySet}")
+    // every stage did real work: junk gated, contamination dropped, dups flagged
+    assert(junk.forall(d => !stream.contains(d.docId)))
+    assert(stream.size < corpus.size)
+    assert(stream.exists { case (id, canon) => id != canon })
   }
 
   test("exact dedup state survives kill + checkpoint recovery") {
