@@ -35,9 +35,15 @@ object AsOf {
   private val SRC = "__src"
   private val CYC = "__c"
 
-  /** Within-(key, ts) engine-cycle ordinal of a single stream. */
-  private def cycleOrd: Column =
-    row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1
+  /** Within-(key, ts, src) engine-cycle ordinal, computed AFTER the union.
+    * Computing it per branch would cost one Exchange per input stream (each
+    * branch shuffles on (key, ts) before the union shuffles again on key);
+    * post-union, one explicit repartition(key) satisfies this window AND
+    * every coarser one below — hashpartitioning(key) clusters any spec
+    * whose keys are a superset — so the whole kernel plans ONE Exchange
+    * regardless of input count, and each row is shuffled once, not twice. */
+  private def cycleOrdPostUnion(src: String): Column =
+    row_number().over(Window.partitionBy(col(KEY), col(TS), col(src)).orderBy(SEQ)) - 1
 
   /** Attach `refs` (name → stream) as columns to `driving`'s ticks.
     * Output: driving's rows + one column per ref holding the as-of value
@@ -46,13 +52,15 @@ object AsOf {
   def join(driving: TickStream, refs: Seq[(String, TickStream)]): TickStream = {
     val refNames = refs.map(_._1)
     val dCols = driving.df.columns.toSeq
-    val d = driving.df.withColumn(CYC, cycleOrd).withColumn(SRC, lit(0))
+    val d = driving.df.withColumn(SRC, lit(0))
     val tagged = refs.zipWithIndex.map { case ((name, ref), i) =>
-      val r = ref.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(name))
       // null-fill driving payload columns so unionByName aligns
-      r.withColumn(CYC, cycleOrd).withColumn(SRC, lit(i + 1))
+      ref.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(name))
+        .withColumn(SRC, lit(i + 1))
     }
     val unioned = tagged.foldLeft(d) { (acc, r) => acc.unionByName(r, allowMissingColumns = true) }
+      .repartition(col(KEY))
+      .withColumn(CYC, cycleOrdPostUnion(SRC))
     // cycle-accurate order: (ts, cycle), refs before driving WITHIN a cycle
     // (same-cycle updates are delivered before the node fires); ref cycles
     // scheduled after the driving tick's own cycle stay out of its frame.
@@ -89,11 +97,14 @@ object AsOf {
     // share a cycle (one fire), matching the reference scheduler
     // (Execution-Modes.md duplicate-timestamp rules); same-ts ticks on ONE
     // stream are separate cycles → align by within-ts ordinal.
-    def cyc(df: DataFrame, vAs: String) = df.select(
-      col(KEY), col(TS), col(SEQ), col(VALUE).as(vAs),
-      (row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1).as("__c"))
-    val u = cyc(x.df, "__x").withColumn("__src", lit(0))
-      .unionByName(cyc(y.df, "__y").withColumn("__src", lit(1)), allowMissingColumns = true)
+    def tag(df: DataFrame, vAs: String, src: Int) = df.select(
+      col(KEY), col(TS), col(SEQ), col(VALUE).as(vAs), lit(src).as("__src"))
+    // cycle ordinal post-union behind one repartition(key) — see
+    // cycleOrdPostUnion: the whole op plans a single Exchange
+    val u = tag(x.df, "__x", 0)
+      .unionByName(tag(y.df, "__y", 1), allowMissingColumns = true)
+      .repartition(col(KEY))
+      .withColumn("__c", cycleOrdPostUnion("__src"))
     val ord = Window.partitionBy(KEY).orderBy(col(TS), col("__c"), col("__src"), col(SEQ))
       .rowsBetween(Window.unboundedPreceding, 0)
     val lasts = u

@@ -102,11 +102,25 @@ object Stats {
     * Output: x's rows + y's value as column `yAs` — ready for
     * `Rolling.cov/corr(col(yAs))` or [[Sequential.emaCov]]. */
   def synchronizeBivariate(x: TickStream, y: TickStream, yAs: String = "y"): TickStream = {
-    def cyc(df: org.apache.spark.sql.DataFrame) = df.withColumn("__c",
-      row_number().over(Window.partitionBy(KEY, TS).orderBy(SEQ)) - 1)
-    val xs = cyc(x.df.select(col(KEY), col(TS), col(SEQ), col(VALUE)))
-    val ys = cyc(y.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(yAs))).drop(SEQ)
-    TickStream(xs.join(ys, Seq(KEY, TS, "__c")).drop("__c"))
+    // union-then-pivot instead of a two-branch join: per-branch cycle
+    // windows cost one Exchange per side before the join shuffles again;
+    // post-union behind one repartition(key), the cycle window AND the
+    // (key, ts, cycle) group both ride a single Exchange (hashpartitioning
+    // on key clusters any superset spec). A cycle has at most one row per
+    // side, so max(struct) per side is exact; a when()-guarded struct is
+    // null iff the side is absent → the filter IS the inner join.
+    val u = x.df.select(col(KEY), col(TS), col(SEQ), col(VALUE), lit(0).as("__src"))
+      .unionByName(y.df.select(col(KEY), col(TS), col(SEQ),
+        col(VALUE).as(yAs), lit(1).as("__src")), allowMissingColumns = true)
+      .repartition(col(KEY))
+      .withColumn("__c",
+        row_number().over(Window.partitionBy(col(KEY), col(TS), col("__src")).orderBy(SEQ)) - 1)
+    TickStream(u.groupBy(col(KEY), col(TS), col("__c"))
+      .agg(max(when(col("__src") === 0, struct(col(SEQ), col(VALUE)))).as("__x"),
+        max(when(col("__src") === 1, struct(col(yAs)))).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .select(col(KEY), col(TS), col("__x")(SEQ).as(SEQ),
+        col("__x")(VALUE).as(VALUE), col("__y")(yAs).as(yAs)))
   }
 
   /** The ticks `synchronizeBivariate` would discard (monitoring hook —

@@ -128,10 +128,16 @@ final case class TickStream(df: DataFrame) {
     * cycle — the right's second cycle still emits. Cycle = within-(key, ts)
     * ordinal of each input stream. */
   def merge(other: TickStream): TickStream = {
-    val wc = Window.partitionBy(KEY, TS).orderBy(SEQ)
-    val l = df.withColumn("__c", row_number().over(wc) - 1).withColumn("__pri", lit(0))
-    val r = other.df.withColumn("__c", row_number().over(wc) - 1).withColumn("__pri", lit(1))
+    // per-stream cycle ordinal computed AFTER the union behind one
+    // repartition(key) (see AsOf.cycleOrdPostUnion): branch-side cycle
+    // windows would shuffle each input separately before the tie window
+    // shuffled the union again — this plans ONE Exchange total
+    val l = df.withColumn("__pri", lit(0))
+    val r = other.df.withColumn("__pri", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+      .repartition(col(KEY))
+      .withColumn("__c",
+        row_number().over(Window.partitionBy(col(KEY), col(TS), col("__pri")).orderBy(SEQ)) - 1)
     val wTie = Window.partitionBy(col(KEY), col(TS), col("__c"))
     TickStream(u.withColumn("__minPri", min(col("__pri")).over(wTie))
       .filter(col("__pri") === col("__minPri"))
