@@ -99,22 +99,58 @@ object TextAnalysis {
     * wiggle low-order bits. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 3): DataFrame = {
-    val tokCounts = df
-      .select(col(idCol), explode(transform(tokens(col(textCol)), t => xxhash64(t))).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
-    val n = aggregate(col("__cs"), lit(0L), _ + _).cast("double")
-    val s = aggregate(col("__cs"), lit(0.0),
+    // A per-DOCUMENT statistic is per-ROW array math, not a shuffle: an
+    // earlier cut exploded tokens/shingles into per-term rows and ran four
+    // groupBy exchanges to count them — shipping every token of every doc
+    // across the cluster to compute numbers that never leave the row.
+    // Sorting the hashed terms within the row and folding run lengths is
+    // O(L log L) per doc, a pure codegen projection, ZERO exchanges —
+    // and bit-exact to the grouped form (run lengths sorted ascending
+    // reproduce the sorted-counts fold order; max/sum are exact longs).
+    val toks = tokens(col(textCol))
+    // empty docs: the exploded form produced no token rows and inner-joined
+    // them away; keep that contract
+    val staged = runLengths(runLengths(df.filter(size(toks) > 0)
+      .withColumn("__th", array_sort(transform(toks, t => xxhash64(t))))
+      .withColumn("__sh", array_sort(Shingles.hashedShingles(col(textCol), ngram))),
+      "__th", "__tl"), "__sh", "__sl")
+      .withColumn("__tl", array_sort(col("__tl")))
+    val n = aggregate(col("__tl"), lit(0L), _ + _).cast("double")
+    val s = aggregate(col("__tl"), lit(0.0),
       (acc, c) => acc + c.cast("double") * log2(c.cast("double")))
-    val ent = tokCounts.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("__c"))).as("__cs"))
-      .select(col(idCol), round(log2(n) - s / n, 6).as("token_entropy"))
-    val rep = df
-      .select(col(idCol), explode(Shingles.hashedShingles(col(textCol), ngram)).as("__s"))
-      .groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(round(max(col("__c")).cast("double") / sum(col("__c")).cast("double"), 6)
-        .as("repetition_ratio"))
-    ent.join(rep, idCol)
+    staged.select(col(idCol),
+      round(log2(n) - s / n, 6).as("token_entropy"),
+      round(array_max(col("__sl")).cast("double") /
+        aggregate(col("__sl"), lit(0L), _ + _).cast("double"), 6).as("repetition_ratio"))
+  }
+
+  /** Adds `out` = run lengths of equal adjacent values in the sorted array
+    * column `in`: boundary flags via zip-with-shifted-self, then start
+    * positions pairwise-diffed against the next start.
+    *
+    * Two hard-won rules (measured 0.5 s → 156 s → 6 s → 0.5 s at sf0.1):
+    * no lambda body may reference an outer array expression (e.g.
+    * element_at(sorted, i)) — lambda bodies re-evaluate PER ELEMENT, so
+    * that re-sorts the array O(L²) times; and each stage must be its own
+    * materialized column — higher-order functions are interpreted (no
+    * whole-stage codegen, no common-subexpression elimination), so a
+    * nested expression tree re-evaluates the whole chain once per
+    * REFERENCE. Attribute references are cheap, and CollapseProject keeps
+    * the staging projections because it refuses to inline non-cheap
+    * expressions used more than once. */
+  private def runLengths(dfIn: DataFrame, in: String, out: String): DataFrame = {
+    val sorted = col(in)
+    val n = size(sorted)
+    // shifted(i) = sorted(i-1), with sorted(0) duplicated at the front
+    val shifted = concat(slice(sorted, lit(1), lit(1)), slice(sorted, lit(1), n - 1))
+    val starts = s"${out}__starts"
+    dfIn
+      .withColumn(starts, filter(transform(zip_with(sorted, shifted, (c, p) => c =!= p),
+        (b, i) => when(b || i === 0, i)), _.isNotNull))
+      .withColumn(out, zip_with(col(starts),
+        concat(slice(col(starts), lit(2), size(col(starts)) - 1), array(n)),
+        (a, b) => b - a))
+      .drop(starts)
   }
 
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase. */
