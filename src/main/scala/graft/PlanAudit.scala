@@ -65,9 +65,16 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
-        val single = "Exchange SinglePartition".r.findAllIn(plan).length
-        val range = "Exchange rangepartitioning".r.findAllIn(plan).length
+        // dedupe by plan_id: a persist-barriered subtree's Exchange is
+        // EXECUTED once but its InMemoryRelation plan string is embedded
+        // at every scan site — counting occurrences over-reported e.g.
+        // gate (one cached Exchange read by three output branches) as 4
+        def count(kind: String) =
+          s"Exchange $kind[^\\[]*\\[plan_id=(\\d+)\\]".r
+            .findAllMatchIn(plan).map(_.group(1)).toSet.size
+        val hash = count("hashpartitioning")
+        val single = count("SinglePartition")
+        val range = count("rangepartitioning")
         val total = hash + single + range
         if (total >= threshold)
           println(s"$name exchanges=$total (hash=$hash single=$single range=$range)")

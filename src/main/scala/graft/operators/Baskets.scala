@@ -204,13 +204,27 @@ object Baskets {
       }
       Seq(s.get(0), s.get(1))
     }
+    // last value per member within a window (csp sync keeps the latest),
+    // in ONE grouping: the former groupBy(..., member) → groupBy(...)
+    // chain shuffled twice (hashpartitioning on the member-qualified key
+    // does not satisfy the coarser distribution). Collect the window's
+    // entries sorted by (member, seq) — comparator touches only its own
+    // arguments, per the higher-order-function rules on
+    // TextAnalysis.runLengths — and keep each member's last entry via
+    // zip-with-shifted-self (zip_with pads the final pair with null).
+    val entries = array_sort(
+      collect_list(struct(col(memberCol).as("m"), col(SEQ).as("s"), col(VALUE).as("v"))),
+      (a, b) => when(a("m") < b("m"), -1).when(a("m") > b("m"), 1)
+        .when(a("s") < b("s"), -1).when(a("s") > b("s"), 1).otherwise(0))
+    val lasts = filter(
+      zip_with(col("__e"), slice(col("__e"), lit(2), size(col("__e")) - 1),
+        (cur, nxt) => when(nxt.isNull || nxt("m") =!= cur("m"), cur)),
+      _.isNotNull)
     TickStream(grouped.df
-      // last value per member within a window (csp sync keeps the latest)
-      .groupBy(col(KEY), col("__grp"), col("__gend"), col(memberCol))
-      .agg(max_by(col(VALUE), col(SEQ)).as("__v"))
       .groupBy(col(KEY), col("__grp"), col("__gend"))
-      .agg(map_from_entries(collect_list(struct(col(memberCol), col("__v")))).as(VALUE))
-      .select(col(KEY), timestamp_micros(col("__gend")).as(TS), col("__grp").as(SEQ), col(VALUE)))
+      .agg(entries.as("__e"))
+      .select(col(KEY), timestamp_micros(col("__gend")).as(TS), col("__grp").as(SEQ),
+        map_from_entries(transform(lasts, e => struct(e("m"), e("v")))).as(VALUE)))
   }
 
   /** basketlib.sample_basket (`csp/basketlib.py:69-97`): snapshot every

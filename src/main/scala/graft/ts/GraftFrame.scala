@@ -43,11 +43,22 @@ object GraftFrame {
   import Tick._
 
   /** Build from named tick streams: outer-align on (key, ts, seq), one
-    * column per edge (reference ctor `dataframe.py:13-21`). */
+    * column per edge (reference ctor `dataframe.py:13-21`).
+    *
+    * Union + group-pivot, not an N-way full_outer join: the join planned
+    * one Exchange per side on (key, ts, seq) plus another for the ffill
+    * window (3+ total); the union groups on (key, ts, seq) behind one
+    * repartition(key) that also satisfies every downstream window — ONE
+    * Exchange for the whole frame. Disjoint columns after unionByName
+    * mean each group holds at most one non-null row per edge, so
+    * first(ignoreNulls) is exact for any value type. */
   def apply(edges: (String, TickStream)*): GraftFrame = {
-    val frames = edges.map { case (name, s) =>
+    val tagged = edges.map { case (name, s) =>
       s.df.select(col(KEY), col(TS), col(SEQ), col(VALUE).as(name))
     }
-    GraftFrame(frames.reduce((a, b) => a.join(b, Seq(KEY, TS, SEQ), "full_outer")))
+    val u = tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .repartition(col(KEY))
+    val pivots = edges.map { case (name, _) => first(col(name), ignoreNulls = true).as(name) }
+    GraftFrame(u.groupBy(col(KEY), col(TS), col(SEQ)).agg(pivots.head, pivots.tail: _*))
   }
 }
