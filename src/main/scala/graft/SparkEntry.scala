@@ -1160,8 +1160,56 @@ object SparkEntry {
         .df.select(col(Tick.SEQ).as("event_id"),
           col(Tick.KEY).cast(LongType).as("user_id"),
           unix_micros(col(Tick.TS)).as("fire_us"), col(Tick.VALUE).as("val_v"))
+    },
+    // ---- mixture assembly + PII scrubbing (llm.Mixture / llm.Redact) ----
+    // deterministic split assignment: pure function of (doc_id, seed) —
+    // the oracle replays the mixer and the cumulative-fraction CASE
+    "q_mixture_split" -> { (s, dir) =>
+      graft.llm.Mixture.hashSplit(Sources.table(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 5)
+        .select(col("doc_id"), col("split"))
+    },
+    // temperature-balanced domain sampling over a skewed synthetic domain
+    // (1:2:4:8:16 residue-class buckets — the fixture's sources are
+    // uniform, which would make every rate 1); the oracle recomputes the
+    // per-domain rate formula and the mixer draw
+    "q_mixture_temp" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents").withColumn("domain", skewDomain)
+      graft.llm.Mixture.temperatureSample(d, "domain", "doc_id", tau = 2.0, seed = 3)
+        .select(col("doc_id"), col("domain"))
+    },
+    // exact per-domain token-budget cut in deterministic draw order; the
+    // oracle replays the same window cumsum over the same ordering
+    "q_mixture_budget" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents").withColumn("domain", skewDomain)
+      graft.llm.Mixture.tokenBudgetExact(d, "domain", "n_chars", "doc_id", 3000L, seed = 11)
+        .select(col("doc_id"), col("domain"), col("n_chars"))
+    },
+    // PII redaction over deterministically synthesized PII (the fixture
+    // text is clean word-salad): both engines build the same string and
+    // run the same Java∩RE2 regexes, so the redacted text must match
+    // byte-for-byte
+    "q_redact" -> { (s, dir) =>
+      val pii = concat(lit("u"), col("source"), lit("@ex.org ip 10.0."),
+        (col("doc_id") % 256).cast(StringType), lit(".7 call 555-123-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" "),
+        substring(col("text"), 1, 40))
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), graft.llm.Redact.redact(pii).as("red"),
+          graft.llm.Redact.piiCount(pii, "email").cast(LongType).as("n_email"),
+          graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
+          graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     }
   )
+
+  /** Skewed synthetic domain for the mixture queries: residue-class
+    * buckets of doc_id mod 31 sized 1:2:4:8:16 — integer CASE arithmetic,
+    * so both engines bucket identically. */
+  private def skewDomain: Column = {
+    val m = col("doc_id") % 31
+    when(m < 1, "d0").when(m < 3, "d1").when(m < 7, "d2")
+      .when(m < 15, "d3").otherwise("d4")
+  }
 
   /** Events as the frame shape WindowedAggs consumes: integral
     * nanos→micros (`div`, not `/` — double division loses precision at
@@ -2313,6 +2361,60 @@ object SparkEntry {
         |                <= CAST(floor(value) * 60000000 AS BIGINT))
         |        OR (event_id % 4 = 1
         |            AND CAST(floor(value) * 120000000 AS BIGINT)
-        |                <= CAST(floor(value) * 60000000 AS BIGINT)))""".stripMargin
+        |                <= CAST(floor(value) * 60000000 AS BIGINT)))""".stripMargin,
+    // ---- mixture assembly + PII scrubbing ----
+    // the cumulative cut 0.8 + 0.1 is COMPUTED (not written 0.9) so the
+    // oracle's double is bit-identical to the Scala scanLeft sum
+    "q_mixture_split" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 5)}
+         |SELECT i AS doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.8 + 0.1 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM au""".stripMargin,
+    "q_mixture_temp" ->
+      s"""WITH docs2 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 31 < 1 THEN 'd0' WHEN doc_id % 31 < 3 THEN 'd1'
+         |       WHEN doc_id % 31 < 7 THEN 'd2' WHEN doc_id % 31 < 15 THEN 'd3'
+         |       ELSE 'd4' END AS domain FROM documents),
+         |counts AS (SELECT domain, COUNT(*) AS n FROM docs2 GROUP BY 1),
+         |rates AS (SELECT domain,
+         |  pow(CAST(n AS DOUBLE) / (SELECT MIN(n) FROM counts), 1.0 / 2.0 - 1.0) AS rate
+         |  FROM counts),
+         |ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 3)}
+         |SELECT d.doc_id, d.domain
+         |FROM docs2 d JOIN rates r USING (domain) JOIN au ON au.i = d.doc_id
+         |WHERE au.u < r.rate""".stripMargin,
+    "q_mixture_budget" ->
+      s"""WITH docs2 AS (SELECT doc_id, n_chars,
+         |  CASE WHEN doc_id % 31 < 1 THEN 'd0' WHEN doc_id % 31 < 3 THEN 'd1'
+         |       WHEN doc_id % 31 < 7 THEN 'd2' WHEN doc_id % 31 < 15 THEN 'd3'
+         |       ELSE 'd4' END AS domain FROM documents),
+         |ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 11)},
+         |ord AS (SELECT d.doc_id, d.domain, d.n_chars,
+         |  SUM(d.n_chars) OVER (PARTITION BY d.domain ORDER BY au.u, d.doc_id)
+         |    - d.n_chars AS cum_before
+         |  FROM docs2 d JOIN au ON au.i = d.doc_id)
+         |SELECT doc_id, domain, n_chars FROM ord WHERE cum_before < 3000""".stripMargin,
+    // same synthesized PII string, same regexes (Java ∩ RE2), same
+    // replace order: email first so an email's IPv4-shaped host never
+    // double-redacts
+    "q_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  'u' || source || '@ex.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ' || substr(text, 1, 40) AS pii FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red,
+        |  len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+        |FROM p""".stripMargin
   )
 }

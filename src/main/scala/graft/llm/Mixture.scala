@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture construction: deterministic dataset splits, temperature-
+  * balanced domain sampling, and per-domain token-budget cuts — the
+  * standard "assemble the training mix" stage that sits after curation
+  * ([[Curation]]) and dedup ([[Dedup]]) in a large-scale data pipeline.
+  *
+  * Everything here is driven by the counter-mode unit draw
+  * ([[graft.functions.VectorExprs.UnitDraw]]): a pure function of
+  * (id, seed), so every decision is reproducible across runs, across
+  * partitionings, and across engines (the mixer is SQL-replayable — the
+  * DuckDB oracle recomputes the identical doubles). No RNG state, no
+  * `rand()` non-determinism under retry/speculation — at 100 TB a
+  * speculative re-execution of a `rand()`-sampled partition silently
+  * changes the sample; a counter-mode draw cannot.
+  *
+  * 100 TB shapes: [[hashSplit]] and [[temperatureSample]] are
+  * projection/filter-only over the corpus (one tiny per-domain aggregate
+  * on the side, broadcast back) — no corpus shuffle anywhere.
+  * [[tokenBudgetExact]] is the one operator that must order rows within a
+  * domain, so it carries a single `Exchange hashpartitioning(domain)`;
+  * for heavy-tailed domain sizes prefer [[tokenBudgetRate]], which trades
+  * the exact cut for a shuffle-free filter at a derived keep-rate.
+  */
+object Mixture {
+
+  private def draw(idCol: String, seed: Long): Column =
+    graft.functions.VectorExprs.unitDraw(col(idCol), seed)
+
+  /** Deterministic train/val/test assignment: row `i` lands in the split
+    * whose cumulative-fraction interval contains `unitDraw(i, seed)`.
+    * Fractions must sum to ≤ 1; any remainder falls into the LAST split
+    * (so `("train" 0.8, "val" 0.1, "test" 0.1)` is airtight under
+    * floating-point sums). Adds column `split`.
+    *
+    * Membership is a pure function of (id, seed): re-running on a grown
+    * corpus never reassigns an existing row — the property that keeps a
+    * held-out set held out across dataset versions. */
+  def hashSplit(df: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "at least one split")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be non-negative")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val u = draw(idCol, seed)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    // last arm is otherwise(): the remainder interval absorbs fp drift
+    val label = fractions.init.zip(cuts.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cut)) =>
+        val cond = u < cut
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(fractions.last._1))(_.otherwise(fractions.last._1))
+    df.withColumn("split", label)
+  }
+
+  /** Per-domain keep-rates for temperature-balanced sampling (the
+    * multinomial mixing rule of large-LM data work): sampling probability
+    * ∝ share^(1/τ), realized as a without-replacement keep-rate
+    *
+    *   rate_d = (share_d / share_min)^(1/τ − 1)
+    *
+    * normalized so the SMALLEST domain keeps everything (exponent is
+    * negative for τ > 1, so the min-share domain attains the max). τ = 1
+    * keeps every row of every domain (identity); τ → ∞ equalizes expected
+    * kept counts across domains. Returns `(domain, rate)` — a tiny frame
+    * (one row per domain) meant to be broadcast. */
+  def temperatureRates(df: DataFrame, domainCol: String, tau: Double): DataFrame = {
+    require(tau >= 1.0, s"tau $tau must be >= 1 (tau < 1 sharpens instead of balancing)")
+    // barrier the per-domain counts: min-share and the rate projection
+    // both read it, and without the cut Spark re-runs the corpus
+    // aggregate once per branch — two full passes at 100 TB
+    val counts = graft.util.Caching.barrier(
+      df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n")))
+    // global min share via scalar-agg + broadcast cross-join: both sides
+    // are |domains|-row frames, so no corpus data moves
+    val minN = counts.agg(min(col("__n")).as("__minN"))
+    counts.crossJoin(broadcast(minN))
+      .select(col(domainCol),
+        pow(col("__n").cast("double") / col("__minN"), 1.0 / tau - 1.0).as("rate"))
+  }
+
+  /** Temperature-balanced deterministic sampling: keep row `i` of domain
+    * `d` iff `unitDraw(i, seed) < rate_d` with rates from
+    * [[temperatureRates]]. The corpus side is scan → broadcast-join →
+    * filter: no shuffle, no corpus-wide ordering, pushdown-friendly. */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+                        tau: Double, seed: Long = 42L): DataFrame = {
+    val rates = temperatureRates(df, domainCol, tau)
+    df.join(broadcast(rates), domainCol)
+      .filter(draw(idCol, seed) < col("rate"))
+      .drop("rate")
+  }
+
+  /** Exact per-domain budget cut: order each domain's rows by the
+    * deterministic draw (ties → id) and keep rows while the cumulative
+    * `weightCol` before the row is under `budget` — so the kept set
+    * overshoots by strictly less than one row's weight and is identical
+    * under any physical partitioning. One `Exchange
+    * hashpartitioning(domain)` + one in-partition sort; heavy-tailed
+    * domain sizes make that sort the straggler at 100 TB — prefer
+    * [[tokenBudgetRate]] there. */
+  def tokenBudgetExact(df: DataFrame, domainCol: String, weightCol: String,
+                       idCol: String, budget: Long, seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(draw(idCol, seed), col(idCol))
+    df.withColumn("__before",
+        coalesce(sum(col(weightCol)).over(w) - col(weightCol), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__before")
+  }
+
+  /** Rate-based budget cut — the shuffle-free 100 TB shape: a tiny
+    * per-domain totals aggregate derives `keep-rate = min(1, budget /
+    * total_weight)`, broadcast back as a `unitDraw < rate` filter. Kept
+    * weight CONCENTRATES around the budget (each domain's kept total is a
+    * sum of independent draws; relative deviation ~ 1/√n_kept) instead of
+    * cutting exactly at it; the corpus pass is scan → broadcast-join →
+    * filter with no Exchange. */
+  def tokenBudgetRate(df: DataFrame, domainCol: String, weightCol: String,
+                      idCol: String, budget: Long, seed: Long = 42L): DataFrame = {
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(weightCol)).as("__total"))
+      .select(col(domainCol),
+        least(lit(1.0), lit(budget.toDouble) / col("__total")).as("rate"))
+    df.join(broadcast(rates), domainCol)
+      .filter(draw(idCol, seed) < col("rate"))
+      .drop("rate")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing for training corpora: regex redaction of emails, IPv4
+  * addresses, and NANP-style phone numbers, plus per-kind match counts
+  * for audit trails.
+  *
+  * All patterns are deliberately restricted to the regex intersection of
+  * Java (`java.util.regex`, what Spark's codegen'd `regexp_replace`
+  * compiles) and RE2 (what DuckDB executes) — no backreferences, no
+  * lookaround — so the DuckDB oracle replays the exact same automaton and
+  * the redacted text is engine-identical byte for byte.
+  *
+  * 100 TB shape: pure per-row projection work, fully inside whole-stage
+  * codegen — no shuffle, no UDF, pushdown unaffected. Redaction cost is
+  * one linear scan of the text per pattern. */
+object Redact {
+
+  /** (kind, pattern, replacement) — ordered: emails first so a
+    * phone-shaped local part (`555-123-4567@x.co`) redacts as one email
+    * instead of being split by the phone pass. (A raw-IP host like
+    * `a@1.2.3.4` is NOT an email under this pattern — the TLD must be
+    * alphabetic — so the IPv4 pass picks up the host instead.) */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** Text with every [[patterns]] kind replaced by its tag, applied in
+    * order (Spark's `regexp_replace` is replace-ALL, matching DuckDB's
+    * `'g'` flag). */
+  def redact(text: Column): Column =
+    patterns.foldLeft(text) { case (c, (_, re, tag)) => regexp_replace(c, re, tag) }
+
+  /** Match count for one pattern kind — `regexp_extract_all` + size, the
+    * count form both engines share verbatim. */
+  def piiCount(text: Column, kind: String): Column = {
+    val re = patterns.collectFirst { case (`kind`, p, _) => p }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII kind $kind"))
+    size(regexp_extract_all(text, lit(re), lit(0)))
+  }
+}

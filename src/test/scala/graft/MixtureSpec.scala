@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Mixture, Redact}
+
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 6 domains with heavy-tailed sizes: 640, 320, …, 20 — 1260 rows
+  lazy val corpus = {
+    val rows = for {
+      (d, n) <- Seq("a" -> 640, "b" -> 320, "c" -> 160, "d" -> 80, "e" -> 40, "f" -> 20)
+      i <- 0 until n
+    } yield (s"$d$i".hashCode.toLong & 0x7fffffffL, d, 10L + i % 90)
+    rows.toDF("id", "domain", "tokens")
+  }
+
+  test("hashSplit: deterministic, partition-invariant, exhaustive labels") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Mixture.hashSplit(corpus, "id", fr, seed = 5)
+      .select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Mixture.hashSplit(corpus.repartition(13), "id", fr, seed = 5)
+      .select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must not depend on physical partitioning")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 1260 draws: train share within a loose CLT band of 0.8
+    assert(math.abs(counts("train").toDouble / a.size - 0.8) < 0.05)
+    // growing the corpus never reassigns an existing row
+    val grown = Mixture.hashSplit(corpus.union(Seq((999999999L, "z", 5L)).toDF), "id", fr, seed = 5)
+      .select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("temperatureRates: tau=1 identity; tau>1 monotone in inverse share; min domain keeps all") {
+    val r1 = Mixture.temperatureRates(corpus, "domain", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r1.values.forall(v => math.abs(v - 1.0) < 1e-12))
+    val r2 = Mixture.temperatureRates(corpus, "domain", 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2("f") - 1.0) < 1e-12, "smallest domain keeps everything")
+    // smaller domain ⇒ strictly higher rate
+    assert(r2("f") > r2("e") && r2("e") > r2("d") && r2("d") > r2("a"))
+    // tau=2: rate_d = (n_d/n_min)^(-1/2); a is 32x f → rate 1/sqrt(32)
+    assert(math.abs(r2("a") - 1.0 / math.sqrt(32.0)) < 1e-12)
+  }
+
+  test("temperatureSample plans no corpus shuffle (broadcast rates) and equalizes toward tau") {
+    val out = Mixture.temperatureSample(corpus, "domain", "id", tau = 1e9, seed = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the only Exchange allowed is the broadcast of the tiny rates frame
+    // (and its internal per-domain aggregate); the corpus side must not
+    // hash-repartition
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    val kept = out.groupBy($"domain").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau→∞: expected kept per domain ≈ n_min = 20 for every domain
+    assert(kept.values.forall(n => n >= 8 && n <= 36), s"kept $kept should cluster near 20")
+  }
+
+  test("tokenBudgetExact: kept weight lands in (budget - max, budget + max); draw-order prefix") {
+    val budget = 1500L
+    val out = Mixture.tokenBudgetExact(corpus, "domain", "tokens", "id", budget, seed = 11)
+    val kept = out.groupBy($"domain").agg(sum($"tokens").as("w"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(kept.size == 6)
+    kept.foreach { case (d, w, _) =>
+      assert(w < budget + 99 && w > budget - 99 || w < budget,
+        s"domain $d kept weight $w vs budget $budget (max row weight 99)")
+    }
+    // partition-invariance: same kept ids under a different partitioning
+    val ids1 = out.select($"id").collect().map(_.getLong(0)).toSet
+    val ids2 = Mixture.tokenBudgetExact(corpus.repartition(17), "domain", "tokens", "id", budget, seed = 11)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("tokenBudgetRate: shuffle-free corpus pass, kept weight concentrates near budget") {
+    val budget = 8000L
+    val out = Mixture.tokenBudgetRate(corpus, "domain", "tokens", "id", budget, seed = 7)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    val w = out.where($"domain" === "a").agg(sum($"tokens")).collect()(0).getLong(0)
+    // domain a: total ~35k, rate ~0.23, n_kept ~145 ⇒ sd ~ few hundred tokens
+    assert(math.abs(w - budget) < 2500, s"kept weight $w should concentrate near $budget")
+    // a domain whose total is under budget keeps everything (rate clamps to 1)
+    val fAll = out.where($"domain" === "f").count()
+    assert(fAll == 20L)
+  }
+
+  test("redact: all three kinds replaced; counts match; clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 192.168.0.12 tel 555-867-5309"),
+      (2L, "no pii here, just 1234 and a.b"),
+      (3L, "two mails a@x.io b@y.co one ip 10.0.0.1")
+    ).toDF("id", "t")
+    val out = df.select($"id", Redact.redact($"t").as("r"),
+        Redact.piiCount($"t", "email").as("ne"),
+        Redact.piiCount($"t", "ipv4").as("ni"),
+        Redact.piiCount($"t", "phone").as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L)._1 == "reach me at <EMAIL> or <IP> tel <PHONE>")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 1)
+    assert(out(2L)._1 == "no pii here, just 1234 and a.b" && out(2L)._2 == 0)
+    assert(out(3L)._1 == "two mails <EMAIL> <EMAIL> one ip <IP>" && out(3L)._2 == 2 && out(3L)._3 == 1)
+  }
+
+  test("redact order: phone-shaped email local part stays one email; raw-IP host falls to the IP pass") {
+    val out = Seq((1L, "555-123-4567@x.co end"), (2L, "a@1.2.3.4 end")).toDF("id", "t")
+      .select($"id", Redact.redact($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "<EMAIL> end")
+    assert(out(2L) == "a@<IP> end")
+  }
+}
