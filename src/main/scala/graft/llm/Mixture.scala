@@ -83,17 +83,25 @@ object Mixture {
         pow(col("__n").cast("double") / col("__minN"), 1.0 / tau - 1.0).as("rate"))
   }
 
+  /** Keep-rate filter against a PRECOMPUTED `(domain, rate)` frame:
+    * broadcast-join + deterministic draw, stateless row-local work. This
+    * is also the ONLINE shape — rates derived once from a static
+    * reference corpus, the arriving stream filtered against them with no
+    * state store (same static-index pattern as streaming decontaminate /
+    * ivfTopK). */
+  def sampleWithRates(df: DataFrame, domainCol: String, idCol: String,
+                      rates: DataFrame, seed: Long = 42L): DataFrame =
+    df.join(broadcast(rates), domainCol)
+      .filter(draw(idCol, seed) < col("rate"))
+      .drop("rate")
+
   /** Temperature-balanced deterministic sampling: keep row `i` of domain
     * `d` iff `unitDraw(i, seed) < rate_d` with rates from
     * [[temperatureRates]]. The corpus side is scan → broadcast-join →
     * filter: no shuffle, no corpus-wide ordering, pushdown-friendly. */
   def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
-                        tau: Double, seed: Long = 42L): DataFrame = {
-    val rates = temperatureRates(df, domainCol, tau)
-    df.join(broadcast(rates), domainCol)
-      .filter(draw(idCol, seed) < col("rate"))
-      .drop("rate")
-  }
+                        tau: Double, seed: Long = 42L): DataFrame =
+    sampleWithRates(df, domainCol, idCol, temperatureRates(df, domainCol, tau), seed)
 
   /** Exact per-domain budget cut: order each domain's rows by the
     * deterministic draw (ties → id) and keep rows while the cumulative

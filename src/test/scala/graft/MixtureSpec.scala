@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.{Mixture, Redact}
 
+/** Test-fixture document (top-level: streaming encoders need an
+  * outer-free case class). */
+case class MixDoc(id: Long, domain: String, text: String)
+
 class MixtureSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -105,6 +109,50 @@ class MixtureSpec extends AnyFunSuite {
     assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 1)
     assert(out(2L)._1 == "no pii here, just 1234 and a.b" && out(2L)._2 == 0)
     assert(out(3L)._1 == "two mails <EMAIL> <EMAIL> one ip <IP>" && out(3L)._2 == 2 && out(3L)._3 == 1)
+  }
+
+  test("streaming mix assembly: redact -> hashSplit -> rate sample is one stateless query == batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+
+    val docs = (0 until 400).map { i =>
+      MixDoc(i.toLong, if (i % 8 == 0) "rare" else "common",
+        s"user$i@ex.org says hi" + (if (i % 3 == 0) s" from 10.0.0.${i % 250}" else ""))
+    }
+    val batchDf = spark.createDataset(docs).toDF()
+    // rates from the STATIC reference corpus — the online pattern: derive
+    // once offline, broadcast into the arrival-time query
+    val rates = Mixture.temperatureRates(batchDf, "domain", 2.0)
+    def assemble(df: DataFrame): DataFrame =
+      Mixture.sampleWithRates(
+        Mixture.hashSplit(df.withColumn("red", Redact.redact($"text")), "id",
+          Seq("train" -> 0.9, "val" -> 0.1), seed = 5),
+        "domain", "id", rates, seed = 9)
+        .select($"id", $"domain", $"split", $"red")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))
+    val batch = assemble(batchDf).collect().map(key).toMap
+
+    val mem = MemoryStream[MixDoc]
+    val q = assemble(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("mix_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(80).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("mix_stream").collect().map(key).toMap
+    val stateless = q.lastProgress.stateOperators.isEmpty
+    q.stop()
+
+    assert(stream == batch)
+    assert(stateless, "mix assembly must run with NO state store")
+    // the pipeline did real work: both splits present, rare oversampled,
+    // PII scrubbed
+    assert(batch.values.map(_._2).toSet == Set("train", "val"))
+    val keptShare = { val k = batch.keys.toSeq; (n: String) =>
+      k.count(id => docs(id.toInt).domain == n).toDouble / docs.count(_.domain == n) }
+    assert(keptShare("rare") > keptShare("common"))
+    assert(batch.values.forall(v => !v._3.contains("@ex.org")))
   }
 
   test("redact order: phone-shaped email local part stays one email; raw-IP host falls to the IP pass") {
