@@ -136,11 +136,15 @@ object Sources {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsCol = raw.schema("ts").dataType match {
       case LongType => timestamp_micros(expr("ts div 1000")) // integral div: Long/Long via `/` is double → precision loss at epoch-nanos magnitude
+      // tz-less fixtures read as NTZ when inferTimestampNTZ is on; under
+      // the UTC session the cast is a pure re-tag, and it keeps this
+      // loader correct even outside GraftSession's conf.
+      case TimestampNTZType => col("ts").cast(TimestampType)
       case _        => col("ts")
     }
     val tsNanos = raw.schema("ts").dataType match {
       case LongType => col("ts")
-      case _        => unix_micros(col("ts")) * 1000L
+      case _        => unix_micros(tsCol) * 1000L
     }
     TickStream(raw.select(
       col("user_id").cast(StringType).as(Tick.KEY),

@@ -60,6 +60,12 @@ object GraftSession {
       // full fidelity (csp engine time is ns-capable, SURVEY §1.2); sources
       // derive a TimestampType column from it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture parquet may carry tz-less MICROS timestamps (isAdjustedToUTC
+      // =false); Spark 4 infers those as TIMESTAMP_NTZ, which the whole
+      // tick-time algebra (unix_micros & friends) rejects. Under the UTC
+      // session timezone NTZ and LTZ are value-identical, so read them as
+      // plain TIMESTAMP like every prior fixture generation.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // static conf, so it must land at session build: the default
       // generated-class cache holds 100 entries, and any workload cycling
       // through >100 distinct plans in one session (the interleaved
