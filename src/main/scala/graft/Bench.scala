@@ -118,6 +118,30 @@ object Bench {
     val suite = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
     val results = measure(spark, suite, sfDir, iters)
     renderLines(results, iters, sfDir).foreach(println)
+    writeRecordFile(results, iters, sfDir)
     spark.stop()
+  }
+
+  /** Persist the full medians record to a repo file — the driver's stdout
+    * tail capture (~2.2 KB) has truncated the 126-median summary line six
+    * rounds running (BENCH_r04–r09 `"parsed": null`); the stdout lines
+    * stay as a courtesy, the FILE is the record of record. One line per
+    * query so diffs and partial reads stay meaningful. */
+  def writeRecordFile(results: Seq[QueryResult], iters: Int, sfDir: String): Unit = {
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench/medians_latest.json")
+    val rows = results.map { r =>
+      val err = r.err.map(e => s""","err":${jstr(e)},"err_count":${r.errCount}""").getOrElse("")
+      s"""  ${jstr(r.name)}: {"median":${f(r.median)},"min":${f(r.min)}$err}"""
+    }
+    val total = results.map(_.median).sum
+    val json =
+      s"""{"sf":${jstr(sfDir)},"iters":$iters,"total_sec":${f(total)},"n_queries":${results.size},
+         |"queries":{
+         |${rows.mkString(",\n")}
+         |}}""".stripMargin
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, json)
+    println(s"""{"bench_record_file":${jstr(out)}}""")
   }
 }

@@ -17,10 +17,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query throw record: the round-8 NTZ breakage showed a thrown
+    // query silently VANISHES from the record (no parquet dir → skipped by
+    // the compare). Capture every throw here and persist it so the gate
+    // (tools/verify_gate.sh) can fail loudly with the err string.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // LSH/gate queries register persist-barriers with Caching; release
@@ -43,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    // Strict mode (the local gate): any throw is a non-zero exit. The
+    // driver's own two-arg invocation stays exit-0 — correctness grading
+    // is the driver's compare, not this dump.
+    if (errors.nonEmpty && sys.env.get("SPARK_GRAFT_STRICT").contains("1")) {
+      System.err.println(s"[verify] STRICT: ${errors.size} queries threw: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -143,6 +143,14 @@ object Pq {
     }: _*)
   }
 
+  /** ADC score = sequential fold over subspaces of lut[s][code[s]] — the
+    * ONE Catalyst expression shared by both batch forms and the
+    * streaming twin ([[StreamingSimilarity.ivfAdcTopK]]), so stream ≡
+    * batch is expression-identity, not reimplementation. */
+  private[llm] def adcScore(m: Int, lutCol: Column, codes: Column): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(lutCol, s + 1), element_at(codes, s + 1) + 1))
+
   /** ADC top-k: per query, a lookup table (distance from the query's
     * subvector to every centroid, per subspace) is computed ONCE and
     * broadcast with the query; each encoded vector scores as the SUM of
@@ -151,9 +159,7 @@ object Pq {
   def adcTopK(queries: DataFrame, encoded: DataFrame, books: Codebooks, kNN: Int,
               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val q = queries.select(col(id).as("query_id"), lut(col(vec), books).as("__lut"))
-    // score = sequential fold over subspaces of lut[s][code[s]]
-    val score = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+    val score = adcScore(books.m, col("__lut"), col("codes"))
     broadcast(q).join(encoded.select(col(id).as("neighbor_id"), col("codes")),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("dist", score)
@@ -204,8 +210,7 @@ object Pq {
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
       .filter(col("rk") <= nprobe)
       .select(col("query_id"), col("cell"), lut(col("__qv"), books).as("__lut"))
-    val score = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+    val score = adcScore(books.m, col("__lut"), col("codes"))
     broadcast(qProbes)
       .join(index.cells.select(col(id).as("neighbor_id"), col("cell"), col("codes")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -116,4 +116,98 @@ object StreamingSimilarity {
       .groupByKey(_.queryId)(Encoders.scalaLong)
       .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- online IVF-PQ serving (streaming twin of Pq.ivfAdcTopK) ----
+
+  /** One ranked ADC neighbor for an arriving query. */
+  case class AdcHit(queryId: Long, neighborId: Long, rk: Int, dist: Double)
+
+  private[llm] case class PqProbe(queryId: Long, lut: Array[Array[Double]], cell: Int)
+  private[llm] case class PqCand(queryId: Long, neighborId: Long, dist: Double)
+
+  /** Bit-exact replica of Pq.subDist's Catalyst fold: lane-order double
+    * accumulation of (a − c)², a float-widened. */
+  private def subDistJvm(qv: Array[Double], s: Int, dsub: Int, cent: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < dsub) { val d = qv(s * dsub + i) - cent(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Stateless per-batch grouped top-k on ADC distance (batch tie-break:
+    * dist asc, then neighbor id asc — `Pq.ivfAdcTopK`'s rank window). */
+  class DistTopKProcessor(k: Int) extends StatefulProcessor[Long, PqCand, AdcHit] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[PqCand],
+                                 timerValues: TimerValues): Iterator[AdcHit] =
+      rows.toSeq.sortBy(c => (c.dist, c.neighborId)).take(k).zipWithIndex
+        .map { case (c, i) => AdcHit(c.queryId, c.neighborId, i + 1, c.dist) }
+        .iterator
+  }
+
+  /** ADC top-k for a LIVE stream of query embeddings against a static
+    * [[Pq.IvfPqIndex]] — the streaming twin of [[Pq.ivfAdcTopK]], closing
+    * the online-serving story for the compressed index (ivfTopK serves
+    * the flat one). Same shape as [[ivfTopK]]:
+    *  - centroid probe + per-query LUT computed JVM-side in a flatMap
+    *    (k-bounded centroid collect, codebooks broadcast — the same
+    *    objects the batch plan ships as literals); the LUT replica
+    *    reproduces Pq.subDist's fold order so its doubles are bit-equal;
+    *  - candidate generation: stream-static equi-join on `cell` against
+    *    the barrier-persisted codes table — |corpus|·nprobe/kCells codes
+    *    scanned per query, the IVF-PQ contract, no per-batch rebuild;
+    *  - scoring: [[Pq.adcScore]], the SAME Catalyst expression as batch,
+    *    on the same (lut, codes) inputs — stream ≡ batch by expression
+    *    identity (StreamingSimilaritySpec asserts bit-equal dists);
+    *  - per-query top-k: stateless grouped sort-take (all candidates of
+    *    a query live in its own micro-batch).
+    * With nprobe = kCells this serves the FLAT ADC answer (batch spec:
+    * nprobe=all ≡ adcTopK), so one method covers both serving modes. */
+  def ivfAdcTopK(queries: DataFrame, index: Pq.IvfPqIndex, kNN: Int, nprobe: Int = 4,
+                 id: String = "vec_id", vec: String = "embedding"): Dataset[AdcHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[AdcHit]
+    implicit val probeEnc = Encoders.product[PqProbe]
+    implicit val candEnc = Encoders.product[PqCand]
+    val books = index.books
+    val (m, dsub) = (books.m, books.dsub)
+    val cb: Array[Array[Array[Double]]] = books.cb.map(_.map(_.toArray).toArray).toArray
+    val cents: Array[(Int, Array[Double])] = index.centroids
+      .select(col("cell"), col("centroid").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    val cells = graft.util.Caching.barrier(
+      index.cells.select(col(id).as("neighborId"), col("cell"), col("codes")))
+
+    val probes: Dataset[PqProbe] = queries
+      .select(col(id).cast("long").as("queryId"),
+        col(vec).cast(ArrayType(DoubleType)).as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qId, qv) =>
+        val books = bcCb.value
+        val lutArr = Array.tabulate(m)(s =>
+          Array.tabulate(books(s).length)(j => subDistJvm(qv, s, dsub, books(s)(j))))
+        // batch rank window semantics: sim desc, cell asc, top nprobe
+        bcCents.value.iterator
+          .map { case (cell, cv) => (cell, cosine(qv, cv)) }
+          .toSeq.sortBy { case (cell, sim) => (-sim, cell) }
+          .take(nprobe)
+          .map { case (cell, _) => PqProbe(qId, lutArr, cell) }
+      }
+
+    probes.toDF()
+      .join(cells, "cell")
+      .filter(col("queryId") =!= col("neighborId"))
+      .withColumn("dist", Pq.adcScore(m, col("lut"), col("codes")))
+      .select(col("queryId"), col("neighborId"), col("dist"))
+      .as[PqCand]
+      .groupByKey(_.queryId)(Encoders.scalaLong)
+      .transformWithState(new DistTopKProcessor(kNN), TimeMode.None(), OutputMode.Append())
+  }
 }

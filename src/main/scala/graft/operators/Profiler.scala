@@ -75,6 +75,36 @@ object Profiler {
     GraphInfo(nodes, edges, counts.toMap, path)
   }
 
+  /** Reference `csp/showgraph.py:13-84` (`_build_graphviz_graph` /
+    * `generate_graph`): render the wired graph as GraphViz DOT. csp draws
+    * input adapters as salmon `rarrow`s, output adapters as lightblue
+    * `invtriangle`s, and engine nodes as rounded boxes; the Spark wiring
+    * is the optimized logical plan, so leaves (relations/sources) get the
+    * input treatment, the root the output treatment. Edges point in
+    * DATAFLOW direction (child → parent), matching csp's
+    * `digraph.edge(input, output)`. Feed the string to `dot -Tpng` —
+    * same contract as `csp.show_graph`'s graphviz pipe. */
+  def toDot(df: DataFrame, name: String = "graft"): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var n = 0
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val id = n
+      n += 1
+      val (shape, color) =
+        if (p.children.isEmpty) ("rarrow", "salmon")          // input adapter
+        else if (id == 0) ("invtriangle", "lightblue")        // graph output
+        else ("box", "white")
+      val label =
+        if (p.children.isEmpty) p.simpleString(2).take(48) else p.nodeName
+      lines += s"""  n$id [label="${esc(label)}", shape=$shape, style="rounded,filled", fillcolor=$color];"""
+      p.children.map(walk).foreach(kid => lines += s"  n$kid -> n$id;")
+      id
+    }
+    walk(df.queryExecution.optimizedPlan)
+    s"""digraph "${esc(name)}" {\n  rankdir=TB;\n""" + lines.mkString("\n") + "\n}\n"
+  }
+
   /** Execute the frame's own physical plan and collect per-operator
     * metrics — csp's per-node exec counts/times. (count() would build a
     * different plan; AQE wraps the final plan, so unwrap it.) */

@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Terminal profile watcher (reference
+  * `csp/utils/csp_watch_profile.py:23-63`): poll a live
+  * [[ProfilerServer]] at an interval, diff consecutive snapshots, and
+  * print the per-node metric DELTAS — "what did the graph do since the
+  * last poll", the ops view of a long-running engine. The reference
+  * subtracts whole `ProfilerInfo` objects; here the snapshot is the
+  * flattened (profile, node, metric) → value map from `/metrics.json`,
+  * and the diff drops zero rows exactly like `ProfilerInfo.__sub__` +
+  * `print_stats`.
+  *
+  * Usage: runMain graft.operators.WatchProfile <host> <port>
+  *        [intervalSec] [polls]   (polls 0 = forever)
+  */
+object WatchProfile {
+
+  /** Latest value per (profile, node, metric). Node keys carry the array
+    * index — operator names repeat within a plan. For a profile name
+    * recorded more than once, the MOST RECENT recording wins (the server
+    * prepends), so the diff tracks each named profile's latest state. */
+  type Snapshot = Map[(String, String, String), Long]
+
+  private val mapper = new ObjectMapper
+
+  /** Parse `/metrics.json` into a snapshot (exposed for the spec). */
+  def parse(json: String): Snapshot = {
+    val root = mapper.readTree(json)
+    val out = Map.newBuilder[(String, String, String), Long]
+    val seen = scala.collection.mutable.Set.empty[String]
+    root.path("profiles").forEach { p =>
+      val name = p.path("name").asText
+      if (seen.add(name)) {
+        out += ((name, "", "wallNanos")) -> p.path("wallNanos").asLong
+        out += ((name, "", "rows")) -> p.path("rows").asLong
+        out += ((name, "", "cycleCount")) -> p.path("cycleCount").asLong
+        var i = 0
+        p.path("nodes").forEach { n =>
+          val node = s"$i:${n.path("node").asText}"
+          n.path("metrics").fields.forEachRemaining { e =>
+            out += ((name, node, e.getKey)) -> e.getValue.asLong
+          }
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  def fetch(host: String, port: Int): Snapshot = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://$host:$port/metrics.json")).GET.build()
+    parse(HttpClient.newHttpClient.send(req, HttpResponse.BodyHandlers.ofString).body)
+  }
+
+  /** Non-zero deltas cur − prev, keys absent from prev counted from 0 —
+    * `ProfilerInfo.__sub__` semantics. */
+  def diff(prev: Snapshot, cur: Snapshot): Seq[((String, String, String), Long)] =
+    cur.toSeq
+      .map { case (k, v) => k -> (v - prev.getOrElse(k, 0L)) }
+      .filter(_._2 != 0L)
+      .sortBy(_._1)
+
+  /** Reference `print_stats` layout: fixed-width TYPE/COUNT columns. */
+  def render(deltas: Seq[((String, String, String), Long)]): String =
+    if (deltas.isEmpty) "(no activity)"
+    else f"${"PROFILE"}%-16s ${"NODE"}%-34s ${"METRIC"}%-24s DELTA\n" +
+      deltas.map { case ((p, n, m), d) => f"$p%-16s $n%-34s $m%-24s $d" }.mkString("\n")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: WatchProfile <host> <port> [intervalSec] [polls]")
+    val (host, port) = (args(0), args(1).toInt)
+    val interval = if (args.length > 2) args(2).toDouble else 5.0
+    val polls = if (args.length > 3) args(3).toInt else 0
+    var prev: Option[Snapshot] = None
+    var n = 0
+    while (polls == 0 || n < polls) {
+      val cur = fetch(host, port)
+      prev.foreach { p =>
+        println("=" * 80)
+        println(java.time.Instant.now.toString + " :")
+        println(render(diff(p, cur)))
+      }
+      prev = Some(cur)
+      n += 1
+      if (polls == 0 || n < polls) Thread.sleep((interval * 1000).toLong)
+    }
+  }
+}

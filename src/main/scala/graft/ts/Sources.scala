@@ -133,13 +133,24 @@ object Sources {
     * derive microsecond `ts` (SURVEY §1.2 nanosecond note).
     */
   def events(spark: SparkSession, sfDir: String): TickStream = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val inferred = spark.read.parquet(path)
+    // tz-less fixtures infer as NTZ when inferTimestampNTZ is on (i.e.
+    // outside GraftSession's conf). A cast NTZ→LTZ would re-interpret the
+    // wall clock in the SESSION timezone, diverging from the conf path
+    // under non-UTC sessions; instead re-read with `ts` forced to
+    // TimestampType — the parquet micros then decode as UTC-epoch
+    // instants, byte-identical to the inferTimestampNTZ=false path,
+    // independent of session timezone.
+    val raw = inferred.schema("ts").dataType match {
+      case TimestampNTZType =>
+        val forced = StructType(inferred.schema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        spark.read.schema(forced).parquet(path)
+      case _ => inferred
+    }
     val tsCol = raw.schema("ts").dataType match {
       case LongType => timestamp_micros(expr("ts div 1000")) // integral div: Long/Long via `/` is double → precision loss at epoch-nanos magnitude
-      // tz-less fixtures read as NTZ when inferTimestampNTZ is on; under
-      // the UTC session the cast is a pure re-tag, and it keeps this
-      // loader correct even outside GraftSession's conf.
-      case TimestampNTZType => col("ts").cast(TimestampType)
       case _        => col("ts")
     }
     val tsNanos = raw.schema("ts").dataType match {

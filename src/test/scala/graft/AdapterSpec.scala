@@ -108,6 +108,59 @@ class AdapterSpec extends AnyFunSuite {
     assert(p.render.contains("utilization="))
   }
 
+  test("events loader NTZ fallback is timezone-independent (Sources.scala r9/r10 fix)") {
+    // conf path (GraftSession: inferTimestampNTZ=false) = ground truth
+    val truth = graft.ts.Sources.events(spark, TestSpark.sf).df
+      .select("key", "ts", "seq").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val inferKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val tzKey = "spark.sql.session.timeZone"
+    val (infer0, tz0) = (spark.conf.get(inferKey), spark.conf.get(tzKey))
+    try {
+      // the hostile combination: NTZ inference ON and a non-UTC session —
+      // a cast-based fallback would shift every instant by the tz offset
+      spark.conf.set(inferKey, "true")
+      spark.conf.set(tzKey, "America/New_York")
+      val inferred = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      assert(inferred.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType,
+        "fixture no longer tz-less — this test must exercise the NTZ branch")
+      val viaNtz = graft.ts.Sources.events(spark, TestSpark.sf).df
+        .select("key", "ts", "seq").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      assert(viaNtz == truth, "NTZ fallback diverges from the conf path under non-UTC session")
+    } finally { spark.conf.set(inferKey, infer0); spark.conf.set(tzKey, tz0) }
+  }
+
+  test("toDot renders the wired graph as parseable DOT (showgraph.py:13-84)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val ev = graft.ts.Sources.events(spark, TestSpark.sf)
+    val base = ev.df.filter(col("value") > 0.0).groupBy("key").agg(sum("value").as("s"))
+    val df = base.join(base.withColumnRenamed("s", "s2"), "key")
+    val gi = graft.operators.Profiler.graphInfo(df)
+    val dot = graft.operators.Profiler.toDot(df, "flagship")
+    // structural parse: header, balanced braces/quotes, one declaration
+    // per census node, one edge per census edge, endpoints all declared
+    assert(dot.startsWith("digraph \"flagship\" {") && dot.trim.endsWith("}"))
+    assert(dot.count(_ == '{') == dot.count(_ == '}'))
+    dot.linesIterator.foreach(l => assert(l.count(_ == '"') % 2 == 0, s"unbalanced quotes: $l"))
+    val decls = dot.linesIterator.filter(_.matches("""\s*n\d+ \[.*\];""")).toSeq
+    val edges = dot.linesIterator.filter(_.matches("""\s*n\d+ -> n\d+;""")).toSeq
+    assert(decls.size == gi.nodeCount, s"${decls.size} decls vs census ${gi.nodeCount}")
+    assert(edges.size == gi.edgeCount, s"${edges.size} edges vs census ${gi.edgeCount}")
+    val ids = decls.map(_.trim.takeWhile(_ != ' ')).toSet
+    edges.foreach { e =>
+      val Array(a, b) = e.trim.stripSuffix(";").split(" -> ")
+      assert(ids(a) && ids(b), s"edge endpoint undeclared: $e")
+    }
+    // csp's visual grammar: salmon rarrow inputs (the two scan legs),
+    // one lightblue invtriangle output at the root (showgraph.py:36-44)
+    assert(dot.count(_ == '\n') > 4)
+    assert("shape=rarrow".r.findAllIn(dot).size >= 1)
+    assert("shape=invtriangle".r.findAllIn(dot).size == 1)
+    assert(dot.contains("n0") && decls.head.contains("invtriangle"), "root is the output node")
+  }
+
   test("graph_info census on a known pipeline (profiler.py:70-130)") {
     import org.apache.spark.sql.functions.col
     val ev = graft.ts.Sources.events(spark, TestSpark.sf)
@@ -139,6 +192,37 @@ class AdapterSpec extends AnyFunSuite {
       assert(json.contains("\"graphs\":") && json.contains("\"census\"") &&
         json.contains("\"nodeCount\": " + gi.nodeCount) && json.contains("\"longestPath\":"))
     } finally ps.stop()
+  }
+
+  test("watch_profile diffs consecutive snapshots (csp_watch_profile.py:23-63)") {
+    import graft.operators.{Profiler, ProfilerServer, WatchProfile}
+    val ps = ProfilerServer.start()
+    try {
+      val df = Stats.ticks(graft.ts.Sources.events(spark, TestSpark.sf), 5).mean().done.df
+      ProfilerServer.profileAndRecord(ps, "run", df)
+      val snap1 = WatchProfile.fetch("127.0.0.1", ps.port)
+      assert(snap1.nonEmpty)
+      assert(snap1.keys.forall(_._1 == "run"))
+      assert(snap1.contains(("run", "", "rows")) && snap1(("run", "", "rows")) == 1000L)
+      assert(snap1.exists { case ((_, node, _), _) => node.contains("Scan") || node.nonEmpty })
+      // same state → empty diff (reference: only non-zero rows printed)
+      assert(WatchProfile.diff(snap1, snap1).isEmpty)
+      assert(WatchProfile.render(Nil).contains("no activity"))
+      // re-record the same name: latest wins; doubled work shows as +delta
+      ProfilerServer.profileAndRecord(ps, "run", df.union(df))
+      val snap2 = WatchProfile.fetch("127.0.0.1", ps.port)
+      assert(snap2(("run", "", "rows")) == 2000L)
+      val deltas = WatchProfile.diff(snap1, snap2)
+      assert(deltas.exists { case ((p, n, m), d) => p == "run" && n == "" && m == "rows" && d == 1000L },
+        s"expected rows +1000 in $deltas")
+      val table = WatchProfile.render(deltas)
+      assert(table.contains("PROFILE") && table.contains("METRIC") && table.contains("rows"))
+      // a profile appearing for the first time diffs from zero (__sub__)
+      ProfilerServer.profileAndRecord(ps, "other", df)
+      val snap3 = WatchProfile.fetch("127.0.0.1", ps.port)
+      val d3 = WatchProfile.diff(snap2, snap3)
+      assert(d3.exists { case ((p, _, m), d) => p == "other" && m == "rows" && d == 1000L })
+    } finally { ps.stop(); graft.util.Caching.release() }
   }
 
   test("profiler live HTTP view (profiler.py:457-511)") {

@@ -63,4 +63,60 @@ class StreamingSimilaritySpec extends AnyFunSuite {
         s"$key: stream ($snbr, $scos) vs batch ($nbr, $cos)")
     }
   }
+
+  test("streaming ivfAdcTopK == batch Pq.ivfAdcTopK, bit-equal dists; nprobe=all == flat ADC") {
+    import org.apache.spark.sql.Encoders
+    implicit val qEnc = Encoders.product[SsQuery]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val corpus = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val index = graft.llm.Pq.buildIvfPqIndex(corpus, kCells = 4, m = 8, k = 8)
+
+    val queryRows = (0L until 18L).map { i =>
+      val c = centers((i % 4).toInt)
+      SsQuery(1000L + i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val queriesDf = spark.createDataset(queryRows).toDF("vec_id", "embedding")
+    val batch = graft.llm.Pq.ivfAdcTopK(queriesDf, index, kNN = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+
+    val mem = MemoryStream[SsQuery]
+    val q = StreamingSimilarity.ivfAdcTopK(mem.toDF(), index, kNN = 5, nprobe = 2)
+      .writeStream.outputMode("append").format("memory").queryName("ss_adc")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queryRows.grouped(5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("ss_adc").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    q.stop()
+
+    assert(stream.size == batch.size && stream.size == 18 * 5,
+      s"stream ${stream.size} rows vs batch ${batch.size}")
+    batch.foreach { case (key, (nbr, dist)) =>
+      val (snbr, sdist) = stream(key)
+      assert(snbr == nbr && sdist == dist, // bit-equal: same adcScore expression
+        s"$key: stream ($snbr, $sdist) vs batch ($nbr, $dist)")
+    }
+
+    // online serving of the FLAT index: probing every cell must equal
+    // flat adcTopK (composes with LlmSpec's batch nprobe=all ≡ adcTopK)
+    val flat = graft.llm.Pq.adcTopK(queriesDf, graft.llm.Pq.encode(corpus, index.books),
+        index.books, kNN = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val mem2 = MemoryStream[SsQuery]
+    val q2 = StreamingSimilarity.ivfAdcTopK(mem2.toDF(), index, kNN = 3, nprobe = 4)
+      .writeStream.outputMode("append").format("memory").queryName("ss_adc_flat")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem2.addData(queryRows: _*); q2.processAllAvailable()
+    val stream2 = spark.table("ss_adc_flat").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    q2.stop()
+    graft.util.Caching.release()
+    assert(stream2 == flat, "nprobe=all streaming != flat batch ADC")
+  }
 }

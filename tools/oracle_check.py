@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [--json <record.json>]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB against the
@@ -9,6 +9,16 @@ parquet tables in <sfDir>, then compares: column names (sorted),
 row counts, and a hash of the value matrix with columns sorted by
 name and rows sorted by all columns. Mirrors the driver contract
 described in the builder prompt.
+
+The check iterates over the UNION of oracle keys, Verify's throw
+record (verify_errors.json), and the dump dirs — so a query that
+THREW (and therefore wrote no parquet) is a loud failure with its
+err string, not a silent gap. That gap is exactly how round 8
+shipped with 84/126 queries dark.
+
+With --json, writes a CORRECTNESS_rN.json-shaped record (per query:
+rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) so the repo carries a driver-parseable local record.
 """
 import glob
 import hashlib
@@ -40,7 +50,7 @@ def h(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -49,24 +59,53 @@ def main(sf_dir: str, out_dir: str) -> int:
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    fails = []
-    for name in sorted(os.listdir(out_dir)):
-        d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+    throws = {}
+    if os.path.exists(f"{out_dir}/verify_errors.json"):
+        throws = json.load(open(f"{out_dir}/verify_errors.json"))
+    dirs = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
+    names = sorted(set(oracle) | set(throws) | dirs)
+    record, fails = {}, []
+    for name in names:
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": 0, "oracle_rows": 0, "err": None}
+        record[name] = rec
+        if name in throws:
+            rec["err"] = throws[name]
+            print(f"  {name:28s} THREW: {throws[name][:100]}")
+            fails.append(name)
             continue
+        if name not in dirs:
+            rec["err"] = "no parquet dump written (query not run?)"
+            print(f"  {name:28s} MISSING dump dir")
+            fails.append(name)
+            continue
+        d = os.path.join(out_dir, name)
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        rec["spark_rows"] = len(got)
         if name not in oracle:
+            # rows-only check (driver does the same for oracle-less queries)
+            ok = len(got) > 0
+            rec.update(rows_match=ok, schema_match=ok, hash_match=ok,
+                       err=None if ok else "rows-only check: empty result")
             print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)"
-                  + ("  EMPTY!" if len(got) == 0 else ""))
-            if len(got) == 0:
+                  + ("" if ok else "  EMPTY!"))
+            if not ok:
                 fails.append(name)
             continue
-        exp = con.execute(oracle[name]).df()
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            rec["err"] = f"oracle SQL failed: {e}"
+            print(f"  {name:28s} ORACLE SQL ERROR: {e}")
+            fails.append(name)
+            continue
         g, e = canon(got), canon(exp)
+        rec["oracle_rows"] = len(e)
         ok_cols = list(g.columns) == list(e.columns)
         ok_rows = len(g) == len(e)
         ok_hash = ok_cols and ok_rows and h(g) == h(e)
+        rec.update(rows_match=ok_rows, schema_match=ok_cols, hash_match=ok_hash)
         status = "OK" if ok_hash else "MISMATCH"
         print(f"  {name:28s} rows={len(g):7d}/{len(e):<7d} cols={'OK' if ok_cols else list(g.columns)+list(e.columns)} hash={status}")
         if not ok_hash:
@@ -77,9 +116,20 @@ def main(sf_dir: str, out_dir: str) -> int:
                 if bad.any():
                     i = bad.idxmax()
                     print(f"    first diff row {i}:\n      got: {g.loc[i].to_dict()}\n      exp: {e.loc[i].to_dict()}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        n_ok = sum(1 for r in record.values() if r["hash_match"])
+        print(f"\nwrote {json_out}: {n_ok}/{len(record)} hash_match")
     print(f"\n{'ALL OK' if not fails else 'FAILED: ' + ', '.join(fails)}")
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    jo = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jo = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo))

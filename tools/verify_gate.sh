@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Mechanical end-of-round correctness gate.
+#
+# Runs the FULL SparkEntry query suite (graft.Verify, strict mode) at
+# sf0.01, then the DuckDB oracle compare (tools/oracle_check.py), and
+# writes the per-query record to correctness_local.json at the repo
+# root. Non-zero exit on ANY throw, missing dump, or hash mismatch.
+#
+# Run this:
+#   - after ANY fixture regeneration (testdata or scale-study data),
+#   - before every end-of-round snapshot commit.
+#
+# Round 8 shipped with 84/126 queries silently broken by a fixture
+# timestamp change; this gate turns that class of breakage into a
+# minutes-later loud failure. (See VERDICT r9 "Next round" #1.)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
+OUT_DIR="${1:-/tmp/verify_gate_out}"
+
+echo "== verify_gate: Verify (strict) at $SF_DIR -> $OUT_DIR"
+SPARK_GRAFT_STRICT=1 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+verify_rc=$?
+
+echo "== verify_gate: DuckDB oracle compare -> correctness_local.json"
+python3 tools/oracle_check.py "$SF_DIR" "$OUT_DIR" --json correctness_local.json
+check_rc=$?
+
+if [ $verify_rc -ne 0 ] || [ $check_rc -ne 0 ]; then
+  echo "== verify_gate: FAILED (verify=$verify_rc check=$check_rc)"
+  exit 1
+fi
+echo "== verify_gate: ALL GREEN"
