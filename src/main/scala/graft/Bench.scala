@@ -24,8 +24,14 @@ import graft.ts.GraftSession
   */
 object Bench {
 
-  /** One query's measured record across the interleaved passes. */
-  final case class QueryResult(name: String, median: Double, min: Double, err: Option[String], errCount: Int)
+  /** One query's measured record across the interleaved passes.
+    * `samples` keeps every pass's wall time in run order — the per-query
+    * median alone can't distinguish a plan regression from a
+    * co-scheduled load spike (the q_simhash_pairs question took four
+    * rounds to close for lack of exactly this). */
+  final case class QueryResult(name: String, median: Double, min: Double,
+                               err: Option[String], errCount: Int,
+                               samples: Vector[Double] = Vector.empty)
 
   /** Run `iters` interleaved round-robin passes over `suite` and collect
     * per-query medians/mins/errors. Interleaving rationale: consecutive
@@ -65,7 +71,8 @@ object Bench {
     suite.map { case (name, _) =>
       val ts = samples(name).sorted
       val errs = errors(name)
-      QueryResult(name, ts(ts.length / 2), ts.head, errs.headOption, errs.length)
+      QueryResult(name, ts(ts.length / 2), ts.head, errs.headOption, errs.length,
+        samples(name))
     }
   }
 
@@ -127,11 +134,13 @@ object Bench {
     * rounds running (BENCH_r04–r09 `"parsed": null`); the stdout lines
     * stay as a courtesy, the FILE is the record of record. One line per
     * query so diffs and partial reads stay meaningful. */
-  def writeRecordFile(results: Seq[QueryResult], iters: Int, sfDir: String): Unit = {
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench/medians_latest.json")
+  def writeRecordFile(results: Seq[QueryResult], iters: Int, sfDir: String,
+                      out: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+                        "/root/repo/bench/medians_latest.json")): Unit = {
     val rows = results.map { r =>
       val err = r.err.map(e => s""","err":${jstr(e)},"err_count":${r.errCount}""").getOrElse("")
-      s"""  ${jstr(r.name)}: {"median":${f(r.median)},"min":${f(r.min)}$err}"""
+      val samples = r.samples.map(f).mkString("[", ",", "]")
+      s"""  ${jstr(r.name)}: {"median":${f(r.median)},"min":${f(r.min)},"samples":$samples$err}"""
     }
     val total = results.map(_.median).sum
     val json =

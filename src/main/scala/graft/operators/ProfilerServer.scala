@@ -19,6 +19,7 @@ final class ProfilerServer private (server: HttpServer) {
 
   @volatile private var profiles: List[(String, Profiler.Profile)] = Nil
   @volatile private var graphs: List[(String, Profiler.GraphInfo)] = Nil
+  @volatile private var dots: List[(String, String)] = Nil
 
   /** Record a profile under a name — shown immediately on the page. */
   def record(name: String, p: Profiler.Profile): Unit =
@@ -29,6 +30,12 @@ final class ProfilerServer private (server: HttpServer) {
     * (profiler.py:457-511); here both land on `/metrics.json`. */
   def recordGraph(name: String, g: Profiler.GraphInfo): Unit =
     graphs = ((name, g) :: graphs).take(ProfilerServer.MaxProfiles)
+
+  /** Record a [[Profiler.toDot]] render — served on `/graph.dot`
+    * (`?name=` selects; default latest), the live twin of
+    * `csp.show_graph`'s file output (showgraph.py:87-108). */
+  def recordDot(name: String, dot: String): Unit =
+    dots = ((name, dot) :: dots).take(ProfilerServer.MaxProfiles)
 
   def port: Int = server.getAddress.getPort
 
@@ -91,6 +98,12 @@ final class ProfilerServer private (server: HttpServer) {
   private def handle(ex: HttpExchange): Unit = {
     val (code, body, ctype) = ex.getRequestURI.getPath match {
       case "/metrics.json" => (200, metricsJson, "application/json")
+      case "/graph.dot" =>
+        val wanted = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").find(_.startsWith("name=")).map(_.drop(5)))
+        dots.collectFirst {
+          case (n, d) if wanted.forall(_ == n) => (200, d, "text/vnd.graphviz")
+        }.getOrElse((404, "no graph recorded", "text/plain"))
       case "/" | "/index.html" => (200, indexHtml, "text/html; charset=utf-8")
       case _ => (404, "not found", "text/plain")
     }

@@ -159,6 +159,20 @@ class AdapterSpec extends AnyFunSuite {
     assert("shape=rarrow".r.findAllIn(dot).size >= 1)
     assert("shape=invtriangle".r.findAllIn(dot).size == 1)
     assert(dot.contains("n0") && decls.head.contains("invtriangle"), "root is the output node")
+    // live twin: recorded DOT served on /graph.dot (showgraph.py:87-108)
+    val ps = graft.operators.ProfilerServer.start()
+    try {
+      ps.recordDot("flagship", dot)
+      def get(path: String): String = {
+        val in = new java.net.URI(s"http://127.0.0.1:${ps.port}$path").toURL.openStream()
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      assert(get("/graph.dot") == dot)
+      assert(get("/graph.dot?name=flagship") == dot)
+      ps.recordDot("other", "digraph \"other\" {\n}\n")
+      assert(get("/graph.dot") == "digraph \"other\" {\n}\n", "latest wins")
+      assert(get("/graph.dot?name=flagship") == dot, "name selects")
+    } finally ps.stop()
   }
 
   test("graph_info census on a known pipeline (profiler.py:70-130)") {

@@ -51,4 +51,23 @@ class BenchSpec extends AnyFunSuite {
     val last = Bench.renderLines(rs, 3, "/tmp/sf").last
     assert(!last.contains("errors"))
   }
+
+  test("writeRecordFile persists a parseable full record (r10 driver-truncation fix)") {
+    val rs = Seq(
+      Bench.QueryResult("z_ok", 0.1234, 0.1111, None, 0, Vector(0.2, 0.1234, 0.1111)),
+      Bench.QueryResult("z_broken", 0.001, 0.0009, Some("IllegalStateException: x"), 2, Vector(0.001, 0.0009)))
+    val out = java.nio.file.Files.createTempDirectory("benchrec").resolve("sub/medians.json")
+    Bench.writeRecordFile(rs, iters = 3, sfDir = "/tmp/sf", out = out.toString)
+    val txt = java.nio.file.Files.readString(out)
+    // strict JSON — the whole point is a record a driver/judge can parse
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(txt)
+    assert(root.path("n_queries").asInt == 2)
+    assert(root.path("sf").asText == "/tmp/sf")
+    assert(root.path("queries").path("z_ok").path("median").asDouble == 0.1234)
+    assert(root.path("queries").path("z_ok").path("samples").size == 3)
+    assert(root.path("queries").path("z_broken").path("err").asText.contains("IllegalStateException"))
+    assert(root.path("queries").path("z_broken").path("err_count").asInt == 2)
+    assert(math.abs(root.path("total_sec").asDouble - 0.1244) < 1e-9)
+  }
 }
