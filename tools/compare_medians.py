@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Diff two Bench medians records (bench/medians_r*.json).
+
+Usage: compare_medians.py <old.json> <new.json> [ratio_threshold=1.3]
+
+Prints per-query movers beyond the threshold (both directions), with
+each side's raw samples when present — a spread where max/min >> 1
+within one record is load noise, not a plan change (the
+q_simhash_pairs lesson: four rounds of oscillation closed by exactly
+this comparison). Exit 0 always: this is a triage view, not a gate.
+"""
+import json
+import sys
+
+
+def load(p):
+    r = json.load(open(p))
+    return {k: v for k, v in r.get("queries", {}).items()}
+
+
+def main(old_p, new_p, thr=1.3):
+    old, new = load(old_p), load(new_p)
+    both = sorted(set(old) & set(new))
+    movers = []
+    for q in both:
+        om, nm = old[q]["median"], new[q]["median"]
+        if om <= 0 or nm <= 0:
+            continue
+        r = nm / om
+        if r >= thr or r <= 1 / thr:
+            movers.append((r, q, om, nm))
+    movers.sort(reverse=True)
+    for r, q, om, nm in movers:
+        line = f"{q:28s} {om:7.2f} -> {nm:7.2f}  ({r:5.2f}x)"
+        spread = new[q].get("samples") or []
+        if spread:
+            line += f"  new samples: {['%.2f' % s for s in spread]}"
+        print(line)
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"removed: {', '.join(only_old)}")
+    if only_new:
+        print(f"added:   {', '.join(only_new)}")
+    ot = sum(v["median"] for v in old.values())
+    nt = sum(v["median"] for v in new.values())
+    print(f"\ntotals: {ot:.1f} -> {nt:.1f} s over {len(old)}/{len(new)} queries; "
+          f"{len(movers)} movers beyond {thr}x")
+    oerr = {k for k, v in old.items() if v.get("err")}
+    nerr = {k for k, v in new.items() if v.get("err")}
+    if oerr or nerr:
+        print(f"errors: old={sorted(oerr)} new={sorted(nerr)}")
+    return 0
+
+
+if __name__ == "__main__":
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    sys.exit(main(sys.argv[1], sys.argv[2], thr))
