@@ -39,6 +39,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rk")
   }
 
+  /** Recall@k of an approximate ANN answer against an exact one — the
+    * quality number every production vector index reports (an IVF/PQ
+    * deployment is tuned by trading nprobe/m against exactly this).
+    * Both frames carry (query_id, neighbor_id) rows, `truth` from
+    * [[bruteForceTopK]] (or any exact method), `approx` from
+    * `Ivf.topK` / `Pq.adcTopK` / `Pq.ivfAdcTopK`. Returns one row per
+    * query (query_id, hits, truth_k, recall) — aggregate with
+    * [[meanRecall]]. Distributed shape: one equi-join on
+    * (query_id, neighbor_id), no broadcast requirement on either side. */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    t.join(a.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"),
+        count(lit(1)).as("truth_k"))
+      .withColumn("recall", col("hits") / col("truth_k"))
+  }
+
+  /** Corpus-level mean of [[recallAtK]] (macro average over queries). */
+  def meanRecall(approx: DataFrame, truth: DataFrame): Double =
+    recallAtK(approx, truth).agg(avg("recall")).head().getDouble(0)
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute force over broadcast right side — use `lshPairs` at scale. */
   def thresholdPairs(df: DataFrame, threshold: Double,

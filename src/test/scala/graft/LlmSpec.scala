@@ -102,6 +102,35 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.intersect(bf).size >= bf.size * 9 / 10, s"ivf=$ivf bf=$bf")
   }
 
+  test("recall@k instrumentation: exact == 1.0, nprobe=1 in the expected band") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 8)
+    val truth = graft.llm.Similarity.bruteForceTopK(queries, vecs, 3)
+    // an exact method scored against itself is recall 1.0 per query
+    val self = graft.llm.Similarity.recallAtK(truth, truth).collect()
+    assert(self.length == 8)
+    self.foreach(r => assert(r.getDouble(3) == 1.0 && r.getLong(2) == 3L))
+    assert(graft.llm.Similarity.meanRecall(truth, truth) == 1.0)
+    // IVF nprobe=1 on tight clusters: high but possibly < 1.0 — the band
+    // the operator's own correctness test asserts, now as a number
+    val cents = graft.llm.Ivf.buildCentroids(vecs, k = 4, iters = 2)
+    val ivf = graft.llm.Ivf.topK(queries, vecs, cents, k = 3, nprobe = 1)
+    val mr = graft.llm.Similarity.meanRecall(ivf, truth)
+    assert(mr >= 0.9 && mr <= 1.0, s"mean recall $mr")
+    // an approx answer missing rows scores proportionally: drop one
+    // query's worst-ranked hit -> that query 2/3, mean = 1 - 1/24
+    val pruned = truth.filter(!($"query_id" === 0L && $"rk" === 3))
+    val pr = graft.llm.Similarity.recallAtK(pruned, truth).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(pr(0L) == 2.0 / 3 && (1L until 8L).forall(pr(_) == 1.0))
+    assert(math.abs(graft.llm.Similarity.meanRecall(pruned, truth) - (1 - 1.0 / 24)) < 1e-12)
+  }
+
   test("PQ: codes, ADC scoring, and Lloyd refinement recover cluster structure") {
     // 4 prototype 8-dim vectors, each repeated with tiny jitter: encoding
     // with iters=0 (codebook = the 4 prototypes, m=2 subspaces) must map
