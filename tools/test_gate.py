@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Self-test for the correctness gate's failure paths.
+
+The gate exists to make silent breakage loud; this checks the gate
+itself stays loud. Builds a synthetic Verify dump in a temp dir and
+asserts oracle_check:
+  - passes a correct dump (exit 0),
+  - fails a query recorded in verify_errors.json (the r8 throw case),
+  - fails a query with an oracle but NO dump dir (the r8 silent-gap
+    case),
+  - fails a hash mismatch,
+and that the --json record carries the err strings.
+
+Usage: python3 tools/test_gate.py   (exit 0 = gate behaves)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+import pandas as pd
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CHECK = os.path.join(HERE, "oracle_check.py")
+
+
+def run(sf, out, record):
+    return subprocess.run(
+        [sys.executable, CHECK, sf, out, "--json", record],
+        capture_output=True, text=True)
+
+
+def write_parquet(path, df):
+    os.makedirs(path, exist_ok=True)
+    df.to_parquet(os.path.join(path, "part-0.parquet"))
+
+
+def main():
+    with tempfile.TemporaryDirectory() as tmp:
+        sf = os.path.join(tmp, "sf")
+        os.makedirs(sf)
+        # one source table the oracle SQL reads
+        pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}).to_parquet(
+            os.path.join(sf, "region.parquet"))
+
+        out = os.path.join(tmp, "dump")
+        os.makedirs(out)
+        oracle = {"q_good": "SELECT k, v FROM region",
+                  "q_thrown": "SELECT 1 AS one",
+                  "q_missing": "SELECT 2 AS two"}
+        json.dump(oracle, open(os.path.join(out, "oracle_sql.json"), "w"))
+        json.dump({"q_thrown": "IllegalStateException: boom"},
+                  open(os.path.join(out, "verify_errors.json"), "w"))
+        write_parquet(os.path.join(out, "q_good"),
+                      pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}))
+
+        rec_path = os.path.join(tmp, "rec.json")
+        r = run(sf, out, rec_path)
+        assert r.returncode == 1, f"thrown+missing queries must fail the gate\n{r.stdout}"
+        rec = json.load(open(rec_path))
+        assert rec["q_good"]["hash_match"], rec
+        assert rec["q_thrown"]["err"] == "IllegalStateException: boom", rec
+        assert "no parquet dump" in rec["q_missing"]["err"], rec
+        assert not rec["q_thrown"]["hash_match"] and not rec["q_missing"]["hash_match"]
+
+        # clean dump: gate passes
+        out2 = os.path.join(tmp, "dump2")
+        os.makedirs(out2)
+        json.dump({"q_good": "SELECT k, v FROM region"},
+                  open(os.path.join(out2, "oracle_sql.json"), "w"))
+        json.dump({}, open(os.path.join(out2, "verify_errors.json"), "w"))
+        write_parquet(os.path.join(out2, "q_good"),
+                      pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}))
+        r2 = run(sf, out2, os.path.join(tmp, "rec2.json"))
+        assert r2.returncode == 0, f"clean dump must pass\n{r2.stdout}\n{r2.stderr}"
+
+        # hash mismatch: gate fails
+        write_parquet(os.path.join(out2, "q_good"),
+                      pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 31.0]}))
+        r3 = run(sf, out2, os.path.join(tmp, "rec3.json"))
+        assert r3.returncode == 1, "hash mismatch must fail"
+        rec3 = json.load(open(os.path.join(tmp, "rec3.json")))
+        assert rec3["q_good"]["rows_match"] and not rec3["q_good"]["hash_match"]
+
+    print("gate self-test: ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
