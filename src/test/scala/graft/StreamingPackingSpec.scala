@@ -64,4 +64,47 @@ class StreamingPackingSpec extends AnyFunSuite {
     assert(!stream.exists { case (id, (_, s, b, _)) => id != 90L &&
       s == stream(90L)._2 && b == bin })
   }
+
+  test("open-bin state survives kill + checkpoint recovery") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[SpDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val batchDf = spark.createDataset(corpus).toDF()
+    val batch = Packing.packSequences(batchDf, "doc_id", "text", maxTokens = 16, streams = 4)
+      .collect().map(p => p.getLong(0) -> (p.getLong(3), p.getInt(2))).toMap
+
+    val ckpt = java.nio.file.Files.createTempDirectory("sp_pack_ckpt").toString
+    val sink = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    val mem = MemoryStream[SpDoc]
+    def start() =
+      StreamingPacking.packStream(mem.toDF(), "doc_id", "text", maxTokens = 16, streams = 4)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Packing.Packed], _: Long) =>
+          val rows = b.collect().map(p => p.doc_id -> (p.bin, p.stream))
+          sink.synchronized { sink ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+
+    // split mid-corpus: every stream has a bin open at the crash point
+    val (firstHalf, secondHalf) = corpus.splitAt(41)
+    val q1 = start()
+    mem.addData(firstHalf: _*)
+    q1.processAllAvailable()
+    q1.stop() // crash with open bins in RocksDB
+
+    mem.addData(secondHalf: _*)
+    val q2 = start()
+    q2.processAllAvailable()
+    val recovered = sink.synchronized(sink.toMap)
+    q2.stop()
+
+    assert(recovered.size == corpus.size)
+    corpus.foreach { d =>
+      assert(recovered(d.doc_id) == batch(d.doc_id),
+        s"doc ${d.doc_id}: recovered ${recovered(d.doc_id)} vs batch ${batch(d.doc_id)}")
+    }
+  }
 }
