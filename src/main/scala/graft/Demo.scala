@@ -32,6 +32,36 @@ object Demo {
     val st = graft.operators.Stats.ticks(ev, 5).mean().max().done
     graft.operators.Sequential.ema(graft.ts.TickStream(st.df), 0.3)
       .df.orderBy("seq").select("key", "ts", "value", "mean", "max", "ema").show(5, truncate = false)
+
+    // ---- training-data pipeline tour: curate → dedup → decontaminate →
+    // mixture → pack, then ANN over the embeddings — the offline half of
+    // the llm package through its public API
+    import org.apache.spark.sql.functions.col
+    val docs = Sources.table(spark, sfDir, "documents")
+    println(s"documents = ${docs.count()}")
+    val curated = graft.llm.Curation.qualityFilter(
+      graft.llm.Curation.languageFilter(docs, "text", Seq("en")), "text", minScore = 0.3)
+    val flags = graft.llm.Dedup.exact(curated, "text", "doc_id")
+    val deduped = curated.join(
+      flags.filter(col("doc_id") === col("canonical_id")).select("doc_id"), "doc_id")
+    val holdout = docs.filter(col("doc_id") % 97 === 0) // stand-in eval set
+    val clean = graft.llm.Dedup.decontaminate(deduped, holdout, "text", "doc_id", threshold = 0.8)
+    println(s"curated=${curated.count()} deduped=${deduped.count()} decontaminated=${clean.count()}")
+    val split = graft.llm.Mixture.hashSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    split.groupBy("split").count().orderBy("split").show()
+    val packed = graft.llm.Packing.packSequences(
+      split.filter(col("split") === "train"), "doc_id", "text", maxTokens = 512, streams = 8)
+    println("packing: " + graft.llm.Packing.packingStats(packed, maxTokens = 512))
+
+    val emb = Sources.table(spark, sfDir, "embeddings")
+    val index = graft.llm.Ivf.buildIndex(emb, k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+    val knn = graft.llm.Ivf.topK(queries, emb, index, k = 3, nprobe = 2)
+    println("IVF top-3 for 3 query vectors (nprobe=2):")
+    knn.show(9, truncate = false)
+    val truth = graft.llm.Similarity.bruteForceTopK(queries, emb, 3)
+    println(f"recall@3 vs brute force = ${graft.llm.Similarity.meanRecall(knn, truth)}%.3f")
     spark.stop()
   }
 }
