@@ -485,6 +485,9 @@ object SparkEntry {
       Sources.table(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
     },
+    "q_corpus_stats" -> { (s, dir) =>
+      graft.llm.CorpusStats.summary(Sources.table(s, dir, "documents"), "text")
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Sources.table(s, dir, "documents"), "text", "doc_id")
     },
@@ -1910,6 +1913,16 @@ object SparkEntry {
         |FROM documents)""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp FROM documents",
+    "q_corpus_stats" ->
+      """SELECT count(*) AS docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT fp) AS distinct_fps,
+        |  quantile_cont(nt, 0.5) AS median_tokens,
+        |  quantile_cont(nt, 0.9) AS p90_tokens,
+        |  avg(nc) AS mean_chars
+        |FROM (SELECT len(string_split_regex(text, ' +')) AS nt,
+        |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp,
+        |  length(text) AS nc FROM documents)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,

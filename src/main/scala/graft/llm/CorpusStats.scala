@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-health summary: the one-row dashboard numbers a training-data
+  * pipeline monitors per snapshot — volume (docs, tokens), duplication
+  * (distinct fingerprints), and shape (token-count quantiles, char
+  * mean). Two forms with the SAME schema:
+  *
+  *  - [[summary]]: exact aggregates — count/sum/count-distinct/exact
+  *    percentile. Every term is ANSI-replayable, so the driver oracle
+  *    hash-checks it (q_corpus_stats). The count-distinct and exact
+  *    percentile shuffle the column being measured; right up to the
+  *    scale where that matters.
+  *  - [[summarySketch]]: the 100 TB twin — `approx_count_distinct`
+  *    (HyperLogLog++, fixed-size sketch, map-side mergeable) and
+  *    `percentile_approx` (bounded-memory quantile summary). ONE
+  *    map-side-combined pass, no per-value shuffle: the plan a
+  *    1000-executor corpus scan wants. Spec-tested against [[summary]]
+  *    within the sketches' error bounds.
+  */
+object CorpusStats {
+
+  private def prepared(df: DataFrame, textCol: String) =
+    df.select(
+      TextAnalysis.tokenCount(col(textCol)).as("__nt"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      length(col(textCol)).cast("long").as("__nc"))
+
+  /** Exact one-row summary (oracle-replayable). */
+  def summary(df: DataFrame, textCol: String): DataFrame =
+    prepared(df, textCol).agg(
+      count(lit(1)).as("docs"),
+      sum("__nt").cast("long").as("total_tokens"),
+      countDistinct(col("__fp")).as("distinct_fps"),
+      percentile(col("__nt"), lit(0.5)).as("median_tokens"),
+      percentile(col("__nt"), lit(0.9)).as("p90_tokens"),
+      avg(col("__nc")).as("mean_chars"))
+
+  /** Sketch twin: same schema, bounded state, one combined pass.
+    * `rsd` = HLL relative standard deviation; `accuracy` = the
+    * percentile_approx inverse-epsilon knob. */
+  def summarySketch(df: DataFrame, textCol: String,
+                    rsd: Double = 0.02, accuracy: Int = 10000): DataFrame =
+    prepared(df, textCol).agg(
+      count(lit(1)).as("docs"),
+      sum("__nt").cast("long").as("total_tokens"),
+      approx_count_distinct(col("__fp"), rsd).as("distinct_fps"),
+      percentile_approx(col("__nt"), lit(0.5), lit(accuracy)).cast("double").as("median_tokens"),
+      percentile_approx(col("__nt"), lit(0.9), lit(accuracy)).cast("double").as("p90_tokens"),
+      avg(col("__nc")).as("mean_chars"))
+}

@@ -131,6 +131,30 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(graft.llm.Similarity.meanRecall(pruned, truth) - (1 - 1.0 / 24)) < 1e-12)
   }
 
+  test("corpus summary: sketch twin matches exact within sketch bounds") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val exact = graft.llm.CorpusStats.summary(docs, "text").head()
+    val sketch = graft.llm.CorpusStats.summarySketch(docs, "text").head()
+    // identical schema: the sketch is a drop-in for the exact form
+    assert(graft.llm.CorpusStats.summary(docs, "text").columns.toSeq ==
+      graft.llm.CorpusStats.summarySketch(docs, "text").columns.toSeq)
+    // exact pieces agree exactly
+    assert(sketch.getLong(0) == exact.getLong(0)) // docs
+    assert(sketch.getLong(1) == exact.getLong(1)) // total_tokens
+    assert(sketch.getDouble(5) == exact.getDouble(5)) // mean_chars
+    // sketched pieces agree within their bounds (rsd=0.02 → 3σ = 6%;
+    // percentile_approx at accuracy=10000 on 500 values is exact-rank)
+    val (de, ds) = (exact.getLong(2).toDouble, sketch.getLong(2).toDouble)
+    assert(math.abs(ds - de) / de <= 0.06, s"HLL $ds vs exact $de")
+    assert(math.abs(sketch.getDouble(3) - exact.getDouble(3)) / exact.getDouble(3) <= 0.05)
+    assert(math.abs(sketch.getDouble(4) - exact.getDouble(4)) / exact.getDouble(4) <= 0.05)
+    // the sketch plan carries partial aggregation (map-side combine) —
+    // the property that makes it the 100 TB shape
+    val plan = graft.llm.CorpusStats.summarySketch(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan.take(400))
+  }
+
   test("PQ: codes, ADC scoring, and Lloyd refinement recover cluster structure") {
     // 4 prototype 8-dim vectors, each repeated with tiny jitter: encoding
     // with iters=0 (codebook = the 4 prototypes, m=2 subspaces) must map

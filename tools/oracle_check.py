@@ -50,7 +50,7 @@ def h(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
 
-def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None, only: set = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -64,6 +64,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         throws = json.load(open(f"{out_dir}/verify_errors.json"))
     dirs = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
     names = sorted(set(oracle) | set(throws) | dirs)
+    if only:  # focused local check (--only a,b) — the GATE never filters
+        names = [n for n in names if n in only]
     record, fails = {}, []
     for name in names:
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
@@ -127,9 +129,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    jo = None
+    jo, only = None, None
     if "--json" in argv:
         i = argv.index("--json")
         jo = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1], jo))
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo, only))
