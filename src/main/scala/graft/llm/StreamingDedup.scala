@@ -355,4 +355,54 @@ object StreamingDedup {
         }
       }
   }
+
+  /** Incremental connected components: the ONLINE arm of
+    * [[Dedup.components]]' hybrid design — the same min-root union-find
+    * (larger root attaches under smaller, so find(x) IS the component
+    * minimum), folded over an ARRIVING pair stream instead of a
+    * collected edge array. An ingest pipeline answers "which cluster is
+    * this doc in" while the corpus grows: fold [[minhashPairs]] output
+    * into it from a foreachBatch sink, `observe` each arriving doc id.
+    *
+    * Scale contract = the batch driver arm's: state is O(docs that
+    * appear in a pair) — the dup fraction, not the corpus — under the
+    * same ≤driverEdgeLimit regime the batch path documents
+    * (`Dedup.scala` components); past that, consolidate offline with the
+    * batch distributed min-label. Single-threaded caller assumed
+    * (foreachBatch is). */
+  final class IncrementalComponents {
+    private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    private val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+
+    /** Min-root find with path compression (Dedup.components' find). */
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = a
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+
+    /** Register an arriving doc (singleton until a pair touches it). */
+    def observe(id: Long): Unit = seen += id
+
+    def union(a: Long, b: Long): Unit = {
+      observe(a); observe(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+
+    def addPairs(pairs: IterableOnce[(Long, Long)]): Unit =
+      pairs.iterator.foreach { case (a, b) => union(a, b) }
+
+    /** Current (id → min reachable id) for every observed doc — the
+      * same mapping batch `components(pairs, ids)` materializes. */
+    def assignments: Map[Long, Long] =
+      seen.iterator.map(id => id -> find(id)).toMap
+
+    def clusterOf(id: Long): Long = find(id)
+
+    /** Docs currently tracked (observed universe). */
+    def size: Int = seen.size
+  }
 }

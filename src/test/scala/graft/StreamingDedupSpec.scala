@@ -128,6 +128,46 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.size >= 15, s"only ${stream.size} pairs")
   }
 
+  test("online clustering: incremental union-find over streaming pairs == batch nearDupClusters") {
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val thr = 0.6
+    val df = spark.createDataset(corpus).toDF()
+    val batch = Dedup.nearDupClusters(df, "text", "docId", thr).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.Caching.release()
+
+    val uf = new StreamingDedup.IncrementalComponents
+    val mem = MemoryStream[SdDoc]
+    val q = StreamingDedup.minhashPairs(mem.toDF(), "text", "docId", thr)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.NearDupPair], _: Long) =>
+        uf.synchronized { uf.addPairs(b.collect().map(p => (p.id1, p.id2))) }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // docs arrive in id order; each is observed as it arrives (the
+    // serving answer "clusterOf(id)" is defined from arrival onward)
+    corpus.sortBy(_.docId).grouped(7).foreach { c =>
+      c.foreach(d => uf.observe(d.docId))
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+    graft.util.Caching.release()
+
+    val online = uf.synchronized(uf.assignments)
+    assert(online.size == corpus.size)
+    assert(online == batch, {
+      val diff = batch.collect { case (id, c) if online.get(id) != Some(c) =>
+        s"$id: online=${online.get(id)} batch=$c" }
+      s"${diff.size} mismatches: ${diff.take(5).mkString("; ")}"
+    })
+    // the planted structure is non-trivial: some real multi-doc clusters
+    assert(online.values.toSet.size < corpus.size)
+  }
+
   /** Reference (benchmark) corpus: mutated copies of some train docs plus
     * a few verbatim ones — the contamination the filter must catch. */
   lazy val reference: Seq[SdDoc] = {

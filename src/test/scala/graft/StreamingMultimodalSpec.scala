@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Multimodal
+
+/** Media fixture row (top-level for the encoder). */
+case class SmDoc(doc_id: Long, text: String)
+
+/** The multimodal decode path is a per-partition map (no state, no
+  * shuffle) — so it must run unchanged on a STREAMING frame, decoding
+  * each micro-batch as it arrives: the ingest-side "decode on arrival"
+  * stage of a media pipeline. This spec pins that: feature extraction
+  * over an arriving stream equals the batch answer row-for-row (the
+  * decode kernel is deterministic), including the binary payload
+  * round-trip through the streaming exchange. */
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("extractFeatures decodes per micro-batch == batch") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[SmDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 40L).map(i =>
+      SmDoc(i, Seq.fill(3 + rnd.nextInt(20))("payload").mkString(" ") + i))
+
+    val batchDf = spark.createDataset(docs).toDF()
+    val batch = Multimodal.extractFeatures(
+        Multimodal.asMedia(batchDf, "doc_id", "text"), dim = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getSeq[Float](3).toVector)).toMap
+
+    val mem = MemoryStream[SmDoc]
+    val q = Multimodal.extractFeatures(
+        Multimodal.asMedia(mem.toDF(), "doc_id", "text"), dim = 8)
+      .writeStream.outputMode("append").format("memory").queryName("sm_feat")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(9).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("sm_feat").collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getSeq[Float](3).toVector)).toMap
+    q.stop()
+
+    assert(stream.size == docs.size)
+    assert(stream == batch)
+  }
+}
