@@ -488,6 +488,54 @@ object SparkEntry {
     "q_corpus_stats" -> { (s, dir) =>
       graft.llm.CorpusStats.summary(Sources.table(s, dir, "documents"), "text")
     },
+    // ---- relevance scoring / chunking / heavy hitters / stratified ----
+    // (llm.Relevance / llm.Chunking / llm.HeavyHitters / llm.Curation)
+    "q_tfidf" -> { (s, dir) =>
+      graft.llm.Relevance.tfidf(Sources.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), round(col("w"), 6).as("w"))
+    },
+    "q_bm25" -> { (s, dir) =>
+      graft.llm.Relevance.bm25(Sources.table(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "window", "scan"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    },
+    "q_chunk" -> { (s, dir) =>
+      graft.llm.Chunking.chunkByTokens(Sources.table(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 32, overlap = 8)
+    },
+    "q_heavy_hitters" -> { (s, dir) =>
+      graft.llm.HeavyHitters.topTerms(Sources.table(s, dir, "documents"), "text", 10)
+    },
+    // per-stratum rates with one stratum absent from the map (zh → rate 0,
+    // dropped) — exercises the default arm; the oracle replays the mixer
+    // draw and the same CASE
+    "q_stratified_rate" -> { (s, dir) =>
+      graft.llm.Curation.stratifiedSampleByRate(
+        Sources.table(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0, "es" -> 0.1), seed = 11)
+        .select(col("doc_id"), col("lang"))
+    },
+    "q_stratified_exact" -> { (s, dir) =>
+      graft.llm.Curation.stratifiedSampleExact(
+        Sources.table(s, dir, "documents"), "doc_id", "lang", n = 20, seed = 12)
+        .select(col("doc_id"), col("lang"))
+    },
+    // interpolated bigram LM self-score (llm.NgramLm): perplexity-based
+    // quality gating — the oracle retrains the same unigram/bigram counts
+    // and replays the Jelinek–Mercer arithmetic ((1.0 - 0.8) is COMPUTED
+    // in the SQL so the interpolation weight is the identical double)
+    "q_ngram_lm" -> { (s, dir) =>
+      graft.llm.NgramLm.selfScore(Sources.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), round(col("logprob"), 6).as("logprob"))
+    },
+    // C4-style line dedup over 4-token pseudo-lines (the fixture has no
+    // newlines; the operator is line-unit-agnostic — Chunking supplies
+    // the unit). maxDocs=1: any line shared by ≥2 docs is boilerplate.
+    "q_line_dedup" -> { (s, dir) =>
+      val lines = graft.llm.Chunking.chunkByTokens(
+        Sources.table(s, dir, "documents"), "doc_id", "text", chunkSize = 4)
+      graft.llm.LineDedup.dropDuplicateLines(lines, "doc_id", "chunk_id", "chunk", maxDocs = 1)
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Sources.table(s, dir, "documents"), "text", "doc_id")
     },
@@ -1926,6 +1974,79 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,
+    // ---- relevance / chunking / heavy hitters / stratified ----
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT doc_id, len(ts) AS doclen, unnest(ts) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, max(doclen) AS doclen FROM ex GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, term,
+        |  round((CAST(tf AS DOUBLE) / doclen) * ln((n_docs + 1.0) / (df_t + 1.0)), 6) AS w
+        |FROM tf JOIN dft USING (term), n""".stripMargin,
+    // k1=1.2, b=0.75 replayed literally; BM25+ idf. DuckDB ln == JVM log
+    // to well past the rounded 6 decimals.
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM toks),
+        |ex AS (SELECT doc_id, len(ts) AS doclen, unnest(ts) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, max(doclen) AS doclen FROM ex
+        |  WHERE term IN ('hash', 'join', 'window', 'scan') GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1)
+        |SELECT doc_id, round(SUM(
+        |  ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+        |  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))), 6) AS score
+        |FROM tf JOIN dft USING (term), stats GROUP BY 1""".stripMargin,
+    "q_chunk" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS s FROM toks)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(ts[s+1:s+32], ' ') AS chunk,
+        |  least(len(ts) - s, 32) AS n_tok
+        |FROM ex""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH ex AS (SELECT unnest(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS term FROM documents)
+        |SELECT term, COUNT(*) AS cnt FROM ex GROUP BY 1
+        |ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    "q_stratified_rate" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 11)}
+         |SELECT d.doc_id, d.lang FROM documents d JOIN au ON au.i = d.doc_id
+         |WHERE au.u < CASE d.lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
+         |  WHEN 'es' THEN 0.1 WHEN 'fr' THEN 1.0 ELSE 0.0 END""".stripMargin,
+    "q_stratified_exact" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 12)},
+         |rk AS (SELECT d.doc_id, d.lang,
+         |  row_number() OVER (PARTITION BY d.lang ORDER BY au.u ASC, d.doc_id ASC) AS rk
+         |  FROM documents d JOIN au ON au.i = d.doc_id)
+         |SELECT doc_id, lang FROM rk WHERE rk <= 20""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT unnest(ts) AS w FROM toks),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM ex GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_tokens FROM ex),
+        |bgx AS (SELECT doc_id, ts, unnest(range(0, len(ts) - 1)) AS p FROM toks),
+        |bg AS (SELECT doc_id, ts[p+1] AS w1, ts[p+2] AS w2 FROM bgx),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |j AS (SELECT g.doc_id,
+        |  ln(0.8 * (CASE WHEN u1.c1 IS NOT NULL AND b.c2 IS NOT NULL
+        |        THEN CAST(b.c2 AS DOUBLE) / u1.c1 ELSE 0.0 END)
+        |    + (1.0 - 0.8) * (coalesce(CAST(u2.c1 AS DOUBLE), 0.5) / t.n_tokens)) AS lnp
+        |  FROM bg g
+        |  LEFT JOIN uni u1 ON u1.w = g.w1
+        |  LEFT JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |  LEFT JOIN uni u2 ON u2.w = g.w2, tot t)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, round(avg(lnp), 6) AS logprob
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT doc_id, ts, unnest(range(0, len(ts), 4)) AS s FROM toks),
+        |lines AS (SELECT doc_id, CAST(s // 4 AS BIGINT) AS pos,
+        |  array_to_string(ts[s+1:s+4], ' ') AS line FROM ex),
+        |counts AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l JOIN counts c USING (line) WHERE c.nd <= 1)
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text FROM kept GROUP BY 1""".stripMargin,
     "q_jaccard_consec" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3

@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking: split long documents into fixed-token-count windows
+  * with configurable overlap — the context-window preparation stage that
+  * sits between curation and sequence packing ([[Packing]]) in a
+  * training-data pipeline (and the unit of retrieval for embedding
+  * indexes: chunk → embed → [[Ivf]]).
+  *
+  * 100 TB shape: pure per-row array algebra (`split` → `sequence` →
+  * `explode` → `slice`) — ZERO Exchanges, fully codegen'd, parallelizes
+  * embarrassingly. Chunk identity is (doc_id, chunk_id) with
+  * `chunk_id = start / stride`, a pure function of the document alone, so
+  * re-chunking a grown corpus never renumbers existing chunks. */
+object Chunking {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** Explode each document into chunks of `chunkSize` whitespace tokens,
+    * starting every `chunkSize - overlap` tokens (the last chunk may be
+    * shorter; empty documents produce no chunks). Output columns:
+    * (idCol, chunk_id, chunk, n_tok). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, s"chunkSize $chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val starts = when(size(col("__ts")) > 0,
+      sequence(lit(0), size(col("__ts")) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"), explode(starts).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("bigint").as("chunk_id"),
+        array_join(slice(col("__ts"), col("__start") + 1, lit(chunkSize)), " ").as("chunk"),
+        least(size(col("__ts")) - col("__start"), lit(chunkSize)).as("n_tok"))
+  }
+}

@@ -28,4 +28,42 @@ object Curation {
     * `langs`. */
   def languageFilter(df: DataFrame, textCol: String, langs: Seq[String]): DataFrame =
     df.filter(TextAnalysis.langId(col(textCol)).isin(langs: _*))
+
+  /** Stratified sampling at per-stratum rates: keep a row iff its
+    * counter-mode unit draw falls under the rate for its stratum (strata
+    * absent from `rates` are dropped). Same determinism contract as
+    * [[sampleByHash]] — pure (id, seed) function — and the same 100 TB
+    * shape: a pushdown-friendly filter, ZERO shuffles, no per-stratum
+    * pre-aggregation (the rate lookup is a literal CASE). */
+  def stratifiedSampleByRate(df: DataFrame, idCol: String, strataCol: String,
+                             rates: Map[String, Double],
+                             seed: Long = 42L): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty")
+    rates.foreach { case (s, r) =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r for stratum '$s' out of [0,1]") }
+    // deterministic CASE order (sorted keys) so plans are stable run-to-run
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (s, r)) =>
+        val cond = col(strataCol) === s
+        Some(acc.fold(when(cond, r))(_.when(cond, r)))
+      }.get.otherwise(lit(0.0))
+    df.filter(graft.functions.VectorExprs.unitDraw(col(idCol), seed) < rateCol)
+  }
+
+  /** Stratified sampling with an EXACT count per stratum: the n rows with
+    * the smallest unit draws in each stratum (ties broken by id — fully
+    * deterministic). Costs one Exchange on the stratum key + an in-
+    * partition sort; use [[stratifiedSampleByRate]] when approximate
+    * per-stratum counts are acceptable, because that form is shuffle-free.
+    * Strata with fewer than n rows keep everything. */
+  def stratifiedSampleExact(df: DataFrame, idCol: String, strataCol: String,
+                            n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, s"n $n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.functions.VectorExprs.unitDraw(col(idCol), seed)
+    val w = Window.partitionBy(col(strataCol)).orderBy(u.asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

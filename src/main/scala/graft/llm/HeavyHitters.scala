@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import scala.collection.mutable
+
+/** Frequent-term ("heavy hitter") analysis over a text corpus: the exact
+  * top-k (oracle-backed) and a sketch twin for the 100 TB path —
+  * Misra–Gries candidate generation + a Count-Min sketch for counts.
+  *
+  * Why a sketch twin: the exact form's `groupBy(term)` state is the full
+  * vocabulary — fine for words, unbounded for n-grams/URLs/fingerprints
+  * at corpus scale. The sketch path holds O(m) state per partition
+  * (Misra–Gries) plus one fixed-size count matrix (CMS, built by Spark's
+  * codegen'd `count_min_sketch` aggregate with map-side partial merge),
+  * independent of vocabulary size.
+  *
+  * Guarantees (both deterministic — no sampling):
+  *   - Misra–Gries with capacity m per partition retains every term with
+  *     global frequency > N/m (merge across partitions preserves this),
+  *     so the candidate set is a SUPERSET of the true heavy hitters.
+  *   - CMS estimates never under-count: `true ≤ est ≤ true + eps·N`
+  *     with probability ≥ confidence per probe.
+  */
+object HeavyHitters {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  private def terms(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(toks(col(textCol))).as("term"))
+
+  /** Exact global top-k terms by count, ties broken by term — columns
+    * (term, cnt). One map-combined Exchange on term; the final top-k is a
+    * TakeOrdered, not a global sort. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    terms(df, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+
+  /** One Count-Min sketch over every term occurrence. `eps` bounds the
+    * over-count (≤ eps · total occurrences), `confidence` the per-probe
+    * failure rate. The aggregate is map-side combined: each partition
+    * builds a local sketch, merges are matrix adds. */
+  def termSketch(df: DataFrame, textCol: String,
+                 eps: Double = 1e-4, confidence: Double = 0.99,
+                 seed: Int = 42): CountMinSketch = {
+    val bytes = terms(df, textCol)
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]](0) // single-row aggregate collect — bounded by sketch size
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Point-query estimates for a fixed probe set — columns (term, est).
+    * The canonical CMS use: probes are known, counts are approximate
+    * with a one-sided error bound. */
+  def estimateCounts(df: DataFrame, textCol: String, probes: Seq[String],
+                     eps: Double = 1e-4, confidence: Double = 0.99,
+                     seed: Int = 42): DataFrame = {
+    val cms = termSketch(df, textCol, eps, confidence, seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est")
+  }
+
+  /** Misra–Gries candidate terms with per-partition capacity `m`:
+    * deterministic, bounded-state, and a guaranteed superset of every
+    * term with global count > totalOccurrences/m. Columns
+    * (term, mg_count) where mg_count is the (under-)estimate the summary
+    * retains — use the CMS for real counts. */
+  def mgCandidates(df: DataFrame, textCol: String, m: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ts: Dataset[String] = terms(df, textCol).as[String]
+    ts.mapPartitions { it =>
+      val counts = mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t)) counts(t) += 1L
+        else if (counts.size < m) counts(t) = 1L
+        else { // decrement-all step; drop zeros
+          val dead = mutable.ArrayBuffer.empty[String]
+          counts.keysIterator.foreach { k =>
+            val v = counts(k) - 1L
+            if (v == 0L) dead += k else counts(k) = v
+          }
+          dead.foreach(counts.remove)
+        }
+      }
+      counts.iterator.map { case (t, c) => (t, c) }
+    }.toDF("term", "mg_count")
+      .groupBy(col("term")).agg(sum(col("mg_count")).as("mg_count"))
+  }
+
+  /** Sketch-path top-k: Misra–Gries candidates probed against the CMS,
+    * ranked by estimate (ties by term) — columns (term, est). The
+    * candidate set is bounded by m · numPartitions, so the driver-side
+    * probe loop is bounded the same way the IVF centroid collects are. */
+  def topTermsSketch(df: DataFrame, textCol: String, k: Int,
+                     m: Int = 256, eps: Double = 1e-4,
+                     confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val cms = termSketch(df, textCol, eps, confidence, seed)
+    val cands = mgCandidates(df, textCol, m)
+      .select(col("term")).collect().map(_.getString(0)) // ≤ m·partitions, bounded
+    val spark = df.sparkSession
+    import spark.implicits._
+    cands.toSeq.map(t => (t, cms.estimateCount(t))).toDF("term", "est")
+      .orderBy(col("est").desc, col("term")).limit(k)
+  }
+}

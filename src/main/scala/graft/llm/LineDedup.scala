@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level (intra-document-unit) deduplication, C4-style: drop every
+  * line that occurs in more than `maxDocs` distinct documents, then
+  * reassemble each document from its surviving lines in order. The input
+  * is a LINES table (id, pos, line) so the line unit is the caller's
+  * choice — natural newlines, sentences, or fixed-token pseudo-lines via
+  * [[Chunking.chunkByTokens]].
+  *
+  * 100 TB shape: the doc-frequency aggregate is one map-combined Exchange
+  * on the line value; the blocklist it produces (lines repeated across
+  * more than `maxDocs` docs) is SMALL relative to the corpus — boilerplate
+  * headers/footers/navigation — so membership is a broadcast LEFT ANTI
+  * join, never a corpus-vs-corpus shuffle join. Reassembly is one Exchange
+  * on the doc id. Total: two corpus-scale shuffles, no row ever carried
+  * twice.
+  */
+object LineDedup {
+
+  /** Surviving lines only: (idCol, posCol, lineCol) minus lines whose
+    * distinct-document frequency exceeds `maxDocs`. */
+  def keptLines(lines: DataFrame, idCol: String, posCol: String,
+                lineCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs $maxDocs must be >= 1")
+    val block = lines.groupBy(col(lineCol))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col(lineCol))
+    lines.join(broadcast(block), Seq(lineCol), "left_anti")
+  }
+
+  /** Full C4 step: filter + reassemble. Output (idCol, text): each doc's
+    * surviving lines joined by `sep` in original position order; docs that
+    * lose every line disappear (the standard contract — an all-boilerplate
+    * doc is dropped). */
+  def dropDuplicateLines(lines: DataFrame, idCol: String, posCol: String,
+                         lineCol: String, maxDocs: Int,
+                         sep: String = " "): DataFrame =
+    keptLines(lines, idCol, posCol, lineCol, maxDocs)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(posCol).as("p"), col(lineCol).as("l")))),
+          s => s.getField("l")),
+        sep).as("text"))
+}

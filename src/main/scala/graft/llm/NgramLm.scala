@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring: train unigram+bigram counts on a corpus
+  * and score documents by mean token log-probability — the classic
+  * perplexity-based quality filter (KenLM-style gating) of a training-data
+  * pipeline: score every candidate document against an LM trained on a
+  * trusted corpus and keep the low-perplexity tail.
+  *
+  * The model is interpolated add-nothing Jelinek–Mercer:
+  * `P(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N` — the unigram arm keeps
+  * every probability strictly positive (any in-vocab token), and OOV
+  * bigram CONTEXTS fall back to the unigram arm alone. Scores are exact
+  * and SQL-replayable (counts, divisions, `ln`).
+  *
+  * 100 TB shapes:
+  *   - [[train]]: two map-combined aggregates over the exploded corpus
+  *     (unigram Exchange on token, bigram on the pair). The model tables
+  *     are vocabulary-sized, not corpus-sized.
+  *   - [[score]]: the document side explodes to bigram rows and joins the
+  *     model ON THE BIGRAM KEY — model tables are the small side
+  *     (broadcast when they fit, shuffle-join on the key otherwise; both
+  *     plans never move the corpus twice). Per-doc reduction is one
+  *     map-combined groupBy(id).
+  */
+object NgramLm {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** Bigram rows (id, w1, w2) — consecutive token pairs per document;
+    * docs with < 2 tokens produce none. */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), posexplode(slice(col("__ts"), lit(1),
+        greatest(size(col("__ts")) - 1, lit(0)))).as(Seq("__p", "w1")),
+        col("__ts"))
+      .select(col(idCol), col("w1"),
+        element_at(col("__ts"), col("__p") + 2).as("w2"))
+
+  /** LM tables: (unigrams: token, cnt; bigrams: w1, w2, cnt; totals: one
+    * row with n_tokens). */
+  case class Model(unigrams: DataFrame, bigramCounts: DataFrame, totals: DataFrame)
+
+  def train(corpus: DataFrame, textCol: String): Model = {
+    val ts = corpus.select(explode(toks(col(textCol))).as("w"))
+    val uni = ts.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams(corpus.select(monotonically_increasing_id().as("__id"), col(textCol)),
+      "__id", textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = ts.agg(count(lit(1)).as("n_tokens"))
+    Model(uni, bi, tot)
+  }
+
+  /** Mean bigram log-probability per document under `model` (docs with
+    * < 2 tokens are absent — no bigram evidence). Columns
+    * (idCol, n_bigrams, logprob) where logprob = mean ln P(w2|w1);
+    * perplexity = exp(−logprob). OOV w2 tokens contribute the floor
+    * `ln((1−λ)·0.5/N)` (half-count unseen mass) so scores stay finite. */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
+            lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda $lambda must be in (0,1)")
+    val bg = bigrams(docs, idCol, textCol)
+    val withCtx = bg
+      .join(model.unigrams.select(col("w").as("w1"), col("c1").as("ctx_c")), Seq("w1"), "left")
+      .join(model.bigramCounts, Seq("w1", "w2"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("uni_c")), Seq("w2"), "left")
+      .crossJoin(broadcast(model.totals))
+    val pBi = when(col("ctx_c").isNotNull && col("c2").isNotNull,
+      col("c2") / col("ctx_c")).otherwise(lit(0.0))
+    val pUni = coalesce(col("uni_c"), lit(0.5)) / col("n_tokens")
+    val lnP = log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+    withCtx
+      .select(col(idCol), lnP.as("__lnp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lnp")).as("logprob"))
+  }
+
+  /** Self-scoring convenience: train on `corpus`, score `corpus`. */
+  def selfScore(corpus: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.8): DataFrame =
+    score(corpus, idCol, textCol, train(corpus, textCol), lambda)
+}

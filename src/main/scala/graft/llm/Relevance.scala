@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-relevance scoring: TF-IDF term weights and BM25 query scoring —
+  * the standard lexical ranking/weighting stage of a training-data
+  * pipeline (source weighting, query-driven corpus slicing, seed-set
+  * expansion ranking).
+  *
+  * Both scorers are exact and SQL-replayable (plain counts + `ln`), so
+  * the DuckDB oracle recomputes identical doubles.
+  *
+  * 100 TB shapes:
+  *   - [[tfidf]]: one explode → `groupBy(id, term)` with map-side partial
+  *     aggregation (the only corpus-scale Exchange), a tiny per-term
+  *     document-frequency aggregate broadcast back, and a single-row
+  *     corpus-stats aggregate broadcast via `crossJoin`. Document length
+  *     rides the exploded rows (`first(doclen)`), so there is NO join
+  *     back against the corpus.
+  *   - [[bm25]]: identical shape, but the `isin(queryTerms)` filter runs
+  *     BEFORE the shuffle — only rows matching the query ever leave the
+  *     scan stage, so the Exchange is proportional to query-term hits,
+  *     not corpus size.
+  */
+object Relevance {
+
+  /** Non-empty whitespace tokens — the same tokenization as
+    * [[TextAnalysis.tokens]], with trailing-separator empties dropped so
+    * term counts are exact. */
+  private def toks(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** Exploded (id, doclen, term) rows; doclen is carried through the
+    * explode so no corpus self-join is ever needed. */
+  private def exploded(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), size(col("__ts")).as("doclen"), explode(col("__ts")).as("term"))
+
+  /** Per-(doc, term) frequency with document length: columns
+    * (idCol, term, tf, doclen). One corpus-scale Exchange, map-combined. */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exploded(df, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("doclen")).as("doclen"))
+
+  /** TF-IDF weights for every (doc, term):
+    * `w = (tf / doclen) * ln((N + 1) / (df_t + 1))` (add-one smoothed
+    * idf — never zero, never log-of-zero). Columns (idCol, term, w). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts  = termStats(df, idCol, textCol)
+    val dfT = ts.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n   = df.agg(count(lit(1)).as("n_docs"))
+    ts.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        ((col("tf") / col("doclen")) *
+          log((col("n_docs") + lit(1.0)) / (col("df_t") + lit(1.0)))).as("w"))
+  }
+
+  /** BM25 score of each document against a bag of query terms (docs with
+    * no hit are absent — the standard sparse posting contract):
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·doclen/avgdl))`
+    * with the BM25+ idf `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    * Columns (idCol, score). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // corpus stats over ALL docs (N, avgdl) — one single-row aggregate
+    val stats = df
+      .select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
+    // prune to query terms BEFORE the shuffle: the Exchange carries only
+    // query-term hits, not the corpus
+    val ts = exploded(df, idCol, textCol)
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("doclen")).as("doclen"))
+    val dfT = ts.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    ts.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))))
+          .as("__term_score"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__term_score")).as("score"))
+  }
+
+  /** Frozen BM25 statistics: per-query-term document frequencies plus the
+    * one-row (n_docs, avgdl) corpus aggregate — the TRAINED side of the
+    * serving contract (train on the reference corpus once, score any feed
+    * against it). */
+  case class Bm25Model(dfT: DataFrame, stats: DataFrame)
+
+  /** Train a [[Bm25Model]] on `corpus` for `queryTerms`. */
+  def bm25Model(corpus: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String]): Bm25Model = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val stats = corpus
+      .select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
+    val dfT = exploded(corpus, idCol, textCol)
+      .where(col("term").isin(queryTerms: _*))
+      .select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    Bm25Model(dfT, stats)
+  }
+
+  /** Compile a frozen model into a pure scoring COLUMN — the serving
+    * twin: per-row array arithmetic only (no explode, no shuffle, fully
+    * codegen'd), so the same expression scores a batch frame or a
+    * streaming feed unchanged. The model collect is bounded by
+    * |queryTerms| + 1 rows. Scores match [[bm25]] to double round-off
+    * (the only difference is per-term addition order: a fixed fold here
+    * vs aggregate merge order there). */
+  def frozenScorer(model: Bm25Model, queryTerms: Seq[String],
+                   k1: Double = 1.2, b: Double = 0.75): Column => Column = {
+    val dfT = model.dfT.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |queryTerms| rows
+    val srow = model.stats.collect()(0) // single-row corpus aggregate
+    val nDocs = srow.getLong(0); val avgdl = srow.getDouble(1)
+    (text: Column) => {
+      val ts = toks(text)
+      val doclen = size(ts).cast("double")
+      queryTerms.filter(dfT.contains).map { t =>
+        val idf = math.log(1.0 + (nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5))
+        val tf = size(filter(ts, x => x === t)).cast("double")
+        when(tf > 0.0,
+          lit(idf) * (tf * lit(k1 + 1.0)) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * doclen / avgdl)))
+          .otherwise(lit(0.0))
+      }.reduceOption(_ + _).getOrElse(lit(0.0))
+    }
+  }
+}

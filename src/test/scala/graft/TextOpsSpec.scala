@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Chunking, Curation, HeavyHitters, LineDedup, Relevance}
+
+/** Relevance scoring, chunking, heavy hitters, stratified sampling, and
+  * line-level dedup — the round-10 text-pipeline additions. The DuckDB
+  * oracle covers exact values (q_tfidf, q_bm25, q_chunk, q_heavy_hitters,
+  * q_stratified_rate, q_stratified_exact, q_line_dedup); these specs cover
+  * the PROPERTIES the oracle can't state (bounds, subset relations, plan
+  * shape). */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "spark query plan spark query plan spark shuffle"),
+    (1L, "spark join window scan filter merge batch value"),
+    (2L, "hash hash hash join join window table row"),
+    (3L, "completely unrelated words about nothing in particular here now"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  // ---- Relevance ----
+
+  test("tfidf: corpus-wide term scores lower than rare term at equal tf") {
+    val w = Relevance.tfidf(docs.filter($"doc_id" < 4), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // 'spark' is in 2/4 docs, 'hash' in 1/4: at tf=1 in doc 1, 'join'
+    // (2 docs) must weigh less than 'scan' (1 doc)
+    assert(w((1L, "scan")) > w((1L, "join")))
+  }
+
+  test("bm25: more query-term mass → higher score; no-hit docs absent") {
+    val s = Relevance.bm25(docs, "doc_id", "text", Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) > s(1L)) // doc 2 has tf(hash)=3, tf(join)=2 vs doc 1's 1 hit
+    assert(!s.contains(3L) && !s.contains(0L) && !s.contains(4L))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val two = Seq((0L, "hash a b c"), (1L, "hash a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val s = Relevance.bm25(two, "doc_id", "text", Seq("hash"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(0L) > s(1L))
+  }
+
+  // ---- Chunking ----
+
+  test("chunking: strides cover every token; last chunk short; empty doc → none") {
+    val out = Chunking.chunkByTokens(docs, "doc_id", "text", chunkSize = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(!out.exists(_.getLong(0) == 4L)) // empty doc: no chunks
+    val d0 = out.filter(_.getLong(0) == 0L)
+    // doc 0 has 8 tokens; stride 2 → starts 0,2,4,6 → sizes 3,3,3,2
+    assert(d0.map(_.getInt(3)).toSeq == Seq(3, 3, 3, 2))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = d0(0).getString(2).split(" "); val c1 = d0(1).getString(2).split(" ")
+    assert(c0.takeRight(1).sameElements(c1.take(1)))
+    assert(d0.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("chunking with no overlap reconstructs the document exactly") {
+    val rebuilt = Chunking.chunkByTokens(docs.filter($"doc_id" === 1), "doc_id", "text", 3)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    assert(rebuilt == "spark join window scan filter merge batch value")
+  }
+
+  test("chunking plans zero Exchanges") {
+    val plan = Chunking.chunkByTokens(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be shuffle-free:\n$plan")
+  }
+
+  // ---- Heavy hitters ----
+
+  test("CMS estimates are one-sided: exact ≤ est ≤ exact + eps·N") {
+    val exact = HeavyHitters.topTerms(docs, "text", 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val est = HeavyHitters.estimateCounts(docs, "text", exact.keys.toSeq, eps = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS undercounted $t")
+      assert(est(t) <= c + math.ceil(0.01 * total).toLong, s"CMS overshot bound on $t")
+    }
+  }
+
+  test("sketch-path top-k recovers the exact top-k on the fixture") {
+    val exact = HeavyHitters.topTerms(docs, "text", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sk = HeavyHitters.topTermsSketch(docs, "text", 5, m = 64, eps = 1e-3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sk.toSeq == exact.toSeq) // same terms, same counts, same order
+  }
+
+  test("Misra–Gries candidates form a superset of terms above N/m") {
+    val exact = HeavyHitters.topTerms(docs, "text", 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val m = 4
+    val cands = HeavyHitters.mgCandidates(docs, "text", m)
+      .collect().map(_.getString(0)).toSet
+    exact.filter(_._2 > n / m).keys.foreach(t =>
+      assert(cands.contains(t), s"MG dropped guaranteed heavy hitter $t"))
+  }
+
+  // ---- Stratified sampling ----
+
+  lazy val strat = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+    .toDF("doc_id", "lang")
+
+  test("stratified rate: nested rates give nested samples per stratum") {
+    val lo = Curation.stratifiedSampleByRate(strat, "doc_id", "lang",
+      Map("en" -> 0.2, "de" -> 0.1), seed = 7).collect().map(_.getLong(0)).toSet
+    val hi = Curation.stratifiedSampleByRate(strat, "doc_id", "lang",
+      Map("en" -> 0.6, "de" -> 0.4), seed = 7).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    // stratum absent from the map is dropped entirely
+    assert(!hi.exists(i => i % 4 >= 2))
+  }
+
+  test("stratified rate plans zero Exchanges") {
+    val plan = Curation.stratifiedSampleByRate(strat, "doc_id", "lang",
+      Map("en" -> 0.5), seed = 7).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rate sampling must be shuffle-free:\n$plan")
+  }
+
+  test("stratified exact: exactly n per stratum, capped at stratum size") {
+    val out = Curation.stratifiedSampleExact(strat, "doc_id", "lang", n = 30, seed = 9)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("en" -> 30L, "de" -> 30L, "fr" -> 30L))
+    val tiny = Curation.stratifiedSampleExact(strat.filter($"doc_id" < 8), "doc_id", "lang", n = 30, seed = 9)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny("en") == 2L && tiny("de") == 2L && tiny("fr") == 4L) // keeps all when stratum < n
+  }
+
+  test("stratified exact is deterministic across repartitionings") {
+    val a = Curation.stratifiedSampleExact(strat, "doc_id", "lang", 10, seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSampleExact(strat.repartition(13), "doc_id", "lang", 10, seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  // ---- NgramLm ----
+
+  lazy val lmCorpus = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the cat sat on the rug"),
+    (2L, "the dog sat on the mat"),
+    (3L, "the cat ran to the mat")
+  ).toDF("doc_id", "text")
+
+  test("ngram LM: formulaic (in-distribution) docs score above novel ones") {
+    val s = graft.llm.NgramLm.selfScore(lmCorpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 0's bigrams all occur 2-4×; doc 3 has the corpus's rarest
+    assert(s(0L) > s(3L))
+  }
+
+  test("ngram LM: OOV tokens hit the finite floor; short docs absent") {
+    val model = graft.llm.NgramLm.train(lmCorpus, "text")
+    val probe = Seq((10L, "the zebra xylophone quark"), (11L, "hi")).toDF("doc_id", "text")
+    val out = graft.llm.NgramLm.score(probe, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.contains(10L) && java.lang.Double.isFinite(out(10L)))
+    assert(!out.contains(11L)) // single token → no bigram evidence
+    // OOV-heavy doc scores far below any in-distribution doc
+    val self = graft.llm.NgramLm.score(lmCorpus, "doc_id", "text", model)
+      .agg(min("logprob")).collect()(0).getDouble(0)
+    assert(out(10L) < self)
+  }
+
+  test("ngram LM: perplexity gate keeps clean docs, drops gibberish") {
+    val model = graft.llm.NgramLm.train(lmCorpus, "text")
+    val feed = Seq((20L, "the cat sat on the mat"), (21L, "zz qq ww ee rr tt")).toDF("doc_id", "text")
+    val scored = graft.llm.NgramLm.score(feed, "doc_id", "text", model)
+    val kept = scored.filter(col("logprob") > -5.0).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L))
+  }
+
+  // ---- frozen BM25 scorer (serving twin) ----
+
+  test("frozen BM25 scorer matches the distributed form to round-off") {
+    val terms = Seq("hash", "join", "window", "scan")
+    val dist = Relevance.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scorer = Relevance.frozenScorer(Relevance.bm25Model(docs, "doc_id", "text", terms), terms)
+    val frozen = docs.select($"doc_id", scorer($"text").as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dist.foreach { case (id, s) =>
+      assert(math.abs(frozen(id) - s) <= 1e-12 * math.max(1.0, math.abs(s)),
+        s"doc $id: frozen ${frozen(id)} vs distributed $s")
+    }
+    // no-hit docs: frozen scores 0.0 where the sparse form omits
+    assert(frozen(3L) == 0.0 && !dist.contains(3L))
+  }
+
+  // ---- Line dedup ----
+
+  test("line dedup drops cross-doc boilerplate, keeps order, drops empty docs") {
+    val lines = Seq(
+      (0L, 0L, "COPYRIGHT FOOTER"), (0L, 1L, "unique content zero"), (0L, 2L, "more zero"),
+      (1L, 0L, "unique content one"), (1L, 1L, "COPYRIGHT FOOTER"),
+      (2L, 0L, "COPYRIGHT FOOTER") // all-boilerplate doc → vanishes
+    ).toDF("doc_id", "pos", "line")
+    val out = LineDedup.dropDuplicateLines(lines, "doc_id", "pos", "line", maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "unique content zero more zero", 1L -> "unique content one"))
+  }
+
+  test("line dedup keeps within-doc repeats when no other doc shares the line") {
+    val lines = Seq((0L, 0L, "la la"), (0L, 1L, "la la"), (1L, 0L, "other")).toDF("doc_id", "pos", "line")
+    val out = LineDedup.dropDuplicateLines(lines, "doc_id", "pos", "line", maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "la la la la") // countDistinct(doc) == 1 → not boilerplate
+  }
+}
