@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import scala.collection.mutable
+
+/** Online twins of the round-10 text operators whose batch forms are
+  * stateful: heavy-hitter tracking ([[HeavyHitters]]) and line-level
+  * boilerplate detection ([[LineDedup]]). (The stateless ones —
+  * [[Relevance.frozenScorer]], [[Chunking.chunkByTokens]], frozen-model
+  * [[NgramLm.score]] — run unchanged on a stream; StreamingRelevanceSpec
+  * pins those.)
+  *
+  * Both processors are `transformWithState` (RocksDB,
+  * checkpoint-recoverable) with bounded per-key state:
+  *   - [[mgTopTerms]] shards the term space into `bands` keys, each
+  *     holding a Misra–Gries summary of capacity `m` — total state
+  *     `bands · m` entries regardless of vocabulary size. The summary set
+  *     is a guaranteed superset of every term with per-band frequency
+  *     > n_band/m, the same bound the batch [[HeavyHitters.mgCandidates]]
+  *     carries per partition.
+  *   - [[lineFlags]] keys by exact line content; state is the distinct-doc
+  *     count saturated at `maxDocs + 1` plus (below saturation) the ids
+  *     seen — O(maxDocs) per line. A line is flagged boilerplate at
+  *     arrival time the moment its distinct-doc count exceeds `maxDocs`.
+  *
+  * Online-vs-batch contract (same one-sided honesty as
+  * [[StreamingDedup]]): an online operator cannot retract — early
+  * arrivals of a line that LATER turns out to be boilerplate were already
+  * emitted as kept. The flag is monotone (once boilerplate, always), and
+  * the set of lines EVER flagged equals the batch blocklist after full
+  * replay — StreamingTextSpec asserts both.
+  */
+object StreamingText {
+
+  // ---- heavy hitters: banded Misra–Gries ----
+
+  private[llm] case class BandTerm(band: Int, term: String)
+
+  /** A band's candidate snapshot row: `gen` counts that band's
+    * micro-batch updates — per band, the max-gen rows are the CURRENT
+    * summary. */
+  case class MgSnap(band: Int, gen: Long, term: String, mgCount: Long)
+
+  class MgProcessor(m: Int) extends StatefulProcessor[Int, BandTerm, MgSnap] {
+    @transient private var summary: MapState[String, Long] = _
+    @transient private var gen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      summary = getHandle.getMapState[String, Long]("summary",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      gen = getHandle.getValueState[Long]("gen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[BandTerm],
+                                 timerValues: TimerValues): Iterator[MgSnap] = {
+      // fold the batch through an in-memory copy (MapState round-trips
+      // per op are the expensive path on RocksDB), write back once
+      val counts = mutable.HashMap.empty[String, Long]
+      summary.iterator().foreach { case (k, v) => counts(k) = v }
+      rows.foreach { r =>
+        if (counts.contains(r.term)) counts(r.term) += 1L
+        else if (counts.size < m) counts(r.term) = 1L
+        else {
+          val dead = mutable.ArrayBuffer.empty[String]
+          counts.keysIterator.foreach { k =>
+            val v = counts(k) - 1L
+            if (v == 0L) dead += k else counts(k) = v
+          }
+          dead.foreach(counts.remove)
+        }
+      }
+      summary.clear()
+      counts.foreach { case (t, c) => summary.updateValue(t, c) }
+      val g = (if (gen.exists()) gen.get() else 0L) + 1L
+      gen.update(g)
+      counts.iterator.map { case (t, c) => MgSnap(key, g, t, c) }.toSeq.iterator
+    }
+  }
+
+  /** Online Misra–Gries heavy-hitter tracking over an arriving text feed:
+    * emits each touched band's full candidate snapshot per micro-batch
+    * (latest `gen` per band wins — append-mode streams cannot retract).
+    * Keyed shuffle only; state `bands · m` entries total. */
+  def mgTopTerms(docs: DataFrame, textCol: String, m: Int = 256,
+                 bands: Int = 16): Dataset[MgSnap] = {
+    implicit val inEnc = Encoders.product[BandTerm]
+    implicit val outEnc = Encoders.product[MgSnap]
+    docs
+      .select(explode(filter(split(col(textCol), " +"), t => t =!= lit(""))).as("term"))
+      .select(pmod(hash(col("term")), lit(bands)).as("band"), col("term"))
+      .as[BandTerm]
+      .groupByKey(_.band)(Encoders.scalaInt)
+      .transformWithState(new MgProcessor(m), TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- line dedup: arrival-time boilerplate flags ----
+
+  case class LineFlag(docId: Long, pos: Long, line: String, boilerplate: Boolean)
+
+  private[llm] case class LineIn(line: String, docId: Long, pos: Long)
+
+  class LineProcessor(maxDocs: Int) extends StatefulProcessor[String, LineIn, LineFlag] {
+    // distinct doc ids seen, kept only below saturation; count saturates
+    // at maxDocs + 1 — state is O(maxDocs) per line regardless of how
+    // often boilerplate repeats
+    @transient private var seen: ListState[Long] = _
+    @transient private var saturated: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+      saturated = getHandle.getValueState[Boolean]("sat", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[LineIn],
+                                 timerValues: TimerValues): Iterator[LineFlag] = {
+      var sat = saturated.exists() && saturated.get()
+      val ids = if (sat) mutable.LinkedHashSet.empty[Long]
+                else mutable.LinkedHashSet(seen.get().toSeq: _*)
+      val out = rows.toSeq.sortBy(r => (r.docId, r.pos)).map { r =>
+        if (!sat) {
+          ids += r.docId
+          if (ids.size > maxDocs) { sat = true }
+        }
+        LineFlag(r.docId, r.pos, r.line, sat)
+      }
+      if (sat) { seen.clear(); saturated.update(true) }
+      else { seen.clear(); seen.appendList(ids.toArray); saturated.update(false) }
+      out.iterator
+    }
+  }
+
+  /** Arrival-time line-level boilerplate flags: a line is `boilerplate`
+    * once it has appeared in more than `maxDocs` DISTINCT documents.
+    * Input columns (idCol: long, posCol: long, lineCol: string); output
+    * one [[LineFlag]] per arriving line. Keyed by exact line content —
+    * the same key the batch [[LineDedup.keptLines]] aggregates on. */
+  def lineFlags(lines: DataFrame, idCol: String, posCol: String,
+                lineCol: String, maxDocs: Int): Dataset[LineFlag] = {
+    implicit val inEnc = Encoders.product[LineIn]
+    implicit val outEnc = Encoders.product[LineFlag]
+    lines.select(col(lineCol).as("line"), col(idCol).cast("long").as("docId"),
+        col(posCol).cast("long").as("pos"))
+      .as[LineIn]
+      .groupByKey(_.line)(Encoders.STRING)
+      .transformWithState(new LineProcessor(maxDocs), TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Chunking, NgramLm, Relevance}
+
+/** Doc row (top-level for the encoder). */
+case class SrDoc(doc_id: Long, text: String)
+
+/** Online twins for the round-10 text operators. [[Relevance.frozenScorer]]
+  * and [[Chunking.chunkByTokens]] are pure projections, so the SAME
+  * expression runs unchanged on an arriving stream — the scoring/chunking
+  * side of an ingest pipeline. [[NgramLm]] scores each micro-batch against
+  * the frozen model (train offline, score on arrival). Each is asserted
+  * equal to its oracle-green batch form. */
+class StreamingRelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "rug", "hash", "join")
+  private def mkDocs(n: Int): Seq[SrDoc] = {
+    val rnd = new scala.util.Random(11)
+    (0L until n.toLong).map(i =>
+      SrDoc(i, Seq.fill(4 + rnd.nextInt(20))(words(rnd.nextInt(words.size))).mkString(" ")))
+  }
+
+  private def runStream[T](docs: Seq[SrDoc], name: String)(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[SrDoc]
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SrDoc]
+    val q = transform(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(7).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val out = spark.table(name).collect()
+    q.stop()
+    out
+  }
+
+  test("frozen BM25 scorer on an arriving stream == batch, bit-equal") {
+    val docs = mkDocs(40)
+    val batchDf = spark.createDataFrame(docs)
+    val terms = Seq("hash", "join", "cat")
+    val scorer = Relevance.frozenScorer(
+      Relevance.bm25Model(batchDf, "doc_id", "text", terms), terms)
+    val batch = batchDf.select(col("doc_id"), scorer(col("text")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stream = runStream(docs, "sr_bm25")(df =>
+      df.select(col("doc_id"), scorer(col("text")).as("score")))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stream == batch) // same expression, same codegen → bit-equal
+  }
+
+  test("chunking on an arriving stream == batch") {
+    val docs = mkDocs(30)
+    val batchDf = spark.createDataFrame(docs)
+    val batch = Chunking.chunkByTokens(batchDf, "doc_id", "text", 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getInt(3))).toMap
+    val stream = runStream(docs, "sr_chunk")(df =>
+      Chunking.chunkByTokens(df, "doc_id", "text", 5, 2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(stream == batch)
+  }
+
+  test("ngram LM scores each micro-batch against the frozen model == batch") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[SrDoc]
+    implicit val sq = spark.sqlContext
+    val docs = mkDocs(35)
+    val batchDf = spark.createDataFrame(docs)
+    val model = NgramLm.train(batchDf, "text")
+    val batch = NgramLm.score(batchDf, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val mem = MemoryStream[SrDoc]
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        NgramLm.score(b, "doc_id", "text", model).collect()
+          .foreach(r => acc(r.getLong(0)) = (r.getLong(1), r.getDouble(2)))
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(8).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    assert(acc.toMap == batch)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{HeavyHitters, LineDedup, StreamingText}
+
+/** Text doc row (top-level for the encoder). */
+case class StDoc(doc_id: Long, text: String)
+/** Line row (top-level for the encoder). */
+case class StLine(doc_id: Long, pos: Long, line: String)
+
+/** Online twins of the stateful round-10 text operators: banded
+  * Misra–Gries heavy-hitter tracking and arrival-time line-boilerplate
+  * flags — each checked against its oracle-green batch form's guarantees
+  * after a full replay. */
+class StreamingTextSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("online Misra–Gries: final snapshots are a superset of heavy terms and recover the exact top-k") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // zipf-ish: term_j drawn with weight 1/(j+1); clear top-5 margin
+    val vocab = (0 until 60).map(j => s"t$j")
+    val weights = vocab.indices.map(j => 1.0 / (j + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def draw(): String = { val u = rnd.nextDouble() * total; vocab(cum.indexWhere(u < _)) }
+    val docs = (0L until 120L).map(i => StDoc(i, Seq.fill(30)(draw()).mkString(" ")))
+    val batchDf = spark.createDataset(docs).toDF()
+
+    val exact = HeavyHitters.topTerms(batchDf, "text", 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val m = 64; val bands = 4
+
+    val mem = MemoryStream[StDoc]
+    val q = StreamingText.mgTopTerms(mem.toDF(), "text", m = m, bands = bands)
+      .writeStream.outputMode("append").format("memory").queryName("st_mg")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(25).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val snaps = spark.table("st_mg").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    q.stop()
+
+    // latest generation per band is the live summary
+    val lastGen = snaps.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val live = snaps.filter { case (b, g, _, _) => g == lastGen(b) }
+      .map { case (_, _, t, c) => t -> c }.toMap
+
+    // per-band guarantee: every term with count > n_band/m survives; the
+    // fixture's per-band mass ≤ n, so count > n/m is a sufficient check
+    exact.filter(_._2 > n / m).keys.foreach(t =>
+      assert(live.contains(t), s"online MG dropped heavy term $t (count ${exact(t)})"))
+    // MG counts never exceed the truth
+    live.foreach { case (t, c) =>
+      assert(c <= exact.getOrElse(t, 0L), s"MG overcounted $t: $c > ${exact.getOrElse(t, 0L)}") }
+    // ranking by MG count recovers the exact top-5 on this margin
+    val top5 = live.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet
+    assert(top5 == exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet)
+  }
+
+  test("online line flags: monotone, and the flagged set == batch blocklist after replay") {
+    import org.apache.spark.sql.Encoders
+    implicit val lEnc = Encoders.product[StLine]
+    implicit val sq = spark.sqlContext
+    val boiler = "all rights reserved"
+    val lines =
+      (0L until 20L).flatMap(d => Seq(
+        StLine(d, 0L, s"unique lead $d"),
+        StLine(d, 1L, if (d % 2 == 0) boiler else s"unique body $d"),
+        StLine(d, 2L, if (d % 5 == 0) "subscribe now" else s"unique tail $d")))
+    val linesDf = spark.createDataset(lines).toDF()
+
+    val batchKept = LineDedup.keptLines(linesDf, "doc_id", "pos", "line", maxDocs = 2)
+      .select("line").distinct().collect().map(_.getString(0)).toSet
+    val batchBlocked = linesDf.select("line").distinct()
+      .collect().map(_.getString(0)).toSet -- batchKept
+
+    val mem = MemoryStream[StLine]
+    val q = StreamingText.lineFlags(mem.toDF(), "doc_id", "pos", "line", maxDocs = 2)
+      .writeStream.outputMode("append").format("memory").queryName("st_lines")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    lines.grouped(9).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val flags = spark.table("st_lines").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    q.stop()
+
+    assert(flags.length == lines.length) // one flag per arriving line
+    // monotone per line: once boilerplate, every later arrival is too
+    flags.groupBy(_._3).foreach { case (_, fs) =>
+      val ordered = fs.sortBy(f => (f._1, f._2)).map(_._4)
+      assert(!ordered.zip(ordered.tail).exists { case (a, b) => a && !b })
+    }
+    // the set of lines ever flagged equals the batch blocklist
+    val everFlagged = flags.filter(_._4).map(_._3).toSet
+    assert(everFlagged == batchBlocked)
+    // and the early-arrival prefix is the ONLY divergence from batch:
+    // kept-flagged occurrences of blocked lines are all before saturation
+    val blockedOccurrences = flags.filter(f => batchBlocked(f._3))
+    assert(blockedOccurrences.count(!_._4) <= batchBlocked.size * 2) // ≤ maxDocs per line
+  }
+}
