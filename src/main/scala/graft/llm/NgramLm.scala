@@ -45,12 +45,14 @@ object NgramLm {
   case class Model(unigrams: DataFrame, bigramCounts: DataFrame, totals: DataFrame)
 
   def train(corpus: DataFrame, textCol: String): Model = {
-    val ts = corpus.select(explode(toks(col(textCol))).as("w"))
-    val uni = ts.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val uni = corpus.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val bi = bigrams(corpus.select(monotonically_increasing_id().as("__id"), col(textCol)),
       "__id", textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val tot = ts.agg(count(lit(1)).as("n_tokens"))
+    // total token count folds out of the unigram table — no third corpus
+    // pass (sum of per-term counts == count of tokens, exactly)
+    val tot = uni.agg(sum(col("c1")).as("n_tokens"))
     Model(uni, bi, tot)
   }
 
@@ -60,16 +62,23 @@ object NgramLm {
     * perplexity = exp(−logprob). OOV w2 tokens contribute the floor
     * `ln((1−λ)·0.5/N)` (half-count unseen mass) so scores stay finite. */
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
-            lambda: Double = 0.8): DataFrame = {
+            lambda: Double = 0.8): DataFrame =
+    scoreBigrams(bigrams(docs, idCol, textCol), idCol, model, lambda)
+
+  private def scoreBigrams(bg: DataFrame, idCol: String, model: Model,
+                           lambda: Double): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda $lambda must be in (0,1)")
-    val bg = bigrams(docs, idCol, textCol)
+    // fold the context count INTO the bigram table at vocab scale (a seen
+    // bigram implies a seen context, so the separate w1 lookup is
+    // redundant) — the corpus-scale bigram rows then make TWO model
+    // joins, not three
+    val biCond = model.bigramCounts.join(
+      model.unigrams.select(col("w").as("w1"), col("c1").as("ctx_c")), "w1")
     val withCtx = bg
-      .join(model.unigrams.select(col("w").as("w1"), col("c1").as("ctx_c")), Seq("w1"), "left")
-      .join(model.bigramCounts, Seq("w1", "w2"), "left")
+      .join(biCond, Seq("w1", "w2"), "left")
       .join(model.unigrams.select(col("w").as("w2"), col("c1").as("uni_c")), Seq("w2"), "left")
       .crossJoin(broadcast(model.totals))
-    val pBi = when(col("ctx_c").isNotNull && col("c2").isNotNull,
-      col("c2") / col("ctx_c")).otherwise(lit(0.0))
+    val pBi = when(col("c2").isNotNull, col("c2") / col("ctx_c")).otherwise(lit(0.0))
     val pUni = coalesce(col("uni_c"), lit(0.5)) / col("n_tokens")
     val lnP = log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
     withCtx
@@ -78,8 +87,17 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("__lnp")).as("logprob"))
   }
 
-  /** Self-scoring convenience: train on `corpus`, score `corpus`. */
+  /** Self-scoring: train on `corpus`, score `corpus` — with ONE shared
+    * bigram explode (persist barrier) feeding both the bigram-count
+    * aggregate and the scoring join, instead of replaying the corpus
+    * explode for each. */
   def selfScore(corpus: DataFrame, idCol: String, textCol: String,
-                lambda: Double = 0.8): DataFrame =
-    score(corpus, idCol, textCol, train(corpus, textCol), lambda)
+                lambda: Double = 0.8): DataFrame = {
+    val bg = graft.util.Caching.barrier(bigrams(corpus, idCol, textCol))
+    val uni = corpus.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = uni.agg(sum(col("c1")).as("n_tokens"))
+    scoreBigrams(bg, idCol, Model(uni, bi, tot), lambda)
+  }
 }

@@ -48,7 +48,10 @@ object Relevance {
     * `w = (tf / doclen) * ln((N + 1) / (df_t + 1))` (add-one smoothed
     * idf — never zero, never log-of-zero). Columns (idCol, term, w). */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ts  = termStats(df, idCol, textCol)
+    // barrier: df_t re-aggregates the tf table — without it Catalyst
+    // replays the corpus explode+shuffle a second time for the document-
+    // frequency branch (census: 4 Exchanges → 3, one corpus-scale)
+    val ts  = graft.util.Caching.barrier(termStats(df, idCol, textCol))
     val dfT = ts.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val n   = df.agg(count(lit(1)).as("n_docs"))
     ts.join(broadcast(dfT), "term")
@@ -72,10 +75,10 @@ object Relevance {
       .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
     // prune to query terms BEFORE the shuffle: the Exchange carries only
     // query-term hits, not the corpus
-    val ts = exploded(df, idCol, textCol)
+    val ts = graft.util.Caching.barrier(exploded(df, idCol, textCol)
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("doclen")).as("doclen"))
+      .agg(count(lit(1)).as("tf"), first(col("doclen")).as("doclen")))
     val dfT = ts.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     ts.join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
