@@ -488,6 +488,15 @@ object SparkEntry {
     "q_corpus_stats" -> { (s, dir) =>
       graft.llm.CorpusStats.summary(Sources.table(s, dir, "documents"), "text")
     },
+    // term-distribution drift between two snapshot halves (even vs odd
+    // ids); the oracle replays the smoothed KL/JSD arithmetic
+    "q_corpus_drift" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.CorpusStats.termDrift(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1), "text")
+        .select(col("n_terms"), round(col("kl_ab"), 6).as("kl_ab"),
+          round(col("jsd"), 6).as("jsd"))
+    },
     // ---- relevance scoring / chunking / heavy hitters / stratified ----
     // (llm.Relevance / llm.Chunking / llm.HeavyHitters / llm.Curation)
     "q_tfidf" -> { (s, dir) =>
@@ -597,6 +606,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
         threshold = 0.3, shingleN = 2)
         .select("doc_id")
+    },
+    // exact 5-gram test-set overlap (GPT-3 "dirty doc" check) — same
+    // %10 reference split as q_decontaminate; string-gram arm (the
+    // hashed arm is spec-asserted equal)
+    "q_ngram_overlap" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      Dedup.ngramOverlap(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5)
     },
     "q_simhash_pairs" -> { (s, dir) =>
       val docs = Sources.table(s, dir, "documents")
@@ -1975,6 +1992,34 @@ object SparkEntry {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,
     // ---- relevance / chunking / heavy hitters / stratified ----
+    "q_corpus_drift" ->
+      """WITH ta AS (SELECT unnest(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS w FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS w FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT w, COUNT(*) AS c FROM ta GROUP BY 1),
+        |cb AS (SELECT w, COUNT(*) AS c FROM tb GROUP BY 1),
+        |u AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |s AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM u),
+        |p AS (SELECT (ca + 0.5) / (na + 0.5 * v) AS p,
+        |             (cb + 0.5) / (nb + 0.5 * v) AS q, v FROM u, s)
+        |SELECT v AS n_terms,
+        |  round(SUM(p * ln(p / q)), 6) AS kl_ab,
+        |  round(SUM(0.5 * p * ln(p / ((p + q) / 2.0))
+        |          + 0.5 * q * ln(q / ((p + q) / 2.0))), 6) AS jsd
+        |FROM p GROUP BY 1""".stripMargin,
+    // whole-doc shingle convention for short docs mirrors Shingles.shingles
+    // (and q_decontaminate); tokens UNFILTERED like the other shingle oracles
+    "q_ngram_overlap" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |refg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        |dg AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT d.doc_id, min(d.n_grams) AS n_grams,
+        |  CAST(SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM dg d LEFT JOIN refg r ON d.g = r.g GROUP BY 1""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
         |ex AS (SELECT doc_id, len(ts) AS doclen, unnest(ts) AS term FROM toks),

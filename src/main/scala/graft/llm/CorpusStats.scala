@@ -50,4 +50,34 @@ object CorpusStats {
       percentile_approx(col("__nt"), lit(0.5), lit(accuracy)).cast("double").as("median_tokens"),
       percentile_approx(col("__nt"), lit(0.9), lit(accuracy)).cast("double").as("p90_tokens"),
       avg(col("__nc")).as("mean_chars"))
+
+  /** Term-distribution DRIFT between two corpus snapshots: add-half
+    * smoothed KL(A‖B) and Jensen–Shannon divergence over the union
+    * vocabulary — the "did the new crawl shift?" monitor that catches
+    * topic/language drift a volume dashboard can't. One row
+    * (n_terms, kl_ab, jsd); exact and oracle-replayable (q_corpus_drift).
+    *
+    * 100 TB shape: two map-combined term aggregates (the only
+    * corpus-scale Exchanges), then a full-outer join and reduce at
+    * VOCABULARY scale — the corpora themselves are never joined. */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def termCounts(df: DataFrame, as: String) =
+      df.select(explode(filter(split(col(textCol), " +"), t => t =!= lit("")))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(as))
+    val u = termCounts(a, "ca").join(termCounts(b, "cb"), Seq("term"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = u.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val withP = u.crossJoin(broadcast(totals))
+      .select(((col("ca") + 0.5) / (col("na") + lit(0.5) * col("v"))).as("p"),
+        ((col("cb") + 0.5) / (col("nb") + lit(0.5) * col("v"))).as("q"),
+        col("v"))
+    val m = (col("p") + col("q")) / 2.0
+    withP.groupBy(col("v").as("n_terms"))
+      .agg(sum(col("p") * log(col("p") / col("q"))).as("kl_ab"),
+        sum(lit(0.5) * col("p") * log(col("p") / m)
+          + lit(0.5) * col("q") * log(col("q") / m)).as("jsd"))
+  }
 }

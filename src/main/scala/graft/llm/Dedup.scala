@@ -298,6 +298,34 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** EXACT n-gram test-set overlap — the GPT-3-style "dirty document"
+    * check (count how many of a candidate's distinct word n-grams occur
+    * anywhere in the reference corpus), complementing [[decontaminate]]'s
+    * fuzzy whole-document MinHash verdict: a doc that merely QUOTES a
+    * benchmark item is far below any Jaccard threshold but still leaks
+    * the answer string. Output (idCol, n_grams, matched, contaminated).
+    *
+    * 100 TB shape: the reference n-gram set is the SMALL side by the same
+    * contract as [[crossPairs]] (test sets, not corpora) — broadcast to
+    * the exploded candidate grams, then one map-combined groupBy(id).
+    * `hashed = true` swaps string grams for the rolling 64-bit
+    * [[Shingles.hashedShingles]] (8 bytes/gram instead of the string —
+    * the at-scale arm; collision odds ≈ n_grams²/2⁶⁵); the spec asserts
+    * both arms agree on the fixture. */
+  def ngramOverlap(docs: DataFrame, reference: DataFrame, textCol: String,
+                   idCol: String, n: Int, hashed: Boolean = false): DataFrame = {
+    def grams = if (hashed) array_distinct(Shingles.hashedShingles(col(textCol), n))
+                else array_distinct(Shingles.shingles(col(textCol), n))
+    val refGrams = reference.select(explode(grams).as("g")).distinct()
+      .withColumn("__hit", lit(1))
+    docs.select(col(idCol), size(grams).as("n_grams"), explode(grams).as("g"))
+      .join(broadcast(refGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("matched"))
+      .withColumn("contaminated", col("matched") > 0)
+  }
+
   /** Near-dup CLUSTERING: canonical id per document = the smallest id
     * reachable through the near-dup pair graph (connected components) —
     * the curation stage after pair generation: "keep one doc per

@@ -145,6 +145,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- corpus drift (KL / JSD) ----
+
+  test("term drift: identical snapshots → exactly zero; drift orders correctly; JSD symmetric") {
+    import graft.llm.CorpusStats.termDrift
+    val base = Seq((0L, "alpha beta gamma delta alpha beta"), (1L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val same = termDrift(base, base, "text").collect()(0)
+    assert(same.getDouble(1) == 0.0 && same.getDouble(2) == 0.0)
+    val mild = Seq((0L, "alpha beta gamma delta alpha gamma"), (1L, "alpha beta zeta epsilon")).toDF("doc_id", "text")
+    val wild = Seq((0L, "totally different words here"), (1L, "nothing shared at all")).toDF("doc_id", "text")
+    val dMild = termDrift(base, mild, "text").collect()(0).getDouble(2)
+    val dWild = termDrift(base, wild, "text").collect()(0).getDouble(2)
+    assert(dMild > 0.0 && dWild > dMild)
+    assert(dWild < math.log(2.0) + 1e-9) // JSD upper bound
+    val sym = termDrift(mild, base, "text").collect()(0).getDouble(2)
+    assert(math.abs(sym - dMild) < 1e-12)
+  }
+
+  // ---- exact n-gram overlap (GPT-3 dirty-doc check) ----
+
+  test("ngram overlap flags a quoting doc that fuzzy whole-doc Jaccard would miss") {
+    val ref = Seq((100L, "the capital of france is paris and the answer is forty two")).toDF("doc_id", "text")
+    val cand = Seq(
+      (0L, "totally unrelated discussion of spark plans " +
+        "but quoting the answer is forty two somewhere in a long document about other things entirely"),
+      (1L, "nothing shared with the benchmark at all here")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(0L)._3 && out(0L)._2 >= 1) // "the answer is forty two" leaks
+    assert(!out(1L)._3 && out(1L)._2 == 0L)
+    // whole-doc jaccard of the quoting doc is tiny — the fuzzy pass misses it
+    val j = cand.filter($"doc_id" === 0).crossJoin(ref.select($"text".as("t2")))
+      .select(graft.llm.Dedup.ngramJaccard($"text", $"t2", 2).as("j")).collect()(0).getDouble(0)
+    assert(j < 0.3)
+  }
+
+  test("ngram overlap: hashed arm agrees with the string arm") {
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val cand = docs.filter($"doc_id" % 2 === 1)
+    def run(h: Boolean) = graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", n = 3, hashed = h)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(run(true) == run(false))
+  }
+
   // ---- NgramLm ----
 
   lazy val lmCorpus = Seq(
