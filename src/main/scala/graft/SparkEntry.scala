@@ -488,6 +488,23 @@ object SparkEntry {
     "q_corpus_stats" -> { (s, dir) =>
       graft.llm.CorpusStats.summary(Sources.table(s, dir, "documents"), "text")
     },
+    // Gopher quality rules (Rae et al. 2021): features + the keep verdict
+    // at fixture-fitting bounds (minWords 30; the paper's 50 would drop
+    // most of the short synthetic docs)
+    "q_gopher" -> { (s, dir) =>
+      val f = graft.llm.Curation.gopherFeatures(col("text"))
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        f.getField("n_words").as("n_words"),
+        round(f.getField("mean_word_len"), 6).as("mean_word_len"),
+        round(f.getField("symbol_ratio"), 6).as("symbol_ratio"),
+        round(f.getField("alpha_frac"), 6).as("alpha_frac"),
+        f.getField("stop_hits").as("stop_hits"),
+        (f.getField("n_words").between(30, 100000) &&
+          f.getField("mean_word_len").between(3.0, 10.0) &&
+          f.getField("symbol_ratio") <= lit(0.1) &&
+          f.getField("alpha_frac") >= lit(0.8) &&
+          f.getField("stop_hits") >= 2).as("kept"))
+    },
     // term-distribution drift between two snapshot halves (even vs odd
     // ids); the oracle replays the smoothed KL/JSD arithmetic
     "q_corpus_drift" -> { (s, dir) =>
@@ -1992,6 +2009,19 @@ object SparkEntry {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,
     // ---- relevance / chunking / heavy hitters / stratified ----
+    "q_gopher" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |f AS (SELECT doc_id, len(ts) AS n_words,
+        |  CASE WHEN len(ts) > 0 THEN list_aggregate(list_transform(ts, t -> length(t)), 'sum') / CAST(len(ts) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts, t -> contains(t, '#') OR contains(t, '...'))) / CAST(len(ts) AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |  CASE WHEN len(ts) > 0 THEN len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(len(ts) AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+        |  len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(t)))) AS stop_hits
+        |FROM tk)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio, round(alpha_frac, 6) AS alpha_frac, stop_hits,
+        |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS kept
+        |FROM f""".stripMargin,
     "q_corpus_drift" ->
       """WITH ta AS (SELECT unnest(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS w FROM documents WHERE doc_id % 2 = 0),
         |tb AS (SELECT unnest(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS w FROM documents WHERE doc_id % 2 = 1),

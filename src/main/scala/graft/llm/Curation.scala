@@ -29,6 +29,46 @@ object Curation {
   def languageFilter(df: DataFrame, textCol: String, langs: Seq[String]): DataFrame =
     df.filter(TextAnalysis.langId(col(textCol)).isin(langs: _*))
 
+  /** Gopher-style document quality features (Rae et al. 2021 §A1.1, the
+    * published repetition-free subset): word count, mean word length,
+    * symbol-to-word ratio (`#`/`…`-ish markers), fraction of words with
+    * an alphabetic character, and stopword hits — all pure per-row array
+    * arithmetic over whitespace tokens. Columns
+    * (n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits). */
+  def gopherFeatures(text: Column): Column = {
+    val ts = filter(split(text, " +"), t => t =!= lit(""))
+    val n = size(ts).cast("double")
+    val meanLen = when(n > 0, aggregate(ts, lit(0.0), (acc, t) => acc + length(t)) / n)
+      .otherwise(lit(0.0))
+    val symbols = size(filter(ts, t => t.contains("#") || t.contains("...")))
+    val alpha = size(filter(ts, t => t.rlike("[A-Za-z]")))
+    val stops = size(filter(ts, t =>
+      lower(t).isin("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")))
+    struct(
+      size(ts).as("n_words"),
+      meanLen.as("mean_word_len"),
+      when(n > 0, symbols / n).otherwise(lit(0.0)).as("symbol_ratio"),
+      when(n > 0, alpha / n).otherwise(lit(0.0)).as("alpha_frac"),
+      stops.as("stop_hits"))
+  }
+
+  /** The Gopher keep/drop gate over [[gopherFeatures]] — every bound a
+    * parameter, defaults from the paper. Pure filter: pushdown-friendly,
+    * zero shuffles, fully codegen'd. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame = {
+    val f = gopherFeatures(col(textCol))
+    df.filter(
+      f.getField("n_words").between(minWords, maxWords) &&
+        f.getField("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        f.getField("symbol_ratio") <= maxSymbolRatio &&
+        f.getField("alpha_frac") >= minAlphaFrac &&
+        f.getField("stop_hits") >= minStopHits)
+  }
+
   /** Stratified sampling at per-stratum rates: keep a row iff its
     * counter-mode unit draw falls under the rate for its stratum (strata
     * absent from `rates` are dropped). Same determinism contract as

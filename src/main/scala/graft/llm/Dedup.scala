@@ -318,10 +318,13 @@ object Dedup {
                 else array_distinct(Shingles.shingles(col(textCol), n))
     val refGrams = reference.select(explode(grams).as("g")).distinct()
       .withColumn("__hit", lit(1))
-    docs.select(col(idCol), size(grams).as("n_grams"), explode(grams).as("g"))
+    // n_grams folds out of the count AFTER the explode (the gram array is
+    // already distinct) — a size(grams) alongside explode(grams) would be
+    // CollapseProject'd into a SECOND per-row shingle build
+    docs.select(col(idCol), explode(grams).as("g"))
       .join(broadcast(refGrams), Seq("g"), "left")
       .groupBy(col(idCol))
-      .agg(first(col("n_grams")).as("n_grams"),
+      .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0))).as("matched"))
       .withColumn("contaminated", col("matched") > 0)
   }

@@ -145,6 +145,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Gopher quality rules ----
+
+  test("gopher filter: each rule independently drops its violator") {
+    import graft.llm.Curation
+    val fixtures = Seq(
+      (0L, ("the data in the table is good and it works for " + "word " * 40).trim), // passes all
+      (1L, "the a of to in"),                                      // too few words
+      (2L, ("xx " * 60 + "the a of").trim),                        // mean word len 2 → drops
+      (3L, ("### #### ##### " * 20 + "the a of and to in is it that for " * 3).trim), // symbol ratio
+      (4L, ("99 88 77 66 55 " * 12 + "the a of").trim)             // alpha_frac low
+    ).toDF("doc_id", "text")
+    val kept = Curation.gopherFilter(fixtures, "text", minWords = 10, maxWords = 100000,
+      minMeanLen = 2.5, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
+      minAlphaFrac = 0.8, minStopHits = 2).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+    // and the gate is shuffle-free
+    val plan = Curation.gopherFilter(fixtures, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   // ---- corpus drift (KL / JSD) ----
 
   test("term drift: identical snapshots → exactly zero; drift orders correctly; JSD symmetric") {
@@ -171,7 +191,7 @@ class TextOpsSpec extends AnyFunSuite {
         "but quoting the answer is forty two somewhere in a long document about other things entirely"),
       (1L, "nothing shared with the benchmark at all here")).toDF("doc_id", "text")
     val out = graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", n = 5)
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(out(0L)._3 && out(0L)._2 >= 1) // "the answer is forty two" leaks
     assert(!out(1L)._3 && out(1L)._2 == 0L)
     // whole-doc jaccard of the quoting doc is tiny — the fuzzy pass misses it
@@ -184,7 +204,7 @@ class TextOpsSpec extends AnyFunSuite {
     val ref = docs.filter($"doc_id" % 2 === 0)
     val cand = docs.filter($"doc_id" % 2 === 1)
     def run(h: Boolean) = graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", n = 3, hashed = h)
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(run(true) == run(false))
   }
 
