@@ -614,6 +614,19 @@ object SparkEntry {
         Sources.table(s, dir, "documents"), "doc_id", "text",
         maxTokens = 64, streams = 8)
     },
+    // the real training-sequence path COMPOSED: documents → 32-token
+    // context chunks (Chunking) → next-fit packed 64-token bins
+    // (Packing); chunk identity cid = doc_id·1024 + chunk_id stays a
+    // pure function of the doc, so the oracle replays the whole
+    // composition
+    "q_chunk_pack" -> { (s, dir) =>
+      val chunks = graft.llm.Chunking.chunkByTokens(
+        Sources.table(s, dir, "documents"), "doc_id", "text", chunkSize = 32)
+        .select((col("doc_id") * 1024 + col("chunk_id")).as("cid"), col("chunk"))
+      graft.llm.Packing.packSequences(chunks, "cid", "chunk",
+        maxTokens = 64, streams = 8)
+        .withColumnRenamed("doc_id", "cid") // packSequences names its id column doc_id
+    },
     // decontamination: drop training docs that near-duplicate any doc of
     // a held-out reference slice (doc_id % 10 == 0) — banded cross-corpus
     // candidates + exact set verification, oracle = brute-force truth
@@ -1863,6 +1876,20 @@ object SparkEntry {
         |                       + (1 - CAST(a.used + b.used <= 64 AS INT)) * b.used}) AS st
         |  FROM d)
         |SELECT doc_id, n AS n_tok, stream, st.bin AS bin, n > 64 AS oversize FROM p""".stripMargin,
+    "q_chunk_pack" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT doc_id, ts, unnest(range(0, len(ts), 32)) AS s FROM toks),
+        |ch AS (SELECT doc_id * 1024 + s // 32 AS cid, least(len(ts) - s, 32) AS n FROM ex),
+        |d AS (SELECT cid, CAST(n AS INT) AS n, CAST(cid % 8 AS INT) AS stream FROM ch),
+        |p AS (
+        |  SELECT cid, n, stream, list_reduce(
+        |    list_transform(list({'n': n}) OVER (PARTITION BY stream ORDER BY cid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      e -> {'bin': CAST(0 AS BIGINT), 'used': e.n}),
+        |    (a, b) -> {'bin': a.bin + 1 - CAST(a.used + b.used <= 64 AS INT),
+        |               'used': CAST(a.used + b.used <= 64 AS INT) * (a.used + b.used)
+        |                       + (1 - CAST(a.used + b.used <= 64 AS INT)) * b.used}) AS st
+        |  FROM d)
+        |SELECT cid, n AS n_tok, stream, st.bin AS bin, n > 64 AS oversize FROM p""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
