@@ -663,6 +663,14 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // per-label centroid coherence (semantic outlier signal): cosine of
+    // each vector to its cluster's mean embedding
+    "q_centroid" -> { (s, dir) =>
+      Similarity.centroidScores(Sources.table(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"),
+          round(col("cos_centroid"), 6).as("cos_centroid"))
+    },
     // Embedding-cosine near-dup CLUSTERING: the threshold-pair pipeline
     // composed with the connected-components kernel (the same hybrid
     // union-find / distributed min-label engine the text dedup uses).
@@ -2439,6 +2447,15 @@ object SparkEntry {
         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
         |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_centroid" ->
+      """WITH ex AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS cv FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |  round(list_sum(list_transform(list_zip(e.embedding, t.cvec), x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(t.cvec, x -> x * x)))), 6) AS cos_centroid
+        |FROM embeddings e JOIN cent t USING (label)""".stripMargin,
     "q_embed_pairs" ->
       """SELECT id1, id2, round(cosine, 6) AS cosine FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

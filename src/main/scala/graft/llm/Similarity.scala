@@ -167,4 +167,38 @@ object Similarity {
       .select("id1", "id2", "cosine")
       .distinct()
   }
+
+  /** Per-group centroid coherence — the SemDeDup-adjacent semantic
+    * OUTLIER signal: each row's cosine to its group's mean embedding
+    * (group = cluster label, source, language …). Low scores mark
+    * off-distribution rows (mislabeled, noise, topic drift) for pruning.
+    * Appends `cos_centroid` to `df`.
+    *
+    * 100 TB shape: the centroid build is one posexplode →
+    * groupBy(group, pos) with map-side partial avg (dims × groups rows —
+    * tiny), reassembled and BROADCAST back; the corpus itself only makes
+    * the broadcast join and a codegen'd [[graft.functions.VectorExprs
+    * .cosineSim]] projection. One corpus-scale Exchange total (the
+    * explode's aggregate), zero corpus joins. */
+  def centroidScores(df: DataFrame, idCol: String, vecCol: String,
+                     groupCol: String): DataFrame = {
+    val byPos = df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col(groupCol), col("__pos")).agg(avg(col("__v")).as("__cv"))
+    val cents = byPos.groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos").as("p"), col("__cv").as("c")))),
+        s => s.getField("c")).as("__centroid"))
+    df.join(broadcast(cents), Seq(groupCol))
+      .withColumn("cos_centroid",
+        graft.functions.VectorExprs.cosineSim(col(vecCol), col("__centroid")))
+      .drop("__centroid")
+  }
+
+  /** The pruning gate over [[centroidScores]]: keep rows with
+    * `cos_centroid >= minCos`, dropping the appended score. */
+  def centroidOutlierFilter(df: DataFrame, idCol: String, vecCol: String,
+                            groupCol: String, minCos: Double): DataFrame =
+    centroidScores(df, idCol, vecCol, groupCol)
+      .filter(col("cos_centroid") >= minCos)
+      .drop("cos_centroid")
 }

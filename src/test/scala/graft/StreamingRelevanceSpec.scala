@@ -66,6 +66,18 @@ class StreamingRelevanceSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("gopher quality gate on an arriving stream == batch") {
+    val docs = mkDocs(30)
+    val batchDf = spark.createDataFrame(docs)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Curation.gopherFilter(df, "text", minWords = 8, maxWords = 100000,
+        minMeanLen = 2.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
+        minAlphaFrac = 0.8, minStopHits = 1)
+    val batch = gate(batchDf).collect().map(_.getLong(0)).toSet
+    val stream = runStream(docs, "sr_gopher")(gate).map(_.getLong(0)).toSet
+    assert(stream == batch && batch.nonEmpty && batch.size < docs.size)
+  }
+
   test("ngram LM scores each micro-batch against the frozen model == batch") {
     import org.apache.spark.sql.Encoders
     implicit val dEnc = Encoders.product[SrDoc]

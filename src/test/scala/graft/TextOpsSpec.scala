@@ -145,6 +145,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- centroid outlier scoring ----
+
+  test("centroid coherence ranks an off-cluster vector lowest; filter drops only it") {
+    import graft.llm.Similarity
+    val rows = (0 until 10).map(i => (i.toLong, Array(1f, 0.01f * i, 0f), 0)) :+
+      ((99L, Array(0f, 0f, 1f), 0)) // orthogonal outlier in the same label
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val s = Similarity.centroidScores(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_centroid")).toMap
+    assert(s(99L) == s.values.min && s(99L) < 0.5)
+    assert(s.filter(_._1 != 99L).values.forall(_ > 0.9))
+    val kept = Similarity.centroidOutlierFilter(df, "vec_id", "embedding", "label", 0.5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == (0L until 10L).toSet)
+  }
+
   // ---- Gopher quality rules ----
 
   test("gopher filter: each rule independently drops its violator") {
