@@ -663,6 +663,30 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // hybrid retrieval: dense embedding top-10 + sparse token-overlap
+    // top-10 fused by reciprocal rank (k=60) → top-5 per query; doc and
+    // vec ids share the 0..n id space, so the two views rank the same
+    // corpus
+    "q_hybrid" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+      val sets = Sources.table(s, dir, "documents").select(col("doc_id"),
+        array_distinct(filter(split(col("text"), " +"), t => t =!= lit(""))).as("ts"))
+      val qs = sets.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("ts").as("qts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(size(array_intersect(col("qts"), col("ts"))).desc, col("doc_id").asc)
+      val sparse = sets.crossJoin(broadcast(qs))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rk"))
+      graft.llm.Relevance.rrfFuse(Seq(dense, sparse),
+        "query_id", "neighbor_id", "rk", k = 60, topN = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("rrf"), 6).as("rrf"), col("rk_fused"))
+    },
     // per-label centroid coherence (semantic outlier signal): cosine of
     // each vector to its cluster's mean embedding
     "q_centroid" -> { (s, dir) =>
@@ -2447,6 +2471,29 @@ object SparkEntry {
         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
         |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_hybrid" ->
+      """WITH dense AS (
+        |  SELECT query_id, neighbor_id, rk FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
+        |    FROM (SELECT * FROM embeddings WHERE vec_id < 3) q, embeddings c
+        |    WHERE q.vec_id <> c.vec_id) WHERE rk <= 10),
+        |sets AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS ts FROM documents),
+        |sparse AS (
+        |  SELECT query_id, neighbor_id, rk FROM (
+        |    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.doc_id ORDER BY len(list_intersect(q.ts, c.ts)) DESC, c.doc_id) AS rk
+        |    FROM (SELECT * FROM sets WHERE doc_id < 3) q, sets c
+        |    WHERE c.doc_id <> q.doc_id) WHERE rk <= 10),
+        |u AS (SELECT * FROM dense UNION ALL SELECT * FROM sparse),
+        |f AS (SELECT query_id, neighbor_id, SUM(1.0 / (60 + rk)) AS rrf FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, rrf,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rk_fused FROM f)
+        |SELECT query_id, neighbor_id, round(rrf, 6) AS rrf, rk_fused FROM r WHERE rk_fused <= 5""".stripMargin,
     "q_centroid" ->
       """WITH ex AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings),
         |c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS cv FROM ex GROUP BY 1, 2),

@@ -111,6 +111,31 @@ object Relevance {
     Bm25Model(dfT, stats)
   }
 
+  /** Reciprocal-rank fusion of N rankings — the standard hybrid-retrieval
+    * combiner (dense ANN ranking + sparse lexical ranking → one list):
+    * `rrf(d) = Σ_lists 1/(k + rank_list(d))`, re-ranked descending with
+    * id tiebreak. Each input needs columns (qidCol, idCol, rkCol);
+    * output (qidCol, idCol, rrf, rk_fused) with `rk_fused ≤ topN`.
+    *
+    * Deterministic and oracle-replayable: the per-doc sum has one term
+    * per list (IEEE addition is commutative, so merge order can't change
+    * the double), ties break on id. 100 TB shape: one union + one
+    * map-combined groupBy on (qid, id) + a per-query window over ≤
+    * lists·topN candidate rows — never the corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+              rkCol: String, k: Int = 60, topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && topN > 0, "k and topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = rankings.map(_.select(col(qidCol), col(idCol), col(rkCol)))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy(col(qidCol), col(idCol))
+      .agg(sum(lit(1.0) / (lit(k) + col(rkCol))).as("rrf"))
+    fused.withColumn("rk_fused", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("rrf").desc, col(idCol).asc)))
+      .filter(col("rk_fused") <= topN)
+  }
+
   /** Compile a frozen model into a pure scoring COLUMN — the serving
     * twin: per-row array arithmetic only (no explode, no shuffle, fully
     * codegen'd), so the same expression scores a batch frame or a

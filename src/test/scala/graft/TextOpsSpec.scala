@@ -145,6 +145,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- reciprocal-rank fusion ----
+
+  test("RRF: doc ranked well by both lists beats single-list docs; ties break by id") {
+    import graft.llm.Relevance
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("qid", "id", "rk")
+    val b = Seq((0L, 11L, 1), (0L, 13L, 2), (0L, 12L, 3)).toDF("qid", "id", "rk")
+    val out = Relevance.rrfFuse(Seq(a, b), "qid", "id", "rk", k = 60, topN = 10)
+      .orderBy("rk_fused").collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(2)))
+    // 11 in both lists (ranks 2+1) wins; 12 in both (3+3) second;
+    // 10 (rank 1, one list) and 13 (rank 2, one list) follow
+    assert(out.map(_._1).toSeq == Seq(11L, 12L, 10L, 13L))
+    // exact arithmetic: rrf of 11 = 1/62 + 1/61
+    assert(out(0)._3 == 1.0 / 62 + 1.0 / 61)
+    // a one-list doc at rank r ties any other one-list doc at rank r → id order
+    val c = Seq((1L, 20L, 1)).toDF("qid", "id", "rk")
+    val d = Seq((1L, 19L, 1)).toDF("qid", "id", "rk")
+    val tie = Relevance.rrfFuse(Seq(c, d), "qid", "id", "rk", topN = 2)
+      .orderBy("rk_fused").collect().map(_.getLong(1)).toSeq
+    assert(tie == Seq(19L, 20L))
+  }
+
   // ---- centroid outlier scoring ----
 
   test("centroid coherence ranks an off-cluster vector lowest; filter drops only it") {
