@@ -54,6 +54,29 @@ object Demo {
       split.filter(col("split") === "train"), "doc_id", "text", maxTokens = 512, streams = 8)
     println("packing: " + graft.llm.Packing.packingStats(packed, maxTokens = 512))
 
+    // round-10 text operators: quality gates, exact decontamination,
+    // relevance, chunk→pack, drift — the analysis half of the pipeline
+    val gophered = graft.llm.Curation.gopherFilter(docs, "text",
+      minWords = 20, minMeanLen = 2.0, minStopHits = 0)
+    val overlap = graft.llm.Dedup.ngramOverlap(
+      docs.filter(col("doc_id") % 10 =!= 0), holdout, "text", "doc_id", n = 5)
+    println(s"gopher-kept=${gophered.count()} " +
+      s"5-gram-contaminated=${overlap.filter(col("contaminated")).count()}")
+    val bm25 = graft.llm.Relevance.bm25(docs, "doc_id", "text", Seq("hash", "join"))
+    println("BM25 top-3 for query [hash join]:")
+    bm25.orderBy(col("score").desc, col("doc_id")).show(3, truncate = false)
+    val chunks = graft.llm.Chunking.chunkByTokens(docs, "doc_id", "text", chunkSize = 64, overlap = 8)
+    println(s"chunks=${chunks.count()} (64-token, overlap 8)")
+    val drift = graft.llm.CorpusStats.termDrift(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1), "text")
+    println("even/odd snapshot drift (KL, JSD):")
+    drift.show(truncate = false)
+    println("top-5 heavy-hitter terms (exact | CMS estimate):")
+    val top5 = graft.llm.HeavyHitters.topTerms(docs, "text", 5)
+    val est = graft.llm.HeavyHitters.estimateCounts(docs, "text",
+      top5.collect().map(_.getString(0)).toSeq)
+    top5.join(est, "term").show(truncate = false)
+
     val emb = Sources.table(spark, sfDir, "embeddings")
     val index = graft.llm.Ivf.buildIndex(emb, k = 8, iters = 2)
     val queries = emb.filter(col("vec_id") < 3)

@@ -69,6 +69,48 @@ class StreamingTextSpec extends AnyFunSuite {
     assert(top5 == exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet)
   }
 
+  test("line-flag state survives kill + checkpoint recovery") {
+    import org.apache.spark.sql.Encoders
+    implicit val lEnc = Encoders.product[StLine]
+    implicit val sq = spark.sqlContext
+    val boiler = "all rights reserved"
+    val lines = (0L until 12L).flatMap(d => Seq(
+      StLine(d, 0L, s"unique lead $d"), StLine(d, 1L, boiler)))
+    val (firstHalf, secondHalf) = lines.splitAt(lines.size / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lines-ckpt").toString
+
+    val mem = MemoryStream[StLine]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+    def start() =
+      StreamingText.lineFlags(mem.toDF(), "doc_id", "pos", "line", maxDocs = 2)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.llm.StreamingText.LineFlag], _: Long) =>
+          val rows = b.collect().map(f => (f.docId, f.line, f.boilerplate))
+          sink.synchronized { sink ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+
+    val q1 = start()
+    mem.addData(firstHalf: _*)
+    q1.processAllAvailable()
+    q1.stop() // the crash — boiler has crossed maxDocs already (3 docs in first half)
+
+    mem.addData(secondHalf: _*)
+    val q2 = start() // recovery: saturation flag + seen-ids from RocksDB
+    q2.processAllAvailable()
+    val out = sink.synchronized(sink.toList)
+    q2.stop()
+
+    assert(out.size == lines.size)
+    // every post-recovery boiler arrival is still flagged — the saturated
+    // marker survived the restart (a reset would re-admit maxDocs docs)
+    val postRecovery = out.filter { case (d, l, _) => l == boiler && d >= 6L }
+    assert(postRecovery.nonEmpty && postRecovery.forall(_._3))
+    // unique lines never flagged
+    assert(out.filter(_._2 != boiler).forall(!_._3))
+  }
+
   test("online line flags: monotone, and the flagged set == batch blocklist after replay") {
     import org.apache.spark.sql.Encoders
     implicit val lEnc = Encoders.product[StLine]
