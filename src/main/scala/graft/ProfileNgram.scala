@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** A/B timing for [[graft.llm.Dedup.ngramOverlap]]'s two arms: the
+  * oracle-replayable STRING grams (what q_ngram_overlap ships) vs the
+  * rolling 64-bit HASHED grams (the at-scale arm — 8 bytes per gram, no
+  * per-gram string build). Usage:
+  * `sbt "runMain graft.ProfileNgram [sfDir] [n]"` — 5-pass medians,
+  * plus an equality check of the two verdict sets. */
+object ProfileNgram {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.ts.Sources.table(spark, sfDir, "documents")
+    val cand = docs.filter(col("doc_id") % 10 =!= 0)
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        mk.queryExecution.toRdd.count()
+        graft.util.Caching.release()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$tag%-14s median ${times(times.length / 2)}%.3f s (min ${times.head}%.3f)")
+    }
+
+    time("string-grams")(graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", 5))
+    time("hashed-grams")(graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", 5, hashed = true))
+
+    val s = graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h = graft.llm.Dedup.ngramOverlap(cand, ref, "text", "doc_id", 5, hashed = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    println(s"arms equal on this data: ${s == h} (${s.size} docs)")
+    spark.stop()
+  }
+}

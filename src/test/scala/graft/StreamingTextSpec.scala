@@ -69,6 +69,34 @@ class StreamingTextSpec extends AnyFunSuite {
     assert(top5 == exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet)
   }
 
+  test("corpus-health sketch runs as a live streaming aggregate, bounded vs exact") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 200L).map(i =>
+      StDoc(i, Seq.fill(5 + rnd.nextInt(40))(s"w${rnd.nextInt(30)}").mkString(" ")))
+    val batchDf = spark.createDataset(docs).toDF()
+    val exact = graft.llm.CorpusStats.summary(batchDf, "text").collect()(0)
+
+    val mem = MemoryStream[StDoc]
+    // complete mode: the one-row health summary re-emits per micro-batch —
+    // the live corpus dashboard (HLL + quantile-summary state is bounded)
+    val q = graft.llm.CorpusStats.summarySketch(mem.toDF(), "text")
+      .writeStream.outputMode("complete").format("memory").queryName("st_health")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(23).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val live = spark.table("st_health").collect()(0)
+    q.stop()
+
+    assert(live.getAs[Long]("docs") == exact.getAs[Long]("docs"))
+    assert(live.getAs[Long]("total_tokens") == exact.getAs[Long]("total_tokens"))
+    val exactFps = exact.getAs[Long]("distinct_fps").toDouble
+    assert(math.abs(live.getAs[Long]("distinct_fps") - exactFps) <= 0.1 * exactFps)
+    assert(math.abs(live.getAs[Double]("median_tokens") - exact.getAs[Double]("median_tokens")) <= 3.0)
+    assert(live.getAs[Double]("mean_chars") == exact.getAs[Double]("mean_chars"))
+  }
+
   test("line-flag state survives kill + checkpoint recovery") {
     import org.apache.spark.sql.Encoders
     implicit val lEnc = Encoders.product[StLine]
