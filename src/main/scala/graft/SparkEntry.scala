@@ -663,6 +663,19 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // BPE encode under a FIXED all-single-char merge table — for
+    // char-char merges the priority encoder is provably equivalent to
+    // one exhaustive left-to-right pass per merge in rank order (a later
+    // merge can never create a char-char adjacency), which is exactly
+    // DuckDB's chained replace() on delimiter-wrapped symbols. Training
+    // itself is iterative-argmax (BpeSpec's textbook golden example).
+    "q_bpe_encode" -> { (s, dir) =>
+      val model = graft.llm.Bpe.Model(Seq(
+        "s" -> "c", "a" -> "n", "r" -> "o", "t" -> "a", "l" -> "e"))
+      graft.llm.Bpe.encode(Sources.table(s, dir, "documents"), "doc_id", "text", model)
+        .select(col("doc_id"), col("n_bpe"),
+          array_join(col("bpe_tokens"), "|").as("bpe"))
+    },
     // hybrid retrieval: dense embedding top-10 + sparse token-overlap
     // top-10 fused by reciprocal rank (k=60) → top-5 per query; doc and
     // vec ids share the 0..n id space, so the two views rank the same
@@ -2471,6 +2484,17 @@ object SparkEntry {
         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
         |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_bpe_encode" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |w AS (SELECT doc_id, generate_subscripts(ts, 1) AS wi, unnest(ts) AS word FROM toks),
+        |sym AS (SELECT doc_id, wi,
+        |  ' ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ') || ' </w> ' AS s FROM w),
+        |m AS (SELECT doc_id, wi,
+        |  replace(replace(replace(replace(replace(s,
+        |    ' s c ', ' sc '), ' a n ', ' an '), ' r o ', ' ro '), ' t a ', ' ta '), ' l e ', ' le ') AS s FROM sym),
+        |tk AS (SELECT doc_id, wi, list_filter(string_split(trim(s), ' '), x -> x <> '') AS tl FROM m),
+        |agg AS (SELECT doc_id, flatten(list(tl ORDER BY wi)) AS all_t FROM tk GROUP BY 1)
+        |SELECT doc_id, CAST(len(all_t) AS INT) AS n_bpe, array_to_string(all_t, '|') AS bpe FROM agg""".stripMargin,
     "q_hybrid" ->
       """WITH dense AS (
         |  SELECT query_id, neighbor_id, rk FROM (

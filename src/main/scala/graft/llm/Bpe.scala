@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING and encoding — the
+  * "train the tokenizer on the corpus" stage of an LLM data pipeline
+  * (the repo's [[TextAnalysis.tokenCountBpeish]] is a regex
+  * approximation; this is the real merge-table algorithm).
+  *
+  * Classic word-inventory formulation (Sennrich et al. 2016): the corpus
+  * first collapses to a (word, count) VOCABULARY table — pair statistics
+  * are computed over vocabulary entries weighted by count, never over
+  * the corpus again. That is the whole scale story:
+  *   - one corpus-scale aggregate total (the word count), then
+  *   - `numMerges` iterations over the vocabulary table only: each is a
+  *     pair-count aggregate (map-combined) + an argmax `limit(1)` collect
+  *     (one row) + a pure SQL `aggregate` fold applying the merge
+  *     left-to-right non-overlapping. Vocabulary is millions of rows at
+  *     100 TB — iteration cost is independent of corpus bytes.
+  *   - Like [[Dedup.components]], the loop localCheckpoints every few
+  *     rounds so lineage stays constant.
+  *
+  * Determinism: the winning pair breaks count ties lexicographically, so
+  * training is reproducible across partitionings and runs.
+  *
+  * Not SQL-expressible as ONE query (iterative argmax), so the operator
+  * is spec-verified: the classic low/lower/newest golden example
+  * hand-checked merge-by-merge, encode parity vs a reference in-memory
+  * implementation on random corpora, and round-trip properties. */
+object Bpe {
+
+  /** End-of-word sentinel (GPT-2 style ⟂ marker keeps "er" in "newer"
+    * distinct from "er" in "era"). */
+  val EndOfWord = "</w>"
+
+  /** An ordered merge table; ranks are implicit (position = priority). */
+  case class Model(merges: Seq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+    /** Reference single-word encode (driver-side; the distributed path is
+      * [[Bpe.encode]]). Applies the lowest-rank mergeable pair until none
+      * applies — equivalent to replaying merges in training order. */
+    def encodeWord(word: String): Seq[String] = {
+      var syms = word.map(_.toString) :+ EndOfWord
+      var done = false
+      while (!done && syms.length > 1) {
+        val best = syms.zip(syms.tail).zipWithIndex
+          .flatMap { case (p, i) => ranks.get(p).map(r => (r, i)) }
+          .sortBy(identity).headOption
+        best match {
+          case None => done = true
+          case Some((_, i)) =>
+            syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+  }
+
+  private def toks(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** Initial symbol sequence of a word: characters + the end marker. */
+  private def initialSymbols(word: Column): Column =
+    concat(split(word, ""), array(lit(EndOfWord)))
+
+  /** One left-to-right non-overlapping merge pass of (l, r) → l+r over a
+    * symbol array, as a pure SQL fold (no UDF): the accumulator replaces
+    * its last element when (last, next) == (l, r) — and because the
+    * merged symbol differs from `l`, overlapping runs merge exactly like
+    * the sequential reference. */
+  private def applyMerge(symbols: Column, l: String, r: String): Column =
+    aggregate(symbols,
+      array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `numMerges` BPE merges on the corpus. Returns the ordered
+    * merge table. */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int): Model = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    // THE corpus-scale step (once): word inventory with counts
+    var vocab = corpus.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(initialSymbols(col("w")).as("syms"), col("cnt"))
+      .persist()
+    vocab.count() // materialize before the loop
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      // pair stats over the vocabulary, weighted by word count
+      val pairs = vocab
+        .select(posexplode(slice(col("syms"), lit(1),
+          greatest(size(col("syms")) - 1, lit(0)))).as(Seq("p", "l")), col("syms"), col("cnt"))
+        .select(col("l"), element_at(col("syms"), col("p") + 2).as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // argmax: ONE row
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (l, r) = (pairs(0).getString(0), pairs(0).getString(1))
+        merges += ((l, r))
+        val next = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
+          .persist()
+        // constant lineage: checkpoint every 8 rounds (Dedup.components rule)
+        val materialized = if ((i + 1) % 8 == 0) next.localCheckpoint(true) else { next.count(); next }
+        vocab.unpersist(false)
+        vocab = materialized
+      }
+      i += 1
+    }
+    vocab.unpersist(false)
+    Model(merges.toSeq)
+  }
+
+  /** Distributed encode: tokenized symbol sequences per document. The
+    * merge table is tiny (numMerges rows) and rides a broadcast; the
+    * per-word priority-merge loop is genuine imperative per-row work
+    * (mapPartitions — the same category as the packing scans). Output:
+    * (idCol, bpe_tokens: array<string>, n_bpe: int). */
+  def encode(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val enc = df.select(col(idCol).cast("long"), toks(col(textCol))).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val m = bc.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]] // word→tokens memo
+        it.map { case (id, words) =>
+          val out = words.flatMap(w => cache.getOrElseUpdate(w, m.encodeWord(w)))
+          (id, out, out.length)
+        }
+      }
+    enc.toDF(idCol, "bpe_tokens", "n_bpe")
+  }
+}

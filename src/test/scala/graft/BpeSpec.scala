@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Bpe
+
+/** Distributed BPE trainer/encoder. Iterative argmax training is not
+  * one-query SQL-expressible, so the oracle here is the literature: the
+  * classic low/lower/newest/widest worked example hand-checked
+  * merge-by-merge, plus parity between the distributed encode and the
+  * sequential reference, and determinism across partitionings. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Sennrich-style toy corpus: low×5 lower×2 newest×6 widest×3
+  lazy val corpus = Seq(
+    (0L, Array.fill(5)("low").mkString(" ")),
+    (1L, Array.fill(2)("lower").mkString(" ")),
+    (2L, Array.fill(6)("newest").mkString(" ")),
+    (3L, Array.fill(3)("widest").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("training replays the textbook merge sequence (count ties broken lexicographically)") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    // pair counts: (e,s)=(s,t)=(t,</w>)=9 → lexicographic → (e,s) first;
+    // then (es,t), (est,</w>); then (l,o)=(o,w)=7 → (l,o), then (lo,w)
+    assert(m.merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord), ("l", "o"), ("lo", "w")))
+  }
+
+  test("encode: the classic 'lowest' segmentation low + est</w>") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val probe = Seq((9L, "lowest low newest")).toDF("doc_id", "text")
+    val out = Bpe.encode(probe, "doc_id", "text", m).collect()(0)
+    assert(out.getSeq[String](1) == Seq(
+      "low", "est" + Bpe.EndOfWord,         // lowest → low est</w>
+      "low", Bpe.EndOfWord,                 // low    → low </w>
+      "n", "e", "w", "est" + Bpe.EndOfWord  // newest → n e w est</w>
+    ))
+    assert(out.getInt(2) == out.getSeq[String](1).size)
+  }
+
+  test("distributed encode == sequential reference on a random corpus, repartition-invariant") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("alpha", "beta", "gamma", "delta", "ab", "abab", "ba")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 12)
+    val dist = Bpe.encode(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val distRep = Bpe.encode(docs.repartition(7), "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(dist == distRep)
+    // sequential reference: encodeWord per whitespace token
+    docs.collect().foreach { r =>
+      val expected = r.getString(1).split(" +").filter(_.nonEmpty).toSeq
+        .flatMap(m.encodeWord)
+      assert(dist(r.getLong(0)) == expected)
+    }
+    // round-trip: concatenating tokens and stripping markers rebuilds the text
+    dist.foreach { case (id, ts) =>
+      val rebuilt = ts.mkString("").replace(Bpe.EndOfWord, " ").trim
+      assert(rebuilt == docs.filter($"doc_id" === id).collect()(0).getString(1))
+    }
+  }
+
+  test("zero merges → characters + end marker; merge exhaustion stops early") {
+    val m0 = Bpe.train(corpus, "text", numMerges = 0)
+    assert(m0.merges.isEmpty)
+    val enc = Bpe.encode(Seq((0L, "ab")).toDF("doc_id", "text"), "doc_id", "text", m0)
+      .collect()(0).getSeq[String](1)
+    assert(enc == Seq("a", "b", Bpe.EndOfWord))
+    // a tiny corpus runs out of pairs before 100 merges and must stop
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val mx = Bpe.train(tiny, "text", numMerges = 100)
+    assert(mx.merges.size < 100 && mx.merges.nonEmpty)
+  }
+}
