@@ -1076,6 +1076,19 @@ object SparkEntry {
     },
     // CSV publish → read round trip (µs timestamp fidelity via the
     // explicit timestampFormat in Sinks).
+    // JSONL publish → read-with-schema round trip over the documents
+    // corpus (the text-release interchange format); md5-distinct proves
+    // byte fidelity of text through the JSON escaping
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      val path = rtDir("jsonl", dir)
+      val docs = Sources.table(s, dir, "documents")
+      graft.ts.Sinks.writeJsonl(docs, path)
+      graft.ts.Sinks.readJsonl(s, path, docs.schema)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("distinct_texts"),
+          min(col("doc_id")).as("min_id"))
+    },
     "q_csv_roundtrip" -> { (s, dir) =>
       val path = rtDir("csv", dir)
       val base = ev(s, dir).df.select(
@@ -1332,6 +1345,16 @@ object SparkEntry {
     // text is clean word-salad): both engines build the same string and
     // run the same Java∩RE2 regexes, so the redacted text must match
     // byte-for-byte
+    // checksum-gated card scrubbing: synthetic 16-digit runs derived
+    // from doc_id (~10% pass Luhn naturally); only the valid ones redact
+    "q_redact_card" -> { (s, dir) =>
+      val pii = concat(substring(col("text"), 1, 30), lit(" card "),
+        lpad((col("doc_id") * 7919 % 10000000000000000L).cast(StringType), 16, "0"),
+        lit(" end"))
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), graft.llm.Redact.redactCards(pii).as("red"),
+          graft.llm.Redact.cardCount(pii).cast(LongType).as("n_card"))
+    },
     "q_redact" -> { (s, dir) =>
       val pii = concat(lit("u"), col("source"), lit("@ex.org ip 10.0."),
         (col("doc_id") % 256).cast(StringType), lit(".7 call 555-123-"),
@@ -2571,6 +2594,10 @@ object SparkEntry {
         |  CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS min_ts_us,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+        |  COUNT(DISTINCT md5(text)) AS distinct_texts, MIN(doc_id) AS min_id
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
@@ -2726,6 +2753,19 @@ object SparkEntry {
     // same synthesized PII string, same regexes (Java ∩ RE2), same
     // replace order: email first so an email's IPv4-shaped host never
     // double-redacts
+    "q_redact_card" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 30) || ' card '
+        |    || lpad(CAST((doc_id * 7919) % 10000000000000000 AS VARCHAR), 16, '0') || ' end' AS s
+        |  FROM documents),
+        |c AS (SELECT doc_id, s, list_filter(regexp_extract_all(s, '\b\d{16}\b'),
+        |  x -> (list_sum(list_transform(range(1, length(x) + 1),
+        |    i -> CASE WHEN (length(x) - i) % 2 = 1
+        |      THEN CASE WHEN CAST(x[i] AS INT) * 2 > 9 THEN CAST(x[i] AS INT) * 2 - 9 ELSE CAST(x[i] AS INT) * 2 END
+        |      ELSE CAST(x[i] AS INT) END)) % 10 = 0)) AS valid FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN len(valid) = 0 THEN s
+        |       ELSE list_reduce(list_prepend(s, valid), (a, b) -> replace(a, b, '<CARD>')) END AS red,
+        |  CAST(len(valid) AS BIGINT) AS n_card FROM c""".stripMargin,
     "q_redact" ->
       """WITH p AS (SELECT doc_id,
         |  'u' || source || '@ex.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)

@@ -112,6 +112,17 @@ object Sinks {
       .withColumn(Tick.SEQ, col(Tick.SEQ).cast("long")))
   }
 
+  /** JSON-lines publish/read — the interchange format of most public
+    * text-corpus releases (one JSON object per line). Write with Spark's
+    * native json sink; read back with an EXPLICIT schema (inference over
+    * 100 TB of JSONL is a full extra pass and can widen types). */
+  def writeJsonl(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** csp.print (`baselib.py:181-201`). */
   def printTicks(x: TickStream, n: Int = 20): Unit =
     x.df.orderBy(Tick.TS, Tick.SEQ).show(n, truncate = false)

@@ -145,6 +145,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Luhn-gated card redaction ----
+
+  test("card redaction scrubs Luhn-valid numbers only") {
+    import graft.llm.Redact
+    // 4532015112830366: standard Luhn-valid test PAN; flipping the last
+    // digit breaks the checksum
+    val rows = Seq(
+      (0L, "pay 4532015112830366 now"),
+      (1L, "ref 4532015112830367 is an order id"),
+      (2L, "two cards 4532015112830366 and 4716108999716531 here"),
+      (3L, "short 123456 and long 45320151128303661 stay")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id", Redact.redactCards($"text").as("red"),
+      Redact.cardCount($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(0L) == ("pay <CARD> now", 1))
+    assert(out(1L) == ("ref 4532015112830367 is an order id", 0)) // checksum fails → untouched
+    assert(out(2L) == ("two cards <CARD> and <CARD> here", 2))
+    assert(out(3L)._2 == 0 && out(3L)._1.contains("45320151128303661")) // 17 digits: no \b match
+    // reference Luhn cross-check of the gate itself
+    def luhnRef(s: String): Boolean = s.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'; val dd = if (i % 2 == 1) d * 2 else d; if (dd > 9) dd - 9 else dd
+    }.sum % 10 == 0
+    assert(luhnRef("4532015112830366") && !luhnRef("4532015112830367") && luhnRef("4716108999716531"))
+  }
+
   // ---- reciprocal-rank fusion ----
 
   test("RRF: doc ranked well by both lists beats single-list docs; ties break by id") {
