@@ -488,6 +488,26 @@ object SparkEntry {
     "q_corpus_stats" -> { (s, dir) =>
       graft.llm.CorpusStats.summary(Sources.table(s, dir, "documents"), "text")
     },
+    // the FULL curation gate as one oracle-checked composition: Gopher
+    // rules ∧ LM perplexity gate ∧ exact-dup canonical — the three
+    // keep/drop families a real pipeline ANDs together per document
+    "q_curation_full" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val f = graft.llm.Curation.gopherFeatures(col("text"))
+      val gopherOk = f.getField("n_words").between(30, 100000) &&
+        f.getField("mean_word_len").between(3.0, 10.0) &&
+        f.getField("stop_hits") >= 2
+      val lm = graft.llm.NgramLm.selfScore(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("logprob") > -3.43).as("lm_ok"))
+      val dup = Dedup.exact(docs, "text", "doc_id")
+        .select(col("doc_id"), (col("doc_id") === col("canonical_id")).as("canonical"))
+      docs.select(col("doc_id"), gopherOk.as("gopher_ok"))
+        .join(lm, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"))
+        .select(col("doc_id"), col("gopher_ok"),
+          coalesce(col("lm_ok"), lit(false)).as("lm_ok"), col("canonical"),
+          (col("gopher_ok") && coalesce(col("lm_ok"), lit(false)) && col("canonical")).as("keep"))
+    },
     // Gopher quality rules (Rae et al. 2021): features + the keep verdict
     // at fixture-fitting bounds (minWords 30; the paper's 50 would drop
     // most of the short synthetic docs)
@@ -576,6 +596,16 @@ object SparkEntry {
       sets.join(nxt, "doc_id")
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"),
           round(Dedup.setJaccard(col("s"), col("s2")), 6).as("jaccard"))
+    },
+    // asymmetric containment on consecutive ids (same ONE-shingle-pass
+    // shape as q_jaccard_consec): |s_i ∩ s_{i+1}| / |s_i|
+    "q_containment_consec" -> { (s, dir) =>
+      val sets = graft.util.Caching.barrier(
+        Dedup.shingleSets(Sources.table(s, dir, "documents"), "text", "doc_id", 3))
+      val nxt = sets.select((col("doc_id") - 1).as("doc_id"), col("s").as("s2"))
+      sets.join(nxt, "doc_id")
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"),
+          round(Dedup.setContainment(col("s"), col("s2")), 6).as("containment"))
     },
     // LSH near-dup queries: the sf data's planted dups all have jaccard
     // ≥ 0.9 with nothing between 0.2 and 0.9 (verified), so banded LSH at
@@ -2104,6 +2134,37 @@ object SparkEntry {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,
     // ---- relevance / chunking / heavy hitters / stratified ----
+    "q_curation_full" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id,
+        |  (len(ts) BETWEEN 30 AND 100000
+        |   AND (CASE WHEN len(ts) > 0 THEN list_aggregate(list_transform(ts, t -> length(t)), 'sum') / CAST(len(ts) AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |   AND len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(t)))) >= 2) AS gopher_ok
+        |FROM tk),
+        |ex AS (SELECT unnest(ts) AS w FROM tk),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM ex GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_tokens FROM ex),
+        |bgx AS (SELECT doc_id, ts, unnest(range(0, len(ts) - 1)) AS p FROM tk),
+        |bg AS (SELECT doc_id, ts[p+1] AS w1, ts[p+2] AS w2 FROM bgx),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |j AS (SELECT gg.doc_id,
+        |  ln(0.8 * (CASE WHEN u1.c1 IS NOT NULL AND b.c2 IS NOT NULL
+        |        THEN CAST(b.c2 AS DOUBLE) / u1.c1 ELSE 0.0 END)
+        |    + (1.0 - 0.8) * (coalesce(CAST(u2.c1 AS DOUBLE), 0.5) / t.n_tokens)) AS lnp
+        |  FROM bg gg
+        |  LEFT JOIN uni u1 ON u1.w = gg.w1
+        |  LEFT JOIN bi b ON b.w1 = gg.w1 AND b.w2 = gg.w2
+        |  LEFT JOIN uni u2 ON u2.w = gg.w2, tot t),
+        |lm AS (SELECT doc_id, avg(lnp) > -3.43 AS lm_ok FROM j GROUP BY 1),
+        |dup AS (SELECT doc_id, doc_id = min(doc_id) OVER (
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical
+        |FROM documents)
+        |SELECT d.doc_id, g.gopher_ok, coalesce(lm.lm_ok, false) AS lm_ok, dup.canonical,
+        |  (g.gopher_ok AND coalesce(lm.lm_ok, false) AND dup.canonical) AS keep
+        |FROM documents d
+        |JOIN g ON g.doc_id = d.doc_id
+        |LEFT JOIN lm ON lm.doc_id = d.doc_id
+        |JOIN dup ON dup.doc_id = d.doc_id""".stripMargin,
     "q_gopher" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
         |f AS (SELECT doc_id, len(ts) AS n_words,
@@ -2228,6 +2289,17 @@ object SparkEntry {
         |  round(CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_containment_consec" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CASE WHEN len(a.s) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE) END, 6) AS containment
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_binop_spread" ->
       s"""SELECT user_id, epoch_us(ts) AS time_us, lp - lc AS spread FROM (

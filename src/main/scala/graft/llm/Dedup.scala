@@ -508,6 +508,15 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** CONTAINMENT |s1 ∩ s2| / |s1| of pre-distinct shingle sets — the
+    * asymmetric near-dup verdict Jaccard can't give: a short doc fully
+    * quoted inside a long one has containment ≈ 1 while Jaccard stays
+    * tiny (|s1|/|s2|). Use with [[shingleSets]] like [[setJaccard]]. */
+  def setContainment(s1: Column, s2: Column): Column = {
+    val inter = size(array_intersect(s1, s2)).cast("double")
+    when(size(s1) === 0, lit(0.0)).otherwise(inter / size(s1).cast("double"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit j of the signature is the

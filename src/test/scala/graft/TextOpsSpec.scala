@@ -145,6 +145,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- asymmetric containment ----
+
+  test("containment detects a full quote that Jaccard misses") {
+    import graft.llm.Dedup
+    val short = "the answer is forty two"
+    val long = ("completely different framing words " * 8) + short + " plus a long tail of other content here"
+    val two = Seq((0L, short), (1L, long)).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(two, "text", "doc_id", 3)
+    val a = sets.filter($"doc_id" === 0).select($"s".as("s1"))
+    val b = sets.filter($"doc_id" === 1).select($"s".as("s2"))
+    val r = a.crossJoin(b).select(
+      Dedup.setContainment($"s1", $"s2").as("cont"),
+      Dedup.setJaccard($"s1", $"s2").as("jac")).collect()(0)
+    assert(r.getDouble(0) == 1.0) // every shingle of the short doc appears in the long
+    assert(r.getDouble(1) < 0.2)  // whole-doc jaccard stays tiny
+  }
+
   // ---- Luhn-gated card redaction ----
 
   test("card redaction scrubs Luhn-valid numbers only") {
