@@ -488,6 +488,18 @@ object SparkEntry {
     "q_corpus_stats" -> { (s, dir) =>
       graft.llm.CorpusStats.summary(Sources.table(s, dir, "documents"), "text")
     },
+    // Unicode NFC canonicalization: decomposed combining marks
+    // synthesized onto the fixture text must compose (len shrinks by
+    // exactly the mark count); both engines run the same Unicode
+    // algorithm (JDK Normalizer vs DuckDB nfc_normalize)
+    "q_normalize" -> { (s, dir) =>
+      val deco = concat(substring(col("text"), 1, 12),
+        lit(" café naïve Ångström"))
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        graft.llm.TextNormalize.normalize(deco).as("norm"),
+        length(deco).as("len_raw"),
+        length(graft.llm.TextNormalize.normalize(deco)).as("len_norm"))
+    },
     // the FULL curation gate as one oracle-checked composition: Gopher
     // rules ∧ LM perplexity gate ∧ exact-dup canonical — the three
     // keep/drop families a real pipeline ANDs together per document
@@ -2134,6 +2146,12 @@ object SparkEntry {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,
     // ---- relevance / chunking / heavy hitters / stratified ----
+    "q_normalize" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 12) || ' cafe' || chr(769)
+        |  || ' nai' || chr(776) || 've A' || chr(778) || 'ngstro' || chr(776) || 'm' AS s
+        |FROM documents)
+        |SELECT doc_id, nfc_normalize(s) AS norm,
+        |  length(s) AS len_raw, length(nfc_normalize(s)) AS len_norm FROM p""".stripMargin,
     "q_curation_full" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
         |g AS (SELECT doc_id,

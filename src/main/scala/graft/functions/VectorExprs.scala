@@ -174,6 +174,35 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Unicode canonical composition (NFC) of a string — the multilingual
+    * text-canonicalization kernel (decomposed `e + U+0301` and composed
+    * `é` must fingerprint/dedup/tokenize identically). Delegates to the
+    * JDK's `java.text.Normalizer` (the ICU-conformant implementation the
+    * JVM ships); full codegen so it stays a per-row projection inside
+    * WholeStageCodegen. DuckDB's `nfc_normalize` implements the same
+    * Unicode algorithm, so the oracle replays it exactly. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires a string input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(
+          input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+          java.text.Normalizer.Form.NFC))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Cosine similarity of two float/double arrays in double precision,
     * sequential accumulation (bit-compatible with a left-fold). Full
     * codegen (doGenCode) so the kernel stays inside WholeStageCodegen —
@@ -453,6 +482,7 @@ object VectorExprs {
     column(PqCodes(expression(vec), dsub, cb))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def nfcNormalize(s: Column): Column = column(NfcNormalize(expression(s)))
   def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))
   def capGate(c: Column, cap: Int, dropped: org.apache.spark.util.LongAccumulator,
               maxSeen: MaxAccumulator): Column =

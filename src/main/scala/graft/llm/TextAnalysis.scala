@@ -164,6 +164,17 @@ object TextAnalysis {
 }
 
 /** Word-shingle machinery shared by fingerprinting and MinHash dedup. */
+object TextNormalize {
+  /** Unicode NFC canonicalization (+ optional lowercasing) — run FIRST in
+    * a multilingual pipeline so decomposed `e+◌́` and composed `é`
+    * fingerprint/dedup/tokenize identically
+    * ([[graft.functions.VectorExprs.NfcNormalize]], codegen'd per-row). */
+  def normalize(text: Column, lowercase: Boolean = false): Column = {
+    val n = graft.functions.VectorExprs.nfcNormalize(text)
+    if (lowercase) lower(n) else n
+  }
+}
+
 object Shingles {
   /** Word n-gram shingles as strings; docs shorter than n collapse to one
     * whole-doc shingle. */

@@ -78,6 +78,18 @@ class StreamingRelevanceSpec extends AnyFunSuite {
     assert(stream == batch && batch.nonEmpty && batch.size < docs.size)
   }
 
+  test("BPE encode with a frozen merge table on an arriving stream == batch") {
+    val docs = mkDocs(25)
+    val batchDf = spark.createDataFrame(docs)
+    val model = graft.llm.Bpe.train(batchDf, "text", numMerges = 10)
+    val batch = graft.llm.Bpe.encode(batchDf, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val stream = runStream(docs, "sr_bpe")(df =>
+      graft.llm.Bpe.encode(df, "doc_id", "text", model))
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(stream == batch)
+  }
+
   test("ngram LM scores each micro-batch against the frozen model == batch") {
     import org.apache.spark.sql.Encoders
     implicit val dEnc = Encoders.product[SrDoc]

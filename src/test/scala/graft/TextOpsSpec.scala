@@ -145,6 +145,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Unicode NFC normalization ----
+
+  test("NFC composes decomposed marks; shuffle-free projection") {
+    import graft.llm.TextNormalize
+    val t = Seq((0L, "café Ångström")).toDF("doc_id", "text")
+    val out = t.select(TextNormalize.normalize($"text").as("n"),
+      TextNormalize.normalize($"text", lowercase = true).as("nl"))
+    val r = out.collect()(0)
+    assert(r.getString(0) == "café Ångström")
+    assert(r.getString(1) == "café ångström")
+    assert(r.getString(0).length == "café Ångström".length - 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   // ---- asymmetric containment ----
 
   test("containment detects a full quote that Jaccard misses") {
