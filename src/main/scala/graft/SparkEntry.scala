@@ -597,6 +597,18 @@ object SparkEntry {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Sources.table(s, dir, "documents"), "text", "doc_id")
     },
+    // ExactSubstr (Lee et al. 2021): maximal verbatim-duplicated char
+    // spans >= 40 chars, keep-first; then the corpus with those spans
+    // cut out. Catches mid-document boilerplate that whole-doc and
+    // line-unit dedup both miss.
+    "q_substr_spans" -> { (s, dir) =>
+      graft.llm.SubstringDedup.duplicateSpans(
+        Sources.table(s, dir, "documents"), "doc_id", "text", width = 40)
+    },
+    "q_substr_dedup" -> { (s, dir) =>
+      graft.llm.SubstringDedup.removeDuplicateSpans(
+        Sources.table(s, dir, "documents"), "doc_id", "text", width = 40)
+    },
     "q_jaccard_consec" -> { (s, dir) =>
       // ONE shingle pass per doc (precomputed distinct hashed-shingle
       // sets, joined twice) — never per pair: per-pair shingling re-
@@ -2145,6 +2157,40 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS canonical_id
         |FROM documents""".stripMargin,
+    "q_substr_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(substr(text, CAST(pos AS INT) + 1, 40)) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text) - 39)) AS pos
+        |        FROM documents WHERE length(text) >= 40)),
+        |f AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+        |d AS (SELECT doc_id, pos FROM f WHERE rn > 1),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |i AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM g)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end
+        |FROM i GROUP BY doc_id, isl""".stripMargin,
+    "q_substr_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(substr(text, CAST(pos AS INT) + 1, 40)) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text) - 39)) AS pos
+        |        FROM documents WHERE length(text) >= 40)),
+        |f AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+        |d AS (SELECT doc_id, pos FROM f WHERE rn > 1),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |i AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM g),
+        |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 40 AS e FROM i GROUP BY doc_id, isl),
+        |agg AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee FROM sp GROUP BY doc_id),
+        |cut AS (SELECT d.doc_id,
+        |    array_to_string(list_transform(range(0, len(ss) + 1), k ->
+        |      CASE WHEN k = 0 THEN substr(d.text, 1, CAST(ss[1] AS INT))
+        |           WHEN k = len(ss) THEN substr(d.text, CAST(ee[k] AS INT) + 1)
+        |           ELSE substr(d.text, CAST(ee[k] AS INT) + 1, CAST(ss[k+1] - ee[k] AS INT)) END), '') AS cleaned
+        |  FROM documents d JOIN agg USING (doc_id))
+        |SELECT d.doc_id, coalesce(c.cleaned, d.text) AS cleaned
+        |FROM documents d LEFT JOIN cut c USING (doc_id)""".stripMargin,
     // ---- relevance / chunking / heavy hitters / stratified ----
     "q_normalize" ->
       """WITH p AS (SELECT doc_id, substr(text, 1, 12) || ' cafe' || chr(769)

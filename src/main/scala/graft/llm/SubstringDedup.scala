@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication (the ExactSubstr pass of Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", 2021):
+  * find every maximal character span that repeats verbatim anywhere in
+  * the corpus — across documents OR within one — and keep only its FIRST
+  * occurrence (ordered by (doc id, position)). This is the pass that
+  * catches verbatim boilerplate buried mid-document, which whole-document
+  * hashing ([[Dedup.exact]]) and near-dup signatures ([[Dedup
+  * .minhashPairs]]) both miss.
+  *
+  * Method: a duplicated substring of length >= `width` is detected as a
+  * run of duplicated width-`width` sliding windows (stride 1), found by
+  * one groupBy on the window's 128-bit content hash; overlapping flagged
+  * windows then merge into maximal spans by pure per-document array
+  * algebra. Equivalent to the reference method's suffix-array duplicate
+  * detection for spans >= `width`, with keep-first resolution per window.
+  *
+  * 100 TB shape: the window explode is the cost — ~`width`x the corpus
+  * bytes through the hash and one Exchange keyed by the window hash (the
+  * keep-first `row_number` is a perfectly balanced 128-bit-key shuffle,
+  * same shape as [[Dedup.exact]]). Everything AFTER the keep-first filter
+  * touches only flagged windows (duplicated text, a small fraction of a
+  * curated corpus): one Exchange on doc id, then span merge and text
+  * cutting are per-row array algebra, no further shuffle. For corpora
+  * where `width`x hashing is too hot, the alignment-free scale arm is
+  * content-defined chunking ([[Chunking]] / [[LineDedup]] at line
+  * granularity) which hashes each byte once — this operator is the
+  * EXACT arm, the one you run to produce the span ground truth.
+  */
+object SubstringDedup {
+
+  /** (id, pos) of every width-`width` window whose content appears
+    * earlier in (doc id, position) order — i.e. all windows EXCEPT the
+    * first occurrence of each distinct window string. */
+  private def dupWindowPositions(df: DataFrame, idCol: String, textCol: String,
+                                 width: Int): DataFrame = {
+    // Build (pos, hash) pairs INSIDE the array before exploding: the
+    // generate then carries 24-byte structs per window instead of
+    // re-materializing the full document text per output row.
+    val wins = transform(
+      sequence(lit(0), length(col("__t")) - width),
+      i => struct(i.cast("long").as("pos"),
+        md5(col("__t").substr(i + 1, lit(width))).as("h")))
+    val exploded = df
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= width)
+      .select(col(idCol), explode(wins).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    exploded
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("h").orderBy(col(idCol), col("pos"))))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+  }
+
+  /** Per-doc sorted duplicate-window positions: (id, ps). Only docs that
+    * contain at least one duplicated window appear. */
+  private def dupPositions(df: DataFrame, idCol: String, textCol: String,
+                           width: Int): DataFrame =
+    dupWindowPositions(df, idCol, textCol, width)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+
+  /** Merge a SORTED position array into maximal [start, end) spans:
+    * windows closer than `width` overlap or touch and fuse. Returns
+    * array<struct<start,end>>. Pure array algebra — no shuffle. */
+  private def mergeSpans(ps: Column, width: Int): Column = {
+    val n = size(ps)
+    val idx = sequence(lit(0), n - 1)
+    val starts = filter(idx, k =>
+      (k === 0) || (element_at(ps, k + 1) > element_at(ps, k) + width))
+    val ends = filter(idx, k =>
+      (k === n - 1) || (element_at(ps, k + 2) > element_at(ps, k + 1) + width))
+    zip_with(starts, ends, (s, e) => struct(
+      element_at(ps, s + 1).as("start"),
+      (element_at(ps, e + 1) + width).as("end")))
+  }
+
+  /** Maximal duplicated spans to remove: (idCol, span_start, span_end),
+    * character offsets, end exclusive. A span marks text whose every
+    * width-`width` window occurred earlier in the corpus; the first
+    * occurrence is NOT marked (keep-first). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     width: Int = 40): DataFrame = {
+    require(width >= 2, s"width $width must be >= 2")
+    dupPositions(df, idCol, textCol, width)
+      .select(col(idCol), explode(mergeSpans(col("ps"), width)).as("sp"))
+      .select(col(idCol), col("sp.start").as("span_start"),
+        col("sp.end").as("span_end"))
+  }
+
+  /** Concatenation of the segments of `text` OUTSIDE the sorted span
+    * array `sp` (array<struct<start,end>>). */
+  private def cutSpans(text: Column, sp: Column): Column = {
+    val n = size(sp)
+    array_join(
+      transform(sequence(lit(0), n), k =>
+        when(k === 0, text.substr(lit(1), element_at(sp, 1).getField("start").cast("int")))
+          .when(k === n, text.substr(
+            element_at(sp, n).getField("end").cast("int") + 1, length(text)))
+          .otherwise(text.substr(
+            element_at(sp, k).getField("end").cast("int") + 1,
+            (element_at(sp, k + 1).getField("start")
+              - element_at(sp, k).getField("end")).cast("int")))),
+      "")
+  }
+
+  /** The dedup itself: every document with its duplicated spans cut out
+    * (first occurrences survive verbatim; a fully-duplicated document
+    * becomes the empty string — the caller drops empties downstream,
+    * same contract as [[LineDedup.dropDuplicateLines]]). Output
+    * (idCol, cleaned). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           width: Int = 40): DataFrame = {
+    val spans = dupPositions(df, idCol, textCol, width)
+      .select(col(idCol), mergeSpans(col("ps"), width).as("sp"))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("sp").isNull, col(textCol))
+          .otherwise(cutSpans(col(textCol), col("sp"))).as("cleaned"))
+  }
+}

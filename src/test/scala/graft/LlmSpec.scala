@@ -500,4 +500,39 @@ class LlmSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, frames = 4, stride = 2)
     assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) == 2))
   }
+
+  test("substring dedup: keep-first spans across docs, within-doc repeats, full-dup to empty") {
+    val boiler = "SHARED BOILERPLATE PASSAGE OF SIXTY CHARS EXACTLY REPEATED OK!" // 62 chars
+    assert(boiler.length == 62)
+    val repeat = "x" * 50
+    val corpus = Seq(
+      (0L, s"unique prefix alpha $boiler unique suffix alpha"),   // first occurrence — survives
+      (1L, s"unique prefix beta armadillo $boiler unique suffix beta"), // later — span cut
+      (2L, s"$repeat$repeat tail content after the repeated block"), // within-doc repeat
+      (3L, "short doc"),                                            // < width, untouched
+      (4L, s"unique prefix alpha $boiler unique suffix alpha")      // exact dup of 0 — all cut
+    ).toDF("doc_id", "text")
+    val spans = graft.llm.SubstringDedup.duplicateSpans(corpus, "doc_id", "text", width = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!spans.exists(_._1 == 0L), "first occurrence must not be flagged")
+    assert(!spans.exists(_._1 == 3L), "sub-width doc has no windows")
+    val s1 = spans.filter(_._1 == 1L)
+    assert(s1.length == 1 && s1.head._2 > 0, s"doc 1 should lose one interior span: ${s1.toSeq}")
+    val s4 = spans.filter(_._1 == 4L)
+    assert(s4.toSeq == Seq((4L, 0L, corpus.filter($"doc_id" === 4).head.getString(1).length.toLong)),
+      "exact-dup doc is one full-length span")
+    assert(spans.exists(_._1 == 2L), "within-doc repetition is flagged")
+
+    val cleaned = graft.llm.SubstringDedup.removeDuplicateSpans(corpus, "doc_id", "text", width = 40)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(0L).contains(boiler), "first occurrence keeps the passage")
+    assert(!cleaned(1L).contains(boiler) && cleaned(1L).startsWith("unique prefix beta"),
+      s"doc 1 cleaned wrong: ${cleaned(1L)}")
+    assert(cleaned(3L) == "short doc")
+    assert(cleaned(4L) == "", "fully-duplicated doc becomes empty")
+    // cut spans exactly: concatenated kept segments, no chars lost outside spans
+    val doc1 = corpus.filter($"doc_id" === 1).head.getString(1)
+    val sp1 = s1.head
+    assert(cleaned(1L) == doc1.substring(0, sp1._2.toInt) + doc1.substring(sp1._3.toInt))
+  }
 }
