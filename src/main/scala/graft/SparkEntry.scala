@@ -717,6 +717,15 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // SQ8 scalar-quantized ANN: corpus stored as uint8 codes (4x fewer
+    // scan bytes), decoded on the fly; top-k by dequantized cosine.
+    "q_sq8_knn" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      graft.llm.Sq.topK(e.filter(col("vec_id") < 10),
+        graft.llm.Sq.encode(e, "vec_id", "embedding"), 3)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("cosine_q"), 6).as("cosine_q"))
+    },
     // BPE encode under a FIXED all-single-char merge table — for
     // char-char merges the priority encoder is provably equivalent to
     // one exhaustive left-to-right pass per merge in rank order (a later
@@ -2642,6 +2651,28 @@ object SparkEntry {
         |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
+        |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_sq8_knn" ->
+      """WITH enc AS (
+        |  SELECT vec_id, el, list_aggregate(el, 'min') AS vmin,
+        |    (list_aggregate(el, 'max') - list_aggregate(el, 'min')) / 255.0 AS scale
+        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS el FROM embeddings)),
+        |dq AS (
+        |  SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(el, x -> vmin)
+        |    ELSE list_transform(el, x -> vmin + scale * floor((x - vmin) / scale + 0.5)) END AS dv
+        |  FROM enc)
+        |SELECT query_id, neighbor_id, rk, round(cosine_q, 6) AS cosine_q FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.dv),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.dv, x -> x * x)))) AS cosine_q,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY (
+        |      list_sum(list_transform(list_zip(q.embedding, c.dv),
+        |        x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.dv, x -> x * x))))) DESC, c.vec_id) AS rk
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, dq c
         |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
     "q_bpe_encode" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),

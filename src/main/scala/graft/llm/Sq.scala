@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) embedding quantization — the SQ8 memory/IO tier between
+  * full-precision brute force ([[Similarity.bruteForceTopK]]) and PQ
+  * ([[Pq]]): each vector stores one uint8 code per dimension plus a
+  * per-vector (min, scale) pair, a 4x scan-byte reduction at ~1% cosine
+  * error, decoded on the fly at scoring time (the FAISS
+  * `ScalarQuantizer` design point).
+  *
+  * 100 TB shape: encode is a pure projection (zero Exchanges); search is
+  * the same broadcast-queries single corpus scan as brute force, but the
+  * scan reads byte codes — on a cluster the 4x fewer bytes IS the
+  * speedup, since the brute-force scan is IO-bound. Decode is per-corpus-
+  * row array algebra; compose with [[Ivf]] cells to bound the scanned
+  * fraction as well (same seam as `Pq.ivfAdcTopK`).
+  */
+object Sq {
+
+  /** Per-vector min/max uint8 quantization: (idCol, codes, vmin, scale)
+    * with `x ~ vmin + scale * code`, `code = floor((x-vmin)/scale + .5)`
+    * in [0, 255]. A constant vector (scale 0) encodes as all-zero codes
+    * and decodes exactly to vmin. */
+  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol), v.as("__v"))
+      .select(col(idCol), col("__v"),
+        array_min(col("__v")).as("vmin"),
+        ((array_max(col("__v")) - array_min(col("__v"))) / 255.0).as("scale"))
+      .select(col(idCol),
+        transform(col("__v"), x =>
+          when(col("scale") === 0, lit(0L))
+            .otherwise(floor((x - col("vmin")) / col("scale") + lit(0.5)))
+            .cast("int")).as("codes"),
+        col("vmin"), col("scale"))
+  }
+
+  /** Decode a codes column back to array<double>: vmin + scale * code. */
+  def dequant(codes: Column, vmin: Column, scale: Column): Column =
+    transform(codes, c => vmin + scale * c)
+
+  /** Top-k by cosine between full-precision queries and the QUANTIZED
+    * corpus (`encoded` from [[encode]]): (query_id, neighbor_id, rk,
+    * cosine_q) where cosine_q is the dequantized similarity. Queries are
+    * broadcast; the corpus is scanned once, never shuffled. */
+  def topK(queries: DataFrame, encoded: DataFrame, k: Int,
+           qId: String = "vec_id", qVec: String = "embedding",
+           cId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+      transform(col(qVec), x => x.cast("double")).as("__qv"))
+    val c = encoded.select(col(cId).as("neighbor_id"),
+      dequant(col("codes"), col("vmin"), col("scale")).as("__cv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_q", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine_q").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk", "cosine_q")
+  }
+}

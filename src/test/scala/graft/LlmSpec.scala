@@ -535,4 +535,36 @@ class LlmSpec extends AnyFunSuite {
     val sp1 = s1.head
     assert(cleaned(1L) == doc1.substring(0, sp1._2.toInt) + doc1.substring(sp1._3.toInt))
   }
+
+  test("SQ8: reconstruction error bounded by scale/2; top-k recall ~exact; constant vector safe") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      val base = Array.tabulate(16)(d => if ((i % 3) == d % 3) 1.0f else 0.1f)
+      (i, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val enc = graft.llm.Sq.encode(vecs, "vec_id", "embedding")
+    // max |x - dequant(code)| <= scale/2 (+ double-rounding slack)
+    val err = enc.join(vecs, "vec_id")
+      .select(aggregate(
+        zip_with(col("embedding"),
+          graft.llm.Sq.dequant(col("codes"), col("vmin"), col("scale")),
+          (x, d) => abs(x.cast("double") - d)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("maxerr"), col("scale"))
+      .collect()
+    err.foreach(r => assert(r.getDouble(0) <= r.getDouble(1) / 2 + 1e-12,
+      s"reconstruction error ${r.getDouble(0)} > scale/2 ${r.getDouble(1) / 2}"))
+    // codes within [0, 255]
+    val rng = enc.select(array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi")).collect()
+    assert(rng.forall(r => r.getInt(0) >= 0 && r.getInt(1) <= 255))
+    // top-k through the quantized index ~= exact brute force at this noise level
+    val queries = vecs.filter($"vec_id" < 5)
+    val truth = graft.llm.Similarity.bruteForceTopK(queries, vecs, 5)
+    val approx = graft.llm.Sq.topK(queries, enc, 5)
+    assert(graft.llm.Similarity.meanRecall(approx, truth) >= 0.9)
+    // constant vector: scale 0, decodes exactly, no NaN/crash
+    val const = Seq((100L, Array.fill(16)(0.7f))).toDF("vec_id", "embedding")
+    val c = graft.llm.Sq.encode(const, "vec_id", "embedding")
+      .select(graft.llm.Sq.dequant(col("codes"), col("vmin"), col("scale"))).head.getSeq[Double](0)
+    assert(c.forall(x => math.abs(x - 0.7) < 1e-6))
+  }
 }
