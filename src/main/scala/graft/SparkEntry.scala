@@ -699,6 +699,15 @@ object SparkEntry {
       Dedup.ngramOverlap(docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5)
     },
+    // Bloom-gated decontamination: a Bloom sketch of the reference grams
+    // prunes the corpus grams map-side; the exact semi-join removes
+    // Bloom false positives, so the verdict is bit-identical to the
+    // exact arm (same oracle).
+    "q_bloom_decontaminate" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      Dedup.bloomDecontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5)
+    },
     "q_simhash_pairs" -> { (s, dir) =>
       val docs = Sources.table(s, dir, "documents")
       Dedup.simhashVerifiedPairs(docs, "text", "doc_id", maxDist = 7,
@@ -2279,6 +2288,16 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
         |  SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
         |FROM dg d LEFT JOIN refg r ON d.g = r.g GROUP BY 1""".stripMargin,
+    "q_bloom_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |refg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+        |c AS (SELECT DISTINCT d.doc_id FROM dg d JOIN refg r ON d.g = r.g)
+        |SELECT s.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+        |FROM (SELECT doc_id FROM sh WHERE doc_id % 10 <> 0) s LEFT JOIN c USING (doc_id)""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
         |ex AS (SELECT doc_id, len(ts) AS doclen, unnest(ts) AS term FROM toks),

@@ -331,6 +331,52 @@ object Dedup {
       .withColumn("contaminated", col("matched") > 0)
   }
 
+  /** Bloom-gated exact n-gram decontamination: same verdict as
+    * [[ngramOverlap]]'s `contaminated` flag (does ANY of the doc's word
+    * n-grams occur in the reference corpus?), but the corpus-side probe
+    * is gated by a Bloom filter of the reference grams BEFORE the exact
+    * membership join. The filter is exact-composed: Bloom false
+    * positives are removed by the string-equality semi-join, so the
+    * output is bit-identical to the exact arm — the Bloom stage only
+    * prunes work.
+    *
+    * 100 TB shape: the Bloom sketch is ~1.2 bytes/gram at 1% fpp —
+    * 25-50x smaller than broadcasting the gram strings — and it prunes
+    * the exploded corpus grams MAP-SIDE, so the exact verify join and
+    * the doc-id distinct only ever see (true hits + fpp x corpus grams)
+    * rows instead of every gram. The reference side stays the SMALL
+    * side by the [[crossPairs]] contract (test sets, not corpora); its
+    * `count()` for filter sizing is one action on that small side.
+    * Output: (idCol, contaminated) for every candidate doc. */
+  def bloomDecontaminate(docs: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         fpp: Double = 0.01,
+                         expectedItems: Option[Long] = None): DataFrame = {
+    def grams = array_distinct(Shingles.shingles(col(textCol), n))
+    val refG = graft.util.Caching.barrier(
+      reference.select(explode(grams).as("g")).distinct())
+    val expected = math.max(1L, expectedItems.getOrElse(refG.count()))
+    val bloom = refG.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    val mightHit = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expression(lit(bytes)), expression(xxhash64(col("g")))))
+    val contaminated = docs.select(col(idCol), explode(grams).as("g"))
+      .filter(mightHit)
+      .join(broadcast(refG), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    docs.select(col(idCol))
+      .join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(false)).as("contaminated"))
+  }
+
   /** Near-dup CLUSTERING: canonical id per document = the smallest id
     * reachable through the near-dup pair graph (connected components) —
     * the curation stage after pair generation: "keep one doc per

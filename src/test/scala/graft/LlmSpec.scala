@@ -536,6 +536,22 @@ class LlmSpec extends AnyFunSuite {
     assert(cleaned(1L) == doc1.substring(0, sp1._2.toInt) + doc1.substring(sp1._3.toInt))
   }
 
+  test("bloom decontamination == exact verdict, even at fpp 0.5 (verify removes false positives)") {
+    val train = docs.filter($"doc_id" =!= 0L)
+    val ref = docs.filter($"doc_id" === 0L)
+    val exact = Dedup.ngramOverlap(train, ref, "text", "doc_id", n = 5)
+      .select($"doc_id", $"contaminated").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.bloomDecontaminate(train, ref, "text", "doc_id", n = 5, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(bloom == exact, s"fpp=$fpp: $bloom != $exact")
+    }
+    // the bloom gate is in the plan, map-side before the verify join
+    val plan = Dedup.bloomDecontaminate(train, ref, "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from physical plan")
+  }
+
   test("SQ8: reconstruction error bounded by scale/2; top-k recall ~exact; constant vector safe") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map { i =>
