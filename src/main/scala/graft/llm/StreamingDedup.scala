@@ -356,6 +356,43 @@ object StreamingDedup {
       }
   }
 
+  /** Per-doc exact n-gram contamination verdict for an arriving doc. */
+  case class ContamVerdict(docId: Long, contaminated: Boolean)
+
+  /** Streaming twin of [[Dedup.bloomDecontaminate]]: per arriving doc,
+    * does ANY of its word n-grams occur in the static reference corpus?
+    * STATELESS, shuffle-free: the reference rides two broadcasts — a
+    * Bloom sketch (~1.2 bytes/gram, probed first) and the exact gram
+    * set (the verify tier that removes Bloom false positives, same
+    * small-reference contract as [[refIndex]]). Verdicts are therefore
+    * bit-identical to the batch arm's `contaminated` flag; the sketch
+    * only short-circuits the (dominant) clean-gram probes. */
+  def bloomDecontaminate(stream: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         fpp: Double = 0.01): Dataset[ContamVerdict] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[ContamVerdict]
+    val refGrams: Array[String] = reference
+      .select(explode(array_distinct(Shingles.shingles(col(textCol), n))).as("g"))
+      .distinct().as[String].collect()
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(1L, refGrams.length.toLong), fpp)
+    refGrams.foreach(bloom.putString)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val bcExact = spark.sparkContext.broadcast(refGrams.toSet)
+    stream
+      .select(col(idCol).cast("long").as("docId"),
+        array_distinct(Shingles.shingles(col(textCol), n)).as("gs"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val b = bcBloom.value; val exact = bcExact.value
+        it.map { case (id, gs) =>
+          ContamVerdict(id, gs.exists(g => b.mightContainString(g) && exact(g)))
+        }
+      }
+  }
+
   /** Incremental connected components: the ONLINE arm of
     * [[Dedup.components]]' hybrid design — the same min-root union-find
     * (larger root attaches under smaller, so find(x) IS the component

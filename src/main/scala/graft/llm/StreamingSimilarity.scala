@@ -210,4 +210,37 @@ object StreamingSimilarity {
       .groupByKey(_.queryId)(Encoders.scalaLong)
       .transformWithState(new DistTopKProcessor(kNN), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Top-k for a LIVE query stream against a static SQ8-encoded corpus
+    * ([[Sq.encode]]) — the streaming twin of [[Sq.topK]], the serving
+    * mode of the scalar-quantized tier. The corpus dequantizes ONCE into
+    * a barrier-persisted table (release via `graft.util.Caching
+    * .release()` when the query stops); each micro-batch is one
+    * stream-static join against it — no per-batch rebuild, no state
+    * (grouped top-k is per-batch, every candidate lives in its query's
+    * micro-batch). Scoring is the SAME [[graft.functions.VectorExprs
+    * .cosineSim]] expression on the same dequantized doubles as batch,
+    * so stream ≡ batch bit-exactly. */
+  def sq8TopK(queries: DataFrame, encoded: DataFrame, k: Int,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id"): Dataset[KnnHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[KnnHit]
+    implicit val candEnc = Encoders.product[Cand]
+    val dq = graft.util.Caching.barrier(
+      encoded.select(col(cId).cast("long").as("neighborId"),
+        Sq.dequant(col("codes"), col("vmin"), col("scale")).as("cv"),
+        lit(1).as("__one")))
+    queries
+      .select(col(qId).cast("long").as("queryId"),
+        transform(col(qVec), x => x.cast("double")).as("qv"), lit(1).as("__one"))
+      .join(dq, "__one")
+      .filter(col("queryId") =!= col("neighborId"))
+      .withColumn("cosine", graft.functions.VectorExprs.cosineSim(col("qv"), col("cv")))
+      .select(col("queryId"), col("neighborId"), col("cosine"))
+      .as[Cand]
+      .groupByKey(_.queryId)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -328,4 +328,32 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"doc ${d.docId}: recovered ${recovered(d.docId)} vs batch ${batch(d.docId)}")
     }
   }
+
+  test("streaming bloom decontamination == batch verdict, stateless, even at fpp 0.5") {
+    import org.apache.spark.sql.Encoders
+    implicit val docEnc = Encoders.product[SdDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val trainDf = spark.createDataset(corpus).toDF()
+    val refDf = spark.createDataset(reference).toDF()
+    val batch = Dedup.bloomDecontaminate(trainDf, refDf, "text", "docId", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    graft.util.Caching.release()
+    assert(batch.values.exists(identity) && batch.values.exists(!_),
+      "fixture should have both verdicts")
+
+    Seq(0.01, 0.5).zipWithIndex.foreach { case (fpp, i) =>
+      val mem = MemoryStream[SdDoc]
+      val q = StreamingDedup.bloomDecontaminate(mem.toDF(), refDf, "text", "docId",
+          n = 5, fpp = fpp)
+        .writeStream.outputMode("append").format("memory").queryName(s"sd_bloom_$i")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      feed(mem, corpus.sortBy(_.docId), 4, q)
+      val stream = spark.table(s"sd_bloom_$i").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      q.stop()
+      assert(stream == batch, s"fpp=$fpp: stream verdicts != batch")
+    }
+  }
 }

@@ -119,4 +119,44 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     graft.util.Caching.release()
     assert(stream2 == flat, "nprobe=all streaming != flat batch ADC")
   }
+
+  test("streaming sq8TopK == batch Sq.topK, bit-equal cosines") {
+    import org.apache.spark.sql.Encoders
+    implicit val qEnc = Encoders.product[SsQuery]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val corpus = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val enc = graft.llm.Sq.encode(corpus, "vec_id", "embedding")
+
+    val queryRows = (0L until 12L).map { i =>
+      val c = centers((i % 3).toInt)
+      SsQuery(2000L + i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val queriesDf = spark.createDataset(queryRows).toDF("vec_id", "embedding")
+    val batch = graft.llm.Sq.topK(queriesDf, enc, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+
+    val mem = MemoryStream[SsQuery]
+    val q = StreamingSimilarity.sq8TopK(mem.toDF(), enc, 4)
+      .writeStream.outputMode("append").format("memory").queryName("ss_sq8")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queryRows.grouped(5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("ss_sq8").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    q.stop()
+    graft.util.Caching.release()
+
+    assert(stream.size == batch.size && stream.size == 12 * 4)
+    batch.foreach { case (key, (nbr, cos)) =>
+      val (snbr, scos) = stream(key)
+      assert(snbr == nbr && scos == cos, // bit-equal: same cosineSim on same dequant
+        s"$key: stream ($snbr, $scos) vs batch ($nbr, $cos)")
+    }
+  }
 }
