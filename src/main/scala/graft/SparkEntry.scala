@@ -705,8 +705,11 @@ object SparkEntry {
     // exact arm (same oracle).
     "q_bloom_decontaminate" -> { (s, dir) =>
       val docs = Sources.table(s, dir, "documents")
+      // expectedItems given: skips the sizing count() action (oversizing
+      // only widens the sketch; the exact verify keeps the verdict)
       Dedup.bloomDecontaminate(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5)
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5,
+        expectedItems = Some(1L << 18))
     },
     "q_simhash_pairs" -> { (s, dir) =>
       val docs = Sources.table(s, dir, "documents")

@@ -323,7 +323,7 @@ object Dedup {
     // n_grams folds out of the count AFTER the explode (the gram array is
     // already distinct) — a size(grams) alongside explode(grams) would be
     // CollapseProject'd into a SECOND per-row shingle build
-    docs.select(col(idCol), explode(grams).as("g"))
+    graft.util.Parallelism.fanOut(docs).select(col(idCol), explode(grams).as("g"))
       .join(broadcast(refGrams), Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
@@ -367,7 +367,8 @@ object Dedup {
     val mightHit = column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         expression(lit(bytes)), expression(xxhash64(col("g")))))
-    val contaminated = docs.select(col(idCol), explode(grams).as("g"))
+    val contaminated = graft.util.Parallelism.fanOut(docs)
+      .select(col(idCol), explode(grams).as("g"))
       .filter(mightHit)
       .join(broadcast(refG), Seq("g"), "left_semi")
       .select(col(idCol)).distinct()

@@ -46,9 +46,11 @@ object SubstringDedup {
       sequence(lit(0), length(col("__t")) - width),
       i => struct(i.cast("long").as("pos"),
         md5(col("__t").substr(i + 1, lit(width))).as("h")))
-    val exploded = df
+    // fan out the COMPACT form before the width-x window hashing
+    // (no-op at corpus scale — see util.Parallelism)
+    val exploded = graft.util.Parallelism.fanOut(df
       .select(col(idCol), col(textCol).as("__t"))
-      .filter(length(col("__t")) >= width)
+      .filter(length(col("__t")) >= width))
       .select(col(idCol), explode(wins).as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
     exploded
