@@ -729,6 +729,17 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // Binary-quantized ANN: sign-bit signatures (1 bit/dim, packed
+    // words), Hamming-ranked candidates, exact cosine re-rank of the
+    // refine set. Deterministic coordinate-axis planes -> the whole
+    // rank-and-refine pipeline replays in SQL.
+    "q_bq_knn" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      graft.llm.Bq.topK(e.filter(col("vec_id") < 10),
+        graft.llm.Bq.encode(e, "vec_id", "embedding"), e, k = 3, refine = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    },
     // SQ8 scalar-quantized ANN: corpus stored as uint8 codes (4x fewer
     // scan bytes), decoded on the fly; top-k by dequantized cosine.
     "q_sq8_knn" -> { (s, dir) =>
@@ -2674,6 +2685,27 @@ object SparkEntry {
         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
         |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_bq_knn" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv,
+        |    len(list_filter(list_zip(q.embedding, c.embedding), x -> (x[1] > 0) <> (x[2] > 0))) AS ham
+        |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+        |cand AS (SELECT query_id, neighbor_id, qv, cv FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS hrk
+        |  FROM ham) WHERE hrk <= 50)
+        |SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(qv, cv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY (
+        |      list_sum(list_transform(list_zip(qv, cv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, neighbor_id) AS rk
+        |  FROM cand) WHERE rk <= 3""".stripMargin,
     "q_sq8_knn" ->
       """WITH enc AS (
         |  SELECT vec_id, el, list_aggregate(el, 'min') AS vmin,

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary (1-bit) embedding quantization — the coarsest tier of the
+  * quantization ladder ([[Similarity]] flat → [[Sq]] SQ8 → [[Pq]] PQ →
+  * here): each vector compresses to ONE bit per dimension (the sign),
+  * packed into 64-bit words; candidate ranking is Hamming distance
+  * (an XOR + popcount per comparison — the modern vector-DB "binary
+  * quantization" fast path), refined by exact cosine over a small
+  * over-fetched candidate set.
+  *
+  * Unlike [[Similarity.lshBuckets]]' seeded random hyperplanes, the
+  * planes here are the coordinate axes themselves (bit i = v[i] > 0) —
+  * fully deterministic and replayable by an external engine, which is
+  * what makes the whole rank-and-refine pipeline oracle-checkable.
+  *
+  * 100 TB shape: encode is a zero-Exchange projection to 8 bytes per
+  * 64 dims (32x smaller than float32); search is the broadcast-queries
+  * single corpus scan with XOR/popcount per row — the scan reads 1/32nd
+  * the bytes of brute force, and only `refine` candidates per query ever
+  * touch the full-precision vectors (one small equi-join back).
+  */
+object Bq {
+
+  /** Sign-bit signature words: dimension d sets bit (d % 64) of word
+    * (d / 64). Output (idCol, sig: array<bigint>). */
+  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), signature(col(vecCol)).as("sig"))
+
+  /** The packed sign signature of a float/double array column. */
+  def signature(vec: Column): Column = {
+    val words = floor((size(vec) + lit(63)) / lit(64)).cast("int")
+    transform(sequence(lit(0), words - 1), w =>
+      aggregate(
+        // bits of word w: dims [w*64, min((w+1)*64, n))
+        sequence(w * 64, least((w + 1) * 64, size(vec)) - 1),
+        lit(0L),
+        (acc, d) => when(element_at(vec, d + 1) > 0,
+          acc.bitwiseOR(call_function("shiftleft", lit(1L), (d % 64).cast("int"))))
+          .otherwise(acc)))
+  }
+
+  /** Hamming distance between two packed signatures. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, c) => acc + c)
+
+  /** Top-k by EXACT cosine over a Hamming-ranked candidate set: each
+    * query (full precision, broadcast) scans the packed corpus by
+    * XOR/popcount, keeps the `refine` Hamming-nearest candidates
+    * (ties: id asc), then re-ranks just those by exact cosine via one
+    * equi-join back to the full-precision vectors. Output
+    * (query_id, neighbor_id, rk, cosine). With `refine` ≥ corpus size
+    * this IS brute force; the knob trades the one-join row count
+    * against recall, measured by [[Similarity.recallAtK]]. */
+  def topK(queries: DataFrame, encoded: DataFrame, corpus: DataFrame, k: Int,
+           refine: Int, qId: String = "vec_id", qVec: String = "embedding",
+           cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(refine >= k, s"refine $refine must be >= k $k")
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      signature(col(qVec)).as("__qs"))
+    val cand = encoded.select(col(cId).as("neighbor_id"), col("sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qs"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", hamming(col("sig"), col("__qs")))
+      .withColumn("__hrk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))))
+      .filter(col("__hrk") <= refine)
+      .select("query_id", "neighbor_id")
+    cand
+      .join(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), "neighbor_id")
+      .join(q.select(col("query_id"), col("__qv")), "query_id")
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk", "cosine")
+  }
+}

@@ -56,7 +56,7 @@ object Dedup {
     // thing) — a measured 40× slowdown. At 100 TB the equivalent is
     // writing the signature table once and joining against it. Released
     // by the caller via Caching.release() after materialization.
-    val sigs = graft.util.Caching.barrier(df
+    val sigs = graft.util.Caching.barrier(graft.util.Parallelism.fanOut(df)
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
       .select(col(idCol), sig.as("sig")))
     sigs
@@ -185,7 +185,7 @@ object Dedup {
     // estimate prefilter, and exact verification all read it. (Separate
     // sig/set barriers cost a second full corpus scan — at 100 TB that is
     // the dominant cost of the whole pipeline.)
-    val sigs = graft.util.Caching.barrier(df
+    val sigs = graft.util.Caching.barrier(graft.util.Parallelism.fanOut(df)
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
       .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig"),
         array_distinct(col("__base")).as("__set")))
@@ -242,6 +242,9 @@ object Dedup {
                  threshold: Double, numHashes: Int = 32, bands: Int = 16,
                  shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // NO fanOut here (unlike the self-join families): the n=2 hashed
+    // shingle build is the cheap kernel, and the two extra fan-out
+    // stages measured +0.7 s on q_decontaminate against no win.
     def enrich(df: DataFrame): DataFrame = graft.util.Caching.barrier(df
       .select(col(idCol), Shingles.hashedShingles(col(textCol), shingleN).as("__base"))
       .select(col(idCol), minhashSignatureFromBase(col("__base"), numHashes).as("sig"),
@@ -624,8 +627,8 @@ object Dedup {
     * while keys stay wide enough to survive `capBuckets` at corpus scale. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame =
-    simhashPairsFrom(graft.util.Caching.barrier(
-      df.select(col(idCol), simhash(col(textCol)).as("sig"))),
+    simhashPairsFrom(graft.util.Caching.barrier(graft.util.Parallelism.fanOut(df)
+      .select(col(idCol), simhash(col(textCol)).as("sig"))),
       idCol, maxDist, maxBucketSize)
 
   /** Candidate core over a (persisted) `(id, sig, …)` frame. Always
@@ -670,7 +673,8 @@ object Dedup {
     // DOC, never per candidate pair (per-pair string shingling measured
     // 168 s for 34k candidates at sf0.1; this is ~4 s), and no second
     // scan for a separate sets table.
-    val enriched = graft.util.Caching.barrier(df.select(col(idCol),
+    val enriched = graft.util.Caching.barrier(
+      graft.util.Parallelism.fanOut(df).select(col(idCol),
       simhash(col(textCol)).as("sig"),
       array_distinct(Shingles.hashedShingles(col(textCol), shingleN)).as("__set")))
     // simhashPairsFrom dedups its candidates early, unlike minhashPairs'

@@ -583,4 +583,32 @@ class LlmSpec extends AnyFunSuite {
       .select(graft.llm.Sq.dequant(col("codes"), col("vmin"), col("scale"))).head.getSeq[Double](0)
     assert(c.forall(x => math.abs(x - 0.7) < 1e-6))
   }
+
+  test("BQ: packed hamming == dim-level sign disagreement; refine=all == brute force; multi-word packing") {
+    val rnd = new scala.util.Random(13)
+    // 100-dim vectors force TWO signature words (cross-word packing)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(100)((rnd.nextFloat() - 0.5f) * 2))).toDF("vec_id", "embedding")
+    val enc = graft.llm.Bq.encode(vecs, "vec_id", "embedding")
+    assert(enc.select(size(col("sig"))).head.getInt(0) == 2)
+    // packed-word hamming equals the naive per-dimension sign count
+    val pairs = vecs.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .crossJoin(vecs.select(col("vec_id").as("id2"), col("embedding").as("v2")))
+      .filter(col("id1") < col("id2"))
+      .join(enc.select(col("vec_id").as("id1"), col("sig").as("s1")), "id1")
+      .join(enc.select(col("vec_id").as("id2"), col("sig").as("s2")), "id2")
+      .select(
+        graft.llm.Bq.hamming(col("s1"), col("s2")).as("packed"),
+        size(filter(zip_with(col("v1"), col("v2"),
+          (x, y) => (x > 0) =!= (y > 0)), b => b)).as("naive"))
+      .collect()
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1), s"packed ${r.getInt(0)} != naive ${r.getInt(1)}"))
+    // refine >= corpus: BQ answer IS brute force
+    val queries = vecs.filter($"vec_id" < 4)
+    val bq = graft.llm.Bq.topK(queries, enc, vecs, k = 5, refine = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val bf = graft.llm.Similarity.bruteForceTopK(queries, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bq == bf, "refine=corpus must equal brute force")
+  }
 }
