@@ -749,6 +749,34 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rk"),
           round(col("cosine_q"), 6).as("cosine_q"))
     },
+    // Edit-distance near-dup: COMPLETE pairs at levenshtein ≤ 20 via
+    // length-band blocking (|Δlen| ≤ d is a provable prune) + banded-DP
+    // early-exit. ASCII guard because the oracle's levenshtein counts
+    // bytes where Spark counts codepoints — on ASCII they agree (the
+    // operator itself is codepoint-general).
+    "q_edit_pairs" -> { (s, dir) =>
+      graft.llm.EditDedup.exactPairs(
+        Sources.table(s, dir, "documents")
+          .filter(octet_length(col("text")) === length(col("text"))),
+        "text", "doc_id", maxDist = 20)
+    },
+    // SemDeDup (paper matrix rule) over seed-vector cells: k=10 lowest-id
+    // vectors as centroids, iters=0 — the SQL oracle replays the argmax
+    // assignment and the within-cell drop rule exactly. Production runs
+    // Lloyd-refined centroids (same code path, iters>0).
+    "q_semdedup" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.buildCentroids(e, k = 10, iters = 0)
+      graft.llm.SemDedup.semDedup(e, cents, tau = 0.35)
+    },
+    // DSIR importance scores (exact word-feature arm): target = lang='en'
+    // docs, Laplace α=0.5 over the raw vocabulary; per-doc contributions
+    // fold in sorted-token order so both engines sum identically
+    "q_dsir_score" -> { (s, dir) =>
+      graft.llm.Dsir.score(Sources.table(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en")
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    },
     // BPE encode under a FIXED all-single-char merge table — for
     // char-char merges the priority encoder is provably equivalent to
     // one exhaustive left-to-right pass per merge in rank order (a later
@@ -2780,6 +2808,61 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35""".stripMargin,
+    // brute-force truth for the length-banded blocking: |Δlen| ≤ d is a
+    // necessary condition of levenshtein ≤ d, so the blocked answer is
+    // complete and the oracle's all-pairs recompute matches exactly
+    "q_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
+        |  WHERE strlen(text) = length(text))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.text, b.text) AS dist,
+        |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    // replay of the seed-cell SemDeDup: argmax-cosine assignment to the
+    // k=10 lowest-id vectors (ties -> lowest cell), then the paper's
+    // matrix drop rule (some lower-id cell-mate within tau)
+    "q_semdedup" ->
+      """WITH c AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 10),
+        |a AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (
+        |        list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        |dr AS (
+        |  SELECT DISTINCT v.vec_id FROM a u JOIN a v
+        |    ON u.cell = v.cell AND u.vec_id < v.vec_id
+        |  WHERE list_sum(list_transform(list_zip(u.embedding, v.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(u.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35)
+        |SELECT a.vec_id, a.cell, (dr.vec_id IS NULL) AS kept
+        |FROM a LEFT JOIN dr ON a.vec_id = dr.vec_id""".stripMargin,
+    // DSIR replay: same token counts, same α=0.5 Laplace ratio table,
+    // and the per-doc fold runs over the token-sorted contribution list
+    // (struct sort = sort by token) so the double sums match bit-for-bit
+    // before the final 6-dp rounding
+    "q_dsir_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS inT,
+        |    unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |cnt AS (SELECT tok, sum(CASE WHEN inT THEN 1 ELSE 0 END) AS nt,
+        |  count(*) AS nr FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(nt) AS tot_t, sum(nr) AS tot_r, count(*) AS vocab FROM cnt),
+        |lr AS (SELECT tok,
+        |  ln((nt + 0.5) / (tot_t + 0.5 * vocab)) - ln((nr + 0.5) / (tot_r + 0.5 * vocab)) AS lw
+        |  FROM cnt CROSS JOIN tot),
+        |dc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |xs AS (SELECT dc.doc_id, dc.tok, dc.c * lr.lw AS x FROM dc JOIN lr USING (tok))
+        |SELECT doc_id, round(list_reduce(
+        |  list_transform(list_sort(list(struct_pack(t := tok, x := x))), s -> s.x),
+        |  (acc, v) -> acc + v), 6) AS score
+        |FROM xs GROUP BY doc_id""".stripMargin,
     "q_embed_cluster" ->
       """WITH RECURSIVE e1 AS (
         |  SELECT id1, id2 FROM (

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by how target-like it is
+  * under two bag-of-features unigram models,
+  *
+  *   log w(x) = Σ_tokens c_t · (ln p_target(t) − ln p_raw(t)),
+  *
+  * with Laplace smoothing α over the raw vocabulary, then keep the
+  * highest-weight documents (or Gumbel-resample for diversity).
+  *
+  * Two arms, one formula:
+  *
+  *  - [[score]]: exact word-level features. The ratio table is a
+  *    (token → log-ratio) frame the corpus joins against; per-doc the
+  *    contributions fold over the SORTED distinct-token list, so the
+  *    double summation order is engine-independent (same discipline as
+  *    the repetition-entropy oracle). Two token aggregations + one join —
+  *    a verifier and a fine mid-scale path, but the vocabulary is
+  *    unbounded.
+  *  - [[hashedScore]]: the 100 TB arm exactly as published — features
+  *    hashed into `buckets` counters, the ratio table collapses to
+  *    `buckets` rows regardless of corpus size, broadcasts as ONE map
+  *    row, and scoring becomes a map-side fold over each doc's hashed
+  *    tokens: zero Exchange beyond the two bounded count aggregations.
+  *
+  * The target distribution is any boolean predicate over the corpus
+  * (lang = 'en', a quality gate, a domain flag) — DSIR's "target" is
+  * just a filtered view of the same table.
+  */
+object Dsir {
+
+  private def toks(textCol: String): Column = TextAnalysis.tokens(col(textCol))
+
+  /** (token, n_target, n_raw) counts plus the smoothed log-ratio
+    * ln p_tgt − ln p_raw. One explode + one aggregation; the target
+    * counts ride the same pass via a conditional sum (the target is a
+    * subset of raw, so no second corpus scan). */
+  def logRatios(docs: DataFrame, textCol: String, targetPred: Column,
+                alpha: Double = 0.5): DataFrame = {
+    val t = docs.select(explode(toks(textCol)).as("tok"),
+      when(targetPred, 1L).otherwise(0L).as("__inT"))
+    val counts = t.groupBy("tok")
+      .agg(sum("__inT").as("n_tgt"), count(lit(1)).as("n_raw"))
+    val totals = counts.agg(sum("n_tgt").as("__Nt"), sum("n_raw").as("__Nr"),
+      count(lit(1)).as("__V"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("n_tgt"), col("n_raw"),
+        (log((col("n_tgt") + alpha) / (col("__Nt") + col("__V") * alpha))
+          - log((col("n_raw") + alpha) / (col("__Nr") + col("__V") * alpha))).as("lw"))
+  }
+
+  /** Per-document log importance weight, exact word features:
+    * (id, score). Deterministic: contributions are folded in sorted
+    * token order, not shuffle-arrival order. */
+  def score(docs: DataFrame, textCol: String, idCol: String,
+            targetPred: Column, alpha: Double = 0.5): DataFrame = {
+    val lr = logRatios(docs, textCol, targetPred, alpha)
+    val docTok = docs.select(col(idCol), explode(toks(textCol)).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
+    docTok.join(lr.select(col("tok"), col("lw")), "tok")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("tok"), (col("__c") * col("lw")).as("x"))).as("__xs"))
+      .select(col(idCol),
+        aggregate(array_sort(col("__xs")), lit(0.0),
+          (acc, e) => acc + e.getField("x")).as("score"))
+  }
+
+  /** Per-document log importance weight over hashed features — the
+    * bounded-vocabulary scale arm. The (bucket → log-ratio) table is
+    * aggregated to a single map row and broadcast; scoring is a pure
+    * projection folding each doc's hashed-token array against the map
+    * (sorted fold per doc, same determinism discipline as [[score]]).
+    * Hash-collided tokens share a bucket — that IS the published
+    * estimator, not an approximation of this one. */
+  def hashedScore(docs: DataFrame, textCol: String, idCol: String,
+                  targetPred: Column, buckets: Int,
+                  alpha: Double = 0.5): DataFrame = {
+    val bucketOf: Column => Column = t => pmod(xxhash64(t, lit(1009)), lit(buckets))
+    val t = docs.select(explode(toks(textCol)).as("tok"),
+      when(targetPred, 1L).otherwise(0L).as("__inT"))
+    val counts = t.groupBy(bucketOf(col("tok")).as("b"))
+      .agg(sum("__inT").as("nT"), count(lit(1)).as("nR"))
+    val totals = counts.agg(sum("nT").as("__Nt"), sum("nR").as("__Nr"),
+      count(lit(1)).as("__V"))
+    val lrMap = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("nT") + alpha) / (col("__Nt") + col("__V") * alpha))
+          - log((col("nR") + alpha) / (col("__Nr") + col("__V") * alpha))).as("lw"),
+        // unseen-bucket fallback (both counts 0): ln((Nr+αV)/(Nt+αV)) —
+        // only reachable when scoring docs OUTSIDE the fitted corpus
+        log((col("__Nr") + col("__V") * alpha)
+          / (col("__Nt") + col("__V") * alpha)).as("__d"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("lw")))).as("__m"),
+        first(col("__d")).as("__dflt"))
+    docs.select(col(idCol),
+        array_sort(transform(toks(textCol), tk => bucketOf(tk))).as("__bs"))
+      .crossJoin(broadcast(lrMap))
+      .select(col(idCol),
+        aggregate(col("__bs"), lit(0.0),
+          (acc, b) => acc + coalesce(element_at(col("__m"), b), col("__dflt"))).as("score"))
+  }
+
+  /** Deterministic "resampling" head: keep the m highest-weight docs
+    * (ties by id) — TakeOrdered, no single-partition window. The paper's
+    * Gumbel-top-k is [[gumbelTopM]]. */
+  def topM(scored: DataFrame, idCol: String, m: Int): DataFrame =
+    scored.orderBy(col("score").desc, col(idCol)).limit(m)
+
+  /** Gumbel-top-m resampling (samples WITHOUT replacement ∝ w): add
+    * counter-mode Gumbel noise −ln(−ln u) to each log-weight and take
+    * the top m. u comes from the same speculation-safe UnitDraw the
+    * mixture sampler uses — re-running a lost task replays identical
+    * noise, so the selection is stable under retries. */
+  def gumbelTopM(scored: DataFrame, idCol: String, m: Int, seed: Long): DataFrame = {
+    val u = graft.functions.VectorExprs.unitDraw(col(idCol), seed)
+    scored.withColumn("__g", col("score") - log(-log(u)))
+      .orderBy(col("__g").desc, col(idCol)).limit(m).drop("__g")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) near-duplicate detection — the verifier
+  * used by code/corpus dedup pipelines (e.g. The Stack / StarCoder data
+  * curation) where token-set Jaccard is too coarse: two files differing
+  * by a renamed identifier are edit-close but can shingle apart.
+  *
+  * Both paths end in Spark's codegen'd `levenshtein(l, r, threshold)` —
+  * the 3-arg form abandons a pair as soon as the banded DP proves the
+  * distance exceeds `maxDist` (O(maxDist · n) per pair, not O(n²)).
+  *
+  *  - [[exactPairs]]: COMPLETE answer via length-band blocking. A pair
+  *    with distance ≤ d satisfies |len(a) − len(b)| ≤ d (each edit moves
+  *    length by ≤ 1), so blocking on floor(len / (d+1)) with one
+  *    adjacent-bucket probe provably loses nothing. The only Exchange is
+  *    the bucket-keyed self-join. Buckets hold all docs of similar
+  *    length, so this is quadratic per length band — the right tool as a
+  *    verifier / small-corpus pass, documented like the brute-force
+  *    cosine baseline.
+  *  - [[verifiedPairs]]: the 100 TB path — MinHash/LSH candidates
+  *    ([[Dedup.lshBuckets]] geometry: banded buckets, capped) verified
+  *    by exact edit distance. Recall is the LSH recall at the pair's
+  *    shingle-Jaccard; edit-close pairs of non-trivial length are
+  *    shingle-dense, so banding catches them (spec measures recall = 1
+  *    on the fixture's planted dups).
+  */
+object EditDedup {
+
+  /** All pairs with levenshtein ≤ maxDist: (id1, id2, dist, sim) with
+    * id1 < id2, sim = 1 − dist / max(len). Complete by the length-band
+    * argument above. */
+  def exactPairs(df: DataFrame, textCol: String, idCol: String,
+                 maxDist: Int): DataFrame = {
+    val w = maxDist + 1
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).as("__l"),
+      floor(length(col(textCol)) / w).as("__b"))
+    val left = base.select(col("__id").as("id1"), col("__t").as("__t1"),
+      col("__l").as("__l1"), col("__b").as("__k"))
+    // home copy (adj = 0) matches same-bucket pairs once via id order;
+    // the +1 copy (adj = 1) matches each adjacent-bucket pair exactly
+    // once (the higher-bucket row is always on the left), so no pair is
+    // verified twice and none is lost to id orientation.
+    val right = base.select(col("__id").as("id2"), col("__t").as("__t2"),
+        col("__l").as("__l2"),
+        explode(array(struct(col("__b").as("k"), lit(0).as("adj")),
+          struct((col("__b") + 1).as("k"), lit(1).as("adj")))).as("__e"))
+      .select(col("id2"), col("__t2"), col("__l2"),
+        col("__e.k").as("__k"), col("__e.adj").as("__adj"))
+    left.join(right, "__k")
+      .filter((col("__adj") === 0 && col("id1") < col("id2")) || col("__adj") === 1)
+      .filter(abs(col("__l1") - col("__l2")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        col("dist"),
+        round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6).as("sim"))
+  }
+
+  /** LSH-gated edit-distance pairs: candidates from the same banded
+    * MinHash geometry as [[Dedup.minhashPairs]], then exact thresholded
+    * levenshtein. Output schema matches [[exactPairs]]. */
+  def verifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                    maxDist: Int, numHashes: Int = 32, bands: Int = 16,
+                    shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    val texts = graft.util.Caching.barrier(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        length(col(textCol)).as("__l")))
+    val banded = Dedup.lshBuckets(df, textCol, idCol, numHashes, bands, shingleN)
+    val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(texts.select(col("__id").as("id1"), col("__t").as("__t1"), col("__l").as("__l1")), "id1")
+      .join(texts.select(col("__id").as("id2"), col("__t").as("__t2"), col("__l").as("__l2")), "id2")
+      .filter(abs(col("__l1") - col("__l2")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"),
+        round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6).as("sim"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication over an embedding column (Abbas et
+  * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication", arXiv:2303.09540).
+  *
+  * The published recipe: cluster the corpus embeddings with k-means,
+  * then WITHIN each cluster compute the pairwise cosine matrix and drop
+  * every point that has a neighbor above `tau` with a lower index —
+  * one survivor per ε-ball, no cross-cluster comparisons ever.
+  *
+  * 100 TB shape: cell assignment is a shuffle-free projection (the
+  * centroid matrix rides the plan — [[Ivf.cellColumn]]); the only
+  * Exchange is the cell-keyed self-join, and the quadratic term is
+  * bounded per cell — exactly the bound the paper relies on (k is chosen
+  * so n/k fits a worker; the paper used 50k clusters for 5B points).
+  * Oversized cells are the same failure mode as oversized LSH buckets;
+  * k controls it directly.
+  *
+  * Determinism: the drop rule is a pure function of (cell, cosine, id
+  * order), so with deterministic centroids ([[Ivf.buildCentroids]],
+  * init = k lowest-id vectors) the whole operator replays in SQL.
+  */
+object SemDedup {
+
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
+
+  /** Cell assignment carrying the vector alongside (one projection —
+    * [[Ivf.assign]] + a join-back would shuffle the corpus by id). */
+  private def assigned(corpus: DataFrame, centroids: DataFrame,
+                       id: String, vec: String): DataFrame =
+    corpus.select(col(id), col(vec).as("__v"),
+      Ivf.cellColumn(centroids, col(vec)).as("cell"))
+
+  /** Paper rule ("matrix" variant): within its cell, a vector is dropped
+    * iff SOME lower-id vector in the cell has cosine ≥ `tau` to it —
+    * whether or not that lower-id vector itself survived. Returns one row
+    * per input vector: (id, cell, kept).
+    *
+    * Pass centroids from [[Ivf.buildCentroids]] (Lloyd-refined for
+    * production; `iters = 0` gives the seed-vector partitioning that the
+    * SQL oracle replays exactly). */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cells = graft.util.Caching.barrier(assigned(corpus, centroids, id, vec))
+    val l = cells.select(col("cell"), col(id).as("__lid"), col("__v").as("__lv"))
+    val r = cells.select(col("cell"), col(id).as("__rid"), col("__v").as("__rv"))
+    val dropped = l.join(r, "cell")
+      .filter(col("__lid") < col("__rid"))
+      .filter(cos(col("__lv"), col("__rv")) >= tau)
+      .select(col("__rid").as(id)).distinct()
+    cells.join(dropped.withColumn("__drop", lit(true)), Seq(id), "left")
+      .select(col(id), col("cell"), coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
+  /** Greedy ("kept-chain") variant: scan each cell in id order and keep a
+    * vector iff no ALREADY-KEPT vector in the cell is within `tau`. This
+    * is the semantics an online/streaming dedup can actually implement
+    * (state = kept vectors so far), so it is the batch twin of
+    * [[StreamingDedup]]-style serving; it differs from the paper rule
+    * only on chains a–b–c where cos(a,b) ≥ τ > cos(a,c), cos(b,c) ≥ τ.
+    * Per-cell sequential recurrence — mapPartitions after a cell-keyed
+    * repartition+sort (the recurrence is order-dependent by design). */
+  def semDedupGreedy(corpus: DataFrame, centroids: DataFrame, tau: Double,
+                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cells = assigned(corpus, centroids, id, vec)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val parts = cells.select(col(id).cast("long"), col("cell"),
+        col("__v").cast("array<double>"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col(id))
+    parts.as[(Long, Int, Seq[Double])].mapPartitions { it =>
+      val kept = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Array[Double]]]
+      it.map { case (vid, cell, v) =>
+        val va = v.toArray
+        val reps = kept.getOrElseUpdate(cell, scala.collection.mutable.ArrayBuffer.empty)
+        val dup = reps.exists(u => cosLocal(u, va) >= tau)
+        if (!dup) reps += va
+        (vid, cell, !dup)
+      }
+    }.toDF(id, "cell", "kept")
+  }
+
+  /** Same sequential double accumulation as the cosineSim kernel (array
+    * order, one pass) so the two variants agree bit-for-bit on shared
+    * comparisons. */
+  private[graft] def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

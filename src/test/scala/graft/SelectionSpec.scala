@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dsir, EditDedup, Ivf, SemDedup}
+
+/** EditDedup / SemDeDup / DSIR — the round's data-selection operators. */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val fixtureDocs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+  lazy val fixtureEmb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+
+  // ---- EditDedup ----
+
+  test("edit: length-banded blocking equals brute force on the fixture") {
+    val d = 20
+    val blocked = EditDedup.exactPairs(fixtureDocs, "text", "doc_id", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val rows = fixtureDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (i, ti) <- rows; (j, tj) <- rows if i < j
+      dist = levenshteinLocal(ti, tj, d) if dist >= 0
+    } yield (i, j) -> dist).toMap
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // fixture actually exercises the operator
+  }
+
+  test("edit: LSH-gated path has full recall on the fixture's planted dups") {
+    val d = 20
+    val exact = EditDedup.exactPairs(fixtureDocs, "text", "doc_id", d)
+      .select("id1", "id2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gated = EditDedup.verifiedPairs(fixtureDocs, "text", "doc_id", d)
+      .select("id1", "id2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.util.Caching.release()
+    assert(gated == exact)
+  }
+
+  test("edit: distance values are exact") {
+    val docs = Seq((0L, "kitten"), (1L, "sitting"), (2L, "kitten"),
+      (3L, "totally unrelated string here")).toDF("doc_id", "text")
+    val out = EditDedup.exactPairs(docs, "text", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((0L, 2L)) == 0)
+    assert(out((0L, 1L)) == 3) // the textbook kitten→sitting distance
+    assert(!out.contains((0L, 3L)))
+  }
+
+  // ---- SemDeDup ----
+
+  test("semdedup: matrix rule vs greedy rule on a similarity chain") {
+    // a—b similar, b—c similar, a—c NOT: the paper's matrix rule drops
+    // both b and c; the greedy (kept-chain) rule re-admits c because its
+    // only close lower-id neighbor b was itself dropped.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(math.cos(0.7).toFloat, math.sin(0.7).toFloat)),
+      (2L, Seq(math.cos(1.4).toFloat, math.sin(1.4).toFloat))
+    ).toDF("vec_id", "embedding")
+    val cents = Ivf.buildCentroids(vecs, k = 1, iters = 0)
+    val tau = math.cos(0.75) // cos(0.7) ≥ τ > cos(1.4)
+    val matrix = SemDedup.semDedup(vecs, cents, tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val greedy = SemDedup.semDedupGreedy(vecs, cents, tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    graft.util.Caching.release()
+    assert(matrix == Map(0L -> true, 1L -> false, 2L -> false))
+    assert(greedy == Map(0L -> true, 1L -> false, 2L -> true))
+  }
+
+  test("semdedup: greedy keeps a superset of matrix-kept; cells agree") {
+    val cents = Ivf.buildCentroids(fixtureEmb, k = 8, iters = 1)
+    val m = SemDedup.semDedup(fixtureEmb, cents, 0.35)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val g = SemDedup.semDedupGreedy(fixtureEmb, cents, 0.35)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    graft.util.Caching.release()
+    assert(m.map(t => (t._1, t._2)).toSet == g.map(t => (t._1, t._2)).toSet) // same cells
+    val mKept = m.filter(_._3).map(_._1).toSet
+    val gKept = g.filter(_._3).map(_._1).toSet
+    assert(mKept.subsetOf(gKept))
+    assert(mKept.size < fixtureEmb.count()) // something was actually dropped
+  }
+
+  test("semdedup: greedy matches a local sequential replay") {
+    val cents = Ivf.buildCentroids(fixtureEmb, k = 8, iters = 1)
+    val got = SemDedup.semDedupGreedy(fixtureEmb, cents, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val cells = Ivf.assign(fixtureEmb, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = fixtureEmb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val kept = scala.collection.mutable.Map.empty[Int, List[Long]]
+    val expect = vecs.keys.toSeq.sorted.map { id =>
+      val cell = cells(id)
+      val reps = kept.getOrElse(cell, Nil)
+      val dup = reps.exists(u => SemDedup.cosLocal(vecs(u), vecs(id)) >= 0.35)
+      if (!dup) kept(cell) = reps :+ id
+      id -> !dup
+    }.toMap
+    graft.util.Caching.release()
+    assert(got == expect)
+  }
+
+  // ---- DSIR ----
+
+  test("dsir: hashed arm equals exact arm when buckets are collision-free") {
+    val pred = col("lang") === "en"
+    val exact = Dsir.score(fixtureDocs, "text", "doc_id", pred)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 1 << 22 buckets vs a few-thousand-token vocab: if no two tokens
+    // collide, bucket counts equal token counts and V matches, so the
+    // two arms compute the SAME sums (up to fold order — tolerance 1e-9)
+    val hashed = Dsir.hashedScore(fixtureDocs, "text", "doc_id", pred, 1 << 22)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == hashed.keySet)
+    exact.foreach { case (id, s) => assert(math.abs(s - hashed(id)) < 1e-9, s"doc $id") }
+  }
+
+  test("dsir: target-language docs score above off-target docs") {
+    val scored = Dsir.score(fixtureDocs, "text", "doc_id", col("lang") === "en")
+      .join(fixtureDocs.select("doc_id", "lang"), "doc_id")
+    val byLang = scored.groupBy("lang").agg(avg("score").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") > byLang("zh"))
+    assert(byLang("en") > byLang("de"))
+  }
+
+  test("dsir: selection heads are deterministic and sized") {
+    val scored = Dsir.score(fixtureDocs, "text", "doc_id", col("lang") === "en")
+    val t1 = Dsir.topM(scored, "doc_id", 10).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(t1.size == 10)
+    val g1 = Dsir.gumbelTopM(scored, "doc_id", 10, seed = 11).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val g2 = Dsir.gumbelTopM(scored, "doc_id", 10, seed = 11).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(g1 == g2 && g1.size == 10)
+    val g3 = Dsir.gumbelTopM(scored, "doc_id", 10, seed = 12).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(g3 != g1) // different seed actually perturbs the draw
+  }
+
+  /** Reference Levenshtein with threshold: returns -1 if distance > d. */
+  private def levenshteinLocal(a: String, b: String, d: Int): Int = {
+    if (math.abs(a.length - b.length) > d) return -1
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+    }
+    if (prev(b.length) <= d) prev(b.length) else -1
+  }
+}
