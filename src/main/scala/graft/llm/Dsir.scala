@@ -104,6 +104,38 @@ object Dsir {
           (acc, b) => acc + coalesce(element_at(col("__m"), b), col("__dflt"))).as("score"))
   }
 
+  /** Fit the hashed ratio table ONCE on a reference corpus and return a
+    * frozen scoring column: the (bucket → log-ratio) map is collected to
+    * the driver (≤ `buckets` entries, the same bytes the broadcast arm
+    * ships) and rides the plan as a single map literal, so scoring is a
+    * pure projection — it runs unchanged on a batch OR a structured
+    * stream (the online-serving twin; StreamingSelectionSpec pins
+    * stream ≡ batch). Unseen buckets get the smoothed zero-count ratio. */
+  def frozenHashedScorer(fit: DataFrame, textCol: String, targetPred: Column,
+                         buckets: Int, alpha: Double = 0.5): Column => Column = {
+    val bucketOf: Column => Column = t => pmod(xxhash64(t, lit(1009)), lit(buckets))
+    val t = fit.select(explode(toks(textCol)).as("tok"),
+      when(targetPred, 1L).otherwise(0L).as("__inT"))
+    val counts = t.groupBy(bucketOf(col("tok")).as("b"))
+      .agg(sum("__inT").as("nT"), count(lit(1)).as("nR"))
+    val totals = counts.agg(sum("nT").as("__Nt"), sum("nR").as("__Nr"),
+      count(lit(1)).as("__V"))
+    val rows = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("nT") + alpha) / (col("__Nt") + col("__V") * alpha))
+          - log((col("nR") + alpha) / (col("__Nr") + col("__V") * alpha))).as("lw"),
+        log((col("__Nr") + col("__V") * alpha)
+          / (col("__Nt") + col("__V") * alpha)).as("__d"))
+      .collect()
+    val lrMap: Map[Long, Double] =
+      rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dflt: Double = if (rows.isEmpty) 0.0 else rows.head.getDouble(2)
+    (text: Column) =>
+      aggregate(array_sort(transform(split(text, " +"), tk => bucketOf(tk))),
+        lit(0.0),
+        (acc, b) => acc + coalesce(element_at(typedlit(lrMap), b), lit(dflt)))
+  }
+
   /** Deterministic "resampling" head: keep the m highest-weight docs
     * (ties by id) — TakeOrdered, no single-partition window. The paper's
     * Gumbel-top-k is [[gumbelTopM]]. */

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import scala.collection.mutable
+
+/** Online twins of the data-selection operators:
+  *
+  *  - [[semDedupOnline]] — arrival-time semantic dedup serving. Keyed by
+  *    IVF cell, per-cell state = the kept representatives; an arriving
+  *    vector is admitted iff no kept cell-mate is within `tau`. This is
+  *    EXACTLY the batch [[SemDedup.semDedupGreedy]] recurrence (the
+  *    kept-chain rule — the one an online system can implement without
+  *    retraction), so full replay in id order reproduces the batch flags
+  *    bit-for-bit (StreamingSelectionSpec asserts it).
+  *  - [[Dsir.frozenHashedScorer]] — DSIR scoring is stateless once the
+  *    ratio table is fitted; the frozen scorer is a pure projection and
+  *    runs unchanged on a stream (spec pins stream ≡ batch there too).
+  *
+  * State shape at scale: kept-rep lists are bounded by the dedup rate,
+  * not the arrival rate (every stored vector is pairwise < tau to its
+  * cell-mates — an ε-net of the cell, the same bound the batch survivor
+  * set carries); cells are the shuffle key, so the only Exchange is the
+  * keyed state routing.
+  */
+object StreamingSelection {
+
+  /** Input row after cell assignment (top-level for the encoder). */
+  private[llm] case class CellVec(cell: Int, vecId: Long, v: Seq[Double])
+
+  /** Output: arrival-time keep/drop flag per vector. */
+  case class SemFlag(vecId: Long, cell: Int, kept: Boolean)
+
+  class SemProcessor(tau: Double) extends StatefulProcessor[Int, CellVec, SemFlag] {
+    @transient private var reps: ListState[CellVec] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reps = getHandle.getListState[CellVec]("reps",
+        Encoders.product[CellVec], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[CellVec],
+                                 timerValues: TimerValues): Iterator[SemFlag] = {
+      val kept = mutable.ArrayBuffer.empty[Array[Double]]
+      reps.get().foreach(r => kept += r.v.toArray)
+      val fresh = mutable.ArrayBuffer.empty[CellVec]
+      // within-batch determinism: process in id order (same order the
+      // batch greedy recurrence scans)
+      val out = rows.toSeq.sortBy(_.vecId).map { r =>
+        val va = r.v.toArray
+        val dup = kept.exists(u => SemDedup.cosLocal(u, va) >= tau)
+        if (!dup) { kept += va; fresh += r }
+        SemFlag(r.vecId, r.cell, !dup)
+      }
+      if (fresh.nonEmpty) reps.appendList(fresh.toArray)
+      out.iterator
+    }
+  }
+
+  /** Arrival-time SemDeDup over a vector stream: assigns each arriving
+    * vector to its cell (shuffle-free projection against the prebuilt
+    * `centroids`), routes by cell, and admits it iff no kept cell-mate
+    * is within `tau`. Emits one [[SemFlag]] per arrival. */
+  def semDedupOnline(vecs: DataFrame, centroids: DataFrame, tau: Double,
+                     id: String = "vec_id", vec: String = "embedding"): Dataset[SemFlag] = {
+    implicit val inEnc = Encoders.product[CellVec]
+    implicit val outEnc = Encoders.product[SemFlag]
+    vecs.select(Ivf.cellColumn(centroids, col(vec)).as("cell"),
+        col(id).cast("long").as("vecId"),
+        col(vec).cast("array<double>").as("v"))
+      .as[CellVec]
+      .groupByKey(_.cell)(Encoders.scalaInt)
+      .transformWithState(new SemProcessor(tau), TimeMode.None(), OutputMode.Append())
+  }
+}

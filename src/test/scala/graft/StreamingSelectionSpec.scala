@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dsir, Ivf, SemDedup, StreamingSelection}
+
+/** Vector row (top-level for the encoder). */
+case class StVec(vec_id: Long, embedding: Seq[Float])
+
+/** Online twins of the data-selection operators: arrival-time SemDeDup
+  * (≡ the batch greedy kept-chain rule on replay) and frozen-ratio DSIR
+  * scoring (stateless ⇒ stream equals batch exactly). */
+class StreamingSelectionSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  lazy val fixtureEmb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+  lazy val fixtureDocs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+
+  test("online semdedup over id-ordered micro-batches equals batch greedy flags") {
+    import org.apache.spark.sql.Encoders
+    implicit val vEnc = Encoders.product[StVec]
+    implicit val sq = spark.sqlContext
+    val cents = Ivf.buildCentroids(fixtureEmb, k = 8, iters = 1)
+    val batch = SemDedup.semDedupGreedy(fixtureEmb, cents, 0.35)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    graft.util.Caching.release()
+
+    val rows = fixtureEmb.select("vec_id", "embedding").collect()
+      .map(r => StVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.vec_id)
+    val mem = MemoryStream[StVec]
+    val q = StreamingSelection.semDedupOnline(mem.toDF(), cents, 0.35)
+      .writeStream.outputMode("append").format("memory").queryName("st_sem")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // three uneven micro-batches: state must carry kept reps across them
+    rows.grouped(17).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_sem").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    q.stop()
+    assert(online == batch)
+    assert(online.values.exists(!_._2)) // the stream actually dropped dups
+  }
+
+  test("frozen DSIR scorer: stream scores equal the batch hashed arm") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val pred = col("lang") === "en"
+    val buckets = 4096
+    val batch = Dsir.hashedScore(fixtureDocs, "text", "doc_id", pred, buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val scorer = Dsir.frozenHashedScorer(fixtureDocs, "text", pred, buckets)
+    val rows = fixtureDocs.select("doc_id", "text").collect()
+      .map(r => StDoc(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[StDoc]
+    val q = mem.toDF().select(col("doc_id"), scorer(col("text")).as("score"))
+      .writeStream.outputMode("append").format("memory").queryName("st_dsir")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(100).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_dsir").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(online == batch) // stateless projection: bit-identical
+  }
+}
