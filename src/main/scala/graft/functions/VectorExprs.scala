@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector/hash hot paths.
   *
@@ -351,6 +352,46 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Codepoint histogram folded into 128 buckets (cp & 127) — the cheap
+    * side of the edit-distance lower bound: one substitution moves at
+    * most two bucket counts by 1, one insert/delete moves one, so
+    * levenshtein(a, b) ≥ L1(hist(a), hist(b)) / 2. Bucket collisions
+    * only MERGE opposite-sign diffs (L1_bucketed ≤ L1_true), so the
+    * bound — and any prune built on it — stays sound for all input. */
+  case class CharHist(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val h = new Array[Int](128)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h(cp & 127) += 1
+        i += Character.charCount(cp)
+      }
+      new GenericArrayData(h)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** L1 distance between two equal-length int arrays (the [[CharHist]]
+    * companion — `histL1(a, b) > 2·d` proves levenshtein > d). */
+  case class HistL1(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      var s = 0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) { s += math.abs(a.getInt(i) - b.getInt(i)); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Fraction of positions where two equal-length long arrays agree —
     * the MinHash jaccard estimator (E[agree] = jaccard). */
   case class SigAgreement(left: Expression, right: Expression)
@@ -488,6 +529,8 @@ object VectorExprs {
               maxSeen: MaxAccumulator): Column =
     column(CapGate(expression(c), cap, dropped, maxSeen))
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
+  def charHist(s: Column): Column = column(CharHist(expression(s)))
+  def histL1(a: Column, b: Column): Column = column(HistL1(expression(a), expression(b)))
   def ngramHash(tokenHashes: Column, n: Int): Column = column(NgramHash(expression(tokenHashes), n))
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))
   def simhashSig(hashes: Column): Column = column(SimHashSig(expression(hashes)))

@@ -35,30 +35,51 @@ object EditDedup {
   def exactPairs(df: DataFrame, textCol: String, idCol: String,
                  maxDist: Int): DataFrame = {
     val w = maxDist + 1
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-      length(col(textCol)).as("__l"),
-      floor(length(col(textCol)) / w).as("__b"))
-    val left = base.select(col("__id").as("id1"), col("__t").as("__t1"),
-      col("__l").as("__l1"), col("__b").as("__k"))
+    // Signature table only — the O(candidates) join deliberately does NOT
+    // carry document text: shipping two ~full-document strings through a
+    // million-pair join dominated the first cut (26 s → 2.4 s with the
+    // histogram prune on joined texts → 1 s¹ with texts fetched only for
+    // the L1 survivors). ¹sf0.1 bench, see README scaling table.
+    // fanOut: the million-pair probe inherits the streamed side's scan
+    // parallelism — a compact fixture file plans 1-2 partitions and the
+    // whole candidate sweep lands on as many cores (measured 16%
+    // utilization); at corpus scale the scan has real splits and the
+    // repartition is a no-op.
+    val sigs = graft.util.Caching.barrier(
+      graft.util.Parallelism.fanOut(df)
+        .select(col(idCol).as("__id"), length(col(textCol)).as("__l"),
+          graft.functions.VectorExprs.charHist(col(textCol)).as("__h"),
+          floor(length(col(textCol)) / w).as("__b")))
+    val left = sigs.select(col("__id").as("id1"),
+      col("__l").as("__l1"), col("__h").as("__h1"), col("__b").as("__k"))
     // home copy (adj = 0) matches same-bucket pairs once via id order;
     // the +1 copy (adj = 1) matches each adjacent-bucket pair exactly
     // once (the higher-bucket row is always on the left), so no pair is
     // verified twice and none is lost to id orientation.
-    val right = base.select(col("__id").as("id2"), col("__t").as("__t2"),
-        col("__l").as("__l2"),
+    val right = sigs.select(col("__id").as("id2"),
+        col("__l").as("__l2"), col("__h").as("__h2"),
         explode(array(struct(col("__b").as("k"), lit(0).as("adj")),
           struct((col("__b") + 1).as("k"), lit(1).as("adj")))).as("__e"))
-      .select(col("id2"), col("__t2"), col("__l2"),
+      .select(col("id2"), col("__l2"), col("__h2"),
         col("__e.k").as("__k"), col("__e.adj").as("__adj"))
-    left.join(right, "__k")
+    val survivors = left.join(right, "__k")
       .filter((col("__adj") === 0 && col("id1") < col("id2")) || col("__adj") === 1)
       .filter(abs(col("__l1") - col("__l2")) <= maxDist)
-      .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
-      .filter(col("dist") >= 0)
+      // histogram lower bound: L1/2 ≤ levenshtein, so L1 > 2d can never
+      // be a true pair — ~100 int ops replace a banded DP for the >95%
+      // of candidates that are merely similar-LENGTH, not similar-text
+      .filter(graft.functions.VectorExprs.histL1(col("__h1"), col("__h2")) <= 2 * maxDist)
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
-        col("dist"),
-        round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6).as("sim"))
+        greatest(col("__l1"), col("__l2")).as("__lmax"))
+    val texts = df.select(col(idCol), col(textCol))
+    survivors
+      .join(texts.select(col(idCol).as("id1"), col(textCol).as("__t1")), "id1")
+      .join(texts.select(col(idCol).as("id2"), col(textCol).as("__t2")), "id2")
+      .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"),
+        round(lit(1.0) - col("dist") / col("__lmax"), 6).as("sim"))
   }
 
   /** LSH-gated edit-distance pairs: candidates from the same banded
@@ -69,7 +90,8 @@ object EditDedup {
                     shingleN: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val texts = graft.util.Caching.barrier(
       df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-        length(col(textCol)).as("__l")))
+        length(col(textCol)).as("__l"),
+        graft.functions.VectorExprs.charHist(col(textCol)).as("__h")))
     val banded = Dedup.lshBuckets(df, textCol, idCol, numHashes, bands, shingleN)
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
@@ -77,9 +99,12 @@ object EditDedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     cand
-      .join(texts.select(col("__id").as("id1"), col("__t").as("__t1"), col("__l").as("__l1")), "id1")
-      .join(texts.select(col("__id").as("id2"), col("__t").as("__t2"), col("__l").as("__l2")), "id2")
+      .join(texts.select(col("__id").as("id1"), col("__t").as("__t1"),
+        col("__l").as("__l1"), col("__h").as("__h1")), "id1")
+      .join(texts.select(col("__id").as("id2"), col("__t").as("__t2"),
+        col("__l").as("__l2"), col("__h").as("__h2")), "id2")
       .filter(abs(col("__l1") - col("__l2")) <= maxDist)
+      .filter(graft.functions.VectorExprs.histL1(col("__h1"), col("__h2")) <= 2 * maxDist)
       .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("dist"),
