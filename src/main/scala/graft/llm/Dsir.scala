@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * The target distribution is any boolean predicate over the corpus
   * (lang = 'en', a quality gate, a domain flag) — DSIR's "target" is
   * just a filtered view of the same table.
+  *
+  * No [[graft.util.Parallelism.fanOut]] here, deliberately: every
+  * explode in this file feeds a groupBy whose Exchange already
+  * redistributes the amplified rows, so a pre-explode repartition only
+  * adds a shuffle (A/B at sf0.1: 1.0 s → 2.1 s wall WITH fanOut).
+  * fanOut pays off when the amplified work never shuffles (the
+  * edit-distance probe, the bloom prefilter) — not upstream of an
+  * aggregation.
   */
 object Dsir {
 
