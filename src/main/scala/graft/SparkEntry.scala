@@ -760,6 +760,16 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // The 100 TB edit-dedup path: MinHash/LSH candidates verified by
+    // thresholded levenshtein. LSH recall is 1 on this corpus (planted
+    // dups are shingle-dense), so the result EQUALS the exact blocked
+    // answer and shares q_edit_pairs' brute-force oracle.
+    "q_edit_pairs_lsh" -> { (s, dir) =>
+      graft.llm.EditDedup.verifiedPairs(
+        Sources.table(s, dir, "documents")
+          .filter(octet_length(col("text")) === length(col("text"))),
+        "text", "doc_id", maxDist = 20)
+    },
     // SemDeDup (paper matrix rule) over seed-vector cells: k=10 lowest-id
     // vectors as centroids, iters=0 — the SQL oracle replays the argmax
     // assignment and the within-cell drop rule exactly. Production runs
@@ -2812,6 +2822,13 @@ object SparkEntry {
     // necessary condition of levenshtein ≤ d, so the blocked answer is
     // complete and the oracle's all-pairs recompute matches exactly
     "q_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
+        |  WHERE strlen(text) = length(text))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.text, b.text) AS dist,
+        |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_edit_pairs_lsh" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
         |  WHERE strlen(text) = length(text))
         |SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.text, b.text) AS dist,
