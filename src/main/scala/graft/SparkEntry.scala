@@ -770,6 +770,15 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // PassJoin: the provably-complete scale path — segment equi-join
+    // candidates (linear in corpus), no length-band quadratics, no LSH
+    // recall assumption. d=8 covers every true pair in this corpus.
+    "q_edit_pairs_pass" -> { (s, dir) =>
+      graft.llm.EditDedup.passJoinPairs(
+        Sources.table(s, dir, "documents")
+          .filter(octet_length(col("text")) === length(col("text"))),
+        "text", "doc_id", maxDist = 8)
+    },
     // SemDeDup (paper matrix rule) over seed-vector cells: k=10 lowest-id
     // vectors as centroids, iters=0 — the SQL oracle replays the argmax
     // assignment and the within-cell drop rule exactly. Production runs
@@ -2828,6 +2837,13 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_edit_pairs_pass" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
+        |  WHERE strlen(text) = length(text))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.text, b.text) AS dist,
+        |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     "q_edit_pairs_lsh" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
         |  WHERE strlen(text) = length(text))

@@ -392,6 +392,92 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  // ---- PassJoin (Li/Deng/Wang/Feng, VLDB 2012): partition-based exact
+  // edit-similarity join. A string of length l is cut into d+1 segments
+  // (first segments ⌊l/k⌋ chars, last l mod k segments one longer). If
+  // ED(r, s) ≤ d, some segment of r maps UNCHANGED into s at a position
+  // t with |t−p| + |Δ−(t−p)| ≤ d (prefix and suffix alignments must each
+  // absorb their length change), Δ = |s|−|r|. Segments become equi-join
+  // keys — candidates linear in the corpus, not quadratic per length
+  // band. Positions/edits are in UTF-16 units: equal to Spark's
+  // codepoint levenshtein on BMP text (callers route non-BMP through the
+  // blocked verifier).
+
+  private def segHash(s: String, from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + len
+    while (i < end) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    // empty segments (l < k) hash identically by construction; callers
+    // keep l ≥ k on this path
+    h
+  }
+
+  private def segLen(lr: Int, k: Int, i: Int): Int = lr / k + (if (i >= k - lr % k) 1 else 0)
+  private def segStart(lr: Int, k: Int, i: Int): Int =
+    i * (lr / k) + math.max(0, i - (k - lr % k))
+
+  /** One row per segment: struct(h, i, lr) for this string's own d+1
+    * partition (the INDEX side of the join). */
+  case class PassJoinSegs(child: Expression, d: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val structType = StructType(Seq(StructField("h", LongType, false),
+      StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
+    override def dataType: DataType = ArrayType(structType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val k = d + 1
+      val l = s.length
+      val out = new Array[Any](k)
+      var i = 0
+      while (i < k) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(
+          segHash(s, segStart(l, k, i), segLen(l, k, i)), i, l)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** The PROBE side: for every partner length lr ∈ [max(k, l−d), l],
+    * segment i, and start t in the admissible window, struct(h, i, lr)
+    * of this string's substring — any true partner with |r| ≤ |s| hits
+    * at least one of these keys. ~(d+1)² · d rows per string, constant
+    * in corpus size. */
+  case class PassJoinProbes(child: Expression, d: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val structType = StructType(Seq(StructField("h", LongType, false),
+      StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
+    override def dataType: DataType = ArrayType(structType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val k = d + 1
+      val l = s.length
+      val out = new scala.collection.mutable.ArrayBuffer[Any](k * k)
+      var lr = math.max(k, l - d)
+      while (lr <= l) {
+        val delta = l - lr
+        val slack = (d - delta) / 2
+        var i = 0
+        while (i < k) {
+          val len = segLen(lr, k, i)
+          val p = segStart(lr, k, i)
+          var t = math.max(0, p - slack)
+          val hi = math.min(l - len, p + delta + slack)
+          while (t <= hi) {
+            out += org.apache.spark.sql.catalyst.InternalRow(segHash(s, t, len), i, lr)
+            t += 1
+          }
+          i += 1
+        }
+        lr += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Fraction of positions where two equal-length long arrays agree —
     * the MinHash jaccard estimator (E[agree] = jaccard). */
   case class SigAgreement(left: Expression, right: Expression)
@@ -531,6 +617,8 @@ object VectorExprs {
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
   def charHist(s: Column): Column = column(CharHist(expression(s)))
   def histL1(a: Column, b: Column): Column = column(HistL1(expression(a), expression(b)))
+  def passJoinSegs(s: Column, d: Int): Column = column(PassJoinSegs(expression(s), d))
+  def passJoinProbes(s: Column, d: Int): Column = column(PassJoinProbes(expression(s), d))
   def ngramHash(tokenHashes: Column, n: Int): Column = column(NgramHash(expression(tokenHashes), n))
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))
   def simhashSig(hashes: Column): Column = column(SimHashSig(expression(hashes)))

@@ -51,6 +51,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("edit: PassJoin equals the blocked verifier at d=8 and d=20") {
+    for (d <- Seq(8, 20)) {
+      val exact = EditDedup.exactPairs(fixtureDocs, "text", "doc_id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val pass = EditDedup.passJoinPairs(fixtureDocs, "text", "doc_id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      graft.util.Caching.release()
+      assert(pass == exact, s"d=$d")
+      assert(exact.nonEmpty, s"d=$d exercises nothing")
+    }
+  }
+
+  test("edit: PassJoin short-string arm covers sub-segment-length strings") {
+    // strings at/below 2d chars (d=3 → ≤6) route through the blocked
+    // arm; mixed short–long pairs must still be found
+    val docs = Seq((0L, "abcd"), (1L, "abcde"), (2L, "abcdefg"),
+      (3L, "abcdefghij"), (4L, "zzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val d = 3
+    val got = EditDedup.passJoinPairs(docs, "text", "doc_id", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.util.Caching.release()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (i, ti) <- rows; (j, tj) <- rows if i < j
+      dist = levenshteinLocal(ti, tj, d) if dist >= 0
+    } yield (i, j) -> dist).toMap
+    assert(got == brute)
+    assert(brute.contains((2L, 3L))) // a genuinely long–short cross pair
+  }
+
   // ---- SemDeDup ----
 
   test("semdedup: matrix rule vs greedy rule on a similarity chain") {
