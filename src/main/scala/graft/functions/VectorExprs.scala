@@ -121,6 +121,83 @@ object AnnKernels {
   }
 }
 
+/** Static kernels for the edit-dedup expressions — called from both
+  * interpreted eval and generated code (the AnnKernels pattern). */
+object TextKernels {
+  def charHist(u: UTF8String): Array[Int] = {
+    val s = u.toString
+    val h = new Array[Int](128)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h(cp & 127) += 1
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def histL1(a: ArrayData, b: ArrayData): Int = {
+    var s = 0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += math.abs(a.getInt(i) - b.getInt(i)); i += 1 }
+    s
+  }
+
+  private def segHash(s: String, from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + len
+    while (i < end) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def segLen(lr: Int, k: Int, i: Int): Int = lr / k + (if (i >= k - lr % k) 1 else 0)
+  private def segStart(lr: Int, k: Int, i: Int): Int =
+    i * (lr / k) + math.max(0, i - (k - lr % k))
+
+  def passJoinSegs(u: UTF8String, d: Int): Array[Any] = {
+    val s = u.toString
+    val k = d + 1
+    val l = s.length
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        segHash(s, segStart(l, k, i), segLen(l, k, i)), i, l)
+      i += 1
+    }
+    out
+  }
+
+  def passJoinProbes(u: UTF8String, d: Int): Array[Any] = {
+    val s = u.toString
+    val k = d + 1
+    val l = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](k * k)
+    var lr = math.max(k, l - d)
+    while (lr <= l) {
+      val delta = l - lr
+      val slack = (d - delta) / 2
+      var i = 0
+      while (i < k) {
+        val len = segLen(lr, k, i)
+        val p = segStart(lr, k, i)
+        var t = math.max(0, p - slack)
+        val hi = math.min(l - len, p + delta + slack)
+        while (t <= hi) {
+          out += org.apache.spark.sql.catalyst.InternalRow(segHash(s, t, len), i, lr)
+          t += 1
+        }
+        i += 1
+      }
+      lr += 1
+    }
+    out.toArray
+  }
+}
+
+
 object VectorExprs {
 
   @inline private def mix64(z0: Long): Long = {
@@ -358,36 +435,33 @@ object VectorExprs {
     * levenshtein(a, b) ≥ L1(hist(a), hist(b)) / 2. Bucket collisions
     * only MERGE opposite-sign diffs (L1_bucketed ≤ L1_true), so the
     * bound — and any prune built on it — stays sound for all input. */
-  case class CharHist(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class CharHist(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val h = new Array[Int](128)
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        h(cp & 127) += 1
-        i += Character.charCount(cp)
-      }
-      new GenericArrayData(h)
-    }
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextKernels.charHist(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextKernels.charHist($c))")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** L1 distance between two equal-length int arrays (the [[CharHist]]
     * companion — `histL1(a, b) > 2·d` proves levenshtein > d). */
   case class HistL1(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      var s = 0
-      var i = 0
-      val n = a.numElements()
-      while (i < n) { s += math.abs(a.getInt(i) - b.getInt(i)); i += 1 }
-      s
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      TextKernels.histL1(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.TextKernels.histL1($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
@@ -401,42 +475,25 @@ object VectorExprs {
   // keys — candidates linear in the corpus, not quadratic per length
   // band. Positions/edits are in UTF-16 units: equal to Spark's
   // codepoint levenshtein on BMP text (callers route non-BMP through the
-  // blocked verifier).
+  // blocked verifier). Kernels live in [[TextKernels]] (top-level, so
+  // generated code reaches the static forwarders).
 
-  private def segHash(s: String, from: Int, len: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    val end = from + len
-    while (i < end) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
-    // empty segments (l < k) hash identically by construction; callers
-    // keep l ≥ k on this path
-    h
-  }
-
-  private def segLen(lr: Int, k: Int, i: Int): Int = lr / k + (if (i >= k - lr % k) 1 else 0)
-  private def segStart(lr: Int, k: Int, i: Int): Int =
-    i * (lr / k) + math.max(0, i - (k - lr % k))
+  private val passJoinStruct = StructType(Seq(StructField("h", LongType, false),
+    StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
 
   /** One row per segment: struct(h, i, lr) for this string's own d+1
     * partition (the INDEX side of the join). */
-  case class PassJoinSegs(child: Expression, d: Int)
-      extends UnaryExpression with CodegenFallback {
-    private val structType = StructType(Seq(StructField("h", LongType, false),
-      StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
-    override def dataType: DataType = ArrayType(structType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val k = d + 1
-      val l = s.length
-      val out = new Array[Any](k)
-      var i = 0
-      while (i < k) {
-        out(i) = org.apache.spark.sql.catalyst.InternalRow(
-          segHash(s, segStart(l, k, i), segLen(l, k, i)), i, l)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+  case class PassJoinSegs(child: Expression, d: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(passJoinStruct, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextKernels.passJoinSegs(input.asInstanceOf[UTF8String], d))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextKernels.passJoinSegs($c, $d))")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -445,36 +502,17 @@ object VectorExprs {
     * of this string's substring — any true partner with |r| ≤ |s| hits
     * at least one of these keys. ~(d+1)² · d rows per string, constant
     * in corpus size. */
-  case class PassJoinProbes(child: Expression, d: Int)
-      extends UnaryExpression with CodegenFallback {
-    private val structType = StructType(Seq(StructField("h", LongType, false),
-      StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
-    override def dataType: DataType = ArrayType(structType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val k = d + 1
-      val l = s.length
-      val out = new scala.collection.mutable.ArrayBuffer[Any](k * k)
-      var lr = math.max(k, l - d)
-      while (lr <= l) {
-        val delta = l - lr
-        val slack = (d - delta) / 2
-        var i = 0
-        while (i < k) {
-          val len = segLen(lr, k, i)
-          val p = segStart(lr, k, i)
-          var t = math.max(0, p - slack)
-          val hi = math.min(l - len, p + delta + slack)
-          while (t <= hi) {
-            out += org.apache.spark.sql.catalyst.InternalRow(segHash(s, t, len), i, lr)
-            t += 1
-          }
-          i += 1
-        }
-        lr += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
+  case class PassJoinProbes(child: Expression, d: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(passJoinStruct, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextKernels.passJoinProbes(input.asInstanceOf[UTF8String], d))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextKernels.passJoinProbes($c, $d))")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
