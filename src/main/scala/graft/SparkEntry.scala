@@ -770,6 +770,16 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // Naive-Bayes domain tagger: closed-form fit on (text, lang), self
+    // prediction with argmax (ties → first class). Deterministic: model
+    // probabilities from exact counts, per-(doc, class) fold in sorted
+    // token order, argmax over bit-identical doubles.
+    "q_nb_lang" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val model = graft.llm.NaiveBayes.fit(docs, "text", "lang")
+      graft.llm.NaiveBayes.predict(docs, "text", "doc_id", model)
+        .select(col("doc_id"), col("predicted"), round(col("score"), 6).as("score"))
+    },
     // PassJoin: the provably-complete scale path — segment equi-join
     // candidates (linear in corpus), no length-band quadratics, no LSH
     // recall assumption. d=8 covers every true pair in this corpus.
@@ -2837,6 +2847,32 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_nb_lang" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |cnt AS (SELECT lang AS cls, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT cls, sum(n) AS ncls FROM cnt GROUP BY 1),
+        |vb AS (SELECT DISTINCT tok FROM cnt),
+        |vv AS (SELECT count(*) AS vocab FROM vb),
+        |tlp AS (
+        |  SELECT v.tok, c.cls,
+        |    ln((coalesce(n.n, 0) + 0.5) / (c.ncls + 0.5 * vv.vocab)) AS ltp
+        |  FROM vb v CROSS JOIN ct c CROSS JOIN vv
+        |  LEFT JOIN cnt n ON n.cls = c.cls AND n.tok = v.tok),
+        |pri AS (SELECT lang AS cls,
+        |  ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS lp
+        |  FROM documents GROUP BY 1),
+        |dc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dc.doc_id, tlp.cls,
+        |    pri.lp + list_reduce(list_transform(
+        |      list_sort(list(struct_pack(t := dc.tok, x := dc.c * tlp.ltp))),
+        |      s -> s.x), (a, b) -> a + b) AS score
+        |  FROM dc JOIN tlp USING (tok) JOIN pri ON pri.cls = tlp.cls
+        |  GROUP BY dc.doc_id, tlp.cls, pri.lp),
+        |win AS (SELECT doc_id, cls, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc)
+        |SELECT doc_id, cls AS predicted, round(score, 6) AS score FROM win WHERE rn = 1""".stripMargin,
     "q_edit_pairs_pass" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
         |  WHERE strlen(text) = length(text))

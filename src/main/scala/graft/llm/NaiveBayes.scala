@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes document tagger — the domain/language
+  * classifier stage of a training-data pipeline (domain tagging for
+  * mixture construction à la CCNet/DoReMi, quality-source routing).
+  * Training is closed-form counting — no iterations, no optimizer —
+  * which makes the whole fit+predict composition deterministic and
+  * SQL-replayable:
+  *
+  *   score(x, c) = ln P(c) + Σ_tokens count_t · ln P(t | c),
+  *   P(t | c) = (n_{t,c} + α) / (N_c + α·V),   V = |corpus vocabulary|
+  *
+  * predicted class = argmax score (ties → lexicographically first class).
+  *
+  * Shapes: the model is (vocabulary × classes) log-probability rows plus
+  * one prior row per class — vocabulary-sized, corpus-size-independent,
+  * broadcast to the scoring join. Per-doc contributions fold over the
+  * sorted distinct-token list (the repo's cross-engine determinism
+  * discipline), and the class argmax is an array_min over
+  * (−score, class) structs, so Spark and the DuckDB oracle agree
+  * bit-for-bit before the final rounding.
+  *
+  * At 100 TB: train is two map-combined aggregations over the token
+  * explode; score joins the broadcast model and folds map-side — one
+  * Exchange total (the per-doc collect). An unbounded-vocabulary corpus
+  * takes the same hashed-feature route as [[Dsir.hashedScore]] (hash
+  * tokens before counting — estimator unchanged, table bounded).
+  */
+object NaiveBayes {
+
+  private def toks(textCol: String): Column = TextAnalysis.tokens(col(textCol))
+
+  /** Fitted model: (token, cls, ltp = ln P(token|cls)) rows, priors
+    * (cls, lp = ln P(cls)), and the smoothed OOV floor per class. */
+  final case class Model(tokenLogProbs: DataFrame, classPriors: DataFrame)
+
+  /** Closed-form fit from labeled docs. `alpha` is Laplace smoothing
+    * over the CORPUS vocabulary (shared across classes, so absent
+    * (token, class) pairs still get a defined ln P — materialized by
+    * crossing vocabulary × classes; vocabulary-sized, never corpus). */
+  def fit(docs: DataFrame, textCol: String, labelCol: String,
+          alpha: Double = 0.5): Model = {
+    val t = docs.select(col(labelCol).as("cls"), explode(toks(textCol)).as("tok"))
+    val counts = t.groupBy("cls", "tok").agg(count(lit(1)).as("n"))
+    val classTotals = counts.groupBy("cls").agg(sum("n").as("nc"))
+    val vocab = counts.select("tok").distinct()
+    val v = broadcast(vocab.agg(count(lit(1)).as("__V")))
+    // vocabulary × classes scaffold so zero-count pairs carry the
+    // smoothed floor explicitly (the scoring join stays a plain inner)
+    val full = vocab.crossJoin(broadcast(classTotals))
+      .join(counts, Seq("cls", "tok"), "left")
+      .na.fill(0L, Seq("n"))
+    val tokenLogProbs = full.crossJoin(v)
+      .select(col("tok"), col("cls"),
+        log((col("n") + alpha) / (col("nc") + col("__V") * alpha)).as("ltp"))
+    val docCounts = docs.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("nd"))
+    val classPriors = docCounts
+      .crossJoin(broadcast(docCounts.agg(sum("nd").as("__N"))))
+      .select(col("cls"), log(col("nd") / col("__N")).as("lp"))
+    Model(tokenLogProbs, classPriors)
+  }
+
+  /** Per-document class scores: (id, cls, score). One row per
+    * (doc, class); the fold runs in sorted token order per class. */
+  def scores(docs: DataFrame, textCol: String, idCol: String,
+             model: Model): DataFrame = {
+    val docTok = docs.select(col(idCol), explode(toks(textCol)).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
+    docTok.join(broadcast(model.tokenLogProbs), "tok")
+      .groupBy(col(idCol), col("cls"))
+      .agg(collect_list(struct(col("tok"), (col("__c") * col("ltp")).as("x"))).as("__xs"))
+      .join(broadcast(model.classPriors), "cls")
+      .select(col(idCol), col("cls"),
+        (col("lp") + aggregate(array_sort(col("__xs")), lit(0.0),
+          (acc, e) => acc + e.getField("x"))).as("score"))
+  }
+
+  /** Argmax head: (id, predicted, score) — ties take the
+    * lexicographically FIRST class (array_min over (−score, cls)). */
+  def predict(docs: DataFrame, textCol: String, idCol: String,
+              model: Model): DataFrame =
+    scores(docs, textCol, idCol, model)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("neg"), col("cls"))).as("__best"))
+      .select(col(idCol), col("__best.cls").as("predicted"),
+        (-col("__best.neg")).as("score"))
+}

@@ -175,6 +175,46 @@ class SelectionSpec extends AnyFunSuite {
     assert(g3 != g1) // different seed actually perturbs the draw
   }
 
+  // ---- Naive Bayes tagger ----
+
+  test("naive bayes: textbook two-class golden") {
+    val train = Seq(
+      (0L, "buy cheap pills now", "spam"),
+      (1L, "cheap pills buy buy", "spam"),
+      (2L, "meeting agenda for today", "ham"),
+      (3L, "project meeting notes today", "ham")
+    ).toDF("doc_id", "text", "label")
+    val model = graft.llm.NaiveBayes.fit(train, "text", "label")
+    val probe = Seq((10L, "buy pills"), (11L, "meeting today")).toDF("doc_id", "text")
+    val out = graft.llm.NaiveBayes.predict(probe, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "spam" && out(11L) == "ham")
+  }
+
+  test("naive bayes: self-prediction beats the majority-class baseline") {
+    val model = graft.llm.NaiveBayes.fit(fixtureDocs, "text", "lang")
+    val pred = graft.llm.NaiveBayes.predict(fixtureDocs, "text", "doc_id", model)
+      .join(fixtureDocs.select("doc_id", "lang"), "doc_id")
+    val n = pred.count().toDouble
+    val acc = pred.filter(col("predicted") === col("lang")).count() / n
+    val majority = fixtureDocs.groupBy("lang").count()
+      .agg(max("count")).head().getLong(0) / n
+    // the synthetic corpus shares one ASCII vocabulary across languages,
+    // so unigram NB is weak here by construction — but it must still
+    // extract MORE signal than always guessing the biggest class
+    assert(acc > majority, s"acc=$acc majority=$majority")
+  }
+
+  test("naive bayes: deterministic across runs") {
+    val m1 = graft.llm.NaiveBayes.fit(fixtureDocs, "text", "lang")
+    val a = graft.llm.NaiveBayes.predict(fixtureDocs, "text", "doc_id", m1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val m2 = graft.llm.NaiveBayes.fit(fixtureDocs, "text", "lang")
+    val b = graft.llm.NaiveBayes.predict(fixtureDocs, "text", "doc_id", m2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   /** Reference Levenshtein with threshold: returns -1 if distance > d. */
   private def levenshteinLocal(a: String, b: String, d: Int): Int = {
     if (math.abs(a.length - b.length) > d) return -1
