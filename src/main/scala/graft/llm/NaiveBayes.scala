@@ -87,4 +87,45 @@ object NaiveBayes {
       .agg(min(struct((-col("score")).as("neg"), col("cls"))).as("__best"))
       .select(col(idCol), col("__best.cls").as("predicted"),
         (-col("__best.neg")).as("score"))
+
+  /** The unbounded-vocabulary arm, frozen for serving: fit with tokens
+    * hashed into `buckets` counters (same estimator-by-construction
+    * argument as [[Dsir.hashedScore]]), collect the (class → bucket
+    * log-probs) tables to the driver, and return a scoring column pair —
+    * a pure projection that runs unchanged on a batch or a structured
+    * stream. Model bytes: classes · buckets doubles, corpus-independent.
+    * Unseen buckets score the smoothed zero-count floor per class. */
+  def frozenHashedTagger(fit: DataFrame, textCol: String, labelCol: String,
+                         buckets: Int, alpha: Double = 0.5): Column => Column = {
+    val bucketOf: Column => Column = t => pmod(xxhash64(t, lit(1013)), lit(buckets))
+    val t = fit.select(col(labelCol).as("cls"), explode(toks(textCol)).as("tok"))
+    val counts = t.groupBy(col("cls"), bucketOf(col("tok")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val classTotals = counts.groupBy("cls").agg(sum("n").as("nc"))
+    val v = counts.select("b").distinct().count()
+    val rows = counts.join(broadcast(classTotals), "cls")
+      .select(col("cls"), col("b"),
+        log((col("n") + alpha) / (col("nc") + lit(v) * alpha)).as("ltp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val floors: Map[String, Double] = classTotals.collect()
+      .map(r => r.getString(0) -> math.log(alpha / (r.getLong(1) + v * alpha))).toMap
+    val nd = fit.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = nd.values.sum.toDouble
+    val priors: Map[String, Double] = nd.map { case (c, n) => c -> math.log(n / total) }
+    val byClass: Map[String, Map[Long, Double]] =
+      rows.groupBy(_._1).map { case (c, rs) => c -> rs.map(r => (r._2, r._3)).toMap }
+    val classes = priors.keys.toSeq.sorted
+    (text: Column) => {
+      val bs = array_sort(transform(split(text, " +"), tk => bucketOf(tk)))
+      val scored = classes.map { c =>
+        val m = typedlit(byClass(c))
+        struct((-(lit(priors(c)) + aggregate(bs, lit(0.0),
+          (acc, b) => acc + coalesce(element_at(m, b), lit(floors(c)))))).as("neg"),
+          lit(c).as("cls"))
+      }
+      val best = array_min(array(scored: _*))
+      struct(best.getField("cls").as("predicted"), (-best.getField("neg")).as("score"))
+    }
+  }
 }

@@ -71,4 +71,34 @@ class StreamingSelectionSpec extends AnyFunSuite {
     q.stop()
     assert(online == batch) // stateless projection: bit-identical
   }
+
+  test("frozen NB tagger: stream predictions equal the exact batch arm") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    // collision-free buckets ⇒ hashed model ≡ exact model (same counts,
+    // same smoothing denominator), so frozen predictions must match the
+    // exact arm's labels, scores to fold-order tolerance
+    val model = graft.llm.NaiveBayes.fit(fixtureDocs, "text", "lang")
+    val exact = graft.llm.NaiveBayes.predict(fixtureDocs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val tagger = graft.llm.NaiveBayes.frozenHashedTagger(
+      fixtureDocs, "text", "lang", buckets = 1 << 22)
+    val rows = fixtureDocs.select("doc_id", "text").collect()
+      .map(r => StDoc(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[StDoc]
+    val q = mem.toDF().select(col("doc_id"), tagger(col("text")).as("t"))
+      .select(col("doc_id"), col("t.predicted"), col("t.score"))
+      .writeStream.outputMode("append").format("memory").queryName("st_nb")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(100).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_nb").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    q.stop()
+    assert(online.keySet == exact.keySet)
+    exact.foreach { case (id, (cls, s)) =>
+      assert(online(id)._1 == cls, s"doc $id label")
+      assert(math.abs(online(id)._2 - s) < 1e-9, s"doc $id score")
+    }
+  }
 }
