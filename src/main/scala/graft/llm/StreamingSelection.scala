@@ -15,9 +15,13 @@ import scala.collection.mutable
   *    kept-chain rule — the one an online system can implement without
   *    retraction), so full replay in id order reproduces the batch flags
   *    bit-for-bit (StreamingSelectionSpec asserts it).
-  *  - [[Dsir.frozenHashedScorer]] — DSIR scoring is stateless once the
-  *    ratio table is fitted; the frozen scorer is a pure projection and
-  *    runs unchanged on a stream (spec pins stream ≡ batch there too).
+  *  - [[editPairsOnline]] — arrival-time edit-distance near-dup, the
+  *    twin of [[EditDedup.verifiedPairs]]: same banded-MinHash bucket
+  *    geometry, members carry text + codepoint histogram so the L1
+  *    prune runs before any DP; full replay ≡ the batch pair set.
+  *  - [[Dsir.frozenHashedScorer]] / [[NaiveBayes.frozenHashedTagger]] —
+  *    stateless once fitted; pure projections that run unchanged on a
+  *    stream (specs pin stream ≡ batch for both).
   *
   * State shape at scale: kept-rep lists are bounded by the dedup rate,
   * not the arrival rate (every stored vector is pairwise < tau to its
@@ -72,5 +76,150 @@ object StreamingSelection {
       .as[CellVec]
       .groupByKey(_.cell)(Encoders.scalaInt)
       .transformWithState(new SemProcessor(tau), TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- online edit-distance near-dup (twin of EditDedup.verifiedPairs) ----
+
+  private[llm] case class EditBandDoc(bandKey: String, band: Int, docId: Long,
+                                      sig: Array[Long], text: String)
+  private[llm] case class EditMember(docId: Long, sig: Array[Long],
+                                     text: String, hist: Array[Int])
+  /** Emitted edit-near pair, schema-matching [[EditDedup.verifiedPairs]]. */
+  case class EditPair(id1: Long, id2: Long, dist: Int, sim: Double)
+
+  /** Per-bucket processor: stored members carry text + codepoint
+    * histogram; an arriving doc is pruned by the L1 bound (lev ≥ L1/2)
+    * before the banded-DP verify — the same two-stage verification as
+    * batch. Cross-band duplicate pairs suppressed by the first-matching-
+    * band rule (the batch twin's `.distinct()`). */
+  class EditBucketProcessor(maxDist: Int, numHashes: Int, bands: Int,
+                            maxBucketSize: Int)
+      extends StatefulProcessor[String, EditBandDoc, EditPair] {
+    @transient private var members: ListState[EditMember] = _
+    private val rows = numHashes / bands
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[EditMember]("members",
+        Encoders.product[EditMember], TTLConfig.NONE)
+
+    private def sliceEqual(a: Array[Long], b: Array[Long], band: Int): Boolean = {
+      var i = band * rows
+      val end = i + rows
+      while (i < end) { if (a(i) != b(i)) return false; i += 1 }
+      true
+    }
+
+    private def firstMatchingBand(a: Array[Long], b: Array[Long]): Int = {
+      var band = 0
+      while (band < bands) { if (sliceEqual(a, b, band)) return band; band += 1 }
+      -1
+    }
+
+    private def histL1(a: Array[Int], b: Array[Int]): Int = {
+      var s = 0; var i = 0
+      while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+      s
+    }
+
+    override def handleInputRows(key: String, rows0: Iterator[EditBandDoc],
+                                 timerValues: TimerValues): Iterator[EditPair] = {
+      val arriving = rows0.toSeq.sortBy(_.docId)
+      if (arriving.isEmpty) return Iterator.empty
+      val thisBand = arriving.head.band
+      val buf = scala.collection.mutable.ArrayBuffer.empty[EditMember]
+      members.get().foreach(buf += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[EditPair]
+      arriving.foreach { d =>
+        if (buf.length < maxBucketSize) {
+          val hist = StreamingSelection.charHistLocal(d.text)
+          buf.foreach { m =>
+            if (m.docId != d.docId &&
+                math.abs(m.text.length - d.text.length) <= maxDist &&
+                histL1(m.hist, hist) <= 2 * maxDist &&
+                firstMatchingBand(m.sig, d.sig) == thisBand) {
+              val dist = StreamingSelection.levenshteinBounded(m.text, d.text, maxDist)
+              if (dist >= 0) {
+                val lmax = math.max(m.text.length, d.text.length)
+                val sim = BigDecimal(1.0 - dist.toDouble / lmax)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                out += EditPair(math.min(m.docId, d.docId),
+                  math.max(m.docId, d.docId), dist, sim)
+              }
+            }
+          }
+          val mem = EditMember(d.docId, d.sig, d.text, hist)
+          buf += mem
+          members.appendValue(mem)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Online edit-distance near-dup pairs over a live feed — the
+    * arrival-time twin of [[EditDedup.verifiedPairs]]: same MinHash/LSH
+    * bucket geometry, same length/histogram prunes, same thresholded
+    * levenshtein; full replay reproduces the batch pair set (spec). */
+  def editPairsOnline(docs: DataFrame, textCol: String, idCol: String,
+                      maxDist: Int, numHashes: Int = 32, bands: Int = 16,
+                      shingleN: Int = 2, maxBucketSize: Int = 1000): Dataset[EditPair] = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val bdEnc = Encoders.product[EditBandDoc]
+    implicit val outEnc = Encoders.product[EditPair]
+    val sigs = docs.select(col(idCol).cast("long").as("docId"),
+        graft.functions.VectorExprs.minhashSig(
+          Shingles.hashedShingles(col(textCol), shingleN), numHashes).as("sig"),
+        col(textCol).as("text"))
+      .as[(Long, Array[Long], String)]
+    val banded = sigs.flatMap { case (id, sig, text) =>
+      (0 until bands).map { b =>
+        val k = new StringBuilder().append(b).append(':')
+        var i = b * rows
+        while (i < (b + 1) * rows) { k.append(sig(i)).append(','); i += 1 }
+        EditBandDoc(k.toString, b, id, sig, text)
+      }
+    }
+    banded.groupByKey(_.bandKey)(Encoders.STRING)
+      .transformWithState(new EditBucketProcessor(maxDist, numHashes, bands, maxBucketSize),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Same codepoint bucketing as the CharHist kernel. */
+  private[llm] def charHistLocal(s: String): Array[Int] = {
+    val h = new Array[Int](128)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h(cp & 127) += 1
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Levenshtein with early-out threshold: −1 when distance > d (the
+    * same contract as Spark's 3-arg levenshtein the batch twin uses). */
+  private[llm] def levenshteinBounded(a: String, b: String, d: Int): Int = {
+    if (math.abs(a.length - b.length) > d) return -1
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = cur(0)
+      var j = 1
+      while (j <= b.length) {
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > d) return -1
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    if (prev(b.length) <= d) prev(b.length) else -1
   }
 }

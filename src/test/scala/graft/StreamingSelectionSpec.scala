@@ -72,6 +72,28 @@ class StreamingSelectionSpec extends AnyFunSuite {
     assert(online == batch) // stateless projection: bit-identical
   }
 
+  test("online edit near-dup replay equals the batch LSH-gated pair set") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val d = 20
+    val batch = graft.llm.EditDedup.verifiedPairs(fixtureDocs, "text", "doc_id", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    graft.util.Caching.release()
+    val rows = fixtureDocs.select("doc_id", "text").collect()
+      .map(r => StDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+    val mem = MemoryStream[StDoc]
+    val q = graft.llm.StreamingSelection.editPairsOnline(mem.toDF(), "text", "doc_id", d)
+      .writeStream.outputMode("append").format("memory").queryName("st_edit")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(13).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_edit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(online == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("frozen NB tagger: stream predictions equal the exact batch arm") {
     import org.apache.spark.sql.Encoders
     implicit val dEnc = Encoders.product[StDoc]
