@@ -63,19 +63,34 @@ object NaiveBayes {
     Model(tokenLogProbs, classPriors)
   }
 
-  /** Per-document class scores: (id, cls, score). One row per
-    * (doc, class); the fold runs in sorted token order per class. */
+  /** Per-document class scores: (id, cls, score). The model is pivoted
+    * to one ltp-array row per TOKEN (class order = sorted class names),
+    * so the doc side collects each token ONCE and every class's score
+    * folds over the same token-sorted list — a 5-class model costs one
+    * aggregate, not five, and the per-class sums stay bit-identical to
+    * the per-(doc, class) formulation the SQL oracle replays. */
   def scores(docs: DataFrame, textCol: String, idCol: String,
              model: Model): DataFrame = {
+    val classes = model.classPriors.select("cls").collect()
+      .map(_.getString(0)).sorted
+    val priors = model.classPriors.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pivot = model.tokenLogProbs.groupBy("tok")
+      .agg(map_from_entries(collect_list(struct(col("cls"), col("ltp")))).as("__m"))
+      .select(col("tok"),
+        array(classes.map(c => element_at(col("__m"), lit(c))): _*).as("ltps"))
     val docTok = docs.select(col(idCol), explode(toks(textCol)).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
-    docTok.join(broadcast(model.tokenLogProbs), "tok")
-      .groupBy(col(idCol), col("cls"))
-      .agg(collect_list(struct(col("tok"), (col("__c") * col("ltp")).as("x"))).as("__xs"))
-      .join(broadcast(model.classPriors), "cls")
-      .select(col(idCol), col("cls"),
-        (col("lp") + aggregate(array_sort(col("__xs")), lit(0.0),
-          (acc, e) => acc + e.getField("x"))).as("score"))
+    val folded = docTok.join(broadcast(pivot), "tok")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("tok"), col("__c"), col("ltps")))).as("__xs"))
+    val scoreCols = classes.zipWithIndex.map { case (c, j) =>
+      struct(lit(c).as("cls"),
+        (lit(priors(c)) + aggregate(col("__xs"), lit(0.0),
+          (acc, e) => acc + e.getField("__c") * e.getField("ltps").getItem(j))).as("score"))
+    }
+    folded.select(col(idCol), explode(array(scoreCols: _*)).as("__s"))
+      .select(col(idCol), col("__s.cls").as("cls"), col("__s.score").as("score"))
   }
 
   /** Argmax head: (id, predicted, score) — ties take the
