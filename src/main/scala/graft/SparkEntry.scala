@@ -770,6 +770,37 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // The round's selection operators COMPOSED as one pipeline verdict
+    // per document: DSIR target-likeness score, NB language tag,
+    // edit-duplicate flag (lower-id partner at d ≤ 8 via PassJoin),
+    // SemDeDup keep flag over the paired embedding, and the ANDed
+    // selection decision — every sub-verdict and the conjunction
+    // replayed by the oracle.
+    "q_selection_full" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val emb = Sources.table(s, dir, "embeddings")
+      val dsir = graft.llm.Dsir.score(docs, "text", "doc_id", col("lang") === "en")
+        .select(col("doc_id"), round(col("score"), 6).as("dsir_score"))
+      val model = graft.llm.NaiveBayes.fit(docs, "text", "lang")
+      val nb = graft.llm.NaiveBayes.predict(docs, "text", "doc_id", model)
+        .select(col("doc_id"), col("predicted"))
+      val ed = graft.llm.EditDedup.passJoinPairs(
+          docs.filter(octet_length(col("text")) === length(col("text"))),
+          "text", "doc_id", maxDist = 8)
+        .select(col("id2").as("doc_id")).distinct()
+        .withColumn("__dup", lit(true))
+      val cents = graft.llm.Ivf.buildCentroids(emb, k = 10, iters = 0)
+      val sem = graft.llm.SemDedup.semDedup(emb, cents, tau = 0.35)
+        .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
+      docs.select("doc_id").join(dsir, "doc_id").join(nb, "doc_id")
+        .join(ed, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dsir_score"), col("predicted"),
+          coalesce(col("__dup"), lit(false)).as("edit_dup"),
+          coalesce(col("sem_kept"), lit(true)).as("sem_kept"))
+        .withColumn("selected",
+          col("sem_kept") && !col("edit_dup") && col("dsir_score") > 0)
+    },
     // Naive-Bayes domain tagger: closed-form fit on (text, lang), self
     // prediction with argmax (ties → first class). Deterministic: model
     // probabilities from exact counts, per-(doc, class) fold in sorted
@@ -2847,6 +2878,80 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_selection_full" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, (lang = 'en') AS inT,
+        |    unnest(string_split_regex(text, ' +')) AS tok FROM documents),
+        |dcnt AS (SELECT tok, sum(CASE WHEN inT THEN 1 ELSE 0 END) AS nt,
+        |  count(*) AS nr FROM tok GROUP BY tok),
+        |dtot AS (SELECT sum(nt) AS tot_t, sum(nr) AS tot_r, count(*) AS vocab FROM dcnt),
+        |dlr AS (SELECT tok,
+        |  ln((nt + 0.5) / (tot_t + 0.5 * vocab)) - ln((nr + 0.5) / (tot_r + 0.5 * vocab)) AS lw
+        |  FROM dcnt CROSS JOIN dtot),
+        |ddc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |dxs AS (SELECT ddc.doc_id, ddc.tok, ddc.c * dlr.lw AS x FROM ddc JOIN dlr USING (tok)),
+        |dsir AS (SELECT doc_id, round(list_reduce(
+        |  list_transform(list_sort(list(struct_pack(t := tok, x := x))), s -> s.x),
+        |  (acc, v) -> acc + v), 6) AS dsir_score FROM dxs GROUP BY doc_id),
+        |ncnt AS (SELECT lang AS cls, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        |nct AS (SELECT cls, sum(n) AS ncls FROM ncnt GROUP BY 1),
+        |nvb AS (SELECT DISTINCT tok FROM ncnt),
+        |nvv AS (SELECT count(*) AS nvocab FROM nvb),
+        |ntlp AS (
+        |  SELECT v.tok, c.cls,
+        |    ln((coalesce(n.n, 0) + 0.5) / (c.ncls + 0.5 * nvv.nvocab)) AS ltp
+        |  FROM nvb v CROSS JOIN nct c CROSS JOIN nvv
+        |  LEFT JOIN ncnt n ON n.cls = c.cls AND n.tok = v.tok),
+        |npri AS (SELECT lang AS cls,
+        |  ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS lp
+        |  FROM documents GROUP BY 1),
+        |nsc AS (
+        |  SELECT ddc.doc_id, ntlp.cls,
+        |    npri.lp + list_reduce(list_transform(
+        |      list_sort(list(struct_pack(t := ddc.tok, x := ddc.c * ntlp.ltp))),
+        |      s -> s.x), (a, b) -> a + b) AS score
+        |  FROM ddc JOIN ntlp USING (tok) JOIN npri ON npri.cls = ntlp.cls
+        |  GROUP BY ddc.doc_id, ntlp.cls, npri.lp),
+        |nb AS (SELECT doc_id, cls AS predicted FROM (
+        |  SELECT doc_id, cls,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM nsc) WHERE rn = 1),
+        |edd AS (SELECT doc_id, text, length(text) AS l FROM documents
+        |  WHERE strlen(text) = length(text)),
+        |ed AS (SELECT DISTINCT b.doc_id FROM edd a JOIN edd b
+        |  ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+        |  WHERE levenshtein(a.text, b.text) <= 8),
+        |sc AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 10),
+        |sa AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, sc.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (
+        |        list_sum(list_transform(list_zip(e.embedding, sc.cv),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(sc.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, sc.cell) AS rn
+        |    FROM embeddings e CROSS JOIN sc) WHERE rn = 1),
+        |sdr AS (
+        |  SELECT DISTINCT v.vec_id FROM sa u JOIN sa v
+        |    ON u.cell = v.cell AND u.vec_id < v.vec_id
+        |  WHERE list_sum(list_transform(list_zip(u.embedding, v.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(u.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35),
+        |sem AS (SELECT sa.vec_id AS doc_id, (sdr.vec_id IS NULL) AS sem_kept
+        |  FROM sa LEFT JOIN sdr ON sa.vec_id = sdr.vec_id)
+        |SELECT d.doc_id, dsir.dsir_score, nb.predicted,
+        |  (ed.doc_id IS NOT NULL) AS edit_dup,
+        |  coalesce(sem.sem_kept, TRUE) AS sem_kept,
+        |  (coalesce(sem.sem_kept, TRUE) AND ed.doc_id IS NULL
+        |    AND dsir.dsir_score > 0) AS selected
+        |FROM documents d
+        |JOIN dsir ON dsir.doc_id = d.doc_id
+        |JOIN nb ON nb.doc_id = d.doc_id
+        |LEFT JOIN ed ON ed.doc_id = d.doc_id
+        |LEFT JOIN sem ON sem.doc_id = d.doc_id""".stripMargin,
     "q_nb_lang" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split_regex(text, ' +')) AS tok FROM documents),
