@@ -770,6 +770,14 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // Hard-negative mining (contrastive-training data prep): for each
+    // query vector the top-3 most-similar DIFFERENT-label vectors
+    "q_hard_negatives" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      graft.llm.Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    },
     // The round's selection operators COMPOSED as one pipeline verdict
     // per document: DSIR target-likeness score, NB language tag,
     // edit-duplicate flag (lower-id partner at d ≤ 8 via PassJoin),
@@ -2878,6 +2886,20 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_hard_negatives" ->
+      """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY (
+        |      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label) WHERE rk <= 3""".stripMargin,
     "q_selection_full" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, (lang = 'en') AS inT,

@@ -62,6 +62,30 @@ object Similarity {
   def meanRecall(approx: DataFrame, truth: DataFrame): Double =
     recallAtK(approx, truth).agg(avg("recall")).head().getDouble(0)
 
+  /** Hard-negative mining for metric/embedding training: for each query
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — the negatives that actually move a contrastive loss. Same
+    * broadcast-queries single-scan shape as [[bruteForceTopK]] (the
+    * label test is one more map-side predicate); swap the scan for
+    * [[Ivf.topK]] candidates at corpus scale. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    label: String = "label",
+                    qId: String = "vec_id", qVec: String = "embedding",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      col(label).as("__ql"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      col(label).as("__cl"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("__ql") =!= col("__cl"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk", "cosine")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute force over broadcast right side — use `lshPairs` at scale. */
   def thresholdPairs(df: DataFrame, threshold: Double,

@@ -175,6 +175,31 @@ class SelectionSpec extends AnyFunSuite {
     assert(g3 != g1) // different seed actually perturbs the draw
   }
 
+  test("hard negatives: different-label, correctly ranked, label-filter consistent") {
+    val hn = graft.llm.Similarity.hardNegatives(
+      fixtureEmb.filter(col("vec_id") < 5), fixtureEmb, 3)
+      .join(fixtureEmb.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .join(fixtureEmb.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .collect()
+    assert(hn.length == 15)
+    hn.foreach(r => assert(r.getAs[Int]("nl") != r.getAs[Int]("ql")))
+    // consistency with unfiltered top-k: a hard negative at rank 1 must
+    // be the best same-or-better cosine among different-label vectors
+    val brute = graft.llm.Similarity.bruteForceTopK(
+      fixtureEmb.filter(col("vec_id") < 5), fixtureEmb, 500)
+      .join(fixtureEmb.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .join(fixtureEmb.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .filter(col("nl") =!= col("ql"))
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk2") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == brute)
+  }
+
   // ---- Naive Bayes tagger ----
 
   test("naive bayes: textbook two-class golden") {
