@@ -94,6 +94,44 @@ class StreamingSelectionSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("online semdedup kept-rep state survives kill + checkpoint recovery") {
+    import org.apache.spark.sql.Encoders
+    implicit val vEnc = Encoders.product[StVec]
+    implicit val sq = spark.sqlContext
+    val cents = Ivf.buildCentroids(fixtureEmb, k = 8, iters = 1)
+    val batch = SemDedup.semDedupGreedy(fixtureEmb, cents, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val rows = fixtureEmb.select("vec_id", "embedding").collect()
+      .map(r => StVec(r.getLong(0), r.getSeq[Float](1))).sortBy(_.vec_id)
+    val (firstHalf, secondHalf) = rows.splitAt(rows.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sem-ckpt").toString
+    val mem = MemoryStream[StVec]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def start() =
+      graft.llm.StreamingSelection.semDedupOnline(mem.toDF(), cents, 0.35)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.llm.StreamingSelection.SemFlag], _: Long) =>
+          val out = b.collect().map(f => (f.vecId, f.kept))
+          sink.synchronized { sink ++= out }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    mem.addData(firstHalf: _*)
+    q1.processAllAvailable()
+    q1.stop() // the crash — half the cells already hold kept reps
+    mem.addData(secondHalf: _*)
+    val q2 = start() // recovery: kept representatives come back from RocksDB
+    q2.processAllAvailable()
+    val online = sink.synchronized(sink.toMap)
+    q2.stop()
+    graft.util.Caching.release()
+    // a state reset would re-admit second-half near-dups as kept;
+    // recovered state must reproduce the batch greedy flags exactly
+    assert(online == batch)
+    assert(secondHalf.exists(v => !batch(v.vec_id))) // recovery half has real drops
+  }
+
   test("frozen NB tagger: stream predictions equal the exact batch arm") {
     import org.apache.spark.sql.Encoders
     implicit val dEnc = Encoders.product[StDoc]
