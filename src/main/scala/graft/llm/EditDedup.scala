@@ -78,8 +78,11 @@ object EditDedup {
       .join(texts.select(col(idCol).as("id2"), col(textCol).as("__t2")), "id2")
       .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
       .filter(col("dist") >= 0)
+      // two empty strings are a legitimate dist-0 pair; 1 − 0/0 would be
+      // an ANSI divide-by-zero (found by EditPropertySpec)
       .select(col("id1"), col("id2"), col("dist"),
-        round(lit(1.0) - col("dist") / col("__lmax"), 6).as("sim"))
+        when(col("__lmax") === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - col("dist") / col("__lmax"), 6)).as("sim"))
   }
 
   /** PassJoin (Li/Deng/Wang/Feng, VLDB 2012): EXACT levenshtein ≤ d
@@ -127,7 +130,8 @@ object EditDedup {
       .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("dist"),
-        round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6).as("sim"))
+        when(greatest(col("__l1"), col("__l2")) === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6)).as("sim"))
     // short arm: a pair whose shorter member is ≤ 2d has both members
     // ≤ 3d (dist ≥ Δlen), so the blocked verifier over the ≤ 3d slice
     // catches exactly the pairs the segment join excluded
@@ -166,6 +170,7 @@ object EditDedup {
       .withColumn("dist", levenshtein(col("__t1"), col("__t2"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("dist"),
-        round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6).as("sim"))
+        when(greatest(col("__l1"), col("__l2")) === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - col("dist") / greatest(col("__l1"), col("__l2")), 6)).as("sim"))
   }
 }

@@ -140,8 +140,9 @@ object StreamingSelection {
               val dist = StreamingSelection.levenshteinBounded(m.text, d.text, maxDist)
               if (dist >= 0) {
                 val lmax = math.max(m.text.length, d.text.length)
-                val sim = BigDecimal(1.0 - dist.toDouble / lmax)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val sim = if (lmax == 0) 1.0
+                  else BigDecimal(1.0 - dist.toDouble / lmax)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                 out += EditPair(math.min(m.docId, d.docId),
                   math.max(m.docId, d.docId), dist, sim)
               }

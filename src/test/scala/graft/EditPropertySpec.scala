@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.EditDedup
+
+/** Randomized-corpus properties for the edit-dedup kernels: PassJoin and
+  * length-band blocking must equal local brute force on adversarial
+  * strings (tiny alphabet for forced collisions, planted mutations,
+  * empty/short strings through the fallback arm, BMP multibyte chars),
+  * and the CharHist L1 bound must hold pairwise. Fixed seed — a failure
+  * reproduces. */
+class EditPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+  private val alphabet = "abc é中".toCharArray // spaces + BMP multibyte included
+
+  private def randString(len: Int): String =
+    (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+
+  private def mutate(s: String, edits: Int): String = {
+    var cur = s
+    (0 until edits).foreach { _ =>
+      val op = rnd.nextInt(3)
+      val pos = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+      cur = op match {
+        case 0 if cur.nonEmpty => cur.take(pos) + cur.drop(pos + 1) // delete
+        case 1 => cur.take(pos) + alphabet(rnd.nextInt(alphabet.length)) + cur.drop(pos) // insert
+        case _ if cur.nonEmpty =>
+          cur.take(pos) + alphabet(rnd.nextInt(alphabet.length)) + cur.drop(pos + 1) // substitute
+        case _ => cur + alphabet(rnd.nextInt(alphabet.length))
+      }
+    }
+    cur
+  }
+
+  /** Plain full-DP levenshtein over code points (== chars here: BMP). */
+  private def lev(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+    }
+    prev(b.length)
+  }
+
+  // 120 base strings of mixed length (incl. empty and sub-segment-length),
+  // plus one planted mutation of every third base — dense true-pair set
+  private lazy val corpus: Seq[(Long, String)] = {
+    val bases = (0 until 120).map { i =>
+      val len = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(4)        // 0-3: short-arm territory
+        case 1 => 4 + rnd.nextInt(8)    // 4-11: straddles k
+        case _ => 12 + rnd.nextInt(20)  // 12-31: main arm
+      }
+      randString(len)
+    }
+    val planted = bases.zipWithIndex.collect { case (s, i) if i % 3 == 0 =>
+      mutate(s, 1 + rnd.nextInt(3))
+    }
+    (bases ++ planted).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  private def bruteTruth(d: Int): Map[(Long, Long), Int] =
+    (for {
+      (i, ti) <- corpus; (j, tj) <- corpus if i < j
+      dist = lev(ti, tj) if dist <= d
+    } yield (i, j) -> dist).toMap
+
+  test("property: PassJoin == blocked verifier == brute force on random corpora (d=2,3)") {
+    val df = corpus.toDF("doc_id", "text")
+    for (d <- Seq(2, 3)) {
+      val truth = bruteTruth(d)
+      val blocked = EditDedup.exactPairs(df, "text", "doc_id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val pass = EditDedup.passJoinPairs(df, "text", "doc_id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      graft.util.Caching.release()
+      assert(blocked == truth, s"blocked != truth at d=$d")
+      assert(pass == truth, s"passjoin != truth at d=$d")
+      assert(truth.nonEmpty, s"degenerate fixture at d=$d")
+      assert(truth.exists { case ((i, j), _) =>
+        corpus(i.toInt)._2.length <= 2 * d || corpus(j.toInt)._2.length <= 2 * d
+      }, "short arm never exercised")
+    }
+  }
+
+  test("property: histogram L1 bound holds pairwise (lev >= L1/2)") {
+    val df = corpus.toDF("doc_id", "text")
+    val hists = df.select(col("doc_id"),
+        graft.functions.VectorExprs.charHist(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val texts = corpus.toMap
+    for (((i, ti), (j, tj)) <- rnd.shuffle(corpus).take(40).zip(rnd.shuffle(corpus).take(40))
+         if i != j) {
+      val l1 = hists(i).zip(hists(j)).map { case (a, b) => math.abs(a - b) }.sum
+      assert(lev(ti, tj) * 2 >= l1, s"bound violated for ($i,$j)")
+    }
+    assert(texts.size == corpus.size)
+  }
+}
