@@ -770,6 +770,22 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // Quality-aware canonical selection: within each near-dup cluster
+    // keep the HIGHEST-quality member (ties -> lowest id), not min-id —
+    // what production dedup actually ships. Rounded quality drives the
+    // argmax so both engines compare identical values.
+    "q_dedup_best" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, "text", "doc_id",
+        threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
+      val q = docs.select(col("doc_id"),
+        round(graft.llm.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical_id")
+      clusters.join(q, "doc_id")
+        .withColumn("__best", max(struct(col("quality"), (-col("doc_id")).as("nid"))).over(w))
+        .select(col("doc_id"), col("canonical_id"), col("quality"),
+          (col("doc_id") === -col("__best.nid")).as("kept"))
+    },
     // Hard-negative mining (contrastive-training data prep): for each
     // query vector the top-3 most-similar DIFFERENT-label vectors
     "q_hard_negatives" -> { (s, dir) =>
@@ -2886,6 +2902,37 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_dedup_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |clus AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+        |qual AS (SELECT doc_id, round((
+        |  least(nt / 64.0, 1.0)
+        |  + nd / nt
+        |  + least((hs / nt) * 5.0, 1.0)) / 3.0, 6) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS nt,
+        |  CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE) AS nd,
+        |  CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) AS hs
+        |FROM documents)),
+        |ranked AS (
+        |  SELECT c.doc_id, c.canonical_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.canonical_id
+        |      ORDER BY q.quality DESC, c.doc_id) AS rn
+        |  FROM clus c JOIN qual q USING (doc_id))
+        |SELECT doc_id, canonical_id, quality, (rn = 1) AS kept FROM ranked""".stripMargin,
     "q_hard_negatives" ->
       """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
