@@ -85,6 +85,28 @@ object Demo {
     knn.show(9, truncate = false)
     val truth = graft.llm.Similarity.bruteForceTopK(queries, emb, 3)
     println(f"recall@3 vs brute force = ${graft.llm.Similarity.meanRecall(knn, truth)}%.3f")
+
+    // ---- selection tour: DSIR target-likeness, NB domain tagging,
+    // edit-distance dedup (PassJoin), SemDeDup, hard negatives — the
+    // data-selection half of the llm package
+    val dsirTop = graft.llm.Dsir.topM(
+      graft.llm.Dsir.score(docs, "text", "doc_id", col("lang") === "en"), "doc_id", 5)
+    println("DSIR top-5 most target-like (target = lang 'en'):")
+    dsirTop.show(5, truncate = false)
+    val nbModel = graft.llm.NaiveBayes.fit(docs, "text", "lang")
+    val nbHits = graft.llm.NaiveBayes.predict(docs, "text", "doc_id", nbModel)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .filter(col("predicted") === col("lang")).count()
+    println(s"NB language tagger: $nbHits/${docs.count()} self-predictions correct")
+    val editPairs = graft.llm.EditDedup.passJoinPairs(docs, "text", "doc_id", maxDist = 8)
+    println(s"PassJoin edit pairs (d<=8) = ${editPairs.count()}")
+    val cents = graft.llm.Ivf.buildCentroids(emb, k = 10, iters = 2)
+    val sem = graft.llm.SemDedup.semDedup(emb, cents, tau = 0.35)
+    println(s"SemDeDup keeps ${sem.filter(col("kept")).count()}/${sem.count()} vectors")
+    val hardNeg = graft.llm.Similarity.hardNegatives(emb.filter(col("vec_id") < 2), emb, 3)
+    println("hard negatives (different-label top-3) for 2 queries:")
+    hardNeg.show(6, truncate = false)
+    graft.util.Caching.release()
     spark.stop()
   }
 }
