@@ -770,6 +770,23 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // Split-leakage audit (eval hygiene): near-dup pairs that STRADDLE
+    // the train/val/test boundary — a test doc whose near-duplicate sits
+    // in train is leaked evaluation signal. Composes the oracle-green
+    // near-dup pair kernel with the replayable hash split.
+    "q_split_leakage" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val split = graft.llm.Mixture.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 5)
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashPairs(docs, "text", "doc_id",
+          threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
+        .join(split.select(col("doc_id").as("id1"), col("split").as("split1")), "id1")
+        .join(split.select(col("doc_id").as("id2"), col("split").as("split2")), "id2")
+        .filter(col("split1") =!= col("split2"))
+        .select(col("id1"), col("id2"), col("split1"), col("split2"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
     // Quality-aware canonical selection: within each near-dup cluster
     // keep the HIGHEST-quality member (ties -> lowest id), not min-id —
     // what production dedup actually ships. Rounded quality drives the
@@ -2902,6 +2919,29 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 5)}
+         |, spl AS (SELECT i AS doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.8 + 0.1 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM au),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
+         |    THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+         |pr AS (
+         |  SELECT id1, id2, round(j, 6) AS jaccard FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |      CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+         |        ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) END AS j
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE j >= 0.3)
+         |SELECT pr.id1, pr.id2, s1.split AS split1, s2.split AS split2, pr.jaccard
+         |FROM pr JOIN spl s1 ON s1.doc_id = pr.id1 JOIN spl s2 ON s2.doc_id = pr.id2
+         |WHERE s1.split <> s2.split""".stripMargin,
     "q_dedup_best" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
