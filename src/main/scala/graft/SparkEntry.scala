@@ -770,6 +770,16 @@ object SparkEntry {
           .filter(octet_length(col("text")) === length(col("text"))),
         "text", "doc_id", maxDist = 20)
     },
+    // Corpus naturalness diagnostics: n-gram diversity ratios (the
+    // self-BLEU-family synthetic-collapse detector) and the Zipf-fit
+    // slope/r2 over the top-100 terms — both exact, both replayed.
+    "q_ngram_diversity" -> { (s, dir) =>
+      graft.llm.CorpusStats.ngramDiversity(
+        Sources.table(s, dir, "documents"), "text", Seq(1, 2, 3))
+    },
+    "q_zipf" -> { (s, dir) =>
+      graft.llm.CorpusStats.zipfFit(Sources.table(s, dir, "documents"), "text", k = 100)
+    },
     // Split-leakage audit (eval hygiene): near-dup pairs that STRADDLE
     // the train/val/test boundary — a test doc whose near-duplicate sits
     // in train is leaked evaluation signal. Composes the oracle-green
@@ -2919,6 +2929,39 @@ object SparkEntry {
         |  round(1.0 - levenshtein(a.text, b.text) / CAST(greatest(a.l, b.l) AS DOUBLE), 6) AS sim
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q_ngram_diversity" ->
+      """WITH toks AS (SELECT string_split_regex(text, ' +') AS tk FROM documents),
+        |g1 AS (SELECT unnest(tk) AS g FROM toks),
+        |g2 AS (SELECT unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |  ELSE list_transform(range(0, len(tk) - 1), i -> array_to_string(tk[i+1:i+2], ' ')) END) AS g FROM toks),
+        |g3 AS (SELECT unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |  ELSE list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')) END) AS g FROM toks)
+        |SELECT 1 AS n, count(*) AS total, count(DISTINCT g) AS uniq,
+        |  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity FROM g1
+        |UNION ALL
+        |SELECT 2, count(*), count(DISTINCT g),
+        |  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) FROM g2
+        |UNION ALL
+        |SELECT 3, count(*), count(DISTINCT g),
+        |  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) FROM g3""".stripMargin,
+    "q_zipf" ->
+      """WITH tc AS (SELECT tok, count(*) AS c FROM (
+        |  SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents) GROUP BY tok),
+        |top AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS r, c FROM tc
+        |  ORDER BY c DESC, tok LIMIT 100),
+        |p AS (SELECT list_sort(list(struct_pack(r := r, c := c))) AS pts FROM top),
+        |sums AS (SELECT CAST(len(pts) AS DOUBLE) AS n,
+        |  list_reduce(list_transform(pts, e -> ln(CAST(e.r AS DOUBLE))), (a, b) -> a + b) AS sx,
+        |  list_reduce(list_transform(pts, e -> ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS sy,
+        |  list_reduce(list_transform(pts, e -> ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS sxy,
+        |  list_reduce(list_transform(pts, e -> ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.r AS DOUBLE))), (a, b) -> a + b) AS sxx,
+        |  list_reduce(list_transform(pts, e -> ln(CAST(e.c AS DOUBLE)) * ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS syy
+        |FROM p)
+        |SELECT
+        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+        |  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept,
+        |  round(pow(sxy - sx * sy / n, 2) / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+        |FROM sums""".stripMargin,
     "q_split_leakage" ->
       s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
          |${unitCte("a", "ids", 5)}

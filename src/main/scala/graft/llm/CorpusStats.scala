@@ -51,6 +51,58 @@ object CorpusStats {
       percentile_approx(col("__nt"), lit(0.9), lit(accuracy)).cast("double").as("p90_tokens"),
       avg(col("__nc")).as("mean_chars"))
 
+  /** Corpus naturalness diagnostic #1 — n-gram diversity: distinct /
+    * total n-grams per n. Model-generated or template-heavy corpora
+    * collapse this ratio long before whole-doc dedup fires (the
+    * self-BLEU family of synthetic-data-collapse detectors). One row per
+    * n; exact string n-grams so the oracle replays it verbatim — the
+    * 64-bit [[TextAnalysis.Shingles.hashedShingles]] form is the scale
+    * twin (same counts minus negligible hash collisions, spec-matched). */
+  def ngramDiversity(df: DataFrame, textCol: String, ns: Seq[Int] = Seq(1, 2, 3),
+                     hashed: Boolean = false): DataFrame =
+    ns.map { n =>
+      val grams =
+        if (hashed) explode(Shingles.hashedShingles(col(textCol), n)).as("g")
+        else explode(Shingles.shingles(col(textCol), n)).as("g")
+      df.select(grams).agg(
+        lit(n).as("n"),
+        count(lit(1)).as("total"),
+        countDistinct(col("g")).as("uniq"),
+        round(countDistinct(col("g")) / count(lit(1)).cast("double"), 6).as("diversity"))
+    }.reduce(_ unionByName _)
+
+  /** Corpus naturalness diagnostic #2 — Zipf fit: OLS of ln(count) on
+    * ln(rank) over the top-`k` terms (rank ties by term). Natural text
+    * sits near slope −1; synthetic/templated corpora drift flat or
+    * cliff. Closed-form regression over k rank-ordered points, folded in
+    * rank order so both engines sum identically; one output row
+    * (slope, intercept, r2). */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val ranked = df.select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))).as("r"), col("c"))
+    val pts = ranked.agg(array_sort(collect_list(struct(col("r"), col("c")))).as("__p"))
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(col("__p"), lit(0.0), (acc, e) => acc + f(e))
+    val x = (e: org.apache.spark.sql.Column) => log(e.getField("r").cast("double"))
+    val y = (e: org.apache.spark.sql.Column) => log(e.getField("c").cast("double"))
+    pts.select(size(col("__p")).cast("double").as("__n"),
+        fold(x).as("__sx"), fold(y).as("__sy"),
+        fold(e => x(e) * y(e)).as("__sxy"),
+        fold(e => x(e) * x(e)).as("__sxx"),
+        fold(e => y(e) * y(e)).as("__syy"))
+      .select(
+        round((col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+          / (col("__sxx") - col("__sx") * col("__sx") / col("__n")), 6).as("slope"),
+        round((col("__sy") - (col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+          / (col("__sxx") - col("__sx") * col("__sx") / col("__n")) * col("__sx")) / col("__n"), 6).as("intercept"),
+        round(pow(col("__sxy") - col("__sx") * col("__sy") / col("__n"), 2)
+          / ((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+            * (col("__syy") - col("__sy") * col("__sy") / col("__n"))), 6).as("r2"))
+  }
+
   /** Term-distribution DRIFT between two corpus snapshots: add-half
     * smoothed KL(A‖B) and Jensen–Shannon divergence over the union
     * vocabulary — the "did the new crawl shift?" monitor that catches

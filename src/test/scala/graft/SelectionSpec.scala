@@ -240,6 +240,44 @@ class SelectionSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- corpus naturalness diagnostics ----
+
+  test("ngram diversity: hashed scale twin matches the exact string form") {
+    val exact = graft.llm.CorpusStats.ngramDiversity(fixtureDocs, "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hashed = graft.llm.CorpusStats.ngramDiversity(fixtureDocs, "text", hashed = true)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact == hashed) // 64-bit collisions vanish at fixture scale
+    assert(exact(1)._2 < exact(2)._2) // bigram space strictly richer
+  }
+
+  test("diagnostics detect a collapsed (template-generated) corpus") {
+    val natural = graft.llm.CorpusStats.ngramDiversity(fixtureDocs, "text", Seq(3))
+      .collect()(0).getDouble(3)
+    val template = (0L until 200L).map(i => (i, s"the quick brown fox number ${i % 5} jumps"))
+      .toDF("doc_id", "text")
+    val collapsed = graft.llm.CorpusStats.ngramDiversity(template, "text", Seq(3))
+      .collect()(0).getDouble(3)
+    assert(collapsed < natural / 10,
+      s"template corpus diversity $collapsed not far below natural $natural")
+    // a genuinely Zipf-distributed corpus fits near slope −1 with high
+    // r2; the driver fixture's uniform-ish synthetic vocabulary reads
+    // FLAT (−0.18 measured) — exactly the unnatural-corpus signature
+    // this diagnostic exists to flag
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(j => s"w$j")
+    val cum = vocab.indices.map(j => 1.0 / (j + 1)).scanLeft(0.0)(_ + _).tail
+    def draw(): String = { val u = rnd.nextDouble() * cum.last; vocab(cum.indexWhere(u < _)) }
+    val zipfy = (0L until 300L).map(i => (i, Seq.fill(40)(draw()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fit = graft.llm.CorpusStats.zipfFit(zipfy, "text").collect()(0)
+    val (zslope, zr2) = (fit.getDouble(0), fit.getDouble(2))
+    assert(zslope < -0.8 && zslope > -1.3, s"zipf corpus slope $zslope")
+    assert(zr2 > 0.9, s"zipf corpus r2 $zr2")
+    val flat = graft.llm.CorpusStats.zipfFit(fixtureDocs, "text").collect()(0).getDouble(0)
+    assert(flat > zslope + 0.4, s"fixture slope $flat should read far flatter than $zslope")
+  }
+
   /** Reference Levenshtein with threshold: returns -1 if distance > d. */
   private def levenshteinLocal(a: String, b: String, d: Int): Int = {
     if (math.abs(a.length - b.length) > d) return -1
