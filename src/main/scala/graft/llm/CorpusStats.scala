@@ -71,6 +71,22 @@ object CorpusStats {
         round(countDistinct(col("g")) / count(lit(1)).cast("double"), 6).as("diversity"))
     }.reduce(_ unionByName _)
 
+  /** Streaming twin of [[ngramDiversity]]: HLL distinct-gram count over
+    * the hashed grams (bounded sketch state — exact countDistinct cannot
+    * run incrementally), emitted in complete mode as the live
+    * synthetic-collapse monitor. Same schema; spec bounds it against the
+    * exact batch form. */
+  def ngramDiversitySketch(df: DataFrame, textCol: String,
+                           ns: Seq[Int] = Seq(1, 2, 3), rsd: Double = 0.02): DataFrame =
+    ns.map { n =>
+      df.select(explode(Shingles.hashedShingles(col(textCol), n)).as("g")).agg(
+        lit(n).as("n"),
+        count(lit(1)).as("total"),
+        approx_count_distinct(col("g"), rsd).as("uniq"),
+        round(approx_count_distinct(col("g"), rsd) / count(lit(1)).cast("double"), 6)
+          .as("diversity"))
+    }.reduce(_ unionByName _)
+
   /** Corpus naturalness diagnostic #2 — Zipf fit: OLS of ln(count) on
     * ln(rank) over the top-`k` terms (rank ties by term). Natural text
     * sits near slope −1; synthetic/templated corpora drift flat or

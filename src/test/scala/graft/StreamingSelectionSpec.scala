@@ -132,6 +132,31 @@ class StreamingSelectionSpec extends AnyFunSuite {
     assert(secondHalf.exists(v => !batch(v.vec_id))) // recovery half has real drops
   }
 
+  test("ngram-diversity sketch runs as a live streaming aggregate, bounded vs exact") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val exact = graft.llm.CorpusStats.ngramDiversity(fixtureDocs, "text", Seq(3))
+      .collect()(0)
+    val rows = fixtureDocs.select("doc_id", "text").collect()
+      .map(r => StDoc(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[StDoc]
+    // complete mode: the per-n diversity row re-emits per micro-batch —
+    // the live synthetic-collapse monitor (HLL state is bounded); a
+    // single n per query (a union of streaming aggregates is not a
+    // supported streaming plan)
+    val q = graft.llm.CorpusStats.ngramDiversitySketch(mem.toDF(), "text", Seq(3))
+      .writeStream.outputMode("complete").format("memory").queryName("st_div")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(120).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val live = spark.table("st_div").collect()(0)
+    q.stop()
+    assert(live.getAs[Long]("total") == exact.getAs[Long]("total"))
+    val exactU = exact.getAs[Long]("uniq").toDouble
+    assert(math.abs(live.getAs[Long]("uniq") - exactU) <= 0.1 * exactU)
+    assert(math.abs(live.getAs[Double]("diversity") - exact.getAs[Double]("diversity")) <= 0.05)
+  }
+
   test("frozen NB tagger: stream predictions equal the exact batch arm") {
     import org.apache.spark.sql.Encoders
     implicit val dEnc = Encoders.product[StDoc]
