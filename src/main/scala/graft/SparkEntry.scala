@@ -2958,10 +2958,13 @@ object SparkEntry {
         |  list_reduce(list_transform(pts, e -> ln(CAST(e.c AS DOUBLE)) * ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS syy
         |FROM p)
         |SELECT
-        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
-        |  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept,
-        |  round(pow(sxy - sx * sy / n, 2) / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
-        |FROM sums""".stripMargin,
+        |  CASE WHEN dx = 0 THEN 0.0
+        |       ELSE round((sxy - sx * sy / n) / dx, 6) END AS slope,
+        |  CASE WHEN dx = 0 THEN round(sy / n, 6)
+        |       ELSE round((sy - (sxy - sx * sy / n) / dx * sx) / n, 6) END AS intercept,
+        |  CASE WHEN dx = 0 OR dy = 0 THEN 1.0
+        |       ELSE round(pow(sxy - sx * sy / n, 2) / (dx * dy), 6) END AS r2
+        |FROM (SELECT *, sxx - sx * sx / n AS dx, syy - sy * sy / n AS dy FROM sums)""".stripMargin,
     "q_split_leakage" ->
       s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
          |${unitCte("a", "ids", 5)}

@@ -124,8 +124,12 @@ object AnnKernels {
 /** Static kernels for the edit-dedup expressions — called from both
   * interpreted eval and generated code (the AnnKernels pattern). */
 object TextKernels {
-  def charHist(u: UTF8String): Array[Int] = {
-    val s = u.toString
+  def charHist(u: UTF8String): Array[Int] = charHist(u.toString)
+
+  /** String overload — the single source of truth for the bucketing (the
+    * streaming edit twin shares it, so stream/batch histograms can never
+    * drift apart). */
+  def charHist(s: String): Array[Int] = {
     val h = new Array[Int](128)
     var i = 0
     while (i < s.length) {
@@ -141,6 +145,14 @@ object TextKernels {
     var i = 0
     val n = a.numElements()
     while (i < n) { s += math.abs(a.getInt(i) - b.getInt(i)); i += 1 }
+    s
+  }
+
+  /** Plain-array overload for JVM-side callers (streaming state). */
+  def histL1(a: Array[Int], b: Array[Int]): Int = {
+    var s = 0
+    var i = 0
+    while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
     s
   }
 

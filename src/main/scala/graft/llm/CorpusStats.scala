@@ -60,16 +60,20 @@ object CorpusStats {
     * twin (same counts minus negligible hash collisions, spec-matched). */
   def ngramDiversity(df: DataFrame, textCol: String, ns: Seq[Int] = Seq(1, 2, 3),
                      hashed: Boolean = false): DataFrame =
+    // union the PROJECTIONS, aggregate once by n — a union of aggregates
+    // would be an unsupported streaming plan; this shape runs unchanged
+    // in complete mode (the ngramDiversitySketch twin relies on it)
     ns.map { n =>
       val grams =
-        if (hashed) explode(Shingles.hashedShingles(col(textCol), n)).as("g")
+        if (hashed) explode(transform(Shingles.hashedShingles(col(textCol), n),
+          h => h.cast("string"))).as("g")
         else explode(Shingles.shingles(col(textCol), n)).as("g")
-      df.select(grams).agg(
-        lit(n).as("n"),
+      df.select(lit(n).as("n"), grams)
+    }.reduce(_ unionByName _)
+      .groupBy("n").agg(
         count(lit(1)).as("total"),
         countDistinct(col("g")).as("uniq"),
         round(countDistinct(col("g")) / count(lit(1)).cast("double"), 6).as("diversity"))
-    }.reduce(_ unionByName _)
 
   /** Streaming twin of [[ngramDiversity]]: HLL distinct-gram count over
     * the hashed grams (bounded sketch state — exact countDistinct cannot
@@ -79,13 +83,14 @@ object CorpusStats {
   def ngramDiversitySketch(df: DataFrame, textCol: String,
                            ns: Seq[Int] = Seq(1, 2, 3), rsd: Double = 0.02): DataFrame =
     ns.map { n =>
-      df.select(explode(Shingles.hashedShingles(col(textCol), n)).as("g")).agg(
-        lit(n).as("n"),
+      df.select(lit(n).as("n"),
+        explode(Shingles.hashedShingles(col(textCol), n)).as("g"))
+    }.reduce(_ unionByName _)
+      .groupBy("n").agg(
         count(lit(1)).as("total"),
         approx_count_distinct(col("g"), rsd).as("uniq"),
         round(approx_count_distinct(col("g"), rsd) / count(lit(1)).cast("double"), 6)
           .as("diversity"))
-    }.reduce(_ unionByName _)
 
   /** Corpus naturalness diagnostic #2 — Zipf fit: OLS of ln(count) on
     * ln(rank) over the top-`k` terms (rank ties by term). Natural text
@@ -109,14 +114,21 @@ object CorpusStats {
         fold(e => x(e) * y(e)).as("__sxy"),
         fold(e => x(e) * x(e)).as("__sxx"),
         fold(e => y(e) * y(e)).as("__syy"))
+      .select(col("__n"), col("__sx"), col("__sy"), col("__sxy"), col("__sxx"), col("__syy"),
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n")).as("__dx"),
+        (col("__syy") - col("__sy") * col("__sy") / col("__n")).as("__dy"))
+      // degenerate guards (ANSI divide-by-zero otherwise): a single
+      // distinct term (__dx = 0) has no defined slope → 0; all-equal
+      // counts (__dy = 0) fit the constant perfectly → r2 = 1
       .select(
-        round((col("__sxy") - col("__sx") * col("__sy") / col("__n"))
-          / (col("__sxx") - col("__sx") * col("__sx") / col("__n")), 6).as("slope"),
-        round((col("__sy") - (col("__sxy") - col("__sx") * col("__sy") / col("__n"))
-          / (col("__sxx") - col("__sx") * col("__sx") / col("__n")) * col("__sx")) / col("__n"), 6).as("intercept"),
-        round(pow(col("__sxy") - col("__sx") * col("__sy") / col("__n"), 2)
-          / ((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
-            * (col("__syy") - col("__sy") * col("__sy") / col("__n"))), 6).as("r2"))
+        when(col("__dx") === 0, lit(0.0)).otherwise(
+          round((col("__sxy") - col("__sx") * col("__sy") / col("__n")) / col("__dx"), 6)).as("slope"),
+        when(col("__dx") === 0, round(col("__sy") / col("__n"), 6)).otherwise(
+          round((col("__sy") - (col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+            / col("__dx") * col("__sx")) / col("__n"), 6)).as("intercept"),
+        when(col("__dx") === 0 || col("__dy") === 0, lit(1.0)).otherwise(
+          round(pow(col("__sxy") - col("__sx") * col("__sy") / col("__n"), 2)
+            / (col("__dx") * col("__dy")), 6)).as("r2"))
   }
 
   /** Term-distribution DRIFT between two corpus snapshots: add-half

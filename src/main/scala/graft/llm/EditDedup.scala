@@ -154,7 +154,9 @@ object EditDedup {
       df.select(col(idCol).as("__id"), col(textCol).as("__t"),
         length(col(textCol)).as("__l"),
         graft.functions.VectorExprs.charHist(col(textCol)).as("__h")))
-    val banded = Dedup.lshBuckets(df, textCol, idCol, numHashes, bands, shingleN)
+    val banded = graft.util.Caching.barrier(Dedup.capBuckets(
+      Dedup.lshBuckets(df, textCol, idCol, numHashes, bands, shingleN),
+      Seq("band", "bucket"), maxBucketSize))
     val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bucket"), col(idCol).as("id2")),
         Seq("band", "bucket"))

@@ -34,8 +34,13 @@ object NaiveBayes {
   private def toks(textCol: String): Column = TextAnalysis.tokens(col(textCol))
 
   /** Fitted model: (token, cls, ltp = ln P(token|cls)) rows, priors
-    * (cls, lp = ln P(cls)), and the smoothed OOV floor per class. */
-  final case class Model(tokenLogProbs: DataFrame, classPriors: DataFrame)
+    * (cls, lp = ln P(cls)), and the smoothed zero-count OOV floor per
+    * class (cls, floor = ln(α / (N_c + α·V))) — applied by [[scores]]
+    * to tokens outside the fitted vocabulary, exactly as
+    * [[frozenHashedTagger]] floors unseen buckets, so the two arms stay
+    * one estimator. */
+  final case class Model(tokenLogProbs: DataFrame, classPriors: DataFrame,
+                         classFloors: DataFrame)
 
   /** Closed-form fit from labeled docs. `alpha` is Laplace smoothing
     * over the CORPUS vocabulary (shared across classes, so absent
@@ -44,7 +49,11 @@ object NaiveBayes {
   def fit(docs: DataFrame, textCol: String, labelCol: String,
           alpha: Double = 0.5): Model = {
     val t = docs.select(col(labelCol).as("cls"), explode(toks(textCol)).as("tok"))
-    val counts = t.groupBy("cls", "tok").agg(count(lit(1)).as("n"))
+    // every model frame (totals, vocab, log-probs, floors) derives from
+    // `counts`; the barrier makes the corpus explode ONE pass instead of
+    // one per downstream collect (released by the caller, per contract)
+    val counts = graft.util.Caching.barrier(
+      t.groupBy("cls", "tok").agg(count(lit(1)).as("n")))
     val classTotals = counts.groupBy("cls").agg(sum("n").as("nc"))
     val vocab = counts.select("tok").distinct()
     val v = broadcast(vocab.agg(count(lit(1)).as("__V")))
@@ -60,7 +69,9 @@ object NaiveBayes {
     val classPriors = docCounts
       .crossJoin(broadcast(docCounts.agg(sum("nd").as("__N"))))
       .select(col("cls"), log(col("nd") / col("__N")).as("lp"))
-    Model(tokenLogProbs, classPriors)
+    val classFloors = classTotals.crossJoin(v)
+      .select(col("cls"), log(lit(alpha) / (col("nc") + col("__V") * alpha)).as("floor"))
+    Model(tokenLogProbs, classPriors, classFloors)
   }
 
   /** Per-document class scores: (id, cls, score). The model is pivoted
@@ -71,22 +82,28 @@ object NaiveBayes {
     * the per-(doc, class) formulation the SQL oracle replays. */
   def scores(docs: DataFrame, textCol: String, idCol: String,
              model: Model): DataFrame = {
-    val classes = model.classPriors.select("cls").collect()
-      .map(_.getString(0)).sorted
-    val priors = model.classPriors.collect()
+    val priorRows = model.classPriors.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val classes = priorRows.keys.toSeq.sorted
+    val floors = model.classFloors.collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val pivot = model.tokenLogProbs.groupBy("tok")
       .agg(map_from_entries(collect_list(struct(col("cls"), col("ltp")))).as("__m"))
       .select(col("tok"),
         array(classes.map(c => element_at(col("__m"), lit(c))): _*).as("ltps"))
+    val floorArr = array(classes.map(c => lit(floors(c))): _*)
     val docTok = docs.select(col(idCol), explode(toks(textCol)).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
-    val folded = docTok.join(broadcast(pivot), "tok")
+    // LEFT join: tokens outside the fitted vocabulary take the per-class
+    // smoothed floor instead of silently vanishing (a fully-OOV doc
+    // previously produced NO prediction at all)
+    val folded = docTok.join(broadcast(pivot), Seq("tok"), "left")
+      .withColumn("ltps", coalesce(col("ltps"), floorArr))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("tok"), col("__c"), col("ltps")))).as("__xs"))
     val scoreCols = classes.zipWithIndex.map { case (c, j) =>
       struct(lit(c).as("cls"),
-        (lit(priors(c)) + aggregate(col("__xs"), lit(0.0),
+        (lit(priorRows(c)) + aggregate(col("__xs"), lit(0.0),
           (acc, e) => acc + e.getField("__c") * e.getField("ltps").getItem(j))).as("score"))
     }
     folded.select(col(idCol), explode(array(scoreCols: _*)).as("__s"))
@@ -114,8 +131,10 @@ object NaiveBayes {
                          buckets: Int, alpha: Double = 0.5): Column => Column = {
     val bucketOf: Column => Column = t => pmod(xxhash64(t, lit(1013)), lit(buckets))
     val t = fit.select(col(labelCol).as("cls"), explode(toks(textCol)).as("tok"))
+    // fully consumed inside this method (four driver actions share the
+    // lineage), so persist/unpersist locally instead of the registry
     val counts = t.groupBy(col("cls"), bucketOf(col("tok")).as("b"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")).persist()
     val classTotals = counts.groupBy("cls").agg(sum("n").as("nc"))
     val v = counts.select("b").distinct().count()
     val rows = counts.join(broadcast(classTotals), "cls")
@@ -126,6 +145,7 @@ object NaiveBayes {
       .map(r => r.getString(0) -> math.log(alpha / (r.getLong(1) + v * alpha))).toMap
     val nd = fit.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("nd")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.unpersist()
     val total = nd.values.sum.toDouble
     val priors: Map[String, Double] = nd.map { case (c, n) => c -> math.log(n / total) }
     val byClass: Map[String, Map[Long, Double]] =

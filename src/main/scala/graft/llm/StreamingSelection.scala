@@ -115,12 +115,6 @@ object StreamingSelection {
       -1
     }
 
-    private def histL1(a: Array[Int], b: Array[Int]): Int = {
-      var s = 0; var i = 0
-      while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
-      s
-    }
-
     override def handleInputRows(key: String, rows0: Iterator[EditBandDoc],
                                  timerValues: TimerValues): Iterator[EditPair] = {
       val arriving = rows0.toSeq.sortBy(_.docId)
@@ -130,16 +124,24 @@ object StreamingSelection {
       members.get().foreach(buf += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[EditPair]
       arriving.foreach { d =>
+        // at cap: bucket closed without storing OR comparing — the online
+        // capBuckets rule, same as the batch twin's capped candidate set
+        // and StreamingDedup's bucket processor
         if (buf.length < maxBucketSize) {
-          val hist = StreamingSelection.charHistLocal(d.text)
+          val hist = graft.functions.TextKernels.charHist(d.text)
+          val dLen = d.text.codePointCount(0, d.text.length)
           buf.foreach { m =>
+            val mLen = m.text.codePointCount(0, m.text.length)
             if (m.docId != d.docId &&
-                math.abs(m.text.length - d.text.length) <= maxDist &&
-                histL1(m.hist, hist) <= 2 * maxDist &&
+                math.abs(mLen - dLen) <= maxDist &&
+                graft.functions.TextKernels.histL1(m.hist, hist) <= 2 * maxDist &&
                 firstMatchingBand(m.sig, d.sig) == thisBand) {
+              // codepoint DP + codepoint lengths — the same units as the
+              // batch twin's Spark levenshtein/length, so replay equality
+              // holds beyond ASCII (BMP and supplementary alike)
               val dist = StreamingSelection.levenshteinBounded(m.text, d.text, maxDist)
               if (dist >= 0) {
-                val lmax = math.max(m.text.length, d.text.length)
+                val lmax = math.max(mLen, dLen)
                 val sim = if (lmax == 0) 1.0
                   else BigDecimal(1.0 - dist.toDouble / lmax)
                     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -188,21 +190,13 @@ object StreamingSelection {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** Same codepoint bucketing as the CharHist kernel. */
-  private[llm] def charHistLocal(s: String): Array[Int] = {
-    val h = new Array[Int](128)
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h(cp & 127) += 1
-      i += Character.charCount(cp)
-    }
-    h
-  }
-
   /** Levenshtein with early-out threshold: −1 when distance > d (the
-    * same contract as Spark's 3-arg levenshtein the batch twin uses). */
-  private[llm] def levenshteinBounded(a: String, b: String, d: Int): Int = {
+    * same contract as Spark's 3-arg levenshtein the batch twin uses).
+    * Runs over CODE POINTS, matching Spark's unit, so the streaming twin
+    * agrees with the batch one on any input — not just ASCII. */
+  private[llm] def levenshteinBounded(as: String, bs: String, d: Int): Int = {
+    val a = as.codePoints().toArray
+    val b = bs.codePoints().toArray
     if (math.abs(a.length - b.length) > d) return -1
     val prev = Array.tabulate(b.length + 1)(identity)
     val cur = new Array[Int](b.length + 1)
@@ -213,7 +207,7 @@ object StreamingSelection {
       var j = 1
       while (j <= b.length) {
         cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
-          prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
         if (cur(j) < rowMin) rowMin = cur(j)
         j += 1
       }

@@ -278,6 +278,31 @@ class SelectionSpec extends AnyFunSuite {
     assert(flat > zslope + 0.4, s"fixture slope $flat should read far flatter than $zslope")
   }
 
+  test("naive bayes: fully-OOV docs still get a floored prediction") {
+    val train = Seq((0L, "alpha beta gamma", "x"), (1L, "delta epsilon zeta", "y"),
+      (2L, "alpha beta", "x"), (3L, "delta zeta", "y")).toDF("doc_id", "text", "label")
+    val model = graft.llm.NaiveBayes.fit(train, "text", "label")
+    val probe = Seq((10L, "totally unseen words"), (11L, "alpha unseen")).toDF("doc_id", "text")
+    val out = graft.llm.NaiveBayes.predict(probe, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.contains(10L)) // previously vanished from the output entirely
+    assert(out(11L) == "x")   // the in-vocab token still dominates
+    // OOV handling agrees with the frozen hashed arm (same floor rule)
+    val tagger = graft.llm.NaiveBayes.frozenHashedTagger(train, "text", "label", 1 << 20)
+    val frozen = probe.select(col("doc_id"), tagger(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).getString(0)).toMap
+    assert(frozen == out)
+  }
+
+  test("zipf fit: degenerate corpora produce defined output, no ANSI divide") {
+    val oneTerm = Seq((0L, "same same same"), (1L, "same")).toDF("doc_id", "text")
+    val r1 = graft.llm.CorpusStats.zipfFit(oneTerm, "text").collect()(0)
+    assert(r1.getDouble(0) == 0.0 && r1.getDouble(2) == 1.0)
+    val allEqual = Seq((0L, "a b c d"), (1L, "e f g h")).toDF("doc_id", "text")
+    val r2 = graft.llm.CorpusStats.zipfFit(allEqual, "text").collect()(0)
+    assert(r2.getDouble(0) == 0.0 && r2.getDouble(2) == 1.0) // flat counts: slope 0, constant fit
+  }
+
   /** Reference Levenshtein with threshold: returns -1 if distance > d. */
   private def levenshteinLocal(a: String, b: String, d: Int): Int = {
     if (math.abs(a.length - b.length) > d) return -1

@@ -132,6 +132,33 @@ class StreamingSelectionSpec extends AnyFunSuite {
     assert(secondHalf.exists(v => !batch(v.vec_id))) // recovery half has real drops
   }
 
+  test("online edit twin agrees with batch beyond ASCII (codepoint units)") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    // multibyte + supplementary-plane text: UTF-16 units ≠ codepoints,
+    // so a char-based stream DP would disagree with Spark's levenshtein
+    val base = "日本語のテキスト 重複 検出 𝄞 clef " * 3
+    val docs = Seq(
+      StDoc(0L, base), StDoc(1L, base + "追加"), StDoc(2L, base.replace("検出", "檢出")),
+      StDoc(3L, "まったく別の内容 でも 単語 は 共有 しません 𝄢 " * 3))
+    val df = spark.createDataset(docs).toDF()
+    val d = 6
+    val batch = graft.llm.EditDedup.verifiedPairs(df, "text", "doc_id", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    graft.util.Caching.release()
+    val mem = MemoryStream[StDoc]
+    val q = graft.llm.StreamingSelection.editPairsOnline(mem.toDF(), "text", "doc_id", d)
+      .writeStream.outputMode("append").format("memory").queryName("st_edit_cp")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(2).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_edit_cp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(batch.nonEmpty)
+    assert(online == batch)
+  }
+
   test("ngram-diversity sketch runs as a live streaming aggregate, bounded vs exact") {
     import org.apache.spark.sql.Encoders
     implicit val dEnc = Encoders.product[StDoc]
