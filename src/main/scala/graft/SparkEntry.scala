@@ -660,6 +660,62 @@ object SparkEntry {
         "text", Seq("en", "de"))
         .select(col("doc_id"))
     },
+    // web-text normalization on a deterministically decorated input (the
+    // fixture corpus is pre-clean, so both engines wrap each doc in the
+    // same markup/entity/control noise first); the oracle replays the
+    // identical strip→unescape→collapse chain
+    "q_html_strip" -> { (s, dir) =>
+      val noisy = concat(lit("<div class=\"x\"> "), col("text"),
+        lit("</div>\t<br/> &amp;amp; 5 &lt; 7 &nbsp;"), lit(""), lit("end"))
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), graft.llm.Normalize.cleanWeb(noisy).as("clean"))
+    },
+    // C4 line rules on synthesized lines: 4-token chunks as lines,
+    // deterministically decorated (pos%3==0 → terminal '.', pos%5==1 →
+    // a 'javascript.' blocklist hit) so every rule — terminal punct,
+    // min-words, blocklist, min-lines — genuinely fires
+    "q_c4_clean" -> { (s, dir) =>
+      val lines = graft.llm.Chunking.chunkByTokens(
+        Sources.table(s, dir, "documents"), "doc_id", "text", chunkSize = 4)
+        .withColumn("line",
+          when(col("chunk_id") % 3 === 0, concat(col("chunk"), lit(".")))
+            .when(col("chunk_id") % 5 === 1, concat(col("chunk"), lit(" javascript.")))
+            .otherwise(col("chunk")))
+      val docs = lines.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id").as("p"), col("line").as("l")))),
+          e => e.getField("l")), "\n").as("text"))
+      graft.llm.Curation.c4Clean(docs, "doc_id", "text",
+        minWords = 3, minLines = 1, blocklist = Seq("javascript"))
+    },
+    // within-doc repeated-line removal (first occurrence kept, order
+    // preserved): 2-token pseudo-lines repeat naturally inside a doc at
+    // the fixture's vocabulary size
+    "q_selfline_dedup" -> { (s, dir) =>
+      val lines = graft.llm.Chunking.chunkByTokens(
+        Sources.table(s, dir, "documents"), "doc_id", "text", chunkSize = 2)
+      val docs = lines.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id").as("p"), col("chunk").as("l")))),
+          e => e.getField("l")), "\n").as("text"))
+      graft.llm.Curation.dropRepeatedLines(docs, "doc_id", "text")
+    },
+    // deterministic corpus shuffle + sharding: projection-only epoch
+    // permutation (u = counter-mode draw, shard = clamped ⌊u·8⌋); the
+    // oracle recomputes the identical doubles
+    "q_corpus_shuffle" -> { (s, dir) =>
+      graft.llm.Mixture.shuffleAssign(
+        Sources.table(s, dir, "documents"), "doc_id", nShards = 8, seed = 7)
+        .select(col("doc_id"), col("shard"), round(col("u"), 6).as("u"))
+    },
+    // quality-gate calibration sweep: kept fraction at each candidate
+    // threshold, one corpus pass, unpivoted from a single aggregate row
+    "q_keep_curve" -> { (s, dir) =>
+      graft.llm.Curation.keepRateCurve(
+        Sources.table(s, dir, "documents"),
+        graft.llm.TextAnalysis.qualityScore(col("text")),
+        Seq(0.3, 0.5, 0.7, 0.9))
+    },
     // sequence packing: next-fit docs into 64-token context bins over 8
     // independent packing streams; the oracle replays the same (bin,
     // used) recurrence per stream with a branch-free list fold
@@ -728,6 +784,15 @@ object SparkEntry {
     "q_embed_pairs" -> { (s, dir) =>
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    },
+    // matryoshka-truncated retrieval: rank by cosine over the first 8
+    // coordinates only (the MRL prefix-serving pattern — proportionally
+    // fewer scan bytes); the oracle slices the same prefix
+    "q_mrl_knn" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      Similarity.truncatedTopK(e.filter(col("vec_id") < 10), e, k = 3, dims = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("cosine"), 6).as("cosine"))
     },
     // Binary-quantized ANN: sign-bit signatures (1 bit/dim, packed
     // words), Hamming-ranked candidates, exact cosine re-rank of the
@@ -2315,6 +2380,65 @@ object SparkEntry {
         |FROM documents)""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp FROM documents",
+    "q_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      '<div class="x"> ' || text || '</div>' || chr(9) || '<br/> &amp;amp; 5 &lt; 7 &nbsp;end',
+        |      '<[^>]*>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\n\r]+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
+    "q_c4_clean" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT doc_id, ts, unnest(range(0, len(ts), 4)) AS s FROM toks),
+        |lines0 AS (SELECT doc_id, CAST(s // 4 AS BIGINT) AS pos,
+        |  array_to_string(ts[s+1:s+4], ' ') AS line FROM ex),
+        |lines AS (SELECT doc_id, pos,
+        |  CASE WHEN pos % 3 = 0 THEN line || '.'
+        |       WHEN pos % 5 = 1 THEN line || ' javascript.'
+        |       ELSE line END AS line FROM lines0),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |  WHERE len(string_split_regex(trim(line), ' +')) >= 3
+        |    AND regexp_matches(trim(line), '[.!?"'']$')
+        |    AND NOT contains(lower(line), 'javascript'))
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY 1""".stripMargin,
+    "q_selfline_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts FROM documents),
+        |ex AS (SELECT doc_id, ts, unnest(range(0, len(ts), 2)) AS s FROM toks),
+        |lines AS (SELECT doc_id, CAST(s // 2 AS BIGINT) AS pos,
+        |  array_to_string(ts[s+1:s+2], ' ') AS line FROM ex),
+        |firsts AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM lines)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM firsts WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_corpus_shuffle" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 7)}
+         |SELECT i AS doc_id,
+         |  CAST(least(CAST(floor(u * 8) AS BIGINT), 7) AS INT) AS shard,
+         |  round(u, 6) AS u
+         |FROM au""".stripMargin,
+    "q_keep_curve" ->
+      """WITH s AS (SELECT round((
+        |  least(nt / 64.0, 1.0) + nd / nt + least((hs / nt) * 5.0, 1.0)) / 3.0, 6) AS q
+        |FROM (SELECT
+        |  CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS nt,
+        |  CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE) AS nd,
+        |  CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) AS hs
+        |FROM documents)),
+        |agg AS (SELECT count(*) AS total,
+        |  CAST(sum(CASE WHEN q >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+        |  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |  CAST(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |  CAST(sum(CASE WHEN q >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+        |FROM s)
+        |SELECT CAST(t AS DOUBLE) AS threshold, k AS kept, total,
+        |  round(k / CAST(total AS DOUBLE), 6) AS rate
+        |FROM (SELECT 0.3 AS t, k0 AS k, total FROM agg
+        |      UNION ALL SELECT 0.5, k1, total FROM agg
+        |      UNION ALL SELECT 0.7, k2, total FROM agg
+        |      UNION ALL SELECT 0.9, k3, total FROM agg)""".stripMargin,
     "q_corpus_stats" ->
       """SELECT count(*) AS docs,
         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
@@ -2823,6 +2947,21 @@ object SparkEntry {
         |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings c
+        |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
+    "q_mrl_knn" ->
+      """SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e8, c.e8),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.e8, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.e8, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY (
+        |      list_sum(list_transform(list_zip(q.e8, c.e8),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.e8, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.e8, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC, c.vec_id) AS rk
+        |  FROM (SELECT vec_id, embedding[1:8] AS e8 FROM embeddings WHERE vec_id < 10) q,
+        |       (SELECT vec_id, embedding[1:8] AS e8 FROM embeddings) c
         |  WHERE q.vec_id <> c.vec_id) WHERE rk <= 3""".stripMargin,
     "q_bq_knn" ->
       """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),

@@ -106,4 +106,76 @@ object Curation {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2): inside each
+    * document, keep only lines that (a) end in terminal punctuation,
+    * (b) carry at least `minWords` whitespace words, and (c) contain no
+    * blocklisted phrase (case-insensitive); then drop documents left
+    * with fewer than `minLines` surviving lines. Returns (idCol,
+    * textCol) with the surviving lines re-joined by `sep`, original
+    * order preserved.
+    *
+    * 100 TB shape: the split/filter/re-join is per-row array algebra —
+    * a pure projection + filter, ZERO shuffle at any scale (unlike the
+    * cross-document [[LineDedup]], which must aggregate line frequency).
+    * Every rule is ANSI-replayable, so the oracle checks exact output
+    * bytes. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minWords: Int = 3, minLines: Int = 1,
+              blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"),
+              requireTerminal: Boolean = true,
+              sep: String = "\n"): DataFrame = {
+    require(minWords >= 1, s"minWords $minWords must be >= 1")
+    require(minLines >= 1, s"minLines $minLines must be >= 1")
+    val keep: Column => Column = line => {
+      val words = size(split(trim(line), " +")) >= minWords
+      val terminal =
+        if (requireTerminal) trim(line).rlike("[.!?\"']$") else lit(true)
+      val clean = blocklist.foldLeft(lit(true))((acc, b) =>
+        acc && !contains(lower(line), lit(b.toLowerCase)))
+      words && terminal && clean
+    }
+    val kept = filter(split(col(textCol), java.util.regex.Pattern.quote(sep)), keep)
+    df.withColumn("__kept", kept)
+      .filter(size(col("__kept")) >= minLines)
+      .withColumn(textCol, array_join(col("__kept"), sep))
+      .drop("__kept")
+  }
+
+  /** Within-document repeated-line removal (the intra-doc half of C4's
+    * dedup — navigation menus and boilerplate repeated INSIDE one page):
+    * keep the FIRST occurrence of each line, preserve order, re-join by
+    * `sep`. `array_distinct` is order-preserving on first occurrence, so
+    * the whole operator is one per-row projection — zero shuffle. For
+    * cross-document line dedup see [[LineDedup]]. */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n"): DataFrame =
+    df.withColumn(textCol,
+      array_join(array_distinct(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))), sep))
+
+  /** Keep-rate curve for threshold calibration: for each candidate
+    * threshold, the fraction of rows whose `score` meets it — the sweep
+    * a pipeline runs before pinning a quality gate (pick the threshold
+    * that keeps the budgeted share). ONE corpus pass: every threshold is
+    * a conditional sum in the same map-combined aggregate; the per-
+    * threshold rows are unpivoted from the single result row. Output
+    * (threshold, kept, total, rate) sorted by threshold. */
+  def keepRateCurve(df: DataFrame, score: Column,
+                    thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val sorted = thresholds.sorted
+    val aggs = count(lit(1)).as("__total") +:
+      sorted.zipWithIndex.map { case (t, i) =>
+        sum(when(score >= t, 1L).otherwise(0L)).as(s"__k$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = sorted.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"__k$i").as("kept"))
+    }
+    row.select(explode(array(pairs: _*)).as("__e"), col("__total"))
+      .select(col("__e.threshold").as("threshold"), col("__e.kept").as("kept"),
+        col("__total").as("total"),
+        round(col("__e.kept") / col("__total").cast("double"), 6).as("rate"))
+  }
 }

@@ -138,4 +138,29 @@ object Mixture {
       .filter(draw(idCol, seed) < col("rate"))
       .drop("rate")
   }
+
+  /** Deterministic corpus shuffle + sharding for training order: adds
+    * `u` (the counter-mode unit draw — the row's position key in the
+    * shuffled order) and `shard` (= ⌊u·nShards⌋, clamped). Because `u`
+    * is uniform, hash-sharding on ⌊u·n⌋ IS range-sharding in the
+    * shuffled domain: global training order (ascending u, id tie-break)
+    * equals (shard asc, u asc within shard), so shards are contiguous
+    * slices of the epoch order and a reader streaming shard k in u-order
+    * reproduces exactly its slice of the global permutation.
+    *
+    * 100 TB shape: a pure projection — NO shuffle, no global sort, no
+    * RNG state (speculation-safe, engine-replayable). Materialize with
+    * `.repartition(col("shard")).sortWithinPartitions("u", idCol)` +
+    * `partitionBy("shard")` parquet write: one Exchange moving each row
+    * once, and every shard file is internally in training order. A new
+    * seed is a new epoch permutation with zero data movement until the
+    * write. */
+  def shuffleAssign(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val u = draw(idCol, seed)
+    df.withColumn("u", u)
+      .withColumn("shard",
+        least(floor(col("u") * nShards), lit(nShards - 1L)).cast("int"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-text normalization: the cleanup pass that sits FIRST in a
+  * scraped-corpus pipeline, before any tokenization-based operator
+  * (quality scoring, shingling, dedup) — markup and entity noise
+  * otherwise leaks into every downstream shingle and token count.
+  *
+  * Everything here is a pure `Column → Column` projection built from
+  * codegen'd string primitives (`regexp_replace`/`replace`/`trim`) — no
+  * shuffle, no UDF, whole-stage-codegen friendly — and every rule is
+  * ANSI-replayable so the driver oracle hash-checks the exact output
+  * bytes. At 100 TB this is the cheapest stage of the pipeline: one
+  * streaming pass over the scan, usually fused into the same codegen
+  * stage as the filter that follows it.
+  *
+  * Reference scope note: csp has no text layer; this extends the
+  * engine for the LLM-data work the brief names as first-class.
+  */
+object Normalize {
+
+  /** Remove HTML/XML markup: tags (incl. attributes, self-closing,
+    * closing) → a space; then the common entities are unescaped
+    * (`&amp; &lt; &gt; &quot; &#39; &nbsp;` — the set that survives
+    * real-world scrapes after charset decoding); finally whitespace is
+    * collapsed. Entity unescape runs AFTER tag removal so literal
+    * `&lt;b&gt;` in text does NOT come back as markup and get stripped
+    * (lossy, but order-deterministic). */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // &amp; LAST: "&amp;lt;" → "&lt;" stays text
+    ).foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    collapseWhitespace(unescaped)
+  }
+
+  /** Collapse runs of whitespace (space/tab/newline/CR) to one space and
+    * trim the ends — the canonical form every fingerprint/shingle stage
+    * assumes. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "[ \\t\\n\\r]+", " "))
+
+  /** Strip C0 control characters (except tab/newline/CR, which
+    * [[collapseWhitespace]] handles) and DEL — the bytes a charset
+    * mis-decode leaves behind. */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** The composed web-cleanup: control-strip → tag-strip/unescape →
+    * whitespace-collapse. One fused projection. */
+  def cleanWeb(text: Column): Column =
+    stripHtml(stripControlChars(text))
+}

@@ -39,6 +39,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rk")
   }
 
+  /** Matryoshka-truncated top-k (Kusupati et al. 2022 serving pattern):
+    * rank by cosine over only the FIRST `dims` coordinates of each
+    * embedding — MRL-trained models pack coarse semantics into the
+    * prefix, so a 4-8× dim cut buys a near-proportional scan-byte cut at
+    * modest recall loss (measure with [[recallAtK]] against the
+    * full-dim answer before pinning `dims`). Cosine renormalizes
+    * internally, so truncation needs no explicit re-scaling. Same
+    * broadcast-queries/one-corpus-pass shape as [[bruteForceTopK]];
+    * at scale, store the prefix as its own column (or parquet column
+    * chunk) so the scan truly reads fewer bytes. */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+                    qId: String = "vec_id", qVec: String = "embedding",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims $dims must be >= 1")
+    def cut(c: Column) = slice(c, 1, dims)
+    bruteForceTopK(
+      queries.select(col(qId), cut(col(qVec)).as(qVec)),
+      corpus.select(col(cId), cut(col(cVec)).as(cVec)),
+      k, qId, qVec, cId, cVec)
+  }
+
   /** Recall@k of an approximate ANN answer against an exact one — the
     * quality number every production vector index reports (an IVF/PQ
     * deployment is tuned by trading nprobe/m against exactly this).

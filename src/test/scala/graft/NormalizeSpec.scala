@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Curation, Mixture, Normalize, Similarity}
+
+/** Web-text normalization, C4 line rules, within-doc line dedup, the
+  * keep-rate calibration curve, the deterministic corpus shuffle, and
+  * matryoshka-truncated retrieval. */
+class NormalizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val fixtureDocs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+  lazy val fixtureEmb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+
+  private def clean(s: String): String =
+    Seq(s).toDF("t").select(Normalize.cleanWeb(col("t"))).as[String].head()
+
+  test("stripHtml: tags removed, entities unescaped, whitespace collapsed") {
+    assert(clean("""<div class="a"><b>hi</b> there</div>""") == "hi there")
+    assert(clean("a &lt; b &amp; c &gt; d") == "a < b & c > d")
+    assert(clean("x&nbsp;y\t z\n\nw") == "x y z w")
+    assert(clean("it&#39;s &quot;ok&quot;") == "it's \"ok\"")
+    // self-closing + attributes with slashes
+    assert(clean("""a<br/>b<img src="u/v.png"/>c""") == "a b c")
+  }
+
+  test("stripHtml: double-escaped entities unescape ONE level (stay text)") {
+    // "&amp;lt;" is the TEXT "&lt;" — it must not come back as markup
+    assert(clean("&amp;lt;b&amp;gt;") == "&lt;b&gt;")
+  }
+
+  test("stripHtml: literal &lt;tags&gt; in text are not stripped as markup") {
+    assert(clean("use &lt;table&gt; here") == "use <table> here")
+  }
+
+  test("stripControlChars removes C0/DEL but keeps tab/newline for collapse") {
+    val out = Seq("abcd\te").toDF("t")
+      .select(Normalize.stripControlChars(col("t"))).as[String].head()
+    assert(out == "abcd\te")
+  }
+
+  test("c4Clean: every rule fires — terminal punct, min words, blocklist, min lines") {
+    val docs = Seq(
+      // keeps two lines, drops the no-punct and the blocklist one
+      (1L, "This is a sentence.\nno terminal punct here\nHas javascript inside.\nAnother good line!"),
+      // all lines die -> doc dropped
+      (2L, "short.\nword\n{ code }"),
+      // minWords boundary: exactly 3 words kept, 2 dropped
+      (3L, "one two three.\nfour five.")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Clean(docs, "doc_id", "text",
+      minWords = 3, minLines = 1, blocklist = Seq("javascript", "{"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "This is a sentence.\nAnother good line!")
+    assert(!out.contains(2L))
+    assert(out(3L) == "one two three.")
+  }
+
+  test("c4Clean minLines drops docs left below the floor") {
+    val docs = Seq((1L, "good line one.\nbad"), (2L, "a b c.\nd e f.")).toDF("doc_id", "text")
+    val out = Curation.c4Clean(docs, "doc_id", "text", minWords = 3, minLines = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "a b c.\nd e f."))
+  }
+
+  test("dropRepeatedLines keeps first occurrence in order") {
+    val docs = Seq((1L, "a\nb\na\nc\nb\na")).toDF("doc_id", "text")
+    val out = Curation.dropRepeatedLines(docs, "doc_id", "text")
+      .as[(Long, String)].head()
+    assert(out == (1L, "a\nb\nc"))
+  }
+
+  test("keepRateCurve: one pass, monotone non-increasing, exact counts") {
+    val df = Seq(0.1, 0.3, 0.5, 0.7, 0.9).toDF("s")
+    val rows = Curation.keepRateCurve(df, col("s"), Seq(0.8, 0.2, 0.5))
+      .orderBy("threshold")
+      .select("threshold", "kept", "total").as[(Double, Long, Long)].collect()
+    assert(rows.toSeq == Seq((0.2, 4L, 5L), (0.5, 3L, 5L), (0.8, 1L, 5L)))
+    // and on the fixture: kept is monotone non-increasing in threshold
+    val curve = Curation.keepRateCurve(fixtureDocs,
+      graft.llm.TextAnalysis.qualityScore(col("text")), Seq(0.1, 0.4, 0.6, 0.95))
+      .orderBy("threshold").select("kept").as[Long].collect()
+    assert(curve.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("shuffleAssign: deterministic, partition-invariant, growth-stable, aligned sharding") {
+    val a = Mixture.shuffleAssign(fixtureDocs, "doc_id", 8, seed = 7)
+      .select("doc_id", "u", "shard").as[(Long, Double, Int)].collect().sortBy(_._1)
+    val b = Mixture.shuffleAssign(fixtureDocs.repartition(13), "doc_id", 8, seed = 7)
+      .select("doc_id", "u", "shard").as[(Long, Double, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // repartitioning cannot change the permutation
+    assert(a.forall(r => r._3 >= 0 && r._3 < 8))
+    // a grown corpus never reassigns an existing row
+    val grown = Mixture.shuffleAssign(
+      fixtureDocs.limit(100), "doc_id", 8, seed = 7)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val full = a.map(r => r._1 -> r._3).toMap
+    assert(grown.forall { case (id, s) => full(id) == s })
+    // hash-sharding on floor(u*n) IS range-sharding in u: global u-order
+    // visits shards in non-decreasing order
+    val shardsInUOrder = a.sortBy(_._2).map(_._3)
+    assert(shardsInUOrder.sliding(2).forall(p => p(0) <= p(1)))
+    // rough balance: every shard within 3x of uniform at 500 rows
+    val sizes = a.groupBy(_._3).map(_._2.length)
+    assert(sizes.min > 0 && sizes.max <= 3 * (a.length / 8))
+  }
+
+  test("truncatedTopK at full dims equals bruteForceTopK exactly; prefix recall sane") {
+    val dims = fixtureEmb.select(size(col("embedding"))).as[Int].head()
+    val q = fixtureEmb.filter(col("vec_id") < 5)
+    val full = Similarity.bruteForceTopK(q, fixtureEmb, 3)
+      .select("query_id", "neighbor_id", "rk", "cosine")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val trunc = Similarity.truncatedTopK(q, fixtureEmb, 3, dims)
+      .select("query_id", "neighbor_id", "rk", "cosine")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(full.toSeq == trunc.toSeq)
+    // prefix-truncated answer still overlaps the exact one
+    val approx = Similarity.truncatedTopK(q, fixtureEmb, 3, dims / 2)
+    val recall = Similarity.meanRecall(approx, Similarity.bruteForceTopK(q, fixtureEmb, 3))
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+}

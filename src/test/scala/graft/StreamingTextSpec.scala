@@ -179,4 +179,37 @@ class StreamingTextSpec extends AnyFunSuite {
     val blockedOccurrences = flags.filter(f => batchBlocked(f._3))
     assert(blockedOccurrences.count(!_._4) <= batchBlocked.size * 2) // ≤ maxDocs per line
   }
+
+  test("stateless normalization + C4 cleaning run unchanged on a stream, bit-equal to batch") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      StDoc(1L, "<p>This is a &quot;good&quot; sentence.</p>\nno punct line\n<b>Another fine line here.</b>"),
+      StDoc(2L, "all lines die javascript.\nshort."),
+      StDoc(3L, "a &amp; b stays here fine.\na &amp; b stays here fine."))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val normalized = df.withColumn("text",
+        // per-LINE normalization: cleanWeb collapses newlines, so strip
+        // markup inside each line and keep the line structure
+        array_join(transform(split(col("text"), "\n"),
+          l => graft.llm.Normalize.cleanWeb(l)), "\n"))
+      graft.llm.Curation.c4Clean(
+        graft.llm.Curation.dropRepeatedLines(normalized, "doc_id", "text"),
+        "doc_id", "text", minWords = 3, minLines = 1, blocklist = Seq("javascript"))
+    }
+    val batch = pipeline(spark.createDataset(docs).toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val mem = MemoryStream[StDoc]
+    val q = pipeline(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("st_norm")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(2).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_norm").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(online == batch)
+    assert(batch.exists(_._2.contains("\"good\""))) // entities really unescaped
+    assert(!batch.exists(_._1 == 2L)) // doc 2 fully cleaned away on both paths
+  }
 }
