@@ -700,6 +700,25 @@ object SparkEntry {
           e => e.getField("l")), "\n").as("text"))
       graft.llm.Curation.dropRepeatedLines(docs, "doc_id", "text")
     },
+    // large-list phrase blocklist (the scale arm): token n-grams joined
+    // against the broadcast phrase table, per-doc occurrence counts; the
+    // oracle replays gram extraction + IN-list + count
+    "q_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val phrases = Seq("key agg", "row scan", "fast table", "batch part",
+        "sort table", "a row fast").toDF("phrase")
+      graft.llm.Blocklist.phraseHits(
+        Sources.table(s, dir, "documents"), "doc_id", "text", phrases)
+    },
+    // per-domain crawl provenance on deterministically decorated text
+    // (two synthetic URLs per doc, 7 + 3 host classes)
+    "q_url_domains" -> { (s, dir) =>
+      val decorated = Sources.table(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" http://d"), col("doc_id") % 7,
+          lit(".example.com/p/"), col("doc_id"),
+          lit(" see https://w"), col("doc_id") % 3, lit(".org/q x")))
+      graft.llm.UrlStats.domainCounts(decorated, "doc_id", "text")
+    },
     // deterministic corpus shuffle + sharding: projection-only epoch
     // permutation (u = counter-mode draw, shard = clamped ⌊u·8⌋); the
     // oracle recomputes the identical doubles
@@ -2412,6 +2431,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM lines)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM firsts WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_blocklist" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS ts FROM documents),
+        |i2 AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 1, 0))) AS i FROM toks),
+        |g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS g FROM i2),
+        |i3 AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM toks),
+        |g3 AS (SELECT doc_id, array_to_string(ts[i+1:i+3], ' ') AS g FROM i3),
+        |hits AS (
+        |  SELECT doc_id FROM g2 WHERE g IN ('key agg','row scan','fast table','batch part','sort table')
+        |  UNION ALL SELECT doc_id FROM g3 WHERE g = 'a row fast')
+        |SELECT doc_id, count(*) AS hits FROM hits GROUP BY 1""".stripMargin,
+    "q_url_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' http://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |       || ' see https://w' || CAST(doc_id % 3 AS VARCHAR) || '.org/q x' AS text FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url FROM d),
+        |dom AS (SELECT doc_id, lower(regexp_extract(url, '^https?://([^/ ]+)', 1)) AS domain FROM u),
+        |pair AS (SELECT domain, doc_id, count(*) AS c FROM dom GROUP BY 1, 2)
+        |SELECT domain, CAST(sum(c) AS BIGINT) AS urls, count(*) AS docs FROM pair GROUP BY 1""".stripMargin,
     "q_corpus_shuffle" ->
       s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
          |${unitCte("a", "ids", 7)}

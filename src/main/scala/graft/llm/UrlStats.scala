@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain analytics over document text — the provenance controls a
+  * scraped-corpus pipeline runs before mixing: per-domain volume (which
+  * hosts dominate the crawl), and domain blocklist gating. All regex
+  * extraction is codegen'd `regexp_extract_all` (RE2-compatible
+  * patterns, so the DuckDB oracle replays the same automaton).
+  */
+object UrlStats {
+
+  /** All http(s) URLs in the text, in order. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^ ]+"), lit(0))
+
+  /** Lower-cased host of one URL ('' for non-URLs). */
+  def domainOf(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/ ]+)", 1))
+
+  /** Per-domain document and occurrence counts: explode the per-doc URL
+    * array (built in the same projection as the scan), aggregate by
+    * host. Two-level aggregation — (domain, doc) occurrence counts, then
+    * the per-domain rollup — instead of count + countDistinct in one agg
+    * (which plans an Expand over the exploded rows; see the
+    * [[CorpusStats.ngramDiversity]] measurement). Map-combined both
+    * levels; output is |domains| rows, tiny next to the corpus. */
+  def domainCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.Parallelism.fanOut(df)
+      .select(col(idCol), explode(extractUrls(col(textCol))).as("__u"))
+      .select(col(idCol), domainOf(col("__u")).as("domain"))
+      .groupBy(col("domain"), col(idCol)).agg(count(lit(1)).as("__c"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__c")).as("urls"), count(lit(1)).as("docs"))
+
+  /** Drop docs that reference ANY blocked domain — pure projection (the
+    * blocklist rides as a literal array; for large lists, extract to a
+    * (domain) frame and anti-join like [[Blocklist.filterPhrases]]). */
+  def domainFilter(df: DataFrame, textCol: String,
+                   blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocked must be non-empty")
+    val blockedLit = array(blocked.map(d => lit(d.toLowerCase)): _*)
+    df.filter(!exists(extractUrls(col(textCol)),
+      u => array_contains(blockedLit, domainOf(u))))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Blocklist, UrlStats}
+
+/** Phrase-blocklist matching (both arms) and URL/domain provenance. */
+class BlocklistSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val fixtureDocs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+
+  val phrases = Seq("key agg", "row scan", "a row fast")
+
+  test("phraseFlags: token-boundary, case-insensitive, counts occurrences") {
+    val docs = Seq(
+      (1L, "the KEY AGG value and key agg again"), // 2 occurrences
+      (2L, "monkey aggregate"),                    // substring must NOT match
+      (3L, "a row fast merge"),                    // trigram phrase
+      (4L, "nothing here")
+    ).toDF("doc_id", "text")
+    val out = Blocklist.phraseFlags(docs, "text", phrases)
+      .select("doc_id", "hits", "flagged").as[(Long, Int, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (2, true))
+    assert(out(2L) == (0, false))
+    assert(out(3L) == (1, true))
+    assert(out(4L) == (0, false))
+  }
+
+  test("small-list arm and broadcast-join arm agree on the fixture corpus") {
+    val small = Blocklist.phraseFlags(fixtureDocs, "text", phrases)
+      .filter(col("flagged"))
+      .select(col("doc_id"), col("hits").cast("long").as("hits"))
+      .as[(Long, Long)].collect().toMap
+    val big = Blocklist.phraseHits(fixtureDocs, "doc_id", "text",
+      phrases.toDF("phrase"))
+      .as[(Long, Long)].collect().toMap
+    assert(small == big)
+    assert(big.nonEmpty) // the fixture really exercises the match path
+  }
+
+  test("filterPhrases drops exactly the flagged docs") {
+    val kept = Blocklist.filterPhrases(fixtureDocs, "doc_id", "text",
+      phrases.toDF("phrase")).select("doc_id").as[Long].collect().toSet
+    val flagged = Blocklist.phraseHits(fixtureDocs, "doc_id", "text",
+      phrases.toDF("phrase")).select("doc_id").as[Long].collect().toSet
+    val all = fixtureDocs.select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- flagged)
+  }
+
+  test("domainCounts: occurrence vs distinct-doc counts, lower-cased hosts") {
+    val docs = Seq(
+      (1L, "see http://A.com/x and http://a.com/y plus https://b.org/z"),
+      (2L, "only http://a.com/q here"),
+      (3L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val out = UrlStats.domainCounts(docs, "doc_id", "text")
+      .select("domain", "urls", "docs").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("a.com") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(out("b.org") == (1L, 1L))
+    assert(out.size == 2)
+  }
+
+  test("domainFilter drops docs referencing any blocked domain") {
+    val docs = Seq(
+      (1L, "x http://spam.example/a y"),
+      (2L, "clean doc"),
+      (3L, "ok https://good.org/b but also http://SPAM.example/c")
+    ).toDF("doc_id", "text")
+    val kept = UrlStats.domainFilter(docs, "text", Seq("spam.example"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+}
