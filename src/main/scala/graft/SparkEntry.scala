@@ -685,7 +685,7 @@ object SparkEntry {
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("chunk_id").as("p"), col("line").as("l")))),
           e => e.getField("l")), "\n").as("text"))
-      graft.llm.Curation.c4Clean(docs, "doc_id", "text",
+      graft.llm.Curation.c4Clean(docs, "text",
         minWords = 3, minLines = 1, blocklist = Seq("javascript"))
     },
     // within-doc repeated-line removal (first occurrence kept, order
@@ -698,7 +698,7 @@ object SparkEntry {
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("chunk_id").as("p"), col("chunk").as("l")))),
           e => e.getField("l")), "\n").as("text"))
-      graft.llm.Curation.dropRepeatedLines(docs, "doc_id", "text")
+      graft.llm.Curation.dropRepeatedLines(docs, "text")
     },
     // large-list phrase blocklist (the scale arm): token n-grams joined
     // against the broadcast phrase table, per-doc occurrence counts; the
@@ -1367,6 +1367,23 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // REAL PNG decode end-to-end (the crawl-format twin of
+    // q_multimodal_decode): synthesize a deterministic RGB-gradient PNG
+    // per doc (ImageIO writer, executor-side), decode it with the real
+    // ImageIO READER via decodeImages, and let DuckDB recompute the
+    // closed-form per-channel pixel means over the (x,y) grid. PNG is
+    // lossless, so the means must hash-match bit-exactly; JPEG's lossy
+    // path is spec-checked within tolerance (LlmSpec).
+    "q_image_decode" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val media = graft.llm.Multimodal.syntheticPng(docs, "doc_id")
+      graft.llm.Multimodal.decodeImages(media, edge = 2)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    },
 
     // ---- adapter / infrastructure round-trips (SURVEY §2.1/§2.2/util):
     // each query pushes data through a real adapter surface (write+read,
@@ -1696,8 +1713,15 @@ object SparkEntry {
 
   /** Scratch dir for the adapter round-trip queries: stable per
     * (surface, sf-dir) so repeated runs overwrite rather than accumulate. */
+  // Suffixed with the JVM pid so two harness processes (driver
+  // correctness pass, a concurrent bench, a stale gate) can never share
+  // a round-trip dir: mode("overwrite")'s delete-and-rewrite racing a
+  // concurrent read lists a partial directory SILENTLY under PERMISSIVE
+  // JSON/CSV reads. Per-process isolation makes the write+read sequence
+  // single-writer by construction.
+  private val rtPid: Long = ProcessHandle.current().pid()
   private def rtDir(name: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt/${name}_${Integer.toHexString(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/p$rtPid/${name}_${Integer.toHexString(dir.hashCode)}"
 
   /** DuckDB CTE chain replaying `Sources.unit(i, seed)` bit-exactly:
     * Java-long wrap arithmetic via HUGEINT mod 2^64 (every product is
@@ -2320,6 +2344,22 @@ object SparkEntry {
         |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 2 + 3*i, 1))), 'avg') AS mean_g,
         |  list_aggregate(list_transform(range(0, 12), i -> unicode(substr(text, 3 + 3*i, 1))), 'avg') AS mean_b
         |FROM documents WHERE length(text) >= 36""".stripMargin,
+    // independent analytic recomputation of the PNG pixel means: the
+    // synthetic gradient's channels are closed-form in (doc_id, x, y),
+    // so the oracle rebuilds the pixel grid with two unnests and
+    // aggregates — never touching an image library. Exact-integer sums
+    // cast to DOUBLE for one correctly-rounded division, matching the
+    // decoder's Long-sum/Double-divide bit-for-bit.
+    "q_image_decode" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        |dims AS (SELECT doc_id, 4 + (doc_id % 5) AS w, 3 + (doc_id % 3) AS h FROM ids),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |pix AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum((doc_id + 7*x + 13*y) % 256) AS DOUBLE) / (w*h) AS mean_r,
+        |  CAST(sum((2*doc_id + 5*x + 11*y) % 256) AS DOUBLE) / (w*h) AS mean_g,
+        |  CAST(sum((3*doc_id + x + y) % 256) AS DOUBLE) / (w*h) AS mean_b
+        |FROM pix GROUP BY doc_id, w, h""".stripMargin,
     // independent recomputation of the WAV decoder's PCM16 sample RMS
     // from the character codes (little-endian sample = c0 + 256*c1; ASCII
     // payload, so chars == bytes and samples are positive)
@@ -2445,8 +2485,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id,
         |  text || ' http://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
         |       || ' see https://w' || CAST(doc_id % 3 AS VARCHAR) || '.org/q x' AS text FROM documents),
-        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url FROM d),
-        |dom AS (SELECT doc_id, lower(regexp_extract(url, '^https?://([^/ ]+)', 1)) AS domain FROM u),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://\S+')) AS url FROM d),
+        |dom AS (SELECT doc_id, lower(regexp_extract(url, '^https?://([^/\s]+)', 1)) AS domain FROM u),
         |pair AS (SELECT domain, doc_id, count(*) AS c FROM dom GROUP BY 1, 2)
         |SELECT domain, CAST(sum(c) AS BIGINT) AS urls, count(*) AS docs FROM pair GROUP BY 1""".stripMargin,
     "q_corpus_shuffle" ->

@@ -54,8 +54,10 @@ object Blocklist {
     val lits = array(norm.map { case (n, p) =>
       struct(lit(n).as("n"), lit(p).as("g")) }: _*)
     val grams = gramsFor(col(textCol), lengths)
+    // hits is LONG to match phraseHits' count() — the two arms are
+    // interchangeable by list size, so they must emit the same schema
     df.withColumn("hits",
-        size(filter(grams, e => array_contains(lits, e))))
+        size(filter(grams, e => array_contains(lits, e))).cast("long"))
       .withColumn("flagged", col("hits") > 0)
   }
 
@@ -73,6 +75,7 @@ object Blocklist {
     // distinct phrase lengths: a tiny driver-side collect of the SMALL
     // side (same bound as the broadcast itself)
     val lengths = norm.select("n").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    require(lengths.nonEmpty, "phrases must be non-empty")
     graft.util.Parallelism.fanOut(df)
       .select(col(idCol), explode(gramsFor(col(textCol), lengths)).as("__e"))
       .select(col(idCol), col("__e.n").as("n"), col("__e.g").as("g"))

@@ -1,18 +1,22 @@
 package graft.llm
 
-/** REAL decode kernels for container-free media formats. No image/audio
-  * libraries exist in this environment, but two ubiquitous formats are
-  * pure byte layouts and need none:
+/** REAL decode kernels for media formats, no external library:
   *
   *  - PPM (P6): ASCII header `P6 <w> <h> <maxval>` + raw RGB24 planes —
-  *    the uncompressed interchange format of netpbm.
+  *    the uncompressed interchange format of netpbm. Hand-rolled byte
+  *    walk (it's a pure byte layout).
   *  - WAV (RIFF/PCM16): `RIFF…WAVE` with `fmt ` + `data` chunks of
-  *    little-endian PCM samples.
+  *    little-endian PCM samples. Hand-rolled chunk walk.
+  *  - PNG / JPEG / GIF / BMP — the formats an actual web crawl contains —
+  *    via `javax.imageio.ImageIO`, public JDK API ([[decodeImageIO]]).
+  *    PNG/BMP/GIF round-trip pixels losslessly, so their decode is
+  *    oracle-checkable bit-exactly; JPEG is lossy by design (spec-checked
+  *    within tolerance instead).
   *
-  * These make the multimodal pipeline end-to-end real for raw payloads:
-  * decode → pixel/sample statistics → fixed-dim features → ANN. Formats
-  * that DO need a codec library (JPEG, MP3, H.264) still route to the
-  * documented stub in [[Multimodal]] — plugging a JNI decoder into
+  * These make the multimodal pipeline end-to-end real: decode →
+  * pixel/sample statistics → fixed-dim features → ANN. Formats that DO
+  * need a codec library (MP3, H.264) still route to the documented stub
+  * in [[Multimodal]] — plugging a JNI decoder into
   * [[Multimodal.extractFeatures]]'s mapPartitions is the intended seam.
   */
 object Codecs {
@@ -76,6 +80,56 @@ object Codecs {
     }
     Some(ImageStats(w, h, sr / n, sg / n, sb / n, gray))
   }
+
+  /** Decode PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` (headless-safe,
+    * driver-probed per format). Same output contract as [[decodePpm]]:
+    * pixel statistics + an `edge`×`edge` nearest-neighbor grayscale
+    * thumbnail. None when no installed reader claims the bytes (text,
+    * truncated, or exotic formats). `setUseCache(false)` keeps decode
+    * purely in-memory — the default spills a temp cache FILE per image,
+    * which at crawl scale is an executor-local-disk hotspot. */
+  def decodeImageIO(bytes: Array[Byte], edge: Int = 8): Option[ImageStats] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    // one bulk getRGB (ARGB ints) instead of per-pixel calls: the
+    // per-pixel accessor re-runs the color-model conversion every call
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    while (p < px.length) {
+      val v = px(p)
+      sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      p += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val gray = new Array[Float](edge * edge)
+    var gy = 0
+    while (gy < edge) {
+      val sy = math.min(h - 1, gy * h / edge)
+      var gx = 0
+      while (gx < edge) {
+        val sx = math.min(w - 1, gx * w / edge)
+        val v = px(sy * w + sx)
+        gray(gy * edge + gx) =
+          (0.299 * ((v >> 16) & 0xff) + 0.587 * ((v >> 8) & 0xff) +
+            0.114 * (v & 0xff)).toFloat / 255f
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(ImageStats(w, h, sr / n, sg / n, sb / n, gray))
+  }
+
+  /** Unified image decode: the cheap PPM magic-byte check first (no
+    * ImageIO reader probe for the raw format), then ImageIO for
+    * PNG/JPEG/GIF/BMP. */
+  def decodeImage(bytes: Array[Byte], edge: Int = 8): Option[ImageStats] =
+    decodePpm(bytes, edge).orElse(decodeImageIO(bytes, edge))
 
   final case class AudioStats(sampleRate: Int, channels: Int, nSamples: Int,
                               durationSec: Double, rms: Double)

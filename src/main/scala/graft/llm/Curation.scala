@@ -120,7 +120,7 @@ object Curation {
     * cross-document [[LineDedup]], which must aggregate line frequency).
     * Every rule is ANSI-replayable, so the oracle checks exact output
     * bytes. */
-  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+  def c4Clean(df: DataFrame, textCol: String,
               minWords: Int = 3, minLines: Int = 1,
               blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"),
               requireTerminal: Boolean = true,
@@ -148,7 +148,7 @@ object Curation {
     * `sep`. `array_distinct` is order-preserving on first occurrence, so
     * the whole operator is one per-row projection — zero shuffle. For
     * cross-document line dedup see [[LineDedup]]. */
-  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+  def dropRepeatedLines(df: DataFrame, textCol: String,
                         sep: String = "\n"): DataFrame =
     df.withColumn(textCol,
       array_join(array_distinct(split(col(textCol),

@@ -51,6 +51,39 @@ object Multimodal {
         length(col(payloadCol)).cast(IntegerType).as("width"),
         lit(1).as("height")).as("meta"))
 
+  /** Deterministic synthetic PNG per id: a w×h RGB gradient whose pixel
+    * channels are closed-form in (id, x, y) — so an independent oracle
+    * can recompute the pixel statistics analytically, while encode
+    * (ImageIO PNG writer, executor-side) and decode (ImageIO PNG reader
+    * via [[decodeImages]]) exercise genuinely independent codepaths.
+    * PNG is lossless, so the stats must match bit-exactly. */
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType).as("media_id")).map { r =>
+      val id = r.getLong(0)
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 3).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cr = ((id + 7L * x + 13L * y) % 256).toInt
+          val cg = ((2L * id + 5L * x + 11L * y) % 256).toInt
+          val cb = ((3L * id + x + y) % 256).toInt
+          img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.setUseCache(false)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      Row(id, baos.toByteArray, Row("image/png", w, h))
+    }(enc)
+  }
+
   /** STUB decode kernel: a real pipeline plugs an image/audio decoder in
     * here (JNI or vectorized library); this deterministic fake hashes the
     * bytes into a fixed-length feature vector so the distributed plumbing
@@ -85,10 +118,11 @@ object Multimodal {
     }(Encoders.product[Feat]).toDF()
   }
 
-  /** REAL image decode for raw PPM (P6) payloads ([[Codecs.decodePpm]]):
-    * true pixel statistics + an edge×edge grayscale thumbnail — a usable
-    * visual fingerprint (cosine-ANN it via Similarity/Ivf). Payloads that
-    * are not valid P6 yield decoded=false with zeroed stats. Same
+  /** REAL image decode — raw PPM (P6) via the hand-rolled parser, and
+    * PNG/JPEG/GIF/BMP via JDK ImageIO ([[Codecs.decodeImage]]): true
+    * pixel statistics + an edge×edge grayscale thumbnail — a usable
+    * visual fingerprint (cosine-ANN it via Similarity/Ivf). Payloads no
+    * decoder claims yield decoded=false with zeroed stats. Same
     * per-partition shape as extractFeatures: decode cost scales linearly
     * with executors, no shuffle. */
   def decodeImages(media: DataFrame, edge: Int = 8): DataFrame = {
@@ -97,7 +131,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        Codecs.decodePpm(r.getAs[Array[Byte]](mIdx), edge) match {
+        Codecs.decodeImage(r.getAs[Array[Byte]](mIdx), edge) match {
           case Some(s) => ImageRow(id, decoded = true, s.width, s.height,
             s.meanR, s.meanG, s.meanB, s.gray)
           case None => ImageRow(id, decoded = false, 0, 0, 0.0, 0.0, 0.0,

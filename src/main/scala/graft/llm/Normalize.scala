@@ -27,7 +27,14 @@ object Normalize {
     * real-world scrapes after charset decoding); finally whitespace is
     * collapsed. Entity unescape runs AFTER tag removal so literal
     * `&lt;b&gt;` in text does NOT come back as markup and get stripped
-    * (lossy, but order-deterministic). */
+    * (lossy, but order-deterministic).
+    *
+    * Lossiness note: the tag pattern treats ANY `<...>` span as markup,
+    * so bare angle brackets in non-HTML text lose their span too —
+    * `"if a < b and c > d"` becomes `"if a d"`. Inherent to regex
+    * stripping (a real parser can't be a codegen'd projection); run
+    * this only on text known to be markup-bearing, or pre-escape
+    * literal `<`/`>` if plain-text fidelity matters. */
   def stripHtml(text: Column): Column = {
     val noTags = regexp_replace(text, "<[^>]*>", " ")
     val unescaped = Seq(

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object UrlStats {
 
-  /** All http(s) URLs in the text, in order. */
+  /** All http(s) URLs in the text, in order. URLs end at ANY whitespace
+    * (space/tab/newline), not just a literal space — multi-line web text
+    * like "http://spam.com\ntext" must not swallow the following line
+    * into the URL (which would both fragment [[domainCounts]] hosts and
+    * let [[domainFilter]] miss blocked domains). */
   def extractUrls(text: Column): Column =
-    regexp_extract_all(text, lit("https?://[^ ]+"), lit(0))
+    regexp_extract_all(text, lit("https?://\\S+"), lit(0))
 
   /** Lower-cased host of one URL ('' for non-URLs). */
   def domainOf(url: Column): Column =
-    lower(regexp_extract(url, "^https?://([^/ ]+)", 1))
+    lower(regexp_extract(url, "^https?://([^/\\s]+)", 1))
 
   /** Per-domain document and occurrence counts: explode the per-doc URL
     * array (built in the same projection as the scan), aggregate by

@@ -22,22 +22,24 @@ class BlocklistSpec extends AnyFunSuite {
       (4L, "nothing here")
     ).toDF("doc_id", "text")
     val out = Blocklist.phraseFlags(docs, "text", phrases)
-      .select("doc_id", "hits", "flagged").as[(Long, Int, Boolean)]
+      .select("doc_id", "hits", "flagged").as[(Long, Long, Boolean)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(out(1L) == (2, true))
-    assert(out(2L) == (0, false))
-    assert(out(3L) == (1, true))
-    assert(out(4L) == (0, false))
+    assert(out(1L) == (2L, true))
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (1L, true))
+    assert(out(4L) == (0L, false))
   }
 
   test("small-list arm and broadcast-join arm agree on the fixture corpus") {
-    val small = Blocklist.phraseFlags(fixtureDocs, "text", phrases)
-      .filter(col("flagged"))
-      .select(col("doc_id"), col("hits").cast("long").as("hits"))
-      .as[(Long, Long)].collect().toMap
-    val big = Blocklist.phraseHits(fixtureDocs, "doc_id", "text",
+    // no cast: the two arms must emit the SAME schema (hits: long), so
+    // swapping arms by list size never changes downstream types
+    val smallDf = Blocklist.phraseFlags(fixtureDocs, "text", phrases)
+      .filter(col("flagged")).select(col("doc_id"), col("hits"))
+    val bigDf = Blocklist.phraseHits(fixtureDocs, "doc_id", "text",
       phrases.toDF("phrase"))
-      .as[(Long, Long)].collect().toMap
+    assert(smallDf.schema("hits").dataType == bigDf.schema("hits").dataType)
+    val small = smallDf.as[(Long, Long)].collect().toMap
+    val big = bigDf.as[(Long, Long)].collect().toMap
     assert(small == big)
     assert(big.nonEmpty) // the fixture really exercises the match path
   }
@@ -74,5 +76,34 @@ class BlocklistSpec extends AnyFunSuite {
     val kept = UrlStats.domainFilter(docs, "text", Seq("spam.example"))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L))
+  }
+
+  test("URLs terminate at ANY whitespace — multi-line web text") {
+    // tab/newline-terminated URLs must not swallow the following text
+    // into the host (which would both fragment counts and defeat the
+    // domain blocklist)
+    val docs = Seq(
+      (1L, "x http://spam.example\nnext line"),
+      (2L, "y https://spam.example\tand http://ok.org/p\r\nz")
+    ).toDF("doc_id", "text")
+    val out = UrlStats.domainCounts(docs, "doc_id", "text")
+      .select("domain", "urls", "docs").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("spam.example") == (2L, 2L))
+    assert(out("ok.org") == (1L, 1L))
+    assert(out.size == 2)
+    val kept = UrlStats.domainFilter(docs, "text", Seq("spam.example"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.isEmpty)
+  }
+
+  test("empty phrase list is rejected up front by both arms") {
+    intercept[IllegalArgumentException] {
+      Blocklist.phraseFlags(fixtureDocs, "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Blocklist.phraseHits(fixtureDocs, "doc_id", "text",
+        spark.emptyDataset[String].toDF("phrase"))
+    }
   }
 }

@@ -73,4 +73,29 @@ class InteropSpec extends AnyFunSuite {
       assert(ticks.map(_._2) == ticks.map(_._2).sorted)
     }
   }
+
+  test("JSONL round trip is byte-faithful over adversarial text") {
+    import spark.implicits._
+    // the bytes JSON escaping can mangle: quotes/backslash, control
+    // chars, NUL, non-BMP surrogate pairs, U+2028/U+2029 (legal JSON,
+    // illegal bare in JS), NBSP, SQL NULL vs empty string
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "quotes \" and \\ backslash and /slash '"),
+      (3L, "tab\tnewline\ncr\r mixed"),
+      (4L, "control \u0001\u0008\u000b\u000c\u001f chars"),
+      (5L, "non-BMP 😀🤖 and BMP é中文"),
+      (6L, "seps  mid  nbsp end"),
+      (7L, null.asInstanceOf[String]),
+      (8L, ""),
+      (9L, "nul \u0000 inside"))
+    val df = rows.toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+      .resolve("rt").toString
+    Sinks.writeJsonl(df, path)
+    val back = Sinks.readJsonl(spark, path, df.schema)
+    val a = rows.map { case (i, t) => (i, Option(t)) }.toMap
+    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(b == a, "JSONL round trip altered text bytes")
+  }
 }

@@ -464,6 +464,66 @@ class LlmSpec extends AnyFunSuite {
     assert(gray.length == 4 && gray.forall(g => g > 0f && g < 1f))
   }
 
+  test("real PNG/JPEG/BMP decode via JDK ImageIO: lossless exact, JPEG within tolerance") {
+    def encode(fmt: String, w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      javax.imageio.ImageIO.setUseCache(false)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer installed")
+      baos.toByteArray
+    }
+    val grad: (Int, Int) => (Int, Int, Int) = (x, y) => (x * 20 % 256, y * 30 % 256, (x + y) % 256)
+    val media = Seq(
+      (0L, encode("png", 8, 6, grad)),
+      (1L, encode("bmp", 5, 4, grad)),
+      (2L, encode("jpg", 16, 16, (_, _) => (120, 60, 200))), // flat color: JPEG error small
+      (3L, "definitely not an image".getBytes)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("image/mixed").as("format"),
+        lit(0).as("width"), lit(0).as("height")))
+    val out = Multimodal.decodeImages(media, edge = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def meanOf(w: Int, h: Int, c: Int): Double =
+      (for (y <- 0 until h; x <- 0 until w) yield grad(x, y).productIterator.toSeq(c)
+        .asInstanceOf[Int]).sum.toDouble / (w * h)
+    // PNG and BMP are lossless: decoded means equal the analytic means exactly
+    assert(out(0L).getBoolean(1) && out(0L).getInt(2) == 8 && out(0L).getInt(3) == 6)
+    assert(out(0L).getDouble(4) == meanOf(8, 6, 0) && out(0L).getDouble(5) == meanOf(8, 6, 1)
+      && out(0L).getDouble(6) == meanOf(8, 6, 2))
+    assert(out(1L).getBoolean(1) && out(1L).getInt(2) == 5 && out(1L).getInt(3) == 4)
+    assert(out(1L).getDouble(4) == meanOf(5, 4, 0))
+    // JPEG is lossy: dimensions exact, flat-color means within a few
+    // quantization steps
+    assert(out(2L).getBoolean(1) && out(2L).getInt(2) == 16 && out(2L).getInt(3) == 16)
+    assert(math.abs(out(2L).getDouble(4) - 120.0) < 8.0
+      && math.abs(out(2L).getDouble(5) - 60.0) < 8.0
+      && math.abs(out(2L).getDouble(6) - 200.0) < 8.0)
+    assert(!out(3L).getBoolean(1)) // unclaimed bytes flagged, not crashed
+    // grayscale thumbnail populated for ImageIO-decoded images too
+    val gray = out(0L).getAs[scala.collection.Seq[Float]](7)
+    assert(gray.length == 4 && gray.exists(_ > 0f))
+  }
+
+  test("syntheticPng → decodeImages round trip matches the closed form (q_image_decode shape)") {
+    val ids = Seq(0L, 1L, 7L, 12L, 123L).toDF("doc_id")
+    val out = Multimodal.decodeImages(Multimodal.syntheticPng(ids, "doc_id"), edge = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 7L, 12L, 123L)) {
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 3).toInt
+      val r = out(id)
+      assert(r.getBoolean(1) && r.getInt(2) == w && r.getInt(3) == h)
+      def mean(f: (Long, Int, Int) => Long): Double =
+        (for (y <- 0 until h; x <- 0 until w) yield f(id, x, y)).sum.toDouble / (w * h)
+      assert(r.getDouble(4) == mean((i, x, y) => (i + 7L * x + 13L * y) % 256))
+      assert(r.getDouble(5) == mean((i, x, y) => (2L * i + 5L * x + 11L * y) % 256))
+      assert(r.getDouble(6) == mean((i, x, y) => (3L * i + x + y) % 256))
+    }
+  }
+
   test("real WAV audio decode: rate, duration, RMS (PCM16 RIFF)") {
     def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2

@@ -51,7 +51,7 @@ class NormalizeSpec extends AnyFunSuite {
       // minWords boundary: exactly 3 words kept, 2 dropped
       (3L, "one two three.\nfour five.")
     ).toDF("doc_id", "text")
-    val out = Curation.c4Clean(docs, "doc_id", "text",
+    val out = Curation.c4Clean(docs, "text",
       minWords = 3, minLines = 1, blocklist = Seq("javascript", "{"))
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "This is a sentence.\nAnother good line!")
@@ -61,14 +61,14 @@ class NormalizeSpec extends AnyFunSuite {
 
   test("c4Clean minLines drops docs left below the floor") {
     val docs = Seq((1L, "good line one.\nbad"), (2L, "a b c.\nd e f.")).toDF("doc_id", "text")
-    val out = Curation.c4Clean(docs, "doc_id", "text", minWords = 3, minLines = 2)
+    val out = Curation.c4Clean(docs, "text", minWords = 3, minLines = 2)
       .as[(Long, String)].collect().toMap
     assert(out == Map(2L -> "a b c.\nd e f."))
   }
 
   test("dropRepeatedLines keeps first occurrence in order") {
     val docs = Seq((1L, "a\nb\na\nc\nb\na")).toDF("doc_id", "text")
-    val out = Curation.dropRepeatedLines(docs, "doc_id", "text")
+    val out = Curation.dropRepeatedLines(docs, "text")
       .as[(Long, String)].head()
     assert(out == (1L, "a\nb\nc"))
   }

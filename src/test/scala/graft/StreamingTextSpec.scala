@@ -195,8 +195,8 @@ class StreamingTextSpec extends AnyFunSuite {
         array_join(transform(split(col("text"), "\n"),
           l => graft.llm.Normalize.cleanWeb(l)), "\n"))
       graft.llm.Curation.c4Clean(
-        graft.llm.Curation.dropRepeatedLines(normalized, "doc_id", "text"),
-        "doc_id", "text", minWords = 3, minLines = 1, blocklist = Seq("javascript"))
+        graft.llm.Curation.dropRepeatedLines(normalized, "text"),
+        "text", minWords = 3, minLines = 1, blocklist = Seq("javascript"))
     }
     val batch = pipeline(spark.createDataset(docs).toDF())
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet

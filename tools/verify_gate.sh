@@ -33,3 +33,17 @@ if [ $verify_rc -ne 0 ] || [ $check_rc -ne 0 ]; then
   exit 1
 fi
 echo "== verify_gate: ALL GREEN"
+
+# A green gate and a committed record are the same event (VERDICT r10
+# What's-wrong #2: round records were left untracked at judging time).
+# Stage every round-record artifact that exists and commit iff any of
+# them actually changed.
+git add -A -- correctness_local.json bench/medians_latest.json \
+  CORRECTNESS_r*.json BENCH_r*.json LEAKCHECK.json COPYCHECK.json \
+  2>/dev/null
+if ! git diff --cached --quiet; then
+  git commit -m "Round records: correctness/bench/leakcheck snapshot (verify_gate green)"
+  echo "== verify_gate: round records committed"
+else
+  echo "== verify_gate: round records unchanged, nothing to commit"
+fi
