@@ -1,0 +1,40 @@
+package graft
+
+import graft.ts.GraftSession
+
+/** A/B timing for [[graft.llm.SubstringDedup]]'s two hashing arms: the
+  * md5(substr) verifier arm (~width× the corpus bytes through the hash)
+  * vs the default rolling Rabin–Karp arm (each codepoint touched O(1)
+  * times — [[graft.functions.VectorExprs.RollingWindowHash]]). Usage:
+  * `sbt "runMain graft.ProfileSubstr [sfDir] [width] [passes]"` —
+  * interleaved medians plus an equality check of the two span sets. */
+object ProfileSubstr {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val width = args.lift(1).map(_.toInt).getOrElse(40)
+    val n = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.ts.Sources.table(spark, sfDir, "documents")
+
+    def run(md5Arm: Boolean): Double = {
+      val t0 = System.nanoTime()
+      graft.llm.SubstringDedup.duplicateSpans(docs, "doc_id", "text", width, md5Arm)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // interleave the arms so JVM/JIT/page-cache warmth is shared fairly
+    val samples = (1 to n).map(_ => (run(md5Arm = true), run(md5Arm = false)))
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    println(f"md5 arm     median ${med(samples.map(_._1))}%.3f s (min ${samples.map(_._1).min}%.3f)")
+    println(f"rolling arm median ${med(samples.map(_._2))}%.3f s (min ${samples.map(_._2).min}%.3f)")
+
+    val a = graft.llm.SubstringDedup.duplicateSpans(docs, "doc_id", "text", width, md5Arm = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.llm.SubstringDedup.duplicateSpans(docs, "doc_id", "text", width, md5Arm = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    println(s"spans equal: ${a == b} (${a.size} spans)")
+    spark.stop()
+  }
+}

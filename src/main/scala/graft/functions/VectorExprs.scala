@@ -156,6 +156,76 @@ object TextKernels {
     s
   }
 
+  // ---- rolling window fingerprints (the ExactSubstr O(n) arm) ----
+  // Two independent Rabin–Karp polynomial hashes mod the Mersenne prime
+  // 2^61−1. mod-PRIME, not mod-2^64: the Thue–Morse anti-hash family
+  // collides every power-of-two-modulus polynomial hash regardless of
+  // base, while a prime modulus gives the textbook ≤ width/p per-pair
+  // collision bound. Two 61-bit lanes ≈ 122 bits — corpus-scale
+  // birthday-safe (n²/2^123), matching the md5 arm's guarantee at a
+  // fraction of its cost.
+
+  private final val MersP = (1L << 61) - 1
+  private final val RollB1 = 0x1D8DF4AD04D9C9BDL // fixed bases < 2^61:
+  private final val RollB2 = 0x0F8C2BB79E9B6A3FL // deterministic across runs
+
+  /** (a·b) mod 2^61−1 via the 128-bit product: 2^61 ≡ 1, so fold the
+    * high bits back in. Inputs < 2^61 ⇒ product < 2^122 ⇒ one fold +
+    * one conditional subtract. */
+  private def mulMod(a: Long, b: Long): Long = {
+    val lo = a * b
+    val hi = Math.multiplyHigh(a, b)
+    var r = (lo & MersP) + ((lo >>> 61) | (hi << 3))
+    // two conditional subtracts: r ≤ 2P here, and a single subtract can
+    // land EXACTLY on P (≡ 0 but a different bit pattern) — equal-content
+    // windows reached through different rolling histories must produce
+    // identical longs, so the representation has to be canonical (< P)
+    if (r >= MersP) r -= MersP
+    if (r >= MersP) r -= MersP
+    r
+  }
+  private def addMod(a: Long, b: Long): Long = {
+    val r = a + b
+    if (r >= MersP) r - MersP else r
+  }
+
+  /** All width-window 128-bit fingerprints of `u` in ONE pass: out[k] =
+    * struct(h1, h2) for the window starting at CODEPOINT position k
+    * (matching Spark `substring`/`length` semantics, so span offsets are
+    * interchangeable with the md5(substr) arm). Each codepoint is
+    * touched O(1) times vs that arm's O(width) — the width× hash
+    * amplification the r10 plan audit flagged. Empty when the text is
+    * shorter than `width`. */
+  def rollingHashes(u: UTF8String, width: Int): Array[Any] = {
+    val cps = u.toString.codePoints().toArray
+    val n = cps.length
+    if (n < width) return Array.empty[Any]
+    // base^(width-1) for the drop-leading-codepoint step
+    var pw1 = 1L; var pw2 = 1L
+    var j = 0
+    while (j < width - 1) { pw1 = mulMod(pw1, RollB1); pw2 = mulMod(pw2, RollB2); j += 1 }
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < width) {
+      val c = (cps(i) + 1).toLong // +1: no zero digits, length is fixed anyway
+      h1 = addMod(mulMod(h1, RollB1), c)
+      h2 = addMod(mulMod(h2, RollB2), c)
+      i += 1
+    }
+    val out = new Array[Any](n - width + 1)
+    out(0) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+    var k = 1
+    while (k <= n - width) {
+      val drop = (cps(k - 1) + 1).toLong
+      val add = (cps(k + width - 1) + 1).toLong
+      h1 = addMod(mulMod(addMod(h1, MersP - mulMod(drop, pw1)), RollB1), add)
+      h2 = addMod(mulMod(addMod(h2, MersP - mulMod(drop, pw2)), RollB2), add)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+      k += 1
+    }
+    out
+  }
+
   private def segHash(s: String, from: Int, len: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from
@@ -490,6 +560,28 @@ object VectorExprs {
   // blocked verifier). Kernels live in [[TextKernels]] (top-level, so
   // generated code reaches the static forwarders).
 
+  private val rollHashStruct = StructType(Seq(
+    StructField("h1", LongType, false), StructField("h2", LongType, false)))
+
+  /** All width-window rolling 128-bit fingerprints, position-indexed
+    * (element k = window at codepoint offset k) —
+    * [[TextKernels.rollingHashes]] as a codegen'd expression. The
+    * ExactSubstr O(n) hashing arm: one pass per document instead of
+    * md5 over width× the corpus bytes. */
+  case class RollingWindowHash(child: Expression, width: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(rollHashStruct, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextKernels.rollingHashes(input.asInstanceOf[UTF8String], width))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextKernels.rollingHashes($c, $width))")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   private val passJoinStruct = StructType(Seq(StructField("h", LongType, false),
     StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
 
@@ -667,6 +759,8 @@ object VectorExprs {
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
   def charHist(s: Column): Column = column(CharHist(expression(s)))
   def histL1(a: Column, b: Column): Column = column(HistL1(expression(a), expression(b)))
+  def rollingWindowHash(s: Column, width: Int): Column =
+    column(RollingWindowHash(expression(s), width))
   def passJoinSegs(s: Column, d: Int): Column = column(PassJoinSegs(expression(s), d))
   def passJoinProbes(s: Column, d: Int): Column = column(PassJoinProbes(expression(s), d))
   def ngramHash(tokenHashes: Column, n: Int): Column = column(NgramHash(expression(tokenHashes), n))

@@ -20,42 +20,66 @@ import org.apache.spark.sql.functions._
   * algebra. Equivalent to the reference method's suffix-array duplicate
   * detection for spans >= `width`, with keep-first resolution per window.
   *
-  * 100 TB shape: the window explode is the cost — ~`width`x the corpus
-  * bytes through the hash and one Exchange keyed by the window hash (the
-  * keep-first `row_number` is a perfectly balanced 128-bit-key shuffle,
-  * same shape as [[Dedup.exact]]). Everything AFTER the keep-first filter
-  * touches only flagged windows (duplicated text, a small fraction of a
-  * curated corpus): one Exchange on doc id, then span merge and text
-  * cutting are per-row array algebra, no further shuffle. For corpora
-  * where `width`x hashing is too hot, the alignment-free scale arm is
-  * content-defined chunking ([[Chunking]] / [[LineDedup]] at line
-  * granularity) which hashes each byte once — this operator is the
-  * EXACT arm, the one you run to produce the span ground truth.
+  * 100 TB shape: window HASHING is O(corpus bytes) — the default arm
+  * rolls two Rabin–Karp lanes mod 2^61−1 across each document in one
+  * pass ([[graft.functions.VectorExprs.RollingWindowHash]]), touching
+  * each codepoint O(1) times; the historical `md5(substr)` arm
+  * (`md5Arm = true`, kept as the independent spec verifier) pushed
+  * ~`width`x the corpus bytes through the hash. The remaining cost is
+  * one Exchange keyed by the 128-bit window fingerprint (the keep-first
+  * `row_number` is a perfectly balanced shuffle, same shape as
+  * [[Dedup.exact]]) carrying ~24 bytes per window. Everything AFTER the
+  * keep-first filter touches only flagged windows (duplicated text, a
+  * small fraction of a curated corpus): one Exchange on doc id, then
+  * span merge and text cutting are per-row array algebra, no further
+  * shuffle. For corpora where even per-window Exchange rows are too
+  * hot, the alignment-free coarse arm is content-defined chunking
+  * ([[Chunking]] / [[LineDedup]] at line granularity) — this operator
+  * is the EXACT arm, the one you run to produce span ground truth.
   */
 object SubstringDedup {
 
   /** (id, pos) of every width-`width` window whose content appears
     * earlier in (doc id, position) order — i.e. all windows EXCEPT the
-    * first occurrence of each distinct window string. */
+    * first occurrence of each distinct window string.
+    *
+    * Two hashing arms, identical spans (spec-proven on the fixture):
+    *  - rolling (default): [[graft.functions.VectorExprs.rollingWindowHash]]
+    *    — two Rabin–Karp lanes mod 2^61−1, each codepoint touched O(1)
+    *    times. THE scale arm: hashing cost is one pass over corpus bytes.
+    *  - md5 (`md5Arm = true`): per-window `md5(substr)`, ~width× the
+    *    corpus bytes through the hash — kept as the independent verifier
+    *    (different hash family, different code path). */
   private def dupWindowPositions(df: DataFrame, idCol: String, textCol: String,
-                                 width: Int): DataFrame = {
-    // Build (pos, hash) pairs INSIDE the array before exploding: the
-    // generate then carries 24-byte structs per window instead of
-    // re-materializing the full document text per output row.
-    val wins = transform(
-      sequence(lit(0), length(col("__t")) - width),
-      i => struct(i.cast("long").as("pos"),
-        md5(col("__t").substr(i + 1, lit(width))).as("h")))
-    // fan out the COMPACT form before the width-x window hashing
+                                 width: Int, md5Arm: Boolean): DataFrame = {
+    // fan out the COMPACT per-doc form before the window fan-out
     // (no-op at corpus scale — see util.Parallelism)
-    val exploded = graft.util.Parallelism.fanOut(df
+    val docs = graft.util.Parallelism.fanOut(df
       .select(col(idCol), col(textCol).as("__t"))
       .filter(length(col("__t")) >= width))
-      .select(col(idCol), explode(wins).as("w"))
-      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    val (exploded, keyCols) =
+      if (md5Arm) {
+        // build (pos, hash) pairs INSIDE the array before exploding: the
+        // generate then carries 24-byte structs per window instead of
+        // re-materializing the full document text per output row
+        val wins = transform(
+          sequence(lit(0), length(col("__t")) - width),
+          i => struct(i.cast("long").as("pos"),
+            md5(col("__t").substr(i + 1, lit(width))).as("h")))
+        (docs.select(col(idCol), explode(wins).as("w"))
+          .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h")),
+          Seq(col("h")))
+      } else {
+        // position-indexed hash array: posexplode supplies pos for free
+        (docs.select(col(idCol),
+            posexplode(graft.functions.VectorExprs.rollingWindowHash(col("__t"), width)))
+          .select(col(idCol), col("pos").cast("long").as("pos"),
+            col("col.h1").as("h1"), col("col.h2").as("h2")),
+          Seq(col("h1"), col("h2")))
+      }
     exploded
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("h").orderBy(col(idCol), col("pos"))))
+        Window.partitionBy(keyCols: _*).orderBy(col(idCol), col("pos"))))
       .filter(col("__rn") > 1)
       .select(col(idCol), col("pos"))
   }
@@ -63,8 +87,8 @@ object SubstringDedup {
   /** Per-doc sorted duplicate-window positions: (id, ps). Only docs that
     * contain at least one duplicated window appear. */
   private def dupPositions(df: DataFrame, idCol: String, textCol: String,
-                           width: Int): DataFrame =
-    dupWindowPositions(df, idCol, textCol, width)
+                           width: Int, md5Arm: Boolean): DataFrame =
+    dupWindowPositions(df, idCol, textCol, width, md5Arm)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("pos"))).as("ps"))
 
@@ -88,9 +112,9 @@ object SubstringDedup {
     * width-`width` window occurred earlier in the corpus; the first
     * occurrence is NOT marked (keep-first). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     width: Int = 40): DataFrame = {
+                     width: Int = 40, md5Arm: Boolean = false): DataFrame = {
     require(width >= 2, s"width $width must be >= 2")
-    dupPositions(df, idCol, textCol, width)
+    dupPositions(df, idCol, textCol, width, md5Arm)
       .select(col(idCol), explode(mergeSpans(col("ps"), width)).as("sp"))
       .select(col(idCol), col("sp.start").as("span_start"),
         col("sp.end").as("span_end"))
@@ -118,8 +142,8 @@ object SubstringDedup {
     * same contract as [[LineDedup.dropDuplicateLines]]). Output
     * (idCol, cleaned). */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                           width: Int = 40): DataFrame = {
-    val spans = dupPositions(df, idCol, textCol, width)
+                           width: Int = 40, md5Arm: Boolean = false): DataFrame = {
+    val spans = dupPositions(df, idCol, textCol, width, md5Arm)
       .select(col(idCol), mergeSpans(col("ps"), width).as("sp"))
     df.join(spans, Seq(idCol), "left")
       .select(col(idCol),

@@ -596,6 +596,52 @@ class LlmSpec extends AnyFunSuite {
     assert(cleaned(1L) == doc1.substring(0, sp1._2.toInt) + doc1.substring(sp1._3.toInt))
   }
 
+  test("rolling-hash arm == md5 arm: identical spans on the fixture corpus") {
+    // the O(n) Rabin–Karp arm (default) must reproduce the md5 verifier
+    // arm's spans EXACTLY — same keep-first winners, same merged offsets
+    val fixture = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    for (width <- Seq(20, 40)) {
+      val roll = graft.llm.SubstringDedup
+        .duplicateSpans(fixture, "doc_id", "text", width = width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val md5a = graft.llm.SubstringDedup
+        .duplicateSpans(fixture, "doc_id", "text", width = width, md5Arm = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(roll == md5a, s"arms disagree at width=$width")
+      assert(roll.nonEmpty, s"fixture exercises no spans at width=$width")
+    }
+  }
+
+  test("rollingHashes kernel: window equality == content equality; codepoint offsets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def hashes(s: String, w: Int): Seq[(Long, Long)] =
+      graft.functions.TextKernels.rollingHashes(UTF8String.fromString(s), w)
+        .map { r =>
+          val ir = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (ir.getLong(0), ir.getLong(1))
+        }.toSeq
+    val s = "abcabcabxabcabc"
+    val w = 3
+    val hs = hashes(s, w)
+    assert(hs.length == s.length - w + 1)
+    // rolled hash at pos k == direct hash of the window's own text
+    // (the canonical-representation property: different rolling
+    // histories, same content, same longs)
+    for (k <- hs.indices)
+      assert(hs(k) == hashes(s.substring(k, k + w), w).head, s"pos $k drifts")
+    // equal windows ⇔ equal hashes on this fixture
+    val byContent = hs.indices.groupBy(k => s.substring(k, k + w))
+    for ((_, ks) <- byContent)
+      assert(ks.map(hs).toSet.size == 1)
+    assert(hs.toSet.size == byContent.size, "distinct windows collided")
+    // non-BMP: offsets are CODEPOINTS (substr semantics) — a doc of
+    // surrogate-pair emoji has (cp-length − w + 1) windows
+    val emoji = "😀😁😂😃😄"
+    assert(hashes(emoji, 2).length == 4)
+    assert(hashes(emoji, 2).distinct.length == 4)
+    assert(hashes("ab", 3).isEmpty)
+  }
+
   test("bloom decontamination == exact verdict, even at fpp 0.5 (verify removes false positives)") {
     val train = docs.filter($"doc_id" =!= 0L)
     val ref = docs.filter($"doc_id" === 0L)
