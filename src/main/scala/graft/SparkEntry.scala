@@ -429,6 +429,23 @@ object SparkEntry {
       graft.operators.Dynamic.removeKey(purchases, removals).df
         .select(col(Tick.SEQ).as("event_id"), col("epoch"))
     },
+    // csp.dynamic_collect (baselib.py:600-612): the map of dynamic-basket
+    // members that ticked at each engine time, with GENUINELY dynamic
+    // membership — error events evict a user's instance (removeKey
+    // epochs), so the map key is the instance identity user@epoch and a
+    // re-added user appears as a fresh member
+    "q_dynamic_collect" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = TickStream(e.df.filter(col("event_type") === "purchase"))
+      val removals = TickStream(e.df.filter(col("event_type") === "error"))
+      val epoched = graft.operators.Dynamic.removeKey(purchases, removals)
+      val instances = TickStream(epoched.df.withColumn(Tick.KEY,
+        concat_ws("@", col(Tick.KEY), col("epoch"))).drop("epoch"))
+      graft.operators.Dynamic.collect(instances).df
+        .select(unix_micros(col(Tick.TS)).as("time_us"),
+          md5(concat_ws(",", transform(array_sort(map_entries(col(Tick.VALUE))),
+            en => concat_ws("=", en("key"), en("value"))))).as("m_md5"))
+    },
     // Product-quantization ANN: iters=0 codebook (= first-8 subvectors,
     // fully SQL-replayable), encode to 4 codes/vector, ADC top-5 — every
     // distance a sequential lane fold, bit-identical to the oracle
@@ -1999,6 +2016,23 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
         |  FROM u)
         |SELECT event_id, epoch FROM w WHERE rm = 0""".stripMargin,
+    // remove_key's epoch replay (same frame as q_remove_key) feeding the
+    // q_collectts map digest, keyed by instance identity user@epoch
+    "q_dynamic_collect" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rm
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |w AS (
+        |  SELECT user_id, ts, value, rm, CAST(sum(rm) OVER (PARTITION BY user_id
+        |    ORDER BY ts, rm, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+        |  FROM u),
+        |m AS (SELECT CAST(user_id AS VARCHAR) || '@' || CAST(epoch AS VARCHAR) AS k, ts, value
+        |  FROM w WHERE rm = 0)
+        |SELECT epoch_us(ts) AS time_us,
+        |  md5(string_agg(k || '=' || CAST(value AS VARCHAR), ',' ORDER BY k)) AS m_md5
+        |FROM m GROUP BY ts""".stripMargin,
     "q_flatten" ->
       "SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS flat_seq FROM events",
     "q_delay_time" ->

@@ -24,8 +24,12 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
 
   /** `df`, repartitioned to the session's default parallelism iff its
-    * current plan yields fewer partitions than that. */
+    * current plan yields fewer partitions than that. Streaming frames
+    * pass through untouched (`df.rdd` is illegal pre-writeStream, and
+    * micro-batch sources size their own splits anyway), so operators
+    * built on fanOut lift to streams unchanged. */
   def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

@@ -212,4 +212,56 @@ class StreamingTextSpec extends AnyFunSuite {
     assert(batch.exists(_._2.contains("\"good\""))) // entities really unescaped
     assert(!batch.exists(_._1 == 2L)) // doc 2 fully cleaned away on both paths
   }
+
+  test("phrase blocklist + domain filter run unchanged on a stream, verdicts == batch") {
+    // both arms are stateless per row (phraseFlags: literal-array
+    // projection; domainFilter: projection filter), so like
+    // Relevance.frozenScorer they lift to streams with NO state store —
+    // each micro-batch gets the same verdicts the batch pipeline gives
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      StDoc(1L, "the key agg value and KEY AGG again http://ok.org/p"),
+      StDoc(2L, "clean text with a link https://spam.example\nmore"),
+      StDoc(3L, "a row fast merge, no urls"),
+      StDoc(4L, "nothing flagged here at all"))
+    val phrases = Seq("key agg", "a row fast")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.UrlStats.domainFilter(
+        graft.llm.Blocklist.phraseFlags(df, "text", phrases),
+        "text", Seq("spam.example"))
+        .select(col("doc_id"), col("hits"), col("flagged"))
+    val batch = verdicts(spark.createDataset(docs).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val mem = MemoryStream[StDoc]
+    val q = verdicts(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("st_blocklist")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(2).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val online = spark.table("st_blocklist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    q.stop()
+    assert(online == batch)
+    assert(batch == Set((1L, 2L, true), (3L, 1L, true), (4L, 0L, false)),
+      s"unexpected verdicts: $batch") // doc 2 dropped by the domain filter
+
+    // the broadcast-join arm (phraseHits) also runs per micro-batch:
+    // stream-static joins broadcast the static phrase frame each batch
+    import spark.implicits._
+    val phraseDf = phrases.toDF("phrase")
+    val batchHits = graft.llm.Blocklist.phraseHits(
+      spark.createDataset(docs).toDF(), "doc_id", "text", phraseDf)
+      .as[(Long, Long)].collect().toSet
+    val mem2 = MemoryStream[StDoc]
+    val q2 = graft.llm.Blocklist.phraseHits(mem2.toDF(), "doc_id", "text", phraseDf)
+      .writeStream.outputMode("update").format("memory").queryName("st_phrasehits")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(2).foreach { c => mem2.addData(c: _*); q2.processAllAvailable() }
+    val onlineHits = spark.table("st_phrasehits")
+      .groupBy("doc_id").agg(max("hits").as("hits"))
+      .as[(Long, Long)].collect().toSet
+    q2.stop()
+    assert(onlineHits == batchHits, s"stream $onlineHits vs batch $batchHits")
+  }
 }
