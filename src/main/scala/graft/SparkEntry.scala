@@ -1401,6 +1401,21 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // REAL image resize end-to-end: flat-color PNGs (bilinear of a
+    // constant is the constant, for ANY kernel) → resizeImages(maxEdge=3)
+    // → real decode. The oracle replays the aspect-preserving dimension
+    // arithmetic and the per-id constant channels.
+    "q_image_resize" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val media = graft.llm.Multimodal.syntheticPng(docs, "doc_id", flat = true)
+      graft.llm.Multimodal.decodeImages(
+          graft.llm.Multimodal.resizeImages(media, maxEdge = 3), edge = 2)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    },
 
     // ---- adapter / infrastructure round-trips (SURVEY §2.1/§2.2/util):
     // each query pushes data through a real adapter surface (write+read,
@@ -2394,6 +2409,21 @@ object SparkEntry {
         |  CAST(sum((2*doc_id + 5*x + 11*y) % 256) AS DOUBLE) / (w*h) AS mean_g,
         |  CAST(sum((3*doc_id + x + y) % 256) AS DOUBLE) / (w*h) AS mean_b
         |FROM pix GROUP BY doc_id, w, h""".stripMargin,
+    // resize replay: scale = 3/max(w,h) (never upscale), rounded target
+    // dims (Java Math.round == round-half-up on positive doubles ==
+    // DuckDB round), channel means = the flat constants untouched
+    "q_image_resize" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        |dims AS (SELECT doc_id, 4 + (doc_id % 5) AS w, 3 + (doc_id % 3) AS h FROM ids),
+        |sc AS (SELECT doc_id, w, h,
+        |  least(1.0, 3.0 / greatest(w, h)) AS s FROM dims)
+        |SELECT doc_id,
+        |  greatest(1, CAST(round(w * s) AS BIGINT)) AS width,
+        |  greatest(1, CAST(round(h * s) AS BIGINT)) AS height,
+        |  CAST((doc_id + 11) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((2*doc_id + 23) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((3*doc_id + 47) % 256 AS DOUBLE) AS mean_b
+        |FROM sc""".stripMargin,
     // independent recomputation of the WAV decoder's PCM16 sample RMS
     // from the character codes (little-endian sample = c0 + 256*c1; ASCII
     // payload, so chars == bytes and samples are positive)

@@ -51,13 +51,16 @@ object Multimodal {
         length(col(payloadCol)).cast(IntegerType).as("width"),
         lit(1).as("height")).as("meta"))
 
-  /** Deterministic synthetic PNG per id: a w×h RGB gradient whose pixel
+  /** Deterministic synthetic PNG per id: a w×h RGB image whose pixel
     * channels are closed-form in (id, x, y) — so an independent oracle
     * can recompute the pixel statistics analytically, while encode
     * (ImageIO PNG writer, executor-side) and decode (ImageIO PNG reader
     * via [[decodeImages]]) exercise genuinely independent codepaths.
-    * PNG is lossless, so the stats must match bit-exactly. */
-  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    * PNG is lossless, so the stats must match bit-exactly. `flat = true`
+    * paints one constant color per image (channels pure in id) — the
+    * fixture for resize oracles, where interpolation of a constant is
+    * the constant for ANY resampling kernel. */
+  def syntheticPng(df: DataFrame, idCol: String, flat: Boolean = false): DataFrame = {
     val enc = Encoders.row(mediaSchema)
     df.select(col(idCol).cast(LongType).as("media_id")).map { r =>
       val id = r.getLong(0)
@@ -69,9 +72,12 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val cr = ((id + 7L * x + 13L * y) % 256).toInt
-          val cg = ((2L * id + 5L * x + 11L * y) % 256).toInt
-          val cb = ((3L * id + x + y) % 256).toInt
+          val (cr, cg, cb) =
+            if (flat) (((id + 11) % 256).toInt, ((2L * id + 23) % 256).toInt,
+              ((3L * id + 47) % 256).toInt)
+            else (((id + 7L * x + 13L * y) % 256).toInt,
+              ((2L * id + 5L * x + 11L * y) % 256).toInt,
+              ((3L * id + x + y) % 256).toInt)
           img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
           x += 1
         }
@@ -81,6 +87,42 @@ object Multimodal {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
       Row(id, baos.toByteArray, Row("image/png", w, h))
+    }(enc)
+  }
+
+  /** REAL image resize for the ImageIO formats (PNG/JPEG/GIF/BMP):
+    * decode, scale the longer edge down to `maxEdge` (aspect preserved,
+    * bilinear, never upscale), re-encode as PNG with updated meta.
+    * Payloads no reader claims pass through byte-identical (route
+    * genuinely opaque blobs through the [[resize]] byte-subsample stub
+    * instead). Same per-partition decode shape as [[decodeImages]] —
+    * the 100 TB cost is pure per-blob compute, no shuffle. */
+  def resizeImages(media: DataFrame, maxEdge: Int): DataFrame = {
+    require(maxEdge >= 1, s"maxEdge $maxEdge must be >= 1")
+    val enc = Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("media"), col("meta")).map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) Row(r.getLong(0), bytes, r.getStruct(2))
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Row(r.getLong(0), baos.toByteArray, Row("image/png", nw, nh))
+      }
     }(enc)
   }
 
@@ -159,8 +201,11 @@ object Multimodal {
     }(Encoders.product[AudioRow]).toDF()
   }
 
-  /** STUB resize: real kernel would decode+resample; the fake subsamples
-    * bytes. Keeps the contract: binary → binary + updated meta. */
+  /** Byte-budget downsize for OPAQUE blobs (formats with no installed
+    * decoder — video, audio containers): deterministic byte subsample,
+    * keeping the binary → binary + updated-meta contract. IMAGE payloads
+    * have the real kernel — [[resizeImages]] decodes and bilinearly
+    * resamples via ImageIO. */
   def resize(media: DataFrame, maxBytes: Int): DataFrame = {
     val enc = Encoders.row(mediaSchema)
     media.select(col("media_id"), col("media"), col("meta")).map { r =>

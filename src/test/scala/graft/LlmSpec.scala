@@ -524,6 +524,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("real image resize: aspect-preserving dims, flat color exact, opaque pass-through") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      javax.imageio.ImageIO.setUseCache(false)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val blob = "not an image blob".getBytes
+    val media = Seq(
+      (0L, png(16, 12, (120 << 16) | (60 << 8) | 200)), // downscale 16x12 → 8x6
+      (1L, png(4, 3, (10 << 16) | (20 << 8) | 30)),     // already small → untouched dims
+      (2L, blob)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("image/png").as("format"),
+        lit(0).as("width"), lit(0).as("height")))
+    val resized = Multimodal.resizeImages(media, maxEdge = 8)
+    val out = Multimodal.decodeImages(resized).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getInt(2) == 8 && out(0L).getInt(3) == 6)
+    // flat color survives ANY resampling kernel exactly
+    assert(out(0L).getDouble(4) == 120.0 && out(0L).getDouble(5) == 60.0
+      && out(0L).getDouble(6) == 200.0)
+    assert(out(1L).getInt(2) == 4 && out(1L).getInt(3) == 3) // never upscaled
+    assert(out(1L).getDouble(4) == 10.0)
+    // opaque payload passes through byte-identical
+    val passRow = resized.collect().find(_.getLong(0) == 2L).get
+    assert(java.util.Arrays.equals(passRow.getAs[Array[Byte]](1), blob))
+  }
+
   test("real WAV audio decode: rate, duration, RMS (PCM16 RIFF)") {
     def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
