@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** A/B timing for [[graft.llm.Blocklist.phraseHits]]'s two gram arms:
+  * oracle-replayable gram STRINGS vs 8-byte chained token-HASH grams
+  * (no gram strings ever built — the Dedup hashed-shingle measurement
+  * applied to the blocklist join). Usage:
+  * `sbt "runMain graft.ProfileBlocklist [sfDir] [nPhrases] [passes]"` —
+  * interleaved medians plus an equality check of the verdict maps. The
+  * phrase list is drawn from the corpus's own bigrams so the match path
+  * is genuinely exercised. */
+object ProfileBlocklist {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nPhrases = args.lift(1).map(_.toInt).getOrElse(200)
+    val n = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = graft.ts.Sources.table(spark, sfDir, "documents")
+    // real corpus bigrams as the blocklist (deterministic: top by count;
+    // per-doc array build — no global window)
+    val toks = filter(split(lower(col("text")), " +"), t => t =!= lit(""))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    val phrases = docs.select(explode(bigrams).as("phrase"))
+      .groupBy("phrase").count().orderBy(col("count").desc, col("phrase"))
+      .limit(nPhrases).select("phrase").cache()
+    println(s"phrases: ${phrases.count()}")
+
+    def run(hashed: Boolean): Double = {
+      val t0 = System.nanoTime()
+      graft.llm.Blocklist.phraseHits(docs, "doc_id", "text", phrases, hashed = hashed)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = (1 to n).map(_ => (run(hashed = false), run(hashed = true)))
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    println(f"string grams median ${med(samples.map(_._1))}%.3f s (min ${samples.map(_._1).min}%.3f)")
+    println(f"hashed grams median ${med(samples.map(_._2))}%.3f s (min ${samples.map(_._2).min}%.3f)")
+
+    val a = graft.llm.Blocklist.phraseHits(docs, "doc_id", "text", phrases)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.llm.Blocklist.phraseHits(docs, "doc_id", "text", phrases, hashed = true)
+      .as[(Long, Long)].collect().toMap
+    println(s"verdicts equal: ${a == b} (${a.size} matched docs)")
+    spark.stop()
+  }
+}

@@ -43,6 +43,21 @@ object Blocklist {
     flatten(array(perN: _*))
   }
 
+  /** Hashed twin of [[gramsFor]]: per-token xxhash64 once, then the
+    * chained [[graft.functions.VectorExprs.NgramHash]] mix per length —
+    * no gram STRINGS are ever built (string construction dominates the
+    * gram stage, the same measurement as Dedup's hashed-shingle arm) and
+    * the join key is 8 bytes instead of the gram text. */
+  private def gramHashesFor(text: Column, lengths: Seq[Int]): Column = {
+    val tokHashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+    val perN = lengths.map { n =>
+      val hs = when(size(tokHashes) < n, array().cast("array<bigint>"))
+        .otherwise(graft.functions.VectorExprs.ngramHash(tokHashes, n))
+      transform(hs, h => struct(lit(n).as("n"), h.as("g")))
+    }
+    flatten(array(perN: _*))
+  }
+
   /** Small-list arm: adds `hits` (matching n-gram occurrences) and
     * `flagged` (hits > 0) as a pure projection — the phrase list rides
     * as a literal array. */
@@ -65,21 +80,41 @@ object Blocklist {
     * (one string column `phraseCol`), broadcast to the gram join.
     * Returns only matched docs — (idCol, hits); compose with a left
     * anti join (see [[filterPhrases]]) to drop them, or a left join to
-    * annotate the corpus. */
+    * annotate the corpus.
+    *
+    * `hashed = true` joins 8-byte chained token-hash grams instead of
+    * gram strings ([[gramHashesFor]]) — the at-scale default once the
+    * oracle doesn't need to replay the gram text (a cross-length hash
+    * collision mis-flagging a doc is a ~n·|phrases|/2^64 event;
+    * spec-proven verdict-identical on the fixture corpus, A/B'd in
+    * `ProfileBlocklist`). */
   def phraseHits(df: DataFrame, idCol: String, textCol: String,
-                 phrases: DataFrame, phraseCol: String = "phrase"): DataFrame = {
-    val norm = phrases.select(
-      TextAnalysis.tokens(lower(trim(col(phraseCol)))).as("__ts"))
+                 phrases: DataFrame, phraseCol: String = "phrase",
+                 hashed: Boolean = false): DataFrame = {
+    val toksOf = TextAnalysis.tokens(lower(trim(col(phraseCol))))
+    val norm = phrases.select(toksOf.as("__ts"))
       .select(size(col("__ts")).as("n"), concat_ws(" ", col("__ts")).as("g"))
       .distinct()
     // distinct phrase lengths: a tiny driver-side collect of the SMALL
     // side (same bound as the broadcast itself)
     val lengths = norm.select("n").distinct().collect().map(_.getInt(0)).toSeq.sorted
     require(lengths.nonEmpty, "phrases must be non-empty")
+    val (docGrams, phraseSide) =
+      if (!hashed) (gramsFor(col(textCol), lengths), norm)
+      else {
+        // phrase-side hashes per distinct length (NgramHash's n is a
+        // literal); len == n ⇒ exactly one chained hash per phrase
+        val hnorm = lengths.map { n =>
+          phrases.select(toksOf.as("__ts")).filter(size(col("__ts")) === n)
+            .select(lit(n).as("n"), element_at(graft.functions.VectorExprs
+              .ngramHash(transform(col("__ts"), t => xxhash64(t)), n), 1).as("g"))
+        }.reduce(_ unionByName _).distinct()
+        (gramHashesFor(col(textCol), lengths), hnorm)
+      }
     graft.util.Parallelism.fanOut(df)
-      .select(col(idCol), explode(gramsFor(col(textCol), lengths)).as("__e"))
+      .select(col(idCol), explode(docGrams).as("__e"))
       .select(col(idCol), col("__e.n").as("n"), col("__e.g").as("g"))
-      .join(broadcast(norm), Seq("n", "g"))
+      .join(broadcast(phraseSide), Seq("n", "g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"))
   }

@@ -97,6 +97,16 @@ class BlocklistSpec extends AnyFunSuite {
     assert(kept.isEmpty)
   }
 
+  test("hashed-gram arm == string-gram arm: identical phraseHits verdicts") {
+    val pdf = phrases.toDF("phrase")
+    val str = Blocklist.phraseHits(fixtureDocs, "doc_id", "text", pdf)
+      .as[(Long, Long)].collect().toMap
+    val hsh = Blocklist.phraseHits(fixtureDocs, "doc_id", "text", pdf, hashed = true)
+      .as[(Long, Long)].collect().toMap
+    assert(hsh == str)
+    assert(str.nonEmpty)
+  }
+
   test("empty phrase list is rejected up front by both arms") {
     intercept[IllegalArgumentException] {
       Blocklist.phraseFlags(fixtureDocs, "text", Seq.empty)
