@@ -1416,6 +1416,25 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // perceptual image fingerprints: dHash over the real PNG decode
+    // (9×8 integer-luminance grid — every bit analytically replayable)
+    "q_image_dhash" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val media = graft.llm.Multimodal.syntheticPng(docs, "doc_id")
+      graft.llm.Multimodal.imageDHash(media)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("dhash"))
+    },
+    // image near-dup pairs: planted copies (content = id % 240, one-pixel
+    // perturbation between copies ⇒ hamming ≤ 3) found by the recall-1
+    // banded dHash join; oracle = brute-force hamming over the replayed
+    // fingerprints
+    "q_image_neardup" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val media = graft.llm.Multimodal.syntheticPng(docs, "doc_id", contentMod = 240L)
+      graft.llm.Multimodal.imageNearDups(media, maxDist = 3)
+        .select(col("id1"), col("id2"), col("dist"))
+    },
 
     // ---- adapter / infrastructure round-trips (SURVEY §2.1/§2.2/util):
     // each query pushes data through a real adapter surface (write+read,
@@ -2424,6 +2443,55 @@ object SparkEntry {
         |  CAST((2*doc_id + 23) % 256 AS DOUBLE) AS mean_g,
         |  CAST((3*doc_id + 47) % 256 AS DOUBLE) AS mean_b
         |FROM sc""".stripMargin,
+    // dHash replay: rebuild the 9×8 nearest-neighbor integer-luminance
+    // grid from the closed-form pixels, lag() for the horizontal
+    // comparisons, assemble the 64-bit hash (bit 63 via the min-long
+    // constant — DuckDB's << overflows at 63)
+    "q_image_dhash" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS m FROM documents),
+        |dims AS (SELECT m, 4 + (m % 5) AS w, 3 + (m % 3) AS h FROM ids),
+        |gr AS (SELECT m, w, h, unnest(range(0, 8)) AS r FROM dims),
+        |gc AS (SELECT m, w, h, r, unnest(range(0, 9)) AS c FROM gr),
+        |px AS (SELECT m, r, c, least(w - 1, (c * w) // 9) AS sx,
+        |  least(h - 1, (r * h) // 8) AS sy FROM gc),
+        |lum AS (SELECT m, r, c,
+        |  299*((m + 7*sx + 13*sy) % 256) + 587*((2*m + 5*sx + 11*sy) % 256)
+        |    + 114*((3*m + sx + sy) % 256) AS l FROM px),
+        |bits AS (SELECT m, r, c,
+        |  CASE WHEN l > lag(l) OVER (PARTITION BY m, r ORDER BY c) THEN 1 ELSE 0 END AS b
+        |  FROM lum),
+        |contrib AS (SELECT m, CASE WHEN b = 1 THEN
+        |    CASE WHEN r*8 + c - 1 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |         ELSE 1::BIGINT << (r*8 + c - 1) END
+        |  ELSE 0::BIGINT END AS v FROM bits WHERE c >= 1)
+        |SELECT m AS doc_id, CAST(sum(v) AS BIGINT) AS dhash FROM contrib GROUP BY m""".stripMargin,
+    // same replay with content = id % 240 over the SCRAMBLED mod-prime
+    // pixels (decorrelated fingerprints — smooth gradients made the pair
+    // set output-quadratic) and the planted one-pixel red perturbation,
+    // then brute-force hamming ≤ 3 as pair ground truth
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS rawid, CAST(doc_id AS BIGINT) % 240 AS m FROM documents),
+        |dims AS (SELECT rawid, m, 4 + (m % 5) AS w, 3 + (m % 3) AS h, 2 * (rawid // 240) AS pert FROM ids),
+        |gr AS (SELECT rawid, m, w, h, pert, unnest(range(0, 8)) AS r FROM dims),
+        |gc AS (SELECT rawid, m, w, h, pert, r, unnest(range(0, 9)) AS c FROM gr),
+        |px AS (SELECT rawid, m, pert, r, c, least(w - 1, (c * w) // 9) AS sx,
+        |  least(h - 1, (r * h) // 8) AS sy FROM gc),
+        |lum AS (SELECT rawid, r, c,
+        |  299*((((m + 1) * (sx + 7) * (sy + 11)) % 251
+        |        + CASE WHEN sx = 0 AND sy = 0 THEN pert ELSE 0 END) % 256)
+        |    + 587*(((2*m + 3) * (sx + 5) * (sy + 13)) % 241)
+        |    + 114*(((3*m + 7) * (sx + 3) * (sy + 17)) % 239) AS l FROM px),
+        |bits AS (SELECT rawid, r, c,
+        |  CASE WHEN l > lag(l) OVER (PARTITION BY rawid, r ORDER BY c) THEN 1 ELSE 0 END AS b
+        |  FROM lum),
+        |contrib AS (SELECT rawid, CASE WHEN b = 1 THEN
+        |    CASE WHEN r*8 + c - 1 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |         ELSE 1::BIGINT << (r*8 + c - 1) END
+        |  ELSE 0::BIGINT END AS v FROM bits WHERE c >= 1),
+        |hs AS (SELECT rawid, CAST(sum(v) AS BIGINT) AS dhash FROM contrib GROUP BY rawid)
+        |SELECT a.rawid AS id1, b.rawid AS id2, bit_count(xor(a.dhash, b.dhash)) AS dist
+        |FROM hs a JOIN hs b ON a.rawid < b.rawid
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
     // independent recomputation of the WAV decoder's PCM16 sample RMS
     // from the character codes (little-endian sample = c0 + 256*c1; ASCII
     // payload, so chars == bytes and samples are positive)

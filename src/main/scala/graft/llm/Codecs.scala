@@ -131,6 +131,35 @@ object Codecs {
   def decodeImage(bytes: Array[Byte], edge: Int = 8): Option[ImageStats] =
     decodePpm(bytes, edge).orElse(decodeImageIO(bytes, edge))
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup sweeps: nearest-neighbor
+    * sample a 9-wide × 8-tall INTEGER-luminance grid (299r+587g+114b —
+    * integer so an analytic oracle can replay the comparisons exactly),
+    * bit (r,c) = lum(r, c+1) > lum(r, c). Robust to re-encoding and mild
+    * resampling; pairs within small hamming distance are near-identical
+    * images. Feed to [[Dedup.sigPairs]] for the recall-1 banded join. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val sy = math.min(h - 1, r * h / 8)
+      var lumPrev = 0L
+      var c = 0
+      while (c < 9) {
+        val sx = math.min(w - 1, c * w / 9)
+        val v = img.getRGB(sx, sy)
+        val lum = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+        if (c > 0 && lum > lumPrev) hash |= 1L << (r * 8 + (c - 1))
+        lumPrev = lum
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   final case class AudioStats(sampleRate: Int, channels: Int, nSamples: Int,
                               durationSec: Double, rms: Double)
 

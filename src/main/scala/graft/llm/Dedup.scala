@@ -661,6 +661,16 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs over PRECOMPUTED 64-bit signatures — any per-row
+    * fingerprint with hamming semantics (image dHash
+    * [[Multimodal.imageDHash]], audio prints, custom sketches) rides the
+    * same recall-1 permuted-block banding as [[simhashPairs]]. `sigs`
+    * must carry (idCol, sigCol: long); output (id1, id2, dist). */
+  def sigPairs(sigs: DataFrame, idCol: String, sigCol: String = "sig",
+               maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsFrom(graft.util.Caching.barrier(
+      sigs.select(col(idCol), col(sigCol).as("sig"))), idCol, maxDist, maxBucketSize)
+
   /** SimHash candidates verified with exact n-gram Jaccard: the standard
     * two-stage near-dup pipeline (cheap signature recall stage → exact
     * verification stage). Output pairs carry the exact Jaccard, so ground

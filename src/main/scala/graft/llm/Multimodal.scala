@@ -17,6 +17,9 @@ case class ImageRow(media_id: Long, decoded: Boolean, width: Int, height: Int,
 case class AudioRow(media_id: Long, decoded: Boolean, sample_rate: Int,
                     channels: Int, n_samples: Int, duration_sec: Double, rms: Double)
 
+/** Perceptual-hash output (Codecs.dHash). */
+case class DHashRow(media_id: Long, decoded: Boolean, dhash: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
@@ -60,10 +63,17 @@ object Multimodal {
     * paints one constant color per image (channels pure in id) — the
     * fixture for resize oracles, where interpolation of a constant is
     * the constant for ANY resampling kernel. */
-  def syntheticPng(df: DataFrame, idCol: String, flat: Boolean = false): DataFrame = {
+  def syntheticPng(df: DataFrame, idCol: String, flat: Boolean = false,
+                   contentMod: Long = 0L): DataFrame = {
+    // contentMod > 0: image CONTENT derives from id % contentMod (same
+    // residue class ⇒ same image) with pixel (0,0)'s red perturbed by
+    // 2·(id / contentMod) — the planted near-duplicate fixture for the
+    // dHash pair oracle (copies differ in ≤ 1 fingerprint bit)
     val enc = Encoders.row(mediaSchema)
     df.select(col(idCol).cast(LongType).as("media_id")).map { r =>
-      val id = r.getLong(0)
+      val rawId = r.getLong(0)
+      val id = if (contentMod > 0) rawId % contentMod else rawId
+      val perturb = if (contentMod > 0) 2L * (rawId / contentMod) else 0L
       val w = 4 + (id % 5).toInt
       val h = 3 + (id % 3).toInt
       val img = new java.awt.image.BufferedImage(
@@ -72,12 +82,23 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val (cr, cg, cb) =
+          // contentMod arm uses SCRAMBLED (noise-like) pixels: smooth
+          // gradients give near-identical dHash sign patterns across ids
+          // (15k accidental pairs at 500 docs — measured), which makes a
+          // near-dup fixture output-quadratic at scale; multiplicative
+          // mod-prime pixels decorrelate the fingerprints so pairs are
+          // the planted copies (plus rare honest collisions)
+          val (cr0, cg, cb) =
             if (flat) (((id + 11) % 256).toInt, ((2L * id + 23) % 256).toInt,
               ((3L * id + 47) % 256).toInt)
+            else if (contentMod > 0) (
+              (((id + 1) * (x + 7) * (y + 11)) % 251).toInt,
+              (((2L * id + 3) * (x + 5) * (y + 13)) % 241).toInt,
+              (((3L * id + 7) * (x + 3) * (y + 17)) % 239).toInt)
             else (((id + 7L * x + 13L * y) % 256).toInt,
               ((2L * id + 5L * x + 11L * y) % 256).toInt,
               ((3L * id + x + y) % 256).toInt)
+          val cr = if (x == 0 && y == 0) ((cr0 + perturb) % 256).toInt else cr0
           img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
           x += 1
         }
@@ -86,7 +107,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
-      Row(id, baos.toByteArray, Row("image/png", w, h))
+      Row(rawId, baos.toByteArray, Row("image/png", w, h))
     }(enc)
   }
 
@@ -200,6 +221,36 @@ object Multimodal {
       }
     }(Encoders.product[AudioRow]).toDF()
   }
+
+  /** Perceptual 64-bit dHash per image ([[Codecs.dHash]]): decode via
+    * ImageIO, fingerprint the 9×8 luminance grid. Payloads no reader
+    * claims yield decoded=false / dhash=0. Per-partition map — no
+    * shuffle; at 100 TB decode dominates and scales with executors. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](mIdx)))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null) DHashRow(r.getLong(idIdx), decoded = false, 0L)
+        else DHashRow(r.getLong(idIdx), decoded = true, Codecs.dHash(img))
+      }
+    }(Encoders.product[DHashRow]).toDF()
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints through the same
+    * recall-1 permuted-block banding the text SimHash path uses
+    * ([[Dedup.sigPairs]]) — candidates from band-key equality, exact
+    * hamming verify, never all-pairs. Output (id1, id2, dist). */
+  def imageNearDups(media: DataFrame, maxDist: Int = 3,
+                    maxBucketSize: Int = 1000): DataFrame =
+    Dedup.sigPairs(imageDHash(media).filter(col("decoded"))
+      .select(col("media_id"), col("dhash")),
+      "media_id", "dhash", maxDist, maxBucketSize)
 
   /** Byte-budget downsize for OPAQUE blobs (formats with no installed
     * decoder — video, audio containers): deterministic byte subsample,

@@ -554,6 +554,54 @@ class LlmSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(passRow.getAs[Array[Byte]](1), blob))
   }
 
+  test("image dHash: encode-invariant, perturbation-tolerant, distinct images far apart") {
+    def img(w: Int, h: Int, px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val b = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+      b
+    }
+    def enc(fmt: String, i: java.awt.image.BufferedImage): Array[Byte] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, fmt, baos)
+      baos.toByteArray
+    }
+    val grad = img(32, 24, (x, y) => ((x * 8 % 256) << 16) | ((y * 10 % 256) << 8) | ((x + y) % 256))
+    val gradPerturbed = img(32, 24, (x, y) =>
+      if (x == 0 && y == 0) 0xFFFFFF
+      else ((x * 8 % 256) << 16) | ((y * 10 % 256) << 8) | ((x + y) % 256))
+    val other = img(32, 24, (x, y) => (((255 - x * 8) % 256) << 16) | ((x * y % 256) << 8))
+    val h1 = graft.llm.Codecs.dHash(grad)
+    // dHash is a function of PIXELS: PNG and BMP encodes agree exactly
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(graft.llm.Codecs.dHash(decode(enc("png", grad))) == h1)
+    assert(graft.llm.Codecs.dHash(decode(enc("bmp", grad))) == h1)
+    // one-pixel damage moves few bits; a different image moves many
+    val dPert = java.lang.Long.bitCount(h1 ^ graft.llm.Codecs.dHash(gradPerturbed))
+    val dOther = java.lang.Long.bitCount(h1 ^ graft.llm.Codecs.dHash(other))
+    assert(dPert <= 3, s"perturbed copy drifted $dPert bits")
+    assert(dOther > 10, s"distinct image only $dOther bits apart")
+  }
+
+  test("imageNearDups == brute-force hamming pairs on the planted fixture") {
+    val ids = spark.range(0, 300).toDF("doc_id")
+    val media = Multimodal.syntheticPng(ids, "doc_id", contentMod = 120L)
+    val pairs = Multimodal.imageNearDups(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = Multimodal.imageDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs == brute)
+    // the planted copies (id, id+120, id+240) really surface
+    assert(pairs.exists { case (a, b, _) => b - a == 120 || b - a == 240 })
+    assert(pairs.size >= 100, s"only ${pairs.size} pairs — fixture not exercising the join")
+  }
+
   test("real WAV audio decode: rate, duration, RMS (PCM16 RIFF)") {
     def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
