@@ -1355,18 +1355,29 @@ object SparkEntry {
     // DuckDB recompute sample stats + RMS from the character codes. The
     // stub feature-extraction plumbing stays spec-covered (MultimodalSpec).
     "q_multimodal" -> { (s, dir) =>
-      val dataLen = 32
-      val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes("US-ASCII"))
-      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16); bb.putShort(1); bb.putShort(1)
-      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
-      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
-      val header = bb.array()
       val docs = Sources.table(s, dir, "documents")
-      val media = docs.select(col("doc_id").as("media_id"),
-        concat(lit(header),
-          encode(rpad(substring(col("text"), 1, dataLen), dataLen, "x"), "UTF-8")).as("media"))
-      graft.llm.Multimodal.decodeAudio(media)
+      graft.llm.Multimodal.decodeAudio(textWavMedia(docs, 32))
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_sec"), col("rms"))
+    },
+    // 64-bit energy-difference audio fingerprint (the audio dHash): 130
+    // text-derived PCM16 samples → 65 exact-integer window energies →
+    // comparison bits, every one analytically replayed by the oracle
+    "q_audio_fingerprint" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Multimodal.audioFingerprint(textWavMedia(docs, 260))
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("dhash").as("ahash"))
+    },
+    // REAL audio resample end-to-end: 8 kHz text-derived WAV → linear-
+    // interpolation resample to 6 kHz (exact integer arithmetic) → real
+    // decode; the oracle replays the interpolated samples bit-for-bit
+    // and the RMS as the same sequential fold
+    "q_audio_resample" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Multimodal.decodeAudio(
+          graft.llm.Multimodal.resampleAudio(textWavMedia(docs, 260), dstRate = 6000))
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("duration_sec"), col("rms"))
@@ -1764,6 +1775,23 @@ object SparkEntry {
 
   /** Scratch dir for the adapter round-trip queries: stable per
     * (surface, sf-dir) so repeated runs overwrite rather than accumulate. */
+  /** Deterministic mono 8 kHz PCM16 WAV per document: header + the first
+    * `dataLen` text chars as sample bytes (rpad'd, ASCII ⇒ chars ==
+    * bytes ⇒ the DuckDB oracle replays samples from character codes).
+    * Shared by the q_multimodal / q_audio_* fixtures. */
+  private def textWavMedia(docs: DataFrame, dataLen: Int): DataFrame = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    docs.select(col("doc_id").as("media_id"),
+      concat(lit(bb.array()),
+        encode(rpad(substring(col("text"), 1, dataLen), dataLen, "x"), "UTF-8")).as("media"),
+      struct(lit("audio/wav").as("format"),
+        lit(8000).as("width"), lit(1).as("height")).as("meta"))
+  }
+
   // Suffixed with the JVM pid so two harness processes (driver
   // correctness pass, a concurrent bench, a stale gate) can never share
   // a round-trip dir: mode("overwrite")'s delete-and-rewrite racing a
@@ -2503,6 +2531,35 @@ object SparkEntry {
         |      CAST(unicode(substr(rp, 2*k+1, 1)) + 256 * unicode(substr(rp, 2*k+2, 1)) AS DOUBLE) / 32768.0),
         |    v -> v * v), (a, b) -> a + b) / 16.0) AS rms
         |FROM (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS rp FROM documents)""".stripMargin,
+    // energy-fingerprint replay: 130 samples from char codes, 65 exact
+    // integer window energies (2 samples each), comparison bits folded
+    // into the BIGINT (bit 63 via the min-long constant)
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, rpad(substr(text, 1, 260), 260, 'x') AS rp FROM documents),
+        |sm AS (SELECT doc_id, list_transform(range(0, 130), i ->
+        |  CAST(unicode(substr(rp, 2*i+1, 1)) + 256 * unicode(substr(rp, 2*i+2, 1)) AS BIGINT)) AS ss FROM d),
+        |en AS (SELECT doc_id, list_transform(range(0, 65), j ->
+        |  ss[2*j+1]*ss[2*j+1] + ss[2*j+2]*ss[2*j+2]) AS e FROM sm)
+        |SELECT doc_id, CAST(list_reduce(list_transform(range(0, 64), j ->
+        |  CASE WHEN e[j+2] > e[j+1] THEN
+        |    CASE WHEN j = 63 THEN (-9223372036854775807 - 1)::BIGINT ELSE 1::BIGINT << j END
+        |  ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS ahash
+        |FROM en""".stripMargin,
+    // resample replay: out sample k at source position k·8000/6000,
+    // exact-integer linear interpolation, then the same sequential RMS
+    // fold the decoder runs (list_reduce = ordered double adds)
+    "q_audio_resample" ->
+      """WITH d AS (SELECT doc_id, rpad(substr(text, 1, 260), 260, 'x') AS rp FROM documents),
+        |sm AS (SELECT doc_id, list_transform(range(0, 130), i ->
+        |  CAST(unicode(substr(rp, 2*i+1, 1)) + 256 * unicode(substr(rp, 2*i+2, 1)) AS BIGINT)) AS ss FROM d),
+        |vv AS (SELECT doc_id, list_transform(range(0, 97), k ->
+        |  (ss[(k*8000)//6000 + 1] * (6000 - (k*8000)%6000)
+        |   + ss[least((k*8000)//6000 + 1, 129) + 1] * ((k*8000)%6000) + 3000) // 6000) AS v FROM sm)
+        |SELECT doc_id, 6000 AS sample_rate, 1 AS channels, 97 AS n_samples,
+        |  97.0 / 6000.0 AS duration_sec,
+        |  sqrt(list_reduce(list_transform(v, x ->
+        |    (CAST(x AS DOUBLE)/32768.0) * (CAST(x AS DOUBLE)/32768.0)), (a, b) -> a + b) / 97.0) AS rms
+        |FROM vv""".stripMargin,
     // replay the mixer draws (unitCte == Sources.unit bit-for-bit), then
     // the exponential gaps and the id-ordered left-fold prefix sum — the
     // q_ema list_reduce pattern, so double association matches Spark's

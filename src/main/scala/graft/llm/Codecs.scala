@@ -168,37 +168,121 @@ object Codecs {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-  /** Parse a RIFF/WAVE file with PCM16 samples: chunk walk for `fmt ` and
-    * `data`, then per-sample RMS. None if not PCM16 WAV. */
-  def decodeWav(bytes: Array[Byte]): Option[AudioStats] = {
+  /** Parsed RIFF/WAVE layout: fmt tag 1 = integer PCM, 3 = IEEE float. */
+  private final case class WavHeader(fmt: Int, sampleRate: Int, channels: Int,
+                                     bits: Int, dataOff: Int, dataLen: Int)
+
+  private def parseWav(bytes: Array[Byte]): Option[WavHeader] = {
     if (bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
     var i = 12
-    var sampleRate = 0; var channels = 0; var bits = 0
+    var fmt = -1; var sampleRate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
     while (i + 8 <= bytes.length) {
       val id = new String(bytes, i, 4, "US-ASCII")
       val len = le32(bytes, i + 4)
       if (id == "fmt ") {
-        if (le16(bytes, i + 8) != 1) return None // PCM only
+        fmt = le16(bytes, i + 8)
         channels = le16(bytes, i + 10)
         sampleRate = le32(bytes, i + 12)
         bits = le16(bytes, i + 22)
       } else if (id == "data") { dataOff = i + 8; dataLen = len }
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
-    if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
-    val n = math.min(dataLen, bytes.length - dataOff) / 2
+    if (sampleRate <= 0 || channels <= 0 || dataOff < 0) None
+    else Some(WavHeader(fmt, sampleRate, channels, bits, dataOff, dataLen))
+  }
+
+  /** Parse a RIFF/WAVE file: chunk walk for `fmt ` + `data`, then
+    * per-sample RMS. Supports integer PCM16 (fmt 1) and IEEE float32
+    * (fmt 3 — the other layout real recordings ship in). None
+    * otherwise. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioStats] = parseWav(bytes).flatMap { h =>
+    val pcm16 = h.fmt == 1 && h.bits == 16
+    val f32 = h.fmt == 3 && h.bits == 32
+    if (!pcm16 && !f32) return None
+    val bytesPer = h.bits / 8
+    val n = math.min(h.dataLen, bytes.length - h.dataOff) / bytesPer
     var acc = 0.0
     var s = 0
     while (s < n) {
-      val v = le16(bytes, dataOff + 2 * s).toShort.toDouble / 32768.0
+      val v =
+        if (pcm16) le16(bytes, h.dataOff + 2 * s).toShort.toDouble / 32768.0
+        else java.lang.Float.intBitsToFloat(le32(bytes, h.dataOff + 4 * s)).toDouble
       acc += v * v
       s += 1
     }
-    val frames = n / channels
-    Some(AudioStats(sampleRate, channels, frames,
-      frames.toDouble / sampleRate, if (n == 0) 0.0 else math.sqrt(acc / n)))
+    val frames = n / h.channels
+    Some(AudioStats(h.sampleRate, h.channels, frames,
+      frames.toDouble / h.sampleRate, if (n == 0) 0.0 else math.sqrt(acc / n)))
   }
+
+  /** 64-bit energy-difference fingerprint of a PCM16 WAV — the audio
+    * analog of [[dHash]]: split the samples into 65 equal windows, sum
+    * of SQUARES per window (exact integer — an analytic oracle replays
+    * every bit), bit j = energy(j+1) > energy(j). Robust to gain-
+    * preserving re-encodes and container rewrites; feed to
+    * [[Dedup.sigPairs]] for banded audio near-dup sweeps. None unless
+    * PCM16 with ≥ 65 samples. */
+  def wavEnergyHash(bytes: Array[Byte]): Option[Long] = parseWav(bytes).flatMap { h =>
+    if (h.fmt != 1 || h.bits != 16) return None
+    val n = math.min(h.dataLen, bytes.length - h.dataOff) / 2
+    if (n < 65) return None
+    val e = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      var s = j * n / 65
+      val end = (j + 1) * n / 65
+      var acc = 0L
+      while (s < end) {
+        val v = le16(bytes, h.dataOff + 2 * s).toShort.toLong
+        acc += v * v
+        s += 1
+      }
+      e(j) = acc
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 64) {
+      if (e(j + 1) > e(j)) hash |= 1L << j
+      j += 1
+    }
+    Some(hash)
+  }
+
+  /** Linear-interpolation resample of a MONO PCM16 WAV to `dstRate` —
+    * the audio twin of image resize. Output sample k sits at source
+    * position k·src/dst; the interpolation is EXACT integer arithmetic
+    * ((s0·(dst−rem) + s1·rem + dst/2) / dst with rem = (k·src) mod dst),
+    * so an analytic oracle replays the resampled bytes bit-for-bit on
+    * non-negative fixtures. Returns a complete WAV at the new rate. */
+  def resampleWavPcm16(bytes: Array[Byte], dstRate: Int): Option[Array[Byte]] =
+    parseWav(bytes).flatMap { h =>
+      if (h.fmt != 1 || h.bits != 16 || h.channels != 1 || dstRate <= 0) return None
+      val n = math.min(h.dataLen, bytes.length - h.dataOff) / 2
+      if (n == 0) return None
+      val outN = (n.toLong * dstRate / h.sampleRate).toInt
+      val dataLen = outN * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(dstRate); bb.putInt(dstRate * 2)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      var k = 0
+      while (k < outN) {
+        val num = k.toLong * h.sampleRate
+        val i = (num / dstRate).toInt
+        val rem = num % dstRate
+        val s0 = le16(bytes, h.dataOff + 2 * math.min(i, n - 1)).toShort.toLong
+        val s1 = le16(bytes, h.dataOff + 2 * math.min(i + 1, n - 1)).toShort.toLong
+        bb.putShort(((s0 * (dstRate - rem) + s1 * rem + dstRate / 2) / dstRate).toShort)
+        k += 1
+      }
+      Some(bb.array())
+    }
 }

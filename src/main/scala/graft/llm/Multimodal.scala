@@ -252,6 +252,48 @@ object Multimodal {
       .select(col("media_id"), col("dhash")),
       "media_id", "dhash", maxDist, maxBucketSize)
 
+  /** 64-bit energy-difference fingerprint per PCM16 WAV payload
+    * ([[Codecs.wavEnergyHash]]) — the audio analog of [[imageDHash]].
+    * Output (media_id, decoded, ahash). */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      it.map { r =>
+        Codecs.wavEnergyHash(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(h) => DHashRow(r.getLong(idIdx), decoded = true, h)
+          case None => DHashRow(r.getLong(idIdx), decoded = false, 0L)
+        }
+      }
+    }(Encoders.product[DHashRow]).toDF()
+  }
+
+  /** Audio near-duplicate pairs: energy fingerprints through the same
+    * recall-1 banded join as text SimHash and image dHash
+    * ([[Dedup.sigPairs]]). Output (id1, id2, dist). */
+  def audioNearDups(media: DataFrame, maxDist: Int = 3,
+                    maxBucketSize: Int = 1000): DataFrame =
+    Dedup.sigPairs(audioFingerprint(media).filter(col("decoded"))
+      .select(col("media_id"), col("dhash")),
+      "media_id", "dhash", maxDist, maxBucketSize)
+
+  /** REAL audio resample (mono PCM16 → `dstRate`,
+    * [[Codecs.resampleWavPcm16]]): linear interpolation in exact integer
+    * arithmetic, re-emitted as a complete WAV with updated meta.
+    * Unclaimed payloads pass through byte-identical. Per-partition map —
+    * no shuffle. */
+  def resampleAudio(media: DataFrame, dstRate: Int): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("media"), col("meta")).map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      Codecs.resampleWavPcm16(bytes, dstRate) match {
+        case Some(out) => Row(r.getLong(0), out,
+          Row("audio/wav", dstRate, 1))
+        case None => Row(r.getLong(0), bytes, r.getStruct(2))
+      }
+    }(enc)
+  }
+
   /** Byte-budget downsize for OPAQUE blobs (formats with no installed
     * decoder — video, audio containers): deterministic byte subsample,
     * keeping the binary → binary + updated-meta contract. IMAGE payloads

@@ -626,6 +626,120 @@ class LlmSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(1))
   }
 
+  test("float32 WAV decode (fmt 3): exact RMS for representable values") {
+    def wavF32(rate: Int, samples: Array[Float]): Array[Byte] = {
+      val dataLen = samples.length * 4
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(3); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 4); bb.putShort(4); bb.putShort(32)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putFloat)
+      bb.array()
+    }
+    // ±0.5 square wave: exactly representable, RMS exactly 0.5
+    val sq = wavF32(16000, Array.tabulate(16000)(i => if (i % 2 == 0) 0.5f else -0.5f))
+    val out = graft.llm.Codecs.decodeWav(sq).get
+    assert(out.sampleRate == 16000 && out.channels == 1 && out.nSamples == 16000)
+    assert(out.durationSec == 1.0 && out.rms == 0.5)
+    // fmt 3 must be 32-bit: a 16-bit float claim is rejected, not misread
+    val bad = wavF32(16000, Array(0.5f))
+    bad(34) = 16 // bits-per-sample field
+    assert(graft.llm.Codecs.decodeWav(bad).isEmpty)
+  }
+
+  test("wavEnergyHash: content-sensitive, silence-padding invariant bits, brute equality") {
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val a = Array.tabulate[Short](650)(i => ((i * 37) % 2000).toShort)
+    val h = graft.llm.Codecs.wavEnergyHash(wav16(a)).get
+    // brute replay: 65 windows of 10, integer energies, comparison bits
+    var expect = 0L
+    val e = Array.tabulate(65)(j => (j * 10 until (j + 1) * 10).map(i => a(i).toLong * a(i)).sum)
+    for (j <- 0 until 64 if e(j + 1) > e(j)) expect |= 1L << j
+    assert(h == expect)
+    // one damaged window flips few bits; a different signal flips many
+    val damaged = a.clone(); for (i <- 300 until 310) damaged(i) = 0
+    val dDam = java.lang.Long.bitCount(h ^ graft.llm.Codecs.wavEnergyHash(wav16(damaged)).get)
+    val other = Array.tabulate[Short](650)(i => ((i * i * 91 + 7) % 2000).toShort)
+    val dOther = java.lang.Long.bitCount(h ^ graft.llm.Codecs.wavEnergyHash(wav16(other)).get)
+    assert(dDam <= 4, s"local damage drifted $dDam bits")
+    assert(dOther > 10, s"distinct signal only $dOther bits apart")
+    assert(graft.llm.Codecs.wavEnergyHash(wav16(a.take(64))).isEmpty) // < 65 samples
+  }
+
+  test("resampleWavPcm16: rate/length/header correct; ramp interpolates exactly; round trip") {
+    def wav16(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // linear ramp: linear interpolation reproduces the ramp exactly
+    val ramp = Array.tabulate[Short](800)(i => (i * 3).toShort)
+    val out = graft.llm.Codecs.resampleWavPcm16(wav16(8000, ramp), 6000).get
+    val stats = graft.llm.Codecs.decodeWav(out).get
+    assert(stats.sampleRate == 6000 && stats.nSamples == 600)
+    // sample k of the output sits at source position 4k/3: value = 3·(4k/3) = 4k
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (k <- 0 until 600) {
+      val v = bb.getShort(44 + 2 * k)
+      val expect = math.round(4.0 * k).toInt // exact: ramp slope 3 × pos 4k/3
+      assert(math.abs(v - expect) <= 1, s"sample $k: $v vs $expect")
+    }
+    // downsample halves then re-upsample... stays PCM16 mono and decodable
+    val half = graft.llm.Codecs.resampleWavPcm16(wav16(8000, ramp), 4000).get
+    assert(graft.llm.Codecs.decodeWav(half).get.nSamples == 400)
+    assert(graft.llm.Codecs.resampleWavPcm16("junk".getBytes, 4000).isEmpty)
+  }
+
+  test("audioNearDups == brute-force hamming pairs (energy fingerprints through sigPairs)") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 40 base signals, each with a lightly damaged copy at id+100
+    val rows = (0 until 40).flatMap { b =>
+      val base = Array.tabulate[Short](650)(i => (((i + 13 * b) * (b + 17)) % 2000).toShort)
+      val copy = base.clone(); copy(b * 10) = 0
+      Seq((b.toLong, wav16(base)), (b + 100L, wav16(copy)))
+    }
+    val media = rows.toDF("media_id", "media")
+    val pairs = Multimodal.audioNearDups(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = Multimodal.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs == brute)
+    assert(pairs.exists { case (a, b, _) => b - a == 100 }, "planted copies must surface")
+  }
+
   test("multimodal plumbing: features, resize, frame sampling") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
