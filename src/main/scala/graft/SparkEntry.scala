@@ -1395,6 +1395,17 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // Mojibake repair (ftfy-style, one codegen'd projection): docs
+    // decorated with latin1/cp1252 mis-decode artifacts must repair to
+    // the intended characters, while the clean ASCII base text passes
+    // the conservative gate untouched — both proven byte-exactly via md5
+    "q_mojibake" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val broken = concat(col("text"), lit(" caffÃ© donâ€™t naÃ¯ve."))
+      docs.select(col("doc_id"),
+        md5(graft.llm.Normalize.fixMojibake(broken)).as("fixed_md5"),
+        md5(graft.llm.Normalize.fixMojibake(col("text"))).as("untouched_md5"))
+    },
     // REAL PNG decode end-to-end (the crawl-format twin of
     // q_multimodal_decode): synthesize a deterministic RGB-gradient PNG
     // per doc (ImageIO writer, executor-side), decode it with the real
@@ -2431,6 +2442,14 @@ object SparkEntry {
     "q_tokens" ->
       """SELECT doc_id, len(string_split_regex(text, ' +')) AS n_tok,
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    // the artifact decoration's repaired form is closed-form (base text
+    // is ASCII, so the repair touches only the decoration); the clean
+    // arm must hash as the original bytes (conservative gate)
+    "q_mojibake" ->
+      """SELECT doc_id,
+        |  md5(text || ' caffé don’t naïve.') AS fixed_md5,
+        |  md5(text) AS untouched_md5
         |FROM documents""".stripMargin,
     // independent recomputation of the PPM decoder's pixel means from the
     // character codes (ASCII text == payload bytes)

@@ -60,4 +60,44 @@ object Normalize {
     * whitespace-collapse. One fused projection. */
   def cleanWeb(text: Column): Column =
     stripHtml(stripControlChars(text))
+
+  // cp1252's 0x80-0x9F printables and their byte positions - the chars a
+  // UTF-8 -> cp1252 mis-decode leaves where continuation bytes were
+  private val Cp1252Chars =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+  private val Cp1252Bytes =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+
+  /** Mojibake repair (the ftfy move, as one codegen'd projection): text
+    * that was UTF-8 but got mis-decoded as Latin-1/cp1252 - U+00E9 shows
+    * as "\u00c3\u00a9", a right quote as "\u00e2\u20ac\u2122" - is re-encoded
+    * through the inverse map (cp1252 printables -> their 0x80-0x9F byte
+    * positions, then the Latin-1 byte identity) and re-decoded as UTF-8.
+    *
+    * Two gates keep the repair strictly conservative, so it is safe to
+    * run over a whole corpus: the folded text must (1) LOOK like
+    * mojibake (a UTF-8 lead-byte char followed by a continuation-range
+    * char) and (2) be FULLY well-formed UTF-8 when read as bytes
+    * ([[Utf8Valid]] — which also forces every char <= 0xFF). Anything
+    * else — clean ASCII, genuine Latin-1 prose, binary noise — passes
+    * through untouched. Double-encoded text repairs one layer per
+    * application, exactly like ftfy. */
+  // Full UTF-8 well-formedness over chars-as-bytes (RFC 3629 table:
+  // excludes overlongs, surrogates, > U+10FFFF). Any char above 0xFF
+  // matches no alternative, so byte-mappability is implied. Decoding is
+  // gated on THIS (not attempted-and-checked): CaseWhen evaluates the
+  // branch lazily, so `decode` never sees malformed input \u2014 Spark 4's
+  // strict charset decoding would throw there, not substitute U+FFFD.
+  private val Utf8Valid =
+    "^(?:[\\x00-\\x7F]|[\\xC2-\\xDF][\\x80-\\xBF]|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]" +
+    "|[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF][\\x80-\\xBF]|\\xED[\\x80-\\x9F][\\x80-\\xBF]" +
+    "|\\xF0[\\x90-\\xBF][\\x80-\\xBF][\\x80-\\xBF]|[\\xF1-\\xF3][\\x80-\\xBF][\\x80-\\xBF][\\x80-\\xBF]" +
+    "|\\xF4[\\x80-\\x8F][\\x80-\\xBF][\\x80-\\xBF])*$"
+
+  def fixMojibake(text: Column): Column = {
+    val folded = translate(text, Cp1252Chars, Cp1252Bytes)
+    val looksBroken = folded.rlike("[\\xC2-\\xF4][\\x80-\\xBF]")
+    when(looksBroken && folded.rlike(Utf8Valid),
+      decode(encode(folded, "ISO-8859-1"), "UTF-8")).otherwise(text)
+  }
 }

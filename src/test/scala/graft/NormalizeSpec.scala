@@ -42,6 +42,26 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out == "abcd\te")
   }
 
+  test("fixMojibake: repairs latin1/cp1252 artifacts one layer at a time, leaves clean text alone") {
+    def fix(s: String): String =
+      Seq(s).toDF("t").select(Normalize.fixMojibake(col("t"))).as[String].head()
+    // latin1 mis-decode artifacts repair to the intended characters
+    assert(fix("caffÃ© society") == "caffé society")
+    assert(fix("naÃ¯ve idÃ©e") == "naïve idée")
+    // cp1252 artifact (â€™ = right single quote through cp1252)
+    assert(fix("donâ€™t stop") == "don’t stop")
+    // clean ASCII and genuine Latin-1 prose pass through untouched
+    assert(fix("clean ascii stays") == "clean ascii stays")
+    assert(fix("café au lait") == "café au lait") // é + ASCII: no artifact pair
+    assert(fix("Ã la carte") == "Ã la carte")     // lead-byte char + space: invalid pair
+    // mixed valid artifact + stray continuation byte = not well-formed → untouched
+    assert(fix("x Ã© y ¿ z") == "x Ã© y ¿ z")
+    // double-encoded text repairs exactly one layer per application (ftfy semantics)
+    val doubled = "\u00c3\u0083\u00c2\u00a9 twice" // C3 83 C2 A9: UTF-8 of \u00c3\u00a9 read as latin1
+    assert(fix(doubled) == "Ã© twice")
+    assert(fix(fix(doubled)) == "é twice")
+  }
+
   test("c4Clean: every rule fires — terminal punct, min words, blocklist, min lines") {
     val docs = Seq(
       // keeps two lines, drops the no-punct and the blocklist one
