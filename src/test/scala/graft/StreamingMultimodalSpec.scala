@@ -47,4 +47,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stream.size == docs.size)
     assert(stream == batch)
   }
+
+  test("PNG decode → resize → dHash pipeline runs per micro-batch == batch") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[SmDoc]
+    implicit val sq = spark.sqlContext
+
+    val docs = (0L until 30L).map(i => SmDoc(i, s"ignored $i"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val media = Multimodal.syntheticPng(df, "doc_id")
+      val resized = Multimodal.resizeImages(media, maxEdge = 4)
+      Multimodal.imageDHash(resized)
+    }
+    val batch = pipeline(spark.createDataset(docs).toDF())
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+
+    val mem = MemoryStream[SmDoc]
+    val q = pipeline(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sm_img")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(7).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("sm_img").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    q.stop()
+
+    assert(stream.size == docs.size)
+    assert(stream == batch)
+    assert(batch.values.forall(_._1), "every synthetic PNG must decode")
+  }
 }
