@@ -1438,6 +1438,19 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // REAL animated-GIF frame sampling: synthetic flat-color frames
+    // (GIF palettes hold flat colors exactly) written via the JDK GIF
+    // sequence writer, every 2nd frame decoded back with per-frame
+    // stats; the oracle replays frame count, sampling, and means
+    "q_gif_frames" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val media = graft.llm.Multimodal.syntheticGif(docs, "doc_id")
+      graft.llm.Multimodal.sampleGifFrames(media, stride = 2)
+        .select(col("media_id").as("doc_id"), col("frame"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    },
     // perceptual image fingerprints: dHash over the real PNG decode
     // (9×8 integer-luminance grid — every bit analytically replayable)
     "q_image_dhash" -> { (s, dir) =>
@@ -2490,6 +2503,17 @@ object SparkEntry {
         |  CAST((2*doc_id + 23) % 256 AS DOUBLE) AS mean_g,
         |  CAST((3*doc_id + 47) % 256 AS DOUBLE) AS mean_b
         |FROM sc""".stripMargin,
+    // GIF frame replay: frame grid + every-2nd sampling + the flat
+    // per-frame constants
+    "q_gif_frames" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS m FROM documents),
+        |dims AS (SELECT m, 6 + (m % 4) AS w, 4 + (m % 3) AS h, 3 + (m % 4) AS nf FROM ids),
+        |fr AS (SELECT m, w, h, unnest(range(0, nf, 2)) AS f FROM dims)
+        |SELECT m AS doc_id, CAST(f AS INT) AS frame, w AS width, h AS height,
+        |  CAST((m + 31*f) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((2*m + 17*f + 5) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((3*m + 7*f + 11) % 256 AS DOUBLE) AS mean_b
+        |FROM fr""".stripMargin,
     // dHash replay: rebuild the 9×8 nearest-neighbor integer-luminance
     // grid from the closed-form pixels, lag() for the horizontal
     // comparisons, assemble the 64-bit hash (bit 63 via the min-long

@@ -20,6 +20,10 @@ case class AudioRow(media_id: Long, decoded: Boolean, sample_rate: Int,
 /** Perceptual-hash output (Codecs.dHash). */
 case class DHashRow(media_id: Long, decoded: Boolean, dhash: Long)
 
+/** Per-frame decode output (Codecs.decodeGifFrames). */
+case class FrameRow(media_id: Long, frame: Int, width: Int, height: Int,
+                    mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
@@ -220,6 +224,64 @@ object Multimodal {
         }
       }
     }(Encoders.product[AudioRow]).toDF()
+  }
+
+  /** Deterministic synthetic animated GIF per id: `3 + id%4` full-size
+    * flat-color frames (channels closed-form in (id, frame) — GIF's
+    * palette holds a single flat color exactly, so frame decode is
+    * lossless and an analytic oracle replays the means bit-exactly).
+    * Written frame-by-frame through the JDK GIF writer's sequence API —
+    * encode and decode are independent codepaths. */
+  def syntheticGif(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType).as("media_id")).map { r =>
+      val id = r.getLong(0)
+      val w = 6 + (id % 4).toInt
+      val h = 4 + (id % 3).toInt
+      val nFrames = 3 + (id % 4).toInt
+      javax.imageio.ImageIO.setUseCache(false)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val cr = ((id + 31L * f) % 256).toInt
+        val cg = ((2L * id + 17L * f + 5) % 256).toInt
+        val cb = ((3L * id + 7L * f + 11) % 256).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (cr << 16) | (cg << 8) | cb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      Row(id, baos.toByteArray, Row("image/gif", w, h))
+    }(enc)
+  }
+
+  /** REAL frame sampling for animated GIF ([[Codecs.decodeGifFrames]]):
+    * one output row per kept (every `stride`-th) frame with its pixel
+    * statistics — the frame-extraction stage of a video-ish pipeline on
+    * a JDK-decodable container. Payloads no multi-frame reader claims
+    * emit no rows (compose with [[sampleFrames]], the byte-chunk stub,
+    * for genuinely opaque video). Per-partition flatMap — no shuffle. */
+  def sampleGifFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.flatMap { r =>
+      Codecs.decodeGifFrames(r.getAs[Array[Byte]](mIdx), stride).map { case (f, s) =>
+        FrameRow(r.getLong(idIdx), f, s.width, s.height, s.meanR, s.meanG, s.meanB)
+      }
+    }(Encoders.product[FrameRow]).toDF()
   }
 
   /** Perceptual 64-bit dHash per image ([[Codecs.dHash]]): decode via

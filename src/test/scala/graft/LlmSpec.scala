@@ -602,6 +602,35 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.size >= 100, s"only ${pairs.size} pairs — fixture not exercising the join")
   }
 
+  test("animated GIF round trip: frame count, stride sampling, flat colors exact") {
+    val ids = Seq(0L, 1L, 5L, 11L).toDF("doc_id")
+    val media = Multimodal.syntheticGif(ids, "doc_id")
+    // stride 1: every frame back, flat colors exact (GIF palette holds them)
+    val all = Multimodal.sampleGifFrames(media, stride = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (id <- Seq(0L, 1L, 5L, 11L)) {
+      val (w, h, nf) = (6 + (id % 4).toInt, 4 + (id % 3).toInt, 3 + (id % 4).toInt)
+      assert((0 until nf).forall(f => all.contains((id, f))), s"id $id missing frames")
+      assert(!all.contains((id, nf)), s"id $id has phantom frame $nf")
+      for (f <- 0 until nf) {
+        val (gw, gh, mr, mg, mb) = all((id, f))
+        assert(gw == w && gh == h)
+        assert(mr == ((id + 31L * f) % 256).toDouble)
+        assert(mg == ((2L * id + 17L * f + 5) % 256).toDouble)
+        assert(mb == ((3L * id + 7L * f + 11) % 256).toDouble)
+      }
+    }
+    // stride 2 keeps exactly frames 0, 2, 4, …
+    val sampled = Multimodal.sampleGifFrames(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled == all.keySet.filter(_._2 % 2 == 0))
+    // non-GIF payloads emit no rows, no crash
+    import spark.implicits._
+    val junk = Seq((9L, "not a gif".getBytes)).toDF("media_id", "media")
+    assert(Multimodal.sampleGifFrames(junk).count() == 0)
+  }
+
   test("real WAV audio decode: rate, duration, RMS (PCM16 RIFF)") {
     def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
