@@ -243,4 +243,94 @@ object StreamingSimilarity {
       .groupByKey(_.queryId)(Encoders.scalaLong)
       .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- online hamming near-dup over precomputed 64-bit signatures ----
+
+  /** One banded signature arrival (object-level for the encoder). */
+  private[llm] case class SigBandRow(bandKey: String, band: Int, id: Long, sig: Long)
+  private[llm] case class SigMember(id: Long, sig: Long)
+  /** Emitted near-dup pair, schema-matching [[Dedup.sigPairs]]. */
+  case class SigPair(id1: Long, id2: Long, dist: Int)
+
+  /** Per-bucket processor. Exactly-once across the multi-table banding:
+    * a pair sharing k band keys appears in k buckets; each bucket knows
+    * its combo index and emits only when IT is the FIRST matching combo
+    * for the two signatures (recomputed as pure bit arithmetic — no
+    * cross-bucket coordination). State = the bucket's stored members,
+    * capped at maxBucketSize (the batch capBuckets bound). */
+  private class SigBucketProcessor(maxDist: Int, width: Int, combos: Seq[Seq[Int]],
+                                   maxBucketSize: Int)
+      extends StatefulProcessor[String, SigBandRow, SigPair] {
+    @transient private var members: ListState[SigMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[SigMember]("members",
+        Encoders.product[SigMember], TTLConfig.NONE)
+    private val mask = if (width >= 64) -1L else (1L << width) - 1
+    private def comboKey(c: Seq[Int], sig: Long): Long =
+      c.foldLeft(0L)((acc, b) => (acc << width) | ((sig >>> (b * width)) & mask))
+    private def firstMatchingCombo(s1: Long, s2: Long): Int = {
+      var i = 0
+      while (i < combos.length) {
+        if (comboKey(combos(i), s1) == comboKey(combos(i), s2)) return i
+        i += 1
+      }
+      -1
+    }
+    override def handleInputRows(key: String, rows: Iterator[SigBandRow],
+                                 timerValues: TimerValues): Iterator[SigPair] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[SigMember]
+      members.get().foreach(stored += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SigPair]
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[SigMember]
+      // id order within the batch: same-batch pairs emit deterministically
+      rows.toSeq.sortBy(_.id).foreach { r =>
+        stored.foreach { m =>
+          if (m.id != r.id) {
+            val dist = java.lang.Long.bitCount(m.sig ^ r.sig)
+            if (dist <= maxDist && firstMatchingCombo(m.sig, r.sig) == r.band) {
+              val (a, b) = if (m.id < r.id) (m.id, r.id) else (r.id, m.id)
+              out += SigPair(a, b, dist)
+            }
+          }
+        }
+        if (stored.length < maxBucketSize) {
+          stored += SigMember(r.id, r.sig)
+          fresh += SigMember(r.id, r.sig)
+        }
+      }
+      if (fresh.nonEmpty) members.appendList(fresh.toArray)
+      out.iterator
+    }
+  }
+
+  /** Arrival-time near-dup pairs over a STREAM of precomputed 64-bit
+    * signatures (image dHash, audio energy prints, text simhash) — the
+    * online twin of [[Dedup.sigPairs]]: the identical recall-1
+    * permuted-block geometry ([[Dedup.simhashBanding]]), with each
+    * arriving signature checked against its buckets' stored members.
+    * Every ≤ maxDist pair emits exactly once (first-matching-band
+    * rule), whether its ends share a micro-batch or arrive epochs
+    * apart. The only Exchange is the band-key state routing. */
+  def sigPairsOnline(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxDist: Int = 3, maxBucketSize: Int = 1000): Dataset[SigPair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    implicit val rowEnc = Encoders.product[SigBandRow]
+    implicit val outEnc = Encoders.product[SigPair]
+    val (width, combos) = Dedup.simhashBanding(maxDist)
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    val banded = sigs
+      .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
+      .as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        combos.indices.map { ci =>
+          var key = 0L
+          combos(ci).foreach(b => key = (key << width) | ((sig >>> (b * width)) & mask))
+          SigBandRow(s"$ci:$key", ci, id, sig)
+        }
+      }
+    banded.groupByKey(_.bandKey)(Encoders.STRING)
+      .transformWithState(new SigBucketProcessor(maxDist, width, combos, maxBucketSize),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -9,6 +9,9 @@ import graft.llm.{Ivf, StreamingSimilarity}
 /** Query vector for the streaming ANN spec (top-level for the encoder). */
 case class SsQuery(vec_id: Long, embedding: Array[Float])
 
+/** Signature arrival for the online sigPairs spec. */
+case class SsSig(media_id: Long, dhash: Long)
+
 /** Online ANN == batch IVF: the streaming [[StreamingSimilarity.ivfTopK]]
   * must produce bit-identical (neighbor, rank, cosine) results to batch
   * [[Ivf.topK]] over the same prebuilt index — including the centroid
@@ -158,5 +161,38 @@ class StreamingSimilaritySpec extends AnyFunSuite {
       assert(snbr == nbr && scos == cos, // bit-equal: same cosineSim on same dequant
         s"$key: stream ($snbr, $scos) vs batch ($nbr, $cos)")
     }
+  }
+
+  test("streaming sigPairsOnline == batch Dedup.sigPairs on the planted image fixture") {
+    import org.apache.spark.sql.Encoders
+    implicit val sEnc = Encoders.product[SsSig]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    // real perceptual fingerprints from the planted near-dup PNG fixture
+    val ids = spark.range(0, 200).toDF("doc_id")
+    val sigRows = graft.llm.Multimodal.imageDHash(
+        graft.llm.Multimodal.syntheticPng(ids, "doc_id", contentMod = 80L))
+      .filter(org.apache.spark.sql.functions.col("decoded"))
+      .collect().map(r => SsSig(r.getLong(0), r.getLong(2)))
+    val sigDf = spark.createDataset(sigRows.toSeq).toDF("media_id", "dhash")
+    val batch = graft.llm.Dedup.sigPairs(sigDf, "media_id", "dhash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.util.Caching.release()
+
+    val mem = MemoryStream[SsSig]
+    val q = StreamingSimilarity.sigPairsOnline(mem.toDF(), "media_id", "dhash", maxDist = 3)
+      .writeStream.outputMode("append").format("memory").queryName("ss_sigpairs")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // uneven micro-batches: pairs must surface whether their ends share
+    // a batch or arrive epochs apart
+    sigRows.grouped(37).foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    val stream = spark.table("ss_sigpairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+
+    assert(stream == batch, s"stream ${stream.size} pairs vs batch ${batch.size}")
+    assert(batch.nonEmpty && batch.exists { case (a, b, _) => b - a == 80 || b - a == 160 },
+      "planted copies must surface")
   }
 }
