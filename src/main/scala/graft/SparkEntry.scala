@@ -727,6 +727,18 @@ object SparkEntry {
       graft.llm.Blocklist.phraseHits(
         Sources.table(s, dir, "documents"), "doc_id", "text", phrases)
     },
+    // URL canonicalization: messy synthetic URLs (upper-case scheme and
+    // host, default port, tracking params out of order, fragment) must
+    // canonicalize to the closed-form clean URL the oracle builds
+    "q_url_canonical" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val messy = concat(lit("HTTP://W"), col("doc_id") % 5,
+        lit(".Example.COM:80/p/"), col("doc_id"),
+        lit("?utm_source=x&b=2&gclid=g&a=1#frag"))
+      docs.select(col("doc_id"),
+        graft.llm.UrlStats.canonicalizeUrl(messy).as("canonical"),
+        graft.llm.UrlStats.canonicalizeUrl(lit("not a url")).as("passthrough"))
+    },
     // per-domain crawl provenance on deterministically decorated text
     // (two synthetic URLs per doc, 7 + 3 host classes)
     "q_url_domains" -> { (s, dir) =>
@@ -2713,6 +2725,12 @@ object SparkEntry {
         |  SELECT doc_id FROM g2 WHERE g IN ('key agg','row scan','fast table','batch part','sort table')
         |  UNION ALL SELECT doc_id FROM g3 WHERE g = 'a row fast')
         |SELECT doc_id, count(*) AS hits FROM hits GROUP BY 1""".stripMargin,
+    "q_url_canonical" ->
+      """SELECT doc_id,
+        |  'http://w' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical,
+        |  'not a url' AS passthrough
+        |FROM documents""".stripMargin,
     "q_url_domains" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' http://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)

@@ -38,6 +38,37 @@ object UrlStats {
       .groupBy(col("domain"))
       .agg(sum(col("__c")).as("urls"), count(lit(1)).as("docs"))
 
+  /** Canonical URL form — the dedup key a crawl pipeline uses so
+    * `HTTP://Example.COM:80/p?utm_source=x&b=2&a=1#top` and
+    * `http://example.com/p?a=1&b=2` count as ONE page: lowercase scheme
+    * and host, strip the scheme's default port (:80 / :443), drop the
+    * fragment, drop tracking parameters (utm_*, gclid, fbclid, msclkid,
+    * ref), and sort the surviving query parameters. Pure codegen'd
+    * string algebra, RE2-compatible (no lookaheads — the default-port
+    * strip is an endswith + substring, so the DuckDB oracle replays the
+    * same automaton). Non-URL input passes through untouched. Path case
+    * and percent-encoding are preserved (paths are case-sensitive per
+    * RFC 3986; encoding normalization is a different, lossy decision). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1))
+    val host = when(scheme === "http" && endswith(hostRaw, lit(":80")),
+        hostRaw.substr(lit(1), length(hostRaw) - 3))
+      .when(scheme === "https" && endswith(hostRaw, lit(":443")),
+        hostRaw.substr(lit(1), length(hostRaw) - 4))
+      .otherwise(hostRaw)
+    val pathAndQuery = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+(.*)$", 1)
+    val path = regexp_extract(pathAndQuery, "^([^?]*)", 1)
+    val qs = regexp_extract(pathAndQuery, "^[^?]*\\?(.*)$", 1)
+    val kept = array_sort(filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)")))
+    val query = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(url.rlike("^[A-Za-z]+://"),
+      concat(scheme, lit("://"), host, path, query)).otherwise(url)
+  }
+
   /** Drop docs that reference ANY blocked domain — pure projection (the
     * blocklist rides as a literal array; for large lists, extract to a
     * (domain) frame and anti-join like [[Blocklist.filterPhrases]]). */

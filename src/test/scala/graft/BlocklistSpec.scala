@@ -107,6 +107,23 @@ class BlocklistSpec extends AnyFunSuite {
     assert(str.nonEmpty)
   }
 
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, ordering") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(UrlStats.canonicalizeUrl(col("u"))).as[String].head()
+    assert(canon("HTTP://Example.COM:80/Path/To?utm_source=x&b=2&a=1#frag")
+      == "http://example.com/Path/To?a=1&b=2") // path case preserved
+    assert(canon("https://A.org:443/x") == "https://a.org/x")
+    assert(canon("https://a.org:8443/x") == "https://a.org:8443/x") // non-default port kept
+    assert(canon("http://a.org:443/x") == "http://a.org:443/x")     // 443 is not http's default
+    assert(canon("http://a.org/p?utm_campaign=c&gclid=1&fbclid=2&ref=r")
+      == "http://a.org/p") // tracking-only query drops the '?'
+    assert(canon("http://a.org/p?refresh=1") == "http://a.org/p?refresh=1") // ref= only, not prefixes
+    assert(canon("ftp://Host/X") == "ftp://host/X") // other schemes: case-normalized, ports kept
+    assert(canon("no scheme here") == "no scheme here")
+    assert(canon("http://a.org/p?b=2&a=1") == canon("HTTP://A.ORG:80/p?a=1&b=2&utm_medium=m#z"),
+      "canonical forms of the same page must collide (the dedup-key property)")
+  }
+
   test("empty phrase list is rejected up front by both arms") {
     intercept[IllegalArgumentException] {
       Blocklist.phraseFlags(fixtureDocs, "text", Seq.empty)
