@@ -833,6 +833,15 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // semantic decontamination (the embedding twin of q_ngram_overlap):
+    // every 40th vector plays the eval set; train vectors within cosine
+    // 0.35 of ANY eval vector are flagged — the paraphrase leak lexical
+    // n-gram checks miss
+    "q_embed_decontaminate" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 40 =!= 0), e.filter(col("vec_id") % 40 === 0), 0.35)
+    },
     // matryoshka-truncated retrieval: rank by cosine over the first 8
     // coordinates only (the MRL prefix-serving pattern — proportionally
     // fewer scan bytes); the oracle slices the same prefix
@@ -3385,6 +3394,15 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35""".stripMargin,
+    "q_embed_decontaminate" ->
+      """WITH t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 <> 0),
+        |r AS (SELECT embedding FROM embeddings WHERE vec_id % 40 = 0),
+        |fl AS (SELECT DISTINCT t.vec_id FROM t, r WHERE
+        |  list_sum(list_transform(list_zip(t.embedding, r.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35)
+        |SELECT vec_id, vec_id IN (SELECT vec_id FROM fl) AS contaminated FROM t""".stripMargin,
     // brute-force truth for the length-banded blocking: |Δlen| ≤ d is a
     // necessary condition of levenshtein ≤ d, so the blocked answer is
     // complete and the oracle's all-pairs recompute matches exactly

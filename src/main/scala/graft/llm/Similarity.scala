@@ -119,6 +119,31 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
+  /** Semantic decontamination — the embedding-space twin of the n-gram
+    * test-set checks ([[Dedup.ngramOverlap]]): flag every TRAIN vector
+    * whose cosine to ANY reference (eval-set) vector reaches `tau`. A
+    * paraphrased benchmark item shares no n-grams but sits next to its
+    * source in embedding space — this is the leak the lexical checks
+    * miss. Output (idCol, contaminated) for every train row.
+    *
+    * 100 TB shape: the reference side is an eval set (thousands of
+    * rows) — it BROADCASTS; the train corpus is scanned once with the
+    * codegen'd [[graft.functions.VectorExprs.CosineSim]] kernel, so the
+    * only Exchange is the flagged-id distinct (matched rows only). For
+    * reference sets too big to broadcast, gate with the banded
+    * SRP-LSH/[[Ivf]] machinery first. */
+  def semanticDecontaminate(train: DataFrame, ref: DataFrame, tau: Double,
+                            id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val t = train.select(col(id), col(vec).as("__tv"))
+    val r = ref.select(col(vec).as("__rv"))
+    val flagged = t.crossJoin(broadcast(r))
+      .filter(cosine(col("__tv"), col("__rv")) >= tau)
+      .select(col(id)).distinct()
+    train.select(col(id))
+      .join(flagged.withColumn("__c", lit(true)), Seq(id), "left")
+      .select(col(id), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
+
   /** Deterministic hyperplanes for SRP-LSH: `tables` signatures of `bits`
     * bits each, planes seeded (xorshift-free — plain LCG on (table, bit,
     * dim) is enough for sign projections). */

@@ -863,6 +863,27 @@ class LlmSpec extends AnyFunSuite {
     assert(hashes("ab", 3).isEmpty)
   }
 
+  test("semanticDecontaminate == brute-force cosine flags; paraphrase-leak semantics") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val train = e.filter($"vec_id" % 40 =!= 0)
+    val ref = e.filter($"vec_id" % 40 === 0)
+    val out = Similarity.semanticDecontaminate(train, ref, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val rv = vecs(ref).map(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = vecs(train).map { case (id, v) => id -> rv.exists(cos(v, _) >= 0.35) }.toMap
+    assert(out == brute)
+    assert(out.values.exists(identity), "fixture must plant at least one semantic leak")
+    assert(out.values.exists(!_), "and at least one clean train vector")
+  }
+
   test("bloom decontamination == exact verdict, even at fpp 0.5 (verify removes false positives)") {
     val train = docs.filter($"doc_id" =!= 0L)
     val ref = docs.filter($"doc_id" === 0L)
