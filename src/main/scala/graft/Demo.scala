@@ -106,6 +106,27 @@ object Demo {
     val hardNeg = graft.llm.Similarity.hardNegatives(emb.filter(col("vec_id") < 2), emb, 3)
     println("hard negatives (different-label top-3) for 2 queries:")
     hardNeg.show(6, truncate = false)
+    val semLeaks = graft.llm.Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 40 =!= 0), emb.filter(col("vec_id") % 40 === 0), 0.35)
+    println(s"semantic decontamination flags " +
+      s"${semLeaks.filter(col("contaminated")).count()}/${semLeaks.count()} train vectors")
+
+    // ---- multimodal tour (round 11): real PNG decode → resize → dHash
+    // near-dup, GIF frame sampling, audio fingerprints, mojibake repair
+    val ids = docs.select(col("doc_id"))
+    val png = graft.llm.Multimodal.syntheticPng(ids, "doc_id", contentMod = 40L)
+    val dh = graft.llm.Multimodal.imageDHash(
+      graft.llm.Multimodal.resizeImages(png, maxEdge = 8))
+    println(s"decoded+hashed ${dh.filter(col("decoded")).count()} PNGs after resize")
+    val imgPairs = graft.llm.Multimodal.imageNearDups(png, maxDist = 3)
+    println(s"image near-dup pairs (dHash hamming<=3) = ${imgPairs.count()}")
+    val gif = graft.llm.Multimodal.sampleGifFrames(
+      graft.llm.Multimodal.syntheticGif(ids.limit(50), "doc_id"), stride = 2)
+    println(s"GIF frames sampled (stride 2, 50 docs) = ${gif.count()}")
+    val fixed = docs.select(graft.llm.Normalize.fixMojibake(
+      org.apache.spark.sql.functions.concat(col("text"),
+        org.apache.spark.sql.functions.lit(" caffÃ©"))).as("t"))
+    println(s"mojibake repair: ${fixed.filter(col("t").endsWith(" caffé")).count()}/${docs.count()} decorated docs repaired")
     graft.util.Caching.release()
     spark.stop()
   }
