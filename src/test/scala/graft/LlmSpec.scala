@@ -225,6 +225,46 @@ class LlmSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("plan shapes: r11 operators stay shuffle-lean") {
+    // mojibake repair + URL canonicalization: pure codegen'd projections
+    // (parquet source — a local Seq collapses into LocalTableScan and
+    // hides the codegen stage)
+    val parquetDocs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val proj = parquetDocs.select(
+      graft.llm.Normalize.fixMojibake(col("text")).as("t"),
+      graft.llm.UrlStats.canonicalizeUrl(col("text")).as("u"))
+    val projPlan = proj.queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange"), s"projection ops must not shuffle:\n${projPlan.take(600)}")
+    // fixMojibake alone stays inside whole-stage codegen ("*(n)" prefix
+    // marks codegen stages); canonicalizeUrl's higher-order filter/sort
+    // lambdas are CodegenFallback Spark-wide, so it is excluded here —
+    // still a single-pass zero-shuffle projection (asserted above)
+    val mojiPlan = parquetDocs.select(graft.llm.Normalize.fixMojibake(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(mojiPlan.contains("*(1) Project"),
+      s"fixMojibake must stay inside whole-stage codegen:\n${mojiPlan.take(600)}")
+    // decode pipeline (syntheticPng → resize → dHash): per-partition maps, zero shuffle
+    val ids = spark.range(0, 50).toDF("doc_id")
+    val decodePlan = graft.llm.Multimodal.imageDHash(
+        graft.llm.Multimodal.resizeImages(
+          graft.llm.Multimodal.syntheticPng(ids, "doc_id"), maxEdge = 4))
+      .queryExecution.executedPlan.toString
+    assert(!decodePlan.contains("Exchange"), s"decode pipeline must not shuffle:\n${decodePlan.take(600)}")
+    // blocklist hashed arm: ONE hash-partitioned Exchange (the per-doc
+    // collapse) + the broadcast phrase side; never a corpus sort-merge
+    import spark.implicits._
+    val hitsPlan = graft.llm.Blocklist.phraseHits(docs, "doc_id", "text",
+        Seq("key agg", "a row fast").toDF("phrase"), hashed = true)
+      .queryExecution.executedPlan.toString
+    // exactly ONE corpus-side Exchange (the per-doc collapse, keyed by
+    // doc_id); the other hash Exchange is the phrase-side distinct —
+    // bounded by the already-broadcast small side
+    val docEx = "hashpartitioning\\(doc_id".r.findAllIn(hitsPlan).length
+    assert(docEx == 1, s"phraseHits must carry exactly one doc-keyed Exchange, saw $docEx")
+    assert(hitsPlan.contains("BroadcastExchange"), "phrase side must broadcast")
+    assert(!hitsPlan.contains("SortMergeJoin"), "gram join must not sort-merge the corpus")
+  }
+
   test("Ivf.assign is a pure projection: zero exchanges, zero aggregates") {
     val vecs = clusteredVecs(29, 64, 16)
     val cents = graft.llm.Ivf.buildCentroids(vecs, k = 4, iters = 1)
