@@ -833,6 +833,15 @@ object SparkEntry {
       Similarity.thresholdPairs(Sources.table(s, dir, "embeddings"), 0.35)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     },
+    // memorization audit: every 25th doc plays a "generation"; its
+    // distinct 5-gram overlap fraction against the remaining training
+    // corpus — exact-dup plants score 1.0, novel text near 0
+    "q_memorization" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Dedup.memorizationScore(
+        docs.filter(col("doc_id") % 25 === 0),
+        docs.filter(col("doc_id") % 25 =!= 0), "text", "doc_id", n = 5)
+    },
     // semantic decontamination (the embedding twin of q_ngram_overlap):
     // every 40th vector plays the eval set; train vectors within cosine
     // 0.35 of ANY eval vector are flagged — the paraphrase leak lexical
@@ -2901,6 +2910,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
         |  SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
         |FROM dg d LEFT JOIN refg r ON d.g = r.g GROUP BY 1""".stripMargin,
+    "q_memorization" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)),
+        |traing AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 25 <> 0),
+        |cg AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh WHERE doc_id % 25 = 0)
+        |SELECT c.doc_id, min(c.n_grams) AS n_grams,
+        |  CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(min(c.n_grams) AS DOUBLE) AS memorized_frac
+        |FROM cg c LEFT JOIN traing t ON c.g = t.g GROUP BY 1""".stripMargin,
     "q_bloom_decontaminate" ->
       """WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
         |    THEN [array_to_string(toks, ' ')]

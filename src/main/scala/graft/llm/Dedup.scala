@@ -334,6 +334,40 @@ object Dedup {
       .withColumn("contaminated", col("matched") > 0)
   }
 
+  /** Memorization audit (the extraction-attack check, Carlini et al.
+    * 2021, at the n-gram level): for each CANDIDATE document — model
+    * generations, suspected regurgitations — the fraction of its
+    * distinct word n-grams that occur ANYWHERE in the training corpus.
+    * `memorized_frac` ≈ 1 ⇒ verbatim training text; ≈ 0 ⇒ novel text.
+    *
+    * The INVERSE shape of [[ngramOverlap]]: there the reference (a test
+    * set) is small and broadcasts; here the TRAINING corpus is the big
+    * side. So the candidate gram set broadcasts instead, the training
+    * corpus is scanned ONCE behind a map-side semi-join gate, and every
+    * Exchange carries candidate-bounded rows (matched grams, then one
+    * row per candidate doc) — the corpus never shuffles. Output
+    * (idCol, n_grams, matched, memorized_frac). */
+  def memorizationScore(cand: DataFrame, train: DataFrame, textCol: String,
+                        idCol: String, n: Int = 8): DataFrame = {
+    def grams = array_distinct(Shingles.shingles(col(textCol), n))
+    val candGrams = graft.util.Caching.barrier(
+      cand.select(col(idCol), explode(grams).as("g")))
+    val candSet = candGrams.select(col("g")).distinct()
+    // one training-corpus pass: keep only grams the candidates carry
+    // (broadcast semi-join gate), then distinct the bounded survivors
+    val seen = graft.util.Parallelism.fanOut(train)
+      .select(explode(grams).as("g"))
+      .join(broadcast(candSet), Seq("g"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1))
+    candGrams.join(broadcast(seen), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("matched"))
+      .withColumn("memorized_frac",
+        col("matched").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Bloom-gated exact n-gram decontamination: same verdict as
     * [[ngramOverlap]]'s `contaminated` flag (does ANY of the doc's word
     * n-grams occur in the reference corpus?), but the corpus-side probe

@@ -903,6 +903,23 @@ class LlmSpec extends AnyFunSuite {
     assert(hashes("ab", 3).isEmpty)
   }
 
+  test("memorizationScore: verbatim = 1.0, novel = 0.0, partial in between") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val cand = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // verbatim copy
+      (101L, "completely novel words nowhere inside training corpus whatsoever today"),
+      (102L, "alpha beta gamma delta epsilon plus a novel ending here now")).toDF("doc_id", "text")
+    val out = Dedup.memorizationScore(cand, train, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(100L)._3 == 1.0, s"verbatim training text must score 1.0: ${out(100L)}")
+    assert(out(101L)._3 == 0.0, s"novel text must score 0.0: ${out(101L)}")
+    val (n102, m102, f102) = out(102L)
+    assert(f102 > 0.0 && f102 < 1.0 && m102 > 0 && m102 < n102,
+      s"partial regurgitation must land strictly between: ${out(102L)}")
+  }
+
   test("semanticDecontaminate == brute-force cosine flags; paraphrase-leak semantics") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val train = e.filter($"vec_id" % 40 =!= 0)
