@@ -1481,6 +1481,17 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // image canonicalization: the near-dup pair kernel composed into
+    // connected components — every image gets the min-id of its
+    // perceptual-duplicate cluster (the keep-one rule of image dedup)
+    "q_image_cluster" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents").select(col("doc_id"))
+      val media = graft.llm.Multimodal.syntheticPng(docs, "doc_id", contentMod = 240L)
+      val pairs = graft.llm.Multimodal.imageNearDups(media, maxDist = 3)
+        .select(col("id1"), col("id2"))
+      graft.llm.Dedup.components(pairs,
+        docs.select(col("doc_id").as("media_id")), "media_id")
+    },
     // perceptual image fingerprints: dHash over the real PNG decode
     // (9×8 integer-luminance grid — every bit analytically replayable)
     "q_image_dhash" -> { (s, dir) =>
@@ -2566,6 +2577,36 @@ object SparkEntry {
         |         ELSE 1::BIGINT << (r*8 + c - 1) END
         |  ELSE 0::BIGINT END AS v FROM bits WHERE c >= 1)
         |SELECT m AS doc_id, CAST(sum(v) AS BIGINT) AS dhash FROM contrib GROUP BY m""".stripMargin,
+    // the near-dup replay composed into min-label connected components
+    // (the q_embed_cluster recursive-CTE pattern over dHash pairs)
+    "q_image_cluster" ->
+      """WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS rawid, CAST(doc_id AS BIGINT) % 240 AS m FROM documents),
+        |dims AS (SELECT rawid, m, 4 + (m % 5) AS w, 3 + (m % 3) AS h, 2 * (rawid // 240) AS pert FROM ids),
+        |gr AS (SELECT rawid, m, w, h, pert, unnest(range(0, 8)) AS r FROM dims),
+        |gc AS (SELECT rawid, m, w, h, pert, r, unnest(range(0, 9)) AS c FROM gr),
+        |px AS (SELECT rawid, m, pert, r, c, least(w - 1, (c * w) // 9) AS sx,
+        |  least(h - 1, (r * h) // 8) AS sy FROM gc),
+        |lum AS (SELECT rawid, r, c,
+        |  299*((((m + 1) * (sx + 7) * (sy + 11)) % 251
+        |        + CASE WHEN sx = 0 AND sy = 0 THEN pert ELSE 0 END) % 256)
+        |    + 587*(((2*m + 3) * (sx + 5) * (sy + 13)) % 241)
+        |    + 114*(((3*m + 7) * (sx + 3) * (sy + 17)) % 239) AS l FROM px),
+        |bits AS (SELECT rawid, r, c,
+        |  CASE WHEN l > lag(l) OVER (PARTITION BY rawid, r ORDER BY c) THEN 1 ELSE 0 END AS b
+        |  FROM lum),
+        |contrib AS (SELECT rawid, CASE WHEN b = 1 THEN
+        |    CASE WHEN r*8 + c - 1 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |         ELSE 1::BIGINT << (r*8 + c - 1) END
+        |  ELSE 0::BIGINT END AS v FROM bits WHERE c >= 1),
+        |hs AS (SELECT rawid, CAST(sum(v) AS BIGINT) AS dhash FROM contrib GROUP BY rawid),
+        |p1 AS (SELECT a.rawid AS id1, b.rawid AS id2 FROM hs a JOIN hs b
+        |  ON a.rawid < b.rawid WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+        |ed AS (SELECT id1, id2 FROM p1 UNION ALL SELECT id2 AS id1, id1 AS id2 FROM p1),
+        |lbl(id, lab) AS (
+        |  SELECT rawid, rawid FROM hs
+        |  UNION
+        |  SELECT ed.id2, lbl.lab FROM lbl JOIN ed ON ed.id1 = lbl.id)
+        |SELECT id AS media_id, min(lab) AS canonical_id FROM lbl GROUP BY id""".stripMargin,
     // same replay with content = id % 240 over the SCRAMBLED mod-prime
     // pixels (decorrelated fingerprints — smooth gradients made the pair
     // set output-quadratic) and the planted one-pixel red perturbation,
