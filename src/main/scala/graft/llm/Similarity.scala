@@ -144,6 +144,51 @@ object Similarity {
       .select(col(id), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** Frozen serving arm of [[semanticDecontaminate]]: collect the eval
+    * set ONCE (bounded by the eval-set contract — same driver-side bound
+    * as the broadcast the batch arm ships), then gate any batch OR
+    * stream of vectors as a pure per-row computation: no join, no
+    * distinct, no state — the [[graft.llm.Relevance.frozenScorer]]
+    * pattern. Returns (idCol, contaminated) for every input row;
+    * cosines accumulate index-ascending in doubles, matching the batch
+    * kernel bit-for-bit. */
+  def frozenSemanticGate(ref: DataFrame, tau: Double,
+                         vec: String = "embedding"): DataFrame => DataFrame = {
+    val refVecs = ref.select(col(vec)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    df => {
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(refVecs)
+      val idIdx = 0
+      val out = df.select(col(df.columns.head), col(vec))
+      val vIdx = 1
+      import org.apache.spark.sql.Encoders
+      out.map { r =>
+        val v = r.getSeq[Any](vIdx).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        var hit = false
+        val refs = bc.value
+        var i = 0
+        while (i < refs.length && !hit) {
+          val u = refs(i)
+          var (dot, na, nb) = (0.0, 0.0, 0.0)
+          var j = 0
+          while (j < v.length) {
+            dot += v(j) * u(j); na += v(j) * v(j); nb += u(j) * u(j); j += 1
+          }
+          if (dot / (math.sqrt(na) * math.sqrt(nb)) >= tau) hit = true
+          i += 1
+        }
+        (r.getLong(idIdx), hit)
+      }(Encoders.product[(Long, Boolean)]).toDF(df.columns.head, "contaminated")
+    }
+  }
+
   /** Deterministic hyperplanes for SRP-LSH: `tables` signatures of `bits`
     * bits each, planes seeded (xorshift-free — plain LCG on (table, bit,
     * dim) is enough for sign projections). */

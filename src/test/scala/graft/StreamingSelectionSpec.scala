@@ -213,4 +213,27 @@ class StreamingSelectionSpec extends AnyFunSuite {
       assert(math.abs(online(id)._2 - s) < 1e-9, s"doc $id score")
     }
   }
+
+  test("frozen semantic gate: stream contamination flags equal the batch arm") {
+    import org.apache.spark.sql.Encoders
+    implicit val vEnc = Encoders.product[StVec]
+    implicit val sq = spark.sqlContext
+    val train = fixtureEmb.filter(col("vec_id") % 40 =!= 0)
+    val ref = fixtureEmb.filter(col("vec_id") % 40 === 0)
+    val batch = graft.llm.Similarity.semanticDecontaminate(train, ref, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gate = graft.llm.Similarity.frozenSemanticGate(ref, 0.35)
+    val rows = train.select("vec_id", "embedding").collect()
+      .map(r => StVec(r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[StVec]
+    val q = gate(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("st_semgate")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(120).foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    val online = spark.table("st_semgate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(online == batch)
+    assert(batch.values.exists(identity) && batch.values.exists(!_))
+  }
 }
