@@ -163,6 +163,57 @@ object Codecs {
   def decodeImage(bytes: Array[Byte], edge: Int = 8): Option[ImageStats] =
     decodePpm(bytes, edge).orElse(decodeImageIO(bytes, edge))
 
+  /** Any supported image as a BufferedImage — the bridge that lets the
+    * PIXEL-consuming kernels ([[dHash]], resize) accept raw PPM payloads
+    * alongside the ImageIO formats. PPM maxval scales to 8-bit. */
+  def toBufferedImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+      // re-walk the P6 header (same grammar as decodePpm), materialize pixels
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); val maxv = int()
+      i += 1
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+          bytes.length - i < w * h * 3) return None
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = i + (y * w + x) * 3
+          def ch(b: Byte): Int = ((b & 0xff) * 255) / maxv
+          img.setRGB(x, y, (ch(bytes(o)) << 16) | (ch(bytes(o + 1)) << 8) | ch(bytes(o + 2)))
+          x += 1
+        }
+        y += 1
+      }
+      Some(img)
+    } else {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      Option(img)
+    }
+  }
+
   /** 64-bit difference hash (dHash) of a decoded image — the standard
     * perceptual fingerprint for image near-dup sweeps: nearest-neighbor
     * sample a 9-wide × 8-tall INTEGER-luminance grid (299r+587g+114b —

@@ -115,22 +115,20 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL image resize for the ImageIO formats (PNG/JPEG/GIF/BMP):
-    * decode, scale the longer edge down to `maxEdge` (aspect preserved,
-    * bilinear, never upscale), re-encode as PNG with updated meta.
-    * Payloads no reader claims pass through byte-identical (route
-    * genuinely opaque blobs through the [[resize]] byte-subsample stub
-    * instead). Same per-partition decode shape as [[decodeImages]] —
-    * the 100 TB cost is pure per-blob compute, no shuffle. */
+  /** REAL image resize (raw PPM or any ImageIO format — PNG/JPEG/GIF/
+    * BMP): decode via [[Codecs.toBufferedImage]], scale the longer edge
+    * down to `maxEdge` (aspect preserved, bilinear, never upscale),
+    * re-encode as PNG with updated meta. Payloads no decoder claims
+    * pass through byte-identical (route genuinely opaque blobs through
+    * the [[resize]] byte-subsample stub instead). Same per-partition
+    * decode shape as [[decodeImages]] — the 100 TB cost is pure
+    * per-blob compute, no shuffle. */
   def resizeImages(media: DataFrame, maxEdge: Int): DataFrame = {
     require(maxEdge >= 1, s"maxEdge $maxEdge must be >= 1")
     val enc = Encoders.row(mediaSchema)
     media.select(col("media_id"), col("media"), col("meta")).map { r =>
       val bytes = r.getAs[Array[Byte]](1)
-      javax.imageio.ImageIO.setUseCache(false)
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException | _: RuntimeException => null }
+      val img = Codecs.toBufferedImage(bytes).orNull
       if (img == null) Row(r.getLong(0), bytes, r.getStruct(2))
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -285,21 +283,19 @@ object Multimodal {
   }
 
   /** Perceptual 64-bit dHash per image ([[Codecs.dHash]]): decode via
-    * ImageIO, fingerprint the 9×8 luminance grid. Payloads no reader
-    * claims yield decoded=false / dhash=0. Per-partition map — no
-    * shuffle; at 100 TB decode dominates and scales with executors. */
+    * [[Codecs.toBufferedImage]] (raw PPM or any ImageIO format),
+    * fingerprint the 9×8 luminance grid. Payloads no decoder claims
+    * yield decoded=false / dhash=0. Per-partition map — no shuffle; at
+    * 100 TB decode dominates and scales with executors. */
   def imageDHash(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val mIdx = media.schema.fieldIndex("media")
     media.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](mIdx)))
-          catch { case _: java.io.IOException | _: RuntimeException => null }
-        if (img == null) DHashRow(r.getLong(idIdx), decoded = false, 0L)
-        else DHashRow(r.getLong(idIdx), decoded = true, Codecs.dHash(img))
+        Codecs.toBufferedImage(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(img) => DHashRow(r.getLong(idIdx), decoded = true, Codecs.dHash(img))
+          case None => DHashRow(r.getLong(idIdx), decoded = false, 0L)
+        }
       }
     }(Encoders.product[DHashRow]).toDF()
   }

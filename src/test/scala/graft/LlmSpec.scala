@@ -546,6 +546,25 @@ class LlmSpec extends AnyFunSuite {
     // grayscale thumbnail populated for ImageIO-decoded images too
     val gray = out(0L).getAs[scala.collection.Seq[Float]](7)
     assert(gray.length == 4 && gray.exists(_ > 0f))
+
+    // PPM payloads reach the pixel kernels through the same bridge:
+    // identical pixels ⇒ identical dHash whether PPM- or PNG-encoded
+    def ppm(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y); val o = (y * w + x) * 3
+        body(o) = r.toByte; body(o + 1) = g.toByte; body(o + 2) = b.toByte
+      }
+      header ++ body
+    }
+    val gradRgb: (Int, Int) => (Int, Int, Int) =
+      (x, y) => (x * 20 % 256, y * 30 % 256, (x + y) % 256)
+    val viaPpm = graft.llm.Codecs.dHash(
+      graft.llm.Codecs.toBufferedImage(ppm(8, 6, gradRgb)).get)
+    val viaPng = graft.llm.Codecs.dHash(
+      graft.llm.Codecs.toBufferedImage(encode("png", 8, 6, gradRgb)).get)
+    assert(viaPpm == viaPng, "PPM and PNG of the same pixels must fingerprint identically")
   }
 
   test("syntheticPng → decodeImages round trip matches the closed form (q_image_decode shape)") {
