@@ -13,10 +13,19 @@ object ProfileSubstr {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val width = args.lift(1).map(_.toInt).getOrElse(40)
     val n = args.lift(2).map(_.toInt).getOrElse(5)
+    // optional doc-length inflation: real crawl documents are kB–MB, the
+    // fixture's are ~300 B — `repeat` concatenates each doc with itself
+    // (suffix-salted so inflation doesn't plant fake cross-doc dups)
+    val repeatN = args.lift(3).map(_.toInt).getOrElse(1)
     val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = graft.ts.Sources.table(spark, sfDir, "documents")
+    val base = graft.ts.Sources.table(spark, sfDir, "documents")
+    val docs = if (repeatN <= 1) base else {
+      import org.apache.spark.sql.functions._
+      base.withColumn("text", concat_ws(" ",
+        (0 until repeatN).map(k => concat(col("text"), lit(s" s$k"), col("doc_id"))): _*))
+    }
 
     def run(md5Arm: Boolean): Double = {
       val t0 = System.nanoTime()
