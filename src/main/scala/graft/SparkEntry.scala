@@ -1425,6 +1425,27 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     },
+    // composed web-ingest pipeline: mojibake repair → domain blocklist
+    // gate → HTML strip/entity unescape → phrase flags, ONE DAG over
+    // decorated raw HTML — each stage is an oracle-green operator and
+    // the whole composition is replayed end-to-end (md5 of the cleaned
+    // bytes + the per-doc phrase verdicts)
+    "q_web_pipeline" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val raw = docs.withColumn("text", concat(
+        lit("<p>"), col("text"),
+        lit("</p> <a href=\"u\">l</a> caffÃ© http://"),
+        when(col("doc_id") % 7 === 0, lit("spam.example"))
+          .otherwise(concat(lit("d"), col("doc_id") % 7, lit(".ok.org"))),
+        lit("/x &amp; fin.")))
+      val repaired = raw.withColumn("text", graft.llm.Normalize.fixMojibake(col("text")))
+      val kept = graft.llm.UrlStats.domainFilter(repaired, "text", Seq("spam.example"))
+      val cleaned = kept.withColumn("clean", graft.llm.Normalize.cleanWeb(col("text")))
+      graft.llm.Blocklist.phraseFlags(cleaned, "clean",
+          Seq("key agg", "row scan", "a row fast"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("hits"), col("flagged"))
+    },
     // Mojibake repair (ftfy-style, one codegen'd projection): docs
     // decorated with latin1/cp1252 mis-decode artifacts must repair to
     // the intended characters, while the clean ASCII base text passes
@@ -2497,6 +2518,32 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, ' +')) AS n_tok,
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+    // full pipeline replay: repaired decoration closed-form, spam-domain
+    // rows dropped, the q_html_strip clean chain, the q_blocklist gram
+    // verdicts — every stage's oracle composed into one query
+    "q_web_pipeline" ->
+      """WITH raw AS (SELECT doc_id,
+        |  '<p>' || text || '</p> <a href="u">l</a> caffé http://' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'spam.example'
+        |       ELSE 'd' || CAST(doc_id % 7 AS VARCHAR) || '.ok.org' END ||
+        |  '/x &amp; fin.' AS t FROM documents),
+        |kept AS (SELECT doc_id, t FROM raw WHERE doc_id % 7 <> 0),
+        |cln AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\n\r]+', ' ', 'g')) AS clean FROM kept),
+        |toks AS (SELECT doc_id, clean, string_split_regex(lower(clean), ' +') AS ts FROM cln),
+        |i2 AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 1, 0))) AS i FROM toks),
+        |g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS g FROM i2),
+        |i3 AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 2, 0))) AS i FROM toks),
+        |g3 AS (SELECT doc_id, array_to_string(ts[i+1:i+3], ' ') AS g FROM i3),
+        |hits AS (SELECT doc_id FROM g2 WHERE g IN ('key agg', 'row scan')
+        |  UNION ALL SELECT doc_id FROM g3 WHERE g = 'a row fast'),
+        |hc AS (SELECT doc_id, count(*) AS n FROM hits GROUP BY 1)
+        |SELECT c.doc_id, md5(c.clean) AS clean_md5,
+        |  CAST(coalesce(hc.n, 0) AS BIGINT) AS hits, coalesce(hc.n, 0) > 0 AS flagged
+        |FROM cln c LEFT JOIN hc ON c.doc_id = hc.doc_id""".stripMargin,
     // the artifact decoration's repaired form is closed-form (base text
     // is ASCII, so the repair touches only the decoration); the clean
     // arm must hash as the original bytes (conservative gate)
