@@ -1431,7 +1431,11 @@ object SparkEntry {
     // the whole composition is replayed end-to-end (md5 of the cleaned
     // bytes + the per-doc phrase verdicts)
     "q_web_pipeline" -> { (s, dir) =>
-      val docs = Sources.table(s, dir, "documents")
+      // Compute-amplifying chain (a dozen regex passes per doc) over a
+      // possibly single-row-group fixture scan: fan out the compact form
+      // first so the projection work spreads across all cores. At corpus
+      // scale the scan already has enough splits and fanOut is a no-op.
+      val docs = graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents"))
       val raw = docs.withColumn("text", concat(
         lit("<p>"), col("text"),
         lit("</p> <a href=\"u\">l</a> caffÃ© http://"),
@@ -1445,6 +1449,20 @@ object SparkEntry {
           Seq("key agg", "row scan", "a row fast"))
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           col("hits"), col("flagged"))
+    },
+    // REAL MP4/ISO-BMFF container parse end-to-end: synthesize a
+    // minimal-but-grammatical MP4 per doc (mp4Media — duration, dims,
+    // codec, keyframe table all closed-form in doc_id/n_chars), run the
+    // actual box walk (Mp4.parse via mapPartitions), and let DuckDB
+    // replay every field's arithmetic independently.
+    "q_video_meta" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Multimodal.videoMeta(mp4Media(docs))
+        .filter(col("parsed"))
+        .select(col("media_id").as("doc_id"), col("brand"), col("duration_sec"),
+          col("track_count"), col("handler"), col("codec"),
+          col("width"), col("height"), col("n_keyframes"),
+          col("last_keyframe"), col("sum_keyframes"))
     },
     // Mojibake repair (ftfy-style, one codegen'd projection): docs
     // decorated with latin1/cp1252 mis-decode artifacts must repair to
@@ -1557,7 +1575,13 @@ object SparkEntry {
       val path = rtDir("jsonl", dir)
       val docs = Sources.table(s, dir, "documents")
       graft.ts.Sinks.writeJsonl(docs, path)
-      graft.ts.Sinks.readJsonl(s, path, docs.schema)
+      val back = graft.ts.Sinks.readJsonl(s, path, docs.schema)
+      // Self-diagnosing read-back: a torn/partial listing must fail
+      // LOUDLY with its mechanism, not hash wrong two rounds running.
+      val (srcCnt, backCnt) = (docs.count(), back.count())
+      require(backCnt == srcCnt,
+        s"jsonl roundtrip torn read at $path: wrote $srcCnt rows, read back $backCnt")
+      back
         .groupBy("lang").agg(count(lit(1)).as("cnt"),
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text"))).as("distinct_texts"),
@@ -1878,15 +1902,64 @@ object SparkEntry {
         lit(8000).as("width"), lit(1).as("height")).as("meta"))
   }
 
-  // Suffixed with the JVM pid so two harness processes (driver
-  // correctness pass, a concurrent bench, a stale gate) can never share
-  // a round-trip dir: mode("overwrite")'s delete-and-rewrite racing a
-  // concurrent read lists a partial directory SILENTLY under PERMISSIVE
-  // JSON/CSV reads. Per-process isolation makes the write+read sequence
-  // single-writer by construction.
+  /** Deterministic minimal ISO-BMFF (MP4) file per document, built as
+    * pure Column byte arithmetic so the DuckDB oracle replays every
+    * parsed field from (doc_id, n_chars) alone: ftyp(isom) + moov(mvhd
+    * timescale 1000 / duration 1000+n_chars + one video trak with 16.16
+    * tkhd dims, vide hdlr, per-doc stsd codec fourcc, k=1+doc_id%5
+    * sync samples 1+7j) + an mdat of text bytes the parser must skip.
+    * be32 = unhex(lpad(hex(x))) big-endian u32. The stsd entry is the
+    * 8-byte (size+fourcc) minimum — box-grammar-valid, and both parser
+    * and oracle contract only on the fourcc. */
+  private def mp4Media(docs: DataFrame): DataFrame = {
+    def be32(e: Column): Column = unhex(lpad(hex(e.cast(LongType)), 8, "0"))
+    def be16(e: Column): Column = unhex(lpad(hex(e.cast(LongType)), 4, "0"))
+    def z(n: Int): Column = lit(Array.fill[Byte](n)(0))
+    def cc(s: String): Column = lit(s.getBytes("US-ASCII"))
+    val d = col("doc_id").cast(LongType)
+    val dur = lit(1000L) + col("n_chars").cast(LongType)
+    val w = (d % 16 + 1) * 16
+    val h = (d % 9 + 1) * 16
+    val k = d % 5 + 1
+    val codec = element_at(array(lit("avc1"), lit("hev1"), lit("vp09")),
+      (d % 3).cast("int") + 1)
+    val ftyp = concat(be32(lit(16)), cc("ftyp"), cc("isom"), be32(lit(0x200)))
+    val mvhd = concat(be32(lit(108)), cc("mvhd"), z(4), z(8), be32(lit(1000)),
+      be32(dur), be32(lit(0x00010000L)), be16(lit(0x0100)), z(10), z(36), z(24),
+      be32(lit(2)))
+    val tkhd = concat(be32(lit(92)), cc("tkhd"), be32(lit(3)), z(8), be32(lit(1)),
+      z(4), be32(dur), z(8), z(8), z(36),
+      be32(shiftleft(w, 16)), be32(shiftleft(h, 16)))
+    val mdhd = concat(be32(lit(32)), cc("mdhd"), z(4), z(8), be32(lit(1000)),
+      be32(dur), be16(lit(0x55C4)), z(2))
+    val hdlr = concat(be32(lit(33)), cc("hdlr"), z(4), z(4), cc("vide"), z(12), z(1))
+    val stsd = concat(be32(lit(24)), cc("stsd"), z(4), be32(lit(1)),
+      be32(lit(8)), encode(codec, "UTF-8"))
+    val stssEntries = aggregate(sequence(lit(0L), k - 1), lit(Array.empty[Byte]),
+      (acc, j) => concat(acc, be32(j * 7 + 1)))
+    val stss = concat(be32(k * 4 + 16), cc("stss"), z(4), be32(k), stssEntries)
+    val stbl = concat(be32(k * 4 + 48), cc("stbl"), stsd, stss)
+    val minf = concat(be32(k * 4 + 56), cc("minf"), stbl)
+    val mdia = concat(be32(k * 4 + 129), cc("mdia"), mdhd, hdlr, minf)
+    val trak = concat(be32(k * 4 + 229), cc("trak"), tkhd, mdia)
+    val moov = concat(be32(k * 4 + 345), cc("moov"), mvhd, trak)
+    val mdat = concat(be32(lit(24)), cc("mdat"),
+      encode(rpad(substring(col("text"), 1, 16), 16, "x"), "UTF-8"))
+    docs.select(d.as("media_id"), concat(ftyp, moov, mdat).as("media"),
+      struct(lit("video/mp4").as("format"), w.cast("int").as("width"),
+        h.cast("int").as("height")).as("meta"))
+  }
+
+  // Suffixed with the JVM pid AND a fresh per-call UUID nonce so no two
+  // invocations — across processes OR within one JVM (a bench iteration
+  // racing a correctness dump evaluates the same lambda twice) — can
+  // ever share a round-trip dir: mode("overwrite")'s delete-and-rewrite
+  // racing a concurrent read lists a partial directory SILENTLY under
+  // PERMISSIVE JSON/CSV reads. Each call returns a brand-new path, so
+  // the write+read sequence is single-writer by construction.
   private val rtPid: Long = ProcessHandle.current().pid()
   private def rtDir(name: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt/p$rtPid/${name}_${Integer.toHexString(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/p$rtPid/${name}_${Integer.toHexString(dir.hashCode)}_${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** DuckDB CTE chain replaying `Sources.unit(i, seed)` bit-exactly:
     * Java-long wrap arithmetic via HUGEINT mod 2^64 (every product is
@@ -2551,6 +2624,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(text || ' caffé don’t naïve.') AS fixed_md5,
         |  md5(text) AS untouched_md5
+        |FROM documents""".stripMargin,
+    // independent replay of the MP4 box walk's outputs: every parsed
+    // field is closed-form in (doc_id, n_chars) by construction of the
+    // mp4Media fixture — duration = (1000+n_chars)/1000 at timescale
+    // 1000, 16.16 dims, k=1+d%5 keyframes at samples 1+7j
+    "q_video_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'isom' AS brand,
+        |  CAST(1000 + n_chars AS DOUBLE) / 1000 AS duration_sec,
+        |  1 AS track_count, 'vide' AS handler,
+        |  ['avc1','hev1','vp09'][CAST(doc_id % 3 AS INT) + 1] AS codec,
+        |  16 * (1 + doc_id % 16) AS width, 16 * (1 + doc_id % 9) AS height,
+        |  1 + doc_id % 5 AS n_keyframes,
+        |  1 + 7 * (doc_id % 5) AS last_keyframe,
+        |  (1 + doc_id % 5) + 7 * ((doc_id % 5) * (1 + doc_id % 5) // 2) AS sum_keyframes
         |FROM documents""".stripMargin,
     // independent recomputation of the PPM decoder's pixel means from the
     // character codes (ASCII text == payload bytes)

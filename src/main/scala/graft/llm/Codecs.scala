@@ -21,9 +21,37 @@ package graft.llm
   */
 object Codecs {
 
+  /** Decompression-bomb guard: max pixels any decode path will
+    * materialize (4096×4096 ARGB = 64 MiB of ints per image). A crawl
+    * payload whose HEADER claims more (a 100000×100000 bomb PNG is a
+    * few KB of deflate) yields decoded=false instead of an executor
+    * OOM. Peeked from the format header BEFORE pixel allocation. */
+  val MaxDecodePixels: Long = 1L << 24
+
   final case class ImageStats(width: Int, height: Int,
                               meanR: Double, meanG: Double, meanB: Double,
                               gray: Array[Float])
+
+  /** ImageIO decode with the [[MaxDecodePixels]] guard: peek the
+    * header dimensions via the reader (cheap — no pixel pass), refuse
+    * bombs, then decode frame 0. Null when no reader claims the bytes,
+    * the header is degenerate, or the claimed size exceeds the cap. */
+  private def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } catch { case _: java.io.IOException | _: RuntimeException => null }
+  }
 
   /** Parse a P6 PPM: header tokens (with `#` comment support) then raw
     * RGB24. Returns pixel statistics + an `edge`×`edge` nearest-neighbor
@@ -52,7 +80,10 @@ object Codecs {
     val w = int(); val h = int(); val maxv = int()
     i += 1 // single whitespace after maxval
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-    if (bytes.length - i < w * h * 3) return None
+    // Long arithmetic: an adversarial header (100000×100000) overflows
+    // w*h*3 in Int to a NEGATIVE value and would pass the check. PPM is
+    // uncompressed, so length >= w*h*3 also bounds the pixel walk.
+    if (bytes.length.toLong - i < w.toLong * h * 3) return None
     val base = i
     var (sr, sg, sb) = (0L, 0L, 0L)
     var p = base
@@ -123,10 +154,7 @@ object Codecs {
   }
 
   def decodeImageIO(bytes: Array[Byte], edge: Int = 8): Option[ImageStats] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException | _: RuntimeException => null }
+    val img = readImageBounded(bytes)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else Some(imageStats(img, edge))
   }
@@ -152,7 +180,13 @@ object Codecs {
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        (0 until n by stride).map(i => (i, imageStats(reader.read(i), edge)))
+        // Per-frame bomb guard: header dims are peeked (cheap) before
+        // the pixel read; oversized frames are skipped, not decoded.
+        (0 until n by stride).flatMap { i =>
+          val (w, h) = (reader.getWidth(i), reader.getHeight(i))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+          else Some((i, imageStats(reader.read(i), edge)))
+        }
       } finally reader.dispose()
     } catch { case _: java.io.IOException | _: RuntimeException => Seq.empty }
   }
@@ -189,8 +223,10 @@ object Codecs {
       }
       val w = int(); val h = int(); val maxv = int()
       i += 1
+      // Long arithmetic (see decodePpm): Int w*h*3 overflow would let a
+      // bomb header through to the BufferedImage allocation.
       if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
-          bytes.length - i < w * h * 3) return None
+          bytes.length.toLong - i < w.toLong * h * 3) return None
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -205,13 +241,7 @@ object Codecs {
         y += 1
       }
       Some(img)
-    } else {
-      javax.imageio.ImageIO.setUseCache(false)
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException | _: RuntimeException => null }
-      Option(img)
-    }
+    } else Option(readImageBounded(bytes))
   }
 
   /** 64-bit difference hash (dHash) of a decoded image — the standard

@@ -1,0 +1,133 @@
+package graft.llm
+
+/** Pure-JVM ISO-BMFF (MP4/MOV) CONTAINER parser — provenance metadata
+  * without a codec dependency: the box grammar (ISO/IEC 14496-12) is a
+  * public byte layout, so duration, track census, codec identifiers,
+  * display dimensions, and keyframe (sync-sample) offsets are all
+  * readable arithmetic. Frame PIXEL decode (H.264/H.265 payloads) still
+  * needs a codec library and stays at the documented
+  * [[Multimodal.sampleFrames]] stub seam.
+  *
+  * Grammar walked: `size(u32) type(4cc) payload…`, `size==1` → 64-bit
+  * largesize follows, `size==0` → box extends to end of enclosing scope;
+  * container boxes (`moov trak mdia minf stbl`) recurse. Leaves read:
+  *
+  *  - `ftyp` → major brand
+  *  - `mvhd` (v0/v1) → movie timescale + duration
+  *  - `tkhd` (v0/v1) → display width/height (16.16 fixed point)
+  *  - `hdlr` → handler fourcc (`vide`/`soun`/…)
+  *  - `stsd` → first sample-entry fourcc (the codec id: avc1/hev1/mp4a…)
+  *  - `stss` → sync-sample (keyframe) sample numbers
+  *
+  * Malformed input (truncated box, size < 8 pointing backwards, payload
+  * past the buffer) aborts to `None` — a crawl-data parser must reject,
+  * not overrun. All offsets are Long until bounds-checked against the
+  * buffer (an adversarial 32-bit size must not overflow Int).
+  */
+object Mp4 {
+
+  final case class VideoMeta(brand: String, durationSec: Double,
+                             trackCount: Int, handler: String, codec: String,
+                             width: Int, height: Int, nKeyframes: Int,
+                             lastKeyframe: Long, sumKeyframes: Long)
+
+  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Parse the container; None unless the bytes hold a well-formed
+    * `ftyp` + `moov`/`mvhd` skeleton. First video-capable values win
+    * (first hdlr seen, first stsd entry, first nonzero tkhd dims) —
+    * multi-track files report their primary track, matching what a
+    * provenance sweep wants. */
+  def parse(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes.length < 16) return None
+    var brand = ""
+    var timescale = 0L; var duration = 0L; var sawMvhd = false
+    var tracks = 0
+    var handler = ""; var codec = ""
+    var w = 0; var h = 0
+    var nKey = 0; var lastKey = 0L; var sumKey = 0L; var sawStss = false
+
+    // returns false on any malformed box — the whole parse rejects
+    def walk(start: Long, end: Long, depth: Int): Boolean = {
+      if (depth > 8) return false // box nesting deeper than the spec uses
+      var p = start
+      while (p < end) {
+        if (end - p < 8) return false
+        val pi = p.toInt
+        var size = u32(bytes, pi)
+        val typ = fourcc(bytes, pi + 4)
+        var hdr = 8L
+        if (size == 1L) {
+          if (end - p < 16) return false
+          size = u64(bytes, pi + 8); hdr = 16L
+        } else if (size == 0L) size = end - p // extends to enclosing end
+        if (size < hdr || p + size > end) return false
+        val body = p + hdr
+        val bodyLen = size - hdr
+        val bi = body.toInt
+        typ match {
+          case t if Containers(t) =>
+            if (t == "trak") tracks += 1
+            if (!walk(body, p + size, depth + 1)) return false
+          case "ftyp" =>
+            if (bodyLen < 4) return false
+            if (brand.isEmpty) brand = fourcc(bytes, bi)
+          case "mvhd" =>
+            if (bodyLen < 4) return false
+            val ver = bytes(bi) & 0xff
+            if (ver == 1) {
+              if (bodyLen < 28) return false
+              timescale = u32(bytes, bi + 20); duration = u64(bytes, bi + 24)
+            } else {
+              if (bodyLen < 20) return false
+              timescale = u32(bytes, bi + 12); duration = u32(bytes, bi + 16)
+            }
+            sawMvhd = true
+          case "tkhd" =>
+            val ver = bytes(bi) & 0xff
+            val off = if (ver == 1) 88 else 76
+            if (bodyLen >= off + 8 && w == 0) {
+              // 16.16 fixed-point display dims
+              val tw = (u32(bytes, bi + off) >>> 16).toInt
+              val th = (u32(bytes, bi + off + 4) >>> 16).toInt
+              if (tw > 0) { w = tw; h = th }
+            }
+          case "hdlr" =>
+            if (bodyLen >= 12 && handler.isEmpty) handler = fourcc(bytes, bi + 8)
+          case "stsd" =>
+            if (bodyLen >= 16 && codec.isEmpty && u32(bytes, bi + 4) > 0)
+              codec = fourcc(bytes, bi + 12)
+          case "stss" =>
+            if (bodyLen < 8) return false
+            val n = u32(bytes, bi + 4)
+            if (n > (bodyLen - 8) / 4) return false // count past the box
+            if (!sawStss) {
+              sawStss = true
+              var i = 0
+              while (i < n) {
+                val s = u32(bytes, bi + 8 + 4 * i)
+                sumKey += s; lastKey = s; i += 1
+              }
+              nKey = n.toInt
+            }
+          case _ => () // mdat, free, unknown leaves: skip payload
+        }
+        p += size
+      }
+      true
+    }
+
+    if (!walk(0L, bytes.length.toLong, 0)) return None
+    if (brand.isEmpty || !sawMvhd || timescale == 0L) return None
+    Some(VideoMeta(brand, duration.toDouble / timescale, tracks, handler,
+      codec, w, h, nKey, lastKey, sumKey))
+  }
+}

@@ -24,6 +24,12 @@ case class DHashRow(media_id: Long, decoded: Boolean, dhash: Long)
 case class FrameRow(media_id: Long, frame: Int, width: Int, height: Int,
                     mean_r: Double, mean_g: Double, mean_b: Double)
 
+/** Video-container metadata output (Mp4.parse). */
+case class VideoRow(media_id: Long, parsed: Boolean, brand: String,
+                    duration_sec: Double, track_count: Int, handler: String,
+                    codec: String, width: Int, height: Int, n_keyframes: Int,
+                    last_keyframe: Long, sum_keyframes: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
@@ -366,6 +372,30 @@ object Multimodal {
         Array.tabulate(maxBytes)(i => bytes((i * step).toInt)) }
       Row(r.getLong(0), out, Row("fake/resized", out.length, 1))
     }(enc)
+  }
+
+  /** REAL video-container metadata ([[Mp4]] ISO-BMFF box walk): movie
+    * duration, track census, primary-track handler/codec/dimensions, and
+    * keyframe (sync-sample) offsets — the provenance fields a crawl
+    * pipeline filters and stratifies on — with NO codec dependency.
+    * Payloads the parser rejects yield parsed=false with zeroed fields.
+    * Same per-partition shape as [[decodeImages]]: pure per-blob
+    * compute, no shuffle, linear in executors at 100 TB. Frame PIXEL
+    * decode stays at the [[sampleFrames]] stub seam. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Mp4.parse(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(m) => VideoRow(id, parsed = true, m.brand, m.durationSec,
+            m.trackCount, m.handler, m.codec, m.width, m.height,
+            m.nKeyframes, m.lastKeyframe, m.sumKeyframes)
+          case None => VideoRow(id, parsed = false, "", 0.0, 0, "", "", 0, 0, 0, 0L, 0L)
+        }
+      }
+    }(Encoders.product[VideoRow]).toDF()
   }
 
   /** Frame sampling for video-like payloads: split the blob into `frames`

@@ -153,7 +153,8 @@ object Similarity {
     * cosines accumulate index-ascending in doubles, matching the batch
     * kernel bit-for-bit. */
   def frozenSemanticGate(ref: DataFrame, tau: Double,
-                         vec: String = "embedding"): DataFrame => DataFrame = {
+                         vec: String = "embedding",
+                         id: String = "vec_id"): DataFrame => DataFrame = {
     val refVecs = ref.select(col(vec)).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -162,8 +163,9 @@ object Similarity {
     df => {
       val spark = df.sparkSession
       val bc = spark.sparkContext.broadcast(refVecs)
-      val idIdx = 0
-      val out = df.select(col(df.columns.head), col(vec))
+      // Explicit id column (cast to long), not positional column 0 —
+      // the gate must not depend on the caller's column order.
+      val out = df.select(col(id).cast("long"), col(vec))
       val vIdx = 1
       import org.apache.spark.sql.Encoders
       out.map { r =>
@@ -176,16 +178,21 @@ object Similarity {
         var i = 0
         while (i < refs.length && !hit) {
           val u = refs(i)
+          // min-length bound — bit-for-bit the batch CosineSim kernel
+          // (VectorExprs.scala min(numElements) loop); a dim-mismatched
+          // reference row must produce the batch arm's value, not an
+          // ArrayIndexOutOfBounds that kills the stream.
+          val n = math.min(v.length, u.length)
           var (dot, na, nb) = (0.0, 0.0, 0.0)
           var j = 0
-          while (j < v.length) {
+          while (j < n) {
             dot += v(j) * u(j); na += v(j) * v(j); nb += u(j) * u(j); j += 1
           }
           if (dot / (math.sqrt(na) * math.sqrt(nb)) >= tau) hit = true
           i += 1
         }
-        (r.getLong(idIdx), hit)
-      }(Encoders.product[(Long, Boolean)]).toDF(df.columns.head, "contaminated")
+        (r.getLong(0), hit)
+      }(Encoders.product[(Long, Boolean)]).toDF(id, "contaminated")
     }
   }
 

@@ -257,7 +257,22 @@ object StreamingSimilarity {
     * its combo index and emits only when IT is the FIRST matching combo
     * for the two signatures (recomputed as pure bit arithmetic — no
     * cross-bucket coordination). State = the bucket's stored members,
-    * capped at maxBucketSize (the batch capBuckets bound). */
+    * capped at maxBucketSize (the batch capBuckets bound).
+    *
+    * Redelivery: an arriving (id, sig) already present in the bucket's
+    * state is a replay — it is skipped entirely (no re-check, no
+    * re-append), so at-least-once upstream delivery cannot duplicate
+    * SigPair emissions (the batch twin ends with `.distinct()`).
+    *
+    * DOCUMENTED divergence under cap overflow: a member dropped by a
+    * full first-matching-combo bucket is invisible there, and later
+    * matches routed to OTHER combos suppress under the first-combo
+    * rule — the pair is lost, where batch (any-combo + distinct) might
+    * still find it via a non-overflowed band. Recovering it would need
+    * cross-bucket knowledge of where each end was actually stored;
+    * within one bucket's view the rule stays pure bit arithmetic.
+    * Overflow means a degenerate bucket (the same event batch capBuckets
+    * guards against), so the loss surface matches the batch guard's. */
   private class SigBucketProcessor(maxDist: Int, width: Int, combos: Seq[Seq[Int]],
                                    maxBucketSize: Int)
       extends StatefulProcessor[String, SigBandRow, SigPair] {
@@ -284,18 +299,23 @@ object StreamingSimilarity {
       val fresh = scala.collection.mutable.ArrayBuffer.empty[SigMember]
       // id order within the batch: same-batch pairs emit deterministically
       rows.toSeq.sortBy(_.id).foreach { r =>
-        stored.foreach { m =>
-          if (m.id != r.id) {
-            val dist = java.lang.Long.bitCount(m.sig ^ r.sig)
-            if (dist <= maxDist && firstMatchingCombo(m.sig, r.sig) == r.band) {
-              val (a, b) = if (m.id < r.id) (m.id, r.id) else (r.id, m.id)
-              out += SigPair(a, b, dist)
+        // replayed member (same id AND sig already stored): its pairs
+        // were emitted at first delivery — skip check and append both.
+        val replay = stored.exists(m => m.id == r.id && m.sig == r.sig)
+        if (!replay) {
+          stored.foreach { m =>
+            if (m.id != r.id) {
+              val dist = java.lang.Long.bitCount(m.sig ^ r.sig)
+              if (dist <= maxDist && firstMatchingCombo(m.sig, r.sig) == r.band) {
+                val (a, b) = if (m.id < r.id) (m.id, r.id) else (r.id, m.id)
+                out += SigPair(a, b, dist)
+              }
             }
           }
-        }
-        if (stored.length < maxBucketSize) {
-          stored += SigMember(r.id, r.sig)
-          fresh += SigMember(r.id, r.sig)
+          if (stored.length < maxBucketSize) {
+            stored += SigMember(r.id, r.sig)
+            fresh += SigMember(r.id, r.sig)
+          }
         }
       }
       if (fresh.nonEmpty) members.appendList(fresh.toArray)
@@ -309,8 +329,10 @@ object StreamingSimilarity {
     * permuted-block geometry ([[Dedup.simhashBanding]]), with each
     * arriving signature checked against its buckets' stored members.
     * Every ≤ maxDist pair emits exactly once (first-matching-band
-    * rule), whether its ends share a micro-batch or arrive epochs
-    * apart. The only Exchange is the band-key state routing. */
+    * rule; replayed inputs are skipped), whether its ends share a
+    * micro-batch or arrive epochs apart — except under bucket-cap
+    * overflow, where pairs can be lost (see the [[SigBucketProcessor]]
+    * divergence note). The only Exchange is the band-key state routing. */
   def sigPairsOnline(sigs: DataFrame, idCol: String, sigCol: String,
                      maxDist: Int = 3, maxBucketSize: Int = 1000): Dataset[SigPair] = {
     val spark = sigs.sparkSession

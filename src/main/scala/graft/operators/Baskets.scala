@@ -181,7 +181,14 @@ object Baskets {
     * sequential scan assigns window groups (state = window start), then a
     * groupBy builds the member→value map. The basket is one logical
     * partition — the scale axis is many baskets (basketId), matching the
-    * reference's one-engine-per-graph model. */
+    * reference's one-engine-per-graph model.
+    *
+    * SCALE NOTE: the default `sync` lowers the WHOLE basket to one key
+    * (`lit(basketId)`), so the sequential window-assignment scan runs as
+    * a single task — correct csp-parity semantics, serial by
+    * construction. At scale, use [[syncPer]] with a real basket axis
+    * (e.g. one basket per user): the scan then partitions by the basket
+    * key and parallelism = |baskets| (plan-asserted in BasketsSpec). */
   def sync(basket: TickStream, thresholdSec: Double, basketId: String = "sync"): TickStream =
     syncPer(TickStream(basket.df
       .select(col(KEY).as("__member"), col(TS), col(SEQ), col(VALUE))

@@ -121,7 +121,9 @@ object Sinks {
 
   def readJsonl(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
-    spark.read.schema(schema).json(path)
+    // FAILFAST: a malformed/torn line must throw, not silently null out
+    // under the default PERMISSIVE mode and hash wrong downstream.
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   /** csp.print (`baselib.py:181-201`). */
   def printTicks(x: TickStream, n: Int = 20): Unit =

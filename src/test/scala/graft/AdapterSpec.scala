@@ -92,6 +92,22 @@ class AdapterSpec extends AnyFunSuite {
     assert(m2 == Map("c" -> 3.0))
   }
 
+  test("syncPer partitions by the basket key — the scale axis (VERDICT r11 #8)") {
+    import org.apache.spark.sql.functions.lit
+    // two baskets (u1, u2), one member each: the window-assignment scan
+    // must hash-partition on KEY (the basket axis), so parallelism is
+    // |baskets| — the scale path the default single-key sync serializes.
+    val df = Sources.curve(spark, "u1", Seq(day(1) -> 1.0)).df.withColumn("__m", lit("a"))
+      .unionByName(Sources.curve(spark, "u2", Seq(day(1) -> 2.0)).df.withColumn("__m", lit("b")))
+    val out = Baskets.syncPer(TickStream(df), "__m", thresholdSec = 3600)
+    val plan = out.df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(key"),
+      s"syncPer scan must partition on the basket key; plan:\n$plan")
+    val rows = out.df.collect()
+    assert(rows.map(_.getAs[String]("key")).toSet == Set("u1", "u2"))
+    assert(rows.forall(_.getAs[Map[String, Double]]("value").size == 1))
+  }
+
   test("profiler surfaces per-operator metrics (profiler.py:202-377)") {
     val p = graft.operators.Profiler.profile(
       Stats.ticks(graft.ts.Sources.events(spark, TestSpark.sf), 5).mean().done.df)

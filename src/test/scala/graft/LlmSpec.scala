@@ -1035,4 +1035,73 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(bq == bf, "refine=corpus must equal brute force")
   }
+
+  test("Mp4 box walk: duration/dims/codec/keyframes parse; largesize; malformed rejects (14496-12)") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def z(n: Int): Array[Byte] = new Array[Byte](n)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.flatten.toArray
+      be32(p.length + 8L) ++ cc(typ) ++ p
+    }
+    val mvhd = box("mvhd", z(4), z(8), be32(600), be32(1200)) // ts 600, dur 1200 → 2 s
+    val tkhd = { // v0, w=320 h=180 as 16.16 at payload offsets 76/80
+      val p = z(84)
+      System.arraycopy(be32(320L << 16), 0, p, 76, 4)
+      System.arraycopy(be32(180L << 16), 0, p, 80, 4)
+      box("tkhd", p)
+    }
+    val hdlr = box("hdlr", z(8), cc("vide"))
+    val stsd = box("stsd", z(4), be32(1), be32(8), cc("avc1"))
+    val stss = box("stss", z(4), be32(3), be32(10), be32(20), be32(30))
+    val trak = box("trak", tkhd, box("mdia", hdlr, box("minf", box("stbl", stsd, stss))))
+    // a largesize (size==1 + 64-bit size) mdat the walk must skip cleanly
+    val bigMdat = be32(1) ++ cc("mdat") ++ be64(16 + 5) ++ cc("hello")
+    val file = box("ftyp", cc("isom"), be32(0)) ++ bigMdat ++ box("moov", mvhd, trak)
+    val m = graft.llm.Mp4.parse(file).get
+    assert(m.brand == "isom" && m.durationSec == 2.0 && m.trackCount == 1)
+    assert(m.handler == "vide" && m.codec == "avc1")
+    assert(m.width == 320 && m.height == 180)
+    assert(m.nKeyframes == 3 && m.lastKeyframe == 30L && m.sumKeyframes == 60L)
+    // v1 mvhd (64-bit duration) reads the wide fields
+    val mvhdV1 = box("mvhd", Array(1.toByte), z(3), z(16), be32(600), be64(1800))
+    assert(graft.llm.Mp4.parse(box("ftyp", cc("isom"), be32(0)) ++ box("moov", mvhdV1, trak))
+      .get.durationSec == 3.0)
+    // malformed inputs REJECT (crawl data): truncated tail, size<8
+    // pointing backwards, a 2 GB bomb size, an stss count past its box
+    assert(graft.llm.Mp4.parse(file.dropRight(4)).isEmpty)
+    assert(graft.llm.Mp4.parse(be32(4) ++ cc("free") ++ z(8)).isEmpty)
+    assert(graft.llm.Mp4.parse(be32(0x7fffffffL) ++ cc("mdat") ++ z(8)).isEmpty)
+    val stssBomb = box("stss", z(4), be32(1000000), be32(10))
+    assert(graft.llm.Mp4.parse(
+      box("ftyp", cc("isom"), be32(0)) ++ box("moov", mvhd, box("trak", box("mdia",
+        box("minf", box("stbl", stssBomb)))))).isEmpty)
+    assert(graft.llm.Mp4.parse("not an mp4 at all, just text".getBytes).isEmpty)
+  }
+
+  test("decode bomb guards: adversarial headers reject before allocation (ADVICE r11)") {
+    // PPM whose w*h*3 OVERFLOWS Int (100000^2*3) with a tiny body: the
+    // Long-arithmetic length check must reject — the old Int check went
+    // negative and passed, reaching a giant BufferedImage allocation.
+    val ppmBomb = "P6\n100000 100000\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](30)(1)
+    assert(graft.llm.Codecs.decodePpm(ppmBomb).isEmpty)
+    assert(graft.llm.Codecs.toBufferedImage(ppmBomb).isEmpty)
+    // BMP whose DIB header claims 50000×50000 (2.5e9 px ≈ 10 GB ARGB):
+    // the header peek must refuse before ImageIO materializes pixels.
+    def le32(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    val bmpBomb = "BM".getBytes("US-ASCII") ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(50000) ++ le32(50000) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ Array.fill[Byte](16)(0)
+    assert(graft.llm.Codecs.decodeImageIO(bmpBomb).isEmpty)
+    assert(graft.llm.Codecs.toBufferedImage(bmpBomb).isEmpty)
+    assert(graft.llm.Codecs.decodeGifFrames(bmpBomb).isEmpty)
+    // the guard is not over-eager: a real small image still decodes
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    assert(graft.llm.Codecs.decodeImageIO(baos.toByteArray).exists(s => s.width == 4 && s.height == 3))
+  }
 }

@@ -36,13 +36,26 @@ echo "== verify_gate: ALL GREEN"
 
 # A green gate and a committed record are the same event (VERDICT r10
 # What's-wrong #2: round records were left untracked at judging time).
-# Stage every round-record artifact that exists and commit iff any of
-# them actually changed.
-git add -A -- correctness_local.json bench/medians_latest.json \
-  CORRECTNESS_r*.json BENCH_r*.json LEAKCHECK.json COPYCHECK.json \
-  2>/dev/null
-if ! git diff --cached --quiet; then
-  git commit -m "Round records: correctness/bench/leakcheck snapshot (verify_gate green)"
+# Guard each record individually — `git add -- a b c` aborts the WHOLE
+# add if any one pathspec matches nothing — and commit with an explicit
+# pathspec so pre-existing user-staged changes are never swept into the
+# records commit (ADVICE r11).
+records=()
+for f in correctness_local.json bench/medians_latest.json \
+         LEAKCHECK.json COPYCHECK.json CORRECTNESS_r*.json BENCH_r*.json; do
+  [ -e "$f" ] && records+=("$f")
+done
+committed=0
+if [ ${#records[@]} -gt 0 ]; then
+  if ! git diff --quiet -- "${records[@]}" \
+     || git ls-files --others --exclude-standard -- "${records[@]}" | grep -q .; then
+    git add -- "${records[@]}"
+    git commit -m "Round records: correctness/bench/leakcheck snapshot (verify_gate green)" \
+      -- "${records[@]}"
+    committed=1
+  fi
+fi
+if [ $committed -eq 1 ]; then
   echo "== verify_gate: round records committed"
 else
   echo "== verify_gate: round records unchanged, nothing to commit"
