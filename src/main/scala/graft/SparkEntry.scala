@@ -1464,6 +1464,17 @@ object SparkEntry {
           col("width"), col("height"), col("n_keyframes"),
           col("last_keyframe"), col("sum_keyframes"))
     },
+    // REAL MP3 container parse end-to-end (the q_video_meta audio twin):
+    // synthesize k MPEG1-L3 frames (+ ID3v2 tag on even ids) per doc,
+    // run the actual frame-header walk, DuckDB replays every field.
+    "q_audio_meta" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Multimodal.audioMeta(mp3Media(docs))
+        .filter(col("parsed"))
+        .select(col("media_id").as("doc_id"), col("has_id3"), col("id3_size"),
+          col("mpeg_version"), col("layer"), col("bitrate_kbps"),
+          col("sample_rate"), col("channels"), col("n_frames"), col("duration_sec"))
+    },
     // Mojibake repair (ftfy-style, one codegen'd projection): docs
     // decorated with latin1/cp1252 mis-decode artifacts must repair to
     // the intended characters, while the clean ASCII base text passes
@@ -1948,6 +1959,38 @@ object SparkEntry {
     docs.select(d.as("media_id"), concat(ftyp, moov, mdat).as("media"),
       struct(lit("video/mp4").as("format"), w.cast("int").as("width"),
         h.cast("int").as("height")).as("meta"))
+  }
+
+  /** Deterministic MP3 per document — the [[mp4Media]] audio twin: an
+    * ID3v2 tag on even doc_ids (syncsafe size 3·(d%7) < 128 so the size
+    * is one byte), then k = 2+d%4 MPEG1-layer-III frames at 32 kHz
+    * (srIdx 2) and bitrate {96,128,192} kbps by d%3 — frame length
+    * 144·kbps·1000/32000 = {432,576,864} exactly. Frame payloads are
+    * ASCII text bytes (no byte can be 0xFF, so no false sync). Every
+    * parsed field is closed-form in doc_id for the DuckDB oracle. */
+  private def mp3Media(docs: DataFrame): DataFrame = {
+    def z(n: Int): Column = lit(Array.fill[Byte](n)(0))
+    val d = col("doc_id").cast(LongType)
+    val k = d % 4 + 2
+    val brIdx = element_at(array(lit(7L), lit(9L), lit(11L)), (d % 3).cast("int") + 1)
+    val kbps = element_at(array(lit(96L), lit(128L), lit(192L)), (d % 3).cast("int") + 1)
+    val frameLen = (kbps * 144000L) / 32000L
+    // header: FF FB (MPEG1 L3 no-CRC), brIdx<<4 | srIdx(2)<<2, stereo 00
+    val hdr = concat(lit(Array(0xff.toByte, 0xfb.toByte)),
+      unhex(lpad(hex(shiftleft(brIdx, 4) + 8), 2, "0")), z(1))
+    val framePayload = encode(
+      rpad(substring(col("text"), 1, 256), 1024, "x"), "UTF-8")
+    val frame = concat(hdr, substring(framePayload, lit(1), (frameLen - 4).cast("int")))
+    val frames = aggregate(sequence(lit(1L), k), lit(Array.empty[Byte]),
+      (acc, _) => concat(acc, frame))
+    val id3Body = d % 7 * 3
+    val id3 = concat(lit("ID3".getBytes("US-ASCII")), lit(Array[Byte](3, 0, 0)),
+      z(3), unhex(lpad(hex(id3Body), 2, "0")),
+      substring(framePayload, lit(1), id3Body.cast("int")))
+    docs.select(d.as("media_id"),
+      when(d % 2 === 0, concat(id3, frames)).otherwise(frames).as("media"),
+      struct(lit("audio/mpeg").as("format"), lit(32000).as("width"),
+        lit(1).as("height")).as("meta"))
   }
 
   // Suffixed with the JVM pid AND a fresh per-call UUID nonce so no two
@@ -2638,6 +2681,18 @@ object SparkEntry {
         |  1 + doc_id % 5 AS n_keyframes,
         |  1 + 7 * (doc_id % 5) AS last_keyframe,
         |  (1 + doc_id % 5) + 7 * ((doc_id % 5) * (1 + doc_id % 5) // 2) AS sum_keyframes
+        |FROM documents""".stripMargin,
+    // independent replay of the MP3 frame walk: every field closed-form
+    // in doc_id by construction of the mp3Media fixture
+    "q_audio_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  doc_id % 2 = 0 AS has_id3,
+        |  CASE WHEN doc_id % 2 = 0 THEN 10 + 3 * (doc_id % 7) ELSE 0 END AS id3_size,
+        |  1 AS mpeg_version, 3 AS layer,
+        |  [96,128,192][CAST(doc_id % 3 AS INT) + 1] AS bitrate_kbps,
+        |  32000 AS sample_rate, 2 AS channels,
+        |  2 + doc_id % 4 AS n_frames,
+        |  CAST(2 + doc_id % 4 AS DOUBLE) * 1152 / 32000 AS duration_sec
         |FROM documents""".stripMargin,
     // independent recomputation of the PPM decoder's pixel means from the
     // character codes (ASCII text == payload bytes)

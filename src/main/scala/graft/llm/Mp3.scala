@@ -1,0 +1,91 @@
+package graft.llm
+
+/** Pure-JVM MP3 CONTAINER parser — the audio twin of [[Mp4]]: frame
+  * headers and the ID3v2 envelope are public byte layouts (ISO/IEC
+  * 11172-3 + id3.org), so bitrate, sample rate, channel mode, frame
+  * census, and duration are all readable arithmetic with no decoder.
+  * Sample PCM decode (the MDCT/huffman payload) needs a codec library
+  * and stays at the documented [[Multimodal]] stub seam.
+  *
+  * Walk: skip an `ID3` v2 tag (syncsafe 28-bit size), sync to the first
+  * `0xFFE` frame header, then hop frame-to-frame by the computed frame
+  * length (`144 * bitrate / sampleRate + padding` for layer III),
+  * counting frames; duration = frames × samplesPerFrame / sampleRate.
+  * A hop that lands on a non-sync byte stops the walk (truncated or
+  * corrupt tail — the frames counted so far stand). Free-format
+  * (bitrate index 0) and bad indices reject.
+  */
+object Mp3 {
+
+  final case class AudioMeta(hasId3: Boolean, id3Size: Int, mpegVersion: Int,
+                             layer: Int, bitrateKbps: Int, sampleRate: Int,
+                             channels: Int, nFrames: Int, durationSec: Double)
+
+  // MPEG1 layer III bitrate table (kbps), index 1..14; 0 = free, 15 = bad
+  private val BitratesV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  // MPEG2/2.5 layer III
+  private val BitratesV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SampleRatesV1 = Array(44100, 48000, 32000)
+
+  def parse(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes.length < 4) return None
+    var p = 0
+    var hasId3 = false
+    var id3Size = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag body
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      id3Size = 10 + sz
+      if (id3Size.toLong > bytes.length) return None // tag past the buffer
+      hasId3 = true
+      p = id3Size
+    }
+    // sync to the first frame header (crawl payloads may carry junk)
+    while (p + 4 <= bytes.length &&
+      !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0)) p += 1
+    if (p + 4 > bytes.length) return None
+    val h1 = bytes(p + 1) & 0xff
+    val verBits = (h1 >> 3) & 3     // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+    val layerBits = (h1 >> 1) & 3   // 1=L3, 2=L2, 3=L1
+    if (verBits == 1 || layerBits == 0) return None
+    val mpegVersion = if (verBits == 3) 1 else 2
+    val layer = 4 - layerBits
+    if (layer != 3) return None // frame-length algebra below is layer III
+    val h2 = bytes(p + 2) & 0xff
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val bitrate = (if (mpegVersion == 1) BitratesV1L3 else BitratesV2L3)(brIdx)
+    val sampleRate = {
+      val base = SampleRatesV1(srIdx)
+      if (verBits == 3) base else if (verBits == 2) base / 2 else base / 4
+    }
+    val channels = if (((bytes(p + 3) & 0xff) >> 6) == 3) 1 else 2
+    val samplesPerFrame = if (mpegVersion == 1) 1152 else 576
+    val lenCoef = if (mpegVersion == 1) 144 else 72
+    // hop the frame chain; stop at the first non-sync landing
+    var frames = 0
+    var q = p
+    var go = true
+    while (go && q + 4 <= bytes.length) {
+      if ((bytes(q) & 0xff) == 0xff && (bytes(q + 1) & 0xe0) == 0xe0) {
+        val fh2 = bytes(q + 2) & 0xff
+        val fBr = (fh2 >> 4) & 0xf
+        val pad = (fh2 >> 1) & 1
+        if (fBr == 0 || fBr == 15) go = false
+        else {
+          val fBitrate = (if (mpegVersion == 1) BitratesV1L3 else BitratesV2L3)(fBr)
+          val flen = lenCoef * fBitrate * 1000 / sampleRate + pad
+          if (flen <= 4 || q + flen > bytes.length) go = false
+          else { frames += 1; q += flen }
+        }
+      } else go = false
+    }
+    if (frames == 0) return None
+    Some(AudioMeta(hasId3, id3Size, mpegVersion, layer, bitrate, sampleRate,
+      channels, frames, frames.toDouble * samplesPerFrame / sampleRate))
+  }
+}

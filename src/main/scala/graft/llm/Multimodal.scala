@@ -30,6 +30,12 @@ case class VideoRow(media_id: Long, parsed: Boolean, brand: String,
                     codec: String, width: Int, height: Int, n_keyframes: Int,
                     last_keyframe: Long, sum_keyframes: Long)
 
+/** Compressed-audio container metadata output (Mp3.parse). */
+case class Mp3Row(media_id: Long, parsed: Boolean, has_id3: Boolean,
+                  id3_size: Int, mpeg_version: Int, layer: Int,
+                  bitrate_kbps: Int, sample_rate: Int, channels: Int,
+                  n_frames: Int, duration_sec: Double)
+
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
@@ -396,6 +402,26 @@ object Multimodal {
         }
       }
     }(Encoders.product[VideoRow]).toDF()
+  }
+
+  /** REAL compressed-audio container metadata ([[Mp3]] frame-header +
+    * ID3v2 walk): bitrate, sample rate, channel mode, frame census,
+    * duration — without decoding a sample. Same per-partition shape as
+    * [[videoMeta]]. Payloads with no frame sync yield parsed=false. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Mp3.parse(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(m) => Mp3Row(id, parsed = true, m.hasId3, m.id3Size,
+            m.mpegVersion, m.layer, m.bitrateKbps, m.sampleRate, m.channels,
+            m.nFrames, m.durationSec)
+          case None => Mp3Row(id, parsed = false, has_id3 = false, 0, 0, 0, 0, 0, 0, 0, 0.0)
+        }
+      }
+    }(Encoders.product[Mp3Row]).toDF()
   }
 
   /** Frame sampling for video-like payloads: split the blob into `frames`

@@ -1081,6 +1081,35 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Mp4.parse("not an mp4 at all, just text".getBytes).isEmpty)
   }
 
+  test("Mp3 frame walk: ID3 skip, frame census, duration; resync; malformed rejects (11172-3)") {
+    def frame(kbps: Int, payloadByte: Byte): Array[Byte] = {
+      val brIdx = Map(96 -> 7, 128 -> 9, 192 -> 11)(kbps)
+      val len = 144 * kbps * 1000 / 32000
+      val out = new Array[Byte](len)
+      out(0) = 0xff.toByte; out(1) = 0xfb.toByte
+      out(2) = ((brIdx << 4) | 8).toByte; out(3) = 0
+      java.util.Arrays.fill(out, 4, len, payloadByte)
+      out
+    }
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 0, 12) ++
+      Array.fill[Byte](12)('t')
+    val bytes = id3 ++ frame(128, 'a') ++ frame(128, 'b') ++ frame(128, 'c')
+    val m = graft.llm.Mp3.parse(bytes).get
+    assert(m.hasId3 && m.id3Size == 22)
+    assert(m.mpegVersion == 1 && m.layer == 3 && m.bitrateKbps == 128)
+    assert(m.sampleRate == 32000 && m.channels == 2 && m.nFrames == 3)
+    assert(m.durationSec == 3.0 * 1152 / 32000)
+    // junk prefix resyncs to the first header; a truncated tail stops
+    // the census at whole frames instead of rejecting the file
+    assert(graft.llm.Mp3.parse("junk".getBytes("US-ASCII") ++ frame(96, 'x')).get.nFrames == 1)
+    assert(graft.llm.Mp3.parse(bytes.dropRight(10)).get.nFrames == 2)
+    // rejects: ID3 size past the buffer, free-format bitrate, no sync
+    assert(graft.llm.Mp3.parse("ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 1, 0)).isEmpty)
+    val free = frame(128, 'a'); free(2) = 0x08
+    assert(graft.llm.Mp3.parse(free).isEmpty)
+    assert(graft.llm.Mp3.parse("plain text, no frame sync here".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("decode bomb guards: adversarial headers reject before allocation (ADVICE r11)") {
     // PPM whose w*h*3 OVERFLOWS Int (100000^2*3) with a tiny body: the
     // Long-arithmetic length check must reject — the old Int check went
