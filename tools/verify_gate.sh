@@ -43,16 +43,19 @@ echo "== verify_gate: ALL GREEN"
 records=()
 for f in correctness_local.json bench/medians_latest.json \
          LEAKCHECK.json COPYCHECK.json CORRECTNESS_r*.json BENCH_r*.json; do
-  [ -e "$f" ] && records+=("$f")
+  # skip missing files AND gitignored ones (e.g. COPYCHECK.json) — one
+  # bad pathspec fails the whole add/commit
+  [ -e "$f" ] || continue
+  git check-ignore -q "$f" && continue
+  records+=("$f")
 done
 committed=0
 if [ ${#records[@]} -gt 0 ]; then
   if ! git diff --quiet -- "${records[@]}" \
      || git ls-files --others --exclude-standard -- "${records[@]}" | grep -q .; then
-    git add -- "${records[@]}"
+    git add -- "${records[@]}" &&
     git commit -m "Round records: correctness/bench/leakcheck snapshot (verify_gate green)" \
-      -- "${records[@]}"
-    committed=1
+      -- "${records[@]}" && committed=1
   fi
 fi
 if [ $committed -eq 1 ]; then
