@@ -1475,6 +1475,18 @@ object SparkEntry {
           col("mpeg_version"), col("layer"), col("bitrate_kbps"),
           col("sample_rate"), col("channels"), col("n_frames"), col("duration_sec"))
     },
+    // REAL WARC ingestion end-to-end: synthesize a request+response
+    // WARC segment per doc (warcMedia), run the actual ISO 28500 record
+    // walk + HTTP split (Warc.parse via mapPartitions), DuckDB replays
+    // every header and the body bytes closed-form.
+    "q_warc_ingest" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Warc.parse(warcMedia(docs))
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"), col("target_uri"),
+          col("http_status"), col("http_content_type").as("http_ct"),
+          col("content_length"), md5(col("body")).as("body_md5"))
+    },
     // Mojibake repair (ftfy-style, one codegen'd projection): docs
     // decorated with latin1/cp1252 mis-decode artifacts must repair to
     // the intended characters, while the clean ASCII base text passes
@@ -1991,6 +2003,37 @@ object SparkEntry {
       when(d % 2 === 0, concat(id3, frames)).otherwise(frames).as("media"),
       struct(lit("audio/mpeg").as("format"), lit(32000).as("width"),
         lit(1).as("height")).as("meta"))
+  }
+
+  /** Deterministic two-record WARC segment per document (request +
+    * response, ISO 28500 framing): every header and the HTTP block are
+    * Column string algebra, Content-Length computed with `length()`, so
+    * the DuckDB oracle replays the parse closed-form (ASCII ⇒ chars ==
+    * bytes). */
+  private def warcMedia(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast(LongType)
+    val uri = concat(lit("http://d"), (d % 7).cast("string"),
+      lit(".ok.org/page/"), d.cast("string"))
+    val statusText = element_at(
+      array(lit("200 OK"), lit("404 Not Found"), lit("301 Moved")),
+      (d % 3).cast("int") + 1)
+    val body = rpad(substring(col("text"), 1, 40), 48, "x")
+    val httpBlock = concat(lit("HTTP/1.1 "), statusText,
+      lit("\r\nContent-Type: text/html\r\n\r\n"), body)
+    val reqBlock = concat(lit("GET /page/"), d.cast("string"),
+      lit(" HTTP/1.1\r\nHost: ok.org\r\n\r\n"))
+    def rec(wtype: String, ctype: String, block: Column): Column = concat(
+      lit(s"WARC/1.0\r\nWARC-Type: $wtype\r\n"),
+      lit("WARC-Target-URI: "), uri, lit("\r\n"),
+      lit("WARC-Date: 2024-01-01T00:00:00Z\r\n"),
+      lit(s"Content-Type: $ctype\r\n"),
+      lit("Content-Length: "), length(block).cast("string"), lit("\r\n\r\n"),
+      block, lit("\r\n\r\n"))
+    docs.select(d.as("media_id"),
+      encode(concat(
+        rec("request", "application/http;msgtype=request", reqBlock),
+        rec("response", "application/http;msgtype=response", httpBlock)),
+        "UTF-8").as("media"))
   }
 
   // Suffixed with the JVM pid AND a fresh per-call UUID nonce so no two
@@ -2681,6 +2724,17 @@ object SparkEntry {
         |  1 + doc_id % 5 AS n_keyframes,
         |  1 + 7 * (doc_id % 5) AS last_keyframe,
         |  (1 + doc_id % 5) + 7 * ((doc_id % 5) * (1 + doc_id % 5) // 2) AS sum_keyframes
+        |FROM documents""".stripMargin,
+    // independent replay of the WARC record walk: headers, HTTP status,
+    // Content-Length arithmetic (9 + |status text| + 2 + 25 + 2 + 48),
+    // and the body bytes are all closed-form in (doc_id, text)
+    "q_warc_ingest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'http://d' || (doc_id % 7) || '.ok.org/page/' || doc_id AS target_uri,
+        |  [200,404,301][CAST(doc_id % 3 AS INT) + 1] AS http_status,
+        |  'text/html' AS http_ct,
+        |  CAST(86 + length(['200 OK','404 Not Found','301 Moved'][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS content_length,
+        |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS body_md5
         |FROM documents""".stripMargin,
     // independent replay of the MP3 frame walk: every field closed-form
     // in doc_id by construction of the mp3Media fixture

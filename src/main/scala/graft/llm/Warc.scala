@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+/** One parsed WARC record (flattened for the DataFrame seam). */
+case class WarcRow(media_id: Long, record_idx: Int, warc_type: String,
+                   target_uri: String, warc_date: String,
+                   content_length: Long, http_status: Int,
+                   http_content_type: String, body: Array[Byte])
+
+/** Pure-JVM WARC (ISO 28500) reader — the container format web crawls
+  * actually ship in (Common Crawl publishes WARC/WAT/WET): version line
+  * `WARC/1.x`, CRLF header block (`WARC-Type`, `WARC-Target-URI`,
+  * `WARC-Date`, `Content-Type`, `Content-Length`), then exactly
+  * `Content-Length` block bytes and a `\r\n\r\n` record separator.
+  * Response records carry an HTTP message in the block; [[records]]
+  * additionally splits status / headers / body for those.
+  *
+  * Crawl-robust by construction: headers are a byte walk (no regex, no
+  * charset assumption beyond ASCII header names), a malformed record
+  * STOPS the walk and returns the records already parsed (a truncated
+  * 1 GB WARC segment yields its good prefix, not an exception), and
+  * `Content-Length` is trusted only within the buffer's bounds.
+  *
+  * Scale shape: one task parses one WARC segment ([[parse]] is a
+  * flatMap over binary payloads — no state, no shuffle; Common Crawl
+  * segments are ~1 GB, the natural split unit), so throughput is linear
+  * in executors exactly like the [[Mp4]]/[[Mp3]] walks.
+  */
+object Warc {
+
+  final case class Rec(warcType: String, targetUri: String, warcDate: String,
+                       contentType: String, contentLength: Long,
+                       httpStatus: Int, httpContentType: String,
+                       body: Array[Byte])
+
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+    if (i + 1 < b.length) i else -1
+  }
+
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Parse `(name, value)` headers from `p` until the empty CRLF line;
+    * returns (headers lowercased-name map, offset past the blank line)
+    * or null on malformed framing. */
+  private def headers(b: Array[Byte], from: Int): (Map[String, String], Int) = {
+    var p = from
+    val m = Map.newBuilder[String, String]
+    while (true) {
+      val e = lineEnd(b, p)
+      if (e < 0) return null
+      if (e == p) return (m.result(), p + 2) // empty line: end of headers
+      val line = ascii(b, p, e)
+      val c = line.indexOf(':')
+      if (c > 0) m += line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim
+      p = e + 2
+    }
+    null // unreachable
+  }
+
+  /** All records parseable from one WARC segment, in order. */
+  def records(bytes: Array[Byte], maxRecords: Int = 100000): Seq[Rec] = {
+    val out = Vector.newBuilder[Rec]
+    var p = 0
+    var n = 0
+    while (n < maxRecords && p + 8 < bytes.length) {
+      val ve = lineEnd(bytes, p)
+      if (ve < 0 || !ascii(bytes, p, ve).startsWith("WARC/")) return out.result()
+      val hdr = headers(bytes, ve + 2)
+      if (hdr == null) return out.result()
+      val (h, bodyStart) = hdr
+      val len = try h.getOrElse("content-length", "-1").toLong catch {
+        case _: NumberFormatException => -1L
+      }
+      if (len < 0 || bodyStart + len > bytes.length) return out.result()
+      val block = java.util.Arrays.copyOfRange(bytes, bodyStart, (bodyStart + len).toInt)
+      // response records: split the HTTP message inside the block
+      var status = 0
+      var httpCt = ""
+      var body = block
+      if (block.length > 5 && ascii(block, 0, 5) == "HTTP/") {
+        val se = lineEnd(block, 0)
+        if (se > 0) {
+          val parts = ascii(block, 0, se).split(" ")
+          if (parts.length >= 2) status =
+            try parts(1).toInt catch { case _: NumberFormatException => 0 }
+          val hh = headers(block, se + 2)
+          if (hh != null) {
+            httpCt = hh._1.getOrElse("content-type", "")
+            body = java.util.Arrays.copyOfRange(block, hh._2, block.length)
+          }
+        }
+      }
+      out += Rec(h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
+        h.getOrElse("warc-date", ""), h.getOrElse("content-type", ""), len,
+        status, httpCt, body)
+      n += 1
+      // record separator: \r\n\r\n after the block
+      var q = bodyStart + len
+      if (q + 4 <= bytes.length && bytes(q.toInt) == '\r' && bytes(q.toInt + 1) == '\n' &&
+          bytes(q.toInt + 2) == '\r' && bytes(q.toInt + 3) == '\n') q += 4
+      else return out.result() // missing separator: stop at the good prefix
+      p = q.toInt
+    }
+    out.result()
+  }
+
+  /** Explode WARC segments (binary col) into one row per record — the
+    * ingestion seam: `binaryFile`-read crawl segments in, per-record
+    * rows out, zero shuffle. */
+  def parse(df: DataFrame, idCol: String = "media_id",
+            bytesCol: String = "media"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        records(r.getAs[Array[Byte]](bIdx)).zipWithIndex.map { case (rec, i) =>
+          WarcRow(id, i, rec.warcType, rec.targetUri, rec.warcDate,
+            rec.contentLength, rec.httpStatus, rec.httpContentType, rec.body)
+        }
+      }
+    }(Encoders.product[WarcRow]).toDF()
+  }
+}

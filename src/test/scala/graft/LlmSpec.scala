@@ -1110,6 +1110,33 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Mp3.parse("plain text, no frame sync here".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("Warc record walk: framing, HTTP split, truncation yields good prefix (ISO 28500)") {
+    def rec(wtype: String, uri: String, block: String): String =
+      s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n$block\r\n\r\n"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    val seg = (rec("request", "http://a.example/x", "GET /x HTTP/1.1\r\n\r\n") +
+      rec("response", "http://a.example/x", http) +
+      rec("response", "http://b.example/y", "HTTP/1.1 404 Not Found\r\n\r\n")).getBytes("US-ASCII")
+    val rs = graft.llm.Warc.records(seg)
+    assert(rs.length == 3)
+    assert(rs(0).warcType == "request" && rs(0).httpStatus == 0)
+    assert(rs(1).warcType == "response" && rs(1).httpStatus == 200)
+    assert(rs(1).httpContentType == "text/html")
+    assert(new String(rs(1).body, "US-ASCII") == "<html>hi</html>")
+    assert(rs(1).contentLength == http.length)
+    assert(rs(2).httpStatus == 404 && rs(2).body.isEmpty)
+    // a truncated segment yields its good prefix, not an exception
+    assert(graft.llm.Warc.records(seg.dropRight(25)).length == 2)
+    // content-length past the buffer stops the walk; junk rejects
+    val lie = "WARC/1.0\r\nContent-Length: 999999\r\n\r\nshort".getBytes("US-ASCII")
+    assert(graft.llm.Warc.records(lie).isEmpty)
+    assert(graft.llm.Warc.records("not a warc segment".getBytes("US-ASCII")).isEmpty)
+    // missing record separator stops at the record that still framed
+    val noSep = (rec("request", "u", "G") .dropRight(4) + "XX").getBytes("US-ASCII")
+    assert(graft.llm.Warc.records(noSep).length <= 1)
+  }
+
   test("decode bomb guards: adversarial headers reject before allocation (ADVICE r11)") {
     // PPM whose w*h*3 OVERFLOWS Int (100000^2*3) with a tiny body: the
     // Long-arithmetic length check must reject — the old Int check went

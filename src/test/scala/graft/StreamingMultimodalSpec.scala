@@ -9,6 +9,9 @@ import graft.llm.Multimodal
 /** Media fixture row (top-level for the encoder). */
 case class SmDoc(doc_id: Long, text: String)
 
+/** Raw media-bytes fixture row (container-parse parity test). */
+case class SmMedia(media_id: Long, media: Array[Byte])
+
 /** The multimodal decode path is a per-partition map (no state, no
   * shuffle) — so it must run unchanged on a STREAMING frame, decoding
   * each micro-batch as it arrives: the ingest-side "decode on arrival"
@@ -74,5 +77,54 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stream.size == docs.size)
     assert(stream == batch)
     assert(batch.values.forall(_._1), "every synthetic PNG must decode")
+  }
+
+  test("MP4/MP3 container parse runs per micro-batch == batch (provenance on arrival)") {
+    import org.apache.spark.sql.Encoders
+    implicit val mEnc = Encoders.product[SmMedia]
+    implicit val sq = spark.sqlContext
+
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def z(n: Int): Array[Byte] = new Array[Byte](n)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.flatten.toArray; be32(p.length + 8L) ++ cc(typ) ++ p
+    }
+    def mp4(durMs: Long): Array[Byte] =
+      box("ftyp", cc("isom"), be32(0)) ++
+        box("moov", box("mvhd", z(4), z(8), be32(1000), be32(durMs)))
+    def mp3Frames(n: Int): Array[Byte] = {
+      val frame = new Array[Byte](576)
+      frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x98.toByte
+      Array.fill(n)(frame).flatten
+    }
+    // even ids: MP4 of doc-derived duration; odd ids: MP3 of 1+i%3 frames
+    val docs = (0L until 24L).map { i =>
+      SmMedia(i, if (i % 2 == 0) mp4(1000 + i) else mp3Frames(1 + (i % 3).toInt))
+    }
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val v = Multimodal.videoMeta(df).filter("parsed")
+        .selectExpr("media_id", "duration_sec AS metric")
+      val a = Multimodal.audioMeta(df).filter("parsed")
+        .selectExpr("media_id", "CAST(n_frames AS DOUBLE) AS metric")
+      v.unionByName(a)
+    }
+    val batch = pipeline(spark.createDataset(docs).toDF())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val mem = MemoryStream[SmMedia]
+    val q = pipeline(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sm_container")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(7).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("sm_container").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+
+    assert(batch.size == docs.size, "every synthetic container must parse")
+    assert(stream == batch)
+    assert(batch(0L) == 1.0 && batch(2L) == 1.002) // mvhd duration/timescale
+    assert(batch(1L) == 2.0 && batch(3L) == 1.0)   // frame census
   }
 }
