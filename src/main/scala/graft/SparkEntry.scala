@@ -1487,6 +1487,22 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // composed crawl-segment ingest: WARC record walk → HTTP 200 gate →
+    // body decode → HTML strip/entity unescape → length gate, ONE DAG
+    // from container bytes to training-text verdicts — the Common Crawl
+    // ingestion story end-to-end, every stage oracle-replayed.
+    "q_warc_pipeline" -> { (s, dir) =>
+      val docs = graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents"))
+      val media = warcMedia(docs, bodyOverride = Some(concat(
+        lit("<p>"), substring(col("text"), 1, 60), lit("</p> &amp; end"))))
+      val resp = graft.llm.Warc.parse(media)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+      val clean = resp.withColumn("clean",
+        graft.llm.Normalize.cleanWeb(decode(col("body"), "UTF-8")))
+      clean.select(col("media_id").as("doc_id"), md5(col("clean")).as("clean_md5"),
+        length(col("clean")).as("n_chars"),
+        (length(col("clean")) >= 20).as("kept"))
+    },
     // Mojibake repair (ftfy-style, one codegen'd projection): docs
     // decorated with latin1/cp1252 mis-decode artifacts must repair to
     // the intended characters, while the clean ASCII base text passes
@@ -2010,14 +2026,15 @@ object SparkEntry {
     * Column string algebra, Content-Length computed with `length()`, so
     * the DuckDB oracle replays the parse closed-form (ASCII ⇒ chars ==
     * bytes). */
-  private def warcMedia(docs: DataFrame): DataFrame = {
+  private def warcMedia(docs: DataFrame,
+                        bodyOverride: Option[Column] = None): DataFrame = {
     val d = col("doc_id").cast(LongType)
     val uri = concat(lit("http://d"), (d % 7).cast("string"),
       lit(".ok.org/page/"), d.cast("string"))
     val statusText = element_at(
       array(lit("200 OK"), lit("404 Not Found"), lit("301 Moved")),
       (d % 3).cast("int") + 1)
-    val body = rpad(substring(col("text"), 1, 40), 48, "x")
+    val body = bodyOverride.getOrElse(rpad(substring(col("text"), 1, 40), 48, "x"))
     val httpBlock = concat(lit("HTTP/1.1 "), statusText,
       lit("\r\nContent-Type: text/html\r\n\r\n"), body)
     val reqBlock = concat(lit("GET /page/"), d.cast("string"),
@@ -2725,6 +2742,21 @@ object SparkEntry {
         |  1 + 7 * (doc_id % 5) AS last_keyframe,
         |  (1 + doc_id % 5) + 7 * ((doc_id % 5) * (1 + doc_id % 5) // 2) AS sum_keyframes
         |FROM documents""".stripMargin,
+    // composed ingest replay: the status-200 gate is doc_id%3=0, the
+    // body is closed-form, and the clean chain is the q_html_strip
+    // replay over it
+    "q_warc_pipeline" ->
+      """WITH resp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  '<p>' || substr(text, 1, 60) || '</p> &amp; end' AS body
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cln AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(body, '<[^>]*>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\n\r]+', ' ', 'g')) AS clean FROM resp)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(length(clean) AS INT) AS n_chars, length(clean) >= 20 AS kept
+        |FROM cln""".stripMargin,
     // independent replay of the WARC record walk: headers, HTTP status,
     // Content-Length arithmetic (9 + |status text| + 2 + 25 + 2 + 48),
     // and the body bytes are all closed-form in (doc_id, text)

@@ -1137,6 +1137,57 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Warc.records(noSep).length <= 1)
   }
 
+  test("container parsers never throw on fuzzed crawl bytes (Mp4/Mp3/Warc/Codecs)") {
+    // crawl payloads are arbitrary bytes: every parser must return
+    // None/empty/prefix — never propagate an exception into the task.
+    val rnd = new scala.util.Random(777)
+    val magics = Seq(
+      "ftyp".getBytes("US-ASCII"), "WARC/1.0\r\n".getBytes("US-ASCII"),
+      Array(0xff.toByte, 0xfb.toByte), "ID3".getBytes("US-ASCII"),
+      "P6\n".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 16))
+    (0 until 400).foreach { i =>
+      val len = rnd.nextInt(300)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      // half the runs: plant a real magic at a random offset so the
+      // fuzz exercises the post-magic header paths, not just the gate
+      if (i % 2 == 0 && len > 12) {
+        val m = magics(rnd.nextInt(magics.length))
+        System.arraycopy(m, 0, b, rnd.nextInt(len - m.length), m.length)
+      }
+      graft.llm.Mp4.parse(b)
+      graft.llm.Mp3.parse(b)
+      graft.llm.Warc.records(b)
+      graft.llm.Codecs.decodeImage(b)
+      graft.llm.Codecs.decodeWav(b)
+      graft.llm.Codecs.toBufferedImage(b)
+    }
+    // mutated VALID files: flip bytes in a well-formed fixture and
+    // re-parse — the dense corruption sweep hits every branch bound
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def z(n: Int): Array[Byte] = new Array[Byte](n)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.flatten.toArray; be32(p.length + 8L) ++ cc(typ) ++ p
+    }
+    val mp4 = box("ftyp", cc("isom"), be32(0)) ++
+      box("moov", box("mvhd", z(4), z(8), be32(1000), be32(5000)),
+        box("trak", box("mdia", box("minf", box("stbl",
+          box("stss", z(4), be32(2), be32(1), be32(8)))))))
+    val frame = new Array[Byte](576)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x98.toByte
+    val mp3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 0, 4) ++
+      z(4) ++ frame ++ frame
+    val warc = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 20\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n\r\nx" + "\r\n\r\n").getBytes("US-ASCII")
+    for (fixture <- Seq(mp4, mp3, warc); _ <- 0 until 200) {
+      val b = fixture.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      graft.llm.Mp4.parse(b); graft.llm.Mp3.parse(b); graft.llm.Warc.records(b)
+    }
+  }
+
   test("decode bomb guards: adversarial headers reject before allocation (ADVICE r11)") {
     // PPM whose w*h*3 OVERFLOWS Int (100000^2*3) with a tiny body: the
     // Long-arithmetic length check must reject — the old Int check went
