@@ -1487,6 +1487,17 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // transport invariance: the SAME record walk over a .warc.gz layout
+    // (one gzip member per record, members concatenated — the actual
+    // Common Crawl shipping format); identical oracle to q_warc_ingest
+    "q_warc_gzip" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Warc.parse(warcMedia(docs, gzipMembers = true))
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"), col("target_uri"),
+          col("http_status"), col("http_content_type").as("http_ct"),
+          col("content_length"), md5(col("body")).as("body_md5"))
+    },
     // composed crawl-segment ingest: WARC record walk → HTTP 200 gate →
     // body decode → HTML strip/entity unescape → length gate, ONE DAG
     // from container bytes to training-text verdicts — the Common Crawl
@@ -2027,7 +2038,8 @@ object SparkEntry {
     * the DuckDB oracle replays the parse closed-form (ASCII ⇒ chars ==
     * bytes). */
   private def warcMedia(docs: DataFrame,
-                        bodyOverride: Option[Column] = None): DataFrame = {
+                        bodyOverride: Option[Column] = None,
+                        gzipMembers: Boolean = false): DataFrame = {
     val d = col("doc_id").cast(LongType)
     val uri = concat(lit("http://d"), (d % 7).cast("string"),
       lit(".ok.org/page/"), d.cast("string"))
@@ -2046,11 +2058,30 @@ object SparkEntry {
       lit(s"Content-Type: $ctype\r\n"),
       lit("Content-Length: "), length(block).cast("string"), lit("\r\n\r\n"),
       block, lit("\r\n\r\n"))
-    docs.select(d.as("media_id"),
-      encode(concat(
-        rec("request", "application/http;msgtype=request", reqBlock),
-        rec("response", "application/http;msgtype=response", httpBlock)),
-        "UTF-8").as("media"))
+    val req = rec("request", "application/http;msgtype=request", reqBlock)
+    val resp = rec("response", "application/http;msgtype=response", httpBlock)
+    if (!gzipMembers)
+      docs.select(d.as("media_id"), encode(concat(req, resp), "UTF-8").as("media"))
+    else {
+      // the ACTUAL Common Crawl layout: one gzip MEMBER per record,
+      // members concatenated — compression needs Deflater, so this arm
+      // builds the per-record strings in Column algebra and applies the
+      // transport per partition (content stays closed-form for the
+      // oracle; gzip is a transport the parser undoes)
+      import org.apache.spark.sql.Row
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType), StructField("media", BinaryType))))
+      docs.select(d.as("media_id"), req.as("r1"), resp.as("r2")).mapPartitions { it =>
+        def gz(s: String): Array[Byte] = {
+          val baos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(baos)
+          g.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          g.finish(); g.close()
+          baos.toByteArray
+        }
+        it.map(r => Row(r.getLong(0), gz(r.getString(1)) ++ gz(r.getString(2))))
+      }(enc)
+    }
   }
 
   // Suffixed with the JVM pid AND a fresh per-call UUID nonce so no two
@@ -2761,6 +2792,16 @@ object SparkEntry {
     // Content-Length arithmetic (9 + |status text| + 2 + 25 + 2 + 48),
     // and the body bytes are all closed-form in (doc_id, text)
     "q_warc_ingest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'http://d' || (doc_id % 7) || '.ok.org/page/' || doc_id AS target_uri,
+        |  [200,404,301][CAST(doc_id % 3 AS INT) + 1] AS http_status,
+        |  'text/html' AS http_ct,
+        |  CAST(86 + length(['200 OK','404 Not Found','301 Moved'][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS content_length,
+        |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS body_md5
+        |FROM documents""".stripMargin,
+    // gzip transport invariance: same truth as q_warc_ingest — the
+    // member-per-record compression must be invisible to the parse
+    "q_warc_gzip" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  'http://d' || (doc_id % 7) || '.ok.org/page/' || doc_id AS target_uri,
         |  [200,404,301][CAST(doc_id % 3 AS INT) + 1] AS http_status,

@@ -61,8 +61,37 @@ object Warc {
     null // unreachable
   }
 
-  /** All records parseable from one WARC segment, in order. */
-  def records(bytes: Array[Byte], maxRecords: Int = 100000): Seq[Rec] = {
+  /** Gzip-transport undo: Common Crawl ships `.warc.gz` segments with
+    * ONE GZIP MEMBER PER RECORD (so a cluster can split on member
+    * boundaries); `java.util.zip.GZIPInputStream` reads concatenated
+    * members transparently, so inflating the whole segment yields the
+    * plain concatenated-record layout [[records]] already walks. Capped
+    * at `maxBytes` inflated (a 1 GB segment inflates ~3–4×; the cap is
+    * the same decompression-bomb discipline as [[Codecs]]). Returns the
+    * bytes inflated so far on a truncated/corrupt tail — prefix
+    * semantics, like the record walk itself. */
+  def gunzip(bytes: Array[Byte], maxBytes: Int = 1 << 30): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n > 0 && out.size < maxBytes) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () } // corrupt tail: keep prefix
+    out.toByteArray
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** All records parseable from one WARC segment, in order. A gzip
+    * magic (`1f 8b`) routes through [[gunzip]] first — `.warc.gz`
+    * segments parse identically to plain `.warc`. ONE unwrap level
+    * only: inflated output that is itself gzip (a quine-style bomb)
+    * fails the `WARC/` version check and yields zero records. */
+  def records(rawBytes: Array[Byte], maxRecords: Int = 100000): Seq[Rec] = {
+    val bytes = if (isGzip(rawBytes)) gunzip(rawBytes) else rawBytes
     val out = Vector.newBuilder[Rec]
     var p = 0
     var n = 0

@@ -1135,6 +1135,29 @@ class LlmSpec extends AnyFunSuite {
     // missing record separator stops at the record that still framed
     val noSep = (rec("request", "u", "G") .dropRight(4) + "XX").getBytes("US-ASCII")
     assert(graft.llm.Warc.records(noSep).length <= 1)
+
+    // gzip transport: member-per-record (the Common Crawl layout) and
+    // whole-segment single-member both parse identically to plain
+    def gz(s: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(baos)
+      g.write(s.getBytes("US-ASCII")); g.finish(); g.close()
+      baos.toByteArray
+    }
+    val members = gz(rec("request", "http://a.example/x", "GET /x HTTP/1.1\r\n\r\n")) ++
+      gz(rec("response", "http://a.example/x", http)) ++
+      gz(rec("response", "http://b.example/y", "HTTP/1.1 404 Not Found\r\n\r\n"))
+    def sig(r: graft.llm.Warc.Rec) = (r.warcType, r.targetUri, r.httpStatus,
+      new String(r.body, "US-ASCII"))
+    assert(graft.llm.Warc.records(members).map(sig) == rs.map(sig))
+    assert(graft.llm.Warc.records(gz(new String(seg, "US-ASCII"))).map(sig) == rs.map(sig))
+    // corrupt gzip tail: whatever parses is a PREFIX of the truth, and
+    // the undamaged members always survive (the last member's deflate
+    // data is cut; dropping only its 8-byte trailer would still inflate)
+    val part = graft.llm.Warc.records(members.dropRight(20)).map(sig)
+    assert(part == rs.map(sig).take(part.length) && part.length >= 2)
+    // inflate cap: a highly-compressible bomb stops at maxBytes
+    assert(graft.llm.Warc.gunzip(gz("A" * 100000), maxBytes = 1024).length <= 1024 + 65536)
   }
 
   test("container parsers never throw on fuzzed crawl bytes (Mp4/Mp3/Warc/Codecs)") {
