@@ -139,4 +139,14 @@ object Bpe {
       }
     enc.toDF(idCol, "bpe_tokens", "n_bpe")
   }
+
+  /** Decode — invert [[encode]] at the token-stream level: concatenate
+    * the symbols and turn each end-of-word sentinel back into a space.
+    * Merges never cross the sentinel, so `decode(encode(x)) ==` the
+    * whitespace-normalized `x` for ANY merge table (the round-trip law
+    * BpeSpec pins). Pure Column algebra: one zero-shuffle projection —
+    * the "detokenize for inspection/export" stage costs a map, not a
+    * join against the tokenizer. */
+  def decode(tokens: Column): Column =
+    trim(replace(array_join(tokens, ""), lit(EndOfWord), lit(" ")))
 }

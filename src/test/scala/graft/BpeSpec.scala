@@ -65,6 +65,13 @@ class BpeSpec extends AnyFunSuite {
       val rebuilt = ts.mkString("").replace(Bpe.EndOfWord, " ").trim
       assert(rebuilt == docs.filter($"doc_id" === id).collect()(0).getString(1))
     }
+    // the DISTRIBUTED decode projection satisfies the same law in-plan:
+    // decode(encode(x)) == x for any merge table, zero shuffle
+    val dec = Bpe.encode(docs, "doc_id", "text", m)
+      .select($"doc_id", Bpe.decode($"bpe_tokens").as("rebuilt"))
+    assert(!dec.queryExecution.executedPlan.toString.contains("Exchange"))
+    val back = dec.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach(r => assert(back(r.getLong(0)) == r.getString(1)))
   }
 
   test("zero merges → characters + end marker; merge exhaustion stops early") {

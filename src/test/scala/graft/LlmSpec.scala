@@ -265,6 +265,20 @@ class LlmSpec extends AnyFunSuite {
     assert(!hitsPlan.contains("SortMergeJoin"), "gram join must not sort-merge the corpus")
   }
 
+  test("plan shapes: r12 container parsers are zero-shuffle per-blob maps") {
+    // videoMeta / audioMeta / Warc.parse: mapPartitions over binary
+    // blobs — the 100 TB cost is pure per-blob compute behind the scan
+    val media = spark.range(0, 20).selectExpr(
+      "id AS media_id", "CAST('x' AS BINARY) AS media")
+    for ((name, df) <- Seq(
+        "videoMeta" -> graft.llm.Multimodal.videoMeta(media),
+        "audioMeta" -> graft.llm.Multimodal.audioMeta(media),
+        "Warc.parse" -> graft.llm.Warc.parse(media))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n${plan.take(400)}")
+    }
+  }
+
   test("Ivf.assign is a pure projection: zero exchanges, zero aggregates") {
     val vecs = clusteredVecs(29, 64, 16)
     val cents = graft.llm.Ivf.buildCentroids(vecs, k = 4, iters = 1)
