@@ -1240,6 +1240,40 @@ object SparkEntry {
       ev(s, dir).valueAt(2, "v2").df.filter(col("v2").isNotNull)
         .select(col("seq").as("event_id"), col("v2"))
     },
+    // set_buffering_policy compat contract (impl/wiring/node.py buffer
+    // sizing): a declared tick_count policy rides the stream as column
+    // metadata; a history request WITHIN the policy computes exactly the
+    // plain-lag truth, and a DEEPER request must THROW (the same error a
+    // csp node hits when its buffer was sized too small) — the throw is
+    // asserted IN-QUERY so the contract is part of the oracle row.
+    "q_buffer_policy" -> { (s, dir) =>
+      val policied = ev(s, dir).withBufferPolicy(5)
+      val deepFails =
+        try { policied.valueAt(5); false }
+        catch { case _: IllegalArgumentException => true }
+      require(deepFails, "valueAt(5) needs 6 ticks; policy retains 5 — must throw")
+      policied.valueAt(4, "v4").df.filter(col("v4").isNotNull)
+        .select(col("seq").as("event_id"), col("v4"))
+    },
+    // schedule_on_engine_stop (baselib.py:735-741): hooks registered
+    // during the run fire exactly once when the driving action returns —
+    // asserted in-query (ordering + drain), with the driving action's
+    // own result folded into the oracle-checked output.
+    "q_engine_stop" -> { (s, dir) =>
+      val fired = new java.util.concurrent.atomic.AtomicLong(0L)
+      val body = ev(s, dir).df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"))
+      val groups = graft.ts.EngineStop.run {
+        graft.ts.EngineStop.schedule(() => fired.incrementAndGet())
+        require(fired.get == 0L, "hooks must not fire before engine stop")
+        body.count() // the driving action
+      }
+      require(fired.get == 1L, "engine-stop hook must fire exactly once")
+      graft.ts.EngineStop.fire() // drained: a second stop has nothing to run
+      require(fired.get == 1L, "hooks drain on fire (one run = one stop)")
+      body.withColumn("n_groups", lit(groups))
+    },
     // vectorized array-lane rolling stats (stats.py:195-210): 8 lanes per
     // tick, 4 keyed streams, ONE Window node — per-lane results exploded
     // only in the final projection so the oracle can compare them. Folds
@@ -3570,6 +3604,16 @@ object SparkEntry {
         |  GROUP BY i, j)""".stripMargin,
     "q_value_at" ->
       s"SELECT event_id, v2 FROM (SELECT event_id, lag(value, 2) OVER ($W) AS v2 FROM events) WHERE v2 IS NOT NULL",
+    // a policy-carrying stream computes the PLAIN lag truth (the policy
+    // is metadata + a compat gate, never a value change)
+    "q_buffer_policy" ->
+      s"SELECT event_id, v4 FROM (SELECT event_id, lag(value, 4) OVER ($W) AS v4 FROM events) WHERE v4 IS NOT NULL",
+    // the driving action's group count folded beside the per-group truth
+    "q_engine_stop" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  (SELECT count(DISTINCT event_type) FROM events) AS n_groups
+        |FROM events GROUP BY 1""".stripMargin,
     // list_reduce replays the Spark-side frame folds element-for-element
     // (same init, same order) — sums/variance are bit-exact before round
     "q_stats_vec" ->
