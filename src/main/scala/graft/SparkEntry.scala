@@ -1255,6 +1255,24 @@ object SparkEntry {
       policied.valueAt(4, "v4").df.filter(col("v4").isNotNull)
         .select(col("seq").as("event_id"), col("v4"))
     },
+    // profiler row accounting (profiler.py:202-377): exec-metric totals
+    // must agree with ground truth — p.rows is the driving count, every
+    // operator ticks ≥ the output rows, utilization lands in (0,1].
+    // The plan-dependent internals (operator census, wall) are asserted
+    // in-query; the oracle checks the row accounting against SQL truth.
+    "q_profiler" -> { (s, dir) =>
+      val perKey = ev(s, dir).df.groupBy(col(Tick.KEY))
+        .agg(count(lit(1)).as("cnt"))
+      val p = graft.operators.Profiler.profile(perKey)
+      require(p.numOperators > 0 && p.totalOutputRows >= p.rows,
+        s"profiler census inconsistent: ${p.render}")
+      require(p.utilization > 0.0 && p.utilization <= 1.0,
+        s"utilization out of range: ${p.utilization}")
+      require(p.nodes.exists(_.node.toLowerCase.contains("scan")),
+        "profile must attribute a scan operator")
+      perKey.select(col(Tick.KEY).cast(LongType).as("user_id"), col("cnt"))
+        .withColumn("profiled_rows", lit(p.rows))
+    },
     // schedule_on_engine_stop (baselib.py:735-741): hooks registered
     // during the run fire exactly once when the driving action returns —
     // asserted in-query (ordering + drain), with the driving action's
@@ -3608,6 +3626,11 @@ object SparkEntry {
     // is metadata + a compat gate, never a value change)
     "q_buffer_policy" ->
       s"SELECT event_id, v4 FROM (SELECT event_id, lag(value, 4) OVER ($W) AS v4 FROM events) WHERE v4 IS NOT NULL",
+    // the profiled row total is the number of per-key groups
+    "q_profiler" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS cnt,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS profiled_rows
+        |FROM events GROUP BY 1""".stripMargin,
     // the driving action's group count folded beside the per-group truth
     "q_engine_stop" ->
       """SELECT event_type, count(*) AS cnt,
