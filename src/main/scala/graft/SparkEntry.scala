@@ -1550,6 +1550,31 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // robots.txt compliance sweep (RFC 9309): pages joined to per-host
+    // robots captures, longest-prefix-wins verdict per page — group
+    // selection (specific beats *), Allow-overrides-Disallow on longer
+    // prefix, and the missing-robots default all exercised; DuckDB
+    // replays the verdict table closed-form.
+    "q_robots" -> { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id").cast(LongType)
+      val pages = Sources.table(s, dir, "documents").select(
+        d.as("doc_id"),
+        concat(lit("h"), (d % 5).cast("string")).as("host"),
+        element_at(array(
+          concat(lit("/page/"), d.cast("string")),
+          concat(lit("/private/"), d.cast("string")),
+          concat(lit("/private/ok/"), d.cast("string"))), (d % 3).cast("int") + 1).as("path"))
+      val star = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+      val robots = Seq(
+        "h0" -> star, "h1" -> star, "h2" -> star,
+        // h3: a specific group for another bot, then the * group WITHOUT
+        // the Allow override; h4 has no robots capture at all
+        "h3" -> "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n")
+        .toDF("rhost", "robots_txt")
+      graft.llm.UrlStats.robotsFilter(pages, "host", "path", robots, "rhost", "robots_txt")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+    },
     // composed crawl-segment ingest: WARC record walk → HTTP 200 gate →
     // body decode → HTML strip/entity unescape → length gate, ONE DAG
     // from container bytes to training-text verdicts — the Common Crawl
@@ -2850,6 +2875,19 @@ object SparkEntry {
         |  'text/html' AS http_ct,
         |  CAST(86 + length(['200 OK','404 Not Found','301 Moved'][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS content_length,
         |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS body_md5
+        |FROM documents""".stripMargin,
+    // robots verdict table: /page always allowed; /private disallowed
+    // wherever a robots capture exists; /private/ok re-allowed only by
+    // the hosts carrying the Allow override; capture-less h4 allows all
+    "q_robots" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'h' || (doc_id % 5) AS host,
+        |  ['/page/' || doc_id, '/private/' || doc_id, '/private/ok/' || doc_id]
+        |    [CAST(doc_id % 3 AS INT) + 1] AS path,
+        |  CASE WHEN doc_id % 5 = 4 THEN true
+        |       WHEN doc_id % 3 = 0 THEN true
+        |       WHEN doc_id % 3 = 1 THEN false
+        |       ELSE doc_id % 5 < 3 END AS allowed
         |FROM documents""".stripMargin,
     // gzip transport invariance: same truth as q_warc_ingest — the
     // member-per-record compression must be invisible to the parse

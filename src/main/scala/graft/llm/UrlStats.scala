@@ -79,4 +79,97 @@ object UrlStats {
     df.filter(!exists(extractUrls(col(textCol)),
       u => array_contains(blockedLit, domainOf(u))))
   }
+
+  // ---- robots.txt (RFC 9309) — crawl-politeness provenance ----
+
+  /** Parse a robots.txt body into the `(isAllow, pathPrefix)` rules of
+    * the group matching `agent` (specific group wins over `*`; RFC 9309
+    * §2.2.1 merges repeated groups for the same agent). Comments (`#`)
+    * and unknown directives are skipped; empty `Disallow:` (allow-all
+    * idiom) contributes no rule. */
+  def robotsRules(txt: String, agent: String = "*"): Seq[(Boolean, String)] = {
+    val specific = Vector.newBuilder[(Boolean, String)]
+    val wildcard = Vector.newBuilder[(Boolean, String)]
+    var inSpecific = false
+    var inWildcard = false
+    var sawSpecific = false
+    var lastWasAgent = false
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            // consecutive User-agent lines open ONE group for several agents
+            if (!lastWasAgent) { inSpecific = false; inWildcard = false }
+            if (value.equalsIgnoreCase(agent)) { inSpecific = true; sawSpecific = true }
+            if (value == "*") inWildcard = true
+            lastWasAgent = true
+          case "allow" | "disallow" =>
+            lastWasAgent = false
+            if (value.nonEmpty) {
+              val rule = (key == "allow", value)
+              if (inSpecific) specific += rule
+              if (inWildcard) wildcard += rule
+            }
+          case _ => lastWasAgent = false
+        }
+      } else lastWasAgent = lastWasAgent && line.isEmpty
+    }
+    if (sawSpecific) specific.result() else wildcard.result()
+  }
+
+  /** RFC 9309 §2.2.2 match: the LONGEST-prefix rule decides; Allow wins
+    * a length tie; no matching rule (or no rules at all) → allowed. */
+  def pathAllowed(path: String, rules: Seq[(Boolean, String)]): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (isAllow, prefix) =>
+      if (path.startsWith(prefix)) {
+        if (prefix.length > bestLen || (prefix.length == bestLen && isAllow)) {
+          bestLen = prefix.length; bestAllow = isAllow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  /** Gate pages by per-host robots rules — the politeness/compliance
+    * sweep over a crawled corpus: pages (host, path) joined to the
+    * host→robots.txt captures, verdict per page via [[pathAllowed]].
+    * Output = pages + `allowed` boolean.
+    *
+    * 100 TB shape: the robots side is one small row per HOST — it
+    * BROADCASTS; rules parse once per distinct robots body per
+    * partition (memoized), and the verdict is a pure per-row scan over
+    * that host's rules. Pages with no robots capture are allowed
+    * (RFC 9309 §2.3.1: unreachable robots.txt means no restrictions). */
+  def robotsFilter(pages: DataFrame, hostCol: String, pathCol: String,
+                   robots: DataFrame, robotsHostCol: String, txtCol: String,
+                   agent: String = "*"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    // using-join reorders key columns first: re-select pages' own order
+    // (+ the robots body last) so the output schema is pages + allowed
+    val joined = pages.join(
+        broadcast(robots.select(col(robotsHostCol).as(hostCol), col(txtCol).as("__robots"))),
+        Seq(hostCol), "left")
+      .select(pages.columns.map(col) :+ col("__robots"): _*)
+    val outSchema = StructType(pages.schema.fields :+ StructField("allowed", BooleanType))
+    val pathIdx = joined.schema.fieldIndex(pathCol)
+    val robotsIdx = joined.schema.fieldIndex("__robots")
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    joined.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Seq[(Boolean, String)]]
+      it.map { r =>
+        val verdict =
+          if (r.isNullAt(robotsIdx)) true
+          else pathAllowed(r.getString(pathIdx),
+            memo.getOrElseUpdate(r.getString(robotsIdx), robotsRules(r.getString(robotsIdx), agent)))
+        Row.fromSeq(r.toSeq.patch(robotsIdx, Nil, 1) :+ verdict)
+      }
+    }(enc)
+  }
 }

@@ -1124,6 +1124,43 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Mp3.parse("plain text, no frame sync here".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("robots.txt rules: group selection, longest-prefix, tie→allow (RFC 9309)") {
+    import graft.llm.UrlStats.{robotsRules, pathAllowed}
+    val txt =
+      """# politeness file
+        |User-agent: graftbot
+        |Disallow: /graft-only/
+        |
+        |User-agent: a
+        |User-agent: b
+        |Disallow: /ab/
+        |Allow: /ab/ok/
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |Disallow:
+        |""".stripMargin
+    // wildcard group for an unknown agent; empty Disallow adds no rule
+    val star = robotsRules(txt, "somebot")
+    assert(star == Seq((false, "/private/"), (true, "/private/ok/")))
+    assert(pathAllowed("/page/1", star))
+    assert(!pathAllowed("/private/x", star))
+    assert(pathAllowed("/private/ok/x", star)) // longer Allow wins
+    // specific group beats *, and a multi-agent header opens ONE group
+    assert(robotsRules(txt, "graftbot") == Seq((false, "/graft-only/")))
+    assert(robotsRules(txt, "b") == Seq((false, "/ab/"), (true, "/ab/ok/")))
+    // equal-length tie → Allow wins (RFC 9309 §2.2.2)
+    val tie = Seq((false, "/p/"), (true, "/p/"))
+    assert(pathAllowed("/p/x", tie))
+    // no rules at all → allowed
+    assert(pathAllowed("/anything", Seq.empty))
+    // repeated groups for the same agent MERGE (§2.2.1)
+    val merged = robotsRules(
+      "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n", "x")
+    assert(merged == Seq((false, "/a/"), (false, "/b/")))
+  }
+
   test("Warc record walk: framing, HTTP split, truncation yields good prefix (ISO 28500)") {
     def rec(wtype: String, uri: String, block: String): String =
       s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +

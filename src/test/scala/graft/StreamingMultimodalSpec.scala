@@ -127,4 +127,34 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(batch(0L) == 1.0 && batch(2L) == 1.002) // mvhd duration/timescale
     assert(batch(1L) == 2.0 && batch(3L) == 1.0)   // frame census
   }
+
+  test("WARC record walk runs per micro-batch == batch (crawl ingest on arrival)") {
+    import org.apache.spark.sql.Encoders
+    implicit val mEnc = Encoders.product[SmMedia]
+    implicit val sq = spark.sqlContext
+
+    def seg(i: Long): Array[Byte] = {
+      val body = s"HTTP/1.1 200 OK\r\n\r\npayload-$i"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h$i/x\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n").getBytes("US-ASCII")
+    }
+    val docs = (0L until 20L).map(i => SmMedia(i, seg(i)))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Warc.parse(df)
+        .selectExpr("media_id", "target_uri", "http_status", "CAST(body AS STRING) AS b")
+    val batch = pipeline(spark.createDataset(docs).toDF())
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3))).toMap
+
+    val mem = MemoryStream[SmMedia]
+    val q = pipeline(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sm_warc")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(6).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("sm_warc").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    q.stop()
+
+    assert(batch.size == docs.size && stream == batch)
+    assert(batch(7L) == (("http://h7/x", 200, "payload-7")))
+  }
 }
