@@ -1550,6 +1550,22 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // host-graph PageRank (Page 1999) over links extracted from HTML —
+    // the link-authority quality signal: 8-host closed-form graph, two
+    // iterations at damping 0.5, ordered-fold determinism lets DuckDB
+    // replay every rank bit-for-bit before the final round.
+    "q_pagerank" -> { (s, dir) =>
+      val d = col("doc_id").cast(LongType)
+      val pages = Sources.table(s, dir, "documents").select(
+        concat(lit("http://h"), (d % 8).cast("string"),
+          lit("/p/"), d.cast("string")).as("url"),
+        concat(
+          lit("<a href=\"http://h"), ((d + 1) % 8).cast("string"), lit("/x\">a</a> "),
+          lit("<a href=\"http://h"), ((d * 3 + 1) % 8).cast("string"), lit("/y\">b</a>")).as("html"))
+      val edges = graft.llm.LinkGraph.hostEdges(pages, "url", "html")
+      graft.llm.LinkGraph.pageRank(edges, iters = 2, damping = 0.5)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    },
     // robots.txt compliance sweep (RFC 9309): pages joined to per-host
     // robots captures, longest-prefix-wins verdict per page — group
     // selection (specific beats *), Allow-overrides-Disallow on longer
@@ -2876,6 +2892,32 @@ object SparkEntry {
         |  CAST(86 + length(['200 OK','404 Not Found','301 Moved'][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS content_length,
         |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS body_md5
         |FROM documents""".stripMargin,
+    // PageRank replay: the closed-form 8-host edge multiset, the same
+    // (src, term)-sorted left fold (list_reduce inits with the first
+    // element; Spark's 0.0 + first is bit-identical), two CTE rounds
+    "q_pagerank" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e0 AS (SELECT 'h' || (id % 8) AS src, 'h' || ((id + 1) % 8) AS dst FROM d
+        |  UNION ALL SELECT 'h' || (id % 8), 'h' || ((id * 3 + 1) % 8) FROM d),
+        |w AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY 1, 2),
+        |outd AS (SELECT src, sum(w) AS outw FROM w GROUP BY 1),
+        |nodes AS (SELECT DISTINCT h FROM
+        |  (SELECT src AS h FROM e0 UNION ALL SELECT dst FROM e0)),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT h, 1.0 / n.n AS r FROM nodes, n),
+        |c1 AS (SELECT w.dst AS h, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(s := w.src, t := w.w * r0.r / outd.outw))),
+        |    x -> x.t), (a, b) -> a + b) AS c
+        |  FROM w JOIN r0 ON r0.h = w.src JOIN outd ON outd.src = w.src GROUP BY w.dst),
+        |r1 AS (SELECT nodes.h, (1 - 0.5) / n.n + 0.5 * coalesce(c1.c, 0) AS r
+        |  FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.h = nodes.h),
+        |c2 AS (SELECT w.dst AS h, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(s := w.src, t := w.w * r1.r / outd.outw))),
+        |    x -> x.t), (a, b) -> a + b) AS c
+        |  FROM w JOIN r1 ON r1.h = w.src JOIN outd ON outd.src = w.src GROUP BY w.dst),
+        |r2 AS (SELECT nodes.h, (1 - 0.5) / n.n + 0.5 * coalesce(c2.c, 0) AS r
+        |  FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.h = nodes.h)
+        |SELECT h AS host, round(r, 6) AS rank FROM r2""".stripMargin,
     // robots verdict table: /page always allowed; /private disallowed
     // wherever a robots capture exists; /private/ok re-allowed only by
     // the hosts carrying the Allow override; capture-less h4 allows all

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-level link-graph analytics over crawled HTML — the quality
+  * signal web-corpus curation actually uses (link-based host authority
+  * feeds crawl frontier ordering and corpus quality weighting; the
+  * classic formulation is Page et al. 1999's PageRank).
+  *
+  * Pipeline shape: [[extractLinks]] is a codegen'd projection over the
+  * HTML (RE2-compatible, DuckDB-replayable); [[hostEdges]] explodes to
+  * one (src_host, dst_host) row per link occurrence; [[pageRank]]
+  * first COLLAPSES the occurrence table to a (src, dst, w) host weight
+  * matrix — the corpus-scale aggregate happens exactly once — then
+  * iterates over host-scale rows only: each iteration is one join +
+  * one grouped fold, i.e. one shuffle keyed by dst host. Hosts are
+  * millions of rows where documents are billions, so iteration cost is
+  * independent of corpus bytes (the [[Bpe]] vocabulary-table
+  * discipline). `localCheckpoint` per iteration pins lineage
+  * ([[Dedup.components]] discipline).
+  *
+  * Determinism: per-dst contributions fold in `(src, term)` sorted
+  * order (the repo's ordered-fold pattern), so ranks are bit-identical
+  * across partitionings AND replayable by the DuckDB oracle's
+  * `list_sort → list_reduce`. The fold list length is the number of
+  * distinct IN-NEIGHBOR HOSTS of a dst — already collapsed by the
+  * weight matrix; for adversarial in-degree (every host links one hub)
+  * set `orderedFold = false` to use a plain shuffle sum (same values up
+  * to floating-point addition order).
+  *
+  * Simplified variant: dangling hosts (no outlinks) leak their rank
+  * mass (no redistribution term) — ranks are then relative scores, not
+  * a probability distribution; fine for the curation use (ordering and
+  * thresholding), documented for the record. */
+object LinkGraph {
+
+  /** Absolute http(s) hrefs in an HTML fragment, in order (codegen'd
+    * `regexp_extract_all`; relative links need the page URL to resolve
+    * and are out of scope for host-graph building). */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"(https?://[^\"]+)\""), lit(1))
+
+  /** One (src, dst) host edge per link occurrence: src from the page
+    * URL, dst from each extracted href. Self-loops kept (a host linking
+    * itself is real signal; PageRank handles them like any edge). */
+  def hostEdges(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    graft.util.Parallelism.fanOut(df)
+      .select(UrlStats.domainOf(col(urlCol)).as("src"),
+        explode(extractLinks(col(htmlCol))).as("__l"))
+      .select(col("src"), UrlStats.domainOf(col("__l")).as("dst"))
+
+  /** `iters` PageRank iterations at damping `d` over an edge-occurrence
+    * table; output (host, rank). See the object doc for the scale and
+    * determinism contracts. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+               orderedFold: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping $damping must be in (0,1)")
+    // the ONLY corpus-scale aggregate: occurrences → host weight matrix
+    val w = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val outd = w.groupBy(col("src")).agg(sum(col("w")).as("out"))
+    val nodes = w.select(col("src").as("host"))
+      .union(w.select(col("dst").as("host"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val terms = w.join(ranks.withColumnRenamed("host", "src"), "src")
+        .join(outd, "src")
+        .select(col("dst"), col("src"), (col("w") * col("rank") / col("out")).as("t"))
+      val contribs =
+        if (orderedFold)
+          terms.select(col("dst"), struct(col("src"), col("t")).as("e"))
+            .groupBy(col("dst"))
+            .agg(aggregate(array_sort(collect_list(col("e"))), lit(0.0),
+              (acc, x) => acc + x("t")).as("c"))
+        else terms.groupBy(col("dst")).agg(sum(col("t")).as("c"))
+      ranks = nodes.join(contribs.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

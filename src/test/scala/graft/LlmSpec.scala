@@ -1124,6 +1124,34 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Mp3.parse("plain text, no frame sync here".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("PageRank: hand-checked 3-host graph, ordered fold repartition-invariant, rank conservation") {
+    import spark.implicits._
+    // a → b, a → c, b → c, c → a  (hand-computable at d=0.5, 1 iter)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r1 = graft.llm.LinkGraph.pageRank(edges, iters = 1, damping = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // base = 1/6; contribs: a←c: (1/3)/1; b←a: (1/3)/2; c←a+b: 1/6+1/3
+    assert(math.abs(r1("a") - (1.0 / 6 + 0.5 * (1.0 / 3))) < 1e-15)
+    assert(math.abs(r1("b") - (1.0 / 6 + 0.5 * (1.0 / 6))) < 1e-15)
+    assert(math.abs(r1("c") - (1.0 / 6 + 0.5 * (1.0 / 2))) < 1e-15)
+    // no dangling hosts here → total rank mass conserved at 1
+    assert(math.abs(r1.values.sum - 1.0) < 1e-12)
+    // ordered fold: bit-identical across partitionings
+    val rp = graft.llm.LinkGraph.pageRank(edges.repartition(7), iters = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rq = graft.llm.LinkGraph.pageRank(edges.repartition(2), iters = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rp == rq, "ordered fold must be partitioning-invariant bit-for-bit")
+    // plain-sum arm agrees within fp tolerance
+    val rs = graft.llm.LinkGraph.pageRank(edges, iters = 3, damping = 0.85, orderedFold = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rp.foreach { case (h, v) => assert(math.abs(rs(h) - v) < 1e-12) }
+    // link extraction: absolute http(s) hrefs only, in order
+    val links = Seq("x <a href=\"http://a/1\">l</a> <a href=\"/rel\">r</a> <a href=\"https://b/2\">m</a>")
+      .toDF("html").select(graft.llm.LinkGraph.extractLinks($"html")).head.getSeq[String](0)
+    assert(links == Seq("http://a/1", "https://b/2"))
+  }
+
   test("robots.txt rules: group selection, longest-prefix, tie→allow (RFC 9309)") {
     import graft.llm.UrlStats.{robotsRules, pathAllowed}
     val txt =
