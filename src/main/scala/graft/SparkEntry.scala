@@ -1550,6 +1550,24 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // the corpus factory end-to-end in ONE DAG: WARC container walk →
+    // HTTP-200 gate → HTML clean → length gate → exact dedup (min-id
+    // winner) → fixed-window chunking. Every stage is an oracle-green
+    // operator; the composition itself is replayed stage-for-stage.
+    "q_corpus_e2e" -> { (s, dir) =>
+      val docs = graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents"))
+      val media = warcMedia(docs, bodyOverride = Some(concat(
+        lit("<p>"), substring(col("text"), 1, 80), lit("</p>"))))
+      val resp = graft.llm.Warc.parse(media)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+      val cleaned = resp.select(col("media_id").as("doc_id"),
+          graft.llm.Normalize.cleanWeb(decode(col("body"), "UTF-8")).as("clean"))
+        .filter(length(col("clean")) >= 30)
+      val keep = cleaned.groupBy(col("clean")).agg(min(col("doc_id")).as("doc_id"))
+      graft.llm.Chunking.chunkByTokens(keep, "doc_id", "clean", chunkSize = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk")).as("chunk_md5"), col("n_tok"))
+    },
     // host-graph PageRank (Page 1999) over links extracted from HTML —
     // the link-authority quality signal: 8-host closed-form graph, two
     // iterations at damping 0.5, ordered-fold determinism lets DuckDB
@@ -2892,6 +2910,25 @@ object SparkEntry {
         |  CAST(86 + length(['200 OK','404 Not Found','301 Moved'][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS content_length,
         |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS body_md5
         |FROM documents""".stripMargin,
+    // corpus-factory replay: 200 gate = doc_id%3=0, clean chain as in
+    // q_warc_pipeline, length gate, min-id dedup winner, chunk algebra
+    "q_corpus_e2e" ->
+      """WITH resp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  '<p>' || substr(text, 1, 80) || '</p>' AS body
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cln AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(body, '<[^>]*>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\n\r]+', ' ', 'g')) AS clean FROM resp),
+        |q AS (SELECT doc_id, clean FROM cln WHERE length(clean) >= 30),
+        |keep AS (SELECT min(doc_id) AS doc_id, clean FROM q GROUP BY clean),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(clean, ' +'), t -> t <> '') AS ts FROM keep),
+        |ex AS (SELECT doc_id, ts, unnest(range(0, len(ts), 16)) AS s FROM toks)
+        |SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+        |  md5(array_to_string(ts[s+1:s+16], ' ')) AS chunk_md5,
+        |  least(len(ts) - s, 16) AS n_tok
+        |FROM ex""".stripMargin,
     // PageRank replay: the closed-form 8-host edge multiset, the same
     // (src, term)-sorted left fold (list_reduce inits with the first
     // element; Spark's 0.0 + first is bit-identical), two CTE rounds
