@@ -1550,6 +1550,18 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // logistic-regression quality classifier trained IN the engine
+    // (discriminative member of the model family beside NB/DSIR/ngram
+    // LM): two full-batch GD steps on bag-of-token counts, ordered
+    // folds make weights and logits bit-replayable — DuckDB re-runs
+    // the whole training loop and matches every logit.
+    "q_logreg" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.LogReg.fitScore(docs, "text", "doc_id",
+          col("lang") === "en", iters = 2, lr = 0.1)
+        .select(col("doc_id"), round(col("logit"), 6).as("logit"),
+          col("predicted"), col("label"))
+    },
     // the corpus factory end-to-end in ONE DAG: WARC container walk →
     // HTTP-200 gate → HTML clean → length gate → exact dedup (min-id
     // winner) → fixed-window chunking. Every stage is an oracle-green
@@ -2910,6 +2922,46 @@ object SparkEntry {
         |  CAST(86 + length(['200 OK','404 Not Found','301 Moved'][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS content_length,
         |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS body_md5
         |FROM documents""".stripMargin,
+    // full GD training replay: iteration 1 closed-form (w=0 ⇒ p=0.5),
+    // iteration 2 through the sigmoid, same (k, t)-sorted left folds
+    "q_logreg" ->
+      """WITH dtc AS (
+        |  SELECT doc_id, y, tok, CAST(count(*) AS DOUBLE) AS c FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(lang = 'en' AS INT) AS y,
+        |      unnest(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS tok
+        |    FROM documents) GROUP BY doc_id, y, tok),
+        |r1 AS (SELECT doc_id, y, 0.5 - y AS r FROM (SELECT DISTINCT doc_id, y FROM dtc)),
+        |g1 AS (SELECT d.tok, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(k := d.doc_id, t := d.c * r1.r))), x -> x.t),
+        |    (a, b) -> a + b) AS g
+        |  FROM dtc d JOIN r1 USING (doc_id) GROUP BY d.tok),
+        |bg1 AS (SELECT list_reduce(list_transform(
+        |    list_sort(list(struct_pack(k := doc_id, t := r))), x -> x.t),
+        |    (a, b) -> a + b) AS g FROM r1),
+        |w1 AS (SELECT tok, -0.1 * g AS w FROM g1),
+        |b1 AS (SELECT -0.1 * g AS b FROM bg1),
+        |dot1 AS (SELECT d.doc_id, d.y, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(k := d.tok, t := d.c * w1.w))), x -> x.t),
+        |    (a, b) -> a + b) AS dot
+        |  FROM dtc d JOIN w1 USING (tok) GROUP BY d.doc_id, d.y),
+        |r2 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-(b1.b + dot))) - y AS r FROM dot1, b1),
+        |g2 AS (SELECT d.tok, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(k := d.doc_id, t := d.c * r2.r))), x -> x.t),
+        |    (a, b) -> a + b) AS g
+        |  FROM dtc d JOIN r2 USING (doc_id) GROUP BY d.tok),
+        |bg2 AS (SELECT list_reduce(list_transform(
+        |    list_sort(list(struct_pack(k := doc_id, t := r))), x -> x.t),
+        |    (a, b) -> a + b) AS g FROM r2),
+        |w2 AS (SELECT w1.tok, w1.w - 0.1 * coalesce(g2.g, 0) AS w
+        |  FROM w1 LEFT JOIN g2 ON g2.tok = w1.tok),
+        |b2 AS (SELECT b1.b - 0.1 * bg2.g AS b FROM b1, bg2),
+        |dot2 AS (SELECT d.doc_id, d.y, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(k := d.tok, t := d.c * w2.w))), x -> x.t),
+        |    (a, b) -> a + b) AS dot
+        |  FROM dtc d JOIN w2 ON w2.tok = d.tok GROUP BY d.doc_id, d.y)
+        |SELECT doc_id, round(b2.b + dot, 6) AS logit,
+        |  (b2.b + dot) > 0 AS predicted, y = 1 AS label
+        |FROM dot2, b2""".stripMargin,
     // corpus-factory replay: 200 gate = doc_id%3=0, clean chain as in
     // q_warc_pipeline, length gate, min-id dedup winner, chunk algebra
     "q_corpus_e2e" ->

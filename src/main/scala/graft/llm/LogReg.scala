@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binary logistic-regression quality classifier trained IN the engine —
+  * the discriminative member of the model-in-engine family ([[NaiveBayes]]
+  * generative, [[Dsir]] importance weights, [[NgramLm]] perplexity): the
+  * fastText-style "train a quality filter on labeled docs, score the
+  * corpus" loop, as full-batch gradient descent over bag-of-token counts.
+  *
+  * Scale shape (the [[Bpe]]/[[LinkGraph]] discipline): the corpus
+  * collapses ONCE to a (doc, token, count) table; each GD iteration is
+  * two joins + two grouped folds over that table — one shuffle keyed by
+  * doc (the dot products), one keyed by token (the gradient) — and the
+  * weight table is VOCABULARY-scale, never corpus-scale.
+  * `localCheckpoint` per iteration pins lineage.
+  *
+  * Determinism: dot products fold token-sorted per doc, gradients fold
+  * doc-sorted per token (the repo's ordered-fold pattern) — so the
+  * trained weights and scores are bit-identical across partitionings and
+  * replayable by the DuckDB oracle's `list_sort → list_reduce`. The bias
+  * gradient is a single global fold (list length = |docs| — exact-arm
+  * territory); `orderedFold = false` switches every fold to a plain
+  * shuffle sum for corpus-scale training (same values up to fp addition
+  * order). The hashed-feature twin at scale is [[Dsir.hashedScore]]'s
+  * bucket trick applied to this table — the exact arm is the oracle
+  * surface, as with DSIR. */
+object LogReg {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** Train `iters` full-batch GD steps at rate `lr` on `labelCol`
+    * (boolean), then score every doc. Output:
+    * (doc_id, logit, score, predicted, label). */
+  def fitScore(docs: DataFrame, textCol: String, idCol: String,
+               labelCol: Column, iters: Int, lr: Double,
+               orderedFold: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(lr > 0, s"lr $lr must be positive")
+    // the ONLY corpus-scale aggregate: (doc, token, count) + the label
+    val dtc = docs
+      .select(col(idCol).cast("long").as("doc_id"), labelCol.cast("int").as("y"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy("doc_id", "y", "tok").agg(count(lit(1)).cast("double").as("c"))
+      .localCheckpoint()
+
+    def foldBy(df: DataFrame, keys: Seq[Column], sortCol: Column,
+               term: Column): DataFrame = {
+      if (orderedFold)
+        df.select(keys :+ struct(sortCol.as("k"), term.as("t")).as("e"): _*)
+          .groupBy(keys: _*)
+          .agg(aggregate(array_sort(collect_list(col("e"))), lit(0.0),
+            (a, x) => a + x("t")).as("__f"))
+      else
+        df.select(keys :+ term.as("t"): _*).groupBy(keys: _*).agg(sum(col("t")).as("__f"))
+    }
+
+    var weights = dtc.select(col("tok")).distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint()
+    var bias = 0.0
+    def dots(ws: DataFrame): DataFrame =
+      foldBy(dtc.join(ws, Seq("tok")), Seq(col("doc_id"), col("y")),
+        col("tok"), col("c") * col("w"))
+        .select(col("doc_id"), col("y"), col("__f").as("dot"))
+
+    for (_ <- 1 to iters) {
+      val resid = dots(weights).select(col("doc_id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot")))) - col("y")).as("r"))
+      val grad = foldBy(dtc.join(resid.select("doc_id", "r"), "doc_id"),
+        Seq(col("tok")), col("doc_id"), col("c") * col("r"))
+      val biasGrad = foldBy(resid, Seq(lit(1).as("__g")), col("doc_id"), col("r"))
+        .head.getDouble(1)
+      weights = weights.join(grad.select(col("tok"), col("__f").as("g")), Seq("tok"), "left")
+        .select(col("tok"), (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .localCheckpoint()
+      bias -= lr * biasGrad
+    }
+    dots(weights).select(col("doc_id"),
+      (lit(bias) + col("dot")).as("logit"),
+      (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot"))))).as("score"),
+      (lit(bias) + col("dot") > 0).as("predicted"),
+      (col("y") === 1).as("label"))
+  }
+}

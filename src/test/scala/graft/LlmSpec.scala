@@ -1124,6 +1124,35 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Mp3.parse("plain text, no frame sync here".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("LogReg: learns a separable vocabulary, ordered fold repartition-invariant, arms agree") {
+    import spark.implicits._
+    // separable: label-1 docs speak good/fine/clean, label-0 docs spam/junk
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good fine clean good text", true)
+      else (i, "spam junk spam bad text", false)
+    }.toDF("doc_id", "text", "y")
+    val out = graft.llm.LogReg.fitScore(docs, "text", "doc_id", $"y", iters = 20, lr = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out.size == 40)
+    out.foreach { case (id, (logit, pred, label)) =>
+      assert(pred == label, s"doc $id: logit $logit predicted $pred but label $label")
+    }
+    // margins separate: every positive logit above every negative one
+    val pos = out.values.filter(_._3).map(_._1)
+    val neg = out.values.filterNot(_._3).map(_._1)
+    assert(pos.min > 0 && neg.max < 0)
+    // ordered fold: bit-identical across partitionings
+    def logits(df: org.apache.spark.sql.DataFrame, ordered: Boolean) =
+      graft.llm.LogReg.fitScore(df, "text", "doc_id", $"y", iters = 3, lr = 0.2,
+        orderedFold = ordered).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = logits(docs.repartition(7), ordered = true)
+    val b = logits(docs.repartition(2), ordered = true)
+    assert(a == b, "ordered-fold training must be partitioning-invariant bit-for-bit")
+    // plain-sum arm agrees within fp tolerance
+    val c = logits(docs, ordered = false)
+    a.foreach { case (id, v) => assert(math.abs(c(id) - v) < 1e-10) }
+  }
+
   test("PageRank: hand-checked 3-host graph, ordered fold repartition-invariant, rank conservation") {
     import spark.implicits._
     // a → b, a → c, b → c, c → a  (hand-computable at d=0.5, 1 iter)

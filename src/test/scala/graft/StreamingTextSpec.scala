@@ -11,6 +11,8 @@ import graft.llm.{HeavyHitters, LineDedup, StreamingText}
 case class StDoc(doc_id: Long, text: String)
 /** Line row (top-level for the encoder). */
 case class StLine(doc_id: Long, pos: Long, line: String)
+/** Page row for the robots-gate parity test. */
+case class StPage(page_id: Long, host: String, path: String)
 
 /** Online twins of the stateful round-10 text operators: banded
   * Misra–Gries heavy-hitter tracking and arrival-time line-boilerplate
@@ -263,5 +265,41 @@ class StreamingTextSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     q2.stop()
     assert(onlineHits == batchHits, s"stream $onlineHits vs batch $batchHits")
+  }
+
+  test("robots gate runs per micro-batch == batch (broadcast rules, arriving pages)") {
+    import org.apache.spark.sql.Encoders
+    implicit val pEnc = Encoders.product[StPage]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"))
+      .toDF("rhost", "txt")
+    val pages = (0L until 18L).map { i =>
+      val host = if (i % 3 == 2) "b.example" else "a.example" // b: no capture
+      val path = (i % 3) match {
+        case 0 => s"/page/$i"
+        case 1 => s"/private/$i"
+        case _ => s"/private/$i" // capture-less host: allowed anyway
+      }
+      StPage(i, host, path)
+    }
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.UrlStats.robotsFilter(df, "host", "path", robots, "rhost", "txt")
+    val batch = gate(spark.createDataset(pages).toDF())
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+    val mem = MemoryStream[StPage]
+    val q = gate(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("st_robots")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    pages.grouped(5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("st_robots").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    q.stop()
+
+    assert(stream == batch && batch.size == pages.size)
+    assert(batch(0L) && !batch(1L) && batch(2L)) // allow / disallow / no-capture
   }
 }
