@@ -31,12 +31,16 @@ object LogReg {
   private def toks(text: Column): Column =
     filter(split(text, " +"), t => t =!= lit(""))
 
+  /** Trained model frozen for serving: (token → weight) + bias.
+    * Vocabulary-scale — the same driver-side bound the [[NaiveBayes]] /
+    * [[Dsir]] frozen arms ship as broadcast literals. */
+  final case class Model(weights: Map[String, Double], bias: Double)
+
   /** Train `iters` full-batch GD steps at rate `lr` on `labelCol`
-    * (boolean), then score every doc. Output:
-    * (doc_id, logit, score, predicted, label). */
-  def fitScore(docs: DataFrame, textCol: String, idCol: String,
-               labelCol: Column, iters: Int, lr: Double,
-               orderedFold: Boolean = true): DataFrame = {
+    * (boolean); returns the weight table DataFrame (tok, w) + bias. */
+  private def train(docs: DataFrame, textCol: String, idCol: String,
+                    labelCol: Column, iters: Int, lr: Double,
+                    orderedFold: Boolean): (DataFrame, DataFrame, Double) = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(lr > 0, s"lr $lr must be positive")
     // the ONLY corpus-scale aggregate: (doc, token, count) + the label
@@ -60,13 +64,13 @@ object LogReg {
     var weights = dtc.select(col("tok")).distinct()
       .withColumn("w", lit(0.0)).localCheckpoint()
     var bias = 0.0
-    def dots(ws: DataFrame): DataFrame =
+    def dots(ws: DataFrame, b: Double): DataFrame =
       foldBy(dtc.join(ws, Seq("tok")), Seq(col("doc_id"), col("y")),
         col("tok"), col("c") * col("w"))
         .select(col("doc_id"), col("y"), col("__f").as("dot"))
 
     for (_ <- 1 to iters) {
-      val resid = dots(weights).select(col("doc_id"), col("y"),
+      val resid = dots(weights, bias).select(col("doc_id"), col("y"),
         (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot")))) - col("y")).as("r"))
       val grad = foldBy(dtc.join(resid.select("doc_id", "r"), "doc_id"),
         Seq(col("tok")), col("doc_id"), col("c") * col("r"))
@@ -77,10 +81,44 @@ object LogReg {
         .localCheckpoint()
       bias -= lr * biasGrad
     }
-    dots(weights).select(col("doc_id"),
+    val scoredDots = dots(weights, bias)
+    (weights, scoredDots, bias)
+  }
+
+  /** Train, then score every training doc. Output:
+    * (doc_id, logit, score, predicted, label). */
+  def fitScore(docs: DataFrame, textCol: String, idCol: String,
+               labelCol: Column, iters: Int, lr: Double,
+               orderedFold: Boolean = true): DataFrame = {
+    val (_, dots, bias) = train(docs, textCol, idCol, labelCol, iters, lr, orderedFold)
+    dots.select(col("doc_id"),
       (lit(bias) + col("dot")).as("logit"),
       (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot"))))).as("score"),
       (lit(bias) + col("dot") > 0).as("predicted"),
       (col("y") === 1).as("label"))
+  }
+
+  /** Fit on a labeled corpus and freeze the model. */
+  def fit(docs: DataFrame, textCol: String, idCol: String, labelCol: Column,
+          iters: Int, lr: Double): Model = {
+    val (weights, _, bias) = train(docs, textCol, idCol, labelCol, iters, lr,
+      orderedFold = true)
+    Model(weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap, bias)
+  }
+
+  /** Frozen serving arm ([[graft.llm.Relevance]].frozenScorer pattern):
+    * the model rides as one broadcast map; scoring is a pure per-row
+    * fold over the DISTINCT tokens in sorted order with count×weight
+    * terms — the exact fold [[fitScore]] runs, so logits are
+    * bit-identical for the same text — and it runs unchanged on a batch
+    * or a structured stream. Unseen tokens weigh 0. */
+  def frozenScorer(model: Model)(text: Column): Column = {
+    val m = map(model.weights.toSeq.sortBy(_._1)
+      .flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    val ts = toks(text)
+    val terms = transform(array_sort(array_distinct(ts)),
+      t => coalesce(element_at(m, t), lit(0.0)) *
+        size(filter(ts, x => x === t)).cast("double"))
+    lit(model.bias) + aggregate(terms, lit(0.0), (a, x) => a + x)
   }
 }

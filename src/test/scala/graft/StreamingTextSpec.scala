@@ -267,6 +267,38 @@ class StreamingTextSpec extends AnyFunSuite {
     assert(onlineHits == batchHits, s"stream $onlineHits vs batch $batchHits")
   }
 
+  test("frozen LogReg scorer: stream logits bit-equal the training-run logits") {
+    import org.apache.spark.sql.Encoders
+    implicit val dEnc = Encoders.product[StDoc]
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val docs = (0L until 24L).map { i =>
+      StDoc(i, if (i % 2 == 0) "good clean fine good good text" else "spam junk spam bad text")
+    }
+    val df = spark.createDataset(docs).toDF()
+    val labeled = df.withColumn("y", col("doc_id") % 2 === 0)
+    val batchLogits = graft.llm.LogReg.fitScore(labeled, "text", "doc_id", $"y",
+        iters = 4, lr = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val model = graft.llm.LogReg.fit(labeled, "text", "doc_id", $"y", iters = 4, lr = 0.3)
+    // batch serving: bit-equal (the fold replays count×weight in the
+    // same token-sorted order; 'good' ×3 exercises the count path)
+    val served = df.select($"doc_id", graft.llm.LogReg.frozenScorer(model)($"text").as("z"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == batchLogits)
+    // stream serving: the same pure projection on arriving docs
+    val mem = MemoryStream[StDoc]
+    val q = mem.toDF().select(col("doc_id"), graft.llm.LogReg.frozenScorer(model)(col("text")).as("z"))
+      .writeStream.outputMode("append").format("memory").queryName("st_logreg")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(7).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("st_logreg").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(stream == batchLogits)
+  }
+
   test("robots gate runs per micro-batch == batch (broadcast rules, arriving pages)") {
     import org.apache.spark.sql.Encoders
     implicit val pEnc = Encoders.product[StPage]
