@@ -69,9 +69,21 @@ object LogReg {
         col("tok"), col("c") * col("w"))
         .select(col("doc_id"), col("y"), col("__f").as("dot"))
 
-    for (_ <- 1 to iters) {
-      val resid = dots(weights, bias).select(col("doc_id"), col("y"),
-        (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot")))) - col("y")).as("r"))
+    for (it <- 1 to iters) {
+      // materialized once per iteration: BOTH consumers (token gradient
+      // join + the bias global fold's driver action) read the residuals
+      // without re-executing the dot-product pipeline. Iteration 1 is
+      // the cold start: every weight is 0 and the bias is 0, so the dot
+      // products are identically 0 and σ(0) = 0.5 EXACTLY — the
+      // closed-form residual skips a whole join+fold round,
+      // bit-identically (exp(-0.0) == 1.0).
+      val resid = (if (it == 1)
+        dtc.select(col("doc_id"), col("y")).distinct()
+          .select(col("doc_id"), col("y"), (lit(0.5) - col("y")).as("r"))
+      else
+        dots(weights, bias).select(col("doc_id"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot")))) - col("y")).as("r"))
+      ).localCheckpoint()
       val grad = foldBy(dtc.join(resid.select("doc_id", "r"), "doc_id"),
         Seq(col("tok")), col("doc_id"), col("c") * col("r"))
       val biasGrad = foldBy(resid, Seq(lit(1).as("__g")), col("doc_id"), col("r"))
