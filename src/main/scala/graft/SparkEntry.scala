@@ -1539,6 +1539,19 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // CDX capture index (the pywb/Common Crawl index format): one row
+    // per response record with URL, status, mime, payload digest, and
+    // byte offset/length into the segment — the random-access index a
+    // crawl store serves lookups from. Offsets replayed by the oracle
+    // REBUILDING each record string and measuring it.
+    "q_cdx" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Warc.parse(warcMedia(docs))
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"), col("target_uri").as("url"),
+          col("http_status"), col("http_content_type").as("mime"),
+          md5(col("body")).as("digest"), col("offset"), col("rec_len"))
+    },
     // transport invariance: the SAME record walk over a .warc.gz layout
     // (one gzip member per record, members concatenated — the actual
     // Common Crawl shipping format); identical oracle to q_warc_ingest
@@ -3020,6 +3033,33 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 1 THEN false
         |       ELSE doc_id % 5 < 3 END AS allowed
         |FROM documents""".stripMargin,
+    // CDX replay: rebuild both record strings verbatim and measure —
+    // offset of the response = |request record|, length = |response|
+    "q_cdx" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |parts AS (SELECT id, text,
+        |  'http://d' || (id % 7) || '.ok.org/page/' || id AS uri,
+        |  ['200 OK','404 Not Found','301 Moved'][CAST(id % 3 AS INT) + 1] AS st,
+        |  [200,404,301][CAST(id % 3 AS INT) + 1] AS status FROM d),
+        |blocks AS (SELECT *,
+        |  'GET /page/' || id || e' HTTP/1.1\r\nHost: ok.org\r\n\r\n' AS reqb,
+        |  'HTTP/1.1 ' || st || e'\r\nContent-Type: text/html\r\n\r\n' ||
+        |    rpad(substr(text, 1, 40), 48, 'x') AS respb
+        |  FROM parts),
+        |recs AS (SELECT *,
+        |  e'WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: ' || uri ||
+        |  e'\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: application/http;msgtype=request\r\nContent-Length: ' ||
+        |  length(reqb) || e'\r\n\r\n' || reqb || e'\r\n\r\n' AS rec1,
+        |  e'WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: ' || uri ||
+        |  e'\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: application/http;msgtype=response\r\nContent-Length: ' ||
+        |  length(respb) || e'\r\n\r\n' || respb || e'\r\n\r\n' AS rec2
+        |  FROM blocks)
+        |SELECT id AS doc_id, uri AS url, status AS http_status,
+        |  'text/html' AS mime,
+        |  md5(rpad(substr(text, 1, 40), 48, 'x')) AS digest,
+        |  CAST(length(rec1) AS BIGINT) AS "offset",
+        |  CAST(length(rec2) AS BIGINT) AS rec_len
+        |FROM recs""".stripMargin,
     // gzip transport invariance: same truth as q_warc_ingest — the
     // member-per-record compression must be invisible to the parse
     "q_warc_gzip" ->

@@ -2,11 +2,14 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 
-/** One parsed WARC record (flattened for the DataFrame seam). */
+/** One parsed WARC record (flattened for the DataFrame seam); offset
+  * and rec_len index the record inside its (inflated) segment — the CDX
+  * capture-index fields. */
 case class WarcRow(media_id: Long, record_idx: Int, warc_type: String,
                    target_uri: String, warc_date: String,
                    content_length: Long, http_status: Int,
-                   http_content_type: String, body: Array[Byte])
+                   http_content_type: String, body: Array[Byte],
+                   offset: Long, rec_len: Long)
 
 /** Pure-JVM WARC (ISO 28500) reader — the container format web crawls
   * actually ship in (Common Crawl publishes WARC/WAT/WET): version line
@@ -32,7 +35,7 @@ object Warc {
   final case class Rec(warcType: String, targetUri: String, warcDate: String,
                        contentType: String, contentLength: Long,
                        httpStatus: Int, httpContentType: String,
-                       body: Array[Byte])
+                       body: Array[Byte], offset: Long, recLen: Long)
 
   private def lineEnd(b: Array[Byte], from: Int): Int = {
     var i = from
@@ -123,15 +126,18 @@ object Warc {
           }
         }
       }
-      out += Rec(h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
-        h.getOrElse("warc-date", ""), h.getOrElse("content-type", ""), len,
-        status, httpCt, body)
       n += 1
       // record separator: \r\n\r\n after the block
       var q = bodyStart + len
-      if (q + 4 <= bytes.length && bytes(q.toInt) == '\r' && bytes(q.toInt + 1) == '\n' &&
-          bytes(q.toInt + 2) == '\r' && bytes(q.toInt + 3) == '\n') q += 4
-      else return out.result() // missing separator: stop at the good prefix
+      val sepOk = q + 4 <= bytes.length && bytes(q.toInt) == '\r' &&
+        bytes(q.toInt + 1) == '\n' && bytes(q.toInt + 2) == '\r' && bytes(q.toInt + 3) == '\n'
+      if (sepOk) q += 4
+      // offset/length index the record within THIS (inflated) segment —
+      // the CDX capture-index fields (length includes the separator)
+      out += Rec(h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
+        h.getOrElse("warc-date", ""), h.getOrElse("content-type", ""), len,
+        status, httpCt, body, p.toLong, q - p)
+      if (!sepOk) return out.result() // missing separator: good prefix stands
       p = q.toInt
     }
     out.result()
@@ -149,7 +155,8 @@ object Warc {
         val id = r.getLong(idIdx)
         records(r.getAs[Array[Byte]](bIdx)).zipWithIndex.map { case (rec, i) =>
           WarcRow(id, i, rec.warcType, rec.targetUri, rec.warcDate,
-            rec.contentLength, rec.httpStatus, rec.httpContentType, rec.body)
+            rec.contentLength, rec.httpStatus, rec.httpContentType, rec.body,
+            rec.offset, rec.recLen)
         }
       }
     }(Encoders.product[WarcRow]).toDF()

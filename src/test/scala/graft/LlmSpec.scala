@@ -1234,6 +1234,12 @@ class LlmSpec extends AnyFunSuite {
     assert(new String(rs(1).body, "US-ASCII") == "<html>hi</html>")
     assert(rs(1).contentLength == http.length)
     assert(rs(2).httpStatus == 404 && rs(2).body.isEmpty)
+    // CDX offsets: each record's (offset, length) tiles the segment
+    val r0len = rec("request", "http://a.example/x", "GET /x HTTP/1.1\r\n\r\n").length
+    assert(rs(0).offset == 0L && rs(0).recLen == r0len)
+    assert(rs(1).offset == r0len)
+    assert(rs(2).offset == rs(1).offset + rs(1).recLen)
+    assert(rs(2).offset + rs(2).recLen == seg.length)
     // a truncated segment yields its good prefix, not an exception
     assert(graft.llm.Warc.records(seg.dropRight(25)).length == 2)
     // content-length past the buffer stops the walk; junk rejects
