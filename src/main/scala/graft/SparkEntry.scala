@@ -1539,6 +1539,23 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // crawl → graph → rank capstone: WARC segments in, link-authority
+    // host ranks out — record walk, body decode, href extraction, edge
+    // explode, two deterministic PageRank rounds, ONE composition; the
+    // oracle replays the closed-form bipartite d*.ok.org → h* graph.
+    "q_crawl_rank" -> { (s, dir) =>
+      val d = col("doc_id").cast(LongType)
+      val docs = graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents"))
+      val media = warcMedia(docs, bodyOverride = Some(concat(
+        lit("<a href=\"http://h"), ((d + 1) % 8).cast("string"), lit("/x\">a</a> "),
+        lit("<a href=\"http://h"), ((d * 3 + 1) % 8).cast("string"), lit("/y\">b</a>"))))
+      val pages = graft.llm.Warc.parse(media)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("url"), decode(col("body"), "UTF-8").as("html"))
+      val edges = graft.llm.LinkGraph.hostEdges(pages, "url", "html")
+      graft.llm.LinkGraph.pageRank(edges, iters = 2, damping = 0.5)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    },
     // CDX capture index (the pywb/Common Crawl index format): one row
     // per response record with URL, status, mime, payload digest, and
     // byte offset/length into the segment — the random-access index a
@@ -3033,6 +3050,31 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 1 THEN false
         |       ELSE doc_id % 5 < 3 END AS allowed
         |FROM documents""".stripMargin,
+    // crawl-rank replay: the bipartite d{k}.ok.org → h{j} edge multiset
+    // is closed-form; then the identical two-round ordered-fold PageRank
+    "q_crawl_rank" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e0 AS (SELECT 'd' || (id % 7) || '.ok.org' AS src, 'h' || ((id + 1) % 8) AS dst FROM d
+        |  UNION ALL SELECT 'd' || (id % 7) || '.ok.org', 'h' || ((id * 3 + 1) % 8) FROM d),
+        |w AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY 1, 2),
+        |outd AS (SELECT src, sum(w) AS outw FROM w GROUP BY 1),
+        |nodes AS (SELECT DISTINCT h FROM
+        |  (SELECT src AS h FROM e0 UNION ALL SELECT dst FROM e0)),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT h, 1.0 / n.n AS r FROM nodes, n),
+        |c1 AS (SELECT w.dst AS h, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(s := w.src, t := w.w * r0.r / outd.outw))),
+        |    x -> x.t), (a, b) -> a + b) AS c
+        |  FROM w JOIN r0 ON r0.h = w.src JOIN outd ON outd.src = w.src GROUP BY w.dst),
+        |r1 AS (SELECT nodes.h, (1 - 0.5) / n.n + 0.5 * coalesce(c1.c, 0) AS r
+        |  FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.h = nodes.h),
+        |c2 AS (SELECT w.dst AS h, list_reduce(list_transform(
+        |    list_sort(list(struct_pack(s := w.src, t := w.w * r1.r / outd.outw))),
+        |    x -> x.t), (a, b) -> a + b) AS c
+        |  FROM w JOIN r1 ON r1.h = w.src JOIN outd ON outd.src = w.src GROUP BY w.dst),
+        |r2 AS (SELECT nodes.h, (1 - 0.5) / n.n + 0.5 * coalesce(c2.c, 0) AS r
+        |  FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.h = nodes.h)
+        |SELECT h AS host, round(r, 6) AS rank FROM r2""".stripMargin,
     // CDX replay: rebuild both record strings verbatim and measure —
     // offset of the response = |request record|, length = |response|
     "q_cdx" ->
