@@ -111,7 +111,8 @@ object Bench {
     * concurrent) so any future "driver regression?" question is a
     * one-line suite-vs-isolated lookup in the record instead of a round
     * of re-measurement. */
-  private val CanaryQueries = Seq("q_simhash_pairs", "q_sync", "q_weighted_var")
+  private val CanaryQueries =
+    Seq("q_simhash_pairs", "q_sync", "q_weighted_var", "q_dedup_best")
 
   /** Content-identical multi-file copy of the fixture dir under /tmp.
     * The driver fixtures are ONE parquet row group per table, so a big

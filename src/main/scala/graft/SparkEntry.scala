@@ -1539,6 +1539,16 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // REAL ustar ingestion end-to-end: build a checksummed two-entry
+    // tarball per doc (Tar.build), run the actual header walk with
+    // checksum verification (Tar.parse), DuckDB replays names, octal
+    // sizes/mtimes, 512-block offset arithmetic, and payload digests.
+    "q_tar_ingest" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Tar.parse(tarMedia(docs))
+        .select(col("media_id").as("doc_id"), col("entry_idx"), col("name"),
+          col("size"), col("mtime"), col("offset"), md5(col("data")).as("data_md5"))
+    },
     // crawl → graph → rank capstone: WARC segments in, link-authority
     // host ranks out — record walk, body decode, href extraction, edge
     // explode, two deterministic PageRank rounds, ONE composition; the
@@ -2235,6 +2245,27 @@ object SparkEntry {
         it.map(r => Row(r.getLong(0), gz(r.getString(1)) ++ gz(r.getString(2))))
       }(enc)
     }
+  }
+
+  /** Deterministic two-entry ustar archive per document (text payload +
+    * a tiny JSON sidecar whose size varies with the id's digit count) —
+    * built imperatively per row (checksums need byte sums; the gzip
+    * fixture arm set the precedent), while every PARSED field stays
+    * closed-form in (doc_id, text) for the oracle. */
+  private def tarMedia(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType), StructField("media", BinaryType))))
+    docs.select(col("doc_id").cast(LongType).as("media_id"),
+        rpad(substring(col("text"), 1, 40), 48, "x").as("c1"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, graft.llm.Tar.build(Seq(
+            (s"docs/$id/text.txt", 1700000000L + id, r.getString(1).getBytes("UTF-8")),
+            (s"docs/$id/meta.json", 1700000000L + id, s"""{"id": $id}""".getBytes("UTF-8")))))
+        }
+      }(enc)
   }
 
   // Suffixed with the JVM pid AND a fresh per-call UUID nonce so no two
@@ -3050,6 +3081,23 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 1 THEN false
         |       ELSE doc_id % 5 < 3 END AS allowed
         |FROM documents""".stripMargin,
+    // tar replay: entry 0 is the fixed 48-byte text (rounds to one
+    // 512 block ⇒ entry 1's header at 1024); the sidecar's size varies
+    // with the id's digit count — 8 + digits
+    "q_tar_ingest" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |e AS (
+        |  SELECT id, 0 AS entry_idx, 'docs/' || id || '/text.txt' AS name,
+        |    48 AS size, 1700000000 + id AS mtime, 0 AS off,
+        |    md5(rpad(substr(text, 1, 40), 48, 'x')) AS data_md5 FROM d
+        |  UNION ALL
+        |  SELECT id, 1, 'docs/' || id || '/meta.json',
+        |    8 + length(CAST(id AS VARCHAR)), 1700000000 + id, 1024,
+        |    md5('{"id": ' || id || '}') FROM d)
+        |SELECT id AS doc_id, CAST(entry_idx AS INT) AS entry_idx, name,
+        |  CAST(size AS BIGINT) AS size, CAST(mtime AS BIGINT) AS mtime,
+        |  CAST(off AS BIGINT) AS "offset", data_md5
+        |FROM e""".stripMargin,
     // crawl-rank replay: the bipartite d{k}.ok.org → h{j} edge multiset
     // is closed-form; then the identical two-round ordered-fold PageRank
     "q_crawl_rank" ->

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+/** One parsed tar entry (flattened for the DataFrame seam). */
+case class TarRow(media_id: Long, entry_idx: Int, name: String,
+                  typeflag: String, size: Long, mtime: Long,
+                  offset: Long, data: Array[Byte])
+
+/** Pure-JVM ustar (POSIX.1-1988 tar) reader + writer — the other
+  * container corpora ship in (image/text dumps come as tarballs as often
+  * as WARC): 512-byte header blocks with octal size/mtime fields and a
+  * space-substituted header checksum, data rounded up to 512-byte
+  * blocks, two zero blocks at the end.
+  *
+  * Crawl-robust like [[Warc]]/[[Mp4]]: the checksum is VERIFIED (a
+  * corrupted header stops the walk), octal fields tolerate leading
+  * spaces and NUL/space terminators, a truncated archive yields its
+  * good prefix, and sizes are bounds-checked before any slice. Offsets
+  * index each entry's HEADER inside the archive — the random-access
+  * field an extraction index wants (data starts at offset + 512).
+  *
+  * Scale shape: one task parses one archive (flatMap over binary
+  * payloads — no state, no shuffle), throughput linear in executors. */
+object Tar {
+
+  final case class Entry(name: String, typeflag: String, size: Long,
+                         mtime: Long, offset: Long, data: Array[Byte])
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    var v = 0L
+    var any = false
+    while (i < end && b(i) >= '0' && b(i) <= '7') { v = v * 8 + (b(i) - '0'); i += 1; any = true }
+    if (any) v else -1L
+  }
+
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && b(end) != 0) end += 1
+    new String(b, off, end - off, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Header checksum: byte sum of the 512-byte block with the checksum
+    * field (148..155) read as spaces. */
+  private def checksum(b: Array[Byte], off: Int): Long = {
+    var s = 0L
+    var i = 0
+    while (i < 512) {
+      s += (if (i >= 148 && i < 156) ' '.toLong else (b(off + i) & 0xffL))
+      i += 1
+    }
+    s
+  }
+
+  /** All entries parseable from one archive, in order; stops at the
+    * end-of-archive zero block, a checksum mismatch, or truncation. */
+  def entries(bytes: Array[Byte], maxEntries: Int = 100000): Seq[Entry] = {
+    val out = Vector.newBuilder[Entry]
+    var p = 0
+    var n = 0
+    while (n < maxEntries && p + 512 <= bytes.length) {
+      var allZero = true
+      var i = 0
+      while (allZero && i < 512) { if (bytes(p + i) != 0) allZero = false; i += 1 }
+      if (allZero) return out.result() // end-of-archive marker
+      val stored = octal(bytes, p + 148, 8)
+      if (stored < 0 || stored != checksum(bytes, p)) return out.result()
+      val size = octal(bytes, p + 124, 12)
+      if (size < 0 || p + 512L + size > bytes.length) return out.result()
+      val tf = (bytes(p + 156) & 0xff).toChar
+      val typeflag = if (tf == 0) "0" else tf.toString
+      val data =
+        if (typeflag == "0" && size > 0)
+          java.util.Arrays.copyOfRange(bytes, p + 512, (p + 512L + size).toInt)
+        else Array.emptyByteArray
+      out += Entry(str(bytes, p, 100), typeflag, size,
+        octal(bytes, p + 136, 12), p.toLong, data)
+      n += 1
+      p += 512 + (((size + 511) / 512) * 512).toInt
+    }
+    out.result()
+  }
+
+  /** ustar writer for fixtures/export: regular-file entries, checksummed
+    * headers, 512-padding, two-zero-block terminator. */
+  def build(files: Seq[(String, Long, Array[Byte])]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    def oct(v: Long, len: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      (padded + "\u0000").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    files.foreach { case (name, mtime, data) =>
+      val h = new Array[Byte](512)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+      System.arraycopy("0000644\u0000".getBytes("US-ASCII"), 0, h, 100, 8) // mode
+      System.arraycopy("0000000\u0000".getBytes("US-ASCII"), 0, h, 108, 8) // uid
+      System.arraycopy("0000000\u0000".getBytes("US-ASCII"), 0, h, 116, 8) // gid
+      System.arraycopy(oct(data.length.toLong, 12), 0, h, 124, 12)
+      System.arraycopy(oct(mtime, 12), 0, h, 136, 12)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum as spaces
+      h(156) = '0' // regular file
+      System.arraycopy("ustar\u0000".getBytes("US-ASCII"), 0, h, 257, 6)
+      System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xffL; i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val csField = ("0" * (6 - cs.length)) + cs + "\u0000 "
+      System.arraycopy(csField.getBytes("US-ASCII"), 0, h, 148, 8)
+      baos.write(h)
+      baos.write(data)
+      val pad = ((data.length + 511) / 512) * 512 - data.length
+      baos.write(new Array[Byte](pad))
+    }
+    baos.write(new Array[Byte](1024)) // end-of-archive
+    baos.toByteArray
+  }
+
+  /** Explode archives (binary col) into one row per entry — the same
+    * zero-shuffle ingestion seam as [[Warc.parse]]. */
+  def parse(df: DataFrame, idCol: String = "media_id",
+            bytesCol: String = "media"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        entries(r.getAs[Array[Byte]](bIdx)).zipWithIndex.map { case (e, i) =>
+          TarRow(id, i, e.name, e.typeflag, e.size, e.mtime, e.offset, e.data)
+        }
+      }
+    }(Encoders.product[TarRow]).toDF()
+  }
+}

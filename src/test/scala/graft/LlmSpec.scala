@@ -1181,6 +1181,34 @@ class LlmSpec extends AnyFunSuite {
     assert(links == Seq("http://a/1", "https://b/2"))
   }
 
+  test("Tar build→entries round trip: checksum verify, padding walk, truncation prefix (ustar)") {
+    import graft.llm.Tar
+    val files = Seq(
+      ("a.txt", 1700000001L, "hello tar".getBytes("US-ASCII")),
+      ("dir/b.bin", 1700000002L, Array.tabulate[Byte](700)(_.toByte)), // spans 2 blocks
+      ("empty", 1700000003L, Array.emptyByteArray))
+    val tar = Tar.build(files)
+    assert(tar.length == 512 + 512 + 512 + 1024 + 512 + 1024) // hdr+512, hdr+1024, hdr+0, end
+    val es = Tar.entries(tar)
+    assert(es.map(_.name) == files.map(_._1))
+    assert(es.map(_.size) == Seq(9L, 700L, 0L))
+    assert(es.map(_.mtime) == files.map(_._2))
+    assert(es(0).offset == 0 && es(1).offset == 1024 && es(2).offset == 1024 + 512 + 1024)
+    assert(java.util.Arrays.equals(es(1).data, files(1)._3))
+    assert(es.forall(_.typeflag == "0"))
+    // corrupted checksum: that header (and the rest) rejects — prefix
+    // stands (third header sits at 1024 + 512 + 1024)
+    val bad = tar.clone(); bad(2560 + 148) = '7'
+    assert(Tar.entries(bad).map(_.name) == Seq("a.txt", "dir/b.bin"))
+    // flipping a payload byte does NOT kill the walk (checksums cover headers)
+    val body = tar.clone(); body(512 + 3) = 'X'
+    assert(Tar.entries(body).length == 3)
+    // truncation yields the good prefix; junk rejects
+    assert(Tar.entries(tar.dropRight(1600)).map(_.name) == Seq("a.txt", "dir/b.bin"))
+    assert(Tar.entries("not a tar archive".getBytes("US-ASCII")).isEmpty)
+    assert(Tar.entries(new Array[Byte](2048)).isEmpty) // all-zero: empty archive
+  }
+
   test("robots.txt rules: group selection, longest-prefix, tie→allow (RFC 9309)") {
     import graft.llm.UrlStats.{robotsRules, pathAllowed}
     val txt =
@@ -1295,6 +1323,7 @@ class LlmSpec extends AnyFunSuite {
       graft.llm.Mp4.parse(b)
       graft.llm.Mp3.parse(b)
       graft.llm.Warc.records(b)
+      graft.llm.Tar.entries(b)
       graft.llm.Codecs.decodeImage(b)
       graft.llm.Codecs.decodeWav(b)
       graft.llm.Codecs.toBufferedImage(b)
@@ -1318,10 +1347,12 @@ class LlmSpec extends AnyFunSuite {
       z(4) ++ frame ++ frame
     val warc = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 20\r\n\r\n" +
       "HTTP/1.1 200 OK\r\n\r\nx" + "\r\n\r\n").getBytes("US-ASCII")
-    for (fixture <- Seq(mp4, mp3, warc); _ <- 0 until 200) {
+    val tar = graft.llm.Tar.build(Seq(("f.txt", 1L, "payload".getBytes("US-ASCII"))))
+    for (fixture <- Seq(mp4, mp3, warc, tar); _ <- 0 until 200) {
       val b = fixture.clone()
       (0 until 1 + rnd.nextInt(4)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
-      graft.llm.Mp4.parse(b); graft.llm.Mp3.parse(b); graft.llm.Warc.records(b)
+      graft.llm.Mp4.parse(b); graft.llm.Mp3.parse(b)
+      graft.llm.Warc.records(b); graft.llm.Tar.entries(b)
     }
   }
 
