@@ -1784,6 +1784,22 @@ object SparkEntry {
     // JSONL publish → read-with-schema round trip over the documents
     // corpus (the text-release interchange format); md5-distinct proves
     // byte fidelity of text through the JSON escaping
+    // gzip-transport twin: the jsonl.gz layout public corpora ship —
+    // write with codec, read transport-agnostically, same truth
+    "q_jsonl_gzip" -> { (s, dir) =>
+      val path = rtDir("jsonlgz", dir)
+      val docs = Sources.table(s, dir, "documents")
+      graft.ts.Sinks.writeJsonl(docs, path, compression = "gzip")
+      val back = graft.ts.Sinks.readJsonl(s, path, docs.schema)
+      val (srcCnt, backCnt) = (docs.count(), back.count())
+      require(backCnt == srcCnt,
+        s"jsonl.gz roundtrip torn read at $path: wrote $srcCnt rows, read back $backCnt")
+      back
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("distinct_texts"),
+          min(col("doc_id")).as("min_id"))
+    },
     "q_jsonl_roundtrip" -> { (s, dir) =>
       val path = rtDir("jsonl", dir)
       val docs = Sources.table(s, dir, "documents")
@@ -4456,6 +4472,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
     "q_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+        |  COUNT(DISTINCT md5(text)) AS distinct_texts, MIN(doc_id) AS min_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_jsonl_gzip" ->
       """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
         |  COUNT(DISTINCT md5(text)) AS distinct_texts, MIN(doc_id) AS min_id
         |FROM documents GROUP BY 1""".stripMargin,

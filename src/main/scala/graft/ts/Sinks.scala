@@ -116,8 +116,13 @@ object Sinks {
     * text-corpus releases (one JSON object per line). Write with Spark's
     * native json sink; read back with an EXPLICIT schema (inference over
     * 100 TB of JSONL is a full extra pass and can widen types). */
-  def writeJsonl(df: org.apache.spark.sql.DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  /** `compression`: "none" or any Spark codec ("gzip" ⇒ `.json.gz`
+    * part files — the format public text corpora actually ship;
+    * Spark's json READER decodes by extension, so [[readJsonl]] is
+    * transport-agnostic). */
+  def writeJsonl(df: org.apache.spark.sql.DataFrame, path: String,
+                 compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
 
   def readJsonl(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
