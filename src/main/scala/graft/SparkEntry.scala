@@ -1539,6 +1539,16 @@ object SparkEntry {
           col("http_status"), col("http_content_type").as("http_ct"),
           col("content_length"), md5(col("body")).as("body_md5"))
     },
+    // REAL zip ingestion end-to-end (the archive-trio closer beside
+    // tar and gzip): build a two-entry zip per doc (Zip.build, pinned
+    // timestamps), walk the local-header stream (Zip.parse), DuckDB
+    // replays names, inflated sizes, and payload digests.
+    "q_zip_ingest" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      graft.llm.Zip.parse(zipMedia(docs))
+        .select(col("media_id").as("doc_id"), col("entry_idx"), col("name"),
+          col("size"), md5(col("data")).as("data_md5"))
+    },
     // REAL ustar ingestion end-to-end: build a checksummed two-entry
     // tarball per doc (Tar.build), run the actual header walk with
     // checksum verification (Tar.parse), DuckDB replays names, octal
@@ -2280,6 +2290,24 @@ object SparkEntry {
           Row(id, graft.llm.Tar.build(Seq(
             (s"docs/$id/text.txt", 1700000000L + id, r.getString(1).getBytes("UTF-8")),
             (s"docs/$id/meta.json", 1700000000L + id, s"""{"id": $id}""".getBytes("UTF-8")))))
+        }
+      }(enc)
+  }
+
+  /** Deterministic two-entry zip per document — the [[tarMedia]] twin
+    * through the deflate transport; parsed fields stay closed-form. */
+  private def zipMedia(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType), StructField("media", BinaryType))))
+    docs.select(col("doc_id").cast(LongType).as("media_id"),
+        rpad(substring(col("text"), 1, 40), 48, "x").as("c1"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, graft.llm.Zip.build(Seq(
+            (s"docs/$id/text.txt", r.getString(1).getBytes("UTF-8")),
+            (s"docs/$id/meta.json", s"""{"id": $id}""".getBytes("UTF-8")))))
         }
       }(enc)
   }
@@ -3097,6 +3125,19 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 1 THEN false
         |       ELSE doc_id % 5 < 3 END AS allowed
         |FROM documents""".stripMargin,
+    // zip replay: names and inflated sizes closed-form, digests from
+    // the same payload algebra as tar
+    "q_zip_ingest" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |e AS (
+        |  SELECT id, 0 AS entry_idx, 'docs/' || id || '/text.txt' AS name,
+        |    48 AS size, md5(rpad(substr(text, 1, 40), 48, 'x')) AS data_md5 FROM d
+        |  UNION ALL
+        |  SELECT id, 1, 'docs/' || id || '/meta.json',
+        |    8 + length(CAST(id AS VARCHAR)), md5('{"id": ' || id || '}') FROM d)
+        |SELECT id AS doc_id, CAST(entry_idx AS INT) AS entry_idx, name,
+        |  CAST(size AS BIGINT) AS size, data_md5
+        |FROM e""".stripMargin,
     // tar replay: entry 0 is the fixed 48-byte text (rounds to one
     // 512 block ⇒ entry 1's header at 1024); the sidecar's size varies
     // with the id's digit count — 8 + digits

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+/** One parsed zip entry (flattened for the DataFrame seam). */
+case class ZipRow(media_id: Long, entry_idx: Int, name: String,
+                  size: Long, compressed_ok: Boolean, data: Array[Byte])
+
+/** Pure-JVM ZIP reader + writer over `java.util.zip` — the third
+  * archive transport beside [[Tar]] and [[Warc.gunzip]] (dataset dumps
+  * ship as zips as often as tarballs). The STREAM walk (local headers,
+  * not the central directory) is the ingest-correct choice: it works on
+  * a byte payload without random access and yields entries in archive
+  * order; a truncated/corrupt tail stops the walk at the good prefix
+  * ([[Tar]]/[[Warc]] semantics). Inflated bytes are capped per entry
+  * (the [[Codecs.MaxDecodePixels]] decompression-bomb discipline);
+  * an over-cap entry reports `compressed_ok = false` with truncated
+  * data instead of an OOM.
+  *
+  * Scale shape: one task walks one archive (flatMap over binary
+  * payloads — no state, no shuffle), linear in executors. */
+object Zip {
+
+  final case class Entry(name: String, size: Long, ok: Boolean, data: Array[Byte])
+
+  /** All entries readable from the archive's local-header stream, in
+    * order. `maxEntryBytes` caps each INFLATED entry. */
+  def entries(bytes: Array[Byte], maxEntryBytes: Int = 1 << 28,
+              maxEntries: Int = 100000): Seq[Entry] = {
+    val out = Vector.newBuilder[Entry]
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = 0
+      var e = zin.getNextEntry
+      while (e != null && n < maxEntries) {
+        if (!e.isDirectory) {
+          val baos = new java.io.ByteArrayOutputStream()
+          var ok = true
+          var r = zin.read(buf)
+          while (r > 0 && baos.size <= maxEntryBytes) {
+            baos.write(buf, 0, r)
+            if (baos.size > maxEntryBytes) ok = false else r = zin.read(buf)
+          }
+          if (baos.size > maxEntryBytes) ok = false
+          val data = baos.toByteArray
+          out += Entry(e.getName, data.length.toLong, ok,
+            if (ok) data else java.util.Arrays.copyOf(data, math.min(data.length, maxEntryBytes)))
+          n += 1
+        }
+        e = zin.getNextEntry
+      }
+    } catch {
+      case _: java.io.IOException | _: IllegalArgumentException => () // corrupt tail: prefix stands
+    } finally zin.close()
+    out.result()
+  }
+
+  /** Deterministic zip writer for fixtures/export (STORED-or-DEFLATED
+    * by the default deflater; timestamps pinned via setTimeLocal so the
+    * bytes do not depend on the builder's timezone). */
+  def build(files: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(baos)
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    files.foreach { case (name, data) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTimeLocal(t0)
+      zout.putNextEntry(e)
+      zout.write(data)
+      zout.closeEntry()
+    }
+    zout.close()
+    baos.toByteArray
+  }
+
+  /** Explode archives (binary col) into one row per entry — the same
+    * zero-shuffle ingestion seam as [[Warc.parse]]/[[Tar.parse]]. */
+  def parse(df: DataFrame, idCol: String = "media_id",
+            bytesCol: String = "media"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        entries(r.getAs[Array[Byte]](bIdx)).zipWithIndex.map { case (e, i) =>
+          ZipRow(id, i, e.name, e.size, e.ok, e.data)
+        }
+      }
+    }(Encoders.product[ZipRow]).toDF()
+  }
+}

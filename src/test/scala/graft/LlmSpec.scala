@@ -1209,6 +1209,30 @@ class LlmSpec extends AnyFunSuite {
     assert(Tar.entries(new Array[Byte](2048)).isEmpty) // all-zero: empty archive
   }
 
+  test("Zip build→entries round trip: stream walk, truncation prefix, bomb cap") {
+    import graft.llm.Zip
+    val files = Seq(
+      ("a.txt", "hello zip".getBytes("US-ASCII")),
+      ("dir/b.bin", Array.tabulate[Byte](700)(_.toByte)),
+      ("empty", Array.emptyByteArray))
+    val zip = Zip.build(files)
+    val es = Zip.entries(zip)
+    assert(es.map(_.name) == files.map(_._1))
+    assert(es.map(_.size) == Seq(9L, 700L, 0L))
+    assert(es.forall(_.ok))
+    assert(java.util.Arrays.equals(es(1).data, files(1)._2))
+    // deterministic bytes (pinned timestamps): same input, same archive
+    assert(java.util.Arrays.equals(zip, Zip.build(files)))
+    // truncation yields the good prefix; junk rejects
+    assert(Zip.entries(zip.dropRight(zip.length / 3)).map(_.name).startsWith(Seq("a.txt")))
+    assert(Zip.entries("not a zip archive at all".getBytes("US-ASCII")).isEmpty)
+    // decompression-bomb cap: a 1 MB-of-zeros entry against a 1 KB cap
+    // reports compressed_ok = false instead of inflating unbounded
+    val bomb = Zip.build(Seq(("z", new Array[Byte](1 << 20))))
+    val be = Zip.entries(bomb, maxEntryBytes = 1024)
+    assert(be.length == 1 && !be.head.ok && be.head.data.length <= 1024)
+  }
+
   test("robots.txt rules: group selection, longest-prefix, tie→allow (RFC 9309)") {
     import graft.llm.UrlStats.{robotsRules, pathAllowed}
     val txt =
@@ -1324,6 +1348,7 @@ class LlmSpec extends AnyFunSuite {
       graft.llm.Mp3.parse(b)
       graft.llm.Warc.records(b)
       graft.llm.Tar.entries(b)
+      graft.llm.Zip.entries(b)
       graft.llm.Codecs.decodeImage(b)
       graft.llm.Codecs.decodeWav(b)
       graft.llm.Codecs.toBufferedImage(b)
@@ -1348,11 +1373,12 @@ class LlmSpec extends AnyFunSuite {
     val warc = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 20\r\n\r\n" +
       "HTTP/1.1 200 OK\r\n\r\nx" + "\r\n\r\n").getBytes("US-ASCII")
     val tar = graft.llm.Tar.build(Seq(("f.txt", 1L, "payload".getBytes("US-ASCII"))))
-    for (fixture <- Seq(mp4, mp3, warc, tar); _ <- 0 until 200) {
+    val zip = graft.llm.Zip.build(Seq(("f.txt", "payload".getBytes("US-ASCII"))))
+    for (fixture <- Seq(mp4, mp3, warc, tar, zip); _ <- 0 until 200) {
       val b = fixture.clone()
       (0 until 1 + rnd.nextInt(4)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
       graft.llm.Mp4.parse(b); graft.llm.Mp3.parse(b)
-      graft.llm.Warc.records(b); graft.llm.Tar.entries(b)
+      graft.llm.Warc.records(b); graft.llm.Tar.entries(b); graft.llm.Zip.entries(b)
     }
   }
 
