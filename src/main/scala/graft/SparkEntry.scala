@@ -2102,6 +2102,50 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "email").cast(LongType).as("n_email"),
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
+    },
+    // Interval (range) join, binned equi-join lowering (RangeJoin.binned):
+    // every event within ±6h of a same-user purchase event, rolled up per
+    // purchase. The oracle runs the RAW theta join — the binned arm must
+    // reproduce its exact pair set (bin width 6h ⇒ ≤3 bins/interval).
+    "q_range_join" -> { (s, dir) =>
+      val evd = Sources.table(s, dir, "events")
+      val pts = evd.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      val ivs = evd.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("i_id"), col("user_id").as("i_user"),
+          (col("ts") - expr("INTERVAL 6 HOURS")).as("lo"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("hi"))
+      graft.operators.RangeJoin.binned(pts, ivs, "p_ts", "lo", "hi",
+          Seq("p_user" -> "i_user"), binWidthMicros = 6L * 3600 * 1000000)
+        .groupBy(col("i_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("p_value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+    },
+    // Gap-based sessionization (Sessionize.stats): 1h-gap sessions per
+    // user; the oracle replays the lag-flag + running-sum assignment.
+    "q_sessionize" -> { (s, dir) =>
+      graft.operators.Sessionize.stats(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", gapMicros = 3600L * 1000000)
+        .withColumn("start_ts", unix_micros(col("start_ts")))
+        .withColumn("end_ts", unix_micros(col("end_ts")))
+    },
+    // Mergeable equi-width histogram quantiles (QuantileSketch): the
+    // oracle replays bounds → bins → cumsum → interpolation closed-form,
+    // so estimates must match bit-for-bit under any partitioning.
+    "q_hist_quantile" -> { (s, dir) =>
+      graft.llm.QuantileSketch.quantiles(s, Sources.table(s, dir, "lineitem"),
+        "l_extendedprice", bins = 256, qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    },
+    // Degree-ordered triangle counting (LinkGraph.triangleCount) over the
+    // co-purchase part graph (parts sharing an order). The oracle counts
+    // triangles by an INDEPENDENT algorithm (sorted-triple 3-way join) —
+    // same totals from two different plans is the strongest cross-check.
+    "q_triangles" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).filter(col("u") < col("v")).select("u", "v")
+      graft.llm.LinkGraph.triangleCount(edges)
     }
   )
 
@@ -4701,6 +4745,56 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // raw theta join — the binned arm must reproduce this exact pair set
+    "q_range_join" ->
+      """SELECT i.event_id AS i_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events i JOIN events e ON e.user_id = i.user_id
+        |  AND e.ts >= i.ts - INTERVAL 6 HOUR AND e.ts <= i.ts + INTERVAL 6 HOUR
+        |WHERE i.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END AS nf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  epoch_us(MIN(ts)) AS start_ts, epoch_us(MAX(ts)) AS end_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // closed-form replay of bounds → equi-width bins → cumsum → in-bucket
+    // linear interpolation; identical double-op order ⇒ bit-exact
+    "q_hist_quantile" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hi, count(*) AS n FROM lineitem),
+        |h AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 256)) AS BIGINT), 255) AS bin,
+        |    count(*) AS cnt FROM lineitem, b GROUP BY 1),
+        |c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |q AS (SELECT CAST(unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT q.q AS q,
+        |  arg_min(b.lo + ((b.hi - b.lo) / 256) * (c.bin + (q.q * b.n - (c.cum - c.cnt)) / c.cnt), c.bin) AS est
+        |FROM q, c, b WHERE c.cum >= q.q * b.n GROUP BY 1""".stripMargin,
+    // wedges replay the (degree, id) orientation; triangles come from an
+    // INDEPENDENT sorted-triple 3-way join (a<b<c ⇒ each counted once)
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |    FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x, count(*) AS d
+        |    FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS src,
+        |             CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS dst
+        |      FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v),
+        |w AS (SELECT o1.dst AS w1, o2.dst AS w2
+        |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       (SELECT count(*) FROM e e1
+        |          JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Equi-width histogram quantile sketch: the order-invariant, mergeable
+  * way to read many quantiles of a 100 TB column in one scan + one
+  * tiny-state merge (the same fixed-grid shape ClickHouse's `histogram`
+  * and every metrics pipeline use).
+  *
+  * Why not exact or approx_percentile: exact needs a full sort (huge
+  * shuffle); GK/KLL sketches are rank-accurate but their internal state
+  * depends on merge order, so two runs can disagree — unacceptable when
+  * a curation gate must be replayable (the same reason `Curation`'s
+  * sampling is counter-mode). A fixed grid is deterministic under ANY
+  * partitioning: bin counts are a plain groupBy (map-side combined,
+  * ≤ `bins` rows cross the Exchange), and the quantile read-out is
+  * closed-form arithmetic over the cumulative counts — bit-identical
+  * however the data was split, and exactly replayable by an external
+  * oracle. Accuracy: estimates are within one bin width of an exact
+  * quantile (spec-asserted), tunable by `bins` at O(bins) state.
+  *
+  * Two passes over the column (bounds, then counts) — both full scans
+  * with single-row/≤bins-row results; at scale the bounds pass is often
+  * replaced by known physical limits (pass `loHi` to skip it).
+  */
+object QuantileSketch {
+  /** (lo, hi, rowCount) bounds pass; single-row collect. */
+  def bounds(df: DataFrame, valueCol: String): (Double, Double, Long) = {
+    val r = df.agg(
+      min(col(valueCol)).cast("double"), max(col(valueCol)).cast("double"),
+      count(col(valueCol))).head()
+    (r.getDouble(0), r.getDouble(1), r.getLong(2))
+  }
+
+  /** Histogram of `valueCol` over [lo, hi] in `bins` equi-width buckets:
+    * (bin, cnt, cum) with cum the running total in bin order. Values at
+    * `hi` fold into the last bin. ≤ `bins` rows. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val bin = least(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("long"), lit(bins - 1L))
+    df.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Quantile estimates for each q in `qs`: rows (q, est), with
+    * est = lo + width·(bin + (q·n − cumBelow)/cnt) for the first bin whose
+    * cumulative count reaches rank q·n — linear interpolation inside the
+    * bucket. Closed-form over the ≤bins-row histogram (the crossJoin is
+    * bounded by |qs|·bins). */
+  def quantiles(spark: SparkSession, df: DataFrame, valueCol: String,
+                bins: Int, qs: Seq[Double],
+                loHi: Option[(Double, Double)] = None): DataFrame = {
+    import spark.implicits._
+    val (lo, hi, n) = loHi match {
+      case Some((l, h)) => (l, h, df.filter(col(valueCol).isNotNull).count())
+      case None         => bounds(df, valueCol)
+    }
+    val width = (hi - lo) / bins
+    val hist = histogram(df, valueCol, lo, hi, bins)
+    val qdf = qs.toDF("q")
+    qdf.crossJoin(hist)
+      .filter(col("cum") >= col("q") * n)
+      .groupBy("q")
+      .agg(min_by(
+        (lit(lo) + lit(width) * (col("bin") + (col("q") * n - (col("cum") - col("cnt"))) / col("cnt"))).as("est"),
+        col("bin")).as("est"))
+  }
+}

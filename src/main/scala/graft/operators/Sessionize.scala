@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization: assign every row a per-key session id, where a
+  * new session starts when the gap to the previous row of the same key
+  * exceeds `gapMicros` (the batch twin of Structured Streaming's
+  * `session_window`, which covers the live path in
+  * `streaming/WindowedAggs.scala`).
+  *
+  * Shape: one Exchange (hash by key) + per-key sort — the same plan as
+  * any keyed window aggregate, so it scales exactly as far as the key
+  * cardinality does. `lag` finds session starts, a running sum numbers
+  * them; both ride the SAME window frame, so Catalyst plans a single
+  * Window operator over a single sort — no second Exchange, no second
+  * sort. Session ids are 1-based and deterministic (ties on the
+  * timestamp break by `ord`, so duplicate-ts rows sessionize stably).
+  */
+object Sessionize {
+  /** Adds `idCol` (per-key session ordinal, 1-based) to `df`. */
+  def assign(df: DataFrame, key: String, ts: String, ord: String,
+             gapMicros: Long, idCol: String = "session_id"): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val w = Window.partitionBy(key).orderBy(col(ts), col(ord))
+    val t = unix_micros(col(ts))
+    val prev = lag(t, 1).over(w)
+    val starts = when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn(idCol,
+      sum(starts).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: bounds, row count, and a decimal-exact value sum. */
+  def stats(df: DataFrame, key: String, ts: String, ord: String,
+            valueCol: String, gapMicros: Long): DataFrame =
+    assign(df, key, ts, ord, gapMicros)
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(ts)).as("start_ts"),
+        max(col(ts)).as("end_ts"),
+        sum(col(valueCol).cast("decimal(30,6)")).cast("double").as("sum_value"))
+}

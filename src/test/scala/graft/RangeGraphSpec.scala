@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{LinkGraph, QuantileSketch}
+import graft.operators.{RangeJoin, Sessionize}
+
+/** Range join, sessionization, histogram quantiles, triangle counting. */
+class RangeGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- RangeJoin ----
+
+  private def pointsDf = Seq(
+    (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+    (2L, 10L, ts("2024-01-01 02:00:00"), 2.0),
+    (3L, 10L, ts("2024-01-01 06:00:00"), 3.0), // exactly at a hi bound
+    (4L, 10L, ts("2024-01-01 06:00:00.000001"), 4.0), // one microsecond past
+    (5L, 20L, ts("2024-01-01 01:00:00"), 5.0) // right ts, wrong key
+  ).toDF("p_id", "p_user", "p_ts", "p_value")
+
+  private def intervalsDf = Seq(
+    (100L, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")),
+    (101L, 20L, ts("2024-01-01 00:30:00"), ts("2024-01-01 01:00:00")), // hi inclusive
+    (102L, 10L, ts("2024-01-01 05:00:00"), ts("2024-01-01 04:00:00")) // degenerate: hi < lo
+  ).toDF("i_id", "i_user", "lo", "hi")
+
+  test("binned range join: inclusive bounds, keyed, degenerate intervals dropped") {
+    val out = RangeJoin.binned(pointsDf, intervalsDf, "p_ts", "lo", "hi",
+      Seq("p_user" -> "i_user"), binWidthMicros = 3600L * 1000000)
+      .select("i_id", "p_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L), (100L, 2L), (100L, 3L), (101L, 5L)))
+  }
+
+  test("binned == broadcastTheta on the events fixture") {
+    val evd = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val pts = evd.select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val ivs = evd.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("i_id"), col("user_id").as("i_user"),
+        (col("ts") - expr("INTERVAL 6 HOURS")).as("lo"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("hi"))
+    val W = 6L * 3600 * 1000000
+    val binned = RangeJoin.binned(pts, ivs, "p_ts", "lo", "hi", Seq("p_user" -> "i_user"), W)
+      .select("i_id", "p_id").as[(Long, Long)].collect().sorted
+    val theta = RangeJoin.broadcastTheta(pts, ivs, "p_ts", "lo", "hi", Seq("p_user" -> "i_user"))
+      .select("i_id", "p_id").as[(Long, Long)].collect().sorted
+    assert(binned.nonEmpty && binned.sameElements(theta))
+  }
+
+  test("binned arm plans an equi-join, never a nested loop") {
+    val plan = RangeJoin.binned(pointsDf, intervalsDf, "p_ts", "lo", "hi",
+      Seq("p_user" -> "i_user"), binWidthMicros = 3600L * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"binned arm must lower to an equi-join:\n${plan.take(800)}")
+  }
+
+  test("interval wider than maxBinsPerInterval fails loudly, not silently") {
+    val e = intercept[Exception] {
+      RangeJoin.binned(pointsDf, intervalsDf, "p_ts", "lo", "hi",
+        Seq("p_user" -> "i_user"), binWidthMicros = 1000L, maxBinsPerInterval = 4).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("RangeJoin.binned"))
+  }
+
+  test("range join rejects colliding column names") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.binned(pointsDf, pointsDf, "p_ts", "lo", "hi", Nil, 1000L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  // ---- Sessionize ----
+
+  test("sessionize: gaps split sessions, ties on ts break by ord") {
+    val df = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (10L, ts("2024-01-01 00:30:00"), 2L, 1.0), // same session (gap 30m <= 1h)
+      (10L, ts("2024-01-01 02:00:00"), 3L, 1.0), // new session (gap 90m)
+      (10L, ts("2024-01-01 02:00:00"), 4L, 1.0), // duplicate ts, same session
+      (20L, ts("2024-01-01 00:00:00"), 5L, 1.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Sessionize.assign(df, "user_id", "ts", "event_id", 3600L * 1000000)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize plans one Exchange (flag + running sum share the sort)") {
+    val df = Seq((10L, ts("2024-01-01 00:00:00"), 1L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val plan = Sessionize.assign(df, "user_id", "ts", "event_id", 3600L * 1000000)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"sessionize must shuffle once, saw $exchanges:\n${plan.take(800)}")
+    val sorts = "\\bSort\\b".r.findAllIn(plan).size
+    assert(sorts == 1, s"flag and running sum must share one sort, saw $sorts:\n${plan.take(800)}")
+  }
+
+  // ---- QuantileSketch ----
+
+  test("histogram quantiles: within one bin width of exact, partitioning-invariant") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val bins = 256
+    val qs = Seq(0.1, 0.5, 0.9)
+    val est = QuantileSketch.quantiles(spark, li, "l_extendedprice", bins, qs)
+      .as[(Double, Double)].collect().toMap
+    val (lo, hi, _) = QuantileSketch.bounds(li, "l_extendedprice")
+    val width = (hi - lo) / bins
+    val exact = li.stat.approxQuantile("l_extendedprice", qs.toArray, 0.0)
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= width * 1.000001,
+        s"q=$q est=${est(q)} exact=$ex width=$width")
+    }
+    // order-invariance: identical bits under a different partitioning
+    val est7 = QuantileSketch.quantiles(spark, li.repartition(7), "l_extendedprice", bins, qs)
+      .as[(Double, Double)].collect().toMap
+    assert(est == est7)
+  }
+
+  test("histogram folds hi into the last bin and carries a running cum") {
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0).toDF("v")
+    val h = QuantileSketch.histogram(df, "v", 0.0, 4.0, 4)
+      .orderBy("bin").as[(Long, Long, Long)].collect()
+    assert(h.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L), (3L, 2L, 5L)))
+  }
+
+  // ---- triangleCount ----
+
+  test("K4 has 4 triangles; loops and mirrored duplicates collapse") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (1L, 1L)) // mirrored dupes + a loop
+      .toDF("u", "v")
+    val r = LinkGraph.triangleCount(k4)
+      .as[(Long, Long, Long, Long)].collect().head
+    // 4 oriented wedges, not 12 raw ones: out-degrees under (deg, id)
+    // orientation are 3,2,1,0 ⇒ C(3,2)+C(2,2) = 4 candidates checked
+    assert(r == ((4L, 6L, 4L, 4L)))
+  }
+
+  test("oriented count equals naive count on a deterministic pseudo-random graph") {
+    val n = 60
+    // circulant ring (i±1, i±2: every i makes triangle {i, i+1, i+2})
+    // plus a quadratic chord for skewed degrees
+    val edges = (0 until n).flatMap(i => Seq((i.toLong, ((i + 1) % n).toLong),
+      (i.toLong, ((i + 2) % n).toLong), (i.toLong, ((i * i + 1) % n).toLong))).toDF("u", "v")
+    val got = LinkGraph.triangleCount(edges).as[(Long, Long, Long, Long)].collect().head._4
+    // naive reference: adjacency sets over the collected canonical edges
+    val canon = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")), greatest(col("u"), col("v")))
+      .distinct().as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (a, b) <- canon.toSeq; c <- 0L until n.toLong
+      if c > b && canon((a, c)) && canon((b, c))
+    } yield 1).size
+    assert(got == naive.toLong && got > 0)
+  }
+}
