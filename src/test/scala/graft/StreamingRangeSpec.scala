@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RangeJoin, Sessionize}
+
+case class PointRow(p_id: Long, p_user: Long, p_ts: Timestamp)
+case class IntervalRow(i_id: Long, i_user: Long, lo: Timestamp, hi: Timestamp)
+case class SessRow(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+/** Streaming twins of the range-join and sessionization batch arms:
+  * Structured Streaming's stream-stream interval join and
+  * `session_window` must reproduce the batch operators' results on the
+  * same rows — the dual-execution discipline every batch arm in this
+  * repo follows.
+  */
+class StreamingRangeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stream-stream interval join == RangeJoin.binned on fixture events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val evd = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val pts = evd.select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val ivs = evd.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("i_id"), col("user_id").as("i_user"),
+        (col("ts") - expr("INTERVAL 6 HOURS")).as("lo"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("hi"))
+
+    val batch = RangeJoin.binned(pts, ivs, "p_ts", "lo", "hi",
+      Seq("p_user" -> "i_user"), binWidthMicros = 6L * 3600 * 1000000)
+      .select("i_id", "p_id").as[(Long, Long)].collect().sorted
+
+    val pMem = MemoryStream[PointRow]
+    val iMem = MemoryStream[IntervalRow]
+    // Watermarked on both event-time columns; the join condition bounds
+    // p_ts in terms of lo (fixed 12h interval length), so state is
+    // cleanable at scale — plus the exact [lo, hi] residual.
+    val joined = pMem.toDS().withWatermark("p_ts", "1 hour")
+      .join(iMem.toDS().withWatermark("lo", "1 hour"),
+        expr("p_user = i_user AND p_ts >= lo AND p_ts <= lo + INTERVAL 12 HOURS AND p_ts <= hi"))
+      .select("i_id", "p_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("rj_par").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val pRows = pts.as[PointRow].collect().sortBy(_.p_ts.getTime)
+      val iRows = ivs.as[IntervalRow].collect().sortBy(_.lo.getTime)
+      // interleave in three chunks: join state must carry across batches
+      pRows.grouped(pRows.length / 3 + 1).zipAll(
+        iRows.grouped(iRows.length / 3 + 1), Array.empty[PointRow], Array.empty[IntervalRow])
+        .foreach { case (pc, ic) =>
+          pMem.addData(pc.toIndexedSeq: _*); iMem.addData(ic.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      val stream = spark.table("rj_par").as[(Long, Long)].collect().sorted
+      assert(stream.nonEmpty && stream.sameElements(batch),
+        s"stream ${stream.length} pairs vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
+  test("session_window streaming == batch Sessionize on fixture events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val evd = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+
+    val batch = Sessionize.stats(evd, "user_id", "ts", "event_id", "value", 3600L * 1000000)
+      .select(col("user_id"), unix_micros(col("start_ts")).as("s"), col("n_events"))
+      .as[(Long, Long, Long)].collect().sorted
+
+    val mem = MemoryStream[SessRow]
+    val sessions = mem.toDS()
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s"), col("n_events"))
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_par").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val rows = evd.as[SessRow].collect().sortBy(_.ts.getTime)
+      rows.grouped(rows.length / 4 + 1).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val stream = spark.table("sess_par").as[(Long, Long, Long)].collect().sorted
+      assert(stream.nonEmpty && stream.sameElements(batch),
+        s"stream ${stream.length} sessions vs batch ${batch.length}")
+    } finally q.stop()
+  }
+}
