@@ -2103,6 +2103,14 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Efraimidis–Spirakis weighted sampling without replacement: top-20
+    // per language by priority ln(u)/n_chars; the oracle replays the
+    // counter-mode draw AND the ln — bit-identical keys and ranks.
+    "q_weighted_sample" -> { (s, dir) =>
+      graft.llm.Mixture.weightedSample(Sources.table(s, dir, "documents"),
+        "doc_id", "n_chars", "lang", k = 20, seed = 17)
+        .select(col("doc_id"), col("lang"), col("wkey"), col("rk").cast(LongType).as("rk"))
+    },
     // Interval (range) join, binned equi-join lowering (RangeJoin.binned):
     // every event within ±6h of a same-user purchase event, rolled up per
     // purchase. The oracle runs the RAW theta join — the binned arm must
@@ -4751,6 +4759,14 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
+         |${unitCte("a", "ids", 17)},
+         |keyed AS (SELECT d.doc_id, d.lang, ln(au.u) / CAST(d.n_chars AS DOUBLE) AS wkey
+         |  FROM documents d JOIN au ON au.i = d.doc_id WHERE d.n_chars > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rk
+         |  FROM keyed)
+         |SELECT doc_id, lang, wkey, rk FROM r WHERE rk <= 20""".stripMargin,
     // raw theta join — the binned arm must reproduce this exact pair set
     "q_range_join" ->
       """SELECT i.event_id AS i_id, COUNT(*) AS n_points,

@@ -163,4 +163,32 @@ object Mixture {
       .withColumn("shard",
         least(floor(col("u") * nShards), lit(nShards - 1L)).cast("int"))
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows per stratum, one pass:
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir") — each row gets priority key ln(u)/w (the monotone form
+    * of u^(1/w)); the k largest keys per stratum ARE the weighted sample.
+    * Rows with non-positive weight are excluded (they have probability 0).
+    *
+    * Adds `wkey` (the priority) and `rk` (1-based rank within stratum).
+    *
+    * 100 TB shapes: the draw is counter-mode (see object doc) so the
+    * sample is replayable and speculation-safe; the rank is one Exchange
+    * keyed by stratum. Because top-k by key is a MERGEABLE reduction
+    * (top-k of a union = top-k of merged per-partition top-ks), the
+    * same keys also drive a shuffle-free two-level variant when k is
+    * small: per-partition top-k, then merge — the classic reservoir
+    * shape. The windowed form here keeps the full rank column, which the
+    * oracle replays row-for-row (ln is bit-stable across engines —
+    * the q_logreg precedent). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     strataCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("wkey").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey", log(draw(idCol, seed)) / col(weightCol).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

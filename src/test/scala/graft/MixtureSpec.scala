@@ -162,4 +162,30 @@ class MixtureSpec extends AnyFunSuite {
     assert(out(1L) == "<EMAIL> end")
     assert(out(2L) == "a@<IP> end")
   }
+
+  test("weightedSample: k per stratum, partition-invariant, weight-biased, zero-weight excluded") {
+    import spark.implicits._
+    // two strata; in "s0" ids 0..199 carry weight 100, ids 200..399 weight 1
+    val rows = (0L until 400L).map(i => (i, if (i < 200) 100.0 else 1.0, "s0")) ++
+      (400L until 500L).map(i => (i, 1.0, "s1")) :+ (999L, 0.0, "s1")
+    val df = rows.toDF("id", "w", "stratum")
+    val out = Mixture.weightedSample(df, "id", "w", "stratum", k = 40, seed = 7)
+      .select("id", "stratum").as[(Long, String)].collect()
+    assert(out.count(_._2 == "s0") == 40 && out.count(_._2 == "s1") == 40)
+    assert(!out.exists(_._1 == 999L), "zero-weight row must never be sampled")
+    // 100:1 weights at a 40/400 rate: the heavy class must dominate
+    val heavy = out.count { case (id, st) => st == "s0" && id < 200 }
+    assert(heavy >= 35, s"heavy-weight rows should dominate the s0 sample, got $heavy/40")
+    // counter-mode draw: identical sample under a different partitioning
+    val out7 = Mixture.weightedSample(df.repartition(7), "id", "w", "stratum", k = 40, seed = 7)
+      .select("id", "stratum").as[(Long, String)].collect()
+    assert(out.toSet == out7.toSet)
+    // reservoir-merge property: global top-k == top-k of per-half top-ks
+    val half1 = Mixture.weightedSample(df.filter(col("id") % 2 === 0), "id", "w", "stratum", 40, 7)
+    val half2 = Mixture.weightedSample(df.filter(col("id") % 2 === 1), "id", "w", "stratum", 40, 7)
+    val merged = Mixture.weightedSample(
+      half1.drop("wkey", "rk").union(half2.drop("wkey", "rk")), "id", "w", "stratum", 40, 7)
+      .select("id", "stratum").as[(Long, String)].collect()
+    assert(merged.toSet == out.toSet)
+  }
 }
