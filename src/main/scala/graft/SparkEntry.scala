@@ -2103,6 +2103,19 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // k-core peel (LinkGraph.kCore) over the even-part co-purchase graph:
+    // Spark peels to the (unique) fixpoint; the oracle replays a fixed
+    // 14-round unroll — strictly deeper than the observed 11-peel
+    // convergence, and extra rounds are no-ops on a fixpoint.
+    "q_kcore" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).filter(col("u") < col("v")).select("u", "v")
+      graft.llm.LinkGraph.kCore(edges, k = 40)
+    },
     // Efraimidis–Spirakis weighted sampling without replacement: top-20
     // per language by priority ln(u)/n_chars; the oracle replays the
     // counter-mode draw AND the ln — bit-identical keys and ranks.
@@ -2384,6 +2397,29 @@ object SparkEntry {
     * Java-long wrap arithmetic via HUGEINT mod 2^64 (every product is
     * 64×32 bits, so it fits 128-bit signed), unsigned shifts via UBIGINT.
     * Emits CTEs `<p>0..<p>2` and `<p>u(i BIGINT, u DOUBLE)`. */
+  /** Unrolled k-core peel over the even-part co-purchase graph: e0 is the
+    * canonical edge set; each round keeps nodes at degree ≥ k and the
+    * edges between them. `iters` must exceed the fixpoint depth (peeling
+    * a fixpoint is the identity, so overshoot is safe, undershoot isn't). */
+  private def kCoreCte(k: Int, iters: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one three times — an exponential
+    // re-expansion of the base scan without it
+    val sb = new StringBuilder(
+      """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |    FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |k$i AS MATERIALIZED (SELECT x FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+        |    GROUP BY 1 HAVING count(*) >= $k),
+        |e$i AS MATERIALIZED (SELECT t.u, t.v FROM e${i - 1} t
+        |    JOIN k$i x1 ON t.u = x1.x JOIN k$i x2 ON t.v = x2.x)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def unitCte(p: String, src: String, seed: Long): String =
     s"""${p}0 AS (SELECT i, CAST((CAST(i AS HUGEINT) * 2654435761 + $seed) % 18446744073709551616 AS UBIGINT) AS z FROM $src),
        |${p}1 AS (SELECT i, CAST((CAST(xor(z, z >> 33) AS HUGEINT) * 2246822507) % 18446744073709551616 AS UBIGINT) AS z FROM ${p}0),
@@ -4759,6 +4795,10 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    "q_kcore" ->
+      s"""WITH ${kCoreCte(40, 14)}
+         |SELECT x AS node, count(*) AS deg
+         |FROM (SELECT u AS x FROM e14 UNION ALL SELECT v FROM e14) GROUP BY 1""".stripMargin,
     "q_weighted_sample" ->
       s"""WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS i FROM documents),
          |${unitCte("a", "ids", 17)},

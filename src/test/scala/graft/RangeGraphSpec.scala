@@ -142,6 +142,18 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(r == ((4L, 6L, 4L, 4L)))
   }
 
+  test("kCore peels to the unique core; below-k graph empties") {
+    // K4 plus a pendant chain: 3-core = exactly the K4
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val core = LinkGraph.kCore(g, k = 3).as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the pendant chain needs a two-round cascade: dropping 6 exposes 5
+    val chain = LinkGraph.kCore(g, k = 2).as[(Long, Long)].collect().toMap
+    assert(chain == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(LinkGraph.kCore(g, k = 5).count() == 0L)
+  }
+
   test("oriented count equals naive count on a deterministic pseudo-random graph") {
     val n = 60
     // circulant ring (i±1, i±2: every i makes triangle {i, i+1, i+2})
