@@ -2103,6 +2103,59 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Snapshot diff (CorpusDiff.diff): old = 90% of docs, new = 6/7 of
+    // docs with a simulated edit on every 5th — statuses via md5
+    // fingerprints the oracle replays.
+    "q_corpus_diff" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents")
+      val oldS = d.filter(col("doc_id") % 10 =!= 0)
+      val newS = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.llm.CorpusDiff.diff(oldS, newS, "doc_id", "text")
+    },
+    // Character-entropy quality gate (TextAnalysis.charEntropy): pure
+    // projection; the oracle replays the sorted-distinct-char fold and
+    // must match every double bit-for-bit.
+    "q_entropy" -> { (s, dir) =>
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        graft.llm.TextAnalysis.charEntropy(col("text")).as("h"),
+        graft.llm.TextAnalysis.bitsPerChar(col("text")).as("bpc"))
+    },
+    // Chat-transcript accounting (Chat.stats): synthesize a 5-turn
+    // conversation per doc (system/user/assistant/user/assistant chunks
+    // of the text), serialize to JSON, parse back, count per-role
+    // tokens + the loss-mask ratio. The oracle computes the same stats
+    // from the raw chunks — equality proves the JSON round trip too.
+    "q_chat" -> { (s, dir) =>
+      val conv = to_json(array(
+        struct(lit("system").as("role"), substring(col("text"), 1, 40).as("content")),
+        struct(lit("user").as("role"), substring(col("text"), 41, 60).as("content")),
+        struct(lit("assistant").as("role"), substring(col("text"), 101, 80).as("content")),
+        struct(lit("user").as("role"), substring(col("text"), 181, 60).as("content")),
+        struct(lit("assistant").as("role"), substring(col("text"), 241, 100000).as("content"))))
+      graft.llm.Chat.stats(
+        Sources.table(s, dir, "documents").withColumn("conv", conv), "doc_id", "conv")
+        .withColumn("valid_alt", col("valid_alt").cast(LongType))
+    },
+    // Credential scrubbing (Redact.redactSecrets): deterministic synthetic
+    // AWS/GitHub/40-hex tokens from doc_id; byte-exact redacted text +
+    // per-class counts.
+    "q_redact_secrets" -> { (s, dir) =>
+      val pii = concat(substring(col("text"), 1, 20),
+        lit(" key AKIA"), lpad((col("doc_id") * 31 % 10000000000000000L).cast(StringType), 16, "0"),
+        lit(" tok ghp_"), lpad((col("doc_id") * 7).cast(StringType), 36, "0"),
+        lit(" sha "),
+        when(col("doc_id") % 3 === 0,
+          concat(md5(col("text").cast("binary")), substring(md5(col("text").cast("binary")), 1, 8)))
+          .otherwise(lit("nohex")),
+        lit(" end"))
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        graft.llm.Redact.redactSecrets(pii).as("red"),
+        graft.llm.Redact.secretCount(pii, "aws_key").cast(LongType).as("n_aws"),
+        graft.llm.Redact.secretCount(pii, "gh_token").cast(LongType).as("n_gh"),
+        graft.llm.Redact.secretCount(pii, "hex40").cast(LongType).as("n_hex"))
+    },
     // k-core peel (LinkGraph.kCore) over the even-part co-purchase graph:
     // Spark peels to the (unique) fixpoint; the oracle replays a fixed
     // 14-round unroll — strictly deeper than the observed 11-peel
@@ -4794,6 +4847,66 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+        |FROM p""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS oh FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS nh
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |  CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh = nh THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
+    // fold over sorted distinct chars; a - b ≡ a + (-b) in IEEE, so the
+    // prepended-zero left fold is bit-identical to Spark's aggregate
+    "q_entropy" ->
+      """WITH cs AS (SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(chars) = 0 THEN 0.0 ELSE
+        |    list_reduce(list_prepend(0.0, list_transform(list_sort(list_distinct(chars)),
+        |      c -> 0.0 - (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / CAST(len(chars) AS DOUBLE))
+        |        * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / CAST(len(chars) AS DOUBLE)))),
+        |      (a, b) -> a + b) END AS h,
+        |  CASE WHEN len(chars) = 0 THEN 0.0 ELSE
+        |    list_reduce(list_prepend(0.0, list_transform(list_sort(list_distinct(chars)),
+        |      c -> 0.0 - (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / CAST(len(chars) AS DOUBLE))
+        |        * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / CAST(len(chars) AS DOUBLE)))),
+        |      (a, b) -> a + b) END / 0.6931471805599453 AS bpc
+        |FROM cs""".stripMargin,
+    "q_chat" ->
+      """WITH p AS (SELECT doc_id,
+        |  len(regexp_extract_all(substr(text, 1, 40), '\S+')) AS t1,
+        |  len(regexp_extract_all(substr(text, 41, 60), '\S+')) AS t2,
+        |  len(regexp_extract_all(substr(text, 101, 80), '\S+')) AS t3,
+        |  len(regexp_extract_all(substr(text, 181, 60), '\S+')) AS t4,
+        |  len(regexp_extract_all(substr(text, 241, 100000), '\S+')) AS t5
+        | FROM documents)
+        |SELECT doc_id, CAST(5 AS BIGINT) AS n_turns,
+        |  CAST(t1 AS BIGINT) AS sys_tokens,
+        |  CAST(t2 + t4 AS BIGINT) AS user_tokens,
+        |  CAST(t3 + t5 AS BIGINT) AS asst_tokens,
+        |  CASE WHEN t1 + t2 + t3 + t4 + t5 > 0
+        |    THEN CAST(t3 + t5 AS DOUBLE) / CAST(t1 + t2 + t3 + t4 + t5 AS DOUBLE)
+        |    ELSE 0.0 END AS mask_ratio,
+        |  CAST(1 AS BIGINT) AS valid_alt
+        |FROM p""".stripMargin,
+    "q_redact_secrets" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 20)
+        |    || ' key AKIA' || lpad(CAST((doc_id * 31) % 10000000000000000 AS VARCHAR), 16, '0')
+        |    || ' tok ghp_' || lpad(CAST(doc_id * 7 AS VARCHAR), 36, '0')
+        |    || ' sha ' || CASE WHEN doc_id % 3 = 0
+        |        THEN md5(text) || substr(md5(text), 1, 8) ELSE 'nohex' END
+        |    || ' end' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '\bAKIA[0-9A-Z]{16}\b', '<SECRET>', 'g'),
+        |    '\bghp_[A-Za-z0-9]{36}\b', '<SECRET>', 'g'),
+        |    '\b[0-9a-f]{40}\b', '<SECRET>', 'g') AS red,
+        |  len(regexp_extract_all(s, '\bAKIA[0-9A-Z]{16}\b')) AS n_aws,
+        |  len(regexp_extract_all(s, '\bghp_[A-Za-z0-9]{36}\b')) AS n_gh,
+        |  len(regexp_extract_all(s, '\b[0-9a-f]{40}\b')) AS n_hex
         |FROM p""".stripMargin,
     "q_kcore" ->
       s"""WITH ${kCoreCte(40, 14)}

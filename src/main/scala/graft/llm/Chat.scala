@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Conversation (SFT/chat) transcript operators: the post-pretraining
+  * data format is a JSON array of `{role, content}` turns, and its
+  * curation needs per-role token accounting (the loss mask trains only
+  * on assistant turns), schema validation (roles must alternate), and
+  * turn-level access — all of it at corpus scale.
+  *
+  * Everything here is a PURE projection over the parsed turn array
+  * (`from_json` once, then higher-order functions — filter / aggregate /
+  * forall — inside the row): zero shuffle, codegen-eligible, so a
+  * 100 TB transcript corpus streams through map tasks. [[turns]] is the
+  * only explode (one row per turn) for pipelines that need turn-level
+  * joins.
+  */
+object Chat {
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  private def toks(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+
+  /** Sum of whitespace tokens over this role's turns, folded in turn
+    * order (replayable). */
+  def roleTokens(turnsCol: Column, role: String): Column =
+    aggregate(filter(turnsCol, t => t("role") === role), lit(0L),
+      (acc, t) => acc + toks(t("content")))
+
+  /** Optional leading system turn, then strict user/assistant
+    * alternation starting at user — the shape SFT loaders require. */
+  def validAlternation(turnsCol: Column): Column = {
+    // slice length must not overflow start+length (Int.MaxValue yields
+    // null); size(turnsCol) safely over-covers the tail
+    val rest = when(size(turnsCol) > 0 && element_at(turnsCol, 1)("role") === "system",
+      slice(turnsCol, lit(2), size(turnsCol))).otherwise(turnsCol)
+    size(rest) > 0 && forall(zip_with(rest, sequence(lit(0), size(rest) - 1), (t, i) =>
+      t("role") === when(i % 2 === 0, "user").otherwise("assistant")), x => x)
+  }
+
+  /** One row per turn: (id, turn_idx, role, content). */
+  def turns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol), posexplode(from_json(col(jsonCol), turnSchema)))
+      .select(col(idCol), col("pos").as("turn_idx"),
+        col("col")("role").as("role"), col("col")("content").as("content"))
+
+  /** Per-conversation accounting: turn count, per-role token sums, the
+    * assistant loss-mask fraction, and alternation validity. */
+  def stats(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val t = from_json(col(jsonCol), turnSchema)
+    val sys = roleTokens(t, "system")
+    val usr = roleTokens(t, "user")
+    val asst = roleTokens(t, "assistant")
+    val total = sys + usr + asst
+    df.select(col(idCol),
+      size(t).cast("long").as("n_turns"),
+      sys.as("sys_tokens"), usr.as("user_tokens"), asst.as("asst_tokens"),
+      when(total > 0, asst.cast("double") / total.cast("double"))
+        .otherwise(0.0).as("mask_ratio"),
+      validAlternation(t).as("valid_alt"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot versioning: classify every document id across two
+  * corpus snapshots as added / removed / changed / unchanged — the audit
+  * a dataset release pipeline runs between versions ("what moved since
+  * v2?"), and the input to incremental re-processing (only `added` +
+  * `changed` need re-curation, re-dedup re-runs only against them).
+  *
+  * Shape: content is collapsed to a fingerprint BEFORE the join, so one
+  * id-keyed full-outer hash join of (id, hash) pairs crosses the wire —
+  * never document bytes; at 100 TB each side ships ~16 bytes/doc. md5 is
+  * the default fingerprint because the external oracle can replay it
+  * (DuckDB `md5()` over the same UTF-8 bytes); swap `fp` for `xxhash64`
+  * when replayability doesn't matter and hashing throughput does.
+  */
+object CorpusDiff {
+  /** (id, status) for every id present in either snapshot. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String, contentCol: String,
+           fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c => md5(c.cast("binary"))): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), fp(col(contentCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("id"), fp(col(contentCol)).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** One row per status with its count — the release-notes number. */
+  def summary(oldDf: DataFrame, newDf: DataFrame, idCol: String, contentCol: String): DataFrame =
+    diff(oldDf, newDf, idCol, contentCol).groupBy("status").agg(count(lit(1)).as("n"))
+}

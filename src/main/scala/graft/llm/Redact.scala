@@ -34,6 +34,29 @@ object Redact {
   def redact(text: Column): Column =
     patterns.foldLeft(text) { case (c, (_, re, tag)) => regexp_replace(c, re, tag) }
 
+  /** Credential patterns (the detect-secrets / The Stack scrubbing
+    * class): provider-prefixed keys match on structure alone; the bare
+    * 40-hex pattern is the SHA-ish token class. Ordered most-specific
+    * first; the classes are disjoint (AKIA is upper-case, ghp_ tokens
+    * are 36 chars mixed-case, the hex class is lower-case) so order
+    * never changes the result — kept for the reader. Java ∩ RE2 ∩
+    * DuckDB syntax, same as [[patterns]]. */
+  val secretPatterns: Seq[(String, String)] = Seq(
+    ("aws_key", "\\bAKIA[0-9A-Z]{16}\\b"),
+    ("gh_token", "\\bghp_[A-Za-z0-9]{36}\\b"),
+    ("hex40", "\\b[0-9a-f]{40}\\b"))
+
+  /** Text with every [[secretPatterns]] class replaced by `<SECRET>`. */
+  def redactSecrets(text: Column): Column =
+    secretPatterns.foldLeft(text) { case (c, (_, re)) => regexp_replace(c, re, "<SECRET>") }
+
+  /** Match count for one secret class. */
+  def secretCount(text: Column, kind: String): Column = {
+    val re = secretPatterns.collectFirst { case (`kind`, p) => p }
+      .getOrElse(throw new IllegalArgumentException(s"unknown secret kind $kind"))
+    size(regexp_extract_all(text, lit(re), lit(0)))
+  }
+
   /** Match count for one pattern kind — `regexp_extract_all` + size, the
     * count form both engines share verbatim. */
   def piiCount(text: Column, kind: String): Column = {

@@ -161,6 +161,32 @@ object TextAnalysis {
     * shingles — one 64-bit near-dup signature (a 1-row minhash). */
   def rollingFingerprint(text: Column, n: Int = 5): Column =
     array_min(Shingles.hashedShingles(text, n))
+
+  /** Character-level Shannon entropy in nats — the compression-proxy
+    * quality gate (low entropy ⇒ keyboard mash / repeated boilerplate;
+    * near-uniform ⇒ base64 / minified blobs; prose sits in between —
+    * the MassiveText/Gopher-family heuristic without a compressor
+    * dependency).
+    *
+    * A PURE projection: distinct chars per doc are alphabet-bounded
+    * (≲ a few hundred), so the O(|alphabet| · len) in-row occurrence
+    * scan costs less than a per-(doc, char) Exchange at any corpus
+    * size — zero shuffle, codegen-eligible. The fold runs over the
+    * SORTED distinct-char list, so the floating sum has one defined
+    * order and an external engine replays it bit-for-bit. */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= "")
+    val n = size(chars).cast("double")
+    val ds = array_sort(array_distinct(chars))
+    when(size(chars) === 0, lit(0.0)).otherwise(
+      aggregate(ds, lit(0.0), (acc, c) => {
+        val p = size(filter(chars, x => x === c)).cast("double") / n
+        acc - p * log(p)
+      }))
+  }
+
+  /** [[charEntropy]] in bits per character (÷ ln 2). */
+  def bitsPerChar(text: Column): Column = charEntropy(text) / lit(math.log(2.0))
 }
 
 /** Word-shingle machinery shared by fingerprinting and MinHash dedup. */
