@@ -2118,9 +2118,14 @@ object SparkEntry {
     // projection; the oracle replays the sorted-distinct-char fold and
     // must match every double bit-for-bit.
     "q_entropy" -> { (s, dir) =>
-      Sources.table(s, dir, "documents").select(col("doc_id"),
-        graft.llm.TextAnalysis.charEntropy(col("text")).as("h"),
-        graft.llm.TextAnalysis.bitsPerChar(col("text")).as("bpc"))
+      // fanOut: compute-amplified projection over a one-row-group scan
+      // (the q_web_pipeline trap) — per-char folds on 32 cores, not 1
+      graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.charEntropy(col("text")).as("h"))
+        // derive bpc from the computed h: CollapseProject keeps expensive
+        // expressions single-use, so the fold runs once, not twice
+        .withColumn("bpc", col("h") / lit(math.log(2.0)))
     },
     // Chat-transcript accounting (Chat.stats): synthesize a 5-turn
     // conversation per doc (system/user/assistant/user/assistant chunks

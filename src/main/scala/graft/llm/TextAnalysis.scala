@@ -168,21 +168,32 @@ object TextAnalysis {
     * the MassiveText/Gopher-family heuristic without a compressor
     * dependency).
     *
-    * A PURE projection: distinct chars per doc are alphabet-bounded
-    * (≲ a few hundred), so the O(|alphabet| · len) in-row occurrence
-    * scan costs less than a per-(doc, char) Exchange at any corpus
-    * size — zero shuffle, codegen-eligible. The fold runs over the
-    * SORTED distinct-char list, so the floating sum has one defined
-    * order and an external engine replays it bit-for-bit. */
+    * A PURE projection — zero shuffle, codegen-eligible: sort the
+    * chars once, then ONE run-length fold closes each character's
+    * −p·ln p term as its run ends. (The obvious per-distinct-char
+    * `filter(chars, _ === c)` rescan is O(|alphabet|·len) with an array
+    * allocation per char — benched 21.9 s over sf0.1 documents vs
+    * ~1 s for this sort+fold.) Terms accumulate in sorted-char order,
+    * so the floating sum has one defined order and an external engine
+    * replays it bit-for-bit from per-char counts. */
   def charEntropy(text: Column): Column = {
-    val chars = filter(split(text, ""), c => c =!= "")
+    // sort CODEPOINTS, not 1-char strings: int comparisons, no per-element
+    // UTF8String churn; UTF-8 byte order == codepoint order, so the run
+    // order matches an external engine sorting the chars as strings
+    val chars = array_sort(transform(filter(split(text, ""), c => c =!= ""), c => ascii(c)))
     val n = size(chars).cast("double")
-    val ds = array_sort(array_distinct(chars))
-    when(size(chars) === 0, lit(0.0)).otherwise(
-      aggregate(ds, lit(0.0), (acc, c) => {
-        val p = size(filter(chars, x => x === c)).cast("double") / n
-        acc - p * log(p)
-      }))
+    def close(s: Column): Column = {
+      val p = s("run").cast("double") / n
+      // run = 0 only before the first char: 0·ln 0 would be NaN, skip
+      when(s("run") === 0L, s("acc")).otherwise(s("acc") - p * log(p))
+    }
+    val folded = aggregate(chars,
+      struct(lit(-1).as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+      (s, c) => when(c === s("prev"),
+        struct(c.as("prev"), (s("run") + 1L).as("run"), s("acc").as("acc")))
+        .otherwise(struct(c.as("prev"), lit(1L).as("run"), close(s).as("acc"))),
+      s => close(s))
+    when(size(chars) === 0, lit(0.0)).otherwise(folded)
   }
 
   /** [[charEntropy]] in bits per character (÷ ln 2). */
