@@ -156,6 +156,48 @@ object TextKernels {
     s
   }
 
+  /** Character-level Shannon entropy (nats): codepoint counts, terms
+    * `acc − p·ln p` closed in ASCENDING codepoint order — the exact
+    * accumulation sequence of `TextAnalysis.charEntropy`'s sorted-run
+    * fold and of the DuckDB oracle's sorted-distinct-char replay, so all
+    * three produce identical doubles. ASCII fast path (int[128]); the
+    * rare higher codepoints go through a sorted map. */
+  def charEntropy(u: UTF8String): Double = charEntropy(u.toString)
+
+  def charEntropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val ascii = new Array[Long](128)
+    var high: java.util.TreeMap[Integer, Long] = null
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (high == null) high = new java.util.TreeMap[Integer, Long]()
+        val prev = high.get(cp)
+        high.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    // StrictMath.log, NOT Math.log: Spark's `log` expression evaluates
+    // via StrictMath, and the intrinsic differs by 1 ulp on some inputs —
+    // the fold-arm parity spec caught exactly that
+    val nd = n.toDouble
+    var acc = 0.0
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0L) { val p = ascii(c) / nd; acc = acc - p * StrictMath.log(p) }
+      c += 1
+    }
+    if (high != null) {
+      val it = high.values().iterator()
+      while (it.hasNext) { val p = it.next() / nd; acc = acc - p * StrictMath.log(p) }
+    }
+    acc
+  }
+
   // ---- rolling window fingerprints (the ExactSubstr O(n) arm) ----
   // Two independent Rabin–Karp polynomial hashes mod the Mersenne prime
   // 2^61−1. mod-PRIME, not mod-2^64: the Thue–Morse anti-hash family
@@ -360,6 +402,27 @@ object VectorExprs {
       defineCodeGen(ctx, ev, c =>
         s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
           s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Native char-entropy scalar (kernel: [[TextKernels.charEntropy]]):
+    * full codegen so the per-byte hot loop stays inside
+    * WholeStageCodegen — the interpreted sorted-run HOF fold it replaces
+    * benched 12.6 s over the 50k-doc scale fixture. */
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_entropy requires a string input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.charEntropy(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropy($c)")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -752,6 +815,7 @@ object VectorExprs {
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def nfcNormalize(s: Column): Column = column(NfcNormalize(expression(s)))
+  def charEntropy(s: Column): Column = column(CharEntropyExpr(expression(s)))
   def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))
   def capGate(c: Column, cap: Int, dropped: org.apache.spark.util.LongAccumulator,
               maxSeen: MaxAccumulator): Column =

@@ -168,15 +168,22 @@ object TextAnalysis {
     * the MassiveText/Gopher-family heuristic without a compressor
     * dependency).
     *
-    * A PURE projection — zero shuffle, codegen-eligible: sort the
-    * chars once, then ONE run-length fold closes each character's
-    * −p·ln p term as its run ends. (The obvious per-distinct-char
-    * `filter(chars, _ === c)` rescan is O(|alphabet|·len) with an array
-    * allocation per char — benched 21.9 s over sf0.1 documents vs
-    * ~1 s for this sort+fold.) Terms accumulate in sorted-char order,
-    * so the floating sum has one defined order and an external engine
-    * replays it bit-for-bit from per-char counts. */
-  def charEntropy(text: Column): Column = {
+    * A PURE projection — zero shuffle, full codegen: the native
+    * [[graft.functions.VectorExprs.charEntropy]] scalar counts
+    * codepoints in one pass and closes each −p·ln p term in ascending
+    * codepoint order, so the floating sum has one defined order and an
+    * external engine replays it bit-for-bit from per-char counts.
+    * [[charEntropyFold]] keeps the pure-Column sorted-run fold as the
+    * reference arm (parity spec-pinned): same term order, same doubles,
+    * ~40× slower (interpreted HOFs; and the naive per-distinct-char
+    * rescan before it benched 21.9 s vs 1.5 s at sf0.1). */
+  def charEntropy(text: Column): Column =
+    graft.functions.VectorExprs.charEntropy(text)
+
+  /** Reference arm of [[charEntropy]]: sorted codepoint runs folded with
+    * Column HOFs — bit-identical by construction, kept as the
+    * cross-check the spec pins against the native kernel. */
+  def charEntropyFold(text: Column): Column = {
     // sort CODEPOINTS, not 1-char strings: int comparisons, no per-element
     // UTF8String churn; UTF-8 byte order == codepoint order, so the run
     // order matches an external engine sorting the chars as strings

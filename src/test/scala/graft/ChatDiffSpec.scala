@@ -55,6 +55,19 @@ class ChatDiffSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("native charEntropy == Column-fold reference arm bit-for-bit on fixture docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("native"),
+        TextAnalysis.charEntropyFold(col("text")).as("fold"))
+    val rows = docs.as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, a, b) => a == b },
+      rows.find { case (_, a, b) => a != b }.toString)
+    // "*(n)" prefixes mark WholeStageCodegen stages in this rendering
+    val plan = docs.select("native").queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(400))
+  }
+
   test("corpus diff: all four statuses; summary counts") {
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
