@@ -47,7 +47,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => NgramHash(es(0), intArg(es(1), "n"))),
     (FunctionIdentifier("sig_agreement"),
       info("sig_agreement", "sig_agreement(a, b) - fraction of agreeing positions"),
-      (es: Seq[Expression]) => SigAgreement(es(0), es(1))))
+      (es: Seq[Expression]) => SigAgreement(es(0), es(1))),
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(s) - character-level Shannon entropy in nats"),
+      (es: Seq[Expression]) => CharEntropyExpr(es(0))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -25,6 +25,8 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT size(ngram_hash(transform(split('a b c d', ' '), t -> xxhash64(t)), 2)) AS n")
       .collect()(0).getInt(0)
     assert(nh == 3)
+    val ent = spark.sql("SELECT char_entropy('ab') AS h").collect()(0).getDouble(0)
+    assert(math.abs(ent - math.log(2.0)) < 1e-12)
   }
 
   test("cosine_sim handles mixed float/double arrays per child and rejects non-arrays") {
