@@ -2103,6 +2103,20 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Gear-CDC chunking (Cdc.chunks): content-defined boundaries over the
+    // documents bytes; the oracle rebuilds the gear table and replays the
+    // per-byte rolling fold — every boundary and chunk hash must match.
+    "q_cdc_chunks" -> { (s, dir) =>
+      graft.llm.Cdc.chunks(
+        graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents")),
+        "doc_id", "text", seed = 9)
+    },
+    // chunk-level dedup accounting on the same boundaries
+    "q_cdc_dedup" -> { (s, dir) =>
+      graft.llm.Cdc.dedupSummary(graft.llm.Cdc.chunks(
+        graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents")),
+        "doc_id", "text", seed = 9))
+    },
     // Snapshot diff (CorpusDiff.diff): old = 90% of docs, new = 6/7 of
     // docs with a simulated edit on every 5th — statuses via md5
     // fingerprints the oracle replays.
@@ -2476,6 +2490,35 @@ object SparkEntry {
         |    JOIN k$i x1 ON t.u = x1.x JOIN k$i x2 ON t.v = x2.x)""".stripMargin)
     }
     sb.toString
+  }
+
+  /** Shared CTE prefix replaying gear-CDC chunking over `documents`:
+    * gear table from the splitmix mixer (unitCte's constants, full 64-bit
+    * output), then a per-doc flat-list fold ([h, st, s1, l1, ...] HUGEINT
+    * lanes — DuckDB 1.0's list_reduce corrupts STRUCT accumulators, flat
+    * lists fold correctly) with the same min/mask/max cut rule as the
+    * native kernel. Yields `final(doc_id, text, n, flat)`. */
+  private def cdcCte(seed: Long, maskBits: Int, minLen: Int, maxLen: Int): String = {
+    val modulus = "18446744073709551616"
+    val step = s"(a[1] * 2 + gs[CAST(cs[CAST(x[2] AS INTEGER)] AS INTEGER) + 1]) % $modulus"
+    s"""gi AS (SELECT unnest(range(0, 256)) AS i),
+       |g0 AS (SELECT i, CAST((CAST(i AS HUGEINT) * 2654435761 + $seed) % $modulus AS UBIGINT) AS z FROM gi),
+       |g1 AS (SELECT i, CAST((CAST(xor(z, z >> 33) AS HUGEINT) * 2246822507) % $modulus AS UBIGINT) AS z FROM g0),
+       |g2 AS (SELECT i, CAST((CAST(xor(z, z >> 29) AS HUGEINT) * 3266489917) % $modulus AS UBIGINT) AS z FROM g1),
+       |g AS (SELECT i, CAST(xor(z, z >> 32) AS HUGEINT) AS gv FROM g2),
+       |gl AS (SELECT list(gv ORDER BY i) AS gs FROM g),
+       |codes AS (SELECT doc_id, text, list_transform(string_split(text, ''), c -> unicode(c)) AS cs FROM documents),
+       |folded AS (SELECT doc_id, text, len(cs) AS n,
+       |  list_reduce(list_prepend(CAST([0, 1] AS HUGEINT[]),
+       |    list_transform(range(1, len(cs) + 1), i -> CAST([0, i] AS HUGEINT[]))),
+       |    (a, x) -> CASE WHEN ((x[2] - a[2] + 1 >= $minLen) AND (($step) % ${1L << maskBits} = 0))
+       |        OR (x[2] - a[2] + 1 >= $maxLen)
+       |      THEN list_concat(CAST([0, x[2] + 1] AS HUGEINT[]), list_concat(a[3:], [a[2], x[2] - a[2] + 1]))
+       |      ELSE list_concat([$step, a[2]], a[3:]) END
+       |  ) AS f FROM codes, gl),
+       |final AS (SELECT doc_id, text, n,
+       |  CASE WHEN f[2] <= n THEN list_concat(f[3:], [f[2], n - f[2] + 1]) ELSE f[3:] END AS flat
+       |  FROM folded)""".stripMargin
   }
 
   private def unitCte(p: String, src: String, seed: Long): String =
@@ -4853,6 +4896,27 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    "q_cdc_chunks" ->
+      s"""WITH ${cdcCte(9, 5, 12, 96)},
+         |ex AS (SELECT doc_id, text, unnest(range(0, len(flat) // 2)) AS k, flat FROM final)
+         |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+         |  CAST(flat[CAST(2 * k + 1 AS INTEGER)] AS INTEGER) AS start,
+         |  CAST(flat[CAST(2 * k + 2 AS INTEGER)] AS INTEGER) AS len,
+         |  md5(substr(text, CAST(flat[CAST(2 * k + 1 AS INTEGER)] AS INTEGER),
+         |    CAST(flat[CAST(2 * k + 2 AS INTEGER)] AS INTEGER))) AS chunk_hash
+         |FROM ex""".stripMargin,
+    "q_cdc_dedup" ->
+      s"""WITH ${cdcCte(9, 5, 12, 96)},
+         |ex AS (SELECT doc_id, text, unnest(range(0, len(flat) // 2)) AS k, flat FROM final),
+         |ch AS (SELECT md5(substr(text, CAST(flat[CAST(2 * k + 1 AS INTEGER)] AS INTEGER),
+         |    CAST(flat[CAST(2 * k + 2 AS INTEGER)] AS INTEGER))) AS chunk_hash,
+         |  CAST(flat[CAST(2 * k + 2 AS INTEGER)] AS INTEGER) AS len FROM ex),
+         |per AS (SELECT chunk_hash, count(*) AS occ, min(len) AS len FROM ch GROUP BY 1)
+         |SELECT CAST(SUM(occ) AS BIGINT) AS n_chunks,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(SUM(occ - 1) AS BIGINT) AS n_dup,
+         |  CAST(SUM((occ - 1) * len) AS DOUBLE) / CAST(SUM(occ * len) AS DOUBLE) AS dup_byte_ratio
+         |FROM per""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id AS id, md5(text) AS oh FROM documents WHERE doc_id % 10 <> 0),
         |n AS (SELECT doc_id AS id,

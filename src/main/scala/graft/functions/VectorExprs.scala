@@ -198,6 +198,52 @@ object TextKernels {
     acc
   }
 
+  // ---- content-defined chunking (gear CDC) ----
+
+  /** Deterministic 256-entry gear table: the unitDraw splitmix-style
+    * mixer's full 64-bit output over (byte, seed) — 32-bit multiply
+    * constants, so an external engine rebuilds the table in mod-2^64
+    * (HUGEINT) SQL exactly. */
+  def cdcGear(seed: Long): Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong * 2654435761L + seed
+    z = (z ^ (z >>> 33)) * 2246822507L
+    z = (z ^ (z >>> 29)) * 3266489917L
+    z ^ (z >>> 32)
+  }
+
+  private val cdcGearCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+  private def cdcGearFor(seed: Long): Array[Long] =
+    cdcGearCache.computeIfAbsent(seed, s => cdcGear(s))
+
+  /** Gear-hash content-defined cut list over the string's UTF-8 bytes:
+    * rolling h = (h << 1) + gear[byte]; cut when the low `mask` bits of h
+    * are zero and the chunk has at least `minLen` bytes, or at `maxLen`
+    * unconditionally; h resets per chunk (the FastCDC normalization is
+    * orthogonal and omitted — plain gear matches the SQL replay 1:1).
+    * Returns struct(start, len) with 0-based byte offsets; the final
+    * partial chunk is emitted. */
+  def cdcCuts(u: UTF8String, seed: Long, mask: Long, minLen: Int, maxLen: Int): Array[Any] = {
+    val gear = cdcGearFor(seed)
+    val bytes = u.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n / (minLen max 1) + 1)
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + gear(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+        out += org.apache.spark.sql.catalyst.InternalRow(start, len)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < n) out += org.apache.spark.sql.catalyst.InternalRow(start, n - start)
+    out.toArray
+  }
+
   // ---- rolling window fingerprints (the ExactSubstr O(n) arm) ----
   // Two independent Rabin–Karp polynomial hashes mod the Mersenne prime
   // 2^61−1. mod-PRIME, not mod-2^64: the Thue–Morse anti-hash family
@@ -402,6 +448,32 @@ object VectorExprs {
       defineCodeGen(ctx, ev, c =>
         s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
           s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  private val cdcStruct = StructType(Seq(
+    StructField("start", IntegerType, false), StructField("len", IntegerType, false)))
+
+  /** Content-defined chunk boundaries (kernel: [[TextKernels.cdcCuts]]);
+    * full codegen — the per-byte gear roll stays in WholeStageCodegen. */
+  case class CdcCutsExpr(child: Expression, seed: Long, mask: Long, minLen: Int, maxLen: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(cdcStruct, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_cuts requires a string input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextKernels.cdcCuts(
+        input.asInstanceOf[UTF8String], seed, mask, minLen, maxLen))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextKernels.cdcCuts($c, ${seed}L, ${mask}L, $minLen, $maxLen))")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -816,6 +888,8 @@ object VectorExprs {
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def nfcNormalize(s: Column): Column = column(NfcNormalize(expression(s)))
   def charEntropy(s: Column): Column = column(CharEntropyExpr(expression(s)))
+  def cdcCuts(s: Column, seed: Long, mask: Long, minLen: Int, maxLen: Int): Column =
+    column(CdcCutsExpr(expression(s), seed, mask, minLen, maxLen))
   def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))
   def capGate(c: Column, cap: Int, dropped: org.apache.spark.util.LongAccumulator,
               maxSeen: MaxAccumulator): Column =

@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (gear CDC — the rolling-hash boundary scheme
+  * behind dedup storage and incremental-sync systems, cf. FastCDC, Xia
+  * 2016): chunk boundaries depend on CONTENT, not offsets, so inserting
+  * a byte shifts only the chunk it lands in — byte-level near-dup
+  * detection that survives edits, where fixed-width blocking breaks at
+  * the first insertion (spec-pinned property).
+  *
+  * Shapes: [[chunks]] is a pure projection (the per-byte gear roll is a
+  * codegen'd native expression, then one posexplode) — zero shuffle over
+  * the corpus; [[dedupSummary]] adds the one bounded Exchange of
+  * (chunk_hash) rows a dedup ratio needs. The gear table, the rolling
+  * hash, and every boundary are mod-2^64 integer arithmetic the DuckDB
+  * oracle replays byte-for-byte (flat-list fold state — HUGEINT lanes).
+  */
+object Cdc {
+  /** One row per chunk: (id, chunk_idx, start [1-based], len, chunk_hash).
+    * maskBits sets the average chunk size (2^maskBits bytes). */
+  def chunks(df: DataFrame, idCol: String, textCol: String, seed: Long,
+             maskBits: Int = 5, minLen: Int = 12, maxLen: Int = 96): DataFrame = {
+    require(maskBits >= 1 && maskBits < 48, s"maskBits $maskBits out of range")
+    require(minLen >= 1 && maxLen > minLen, s"need 1 <= minLen < maxLen, got [$minLen, $maxLen]")
+    val mask = (1L << maskBits) - 1L
+    df.select(col(idCol),
+        posexplode(graft.functions.VectorExprs.cdcCuts(col(textCol), seed, mask, minLen, maxLen)),
+        col(textCol).as("__t"))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        (col("col")("start") + 1).as("start"), col("col")("len").as("len"),
+        md5(col("__t").substr(col("col")("start") + 1, col("col")("len")).cast("binary")).as("chunk_hash"))
+  }
+
+  /** One-row dedup accounting over [[chunks]] output: total chunks,
+    * distinct contents, duplicated count, and the byte dedup ratio
+    * (bytes in duplicate chunk occurrences / total bytes). */
+  def dedupSummary(chunksDf: DataFrame): DataFrame = {
+    val per = chunksDf.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("occ"), first(col("len")).as("len"))
+    per.agg(
+      sum(col("occ")).as("n_chunks"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("occ") - 1).as("n_dup"),
+      (sum((col("occ") - 1) * col("len")).cast("double") /
+        sum(col("occ") * col("len")).cast("double")).as("dup_byte_ratio"))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Chat, CorpusDiff, Redact, TextAnalysis}
+import graft.llm.{Cdc, Chat, CorpusDiff, Redact, TextAnalysis}
 
 /** Chat transcripts, corpus snapshot diff, char entropy, secrets. */
 class ChatDiffSpec extends AnyFunSuite {
@@ -75,6 +75,56 @@ class ChatDiffSpec extends AnyFunSuite {
     assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
     val s = CorpusDiff.summary(o, n, "id", "text").as[(String, Long)].collect().toMap
     assert(s == Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("CDC chunks: partition the text, respect bounds, match an independent reimplementation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ch = Cdc.chunks(docs, "doc_id", "text", seed = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val texts = docs.as[(Long, String)].collect().toMap
+    // partition property: chunks tile the text exactly, in order
+    ch.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(c => texts(id).substring(c._3 - 1, c._3 - 1 + c._4)).mkString == texts(id))
+      sorted.dropRight(1).foreach(c => assert(c._4 >= 12 && c._4 <= 96))
+      assert(sorted.last._4 <= 96)
+    }
+    // independent reimplementation (plain Scala, bytes)
+    val gear = graft.functions.TextKernels.cdcGear(9)
+    def ref(s: String): Seq[(Int, Int)] = {
+      val bs = s.getBytes("UTF-8")
+      var st = 0; var h = 0L
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      bs.indices.foreach { i =>
+        h = (h << 1) + gear(bs(i) & 0xff)
+        val len = i - st + 1
+        if ((len >= 12 && (h & 31L) == 0L) || len >= 96) { out += ((st, len)); st = i + 1; h = 0L }
+      }
+      if (st < bs.length) out += ((st, bs.length - st))
+      out.toSeq
+    }
+    texts.foreach { case (id, t) =>
+      val got = ch.filter(_._1 == id).sortBy(_._2).map(c => (c._3 - 1, c._4)).toSeq
+      assert(got == ref(t), s"doc $id")
+    }
+  }
+
+  test("CDC edit-resilience: a one-char insertion preserves most chunk hashes") {
+    val base = (1 to 40).map(i => s"word$i block of content number $i with some filler text").mkString(" ")
+    val edited = "X" + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = Cdc.chunks(df, "doc_id", "text", seed = 9)
+      .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val overlap = (h1 & h2).size.toDouble / h1.size
+    assert(overlap >= 0.6, s"CDC should localize the edit: overlap $overlap")
+    // fixed-width blocking destroys every block after the insertion point
+    def fixedHashes(s: String) = s.grouped(32).map(b => java.util.Arrays.hashCode(b.getBytes)).toSet
+    val f1 = fixedHashes(base); val f2 = fixedHashes(edited)
+    assert((f1 & f2).size.toDouble / f1.size < overlap,
+      "fixed blocking must lose more chunks than CDC on the same edit")
   }
 
   test("chat stats + entropy + secrets run unchanged on a stream (stateless projections)") {
