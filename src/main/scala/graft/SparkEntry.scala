@@ -2103,6 +2103,19 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Ordered funnel with a 7-day conversion deadline (Behavior.funnel):
+    // view → click → purchase; the oracle replays the per-step min-time
+    // joins and the exact microsecond lag sums.
+    "q_funnel" -> { (s, dir) =>
+      graft.operators.Behavior.funnel(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"), windowSec = 7L * 86400)
+    },
+    // Cohort retention (Behavior.retention): first-seen-day cohorts ×
+    // whole-day offsets, distinct active users per cell.
+    "q_retention" -> { (s, dir) =>
+      graft.operators.Behavior.retention(Sources.table(s, dir, "events"), "user_id", "ts")
+        .withColumn("cohort_day", unix_micros(col("cohort_day")))
+    },
     // Gear-CDC chunking (Cdc.chunks): content-defined boundaries over the
     // documents bytes; the oracle rebuilds the gear table and replays the
     // per-byte rolling fold — every boundary and chunk hash must match.
@@ -4896,6 +4909,31 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    "q_funnel" ->
+      """WITH u1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
+        |    FROM events WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id AS u, u1.t1, min(epoch_us(e.ts)) AS t2
+        |    FROM events e JOIN u1 ON e.user_id = u1.u
+        |    WHERE e.event_type = 'click' AND epoch_us(e.ts) >= u1.t1
+        |      AND epoch_us(e.ts) <= u1.t1 + 604800000000
+        |    GROUP BY 1, 2),
+        |u3 AS (SELECT e.user_id AS u, u2.t1, min(epoch_us(e.ts)) AS t3
+        |    FROM events e JOIN u2 ON e.user_id = u2.u
+        |    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= u2.t2
+        |      AND epoch_us(e.ts) <= u2.t1 + 604800000000
+        |    GROUP BY 1, 2)
+        |SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users,
+        |  CAST(0 AS BIGINT) AS sum_lag_us FROM u1
+        |UNION ALL SELECT 1, 'click', count(*), CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM u2
+        |UNION ALL SELECT 2, 'purchase', count(*), CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) FROM u3""".stripMargin,
+    "q_retention" ->
+      """WITH f AS (SELECT user_id AS u, min(date_trunc('day', ts)) AS cd FROM events GROUP BY 1),
+        |a AS (SELECT e.user_id AS u, date_trunc('day', e.ts) AS d, f.cd
+        |    FROM events e JOIN f ON e.user_id = f.u)
+        |SELECT epoch_us(cd) AS cohort_day,
+        |  CAST((epoch_us(d) - epoch_us(cd)) / 86400000000 AS BIGINT) AS day_offset,
+        |  count(DISTINCT u) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_cdc_chunks" ->
       s"""WITH ${cdcCte(9, 5, 12, 96)},
          |ex AS (SELECT doc_id, text, unnest(range(0, len(flat) // 2)) AS k, flat FROM final)

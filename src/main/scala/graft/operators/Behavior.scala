@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: ordered funnels and cohort retention —
+  * the two queries every product-events warehouse runs daily.
+  *
+  * Both are expressed as plain aggregate-and-join plans so Catalyst
+  * keeps them shuffle-minimal: [[funnel]] is one filtered aggregate per
+  * step, each joined back on the user key (steps are few and fixed, so
+  * the plan is `k` user-keyed Exchanges over shrinking survivor sets —
+  * never a per-user sort or a sequence scan); [[retention]] is the
+  * first-seen aggregate joined to the events once, then one grouped
+  * count. No window functions, no per-key state: at 100 TB the heavy
+  * side streams through hash aggregates with map-side partials.
+  */
+object Behavior {
+  /** Ordered funnel with a conversion deadline: step i counts users whose
+    * EARLIEST step-i event at-or-after their step-(i−1) time still falls
+    * within `windowSec` of their step-1 time. Output: one row per step —
+    * (step_idx, step, n_users, sum_lag_us) with sum_lag_us the exact
+    * total microseconds from step 1 (0 for step 1) — integer arithmetic,
+    * no float rounding to drift from an external replay. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    val u = col(userCol)
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(u.as("user")).agg(min(unix_micros(col(tsCol))).as("t1"))
+      .withColumn("t_prev", col("t1"))
+    var out = reached.agg(
+      lit(0).as("step_idx"), lit(steps.head).as("step"),
+      count(lit(1)).as("n_users"),
+      lit(0L).as("sum_lag_us"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val nxt = events.filter(col(typeCol) === step)
+        .select(u.as("user"), unix_micros(col(tsCol)).as("t"))
+        .join(reached, Seq("user"))
+        .filter(col("t") >= col("t_prev") && col("t") <= col("t1") + windowSec * 1000000L)
+        .groupBy(col("user"))
+        .agg(min(col("t")).as("t_step"), first(col("t1")).as("t1"))
+        .select(col("user"), col("t1"), col("t_step").as("t_prev"))
+      reached = nxt
+      out = out.unionByName(reached.agg(
+        lit(i).as("step_idx"), lit(step).as("step"),
+        count(lit(1)).as("n_users"),
+        coalesce(sum(col("t_prev") - col("t1")), lit(0L)).as("sum_lag_us")))
+    }
+    out
+  }
+
+  /** Cohort retention: users grouped by first-seen day; one row per
+    * (cohort_day, day_offset) with the distinct users active that day.
+    * Offsets are whole days from the cohort day (offset 0 = cohort day). */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = date_trunc("day", col(tsCol))
+    val first = events.groupBy(col(userCol).as("user"))
+      .agg(min(day).as("cohort_day"))
+    events.select(col(userCol).as("user"), day.as("d"))
+      .join(first, Seq("user"))
+      .groupBy(col("cohort_day"),
+        ((unix_micros(col("d")) - unix_micros(col("cohort_day"))) / lit(86400000000L))
+          .cast("long").as("day_offset"))
+      .agg(count_distinct(col("user")).as("n_users"))
+  }
+}

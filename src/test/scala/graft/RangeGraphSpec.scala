@@ -101,6 +101,45 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(sorts == 1, s"flag and running sum must share one sort, saw $sorts:\n${plan.take(800)}")
   }
 
+  // ---- Behavior: funnel + retention ----
+
+  test("funnel: order matters, deadline enforced, earliest qualifying time wins") {
+    import graft.operators.Behavior
+    val ev = Seq(
+      // user 1 completes in order within window
+      (1L, ts("2024-01-01 00:00:00"), "view"), (1L, ts("2024-01-02 00:00:00"), "click"),
+      (1L, ts("2024-01-03 00:00:00"), "buy"),
+      // user 2: click BEFORE view only -> stops at view
+      (2L, ts("2024-01-02 00:00:00"), "view"), (2L, ts("2024-01-01 00:00:00"), "click"),
+      // user 3: buy past the 7-day deadline -> stops at click
+      (3L, ts("2024-01-01 00:00:00"), "view"), (3L, ts("2024-01-02 00:00:00"), "click"),
+      (3L, ts("2024-01-09 00:00:01"), "buy"),
+      // user 4 never views
+      (4L, ts("2024-01-01 00:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"), windowSec = 7L * 86400)
+      .select("step", "n_users", "sum_lag_us").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("view") == ((3L, 0L)))
+    assert(out("click") == ((2L, 2L * 86400000000L))) // users 1 (+1d) and 3 (+1d)
+    assert(out("buy") == ((1L, 2L * 86400000000L))) // user 1 at +2d
+  }
+
+  test("retention: cohorts by first-seen day, whole-day offsets, distinct users") {
+    import graft.operators.Behavior
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")), // same day twice
+      (1L, ts("2024-01-03 01:00:00")),
+      (2L, ts("2024-01-01 05:00:00")), (2L, ts("2024-01-02 05:00:00")),
+      (3L, ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.retention(ev, "user_id", "ts")
+      .select(date_format(col("cohort_day"), "MM-dd"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("01-01", 0L, 2L), ("01-01", 1L, 1L), ("01-01", 2L, 1L), ("01-02", 0L, 1L)))
+  }
+
   // ---- QuantileSketch ----
 
   test("histogram quantiles: within one bin width of exact, partitioning-invariant") {
