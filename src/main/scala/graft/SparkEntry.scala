@@ -2103,6 +2103,21 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Order-1 Markov transition matrix (Behavior.transitions): per-user
+    // event chains with deterministic duplicate-ts ordering.
+    "q_transitions" -> { (s, dir) =>
+      graft.operators.Behavior.transitions(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+    },
+    // Two-variant conversion readout (Behavior.abTest): deterministic
+    // variant split by user parity, conversion = a high-value purchase;
+    // the pooled z-score is closed-form arithmetic the oracle replays.
+    "q_abtest" -> { (s, dir) =>
+      val ev = Sources.table(s, dir, "events")
+        .withColumn("variant", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+        .withColumn("converted", col("event_type") === "purchase" && col("value") > 180)
+      graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
+    },
     // Ordered funnel with a 7-day conversion deadline (Behavior.funnel):
     // view → click → purchase; the oracle replays the per-step min-time
     // joins and the exact microsecond lag sums.
@@ -4909,6 +4924,34 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    "q_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS "from", event_type AS "to", count(*) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT "from", sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c."from", c."to", c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+        |FROM c JOIN t USING ("from")""".stripMargin,
+    "q_abtest" ->
+      """WITH per AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT variant, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT SUM(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        |             SUM(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+        |             SUM(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+        |             SUM(CASE WHEN variant = 'B' THEN n_conv END) AS cb FROM s),
+        |zc AS (SELECT (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |        * (1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+        |        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z FROM w)
+        |SELECT s.variant, s.n_users, s.n_conv,
+        |  CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS rate, zc.z
+        |FROM s, zc""".stripMargin,
     "q_funnel" ->
       """WITH u1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
         |    FROM events WHERE event_type = 'view' GROUP BY 1),

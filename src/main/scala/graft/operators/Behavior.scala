@@ -51,6 +51,53 @@ object Behavior {
     out
   }
 
+  /** Order-1 Markov transition matrix over per-user event sequences:
+    * one row per (from, to) event-type pair with its count and the
+    * row-normalized probability. One user-keyed sort (lag window) + one
+    * grouped count — the standard next-action model a product-events
+    * pipeline feeds to recommendations; ties on the timestamp break by
+    * `ord` so the chain is deterministic under duplicate-ts bursts. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  ordCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(ordCol))
+    val pairs = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from"), col(typeCol).as("to"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from")).agg(sum(col("n")).as("row_n"))
+    pairs.join(totals, Seq("from"))
+      .select(col("from"), col("to"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+  }
+
+  /** Two-variant conversion comparison (the A/B readout): per variant the
+    * exposed-user and converted-user counts and conversion rate, plus the
+    * pooled two-proportion z-score on every row — closed-form arithmetic
+    * an external engine replays bit-for-bit (no p-value: erf provenance
+    * differs across engines; the z threshold is the decision anyway). */
+  def abTest(events: DataFrame, userCol: String, variantCol: String,
+             convertedCol: String): DataFrame = {
+    val per = events.groupBy(col(userCol).as("user"), col(variantCol).as("variant"))
+      .agg(max(col(convertedCol).cast("int")).as("conv"))
+    val stats = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).cast("long").as("n_conv"))
+      .withColumn("rate", col("n_conv").cast("double") / col("n_users").cast("double"))
+    val wide = stats.agg(
+      sum(when(col("variant") === "A", col("n_users"))).as("na"),
+      sum(when(col("variant") === "A", col("n_conv"))).as("ca"),
+      sum(when(col("variant") === "B", col("n_users"))).as("nb"),
+      sum(when(col("variant") === "B", col("n_conv"))).as("cb"))
+      .select(
+        ((col("ca") + col("cb")).cast("double") / (col("na") + col("nb")).cast("double")).as("pool"),
+        (col("ca").cast("double") / col("na").cast("double") -
+          col("cb").cast("double") / col("nb").cast("double")).as("diff"),
+        (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")).as("inv"))
+      .select((col("diff") / sqrt(col("pool") * (lit(1.0) - col("pool")) * col("inv"))).as("z"))
+    stats.crossJoin(wide)
+  }
+
   /** Cohort retention: users grouped by first-seen day; one row per
     * (cohort_day, day_offset) with the distinct users active that day.
     * Offsets are whole days from the cohort day (offset 0 = cohort day). */

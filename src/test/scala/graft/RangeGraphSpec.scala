@@ -140,6 +140,36 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(out == Set(("01-01", 0L, 2L), ("01-01", 1L, 1L), ("01-01", 2L, 1L), ("01-02", 0L, 1L)))
   }
 
+  test("transitions: per-user chains, row-normalized, duplicate-ts ties by ord") {
+    import graft.operators.Behavior
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"), (1L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "a"),
+      // duplicate ts: event 5 follows event 4 by ord
+      (2L, ts("2024-01-01 00:00:00"), 4L, "a"), (2L, ts("2024-01-01 00:00:00"), 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Behavior.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("abTest: per-user conversion dedup, pooled z sign follows the better variant") {
+    import graft.operators.Behavior
+    val rows = (0L until 100L).map { u =>
+      val variant = if (u % 2 == 0) "A" else "B"
+      // A converts 40%, B converts 20%; two events per user (dedup must not double count)
+      val conv = if (variant == "A") u % 10 < 4 else u % 10 >= 8
+      (u, variant, conv)
+    }
+    val ev = (rows ++ rows).toDF("user_id", "variant", "converted")
+    val out = Behavior.abTest(ev, "user_id", "variant", "converted")
+      .select("variant", "n_users", "n_conv", "z").as[(String, Long, Long, Double)].collect()
+    val byV = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byV("A") == ((50L, 20L)) && byV("B") == ((50L, 10L)))
+    assert(out.map(_._4).distinct.length == 1 && out.head._4 > 0, "A better than B => z > 0")
+  }
+
   // ---- QuantileSketch ----
 
   test("histogram quantiles: within one bin width of exact, partitioning-invariant") {
