@@ -2103,6 +2103,26 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Native rollup (Catalyst Expand): subtotal lattice over
+    // (returnflag, linestatus) — the OLAP cube slice csp has no answer
+    // to; grouping_id disambiguates NULL-as-subtotal from NULL data.
+    "q_rollup" -> { (s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"), grouping_id().as("gid"))
+    },
+    // Native pivot (explicit value list — no extra distinct pass): event
+    // counts per user bucket × type, the wide-table readout; coalesce
+    // pins empty cells to 0 so the oracle's conditional counts match.
+    "q_pivot" -> { (s, dir) =>
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val p = Sources.table(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
     // Order-1 Markov transition matrix (Behavior.transitions): per-user
     // event chains with deterministic duplicate-ts ordering.
     "q_transitions" -> { (s, dir) =>
@@ -4924,6 +4944,20 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS "error"
+        |FROM events GROUP BY 1""".stripMargin,
     "q_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
