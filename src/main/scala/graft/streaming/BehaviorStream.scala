@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Live twin of [[graft.operators.Behavior.funnel]]: a per-user funnel
+  * state machine over `flatMapGroupsWithState` — the realtime "has this
+  * user converted yet" readout, emitting one row the moment a user
+  * advances a step.
+  *
+  * Equivalence contract (the repo's sim-mode discipline): with in-order
+  * event delivery, greedily taking the FIRST qualifying occurrence of
+  * the next step equals the batch arm's earliest-qualifying-time
+  * semantics (min over t ≥ t_prev within the deadline), so the advance
+  * log aggregates to exactly the batch funnel's counts and lag sums.
+  * Same-timestamp ties process in step order (a view and a click at the
+  * same microsecond advance the view first — matching batch `>=`).
+  * State is one (stage, t1, tPrev) triple per user — O(users), no
+  * buffering. */
+object BehaviorStream {
+  case class FunnelEvent(user: Long, tsMicros: Long, step: String)
+  case class FunnelState(stage: Int, t1: Long, tPrev: Long)
+  case class FunnelAdvance(user: Long, stage: Int, tsMicros: Long, lagUs: Long)
+
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                   windowSec: Long): Dataset[FunnelAdvance] = {
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelAdvance]
+    implicit val keyEnc = Encoders.scalaLong
+    val stepIdx = steps.zipWithIndex.toMap
+    val deadline = windowSec * 1000000L
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          it.toSeq
+            .filter(e => stepIdx.contains(e.step))
+            .sortBy(e => (e.tsMicros, stepIdx(e.step)))
+            .foreach { e =>
+              val next = st.stage + 1
+              if (next < steps.length && e.step == steps(next)) {
+                val qualifies =
+                  if (st.stage < 0) true
+                  else e.tsMicros >= st.tPrev && e.tsMicros <= st.t1 + deadline
+                if (qualifies) {
+                  val t1 = if (st.stage < 0) e.tsMicros else st.t1
+                  st = FunnelState(next, t1, e.tsMicros)
+                  out += FunnelAdvance(user, next, e.tsMicros, e.tsMicros - t1)
+                }
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

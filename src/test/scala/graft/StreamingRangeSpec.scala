@@ -64,6 +64,41 @@ class StreamingRangeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine == batch Behavior.funnel on fixture events") {
+    import spark.implicits._
+    import graft.streaming.BehaviorStream
+    import graft.streaming.BehaviorStream.FunnelEvent
+    implicit val sq = spark.sqlContext
+
+    val steps = Seq("view", "click", "purchase")
+    val W = 7L * 86400
+    val evd = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.operators.Behavior
+      .funnel(evd, "user_id", "ts", "event_type", steps, W)
+      .select("step_idx", "n_users", "sum_lag_us").as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val rows = evd.select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map(r => FunnelEvent(r._1, r._2, r._3)).sortBy(_.tsMicros)
+    val mem = MemoryStream[FunnelEvent]
+    val q = BehaviorStream.funnelStream(mem.toDS(), steps, W)
+      .writeStream.outputMode("append").format("memory").queryName("fn_par")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped(rows.length / 4 + 1).foreach { c =>
+        mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val adv = spark.table("fn_par").as[(Long, Int, Long, Long)].collect()
+      val byStage = adv.groupBy(_._2).map { case (stage, rs) =>
+        stage -> ((rs.length.toLong, rs.map(_._4).sum))
+      }
+      steps.indices.foreach { i =>
+        assert(byStage.getOrElse(i, (0L, 0L)) == batch(i), s"stage $i")
+      }
+    } finally q.stop()
+  }
+
   test("session_window streaming == batch Sessionize on fixture events") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
