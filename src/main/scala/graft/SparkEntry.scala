@@ -2103,6 +2103,26 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Incremental view maintenance (Warehouse.merge): base (days 1-19)
+    // and delta (rest) aggregated separately, merged — the oracle is the
+    // FULL recompute, so the merge law itself is what's hash-checked.
+    "q_ivm" -> { (s, dir) =>
+      val ev = Sources.table(s, dir, "events")
+      val base = ev.filter(dayofmonth(col("ts")) < 20)
+      val delta = ev.filter(dayofmonth(col("ts")) >= 20)
+      graft.operators.Warehouse.merge(
+          graft.operators.Warehouse.aggregate(base, "user_id", "value"),
+          graft.operators.Warehouse.aggregate(delta, "user_id", "value"))
+        .withColumn("sum_v", col("sum_v").cast("double"))
+    },
+    // SCD type-2 (Warehouse.scdType2): per-user event_type change log →
+    // validity intervals; the oracle replays the run-length build.
+    "q_scd2" -> { (s, dir) =>
+      graft.operators.Warehouse.scdType2(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .withColumn("valid_from", unix_micros(col("valid_from")))
+        .withColumn("valid_to", unix_micros(col("valid_to")))
+    },
     // Native rollup (Catalyst Expand): subtotal lattice over
     // (returnflag, linestatus) — the OLAP cube slice csp has no answer
     // to; grouping_id disambiguates NULL-as-subtotal from NULL data.
@@ -4944,6 +4964,24 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    // the oracle is the FULL recompute — the merge law is the check
+    "q_ivm" ->
+      """SELECT user_id AS key, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_scd2" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+        |g AS (SELECT user_id AS key, run, min(event_type) AS value, min(ts) AS vf
+        |  FROM s GROUP BY 1, 2)
+        |SELECT key, value, epoch_us(vf) AS valid_from,
+        |  epoch_us(lead(vf) OVER (PARTITION BY key ORDER BY run)) AS valid_to
+        |FROM g""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

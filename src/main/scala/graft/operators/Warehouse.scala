@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse maintenance operators: incremental aggregate maintenance
+  * (the "don't rescan 100 TB for yesterday's rows" pattern) and slowly
+  * changing dimension (SCD type-2) building.
+  */
+object Warehouse {
+  /** Incremental view maintenance for the distributive aggregates
+    * (count / sum / min / max): merge a maintained base aggregate with
+    * the aggregate of a delta batch — one shuffle over |keys| + |delta|
+    * rows instead of a full base-table rescan. Correctness contract
+    * (spec + oracle): merge(agg(base), agg(delta)) == agg(base ∪ delta),
+    * exactly — count/sum by addition, min/max by comparison. Both inputs
+    * must carry the [[aggregate]] schema. */
+  def aggregate(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(30,6)")).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge two [[aggregate]] outputs (full outer on key). */
+  def merge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("key"), col("cnt").as("bc"), col("sum_v").as("bs"),
+      col("min_v").as("bmin"), col("max_v").as("bmax"))
+    val d = delta.select(col("key"), col("cnt").as("dc"), col("sum_v").as("ds"),
+      col("min_v").as("dmin"), col("max_v").as("dmax"))
+    b.join(d, Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt"),
+        (coalesce(col("bs"), lit(0).cast("decimal(30,6)")) +
+          coalesce(col("ds"), lit(0).cast("decimal(30,6)"))).cast("decimal(30,6)").as("sum_v"),
+        least(coalesce(col("bmin"), col("dmin")), coalesce(col("dmin"), col("bmin"))).as("min_v"),
+        greatest(coalesce(col("bmax"), col("dmax")), coalesce(col("dmax"), col("bmax"))).as("max_v"))
+  }
+
+  /** SCD type-2: collapse a change-event log into validity intervals.
+    * Input: one row per observation (key, ts, attribute value); output:
+    * one row per VALUE RUN — (key, value, valid_from, valid_to) with
+    * valid_to null on the current row. Consecutive equal values merge
+    * into one interval; ties on ts break by `ord`. One keyed
+    * sort/Exchange (lag + running run-id + grouped min/lead), the
+    * standard dimension-history build. */
+  def scdType2(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+               valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val runs = df
+      .withColumn("__chg", when(lag(col(valueCol), 1).over(w).isNull ||
+        lag(col(valueCol), 1).over(w) =!= col(valueCol), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol).as("key"), col("__run"))
+      .agg(first(col(valueCol)).as("value"), min(col(tsCol)).as("valid_from"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__run")
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(w2)).drop("__run")
+  }
+}

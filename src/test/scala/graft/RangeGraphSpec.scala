@@ -170,6 +170,35 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(out.map(_._4).distinct.length == 1 && out.head._4 > 0, "A better than B => z > 0")
   }
 
+  test("IVM merge law: base-only, delta-only, and overlapping keys all equal full recompute") {
+    import graft.operators.Warehouse
+    val base = Seq((1L, 5.0), (1L, 1.0), (2L, 3.0)).toDF("k", "v")
+    val delta = Seq((2L, 9.0), (3L, 4.0)).toDF("k", "v")
+    val merged = Warehouse.merge(
+      Warehouse.aggregate(base, "k", "v"), Warehouse.aggregate(delta, "k", "v"))
+    val full = Warehouse.aggregate(base.union(delta), "k", "v")
+    val m = merged.orderBy("key").collect().map(_.toString)
+    val f = full.orderBy("key").collect().map(_.toString)
+    assert(m.sameElements(f))
+  }
+
+  test("SCD2: equal-value runs merge, valid_to chains, current row open") {
+    import graft.operators.Warehouse
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "bronze"), // same value -> same interval
+      (1L, ts("2024-01-03 00:00:00"), 3L, "gold"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "bronze") // back again -> NEW interval
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val out = Warehouse.scdType2(ev, "user_id", "ts", "event_id", "tier")
+      .orderBy("valid_from")
+      .select(col("value"), date_format(col("valid_from"), "MM-dd"),
+        date_format(col("valid_to"), "MM-dd"))
+      .as[(String, String, Option[String])].collect().toSeq
+    assert(out == Seq(("bronze", "01-01", Some("01-03")),
+      ("gold", "01-03", Some("01-04")), ("bronze", "01-04", None)))
+  }
+
   // ---- QuantileSketch ----
 
   test("histogram quantiles: within one bin width of exact, partitioning-invariant") {
