@@ -2103,6 +2103,18 @@ object SparkEntry {
           graft.llm.Redact.piiCount(pii, "ipv4").cast(LongType).as("n_ip"),
           graft.llm.Redact.piiCount(pii, "phone").cast(LongType).as("n_phone"))
     },
+    // Jaro–Winkler entity-resolution scoring over consecutive-doc pairs:
+    // the oracle runs DuckDB's OWN jaro_winkler_similarity — two
+    // independent native implementations of the metric must agree.
+    "q_jaro_pairs" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      val a = d.select(col("doc_id").as("id_a"), col("t").as("ta"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("tb"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.VectorExprs.jaroWinkler(col("ta"), col("tb")).as("jw"))
+    },
     // Incremental view maintenance (Warehouse.merge): base (days 1-19)
     // and delta (rest) aggregated separately, merged — the oracle is the
     // FULL recompute, so the merge law itself is what's hash-checked.
@@ -4964,6 +4976,12 @@ object SparkEntry {
         |  len(regexp_extract_all(pii, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
+    // DuckDB's own native metric — independent-implementation agreement
+    "q_jaro_pairs" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  jaro_winkler_similarity(a.t, b.t) AS jw
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     // the oracle is the FULL recompute — the merge law is the check
     "q_ivm" ->
       """SELECT user_id AS key, count(*) AS cnt,

@@ -50,7 +50,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => SigAgreement(es(0), es(1))),
     (FunctionIdentifier("char_entropy"),
       info("char_entropy", "char_entropy(s) - character-level Shannon entropy in nats"),
-      (es: Seq[Expression]) => CharEntropyExpr(es(0))))
+      (es: Seq[Expression]) => CharEntropyExpr(es(0))),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]"),
+      (es: Seq[Expression]) => JaroWinklerExpr(es(0), es(1))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

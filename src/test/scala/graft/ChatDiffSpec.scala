@@ -68,6 +68,20 @@ class ChatDiffSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan.take(400))
   }
 
+  test("jaroWinkler: textbook goldens, boost threshold, empties") {
+    import graft.functions.TextKernels.jaroWinkler
+    assert(math.abs(jaroWinkler("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jaroWinkler("dwayne", "duane") - 0.84) < 1e-15)
+    assert(math.abs(jaroWinkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-14)
+    assert(math.abs(jaroWinkler("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-14)
+    assert(math.abs(jaroWinkler("CRATE", "TRACE") - 0.7333333333333334) < 1e-14)
+    // boost suppressed at jaro <= 0.7 (DuckDB-probed behavior)
+    assert(math.abs(jaroWinkler("aXXXXX", "aYYYYY") - 0.4444444444444444) < 1e-15)
+    assert(jaroWinkler("abc", "abc") == 1.0)
+    assert(jaroWinkler("ab", "ba") == 0.0)
+    assert(jaroWinkler("", "") == 0.0 && jaroWinkler("", "abc") == 0.0)
+  }
+
   test("corpus diff: all four statuses; summary counts") {
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
