@@ -1849,6 +1849,33 @@ object SparkEntry {
           sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"),
           min(unix_micros(col(Tick.TS))).as("min_ts_us"))
     },
+    // ORC write → read round trip (the second columnar warehouse
+    // format; native source keeps pushdown/pruning and µs timestamps).
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val path = rtDir("orc", dir)
+      val base = ev(s, dir).df.select(
+        col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE), col("event_type"))
+      graft.ts.Sinks.writeOrc(graft.ts.TickStream(base), path)
+      graft.ts.Sinks.readOrc(s, path).df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"),
+          min(unix_micros(col(Tick.TS))).as("min_ts_us"))
+    },
+    // Avro OCF encode → decode round trip (the Kafka/Hadoop interchange
+    // dialect): one self-describing deflate container per partition,
+    // both directions distributed mapPartitions — nothing crosses the
+    // driver. timestamp-micros logical type keeps tick fidelity.
+    "q_avro_roundtrip" -> { (s, dir) =>
+      val base = ev(s, dir).df.select(
+        col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE), col("event_type"))
+      val containers = graft.ts.AvroIo.encode(base)
+      graft.ts.AvroIo.decode(containers, base.schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(Tick.VALUE).cast("decimal(30,2)")).cast("double").as("sum_value"),
+          min(unix_micros(col(Tick.TS))).as("min_ts_us"))
+    },
     // JDBC write → read round trip on embedded Derby (db.py DBReader
     // shape). Subset keeps the single-node insert bounded; Derby
     // preserves µs timestamps. Column names come back as created
@@ -4800,6 +4827,16 @@ object SparkEntry {
         |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
         |FROM events GROUP BY 1""".stripMargin,
     "q_arrow_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_avro_roundtrip" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
         |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us

@@ -24,6 +24,20 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): TickStream =
     TickStream(spark.read.parquet(path))
 
+  /** ORC publish/read — the second columnar warehouse format beside
+    * parquet (Hive/Trino shops standardize on it). Spark's native ORC
+    * source keeps the same pushdown/pruning contract as parquet
+    * (PushedFilters + ReadSchema reach the scan), and TimestampType
+    * survives at microsecond fidelity. Same partition-by-key layout as
+    * [[writeParquet]] so replay scans prune by key. */
+  def writeOrc(x: TickStream, path: String, partitionByKey: Boolean = true): Unit = {
+    val w = x.df.write.mode("overwrite")
+    (if (partitionByKey) w.partitionBy(Tick.KEY) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): TickStream =
+    TickStream(spark.read.orc(path))
+
   /** Rotation bucket for a tick's timestamp: floor(ts / period),
     * formatted like the reference's timestamped file names. */
   private def rotationCol(periodSec: Long): org.apache.spark.sql.Column =

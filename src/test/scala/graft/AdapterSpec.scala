@@ -78,6 +78,36 @@ class AdapterSpec extends AnyFunSuite {
     assert(back.run().map(_._2) == Seq(1.5, 2.5))
   }
 
+  test("orc write→read round-trip preserves ticks (§2.2 columnar twin)") {
+    val x = TickStream(c("a", 1 -> 1.5, 2 -> 2.5).df.unionByName(c("b", 1 -> 10.0).df))
+    val path = "/tmp/graft_test_orc"
+    Sinks.writeOrc(x, path)
+    val back = Sinks.readOrc(spark, path)
+    assert(back.df.count() == 3)
+    assert(back.demultiplex("a").run().map(_._2) == Seq(1.5, 2.5))
+  }
+
+  test("avro OCF encode→decode round-trip: µs timestamps, nulls, binary") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    ts.setNanos(123456000) // non-zero microseconds must survive
+    val df = spark.createDataFrame(Seq(
+      ("a", ts, 1L, java.lang.Double.valueOf(1.5), "x".getBytes("UTF-8")),
+      ("b", ts, 2L, null.asInstanceOf[java.lang.Double], Array[Byte](0, 127, -128))))
+      .toDF("key", "ts", "seq", "value", "blob")
+    val containers = graft.ts.AvroIo.encode(df)
+    // one container per non-empty partition, self-describing payloads
+    assert(containers.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == 2L)
+    val back = graft.ts.AvroIo.decode(containers, df.schema).orderBy("seq").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[Timestamp]("ts").getNanos == 123456000)
+    assert(back(0).getAs[Double]("value") == 1.5)
+    assert(back(1).isNullAt(back(1).fieldIndex("value")))
+    assert(back(1).getAs[Array[Byte]]("blob").toSeq == Seq[Byte](0, 127, -128))
+    assert(new String(back(0).getAs[Array[Byte]]("blob"), "UTF-8") == "x")
+  }
+
   test("sync collects members within threshold windows (basketlib.py:14-66)") {
     // members a,b tick at t1 00:00 and t1 00:30; c ticks at t1 02:00 (new window)
     val basket = TickStream(
