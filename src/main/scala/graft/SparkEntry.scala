@@ -27,6 +27,20 @@ import graft.ts.{Sources, Tick, TickStream}
 object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): TickStream = Sources.events(s, dir)
+
+  /** Entity-resolution fixture: each document's lowercased 30-char
+    * prefix as a "clean" record (rid = 2·doc_id) plus a "dirty" twin
+    * (rid = 2·doc_id+1) with ONE char deleted at position
+    * (doc_id % 22)+1 — a deterministic typo both engines can rebuild. */
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    val base = Sources.table(s, dir, "documents")
+      .select(col("doc_id"), lower(substring(col("text"), 1, 30)).as("t"))
+    val p = (col("doc_id") % 22 + 1).cast("int") // 1-based deletion position
+    val clean = base.select((col("doc_id") * 2).as("rid"), col("t"))
+    val dirty = base.select((col("doc_id") * 2 + 1).as("rid"),
+      concat(col("t").substr(lit(1), p - 1), col("t").substr(p + 1, lit(30))).as("t"))
+    clean.unionByName(dirty)
+  }
   private def uid: Column = col(Tick.KEY).cast(LongType).as("user_id")
 
   /** Flagship: per-user running PnL-ish pipeline on sf0.001 — as-of join
@@ -2141,6 +2155,22 @@ object SparkEntry {
       a.join(b, Seq("id_a"))
         .select(col("id_a"), col("id_b"),
           graft.functions.VectorExprs.jaroWinkler(col("ta"), col("tb")).as("jw"))
+    },
+    // Entity-resolution capstone (EntityRes): duplicate the corpus'
+    // 30-char prefixes with one deterministic char deletion each, then
+    // multi-pass blocking (prefix-4 + suffix-4 keys — one pass survives
+    // any single edit) → Jaro–Winkler verify → threshold. The oracle
+    // replays the record synthesis, both blocking passes, the block-size
+    // guard, and DuckDB's OWN jaro_winkler_similarity.
+    "q_er_pairs" -> { (s, dir) =>
+      graft.llm.EntityRes.scoredPairs(erRecords(s, dir), "rid", "t",
+        Seq(substring(col("t"), 1, 4), right(col("t"), lit(4))), threshold = 0.93)
+    },
+    // Full resolution: pairs → connected components → per-record
+    // canonical id (min of component). Oracle: recursive-CTE closure.
+    "q_er_resolve" -> { (s, dir) =>
+      graft.llm.EntityRes.resolve(erRecords(s, dir), "rid", "t",
+        Seq(substring(col("t"), 1, 4), right(col("t"), lit(4))), threshold = 0.93)
     },
     // Incremental view maintenance (Warehouse.merge): base (days 1-19)
     // and delta (rest) aggregated separately, merged — the oracle is the
@@ -5019,6 +5049,54 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  jaro_winkler_similarity(a.t, b.t) AS jw
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // full blocking + DuckDB-native JW replay of the ER candidate pipe
+    "q_er_pairs" ->
+      s"""WITH base AS (SELECT doc_id, substr(lower(text),1,30) AS t FROM documents),
+         |recs AS (
+         |  SELECT doc_id*2 AS rid, t FROM base
+         |  UNION ALL
+         |  SELECT doc_id*2+1 AS rid,
+         |    substr(t, 1, CAST(doc_id % 22 AS INT)) || substr(t, CAST(doc_id % 22 AS INT) + 2) AS t
+         |  FROM base),
+         |keyed AS (
+         |  SELECT rid, substr(t,1,4) AS k, 1 AS pass FROM recs
+         |  UNION ALL
+         |  SELECT rid, right(t,4) AS k, 2 AS pass FROM recs),
+         |blocks AS (SELECT pass, k FROM keyed GROUP BY 1,2 HAVING count(*) <= 10000),
+         |cand AS (
+         |  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+         |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.pass = b.pass AND a.rid < b.rid
+         |  JOIN blocks bl ON bl.pass = a.pass AND bl.k = a.k)
+         |SELECT id_a, id_b, jaro_winkler_similarity(ta.t, tb.t) AS jw
+         |FROM cand JOIN recs ta ON ta.rid = cand.id_a JOIN recs tb ON tb.rid = cand.id_b
+         |WHERE jaro_winkler_similarity(ta.t, tb.t) >= 0.93""".stripMargin,
+    "q_er_resolve" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, substr(lower(text),1,30) AS t FROM documents),
+         |recs AS (
+         |  SELECT doc_id*2 AS rid, t FROM base
+         |  UNION ALL
+         |  SELECT doc_id*2+1 AS rid,
+         |    substr(t, 1, CAST(doc_id % 22 AS INT)) || substr(t, CAST(doc_id % 22 AS INT) + 2) AS t
+         |  FROM base),
+         |keyed AS (
+         |  SELECT rid, substr(t,1,4) AS k, 1 AS pass FROM recs
+         |  UNION ALL
+         |  SELECT rid, right(t,4) AS k, 2 AS pass FROM recs),
+         |blocks AS (SELECT pass, k FROM keyed GROUP BY 1,2 HAVING count(*) <= 10000),
+         |cand AS (
+         |  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+         |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.pass = b.pass AND a.rid < b.rid
+         |  JOIN blocks bl ON bl.pass = a.pass AND bl.k = a.k),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN recs ta ON ta.rid = cand.id_a JOIN recs tb ON tb.rid = cand.id_b
+         |  WHERE jaro_winkler_similarity(ta.t, tb.t) >= 0.93),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT rid, rid FROM recs
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT id AS rid, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
     // the oracle is the FULL recompute — the merge law is the check
     "q_ivm" ->
       """SELECT user_id AS key, count(*) AS cnt,

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: the record-linkage capstone over the
+  * [[graft.functions.VectorExprs.jaroWinkler]] metric — find records
+  * that name the SAME real-world entity despite typos, then assign each
+  * record a canonical id.
+  *
+  * Pipeline (Fellegi–Sunter blocking shape, the standard at scale):
+  *   1. **Multi-pass blocking** — each pass is one equi-join on a cheap
+  *      deterministic key (caller-supplied expressions; prefix/suffix
+  *      keys survive a single edit as long as ONE pass's key is
+  *      untouched). A pass is a hash-partitioned self-join on its key —
+  *      never an all-pairs product.
+  *   2. **Degenerate-block guard** — blocks larger than `maxBlockSize`
+  *      are dropped before the pair explosion (the
+  *      [[Dedup]] `maxBucketSize` discipline: a stop-word-ish key like a
+  *      common 4-char prefix would otherwise go quadratic; at 100 TB
+  *      the cap turns worst-case O(n²) into O(n·cap)).
+  *   3. **Verify** — candidate pairs scored with Jaro–Winkler (native
+  *      codegen expression), kept at `threshold`.
+  *   4. **Cluster** — surviving pairs become edges;
+  *      [[Dedup.components]] assigns each record its component-minimum
+  *      canonical id (driver union-find under the edge cap, distributed
+  *      min-label propagation above it).
+  *
+  * Scale shape: k blocking passes = k key-hashed Exchanges over (id,
+  * text, key) triples; the quadratic step is bounded per block by the
+  * guard; the JW verify is a projection over candidate pairs only.
+  */
+object EntityRes {
+
+  /** Candidate pairs (id_a < id_b, distinct) from the union of one
+    * equi-join per blocking key, blocks capped at `maxBlockSize`. */
+  def candidates(records: DataFrame, idCol: String, textCol: String,
+                 keys: Seq[Column], maxBlockSize: Int = 10000): DataFrame = {
+    require(keys.nonEmpty, "entity resolution needs at least one blocking key")
+    val passes = keys.map { k =>
+      val keyed = records.select(col(idCol).as("__id"), k.as("__key"))
+        .filter(col("__key").isNotNull)
+      // degenerate-block guard BEFORE the self-join pair explosion
+      val sizes = keyed.groupBy("__key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBlockSize)
+      val ok = keyed.join(sizes.select("__key"), Seq("__key"))
+      ok.as("a").join(ok.as("b"), col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    }
+    passes.reduce(_ unionByName _).distinct()
+  }
+
+  /** Candidate pairs scored with Jaro–Winkler, kept at `threshold`:
+    * (id_a, id_b, jw). */
+  def scoredPairs(records: DataFrame, idCol: String, textCol: String,
+                  keys: Seq[Column], threshold: Double,
+                  maxBlockSize: Int = 10000): DataFrame = {
+    val texts = records.select(col(idCol), col(textCol))
+    val cand = candidates(records, idCol, textCol, keys, maxBlockSize)
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExprs.jaroWinkler(col("__ta"), col("__tb")).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+
+  /** Full resolution: every record mapped to its component-minimum
+    * canonical id — (idCol, canonical_id). Unmatched records map to
+    * themselves. */
+  def resolve(records: DataFrame, idCol: String, textCol: String,
+              keys: Seq[Column], threshold: Double,
+              maxBlockSize: Int = 10000): DataFrame = {
+    val pairs = scoredPairs(records, idCol, textCol, keys, threshold, maxBlockSize)
+      .select("id_a", "id_b")
+    Dedup.components(pairs, records.select(col(idCol)), idCol)
+  }
+}

@@ -1405,4 +1405,27 @@ class LlmSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "bmp", baos)
     assert(graft.llm.Codecs.decodeImageIO(baos.toByteArray).exists(s => s.width == 4 && s.height == 3))
   }
+
+  test("EntityRes: multi-pass blocking survives any single edit; block cap; canonical = component min") {
+    import graft.llm.EntityRes
+    val recs = Seq(
+      (0L, "jonathan q. smithson, boston"),
+      (1L, "onathan q. smithson, boston"),  // head deletion: prefix pass broken, suffix pass catches
+      (2L, "jonathan q. smithson, bosto"),  // tail deletion: suffix broken, prefix catches
+      (3L, "margaret h. oconnell, dallas"), // unrelated
+      (4L, "margaret h. oconnell, dalas")   // its dirty twin
+    ).toDF("rid", "t")
+    val keys = Seq(substring(col("t"), 1, 4), right(col("t"), lit(4)))
+    val cand = EntityRes.candidates(recs, "rid", "t", keys)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)) && cand.contains((0L, 2L)) && cand.contains((3L, 4L)))
+    assert(!cand.contains((0L, 3L)))
+    val resolved = EntityRes.resolve(recs, "rid", "t", keys, threshold = 0.93)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0,1,2 collapse to 0 (1 and 2 both match 0; transitivity closes them)
+    assert(resolved(0L) == 0L && resolved(1L) == 0L && resolved(2L) == 0L)
+    assert(resolved(3L) == 3L && resolved(4L) == 3L)
+    // degenerate-block guard: cap 1 kills every block → no candidates at all
+    assert(EntityRes.candidates(recs, "rid", "t", keys, maxBlockSize = 1).count() == 0L)
+  }
 }
