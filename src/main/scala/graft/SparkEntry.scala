@@ -2227,6 +2227,37 @@ object SparkEntry {
         .withColumn("converted", col("event_type") === "purchase" && col("value") > 180)
       graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
     },
+    // Rolling z-score outliers (Anomaly.rollingZscore): each event
+    // scored against the mean/std of its user's previous 30 events —
+    // exact decimal sums into correctly-rounded double ops, so both
+    // engines produce identical bits (the q_stats_var discipline).
+    "q_anomaly_z" -> { (s, dir) =>
+      graft.operators.Anomaly.rollingZscore(Sources.table(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", n = 30, minPoints = 10)
+        .select(col("event_id"), col("z"), (abs(col("z")) > 3.0).as("is_outlier"))
+    },
+    // Robust median/MAD outlier score (Anomaly.madScore): exact-median
+    // selections, no accumulation-order hazard.
+    "q_anomaly_mad" -> { (s, dir) =>
+      graft.operators.Anomaly.madScore(Sources.table(s, dir, "events"), "user_id", "value")
+        .select(col("event_id"), col("mad_score"), (col("mad_score") > 3.5).as("is_outlier"))
+    },
+    // CUSUM change-point alarms (Anomaly.cusum): recurrence lowered to
+    // prefix-sum − prefix-min on ONE per-key sort; the whole statistic
+    // is scaled by the key's row count so every intermediate is an
+    // exact decimal — alarms compare decimals, never floats.
+    "q_cusum" -> { (s, dir) =>
+      graft.operators.Anomaly.cusum(Sources.table(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", slack = 20.0, threshold = 500.0)
+        .select(col("event_id"), col("cusum"), col("alarm"))
+    },
+    // Lag-k autocorrelation (Anomaly.autocorr): seasonality readout,
+    // decimal-exact correlation sums per (user, lag).
+    "q_autocorr" -> { (s, dir) =>
+      graft.operators.Anomaly.autocorr(Sources.table(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", maxLag = 3)
+        .select(col("user_id"), col("lag_k"), col("n_pairs"), col("acf"))
+    },
     // Ordered funnel with a 7-day conversion deadline (Behavior.funnel):
     // view → click → purchase; the oracle replays the per-step min-time
     // joins and the exact microsecond lag sums.
@@ -5157,6 +5188,67 @@ object SparkEntry {
         |SELECT s.variant, s.n_users, s.n_conv,
         |  CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS rate, zc.z
         |FROM s, zc""".stripMargin,
+    // exact decimal window sums → correctly-rounded double formula —
+    // identical bits in both engines, no rounding fudge
+    "q_anomaly_z" ->
+      """SELECT event_id, (value - mean_v) / sqrt(var_v) AS z,
+        |  abs((value - mean_v) / sqrt(var_v)) > 3.0 AS is_outlier
+        |FROM (
+        |  SELECT event_id, value, count(*) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS mean_v,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(28,4))) OVER w * count(*) OVER w
+        |      - SUM(CAST(value AS DECIMAL(18,2))) OVER w * SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |      / (count(*) OVER w * (count(*) OVER w - 1)) AS var_v
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |WHERE n >= 10 AND var_v > 0""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH med AS (SELECT user_id, median(CAST(value AS DOUBLE)) AS m FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.user_id, abs(CAST(e.value AS DOUBLE) - med.m) AS d
+        |        FROM events e JOIN med USING (user_id)),
+        |mad AS (SELECT user_id, median(d) AS md FROM dev GROUP BY 1)
+        |SELECT dev.event_id, d / (1.4826 * md) AS mad_score,
+        |  d / (1.4826 * md) > 3.5 AS is_outlier
+        |FROM dev JOIN mad USING (user_id) WHERE md > 0""".stripMargin,
+    // prefix-sum − prefix-min closed form of the CUSUM recurrence,
+    // scaled by n so every intermediate is an exact decimal
+    "q_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS x,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS s
+        |  FROM events),
+        |t AS (SELECT user_id, event_id, ts, n,
+        |        x*n - s - CAST(20.00 AS DECIMAL(18,2))*n AS term FROM e),
+        |p AS (SELECT user_id, event_id, ts, n, SUM(term) OVER wo AS pp FROM t
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, event_id, n, pp, MIN(pp) OVER wo AS minp FROM p
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  CAST(CASE WHEN minp < 0 THEN pp - minp ELSE pp END AS DOUBLE) AS cusum,
+        |  (CASE WHEN minp < 0 THEN pp - minp ELSE pp END)
+        |    > CAST(500.00 AS DECIMAL(18,2)) * n AS alarm
+        |FROM m""".stripMargin,
+    "q_autocorr" ->
+      """WITH pairs AS (
+        |  SELECT user_id, 1 AS lag_k, value AS x,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events
+        |  UNION ALL
+        |  SELECT user_id, 2, value,
+        |    lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) FROM events
+        |  UNION ALL
+        |  SELECT user_id, 3, value,
+        |    lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) FROM events)
+        |SELECT user_id, lag_k, count(*) AS n_pairs,
+        |  CAST(SUM(CAST(x*y AS DECIMAL(28,4))) * count(*)
+        |      - SUM(CAST(x AS DECIMAL(18,2))) * SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)
+        |  / sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,4))) * count(*)
+        |      - SUM(CAST(x AS DECIMAL(18,2))) * SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+        |    * CAST(SUM(CAST(y*y AS DECIMAL(28,4))) * count(*)
+        |      - SUM(CAST(y AS DECIMAL(18,2))) * SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)) AS acf
+        |FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH u1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
         |    FROM events WHERE event_type = 'view' GROUP BY 1),

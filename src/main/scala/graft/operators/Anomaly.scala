@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series anomaly detection over keyed event streams — the
+  * monitoring trio every metrics warehouse runs: rolling z-score
+  * outliers, robust (median/MAD) outliers, and CUSUM change-point
+  * alarms — plus lag-k autocorrelation for seasonality checks.
+  *
+  * Numerical discipline (the cross-engine hash-exactness rule this
+  * repo's stats oracles established): every MULTI-ROW float
+  * accumulation runs in exact DECIMAL (fixture values carry two
+  * decimals), and only the final formula drops to double — where
+  * +,−,×,÷,sqrt are correctly-rounded IEEE ops on identical inputs, so
+  * two independent engines produce identical bits. No rounding fudge.
+  *
+  * Scale shape: each detector is ONE user-keyed Exchange; the window
+  * stack (cumulative sum + cumulative min, or trailing frames) shares
+  * a single per-key sort. No self-joins, no state — at 100 TB these
+  * are plain window plans with map-side-combinable pre-aggregates
+  * where grouping is used.
+  */
+object Anomaly {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Rolling z-score: each point scored against the mean/std of the
+    * PREVIOUS `n` points (current excluded — a spike must not mask
+    * itself). Emits (…, z) for rows with at least `minPoints` trailing
+    * points of history and positive variance. Variance uses the exact
+    * decimal sum-of-squares identity (the q_stats_var lowering). */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                    valCol: String, n: Int, minPoints: Int = 10): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+      .rowsBetween(-n, -1)
+    val x = col(valCol)
+    val cnt = count(lit(1)).over(w)
+    val sx = sum(dec(x)).over(w)
+    val sxx = sum((x * x).cast("decimal(28,4)")).over(w)
+    df.withColumn("__cnt", cnt)
+      // ANSI mode: guard the divisors (empty/singleton trailing frames)
+      .withColumn("__var", when(cnt >= 2,
+        (sxx * cnt - sx * sx).cast("double") / (cnt * (cnt - 1))))
+      .withColumn("__mean", when(cnt >= 1, sx.cast("double") / cnt))
+      .filter(col("__cnt") >= minPoints && col("__var") > 0)
+      .withColumn("z", (x - col("__mean")) / sqrt(col("__var")))
+      .drop("__cnt", "__var", "__mean")
+  }
+
+  /** Robust outlier score per key: |x − median| / (1.4826 · MAD), the
+    * breakdown-resistant z-score twin (MAD = median absolute
+    * deviation; 1.4826 rescales to σ under normality). Medians are
+    * exact selections — no accumulation-order hazard. Rows in keys
+    * with zero MAD (constant series) are dropped. */
+  def madScore(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val med = df.groupBy(col(keyCol)).agg(median(x).as("__med"))
+    val dev = df.join(med, Seq(keyCol)).withColumn("__dev", abs(x - col("__med")))
+    val mad = dev.groupBy(col(keyCol)).agg(median(col("__dev")).as("__mad"))
+    dev.join(mad, Seq(keyCol))
+      .filter(col("__mad") > 0)
+      .withColumn("mad_score", col("__dev") / (lit(1.4826) * col("__mad")))
+      .drop("__med", "__dev", "__mad")
+  }
+
+  /** One-sided (upward) CUSUM change detection against each key's own
+    * mean: s_i = max(0, s_{i−1} + x_i − mean − slack), alarm when
+    * s_i > threshold. Lowered to the closed form
+    * s_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sum of deviations) —
+    * two stacked cumulative windows on ONE sort, no recurrence state.
+    * The whole recurrence is SCALED by the key's row count n so every
+    * intermediate stays an exact decimal (mean = S/n never divides):
+    * emitted `cusum` = n·s_i, and the alarm compares n·s_i > n·threshold
+    * — decimal-exact, engine-independent. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+            valCol: String, slack: Double, threshold: Double): DataFrame = {
+    val kw = Window.partitionBy(keyCol)
+    val ow = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = count(lit(1)).over(kw)
+    val s = sum(dec(col(valCol))).over(kw)
+    val term = dec(col(valCol)) * n - s - dec(lit(slack)) * n
+    val base = df.withColumn("__n", n).withColumn("__term", term)
+    val p = base.withColumn("__p", sum(col("__term")).over(ow))
+    val m = p.withColumn("__minp", min(col("__p")).over(ow))
+    // CASE, not LEAST: DuckDB's LEAST over DECIMAL(38,2) widens to
+    // DOUBLE and sheds ~1e-12 of dust; the branch keeps both engines
+    // in exact decimal end-to-end.
+    m.withColumn("__s",
+        when(col("__minp") < 0, col("__p") - col("__minp")).otherwise(col("__p")))
+      .withColumn("cusum", col("__s").cast("double"))
+      .withColumn("alarm", col("__s") > dec(lit(threshold)) * col("__n"))
+      .drop("__n", "__term", "__p", "__minp", "__s")
+  }
+
+  /** Lag-k autocorrelation per key for lags 1..maxLag: Pearson
+    * correlation of (x_t, x_{t−lag}) pairs, decimal-exact sums into the
+    * closed-form correlation — (key, lag, n_pairs, acf). */
+  def autocorr(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+               valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "autocorr needs maxLag >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val lags = (1 to maxLag).map { k =>
+      df.select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
+        .withColumn("__prev", lag(col(valCol), k).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("lag_k", lit(k))
+    }
+    val pairs = lags.reduce(_ unionByName _)
+    val x = col(valCol)
+    val y = col("__prev")
+    pairs.groupBy(col(keyCol), col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(x)).as("__sx"), sum(dec(y)).as("__sy"),
+        sum((x * y).cast("decimal(28,4)")).as("__sxy"),
+        sum((x * x).cast("decimal(28,4)")).as("__sxx"),
+        sum((y * y).cast("decimal(28,4)")).as("__syy"))
+      .withColumn("acf",
+        (col("__sxy") * col("n_pairs") - col("__sx") * col("__sy")).cast("double") /
+          sqrt((col("__sxx") * col("n_pairs") - col("__sx") * col("__sx")).cast("double") *
+               (col("__syy") * col("n_pairs") - col("__sy") * col("__sy")).cast("double")))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Anomaly
+
+/** Anomaly-detection semantics: the closed-form CUSUM lowering equals
+  * the textbook recurrence, z/MAD flag an injected spike, ACF reads
+  * alternation. */
+class AnomalySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      ("k", java.sql.Timestamp.valueOf(f"2020-01-01 00:${i / 60}%02d:${i % 60}%02d"), i.toLong, v)
+    }.toDF("key", "ts", "ord", "value")
+
+  test("cusum closed form == max(0, s+d) recurrence (scaled by n)") {
+    val vals = Seq(10.0, 12.0, 9.0, 30.0, 31.0, 29.0, 8.0, 10.0, 45.0, 50.0)
+    val df = series(vals)
+    val out = Anomaly.cusum(df, "key", "ts", "ord", "value", slack = 2.0, threshold = 15.0)
+      .orderBy("ord").select("cusum", "alarm").collect()
+    // naive recurrence at full precision: d_i = x - mean - slack
+    val n = vals.length
+    val mean = vals.sum / n
+    var s = 0.0
+    val expected = vals.map { x => s = math.max(0.0, s + (x - mean - 2.0)); s }
+    out.zip(expected).foreach { case (row, e) =>
+      // operator emits n·s (scaled to stay decimal-exact)
+      assert(math.abs(row.getDouble(0) - e * n) < 1e-6, s"got ${row.getDouble(0)} want ${e * n}")
+      assert(row.getBoolean(1) == (e * n > 15.0 * n))
+    }
+    assert(out.exists(_.getBoolean(1)), "the 45/50 shift must alarm")
+  }
+
+  test("rolling z-score flags an injected spike, excludes self from the frame") {
+    val vals = (1 to 40).map(i => 10.0 + (i % 3)) :+ 500.0
+    val out = Anomaly.rollingZscore(series(vals.map(_.toDouble)), "key", "ts", "ord", "value",
+        n = 20, minPoints = 10)
+      .orderBy("ord").select("ord", "z").collect()
+    val spike = out.last
+    assert(spike.getLong(0) == 40L)
+    assert(spike.getDouble(1) > 100, s"spike z=${spike.getDouble(1)}")
+    // all the calm rows sit well inside ±3
+    assert(out.init.forall(r => math.abs(r.getDouble(1)) < 3))
+  }
+
+  test("MAD score is outlier-robust where mean/std is not") {
+    val vals = Seq.fill(20)(10.0) ++ Seq.fill(20)(14.0) :+ 1000.0
+    val out = Anomaly.madScore(series(vals), "key", "value")
+      .select("ord", "mad_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // median 14, MAD 4: outlier scores (1000-14)/(1.4826*4) ≈ 166 while
+    // every inlier stays under 1 — a plain z-score would put the
+    // inliers' σ at ~154 and bury the shift
+    assert(out(40L) > 100, s"outlier score ${out(40L)}")
+    assert(out(20L) == 0.0) // at the median
+    assert(out(0L) < 1.0)
+  }
+
+  test("autocorr: perfect alternation has acf(1) = -1, acf(2) = +1") {
+    val vals = (0 until 40).map(i => if (i % 2 == 0) 5.0 else 15.0)
+    val out = Anomaly.autocorr(series(vals), "key", "ts", "ord", "value", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(out(1) + 1.0) < 1e-9)
+    assert(math.abs(out(2) - 1.0) < 1e-9)
+  }
+}
