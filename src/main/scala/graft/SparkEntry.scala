@@ -2227,6 +2227,38 @@ object SparkEntry {
         .withColumn("converted", col("event_type") === "purchase" && col("value") > 180)
       graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
     },
+    // Data-quality profile (DataQuality.profile): per-column
+    // completeness / distinctness / numeric range in ONE aggregate
+    // pass — the batch-gate readout a 100 TB ingest runs first.
+    "q_dq_profile" -> { (s, dir) =>
+      graft.operators.DataQuality.profile(Sources.table(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+    },
+    // Row-predicate constraint suite (DataQuality.rowChecks): all
+    // checks in one scan; null predicate = violation (conservative).
+    "q_dq_checks" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+      graft.operators.DataQuality.rowChecks(li, Seq(
+        "quantity_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_range" -> col("l_discount").between(0, 0.1),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "quantity_under_25" -> (col("l_quantity") < 25)))
+    },
+    // Key uniqueness (DataQuality.uniqueness): composite PK audit.
+    "q_dq_unique" -> { (s, dir) =>
+      graft.operators.DataQuality.uniqueness(Sources.table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"))
+    },
+    // Referential orphans (DataQuality.orphans): events whose user has
+    // no row in a truncated customer dim (keys < 100) — LEFT ANTI on
+    // the pruned key set, grouped for the readout.
+    "q_dq_orphans" -> { (s, dir) =>
+      val cust = Sources.table(s, dir, "customer").filter(col("c_custkey") < 100)
+      graft.operators.DataQuality.orphans(
+          Sources.table(s, dir, "events"), "user_id", cust, "c_custkey")
+        .groupBy("user_id").agg(count(lit(1)).as("n_orphan_rows"))
+    },
     // Rolling z-score outliers (Anomaly.rollingZscore): each event
     // scored against the mean/std of its user's previous 30 events —
     // exact decimal sums into correctly-rounded double ops, so both
@@ -5188,6 +5220,62 @@ object SparkEntry {
         |SELECT s.variant, s.n_users, s.n_conv,
         |  CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS rate, zc.z
         |FROM s, zc""".stripMargin,
+    "q_dq_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(event_id) AS n_nonnull,
+        |  count(DISTINCT event_id) AS n_distinct, CAST(min(event_id) AS DOUBLE) AS min_num,
+        |  CAST(max(event_id) AS DOUBLE) AS max_num,
+        |  CAST(count(event_id) AS DOUBLE) / count(*) AS completeness FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+        |  CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+        |  CAST(count(user_id) AS DOUBLE) / count(*) FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type),
+        |  NULL, NULL, CAST(count(event_type) AS DOUBLE) / count(*) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(value), count(DISTINCT value),
+        |  CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+        |  CAST(count(value) AS DOUBLE) / count(*) FROM events
+        |UNION ALL
+        |SELECT 'props', count(*), count(props), count(DISTINCT props),
+        |  NULL, NULL, CAST(count(props) AS DOUBLE) / count(*) FROM events""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT 'quantity_range' AS check_name,
+        |  SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS n_violations,
+        |  SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  SUM(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_range',
+        |  SUM(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'flag_domain',
+        |  SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'quantity_under_25',
+        |  SUM(CASE WHEN NOT coalesce(l_quantity < 25, false) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT coalesce(l_quantity < 25, false) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem""".stripMargin,
+    "q_dq_unique" ->
+      """SELECT count(*) AS n_keys,
+        |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+        |  SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_rows,
+        |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+        |      FROM lineitem GROUP BY 1, 2)""".stripMargin,
+    "q_dq_orphans" ->
+      """SELECT user_id, count(*) AS n_orphan_rows FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+        |GROUP BY 1""".stripMargin,
     // exact decimal window sums → correctly-rounded double formula —
     // identical bits in both engines, no rounding fudge
     "q_anomaly_z" ->

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Declarative data-quality checks — the Deequ/Great-Expectations
+  * family a 100 TB ingest pipeline gates every batch on: per-column
+  * profiles, row-predicate constraints, key uniqueness, and referential
+  * integrity, each a verdict row (check, violations, passed).
+  *
+  * Scale shape: [[profile]] and [[rowChecks]] are ONE full-scan
+  * aggregate each (map-side partial, no shuffle beyond the final
+  * single-row combine; profile's exact count-distinct is the one
+  * Expand — swap `approxDistinct=true` at corpus scale for an HLL
+  * sketch with no Expand). [[uniqueness]] is one key-hashed aggregate;
+  * [[referential]] is a LEFT ANTI join that broadcasts the parent key
+  * set when small (dimension tables) and hash-joins otherwise —
+  * Catalyst picks by size, both sides pruned to the key column.
+  */
+object DataQuality {
+
+  /** Per-column profile: (column, n_rows, n_nonnull, n_distinct,
+    * completeness, min_num, max_num) — numeric min/max for numeric
+    * columns, null lanes otherwise. One aggregate pass over the scan. */
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val total = count(lit(1))
+    val perCol = cols.map { c =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      val (mn, mx) =
+        if (isNum) (min(col(c)).cast("double"), max(col(c)).cast("double"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      val distinct =
+        if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
+      struct(lit(c).as("col_name"), total.as("n_rows"), count(col(c)).as("n_nonnull"),
+        distinct.as("n_distinct"), mn.as("min_num"), mx.as("max_num"))
+    }
+    val aliased = perCol.zipWithIndex.map { case (c, i) => c.as(s"__p$i") }
+    df.agg(aliased.head, aliased.tail: _*)
+      .select(explode(array(perCol.indices.map(i => col(s"__p$i")): _*)).as("p"))
+      .select(col("p.*"))
+      .withColumn("completeness",
+        col("n_nonnull").cast("double") / col("n_rows"))
+  }
+
+  /** Row-predicate constraints, all evaluated in ONE aggregate pass:
+    * each (name, predicate) yields (check, n_violations, passed) —
+    * a violation is a row where the predicate is false OR null (an
+    * unknown is a failure, the conservative gate). */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks needs at least one check")
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (name, _) =>
+      struct(lit(name).as("check_name"), coalesce(col(s"`$name`"), lit(0L)).as("n_violations"))
+    }
+    one.select(explode(array(stacked: _*)).as("c")).select(col("c.*"))
+      .withColumn("passed", col("n_violations") === 0)
+  }
+
+  /** Key-uniqueness audit: duplicate key count and the number of rows
+    * involved in duplicates — (n_keys, n_dup_keys, n_dup_rows,
+    * passed). */
+  def uniqueness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val byKey = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+    byKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+      sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("n_dup_rows"))
+      .withColumn("passed", col("n_dup_keys") === 0)
+  }
+
+  /** Referential integrity: rows of `child` whose `childCol` has no
+    * match in `parent.parentCol` (nulls excluded — null FKs are a
+    * completeness concern, not an orphan). Returns the orphan rows;
+    * count-and-gate with `.count()`. LEFT ANTI on the pruned parent
+    * key set — broadcast when the dimension is small. */
+  def orphans(child: DataFrame, childCol: String,
+              parent: DataFrame, parentCol: String): DataFrame =
+    child.filter(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol).as(childCol)).distinct(),
+        Seq(childCol), "left_anti")
+}

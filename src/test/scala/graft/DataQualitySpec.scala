@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DataQuality
+
+/** Data-quality gate semantics: null predicates are violations,
+  * profiles count nulls, uniqueness counts dup rows, orphans exclude
+  * null FKs. */
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, Some(10.0), "a"),
+    (2L, None, "b"),       // null value: fails value > 0 (unknown = violation)
+    (3L, Some(-5.0), "a"),
+    (3L, Some(7.0), "c")   // duplicate id
+  ).toDF("id", "value", "tag")
+
+  test("rowChecks: false and NULL both count as violations; one agg pass") {
+    val out = DataQuality.rowChecks(df, Seq(
+        "value_positive" -> (col("value") > 0),
+        "tag_domain" -> col("tag").isin("a", "b", "c")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("value_positive") == (2L, false)) // the null AND the -5
+    assert(out("tag_domain") == (0L, true))
+  }
+
+  test("profile: completeness counts nulls, min/max only for numerics") {
+    val p = DataQuality.profile(df, Seq("value", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = p("value")
+    assert(v.getAs[Long]("n_rows") == 4 && v.getAs[Long]("n_nonnull") == 3)
+    assert(v.getAs[Double]("min_num") == -5.0 && v.getAs[Double]("max_num") == 10.0)
+    assert(v.getAs[Double]("completeness") == 0.75)
+    val t = p("tag")
+    assert(t.getAs[Long]("n_distinct") == 3)
+    assert(t.isNullAt(t.fieldIndex("min_num")))
+  }
+
+  test("uniqueness: dup keys and the rows they involve") {
+    val u = DataQuality.uniqueness(df, Seq("id")).head
+    assert(u.getAs[Long]("n_keys") == 3)
+    assert(u.getAs[Long]("n_dup_keys") == 1)
+    assert(u.getAs[Long]("n_dup_rows") == 2)
+    assert(!u.getAs[Boolean]("passed"))
+  }
+
+  test("orphans: anti-join finds missing parents, null FKs excluded") {
+    val child = Seq((Some(1L), "x"), (Some(9L), "y"), (None, "z")).toDF("fk", "v")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val o = DataQuality.orphans(child, "fk", parent, "pk").collect()
+    assert(o.map(_.getAs[String]("v")).toSeq == Seq("y"))
+  }
+}
