@@ -2227,6 +2227,58 @@ object SparkEntry {
         .withColumn("converted", col("event_type") === "purchase" && col("value") > 180)
       graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
     },
+    // IPv4 provenance (IpStats): parse dotted quads (malformed → null
+    // without tripping ANSI casts), CIDR membership via plan-time mask
+    // math — one shift-compare per row, all codegen'd projections.
+    "q_ip_cidr" -> { (s, dir) =>
+      val d = col("doc_id")
+      val ip = when(d % 19 === 0, "300.1.2.3")
+        .when(d % 23 === 0, "not-an-ip")
+        .otherwise(concat(
+          ((d * 7) % 256).cast(StringType), lit("."),
+          ((d * 13) % 256).cast(StringType), lit("."),
+          ((d * 29) % 256).cast(StringType), lit("."),
+          (d % 256).cast(StringType)))
+      val parsed = Sources.table(s, dir, "documents")
+        .select(d, graft.llm.IpStats.ipv4ToLong(ip).as("ip_long"))
+      parsed.select(col("doc_id"), col("ip_long"),
+        graft.llm.IpStats.isPrivate(col("ip_long")).as("is_private"),
+        graft.llm.IpStats.inCidr(col("ip_long"), "64.0.0.0/4").as("in_block"))
+    },
+    // User-agent classification (IpStats.classifyUserAgent): regex
+    // bucket census over synthesized UA strings; the oracle replays the
+    // same RE2 automata in DuckDB.
+    "q_useragent" -> { (s, dir) =>
+      val d = col("doc_id")
+      val ua = when(d % 7 === 0, concat(lit("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/"), (d % 100).cast(StringType), lit(".0 Safari/537.36")))
+        .when(d % 7 === 1, "Mozilla/5.0 (Macintosh) Version/14.0 Safari/605.1")
+        .when(d % 7 === 2, concat(lit("Mozilla/5.0 (X11; Linux) Gecko/20100101 Firefox/"), (d % 100).cast(StringType)))
+        .when(d % 7 === 3, "Googlebot/2.1 (+http://www.google.com/bot.html)")
+        .when(d % 7 === 4, concat(lit("curl/7."), (d % 80).cast(StringType)))
+        .when(d % 7 === 5, "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0 like Mac OS X) Mobile/15E148 Safari/604.1")
+        .otherwise(concat(lit("python-requests/2."), (d % 30).cast(StringType)))
+      Sources.table(s, dir, "documents")
+        .select(graft.llm.IpStats.classifyUserAgent(ua).as("ua_class"))
+        .groupBy("ua_class").agg(count(lit(1)).as("cnt"))
+    },
+    // IP→region lookup (IpStats.geoLookup): broadcast theta join
+    // against a 16-range dimension tiling the IPv4 space (GeoIP shape).
+    "q_ip_geo" -> { (s, dir) =>
+      val d = col("doc_id")
+      val ip = when(d % 19 === 0, "300.1.2.3").otherwise(concat(
+        ((d * 7) % 256).cast(StringType), lit("."),
+        ((d * 13) % 256).cast(StringType), lit("."),
+        ((d * 29) % 256).cast(StringType), lit("."),
+        (d % 256).cast(StringType)))
+      val parsed = Sources.table(s, dir, "documents")
+        .select(d, graft.llm.IpStats.ipv4ToLong(ip).as("ip_long"))
+      val ranges = s.range(16).select(
+        (col("id") * 268435456L).as("lo"),
+        (col("id") * 268435456L + 268435455L).as("hi"),
+        concat(lit("r"), col("id").cast(StringType)).as("region"))
+      graft.llm.IpStats.geoLookup(parsed, "ip_long", ranges, "lo", "hi")
+        .groupBy("region").agg(count(lit(1)).as("cnt"))
+    },
     // Data-quality profile (DataQuality.profile): per-column
     // completeness / distinctness / numeric range in ONE aggregate
     // pass — the batch-gate readout a 100 TB ingest runs first.
@@ -5220,6 +5272,66 @@ object SparkEntry {
         |SELECT s.variant, s.n_users, s.n_conv,
         |  CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS rate, zc.z
         |FROM s, zc""".stripMargin,
+    "q_ip_cidr" ->
+      """WITH ips AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN '300.1.2.3'
+        |       WHEN doc_id % 23 = 0 THEN 'not-an-ip'
+        |       ELSE CAST((doc_id*7) % 256 AS VARCHAR) || '.' || CAST((doc_id*13) % 256 AS VARCHAR)
+        |         || '.' || CAST((doc_id*29) % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR)
+        |  END AS ip FROM documents),
+        |parsed AS (SELECT doc_id,
+        |  CASE WHEN regexp_matches(ip, '^([0-9]{1,3}\.){3}[0-9]{1,3}$')
+        |        AND TRY_CAST(split_part(ip,'.',1) AS BIGINT) <= 255
+        |        AND TRY_CAST(split_part(ip,'.',2) AS BIGINT) <= 255
+        |        AND TRY_CAST(split_part(ip,'.',3) AS BIGINT) <= 255
+        |        AND TRY_CAST(split_part(ip,'.',4) AS BIGINT) <= 255
+        |    THEN TRY_CAST(split_part(ip,'.',1) AS BIGINT)*16777216
+        |       + TRY_CAST(split_part(ip,'.',2) AS BIGINT)*65536
+        |       + TRY_CAST(split_part(ip,'.',3) AS BIGINT)*256
+        |       + TRY_CAST(split_part(ip,'.',4) AS BIGINT)
+        |  END AS ip_long FROM ips)
+        |SELECT doc_id, ip_long,
+        |  (ip_long // 16777216 = 10) OR (ip_long // 1048576 = 2753)
+        |    OR (ip_long // 65536 = 49320) AS is_private,
+        |  ip_long // 268435456 = 4 AS in_block
+        |FROM parsed""".stripMargin,
+    "q_useragent" ->
+      """WITH uas AS (SELECT CASE
+        |    WHEN doc_id % 7 = 0 THEN 'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/' || CAST(doc_id % 100 AS VARCHAR) || '.0 Safari/537.36'
+        |    WHEN doc_id % 7 = 1 THEN 'Mozilla/5.0 (Macintosh) Version/14.0 Safari/605.1'
+        |    WHEN doc_id % 7 = 2 THEN 'Mozilla/5.0 (X11; Linux) Gecko/20100101 Firefox/' || CAST(doc_id % 100 AS VARCHAR)
+        |    WHEN doc_id % 7 = 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+        |    WHEN doc_id % 7 = 4 THEN 'curl/7.' || CAST(doc_id % 80 AS VARCHAR)
+        |    WHEN doc_id % 7 = 5 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 15_0 like Mac OS X) Mobile/15E148 Safari/604.1'
+        |    ELSE 'python-requests/2.' || CAST(doc_id % 30 AS VARCHAR) END AS ua
+        |  FROM documents)
+        |SELECT CASE
+        |    WHEN regexp_matches(lower(ua), 'bot|crawler|spider|curl|wget|python-requests') THEN 'bot'
+        |    WHEN regexp_matches(lower(ua), 'mobile|android|iphone|ipad') THEN 'mobile'
+        |    WHEN contains(lower(ua), 'chrome') THEN 'chrome'
+        |    WHEN contains(lower(ua), 'firefox') THEN 'firefox'
+        |    WHEN contains(lower(ua), 'safari') THEN 'safari'
+        |    ELSE 'other' END AS ua_class,
+        |  count(*) AS cnt
+        |FROM uas GROUP BY 1""".stripMargin,
+    // ranges tile the space at 2^28, so the join's closed form is the
+    // high nibble — the oracle replays that arithmetic
+    "q_ip_geo" ->
+      """WITH ips AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN '300.1.2.3'
+        |       ELSE CAST((doc_id*7) % 256 AS VARCHAR) || '.' || CAST((doc_id*13) % 256 AS VARCHAR)
+        |         || '.' || CAST((doc_id*29) % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR)
+        |  END AS ip FROM documents),
+        |parsed AS (SELECT doc_id,
+        |  CASE WHEN regexp_matches(ip, '^([0-9]{1,3}\.){3}[0-9]{1,3}$')
+        |        AND TRY_CAST(split_part(ip,'.',1) AS BIGINT) <= 255
+        |    THEN TRY_CAST(split_part(ip,'.',1) AS BIGINT)*16777216
+        |       + TRY_CAST(split_part(ip,'.',2) AS BIGINT)*65536
+        |       + TRY_CAST(split_part(ip,'.',3) AS BIGINT)*256
+        |       + TRY_CAST(split_part(ip,'.',4) AS BIGINT)
+        |  END AS ip_long FROM ips)
+        |SELECT 'r' || CAST(ip_long // 268435456 AS VARCHAR) AS region, count(*) AS cnt
+        |FROM parsed WHERE ip_long IS NOT NULL GROUP BY 1""".stripMargin,
     "q_dq_profile" ->
       """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(event_id) AS n_nonnull,
         |  count(DISTINCT event_id) AS n_distinct, CAST(min(event_id) AS DOUBLE) AS min_num,

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IP-address provenance over crawl metadata: IPv4 parsing, CIDR
+  * membership (private-range gating), user-agent classification, and
+  * IP→region lookup against a range dimension — the request-log side
+  * of the [[UrlStats]] controls (which hosts dominate; which requests
+  * are bots; which traffic is internal).
+  *
+  * Everything here is a codegen'd projection (string algebra + integer
+  * bit math, RE2-compatible regexes so the DuckDB oracle replays the
+  * same automaton); the range lookup is a broadcast theta join on a
+  * bounded dimension ([[graft.operators.RangeJoin.broadcastTheta]]).
+  */
+object IpStats {
+
+  /** Dotted-quad IPv4 → unsigned-32 value in a long; null for
+    * malformed input (wrong shape or an octet > 255). The shape gate
+    * runs BEFORE any cast so ANSI mode never throws. */
+  def ipv4ToLong(ip: Column): Column = {
+    val shaped = ip.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
+    val o = (i: Int) => regexp_extract(ip,
+      "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$", i).cast("long")
+    when(shaped &&
+        o(1) <= 255 && o(2) <= 255 && o(3) <= 255 && o(4) <= 255,
+      o(1) * 16777216L + o(2) * 65536L + o(3) * 256L + o(4))
+  }
+
+  /** Membership of a parsed IP (long lane) in a CIDR block given as
+    * "a.b.c.d/len". The mask math happens at PLAN time (the block is a
+    * literal), so the row-level test is one shift-compare. */
+  def inCidr(ipLong: Column, cidr: String): Column = {
+    val Array(base, len) = cidr.split("/")
+    val prefix = len.toInt
+    require(prefix >= 0 && prefix <= 32, s"bad CIDR prefix: $cidr")
+    val parts = base.split("\\.").map(_.toLong)
+    require(parts.length == 4 && parts.forall(p => p >= 0 && p <= 255), s"bad CIDR base: $cidr")
+    val baseLong = parts(0) * 16777216L + parts(1) * 65536L + parts(2) * 256L + parts(3)
+    if (prefix == 0) ipLong.isNotNull
+    else shiftright(ipLong, 32 - prefix) === lit(baseLong >> (32 - prefix))
+  }
+
+  /** RFC 1918 private-range membership (10/8 ∪ 172.16/12 ∪ 192.168/16). */
+  def isPrivate(ipLong: Column): Column =
+    inCidr(ipLong, "10.0.0.0/8") || inCidr(ipLong, "172.16.0.0/12") ||
+      inCidr(ipLong, "192.168.0.0/16")
+
+  /** Coarse user-agent class: bot / mobile / chrome / firefox / safari /
+    * other — first-match-wins on the lowercased string (chrome BEFORE
+    * safari: Chrome UAs carry the Safari token). Null-safe ('other'). */
+  def classifyUserAgent(ua: Column): Column = {
+    val l = lower(coalesce(ua, lit("")))
+    when(l.rlike("bot|crawler|spider|curl|wget|python-requests"), "bot")
+      .when(l.rlike("mobile|android|iphone|ipad"), "mobile")
+      .when(l.contains("chrome"), "chrome")
+      .when(l.contains("firefox"), "firefox")
+      .when(l.contains("safari"), "safari")
+      .otherwise("other")
+  }
+
+  /** IP→region lookup: join parsed IPs against a [lo, hi] range
+    * dimension (GeoIP shape). The dimension is bounded (broadcast);
+    * ranges must be disjoint for a 1:1 result. `ranges` columns:
+    * (loCol, hiCol, anything else to carry). */
+  def geoLookup(df: DataFrame, ipLongCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String): DataFrame =
+    graft.operators.RangeJoin.broadcastTheta(
+      df.filter(col(ipLongCol).isNotNull), ranges, ipLongCol, loCol, hiCol)
+}

@@ -1406,6 +1406,27 @@ class LlmSpec extends AnyFunSuite {
     assert(graft.llm.Codecs.decodeImageIO(baos.toByteArray).exists(s => s.width == 4 && s.height == 3))
   }
 
+  test("IpStats: parse edges, CIDR masks, UA first-match order") {
+    import graft.llm.IpStats
+    val df = Seq("10.0.0.1", "172.16.0.1", "172.32.0.1", "192.168.255.255", "8.8.8.8",
+      "256.1.1.1", "1.2.3", "a.b.c.d", "255.255.255.255", "0.0.0.0").toDF("ip")
+    val out = df.select(col("ip"), IpStats.ipv4ToLong(col("ip")).as("v"),
+        IpStats.isPrivate(IpStats.ipv4ToLong(col("ip"))).as("priv"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toMap
+    assert(out("10.0.0.1") == (Some(167772161L), Some(true)))
+    assert(out("172.16.0.1")._2 == Some(true))
+    assert(out("172.32.0.1")._2 == Some(false)) // just past the /12
+    assert(out("192.168.255.255")._2 == Some(true))
+    assert(out("8.8.8.8") == (Some(134744072L), Some(false)))
+    assert(out("256.1.1.1")._1.isEmpty && out("1.2.3")._1.isEmpty && out("a.b.c.d")._1.isEmpty)
+    assert(out("255.255.255.255")._1 == Some(4294967295L))
+    assert(out("0.0.0.0")._1 == Some(0L))
+    val ua = Seq("Mozilla Chrome/99 Safari/537", "Mozilla Safari/605", "SpecialBot Chrome/1")
+      .toDF("ua").select(IpStats.classifyUserAgent(col("ua"))).collect().map(_.getString(0))
+    assert(ua.toSeq == Seq("chrome", "safari", "bot")) // bot wins over chrome; chrome over safari
+  }
+
   test("EntityRes: multi-pass blocking survives any single edit; block cap; canonical = component min") {
     import graft.llm.EntityRes
     val recs = Seq(
