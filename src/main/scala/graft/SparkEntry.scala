@@ -2227,6 +2227,48 @@ object SparkEntry {
         .withColumn("converted", col("event_type") === "purchase" && col("value") > 180)
       graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
     },
+    // CDC apply / MERGE INTO (Warehouse.applyCdc): upsert+delete feed
+    // folded into a base snapshot — latest-seq-wins per key (delete
+    // preferred on ties), untouched keys pass through the anti-join.
+    "q_apply_cdc" -> { (s, dir) =>
+      val evd = Sources.table(s, dir, "events")
+      val base = evd.filter(col("event_id") < 6000)
+        .select(col("event_id").as("id"), col("value"), col("event_type"))
+      val ops = evd.filter(col("event_id") >= 6000)
+        .select(((col("event_id") * 7) % 8000).as("id"), col("event_id").as("seq"),
+          when(col("event_id") % 5 === 0, "D").otherwise("U").as("op"),
+          col("value"), col("event_type"))
+      graft.operators.Warehouse.applyCdc(base, ops, "id", "seq", "op")
+    },
+    // First/last-touch attribution (Behavior.attribution): conversions
+    // credited to touches in a trailing 3-day RANGE window; both lanes
+    // share one per-user sort. Null touch = organic.
+    "q_attribution" -> { (s, dir) =>
+      graft.operators.Behavior.attribution(Sources.table(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "signup"), "purchase",
+          lookbackSec = 3L * 86400)
+        .select(col("event_id"), col("first_touch"), col("last_touch"))
+    },
+    // Forecast baselines backtest (Forecast.naiveBacktest): naive vs
+    // seasonal-naive MAE/RMSE/bias per key, decimal-exact error sums.
+    "q_forecast" -> { (s, dir) =>
+      graft.operators.Forecast.naiveBacktest(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", season = 7)
+    },
+    // BFS hop distance (LinkGraph.bfsHops): frontier expansion over a
+    // closed-form 50-node functional graph with two edge rules
+    // (branching factor 2); the oracle replays a bounded recursive-CTE
+    // walk and takes the min hop per node.
+    "q_bfs" -> { (s, dir) =>
+      val d = col("doc_id")
+      val docs = Sources.table(s, dir, "documents")
+      val e1 = docs.select(concat(lit("n"), (d % 50).cast(StringType)).as("src"),
+        concat(lit("n"), ((d * 3 + 1) % 50).cast(StringType)).as("dst"))
+      val e2 = docs.select(concat(lit("n"), (d % 50).cast(StringType)).as("src"),
+        concat(lit("n"), ((d * 7 + 2) % 50).cast(StringType)).as("dst"))
+      val seeds = s.range(1).select(lit("n0").as("seed"))
+      graft.llm.LinkGraph.bfsHops(e1.unionByName(e2), "src", "dst", seeds, "seed", maxHops = 6)
+    },
     // IPv4 provenance (IpStats): parse dotted quads (malformed → null
     // without tripping ANSI casts), CIDR membership via plan-time mask
     // math — one shift-compare per row, all codegen'd projections.
@@ -5272,6 +5314,57 @@ object SparkEntry {
         |SELECT s.variant, s.n_users, s.n_conv,
         |  CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS rate, zc.z
         |FROM s, zc""".stripMargin,
+    "q_apply_cdc" ->
+      """WITH base AS (SELECT event_id AS id, value, event_type FROM events WHERE event_id < 6000),
+        |ops AS (SELECT (event_id*7) % 8000 AS id, event_id AS seq,
+        |    CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op, value, event_type
+        |  FROM events WHERE event_id >= 6000),
+        |latest AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM ops)
+        |  WHERE rn = 1)
+        |SELECT id, value, event_type FROM base WHERE id NOT IN (SELECT id FROM latest)
+        |UNION ALL
+        |SELECT id, value, event_type FROM latest WHERE op <> 'D'""".stripMargin,
+    "q_attribution" ->
+      """SELECT event_id, first_touch, last_touch FROM (
+        |  SELECT event_id, event_type,
+        |    first_value(CASE WHEN event_type IN ('view','click','signup') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('view','click','signup') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS last_touch
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_forecast" ->
+      """WITH lags AS (SELECT user_id, value,
+        |    lag(value, 1) OVER w AS nv, lag(value, 7) OVER w AS sv
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |arm1 AS (SELECT user_id, 'naive' AS method, count(*) AS n,
+        |    CAST(SUM(CAST(abs(value - nv) AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mae,
+        |    sqrt(CAST(SUM(CAST((value - nv)*(value - nv) AS DECIMAL(28,4))) AS DOUBLE) / count(*)) AS rmse,
+        |    CAST(SUM(CAST(value - nv AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS bias
+        |  FROM lags WHERE nv IS NOT NULL GROUP BY 1),
+        |arm2 AS (SELECT user_id, 'seasonal' AS method, count(*) AS n,
+        |    CAST(SUM(CAST(abs(value - sv) AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mae,
+        |    sqrt(CAST(SUM(CAST((value - sv)*(value - sv) AS DECIMAL(28,4))) AS DOUBLE) / count(*)) AS rmse,
+        |    CAST(SUM(CAST(value - sv AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS bias
+        |  FROM lags WHERE sv IS NOT NULL GROUP BY 1)
+        |SELECT * FROM arm1 UNION ALL SELECT * FROM arm2""".stripMargin,
+    "q_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'n' || CAST(doc_id % 50 AS VARCHAR) AS src,
+        |    'n' || CAST((doc_id*3 + 1) % 50 AS VARCHAR) AS dst FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'n' || CAST(doc_id % 50 AS VARCHAR),
+        |    'n' || CAST((doc_id*7 + 2) % 50 AS VARCHAR) FROM documents),
+        |walk(node, hops) AS (
+        |  SELECT 'n0', 0
+        |  UNION ALL
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hops < 6)
+        |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY 1""".stripMargin,
     "q_ip_cidr" ->
       """WITH ips AS (SELECT doc_id,
         |  CASE WHEN doc_id % 19 = 0 THEN '300.1.2.3'

@@ -194,4 +194,32 @@ object LinkGraph {
     cur.select(col("a").as("node")).union(cur.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
+
+  /** Directed BFS hop distance from a seed set: (node, hops) for every
+    * node reachable in ≤ `maxHops` edge traversals, hops = the MINIMUM
+    * distance (seeds at 0). Frontier-style expansion: each round joins
+    * only the newly-reached frontier against the edge list (one keyed
+    * Exchange per round), anti-joins out already-settled nodes, and
+    * localCheckpoints — the distance set grows monotonically so rounds
+    * never revisit, and the loop exits early on an empty frontier.
+    * Diameter-bounded rounds, the standard distributed BFS shape. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops $maxHops must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    var settled = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = settled
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h)).localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    settled
+  }
 }

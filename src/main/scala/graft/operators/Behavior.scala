@@ -112,4 +112,27 @@ object Behavior {
           .cast("long").as("day_offset"))
       .agg(count_distinct(col("user")).as("n_users"))
   }
+
+  /** Marketing attribution: each conversion event credited to the
+    * FIRST and LAST touch (any of `touchTypes`) within its trailing
+    * `lookbackSec` window — the two standard single-touch models. One
+    * per-user RANGE window (micros axis) shared by both lanes; null
+    * touch = organic conversion. Ties in event time within a user make
+    * first/last ambiguous — the fixtures have none, and at scale the
+    * caller should pre-dedupe same-microsecond touches per user.
+    * `convType` must not appear in `touchTypes` (a conversion is not
+    * its own touch). */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, touchTypes: Seq[String], convType: String,
+                  lookbackSec: Long): DataFrame = {
+    require(!touchTypes.contains(convType), "convType cannot be a touch type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-lookbackSec * 1000000L, 0L)
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    events
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forecast baselines and their backtest — the capacity-planning
+  * readout a metrics warehouse runs nightly: naive (last value) and
+  * seasonal-naive (value one season ago) forecasts, scored in-sample
+  * per key with MAE / RMSE / bias.
+  *
+  * The [[Anomaly]] numerical discipline applies: per-row errors of
+  * 2-decimal fixture values are exact decimals (e, and e² at 4
+  * decimals), error SUMS accumulate in decimal, and only the final
+  * mean/sqrt drops to correctly-rounded double — bit-identical across
+  * engines. One user-keyed Exchange; both lag lanes share the sort.
+  */
+object Forecast {
+
+  /** Backtest both baselines in one pass: (key, method, n, mae, rmse,
+    * bias) with method ∈ {naive, seasonal}. Rows without enough
+    * history for a lag are excluded from that method's score. */
+  def naiveBacktest(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                    valCol: String, season: Int): DataFrame = {
+    require(season >= 2, "season must be >= 2 (1 is the naive method)")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val x = col(valCol)
+    val withLags = df.select(col(keyCol), col(tsCol), col(ordCol), x.as("__x"))
+      .withColumn("__naive", lag(col("__x"), 1).over(w))
+      .withColumn("__seasonal", lag(col("__x"), season).over(w))
+    val arms = Seq("naive" -> "__naive", "seasonal" -> "__seasonal").map { case (name, c) =>
+      withLags.filter(col(c).isNotNull)
+        .withColumn("__e", col("__x") - col(c))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("__e")).cast("decimal(18,2)")).as("__sae"),
+          sum((col("__e") * col("__e")).cast("decimal(28,4)")).as("__sse"),
+          sum(col("__e").cast("decimal(18,2)")).as("__se"))
+        .select(col(keyCol), lit(name).as("method"), col("n"),
+          (col("__sae").cast("double") / col("n")).as("mae"),
+          sqrt(col("__sse").cast("double") / col("n")).as("rmse"),
+          (col("__se").cast("double") / col("n")).as("bias"))
+    }
+    arms.reduce(_ unionByName _)
+  }
+}

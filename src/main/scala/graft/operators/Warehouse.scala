@@ -59,4 +59,28 @@ object Warehouse {
       .partitionBy("key").orderBy("__run")
     runs.withColumn("valid_to", lead(col("valid_from"), 1).over(w2)).drop("__run")
   }
+
+  /** CDC apply (MERGE INTO semantics): fold a change feed of
+    * upserts/deletes into a base snapshot. `ops` carries the base's
+    * columns plus `opCol` ('U' upsert — insert-or-update — or 'D'
+    * delete) and `seqCol` (change order; per key the HIGHEST seq wins,
+    * ties broken by preferring the delete — deterministic under
+    * duplicate sequence numbers). Keys untouched by the feed pass
+    * through. Shape: one window over the feed (tiny next to the base)
+    * + one hash anti-join on the key — the base is never sorted, never
+    * shuffled beyond the join, which broadcasts when the day's feed is
+    * small. */
+  def applyCdc(base: DataFrame, ops: DataFrame, keyCol: String,
+               seqCol: String, opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col(seqCol).desc, when(col(opCol) === "D", 0).otherwise(1))
+    val latest = ops
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    base.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(survivors.select(base.columns.map(col): _*))
+  }
 }

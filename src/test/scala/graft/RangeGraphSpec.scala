@@ -269,4 +269,65 @@ class RangeGraphSpec extends AnyFunSuite {
     } yield 1).size
     assert(got == naive.toLong && got > 0)
   }
+
+  test("bfsHops: min distance wins, frontier stops at maxHops, unreachable absent") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y") /* disconnected */).toDF("s", "t")
+    val seeds = Seq("a").toDF("seed")
+    val out = LinkGraph.bfsHops(edges, "s", "t", seeds, "seed", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // c reachable in 2 via b AND in 1 directly — min wins
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    val deep = LinkGraph.bfsHops(edges, "s", "t", seeds, "seed", maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(deep("e") == 3 && !deep.contains("x") && !deep.contains("y"))
+  }
+
+  test("applyCdc: latest seq wins, delete beats tie, untouched keys pass through") {
+    import graft.operators.Warehouse
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")).toDF("id", "value", "tag")
+    val ops = Seq(
+      (2L, 100L, "U", 21.0, "b2"), // update key 2
+      (2L, 90L, "U", 22.0, "b0"),  // stale — loses to seq 100
+      (3L, 50L, "D", 0.0, "x"),    // delete key 3
+      (3L, 50L, "U", 31.0, "c2"),  // SAME seq — delete preferred
+      (9L, 10L, "U", 90.0, "i"),   // brand-new key
+      (8L, 10L, "D", 0.0, "z")     // delete of a key not in base: no-op
+    ).toDF("id", "seq", "op", "value", "tag")
+    val out = Warehouse.applyCdc(base, ops, "id", "seq", "op")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out == Map(1L -> (10.0, "a"), 2L -> (21.0, "b2"), 9L -> (90.0, "i")))
+  }
+
+  test("attribution: lookback cutoff, first vs last, organic null") {
+    import graft.operators.Behavior
+    def t(m: Int) = ts(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, 10L, t(0), "view"),     // outside the 600 s lookback of the m=11 purchase
+      (2L, 10L, t(2), "click"),
+      (3L, 10L, t(5), "view"),
+      (4L, 10L, t(11), "purchase"), // window [1:00,11:00] — first=click(2), last=view(5)
+      (5L, 20L, t(3), "purchase")   // no touches at all: organic
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Behavior.attribution(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), "purchase", lookbackSec = 600L)
+      .select("event_id", "first_touch", "last_touch")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(out(4L) == (Some("click"), Some("view")))
+    assert(out(5L) == (None, None))
+  }
+
+  test("naiveBacktest: hand-checked MAE/RMSE/bias for both arms") {
+    import graft.operators.Forecast
+    val ev = Seq(1.0, 2.0, 4.0, 7.0).zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 00:00:0$i"), i.toLong, v)
+    }.toDF("key", "ts", "ord", "value")
+    val out = Forecast.naiveBacktest(ev, "key", "ts", "ord", "value", season = 2)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // naive errors: 1,2,3 → mae 2, rmse sqrt(14/3), bias +2
+    assert(out("naive")._1 == 3L && out("naive")._2 == 2.0 && out("naive")._4 == 2.0)
+    assert(math.abs(out("naive")._3 - math.sqrt(14.0 / 3)) < 1e-12)
+    // seasonal (lag 2) errors: 3,5 → mae 4, bias 4
+    assert(out("seasonal")._1 == 2L && out("seasonal")._2 == 4.0 && out("seasonal")._4 == 4.0)
+  }
 }
