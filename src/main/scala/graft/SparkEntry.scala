@@ -2227,6 +2227,24 @@ object SparkEntry {
         .withColumn("converted", col("event_type") === "purchase" && col("value") > 180)
       graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
     },
+    // Grid-bucketed geo radius self-join (Geo.gridPairs): 3×3 neighbor
+    // cells + haversine verify. The ORACLE is the raw all-pairs
+    // product — hash equality proves the grid misses nothing.
+    "q_geo_pairs" -> { (s, dir) =>
+      val d = col("doc_id")
+      val pts = Sources.table(s, dir, "documents").select(d.as("pid"),
+        (((d * 13) % 1200) / 100.0 - 6.0).as("lat"),
+        (((d * 31) % 3600) / 100.0 - 18.0).as("lon"))
+      graft.operators.Geo.gridPairs(pts, "pid", "lat", "lon",
+          radiusKm = 100.0, cellDeg = 1.0, maxAbsLat = 6.0)
+        .select(col("id_a"), col("id_b"), round(col("dist_km"), 6).as("dist_km"))
+    },
+    // Seasonal profile (Forecast.seasonalProfile): centered-MA
+    // detrending rearranged so every accumulation is decimal-exact.
+    "q_seasonal" -> { (s, dir) =>
+      graft.operators.Forecast.seasonalProfile(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", period = 7)
+    },
     // CDC apply / MERGE INTO (Warehouse.applyCdc): upsert+delete feed
     // folded into a base snapshot — latest-seq-wins per key (delete
     // preferred on ties), untouched keys pass through the anti-join.
@@ -5314,6 +5332,31 @@ object SparkEntry {
         |SELECT s.variant, s.n_users, s.n_conv,
         |  CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS rate, zc.z
         |FROM s, zc""".stripMargin,
+    // raw all-pairs haversine — hash equality proves the grid join
+    // finds exactly the qualifying pairs
+    "q_geo_pairs" ->
+      """WITH pts AS (SELECT doc_id AS pid,
+        |    ((doc_id*13) % 1200)/100.0 - 6.0 AS lat,
+        |    ((doc_id*31) % 3600)/100.0 - 18.0 AS lon FROM documents),
+        |pairs AS (
+        |  SELECT a.pid AS id_a, b.pid AS id_b,
+        |    2*6371.0088*asin(sqrt(
+        |      sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
+        |      + cos(radians(a.lat)) * cos(radians(b.lat))
+        |        * sin(radians(b.lon - a.lon)/2) * sin(radians(b.lon - a.lon)/2))) AS d
+        |  FROM pts a JOIN pts b ON a.pid < b.pid)
+        |SELECT id_a, id_b, round(d, 6) AS dist_km FROM pairs WHERE d <= 100.0""".stripMargin,
+    "q_seasonal" ->
+      """WITH base AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS x,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS sw,
+        |    COUNT(*) OVER w7 AS cnt,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) % 7 AS pos
+        |  FROM events
+        |  WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT user_id, CAST(pos AS INT) AS pos, count(*) AS n,
+        |  CAST(SUM(x)*7 - SUM(sw) AS DOUBLE) / (count(*)*7) AS seasonal
+        |FROM base WHERE cnt = 7 GROUP BY 1, 2""".stripMargin,
     "q_apply_cdc" ->
       """WITH base AS (SELECT event_id AS id, value, event_type FROM events WHERE event_id < 6000),
         |ops AS (SELECT (event_id*7) % 8000 AS id, event_id AS seq,

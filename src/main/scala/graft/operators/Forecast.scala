@@ -43,4 +43,32 @@ object Forecast {
     }
     arms.reduce(_ unionByName _)
   }
+
+  /** Classical seasonal profile (additive decomposition, odd period):
+    * trend = centered `period`-point moving average (full windows
+    * only); the seasonal index at position p = mean of (x − trend)
+    * over rows at that season position. Emitted per (key, pos):
+    * (key, pos, n, seasonal). Exactness: the per-position mean is
+    * algebraically rearranged to (period·Σx − Σ sw) / (period·n)
+    * where sw is the DECIMAL window sum — one double division at the
+    * end, no order-dependent double accumulation anywhere. */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                      valCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd and >= 3 (classical centered MA)")
+    val half = period / 2
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val frame = w.rowsBetween(-half, half)
+    val sw = sum(col(valCol).cast("decimal(18,2)")).over(frame)
+    val cnt = count(lit(1)).over(frame)
+    val rn = row_number().over(w)
+    df.select(col(keyCol), col(tsCol), col(ordCol),
+        col(valCol).cast("decimal(18,2)").as("__x"),
+        sw.as("__sw"), cnt.as("__cnt"), ((rn - 1) % period).as("pos"))
+      .filter(col("__cnt") === period) // full centered windows only
+      .groupBy(col(keyCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__sw")).as("__ssw"))
+      .select(col(keyCol), col("pos"), col("n"),
+        ((col("__sx") * period - col("__ssw")).cast("double") / (col("n") * period)).as("seasonal"))
+  }
 }

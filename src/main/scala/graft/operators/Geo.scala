@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial proximity: haversine distance and a grid-bucketed
+  * radius self-join — "find all point pairs within R km" without the
+  * all-pairs product (store/dedup/POI-conflation workloads).
+  *
+  * Grid join shape (the [[graft.llm.Dedup]] banding discipline applied
+  * to coordinates): each point lands in a (⌊lat/cell⌋, ⌊lon/cell⌋)
+  * cell; ONE side explodes to its 3×3 neighbor cells and equi-joins
+  * the other side's home cell, so every qualifying pair is produced
+  * exactly once (only the left side explodes; id_a < id_b). With
+  * `cellDeg` chosen so a cell spans ≥ R at the working latitudes
+  * (cellDeg ≥ R/(111·cos maxLat)), the grid provably misses nothing —
+  * the oracle checks that claim against a raw all-pairs replay. At
+  * 100 TB this is a 9× row amplification into a hash join instead of
+  * an O(n²) product.
+  *
+  * Limitation: no antimeridian wrap — lon cells at −180 and +180 are
+  * not neighbors. A corpus spanning ±180 should shift its frame (or
+  * duplicate a guard band); the poles likewise need a cap cell
+  * (enforced via `maxAbsLat < 90`).
+  */
+object Geo {
+
+  private val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance in km (haversine form — stable for the
+    * small angles a radius join filters on). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** All point pairs (id_a < id_b) within `radiusKm`, with the
+    * distance: (id_a, id_b, dist_km). `points` columns: (idCol, latCol,
+    * lonCol). `cellDeg` must satisfy the coverage bound above — checked
+    * against the data's max |lat| at plan-build time via a require on
+    * the CALLER's declared `maxAbsLat` (no extra scan). */
+  def gridPairs(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                radiusKm: Double, cellDeg: Double, maxAbsLat: Double = 66.0): DataFrame = {
+    require(cellDeg > 0 && radiusKm > 0, "radius and cell must be positive")
+    require(maxAbsLat < 90.0, "poles need a dedicated cap cell, not a lon grid")
+    val lonKmPerDeg = 111.32 * math.cos(math.toRadians(maxAbsLat))
+    require(cellDeg * lonKmPerDeg >= radiusKm && cellDeg * 110.57 >= radiusKm,
+      f"cellDeg $cellDeg%.3f spans less than radius $radiusKm%.1f km at |lat|<=$maxAbsLat — pairs would be missed")
+    val base = points.select(col(idCol).as("__id"),
+      col(latCol).cast("double").as("__lat"), col(lonCol).cast("double").as("__lon"),
+      floor(col(latCol) / cellDeg).as("__cla"), floor(col(lonCol) / cellDeg).as("__clo"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield struct(lit(dx), lit(dy))
+    val left = base.select(col("__id").as("id_a"), col("__lat").as("la"), col("__lon").as("lo"),
+        explode(array(offsets: _*)).as("__o"), col("__cla"), col("__clo"))
+      .select(col("id_a"), col("la"), col("lo"),
+        (col("__cla") + col("__o.col1")).as("__ka"), (col("__clo") + col("__o.col2")).as("__kb"))
+    val right = base.select(col("__id").as("id_b"), col("__lat").as("lb"), col("__lon").as("lb_lon"),
+      col("__cla").as("__ka"), col("__clo").as("__kb"))
+    left.join(right, Seq("__ka", "__kb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist_km", haversineKm(col("la"), col("lo"), col("lb"), col("lb_lon")))
+      .filter(col("dist_km") <= radiusKm)
+      .select(col("id_a"), col("id_b"), col("dist_km"))
+  }
+}

@@ -59,6 +59,47 @@ class AnomalySpec extends AnyFunSuite {
     assert(out(0L) < 1.0)
   }
 
+  test("seasonalProfile recovers an injected weekly pattern") {
+    // value = 100 + pattern[pos]: trend is flat, so seasonal == pattern
+    // shifted to mean 0 over each centered window... with a pure
+    // 7-periodic signal the centered 7-MA is the pattern mean exactly.
+    val pattern = Seq(3.0, -1.0, 0.0, 5.0, -4.0, -2.0, -1.0) // sums to 0
+    val vals = (0 until 70).map(i => 100.0 + pattern(i % 7))
+    val out = graft.operators.Forecast.seasonalProfile(
+        series(vals), "key", "ts", "ord", "value", period = 7)
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("seasonal")).toMap
+    pattern.zipWithIndex.foreach { case (p, i) =>
+      assert(math.abs(out(i) - p) < 1e-9, s"pos $i got ${out(i)} want $p")
+    }
+  }
+
+  test("Geo.gridPairs == naive all-pairs; coverage require fires on a thin cell") {
+    import graft.operators.Geo
+    // deterministic pseudo-random points in a 3°×3° box
+    val pts = (0 until 120).map { i =>
+      (i.toLong, (i * 37 % 300) / 100.0, (i * 53 % 300) / 100.0)
+    }.toDF("pid", "lat", "lon")
+    val grid = Geo.gridPairs(pts, "pid", "lat", "lon", radiusKm = 60.0,
+        cellDeg = 0.6, maxAbsLat = 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = {
+      val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      (for {
+        (a, la, lo) <- rows; (b, lb, lo2) <- rows if a < b
+        dLat = math.toRadians(lb - la) / 2; dLon = math.toRadians(lo2 - lo) / 2
+        h = math.sin(dLat) * math.sin(dLat) +
+          math.cos(math.toRadians(la)) * math.cos(math.toRadians(lb)) *
+            math.sin(dLon) * math.sin(dLon)
+        d = 2 * 6371.0088 * math.asin(math.sqrt(h))
+        if d <= 60.0
+      } yield (a, b)).toSet
+    }
+    assert(grid == naive && grid.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Geo.gridPairs(pts, "pid", "lat", "lon", radiusKm = 100.0, cellDeg = 0.5)
+    }
+  }
+
   test("autocorr: perfect alternation has acf(1) = -1, acf(2) = +1") {
     val vals = (0 until 40).map(i => if (i % 2 == 0) 5.0 else 15.0)
     val out = Anomaly.autocorr(series(vals), "key", "ts", "ord", "value", maxLag = 2)
