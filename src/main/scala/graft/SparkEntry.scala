@@ -2556,6 +2556,19 @@ object SparkEntry {
       val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
       val edges = a.join(b, Seq("k")).filter(col("u") < col("v")).select("u", "v")
       graft.llm.LinkGraph.triangleCount(edges)
+    },
+    // Z-order layout quality (Layout.clusterSummary): quantize
+    // (l_orderkey, l_partkey) to 8 bits each, Morton-interleave, bucket
+    // by z-prefix vs linear-by-x, and read out min/max-pruning
+    // effectiveness per dimension (a y-probe touches a z-prefix slice,
+    // but EVERY linear bucket). The oracle replays the generated
+    // bit-arithmetic formula — Spark plan and SQL share one generator
+    // so they cannot drift.
+    "q_zorder" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+      graft.operators.Layout.clusterSummary(li,
+        shiftright(col("l_orderkey"), 6), shiftright(col("l_partkey"), 3),
+        bits = 8, bucketBits = 6, probeX = (60L, 70L), probeY = (125L, 156L))
     }
   )
 
@@ -5753,6 +5766,10 @@ object SparkEntry {
         |       (SELECT count(*) FROM w) AS n_wedges,
         |       (SELECT count(*) FROM e e1
         |          JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
-        |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
+        |          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
+    // generated by the SAME code that builds the Spark plan
+    "q_zorder" -> graft.operators.Layout.clusterSummarySql(
+      "lineitem", "(l_orderkey >> 6)", "(l_partkey >> 3)",
+      bits = 8, bucketBits = 6, probeX = (60L, 70L), probeY = (125L, 156L))
   )
 }

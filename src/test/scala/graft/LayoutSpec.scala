@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: Morton interleave goldens, Spark-vs-generated-SQL
+  * parity (one generator feeds both the plan and the DuckDB oracle),
+  * and the range-shuffle plan shape of the write path. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits: bit i of dim j at position i*d+j") {
+    // x=0b11, y=0b01, bits=2 -> z bits: x0@0, y0@1, x1@2, y1@3 = 0b0111
+    val df = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 2).as("z"))
+    assert(df.head.getLong(0) == 7L)
+    // full-width golden: x=0xFF,y=0x00 at 8 bits -> even bit positions
+    val df2 = Seq((255L, 0L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 8).as("z"))
+    assert(df2.head.getLong(0) == 0x5555L)
+    // three dims: x=1,y=1,z=1 -> 0b111
+    val df3 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zValue(Seq(col("a"), col("b"), col("c")), 1).as("z"))
+    assert(df3.head.getLong(0) == 7L)
+  }
+
+  test("zValue masks dims to the quantized width") {
+    val df = Seq((0x1F3L, 0L)).toDF("x", "y") // high bits beyond 4 dropped
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4).as("z"))
+    val expect = Seq((0x3L, 0L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4).as("z"))
+    assert(df.head.getLong(0) == expect.head.getLong(0))
+  }
+
+  test("zValueSql evaluates identically to the zValue column") {
+    val pts = (0 until 256).map(i => (i.toLong * 37 % 256, i.toLong * 91 % 256))
+    val df = pts.toDF("x", "y")
+    val both = df.select(
+      Layout.zValue(Seq(col("x"), col("y")), 8).as("a"),
+      expr(Layout.zValueSql(Seq("x", "y"), 8)).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("writeZOrdered plans exactly one range shuffle on the z-value") {
+    val df = (0 until 100).map(i => (i.toLong, (i * 7 % 100).toLong)).toDF("x", "y")
+    val plan = Layout.writeZOrdered(df, Seq("x", "y"), bits = 7, numFiles = 8)
+      .queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size == 1)
+  }
+
+  test("z-prefix buckets give two-sided pruning where linear cannot") {
+    // 32x32 grid, fully occupied: probe a 1/4-wide band on y
+    val grid = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val out = Layout.clusterSummary(grid.toDF("x", "y"), col("x"), col("y"),
+        bits = 5, bucketBits = 4, probeX = (8L, 15L), probeY = (8L, 15L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = out("zorder"); val lin = out("linear")
+    assert(z.getLong(1) == 16 && lin.getLong(1) == 16) // 16 buckets each
+    assert(z.getLong(3) < lin.getLong(3))              // touched_y: z prunes
+    assert(lin.getLong(3) == 16)                       // linear reads all for y
+  }
+}
