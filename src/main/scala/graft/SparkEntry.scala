@@ -2569,6 +2569,45 @@ object SparkEntry {
       graft.operators.Layout.clusterSummary(li,
         shiftright(col("l_orderkey"), 6), shiftright(col("l_partkey"), 3),
         bits = 8, bucketBits = 6, probeX = (60L, 70L), probeY = (125L, 156L))
+    },
+    // CUPED variance reduction (Behavior.cuped): activity covariate
+    // (event count — the synthetic users have no cross-period value
+    // persistence, so activity is the only predictive covariate),
+    // metric = purchase spend, variant = user parity; removes ~10% of
+    // metric variance. Decimal power sums → one closed-form double
+    // expression per cell; the oracle replays the identical algebra.
+    // Decimal power sums → one closed-form double expression per cell;
+    // the oracle replays the identical algebra.
+    "q_cuped" -> { (s, dir) =>
+      val ev = Sources.table(s, dir, "events")
+      val dec = col("value").cast("decimal(18,2)")
+      val per = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).cast("decimal(18,2)").as("pre"),
+        coalesce(sum(when(col("event_type") === "purchase", dec)),
+          lit(0).cast("decimal(18,2)")).as("post"))
+        .withColumn("variant", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.operators.Behavior.cuped(per, "variant", "pre", "post")
+        .select(col("variant"), col("n_users"),
+          round(col("theta"), 8).as("theta"),
+          round(col("mean_post"), 6).as("mean_post"),
+          round(col("mean_adj"), 6).as("mean_adj"),
+          round(col("var_post"), 6).as("var_post"),
+          round(col("var_adj"), 6).as("var_adj"),
+          round(col("reduction"), 8).as("reduction"))
+    },
+    // Kaplan-Meier churn curve (Survival.kaplanMeier): duration = days
+    // first→last event, observed = last event is an 'error' (churn);
+    // the oracle replays at-risk cumulative counts and the product
+    // limit via exp/ln with the same d=n short-circuit.
+    "q_survival" -> { (s, dir) =>
+      val t = unix_micros(col("ts"))
+      val subj = Sources.table(s, dir, "events").groupBy(col("user_id")).agg(
+        floor((max(t) - min(t)) / lit(86400000000.0)).as("dur"),
+        max(struct(t.as("t"), col("event_id").as("e"), col("event_type").as("ty")))
+          .getField("ty").as("last_ty"))
+        .withColumn("obs", col("last_ty") === "error")
+      graft.operators.Survival.kaplanMeier(subj, "dur", "obs")
+        .withColumn("survival", round(col("survival"), 6))
     }
   )
 
@@ -5770,6 +5809,65 @@ object SparkEntry {
     // generated by the SAME code that builds the Spark plan
     "q_zorder" -> graft.operators.Layout.clusterSummarySql(
       "lineitem", "(l_orderkey >> 6)", "(l_partkey >> 3)",
-      bits = 8, bucketBits = 6, probeX = (60L, 70L), probeY = (125L, 156L))
+      bits = 8, bucketBits = 6, probeX = (60L, 70L), probeY = (125L, 156L)),
+    // same decimal power sums, same closed-form double algebra
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(count(*) AS DECIMAL(18,2)) AS pre,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS post
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT variant, count(*) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+        |    SUM(CAST(pre*pre AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(post*post AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(pre*post AS DECIMAL(38,4))) AS sxy
+        |  FROM per GROUP BY 1),
+        |g AS (SELECT CAST(SUM(sxy)*SUM(n) - SUM(sx)*SUM(sy) AS DOUBLE)
+        |      / CAST(SUM(sxx)*SUM(n) - SUM(sx)*SUM(sx) AS DOUBLE) AS theta,
+        |    CAST(SUM(sx) AS DOUBLE) / SUM(n) AS mean_pre FROM s),
+        |v AS (SELECT variant, n, CAST(n AS DOUBLE) AS nd, theta, mean_pre,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(syy*n - sy*sy AS DOUBLE) AS vy_num,
+        |    CAST(sxx*n - sx*sx AS DOUBLE) AS vx_num,
+        |    CAST(sxy*n - sx*sy AS DOUBLE) AS cov_num
+        |  FROM s, g),
+        |fin AS (SELECT variant, n AS n_users, theta,
+        |    syd/nd AS mean_post,
+        |    syd/nd - theta*(sxd/nd - mean_pre) AS mean_adj,
+        |    vy_num/(nd*nd) AS var_post,
+        |    vy_num/(nd*nd) - 2.0*theta*(cov_num/(nd*nd))
+        |      + theta*theta*(vx_num/(nd*nd)) AS var_adj
+        |  FROM v)
+        |SELECT variant, n_users, round(theta, 8) AS theta,
+        |  round(mean_post, 6) AS mean_post, round(mean_adj, 6) AS mean_adj,
+        |  round(var_post, 6) AS var_post, round(var_adj, 6) AS var_adj,
+        |  round(1.0 - var_adj/var_post, 8) AS reduction FROM fin""".stripMargin,
+    // product-limit replay: cumulative at-risk + exp(sum(ln)) with the
+    // d = n_risk absorbing-zero short-circuit
+    "q_survival" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(FLOOR((max(epoch_us(ts)) - min(epoch_us(ts)))/86400000000.0) AS BIGINT) AS dur
+        |  FROM events GROUP BY 1),
+        |lastt AS (SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |subj AS (SELECT p.user_id, p.dur, (l.event_type = 'error') AS obs
+        |  FROM per p JOIN lastt l USING (user_id)),
+        |perT AS (SELECT dur AS t, count(*) AS at_t,
+        |    SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |    count(*) - SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS c
+        |  FROM subj GROUP BY 1),
+        |km AS (SELECT t, d, c,
+        |    SUM(at_t) OVER () - COALESCE(SUM(at_t) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM perT)
+        |SELECT t, n_risk, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+        |    ELSE exp(SUM(ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE))) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS survival
+        |FROM km""".stripMargin
   )
 }

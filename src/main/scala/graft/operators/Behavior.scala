@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics: ordered funnels and cohort retention —
@@ -134,5 +134,59 @@ object Behavior {
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === convType)
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * shrink the experiment metric's variance with a pre-experiment
+    * covariate before reading out the A/B effect —
+    *   theta  = cov(pre, post) / var(pre)          (pooled, population)
+    *   adj_u  = post_u − theta · (pre_u − mean(pre))
+    *
+    * `perUser` has one row per experiment unit: `variantCol`, `preCol`
+    * (pre-period covariate), `postCol` (experiment metric). Returns one
+    * row per variant: n_users, theta, mean_post, mean_adj, var_post,
+    * var_adj, and `reduction` = 1 − var_adj/var_post (≈ corr² — the
+    * fraction of metric variance the covariate removed).
+    *
+    * Determinism + scale: every accumulation is a DECIMAL power sum
+    * (Σx, Σy, Σx², Σy², Σxy) — order-independent under any
+    * partitioning — and each output cell is ONE closed-form double
+    * expression over those sums (adjusted moments expanded
+    * algebraically: var_adj = var_post − 2θ·cov + θ²·var_pre), so no
+    * per-row double is ever re-aggregated. Two hash aggregates with
+    * map-side partials (global + per-variant) and a broadcast of the
+    * 1-row global moments — no window, no sort, no driver loop. */
+  def cuped(perUser: DataFrame, variantCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    val x = col(preCol).cast("decimal(18,2)")
+    val y = col(postCol).cast("decimal(18,2)")
+    val base = perUser.select(col(variantCol).as("variant"), x.as("x"), y.as("y"))
+    def sums(df: org.apache.spark.sql.RelationalGroupedDataset) = df.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,4)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"))
+    val thetaNum = (col("sxy") * col("n") - col("sx") * col("sy")).cast("double")
+    val thetaDen = (col("sxx") * col("n") - col("sx") * col("sx")).cast("double")
+    val g = sums(base.groupBy()).select(
+      // constant covariate → var(pre)=0 → no adjustment (theta 0)
+      when(thetaDen =!= 0.0, thetaNum / thetaDen).otherwise(0.0).as("theta"),
+      (col("sx").cast("double") / col("n")).as("mean_pre"))
+    val v = sums(base.groupBy("variant"))
+    val n = col("n").cast("double")
+    val varOf = (sq: Column, s: Column) =>
+      (sq * col("n") - s * s).cast("double") / (n * n)
+    val covV = (col("sxy") * col("n") - col("sx") * col("sy")).cast("double") / (n * n)
+    v.join(broadcast(g))
+      .select(col("variant"), col("n").as("n_users"), col("theta"),
+        (col("sy").cast("double") / n).as("mean_post"),
+        (col("sy").cast("double") / n -
+          col("theta") * (col("sx").cast("double") / n - col("mean_pre"))).as("mean_adj"),
+        varOf(col("syy"), col("sy")).as("var_post"),
+        (varOf(col("syy"), col("sy")) - lit(2.0) * col("theta") * covV +
+          col("theta") * col("theta") * varOf(col("sxx"), col("sx"))).as("var_adj"))
+      .withColumn("reduction", // null for a degenerate (constant-metric) variant
+        when(col("var_post") =!= 0.0, lit(1.0) - col("var_adj") / col("var_post")))
   }
 }

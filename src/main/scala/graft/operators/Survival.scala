@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis over event streams: the Kaplan-Meier product-limit
+  * estimator (Kaplan & Meier, JASA 1958) — the standard churn /
+  * time-to-event readout with right-censoring (a user still active at
+  * the end of the study contributes "survived at least T", not "churned
+  * at T").
+  *
+  * Scale shape: the heavy input (one row per subject) collapses in ONE
+  * hash aggregate with map-side partials to a per-duration table whose
+  * size is bounded by the number of DISTINCT durations — days in a
+  * study horizon, i.e. tiny. The cumulative at-risk count and the
+  * product-limit curve are windows over that reduced table only (same
+  * pattern as the histogram-quantile readout: reduce first, then a
+  * bounded-domain scan). The product is computed as
+  * exp(Σ ln(1 − d/n)) so it composes with a window sum; a step where
+  * everyone at risk dies (d = n) short-circuits to exactly 0.0 rather
+  * than relying on exp(−∞).
+  */
+object Survival {
+
+  /** `subjects`: one row per unit with an integer `durationCol` (time
+    * observed, e.g. days) and `observedCol` (true = the event — churn,
+    * death — happened at that time; false = right-censored). Returns the
+    * KM table: one row per distinct duration t — n_risk (at risk just
+    * before t), d (events at t), c (censored at t), survival = S(t). */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val perT = subjects
+      .select(col(durationCol).cast("long").as("t"),
+        col(observedCol).cast("int").as("obs"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("at_t"), sum(col("obs")).as("d"),
+        (count(lit(1)) - sum(col("obs"))).as("c"))
+    // bounded domain from here on: |rows| = distinct durations
+    val wAll = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val total = Window.partitionBy()
+    perT
+      .withColumn("n_risk", sum(col("at_t")).over(total) -
+        coalesce(sum(col("at_t")).over(wPrev), lit(0L)))
+      .withColumn("dead_here", col("d") === col("n_risk"))
+      .withColumn("survival",
+        when(max(col("dead_here").cast("int")).over(wAll) === 1, lit(0.0))
+          .otherwise(exp(sum(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))).over(wAll))))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Behavior, Survival}
+
+/** CUPED and Kaplan-Meier goldens: tiny hand-computed fixtures with
+  * closed-form answers (KM example is the classic 5-subject
+  * right-censoring walk-through). */
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cuped: perfectly correlated covariate removes all variance") {
+    val per = Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0), ("B", 3.0, 6.0), ("B", 4.0, 8.0))
+      .toDF("variant", "pre", "post")
+    val out = Behavior.cuped(per, "variant", "pre", "post")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // post = 2*pre exactly: theta = 2, var_adj = 0, reduction = 1
+    assert(math.abs(out("A").getAs[Double]("theta") - 2.0) < 1e-12)
+    assert(math.abs(out("A").getAs[Double]("var_adj")) < 1e-12)
+    assert(math.abs(out("A").getAs[Double]("reduction") - 1.0) < 1e-12)
+    // adjusted means move toward comparability: A users have lower pre,
+    // so A's mean is adjusted UP (pre below pooled mean)
+    assert(out("A").getAs[Double]("mean_adj") > out("A").getAs[Double]("mean_post"))
+    assert(out("B").getAs[Double]("mean_adj") < out("B").getAs[Double]("mean_post"))
+  }
+
+  test("cuped: orthogonal covariate leaves the metric alone (theta=0)") {
+    // pooled cov(pre,post) = 0 by symmetry, but both variances nonzero
+    val per = Seq(("A", 1.0, 5.0), ("A", 2.0, 6.0), ("B", 1.0, 6.0), ("B", 2.0, 5.0))
+      .toDF("variant", "pre", "post")
+    val out = Behavior.cuped(per, "variant", "pre", "post")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("A").getAs[Double]("theta")) < 1e-12)
+    assert(out("A").getAs[Double]("mean_adj") == out("A").getAs[Double]("mean_post"))
+    assert(out("B").getAs[Double]("var_adj") == out("B").getAs[Double]("var_post"))
+  }
+
+  test("cuped: degenerate variants survive ANSI mode (no divide-by-zero)") {
+    // constant covariate -> theta 0; constant metric -> reduction null
+    val per = Seq(("A", 3.0, 5.0), ("A", 3.0, 5.0), ("B", 3.0, 7.0), ("B", 3.0, 7.0))
+      .toDF("variant", "pre", "post")
+    val out = Behavior.cuped(per, "variant", "pre", "post")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("theta") == 0.0)
+    assert(out("A").isNullAt(out("A").fieldIndex("reduction")))
+  }
+
+  test("kaplan-meier: textbook 5-subject curve with censoring") {
+    val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true), (4L, false))
+      .toDF("dur", "obs")
+    val rows = Survival.kaplanMeier(subj, "dur", "obs")
+      .orderBy("t").collect()
+    // t=1: 5 at risk, 1 death -> 0.8 ; t=2: censor only -> 0.8
+    // t=3: 3 at risk, 2 deaths -> 0.8 * 1/3 ; t=4: censor -> unchanged
+    assert(rows.map(_.getLong(1)).toSeq == Seq(5L, 4L, 3L, 1L)) // n_risk
+    val s = rows.map(_.getDouble(4))
+    assert(math.abs(s(0) - 0.8) < 1e-12 && math.abs(s(1) - 0.8) < 1e-12)
+    assert(math.abs(s(2) - 0.8 / 3.0) < 1e-12 && math.abs(s(3) - s(2)) < 1e-12)
+    assert(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 0L), (0L, 1L), (2L, 0L), (0L, 1L))) // (d, c)
+  }
+
+  test("kaplan-meier: everyone dying at the last time hits exactly 0") {
+    val subj = Seq((1L, true), (2L, true), (2L, true)).toDF("dur", "obs")
+    val rows = Survival.kaplanMeier(subj, "dur", "obs").orderBy("t").collect()
+    assert(rows.last.getDouble(4) == 0.0)
+    assert(math.abs(rows.head.getDouble(4) - 2.0 / 3.0) < 1e-12)
+  }
+}
