@@ -2608,6 +2608,24 @@ object SparkEntry {
         .withColumn("obs", col("last_ty") === "error")
       graft.operators.Survival.kaplanMeier(subj, "dur", "obs")
         .withColumn("survival", round(col("survival"), 6))
+    },
+    // PMI collocations (Collocations.pmiBigrams): phrase mining over
+    // the documents corpus — two word-count aggregates, double-join on
+    // word keys, fixed-association ln() so the oracle replays the IEEE
+    // value; ranked cut is a total order on (pmi·r6, x, y).
+    "q_pmi" -> { (s, dir) =>
+      graft.llm.Collocations.pmiBigrams(
+        Sources.table(s, dir, "documents"), "text", minCount = 5, topK = 50)
+    },
+    // Benford first-digit audit (DataQuality.benfordDigits): leading
+    // digit from the canonical DECIMAL rendering; χ² contribution per
+    // digit against n·log10(1+1/d).
+    "q_benford" -> { (s, dir) =>
+      graft.operators.DataQuality.benfordDigits(
+        Sources.table(s, dir, "lineitem"), "l_extendedprice")
+        .select(col("digit"), col("observed"),
+          round(col("expected"), 6).as("expected"),
+          round(col("chi2_part"), 6).as("chi2_part"))
     }
   )
 
@@ -5868,6 +5886,35 @@ object SparkEntry {
         |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
         |    ELSE exp(SUM(ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE))) OVER
         |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS survival
-        |FROM km""".stripMargin
+        |FROM km""".stripMargin,
+    // same word-count plan, same fixed-association ln()
+    "q_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS t FROM documents),
+        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |nu AS (SELECT SUM(c) AS n_uni FROM uc),
+        |bc AS (SELECT x, y, count(*) AS c_xy FROM (
+        |    SELECT t[i+1] AS x, t[i+2] AS y FROM
+        |      (SELECT t, unnest(range(0, len(t)-1)) AS i FROM toks)) GROUP BY 1, 2),
+        |nb AS (SELECT SUM(c_xy) AS n_bi FROM bc)
+        |SELECT x, y, c_xy, cx.c AS c_x, cy.c AS c_y,
+        |  round(ln(CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE) /
+        |    (CAST(n_bi AS DOUBLE) * CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))), 6) AS pmi
+        |FROM bc JOIN uc cx ON bc.x = cx.w JOIN uc cy ON bc.y = cy.w, nu, nb
+        |WHERE c_xy >= 5
+        |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin,
+    // leading digit from the canonical DECIMAL(18,2) rendering
+    "q_benford" ->
+      """WITH d AS (SELECT regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS digit
+        |  FROM lineitem),
+        |pd AS (SELECT digit, count(*) AS observed FROM d WHERE digit <> '' GROUP BY 1),
+        |n AS (SELECT SUM(observed) AS n_total FROM pd),
+        |sel AS (SELECT digit, observed,
+        |    CAST(n_total AS DOUBLE) * log10(1.0 + 1.0/CAST(digit AS DOUBLE)) AS expected
+        |  FROM pd, n)
+        |SELECT digit, observed, round(expected, 6) AS expected,
+        |  round((CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
+        |    / expected, 6) AS chi2_part
+        |FROM sel""".stripMargin
   )
 }

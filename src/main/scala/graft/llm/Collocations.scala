@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collocation / phrase mining by pointwise mutual information (Church &
+  * Hanks, CL 1990) — the standard pre-tokenization pass that discovers
+  * multi-word units ("new york", "machine learning") worth fusing into
+  * single tokens before BPE training or n-gram analysis.
+  *
+  * PMI(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p from corpus counts —
+  * computed as one fixed-association double expression
+  * `ln((c_xy·N_uni·N_uni) / (N_bi·c_x·c_y))` so an external replay
+  * gets the identical IEEE value.
+  *
+  * Scale shape: two exploded hash aggregates (bigrams, unigrams) with
+  * map-side partial combine — the classic word-count plan — then the
+  * bigram table joins the unigram counts twice ON THE WORD KEY (shuffle
+  * join; the unigram table is Zipf-heavy but each side is already
+  * reduced to distinct words). The two corpus totals ride in as a
+  * broadcast 1-row cross join. Final top-k is a TakeOrdered (no global
+  * sort materialization). Ranking uses the ROUNDED pmi with a (x,y)
+  * tie-break so the cut at k is a total order — reproducible under any
+  * partitioning and by any other engine.
+  */
+object Collocations {
+
+  /** Top-`topK` bigrams by PMI among those seen at least `minCount`
+    * times. Tokens: whitespace split, empties dropped (the repo-wide
+    * text convention). Returns (x, y, c_xy, c_x, c_y, pmi·r6). */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Int, topK: Int): DataFrame = {
+    val toks = filter(split(col(textCol), " +"), t => t =!= "")
+    val base = docs.select(toks.as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = base
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("p"))
+      .select(col("p.0").as("x"), col("p.1").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val nBi = bi.agg(sum(col("c_xy")).as("n_bi"))
+    val cx = uni.select(col("w").as("x"), col("c").as("c_x"))
+    val cy = uni.select(col("w").as("y"), col("c").as("c_y"))
+    bi.filter(col("c_xy") >= minCount)
+      .join(cx, "x").join(cy, "y")
+      .join(broadcast(nUni.crossJoin(nBi)))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log(
+          col("c_xy").cast("double") * col("n_uni").cast("double") * col("n_uni").cast("double") /
+            (col("n_bi").cast("double") * col("c_x").cast("double") * col("c_y").cast("double"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+}

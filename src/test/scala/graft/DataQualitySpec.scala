@@ -54,4 +54,22 @@ class DataQualitySpec extends AnyFunSuite {
     val o = DataQuality.orphans(child, "fk", parent, "pk").collect()
     assert(o.map(_.getAs[String]("v")).toSeq == Seq("y"))
   }
+
+  test("benford: leading digit from decimal rendering, zeros dropped") {
+    val vals = Seq(123.4, 0.052, 934.0, 0.0, 19.99, 2.5).toDF("v")
+    val rows = DataQuality.benfordDigits(vals, "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 0.0 contributes nothing; 0.052 renders 0.05 -> digit 5
+    assert(rows == Map("1" -> 2L, "9" -> 1L, "5" -> 1L, "2" -> 1L))
+  }
+
+  test("benford: exact law data gives chi2 ~ 0, uniform digits do not") {
+    // counts proportional to log10(1+1/d) out of 1000
+    val law = (1 to 9).flatMap(d =>
+      Seq.fill((1000 * math.log10(1 + 1.0 / d)).round.toInt)(d * 100.0 + 1))
+    val chiLaw = DataQuality.benfordChi2(law.toDF("v"), "v")
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d * 10.0))
+    val chiUni = DataQuality.benfordChi2(uniform.toDF("v"), "v")
+    assert(chiLaw < 1.0 && chiUni > 100.0)
+  }
 }

@@ -375,4 +375,28 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(0L) == "la la la la") // countDistinct(doc) == 1 → not boilerplate
   }
+
+  test("pmi collocations: fused phrase beats independent words") {
+    // "new york" always co-occurs; "the cat"/"the dog" split "the"'s mass
+    val corpus = Seq(
+      (0L, "new york is big the cat sat"),
+      (1L, "new york is old the dog sat"),
+      (2L, "new york stays new the cat ran"),
+      (3L, "new york stays old the dog ran")).toDF("doc_id", "text")
+    val out = graft.llm.Collocations.pmiBigrams(corpus, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // hand check "new york": c_xy=4, c_x(new)=5, c_y(york)=4, N_uni=28, N_bi=24
+    val ny = out(("new", "york"))
+    assert(ny.getLong(2) == 4L && ny.getLong(3) == 5L && ny.getLong(4) == 4L)
+    assert(math.abs(ny.getDouble(5) - math.log(4.0 * 28 * 28 / (24.0 * 5 * 4))) < 1e-5)
+    // singleton bigrams ("is big") are pruned by minCount before the join
+    assert(!out.contains(("is", "big")))
+  }
+
+  test("pmi collocations: minCount prunes rare pairs before the join") {
+    val corpus = Seq((0L, "a b a b"), (1L, "c d")).toDF("doc_id", "text")
+    val out = graft.llm.Collocations.pmiBigrams(corpus, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.contains(("a", "b")) && !out.exists(_._1 == "c"))
+  }
 }
