@@ -2626,6 +2626,17 @@ object SparkEntry {
         .select(col("digit"), col("observed"),
           round(col("expected"), 6).as("expected"),
           round(col("chi2_part"), 6).as("chi2_part"))
+    },
+    // Isotonic calibration (Calibrate.isotonic): per-user monotone fit
+    // of purchase rate vs event value via PAVA; the oracle replays the
+    // fit through the INDEPENDENT minimax characterization
+    // max_{j<=i} min_{k>=i} mean(y_j..y_k) — same values from a
+    // different algorithm.
+    "q_isotonic" -> { (s, dir) =>
+      val ev = Sources.table(s, dir, "events")
+        .withColumn("y", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+      graft.operators.Calibrate.isotonic(ev, "user_id", "value", "y", "event_id")
+        .withColumn("fit", round(col("fit"), 8))
     }
   )
 
@@ -5915,6 +5926,27 @@ object SparkEntry {
         |SELECT digit, observed, round(expected, 6) AS expected,
         |  round((CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
         |    / expected, 6) AS chi2_part
-        |FROM sel""".stripMargin
+        |FROM sel""".stripMargin,
+    // minimax replay of the PAVA fit: fit_i = max_{j<=i} min_{k>=i}
+    // mean(cents_j..cents_k), suffix-min per j then max per i; the mean
+    // is the same two-step (CAST/100.0)/count double the operator emits
+    "q_isotonic" ->
+      """WITH base AS (SELECT user_id, value AS x, event_id AS ord,
+        |    CASE WHEN event_type = 'purchase' THEN 100 ELSE 0 END AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |s AS (SELECT *, SUM(cents) OVER
+        |    (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM base),
+        |p AS (SELECT a.user_id AS u, a.rn AS j, b.rn AS k,
+        |    (CAST(b.cum - a.cum + a.cents AS DOUBLE) / 100.0) / (b.rn - a.rn + 1) AS m
+        |  FROM s a JOIN s b ON a.user_id = b.user_id AND b.rn >= a.rn),
+        |sm AS (SELECT u, j, k, min(m) OVER
+        |    (PARTITION BY u, j ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        |  FROM p),
+        |fit AS (SELECT u, k AS rn, max(smin) AS f FROM sm GROUP BY 1, 2)
+        |SELECT b.user_id, b.x AS value, b.ord AS event_id,
+        |  CAST(b.cents AS DOUBLE) / 100.0 AS y, round(f.f, 8) AS fit
+        |FROM base b JOIN fit f ON f.u = b.user_id AND f.rn = b.rn""".stripMargin
   )
 }

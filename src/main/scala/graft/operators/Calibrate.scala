@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Monotone calibration: per-key isotonic regression by Pool-Adjacent-
+  * Violators (Ayer et al. 1955; Best & Chakravarti 1990) — the standard
+  * score→probability calibration fit (maps a model score to a
+  * nondecreasing empirical rate).
+  *
+  * Scale shape: PAVA is inherently sequential IN x-ORDER WITHIN A KEY —
+  * that is the algorithm, not a plan defect — so the operator
+  * distributes across keys (`groupByKey` → one sorted O(n·log n) pass
+  * per key, O(n) pooling with a block stack). Each key's history is
+  * bounded (one entity's observations), so per-task memory is bounded;
+  * there is exactly one Exchange (the key shuffle).
+  *
+  * Determinism: y is quantized to DECIMAL(18,2) cents (exact longs);
+  * block means materialize as `(cents.toDouble / 100.0) / count` —
+  * two correctly-rounded IEEE steps an external engine replays
+  * verbatim. Pooling compares block means EXACTLY via cross-multiplied
+  * long sums (no fp in the merge decision). The DuckDB oracle replays
+  * the fit through the independent minimax characterization
+  * `fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k)` — same values from a
+  * different algorithm is the strongest cross-check.
+  */
+object Calibrate {
+
+  /** Isotonic fit per `keyCol` (long-castable), ordered by
+    * (`xCol`, `ordCol`); `yCol` is quantized to cents. Returns
+    * (key, x, ord, y, fit) with fit nondecreasing in x within each key. */
+  def isotonic(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+               ordCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df.select(
+      col(keyCol).cast("long").as("k"),
+      col(xCol).cast("double").as("x"),
+      col(ordCol).cast("long").as("o"),
+      (col(yCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Double, Long, Long)]
+    prepped.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rows = it.toArray.sortBy(t => (t._2, t._3))
+      // block stack: (sumCents, count); merge while monotonicity violated
+      val sums = new Array[Long](rows.length)
+      val cnts = new Array[Long](rows.length)
+      var top = -1
+      rows.foreach { r =>
+        top += 1; sums(top) = r._4; cnts(top) = 1L
+        // prevMean > currMean  ⇔  prevSum·currCnt > currSum·prevCnt (exact)
+        while (top > 0 && sums(top - 1) * cnts(top) > sums(top) * cnts(top - 1)) {
+          sums(top - 1) += sums(top); cnts(top - 1) += cnts(top); top -= 1
+        }
+      }
+      // expand blocks back to rows in order
+      val fits = new Array[Double](rows.length)
+      var i = 0
+      for (b <- 0 to top) {
+        val fit = (sums(b).toDouble / 100.0) / cnts(b)
+        var c = 0L
+        while (c < cnts(b)) { fits(i) = fit; i += 1; c += 1 }
+      }
+      rows.iterator.zipWithIndex.map { case ((k, x, o, cents), idx) =>
+        (k, x, o, cents.toDouble / 100.0, fits(idx))
+      }
+    }.toDF(keyCol, xCol, ordCol, yCol, "fit")
+  }
+}

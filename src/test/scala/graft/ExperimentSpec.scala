@@ -69,4 +69,39 @@ class ExperimentSpec extends AnyFunSuite {
     assert(rows.last.getDouble(4) == 0.0)
     assert(math.abs(rows.head.getDouble(4) - 2.0 / 3.0) < 1e-12)
   }
+
+  test("isotonic: textbook pooling — violator pulls its neighbors to the mean") {
+    import graft.operators.Calibrate
+    // y = 1, 3, 2, 4: the (3,2) violation pools to 2.5; ends untouched
+    val df = Seq((0L, 1.0, 1L, 1.0), (0L, 2.0, 2L, 3.0), (0L, 3.0, 3L, 2.0), (0L, 4.0, 4L, 4.0))
+      .toDF("k", "x", "o", "y")
+    val fit = Calibrate.isotonic(df, "k", "x", "y", "o")
+      .orderBy("x").collect().map(_.getDouble(4)).toSeq
+    assert(fit == Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
+  test("isotonic: decreasing input pools to one grand-mean block") {
+    import graft.operators.Calibrate
+    val df = (1 to 5).map(i => (0L, i.toDouble, i.toLong, (6 - i).toDouble))
+      .toDF("k", "x", "o", "y")
+    val fit = Calibrate.isotonic(df, "k", "x", "y", "o")
+      .collect().map(_.getDouble(4)).toSet
+    assert(fit == Set(3.0))
+  }
+
+  test("isotonic: fit is nondecreasing per key and deterministic under repartition") {
+    import graft.operators.Calibrate
+    val rnd = (0 until 200).map { i =>
+      (i % 4L, (i * 37 % 97).toDouble, i.toLong, (i * 73 % 11).toDouble)
+    }
+    val a = Calibrate.isotonic(rnd.toDF("k", "x", "o", "y"), "k", "x", "y", "o")
+    val b = Calibrate.isotonic(rnd.toDF("k", "x", "o", "y").repartition(13), "k", "x", "y", "o")
+    val rows = a.orderBy("k", "x", "o").collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val fits = g.sortBy(r => (r.getDouble(1), r.getLong(2))).map(_.getDouble(4))
+      assert(fits.zip(fits.tail).forall { case (p, n) => p <= n })
+    }
+    assert(a.orderBy("k", "x", "o").collect().toSeq ==
+      b.orderBy("k", "x", "o").collect().toSeq)
+  }
 }
