@@ -2637,6 +2637,29 @@ object SparkEntry {
         .withColumn("y", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
       graft.operators.Calibrate.isotonic(ev, "user_id", "value", "y", "event_id")
         .withColumn("fit", round(col("fit"), 8))
+    },
+    // XML sitemap ingestion (Xml.sitemaps): StAX streaming parse over
+    // synthesized urlset blobs — entity unescaping (&amp; → &), lpad'd
+    // lastmod, list-indexed changefreq; docs ≡ 0 (mod 17) carry a
+    // truncated unclosed <url> whose good prefix (2 entries) survives.
+    // The oracle replays the closed-form field grammar.
+    "q_xml_sitemap" -> { (s, dir) =>
+      val d = col("doc_id")
+      def url(j: Int) = concat(
+        lit("<url><loc>https://ex.org/d"), d.cast(StringType), lit(s"/p$j?q=a&amp;v="),
+        d.cast(StringType), lit("</loc><lastmod>2024-01-"),
+        lpad(((d + j) % 28 + 1).cast(StringType), 2, "0"),
+        lit("</lastmod><changefreq>"),
+        element_at(array(lit("daily"), lit("weekly"), lit("monthly"), lit("never")),
+          ((d + j) % 4 + 1).cast("int")),
+        lit("</changefreq><priority>0."), ((d + j) % 10).cast(StringType),
+        lit("</priority></url>"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>"), url(0), url(1),
+        when(d % 17 === 0, lit("<url><loc>https://truncated"))
+          .otherwise(concat(url(2), lit("</urlset>"))))
+      graft.llm.Xml.sitemaps(
+        Sources.table(s, dir, "documents").select(d, xml.as("xml")), "doc_id", "xml")
     }
   )
 
@@ -5947,6 +5970,17 @@ object SparkEntry {
         |fit AS (SELECT u, k AS rn, max(smin) AS f FROM sm GROUP BY 1, 2)
         |SELECT b.user_id, b.x AS value, b.ord AS event_id,
         |  CAST(b.cents AS DOUBLE) / 100.0 AS y, round(f.f, 8) AS fit
-        |FROM base b JOIN fit f ON f.u = b.user_id AND f.rn = b.rn""".stripMargin
+        |FROM base b JOIN fit f ON f.u = b.user_id AND f.rn = b.rn""".stripMargin,
+    // closed-form sitemap field grammar; the truncated third entry of
+    // docs ≡ 0 (mod 17) never completes, so it is excluded
+    "q_xml_sitemap" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |j AS (SELECT id, unnest([0, 1, 2]) AS j FROM d)
+        |SELECT id AS media_id, CAST(j AS INT) AS url_idx,
+        |  'https://ex.org/d' || id || '/p' || j || '?q=a&v=' || id AS loc,
+        |  '2024-01-' || lpad(CAST((id + j) % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+        |  (['daily','weekly','monthly','never'])[CAST((id + j) % 4 + 1 AS INT)] AS changefreq,
+        |  '0.' || CAST((id + j) % 10 AS VARCHAR) AS priority
+        |FROM j WHERE NOT (id % 17 = 0 AND j = 2)""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.llm
+
+import java.io.StringReader
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions.col
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One parsed sitemap `<url>` entry (flattened for the DataFrame seam). */
+case class SitemapRow(media_id: Long, url_idx: Int, loc: String,
+                      lastmod: String, changefreq: String, priority: String)
+
+/** Pure-JVM XML sitemap reader (sitemaps.org protocol) — the crawl-
+  * frontier seed format: `<urlset>` of `<url>` entries with loc /
+  * lastmod / changefreq / priority children. StAX streaming parse (no
+  * DOM allocation proportional to the blob), entity references
+  * (&amp; &lt; …) decoded by the parser.
+  *
+  * Crawl-robust like [[Warc]]/[[Tar]]: a malformed blob yields its good
+  * PREFIX — every `<url>` entry fully closed before the first parse
+  * error is emitted, everything after is dropped (no throw). Hardened
+  * against XXE: DTDs and external entities are disabled, so a
+  * `<!DOCTYPE>` bomb or file-read entity is a parse error, not an
+  * expansion.
+  *
+  * Scale shape: one task parses one blob (flatMap over string payloads,
+  * no state, no shuffle); throughput linear in executors. */
+object Xml {
+
+  private def factory(): XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f
+  }
+
+  /** Parse one sitemap blob; malformed input returns the completed-entry
+    * prefix. */
+  def parseSitemap(mediaId: Long, xml: String): Seq[SitemapRow] = {
+    val out = ArrayBuffer.empty[SitemapRow]
+    try {
+      val r = factory().createXMLStreamReader(new StringReader(xml))
+      var inUrl = false
+      var loc, lastmod, changefreq, priority: String = null
+      var field: String = null
+      val sb = new StringBuilder
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "url" =>
+                inUrl = true; loc = null; lastmod = null; changefreq = null; priority = null
+              case n @ ("loc" | "lastmod" | "changefreq" | "priority") if inUrl =>
+                field = n; sb.setLength(0)
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (field != null) sb.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "url" if inUrl =>
+                out += SitemapRow(mediaId, out.length, loc, lastmod, changefreq, priority)
+                inUrl = false
+              case n if n == field =>
+                val v = sb.toString
+                field match {
+                  case "loc"        => loc = v
+                  case "lastmod"    => lastmod = v
+                  case "changefreq" => changefreq = v
+                  case "priority"   => priority = v
+                }
+                field = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      r.close()
+    } catch {
+      case _: Exception => // malformed tail: keep the good prefix
+    }
+    out.toSeq
+  }
+
+  /** DataFrame seam: `idCol` (long) + `xmlCol` (string blob) in, one row
+    * per completed `<url>` entry out. */
+  def sitemaps(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(xmlCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, xml) => parseSitemap(id, if (xml == null) "" else xml) }(
+        Encoders.product[SitemapRow])
+      .toDF()
+  }
+}

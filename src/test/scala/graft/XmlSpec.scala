@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Xml
+
+/** Sitemap StAX reader: entity decoding, CDATA, malformed-prefix
+  * recovery, optional-field nulls, and XXE hardening. */
+class XmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val head = """<?xml version="1.0" encoding="UTF-8"?><urlset>"""
+
+  test("entities and CDATA decode; fields land in the right columns") {
+    val xml = head +
+      "<url><loc>https://e.com/?a=1&amp;b=&lt;2&gt;</loc><lastmod>2024-02-01</lastmod>" +
+      "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+      "<url><loc><![CDATA[https://e.com/raw?x=1&y=2]]></loc></url></urlset>"
+    val rows = Xml.parseSitemap(7L, xml)
+    assert(rows.length == 2)
+    assert(rows(0).loc == "https://e.com/?a=1&b=<2>")
+    assert(rows(0).lastmod == "2024-02-01" && rows(0).priority == "0.8")
+    assert(rows(1).loc == "https://e.com/raw?x=1&y=2")
+    assert(rows(1).lastmod == null && rows(1).changefreq == null) // optional
+    assert(rows.map(_.url_idx) == Seq(0, 1))
+  }
+
+  test("malformed tail keeps the completed-entry prefix") {
+    val xml = head + "<url><loc>https://a</loc></url><url><loc>https://trunc"
+    val rows = Xml.parseSitemap(1L, xml)
+    assert(rows.map(_.loc) == Seq("https://a"))
+    assert(Xml.parseSitemap(2L, "not xml at all").isEmpty)
+    assert(Xml.parseSitemap(3L, "").isEmpty)
+  }
+
+  test("XXE is a parse error, not an expansion") {
+    val evil = """<?xml version="1.0"?><!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/passwd">]>""" +
+      "<urlset><url><loc>&x;</loc></url></urlset>"
+    // DTD disabled: nothing after the DOCTYPE is trusted — no entries,
+    // and certainly no file content
+    val rows = Xml.parseSitemap(1L, evil)
+    assert(rows.forall(r => r.loc == null || !r.loc.contains("root")))
+    assert(rows.isEmpty)
+  }
+
+  test("dataframe seam parses per-blob with no shuffle") {
+    val df = Seq((1L, head + "<url><loc>https://a</loc></url></urlset>"),
+      (2L, head + "<url><loc>https://b</loc></url><url><loc>https://c</loc></url></urlset>"))
+      .toDF("doc_id", "xml")
+    val out = Xml.sitemaps(df, "doc_id", "xml")
+    assert(out.count() == 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
