@@ -2660,6 +2660,37 @@ object SparkEntry {
           .otherwise(concat(url(2), lit("</urlset>"))))
       graft.llm.Xml.sitemaps(
         Sources.table(s, dir, "documents").select(d, xml.as("xml")), "doc_id", "xml")
+    },
+    // OHLC daily bars (Bars.timeBars): one hash aggregate — open/close
+    // ride as struct min/max, no per-key sort; decimal-exact sums.
+    "q_bars" -> { (s, dir) =>
+      graft.operators.Bars.timeBars(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", widthMicros = 86400000000L)
+    },
+    // Time-weighted average (Bars.twap): forward-gap weights in exact
+    // micros, last tick held to the bucket edge; Σ(v·w) is decimal.
+    "q_twap" -> { (s, dir) =>
+      graft.operators.Bars.twap(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", widthMicros = 86400000000L)
+    },
+    // Quantile winsorization (Robust.winsorize): discrete order-statistic
+    // bounds at ranks ceil(p·n) — actual data values, no interpolation —
+    // broadcast-joined back per key.
+    "q_winsorize" -> { (s, dir) =>
+      graft.operators.Robust.winsorize(Sources.table(s, dir, "events"),
+          "user_id", "value", "event_id", pLo = 0.05, pHi = 0.95)
+        .select(col("user_id"), col("event_id"), col("value"), col("clipped"))
+    },
+    // Per-key OLS trend (Forecast.olsTrend): decimal power sums on a
+    // re-based whole-second x axis (every decimal cast exact), one
+    // closed-form double expression per statistic.
+    "q_ols_trend" -> { (s, dir) =>
+      graft.operators.Forecast.olsTrend(Sources.table(s, dir, "events"),
+          "user_id", "ts", "value", epochBaseMicros = 1704067200000000L)
+        .select(col("key").as("user_id"), col("n"),
+          round(col("slope"), 8).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 8).as("r2"))
     }
   )
 
@@ -5981,6 +6012,62 @@ object SparkEntry {
         |  '2024-01-' || lpad(CAST((id + j) % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
         |  (['daily','weekly','monthly','never'])[CAST((id + j) % 4 + 1 AS INT)] AS changefreq,
         |  '0.' || CAST((id + j) % 10 AS VARCHAR) AS priority
-        |FROM j WHERE NOT (id % 17 = 0 AND j = 2)""".stripMargin
+        |FROM j WHERE NOT (id % 17 = 0 AND j = 2)""".stripMargin,
+    // first/last by rank replay the struct min/max open/close
+    "q_bars" ->
+      """WITH b AS (SELECT user_id AS key,
+        |    CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS bucket,
+        |    epoch_us(ts) AS t, event_id AS o, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |r AS (SELECT key, bucket, v,
+        |    row_number() OVER (PARTITION BY key, bucket ORDER BY t, o) AS rf,
+        |    row_number() OVER (PARTITION BY key, bucket ORDER BY t DESC, o DESC) AS rl FROM b)
+        |SELECT key, bucket,
+        |  CAST(MAX(CASE WHEN rf = 1 THEN v END) AS DOUBLE) AS open,
+        |  CAST(MAX(v) AS DOUBLE) AS high, CAST(MIN(v) AS DOUBLE) AS low,
+        |  CAST(MAX(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS close,
+        |  count(*) AS n_ticks, CAST(SUM(v) AS DOUBLE) AS vsum
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // identical forward-gap weights and decimal product sum
+    "q_twap" ->
+      """WITH b AS (SELECT user_id AS key,
+        |    CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS bucket,
+        |    epoch_us(ts) AS t, event_id AS o, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |l AS (SELECT *, COALESCE(lead(t) OVER (PARTITION BY key, bucket ORDER BY t, o),
+        |    (bucket + 1) * 86400000000) - t AS w FROM b)
+        |SELECT key, bucket,
+        |  CAST(SUM(CAST(v * w AS DECIMAL(38,2))) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS twap,
+        |  count(*) AS n_ticks
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    // discrete quantile bounds at rank ceil(p*n), clamp joined per key
+    "q_winsorize" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rr,
+        |    count(*) OVER (PARTITION BY user_id) AS n FROM events),
+        |bounds AS (SELECT user_id AS k,
+        |    MAX(CASE WHEN rr = GREATEST(CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT), 1) THEN value END) AS lo,
+        |    MAX(CASE WHEN rr = GREATEST(CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT), 1) THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.user_id, r.event_id, r.value,
+        |  LEAST(GREATEST(r.value, b.lo), b.hi) AS clipped
+        |FROM r JOIN bounds b ON b.k = r.user_id""".stripMargin,
+    // identical decimal power sums and closed-form algebra
+    "q_ols_trend" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor((epoch_us(ts) - 1704067200000000)/1000000.0) AS DECIMAL(18,0)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y FROM events),
+        |s AS (SELECT user_id, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x*x AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(y*y AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(x*y AS DECIMAL(38,4))) AS sxy
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT user_id, n,
+        |    CAST(sxy*n - sx*sy AS DOUBLE) AS cxy, CAST(sxx*n - sx*sx AS DOUBLE) AS cxx,
+        |    CAST(syy*n - sy*sy AS DOUBLE) AS cyy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd FROM s)
+        |SELECT user_id, n,
+        |  round(CASE WHEN cxx <> 0 THEN cxy/cxx END, 8) AS slope,
+        |  round(CASE WHEN cxx <> 0 THEN (syd - cxy/cxx*sxd)/CAST(n AS DOUBLE) END, 6) AS intercept,
+        |  round(CASE WHEN cxx <> 0 AND cyy <> 0 THEN cxy*cxy/(cxx*cyy) END, 8) AS r2
+        |FROM f""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tick→bar resampling: OHLC time bars and time-weighted averages — the
+  * standard downsampling step between a raw tick stream and any
+  * bar-based analytics (reference: csp rolling stats consume ticks;
+  * bar construction is the batch twin of its interval sampling,
+  * `csp/baselib.py` sample/timer composition).
+  *
+  * Scale shape: [[timeBars]] is ONE hash aggregate keyed on
+  * (key, bucket) — open/close ride as (ts, ord, value)-struct min/max
+  * so no per-key sort or window is needed; map-side partials apply.
+  * [[twap]] needs each tick's forward gap, so it pays exactly one
+  * per-key window sort, then the same map-side-combinable aggregate.
+  * Value sums go through DECIMAL (order-independent) with ONE closing
+  * double division.
+  */
+object Bars {
+
+  /** OHLC bars of `widthMicros`: one row per (key, bucket) with open /
+    * high / low / close (first/last by (ts, ord)), tick count and the
+    * decimal-exact value sum (as double). `bucket` is epoch micros
+    * divided by width, floored. */
+  def timeBars(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+               valueCol: String, widthMicros: Long): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val v = col(valueCol).cast("decimal(18,2)")
+    df.select(col(keyCol).as("key"), floor(t / lit(widthMicros.toDouble)).as("bucket"),
+        t.as("t"), col(ordCol).as("o"), v.as("v"))
+      .groupBy("key", "bucket")
+      .agg(
+        min(struct(col("t"), col("o"), col("v"))).getField("v").as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(struct(col("t"), col("o"), col("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_ticks"), sum(col("v")).as("vsum"))
+      .select(col("key"), col("bucket"),
+        col("open").cast("double").as("open"), col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"), col("close").cast("double").as("close"),
+        col("n_ticks"), col("vsum").cast("double").as("vsum"))
+  }
+
+  /** Time-weighted average per (key, bucket): each tick's value holds
+    * from its timestamp to the NEXT tick in the same bucket (the last
+    * tick holds to the bucket's right edge) — the piecewise-constant
+    * integral divided by covered time, starting at the first tick.
+    * Weights are exact micros longs; Σ(v·w) is a DECIMAL sum. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+           valueCol: String, widthMicros: Long): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val base = df.select(col(keyCol).as("key"),
+      floor(t / lit(widthMicros.toDouble)).as("bucket"),
+      t.as("t"), col(ordCol).as("o"), col(valueCol).cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy("key", "bucket").orderBy("t", "o")
+    base
+      .withColumn("w",
+        coalesce(lead(col("t"), 1).over(w), (col("bucket") + 1) * lit(widthMicros)) - col("t"))
+      .groupBy("key", "bucket")
+      .agg(((sum((col("v") * col("w")).cast("decimal(38,2)")).cast("double")) /
+        sum(col("w")).cast("double")).as("twap"), count(lit(1)).as("n_ticks"))
+  }
+}

@@ -71,4 +71,37 @@ object Forecast {
       .select(col(keyCol), col("pos"), col("n"),
         ((col("__sx") * period - col("__ssw")).cast("double") / (col("n") * period)).as("seasonal"))
   }
+
+  /** Per-key OLS trend — slope/intercept/R² of value against elapsed
+    * seconds since `epochBaseMicros`. ONE hash aggregate of decimal
+    * power sums (Σx, Σy, Σxx, Σyy, Σxy — order-independent, map-side
+    * combinable), then each statistic is a single closed-form double
+    * expression over them; an external engine replays the identical
+    * algebra. The x axis is re-based so x² stays inside DECIMAL(38,4)
+    * at any corpus span (raw epoch micros squared would not). Degenerate
+    * keys (constant x or y) yield nulls, not division errors. */
+  def olsTrend(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               epochBaseMicros: Long): DataFrame = {
+    // whole seconds: x², x·y, y² then carry ≤ 4 decimals — every DECIMAL
+    // cast below is EXACT (no rounding-mode divergence between engines)
+    val x = floor((unix_micros(col(tsCol)) - epochBaseMicros).cast("double") / lit(1000000.0))
+      .cast("decimal(18,0)")
+    val y = col(valCol).cast("decimal(18,2)")
+    val n = col("n").cast("double")
+    val sxy = (col("sxy") * col("n") - col("sx") * col("sy")).cast("double")
+    val sxx = (col("sxx") * col("n") - col("sx") * col("sx")).cast("double")
+    val syy = (col("syy") * col("n") - col("sy") * col("sy")).cast("double")
+    df.select(col(keyCol).as("key"), x.as("x"), y.as("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,4)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"))
+      .select(col("key"), col("n"),
+        when(sxx =!= 0.0, sxy / sxx).as("slope"),
+        when(sxx =!= 0.0,
+          (col("sy").cast("double") - sxy / sxx * col("sx").cast("double")) / n).as("intercept"),
+        when(sxx =!= 0.0 && syy =!= 0.0, sxy * sxy / (sxx * syy)).as("r2"))
+  }
 }

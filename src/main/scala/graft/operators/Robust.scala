@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group feature conditioning: quantile winsorization — the
+  * standard outlier clamp before training-statistics or model fits
+  * (cap each value at its group's [pLo, pHi] empirical quantiles).
+  *
+  * Uses the DISCRETE (order-statistic) quantile — value at rank
+  * ⌈p·n⌉ in (value, ord) order — not an interpolated one: the bound is
+  * then an actual data value, ties are broken deterministically, and an
+  * external engine replays it from the same rank arithmetic with no fp
+  * interpolation to drift.
+  *
+  * Scale shape: one per-key window sort assigns ranks, a conditional
+  * aggregate extracts the two bound rows per key (map-side combinable),
+  * and the bounds join back ON THE KEY — the bounds table has one row
+  * per key, so the join broadcasts at any realistic key cardinality.
+  */
+object Robust {
+
+  /** Appends `clipped` = value clamped to the group's [pLo, pHi]
+    * discrete quantiles. */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String, ordCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"need 0 <= pLo < pHi <= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col(valueCol), col(ordCol))
+    val ranked = df.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+    val loRank = greatest(ceil(lit(pLo) * col("__n").cast("double")), lit(1L))
+    val hiRank = greatest(ceil(lit(pHi) * col("__n").cast("double")), lit(1L))
+    val bounds = ranked.groupBy(col(keyCol).as("__k"))
+      .agg(max(when(col("__r") === loRank, col(valueCol))).as("__lo"),
+           max(when(col("__r") === hiRank, col(valueCol))).as("__hi"))
+    ranked.join(broadcast(bounds), col(keyCol) === col("__k"))
+      .withColumn("clipped", least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__r", "__n", "__k", "__lo", "__hi")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bars, Forecast, Robust}
+
+/** Tick→bar resampling, TWAP, winsorization and OLS-trend goldens. */
+class ResampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("timeBars: OHLC first/last by time with ord tie-break") {
+    val df = Seq(
+      (1L, ts(10), 1L, 5.0), (1L, ts(20), 2L, 9.0),
+      (1L, ts(30), 3L, 2.0), (1L, ts(40), 4L, 7.0),
+      (1L, ts(40), 5L, 6.0), // same ts as 4: ord decides close
+      (2L, ts(15), 6L, 3.0)).toDF("k", "t", "o", "v")
+    val out = Bars.timeBars(df, "k", "t", "o", "v", widthMicros = 60L * 1000000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b1 = out(1L)
+    assert(b1.getDouble(2) == 5.0 && b1.getDouble(3) == 9.0) // open, high
+    assert(b1.getDouble(4) == 2.0 && b1.getDouble(5) == 6.0) // low, close
+    assert(b1.getLong(6) == 5L && b1.getDouble(7) == 29.0)   // n, vsum
+    assert(out(2L).getDouble(2) == 3.0 && out(2L).getDouble(5) == 3.0)
+  }
+
+  test("twap: piecewise-constant integral, last tick held to bucket edge") {
+    // bucket [0, 60s): v=10 on [10,40), v=20 on [40,60) → (10*30+20*20)/50
+    val df = Seq((1L, ts(10), 1L, 10.0), (1L, ts(40), 2L, 20.0)).toDF("k", "t", "o", "v")
+    val out = Bars.twap(df, "k", "t", "o", "v", 60L * 1000000).head
+    assert(math.abs(out.getDouble(2) - (10.0 * 30 + 20.0 * 20) / 50) < 1e-12)
+    assert(out.getLong(3) == 2L)
+  }
+
+  test("winsorize: values clamp to the rank-ceil(p*n) order statistics") {
+    val df = (1 to 20).map(i => (1L, i.toDouble, i.toLong)).toDF("k", "v", "o")
+    val out = Robust.winsorize(df, "k", "v", "o", 0.10, 0.90)
+      .collect().map(r => r.getDouble(1) -> r.getAs[Double]("clipped")).toMap
+    // lo rank = ceil(2)=2 → 2.0 ; hi rank = ceil(18)=18 → 18.0
+    assert(out(1.0) == 2.0 && out(2.0) == 2.0)
+    assert(out(19.0) == 18.0 && out(20.0) == 18.0)
+    assert(out(10.0) == 10.0) // interior untouched
+  }
+
+  test("olsTrend: exact line recovers slope/intercept with r2 = 1") {
+    val base = 1704067200000000L
+    val df = (0 until 10).map { i =>
+      (1L, new Timestamp(base / 1000 + i * 1000L), 2.0 * i + 1.0)
+    }.toDF("k", "t", "v")
+    val r = Forecast.olsTrend(df, "k", "t", "v", base).head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-10)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("olsTrend: constant series yields null slope, not a division error") {
+    val base = 1704067200000000L
+    val df = Seq((1L, new Timestamp(base / 1000), 5.0), (1L, new Timestamp(base / 1000), 5.0))
+      .toDF("k", "t", "v")
+    val r = Forecast.olsTrend(df, "k", "t", "v", base).head
+    assert(r.isNullAt(r.fieldIndex("slope")) && r.isNullAt(r.fieldIndex("r2")))
+  }
+
+  test("timeBars plans a single aggregate exchange (no window sort)") {
+    val df = Seq((1L, ts(10), 1L, 5.0)).toDF("k", "t", "o", "v")
+    val plan = Bars.timeBars(df, "k", "t", "o", "v", 60000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bars must not need a window sort")
+  }
+}
