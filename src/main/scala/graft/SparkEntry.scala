@@ -2691,6 +2691,22 @@ object SparkEntry {
           round(col("slope"), 8).as("slope"),
           round(col("intercept"), 6).as("intercept"),
           round(col("r2"), 8).as("r2"))
+    },
+    // HyperLogLog distinct orders per supplier (Hll.estimate, p=8):
+    // MD5/bin() register construction an external engine replays
+    // bit-for-bit — the oracle reruns the FULL estimator (registers,
+    // dyadic decimal sum, linear-counting correction) and the exact
+    // distinct count rides along for the relative-error readout.
+    "q_hll" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+      val est = graft.operators.Hll.estimate(
+        li.select(col("l_suppkey"), col("l_orderkey")), "l_suppkey", "l_orderkey", p = 8)
+      val exact = li.groupBy(col("l_suppkey").as("g"))
+        .agg(count_distinct(col("l_orderkey")).as("exact"))
+      est.join(exact, "g")
+        .select(col("g").as("l_suppkey"), col("zeros"),
+          round(col("est"), 4).as("est"), col("exact"),
+          round(abs(col("est") / col("exact").cast("double") - 1.0), 6).as("rel_err"))
     }
   )
 
@@ -6068,6 +6084,14 @@ object SparkEntry {
         |  round(CASE WHEN cxx <> 0 THEN cxy/cxx END, 8) AS slope,
         |  round(CASE WHEN cxx <> 0 THEN (syd - cxy/cxx*sxd)/CAST(n AS DOUBLE) END, 6) AS intercept,
         |  round(CASE WHEN cxx <> 0 AND cyy <> 0 THEN cxy*cxy/(cxx*cyy) END, 8) AS r2
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // full-estimator replay generated by the SAME code as the plan
+    "q_hll" ->
+      s"""WITH est AS (${graft.operators.Hll.estimateSql("lineitem", "l_suppkey", "l_orderkey", p = 8)}),
+         |ex AS (SELECT l_suppkey AS g, count(DISTINCT l_orderkey) AS exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT est.g AS l_suppkey, est.zeros, round(est.est, 4) AS est, ex.exact,
+         |  round(abs(est.est / CAST(ex.exact AS DOUBLE) - 1.0), 6) AS rel_err
+         |FROM est JOIN ex ON ex.g = est.g""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog approximate distinct counting (Flajolet et al. 2007) —
+  * the mergeable cardinality sketch behind every warehouse
+  * `APPROX COUNT DISTINCT`, built here so the sketch itself is a
+  * DataFrame an engine can checkpoint, union and re-aggregate (register
+  * tables merge by elementwise MAX — a plain `groupBy.max`, so partial
+  * sketches combine map-side and across days/partitions for free).
+  *
+  * Unlike the built-in `approx_count_distinct` (whose xxhash64+dense
+  * encoding no external engine replays), the hash is the low 60 bits of
+  * MD5 and the rank uses `length(bin(x))` — exact string/bit ops every
+  * SQL engine has — so estimates are BIT-REPRODUCIBLE anywhere and the
+  * DuckDB oracle checks the full estimator, not just "close enough".
+  * MD5 costs more per row than xxhash64; at 100 TB prefer the built-in
+  * inside one engine and THIS construction at engine boundaries
+  * (sketch exchange with external systems, auditability).
+  *
+  * Scale: one hash aggregate to ≤ 2^p rows per group; estimation is
+  * closed-form over the register table. Σ2^(60−M_j) accumulates in
+  * DECIMAL — exact integers, order-independent (a double sum of dyadics
+  * would round and make the estimate partitioning-dependent).
+  */
+object Hll {
+
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Register table: one row per (group, bucket) with the max rank —
+    * the mergeable sketch state (merge = union + groupBy max). */
+  def registers(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "need 4 <= p <= 16")
+    val width = 60 - p
+    val h = hash60(col(keyCol))
+    val rest = h.bitwiseAND(lit((1L << width) - 1))
+    val rho = when(rest === 0, lit(width + 1))
+      .otherwise(lit(width) - length(bin(rest)) + 1)
+    df.select(col(grpCol).as("g"), shiftright(h, width).as("bucket"), rho.as("rho"))
+      .groupBy("g", "bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** Cardinality estimate per group, with the standard small-range
+    * linear-counting correction. */
+  def estimate(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val md = lit(m.toDouble)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / md)
+    registers(df, grpCol, keyCol, p)
+      .groupBy("g")
+      .agg(count(lit(1)).as("filled"),
+        sum(pow(lit(2.0), lit(60) - col("rho")).cast("decimal(38,0)")).as("ssum"))
+      .select(col("g"),
+        (lit(m.toLong) - col("filled")).as("zeros"),
+        // Σ2^(60−M): absent registers have M=0 and contribute 2^60 each
+        (col("ssum") + (lit(m.toLong) - col("filled")).cast("decimal(38,0)") *
+          pow(lit(2.0), lit(60)).cast("decimal(38,0)")).as("total"))
+      .select(col("g"), col("zeros"),
+        (alpha * md * md * pow(lit(2.0), lit(60)) / col("total").cast("double")).as("raw"))
+      .select(col("g"), col("zeros"),
+        when(col("raw") <= lit(2.5) * md && col("zeros") > 0,
+          md * log(md / col("zeros").cast("double"))).otherwise(col("raw")).as("est"))
+  }
+
+  /** The estimator as DuckDB SQL over `table(gExpr, kExpr)` — generated
+    * beside the Spark plan so hash, rank and correction cannot drift. */
+  def estimateSql(table: String, gExpr: String, kExpr: String, p: Int): String = {
+    val m = 1 << p
+    val width = 60 - p
+    val mask = (1L << width) - 1
+    s"""WITH h AS (SELECT $gExpr AS g,
+       |    CAST(concat('0x', substr(md5(CAST($kExpr AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM $table),
+       |r AS (SELECT g, hv >> $width AS bucket,
+       |    CASE WHEN (hv & $mask) = 0 THEN ${width + 1}
+       |         ELSE $width - length(bin(hv & $mask)) + 1 END AS rho FROM h),
+       |reg AS (SELECT g, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+       |agg AS (SELECT g, count(*) AS filled,
+       |    SUM(CAST(pow(2.0, 60 - rho) AS DECIMAL(38,0))) AS ssum FROM reg GROUP BY 1),
+       |est AS (SELECT g, $m - filled AS zeros,
+       |    (0.7213/(1.0 + 1.079/$m.0)) * $m.0 * $m.0 * pow(2.0, 60)
+       |      / CAST(ssum + CAST($m - filled AS DECIMAL(38,0))
+       |                    * CAST(pow(2.0, 60) AS DECIMAL(38,0)) AS DOUBLE) AS raw
+       |  FROM agg)
+       |SELECT g, zeros, CASE WHEN raw <= 2.5*$m.0 AND zeros > 0
+       |  THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE)) ELSE raw END AS est
+       |FROM est""".stripMargin
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Hll
+
+/** HyperLogLog: mergeability (the property that makes it a sketch, not
+  * just an estimate), accuracy, and duplicate-insensitivity. */
+class HllSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("registers merge by elementwise max: sketch(A ∪ B) = merge(sketch A, sketch B)") {
+    val a = (0 until 500).map(i => ("g", s"k$i")).toDF("g", "k")
+    val b = (300 until 900).map(i => ("g", s"k$i")).toDF("g", "k")
+    val direct = Hll.registers(a.union(b), "g", "k", p = 6)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val merged = Hll.registers(a, "g", "k", 6).union(Hll.registers(b, "g", "k", 6))
+      .groupBy("g", "bucket").agg(max("rho").as("rho"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(direct == merged)
+  }
+
+  test("estimate lands within 3 standard errors; duplicates don't move it") {
+    val base = (0 until 2000).map(i => ("g", s"key-$i"))
+    val dups = base ++ base ++ base.take(700)
+    val est1 = Hll.estimate(base.toDF("g", "k"), "g", "k", p = 8).head.getAs[Double]("est")
+    val est2 = Hll.estimate(dups.toDF("g", "k"), "g", "k", p = 8).head.getAs[Double]("est")
+    assert(est1 == est2) // cardinality sketch ignores multiplicity
+    assert(math.abs(est1 - 2000) < 3 * 1.04 / math.sqrt(256) * 2000)
+  }
+
+  test("small range uses linear counting: tiny sets are near-exact") {
+    val tiny = (0 until 12).map(i => ("g", s"x$i")).toDF("g", "k")
+    val est = Hll.estimate(tiny, "g", "k", p = 8).head.getAs[Double]("est")
+    assert(math.abs(est - 12.0) < 1.0)
+  }
+}
