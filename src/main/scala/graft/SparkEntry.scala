@@ -1982,6 +1982,21 @@ object SparkEntry {
           col("sum_v").cast("double").as("sum_v"),
           (col("sum_v").cast("double") / col("n")).as("mean_v"))
     },
+    // Streaming-surface OHLC bars (WindowedAggs.barsFrame): the SAME
+    // frame code runs batch here and under a watermark in the
+    // StreamingSpec twin; open/close are struct extrema (one mergeable
+    // aggregate, no sort).
+    "q_window_bars" -> { (s, dir) =>
+      val ticks = ev(s, dir).df.select(col(Tick.KEY),
+        expr("tsNanos div 1000").as("tsMicros"), col("seq").as("ord"),
+        col(Tick.VALUE).cast("decimal(30,2)").as(Tick.VALUE))
+      graft.streaming.WindowedAggs.barsFrame(ticks, "1 day")
+        .select(col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col("w_start")).as("w_start_us"),
+          col("open").cast("double").as("open"), col("high").cast("double").as("high"),
+          col("low").cast("double").as("low"), col("close").cast("double").as("close"),
+          col("n_ticks"), col("vsum").cast("double").as("vsum"))
+    },
     // Sliding: each event lands in len/slide = 4 overlapping windows;
     // the oracle unnests the same start set per row.
     "q_window_sliding" -> { (s, dir) =>
@@ -5235,6 +5250,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS mean_v
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_bars" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id AS o,
+        |    CAST(value AS DECIMAL(30,2)) AS v,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS w_start_us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, w_start_us ORDER BY t, o) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, w_start_us ORDER BY t DESC, o DESC) AS rl FROM b)
+        |SELECT user_id, w_start_us,
+        |  CAST(MAX(CASE WHEN rf = 1 THEN v END) AS DOUBLE) AS open,
+        |  CAST(MAX(v) AS DOUBLE) AS high, CAST(MIN(v) AS DOUBLE) AS low,
+        |  CAST(MAX(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS close,
+        |  count(*) AS n_ticks, CAST(SUM(v) AS DOUBLE) AS vsum
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_window_sliding" ->
       """SELECT user_id, w_start_us, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v

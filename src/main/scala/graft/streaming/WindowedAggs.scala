@@ -36,6 +36,23 @@ object WindowedAggs {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
       .select(col("key"), col("window.start").as("w_start"), col("n"), col("sum_v"))
 
+  /** Streaming OHLC bar builder — tumbling twin of `Bars.timeBars`
+    * (same open/close-as-struct-extrema trick): the whole bar is ONE
+    * incremental, mergeable aggregate — no per-key sort, no arbitrary
+    *-state operator — so bars build across micro-batches and the
+    * watermark closes them. Input frame: (key, tsMicros, ord, value). */
+  def barsFrame(ticks: DataFrame, windowLen: String,
+                watermarkDelay: String = "0 seconds"): DataFrame =
+    withEventTime(ticks, watermarkDelay)
+      .groupBy(col("key"), window(col("eventTime"), windowLen))
+      .agg(
+        min(struct(col("tsMicros"), col("ord"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("tsMicros"), col("ord"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n_ticks"), sum(col("value")).as("vsum"))
+      .select(col("key"), col("window.start").as("w_start"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks"), col("vsum"))
+
   def sessionFrame(ticks: DataFrame, gap: String,
                    watermarkDelay: String = "0 seconds"): DataFrame =
     withEventTime(ticks, watermarkDelay)

@@ -510,4 +510,31 @@ class StreamingSpec extends AnyFunSuite {
     assertParity("flagship_ema_tws", batchEma,
       run("flagship_ema_tws", TwsOps.scanTws2(_, emaStep)))
   }
+
+  test("batch≡stream parity: OHLC bar builder (barsFrame) across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.WindowedAggs
+    implicit val sq = spark.sqlContext
+    import sq.sparkSession.implicits._
+    // ticks straddle three 10s bars per key; ord breaks a same-ts tie
+    val rows = (0 until 120).map { i =>
+      TickRow(s"u${i % 3}", i.toLong * 500000L + 7, i.toLong, ((i * 37) % 100) / 4.0)
+    } :+ TickRow("u0", 59500007L, 999L, -5.0) // same ts as i=119's slot owner
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("tsMicros"), col("seq").as("ord"),
+        col("value").cast("decimal(30,2)").as("value"))
+    def canon(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.toSeq.drop(2)).toMap
+    val batch = canon(WindowedAggs.barsFrame(frame(rows.toDF()), "10 seconds").collect())
+    val mem = MemoryStream[TickRow]
+    val q = WindowedAggs.barsFrame(frame(mem.toDS().toDF()), "10 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("bars_par")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(30).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = canon(spark.table("bars_par").collect())
+    q.stop()
+    assert(stream == batch)
+    // a bar that accumulated over >1 micro-batch still has first-tick open
+    assert(batch.nonEmpty && stream.size == batch.size)
+  }
 }
