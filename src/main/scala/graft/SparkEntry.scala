@@ -2722,6 +2722,21 @@ object SparkEntry {
         .select(col("g").as("l_suppkey"), col("zeros"),
           round(col("est"), 4).as("est"), col("exact"),
           round(abs(col("est") / col("exact").cast("double") - 1.0), 6).as("rel_err"))
+    },
+    // Dynamic time warping (Dtw.pairDistances): per-user daily-spend
+    // series, adjacent-user candidate pairs, ALL-INTEGER cents DP in a
+    // native codegen'd expression; the oracle replays the same
+    // recurrence as an anti-diagonal recursive CTE — an independent
+    // formulation of the DP.
+    "q_dtw" -> { (s, dir) =>
+      val evd = Sources.table(s, dir, "events")
+      val daily = evd.groupBy(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(86400000000.0)).as("d"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      val users = daily.select(col("user_id")).distinct
+      val pairs = users.select(col("user_id").as("ka"))
+        .join(users.select(col("user_id").as("kb")), col("kb") === col("ka") + 1)
+      graft.operators.Dtw.pairDistances(daily, "user_id", "d", "v", pairs, band = 64)
     }
   )
 
@@ -6119,6 +6134,36 @@ object SparkEntry {
          |  FROM lineitem GROUP BY 1)
          |SELECT est.g AS l_suppkey, est.zeros, round(est.est, 4) AS est, ex.exact,
          |  round(abs(est.est / CAST(ex.exact AS DOUBLE) - 1.0), 6) AS rel_err
-         |FROM est JOIN ex ON ex.g = est.g""".stripMargin
+         |FROM est JOIN ex ON ex.g = est.g""".stripMargin,
+    // anti-diagonal recursive-CTE replay of the integer DTW recurrence:
+    // lo(t) = max(0, t - m + 1); cur/prev are the last two diagonals
+    "q_dtw" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT user_id, CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT user_id, list(c ORDER BY d) AS s FROM daily GROUP BY 1),
+        |pr AS (SELECT a.user_id AS ka, b.user_id AS kb, a.s AS sa, b.s AS sb,
+        |    len(a.s) AS n, len(b.s) AS m
+        |  FROM ser a JOIN ser b ON b.user_id = a.user_id + 1),
+        |dp AS (
+        |  SELECT ka, kb, sa, sb, n, m, 0 AS d, [abs(sa[1] - sb[1])] AS cur,
+        |    CAST([] AS BIGINT[]) AS prev
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT ka, kb, sa, sb, n, m, d + 1,
+        |    list_transform(range(greatest(0, d + 2 - m), least(d + 1, n - 1) + 1), i ->
+        |      abs(sa[i + 1] - sb[d + 2 - i]) + least(
+        |        coalesce(CASE WHEN i - 1 >= greatest(0, d + 1 - m) AND i - 1 <= least(d, n - 1)
+        |          THEN cur[CAST(i - 1 - greatest(0, d + 1 - m) + 1 AS INT)] END, 4611686018427387904),
+        |        coalesce(CASE WHEN i >= greatest(0, d + 1 - m) AND i <= least(d, n - 1) AND d - i >= 0
+        |          THEN cur[CAST(i - greatest(0, d + 1 - m) + 1 AS INT)] END, 4611686018427387904),
+        |        coalesce(CASE WHEN d >= 1 AND i - 1 >= greatest(0, d - m) AND i - 1 <= least(d - 1, n - 1) AND d - i >= 0
+        |          THEN prev[CAST(i - 1 - greatest(0, d - m) + 1 AS INT)] END, 4611686018427387904))),
+        |    cur
+        |  FROM dp WHERE d < n + m - 2)
+        |SELECT ka, kb, CAST(n AS INT) AS n, CAST(m AS INT) AS m,
+        |  cur[CAST(len(cur) AS INT)] AS dtw_cents
+        |FROM dp WHERE d = n + m - 2""".stripMargin
   )
 }

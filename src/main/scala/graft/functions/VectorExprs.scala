@@ -419,6 +419,46 @@ object TextKernels {
 }
 
 
+/** JVM kernel for [[VectorExprs.DtwExpr]] — dynamic time warping over
+  * integer (cents) series. All-integer DP: weights are |a_i − b_j| longs
+  * and the recurrence takes exact mins, so the distance is deterministic
+  * under any evaluation order and an external engine replays it exactly.
+  * Two rolling rows → O(min-band) memory; `band` is the Sakoe-Chiba
+  * half-width (pass ≥ max(n,m) for the unconstrained distance — at
+  * scale a tight band turns the O(n·m) cell count into O(n·band)). */
+object SeriesKernels {
+  private final val Inf = Long.MaxValue / 4
+
+  /** Returns −1 when either series is empty or the band is narrower than
+    * |n − m| (no monotone path exists inside it). */
+  def dtwCents(a: ArrayData, b: ArrayData, band: Int): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return if (n == m) 0L else -1L
+    if (math.abs(n - m) > band) return -1L
+    var prev = Array.fill(m + 1)(Inf)
+    var cur = Array.fill(m + 1)(Inf)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, Inf)
+      val ai = a.getLong(i - 1)
+      var j = math.max(1, i - band)
+      val jHi = math.min(m, i + band)
+      while (j <= jHi) {
+        val w = math.abs(ai - b.getLong(j - 1))
+        var best = prev(j) // (i-1, j)
+        if (cur(j - 1) < best) best = cur(j - 1) // (i, j-1)
+        if (prev(j - 1) < best) best = prev(j - 1) // (i-1, j-1)
+        cur(j) = w + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) >= Inf) -1L else prev(m)
+  }
+}
+
 object VectorExprs {
 
   @inline private def mix64(z0: Long): Long = {
@@ -504,6 +544,30 @@ object VectorExprs {
 
   /** Native Jaro–Winkler scalar (kernel: [[TextKernels.jaroWinkler]]),
     * full codegen. */
+  /** DTW distance in cents (kernel: [[SeriesKernels.dtwCents]]); full
+    * codegen — the DP loop runs inside WholeStageCodegen via the static
+    * forwarder. −1 encodes "no path" (empty input / band too narrow). */
+  case class DtwExpr(left: Expression, right: Expression, band: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dtw_cents requires array<bigint> inputs, got ${l.catalogString}, ${r.catalogString}")
+      }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      SeriesKernels.dtwCents(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], band)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SeriesKernels.dtwCents($a, $b, $band)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   case class JaroWinklerExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -964,6 +1028,8 @@ object VectorExprs {
     column(CdcCutsExpr(expression(s), seed, mask, minLen, maxLen))
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinklerExpr(expression(a), expression(b)))
+  def dtwCents(a: Column, b: Column, band: Int): Column =
+    column(DtwExpr(expression(a), expression(b), band))
   def unitDraw(id: Column, seed: Long): Column = column(UnitDraw(expression(id), seed))
   def capGate(c: Column, cap: Int, dropped: org.apache.spark.util.LongAccumulator,
               maxSeen: MaxAccumulator): Column =

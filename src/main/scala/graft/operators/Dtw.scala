@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dynamic time warping between per-key series (Sakoe & Chiba, IEEE
+  * TASSP 1978) — the elastic time-series distance (similar shapes,
+  * shifted/stretched in time, score close; Euclidean would not).
+  *
+  * Determinism: values quantize to DECIMAL(18,2) cents, so the DP is
+  * ALL-INTEGER — the distance is a single exact long an external engine
+  * replays (the oracle runs the same recurrence as an anti-diagonal
+  * recursive CTE — an independent formulation of the same DP).
+  *
+  * Scale shape: series materialize once per key via ONE hash aggregate
+  * (collect_list → array_sort — per-key memory bounded by one entity's
+  * history, the same bound every per-key operator here carries); the
+  * pairs table then joins the series table TWICE ON KEY; the O(n·m)
+  * kernel runs inside WholeStageCodegen per pair. Cost scales with
+  * |pairs|, not |keys|² — the caller controls candidate pairs (blocking,
+  * kNN prefilter); `band` cuts each pair to O(n·band). */
+object Dtw {
+
+  /** Ordered cents series per key: (k, s array<long>). */
+  def series(df: DataFrame, keyCol: String, ordCol: String, valueCol: String): DataFrame =
+    df.select(col(keyCol).as("k"),
+        struct(col(ordCol).cast("long").as("o"),
+          (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c")).as("p"))
+      .groupBy("k")
+      .agg(transform(array_sort(collect_list(col("p"))), x => x.getField("c")).as("s"))
+
+  /** DTW distance for each (ka, kb) candidate pair; `dtw_cents` = −1
+    * when no banded path exists. */
+  def pairDistances(df: DataFrame, keyCol: String, ordCol: String, valueCol: String,
+                    pairs: DataFrame, band: Int): DataFrame = {
+    val ser = series(df, keyCol, ordCol, valueCol)
+    val a = ser.select(col("k").as("ka"), col("s").as("sa"))
+    val b = ser.select(col("k").as("kb"), col("s").as("sb"))
+    pairs.join(a, "ka").join(b, "kb")
+      .select(col("ka"), col("kb"), size(col("sa")).as("n"), size(col("sb")).as("m"),
+        graft.functions.VectorExprs.dtwCents(col("sa"), col("sb"), band).as("dtw_cents"))
+  }
+}

@@ -72,4 +72,33 @@ class ResampleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "bars must not need a window sort")
   }
+
+  // ---- DTW ----
+
+  private def dtwOf(a: Seq[Double], b: Seq[Double], band: Int = 99): Long = {
+    import graft.operators.Dtw
+    val rows = a.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) } ++
+      b.zipWithIndex.map { case (v, i) => (2L, i.toLong, v) }
+    val pairs = Seq((1L, 2L)).toDF("ka", "kb")
+    Dtw.pairDistances(rows.toDF("k", "o", "v"), "k", "o", "v", pairs, band)
+      .head.getAs[Long]("dtw_cents")
+  }
+
+  test("dtw: identical series at any alignment cost 0; shifted spike stays cheap") {
+    assert(dtwOf(Seq(1, 5, 2, 8), Seq(1, 5, 2, 8)) == 0L)
+    // same shape, spike shifted by one: DTW warps around it (cost 0),
+    // while pointwise distance would pay twice the spike height
+    assert(dtwOf(Seq(1, 1, 9, 1, 1), Seq(1, 9, 1, 1, 1)) == 0L)
+    // genuinely different levels pay the gap: [1,1] vs [3,3] = 2.00+2.00
+    assert(dtwOf(Seq(1, 1), Seq(3, 3)) == 400L)
+  }
+
+  test("dtw: band narrower than the length gap means no path (-1)") {
+    assert(dtwOf(Seq(1, 2, 3, 4, 5, 6, 7, 8), Seq(1, 2), band = 2) == -1L)
+    assert(dtwOf(Seq(1, 2, 3), Seq(1, 2, 3), band = 0) == 0L) // diagonal-only
+  }
+
+  test("dtw: cents quantization is exact (0.01 granularity)") {
+    assert(dtwOf(Seq(1.25), Seq(1.26)) == 1L)
+  }
 }
