@@ -2737,6 +2737,25 @@ object SparkEntry {
       val pairs = users.select(col("user_id").as("ka"))
         .join(users.select(col("user_id").as("kb")), col("kb") === col("ka") + 1)
       graft.operators.Dtw.pairDistances(daily, "user_id", "d", "v", pairs, band = 64)
+    },
+    // Leave-one-out target encoding (Robust.targetEncodeLoo): smoothed
+    // per-category mean EXCLUDING the row's own label — decimal sums,
+    // broadcast category stats, one closed-form expression per row.
+    "q_target_encode" -> { (s, dir) =>
+      graft.operators.Robust.targetEncodeLoo(Sources.table(s, dir, "events"),
+          "event_type", "value", smoothing = 10.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("enc"), 6).as("enc"))
+    },
+    // Linear grid resampling (Bars.resampleLinear): irregular ticks →
+    // daily grid by interpolation; ticks sort before coincident grid
+    // points so exact hits are well-defined. The oracle replays the
+    // union + two ignore-null window fills + the identical formula.
+    "q_resample" -> { (s, dir) =>
+      graft.operators.Bars.resampleLinear(Sources.table(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", stepMicros = 86400000000L)
+        .select(col("key").as("user_id"), col("grid_us"),
+          round(col("value"), 6).as("value"))
     }
   )
 
@@ -6164,6 +6183,43 @@ object SparkEntry {
         |  FROM dp WHERE d < n + m - 2)
         |SELECT ka, kb, CAST(n AS INT) AS n, CAST(m AS INT) AS m,
         |  cur[CAST(len(cur) AS INT)] AS dtw_cents
-        |FROM dp WHERE d = n + m - 2""".stripMargin
+        |FROM dp WHERE d = n + m - 2""".stripMargin,
+    // identical LOO algebra: (Σcat − y + prior·m) / (n−1+m)
+    "q_target_encode" ->
+      """WITH per AS (SELECT event_type AS c,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS prior
+        |  FROM events)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(CASE WHEN CAST(p.n - 1 AS DOUBLE) + 10.0 <> 0.0
+        |    THEN (CAST(p.s - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) + g.prior * 10.0)
+        |         / (CAST(p.n - 1 AS DOUBLE) + 10.0)
+        |    ELSE g.prior END, 6) AS enc
+        |FROM events e JOIN per p ON p.c = e.event_type, g""".stripMargin,
+    // union ticks+grid, two ignore-null window fills, same interp formula
+    "q_resample" ->
+      """WITH ticks AS (SELECT user_id AS key, epoch_us(ts) AS t, 0 AS is_grid,
+        |    event_id AS o, CAST(value AS DOUBLE) AS v FROM events),
+        |span AS (SELECT key, CAST(floor((min(t) + 86400000000 - 1)/86400000000.0) AS BIGINT) AS lo,
+        |    CAST(floor(max(t)/86400000000.0) AS BIGINT) AS hi FROM ticks GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 1)) * 86400000000 AS t,
+        |    1 AS is_grid, CAST(0 AS BIGINT) AS o, CAST(NULL AS DOUBLE) AS v
+        |  FROM span WHERE lo <= hi),
+        |allr AS (SELECT * FROM ticks UNION ALL SELECT * FROM grid),
+        |f AS (SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS nt
+        |  FROM allr
+        |  WINDOW wp AS (PARTITION BY key ORDER BY t, is_grid, o
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY key ORDER BY t, is_grid, o
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key AS user_id, t AS grid_us,
+        |  round(CASE WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END, 6) AS value
+        |FROM f WHERE is_grid = 1""".stripMargin
   )
 }

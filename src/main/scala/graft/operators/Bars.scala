@@ -47,6 +47,48 @@ object Bars {
     * tick holds to the bucket's right edge) — the piecewise-constant
     * integral divided by covered time, starting at the first tick.
     * Weights are exact micros longs; Σ(v·w) is a DECIMAL sum. */
+  /** Resample an irregular series onto the regular `stepMicros` grid by
+    * linear interpolation — the gap-fill step between tick data and any
+    * fixed-frequency model. Grid points cover [⌈tmin/step⌉..⌊tmax/step⌋]
+    * per key (always bracketed by ticks, so no extrapolation); an exact
+    * tick hit reproduces that tick's value (the interpolation term
+    * multiplies by zero); a grid point at the key's last tick
+    * forward-fills it.
+    *
+    * Scale: tick and grid rows union into ONE per-key window sort —
+    * previous/next tick ride as ignore-null last/first over the two
+    * half-frames; grid cardinality is span/step per key, bounded. At a
+    * shared timestamp ticks sort BEFORE grid points (is_grid
+    * tie-break), which is what makes the exact-hit case well-defined. */
+  def resampleLinear(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                     valueCol: String, stepMicros: Long): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val stepD = lit(stepMicros.toDouble)
+    val ticks = df.select(col(keyCol).as("key"), t.as("t"), lit(0).as("is_grid"),
+      col(ordCol).cast("long").as("o"), col(valueCol).cast("double").as("v"))
+    val grid = ticks.groupBy("key")
+      .agg(floor((min(col("t")) + stepMicros - 1) / stepD).as("lo"),
+           floor(max(col("t")) / stepD).as("hi"))
+      .filter(col("lo") <= col("hi")) // sequence() would count DOWN otherwise
+      .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("gi"))
+      .select(col("key"), (col("gi") * stepMicros).as("t"), lit(1).as("is_grid"),
+        lit(0L).as("o"), lit(null).cast("double").as("v"))
+    val w = Window.partitionBy("key").orderBy(col("t"), col("is_grid"), col("o"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ticks.unionByName(grid)
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("key"), col("t").as("grid_us"),
+        when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("t") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
+          .as("value"))
+  }
+
   def twap(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
            valueCol: String, widthMicros: Long): DataFrame = {
     val t = unix_micros(col(tsCol))

@@ -38,4 +38,34 @@ object Robust {
       .withColumn("clipped", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__r", "__n", "__k", "__lo", "__hi")
   }
+
+  /** Leave-one-out target encoding with additive smoothing (Micci-
+    * Barreca, SIGKDD Expl. 2001) — the high-cardinality categorical
+    * encoder that does NOT leak the row's own label:
+    *   enc_i = (Σ_cat y − y_i + prior·m) / (n_cat − 1 + m)
+    * with `prior` the global target mean and `m` the pseudo-count
+    * pulling rare categories toward it. Appends `enc`.
+    *
+    * Scale + determinism: one per-category hash aggregate of DECIMAL
+    * target sums (map-side combinable) broadcast-joined back, plus a
+    * 1-row global prior — the per-row encode is then a single
+    * closed-form double expression; no window, no sort. Singleton
+    * categories (n=1) fall back to the pure prior at m=0 they would
+    * otherwise divide 0/0 into. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      smoothing: Double): DataFrame = {
+    val y = col(targetCol).cast("decimal(18,2)")
+    val per = df.groupBy(col(catCol).as("__c"))
+      .agg(sum(y).as("__s"), count(lit(1)).as("__n"))
+    val prior = df.agg(
+      (sum(y).cast("double") / count(lit(1))).as("__prior"))
+    val denom = (col("__n") - 1).cast("double") + lit(smoothing)
+    df.join(broadcast(per), col(catCol) === col("__c"))
+      .join(broadcast(prior))
+      .withColumn("enc",
+        when(denom =!= 0.0,
+          ((col("__s") - y).cast("double") + col("__prior") * lit(smoothing)) / denom)
+          .otherwise(col("__prior")))
+      .drop("__c", "__s", "__n", "__prior")
+  }
 }

@@ -101,4 +101,37 @@ class ResampleSpec extends AnyFunSuite {
   test("dtw: cents quantization is exact (0.01 granularity)") {
     assert(dtwOf(Seq(1.25), Seq(1.26)) == 1L)
   }
+
+  // ---- linear grid resampling ----
+
+  test("resampleLinear: interpolates, reproduces exact hits, forward-fills the edge") {
+    // ticks at 10s/30s (v 10→30); grid step 10s → grid points 10,20,30
+    val df = Seq((1L, ts(10), 1L, 10.0), (1L, ts(30), 2L, 30.0)).toDF("k", "t", "o", "v")
+    val out = Bars.resampleLinear(df, "k", "t", "o", "v", 10L * 1000000)
+      .orderBy("grid_us").collect().map(r => r.getLong(1) / 1000000 -> r.getDouble(2)).toMap
+    assert(out == Map(10L -> 10.0, 20L -> 20.0, 30L -> 30.0))
+  }
+
+  test("resampleLinear: no grid point inside a sub-step span → empty, not a crash") {
+    val df = Seq((1L, ts(11), 1L, 5.0), (1L, ts(14), 2L, 6.0)).toDF("k", "t", "o", "v")
+    assert(Bars.resampleLinear(df, "k", "t", "o", "v", 10L * 1000000).count() == 0)
+  }
+
+  // ---- LOO target encoding ----
+
+  test("targetEncodeLoo: excludes the row's own label; singleton falls to prior") {
+    import graft.operators.Robust
+    val df = Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L), ("b", 99.0, 4L))
+      .toDF("cat", "y", "id")
+    // m=0: pure LOO — for row (a,10): (60-10)/2 = 25
+    val loo = Robust.targetEncodeLoo(df, "cat", "y", smoothing = 0.0)
+      .collect().map(r => r.getLong(2) -> r.getAs[Double]("enc")).toMap
+    assert(loo(1L) == 25.0 && loo(2L) == 20.0 && loo(3L) == 15.0)
+    assert(loo(4L) == (10.0 + 20.0 + 30.0 + 99.0) / 4) // singleton → prior
+    // smoothing pulls toward the prior
+    val sm = Robust.targetEncodeLoo(df, "cat", "y", smoothing = 1000.0)
+      .collect().map(r => r.getLong(2) -> r.getAs[Double]("enc")).toMap
+    val prior = (10.0 + 20.0 + 30.0 + 99.0) / 4
+    assert(math.abs(sm(1L) - prior) < 1.0)
+  }
 }
