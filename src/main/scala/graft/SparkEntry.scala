@@ -2756,6 +2756,18 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value", stepMicros = 86400000000L)
         .select(col("key").as("user_id"), col("grid_us"),
           round(col("value"), 6).as("value"))
+    },
+    // Percentile bootstrap CI (Behavior.bootstrapCi): 200 counter-mode
+    // resamples of per-user purchase spend — the oracle re-runs the
+    // ENTIRE bootstrap, draws included (the mixer replays in HUGEINT
+    // SQL), then reads the same discrete rank order statistics.
+    "q_bootstrap" -> { (s, dir) =>
+      val per = Sources.table(s, dir, "events").groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)")).as("spend"))
+      graft.operators.Behavior.bootstrapCi(per, "user_id", "spend", nBoot = 200, seed = 11)
+        .select(col("n_units"), col("n_boot"), round(col("est"), 6).as("est"),
+          round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
     }
   )
 
@@ -6220,6 +6232,29 @@ object SparkEntry {
         |SELECT key AS user_id, t AS grid_us,
         |  round(CASE WHEN nv IS NULL THEN pv
         |    ELSE pv + (nv - pv) * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END, 6) AS value
-        |FROM f WHERE is_grid = 1""".stripMargin
+        |FROM f WHERE is_grid = 1""".stripMargin,
+    // full bootstrap replay: counter-mode draws in HUGEINT SQL, decimal
+    // resample sums, discrete rank-5/rank-195 order statistics
+    "q_bootstrap" ->
+      s"""WITH per AS (SELECT user_id AS uid,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS y
+         |  FROM events GROUP BY 1),
+         |idx AS (SELECT uid, y, row_number() OVER (ORDER BY uid) - 1 AS idx FROM per),
+         |nn AS (SELECT count(*) AS n FROM idx),
+         |ids AS (SELECT unnest(range(0, 200 * n)) AS i FROM nn),
+         |${unitCte("bs", "ids", 11)},
+         |draws AS (SELECT CAST(floor(CAST(i AS DOUBLE) / n) AS BIGINT) AS b,
+         |    CAST(floor(u * n) AS BIGINT) AS pick FROM bsu, nn),
+         |means AS (SELECT b, CAST(SUM(y) AS DOUBLE) / CAST(n AS DOUBLE) AS m
+         |  FROM draws JOIN idx ON idx.idx = draws.pick, nn GROUP BY b, nn.n),
+         |r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+         |ci AS (SELECT MAX(CASE WHEN rk = 5 THEN m END) AS ci_lo,
+         |    MAX(CASE WHEN rk = 195 THEN m END) AS ci_hi FROM r),
+         |est AS (SELECT CAST(SUM(y) AS DOUBLE) / CAST(max(nn.n) AS DOUBLE) AS est
+         |  FROM idx, nn)
+         |SELECT nn.n AS n_units, 200 AS n_boot, round(est.est, 6) AS est,
+         |  round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi
+         |FROM nn, est, ci""".stripMargin
   )
 }

@@ -136,6 +136,48 @@ object Behavior {
       .filter(col(typeCol) === convType)
   }
 
+  /** Percentile bootstrap confidence interval (Efron 1979) for the mean
+    * of a per-unit metric — the nonparametric error bar for skewed
+    * experiment metrics where the normal approximation misleads.
+    *
+    * Determinism at scale: resampling uses the library's counter-mode
+    * draw (`VectorExprs.unitDraw` — a hash of (draw-id, seed), no RNG
+    * state), so every draw is reproducible under any partitioning AND
+    * replayable in ANSI SQL — the oracle re-runs the entire bootstrap,
+    * draws included. The B·n draw table joins the indexed units on the
+    * drawn index (broadcast — the unit table was already reduced to one
+    * row per unit); resample sums are DECIMAL-exact; the CI is read at
+    * DISCRETE ranks ⌈αB⌉ (order statistics, no interpolation). The unit
+    * indexing window is global but runs on the REDUCED per-unit table —
+    * the same bounded-domain pattern as the survival curve.
+    *
+    * Returns one row: (n_units, n_boot, est, ci_lo, ci_hi). */
+  def bootstrapCi(perUnit: DataFrame, idCol: String, valueCol: String,
+                  nBoot: Int, seed: Long, alpha: Double = 0.05): DataFrame = {
+    val spark = perUnit.sparkSession
+    val units = perUnit.select(col(idCol).as("uid"),
+        col(valueCol).cast("decimal(18,2)").as("y"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("uid")) - 1)
+    val n = units.count()
+    val nD = n.toDouble
+    val draws = spark.range(nBoot.toLong * n).select(
+      floor(col("id").cast("double") / lit(nD)).as("b"),
+      floor(graft.functions.VectorExprs.unitDraw(col("id"), seed) * lit(nD)).as("pick"))
+    val means = draws.join(broadcast(units), col("pick") === col("idx"))
+      .groupBy("b").agg((sum(col("y")).cast("double") / lit(nD)).as("m"))
+    val ranked = means.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("m"), col("b"))))
+    val loRank = math.ceil(alpha / 2 * nBoot).toLong
+    val hiRank = math.ceil((1 - alpha / 2) * nBoot).toLong
+    val ci = ranked.agg(
+      max(when(col("rk") === loRank, col("m"))).as("ci_lo"),
+      max(when(col("rk") === hiRank, col("m"))).as("ci_hi"))
+    val est = units.agg((sum(col("y")).cast("double") / lit(nD)).as("est"))
+    est.crossJoin(ci).select(lit(n).as("n_units"), lit(nBoot).as("n_boot"),
+      col("est"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
     * shrink the experiment metric's variance with a pre-experiment
     * covariate before reading out the A/B effect —

@@ -89,6 +89,20 @@ class ExperimentSpec extends AnyFunSuite {
     assert(fit == Set(3.0))
   }
 
+  test("bootstrap CI: brackets the estimate, deterministic, widens with confidence") {
+    val per = (0 until 80).map(i => (i.toLong, (i % 7).toDouble * 3 + 1)).toDF("id", "y")
+    val r = Behavior.bootstrapCi(per, "id", "y", nBoot = 100, seed = 5).head
+    val (est, lo, hi) = (r.getAs[Double]("est"), r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo <= est && est <= hi && lo < hi)
+    assert(r.getAs[Long]("n_units") == 80L)
+    // identical under repartitioning (counter-mode draws, no RNG state)
+    val r2 = Behavior.bootstrapCi(per.repartition(7), "id", "y", 100, seed = 5).head
+    assert(r2.getAs[Double]("ci_lo") == lo && r2.getAs[Double]("ci_hi") == hi)
+    // 80% CI nests inside 95% CI
+    val r3 = Behavior.bootstrapCi(per, "id", "y", 100, seed = 5, alpha = 0.2).head
+    assert(r3.getAs[Double]("ci_lo") >= lo && r3.getAs[Double]("ci_hi") <= hi)
+  }
+
   test("isotonic: fit is nondecreasing per key and deterministic under repartition") {
     import graft.operators.Calibrate
     val rnd = (0 until 200).map { i =>
