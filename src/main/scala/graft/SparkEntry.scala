@@ -2768,6 +2768,21 @@ object SparkEntry {
       graft.operators.Behavior.bootstrapCi(per, "user_id", "spend", nBoot = 200, seed = 11)
         .select(col("n_units"), col("n_boot"), round(col("est"), 6).as("est"),
           round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
+    },
+    // Holt-Winters smoothing (Forecast.holtWinters): per-user daily
+    // level/trend/seasonal state, flat deterministic init; every step
+    // is the identical fixed-association double expression, so the
+    // oracle replays the WHOLE state trajectory as a recursive CTE.
+    "q_holt_winters" -> { (s, dir) =>
+      val evd = Sources.table(s, dir, "events")
+      val daily = evd.groupBy(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(86400000000.0)).as("d"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      graft.operators.Forecast.holtWinters(daily, "user_id", "d", "v",
+          period = 7, alpha = 0.4, beta = 0.2, gamma = 0.3)
+        .select(col("user_id"), col("t"), col("y"),
+          round(col("fitted"), 6).as("fitted"),
+          round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"))
     }
   )
 
@@ -6255,6 +6270,33 @@ object SparkEntry {
          |  FROM idx, nn)
          |SELECT nn.n AS n_units, 200 AS n_boot, round(est.est, 6) AS est,
          |  round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi
-         |FROM nn, est, ci""".stripMargin
+         |FROM nn, est, ci""".stripMargin,
+    // recursive-CTE replay of the full HW state trajectory (anchor
+    // columns CAST to DOUBLE — DuckDB would otherwise type the CTE
+    // from the 0.0 literals; 0.4e0-style literals parse as DOUBLE)
+    "q_holt_winters" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT user_id, CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT user_id, list(v ORDER BY d) AS ys FROM daily GROUP BY 1),
+        |hw AS (
+        |  SELECT user_id, ys, len(ys) AS n, 0 AS t, ys[1] AS y,
+        |    CAST(NULL AS DOUBLE) AS fitted, ys[1] AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS s
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT user_id, ys, n, t + 1, ys[t + 2],
+        |    l + b + s[CAST((t + 1) % 7 + 1 AS INT)],
+        |    0.4e0 * (ys[t + 2] - s[CAST((t + 1) % 7 + 1 AS INT)]) + (1.0 - 0.4e0) * (l + b),
+        |    0.2e0 * ((0.4e0 * (ys[t + 2] - s[CAST((t + 1) % 7 + 1 AS INT)]) + (1.0 - 0.4e0) * (l + b)) - l) + (1.0 - 0.2e0) * b,
+        |    list_transform(range(1, 8), i -> CASE WHEN i - 1 = (t + 1) % 7
+        |      THEN 0.3e0 * (ys[t + 2] - (0.4e0 * (ys[t + 2] - s[CAST((t + 1) % 7 + 1 AS INT)]) + (1.0 - 0.4e0) * (l + b)))
+        |           + (1.0 - 0.3e0) * s[CAST((t + 1) % 7 + 1 AS INT)]
+        |      ELSE s[CAST(i AS INT)] END)
+        |  FROM hw WHERE t + 1 <= n - 1)
+        |SELECT user_id, t, y, round(fitted, 6) AS fitted,
+        |  round(l, 6) AS level, round(b, 6) AS trend
+        |FROM hw""".stripMargin
   )
 }

@@ -72,6 +72,50 @@ object Forecast {
         ((col("__sx") * period - col("__ssw")).cast("double") / (col("n") * period)).as("seasonal"))
   }
 
+  /** Additive Holt-Winters triple exponential smoothing (Holt 1957,
+    * Winters 1960) — level + trend + seasonal state advanced per step:
+    *   ŷ_t = l + b + s[t mod m]                       (one-step fit)
+    *   l' = α(y_t − s[t%m]) + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    *   s[t%m]' = γ(y_t − l') + (1−γ)s[t%m]
+    * Flat deterministic init (l=y₀, b=0, s=0⃗ — stated, so an external
+    * replay needs no fitting heuristics). The recurrence is inherently
+    * sequential per key (same distribution story as PAVA: parallel
+    * across keys, one ordered O(n) pass within); every step is the
+    * IDENTICAL fixed-association double expression on both engines, so
+    * the whole state trajectory is bit-reproducible — the oracle
+    * replays it as a recursive CTE carrying (l, b, s-list). */
+  def holtWinters(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+                  period: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"), col(ordCol).cast("long").as("o"),
+        col(valCol).cast("double").as("y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).flatMapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        if (ys.isEmpty) Iterator.empty
+        else {
+          val s = new Array[Double](period)
+          var l = ys(0); var b = 0.0
+          val out = new Array[(Long, Int, Double, Option[Double], Double, Double)](ys.length)
+          out(0) = (key, 0, ys(0), None, l, b)
+          var t = 1
+          while (t < ys.length) {
+            val slot = t % period
+            val fitted = l + b + s(slot)
+            val lNew = alpha * (ys(t) - s(slot)) + (1 - alpha) * (l + b)
+            val bNew = beta * (lNew - l) + (1 - beta) * b
+            s(slot) = gamma * (ys(t) - lNew) + (1 - gamma) * s(slot)
+            l = lNew; b = bNew
+            out(t) = (key, t, ys(t), Some(fitted), l, b)
+            t += 1
+          }
+          out.iterator
+        }
+      }.toDF(keyCol, "t", "y", "fitted", "level", "trend")
+  }
+
   /** Per-key OLS trend — slope/intercept/R² of value against elapsed
     * seconds since `epochBaseMicros`. ONE hash aggregate of decimal
     * power sums (Σx, Σy, Σxx, Σyy, Σxy — order-independent, map-side

@@ -117,6 +117,38 @@ class ResampleSpec extends AnyFunSuite {
     assert(Bars.resampleLinear(df, "k", "t", "o", "v", 10L * 1000000).count() == 0)
   }
 
+  // ---- Holt-Winters ----
+
+  test("holt-winters: constant series converges to it with zero trend") {
+    val df = (0 until 40).map(i => (1L, i.toLong, 10.0)).toDF("k", "o", "v")
+    val rows = Forecast.holtWinters(df, "k", "o", "v", period = 7,
+      alpha = 0.4, beta = 0.2, gamma = 0.3).orderBy("t").collect()
+    assert(rows.head.isNullAt(3)) // no fit at t=0
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("level") - 10.0) < 1e-6)
+    assert(math.abs(last.getAs[Double]("trend")) < 1e-6)
+    assert(math.abs(last.getAs[Double]("fitted") - 10.0) < 1e-4)
+  }
+
+  test("holt-winters: linear ramp learns the slope") {
+    val df = (0 until 60).map(i => (1L, i.toLong, 5.0 + 2.0 * i)).toDF("k", "o", "v")
+    val last = Forecast.holtWinters(df, "k", "o", "v", 7, 0.4, 0.2, 0.3)
+      .orderBy("t").collect().last
+    assert(math.abs(last.getAs[Double]("trend") - 2.0) < 0.1)
+    assert(math.abs(last.getAs[Double]("fitted") - last.getAs[Double]("y")) < 1.0)
+  }
+
+  test("holt-winters: pure seasonal pattern is absorbed by the seasonal state") {
+    val season = Array(0.0, 10.0, 20.0, 5.0, 15.0, 25.0, 8.0)
+    val df = (0 until 140).map(i => (1L, i.toLong, 50.0 + season(i % 7))).toDF("k", "o", "v")
+    val rows = Forecast.holtWinters(df, "k", "o", "v", 7, 0.4, 0.2, 0.3)
+      .orderBy("t").collect()
+    // after many full cycles the one-step fit tracks the pattern closely
+    val tail = rows.takeRight(14)
+    val mae = tail.map(r => math.abs(r.getAs[Double]("fitted") - r.getAs[Double]("y"))).sum / 14
+    assert(mae < 1.0, s"seasonal MAE $mae")
+  }
+
   // ---- LOO target encoding ----
 
   test("targetEncodeLoo: excludes the row's own label; singleton falls to prior") {
