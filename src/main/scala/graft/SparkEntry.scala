@@ -2783,6 +2783,40 @@ object SparkEntry {
         .select(col("user_id"), col("t"), col("y"),
           round(col("fitted"), 6).as("fitted"),
           round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"))
+    },
+    // Feature hashing (FeatureHash.vectorize): vocabulary-free signed
+    // hashed bag-of-words; MD5 index/sign so the oracle replays every
+    // triplet exactly.
+    "q_feature_hash" -> { (s, dir) =>
+      graft.llm.FeatureHash.vectorize(
+        Sources.table(s, dir, "documents"), "doc_id", "text", dim = 256)
+    },
+    // HLL audience overlap (Hll.overlap): click vs purchase user sets —
+    // |A∪B| comes from REGISTER MERGE (elementwise max, no rescan),
+    // |A∩B| by inclusion-exclusion; oracle rebuilds all three sketches.
+    "q_hll_overlap" -> { (s, dir) =>
+      val evd = Sources.table(s, dir, "events")
+      val big = col("value") > 190
+      val a = evd.filter(col("event_type") === "click" && big).select(col("user_id"))
+      val b = evd.filter(col("event_type") === "purchase" && big).select(col("user_id"))
+      graft.operators.Hll.overlap(a, b, "user_id", p = 8)
+        .select(round(col("est_a"), 4).as("est_a"), round(col("est_b"), 4).as("est_b"),
+          round(col("est_union"), 4).as("est_union"),
+          round(col("est_intersection"), 4).as("est_intersection"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+    // Reliability diagram (Calibrate.reliability): synthetic calibrated
+    // forecasts (two independent-ish residue draws), per-bin forecast
+    // mean / observed rate / Brier decomposition shares.
+    "q_reliability" -> { (s, dir) =>
+      val e = col("event_id")
+      val fx = Sources.table(s, dir, "events").select(
+        (((e * 37) % 100).cast("double") / 100.0).as("p"),
+        ((e * 91) % 100 < (e * 37) % 100).cast("int").as("y"))
+      graft.operators.Calibrate.reliability(fx, "p", "y", bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("mean_p"), 6).as("mean_p"), round(col("mean_y"), 6).as("mean_y"),
+          round(col("rel_part"), 8).as("rel_part"), round(col("res_part"), 8).as("res_part"))
     }
   )
 
@@ -6297,6 +6331,40 @@ object SparkEntry {
         |  FROM hw WHERE t + 1 <= n - 1)
         |SELECT user_id, t, y, round(fitted, 6) AS fitted,
         |  round(l, 6) AS level, round(b, 6) AS trend
-        |FROM hw""".stripMargin
+        |FROM hw""".stripMargin,
+    // generated by the SAME code as the plan (index/sign derivation)
+    "q_feature_hash" -> graft.llm.FeatureHash.vectorizeSql(
+      "documents", "doc_id", "text", dim = 256),
+    // three sketch replays + register-merge union + inclusion-exclusion
+    "q_hll_overlap" ->
+      s"""WITH ra AS (${graft.operators.Hll.registersSql(
+             "(SELECT user_id FROM events WHERE event_type = 'click' AND value > 190)", "user_id", 8)}),
+         |rb AS (${graft.operators.Hll.registersSql(
+             "(SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 190)", "user_id", 8)}),
+         |ru AS (SELECT bucket, MAX(rho) AS rho FROM
+         |  (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+         |ea AS (${graft.operators.Hll.estimateFromRegSql("ra", 8)}),
+         |eb AS (${graft.operators.Hll.estimateFromRegSql("rb", 8)}),
+         |eu AS (${graft.operators.Hll.estimateFromRegSql("ru", 8)})
+         |SELECT round(ea.est, 4) AS est_a, round(eb.est, 4) AS est_b,
+         |  round(eu.est, 4) AS est_union,
+         |  round(ea.est + eb.est - eu.est, 4) AS est_intersection,
+         |  round((ea.est + eb.est - eu.est) / eu.est, 6) AS jaccard
+         |FROM ea, eb, eu""".stripMargin,
+    // per-bin means from decimal sums; decomposition shares replayed
+    "q_reliability" ->
+      """WITH fx AS (SELECT CAST((event_id * 37) % 100 AS DOUBLE) / 100.0 AS p,
+        |    CASE WHEN (event_id * 91) % 100 < (event_id * 37) % 100 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT CAST(LEAST(floor(CAST(CAST(p AS DECIMAL(9,4)) AS DOUBLE) * 10), 9) AS BIGINT) AS bin,
+        |    count(*) AS n, SUM(CAST(p AS DECIMAL(9,4))) AS sp, SUM(y) AS sy
+        |  FROM fx GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nt, CAST(SUM(sy) AS DOUBLE) / SUM(n) AS ybar FROM per),
+        |j AS (SELECT bin, n, CAST(sp AS DOUBLE) / n AS mean_p,
+        |    CAST(sy AS DOUBLE) / n AS mean_y, nt, ybar FROM per, tot)
+        |SELECT bin, n, round(mean_p, 6) AS mean_p, round(mean_y, 6) AS mean_y,
+        |  round(CAST(n AS DOUBLE) * ((mean_p - mean_y) * (mean_p - mean_y)) / CAST(nt AS DOUBLE), 8) AS rel_part,
+        |  round(CAST(n AS DOUBLE) * ((mean_y - ybar) * (mean_y - ybar)) / CAST(nt AS DOUBLE), 8) AS res_part
+        |FROM j""".stripMargin
   )
 }

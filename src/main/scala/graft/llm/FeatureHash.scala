@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The hashing trick (Weinberger et al., ICML 2009): project unbounded
+  * token vocabularies onto a fixed `dim`-dimensional space with a hash
+  * for the index and a second hash bit for the sign (the signed sum
+  * makes collisions cancel in expectation instead of biasing upward) —
+  * the vectorizer that needs NO fitted vocabulary, so it
+  * streams/distributes with zero coordination state.
+  *
+  * Like [[graft.operators.Hll]], the hash is the low 60 bits of MD5 —
+  * portable, so the embedding is identical in any engine and the
+  * oracle replays index, sign and weight exactly (xxhash64 would be
+  * faster in-engine but nothing outside Spark reproduces it).
+  *
+  * Scale shape: explode → one hash aggregate on (doc, index) with
+  * map-side combine; output is sparse triplets (at most min(#tokens,
+  * dim) rows per doc). Downstream: feed `LogReg` or cosine kNN.
+  */
+object FeatureHash {
+
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Sparse signed-count vectors: (id, idx, weight) triplets. */
+  def vectorize(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    val toks = filter(split(col(textCol), " +"), t => t =!= "")
+    val h = hash60(col("w"))
+    docs.select(col(idCol).as("id"), explode(toks).as("w"))
+      .select(col("id"), (h % dim).as("idx"),
+        when(shiftright(h, 59) === 1, lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy("id", "idx").agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0) // cancelled collisions carry no information
+  }
+
+  /** The vectorizer as DuckDB SQL (same MD5 index/sign derivation). */
+  def vectorizeSql(table: String, idExpr: String, textExpr: String, dim: Int): String =
+    s"""SELECT id, hv % $dim AS idx,
+       |  SUM(CASE WHEN (hv >> 59) = 1 THEN 1 ELSE -1 END) AS weight
+       |FROM (SELECT id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv
+       |  FROM (SELECT $idExpr AS id,
+       |      unnest(list_filter(string_split_regex($textExpr, ' +'), t -> t <> '')) AS w
+       |    FROM $table))
+       |GROUP BY 1, 2
+       |HAVING SUM(CASE WHEN (hv >> 59) = 1 THEN 1 ELSE -1 END) <> 0""".stripMargin
+}

@@ -65,4 +65,47 @@ object Calibrate {
       }
     }.toDF(keyCol, xCol, ordCol, yCol, "fit")
   }
+
+  /** Reliability diagram with per-bin Brier decomposition terms (Murphy
+    * 1973): equal-width probability bins, each with its mean forecast,
+    * observed rate, and its additive share of the reliability
+    * (miscalibration) and resolution components —
+    * Brier = reliability − resolution + uncertainty.
+    *
+    * One hash aggregate to ≤ `bins` rows (probabilities sum as
+    * DECIMAL), a broadcast 1-row base rate, then closed-form doubles.
+    * Per-bin decomposition terms are emitted instead of pre-summed
+    * totals so the readout stays order-independent; [[brierTotals]]
+    * sums them for the API consumer. */
+  def reliability(df: DataFrame, probCol: String, labelCol: String, bins: Int): DataFrame = {
+    val p = col(probCol).cast("decimal(9,4)")
+    val yi = col(labelCol).cast("int")
+    val bin = least(floor(p.cast("double") * bins), lit(bins - 1L)).cast("long")
+    val per = df.select(bin.as("bin"), p.as("p"), yi.as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).cast("long").as("sy"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("sy")).as("syt"))
+      .select(col("nt"), (col("syt").cast("double") / col("nt")).as("ybar"))
+    per.join(broadcast(tot))
+      .select(col("bin"), col("n"),
+        (col("sp").cast("double") / col("n")).as("mean_p"),
+        (col("sy").cast("double") / col("n")).as("mean_y"),
+        col("nt"), col("ybar"))
+      .select(col("bin"), col("n"), col("mean_p"), col("mean_y"),
+        (col("n").cast("double") *
+          ((col("mean_p") - col("mean_y")) * (col("mean_p") - col("mean_y"))) /
+          col("nt").cast("double")).as("rel_part"),
+        (col("n").cast("double") *
+          ((col("mean_y") - col("ybar")) * (col("mean_y") - col("ybar"))) /
+          col("nt").cast("double")).as("res_part"))
+  }
+
+  /** Summed decomposition: (reliability, resolution, uncertainty). */
+  def brierTotals(df: DataFrame, probCol: String, labelCol: String,
+                  bins: Int): (Double, Double, Double) = {
+    val parts = reliability(df, probCol, labelCol, bins)
+      .agg(sum(col("rel_part")), sum(col("res_part"))).head
+    val ybar = df.agg(avg(col(labelCol).cast("double"))).head.getDouble(0)
+    (parts.getDouble(0), parts.getDouble(1), ybar * (1 - ybar))
+  }
 }

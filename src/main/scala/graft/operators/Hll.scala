@@ -44,17 +44,43 @@ object Hll {
 
   /** Cardinality estimate per group, with the standard small-range
     * linear-counting correction. */
-  def estimate(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame = {
+  def estimate(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame =
+    estimateFromRegisters(registers(df, grpCol, keyCol, p), p)
+
+  /** Audience overlap from sketches alone: estimate |A|, |B|, |A∪B|
+    * (register MERGE — elementwise max, never a rescan of the union)
+    * and |A∩B| by inclusion-exclusion, plus the Jaccard estimate. One
+    * row out. Each input is a (groupless) key column. */
+  def overlap(a: DataFrame, b: DataFrame, keyCol: String, p: Int): DataFrame = {
+    def one(df: DataFrame, tag: String) =
+      df.select(lit(tag).as("t"), col(keyCol).as("k"))
+    val regA = registers(one(a, "a"), "t", "k", p)
+    val regB = registers(one(b, "t0"), "t", "k", p) // tag irrelevant post-registers
+    val union = regA.select(col("bucket"), col("rho"))
+      .unionByName(regB.select(col("bucket"), col("rho")))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .select(lit("u").as("g"), col("bucket"), col("rho"))
+    def est(reg: DataFrame) = estimateFromRegisters(
+      reg.select(lit("g").as("g"), col("bucket"), col("rho")), p)
+      .select(col("est"))
+    val ea = est(regA).withColumnRenamed("est", "est_a")
+    val eb = est(regB).withColumnRenamed("est", "est_b")
+    val eu = est(union).withColumnRenamed("est", "est_union")
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersection", col("est_a") + col("est_b") - col("est_union"))
+      .withColumn("jaccard", (col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+  }
+
+  /** Estimation stage over an existing register table (g, bucket, rho). */
+  private def estimateFromRegisters(reg: DataFrame, p: Int): DataFrame = {
     val m = 1 << p
     val md = lit(m.toDouble)
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / md)
-    registers(df, grpCol, keyCol, p)
-      .groupBy("g")
+    reg.groupBy("g")
       .agg(count(lit(1)).as("filled"),
         sum(pow(lit(2.0), lit(60) - col("rho")).cast("decimal(38,0)")).as("ssum"))
       .select(col("g"),
         (lit(m.toLong) - col("filled")).as("zeros"),
-        // Σ2^(60−M): absent registers have M=0 and contribute 2^60 each
         (col("ssum") + (lit(m.toLong) - col("filled")).cast("decimal(38,0)") *
           pow(lit(2.0), lit(60)).cast("decimal(38,0)")).as("total"))
       .select(col("g"), col("zeros"),
@@ -62,6 +88,32 @@ object Hll {
       .select(col("g"), col("zeros"),
         when(col("raw") <= lit(2.5) * md && col("zeros") > 0,
           md * log(md / col("zeros").cast("double"))).otherwise(col("raw")).as("est"))
+  }
+
+  /** Groupless register table as DuckDB SQL (for sketch composition —
+    * union/overlap oracles merge these by MAX). */
+  def registersSql(table: String, kExpr: String, p: Int): String = {
+    val width = 60 - p
+    val mask = (1L << width) - 1
+    s"""SELECT hv >> $width AS bucket,
+       |  MAX(CASE WHEN (hv & $mask) = 0 THEN ${width + 1}
+       |      ELSE $width - length(bin(hv & $mask)) + 1 END) AS rho
+       |FROM (SELECT CAST(concat('0x', substr(md5(CAST($kExpr AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |      FROM $table)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Single-value estimator over a register source (bucket, rho). */
+  def estimateFromRegSql(regSrc: String, p: Int): String = {
+    val m = 1 << p
+    s"""SELECT CASE WHEN raw <= 2.5*$m.0 AND zeros > 0
+       |    THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE)) ELSE raw END AS est
+       |FROM (SELECT $m - filled AS zeros,
+       |    (0.7213/(1.0 + 1.079/$m.0)) * $m.0 * $m.0 * pow(2.0, 60)
+       |      / CAST(ssum + CAST($m - filled AS DECIMAL(38,0))
+       |                    * CAST(pow(2.0, 60) AS DECIMAL(38,0)) AS DOUBLE) AS raw
+       |  FROM (SELECT count(*) AS filled,
+       |      SUM(CAST(pow(2.0, 60 - rho) AS DECIMAL(38,0))) AS ssum FROM $regSrc))""".stripMargin
   }
 
   /** The estimator as DuckDB SQL over `table(gExpr, kExpr)` — generated

@@ -70,6 +70,43 @@ class ExperimentSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getDouble(4) - 2.0 / 3.0) < 1e-12)
   }
 
+  test("reliability diagram: calibrated forecasts show ~zero reliability term") {
+    import graft.operators.Calibrate
+    // forecasts exactly match per-bin outcome rates: p=0.2 with 20% ones etc.
+    val rows = (for {
+      (p, rate) <- Seq((0.2, 2), (0.5, 5), (0.8, 8)); i <- 0 until 100
+    } yield (p, if (i % 10 < rate) 1 else 0)).toDF("p", "y")
+    val out = Calibrate.reliability(rows, "p", "y", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 5L, 8L))
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_p") - r.getAs[Double]("mean_y")) < 1e-12)
+      assert(r.getAs[Double]("rel_part") < 1e-20) // perfectly calibrated
+      assert(r.getAs[Double]("res_part") >= 0.0)
+    }
+    val (rel, res, unc) = Calibrate.brierTotals(rows, "p", "y", 10)
+    assert(rel < 1e-18 && res > 0 && math.abs(unc - 0.5 * 0.5) < 1e-12)
+  }
+
+  test("feature hashing: deterministic, bounded indices, opposite docs cancel nothing shared") {
+    import graft.llm.FeatureHash
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val v = FeatureHash.vectorize(docs, "doc_id", "text", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(v.keys.forall { case (_, idx) => idx >= 0 && idx < 64 })
+    // 'alpha' hashes identically in both docs: doc1 weight is ±2
+    val alphaIdx = v.collect { case ((1L, i), w) if math.abs(w) == 2 => i }
+    assert(alphaIdx.size == 1)
+    // same text → identical sparse vector (no RNG, no vocab state)
+    val v2 = FeatureHash.vectorize(docs.repartition(5), "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(v == v2)
+    // 'beta' shared: same index and same sign in both docs
+    val beta1 = v.collect { case ((1L, i), w) if math.abs(w) == 1 => (i, w) }.toSet
+    val beta2 = v.collect { case ((2L, i), w) => (i, w) }.toSet
+    assert(beta1.intersect(beta2).nonEmpty)
+  }
+
   test("isotonic: textbook pooling — violator pulls its neighbors to the mean") {
     import graft.operators.Calibrate
     // y = 1, 3, 2, 4: the (3,2) violation pools to 2.5; ends untouched

@@ -36,4 +36,15 @@ class HllSpec extends AnyFunSuite {
     val est = Hll.estimate(tiny, "g", "k", p = 8).head.getAs[Double]("est")
     assert(math.abs(est - 12.0) < 1.0)
   }
+
+  test("overlap: disjoint sets intersect near zero, nested sets near the subset") {
+    val a = (0 until 400).map(i => Tuple1(s"a$i")).toDF("k")
+    val b = (0 until 400).map(i => Tuple1(s"b$i")).toDF("k")
+    val d = Hll.overlap(a, b, "k", p = 8).head
+    assert(math.abs(d.getAs[Double]("est_intersection")) < 0.15 * 400)
+    assert(d.getAs[Double]("jaccard") < 0.12)
+    // A ⊂ B: union ≈ B, intersection ≈ A
+    val sub = Hll.overlap(a.limit(100), a, "k", p = 8).head
+    assert(math.abs(sub.getAs[Double]("est_union") - sub.getAs[Double]("est_b")) < 1e-9)
+  }
 }
