@@ -2817,6 +2817,44 @@ object SparkEntry {
         .select(col("bin"), col("n"),
           round(col("mean_p"), 6).as("mean_p"), round(col("mean_y"), 6).as("mean_y"),
           round(col("rel_part"), 8).as("rel_part"), round(col("res_part"), 8).as("res_part"))
+    },
+    // Gaps-and-islands interval merge (Intervals.mergeOverlaps):
+    // synthetic per-event intervals (1-7h), one keyed sort, running
+    // prev-max-end island detection — no O(n²) overlap self-join.
+    "q_intervals" -> { (s, dir) =>
+      val us = unix_micros(col("ts"))
+      val iv = Sources.table(s, dir, "events").select(col("user_id"),
+        us.as("s"), (us + ((col("event_id") % 7) + 1) * 3600000000L).as("e"),
+        col("event_id"))
+      graft.operators.Intervals.mergeOverlaps(iv, "user_id", "s", "e", "event_id")
+    },
+    // Association rules (Behavior.associationRules): market-basket
+    // pairs over order baskets of 40 pseudo-categories — support /
+    // confidence / lift, distinct-per-basket semantics.
+    "q_assoc_rules" -> { (s, dir) =>
+      val items = Sources.table(s, dir, "lineitem").select(
+        col("l_orderkey").as("basket"),
+        concat(lit("c"), (col("l_partkey") % 40).cast(StringType)).as("item"))
+      graft.operators.Behavior.associationRules(items, "basket", "item", minSupport = 20)
+        .select(col("a"), col("b"), col("c_a"), col("c_b"), col("c_ab"),
+          round(col("support"), 8).as("support"),
+          round(col("confidence"), 8).as("confidence"),
+          round(col("lift"), 8).as("lift"))
+    },
+    // RFM segmentation (Behavior.rfm): discrete ⌈rank·q/n⌉ quantile
+    // bands with the unit-id tie-break — reproducible anywhere.
+    "q_rfm" -> { (s, dir) =>
+      graft.operators.Behavior.rfm(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_type", "value", "purchase",
+        nowMicros = 1706745600000000L, q = 5)
+    },
+    // Path mining (Behavior.topPaths): most common ordered event-type
+    // sequences per (user, day) session, truncated to 4 steps.
+    "q_top_paths" -> { (s, dir) =>
+      val sess = floor(unix_micros(col("ts")) / lit(86400000000.0))
+      graft.operators.Behavior.topPaths(
+        Sources.table(s, dir, "events").withColumn("sess", sess),
+        "user_id", "sess", "ts", "event_id", "event_type", maxLen = 4, k = 25)
     }
   )
 
@@ -6365,6 +6403,56 @@ object SparkEntry {
         |SELECT bin, n, round(mean_p, 6) AS mean_p, round(mean_y, 6) AS mean_y,
         |  round(CAST(n AS DOUBLE) * ((mean_p - mean_y) * (mean_p - mean_y)) / CAST(nt AS DOUBLE), 8) AS rel_part,
         |  round(CAST(n AS DOUBLE) * ((mean_y - ybar) * (mean_y - ybar)) / CAST(nt AS DOUBLE), 8) AS res_part
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    // running prev-max-end + cumsum island replay
+    "q_intervals" ->
+      """WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + ((event_id % 7) + 1) * 3600000000 AS e, event_id AS o FROM events),
+        |m AS (SELECT *, MAX(e) OVER (PARTITION BY k ORDER BY s, e, o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+        |isl AS (SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY s, e, o
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+        |SELECT k AS key, island, min(s) AS start, max(e) AS "end",
+        |  count(*) AS n_src, max(e) - min(s) AS covered
+        |FROM isl GROUP BY 1, 2""".stripMargin,
+    // distinct per-basket items, unit-keyed pair self-join, same ratios
+    "q_assoc_rules" ->
+      """WITH ui AS (SELECT DISTINCT l_orderkey AS u, 'c' || (l_partkey % 40) AS i FROM lineitem),
+        |nn AS (SELECT count(DISTINCT u) AS n_units FROM ui),
+        |per AS (SELECT i, count(*) AS c FROM ui GROUP BY 1),
+        |pr AS (SELECT a.i AS a, b.i AS b, count(*) AS c_ab
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT pr.a, pr.b, pa.c AS c_a, pb.c AS c_b, pr.c_ab,
+        |  round(CAST(c_ab AS DOUBLE) / CAST(n_units AS DOUBLE), 8) AS support,
+        |  round(CAST(c_ab AS DOUBLE) / CAST(pa.c AS DOUBLE), 8) AS confidence,
+        |  round(CAST(c_ab AS DOUBLE) * CAST(n_units AS DOUBLE)
+        |    / (CAST(pa.c AS DOUBLE) * CAST(pb.c AS DOUBLE)), 8) AS lift
+        |FROM pr JOIN per pa ON pa.i = pr.a JOIN per pb ON pb.i = pr.b, nn""".stripMargin,
+    // discrete rank-band scores with the unit tie-break
+    "q_rfm" ->
+      """WITH per AS (SELECT user_id AS u,
+        |    CAST(floor((1706745600000000 - max(epoch_us(ts)))/86400000000.0) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM per)
+        |SELECT u, recency_days, frequency, monetary,
+        |  CAST(ceil(row_number() OVER (ORDER BY recency_days DESC, u) * 5
+        |    / CAST(n AS DOUBLE)) AS INT) AS r_score,
+        |  CAST(ceil(row_number() OVER (ORDER BY frequency, u) * 5
+        |    / CAST(n AS DOUBLE)) AS INT) AS f_score,
+        |  CAST(ceil(row_number() OVER (ORDER BY monetary, u) * 5
+        |    / CAST(n AS DOUBLE)) AS INT) AS m_score
+        |FROM per, nn""".stripMargin,
+    // ordered list_agg per session, truncated, counted, total-order cut
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id AS u, CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS sess,
+        |    epoch_us(ts) AS t, event_id AS o, event_type AS ty FROM events),
+        |p AS (SELECT u, sess, array_to_string(list(ty ORDER BY t, o)[1:4], '>') AS path
+        |  FROM e GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics: ordered funnels and cohort retention —
@@ -134,6 +135,82 @@ object Behavior {
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === convType)
+  }
+
+  /** Association rules over per-unit item sets (Agrawal et al., SIGMOD
+    * 1993 metrics): for every co-occurring item pair a<b —
+    * support(ab), confidence(a→b) and lift. Distinct (unit, item)
+    * first (multiplicity is not co-occurrence), then the pair explode
+    * is a self-join ON THE UNIT KEY; counts are three hash aggregates.
+    * Differs from PMI ([[graft.llm.Collocations]]) in co-occurrence
+    * semantics: set-membership per unit, not adjacency in a sequence. */
+  def associationRules(df: DataFrame, unitCol: String, itemCol: String,
+                       minSupport: Long): DataFrame = {
+    val ui = df.select(col(unitCol).as("u"), col(itemCol).as("i")).distinct()
+    val nUnits = ui.agg(count_distinct(col("u")).as("n_units"))
+    val per = ui.groupBy("i").agg(count(lit(1)).as("c"))
+    val pairs = ui.join(ui.select(col("u"), col("i").as("j")), "u")
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    pairs
+      .join(per.select(col("i"), col("c").as("c_a")), "i")
+      .join(per.select(col("i").as("j"), col("c").as("c_b")), "j")
+      .join(broadcast(nUnits))
+      .select(col("i").as("a"), col("j").as("b"), col("c_a"), col("c_b"), col("c_ab"),
+        (col("c_ab").cast("double") / col("n_units").cast("double")).as("support"),
+        (col("c_ab").cast("double") / col("c_a").cast("double")).as("confidence"),
+        (col("c_ab").cast("double") * col("n_units").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+  }
+
+  /** RFM segmentation: per-unit Recency (days since last conversion at
+    * `nowMicros`), Frequency (conversion count), Monetary (decimal
+    * conversion spend), each scored into `q` quantile bands by the
+    * DISCRETE rank formula ⌈rank·q/n⌉ (total order via the unit id
+    * tie-break — reproducible anywhere, no interpolation). Higher score
+    * = better (more recent / frequent / valuable). */
+  def rfm(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+          valueCol: String, convType: String, nowMicros: Long, q: Int): DataFrame = {
+    val per = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        floor((lit(nowMicros) - max(unix_micros(col(tsCol)))) / lit(86400000000.0))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary"))
+    val n = Window.partitionBy()
+    def score(c: Column, asc: Boolean) = {
+      val w = Window.orderBy(if (asc) c.asc else c.desc, col("u"))
+      ceil(row_number().over(w) * lit(q.toLong) / count(lit(1)).over(n).cast("double"))
+        .cast("int")
+    }
+    // recency: smaller is better → rank DESC so the most recent gets q
+    per.select(col("u"), col("recency_days"), col("frequency"), col("monetary"),
+      score(col("recency_days"), asc = false).as("r_score"),
+      score(col("frequency"), asc = true).as("f_score"),
+      score(col("monetary"), asc = true).as("m_score"))
+  }
+
+  /** Top event paths: the k most common ordered type sequences over
+    * (unit, session) groups, truncated to `maxLen` steps — the classic
+    * "what do users actually do" readout. One aggregate builds each
+    * session's path array (per-group memory bounded by session length),
+    * one counts paths; the cut is a total order on (count desc, path). */
+  def topPaths(events: DataFrame, unitCol: String, sessionCol: String,
+               tsCol: String, ordCol: String, typeCol: String,
+               maxLen: Int, k: Int): DataFrame = {
+    val path = events
+      .select(col(unitCol).as("u"), col(sessionCol).as("sess"),
+        struct(unix_micros(col(tsCol)).as("t"), col(ordCol).cast("long").as("o"),
+          col(typeCol).as("e")).as("p"))
+      .groupBy("u", "sess")
+      .agg(concat_ws(">", slice(
+        transform(array_sort(collect_list(col("p"))), x => x.getField("e")),
+        1, maxLen)).as("path"))
+    path.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
   }
 
   /** Percentile bootstrap confidence interval (Efron 1979) for the mean

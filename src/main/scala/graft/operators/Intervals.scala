@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval set algebra (the "gaps and islands" family): merge
+  * overlapping/touching intervals per key into maximal islands — the
+  * step behind visit stitching, downtime accounting, coverage
+  * measurement and calendar math.
+  *
+  * Plan shape: one keyed window sort (by start, then end/ord) computes
+  * the running max of previous ends; an island starts where the current
+  * start exceeds it (strictly — touching intervals merge); a running
+  * sum numbers islands; one grouped aggregate emits them. Identical to
+  * the sessionize lowering: one Exchange, one sort, no self-join (the
+  * naive overlap self-join is O(n²) per key and still needs a closure
+  * pass). All boundary arithmetic is exact integer micros. */
+object Intervals {
+
+  /** Merge to maximal islands: (key, island, start, end, n_src,
+    * covered) with `covered` = end − start exact micros. Inputs may
+    * nest, duplicate or touch; `ordCol` makes tie order total. */
+  def mergeOverlaps(df: DataFrame, keyCol: String, startCol: String,
+                    endCol: String, ordCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol), col(ordCol))
+    val prevMaxEnd = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol).as("key"), col("__island").as("island"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_src"))
+      .withColumn("covered", col("end") - col("start"))
+  }
+
+  /** Uncovered gaps between islands per key (the complement within the
+    * key's observed span): (key, gap_start, gap_end, gap_len). */
+  def gaps(df: DataFrame, keyCol: String, startCol: String,
+           endCol: String, ordCol: String): DataFrame = {
+    val islands = mergeOverlaps(df, keyCol, startCol, endCol, ordCol)
+    val w = Window.partitionBy("key").orderBy("island")
+    islands
+      .withColumn("__next_start", lead(col("start"), 1).over(w))
+      .filter(col("__next_start").isNotNull)
+      .select(col("key"), col("end").as("gap_start"),
+        col("__next_start").as("gap_end"),
+        (col("__next_start") - col("end")).as("gap_len"))
+  }
+}

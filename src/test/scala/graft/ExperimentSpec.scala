@@ -70,6 +70,65 @@ class ExperimentSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getDouble(4) - 2.0 / 3.0) < 1e-12)
   }
 
+  test("interval merge: nesting, touching and gaps resolve to maximal islands") {
+    import graft.operators.Intervals
+    // [0,10] ∪ [5,8](nested) ∪ [10,20](touching) → one island [0,20];
+    // [30,40] separate
+    val iv = Seq((1L, 0L, 10L, 1L), (1L, 5L, 8L, 2L), (1L, 10L, 20L, 3L), (1L, 30L, 40L, 4L))
+      .toDF("k", "s", "e", "o")
+    val out = Intervals.mergeOverlaps(iv, "k", "s", "e", "o")
+      .orderBy("island").collect()
+    assert(out.length == 2)
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == (0L, 20L, 3L))
+    assert((out(1).getLong(2), out(1).getLong(3)) == (30L, 40L))
+    assert(out(0).getAs[Long]("covered") == 20L)
+    val g = Intervals.gaps(iv, "k", "s", "e", "o").head
+    assert((g.getLong(1), g.getLong(2), g.getLong(3)) == (20L, 30L, 10L))
+  }
+
+  test("association rules: hand-computed support/confidence/lift") {
+    // 4 baskets: {x,y} {x,y} {x} {z} → c_x=3, c_y=2, c_xy=2
+    val items = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "y"), (3L, "x"), (4L, "z"))
+      .toDF("u", "i")
+    val r = Behavior.associationRules(items, "u", "i", minSupport = 1)
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    val xy = r(("x", "y"))
+    assert(xy.getLong(2) == 3L && xy.getLong(3) == 2L && xy.getLong(4) == 2L)
+    assert(xy.getAs[Double]("support") == 0.5)           // 2/4 baskets
+    assert(math.abs(xy.getAs[Double]("confidence") - 2.0 / 3) < 1e-12)
+    assert(math.abs(xy.getAs[Double]("lift") - 2.0 * 4 / (3 * 2)) < 1e-12)
+    assert(!r.contains(("x", "z"))) // never co-occur
+  }
+
+  test("rfm: score bands are monotone in the underlying dimension") {
+    val now = 1706745600000000L
+    val ev = (0 until 30).map { i =>
+      (i.toLong, new java.sql.Timestamp((now - i.toLong * 86400000000L) / 1000),
+        "purchase", 10.0 * (i + 1))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = Behavior.rfm(ev, "user_id", "ts", "event_type", "value", "purchase",
+      now, q = 5).collect().map(r => r.getLong(0) -> r).toMap
+    // user 0 purchased most recently → top recency band; user 29 → bottom
+    assert(out(0L).getAs[Int]("r_score") == 5 && out(29L).getAs[Int]("r_score") == 1)
+    // monetary grows with id → m_score monotone
+    assert(out(29L).getAs[Int]("m_score") == 5 && out(0L).getAs[Int]("m_score") == 1)
+    assert(out.values.forall(r => (1 to 5).contains(r.getAs[Int]("f_score"))))
+  }
+
+  test("topPaths: orders within session, truncates, ranks by frequency") {
+    val rows = Seq(
+      (1L, 1L, 10L, 1L, "a"), (1L, 1L, 20L, 2L, "b"),
+      (2L, 1L, 10L, 3L, "a"), (2L, 1L, 20L, 4L, "b"),
+      (3L, 1L, 10L, 5L, "c"), (3L, 1L, 20L, 6L, "d"), (3L, 1L, 30L, 7L, "e"),
+      (3L, 1L, 40L, 8L, "f"), (3L, 1L, 50L, 9L, "g")) // truncated at 4
+      .map { case (u, s, t, o, e) => (u, s, new java.sql.Timestamp(t), o, e) }
+      .toDF("u", "sess", "ts", "o", "ty")
+    val out = Behavior.topPaths(rows, "u", "sess", "ts", "o", "ty", maxLen = 4, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head == ("a>b", 2L))
+    assert(out.map(_._1).contains("c>d>e>f")) // 5th step truncated
+  }
+
   test("reliability diagram: calibrated forecasts show ~zero reliability term") {
     import graft.operators.Calibrate
     // forecasts exactly match per-bin outcome rates: p=0.2 with 20% ones etc.
