@@ -28,10 +28,10 @@ object FeatureHash {
   def vectorize(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
     val toks = filter(split(col(textCol), " +"), t => t =!= "")
-    val h = hash60(col("w"))
     docs.select(col(idCol).as("id"), explode(toks).as("w"))
-      .select(col("id"), (h % dim).as("idx"),
-        when(shiftright(h, 59) === 1, lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .select(col("id"), hash60(col("w")).as("hv")) // hash once per token
+      .select(col("id"), (col("hv") % dim).as("idx"),
+        when(shiftright(col("hv"), 59) === 1, lit(1L)).otherwise(lit(-1L)).as("sign"))
       .groupBy("id", "idx").agg(sum(col("sign")).as("weight"))
       .filter(col("weight") =!= 0) // cancelled collisions carry no information
   }

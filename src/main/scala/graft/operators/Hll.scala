@@ -31,14 +31,29 @@ object Hll {
 
   /** Register table: one row per (group, bucket) with the max rank —
     * the mergeable sketch state (merge = union + groupBy max). */
-  def registers(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame = {
+  def registers(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame =
+    registersWith(df, grpCol, keyCol, p, hash60)
+
+  /** In-engine fast arm: identical register/estimator shape over
+    * xxhash64 (~4× cheaper per row than portable MD5 — measured at sf1).
+    * Use when the sketch never leaves Spark; NOT SQL-replayable. */
+  def registersFast(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame =
+    registersWith(df, grpCol, keyCol, p,
+      c => xxhash64(c.cast("string")).bitwiseAND(lit((1L << 60) - 1)))
+
+  def estimateFast(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame =
+    estimateFromRegisters(registersFast(df, grpCol, keyCol, p), p)
+
+  private def registersWith(df: DataFrame, grpCol: String, keyCol: String, p: Int,
+                            hasher: Column => Column): DataFrame = {
     require(p >= 4 && p <= 16, "need 4 <= p <= 16")
     val width = 60 - p
-    val h = hash60(col(keyCol))
-    val rest = h.bitwiseAND(lit((1L << width) - 1))
+    // materialize the hash once — it feeds bucket AND rank
+    val hashed = df.select(col(grpCol).as("g"), hasher(col(keyCol)).as("hv"))
+    val rest = col("hv").bitwiseAND(lit((1L << width) - 1))
     val rho = when(rest === 0, lit(width + 1))
       .otherwise(lit(width) - length(bin(rest)) + 1)
-    df.select(col(grpCol).as("g"), shiftright(h, width).as("bucket"), rho.as("rho"))
+    hashed.select(col("g"), shiftright(col("hv"), width).as("bucket"), rho.as("rho"))
       .groupBy("g", "bucket").agg(max(col("rho")).as("rho"))
   }
 

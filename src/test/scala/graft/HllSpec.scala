@@ -37,6 +37,15 @@ class HllSpec extends AnyFunSuite {
     assert(math.abs(est - 12.0) < 1.0)
   }
 
+  test("fast arm (xxhash64) matches the portable arm's error profile") {
+    val keys = (0 until 3000).map(i => ("g", s"key-$i")).toDF("g", "k")
+    val slow = Hll.estimate(keys, "g", "k", p = 8).head.getAs[Double]("est")
+    val fast = Hll.estimateFast(keys, "g", "k", p = 8).head.getAs[Double]("est")
+    val bound = 3 * 1.04 / math.sqrt(256) * 3000
+    assert(math.abs(slow - 3000) < bound && math.abs(fast - 3000) < bound)
+    assert(slow != fast) // different hash → different (equally valid) estimate
+  }
+
   test("overlap: disjoint sets intersect near zero, nested sets near the subset") {
     val a = (0 until 400).map(i => Tuple1(s"a$i")).toDF("k")
     val b = (0 until 400).map(i => Tuple1(s"b$i")).toDF("k")
