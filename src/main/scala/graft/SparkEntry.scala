@@ -2855,6 +2855,53 @@ object SparkEntry {
       graft.operators.Behavior.topPaths(
         Sources.table(s, dir, "events").withColumn("sess", sess),
         "user_id", "sess", "ts", "event_id", "event_type", maxLen = 4, k = 25)
+    },
+    // Mann-Whitney U (RankTests.mannWhitney): returned vs refused
+    // lineitems on quantity — heavy ties (50 distinct values), so the
+    // tie-corrected z and the 2×rank integer trick both exercise.
+    "q_mannwhitney" -> { (s, dir) =>
+      graft.operators.RankTests.mannWhitney(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_quantity", "A", "R")
+        .select(col("n_a"), col("n_b"), col("r_a"), col("u_a"), col("u_b"),
+          round(col("z"), 8).as("z"))
+    },
+    // Two-sample KS (RankTests.ksTest): order-status cdfs over dollar-
+    // bucketed prices — the exact integer |cumA·nB − cumB·nA| maximand.
+    "q_ks_test" -> { (s, dir) =>
+      graft.operators.RankTests.ksTest(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("price_usd", round(col("l_extendedprice")).cast("long")),
+        "l_linestatus", "price_usd", "O", "F")
+        .select(col("n_a"), col("n_b"), col("d"),
+          round(col("ks_stat"), 8).as("ks_stat"))
+    },
+    // Chi-square independence (RankTests.chiSquare): returnflag ×
+    // linestatus contingency (6 cells) + Cramér's V.
+    "q_chi2" -> { (s, dir) =>
+      graft.operators.RankTests.chiSquare(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(col("n"), col("cells"), col("dof"),
+          round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
+    },
+    // 2-D skyline (Skyline.skyline2d): parts on (size, retailprice)
+    // minimized — per-x min + strict-envelope window, never NOT EXISTS.
+    "q_skyline" -> { (s, dir) =>
+      graft.operators.Skyline.skyline2d(
+        Sources.table(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        "p_size", "p_retailprice")
+    },
+    // Quantile normalization (Robust.quantileNormalize): force each
+    // returnflag group's quantity onto the cross-group reference
+    // distribution; ragged groups average over present ranks.
+    "q_quantile_norm" -> { (s, dir) =>
+      graft.operators.Robust.quantileNormalize(
+        Sources.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("ord")),
+        "l_returnflag", "l_quantity", "ord")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), round(col("norm"), 8).as("norm"))
     }
   )
 
@@ -6453,6 +6500,83 @@ object SparkEntry {
         |p AS (SELECT u, sess, array_to_string(list(ty ORDER BY t, o)[1:4], '>') AS path
         |  FROM e GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
-        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
+    // per-value counts, 2×avg-rank integer trick, tie-corrected z
+    "q_mannwhitney" ->
+      """WITH f AS (SELECT l_quantity AS v, l_returnflag AS g FROM lineitem
+        |    WHERE l_returnflag IN ('A','R')),
+        |pv AS (SELECT v, sum(CASE WHEN g='A' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g='R' THEN 1 ELSE 0 END) AS cb FROM f GROUP BY 1),
+        |r AS (SELECT *, ca+cb AS t, COALESCE(sum(ca+cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM pv),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca*(2*cum+t+1)) AS BIGINT) AS r2a,
+        |    CAST(sum(t*t*t - t) AS BIGINT) AS ties FROM r),
+        |s AS (SELECT n_a, n_b,
+        |    CAST(r2a AS DOUBLE)/2 AS r_a,
+        |    CAST(r2a AS DOUBLE)/2 - CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)+1)/2 AS u_a,
+        |    CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE) AS n, ties FROM a)
+        |SELECT n_a, n_b, r_a, u_a,
+        |  CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE) - u_a AS u_b,
+        |  round((u_a - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/2) /
+        |    sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12 *
+        |      ((n+1) - CAST(ties AS DOUBLE)/(n*(n-1)))), 8) AS z
+        |FROM s""".stripMargin,
+    // pooled cdf extreme as an exact integer maximand
+    "q_ks_test" ->
+      """WITH f AS (SELECT CAST(round(l_extendedprice) AS BIGINT) AS v,
+        |    l_linestatus AS g FROM lineitem WHERE l_linestatus IN ('O','F')),
+        |pv AS (SELECT v, sum(CASE WHEN g='O' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g='F' THEN 1 ELSE 0 END) AS cb FROM f GROUP BY 1),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        |  FROM pv),
+        |t AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM c),
+        |m AS (SELECT CAST(max(abs(cum_a*n_b - cum_b*n_a)) AS BIGINT) AS num FROM c, t)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) AS d,
+        |  round(CAST(num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) *
+        |    sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE))), 8) AS ks_stat
+        |FROM m, t""".stripMargin,
+    // observed vs marginal-product expected; per-cell terms are single
+    // IEEE ops (bit-identical across engines) and the handful-of-cells
+    // sum is rounded to 6 — far above any reordering ulp drift
+    "q_chi2" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS o
+        |    FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT x, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT y, sum(o) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |e AS (SELECT cells.*, CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE) AS e, n
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y), nn),
+        |a AS (SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS cells,
+        |    CAST(count(DISTINCT x) AS BIGINT) AS rx, CAST(count(DISTINCT y) AS BIGINT) AS ry,
+        |    sum((CAST(o AS DOUBLE) - e)*(CAST(o AS DOUBLE) - e)/e) AS chi2 FROM e)
+        |SELECT n, cells, (rx-1)*(ry-1) AS dof, round(chi2, 6) AS chi2,
+        |  CASE WHEN least(rx, ry) > 1 THEN
+        |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
+        |  END AS cramers_v
+        |FROM a""".stripMargin,
+    // strict lower-envelope of per-x minima — the window replay of the
+    // (quadratic) NOT EXISTS dominance definition
+    "q_skyline" ->
+      """WITH px AS (SELECT p_size AS x, min(p_retailprice) AS miny FROM part GROUP BY 1),
+        |f AS (SELECT x, miny, min(miny) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM px)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN f ON p.p_size = f.x AND p.p_retailprice = f.miny
+        |WHERE pm IS NULL OR miny < pm""".stripMargin,
+    // within-group ranks -> cross-group mean order statistic, joined back
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey*10 + l_linenumber) AS rk FROM lineitem),
+        |ref AS (SELECT rk, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS norm FROM r GROUP BY 1)
+        |SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity,
+        |  round(ref.norm, 8) AS norm
+        |FROM r JOIN ref USING (rk)""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-free two-sample tests and the categorical independence
+  * test — the experiment-readout companions to [[Behavior.abTest]] /
+  * [[Behavior.cuped]] for metrics where a t-test's normality assumption
+  * is wrong (latency tails, spend, ordinal scores).
+  *
+  * All three lower to the same scale shape: ONE map-combined hash
+  * aggregate collapses the corpus to a per-distinct-value (or
+  * per-cell) table, and every rank/cdf quantity is then computed on
+  * that value-cardinality table with a global ordered window. The
+  * window is single-partition BY DESIGN — it runs over |distinct
+  * values| rows, not over rows of data; for a 100 TB metric column
+  * with bounded distinct values (scores, latencies at ms granularity,
+  * grades) that table is thousands of rows. Rank sums use the 2×rank
+  * integer trick (average ranks are half-integers) so every statistic
+  * up to the final z/D division is EXACT integer arithmetic —
+  * partitioning-independent and bit-replayable by any SQL engine.
+  */
+object RankTests {
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) for `valueCol` between groups
+    * `a` and `b` of `groupCol`. Average ranks for ties; tie-corrected
+    * normal approximation, no continuity correction. One row:
+    * (n_a, n_b, r_a, u_a, u_b, z) with r_a the rank sum of group a.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  a: String, b: String): DataFrame = {
+    val perValue = df
+      .filter(col(groupCol) === a || col(groupCol) === b)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
+           sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    // value-cardinality table from here on (see scaladoc)
+    val wPrev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue.withColumn("cum",
+      coalesce(sum(col("t")).over(wPrev), lit(0L)))
+    // 2×(average rank of a tie block) = 2·cumBefore + t + 1 — integer
+    val r2 = lit(2) * col("cum") + col("t") + lit(1)
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca") * r2).as("r2_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+    agg.select(
+      col("n_a"), col("n_b"),
+      (col("r2_a").cast("double") / 2).as("r_a"),
+      (col("r2_a").cast("double") / 2 -
+        col("n_a").cast("double") * (col("n_a").cast("double") + 1) / 2).as("u_a"),
+      (col("n_a").cast("double") * col("n_b").cast("double") -
+        (col("r2_a").cast("double") / 2 -
+          col("n_a").cast("double") * (col("n_a").cast("double") + 1) / 2)).as("u_b"),
+      col("tie_sum"))
+      .withColumn("__n", col("n_a").cast("double") + col("n_b").cast("double"))
+      .withColumn("__var",
+        col("n_a").cast("double") * col("n_b").cast("double") / 12 *
+          ((col("__n") + 1) - col("tie_sum").cast("double") /
+            (col("__n") * (col("__n") - 1))))
+      .withColumn("z",
+        when(col("__var") > 0,
+          (col("u_a") - col("n_a").cast("double") * col("n_b").cast("double") / 2) /
+            sqrt(col("__var")))) // all-tied sample -> null, not a throw
+      .drop("tie_sum", "__n", "__var")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov: D = max_v |F_a(v) − F_b(v)| over
+    * the pooled empirical cdfs. The maximized difference is the exact
+    * integer |cumA·n_b − cumB·n_a| (max over value blocks), divided
+    * once at the end. One row: (n_a, n_b, d, ks_stat) with
+    * ks_stat = D·√(n_a·n_b/(n_a+n_b)) — the quantity compared against
+    * the Kolmogorov distribution's critical values. */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    val perValue = df
+      .filter(col(groupCol) === a || col(groupCol) === b)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
+           sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = perValue
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("na", max(col("cum_a")).over(wAll))
+      .withColumn("nb", max(col("cum_b")).over(wAll))
+    cum.agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("num"))
+      .select(col("n_a"), col("n_b"),
+        (col("num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"))
+      .withColumn("ks_stat", col("d") * sqrt(
+        col("n_a").cast("double") * col("n_b").cast("double") /
+          (col("n_a").cast("double") + col("n_b").cast("double"))))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size. Observed cells come from one
+    * hash aggregate; expected counts from the row/col marginal tables
+    * joined back on their keys (both are |categories| rows —
+    * broadcast). One row: (n, cells, dof, chi2, cramers_v). */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("x").agg(sum("o").as("rt"))
+    val colTot = cells.groupBy("y").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(rowTot), "x").join(broadcast(colTot), "y")
+      .join(broadcast(n))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double"))
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("cells"),
+        countDistinct(col("x")).as("__rx"),
+        countDistinct(col("y")).as("__ry"),
+        sum((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) /
+          col("e")).as("chi2"))
+      .withColumn("dof", (col("__rx") - 1) * (col("__ry") - 1))
+      .withColumn("cramers_v",
+        when(least(col("__rx"), col("__ry")) > 1, sqrt(col("chi2") /
+          (col("n").cast("double") * (least(col("__rx"), col("__ry")).cast("double") - 1)))))
+      .select(col("n"), col("cells"), col("dof"), col("chi2"), col("cramers_v"))
+  }
+}

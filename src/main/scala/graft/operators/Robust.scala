@@ -68,4 +68,28 @@ object Robust {
           .otherwise(col("__prior")))
       .drop("__c", "__s", "__n", "__prior")
   }
+
+  /** Quantile normalization (Bolstad et al., Bioinformatics 2003; the
+    * batch-effect remover): force every group's `valueCol` onto the
+    * same distribution by replacing the value at within-group rank r
+    * with the MEAN across groups of their r-th order statistics.
+    * Appends `norm`. Ragged groups average over the groups that have
+    * rank r (the standard extension); ties within a group get distinct
+    * ranks via `ordCol`, so the map is a bijection and replayable.
+    *
+    * Scale shape: one per-group window sort assigns ranks, one
+    * rank-keyed aggregate builds the reference distribution (|max
+    * group size| rows — broadcast), one join back on the rank. The
+    * reference mean uses a DECIMAL sum over a double count so the
+    * divide happens once, in one order. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        ordCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(ordCol))
+    val ranked = df.withColumn("__r", row_number().over(w))
+    val ref = ranked.groupBy(col("__r").as("__rr"))
+      .agg((sum(col(valueCol).cast("decimal(28,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("norm"))
+    ranked.join(broadcast(ref), col("__r") === col("__rr"))
+      .drop("__r", "__rr")
+  }
 }

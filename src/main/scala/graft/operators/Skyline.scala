@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skyline (Pareto-frontier) queries — "the maximal vector problem"
+  * (Börzsönyi et al., ICDE 2001): rows not dominated by any other row,
+  * where p dominates q iff p is ≤ q on every criterion and < on at
+  * least one (all criteria minimized; flip signs to maximize).
+  *
+  * The naive form is a quadratic NOT EXISTS self-join. Neither arm
+  * here ever runs it:
+  *
+  *  - 2-D: the frontier is exactly the strictly-decreasing envelope of
+  *    the per-x minimum of y. One hash aggregate collapses the data to
+  *    |distinct x| rows, a running strict min over x-order marks the
+  *    envelope, and a semi-join back keeps the surviving rows. Cost:
+  *    one map-combined aggregate + one join keyed on x; the ordered
+  *    window runs over the per-x table, not the data.
+  *
+  *  - d-D: per-partition local dominance filters (each partition's
+  *    skyline is a superset contributor of the global one — dominance
+  *    is transitive), then the candidate union is reduced by one more
+  *    dominance pass against itself. Candidates are capped
+  *    (`maxCandidates`) — real skylines are small relative to data
+  *    (O(log^{d-1} n) expected for independent dims); the cap turns a
+  *    pathological anti-correlated-by-construction input into a loud
+  *    error instead of a silent quadratic.
+  */
+object Skyline {
+
+  /** 2-D skyline, both criteria minimized, duplicates of a frontier
+    * point all kept (a point does not dominate its equal — no strict
+    * coordinate). Returns the input rows that are on the frontier. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol).as("__x")).agg(min(col(yCol)).as("__miny"))
+    val wPrev = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    // keep x-block iff its min-y strictly undercuts every smaller x
+    val frontier = perX
+      .withColumn("__prevmin", min(col("__miny")).over(wPrev))
+      .filter(col("__prevmin").isNull || col("__miny") < col("__prevmin"))
+      .select(col("__x"), col("__miny"))
+    df.join(broadcast(frontier),
+        col(xCol) === col("__x") && col(yCol) === col("__miny"))
+      .drop("__x", "__miny")
+  }
+
+  /** General d-dimensional skyline over `cols` (all minimized).
+    * Local-then-global dominance; throws if the candidate union
+    * exceeds `maxCandidates` (anti-correlated inputs — pre-reduce
+    * dimensions or raise the cap consciously). */
+  def skyline(df: DataFrame, cols: Seq[String], maxCandidates: Int = 100000): DataFrame = {
+    require(cols.nonEmpty, "need at least one criterion column")
+    val proj = df.select(cols.map(col): _*)
+    val names = cols.toArray
+
+    def localSkyline(rows: Iterator[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val keptRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      def dominates(p: Array[Double], q: Array[Double]): Boolean = {
+        var allLe = true; var anyLt = false; var i = 0
+        while (i < p.length && allLe) {
+          if (p(i) > q(i)) allLe = false
+          else if (p(i) < q(i)) anyLt = true
+          i += 1
+        }
+        allLe && anyLt
+      }
+      rows.foreach { r =>
+        val v = Array.tabulate(names.length)(i => r.getAs[Number](i).doubleValue())
+        var dominated = false
+        var i = 0
+        while (i < kept.length && !dominated) {
+          if (dominates(kept(i), v)) dominated = true else i += 1
+        }
+        if (!dominated) {
+          // evict kept points the new one dominates
+          var j = kept.length - 1
+          while (j >= 0) {
+            if (dominates(v, kept(j))) { kept.remove(j); keptRows.remove(j) }
+            j -= 1
+          }
+          kept += v; keptRows += r
+        }
+      }
+      keptRows.iterator
+    }
+
+    val localEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(proj.schema)
+    val candidates = proj.mapPartitions(localSkyline _)(localEnc)
+    // the union of local skylines is small (see scaladoc) — one more
+    // pass of the same filter over it, single partition, yields the
+    // global frontier; the cap keeps this bounded and loud
+    val n = candidates.limit(maxCandidates + 1).count()
+    require(n <= maxCandidates,
+      s"skyline candidate union exceeds maxCandidates=$maxCandidates — " +
+        "anti-correlated criteria; reduce dimensions or raise the cap")
+    candidates.repartition(1).mapPartitions(localSkyline _)(localEnc)
+  }
+}

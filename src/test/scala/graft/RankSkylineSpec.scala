@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RankTests, Robust, Skyline}
+
+/** Hand-computed goldens for the rank-test / skyline / quantile-norm
+  * batch: tiny fixtures with closed-form statistics (the no-overlap
+  * Mann-Whitney U=0 case, the all-tied degenerate, the textbook 2×2
+  * chi-square, the Bolstad quantile-norm walk-through). */
+class RankSkylineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mannWhitney: disjoint samples give U_a = 0 and the exact z") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0))
+      .toDF("g", "v")
+    val r = RankTests.mannWhitney(df, "g", "v", "A", "B").head
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("r_a") == 6.0) // ranks 1+2+3
+    assert(r.getAs[Double]("u_a") == 0.0 && r.getAs[Double]("u_b") == 9.0)
+    // z = (0 - 4.5)/sqrt(3*3/12*7) = -4.5/sqrt(5.25)
+    assert(math.abs(r.getAs[Double]("z") - (-4.5 / math.sqrt(5.25))) < 1e-12)
+  }
+
+  test("mannWhitney: ties use average ranks and the tie-corrected variance") {
+    // A={1,1}, B={1}: one tie block of 3, avg rank 2 -> R_A = 4, U_A = 1
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("g", "v")
+    val r = RankTests.mannWhitney(df, "g", "v", "A", "B").head
+    assert(r.getAs[Double]("r_a") == 4.0)
+    assert(r.getAs[Double]("u_a") == 1.0 && r.getAs[Double]("u_b") == 1.0)
+    // all-tied: tie correction kills the variance -> z is null, not a throw
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("ksTest: separated samples reach D = 1; interleaved halve it") {
+    val sep = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r1 = RankTests.ksTest(sep, "g", "v", "A", "B").head
+    assert(r1.getAs[Double]("d") == 1.0)
+    assert(math.abs(r1.getAs[Double]("ks_stat") - 1.0) < 1e-12) // sqrt(4/4)
+    val mix = Seq(("A", 1.0), ("B", 2.0), ("A", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r2 = RankTests.ksTest(mix, "g", "v", "A", "B").head
+    assert(r2.getAs[Double]("d") == 0.5)
+  }
+
+  test("chiSquare: textbook 2x2 with uniform margins") {
+    // cells: (x1,y1)=10 (x1,y2)=20 (x2,y1)=20 (x2,y2)=10 -> e = 15 all
+    val rows = Seq.fill(10)(("x1", "y1")) ++ Seq.fill(20)(("x1", "y2")) ++
+      Seq.fill(20)(("x2", "y1")) ++ Seq.fill(10)(("x2", "y2"))
+    val r = RankTests.chiSquare(rows.toDF("x", "y"), "x", "y").head
+    assert(r.getAs[Long]("n") == 60 && r.getAs[Long]("cells") == 4)
+    assert(r.getAs[Long]("dof") == 1)
+    assert(math.abs(r.getAs[Double]("chi2") - 4 * 25.0 / 15.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cramers_v") - math.sqrt(4 * 25.0 / 15.0 / 60)) < 1e-12)
+  }
+
+  test("chiSquare: single-category column yields dof 0 and null V") {
+    val r = RankTests.chiSquare(
+      Seq(("x1", "y1"), ("x1", "y2")).toDF("x", "y"), "x", "y").head
+    assert(r.getAs[Long]("dof") == 0)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+  }
+
+  test("skyline2d: strict envelope, duplicates kept, same-x dominated dropped") {
+    val df = Seq((1, 5.0), (2, 3.0), (2, 3.0), (3, 3.0), (0, 10.0), (4, 9.0))
+      .toDF("x", "y")
+    val out = Skyline.skyline2d(df, "x", "y").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+    // (3,3) dominated by (2,3) (strict in x); (4,9) dominated by (2,3)
+    assert(out == Seq((0, 10.0), (1, 5.0), (2, 3.0), (2, 3.0)))
+  }
+
+  test("skyline (d-dim) agrees with skyline2d and handles 3-D") {
+    val df = Seq((1, 5.0), (2, 3.0), (3, 3.0), (0, 10.0)).toDF("x", "y")
+    val a = Skyline.skyline(df.select(col("x").cast("double"), col("y")), Seq("x", "y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+    assert(a == Seq((0.0, 10.0), (1.0, 5.0), (2.0, 3.0)))
+    // 3-D: (1,1,9) survives alongside (1,9,1) and (9,1,1); (5,5,5) too
+    // (nothing dominates it on all three); (9,9,9) dominated by all
+    val d3 = Seq((1.0, 1.0, 9.0), (1.0, 9.0, 1.0), (9.0, 1.0, 1.0),
+      (5.0, 5.0, 5.0), (9.0, 9.0, 9.0)).toDF("a", "b", "c")
+    val s3 = Skyline.skyline(d3, Seq("a", "b", "c")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    assert(s3 == Seq((1.0, 1.0, 9.0), (1.0, 9.0, 1.0), (5.0, 5.0, 5.0), (9.0, 1.0, 1.0)))
+  }
+
+  test("skyline: candidate cap is a loud error, not a quadratic crawl") {
+    // perfectly anti-correlated: every point is on the frontier
+    val df = (0 until 100).map(i => (i.toDouble, (100 - i).toDouble)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skyline(df, Seq("x", "y"), maxCandidates = 10).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+  }
+
+  test("quantileNormalize: Bolstad walk-through, equal-size groups") {
+    // g1 sorted (2,3,5), g2 sorted (1,2,4) -> reference (1.5, 2.5, 4.5)
+    val df = Seq(("g1", 5.0, 1), ("g1", 2.0, 2), ("g1", 3.0, 3),
+      ("g2", 4.0, 4), ("g2", 1.0, 5), ("g2", 2.0, 6)).toDF("g", "v", "o")
+    val out = Robust.quantileNormalize(df, "g", "v", "o")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getAs[Double]("norm")).toMap
+    assert(out(("g1", 2.0)) == 1.5 && out(("g1", 3.0)) == 2.5 && out(("g1", 5.0)) == 4.5)
+    assert(out(("g2", 1.0)) == 1.5 && out(("g2", 2.0)) == 2.5 && out(("g2", 4.0)) == 4.5)
+  }
+
+  test("quantileNormalize: ragged groups average over present ranks") {
+    // g1 = (10), g2 = (2, 4): rank1 ref = (10+2)/2 = 6, rank2 ref = 4
+    val df = Seq(("g1", 10.0, 1), ("g2", 2.0, 2), ("g2", 4.0, 3)).toDF("g", "v", "o")
+    val out = Robust.quantileNormalize(df, "g", "v", "o")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getAs[Double]("norm")).toMap
+    assert(out(("g1", 10.0)) == 6.0 && out(("g2", 2.0)) == 6.0 && out(("g2", 4.0)) == 4.0)
+  }
+}
