@@ -2883,6 +2883,23 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // ROC AUC (RankTests.auc): does event value rank purchases above
+    // other events — the rank-sum identity U/(n⁺·n⁻), ties half-credit.
+    "q_auc" -> { (s, dir) =>
+      graft.operators.RankTests.auc(
+        Sources.table(s, dir, "events")
+          .withColumn("is_purchase",
+            when(col("event_type") === "purchase", 1).otherwise(0)),
+        "is_purchase", "value")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 8).as("auc"))
+    },
+    // Mutual information (RankTests.mutualInformation): the same
+    // returnflag × linestatus table as q_chi2, in nats + normalized.
+    "q_mutual_info" -> { (s, dir) =>
+      graft.operators.RankTests.mutualInformation(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(col("n"), round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi"))
+    },
     // 2-D skyline (Skyline.skyline2d): parts on (size, retailprice)
     // minimized — per-x min + strict-envelope window, never NOT EXISTS.
     "q_skyline" -> { (s, dir) =>
@@ -6558,6 +6575,38 @@ object SparkEntry {
         |  CASE WHEN least(rx, ry) > 1 THEN
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
+        |FROM a""".stripMargin,
+    // the same rank-sum pipeline as q_mannwhitney, read out as U/(n·n)
+    "q_auc" ->
+      """WITH f AS (SELECT CASE WHEN event_type='purchase' THEN 'p' ELSE 'n' END AS g,
+        |    value AS v FROM events),
+        |pv AS (SELECT v, sum(CASE WHEN g='p' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g='n' THEN 1 ELSE 0 END) AS cb FROM f GROUP BY 1),
+        |r AS (SELECT *, ca+cb AS t, COALESCE(sum(ca+cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM pv),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos, CAST(sum(cb) AS BIGINT) AS n_neg,
+        |    CAST(sum(ca*(2*cum+t+1)) AS BIGINT) AS r2a FROM r)
+        |SELECT n_pos, n_neg,
+        |  round((CAST(r2a AS DOUBLE)/2 - CAST(n_pos AS DOUBLE)*(CAST(n_pos AS DOUBLE)+1)/2) /
+        |    (CAST(n_pos AS DOUBLE)*CAST(n_neg AS DOUBLE)), 8) AS auc
+        |FROM a""".stripMargin,
+    // Σ p_xy·ln(p_xy/(p_x·p_y)) over the contingency cells; marginal
+    // entropies ride the same pass (Σ p_xy·ln(rt/n) telescopes to H(X))
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS o
+        |    FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT x, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT y, sum(o) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT cells.*, rt, ct, n, CAST(o AS DOUBLE)/CAST(n AS DOUBLE) AS pxy
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y), nn),
+        |a AS (SELECT max(n) AS n,
+        |    sum(pxy * ln(pxy * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+        |      (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))) AS mi,
+        |    -sum(pxy * ln(CAST(rt AS DOUBLE)/CAST(n AS DOUBLE))) AS hx,
+        |    -sum(pxy * ln(CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))) AS hy FROM j)
+        |SELECT n, round(mi, 6) AS mi,
+        |  CASE WHEN least(hx, hy) > 0 THEN round(mi / least(hx, hy), 6) END AS nmi
         |FROM a""".stripMargin,
     // strict lower-envelope of per-x minima — the window replay of the
     // (quadratic) NOT EXISTS dominance definition

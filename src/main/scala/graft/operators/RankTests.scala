@@ -99,6 +99,50 @@ object RankTests {
           (col("n_a").cast("double") + col("n_b").cast("double"))))
   }
 
+  /** ROC AUC by the rank-sum identity AUC = U_pos/(n_pos·n_neg) —
+    * ties get half credit via the average-rank U, which is exactly the
+    * probabilistic AUC definition P(s⁺>s⁻) + ½P(s⁺=s⁻). Same
+    * value-cardinality shape as [[mannWhitney]]: one aggregate per
+    * distinct score, never a per-row sort. `labelCol` is 0/1. One row:
+    * (n_pos, n_neg, auc). */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val tagged = df.select(
+      when(col(labelCol).cast("int") === 1, lit("p")).otherwise(lit("n")).as("__l"),
+      col(scoreCol).as("__s"))
+    // positives should rank HIGH on score; U counts (pos > neg) pairs
+    mannWhitney(tagged, "__l", "__s", "p", "n")
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("u_a") / (col("n_a").cast("double") * col("n_b").cast("double"))).as("auc"))
+  }
+
+  /** Mutual information I(X;Y) in nats between two categorical
+    * columns, plus the normalized variant I/min(H(X),H(Y)). Same
+    * one-aggregate cell table as [[chiSquare]]; the log terms are
+    * single IEEE ops per cell. One row: (n, mi, nmi). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("x").agg(sum("o").as("rt"))
+    val colTot = cells.groupBy("y").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    val nD = col("n").cast("double")
+    val pxy = col("o").cast("double") / nD
+    val joined = cells
+      .join(broadcast(rowTot), "x").join(broadcast(colTot), "y")
+      .join(broadcast(n))
+    val agg = joined.agg(
+      max(col("n")).as("n"),
+      sum(pxy * log(pxy * nD * nD /
+        (col("rt").cast("double") * col("ct").cast("double")))).as("mi"),
+      // marginal entropies from the same pass: each (x,y) cell carries
+      // o/rt of its row's mass, so Σ pxy·ln(rt/n) = Σ_x px·ln(px)
+      (-sum(pxy * log(col("rt").cast("double") / nD))).as("__hx"),
+      (-sum(pxy * log(col("ct").cast("double") / nD))).as("__hy"))
+    agg.select(col("n"), col("mi"),
+      when(least(col("__hx"), col("__hy")) > 0,
+        col("mi") / least(col("__hx"), col("__hy"))).as("nmi"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns, plus Cramér's V effect size. Observed cells come from one
     * hash aggregate; expected counts from the row/col marginal tables

@@ -44,6 +44,27 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("d") == 0.5)
   }
 
+  test("auc: perfect separation gives 1, pure ties give 0.5") {
+    val perfect = Seq((1, 3.0), (1, 4.0), (0, 1.0), (0, 2.0)).toDF("y", "s")
+    assert(RankTests.auc(perfect, "y", "s").head.getAs[Double]("auc") == 1.0)
+    val tied = Seq((1, 1.0), (0, 1.0)).toDF("y", "s")
+    assert(RankTests.auc(tied, "y", "s").head.getAs[Double]("auc") == 0.5)
+    // one inversion among 2x2 pairs -> 0.75
+    val mixed = Seq((1, 2.0), (1, 4.0), (0, 1.0), (0, 3.0)).toDF("y", "s")
+    assert(RankTests.auc(mixed, "y", "s").head.getAs[Double]("auc") == 0.75)
+  }
+
+  test("mutualInformation: dependence gives ln2 with nmi 1, independence 0") {
+    val dep = (Seq.fill(10)(("x1", "y1")) ++ Seq.fill(10)(("x2", "y2"))).toDF("x", "y")
+    val r1 = RankTests.mutualInformation(dep, "x", "y").head
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2)) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-12)
+    val ind = (Seq.fill(5)(("x1", "y1")) ++ Seq.fill(5)(("x1", "y2")) ++
+      Seq.fill(5)(("x2", "y1")) ++ Seq.fill(5)(("x2", "y2"))).toDF("x", "y")
+    val r2 = RankTests.mutualInformation(ind, "x", "y").head
+    assert(math.abs(r2.getAs[Double]("mi")) < 1e-12)
+  }
+
   test("chiSquare: textbook 2x2 with uniform margins") {
     // cells: (x1,y1)=10 (x1,y2)=20 (x2,y1)=20 (x2,y2)=10 -> e = 15 all
     val rows = Seq.fill(10)(("x1", "y1")) ++ Seq.fill(20)(("x1", "y2")) ++
