@@ -2883,6 +2883,13 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // RAKE keywords (Keywords.rake): corpus top-50 phrases between
+    // stopword/punctuation boundaries, degree/freq word scores.
+    "q_keywords" -> { (s, dir) =>
+      graft.llm.Keywords.rake(
+        graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents")),
+        "text", k = 50)
+    },
     // ROC AUC (RankTests.auc): does event value rank purchases above
     // other events — the rank-sum identity U/(n⁺·n⁻), ties half-credit.
     "q_auc" -> { (s, dir) =>
@@ -6576,6 +6583,28 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    // identical delimiter pipeline (non-letters, then the literal
+    // stopword alternation), degree/freq word stats, rounded-score cut
+    "q_keywords" ->
+      """WITH ph AS (SELECT list_filter(
+        |    list_transform(
+        |      string_split(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z ]', '|', 'g'),
+        |        '\b(a|an|and|are|as|at|be|by|for|from|has|he|in|is|it|its|of|on|or|that|the|this|to|was|were|will|with)\b',
+        |        '|', 'g'), '|'),
+        |      p -> trim(regexp_replace(p, ' +', ' ', 'g'))),
+        |    p -> p <> '' AND len(string_split(p, ' ')) <= 4) AS phs FROM documents),
+        |occ AS (SELECT unnest(phs) AS phrase FROM ph),
+        |w AS (SELECT unnest(string_split(phrase, ' ')) AS word,
+        |    len(string_split(phrase, ' ')) AS nw FROM occ),
+        |ws AS (SELECT word, sum(nw) AS degree, count(*) AS freq FROM w GROUP BY 1),
+        |pm AS (SELECT phrase, count(*) AS n_mentions FROM occ GROUP BY 1),
+        |dw AS (SELECT phrase, n_mentions, unnest(string_split(phrase, ' ')) AS word FROM pm),
+        |sc AS (SELECT phrase, n_mentions,
+        |    round(sum(CAST(degree AS DOUBLE)/CAST(freq AS DOUBLE)), 6) AS score
+        |  FROM dw JOIN ws USING (word) GROUP BY 1, 2)
+        |SELECT phrase, n_mentions, len(string_split(phrase, ' ')) AS n_words, score
+        |FROM sc ORDER BY score DESC, phrase LIMIT 50""".stripMargin,
     // the same rank-sum pipeline as q_mannwhitney, read out as U/(n·n)
     "q_auc" ->
       """WITH f AS (SELECT CASE WHEN event_type='purchase' THEN 'p' ELSE 'n' END AS g,

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RAKE keyword extraction (Rose et al., "Automatic keyword extraction
+  * from individual documents", 2010) at corpus level: candidate
+  * phrases are the maximal runs between stopwords/punctuation, each
+  * word is scored degree/frequency over ALL phrase occurrences (degree
+  * = Σ length of phrases containing the word — co-occurrence including
+  * self), and a phrase scores the sum of its words' scores.
+  *
+  * Everything is codegen'd string/array projections until two hash
+  * aggregates: one keyed on word (the stats), one on phrase (the
+  * mentions + score). The word Exchange carries one row per token
+  * occurrence — the same shuffle shape as TF-IDF ([[Relevance]]); no
+  * joins ever touch the corpus twice. Scores are rounded to 6 BEFORE
+  * the top-K order so the cut is reproducible in any engine.
+  */
+object Keywords {
+
+  /** The replace-with-delimiter stopword set. Kept deliberately small
+    * and literal — the DuckDB oracle embeds the identical alternation,
+    * so changing this list means changing the oracle too. */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "or", "that",
+    "the", "this", "to", "was", "were", "will", "with")
+
+  /** Top-`k` RAKE phrases: (phrase, n_mentions, n_words, score).
+    * Phrases longer than `maxWords` are dropped (RAKE's guard against
+    * stopword-free run-ons). */
+  def rake(docs: DataFrame, textCol: String, k: Int, maxWords: Int = 4): DataFrame = {
+    val stopRe = "\\b(" + Stopwords.mkString("|") + ")\\b"
+    // lower → non-letters to delimiter → stopwords to delimiter →
+    // split → collapse/trim spaces → drop empties and run-ons
+    val phrases = filter(
+      transform(
+        split(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z ]", "|"), stopRe, "|"), "\\|"),
+        p => trim(regexp_replace(p, " +", " "))),
+      p => p =!= "" && size(split(p, " ")) <= maxWords)
+
+    val occ = docs.select(explode(phrases).as("phrase"))
+    val words = occ.select(col("phrase"),
+      explode(split(col("phrase"), " ")).as("word"),
+      size(split(col("phrase"), " ")).as("nw"))
+    val wordStats = words.groupBy("word")
+      .agg(sum(col("nw")).as("degree"), count(lit(1)).as("freq"))
+    val mentions = occ.groupBy("phrase").agg(count(lit(1)).as("n_mentions"))
+    // score over the DISTINCT phrase's word multiset — same words for
+    // every occurrence of a phrase string by construction
+    val distinctWords = mentions.select(col("phrase"), col("n_mentions"),
+      explode(split(col("phrase"), " ")).as("word"))
+    distinctWords
+      .join(wordStats, "word")
+      .groupBy("phrase", "n_mentions")
+      .agg(round(sum(col("degree").cast("double") / col("freq").cast("double")), 6)
+        .as("score"))
+      .select(col("phrase"), col("n_mentions"),
+        size(split(col("phrase"), " ")).as("n_words"), col("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Keywords
+
+/** RAKE goldens: the degree/frequency arithmetic on a hand-walked
+  * two-phrase document, mention counting, and the run-on guard. */
+class KeywordsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rake: degree/freq scores on the hand-walked example") {
+    // phrases: "deep learning" / "deep networks" -> deep: deg 4 freq 2
+    // (score 2), learning: 2/1, networks: 2/1; both phrases score 4
+    val docs = Seq("Deep learning of deep networks.").toDF("text")
+    val out = Keywords.rake(docs, "text", k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out("deep learning") == ((1L, 2, 4.0)))
+    assert(out("deep networks") == ((1L, 2, 4.0)))
+  }
+
+  test("rake: repeated phrases count mentions and sharpen word stats") {
+    val docs = Seq("machine learning, machine learning", "pure machine learning")
+      .toDF("text")
+    val out = Keywords.rake(docs, "text", k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("machine learning") == 2L)
+    assert(out("pure machine learning") == 1L)
+  }
+
+  test("rake: stopword boundaries split phrases; run-ons beyond maxWords drop") {
+    val docs = Seq("alpha beta gamma delta epsilon", "alpha and beta").toDF("text")
+    val out = Keywords.rake(docs, "text", k = 10, maxWords = 4).collect()
+      .map(_.getString(0)).toSet
+    assert(!out.contains("alpha beta gamma delta epsilon")) // 5 words: dropped
+    assert(out == Set("alpha", "beta")) // from the stopword-split doc
+  }
+}
