@@ -2883,6 +2883,17 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // Label propagation (LinkGraph.labelPropagation): two deterministic
+    // rounds over the even-partkey co-purchase graph — min-label ties.
+    "q_label_prop" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).filter(col("u") < col("v")).select("u", "v")
+      graft.llm.LinkGraph.labelPropagation(edges, iters = 2)
+    },
     // RAKE keywords (Keywords.rake): corpus top-50 phrases between
     // stopword/punctuation boundaries, degree/freq word scores.
     "q_keywords" -> { (s, dir) =>
@@ -6583,6 +6594,28 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    // two unrolled mode-with-min-tie rounds over the symmetric graph
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        |    WHERE l_partkey % 2 = 0),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b
+        |    ON a.k = b.k AND a.p < b.p),
+        |sym AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v AS a, u AS b FROM e0),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+        |c1 AS (SELECT s.a, l.label, count(*) AS c FROM sym s
+        |    JOIN l0 l ON s.b = l.node GROUP BY 1, 2),
+        |p1 AS (SELECT a AS node, label FROM (SELECT a, label,
+        |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT l0.node, COALESCE(p1.label, l0.node) AS label
+        |  FROM l0 LEFT JOIN p1 USING (node)),
+        |c2 AS (SELECT s.a, l.label, count(*) AS c FROM sym s
+        |    JOIN l1 l ON s.b = l.node GROUP BY 1, 2),
+        |p2 AS (SELECT a AS node, label FROM (SELECT a, label,
+        |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn FROM c2)
+        |  WHERE rn = 1)
+        |SELECT l1.node, COALESCE(p2.label, l1.node) AS label
+        |FROM l1 LEFT JOIN p2 USING (node)""".stripMargin,
     // identical delimiter pipeline (non-letters, then the literal
     // stopword alternation), degree/freq word stats, rounded-score cut
     "q_keywords" ->

@@ -222,4 +222,40 @@ object LinkGraph {
     }
     settled
   }
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007)
+    * over an undirected edge list, made DETERMINISTIC: every node
+    * starts as its own label, and each round takes the most frequent
+    * label among its neighbors with ties broken to the SMALLEST label
+    * (the async random-order variant is not replayable; the fixed
+    * round count sidesteps the sync variant's bipartite oscillation —
+    * communities are whatever `iters` rounds converge to, identically
+    * in any engine).
+    *
+    * Scale shape per round: one join keyed on the node (labels are one
+    * row per node), one (node, label) count aggregate, one argmax via
+    * `max(struct(count, −label))` — no windows, no per-row sort;
+    * `localCheckpoint` pins lineage across rounds ([[bfsHops]]
+    * discipline). Isolated nodes never enter (no edges), matching the
+    * oracle's edge-derived node set. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       u: String = "u", v: String = "v"): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e = edges.select(col(u).as("a"), col(v).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a"), col("label")).agg(count(lit(1)).as("c"))
+      val pick = contrib.groupBy("a")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+      labels = labels.select("node").join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

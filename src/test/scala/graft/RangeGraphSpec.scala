@@ -283,6 +283,27 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(deep("e") == 3 && !deep.contains("x") && !deep.contains("y"))
   }
 
+  test("labelPropagation: hand-walked rounds — min-label ties, pendant absorbed") {
+    // triangle {1,2,3} + pendant 4—3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    // round 1: 1→min(2,3)=2, 2→min(1,3)=1, 3→min(1,2,4)=1, 4→3
+    val r1 = LinkGraph.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    // round 2: every node's neighborhood now majority/tie-min label 1
+    val r2 = LinkGraph.labelPropagation(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("labelPropagation: disconnected components never mix labels") {
+    val edges = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("u", "v")
+    val out = LinkGraph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L).map(out) subsetOf Set(1L, 2L))
+    assert(Set(10L, 11L, 12L).map(out) subsetOf Set(10L, 11L, 12L))
+  }
+
   test("applyCdc: latest seq wins, delete beats tie, untouched keys pass through") {
     import graft.operators.Warehouse
     val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")).toDF("id", "value", "tag")
