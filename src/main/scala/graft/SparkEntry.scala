@@ -2883,6 +2883,37 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // Cumulative gains/lift (Evaluate.gainsTable): per-user avg event
+    // value scored against has-purchase, deciled by the rfm rank rule.
+    "q_gains" -> { (s, dir) =>
+      val per = Sources.table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("label"))
+      graft.operators.Evaluate.gainsTable(per, "label", "score", "user_id", buckets = 10)
+        .select(col("bucket"), col("n_rows"), col("n_pos"), col("cum_rows"),
+          col("cum_pos"), round(col("capture"), 8).as("capture"),
+          round(col("lift"), 8).as("lift"))
+    },
+    // PSI drift (Evaluate.psi): price distribution of open vs finished
+    // lineitems over 10 fixed bins, add-one smoothed.
+    "q_psi" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+      graft.operators.Evaluate.psi(
+        li.filter(col("l_linestatus") === "F"),
+        li.filter(col("l_linestatus") === "O"),
+        "l_extendedprice", lo = 0.0, hi = 120000.0, bins = 10)
+        .select(col("bin"), col("c_expected"), col("c_actual"),
+          round(col("psi_part"), 8).as("psi_part"))
+    },
+    // Gini concentration (Evaluate.gini): customer spend inequality
+    // from exact DECIMAL rank-weighted sums.
+    "q_gini" -> { (s, dir) =>
+      val per = Sources.table(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      graft.operators.Evaluate.gini(per, "spend", "ck")
+        .select(col("n"), col("total"), round(col("gini"), 8).as("gini"))
+    },
     // Label propagation (LinkGraph.labelPropagation): two deterministic
     // rounds over the even-partkey co-purchase graph — min-label ties.
     "q_label_prop" -> { (s, dir) =>
@@ -6593,6 +6624,50 @@ object SparkEntry {
         |  CASE WHEN least(rx, ry) > 1 THEN
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
+        |FROM a""".stripMargin,
+    // decile by ceil(rank·10/n), integer cum sums, one division per ratio
+    "q_gains" ->
+      """WITH per AS (SELECT user_id AS uid,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS score,
+        |    max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS label
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT label, row_number() OVER (ORDER BY score DESC, uid) AS r,
+        |    count(*) OVER () AS n FROM per),
+        |pb AS (SELECT CAST(ceil(r * 10 / CAST(n AS DOUBLE)) AS INT) AS bucket,
+        |    count(*) AS n_rows, sum(label) AS n_pos FROM r GROUP BY 1),
+        |c AS (SELECT bucket, n_rows, n_pos,
+        |    sum(n_rows) OVER (ORDER BY bucket) AS cum_rows,
+        |    sum(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+        |    sum(n_rows) OVER () AS tr, sum(n_pos) OVER () AS tp FROM pb)
+        |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(cum_rows AS BIGINT) AS cum_rows, CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  round(CAST(cum_pos AS DOUBLE)/CAST(tp AS DOUBLE), 8) AS capture,
+        |  round(CAST(cum_pos AS DOUBLE)*CAST(tr AS DOUBLE) /
+        |    (CAST(cum_rows AS DOUBLE)*CAST(tp AS DOUBLE)), 8) AS lift
+        |FROM c""".stripMargin,
+    // clamp-to-edge equal-width bins, add-one smoothing, per-bin parts
+    "q_psi" ->
+      """WITH b AS (SELECT CAST(least(greatest(floor((l_extendedprice - 0)/12000.0), 0), 9) AS INT) AS bin,
+        |    l_linestatus AS t FROM lineitem),
+        |c AS (SELECT bin, sum(CASE WHEN t='F' THEN 1 ELSE 0 END) AS ce,
+        |    sum(CASE WHEN t='O' THEN 1 ELSE 0 END) AS ca FROM b GROUP BY 1),
+        |w AS (SELECT bin, ce, ca, sum(ce) OVER () AS ne, sum(ca) OVER () AS na FROM c)
+        |SELECT bin, CAST(ce AS BIGINT) AS c_expected, CAST(ca AS BIGINT) AS c_actual,
+        |  round((CAST(ca+1 AS DOUBLE)/CAST(na+10 AS DOUBLE) -
+        |         CAST(ce+1 AS DOUBLE)/CAST(ne+10 AS DOUBLE)) *
+        |    ln((CAST(ca+1 AS DOUBLE)/CAST(na+10 AS DOUBLE)) /
+        |       (CAST(ce+1 AS DOUBLE)/CAST(ne+10 AS DOUBLE))), 8) AS psi_part
+        |FROM w""".stripMargin,
+    // ranked-form Gini from exact DECIMAL Σx and Σi·x
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend, row_number() OVER (ORDER BY spend, ck) AS i FROM per),
+        |a AS (SELECT count(*) AS n, sum(spend) AS s, sum(spend * i) AS w FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(s AS DOUBLE) AS total,
+        |  round(2.0*CAST(w AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(s AS DOUBLE)) -
+        |    (CAST(n AS DOUBLE)+1)/CAST(n AS DOUBLE), 8) AS gini
         |FROM a""".stripMargin,
     // two unrolled mode-with-min-tie rounds over the symmetric graph
     "q_label_prop" ->

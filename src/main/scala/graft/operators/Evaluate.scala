@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Score-distribution readouts: cumulative gains/lift, population
+  * stability (PSI), and Gini concentration — the standard "is the
+  * model/segment still behaving" dashboard trio.
+  *
+  * All three run on ENTITY-scale tables (per-user scores, per-bin
+  * counts, per-customer spend), not event-scale ones — the global
+  * ordered windows here follow the [[Behavior.rfm]] precedent: the
+  * corpus-scale work is the upstream aggregate that built the entity
+  * table; what's sorted globally is one row per entity/bin. Ratios are
+  * formed from exact integer/DECIMAL sums and divided once. */
+object Evaluate {
+
+  /** Cumulative gains/lift by score decile (or any `buckets`): rank by
+    * score DESC with `ordCol` making ties total, bucket by the discrete
+    * ⌈rank·b/n⌉ formula ([[Behavior.rfm]]'s), then per-bucket capture
+    * and lift against the base rate. `labelCol` is 0/1. */
+  def gainsTable(df: DataFrame, labelCol: String, scoreCol: String,
+                 ordCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets $buckets must be >= 2")
+    val w = Window.orderBy(col(scoreCol).desc, col(ordCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val perBucket = ranked
+      .withColumn("bucket",
+        ceil(col("__r") * buckets / col("__n").cast("double")).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+    val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("cum_rows", sum(col("n_rows")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__tot_rows", sum(col("n_rows")).over(wAll))
+      .withColumn("__tot_pos", sum(col("n_pos")).over(wAll))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        col("cum_rows"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("__tot_pos").cast("double")).as("capture"),
+        // lift = (cum_pos/cum_rows)/(tot_pos/tot_rows): integer cross-
+        // products, ONE division — no intermediate rounding to drift
+        (col("cum_pos").cast("double") * col("__tot_rows").cast("double") /
+          (col("cum_rows").cast("double") * col("__tot_pos").cast("double"))).as("lift"))
+  }
+
+  /** Population stability index between an `expected` (baseline) and
+    * `actual` (current) sample of `valueCol`, over `bins` equal-width
+    * bins on [lo, hi) with clamp-to-edge tails and ADD-ONE smoothing
+    * (empty bins stay finite, counts stay integers). Per-bin rows:
+    * (bin, c_expected, c_actual, psi_part); Σ psi_part is the PSI. */
+  def psi(expected: DataFrame, actual: DataFrame, valueCol: String,
+          lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, tag: String) = df.select(
+      least(greatest(floor((col(valueCol) - lo) / width), lit(0)), lit(bins - 1))
+        .cast("int").as("bin"), lit(tag).as("t"))
+    val counts = binned(expected, "e").unionByName(binned(actual, "a"))
+      .groupBy("bin")
+      .agg(sum(when(col("t") === "e", 1L).otherwise(0L)).as("c_expected"),
+        sum(when(col("t") === "a", 1L).otherwise(0L)).as("c_actual"))
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__ne", sum(col("c_expected")).over(wAll))
+      .withColumn("__na", sum(col("c_actual")).over(wAll))
+      .withColumn("__pe", (col("c_expected") + 1).cast("double") /
+        (col("__ne") + bins).cast("double"))
+      .withColumn("__pa", (col("c_actual") + 1).cast("double") /
+        (col("__na") + bins).cast("double"))
+      .select(col("bin"), col("c_expected"), col("c_actual"),
+        ((col("__pa") - col("__pe")) * log(col("__pa") / col("__pe"))).as("psi_part"))
+  }
+
+  /** Gini coefficient of `valueCol` (nonnegative) with the ranked
+    * form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending (value, ord)
+    * order; both sums accumulate in DECIMAL so G is partitioning-
+    * independent. One row: (n, total, gini). */
+  def gini(df: DataFrame, valueCol: String, ordCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(28,2)")
+    val ranked = df
+      .withColumn("__i", row_number().over(Window.orderBy(col(valueCol), col(ordCol))))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("__s"),
+      sum(x * col("__i")).as("__w"))
+      .select(col("n"),
+        col("__s").cast("double").as("total"),
+        (lit(2.0) * col("__w").cast("double") /
+          (col("n").cast("double") * col("__s").cast("double")) -
+          (col("n").cast("double") + 1) / col("n").cast("double")).as("gini"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Evaluate
+
+/** Gains/PSI/Gini goldens: two-bucket hand walk, the symmetric-shift
+  * PSI closed form, and the equal/one-holder Gini extremes. */
+class EvaluateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gainsTable: top bucket captures everything, lift = 1/base-rate") {
+    val df = Seq((4.0, 1, 1), (3.0, 1, 2), (2.0, 0, 3), (1.0, 0, 4))
+      .toDF("score", "label", "o")
+    val out = Evaluate.gainsTable(df, "label", "score", "o", buckets = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("capture"), r.getAs[Double]("lift"))).toMap
+    assert(out(1) == ((2L, 2L, 1.0, 2.0))) // both positives in decile 1
+    assert(out(2) == ((2L, 0L, 1.0, 1.0))) // cumulative: all rows, base lift
+  }
+
+  test("psi: identical samples are exactly zero; full shift is 2·ln2/3 per bin") {
+    val e = Seq(1.0, 5.0, 9.0).toDF("v")
+    val zero = Evaluate.psi(e, e, "v", lo = 0, hi = 10, bins = 2)
+      .collect().map(_.getAs[Double]("psi_part"))
+    assert(zero.forall(_ == 0.0))
+    val shifted = Evaluate.psi(Seq(1.0).toDF("v"), Seq(9.0).toDF("v"),
+      "v", lo = 0, hi = 10, bins = 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("psi_part")).toMap
+    assert(math.abs(shifted(0) - math.log(2) / 3) < 1e-12)
+    assert(math.abs(shifted(1) - math.log(2) / 3) < 1e-12)
+  }
+
+  test("psi: out-of-range values clamp to the edge bins") {
+    val out = Evaluate.psi(Seq(-5.0).toDF("v"), Seq(99.0).toDF("v"),
+      "v", lo = 0, hi = 10, bins = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0) == ((1L, 0L)) && out(1) == ((0L, 1L)))
+  }
+
+  test("gini: equal shares 0, single holder (n-1)/n, hand case exact") {
+    val eq = (1 to 5).map(i => (7.5, i)).toDF("v", "o")
+    assert(Evaluate.gini(eq, "v", "o").head.getAs[Double]("gini") == 0.0)
+    val one = Seq((0.0, 1), (0.0, 2), (0.0, 3), (10.0, 4)).toDF("v", "o")
+    assert(Evaluate.gini(one, "v", "o").head.getAs[Double]("gini") == 0.75)
+    // x = (1,2,3,4): G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val hand = (1 to 4).map(i => (i.toDouble, i)).toDF("v", "o")
+    val r = Evaluate.gini(hand, "v", "o").head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Double]("total") == 10.0)
+    assert(r.getAs[Double]("gini") == 0.25)
+  }
+}
