@@ -2883,6 +2883,32 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // VWAP bars (Bars.vwap): hourly Σ(p·q)/Σq per event type, both
+    // sums DECIMAL-exact, qty synthesized from event_id residues.
+    "q_vwap" -> { (s, dir) =>
+      graft.operators.Bars.vwap(
+        Sources.table(s, dir, "events")
+          .withColumn("qty", (col("event_id") % 5) + 1),
+        "event_type", "ts", "event_id", "value", "qty", widthMicros = 3600000000L)
+        .select(col("key"), col("bucket"), round(col("vwap"), 8).as("vwap"),
+          col("qty"), col("n_ticks"))
+    },
+    // Max drawdown (Bars.maxDrawdown): per-user equity curve 1000+value,
+    // running DECIMAL peak, earliest-trough argmin.
+    "q_drawdown" -> { (s, dir) =>
+      graft.operators.Bars.maxDrawdown(
+        Sources.table(s, dir, "events")
+          .withColumn("equity", lit(1000) + col("value")),
+        "user_id", "ts", "event_id", "equity")
+        .select(col("key"), round(col("max_drawdown"), 8).as("max_drawdown"),
+          col("trough_us"), col("peak"))
+    },
+    // Business-day rollup (Calendar.businessDaySummary): weekend events
+    // roll forward to Monday via pure (day+3)%7 integer arithmetic.
+    "q_busday" -> { (s, dir) =>
+      graft.operators.Calendar.businessDaySummary(
+        Sources.table(s, dir, "events"), "ts", "value")
+    },
     // Cumulative gains/lift (Evaluate.gainsTable): per-user avg event
     // value scored against has-purchase, deciled by the rfm rank rule.
     "q_gains" -> { (s, dir) =>
@@ -6625,6 +6651,38 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    // DECIMAL Σpq / Σq, one division at the end
+    "q_vwap" ->
+      """WITH b AS (SELECT event_type AS key,
+        |    CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS bucket,
+        |    CAST(value AS DECIMAL(18,2)) AS p,
+        |    CAST((event_id % 5) + 1 AS DECIMAL(18,2)) AS q FROM events)
+        |SELECT key, bucket,
+        |  round(CAST(sum(CAST(p*q AS DECIMAL(38,4))) AS DOUBLE) /
+        |    CAST(sum(q) AS DOUBLE), 8) AS vwap,
+        |  CAST(sum(q) AS DOUBLE) AS qty, count(*) AS n_ticks
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // running DECIMAL peak, one double division, earliest-trough argmin
+    "q_drawdown" ->
+      """WITH s AS (SELECT user_id AS key, epoch_us(ts) AS t, event_id AS o,
+        |    CAST(1000 + value AS DECIMAL(18,2)) AS v FROM events),
+        |p AS (SELECT *, max(v) OVER (PARTITION BY key ORDER BY t, o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM s),
+        |d AS (SELECT key, CAST(v AS DOUBLE)/CAST(peak AS DOUBLE) - 1 AS dd,
+        |    t, o, peak FROM p),
+        |r AS (SELECT key, dd, t, peak,
+        |    row_number() OVER (PARTITION BY key ORDER BY dd, t, o) AS rn FROM d)
+        |SELECT key, round(dd, 8) AS max_drawdown, t AS trough_us,
+        |  CAST(peak AS DOUBLE) AS peak
+        |FROM r WHERE rn = 1""".stripMargin,
+    // (day+3)%7 weekday arithmetic — no engine date functions to disagree
+    "q_busday" ->
+      """WITH d AS (SELECT CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |r AS (SELECT day + CASE WHEN (day+3)%7 = 5 THEN 2
+        |    WHEN (day+3)%7 = 6 THEN 1 ELSE 0 END AS bday, v FROM d)
+        |SELECT bday, count(*) AS n, CAST(sum(v) AS DOUBLE) AS vsum
+        |FROM r GROUP BY 1""".stripMargin,
     // decile by ceil(rank·10/n), integer cum sums, one division per ratio
     "q_gains" ->
       """WITH per AS (SELECT user_id AS uid,

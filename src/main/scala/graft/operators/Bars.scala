@@ -89,6 +89,47 @@ object Bars {
           .as("value"))
   }
 
+  /** Volume-weighted average price per (key, bucket): Σ(p·q)/Σq with
+    * both sums DECIMAL-exact (price and qty quantized to cents/
+    * hundredths), divided once — the execution-quality benchmark
+    * companion to [[twap]]. Same one-Exchange groupBy shape as
+    * [[timeBars]]. */
+  def vwap(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+           priceCol: String, qtyCol: String, widthMicros: Long): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    df.select(col(keyCol).as("key"),
+        floor(t / lit(widthMicros.toDouble)).as("bucket"),
+        col(priceCol).cast("decimal(18,2)").as("p"),
+        col(qtyCol).cast("decimal(18,2)").as("q"))
+      .groupBy("key", "bucket")
+      .agg(
+        (sum((col("p") * col("q")).cast("decimal(38,4)")).cast("double") /
+          sum(col("q")).cast("double")).as("vwap"),
+        sum(col("q")).cast("double").as("qty"),
+        count(lit(1)).as("n_ticks"))
+  }
+
+  /** Maximum drawdown per key: running peak over (ts, ord) order, per-
+    * row drawdown v/peak − 1, and the key's minimum with its trough
+    * coordinates — (key, max_drawdown, trough_us, peak). The running
+    * peak is a DECIMAL max (comparisons, not sums), the drawdown is one
+    * double division, and the argmin rides `min(struct(dd, t, ord))` —
+    * earliest trough wins ties, identically in any engine. */
+  def maxDrawdown(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                  valueCol: String): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val w = Window.partitionBy("key").orderBy(col("t"), col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol).as("key"), t.as("t"), col(ordCol).as("o"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .withColumn("peak", max(col("v")).over(w))
+      .withColumn("dd", col("v").cast("double") / col("peak").cast("double") - 1)
+      .groupBy("key")
+      .agg(min(struct(col("dd"), col("t"), col("o"), col("peak"))).as("m"))
+      .select(col("key"), col("m.dd").as("max_drawdown"),
+        col("m.t").as("trough_us"), col("m.peak").cast("double").as("peak"))
+  }
+
   def twap(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
            valueCol: String, widthMicros: Long): DataFrame = {
     val t = unix_micros(col(tsCol))

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Business-day calendar arithmetic as PURE INTEGER column math — no
+  * engine date functions, so every quantity replays bit-for-bit in any
+  * SQL dialect regardless of its day-of-week numbering convention:
+  * day = ⌊micros/86 400 000 000⌋ and dow = (day + 3) mod 7 gives
+  * 0=Monday … 6=Sunday (1970-01-01 was a Thursday = 3). Weekend-only
+  * calendar; exchange holidays are a data problem (join a holiday
+  * table), not an arithmetic one, and stay out of the kernel. */
+object Calendar {
+
+  /** Days since epoch (UTC) from epoch micros. */
+  def epochDay(tsMicros: Column): Column =
+    floor(tsMicros / lit(86400000000.0)).cast("long")
+
+  /** 0=Monday … 6=Sunday. */
+  def dayOfWeek0(day: Column): Column = (day + 3) % 7
+
+  /** The day itself if a weekday, else rolled FORWARD to Monday. */
+  def rollForward(day: Column): Column = {
+    val dow = dayOfWeek0(day)
+    day + when(dow === 5, 2).when(dow === 6, 1).otherwise(0)
+  }
+
+  /** The day itself if a weekday, else rolled BACK to Friday. */
+  def rollBack(day: Column): Column = {
+    val dow = dayOfWeek0(day)
+    day - when(dow === 5, 1).when(dow === 6, 2).otherwise(0)
+  }
+
+  /** Weekdays in [from, to) — the closed-form 5·weeks + clamp(remainder)
+    * count (both bounds as epoch days; result 0 when to <= from).
+    * Anchored at the Monday on/before `from`: full weeks contribute 5,
+    * the tail contributes the weekday count of its dow span. */
+  def businessDaysBetween(from: Column, to: Column): Column = {
+    val dowF = dayOfWeek0(from)
+    val span = greatest(to - from, lit(0L))
+    // shift the origin back to Monday so the tail window is [dowF, dowF+rem)
+    val full = floor((span + dowF) / 7).cast("long") * 5
+    val rem = (span + dowF) % 7
+    // weekdays in [0, rem) minus weekdays in [0, dowF): min(x,5) each
+    full + least(rem, lit(5L)) - least(dowF, lit(5L))
+  }
+
+  /** Events bucketed to business days (weekends roll forward):
+    * (bday, n, vsum) with a DECIMAL-exact value sum. */
+  def businessDaySummary(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.select(rollForward(epochDay(unix_micros(col(tsCol)))).as("bday"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .groupBy("bday")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("vsum"))
+}

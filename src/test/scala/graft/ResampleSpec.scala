@@ -166,4 +166,51 @@ class ResampleSpec extends AnyFunSuite {
     val prior = (10.0 + 20.0 + 30.0 + 99.0) / 4
     assert(math.abs(sm(1L) - prior) < 1.0)
   }
+
+  test("vwap: quantity-weighted, not tick-weighted") {
+    val df = Seq((1L, ts(10), 1L, 10.0, 1.0), (1L, ts(20), 2L, 20.0, 3.0),
+      (2L, ts(10), 3L, 5.0, 2.0)).toDF("k", "t", "o", "p", "q")
+    val out = Bars.vwap(df, "k", "t", "o", "p", "q", widthMicros = 60L * 1000000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // (10·1 + 20·3)/4 = 17.5 vs naive mean 15
+    assert(out(1L).getAs[Double]("vwap") == 17.5)
+    assert(out(1L).getAs[Double]("qty") == 4.0 && out(1L).getAs[Long]("n_ticks") == 2L)
+    assert(out(2L).getAs[Double]("vwap") == 5.0)
+  }
+
+  test("maxDrawdown: peak-to-trough with earliest-trough tie-break") {
+    // equity 100, 120, 90, 110, 90: peak 120 -> trough 90 twice, dd = -0.25
+    val df = Seq((1L, ts(1), 1L, 100.0), (1L, ts(2), 2L, 120.0), (1L, ts(3), 3L, 90.0),
+      (1L, ts(4), 4L, 110.0), (1L, ts(5), 5L, 90.0)).toDF("k", "t", "o", "v")
+    val r = Bars.maxDrawdown(df, "k", "t", "o", "v").head
+    assert(r.getAs[Double]("max_drawdown") == -0.25)
+    assert(r.getAs[Long]("trough_us") == 3000000L) // FIRST 90, not the later one
+    assert(r.getAs[Double]("peak") == 120.0)
+    // monotone series never draws down
+    val up = Seq((1L, ts(1), 1L, 1.0), (1L, ts(2), 2L, 2.0)).toDF("k", "t", "o", "v")
+    assert(Bars.maxDrawdown(up, "k", "t", "o", "v").head.getAs[Double]("max_drawdown") == 0.0)
+  }
+
+  test("calendar: dow anchoring, weekend rolls, businessDaysBetween closed form") {
+    import graft.operators.Calendar
+    val df = Seq(
+      0L,     // 1970-01-01 Thursday
+      2L,     // Saturday -> roll fwd 4 (Monday), back 1 (Friday)
+      3L,     // Sunday -> fwd 4, back 1
+      4L      // Monday stays
+    ).toDF("day")
+    val out = df.select(col("day"), Calendar.dayOfWeek0(col("day")).as("dow"),
+        Calendar.rollForward(col("day")).as("fwd"), Calendar.rollBack(col("day")).as("bk"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((5L, 4L, 1L)))
+    assert(out(3L) == ((6L, 4L, 1L)))
+    assert(out(4L) == ((0L, 4L, 4L)))
+    // a full week from Monday has 5 business days; weekend-only span 0
+    val spans = Seq((4L, 11L), (2L, 4L), (4L, 5L), (9L, 9L), (9L, 4L))
+      .toDF("f", "t")
+      .select(Calendar.businessDaysBetween(col("f"), col("t")).as("bd"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(spans == Seq(5L, 0L, 1L, 0L, 0L))
+  }
 }
