@@ -2883,6 +2883,25 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // Native cube (all four grouping-set combos of the rollup fixture).
+    "q_cube" -> { (s, dir) =>
+      Sources.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"), grouping_id().as("gid"))
+    },
+    // Cohort LTV (Behavior.cohortLtv): weekly cohorts by first event,
+    // purchase revenue accumulated along each cohort's age axis.
+    "q_ltv" -> { (s, dir) =>
+      graft.operators.Behavior.cohortLtv(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase", "value")
+    },
+    // Time-to-convert (Behavior.timeToConvert): discrete ⌈p·n⌉ order
+    // statistics of first-purchase minus first-seen, exact micros.
+    "q_time_to_convert" -> { (s, dir) =>
+      graft.operators.Behavior.timeToConvert(Sources.table(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase", Seq(50, 90, 99))
+    },
     // VWAP bars (Bars.vwap): hourly Σ(p·q)/Σq per event type, both
     // sums DECIMAL-exact, qty synthesized from event_id residues.
     "q_vwap" -> { (s, dir) =>
@@ -6651,6 +6670,37 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // ⌊day/7⌋ integer weeks; cum along the (cohort, age) table only
+    "q_ltv" ->
+      """WITH wk AS (SELECT user_id AS u, event_type AS ty, value AS v,
+        |    CAST(floor(CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT)/7.0) AS BIGINT) AS w
+        |  FROM events),
+        |first AS (SELECT u, min(w) AS cohort_week FROM wk GROUP BY 1),
+        |pa AS (SELECT cohort_week, w - cohort_week AS age_weeks,
+        |    sum(CAST(v AS DECIMAL(18,2))) AS rev, count(DISTINCT u) AS n_users
+        |  FROM wk JOIN first USING (u) WHERE ty = 'purchase' GROUP BY 1, 2)
+        |SELECT cohort_week, age_weeks, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+        |  CAST(n_users AS BIGINT) AS n_users
+        |FROM pa""".stripMargin,
+    // rank ⌈p·n/100⌉ over converters, exact micros deltas
+    "q_time_to_convert" ->
+      """WITH per AS (SELECT user_id AS u, min(epoch_us(ts)) AS t0,
+        |    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS tc
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT tc - t0 AS t2c, u FROM per WHERE tc IS NOT NULL),
+        |r AS (SELECT t2c, row_number() OVER (ORDER BY t2c, u) AS rk,
+        |    count(*) OVER () AS n FROM c),
+        |p AS (SELECT unnest([50, 90, 99]) AS p_pct)
+        |SELECT p_pct, CAST(n AS BIGINT) AS n_converted, t2c AS t2c_us
+        |FROM r JOIN p ON rk = greatest(CAST(ceil(p_pct * n / 100.0) AS BIGINT), 1)""".stripMargin,
     // DECIMAL Σpq / Σq, one division at the end
     "q_vwap" ->
       """WITH b AS (SELECT event_type AS key,

@@ -114,6 +114,60 @@ object Behavior {
       .agg(count_distinct(col("user")).as("n_users"))
   }
 
+  /** Cohort LTV curve: users grouped by first-seen WEEK; one row per
+    * (cohort_week, age_weeks) with that week's conversion revenue
+    * (DECIMAL-exact), its running total along the cohort's age axis,
+    * and the active converter count. The running total is a window
+    * over (cohorts × ages) rows — the tiny table, not the events.
+    * Weeks are ⌊epoch-day/7⌋ integer arithmetic, engine-neutral. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, convType: String, valueCol: String): DataFrame = {
+    val week = floor(floor(unix_micros(col(tsCol)) / lit(86400000000.0)) / 7).cast("long")
+    val first = events.groupBy(col(userCol).as("user"))
+      .agg(min(week).as("cohort_week"))
+    val perAge = events
+      .filter(col(typeCol) === convType)
+      .select(col(userCol).as("user"), week.as("w"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .join(first, Seq("user"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("age_weeks"))
+      .agg(sum(col("v")).as("__rev"), count_distinct(col("user")).as("n_users"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perAge
+      .withColumn("cum_revenue", sum(col("__rev")).over(wCum).cast("double"))
+      .select(col("cohort_week"), col("age_weeks"),
+        col("__rev").cast("double").as("revenue"), col("cum_revenue"), col("n_users"))
+  }
+
+  /** Time-to-convert distribution: per user, first `convType` micros
+    * minus first-ever event micros (converters only — non-negative by
+    * construction), read out as the DISCRETE ⌈p·n⌉ order statistics
+    * for each requested percentile ([[Robust.winsorize]]'s rank rule —
+    * actual data values, engine-replayable). One row per percentile:
+    * (p_pct, n_converted, t2c_us). */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, convType: String,
+                    percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles must be within [1, 100]")
+    val t = unix_micros(col(tsCol))
+    val per = events.groupBy(col(userCol).as("user"))
+      .agg(min(t).as("t0"),
+        min(when(col(typeCol) === convType, t)).as("tc"))
+      .filter(col("tc").isNotNull)
+      .select((col("tc") - col("t0")).as("t2c"), col("user"))
+    val ranked = per
+      .withColumn("__r", row_number().over(Window.orderBy(col("t2c"), col("user"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pcts = events.sparkSession.createDataFrame(
+      percentiles.map(Tuple1(_))).toDF("p_pct")
+    ranked.join(broadcast(pcts),
+        col("__r") === greatest(ceil(col("p_pct") * col("__n") / lit(100.0)), lit(1L)))
+      .select(col("p_pct"), col("__n").as("n_converted"), col("t2c").as("t2c_us"))
+  }
+
   /** Marketing attribution: each conversion event credited to the
     * FIRST and LAST touch (any of `touchTypes`) within its trailing
     * `lookbackSec` window — the two standard single-touch models. One

@@ -338,6 +338,40 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(out(5L) == (None, None))
   }
 
+  test("cohortLtv: weekly cohorts accumulate purchase revenue by age") {
+    import graft.operators.Behavior
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(0L), "view", 0.0),             // u1 first: week 0
+      (1L, new java.sql.Timestamp(86400L * 1000), "purchase", 10.0),  // week 0
+      (1L, new java.sql.Timestamp(8L * 86400 * 1000), "purchase", 5.0), // week 1
+      (2L, new java.sql.Timestamp(7L * 86400 * 1000), "view", 0.0),    // u2 first: week 1
+      (2L, new java.sql.Timestamp(15L * 86400 * 1000), "purchase", 7.0) // week 2
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Behavior.cohortLtv(ev, "user_id", "ts", "event_type", "purchase", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out((0L, 0L)) == ((10.0, 10.0, 1L)))
+    assert(out((0L, 1L)) == ((5.0, 15.0, 1L))) // cumulative along age
+    assert(out((1L, 1L)) == ((7.0, 7.0, 1L)))
+    assert(!out.contains((1L, 0L))) // u2 had no purchase in its first week
+  }
+
+  test("timeToConvert: discrete rank percentiles over converters only") {
+    import graft.operators.Behavior
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(100), "purchase"),
+      (2L, t(0), "view"), (2L, t(50), "purchase"),
+      (3L, t(0), "view") // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.timeToConvert(ev, "user_id", "ts", "event_type",
+        "purchase", Seq(50, 90, 99))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(50) == ((2L, 50000000L)))  // rank ceil(1.0) = 1
+    assert(out(90) == ((2L, 100000000L))) // rank ceil(1.8) = 2
+    assert(out(99) == ((2L, 100000000L)))
+  }
+
   test("naiveBacktest: hand-checked MAE/RMSE/bias for both arms") {
     import graft.operators.Forecast
     val ev = Seq(1.0, 2.0, 4.0, 7.0).zipWithIndex.map { case (v, i) =>
