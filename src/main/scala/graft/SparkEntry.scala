@@ -1997,6 +1997,18 @@ object SparkEntry {
           col("low").cast("double").as("low"), col("close").cast("double").as("close"),
           col("n_ticks"), col("vsum").cast("double").as("vsum"))
     },
+    // VWAP streaming twin run batch (the same-code-both-modes surface
+    // q_window_bars established), qty from the seq residues.
+    "q_window_vwap" -> { (s, dir) =>
+      val ticks = ev(s, dir).df.select(col(Tick.KEY),
+        expr("tsNanos div 1000").as("tsMicros"),
+        col(Tick.VALUE).cast("decimal(18,2)").as(Tick.VALUE),
+        ((col("seq") % 5) + 1).cast("decimal(18,2)").as("qty"))
+      graft.streaming.WindowedAggs.vwapFrame(ticks, "1 day")
+        .select(col(Tick.KEY).cast(LongType).as("user_id"),
+          unix_micros(col("w_start")).as("w_start_us"),
+          round(col("vwap"), 8).as("vwap"), col("qty"), col("n_ticks"))
+    },
     // Sliding: each event lands in len/slide = 4 overlapping windows;
     // the oracle unnests the same start set per row.
     "q_window_sliding" -> { (s, dir) =>
@@ -5553,6 +5565,14 @@ object SparkEntry {
         |  CAST(MAX(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS close,
         |  count(*) AS n_ticks, CAST(SUM(v) AS DOUBLE) AS vsum
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_window_vwap" ->
+      """WITH b AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS p,
+        |    CAST((event_id % 5) + 1 AS DECIMAL(18,2)) AS q,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS w_start_us FROM events)
+        |SELECT user_id, w_start_us,
+        |  round(CAST(SUM(CAST(p*q AS DECIMAL(38,4))) AS DOUBLE)/CAST(SUM(q) AS DOUBLE), 8) AS vwap,
+        |  CAST(SUM(q) AS DOUBLE) AS qty, count(*) AS n_ticks
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q_window_sliding" ->
       """SELECT user_id, w_start_us, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_v

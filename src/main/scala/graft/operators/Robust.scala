@@ -77,19 +77,44 @@ object Robust {
     * rank r (the standard extension); ties within a group get distinct
     * ranks via `ordCol`, so the map is a bijection and replayable.
     *
-    * Scale shape: one per-group window sort assigns ranks, one
-    * rank-keyed aggregate builds the reference distribution (|max
-    * group size| rows — broadcast), one join back on the rank. The
+    * Scale shape: the within-group rank is NOT one sort per group —
+    * with few groups that serializes to |groups| tasks (measured:
+    * exponent 0.97 at 3 groups). Instead rank = cumBefore(g, v) + rn:
+    * a per-(group, value) count table (one map-combined aggregate,
+    * value-cardinality rows) carries the running sum over each group's
+    * value order, and rn is a row_number over the (g, v) partitions —
+    * |groups|·|values| concurrent sorts of tie-blocks. The reference
+    * distribution is one rank-keyed aggregate (≤ max-group-size rows;
+    * NO broadcast — at scale it's a shuffle join on the rank). The
     * reference mean uses a DECIMAL sum over a double count so the
-    * divide happens once, in one order. */
+    * divide happens once, in one order.
+    *
+    * The (g, v) count table broadcasts — right for bounded-cardinality
+    * values (counts, grades, cents at fixed range). For continuous
+    * high-cardinality values quantize first (the [[winsorize]] cents
+    * discipline) or the table approaches the row count. */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         ordCol: String): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(ordCol))
-    val ranked = df.withColumn("__r", row_number().over(w))
-    val ref = ranked.groupBy(col("__r").as("__rr"))
-      .agg((sum(col(valueCol).cast("decimal(28,6)")).cast("double") /
+    val perGV = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wPrev = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perGV.withColumn("__cum", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+    val wTie = Window.partitionBy(groupCol, valueCol).orderBy(col(ordCol))
+    val ranked = df
+      .join(broadcast(cum.drop("__c")),
+        col(groupCol) === col("__g") && col(valueCol) === col("__v"))
+      .withColumn("__r", col("__cum") + row_number().over(wTie))
+    // the reference distribution NEVER touches the rows: a tie block's
+    // ranks are the contiguous (cum, cum+c], so (rank, value) pairs
+    // explode out of the tiny count table and aggregate by rank
+    val ref = cum
+      .select(col("__v"),
+        explode(sequence(col("__cum") + 1, col("__cum") + col("__c"))).as("__rr"))
+      .groupBy("__rr")
+      .agg((sum(col("__v").cast("decimal(28,6)")).cast("double") /
         count(lit(1)).cast("double")).as("norm"))
-    ranked.join(broadcast(ref), col("__r") === col("__rr"))
-      .drop("__r", "__rr")
+    ranked.join(ref, col("__r") === col("__rr"))
+      .drop("__g", "__v", "__cum", "__r", "__rr")
   }
 }

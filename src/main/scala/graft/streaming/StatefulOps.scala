@@ -321,6 +321,15 @@ object StatefulOps {
       * each tick reads the recurrence state derived from all PRIOR
       * outputs (next-cycle self-delivery), never its own. csp's only
       * graph-cycle construct is a one-slot state machine here too. */
+    /** Running-peak drawdown v/peak − 1 — the per-tick lane of
+      * [[graft.operators.Bars.maxDrawdown]] (state = the expanding max;
+      * same doubles as the batch expanding-max arm, so parity is
+      * bit-exact). */
+    val drawdown: Step = Step(Seq(Double.NegativeInfinity), (s, r) => {
+      val peak = math.max(s.head, r.value)
+      (Seq(peak), Some(r.value / peak - 1.0))
+    })
+
     def feedback(init: Double)(f: (Double, Double) => Double): Step =
       Step(Seq(init), (s, r) => {
         val out = f(s.head, r.value)

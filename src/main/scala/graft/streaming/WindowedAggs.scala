@@ -53,6 +53,23 @@ object WindowedAggs {
       .select(col("key"), col("window.start").as("w_start"), col("open"),
         col("high"), col("low"), col("close"), col("n_ticks"), col("vsum"))
 
+  /** [[graft.operators.Bars.vwap]]'s streaming twin: Σ(value·qty)/Σqty
+    * per (key, window), both sums DECIMAL-exact — callers pass value
+    * and qty already quantized (decimal(18,2)) so batch and stream
+    * produce the identical division operands in any micro-batch
+    * arrival order. */
+  def vwapFrame(ticks: DataFrame, windowLen: String,
+                watermarkDelay: String = "0 seconds"): DataFrame =
+    withEventTime(ticks, watermarkDelay)
+      .groupBy(col("key"), window(col("eventTime"), windowLen))
+      .agg(
+        (sum((col("value") * col("qty")).cast("decimal(38,4)")).cast("double") /
+          sum(col("qty")).cast("double")).as("vwap"),
+        sum(col("qty")).cast("double").as("qty"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("key"), col("window.start").as("w_start"),
+        col("vwap"), col("qty"), col("n_ticks"))
+
   def sessionFrame(ticks: DataFrame, gap: String,
                    watermarkDelay: String = "0 seconds"): DataFrame =
     withEventTime(ticks, watermarkDelay)

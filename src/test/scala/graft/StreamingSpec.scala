@@ -169,7 +169,13 @@ class StreamingSpec extends AnyFunSuite {
       // csp.feedback: the decayed accumulator q_feedback runs in batch
       ("par_feedback", batchMap(Sequential.feedback(ev, "fb", 0.0) { (prev, row) =>
           prev * 0.9 + row.getDouble(row.fieldIndex(graft.ts.Tick.VALUE)) }, "fb"),
-        rows, StatefulOps.scanStream(_, StatefulOps.Steps.feedback(0.0)((p, v) => p * 0.9 + v))))
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.feedback(0.0)((p, v) => p * 0.9 + v))),
+      // running-peak drawdown: batch arm = expanding max + one division
+      ("par_drawdown", batchMap(TickStream(
+          Stats.expanding(ev).max("mx").done.df.withColumn("dd",
+            org.apache.spark.sql.functions.col(graft.ts.Tick.VALUE).cast("double") /
+              org.apache.spark.sql.functions.col("mx").cast("double") - 1)), "dd"),
+        rows, StatefulOps.scanStream(_, StatefulOps.Steps.drawdown)))
 
     matrix.foreach { case (name, batch, data, build) =>
       assertParity(name, batch, runStream(name, data, build))
@@ -536,5 +542,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
     // a bar that accumulated over >1 micro-batch still has first-tick open
     assert(batch.nonEmpty && stream.size == batch.size)
+  }
+
+  test("batch≡stream parity: VWAP builder (vwapFrame) across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.WindowedAggs
+    implicit val sq = spark.sqlContext
+    import sq.sparkSession.implicits._
+    val rows = (0 until 90).map { i =>
+      TickRow(s"u${i % 3}", i.toLong * 500000L + 7, i.toLong, ((i * 37) % 100) / 4.0)
+    }
+    // qty from seq residues — exactly the q_window_vwap recipe
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("tsMicros"),
+        col("value").cast("decimal(18,2)").as("value"),
+        ((col("seq") % 5) + 1).cast("decimal(18,2)").as("qty"))
+    def canon(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.toSeq.drop(2)).toMap
+    val batch = canon(WindowedAggs.vwapFrame(frame(rows.toDF()), "10 seconds").collect())
+    val mem = MemoryStream[TickRow]
+    val q = WindowedAggs.vwapFrame(frame(mem.toDS().toDF()), "10 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("vwap_par")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(25).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = canon(spark.table("vwap_par").collect())
+    q.stop()
+    // decimal operand sums make the division bit-identical regardless of
+    // which micro-batch each tick arrived in
+    assert(stream == batch && batch.nonEmpty)
   }
 }
