@@ -2895,6 +2895,41 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // Welch t-test (RankTests.welchT): returned vs refused prices from
+    // exact decimal power sums; Welch-Satterthwaite df.
+    "q_welch_t" -> { (s, dir) =>
+      graft.operators.RankTests.welchT(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", "A", "R")
+        .select(col("n_a"), col("n_b"), round(col("mean_a"), 8).as("mean_a"),
+          round(col("mean_b"), 8).as("mean_b"),
+          round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
+    },
+    // Tukey fences (Robust.tukeyFences): discrete-quantile boxplot
+    // bounds + outlier counts per returnflag.
+    "q_boxplot" -> { (s, dir) =>
+      graft.operators.Robust.tukeyFences(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("ord", col("l_orderkey") * 10 + col("l_linenumber")),
+        "l_returnflag", "l_quantity", "ord")
+    },
+    // ABC classification (Evaluate.abcClassify): Pareto 80/95 classes
+    // over per-part revenue, exact decimal cumulative shares.
+    "q_abc" -> { (s, dir) =>
+      val per = Sources.table(s, dir, "lineitem").groupBy(col("l_partkey").as("p"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      graft.operators.Evaluate.abcClassify(per, "p", "rev")
+        .select(col("p"), col("rev").cast("double").as("rev"),
+          round(col("cum_share"), 8).as("cum_share"), col("abc_class"))
+    },
+    // Sentence stats (TextAnalysis.sentenceStats): terminal-punct
+    // segmentation, per-doc readability numbers.
+    "q_sentences" -> { (s, dir) =>
+      val st = graft.llm.TextAnalysis.sentenceStats(col("text"))
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        st.getField("n_sentences").as("n_sentences"),
+        st.getField("max_words").as("max_words"),
+        round(st.getField("mean_words"), 6).as("mean_words"))
+    },
     // Native cube (all four grouping-set combos of the rollup fixture).
     "q_cube" -> { (s, dir) =>
       Sources.table(s, dir, "lineitem")
@@ -6690,6 +6725,67 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    // exact Σx/Σx² per side, fixed IEEE chain for mean/var/t/df
+    "q_welch_t" ->
+      """WITH sd AS (SELECT l_returnflag AS g, count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |      CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        |  FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY 1),
+        |j AS (SELECT a.n AS n_a, b.n AS n_b, a.s1 AS s1a, a.s2 AS s2a,
+        |    b.s1 AS s1b, b.s2 AS s2b
+        |  FROM (SELECT * FROM sd WHERE g='A') a, (SELECT * FROM sd WHERE g='R') b),
+        |m AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |    s1a/CAST(n_a AS DOUBLE) AS mean_a, s1b/CAST(n_b AS DOUBLE) AS mean_b,
+        |    ((s2a - s1a*s1a/CAST(n_a AS DOUBLE))/(CAST(n_a AS DOUBLE)-1))/CAST(n_a AS DOUBLE) AS sa,
+        |    ((s2b - s1b*s1b/CAST(n_b AS DOUBLE))/(CAST(n_b AS DOUBLE)-1))/CAST(n_b AS DOUBLE) AS sb
+        |  FROM j)
+        |SELECT n_a, n_b, round(mean_a, 8) AS mean_a, round(mean_b, 8) AS mean_b,
+        |  CASE WHEN sa + sb > 0 THEN round((mean_a - mean_b)/sqrt(sa + sb), 6) END AS t,
+        |  CASE WHEN sa + sb > 0 THEN round((sa + sb)*(sa + sb) /
+        |    (sa*sa/(CAST(n_a AS DOUBLE)-1) + sb*sb/(CAST(n_b AS DOUBLE)-1)), 6) END AS df
+        |FROM m""".stripMargin,
+    // rank-⌈p·n⌉ quartiles, ±1.5·IQR fences, outlier fold
+    "q_boxplot" ->
+      """WITH r AS (SELECT l_returnflag AS k, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey*10 + l_linenumber) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem),
+        |b AS (SELECT k, max(n) AS n,
+        |    max(CASE WHEN rk = greatest(CAST(ceil(0.25*n) AS BIGINT), 1) THEN v END) AS q1,
+        |    max(CASE WHEN rk = greatest(CAST(ceil(0.75*n) AS BIGINT), 1) THEN v END) AS q3
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT k, n, q1, q3, q3 - q1 AS iqr,
+        |    q1 - 1.5*(q3 - q1) AS lo_fence, q3 + 1.5*(q3 - q1) AS hi_fence FROM b)
+        |SELECT f.k AS key, CAST(max(f.n) AS BIGINT) AS n, max(q1) AS q1, max(q3) AS q3,
+        |  max(iqr) AS iqr, max(lo_fence) AS lo_fence, max(hi_fence) AS hi_fence,
+        |  CAST(sum(CASE WHEN li.l_quantity < lo_fence OR li.l_quantity > hi_fence
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM f JOIN lineitem li ON li.l_returnflag = f.k GROUP BY 1""".stripMargin,
+    // DESC cumulative decimal shares, 0.8/0.95 cuts
+    "q_abc" ->
+      """WITH per AS (SELECT l_partkey AS p,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT p, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(sum(rev) OVER () AS DOUBLE) AS cum_share FROM per)
+        |SELECT p, CAST(rev AS DOUBLE) AS rev, round(cum_share, 8) AS cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+    // [.!?]+ segmentation, trimmed, whitespace word counts
+    "q_sentences" ->
+      """WITH s AS (SELECT doc_id, list_filter(
+        |    list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |    x -> x <> '') AS sents FROM documents),
+        |w AS (SELECT doc_id, list_transform(sents,
+        |    x -> len(string_split_regex(x, ' +'))) AS ws FROM s)
+        |SELECT doc_id, len(ws) AS n_sentences, list_max(ws) AS max_words,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    round(CAST(list_sum(ws) AS DOUBLE)/CAST(len(ws) AS DOUBLE), 6) END AS mean_words
+        |FROM w""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

@@ -157,6 +157,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
 
+  /** Sentences: split on terminal-punctuation runs `[.!?]+`, trimmed,
+    * empties dropped — the pure-projection sentence segmentation used
+    * by readability and chunk-boundary heuristics (abbreviation-aware
+    * splitting is a model problem, out of kernel scope). */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+
+  /** Per-doc sentence readability stats off [[sentences]]: count, max
+    * words in a sentence, and mean words per sentence (null for
+    * sentence-free docs) — each sentence's words by the [[tokens]]
+    * whitespace rule. */
+  def sentenceStats(text: Column): Column = {
+    val ws = transform(sentences(text), s => size(split(s, " +")))
+    struct(
+      size(ws).as("n_sentences"),
+      array_max(ws).as("max_words"),
+      when(size(ws) > 0,
+        aggregate(ws, lit(0L), (acc, x) => acc + x).cast("double") /
+          size(ws).cast("double")).as("mean_words"))
+  }
+
   /** Rolling-hash document fingerprint: min xxhash64 over word 5-gram
     * shingles — one 64-bit near-dup signature (a 1-row minhash). */
   def rollingFingerprint(text: Column, n: Int = 5): Column =

@@ -80,6 +80,29 @@ object Evaluate {
         ((col("__pa") - col("__pe")) * log(col("__pa") / col("__pe"))).as("psi_part"))
   }
 
+  /** ABC (Pareto 80/95) classification: entities ordered by DECIMAL
+    * value DESC (ties by `ordCol`), cumulative share of the exact
+    * total, class A while share ≤ `aCut`, B while ≤ `bCut`, else C.
+    * The share is one double division of exact decimal cum/total per
+    * entity, so class boundaries are engine-stable. Runs on the
+    * ENTITY table ([[gainsTable]]'s global-window caveat). */
+  def abcClassify(df: DataFrame, idCol: String, valueCol: String,
+                  aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    require(0 < aCut && aCut < bCut && bCut < 1, "need 0 < aCut < bCut < 1")
+    val v = col(valueCol).cast("decimal(28,2)")
+    val wCum = Window.orderBy(col(valueCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col(valueCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__cum", sum(v).over(wCum))
+      .withColumn("__tot", sum(v).over(wAll))
+      .withColumn("cum_share", col("__cum").cast("double") / col("__tot").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aCut, "A")
+          .when(col("cum_share") <= bCut, "B").otherwise("C"))
+      .drop("__cum", "__tot")
+  }
+
   /** Gini coefficient of `valueCol` (nonnegative) with the ranked
     * form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending (value, ord)
     * order; both sums accumulate in DECIMAL so G is partitioning-

@@ -99,6 +99,37 @@ object RankTests {
           (col("n_a").cast("double") + col("n_b").cast("double"))))
   }
 
+  /** Welch's unequal-variance t-test from DECIMAL power sums: one
+    * map-combined aggregate per group collects exact Σx and Σx²;
+    * mean/variance/t/df are then a fixed chain of IEEE ops over exact
+    * operands — replayable anywhere. One row:
+    * (n_a, n_b, mean_a, mean_b, t, df) with df the Welch–Satterthwaite
+    * degrees of freedom; degenerate (zero-variance) pairs yield null t.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,4)")
+    def side(tag: String, out: String) = df.filter(col(groupCol) === tag)
+      .agg(count(lit(1)).as(s"n_$out"),
+        sum(x).cast("double").as(s"s1_$out"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as(s"s2_$out"))
+    val j = side(a, "a").join(side(b, "b"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"s1_$s") / nD(s)
+    def se2(s: String) = // v/n with v = (S2 − S1²/n)/(n−1)
+      ((col(s"s2_$s") - col(s"s1_$s") * col(s"s1_$s") / nD(s)) / (nD(s) - 1)) / nD(s)
+    j.select(col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        se2("a").as("__sa"), se2("b").as("__sb"))
+      .withColumn("t", when(col("__sa") + col("__sb") > 0,
+        (col("mean_a") - col("mean_b")) / sqrt(col("__sa") + col("__sb"))))
+      .withColumn("df", when(col("__sa") + col("__sb") > 0,
+        (col("__sa") + col("__sb")) * (col("__sa") + col("__sb")) /
+          (col("__sa") * col("__sa") / (nD("a") - 1) +
+            col("__sb") * col("__sb") / (nD("b") - 1))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"), col("t"), col("df"))
+  }
+
   /** ROC AUC by the rank-sum identity AUC = U_pos/(n_pos·n_neg) —
     * ties get half credit via the average-rank U, which is exactly the
     * probabilistic AUC definition P(s⁺>s⁻) + ½P(s⁺=s⁻). Same

@@ -39,6 +39,34 @@ object Robust {
       .drop("__r", "__n", "__k", "__lo", "__hi")
   }
 
+  /** Tukey boxplot fences per group: Q1/Q3 as the DISCRETE rank-⌈p·n⌉
+    * order statistics ([[winsorize]]'s rule — actual data values),
+    * fences at ±1.5·IQR, and the outlier count outside them. One row
+    * per key: (key, n, q1, q3, iqr, lo_fence, hi_fence, n_outliers).
+    * Same plan shape as winsorize: one keyed rank window, one bounds
+    * aggregate, one broadcast join back folded into a count. */
+  def tukeyFences(df: DataFrame, keyCol: String, valueCol: String,
+                  ordCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(valueCol), col(ordCol))
+    val ranked = df.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+    def rk(p: Double) = greatest(ceil(lit(p) * col("__n").cast("double")), lit(1L))
+    val bounds = ranked.groupBy(col(keyCol).as("__k"))
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__r") === rk(0.25), col(valueCol))).as("q1"),
+        max(when(col("__r") === rk(0.75), col(valueCol))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+    df.join(broadcast(bounds), col(keyCol) === col("__k"))
+      .groupBy(col(keyCol).as("key"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("iqr")).as("iqr"), max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col(valueCol) < col("lo_fence") ||
+          col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Leave-one-out target encoding with additive smoothing (Micci-
     * Barreca, SIGKDD Expl. 2001) — the high-cardinality categorical
     * encoder that does NOT leak the row's own label:

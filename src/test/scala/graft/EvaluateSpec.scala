@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.operators.Evaluate
 
@@ -37,6 +38,56 @@ class EvaluateSpec extends AnyFunSuite {
       "v", lo = 0, hi = 10, bins = 2)
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(0) == ((1L, 0L)) && out(1) == ((0L, 1L)))
+  }
+
+  test("welchT: equal-variance hand case matches the pooled t; zero variance nulls") {
+    import graft.operators.RankTests
+    // A = (1,2,3), B = (4,5,6): means 2/5, var 1 each -> t = -3/sqrt(2/3)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0))
+      .toDF("g", "v")
+    val r = RankTests.welchT(df, "g", "v", "A", "B").head
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 5.0)
+    assert(math.abs(r.getAs[Double]("t") - (-3.0 / math.sqrt(2.0 / 3))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df") - 4.0) < 1e-9) // equal n, equal var
+    val const = Seq(("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 2.0)).toDF("g", "v")
+    val rc = RankTests.welchT(const, "g", "v", "A", "B").head
+    assert(rc.isNullAt(rc.fieldIndex("t")) && rc.isNullAt(rc.fieldIndex("df")))
+  }
+
+  test("tukeyFences: quartile fences and outlier count on a planted outlier") {
+    import graft.operators.Robust
+    // 1..8 plus 100: n=9, q1 = v at ceil(2.25)=rank 3, q3 = rank 7
+    val df = ((1 to 8).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("k", v, i) }.toDF("k", "v", "o")
+    val r = Robust.tukeyFences(df, "k", "v", "o").head
+    assert(r.getAs[Long]("n") == 9)
+    assert(r.getAs[Double]("q1") == 3.0 && r.getAs[Double]("q3") == 7.0)
+    assert(r.getAs[Double]("lo_fence") == -3.0 && r.getAs[Double]("hi_fence") == 13.0)
+    assert(r.getAs[Long]("n_outliers") == 1L) // only the 100
+  }
+
+  test("abcClassify: cumulative shares cut at 0.8/0.95 with DESC order") {
+    import graft.operators.Evaluate
+    // revenues 50, 30, 15, 5 -> shares .5, .8, .95, 1.0 -> A A B C
+    val df = Seq((1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)).toDF("id", "rev")
+    val out = Evaluate.abcClassify(df, "id", "rev")
+      .collect().map(r => r.getInt(0) -> (r.getAs[Double]("cum_share"), r.getString(3))).toMap
+    assert(out(1) == ((0.5, "A")) && out(2) == ((0.8, "A")))
+    assert(out(3) == ((0.95, "B")) && out(4) == ((1.0, "C")))
+  }
+
+  test("sentenceStats: segmentation, word counts, empty-doc nulls") {
+    import graft.llm.TextAnalysis
+    val df = Seq("One two. Three four five!  Six?", "", "no terminal punct")
+      .toDF("text")
+    val out = df.select(col("text"), TextAnalysis.sentenceStats(col("text")).as("s"))
+      .select(col("text"), col("s.n_sentences"), col("s.max_words"), col("s.mean_words"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("One two. Three four five!  Six?")
+    assert(a.getInt(1) == 3 && a.getInt(2) == 3)
+    assert(a.getDouble(3) == 2.0) // (2+3+1)/3
+    assert(out("").getInt(1) == 0 && out("").isNullAt(2) && out("").isNullAt(3))
+    assert(out("no terminal punct").getInt(1) == 1)
   }
 
   test("gini: equal shares 0, single holder (n-1)/n, hand case exact") {
