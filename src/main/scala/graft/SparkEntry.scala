@@ -2895,6 +2895,30 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // Temporal as-of join (Warehouse.temporalJoin): each event rejoined
+    // to the SCD2 state version valid at its own timestamp.
+    "q_temporal_join" -> { (s, dir) =>
+      val evt = Sources.table(s, dir, "events")
+      val dim = graft.operators.Warehouse.scdType2(evt, "user_id", "ts", "event_id", "event_type")
+      graft.operators.Warehouse.temporalJoin(
+        evt.select(col("event_id"), col("user_id"), col("ts")), dim, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("dim_value"), unix_micros(col("valid_from")).as("valid_from_us"))
+    },
+    // Largest-remainder allocation (Warehouse.allocate): a fixed cent
+    // budget split over per-part quantity weights, Σ exact.
+    "q_allocate" -> { (s, dir) =>
+      val per = Sources.table(s, dir, "lineitem").groupBy(col("l_partkey").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("weight"))
+      graft.operators.Warehouse.allocate(per, "p", "weight", totalCents = 1000000L)
+    },
+    // Inverted index (Relevance.invertedIndex): capped top-5 postings
+    // per term, df >= 3, rendered as the serving string.
+    "q_inverted_index" -> { (s, dir) =>
+      graft.llm.Relevance.invertedIndex(
+        graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents")),
+        "doc_id", "text", k = 5, minDf = 3L)
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -6725,6 +6749,46 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    // the q_scd2 runs rebuilt, then ts ∈ [valid_from, valid_to) join
+    "q_temporal_join" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+        |g AS (SELECT user_id AS key, run, min(event_type) AS value, min(ts) AS vf
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT key, value, vf,
+        |    lead(vf) OVER (PARTITION BY key ORDER BY run) AS vt FROM g)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  d.value AS dim_value, epoch_us(d.vf) AS valid_from_us
+        |FROM events e LEFT JOIN d ON e.user_id = d.key
+        |  AND e.ts >= d.vf AND (d.vt IS NULL OR e.ts < d.vt)""".stripMargin,
+    // HUGEINT floor-div base shares + largest-remainder cent distribution
+    "q_allocate" ->
+      """WITH per AS (SELECT l_partkey AS p,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS w FROM lineitem GROUP BY 1),
+        |b AS (SELECT p, w, sum(w) OVER () AS tw FROM per),
+        |c AS (SELECT p, w, (w*1000000) // tw AS base, (w*1000000) % tw AS rem FROM b),
+        |l AS (SELECT *, 1000000 - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, p) AS rk FROM c)
+        |SELECT p, CAST(w AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+        |FROM l""".stripMargin,
+    // capped postings via the same rank window, serving-string render
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, ' +'), t -> t <> '')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id) AS rn FROM tf),
+        |a AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf,
+        |    array_to_string(list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+        |      ORDER BY rn) FILTER (WHERE rn <= 5), ',') AS postings
+        |  FROM r GROUP BY 1)
+        |SELECT term, df_t, total_tf, postings FROM a WHERE df_t >= 3""".stripMargin,
     // exact Σx/Σx² per side, fixed IEEE chain for mean/var/t/df
     "q_welch_t" ->
       """WITH sd AS (SELECT l_returnflag AS g, count(*) AS n,

@@ -162,4 +162,31 @@ object Relevance {
       }.reduceOption(_ + _).getOrElse(lit(0.0))
     }
   }
+
+  /** Inverted index readout: one row per term with document frequency,
+    * total term frequency, and the top-`k` postings rendered as
+    * "docid:tf" strings ordered by (tf DESC, doc ASC) — the serving
+    * artifact a lexical retriever ships. Shape: the [[termStats]]
+    * Exchange, a term-partitioned rank window (parallel across the
+    * vocabulary), then one aggregate whose collect is CAPPED at k per
+    * term by the rank filter — never a whole postings list in memory;
+    * `minDf` prunes the singleton tail that dominates vocabulary
+    * size. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDf: Long = 1L): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val ts = termStats(df, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tf").desc, col(idCol))
+    ts.withColumn("__rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t"), sum(col("tf")).as("total_tf"),
+        array_sort(collect_list(when(col("__rn") <= k, // nulls skipped ⇒ ≤ k held
+          struct(col("__rn").as("r"),
+            concat(col(idCol).cast("string"), lit(":"),
+              col("tf").cast("string")).as("p"))))).as("__top"))
+      .filter(col("df_t") >= minDf)
+      .select(col("term"), col("df_t"), col("total_tf"),
+        array_join(transform(col("__top"), s => s.getField("p")), ",").as("postings"))
+  }
 }

@@ -60,6 +60,57 @@ object Warehouse {
     runs.withColumn("valid_to", lead(col("valid_from"), 1).over(w2)).drop("__run")
   }
 
+  /** Temporal (as-of validity) join: attach to each fact row the
+    * dimension version valid at its timestamp — the read side of
+    * [[scdType2]]. Equi-join on the key with the residual interval
+    * predicate ts ∈ [valid_from, valid_to) (null valid_to = open);
+    * LEFT join so facts predating every version survive with null
+    * attributes. The dim carries one row per (key, version) — version
+    * counts are small, so the per-key match stays bounded and the join
+    * broadcasts whenever the dimension does. */
+  def temporalJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                   tsCol: String): DataFrame = {
+    val d = dim.select(col("key").as("__dk"), col("value").as("dim_value"),
+      col("valid_from"), col("valid_to"))
+    fact.join(d,
+      fact(keyCol) === col("__dk") &&
+        fact(tsCol) >= col("valid_from") &&
+        (col("valid_to").isNull || fact(tsCol) < col("valid_to")),
+      "left").drop("__dk")
+  }
+
+  /** Largest-remainder allocation (the Hamilton method): split
+    * `totalCents` across rows proportionally to `weightCol`, all in
+    * exact integer arithmetic — base share ⌊total·w/W⌋, then one
+    * extra cent to the rows with the largest remainder numerators
+    * (total·w − base·W), ties to the smallest `ordCol`. Σalloc ==
+    * total EXACTLY — the invariant float division cannot give. The
+    * rank window runs over the entity table ([[Behavior.rfm]]'s
+    * global-window precedent). */
+  def allocate(df: DataFrame, ordCol: String, weightCol: String,
+               totalCents: Long): DataFrame = {
+    require(totalCents >= 0, s"totalCents $totalCents must be >= 0")
+    val w = col(weightCol).cast("decimal(28,0)")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(ordCol))
+    val based = df
+      .withColumn("__W", sum(w).over(wAll))
+      .withColumn("__num", w * totalCents)
+      // `div` is the INTEGRAL divide — a scaled decimal `/` rounds at
+      // its result scale and can bump x.999999 ACROSS the floor
+      .withColumn("__base", expr("__num div __W"))
+      .withColumn("__rem", (col("__num") - col("__base") * col("__W")).cast("decimal(38,0)"))
+      .withColumn("__left", lit(totalCents) - sum(col("__base")).over(wAll))
+    based
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("alloc_cents",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .drop("__W", "__num", "__base", "__rem", "__left", "__rk")
+  }
+
   /** CDC apply (MERGE INTO semantics): fold a change feed of
     * upserts/deletes into a base snapshot. `ops` carries the base's
     * columns plus `opCol` ('U' upsert — insert-or-update — or 'D'

@@ -304,6 +304,47 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(Set(10L, 11L, 12L).map(out) subsetOf Set(10L, 11L, 12L))
   }
 
+  test("temporalJoin: facts pick their validity interval, pre-history stays null") {
+    import graft.operators.Warehouse
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val dim = Seq(("k", "A", t(10), Option(t(20))), ("k", "B", t(20), None))
+      .toDF("key", "value", "valid_from", "valid_to")
+    val fact = Seq((1L, "k", t(5)), (2L, "k", t(15)), (3L, "k", t(20)), (4L, "k", t(99)))
+      .toDF("id", "key", "ts")
+    val out = Warehouse.temporalJoin(fact, dim, "key", "ts")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("dim_value"))).toMap
+    assert(out(1L).isEmpty)          // before the first version
+    assert(out(2L).contains("A"))
+    assert(out(3L).contains("B"))    // boundary belongs to the NEW version
+    assert(out(4L).contains("B"))    // open interval
+  }
+
+  test("allocate: largest-remainder cents sum exactly; exact splits untouched") {
+    import graft.operators.Warehouse
+    val even = Seq((1, 1L), (2, 1L), (3, 1L)).toDF("id", "w")
+    val o1 = Warehouse.allocate(even, "id", "w", totalCents = 100L)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("alloc_cents")).toMap
+    assert(o1.values.sum == 100L)
+    assert(o1(1) == 34L && o1(2) == 33L && o1(3) == 33L) // tie -> smallest ord
+    val exact = Seq((1, 5L), (2, 3L), (3, 2L)).toDF("id", "w")
+    val o2 = Warehouse.allocate(exact, "id", "w", totalCents = 10L)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("alloc_cents")).toMap
+    assert(o2 == Map(1 -> 5L, 2 -> 3L, 3 -> 2L))
+  }
+
+  test("invertedIndex: tf-desc doc-asc postings, capped at k, minDf prune") {
+    import graft.llm.Relevance
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "b")).toDF("doc_id", "text")
+    val out = Relevance.invertedIndex(docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[String]("postings"))).toMap
+    assert(out("a") == ((2L, 3L, "1:2,2:1")))
+    assert(out("b") == ((3L, 3L, "1:1,2:1"))) // third posting cut by k = 2
+    val pruned = Relevance.invertedIndex(docs, "doc_id", "text", k = 2, minDf = 3L)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == Set("b"))
+  }
+
   test("applyCdc: latest seq wins, delete beats tie, untouched keys pass through") {
     import graft.operators.Warehouse
     val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")).toDF("id", "value", "tag")
