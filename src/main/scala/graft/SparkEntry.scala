@@ -2895,6 +2895,33 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("dof"),
           round(col("chi2"), 6).as("chi2"), round(col("cramers_v"), 6).as("cramers_v"))
     },
+    // Hierarchy rollup (Hierarchy.rollup): subtree revenue totals over
+    // the decimal-digit part tree (parent = key div 10), closure by
+    // iterated joins; the oracle walks a recursive CTE.
+    "q_hierarchy" -> { (s, dir) =>
+      val edges = Sources.table(s, dir, "part")
+        .select(col("p_partkey").as("c"), expr("p_partkey div 10").as("p"))
+      val values = Sources.table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("node"))
+        .agg(sum(col("l_extendedprice").cast("decimal(28,2)")).as("rev"))
+      graft.operators.Hierarchy.rollup(edges, "c", "p", values, "node", "rev",
+        maxDepth = 8)
+    },
+    // Price/volume/mix bridge (Evaluate.priceVolumeDecompose): pre- vs
+    // post-1995 revenue movement per part family.
+    "q_price_volume" -> { (s, dir) =>
+      val li = Sources.table(s, dir, "lineitem")
+        .withColumn("per",
+          when(col("l_shipdate") < lit("1998-01-01").cast("timestamp"), 0).otherwise(1))
+        .withColumn("grp", col("l_partkey") % 100)
+      graft.operators.Evaluate.priceVolumeDecompose(li, "grp", "per",
+        "l_quantity", "l_extendedprice")
+        .select(col("key"), col("q0"), col("q1"), col("r0"), col("r1"),
+          round(col("d_rev"), 6).as("d_rev"),
+          round(col("volume_effect"), 6).as("volume_effect"),
+          round(col("price_effect"), 6).as("price_effect"),
+          round(col("mix_effect"), 6).as("mix_effect"))
+    },
     // Temporal as-of join (Warehouse.temporalJoin): each event rejoined
     // to the SCD2 state version valid at its own timestamp.
     "q_temporal_join" -> { (s, dir) =>
@@ -2932,9 +2959,7 @@ object SparkEntry {
     // bounds + outlier counts per returnflag.
     "q_boxplot" -> { (s, dir) =>
       graft.operators.Robust.tukeyFences(
-        Sources.table(s, dir, "lineitem")
-          .withColumn("ord", col("l_orderkey") * 10 + col("l_linenumber")),
-        "l_returnflag", "l_quantity", "ord")
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_quantity")
     },
     // ABC classification (Evaluate.abcClassify): Pareto 80/95 classes
     // over per-part revenue, exact decimal cumulative shares.
@@ -6749,6 +6774,38 @@ object SparkEntry {
         |    round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(rx, ry) AS DOUBLE) - 1))), 6)
         |  END AS cramers_v
         |FROM a""".stripMargin,
+    // recursive-CTE ancestor closure vs the iterated-join arm
+    "q_hierarchy" ->
+      """WITH RECURSIVE e AS (SELECT p_partkey AS c, p_partkey // 10 AS p FROM part
+        |    WHERE p_partkey <> p_partkey // 10),
+        |cl AS (SELECT c AS node, p AS ancestor FROM e
+        |  UNION SELECT cl.node, e2.p FROM cl JOIN e e2 ON cl.ancestor = e2.c),
+        |v AS (SELECT l_partkey AS node,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |reach AS (SELECT DISTINCT up, down FROM (SELECT ancestor AS up, node AS down FROM cl
+        |  UNION ALL SELECT node, node FROM v))
+        |SELECT up AS node, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(v.rev) AS DOUBLE) AS subtree_total
+        |FROM reach JOIN v ON reach.down = v.node GROUP BY 1""".stripMargin,
+    // per-(key, period) decimal sums, the three-term bridge identity
+    "q_price_volume" ->
+      """WITH b AS (SELECT l_partkey % 100 AS k,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS per,
+        |    l_quantity, l_extendedprice FROM lineitem),
+        |a AS (SELECT k, per,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS r
+        |  FROM b GROUP BY 1, 2),
+        |j AS (SELECT a0.k, a0.q AS q0, a1.q AS q1, a0.r AS r0, a1.r AS r1,
+        |    a0.r/a0.q AS pp0, a1.r/a1.q AS pp1
+        |  FROM (SELECT * FROM a WHERE per = 0) a0
+        |  JOIN (SELECT * FROM a WHERE per = 1) a1 ON a0.k = a1.k)
+        |SELECT k AS key, q0, q1, r0, r1, round(r1 - r0, 6) AS d_rev,
+        |  round((q1 - q0) * pp0, 6) AS volume_effect,
+        |  round((pp1 - pp0) * q0, 6) AS price_effect,
+        |  round((q1 - q0) * (pp1 - pp0), 6) AS mix_effect
+        |FROM j""".stripMargin,
     // the q_scd2 runs rebuilt, then ts ∈ [valid_from, valid_to) join
     "q_temporal_join" ->
       """WITH r AS (SELECT user_id, event_type, ts, event_id,

@@ -103,6 +103,34 @@ object Evaluate {
       .drop("__cum", "__tot")
   }
 
+  /** Period-over-period price/volume/mix decomposition (the "why did
+    * revenue move" bridge): per key present in BOTH periods,
+    * ΔR = (q₁−q₀)·p₀  [volume]  +  (p₁−p₀)·q₀  [price]
+    *     + (q₁−q₀)·(p₁−p₀)      [mix],
+    * with q/r from exact DECIMAL sums and p = r/q one double division
+    * per period. `periodCol` is 0 (base) / 1 (current); keys in only
+    * one period are adds/drops — a different report, excluded here by
+    * the inner join. Shape: one (key, period) aggregate, one key
+    * self-join of the two period slices (each |keys| rows). */
+  def priceVolumeDecompose(df: DataFrame, keyCol: String, periodCol: String,
+                           qtyCol: String, revCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("k"), col(periodCol).as("per"))
+      .agg(sum(col(qtyCol).cast("decimal(28,2)")).cast("double").as("q"),
+        sum(col(revCol).cast("decimal(28,2)")).cast("double").as("r"))
+    val p0 = per.filter(col("per") === 0)
+      .select(col("k"), col("q").as("q0"), col("r").as("r0"))
+    val p1 = per.filter(col("per") === 1)
+      .select(col("k").as("k1"), col("q").as("q1"), col("r").as("r1"))
+    p0.join(p1, col("k") === col("k1"))
+      .withColumn("__pp0", col("r0") / col("q0"))
+      .withColumn("__pp1", col("r1") / col("q1"))
+      .select(col("k").as("key"), col("q0"), col("q1"), col("r0"), col("r1"),
+        (col("r1") - col("r0")).as("d_rev"),
+        ((col("q1") - col("q0")) * col("__pp0")).as("volume_effect"),
+        ((col("__pp1") - col("__pp0")) * col("q0")).as("price_effect"),
+        ((col("q1") - col("q0")) * (col("__pp1") - col("__pp0"))).as("mix_effect"))
+  }
+
   /** Gini coefficient of `valueCol` (nonnegative) with the ranked
     * form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending (value, ord)
     * order; both sums accumulate in DECIMAL so G is partitioning-

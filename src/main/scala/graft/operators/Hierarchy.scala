@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy (parent-child) analytics — the org-chart / bill-of-
+  * materials / category-tree rollup every warehouse eventually needs
+  * and flat SQL cannot express without recursion.
+  *
+  * [[closure]] materializes the transitive ancestor set by iterated
+  * joins — `maxDepth` rounds, each ONE join of the frontier (node,
+  * ancestor) pairs against the edge table keyed on the ancestor
+  * column, with `localCheckpoint` pinning lineage per round (the
+  * [[graft.llm.LinkGraph.bfsHops]] discipline). The closure grows as
+  * Σ depths ≤ nodes·maxDepth rows; real hierarchies are shallow
+  * (depth < 20), so the closure is a small multiple of the node
+  * count. Cycles cannot loop the iteration (depth strictly
+  * increases), but a cycle's nodes would accumulate rows until
+  * maxDepth — the count guard below turns that into a loud error.
+  *
+  * [[rollup]] then aggregates leaf values up every ancestor in one
+  * closure join + one grouped DECIMAL sum — the "subtree total per
+  * node" readout. */
+object Hierarchy {
+
+  /** (node, ancestor, depth) pairs, depth ≥ 1, up to `maxDepth`.
+    * `edges` carries one (child, parent) row per node (roots simply
+    * absent or with null parent — null parents are dropped). */
+  def closure(edges: DataFrame, childCol: String, parentCol: String,
+              maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth $maxDepth must be >= 1")
+    val e = edges.select(col(childCol).as("c"), col(parentCol).as("p"))
+      .filter(col("p").isNotNull && col("p") =!= col(childCol)) // self-parent = root
+      .distinct()
+    var frontier = e.select(col("c").as("node"), col("p").as("ancestor"),
+      lit(1).as("depth")).localCheckpoint()
+    var out = frontier
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      frontier = frontier.join(e, frontier("ancestor") === e("c"))
+        .select(frontier("node"), e("p").as("ancestor"), lit(d).as("depth"))
+        .localCheckpoint()
+      out = out.unionByName(frontier).localCheckpoint()
+    }
+    require(out.filter(col("node") === col("ancestor")).limit(1).isEmpty,
+      s"hierarchy contains a cycle (a node reaches itself within $maxDepth hops)")
+    out
+  }
+
+  /** Subtree totals: per node, the DECIMAL-exact sum of `valueCol`
+    * over itself and every descendant, plus the member count —
+    * (node, n_members, subtree_total). One closure join, one hash
+    * aggregate. */
+  def rollup(edges: DataFrame, childCol: String, parentCol: String,
+             values: DataFrame, nodeCol: String, valueCol: String,
+             maxDepth: Int): DataFrame = {
+    val cl = closure(edges, childCol, parentCol, maxDepth)
+    val v = values.select(col(nodeCol).as("node"),
+      col(valueCol).cast("decimal(28,2)").as("v"))
+    // self-pairs make "subtree incl. self" one union, not a special
+    // case; distinct collapses DAG diamonds so a value counts once
+    // per ancestor no matter how many paths reach it
+    val reach = cl.select(col("ancestor").as("up"), col("node").as("down"))
+      .unionByName(v.select(col("node").as("up"), col("node").as("down")))
+      .distinct()
+    reach.join(v, col("down") === col("node"))
+      .groupBy(col("up").as("node"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("v")).cast("double").as("subtree_total"))
+  }
+}

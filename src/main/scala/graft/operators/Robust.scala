@@ -43,18 +43,29 @@ object Robust {
     * order statistics ([[winsorize]]'s rule — actual data values),
     * fences at ±1.5·IQR, and the outlier count outside them. One row
     * per key: (key, n, q1, q3, iqr, lo_fence, hi_fence, n_outliers).
-    * Same plan shape as winsorize: one keyed rank window, one bounds
-    * aggregate, one broadcast join back folded into a count. */
-  def tukeyFences(df: DataFrame, keyCol: String, valueCol: String,
-                  ordCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(valueCol), col(ordCol))
-    val ranked = df.withColumn("__r", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+    *
+    * NO per-row rank window: a rank's value is the v whose tie block
+    * covers it — cumBefore(k, v) < r ≤ cumBefore + count — so the
+    * quartiles fall out of the tiny (key, value) count table (the
+    * [[quantileNormalize]] decomposition; a per-key sort window is
+    * |keys| tasks no matter the core count). Full-table work is one
+    * map-combined count aggregate plus one broadcast-join outlier
+    * fold. The oracle replays via the rank-window definition — same
+    * values from a different algorithm. */
+  def tukeyFences(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val perKV = df.groupBy(col(keyCol).as("__k"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wPrev = Window.partitionBy("__k").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy("__k")
+    val cum = perKV
+      .withColumn("__cum", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wKey))
     def rk(p: Double) = greatest(ceil(lit(p) * col("__n").cast("double")), lit(1L))
-    val bounds = ranked.groupBy(col(keyCol).as("__k"))
-      .agg(max(col("__n")).as("n"),
-        max(when(col("__r") === rk(0.25), col(valueCol))).as("q1"),
-        max(when(col("__r") === rk(0.75), col(valueCol))).as("q3"))
+    def at(p: Double) = max(when(
+      col("__cum") < rk(p) && rk(p) <= col("__cum") + col("__c"), col("__v")))
+    val bounds = cum.groupBy(col("__k"))
+      .agg(max(col("__n")).as("n"), at(0.25).as("q1"), at(0.75).as("q3"))
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
       .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))

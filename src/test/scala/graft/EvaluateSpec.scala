@@ -57,9 +57,8 @@ class EvaluateSpec extends AnyFunSuite {
   test("tukeyFences: quartile fences and outlier count on a planted outlier") {
     import graft.operators.Robust
     // 1..8 plus 100: n=9, q1 = v at ceil(2.25)=rank 3, q3 = rank 7
-    val df = ((1 to 8).map(_.toDouble) :+ 100.0).zipWithIndex
-      .map { case (v, i) => ("k", v, i) }.toDF("k", "v", "o")
-    val r = Robust.tukeyFences(df, "k", "v", "o").head
+    val df = ((1 to 8).map(_.toDouble) :+ 100.0).map(("k", _)).toDF("k", "v")
+    val r = Robust.tukeyFences(df, "k", "v").head
     assert(r.getAs[Long]("n") == 9)
     assert(r.getAs[Double]("q1") == 3.0 && r.getAs[Double]("q3") == 7.0)
     assert(r.getAs[Double]("lo_fence") == -3.0 && r.getAs[Double]("hi_fence") == 13.0)
@@ -88,6 +87,45 @@ class EvaluateSpec extends AnyFunSuite {
     assert(a.getDouble(3) == 2.0) // (2+3+1)/3
     assert(out("").getInt(1) == 0 && out("").isNullAt(2) && out("").isNullAt(3))
     assert(out("no terminal punct").getInt(1) == 1)
+  }
+
+  test("tukeyFences: quartile inside a tie block resolves to the block value") {
+    import graft.operators.Robust
+    // values 1,2,2,2,9: n=5, q1 rank ceil(1.25)=2 -> inside the 2-block
+    val df = Seq(1.0, 2.0, 2.0, 2.0, 9.0).map(("k", _)).toDF("k", "v")
+    val r = Robust.tukeyFences(df, "k", "v").head
+    assert(r.getAs[Double]("q1") == 2.0 && r.getAs[Double]("q3") == 2.0) // rank 4 too
+    assert(r.getAs[Long]("n_outliers") == 2L) // 1 and 9 outside [2, 2] fences
+  }
+
+  test("hierarchy rollup: subtree totals up the closure; cycles are loud") {
+    import graft.operators.Hierarchy
+    val edges = Seq((11L, 1L), (12L, 1L), (1L, 0L)).toDF("c", "p")
+    val values = Seq((11L, 5.0), (12L, 7.0), (1L, 2.0)).toDF("node", "rev")
+    val out = Hierarchy.rollup(edges, "c", "p", values, "node", "rev", maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(11L) == ((1L, 5.0)) && out(12L) == ((1L, 7.0)))
+    assert(out(1L) == ((3L, 14.0)))  // self + both children
+    assert(out(0L) == ((3L, 14.0)))  // virtual root, no own value
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.closure(cyc, "c", "p", maxDepth = 5).count()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("priceVolumeDecompose: the three effects bridge d_rev exactly") {
+    import graft.operators.Evaluate
+    // p0 = 10 (q 10, r 100), p1 = 11 (q 12, r 132): 32 = 20 + 10 + 2
+    val df = Seq(("k", 0, 10.0, 100.0), ("k", 1, 12.0, 132.0),
+      ("only0", 0, 1.0, 1.0)).toDF("g", "per", "q", "r")
+    val rows = Evaluate.priceVolumeDecompose(df, "g", "per", "q", "r").collect()
+    assert(rows.length == 1) // one-period keys are excluded
+    val r = rows.head
+    assert(r.getAs[Double]("d_rev") == 32.0)
+    assert(r.getAs[Double]("volume_effect") == 20.0)
+    assert(r.getAs[Double]("price_effect") == 10.0)
+    assert(r.getAs[Double]("mix_effect") == 2.0)
   }
 
   test("gini: equal shares 0, single holder (n-1)/n, hand case exact") {
