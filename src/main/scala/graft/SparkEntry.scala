@@ -2294,6 +2294,16 @@ object SparkEntry {
           lookbackSec = 3L * 86400)
         .select(col("event_id"), col("first_touch"), col("last_touch"))
     },
+    // Multi-touch attribution (Behavior.attributionMulti): linear and
+    // time-decay fractional credit over the same 3-day lookback.
+    "q_attribution_multi" -> { (s, dir) =>
+      graft.operators.Behavior.attributionMulti(Sources.table(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", Seq("view", "click", "signup"),
+          "purchase", lookbackSec = 3L * 86400, halflifeSec = 86400.0)
+        .select(col("conv_id"), col("touch_id"), col("touch_type"), col("n_touches"),
+          round(col("w_linear"), 8).as("w_linear"),
+          round(col("w_decay"), 6).as("w_decay"))
+    },
     // Forecast baselines backtest (Forecast.naiveBacktest): naive vs
     // seasonal-naive MAE/RMSE/bias per key, decimal-exact error sums.
     "q_forecast" -> { (s, dir) =>
@@ -5953,6 +5963,28 @@ object SparkEntry {
         |            RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS last_touch
         |  FROM events)
         |WHERE event_type = 'purchase'""".stripMargin,
+    // same RANGE frame, struct list; 2^(−Δ/h) weights normalized by the
+    // in-list fold (tie blocks share Δ, so fold order cannot drift)
+    "q_attribution_multi" ->
+      """WITH base AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT event_id AS conv_id, event_type, t AS ct,
+        |    list_filter(list(CASE WHEN event_type IN ('view','click','signup')
+        |      THEN {'tt': t, 'tid': event_id, 'tty': event_type} END)
+        |      OVER (PARTITION BY user_id ORDER BY t
+        |            RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW),
+        |      s -> s IS NOT NULL) AS touches
+        |  FROM base),
+        |conv AS (SELECT conv_id, ct, touches,
+        |    list_sum(list_transform(touches,
+        |      s -> pow(2.0, -((ct - s.tt)/1000000.0)/86400.0))) AS z,
+        |    len(touches) AS n FROM c
+        |  WHERE event_type = 'purchase' AND len(touches) > 0),
+        |x AS (SELECT conv_id, unnest(touches) AS s, n, z, ct FROM conv)
+        |SELECT conv_id, s.tid AS touch_id, s.tty AS touch_type,
+        |  CAST(n AS BIGINT) AS n_touches,
+        |  round(1.0/CAST(n AS DOUBLE), 8) AS w_linear,
+        |  round(pow(2.0, -((ct - s.tt)/1000000.0)/86400.0)/z, 6) AS w_decay
+        |FROM x""".stripMargin,
     "q_forecast" ->
       """WITH lags AS (SELECT user_id, value,
         |    lag(value, 1) OVER w AS nv, lag(value, 7) OVER w AS sv

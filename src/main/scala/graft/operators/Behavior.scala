@@ -191,6 +191,50 @@ object Behavior {
       .filter(col(typeCol) === convType)
   }
 
+  /** Multi-touch attribution: every touch in a conversion's trailing
+    * lookback window gets fractional credit — `linear` weight 1/n and
+    * time-decay weight 2^(−Δt/halflife) normalized to sum 1 per
+    * conversion (Δt in seconds from touch to conversion). One row per
+    * (conversion, touch): (conv_id, touch_id, touch_type, n_touches,
+    * w_linear, w_decay). Organic conversions (no touches) emit
+    * nothing — [[attribution]] is the arm that reports them.
+    *
+    * Shape: one per-user RANGE window collects the (ts, id, type)
+    * touch list (bounded by the lookback — the same frame
+    * [[attribution]] rides), conversions explode it, and both weights
+    * are closed-form per pair; the normalizer is a higher-order
+    * `aggregate` over the in-row list, so no second pass and no join.
+    */
+  def attributionMulti(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String, touchTypes: Seq[String],
+                       convType: String, lookbackSec: Long,
+                       halflifeSec: Double): DataFrame = {
+    require(!touchTypes.contains(convType), "convType cannot be a touch type")
+    require(halflifeSec > 0, s"halflifeSec $halflifeSec must be > 0")
+    val t = unix_micros(col(tsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(t)
+      .rangeBetween(-lookbackSec * 1000000L, 0L)
+    val touchStruct = when(col(typeCol).isin(touchTypes: _*),
+      struct(t.as("tt"), col(idCol).as("tid"), col(typeCol).as("tty")))
+    val conv = events
+      .withColumn("__touches", collect_list(touchStruct).over(w))
+      .filter(col(typeCol) === convType && size(col("__touches")) > 0)
+      .select(col(idCol).as("conv_id"), t.as("__ct"), col("__touches"))
+    val decayOf = (tt: Column) =>
+      pow(lit(2.0), -((col("__ct") - tt).cast("double") / 1e6) / halflifeSec)
+    conv
+      .withColumn("__z", aggregate(col("__touches"), lit(0.0),
+        (acc, s) => acc + decayOf(s.getField("tt"))))
+      .withColumn("__n", size(col("__touches")))
+      .select(col("conv_id"), explode(col("__touches")).as("s"),
+        col("__n"), col("__z"), col("__ct"))
+      .select(col("conv_id"), col("s.tid").as("touch_id"),
+        col("s.tty").as("touch_type"), col("__n").cast("long").as("n_touches"),
+        (lit(1.0) / col("__n").cast("double")).as("w_linear"),
+        (decayOf(col("s.tt")) / col("__z")).as("w_decay"))
+  }
+
   /** Association rules over per-unit item sets (Agrawal et al., SIGMOD
     * 1993 metrics): for every co-occurring item pair a<b —
     * support(ab), confidence(a→b) and lift. Distinct (unit, item)

@@ -413,6 +413,24 @@ class RangeGraphSpec extends AnyFunSuite {
     assert(out(99) == ((2L, 100000000L)))
   }
 
+  test("attributionMulti: linear 1/n, decay 2^(-dt/h) normalized, organic absent") {
+    import graft.operators.Behavior
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, 10L, t(0), "view"), (2L, 10L, t(100), "click"), (3L, 10L, t(200), "purchase"),
+      (4L, 20L, t(50), "purchase") // organic — no touches at all
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Behavior.attributionMulti(ev, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"), "purchase", lookbackSec = 600L, halflifeSec = 100.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // decays: view 2^-2 = .25, click 2^-1 = .5, z = .75
+    assert(out.keySet == Set((3L, 1L), (3L, 2L)))
+    assert(out((3L, 1L))._1 == 2L && out((3L, 1L))._2 == 0.5)
+    assert(math.abs(out((3L, 1L))._3 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((3L, 2L))._3 - 2.0 / 3) < 1e-12)
+  }
+
   test("naiveBacktest: hand-checked MAE/RMSE/bias for both arms") {
     import graft.operators.Forecast
     val ev = Seq(1.0, 2.0, 4.0, 7.0).zipWithIndex.map { case (v, i) =>
