@@ -1865,11 +1865,15 @@ object SparkEntry {
     },
     // ORC write → read round trip (the second columnar warehouse
     // format; native source keeps pushdown/pruning and µs timestamps).
+    // Unpartitioned: the round trip tests FORMAT fidelity — a per-key
+    // partitionBy here wrote |users| directories of tiny files and the
+    // listing dominated (measured 26.7 s at sf0.1 vs 1.4 s; the keyed
+    // layout is q_bucketed_join's subject, not this one's).
     "q_orc_roundtrip" -> { (s, dir) =>
       val path = rtDir("orc", dir)
       val base = ev(s, dir).df.select(
         col(Tick.KEY), col(Tick.TS), col(Tick.SEQ), col(Tick.VALUE), col("event_type"))
-      graft.ts.Sinks.writeOrc(graft.ts.TickStream(base), path)
+      graft.ts.Sinks.writeOrc(graft.ts.TickStream(base), path, partitionByKey = false)
       graft.ts.Sinks.readOrc(s, path).df
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
