@@ -2960,6 +2960,15 @@ object SparkEntry {
         graft.util.Parallelism.fanOut(Sources.table(s, dir, "documents")),
         "doc_id", "text", k = 5, minDf = 3L)
     },
+    // Spearman rank correlation (RankTests.spearman): quantity vs
+    // $1k-bucketed price, average-rank ties off the count tables.
+    "q_spearman" -> { (s, dir) =>
+      graft.operators.RankTests.spearman(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("price_k", floor(col("l_extendedprice") / lit(1000.0)).cast("long")),
+        "l_quantity", "price_k")
+        .select(col("n"), round(col("rho"), 8).as("rho"))
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -6882,6 +6891,25 @@ object SparkEntry {
         |      ORDER BY rn) FILTER (WHERE rn <= 5), ',') AS postings
         |  FROM r GROUP BY 1)
         |SELECT term, df_t, total_tf, postings FROM a WHERE df_t >= 3""".stripMargin,
+    // 2×avg-rank integers per variable, exact HUGEINT sums, one closed form
+    "q_spearman" ->
+      """WITH d AS (SELECT l_quantity AS x,
+        |    CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS y FROM lineitem),
+        |rxp AS (SELECT x, count(*) AS t FROM d GROUP BY 1),
+        |rx AS (SELECT x, 2*COALESCE(sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 FROM rxp),
+        |ryp AS (SELECT y, count(*) AS t FROM d GROUP BY 1),
+        |ry AS (SELECT y, 2*COALESCE(sum(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 FROM ryp),
+        |p AS (SELECT CAST(rx.r2 AS HUGEINT) AS a, CAST(ry.r2 AS HUGEINT) AS b
+        |  FROM d JOIN rx ON d.x = rx.x JOIN ry ON d.y = ry.y),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sx, CAST(sum(b) AS DOUBLE) AS sy,
+        |    CAST(sum(a*a) AS DOUBLE) AS sxx, CAST(sum(b*b) AS DOUBLE) AS syy,
+        |    CAST(sum(a*b) AS DOUBLE) AS sxy FROM p)
+        |SELECT n, round(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0 THEN
+        |  (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 8) AS rho
+        |FROM ag""".stripMargin,
     // exact Σx/Σx² per side, fixed IEEE chain for mean/var/t/df
     "q_welch_t" ->
       """WITH sd AS (SELECT l_returnflag AS g, count(*) AS n,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,44 @@ object RankTests {
       .withColumn("ks_stat", col("d") * sqrt(
         col("n_a").cast("double") * col("n_b").cast("double") /
           (col("n_a").cast("double") + col("n_b").cast("double"))))
+  }
+
+  /** Spearman rank correlation with average-rank ties: ρ = Pearson
+    * over the rank pairs, computed from the 2×rank integers (scaling
+    * cancels in ρ) so every sum up to the final closed form is an
+    * exact DECIMAL — no per-row sort: each variable's average rank
+    * comes off its own per-distinct-value count table ([[mannWhitney]]
+    * 's construction) and joins back by value (both tables broadcast
+    * at bounded value cardinality — quantize continuous inputs first).
+    * One row: (n, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def rankTable(c: String) = {
+      val pv = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
+      val wPrev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+      pv.withColumn("__cum", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+        .select(col("__v"), (lit(2) * col("__cum") + col("__t") + 1).as("__r2"))
+    }
+    val rx = rankTable(xCol).withColumnRenamed("__v", "__vx")
+      .withColumnRenamed("__r2", "__rx")
+    val ry = rankTable(yCol).withColumnRenamed("__v", "__vy")
+      .withColumnRenamed("__r2", "__ry")
+    val paired = df
+      .join(broadcast(rx), col(xCol) === col("__vx"))
+      .join(broadcast(ry), col(yCol) === col("__vy"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val agg = paired.agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("__rx"))).cast("double").as("sx"),
+      sum(d19(col("__ry"))).cast("double").as("sy"),
+      sum((d19(col("__rx")) * d19(col("__rx"))).cast("decimal(38,0)")).cast("double").as("sxx"),
+      sum((d19(col("__ry")) * d19(col("__ry"))).cast("decimal(38,0)")).cast("double").as("syy"),
+      sum((d19(col("__rx")) * d19(col("__ry"))).cast("decimal(38,0)")).cast("double").as("sxy"))
+    agg.select(col("n"),
+      when((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
   }
 
   /** Welch's unequal-variance t-test from DECIMAL power sums: one

@@ -65,6 +65,20 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(math.abs(r2.getAs[Double]("mi")) < 1e-12)
   }
 
+  test("spearman: monotone 1, inverse -1, ties averaged, constant null") {
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    assert(RankTests.spearman(up, "x", "y").head.getAs[Double]("rho") == 1.0)
+    val dn = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("x", "y")
+    assert(RankTests.spearman(dn, "x", "y").head.getAs[Double]("rho") == -1.0)
+    // ranks x = (1.5, 1.5, 3), y = (1, 2, 3): rho = 1.5/sqrt(3)
+    val tied = Seq((1.0, 5.0), (1.0, 7.0), (2.0, 9.0)).toDF("x", "y")
+    assert(math.abs(RankTests.spearman(tied, "x", "y").head.getAs[Double]("rho") -
+      1.5 / math.sqrt(3.0)) < 1e-12)
+    val const = Seq((1.0, 5.0), (1.0, 7.0)).toDF("x", "y")
+    val rc = RankTests.spearman(const, "x", "y").head
+    assert(rc.isNullAt(rc.fieldIndex("rho"))) // zero rank variance
+  }
+
   test("chiSquare: textbook 2x2 with uniform margins") {
     // cells: (x1,y1)=10 (x1,y2)=20 (x2,y1)=20 (x2,y2)=10 -> e = 15 all
     val rows = Seq.fill(10)(("x1", "y1")) ++ Seq.fill(20)(("x1", "y2")) ++
