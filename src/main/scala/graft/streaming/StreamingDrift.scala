@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming distribution-drift monitor: per tumbling window, the PSI
+  * of the live value stream against a FROZEN baseline histogram — the
+  * serving-time twin of [[graft.operators.Evaluate.psi]] (same
+  * clamp-to-edge equal-width bins, same add-one smoothing).
+  *
+  * Structured Streaming allows ONE aggregation per query, so the
+  * whole per-window histogram lands in a single `groupBy(window)` via
+  * per-bin conditional sums (`bins` static columns); the PSI is then
+  * a pure projection against the baseline, which is collected once
+  * (|bins| rows — bounded) and ridden as literals. Output: one row
+  * per window — (w_start, n, psi). */
+object StreamingDrift {
+
+  /** `ticks` needs (tsMicros, value); `baseline` is any batch frame
+    * with `valueCol` — its histogram freezes at plan time. */
+  def psiStream(ticks: DataFrame, baseline: DataFrame, valueCol: String,
+                lo: Double, hi: Double, bins: Int, windowLen: String,
+                watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val width = (hi - lo) / bins
+    def binOf(v: org.apache.spark.sql.Column) =
+      least(greatest(floor((v - lo) / width), lit(0)), lit(bins - 1)).cast("int")
+
+    // frozen baseline histogram: |bins| longs — a bounded collect
+    val baseCounts = new Array[Long](bins)
+    baseline.select(binOf(col(valueCol)).as("b")).groupBy("b")
+      .agg(count(lit(1)).as("c")).collect()
+      .foreach(r => baseCounts(r.getInt(0)) = r.getLong(1))
+    val nE = baseCounts.sum
+
+    val perBin = (0 until bins).map(i =>
+      sum(when(binOf(col("value")) === i, 1L).otherwise(0L)).as(s"c$i"))
+    val agged = ticks
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(window(col("eventTime"), windowLen))
+      .agg(perBin.head, perBin.tail: _*)
+    val nA = (0 until bins).map(i => col(s"c$i")).reduce(_ + _)
+    val psi = (0 until bins).map { i =>
+      val pe = lit((baseCounts(i) + 1).toDouble) / lit((nE + bins).toDouble)
+      val pa = (col(s"c$i") + 1).cast("double") / (nA + bins).cast("double")
+      (pa - pe) * log(pa / pe)
+    }.reduce(_ + _)
+    agged.select(col("window.start").as("w_start"), nA.as("n"), psi.as("psi"))
+  }
+}

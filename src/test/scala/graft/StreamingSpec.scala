@@ -571,4 +571,37 @@ class StreamingSpec extends AnyFunSuite {
     // which micro-batch each tick arrived in
     assert(stream == batch && batch.nonEmpty)
   }
+
+  test("batch≡stream parity: PSI drift monitor (psiStream) + hand-walked window") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDrift
+    implicit val sq = spark.sqlContext
+    import sq.sparkSession.implicits._
+    val baseline = Seq(1.0, 3.0, 6.0, 8.0).toDF("v") // bins(0..1]: 2 and 2
+    val rows = (0 until 60).map { i =>
+      TickRow(s"u${i % 2}", i.toLong * 500000L, i.toLong, (i % 10).toDouble)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = StreamingDrift.psiStream(
+      df, baseline, "v", lo = 0, hi = 10, bins = 2, windowLen = "10 seconds")
+    val batch = run(rows.toDF()).collect()
+      .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getDouble(2))).toMap
+    val mem = MemoryStream[TickRow]
+    val q = run(mem.toDS().toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("psi_par")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(17).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.table("psi_par").collect()
+      .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    assert(stream == batch && batch.nonEmpty)
+    // hand walk: each 10 s window holds 20 ticks of values 0..9 -> bins
+    // (10, 10); baseline (2, 2) -> pa = 11/22 = pe = 3/6 -> psi = 0
+    assert(batch.values.forall { case (n, psi) => n == 20L && math.abs(psi) < 1e-15 })
+    // shifted stream: all mass in the high bin -> positive drift
+    val hi = Seq(TickRow("u0", 1000000L, 1L, 9.0), TickRow("u0", 2000000L, 2L, 9.5))
+    val d = run(hi.toDF()).head.getDouble(2)
+    // counts (0,2), n=2: pa = (1/4, 3/4) vs pe = (1/2, 1/2)
+    // psi = (−.25)·ln(.5) + (.25)·ln(1.5) ≈ 0.275
+    assert(math.abs(d - (-0.25 * math.log(0.5) + 0.25 * math.log(1.5))) < 1e-12)
+  }
 }
