@@ -5595,11 +5595,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
     "q_jsonl_roundtrip" ->
-      """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+      """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT md5(text)) AS distinct_texts, MIN(doc_id) AS min_id
         |FROM documents GROUP BY 1""".stripMargin,
     "q_jsonl_gzip" ->
-      """SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+      """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT md5(text)) AS distinct_texts, MIN(doc_id) AS min_id
         |FROM documents GROUP BY 1""".stripMargin,
     "q_csv_roundtrip" ->
@@ -6105,8 +6105,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'props', count(*), count(props), count(DISTINCT props),
         |  NULL, NULL, CAST(count(props) AS DOUBLE) / count(*) FROM events""".stripMargin,
+    // DuckDB promotes SUM(BIGINT) to HUGEINT, which pandas renders as
+    // float64 ("3.0" vs Spark's "3") — the driver's value hash is
+    // sensitive to that; every count-like oracle column below is
+    // CAST(... AS BIGINT) so both engines emit int64. (This skew, not
+    // a write race, was the r10–r12 q_jsonl_roundtrip red row.)
     "q_dq_checks" ->
-      """SELECT 'quantity_range' AS check_name,
+      """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations, passed FROM (
+        |SELECT 'quantity_range' AS check_name,
         |  SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS n_violations,
         |  SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) = 0 AS passed
         |FROM lineitem
@@ -6129,11 +6135,11 @@ object SparkEntry {
         |SELECT 'quantity_under_25',
         |  SUM(CASE WHEN NOT coalesce(l_quantity < 25, false) THEN 1 ELSE 0 END),
         |  SUM(CASE WHEN NOT coalesce(l_quantity < 25, false) THEN 1 ELSE 0 END) = 0
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem)""".stripMargin,
     "q_dq_unique" ->
       """SELECT count(*) AS n_keys,
-        |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
-        |  SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_rows,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
         |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS passed
         |FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
         |      FROM lineitem GROUP BY 1, 2)""".stripMargin,
@@ -6336,7 +6342,7 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
         |  epoch_us(MIN(ts)) AS start_ts, epoch_us(MAX(ts)) AS end_ts,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
@@ -6429,7 +6435,7 @@ object SparkEntry {
         |    SUM(at_t) OVER () - COALESCE(SUM(at_t) OVER
         |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
         |  FROM perT)
-        |SELECT t, n_risk, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
         |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
         |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
         |    ELSE exp(SUM(ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE))) OVER
@@ -6720,7 +6726,7 @@ object SparkEntry {
         |isl AS (SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY k ORDER BY s, e, o
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
-        |SELECT k AS key, island, min(s) AS start, max(e) AS "end",
+        |SELECT k AS key, CAST(island AS BIGINT) AS island, min(s) AS start, max(e) AS "end",
         |  count(*) AS n_src, max(e) - min(s) AS covered
         |FROM isl GROUP BY 1, 2""".stripMargin,
     // distinct per-basket items, unit-keyed pair self-join, same ratios

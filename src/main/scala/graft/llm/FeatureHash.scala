@@ -39,7 +39,7 @@ object FeatureHash {
   /** The vectorizer as DuckDB SQL (same MD5 index/sign derivation). */
   def vectorizeSql(table: String, idExpr: String, textExpr: String, dim: Int): String =
     s"""SELECT id, hv % $dim AS idx,
-       |  SUM(CASE WHEN (hv >> 59) = 1 THEN 1 ELSE -1 END) AS weight
+       |  CAST(SUM(CASE WHEN (hv >> 59) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS weight
        |FROM (SELECT id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv
        |  FROM (SELECT $idExpr AS id,
        |      unnest(list_filter(string_split_regex($textExpr, ' +'), t -> t <> '')) AS w

@@ -103,8 +103,8 @@ object Layout {
     val mask = (1L << bits) - 1
     def lane(layout: String, bucketExpr: String) =
       s"""SELECT '$layout' AS layout, count(*) AS n_buckets,
-         |  SUM(CASE WHEN mnx <= ${probeX._2} AND mxx >= ${probeX._1} THEN 1 ELSE 0 END) AS touched_x,
-         |  SUM(CASE WHEN mny <= ${probeY._2} AND mxy >= ${probeY._1} THEN 1 ELSE 0 END) AS touched_y,
+         |  CAST(SUM(CASE WHEN mnx <= ${probeX._2} AND mxx >= ${probeX._1} THEN 1 ELSE 0 END) AS BIGINT) AS touched_x,
+         |  CAST(SUM(CASE WHEN mny <= ${probeY._2} AND mxy >= ${probeY._1} THEN 1 ELSE 0 END) AS BIGINT) AS touched_y,
          |  CAST(SUM(mxx - mnx) AS DOUBLE) / count(*) AS avg_span_x,
          |  CAST(SUM(mxy - mny) AS DOUBLE) / count(*) AS avg_span_y
          |FROM (SELECT $bucketExpr AS b, min(x) AS mnx, max(x) AS mxx,

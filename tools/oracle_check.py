@@ -106,7 +106,24 @@ def main(sf_dir: str, out_dir: str, json_out: str = None, only: set = None) -> i
         rec["oracle_rows"] = len(e)
         ok_cols = list(g.columns) == list(e.columns)
         ok_rows = len(g) == len(e)
-        ok_hash = ok_cols and ok_rows and h(g) == h(e)
+        # dtype-kind parity: %.10g hides int-vs-float skew (3 vs 3.0)
+        # that the DRIVER's hash distinguishes — DuckDB promotes
+        # SUM(BIGINT) to HUGEINT, which pandas renders as float64.
+        # That skew, not a write race, was the r10-r12 q_jsonl_roundtrip
+        # red row. Treat kind mismatch within {int,float,bool} as a
+        # failure so the local gate matches the driver.
+        def kindcls(dt):
+            k = dt.kind
+            return {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "o")
+        bad_kinds = [c for c in g.columns if ok_cols and
+                     kindcls(g[c].dtype) != kindcls(e[c].dtype) and
+                     {kindcls(g[c].dtype), kindcls(e[c].dtype)} <= {"i", "f", "b"}]
+        ok_hash = ok_cols and ok_rows and not bad_kinds and h(g) == h(e)
+        if bad_kinds:
+            rec["err"] = ("dtype kind skew (driver-red even if values equal): " +
+                          ", ".join(f"{c}: spark={g[c].dtype} oracle={e[c].dtype}"
+                                    for c in bad_kinds))
+            print(f"    DTYPE SKEW: {rec['err']}")
         rec.update(rows_match=ok_rows, schema_match=ok_cols, hash_match=ok_hash)
         status = "OK" if ok_hash else "MISMATCH"
         print(f"  {name:28s} rows={len(g):7d}/{len(e):<7d} cols={'OK' if ok_cols else list(g.columns)+list(e.columns)} hash={status}")
