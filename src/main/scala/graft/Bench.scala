@@ -90,20 +90,29 @@ object Bench {
     } + "\""
 
   /** Render the line-per-query records followed by the one summary line
-    * (always LAST — the driver reads the record from the tail). */
-  def renderLines(results: Seq[QueryResult], iters: Int, sfDir: String): Seq[String] = {
+    * (always LAST — the driver reads the record from a ~2 KB stdout
+    * TAIL). The summary's `queries` map is therefore BOUNDED: the
+    * flagship q1–q4 plus the `maxSummary` slowest medians — a 300-entry
+    * map is ~7 KB, which pushed `{"metric":…` past the tail window and
+    * left `"parsed": null` in every BENCH_r04–r12 record. The FULL map
+    * lives in bench/medians_latest.json (committed each round). */
+  def renderLines(results: Seq[QueryResult], iters: Int, sfDir: String,
+                  maxSummary: Int = 40): Seq[String] = {
     val perQuery = results.map { r =>
       val err = r.err.map(e => s""","err":${jstr(e)},"err_count":${r.errCount}""").getOrElse("")
       s"""{"bench_query":${jstr(r.name)},"median":${f(r.median)},"min":${f(r.min)}$err}"""
     }
-    val medians = results.map(r => jstr(r.name) + ":" + f(r.median)).mkString("{", ",", "}")
+    val flagship = results.filter(_.name.matches("q[1-4]_.*"))
+    val headline = (flagship ++ results.sortBy(-_.median)).distinct.take(maxSummary + flagship.size)
+    val medians = headline.sortBy(_.name)
+      .map(r => jstr(r.name) + ":" + f(r.median)).mkString("{", ",", "}")
     val failed = results.filter(_.err.isDefined)
     val errMap =
       if (failed.isEmpty) ""
       else failed.map(r => jstr(r.name) + ":" + r.errCount).mkString(""","errors":{""", ",", "}")
     val total = results.map(_.median).sum
     perQuery :+
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","iters":$iters,"interleaved":true$errMap,"queries":$medians,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","iters":$iters,"interleaved":true,"n_queries":${results.size},"queries_note":"flagship+slowest $maxSummary of ${results.size}; full map in bench/medians_latest.json"$errMap,"queries":$medians,"sf":${jstr(sfDir)}}"""
   }
 
   /** The documented bench oscillators (VERDICT r6–r11): each full-suite
@@ -191,13 +200,15 @@ object Bench {
     val canaries =
       if (args.nonEmpty) Seq.empty
       else measure(spark, suite.filter(q => CanaryQueries.contains(q._1)), sfDir, iters = 5)
-    renderLines(results, iters, sfDir).foreach(println)
+    // Record file FIRST, summary line LAST: the driver keeps only a
+    // ~2 KB stdout tail, so nothing may print after the summary.
     // Full-suite runs own bench/medians_latest.json; a FILTERED ad-hoc
     // run must not overwrite the suite record it would otherwise clobber
     // (r10/r11 operational pitfall — required a manual git checkout).
     if (args.isEmpty) writeRecordFile(results, iters, sfDir, canaries)
     else writeRecordFile(results, iters, sfDir, canaries,
       out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_filtered.json"))
+    renderLines(results, iters, sfDir).foreach(println)
     spark.stop()
   }
 

@@ -41,9 +41,28 @@ class BenchSpec extends AnyFunSuite {
     assert(last.startsWith("""{"metric":"total""""))
     assert(last.contains(""""errors":{"z_broken":2}"""))
     // the medians map is the LAST key before sf — nothing after it can
-    // push it into a head truncation window
-    assert(last.contains(""""queries":{"z_ok":0.1234,"z_broken":0.0010}"""))
+    // push it into a head truncation window (name-sorted for stable diffs)
+    assert(last.contains(""""queries":{"z_broken":0.0010,"z_ok":0.1234}"""))
     assert(!last.contains("queries_min"), "min map moved to per-query lines")
+  }
+
+  test("summary line stays inside the driver's ~2 KB tail at 300+ queries") {
+    // BENCH_r04–r12 all recorded `"parsed": null`: the full 300-median
+    // map (~7 KB) pushed `{"metric":…` past the tail window. The summary
+    // must bound its map (flagship + slowest N) and keep the LINE short.
+    val rs = (1 to 320).map(i =>
+      Bench.QueryResult(f"q_some_longish_name_$i%03d", i * 0.01, i * 0.009, None, 0))
+    val last = Bench.renderLines(rs, iters = 3, sfDir = "/tmp/sf0.1").last
+    assert(last.startsWith("""{"metric":"total""""))
+    assert(last.length < 1800, s"summary line too long for tail capture: ${last.length}")
+    // slowest query must be visible; fastest must have been dropped
+    assert(last.contains("q_some_longish_name_320"))
+    assert(!last.contains(""""q_some_longish_name_001""""))
+    // totals still cover ALL queries, not just the visible map
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(last)
+    assert(root.path("n_queries").asInt == 320)
+    assert(math.abs(root.path("value").asDouble - rs.map(_.median).sum) < 1e-6)
   }
 
   test("renderLines omits errors map when clean") {
