@@ -243,16 +243,21 @@ object LinkGraph {
     require(iters >= 1, s"iters $iters must be >= 1")
     val e = edges.select(col(u).as("a"), col(v).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // pin the symmetrized edge list ONCE: every round reads it, and on a
+    // cluster shuffle files for the edge-build Exchanges can be evicted
+    // between rounds (local-mode wall time is unchanged — shuffle reuse
+    // already covers it — but the checkpoint makes the reuse durable)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val contrib = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a"), col("label")).agg(count(lit(1)).as("c"))
       val pick = contrib.groupBy("a")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("label"))
-      labels = labels.select("node").join(pick, Seq("node"), "left")
+      labels = nodes.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .localCheckpoint()
     }
