@@ -3132,6 +3132,73 @@ object SparkEntry {
         "l_returnflag", "l_quantity", "ord")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), round(col("norm"), 8).as("norm"))
+    },
+    // Weight-of-Evidence table (Binning.woeBins): equal-width bins of
+    // extendedprice vs the returned flag — exact integer counts into
+    // smoothed ln ratios, the credit-scoring feature encoder.
+    "q_woe_bins" -> { (s, dir) =>
+      graft.operators.Binning.woeBins(Sources.table(s, dir, "lineitem"),
+        "l_extendedprice", col("l_returnflag") === "R", bins = 16)
+    },
+    // Histogram decision stump (Binning.bestSplitStump): the XGBoost
+    // split-search kernel one level deep — 64-bin histogram, cumulative
+    // Gini sweep, arg-min split; ONE scan aggregate + 64-row window.
+    "q_stump" -> { (s, dir) =>
+      graft.operators.Binning.bestSplitStump(Sources.table(s, dir, "lineitem"),
+        "l_extendedprice", col("l_returnflag") === "R", bins = 64)
+    },
+    // Unicode script profile + mixed-script flag (TextAnalysis
+    // scriptCounts/scriptMix): docs decorated with deterministic
+    // non-Latin snippets so every script lane and the mix flag exercise.
+    "q_script_mix" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 5 === 0, lit("привет мир"))
+            .when(col("doc_id") % 5 === 1, lit("你好 世界"))
+            .when(col("doc_id") % 5 === 2, lit("γεια σας"))
+            .when(col("doc_id") % 5 === 3, lit("مرحبا بالعالم"))
+            .otherwise(lit(""))))
+      val sc = graft.llm.TextAnalysis.scriptCounts(col("text"))
+      val mx = graft.llm.TextAnalysis.scriptMix(col("text"))
+      d.select(col("doc_id"), sc.getField("n_latin").as("n_latin"),
+        sc.getField("n_cyrillic").as("n_cyrillic"),
+        sc.getField("n_greek").as("n_greek"),
+        sc.getField("n_arabic").as("n_arabic"),
+        sc.getField("n_cjk").as("n_cjk"),
+        sc.getField("n_digit").as("n_digit"),
+        mx.getField("main_script").as("main_script"),
+        mx.getField("is_mixed").as("is_mixed"))
+    },
+    // Temporal-cutoff leakage scan (Curation.futureDates): year mentions
+    // after the 2024 training cutoff, over docs decorated with
+    // deterministic publication/revision years.
+    "q_future_dates" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" published "),
+          (lit(1990) + col("doc_id") % 45).cast("string"),
+          lit(" rev "), (lit(2000) + col("doc_id") % 9).cast("string")))
+      graft.llm.Curation.futureDates(d, "doc_id", "text", cutoffYear = 2024)
+    },
+    // Per-source empirical-Bayes quality prior (Warehouse
+    // .shrunkGroupMean): n_chars as the integer quality proxy, k=20
+    // pseudo-count toward the corpus mean.
+    "q_domain_prior" -> { (s, dir) =>
+      graft.operators.Warehouse.shrunkGroupMean(
+        Sources.table(s, dir, "documents"), "source", "n_chars", k = 20.0)
+    },
+    // Deterministic word-dropout augmentation (Augment.wordDropout):
+    // counter-mode drop decisions on (doc, position) — the oracle
+    // replays the mixer and rebuilds the same augmented text.
+    "q_word_dropout" -> { (s, dir) =>
+      graft.llm.Augment.wordDropout(Sources.table(s, dir, "documents"),
+        "doc_id", "text", rate = 0.2, seed = 9L)
+    },
+    // Tokenizer fertility / vocab coverage per language (TextAnalysis
+    // .vocabCoverage): frozen top-200 word vocabulary, OOV and
+    // subwords-per-word rates by lang.
+    "q_vocab_coverage" -> { (s, dir) =>
+      graft.llm.TextAnalysis.vocabCoverage(
+        Sources.table(s, dir, "documents"), "text", "lang", v = 200)
     }
   )
 
@@ -7178,6 +7245,132 @@ object SparkEntry {
         |    CAST(count(*) AS DOUBLE) AS norm FROM r GROUP BY 1)
         |SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity,
         |  round(ref.norm, 8) AS norm
-        |FROM r JOIN ref USING (rk)""".stripMargin
+        |FROM r JOIN ref USING (rk)""".stripMargin,
+    // WOE: identical double-op order — p = (pos+0.5)/pos_t computed
+    // before the ratio, counts exact BIGINTs (HUGEINT sums cast back)
+    "q_woe_bins" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+        |h AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 16)) AS INT), 15) AS bin,
+        |    count(*) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM lineitem, b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_t,
+        |    CAST(SUM(n - n_pos) AS BIGINT) AS neg_t FROM h)
+        |SELECT bin, round(b.lo + bin * ((b.hi - b.lo) / 16), 6) AS lo_edge,
+        |  round(b.lo + (bin + 1) * ((b.hi - b.lo) / 16), 6) AS hi_edge,
+        |  n, n_pos, n - n_pos AS n_neg,
+        |  round(ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE)) /
+        |           ((CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE))), 6) AS woe,
+        |  round(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE) -
+        |         (CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE)) *
+        |        ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE)) /
+        |           ((CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE))), 8) AS iv_part
+        |FROM h, t, b""".stripMargin,
+    // stump: cumulative histogram sweep, weighted Gini, arg-min split
+    // (tie → smallest bin) via QUALIFY on the same (round(score,9), bin)
+    "q_stump" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+        |h AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 64)) AS INT), 63) AS bin,
+        |    count(*) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM lineitem, b GROUP BY 1),
+        |c AS (SELECT bin,
+        |    CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+        |    CAST(SUM(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS nt, CAST(SUM(n_pos) OVER () AS BIGINT) AS pt
+        |  FROM h),
+        |s AS (SELECT *, nt - nl AS nr, pt - pl AS pr_,
+        |    (CAST(nl AS DOUBLE) * (1.0 - (CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))*(CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))
+        |       - (1.0 - CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))*(1.0 - CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE)))
+        |     + CAST(nt - nl AS DOUBLE) * (1.0 - (CAST(pt - pl AS DOUBLE)/CAST(nt - nl AS DOUBLE))*(CAST(pt - pl AS DOUBLE)/CAST(nt - nl AS DOUBLE))
+        |       - (1.0 - CAST(pt - pl AS DOUBLE)/CAST(nt - nl AS DOUBLE))*(1.0 - CAST(pt - pl AS DOUBLE)/CAST(nt - nl AS DOUBLE))))
+        |      / CAST(nt AS DOUBLE) AS score
+        |  FROM c WHERE nl < nt)
+        |SELECT bin AS split_bin,
+        |  round(b.lo + (bin + 1) * ((b.hi - b.lo) / 64), 6) AS split_value,
+        |  nl AS n_left, nr AS n_right, pl AS pos_left, pr_ AS pos_right,
+        |  round(score, 8) AS gini_split,
+        |  round((1.0 - (CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE))*(CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE))
+        |    - (1.0 - CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE))*(1.0 - CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE))) - score, 8) AS gain
+        |FROM s, b QUALIFY row_number() OVER (ORDER BY round(score, 9), bin) = 1""".stripMargin,
+    // same decoration, same \x{…} spellings of the Java \uXXXX ranges;
+    // list_sort on (neg count, name) structs replays the top-2 pick
+    "q_script_mix" ->
+      """WITH d AS (SELECT doc_id, text || ' ' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'привет мир'
+        |         WHEN doc_id % 5 = 1 THEN '你好 世界'
+        |         WHEN doc_id % 5 = 2 THEN 'γεια σας'
+        |         WHEN doc_id % 5 = 3 THEN 'مرحبا بالعالم'
+        |         ELSE '' END AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS INT) AS n_latin,
+        |    CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS INT) AS n_cyrillic,
+        |    CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g')) AS INT) AS n_greek,
+        |    CAST(length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS INT) AS n_arabic,
+        |    CAST(length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7A3}]', '', 'g')) AS INT) AS n_cjk,
+        |    CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS n_digit
+        |  FROM d),
+        |mx AS (SELECT *, list_sort([
+        |    {'neg': -n_latin, 'script': 'latin'}, {'neg': -n_cyrillic, 'script': 'cyrillic'},
+        |    {'neg': -n_greek, 'script': 'greek'}, {'neg': -n_arabic, 'script': 'arabic'},
+        |    {'neg': -n_cjk, 'script': 'cjk'}]) AS srt,
+        |    n_latin + n_cyrillic + n_greek + n_arabic + n_cjk AS tot FROM sc)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,
+        |  srt[1].script AS main_script,
+        |  tot > 0 AND CAST(-srt[2].neg AS DOUBLE) >= CAST(tot AS DOUBLE) * 0.05 AS is_mixed
+        |FROM mx""".stripMargin,
+    "q_future_dates" ->
+      """WITH d AS (SELECT doc_id, text || ' published ' || CAST(1990 + doc_id % 45 AS VARCHAR)
+        |    || ' rev ' || CAST(2000 + doc_id % 9 AS VARCHAR) AS t FROM documents),
+        |y AS (SELECT doc_id, list_transform(
+        |    regexp_extract_all(t, '\b(?:19|20)[0-9]{2}\b'), x -> CAST(x AS INT)) AS ys FROM d)
+        |SELECT doc_id, CAST(len(ys) AS INT) AS n_year_mentions, list_max(ys) AS max_year,
+        |  CAST(len(list_filter(ys, x -> x > 2024)) AS INT) AS n_future,
+        |  len(list_filter(ys, x -> x > 2024)) > 0 AS is_leak
+        |FROM y""".stripMargin,
+    "q_domain_prior" ->
+      """WITH per AS (SELECT source, count(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM per)
+        |SELECT source, n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_raw,
+        |  round((CAST(s AS DOUBLE) + 20.0 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))) /
+        |        (CAST(n AS DOUBLE) + 20.0), 6) AS mean_shrunk
+        |FROM per, g""".stripMargin,
+    // counter-mode replay: same splitmix mixer on doc_id·2^20 + pos,
+    // keep iff u >= rate, rebuild in position order
+    "q_word_dropout" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS l FROM documents),
+         |toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos FROM d),
+         |ids AS (SELECT DISTINCT doc_id * 1048576 + pos AS i FROM toks),
+         |${unitCte("wd", "ids", 9L)},
+         |k AS (SELECT doc_id, pos, tok, u FROM toks
+         |  JOIN wdu ON wdu.i = doc_id * 1048576 + pos)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(
+         |    list_sort(list({'p': pos, 't': tok}) FILTER (WHERE u >= 0.2)),
+         |    x -> x.t), ' '), '') AS text_aug,
+         |  count(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN u < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM k GROUP BY 1""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |vc AS (SELECT tok, count(*) AS c FROM w GROUP BY 1),
+        |v AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 200),
+        |cov AS (SELECT lang, count(*) AS n_words,
+        |    CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+        |  FROM w LEFT JOIN v ON w.tok = v.tok GROUP BY 1),
+        |sub AS (SELECT lang, CAST(SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS BIGINT) AS n_subwords
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_words, n_in_vocab, n_subwords,
+        |  round(CAST(n_words - n_in_vocab AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS oov_rate,
+        |  round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility
+        |FROM cov JOIN sub USING (lang)""".stripMargin
   )
 }

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic text augmentation for contrastive / robustness training
+  * data: corrupted "views" of each document whose randomness is a
+  * counter-mode draw on (doc, position) — reproducible across runs,
+  * partitionings, and engines (the same
+  * [[graft.functions.VectorExprs.UnitDraw]] mixer every replayable
+  * sampler in this library uses), so the augmented corpus is pinned
+  * forever and an ablation can regenerate view 7 of doc 12345 byte-for-
+  * byte.
+  *
+  * Scale shape: explode → filter → re-aggregate keyed on the doc id —
+  * one Exchange of the kept tokens, map-side combine on the counts; at
+  * 100 TB the collect_list per doc is bounded by document length, the
+  * same bound every tokenize-shaped operator here carries.
+  */
+object Augment {
+
+  /** Multiplier that packs (doc id, token position) into one 64-bit
+    * draw counter. Positions must stay under it; 2^20 tokens per doc is
+    * far above any chunked training document. */
+  val PosStride: Long = 1L << 20
+
+  /** Word dropout (Iyyer et al. 2015's deep-averaging regularizer; the
+    * standard denoising-view generator): drop each whitespace token
+    * independently with probability `rate`, decided by the unit draw on
+    * `doc_id * PosStride + position` under `seed`. Returns (id,
+    * text_aug, n_tokens, n_dropped); token order is preserved via the
+    * position sort inside the rebuild. */
+  def wordDropout(df: DataFrame, idCol: String, textCol: String,
+                  rate: Double, seed: Long = 42L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
+    val toks = filter(split(col(textCol), " +"), t => t =!= "")
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("u", graft.functions.VectorExprs.unitDraw(
+        col("id") * PosStride + col("pos"), seed))
+      .withColumn("kept", col("u") >= rate)
+    exploded.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips nulls, so dropped tokens vanish here while
+        // still counting above; sort restores document order (shuffle
+        // arrival order is not deterministic, the sort key is)
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("text_aug"))
+      .select(col("id").as(idCol), col("text_aug"), col("n_tokens"), col("n_dropped"))
+  }
+}

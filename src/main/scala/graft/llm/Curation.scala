@@ -178,4 +178,24 @@ object Curation {
         col("__total").as("total"),
         round(col("__e.kept") / col("__total").cast("double"), 6).as("rate"))
   }
+
+  /** Temporal-cutoff leakage scan: a training corpus frozen at
+    * `cutoffYear` should not contain documents discussing later years —
+    * year mentions after the cutoff are either contamination (the doc is
+    * newer than its metadata claims) or time-travel text that corrupts a
+    * knowledge-cutoff evaluation. Extracts every 19xx/20xx 4-digit year
+    * (word-boundary anchored), reports per doc: mention count, max year,
+    * count of post-cutoff mentions, and the leak flag. Pure codegen'd
+    * projection — the 100 TB shape is scan + project, zero shuffles. */
+  def futureDates(df: DataFrame, idCol: String, textCol: String,
+                  cutoffYear: Int): DataFrame = {
+    val years = transform(
+      regexp_extract_all(col(textCol), lit("\\b(19|20)[0-9]{2}\\b"), lit(0)),
+      y => y.cast("int"))
+    df.select(col(idCol),
+        size(years).as("n_year_mentions"),
+        array_max(years).as("max_year"),
+        size(filter(years, y => y > cutoffYear)).as("n_future"))
+      .withColumn("is_leak", col("n_future") > 0)
+  }
 }

@@ -226,6 +226,85 @@ object TextAnalysis {
 
   /** [[charEntropy]] in bits per character (÷ ln 2). */
   def bitsPerChar(text: Column): Column = charEntropy(text) / lit(math.log(2.0))
+
+  /** Unicode script ranges counted by [[scriptCounts]] — BMP blocks of
+    * the scripts a web-scale multilingual corpus actually mixes. Each
+    * entry is (name, Java char-class body); the DuckDB replay uses the
+    * RE2 `\x{…}` spelling of the same ranges. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "\u0400-\u04FF",
+    "greek" -> "\u0370-\u03FF",
+    "arabic" -> "\u0600-\u06FF",
+    "cjk" -> "\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7A3",
+    "digit" -> "0-9")
+
+  /** Per-script character counts: struct(n_latin, n_cyrillic, n_greek,
+    * n_arabic, n_cjk, n_digit) — each a `length(regexp_replace(text,
+    * [^range], ''))`, a pure codegen'd projection. The mixed-script
+    * signal (Cyrillic 'а' inside Latin words, CJK spam padding) is a
+    * standard obfuscation/quality gate a multilingual pipeline runs on
+    * every document. */
+  def scriptCounts(text: Column): Column =
+    struct(scriptRanges.map { case (name, range) =>
+      length(regexp_replace(text, s"[^$range]", "")).as(s"n_$name")
+    }: _*)
+
+  /** Mixed-script flag: the two most frequent LETTER scripts (digits
+    * excluded) both exceed `minFrac` of the letter total. Returns
+    * struct(main_script, main_n, second_script, second_n, is_mixed);
+    * ties break alphabetically on the script name (deterministic). */
+  def scriptMix(text: Column, minFrac: Double = 0.05): Column = {
+    val letters = scriptRanges.filterNot(_._1 == "digit")
+    val scored = array(letters.map { case (name, range) =>
+      struct(length(regexp_replace(text, s"[^$range]", "")).as("n"),
+        lit(name).as("script"))
+    }: _*)
+    // top-2 by (count desc, name asc): sort by (-n, script) and index
+    val sorted = array_sort(transform(scored,
+      s => struct((-s.getField("n")).as("neg"), s.getField("script").as("script"))))
+    val total = aggregate(scored, lit(0L), (acc, s) => acc + s.getField("n"))
+    val m1 = element_at(sorted, 1)
+    val m2 = element_at(sorted, 2)
+    struct(
+      m1.getField("script").as("main_script"), (-m1.getField("neg")).as("main_n"),
+      m2.getField("script").as("second_script"), (-m2.getField("neg")).as("second_n"),
+      (total > 0 && (-m2.getField("neg")).cast("double") >= total.cast("double") * minFrac)
+        .as("is_mixed"))
+  }
+
+  /** Tokenizer-budget readout per group (the "fertility" table a
+    * multilingual pipeline checks before committing to a tokenizer):
+    * for each value of `groupCol` — word count, BPE-ish subword count,
+    * fertility = subwords/word, plus coverage against a frozen top-`v`
+    * word vocabulary (built from THIS corpus: global lowercase word
+    * counts, top `v` by (count desc, word asc) — a deterministic rank).
+    *
+    * Scale shape: one exploded word count (term-keyed Exchange, map-side
+    * combine), a `v`-row broadcast back over the words, one group
+    * aggregate. The vocabulary is rank-selected, never collected. */
+  def vocabCoverage(df: DataFrame, textCol: String, groupCol: String,
+                    v: Int = 500): DataFrame = {
+    require(v >= 1, s"vocab size $v must be >= 1")
+    val words = df.select(col(groupCol).as("g"),
+        explode(filter(tokens(lower(col(textCol))), t => t =!= "")).as("w"))
+    // sort+limit lowers to TakeOrderedAndProject — a distributed top-k
+    // (per-partition heaps merged on the driver), never the one-partition
+    // global window a row_number() rank would force
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(v).select("w")
+    val covered = words.join(broadcast(vocab.withColumn("in_v", lit(1L))), Seq("w"), "left")
+      .groupBy("g").agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+    val subwords = df.groupBy(col(groupCol).as("g"))
+      .agg(sum(tokenCountBpeish(col(textCol)).cast("long")).as("n_subwords"))
+    covered.join(subwords, Seq("g"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_in_vocab"), col("n_subwords"),
+        round((col("n_words") - col("n_in_vocab")).cast("double") /
+          col("n_words").cast("double"), 6).as("oov_rate"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+  }
 }
 
 /** Word-shingle machinery shared by fingerprinting and MinHash dedup. */

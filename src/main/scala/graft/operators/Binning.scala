@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised binning and split-search primitives — the feature-
+  * engineering layer between raw columns and a model: Weight-of-Evidence
+  * encoding (the credit-scoring classic) and a histogram decision stump
+  * (the XGBoost/LightGBM split-search kernel, one level deep).
+  *
+  * Scale shape: both operators are ONE full-scan aggregate keyed on the
+  * bin id (map-side partial combine, a `bins`-row Exchange) followed by
+  * arithmetic over ≤ `bins` rows — the histogram trick that makes
+  * gradient-boosting split search feasible at 100 TB: the scan never
+  * sorts, never shuffles rows, and the candidate-split evaluation runs
+  * over the tiny histogram, not the data. Equal-WIDTH bins (not
+  * quantile/ntile) keep the bin id a pure projection of the value —
+  * deterministic under any row order, replayable in any engine.
+  */
+object Binning {
+
+  /** Equal-width bin id in [0, bins): `least(floor((x-lo)/w), bins-1)`
+    * with the max value clamped into the last bin. `lo`/`hi` come from
+    * one bounds aggregate broadcast back over the scan. */
+  private def binId(x: Column, lo: Column, hi: Column, bins: Int): Column = {
+    val w = (hi - lo) / lit(bins.toDouble)
+    least(floor((x - lo) / w).cast("int"), lit(bins - 1))
+  }
+
+  /** Weight-of-Evidence table over equal-width bins of `featureCol`
+    * against boolean `label`: per bin (bin, lo_edge, hi_edge, n, n_pos,
+    * n_neg, woe, iv_part). WOE = ln(p_i/p_T ÷ q_i/q_T) with +0.5
+    * count smoothing (never a log of zero); IV_part is the bin's
+    * contribution to the information value Σ(p_i/p_T − q_i/q_T)·WOE_i.
+    * All inputs to the doubles are exact integer counts, so both engines
+    * compute identical bits; the output rounds to 6 places. */
+  def woeBins(df: DataFrame, featureCol: String, label: Column,
+              bins: Int = 16): DataFrame = {
+    require(bins >= 2, s"bins $bins must be >= 2")
+    val x = col(featureCol).cast("double")
+    val bounds = df.agg(min(x).as("lo"), max(x).as("hi"))
+    val hist = df.join(broadcast(bounds))
+      .select(binId(x, col("lo"), col("hi"), bins).as("bin"),
+        when(label, 1L).otherwise(0L).as("y"), col("lo"), col("hi"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    // totals over the ≤bins histogram rows via a window, NOT a second
+    // aggregate: `hist` referenced from two branches would duplicate the
+    // whole scan subtree in the plan (a second full table pass at scale)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val w = (col("hi") - col("lo")) / lit(bins.toDouble)
+    hist
+      .withColumn("pos_t", sum(col("n_pos")).over(wAll))
+      .withColumn("neg_t", sum(col("n_neg")).over(wAll))
+      .withColumn("p", (col("n_pos").cast("double") + 0.5) / col("pos_t").cast("double"))
+      .withColumn("q", (col("n_neg").cast("double") + 0.5) / col("neg_t").cast("double"))
+      .select(col("bin"),
+        round(col("lo") + col("bin") * w, 6).as("lo_edge"),
+        round(col("lo") + (col("bin") + 1) * w, 6).as("hi_edge"),
+        col("n"), col("n_pos"), col("n_neg"),
+        round(log(col("p") / col("q")), 6).as("woe"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8).as("iv_part"))
+  }
+
+  /** Histogram decision stump: the best single split of `featureCol`
+    * against boolean `label` by weighted Gini impurity, searched over
+    * the equal-width bin boundaries. Returns ONE row: (split_bin,
+    * split_value, n_left, n_right, pos_left, pos_right, gini_split,
+    * gain). Ties on the Gini break to the SMALLEST bin (deterministic).
+    * The cumulative left/right counts come from a window over the ≤bins
+    * histogram rows — the scan itself is one hash aggregate. */
+  def bestSplitStump(df: DataFrame, featureCol: String, label: Column,
+                     bins: Int = 64): DataFrame = {
+    require(bins >= 2, s"bins $bins must be >= 2")
+    val x = col(featureCol).cast("double")
+    val bounds = df.agg(min(x).as("lo"), max(x).as("hi"))
+    val hist = df.join(broadcast(bounds))
+      .select(binId(x, col("lo"), col("hi"), bins).as("bin"),
+        when(label, 1L).otherwise(0L).as("y"), col("lo"), col("hi"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("p"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    def gini(nn: Column, pp: Column): Column = {
+      val pr = pp.cast("double") / nn.cast("double")
+      lit(1.0) - pr * pr - (lit(1.0) - pr) * (lit(1.0) - pr)
+    }
+    val cum = hist
+      .withColumn("nl", sum(col("n")).over(wAll))
+      .withColumn("pl", sum(col("p")).over(wAll))
+      .withColumn("nt", sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("pt", sum(col("p")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter(col("nl") < col("nt")) // a split needs a non-empty right side
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr_", col("pt") - col("pl"))
+      .withColumn("score",
+        (col("nl").cast("double") * gini(col("nl"), col("pl")) +
+         col("nr").cast("double") * gini(col("nr"), col("pr_"))) / col("nt").cast("double"))
+    val w = (col("hi") - col("lo")) / lit(bins.toDouble)
+    cum.withColumn("best",
+        min(struct(round(col("score"), 9).as("s"), col("bin").as("b")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter(col("bin") === col("best.b"))
+      .select(col("bin").as("split_bin"),
+        round(col("lo") + (col("bin") + 1) * w, 6).as("split_value"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("pl").as("pos_left"), col("pr_").as("pos_right"),
+        round(col("score"), 8).as("gini_split"),
+        round(gini(col("nt"), col("pt")) - col("score"), 8).as("gain"))
+  }
+}

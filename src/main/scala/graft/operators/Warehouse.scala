@@ -134,4 +134,28 @@ object Warehouse {
     base.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(survivors.select(base.columns.map(col): _*))
   }
+
+  /** Empirical-Bayes shrunk group means: per-group mean of an INTEGER
+    * `valueCol` pulled toward the global mean with pseudo-count `k` —
+    * `shrunk = (sum_g + k·mean_global) / (n_g + k)`. The standard
+    * small-sample stabilizer for per-domain quality priors, per-seller
+    * ratings, per-page CTRs: a 3-row domain no longer outranks a
+    * 30,000-row one on noise. Integer sums keep both engines bit-exact;
+    * the only doubles are the two final divisions.
+    *
+    * Shape: one group aggregate (map-side combine) + one single-row
+    * global aggregate broadcast back — no second scan, no window. */
+  def shrunkGroupMean(df: DataFrame, keyCol: String, valueCol: String,
+                      k: Double): DataFrame = {
+    require(k >= 0, s"pseudo-count k $k must be >= 0")
+    val per = df.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("s"))
+    val glob = per.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"))
+    per.join(broadcast(glob))
+      .withColumn("mean_global", col("st").cast("double") / col("nt").cast("double"))
+      .select(col(keyCol), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("mean_raw"),
+        round((col("s").cast("double") + lit(k) * col("mean_global")) /
+          (col("n").cast("double") + lit(k)), 6).as("mean_shrunk"))
+  }
 }

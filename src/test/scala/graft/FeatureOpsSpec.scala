@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Augment, Curation, TextAnalysis}
+import graft.operators.{Binning, Warehouse}
+
+/** Round-13 feature-engineering / corpus-gate additions: WOE binning,
+  * histogram stump, script-mix, temporal leakage, shrunk group means,
+  * word dropout, vocab coverage. The DuckDB oracle pins exact values
+  * (q_woe_bins, q_stump, q_script_mix, q_future_dates, q_domain_prior,
+  * q_word_dropout, q_vocab_coverage); these specs cover the PROPERTIES
+  * the oracle can't state — invariants, determinism, plan shape. */
+class FeatureOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val labeled = Seq(
+    (1.0, true), (2.0, true), (3.0, true), (4.0, false), (5.0, false),
+    (6.0, false), (7.0, false), (8.0, true), (9.0, false), (10.0, false)
+  ).toDF("x", "y")
+
+  // ---- Binning.woeBins ----
+
+  test("woeBins: IV parts are finite, bins partition the rows") {
+    val t = Binning.woeBins(labeled, "x", col("y"), bins = 4).collect()
+    assert(t.map(_.getAs[Long]("n")).sum == 10L)
+    assert(t.forall(r => !r.getAs[Double]("woe").isNaN &&
+      !r.getAs[Double]("woe").isInfinite), "0.5 smoothing must keep WOE finite")
+    // bin with only positives must carry positive WOE, only-negatives negative
+    val byBin = t.map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(byBin(0).getAs[Double]("woe") > 0) // x in [1,3.25): 3 pos / 0 neg
+    assert(byBin(3).getAs[Double]("woe") < 0) // x in [7.75,10]: 0 pos / 3 neg
+  }
+
+  test("woeBins: histogram-shaped — three shuffles (bounds, hist, totals), none row-wide") {
+    val plan = Binning.woeBins(labeled, "x", col("y"), bins = 4)
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 3, s"woeBins must stay histogram-shaped:\n${plan.take(800)}")
+    // the only hash-partitioned Exchange is keyed on the BIN id — row
+    // data never shuffles, the 100 TB histogram-trick contract
+    assert(!plan.contains("hashpartitioning(x"), plan.take(800))
+  }
+
+  // ---- Binning.bestSplitStump ----
+
+  test("stump: recovers the separating threshold on a separable feature") {
+    // perfectly separable at x = 5.5
+    val sep = Seq(1.0 -> true, 2.0 -> true, 3.0 -> true, 4.0 -> true, 5.0 -> true,
+      6.0 -> false, 7.0 -> false, 8.0 -> false, 9.0 -> false, 10.0 -> false)
+      .toDF("x", "y")
+    val r = Binning.bestSplitStump(sep, "x", col("y"), bins = 16).head()
+    val split = r.getAs[Double]("split_value")
+    assert(split > 5.0 && split <= 6.0, s"split $split must fall between classes")
+    assert(r.getAs[Double]("gini_split") == 0.0, "separable data splits to pure leaves")
+    assert(r.getAs[Long]("n_left") == 5L && r.getAs[Long]("n_right") == 5L)
+    assert(math.abs(r.getAs[Double]("gain") - 0.5) < 1e-9)
+  }
+
+  test("stump: gain is non-negative and counts partition the data") {
+    val r = Binning.bestSplitStump(labeled, "x", col("y"), bins = 8).head()
+    assert(r.getAs[Double]("gain") >= 0.0)
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == 10L)
+  }
+
+  // ---- TextAnalysis.scriptCounts / scriptMix ----
+
+  test("scriptCounts: each lane counts only its own script") {
+    val df = Seq("abc привет 你好 γς مر 42").toDF("t")
+      .select(TextAnalysis.scriptCounts(col("t")).as("c")).select("c.*")
+    val r = df.head()
+    assert(r.getAs[Int]("n_latin") == 3)
+    assert(r.getAs[Int]("n_cyrillic") == 6)
+    assert(r.getAs[Int]("n_cjk") == 2)
+    assert(r.getAs[Int]("n_greek") == 2)
+    assert(r.getAs[Int]("n_arabic") == 2)
+    assert(r.getAs[Int]("n_digit") == 2)
+  }
+
+  test("scriptMix: flags mixed Latin/Cyrillic, keeps pure text unflagged") {
+    val df = Seq(
+      ("pure latin words only here", false),
+      ("mostly latin but сюрприз inside", true)
+    ).toDF("t", "want")
+    val got = df.select(col("want"),
+      TextAnalysis.scriptMix(col("t")).getField("is_mixed").as("got")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("scriptCounts is a pure projection: zero Exchanges") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val plan = docs.select(TextAnalysis.scriptCounts(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  // ---- Curation.futureDates ----
+
+  test("futureDates: counts mentions, flags only post-cutoff years") {
+    val d = Seq((1L, "written 1999 revised 2031"), (2L, "plain 2020 text"),
+      (3L, "no years at all")).toDF("doc_id", "text")
+    val r = Curation.futureDates(d, "doc_id", "text", 2024)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("is_leak") && r(1L).getAs[Int]("n_future") == 1)
+    assert(!r(2L).getAs[Boolean]("is_leak"))
+    assert(r(3L).getAs[Int]("n_year_mentions") == 0 && !r(3L).getAs[Boolean]("is_leak"))
+    // word boundary: 31999 is not a year mention
+    val e = Curation.futureDates(Seq((4L, "id 31999 x")).toDF("doc_id", "text"),
+      "doc_id", "text", 2024).head()
+    assert(e.getAs[Int]("n_year_mentions") == 0)
+  }
+
+  // ---- Warehouse.shrunkGroupMean ----
+
+  test("shrunkGroupMean: small groups pull to the global mean, big ones keep theirs") {
+    val d = (Seq.fill(1000)(("big", 100L)) ++ Seq(("tiny", 500L)))
+      .toDF("k", "v")
+    val r = Warehouse.shrunkGroupMean(d, "k", "v", k = 20.0)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val globalMean = (1000 * 100.0 + 500.0) / 1001.0
+    // tiny (n=1) lands ~20/21 of the way back to the global mean
+    assert(math.abs(r("tiny").getAs[Double]("mean_shrunk") -
+      (500.0 + 20 * globalMean) / 21.0) < 1e-6)
+    assert(math.abs(r("big").getAs[Double]("mean_shrunk") - 100.0) < 0.1)
+    assert(r("tiny").getAs[Double]("mean_raw") == 500.0)
+  }
+
+  // ---- Augment.wordDropout ----
+
+  test("wordDropout: deterministic, order-preserving, rate-shaped") {
+    val d = Seq((7L, (1 to 200).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val a = Augment.wordDropout(d, "doc_id", "text", rate = 0.25, seed = 3L).head()
+    val b = Augment.wordDropout(d.repartition(8), "doc_id", "text", rate = 0.25, seed = 3L).head()
+    assert(a.getAs[String]("text_aug") == b.getAs[String]("text_aug"),
+      "same seed must survive any partitioning")
+    assert(a.getAs[Long]("n_tokens") == 200L)
+    val dropped = a.getAs[Long]("n_dropped")
+    assert(dropped > 20 && dropped < 80, s"~25% of 200 expected, got $dropped")
+    // kept tokens stay in document order
+    val kept = a.getAs[String]("text_aug").split(" ").map(_.drop(1).toInt)
+    assert(kept.sameElements(kept.sorted))
+    // rate 0 is the identity
+    val id = Augment.wordDropout(d, "doc_id", "text", rate = 0.0, seed = 3L).head()
+    assert(id.getAs[Long]("n_dropped") == 0L)
+  }
+
+  test("wordDropout: subset relation — higher rate drops a superset") {
+    val d = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val lo = Augment.wordDropout(d, "doc_id", "text", 0.1, seed = 5L)
+      .head().getAs[String]("text_aug").split(" ").toSet
+    val hi = Augment.wordDropout(d, "doc_id", "text", 0.4, seed = 5L)
+      .head().getAs[String]("text_aug").split(" ").toSet
+    assert(hi.subsetOf(lo), "tokens kept at rate .4 must be kept at rate .1")
+  }
+
+  // ---- TextAnalysis.vocabCoverage ----
+
+  test("vocabCoverage: full coverage when vocab holds every word; OOV otherwise") {
+    val d = Seq(("en", "a b a b"), ("en", "a c"), ("de", "x y z")).toDF("lang", "text")
+    val full = TextAnalysis.vocabCoverage(d, "text", "lang", v = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(full("en").getAs[Double]("oov_rate") == 0.0)
+    assert(full("en").getAs[Long]("n_words") == 6L)
+    // v=2 keeps {a,b} (counts 3,2) — 'c' is OOV, and all of de is
+    val tight = TextAnalysis.vocabCoverage(d, "text", "lang", v = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(tight("en").getAs[Long]("n_in_vocab") == 5L)
+    assert(tight("de").getAs[Long]("n_in_vocab") == 0L)
+    assert(tight("de").getAs[Double]("oov_rate") == 1.0)
+  }
+
+  test("vocabCoverage: vocab selection is TakeOrdered (distributed top-k), not a global window") {
+    val d = Seq(("en", "a b c")).toDF("lang", "text")
+    val plan = TextAnalysis.vocabCoverage(d, "text", "lang", v = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("Window"), "no global-window rank in the vocab path")
+  }
+}
