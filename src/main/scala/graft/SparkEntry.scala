@@ -3199,6 +3199,39 @@ object SparkEntry {
     "q_vocab_coverage" -> { (s, dir) =>
       graft.llm.TextAnalysis.vocabCoverage(
         Sources.table(s, dir, "documents"), "text", "lang", v = 200)
+    },
+    // k-anonymity audit (Privacy.kAnonymitySummary): QI = (event_type,
+    // user_id band); one-row governance verdict.
+    "q_k_anon" -> { (s, dir) =>
+      graft.operators.Privacy.kAnonymitySummary(
+        Sources.table(s, dir, "events")
+          .withColumn("user_band", col("user_id") % 100),
+        Seq("event_type", "user_band"), k = 5L)
+    },
+    // distinct l-diversity violations (Privacy.lDiversityGroups):
+    // (user, utc-day) cells whose event_type takes < 4 distinct values
+    // — the k-anonymous-but-homogeneous leak k alone cannot see.
+    "q_l_diversity" -> { (s, dir) =>
+      graft.operators.Privacy.lDiversityGroups(
+        Sources.table(s, dir, "events")
+          .withColumn("day_band", floor(unix_micros(col("ts")) / 86400000000L)),
+        Seq("user_id", "day_band"), "event_type", l = 4L)
+    },
+    // ε-DP histogram release (Privacy.dpHistogram): counter-mode
+    // Laplace noise the oracle replays through the same mixer + inverse
+    // CDF — a deterministic, auditable private release.
+    "q_dp_hist" -> { (s, dir) =>
+      graft.operators.Privacy.dpHistogram(
+        Sources.table(s, dir, "events"), "event_type", epsilon = 0.5, seed = 11L)
+    },
+    // reciprocal best match / bitext mining (Similarity.mutualNearest):
+    // even-id vs odd-id embedding halves, pairs where each is the
+    // other's cosine-nearest.
+    "q_mutual_nn" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      graft.llm.Similarity.mutualNearest(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }
   )
 
@@ -7371,6 +7404,47 @@ object SparkEntry {
         |SELECT lang, n_words, n_in_vocab, n_subwords,
         |  round(CAST(n_words - n_in_vocab AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS oov_rate,
         |  round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility
-        |FROM cov JOIN sub USING (lang)""".stripMargin
+        |FROM cov JOIN sub USING (lang)""".stripMargin,
+    "q_k_anon" ->
+      """WITH g AS (SELECT event_type, user_id % 100 AS user_band, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  min(n) AS min_group_size,
+        |  SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+        |FROM g""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT user_id, CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_band,
+        |  count(*) AS n, count(DISTINCT event_type) AS n_distinct_sensitive
+        |FROM events GROUP BY 1, 2
+        |HAVING count(DISTINCT event_type) < 4""".stripMargin,
+    // Laplace release replay: same md5-60-bit counter, same splitmix
+    // draw, same inverse CDF −b·sign(u−½)·ln(1−2|u−½|)
+    "q_dp_hist" ->
+      s"""WITH keys AS (SELECT event_type, count(*) AS n,
+         |    CAST(concat('0x', substr(md5(event_type), 1, 15)) AS BIGINT) AS ctr
+         |  FROM events GROUP BY 1),
+         |ids AS (SELECT DISTINCT ctr AS i FROM keys),
+         |${unitCte("dp", "ids", 11L)}
+         |SELECT event_type,
+         |  round(n + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+         |FROM keys JOIN dpu ON dpu.i = keys.ctr""".stripMargin,
+    // two rank-1 cosine passes + reciprocal join (the q_knn cosine form)
+    "q_mutual_nn" ->
+      """WITH a AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+        |cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM a, b),
+        |ab AS (SELECT id_a, id_b, cosine FROM cos
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) = 1),
+        |ba AS (SELECT id_a, id_b FROM cos
+        |  QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) = 1)
+        |SELECT ab.id_a, ab.id_b, round(ab.cosine, 6) AS cosine
+        |FROM ab JOIN ba USING (id_a, id_b)""".stripMargin
   )
 }

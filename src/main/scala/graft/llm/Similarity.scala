@@ -39,6 +39,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rk")
   }
 
+  /** Reciprocal best match (the bitext-mining kernel of CCMatrix/LASER
+    * pipelines, Schwenk et al. 2021 §3.2 without the margin renorm):
+    * a pair (a, b) survives iff b is a's cosine-nearest vector in B AND
+    * a is b's nearest in A — the standard filter that turns two
+    * monolingual embedding sets into aligned training pairs with few
+    * false positives. Ties break to the smallest candidate id
+    * (deterministic). Output: (id_a, id_b, cosine).
+    *
+    * Scale shape: two [[bruteForceTopK]] rank-1 passes (the smaller
+    * side broadcasts in each) + one equi-join on the pair — swap the
+    * brute passes for [[Ivf.topK]] at corpus scale, the reciprocal
+    * join is unchanged. */
+  def mutualNearest(a: DataFrame, b: DataFrame,
+                    aId: String = "vec_id", bId: String = "vec_id",
+                    aVec: String = "embedding", bVec: String = "embedding"): DataFrame = {
+    val ab = bruteForceTopK(a, b, k = 1, qId = aId, qVec = aVec, cId = bId, cVec = bVec)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+    val ba = bruteForceTopK(b, a, k = 1, qId = bId, qVec = bVec, cId = aId, cVec = aVec)
+      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+    ab.join(ba, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Matryoshka-truncated top-k (Kusupati et al. 2022 serving pattern):
     * rank by cosine over only the FIRST `dims` coordinates of each
     * embedding — MRL-trained models pack coarse semantics into the

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy audits and private release for training-data governance:
+  * k-anonymity / l-diversity checks over quasi-identifier columns
+  * (Sweeney 2002; Machanavajjhala et al. 2007) and a differentially-
+  * private histogram release whose Laplace noise is a COUNTER-MODE draw
+  * — deterministic, partitioning-independent, and replayable in any
+  * engine, so the released table is pinned and auditable. (A
+  * deterministic seed makes the release reproducible for testing; a
+  * production release would draw the seed fresh per publication.)
+  *
+  * Scale shape: every audit is one hash aggregate keyed on the QI tuple
+  * (map-side combine) plus arithmetic on the group table; the DP release
+  * adds a pure projection over the group counts. Nothing here sorts or
+  * re-shuffles row data.
+  */
+object Privacy {
+
+  /** Quasi-identifier groups violating k-anonymity: every combination of
+    * `qiCols` carried by fewer than `k` rows (each group row re-
+    * identifies its members). Output: the QI columns + n, ordered
+    * nowhere — a governance scan, not a report. */
+  def kAnonymityGroups(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k $k must be >= 2 (k=1 is vacuous)")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** One-row k-anonymity summary: total groups, violating groups, rows
+    * at re-identification risk, and the minimum group size (the
+    * dataset's actual k). */
+  def kAnonymitySummary(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("n")).as("min_group_size"))
+      .withColumn("k_anonymous", col("n_violating_groups") === 0)
+  }
+
+  /** Distinct l-diversity audit: QI groups whose sensitive column takes
+    * fewer than `l` distinct values (k-anonymous groups can still leak —
+    * every member of a size-50 group with one diagnosis shares it).
+    * Output: QI columns + n + n_distinct_sensitive for violating
+    * groups. */
+  def lDiversityGroups(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 2, s"l $l must be >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
+  }
+
+  /** ε-differentially-private histogram release: per-key exact count +
+    * Laplace(1/ε) noise (count queries have sensitivity 1). The noise is
+    * counter-mode — inverse-CDF over the same splitmix unit draw every
+    * replayable sampler here uses, counter = the key's md5-derived
+    * 60-bit id — so the release is one deterministic pure projection
+    * over the group counts.
+    *
+    * Laplace inverse CDF: u ∈ [0,1) → −b·sign(u−½)·ln(1−2|u−½|). */
+  def dpHistogram(df: DataFrame, keyCol: String, epsilon: Double,
+                  seed: Long = 42L): DataFrame = {
+    require(epsilon > 0, s"epsilon $epsilon must be > 0")
+    val counter = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = graft.functions.VectorExprs.unitDraw(counter, seed)
+    val b = 1.0 / epsilon
+    val noise = -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .select(col(keyCol), round(col("n") + noise, 6).as("noisy_n"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+import graft.operators.Privacy
+
+/** Privacy audits + DP release + bitext mining (round 13). Oracle rows
+  * pin exact values (q_k_anon, q_l_diversity, q_dp_hist, q_mutual_nn);
+  * these specs pin the properties — audit semantics, noise shape,
+  * determinism, reciprocity. */
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val people = Seq(
+    // (zip, age_band, diagnosis): zip 1 has a singleton band
+    (1, "30s", "flu"), (1, "30s", "cold"), (1, "30s", "flu"),
+    (1, "40s", "covid"), // k=2 violation, and l=2 violation (1 distinct)
+    (2, "30s", "flu"), (2, "30s", "flu"), (2, "30s", "flu") // l: only 'flu'
+  ).toDF("zip", "age_band", "diagnosis")
+
+  test("kAnonymityGroups: exactly the under-k QI tuples surface") {
+    val g = Privacy.kAnonymityGroups(people, Seq("zip", "age_band"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(g == Map((1, "40s") -> 1L))
+  }
+
+  test("kAnonymitySummary: counts, risk rows, and the dataset's actual k") {
+    val s = Privacy.kAnonymitySummary(people, Seq("zip", "age_band"), k = 3).head()
+    assert(s.getAs[Long]("n_groups") == 3L) // sizes 3, 1, 3
+    assert(s.getAs[Long]("n_violating_groups") == 1L)
+    assert(s.getAs[Long]("n_rows_at_risk") == 1L)
+    assert(s.getAs[Long]("min_group_size") == 1L)
+    assert(!s.getAs[Boolean]("k_anonymous"))
+  }
+
+  test("lDiversityGroups: homogeneous groups flagged even when k-anonymous") {
+    val v = Privacy.lDiversityGroups(people, Seq("zip"), "diagnosis", l = 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_distinct_sensitive")).toMap
+    // zip 2 has 3 rows (k-fine at k=3) but ONE diagnosis — the leak
+    assert(v == Map(2 -> 1L))
+  }
+
+  test("dpHistogram: deterministic across partitionings, noise centred and bounded") {
+    val d = (1 to 1000).map(i => s"k${i % 20}").toDF("k")
+    val a = Privacy.dpHistogram(d, "k", epsilon = 1.0, seed = 7L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Privacy.dpHistogram(d.repartition(16), "k", epsilon = 1.0, seed = 7L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b, "counter-mode noise must not depend on partitioning")
+    // every count is 50; Laplace(1) noise: all within a generous ±15
+    // (P(|noise|>15) = e^-15 per key), none exactly the true count
+    assert(a.values.forall(v => math.abs(v - 50.0) < 15.0))
+    val meanAbs = a.values.map(v => math.abs(v - 50.0)).sum / a.size
+    assert(meanAbs > 0.05, s"noise must actually perturb (mean |noise| $meanAbs)")
+    // tighter epsilon → scale-1/2 noise differs from scale-1 noise
+    val half = Privacy.dpHistogram(d, "k", epsilon = 2.0, seed = 7L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.keys.foreach { k =>
+      assert(math.abs(half(k) - 50.0) <= math.abs(a(k) - 50.0) + 1e-9,
+        "same unit draw at double epsilon must shrink the noise")
+    }
+  }
+
+  test("mutualNearest: reciprocal pairs only, and reciprocity is symmetric") {
+    // two clusters: a0~b0 tight, a2~b2 tight; b4 nearest to a0 but a0's
+    // nearest is b0 → (a0,b4) must NOT survive
+    def v(xs: Double*)= xs.toArray.map(_.toFloat)
+    val a = Seq((0L, v(1, 0, 0)), (2L, v(0, 1, 0))).toDF("vec_id", "embedding")
+    val b = Seq((1L, v(0.9, 0.1, 0)), (3L, v(0.1, 0.9, 0)),
+      (5L, v(0.8, 0.3, 0))).toDF("vec_id", "embedding")
+    val pairs = Similarity.mutualNearest(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+}
