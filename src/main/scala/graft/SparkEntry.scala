@@ -3226,11 +3226,22 @@ object SparkEntry {
     },
     // reciprocal best match / bitext mining (Similarity.mutualNearest):
     // even-id vs odd-id embedding halves, pairs where each is the
-    // other's cosine-nearest.
+    // other's cosine-nearest. BRUTE arm — the small-corpus verifier
+    // (quadratic BY DESIGN, the q_edit_pairs precedent); the banded
+    // q_mutual_nn_lsh below is the scale path.
     "q_mutual_nn" -> { (s, dir) =>
       val e = Sources.table(s, dir, "embeddings")
       graft.llm.Similarity.mutualNearest(
           e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+    // banded scale arm (Similarity.mutualNearestBanded): reciprocal best
+    // among LSH τ-candidates — bucket joins, never all-pairs; the oracle
+    // replays the same semantics from the brute τ-pair table.
+    "q_mutual_nn_lsh" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      graft.llm.Similarity.mutualNearestBanded(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1), tau = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }
   )
@@ -7443,6 +7454,25 @@ object SparkEntry {
         |ab AS (SELECT id_a, id_b, cosine FROM cos
         |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) = 1),
         |ba AS (SELECT id_a, id_b FROM cos
+        |  QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) = 1)
+        |SELECT ab.id_a, ab.id_b, round(ab.cosine, 6) AS cosine
+        |FROM ab JOIN ba USING (id_a, id_b)""".stripMargin,
+    // banded arm: same reciprocal-best semantics over the τ-thresholded
+    // pair table (banding is recall-1 at τ on this fixture, the
+    // q_lsh_pairs-verified property, so brute τ-pairs ARE the candidates)
+    "q_mutual_nn_lsh" ->
+      """WITH a AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+        |cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM a, b),
+        |cand AS (SELECT * FROM cos WHERE cosine >= 0.4),
+        |ab AS (SELECT id_a, id_b, cosine FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) = 1),
+        |ba AS (SELECT id_a, id_b FROM cand
         |  QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) = 1)
         |SELECT ab.id_a, ab.id_b, round(ab.cosine, 6) AS cosine
         |FROM ab JOIN ba USING (id_a, id_b)""".stripMargin

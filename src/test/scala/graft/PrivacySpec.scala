@@ -75,4 +75,27 @@ class PrivacySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("mutualNearestBanded == brute arm thresholded, on recall-1 fixture") {
+    // the brute arm is the banded arm's verifier: at a τ where banding
+    // has full recall, thresholding brute reciprocal pairs to τ must
+    // give exactly the banded output (the q_edit_pairs discipline)
+    val sf = TestSpark.sf // sf0.001 embeddings
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 === 1)
+    val tau = 0.4
+    val banded = Similarity.mutualNearestBanded(a, b, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.mutualNearest(a, b)
+      .filter(col("cosine") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.forall { case (x, y) => x % 2 == 0 && y % 2 == 1 })
+    // a brute reciprocal pair at ≥ τ stays reciprocal within the
+    // τ-candidate subset (its best dominates every candidate), so it
+    // must survive banding; the converse set can legitimately be larger
+    // (a side whose GLOBAL best is sub-τ still has a τ-candidate best)
+    assert(brute.subsetOf(banded),
+      s"brute reciprocal pairs at τ must survive banding: ${brute -- banded}")
+  }
 }
