@@ -148,6 +148,30 @@ object TextKernels {
     s
   }
 
+  /** Unicode-script code-point counts in ONE string pass:
+    * [latin, cyrillic, greek, arabic, cjk, digit] — the same ranges as
+    * `TextAnalysis.scriptRanges` (the regex reference arm, parity-
+    * pinned by spec). One scan replaces six whole-string
+    * regexp_replace passes. All ranges are BMP, so supplementary code
+    * points (surrogate pairs) fall through every branch by value. */
+  def scriptCounts(u: UTF8String): Array[Int] = {
+    val s = u.toString
+    val h = new Array[Int](6)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) h(0) += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) h(1) += 1
+      else if (cp >= 0x0370 && cp <= 0x03FF) h(2) += 1
+      else if (cp >= 0x0600 && cp <= 0x06FF) h(3) += 1
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF) ||
+               (cp >= 0xAC00 && cp <= 0xD7A3)) h(4) += 1
+      else if (cp >= '0' && cp <= '9') h(5) += 1
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Plain-array overload for JVM-side callers (streaming state). */
   def histL1(a: Array[Int], b: Array[Int]): Int = {
     var s = 0
@@ -802,6 +826,23 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Six-lane Unicode-script counter ([[TextKernels.scriptCounts]]) —
+    * one codegen'd string pass for the script-mix gate instead of six
+    * whole-string regex scans. */
+  case class ScriptCountsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextKernels.scriptCounts(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+        org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TextKernels.scriptCounts($c))")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** L1 distance between two equal-length int arrays (the [[CharHist]]
     * companion — `histL1(a, b) > 2·d` proves levenshtein > d). */
   case class HistL1(left: Expression, right: Expression)
@@ -1036,6 +1077,7 @@ object VectorExprs {
     column(CapGate(expression(c), cap, dropped, maxSeen))
   def sigAgreement(a: Column, b: Column): Column = column(SigAgreement(expression(a), expression(b)))
   def charHist(s: Column): Column = column(CharHist(expression(s)))
+  def scriptCounts(s: Column): Column = column(ScriptCountsExpr(expression(s)))
   def histL1(a: Column, b: Column): Column = column(HistL1(expression(a), expression(b)))
   def rollingWindowHash(s: Column, width: Int): Column =
     column(RollingWindowHash(expression(s), width))

@@ -240,12 +240,23 @@ object TextAnalysis {
     "digit" -> "0-9")
 
   /** Per-script character counts: struct(n_latin, n_cyrillic, n_greek,
-    * n_arabic, n_cjk, n_digit) — each a `length(regexp_replace(text,
-    * [^range], ''))`, a pure codegen'd projection. The mixed-script
-    * signal (Cyrillic 'а' inside Latin words, CJK spam padding) is a
-    * standard obfuscation/quality gate a multilingual pipeline runs on
-    * every document. */
-  def scriptCounts(text: Column): Column =
+    * n_arabic, n_cjk, n_digit) — ONE codegen'd string pass
+    * ([[graft.functions.VectorExprs.ScriptCountsExpr]]); the regex form
+    * ([[scriptCountsRegex]]) is the parity-pinned reference arm and the
+    * DuckDB oracle's spelling. The mixed-script signal (Cyrillic 'а'
+    * inside Latin words, CJK spam padding) is a standard obfuscation/
+    * quality gate a multilingual pipeline runs on every document. */
+  def scriptCounts(text: Column): Column = {
+    val a = graft.functions.VectorExprs.scriptCounts(text)
+    struct(scriptRanges.zipWithIndex.map { case ((name, _), i) =>
+      element_at(a, i + 1).as(s"n_$name")
+    }: _*)
+  }
+
+  /** Reference arm: the same counts as six whole-string regex scans —
+    * spec-pinned equal to the native kernel, and the form the external
+    * oracle replays. */
+  def scriptCountsRegex(text: Column): Column =
     struct(scriptRanges.map { case (name, range) =>
       length(regexp_replace(text, s"[^$range]", "")).as(s"n_$name")
     }: _*)
@@ -255,10 +266,10 @@ object TextAnalysis {
     * struct(main_script, main_n, second_script, second_n, is_mixed);
     * ties break alphabetically on the script name (deterministic). */
   def scriptMix(text: Column, minFrac: Double = 0.05): Column = {
+    val counts = graft.functions.VectorExprs.scriptCounts(text)
     val letters = scriptRanges.filterNot(_._1 == "digit")
-    val scored = array(letters.map { case (name, range) =>
-      struct(length(regexp_replace(text, s"[^$range]", "")).as("n"),
-        lit(name).as("script"))
+    val scored = array(letters.zipWithIndex.map { case ((name, _), i) =>
+      struct(element_at(counts, i + 1).as("n"), lit(name).as("script"))
     }: _*)
     // top-2 by (count desc, name asc): sort by (-n, script) and index
     val sorted = array_sort(transform(scored,

@@ -90,6 +90,16 @@ class FeatureOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
 
+  test("scriptCounts native kernel == regex reference arm (incl. surrogates)") {
+    val samples = Seq("abc привет 你好 γς مر 42", "", "pure ascii 123",
+      "汉字かなカナ한글", "emoji 😀 outside all ranges", "ЀӿͰϿ؀ۿ一鿿぀ヿ가힣")
+      .toDF("t")
+    val both = samples.select(
+      TextAnalysis.scriptCounts(col("t")).as("fast"),
+      TextAnalysis.scriptCountsRegex(col("t")).as("ref")).collect()
+    both.foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
   test("scriptCounts is a pure projection: zero Exchanges") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val plan = docs.select(TextAnalysis.scriptCounts(col("text")))
