@@ -3243,6 +3243,33 @@ object SparkEntry {
       graft.llm.Similarity.mutualNearestBanded(
           e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1), tau = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+    // Flesch reading-ease (TextAnalysis.readability): vowel-group
+    // syllables, terminal-punct sentences — pure projection.
+    "q_readability" -> { (s, dir) =>
+      val r = graft.llm.TextAnalysis.readability(col("text"))
+      Sources.table(s, dir, "documents").select(col("doc_id"),
+        r.getField("n_words").as("n_words"),
+        r.getField("n_sentences").as("n_sentences"),
+        r.getField("n_syllables").as("n_syllables"),
+        r.getField("flesch").as("flesch"))
+    },
+    // z-score standardization (Binning.standardize): exact decimal
+    // power sums → broadcast moments → pure projection.
+    "q_standardize" -> { (s, dir) =>
+      graft.operators.Binning.standardize(Sources.table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"),
+        keep = Seq("l_orderkey", "l_linenumber"))
+    },
+    // per-domain epoch upsampling (Mixture.repeatEpochs): en×2.5, de×2,
+    // fr×0.5, es×1, zh dropped — E[copies] exact via counter-mode
+    // fractional top-up.
+    "q_repeat_epochs" -> { (s, dir) =>
+      graft.llm.Mixture.repeatEpochs(
+          Sources.table(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 2.0, "fr" -> 0.5, "es" -> 1.0), seed = 13L)
+        .select(col("doc_id"), col("lang"), col("epoch"))
     }
   )
 
@@ -7475,6 +7502,54 @@ object SparkEntry {
         |ba AS (SELECT id_a, id_b FROM cand
         |  QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) = 1)
         |SELECT ab.id_a, ab.id_b, round(ab.cosine, 6) AS cosine
-        |FROM ab JOIN ba USING (id_a, id_b)""".stripMargin
+        |FROM ab JOIN ba USING (id_a, id_b)""".stripMargin,
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS INT) AS n_words,
+        |  CAST(GREATEST(len(list_filter(list_transform(
+        |    string_split_regex(text, '[.!?]+'), s -> trim(s)), s -> s <> '')), 1) AS INT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables,
+        |  CASE WHEN len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS DOUBLE)
+        |        / CAST(GREATEST(len(list_filter(list_transform(
+        |            string_split_regex(text, '[.!?]+'), s -> trim(s)), s -> s <> '')), 1) AS DOUBLE))
+        |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |        / CAST(len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS DOUBLE)), 6)
+        |  END AS flesch
+        |FROM documents""".stripMargin,
+    // same exact decimal power sums, same (x−μ)/σ double order
+    "q_standardize" ->
+      """WITH m AS (SELECT
+        |    count(l_quantity) AS nq,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1q,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2q,
+        |    count(l_extendedprice) AS np,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s1p,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2p
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN (s2q - s1q * s1q / CAST(nq AS DOUBLE)) / (CAST(nq AS DOUBLE) - 1) > 0 THEN
+        |    round((l_quantity - s1q / CAST(nq AS DOUBLE)) /
+        |      sqrt((s2q - s1q * s1q / CAST(nq AS DOUBLE)) / (CAST(nq AS DOUBLE) - 1)), 6)
+        |  END AS l_quantity_z,
+        |  CASE WHEN (s2p - s1p * s1p / CAST(np AS DOUBLE)) / (CAST(np AS DOUBLE) - 1) > 0 THEN
+        |    round((l_extendedprice - s1p / CAST(np AS DOUBLE)) /
+        |      sqrt((s2p - s1p * s1p / CAST(np AS DOUBLE)) / (CAST(np AS DOUBLE) - 1)), 6)
+        |  END AS l_extendedprice_z
+        |FROM lineitem, m""".stripMargin,
+    // floor(f) copies + one more when the unit draw < frac(f)
+    "q_repeat_epochs" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 2.0
+         |              WHEN 'fr' THEN 0.5 WHEN 'es' THEN 1.0 ELSE 0.0 END AS f
+         |  FROM documents),
+         |ids AS (SELECT DISTINCT doc_id AS i FROM d),
+         |${unitCte("re", "ids", 13L)},
+         |c AS (SELECT doc_id, lang,
+         |    CAST(FLOOR(f) AS INT) + CASE WHEN u < f - FLOOR(f) THEN 1 ELSE 0 END AS copies
+         |  FROM d JOIN reu ON reu.i = d.doc_id)
+         |SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS INT) AS epoch
+         |FROM c WHERE copies > 0""".stripMargin
   )
 }

@@ -191,4 +191,28 @@ object Mixture {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Per-domain epoch upsampling (the Llama-style "epochs per dataset"
+    * mixture knob): each row is repeated `floor(f)` times plus one more
+    * for the first `frac(f)` share of rows by counter-mode draw —
+    * E[copies] = f exactly, deterministic, replayable. Adds `epoch`
+    * (0-based copy index) to every emitted row. A factor of 0 drops the
+    * domain; fractional factors < 1 are plain subsampling.
+    *
+    * Shape: a literal CASE lookup + one explode — zero shuffle; the
+    * blow-up is the OUTPUT size, which is the point. */
+  def repeatEpochs(df: DataFrame, domainCol: String, idCol: String,
+                   factors: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(factors.values.forall(_ >= 0), "repeat factors must be >= 0")
+    val base = factors.foldLeft(lit(0.0)) { case (acc, (dom, f)) =>
+      when(col(domainCol) === dom, lit(f)).otherwise(acc)
+    }
+    val whole = floor(base).cast("int")
+    val extra = (graft.functions.VectorExprs.unitDraw(col(idCol), seed) <
+      (base - whole.cast("double"))).cast("int")
+    df.withColumn("__copies", whole + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

@@ -178,6 +178,26 @@ object TextAnalysis {
           size(ws).cast("double")).as("mean_words"))
   }
 
+  /** Flesch reading-ease (Flesch 1948; the classic readability gate —
+    * instruction-tuning sets often band-pass on it): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). Sentences by the
+    * [[sentences]] terminal-punct rule; syllables by the standard
+    * vowel-group heuristic (runs of [aeiouy] in the lowercased text —
+    * whitespace breaks runs, so the per-doc count equals the per-word
+    * sum). Null for word-free docs; sentence count floors at 1 (a
+    * fragment is one sentence). Pure codegen'd projection.
+    * Output struct(n_words, n_sentences, n_syllables, flesch). */
+  def readability(text: Column): Column = {
+    val nW = size(filter(tokens(text), t => t =!= ""))
+    val nSent = greatest(size(sentences(text)), lit(1))
+    val nSyll = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+    val flesch = when(nW > 0,
+      round(lit(206.835) - lit(1.015) * (nW.cast("double") / nSent.cast("double"))
+        - lit(84.6) * (nSyll.cast("double") / nW.cast("double")), 6))
+    struct(nW.as("n_words"), nSent.as("n_sentences"),
+      nSyll.as("n_syllables"), flesch.as("flesch"))
+  }
+
   /** Rolling-hash document fingerprint: min xxhash64 over word 5-gram
     * shingles — one 64-bit near-dup signature (a 1-row minhash). */
   def rollingFingerprint(text: Column, n: Int = 5): Column =

@@ -64,6 +64,36 @@ object Binning {
         round((col("p") - col("q")) * log(col("p") / col("q")), 8).as("iv_part"))
   }
 
+  /** Z-score standardization — the fit+transform of an ML feature
+    * pipeline in one operator: per-feature mean/std from EXACT decimal
+    * power sums (the [[RankTests.welchT]] discipline — partitioning
+    * cannot wiggle a bit), broadcast back over the scan, each feature
+    * mapped to (x − μ)/σ. Features with zero variance standardize to
+    * null (no information, not ±∞). Output: `keep` columns + one
+    * `<feature>_z` per feature, rounded to 6.
+    *
+    * Shape: ONE power-sum aggregate (map-side combined, a single-row
+    * broadcast) + a pure projection — two scans of nothing, one of the
+    * data. */
+  def standardize(df: DataFrame, features: Seq[String],
+                  keep: Seq[String]): DataFrame = {
+    require(features.nonEmpty, "standardize needs at least one feature")
+    val aggs = features.flatMap { f =>
+      val x = col(f).cast("decimal(18,4)")
+      Seq(count(col(f)).as(s"__n_$f"),
+        sum(x).cast("double").as(s"__s1_$f"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as(s"__s2_$f"))
+    }
+    val moments = df.agg(aggs.head, aggs.tail: _*)
+    val out = keep.map(col) ++ features.map { f =>
+      val nD = col(s"__n_$f").cast("double")
+      val mean = col(s"__s1_$f") / nD
+      val varc = (col(s"__s2_$f") - col(s"__s1_$f") * col(s"__s1_$f") / nD) / (nD - 1)
+      when(varc > 0, round((col(f) - mean) / sqrt(varc), 6)).as(s"${f}_z")
+    }
+    df.join(broadcast(moments)).select(out: _*)
+  }
+
   /** Histogram decision stump: the best single split of `featureCol`
     * against boolean `label` by weighted Gini impurity, searched over
     * the equal-width bin boundaries. Returns ONE row: (split_bin,

@@ -182,6 +182,59 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(tight("de").getAs[Double]("oov_rate") == 1.0)
   }
 
+  // ---- TextAnalysis.readability ----
+
+  test("readability: simple prose scores higher than dense polysyllables") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),
+      (2L, "Institutional organizational considerations necessitate comprehensive evaluation methodologies."),
+      (3L, "")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+      graft.llm.TextAnalysis.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("flesch") > 80.0)
+    assert(r(2L).getAs[Double]("flesch") < 0.0)
+    assert(r(1L).getAs[Double]("flesch") > r(2L).getAs[Double]("flesch"))
+    assert(r(1L).getAs[Int]("n_sentences") == 3)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("flesch")), "word-free doc has no score")
+  }
+
+  // ---- Binning.standardize ----
+
+  test("standardize: z-scores have mean ~0/std ~1, constant feature nulls out") {
+    val d = (1 to 100).map(i => (i.toLong, i.toDouble, 5.0)).toDF("id", "x", "c")
+    val z = graft.operators.Binning.standardize(d, Seq("x", "c"), keep = Seq("id"))
+      .collect()
+    val xs = z.map(_.getAs[Double]("x_z"))
+    assert(math.abs(xs.sum) < 1e-6)
+    val sd = math.sqrt(xs.map(v => v * v).sum / (xs.length - 1))
+    assert(math.abs(sd - 1.0) < 1e-6)
+    assert(z.forall(_.isNullAt(2)), "zero-variance feature must standardize to null")
+    // deterministic under repartitioning (decimal power sums)
+    val z2 = graft.operators.Binning.standardize(d.repartition(13), Seq("x"), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("x_z")).toMap
+    z.foreach(r => assert(z2(r.getLong(0)) == r.getAs[Double]("x_z")))
+  }
+
+  // ---- Mixture.repeatEpochs ----
+
+  test("repeatEpochs: whole factors exact, fractional in expectation, zero drops") {
+    val d = (1 to 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = graft.llm.Mixture.repeatEpochs(d, "lang", "doc_id",
+      Map("en" -> 2.5, "zh" -> 0.0), seed = 3L).collect()
+    assert(out.forall(_.getString(1) == "en"), "factor-0 domain must vanish")
+    val perDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perDoc.values.forall(n => n == 2 || n == 3), "2.5 → 2 or 3 copies")
+    val mean = perDoc.values.sum.toDouble / perDoc.size
+    assert(mean > 2.3 && mean < 2.7, s"E[copies]=2.5, got $mean")
+    // epoch indices are 0..copies-1
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("epoch")).sorted.sameElements(0 until rows.length))
+    }
+  }
+
   test("vocabCoverage: vocab selection is TakeOrdered (distributed top-k), not a global window") {
     val d = Seq(("en", "a b c")).toDF("lang", "text")
     val plan = TextAnalysis.vocabCoverage(d, "text", "lang", v = 2)
