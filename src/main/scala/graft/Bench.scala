@@ -146,10 +146,21 @@ object Bench {
       "orders", "lineitem", "events", "documents", "embeddings")
     val present = tables.filter(t => Files.exists(Paths.get(s"$sfDir/$t.parquet")))
     if (present.isEmpty) return sfDir
+    // Spark-written tables are DIRECTORIES of part files; Files.size on
+    // a directory returns the inode size (~4 KB), which made every
+    // directory table compute files=1 and get COALESCED into one
+    // single-row-group file — sf1 scans then decoded 6M rows on one
+    // core (q_standardize read 8.4 s vs 2.0 s). Sum the parts instead.
+    def tableBytes(p: java.nio.file.Path): Long =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.filter(f => f.toString.endsWith(".parquet")).mapToLong(Files.size(_)).sum
+        finally s.close()
+      } else Files.size(p)
     val sig = present.map { t =>
       val p = Paths.get(s"$sfDir/$t.parquet")
-      s"$t:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    }.mkString("|") + s"|max$maxFiles|v2"
+      s"$t:${tableBytes(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("|") + s"|max$maxFiles|v3"
     val key = Integer.toHexString((sfDir + "|" + sig).hashCode)
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_bench_fx/${Paths.get(sfDir).getFileName}_$key"
     val marker = Paths.get(s"$dst/_RECHUNK_OK")
@@ -158,7 +169,7 @@ object Bench {
     Files.createDirectories(Paths.get(dst))
     val split = present.map { t =>
       val src = Paths.get(s"$sfDir/$t.parquet")
-      val files = math.max(1, math.min(maxFiles, (Files.size(src) >> 20).toInt))
+      val files = math.max(1, math.min(maxFiles, (tableBytes(src) >> 20).toInt))
       if (Files.isRegularFile(src) && files == 1)
         Files.copy(src, Paths.get(s"$dst/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
       else
