@@ -84,14 +84,22 @@ object Binning {
         sum(x).cast("double").as(s"__s1_$f"),
         sum((x * x).cast("decimal(38,8)")).cast("double").as(s"__s2_$f"))
     }
-    val moments = df.agg(aggs.head, aggs.tail: _*)
+    // moments ride as LITERALS (the IVF-centroid precedent): joining the
+    // 1-row aggregate back would be a BroadcastNestedLoopJoin, which
+    // keeps the row-wide transform out of one whole-stage-codegen span.
+    // Two scans either way (fit needs one); the transform stays one
+    // codegen projection with constant mu/sigma.
+    val m = df.agg(aggs.head, aggs.tail: _*).head()
     val out = keep.map(col) ++ features.map { f =>
-      val nD = col(s"__n_$f").cast("double")
-      val mean = col(s"__s1_$f") / nD
-      val varc = (col(s"__s2_$f") - col(s"__s1_$f") * col(s"__s1_$f") / nD) / (nD - 1)
-      when(varc > 0, round((col(f) - mean) / sqrt(varc), 6)).as(s"${f}_z")
+      val n = m.getAs[Long](s"__n_$f").toDouble
+      val s1 = m.getAs[Double](s"__s1_$f")
+      val s2 = m.getAs[Double](s"__s2_$f")
+      val mean = s1 / n
+      val varc = (s2 - s1 * s1 / n) / (n - 1)
+      if (varc > 0) round((col(f) - lit(mean)) / lit(math.sqrt(varc)), 6).as(s"${f}_z")
+      else lit(null).cast("double").as(s"${f}_z")
     }
-    df.join(broadcast(moments)).select(out: _*)
+    df.select(out: _*)
   }
 
   /** Histogram decision stump: the best single split of `featureCol`
