@@ -3270,6 +3270,36 @@ object SparkEntry {
           "lang", "doc_id",
           Map("en" -> 2.5, "de" -> 2.0, "fr" -> 0.5, "es" -> 1.0), seed = 13L)
         .select(col("doc_id"), col("lang"), col("epoch"))
+    },
+    // crawl-freshness monitor (CorpusStats.noveltyByDay): first-seen
+    // fingerprint share per synthetic ingest day (doc_id % 30), over a
+    // feed where every 7th doc repeats an earlier doc's text.
+    "q_novelty" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents")
+      val decorated = d.alias("a")
+        .join(d.select(col("doc_id").as("src_id"), col("text").as("src_text")),
+          col("doc_id") % 7 === 0 && col("src_id") === (col("doc_id") / 7).cast("long"),
+          "left")
+        .select(col("doc_id"), coalesce(col("src_text"), col("text")).as("text"))
+        .withColumn("day", (col("doc_id") % 30).cast("int"))
+      graft.llm.CorpusStats.noveltyByDay(decorated, "day", "text")
+    },
+    // content-addressable release manifest (CorpusStats.manifest):
+    // 16 shards + root digest — the auditable byte-identity check.
+    "q_manifest" -> { (s, dir) =>
+      graft.llm.CorpusStats.manifest(
+        Sources.table(s, dir, "documents"), "doc_id", "text", shards = 16)
+    },
+    // cluster purity vs language (Similarity.clusterPurity over the
+    // q_embed_cluster components): is the near-dup clustering
+    // label-coherent enough to trust for dedup decisions?
+    "q_cluster_purity" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "embeddings")
+      val pairs = Similarity.thresholdPairs(e, 0.35).select(col("id1"), col("id2"))
+      val comp = Dedup.components(pairs, e.select(col("vec_id")), "vec_id")
+      graft.llm.Similarity.clusterPurity(
+        comp.join(e.select(col("vec_id"), col("label")), "vec_id"),
+        "canonical_id", "label")
     }
   )
 
@@ -7550,6 +7580,53 @@ object SparkEntry {
          |    CAST(FLOOR(f) AS INT) + CASE WHEN u < f - FLOOR(f) THEN 1 ELSE 0 END AS copies
          |  FROM d JOIN reu ON reu.i = d.doc_id)
          |SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS INT) AS epoch
-         |FROM c WHERE copies > 0""".stripMargin
+         |FROM c WHERE copies > 0""".stripMargin,
+    "q_novelty" ->
+      """WITH dec AS (SELECT d.doc_id, CAST(d.doc_id % 30 AS INT) AS day,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN s.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents s
+        |    ON s.doc_id = d.doc_id // 7 AND d.doc_id % 7 = 0),
+        |fp AS (SELECT day, md5(text) AS f FROM dec),
+        |per AS (SELECT day, count(*) AS n_docs FROM fp GROUP BY 1),
+        |fs AS (SELECT f, min(day) AS day FROM fp GROUP BY 1),
+        |nn AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1)
+        |SELECT per.day, per.n_docs, COALESCE(nn.n_new, 0) AS n_new,
+        |  round(CAST(COALESCE(nn.n_new, 0) AS DOUBLE) / CAST(per.n_docs AS DOUBLE), 6) AS novelty
+        |FROM per LEFT JOIN nn USING (day)""".stripMargin,
+    // same shard layout, same id-ordered digest concatenation
+    "q_manifest" ->
+      """WITH fp AS (SELECT CAST(doc_id % 16 AS INT) AS shard, doc_id AS id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS f FROM documents),
+        |per AS (SELECT shard, count(*) AS n_docs,
+        |    md5(string_agg(f, '' ORDER BY id)) AS digest FROM fp GROUP BY 1),
+        |root AS (SELECT -1 AS shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    md5(string_agg(digest, '' ORDER BY shard)) AS digest FROM per)
+        |SELECT * FROM per UNION ALL SELECT * FROM root""".stripMargin,
+    // the q_embed_cluster closure + per-cluster dominant-label readout
+    "q_cluster_purity" ->
+      """WITH RECURSIVE e1 AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |    FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |  WHERE cosine >= 0.35),
+        |ed AS (SELECT id1, id2 FROM e1 UNION ALL SELECT id2 AS id1, id1 AS id2 FROM e1),
+        |lbl(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ed.id2, lbl.lab FROM lbl JOIN ed ON ed.id1 = lbl.id),
+        |comp AS (SELECT id AS vec_id, min(lab) AS canonical_id FROM lbl GROUP BY id),
+        |cells AS (SELECT comp.canonical_id AS cluster, e.label, count(*) AS c
+        |  FROM comp JOIN embeddings e USING (vec_id) GROUP BY 1, 2)
+        |SELECT cluster, n, label AS top_label, c AS n_top,
+        |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
+        |FROM (SELECT cluster, label, c,
+        |    CAST(SUM(c) OVER (PARTITION BY cluster) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rk
+        |  FROM cells)
+        |WHERE rk = 1""".stripMargin
   )
 }

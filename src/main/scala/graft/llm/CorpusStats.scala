@@ -185,4 +185,60 @@ object CorpusStats {
         sum(lit(0.5) * col("p") * log(col("p") / m)
           + lit(0.5) * col("q") * log(col("q") / m)).as("jsd"))
   }
+
+  /** Content novelty by ingest day — the "is the crawl still finding new
+    * material?" monitor a continuously-fed corpus runs: per day, the
+    * share of document fingerprints making their FIRST appearance.
+    * A collapsing novelty rate means the feed has started re-crawling
+    * itself (or the dedup upstream broke).
+    *
+    * Shape: one fingerprint-keyed aggregate (min day per fingerprint,
+    * map-side combined) + one day-keyed count — two narrow Exchanges,
+    * no joins against the corpus. Output (day, n_docs, n_new, novelty)
+    * with n_new counting first-seen fingerprints. */
+  def noveltyByDay(df: DataFrame, dayCol: String, textCol: String): DataFrame = {
+    val fp = md5(col(textCol))
+    val perDay = df.select(col(dayCol).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_docs"))
+    val firstSeen = df.select(col(dayCol).as("day"), fp.as("fp"))
+      .groupBy("fp").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    perDay.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_docs"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("novelty"))
+  }
+
+  /** Content-addressable dataset manifest — the auditable-release
+    * primitive: shard every document by id, digest each shard as the
+    * md5 of its id-ordered per-doc fingerprints, and append a root row
+    * (shard −1) digesting the shard digests in shard order. Two
+    * releases are byte-identical iff their manifests match; a mismatch
+    * names the shard. Per-doc fingerprint covers id AND content, so a
+    * re-keyed corpus changes the manifest.
+    *
+    * Shape: one shard-keyed aggregate whose per-shard state is the
+    * sorted fingerprint list — shard count is the scale knob (size
+    * shards so a shard's fingerprints fit an executor; 100 TB at 1M
+    * shards = ~3 MB of fingerprints per shard). The root reduction runs
+    * over `shards` rows. */
+  def manifest(df: DataFrame, idCol: String, textCol: String,
+               shards: Int): DataFrame = {
+    require(shards >= 1, s"shards $shards must be >= 1")
+    val docFp = md5(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+    val perShard = df
+      .select(pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        struct(col(idCol).as("id"), docFp.as("fp")).as("e"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("", transform(array_sort(collect_list(col("e"))),
+          e => e.getField("fp")))).as("digest"))
+    val root = perShard
+      .groupBy(lit(-1).as("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        md5(concat_ws("", transform(array_sort(collect_list(
+          struct(col("shard").as("s"), col("digest").as("d")))),
+          e => e.getField("d")))).as("digest"))
+    perShard.unionByName(root)
+  }
 }

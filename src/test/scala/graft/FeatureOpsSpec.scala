@@ -235,6 +235,48 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- CorpusStats.noveltyByDay / manifest ----
+
+  test("noveltyByDay: repeats are only new on their first day") {
+    val d = Seq((0, "alpha"), (0, "beta"), (1, "alpha"), (1, "gamma"),
+      (2, "alpha"), (2, "beta")).toDF("day", "text")
+    val r = graft.llm.CorpusStats.noveltyByDay(d, "day", "text")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(0).getAs[Long]("n_new") == 2 && r(0).getAs[Double]("novelty") == 1.0)
+    assert(r(1).getAs[Long]("n_new") == 1 && r(1).getAs[Double]("novelty") == 0.5)
+    assert(r(2).getAs[Long]("n_new") == 0 && r(2).getAs[Double]("novelty") == 0.0)
+  }
+
+  test("manifest: partitioning-invariant, content-sensitive, shard-localizing") {
+    val d = (1 to 200).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    def root(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.CorpusStats.manifest(df, "doc_id", "text", shards = 8)
+        .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    val a = root(d)
+    val b = root(d.repartition(17))
+    assert(a == b, "manifest must not depend on partitioning")
+    // flip one doc: its shard digest and the root change, others don't
+    val d2 = d.withColumn("text",
+      when(col("doc_id") === 42, lit("tampered")).otherwise(col("text")))
+    val c = root(d2)
+    assert(c(42 % 8) != a(42 % 8) && c(-1) != a(-1))
+    assert((0 until 8).filter(_ != 42 % 8).forall(s => c(s) == a(s)),
+      "untouched shards keep their digest — mismatch names the shard")
+  }
+
+  // ---- Similarity.clusterPurity ----
+
+  test("clusterPurity: dominant label, smallest-label tie, exact purity") {
+    val d = Seq((1L, 0), (1L, 0), (1L, 1), (2L, 3), (2L, 2), (3L, 9))
+      .toDF("cl", "label")
+    val p = graft.llm.Similarity.clusterPurity(d, "cl", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[Int]("top_label") == 0 &&
+      math.abs(p(1L).getAs[Double]("purity") - 2.0 / 3) < 1e-6)
+    assert(p(2L).getAs[Int]("top_label") == 2, "count tie breaks to smallest label")
+    assert(p(3L).getAs[Double]("purity") == 1.0)
+  }
+
   test("vocabCoverage: vocab selection is TakeOrdered (distributed top-k), not a global window") {
     val d = Seq(("en", "a b c")).toDF("lang", "text")
     val plan = TextAnalysis.vocabCoverage(d, "text", "lang", v = 2)
