@@ -3295,7 +3295,9 @@ object SparkEntry {
     // label-coherent enough to trust for dedup decisions?
     "q_cluster_purity" -> { (s, dir) =>
       val e = Sources.table(s, dir, "embeddings")
-      val pairs = Similarity.thresholdPairs(e, 0.35).select(col("id1"), col("id2"))
+      // banded pair generation (recall-1 at this τ, the q_lsh_pairs
+      // verified property) — the brute thresholdPairs arm is quadratic
+      val pairs = Similarity.lshPairsAuto(e, 0.35).select(col("id1"), col("id2"))
       val comp = Dedup.components(pairs, e.select(col("vec_id")), "vec_id")
       graft.llm.Similarity.clusterPurity(
         comp.join(e.select(col("vec_id"), col("label")), "vec_id"),
