@@ -3302,6 +3302,24 @@ object SparkEntry {
       graft.llm.Similarity.clusterPurity(
         comp.join(e.select(col("vec_id"), col("label")), "vec_id"),
         "canonical_id", "label")
+    },
+    // incremental manifest (CorpusStats.manifestHomomorphic + merge):
+    // the additive digest law exercised end-to-end — two halves merged
+    // must equal the whole corpus manifest (and the oracle replays the
+    // whole-corpus digests directly).
+    "q_manifest_inc" -> { (s, dir) =>
+      val d = Sources.table(s, dir, "documents")
+      graft.llm.CorpusStats.manifestMerge(
+        graft.llm.CorpusStats.manifestHomomorphic(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", shards = 16),
+        graft.llm.CorpusStats.manifestHomomorphic(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", shards = 16))
+    },
+    // split-conformal interval half-width (Calibrate.conformal): per
+    // event_type, calibration = odd event ids, alpha = 0.1.
+    "q_conformal" -> { (s, dir) =>
+      graft.operators.Calibrate.conformal(Sources.table(s, dir, "events"),
+        "event_type", "value", col("event_id") % 2 === 1, alpha = 0.1)
     }
   )
 
@@ -7629,6 +7647,30 @@ object SparkEntry {
         |    CAST(SUM(c) OVER (PARTITION BY cluster) AS BIGINT) AS n,
         |    row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rk
         |  FROM cells)
-        |WHERE rk = 1""".stripMargin
+        |WHERE rk = 1""".stripMargin,
+    // whole-corpus homomorphic digests — the merged-halves Spark plan
+    // must land on exactly these (the additive law end-to-end)
+    "q_manifest_inc" ->
+      """WITH fp AS (SELECT CAST(doc_id % 16 AS INT) AS shard,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |per AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT) AS digest
+        |  FROM fp GROUP BY 1),
+        |root AS (SELECT -1 AS shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(CAST(SUM(CAST(digest AS HUGEINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT) AS digest
+        |  FROM per)
+        |SELECT * FROM per UNION ALL SELECT * FROM root""".stripMargin,
+    // same train-mean, same residual, same clamped ceil((n+1)·0.9) rank
+    "q_conformal" ->
+      """WITH tr AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_train
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |cal AS (SELECT e.event_type, abs(e.value - tr.mean_train) AS r, tr.mean_train
+        |  FROM events e JOIN tr USING (event_type) WHERE e.event_id % 2 = 1),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal FROM cal)
+        |SELECT event_type, n_cal, round(mean_train, 6) AS mean_train, round(r, 6) AS qhat
+        |FROM rk WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)""".stripMargin
   )
 }

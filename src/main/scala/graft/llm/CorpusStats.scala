@@ -222,6 +222,53 @@ object CorpusStats {
     * shards so a shard's fingerprints fit an executor; 100 TB at 1M
     * shards = ~3 MB of fingerprints per shard). The root reduction runs
     * over `shards` rows. */
+  /** Modulus of the homomorphic digest lanes: 2^61 keeps every digest a
+    * non-negative BIGINT both engines carry exactly. */
+  val HomomorphicMod: Long = 1L << 61
+
+  /** Order-INDEPENDENT manifest twin: per-shard digest = Σ doc-hash mod
+    * 2^61 — additive, so a delta batch folds in WITHOUT rescanning the
+    * shard ([[manifestMerge]]; the Warehouse.aggregate/merge IVM law
+    * applied to integrity digests). The price vs [[manifest]] is a
+    * weaker adversarial story (sums can be forged by colluding docs;
+    * md5-of-sorted-concat cannot) — use this for drift DETECTION on a
+    * trusted pipeline, the exact manifest for release signoff. Same
+    * output schema: (shard, n_docs, digest) + root row (shard −1). */
+  def manifestHomomorphic(df: DataFrame, idCol: String, textCol: String,
+                          shards: Int): DataFrame = {
+    require(shards >= 1, s"shards $shards must be >= 1")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"), col(textCol))),
+      1, 15), 16, 10).cast("long").cast("decimal(38,0)")
+    val perShard = df
+      .select(pmod(col(idCol), lit(shards)).cast("int").as("shard"), h.as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        pmod(sum(col("h")), lit(HomomorphicMod).cast("decimal(38,0)"))
+          .cast("long").as("digest"))
+    perShard.unionByName(rootRow(perShard))
+  }
+
+  /** Fold a delta manifest into a base manifest — shard-wise modular
+    * addition, no data rescan. Both inputs are [[manifestHomomorphic]]
+    * outputs WITHOUT root rows mixed across corpora; the root is
+    * recomputed. merge(manifest(A), manifest(B)) == manifest(A ∪ B) by
+    * the additive law (spec-pinned). */
+  def manifestMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val perShard = base.filter(col("shard") >= 0)
+      .unionByName(delta.filter(col("shard") >= 0))
+      .groupBy("shard")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        pmod(sum(col("digest").cast("decimal(38,0)")),
+          lit(HomomorphicMod).cast("decimal(38,0)")).cast("long").as("digest"))
+    perShard.unionByName(rootRow(perShard))
+  }
+
+  private def rootRow(perShard: DataFrame): DataFrame =
+    perShard.groupBy(lit(-1).as("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        pmod(sum(col("digest").cast("decimal(38,0)")),
+          lit(HomomorphicMod).cast("decimal(38,0)")).cast("long").as("digest"))
+
   def manifest(df: DataFrame, idCol: String, textCol: String,
                shards: Int): DataFrame = {
     require(shards >= 1, s"shards $shards must be >= 1")

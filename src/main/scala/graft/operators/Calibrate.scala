@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Monotone calibration: per-key isotonic regression by Pool-Adjacent-
@@ -107,5 +107,37 @@ object Calibrate {
       .agg(sum(col("rel_part")), sum(col("res_part"))).head
     val ybar = df.agg(avg(col(labelCol).cast("double"))).head.getDouble(0)
     (parts.getDouble(0), parts.getDouble(1), ybar * (1 - ybar))
+  }
+
+  /** Split-conformal interval half-width per group (Vovk; Lei et al.
+    * 2018 §2): the calibration split's ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual around the training split's group mean —
+    * intervals mean ± q̂ then cover a fresh point with probability
+    * ≥ 1−α, distribution-free. `calFlag` marks calibration rows (the
+    * rest train). Rank clamps to n_cal (α smaller than 1/(n+1) has no
+    * finite-sample certificate).
+    *
+    * Shape: one train aggregate (exact decimal sums → broadcast means),
+    * one residual projection, one rank window per group over the
+    * calibration rows only. Output (group, n_cal, mean_train, qhat). */
+  def conformal(df: DataFrame, groupCol: String, valueCol: String,
+                calFlag: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha $alpha out of (0,1)")
+    val x = col(valueCol).cast("decimal(18,4)")
+    val means = df.filter(!calFlag).groupBy(col(groupCol))
+      .agg((sum(x).cast("double") / count(lit(1)).cast("double")).as("mean_train"))
+    val resid = df.filter(calFlag)
+      .join(broadcast(means), groupCol)
+      .withColumn("r", abs(col(valueCol).cast("double") - col("mean_train")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("r"))
+    resid
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_cal", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .filter(col("rk") ===
+        least(ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"), col("n_cal")))
+      .select(col(groupCol), col("n_cal"),
+        round(col("mean_train"), 6).as("mean_train"), round(col("r"), 6).as("qhat"))
   }
 }

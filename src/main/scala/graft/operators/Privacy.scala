@@ -67,14 +67,20 @@ object Privacy {
     *
     * Laplace inverse CDF: u ∈ [0,1) → −b·sign(u−½)·ln(1−2|u−½|). */
   def dpHistogram(df: DataFrame, keyCol: String, epsilon: Double,
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .select(col(keyCol), round(col("n") + laplaceNoise(col(keyCol), epsilon, seed), 6)
+        .as("noisy_n"))
+
+  /** The Laplace(1/ε) noise column keyed on `key` — shared by the batch
+    * release above and the streaming twin (a windowed count is just
+    * another aggregate to noise; same key ⇒ same noise, so a re-emitted
+    * complete-mode row stays consistent). */
+  def laplaceNoise(key: Column, epsilon: Double, seed: Long): Column = {
     require(epsilon > 0, s"epsilon $epsilon must be > 0")
-    val counter = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val counter = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
     val u = graft.functions.VectorExprs.unitDraw(counter, seed)
     val b = 1.0 / epsilon
-    val noise = -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
-    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .select(col(keyCol), round(col("n") + noise, 6).as("noisy_n"))
+    -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
   }
 }

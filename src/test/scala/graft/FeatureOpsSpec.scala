@@ -264,6 +264,35 @@ class FeatureOpsSpec extends AnyFunSuite {
       "untouched shards keep their digest — mismatch names the shard")
   }
 
+  test("homomorphic manifest: merge(A, B) == manifest(A ∪ B), order-free") {
+    val d = (1 to 300).map(i => (i.toLong, s"body $i")).toDF("doc_id", "text")
+    val a = d.filter(col("doc_id") <= 120)
+    val b = d.filter(col("doc_id") > 120)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val whole = rows(graft.llm.CorpusStats.manifestHomomorphic(d, "doc_id", "text", 8))
+    val merged = rows(graft.llm.CorpusStats.manifestMerge(
+      graft.llm.CorpusStats.manifestHomomorphic(a, "doc_id", "text", 8),
+      graft.llm.CorpusStats.manifestHomomorphic(b, "doc_id", "text", 8)))
+    assert(merged == whole, "additive law must hold shard-for-shard incl. root")
+    assert(whole.keySet.contains(-1) && whole(-1)._1 == 300L)
+  }
+
+  test("conformal: finite-sample coverage on the calibration distribution") {
+    // residuals 1..100 around a constant train mean: qhat at alpha=.1 is
+    // the ceil(101*.9)=91st smallest residual = 91
+    val train = (1 to 50).map(i => ("g", 0.0, false))
+    val cal = (1 to 100).map(i => ("g", i.toDouble, true))
+    val d = (train ++ cal).toDF("g", "v", "is_cal")
+    val r = graft.operators.Calibrate.conformal(d, "g", "v", col("is_cal"), 0.1).head()
+    assert(r.getAs[Long]("n_cal") == 100L)
+    assert(r.getAs[Double]("mean_train") == 0.0)
+    assert(r.getAs[Double]("qhat") == 91.0)
+    // alpha below 1/(n+1): rank clamps to n_cal instead of overflowing
+    val tight = graft.operators.Calibrate.conformal(d, "g", "v", col("is_cal"), 0.001).head()
+    assert(tight.getAs[Double]("qhat") == 100.0)
+  }
+
   // ---- Similarity.clusterPurity ----
 
   test("clusterPurity: dominant label, smallest-label tie, exact purity") {

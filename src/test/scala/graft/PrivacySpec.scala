@@ -98,4 +98,32 @@ class PrivacySpec extends AnyFunSuite {
     assert(brute.subsetOf(banded),
       s"brute reciprocal pairs at τ must survive banding: ${brute -- banded}")
   }
+
+  test("DP release streaming twin: noised stream counts == batch dpHistogram after replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[StKey]
+    implicit val sq = spark.sqlContext
+    val rows = (1 to 500).map(i => StKey(s"k${i % 7}"))
+    val batch = Privacy.dpHistogram(spark.createDataset(rows).toDF(), "k",
+      epsilon = 1.0, seed = 5L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val mem = MemoryStream[StKey]
+    // same noise column over a complete-mode streaming count — the key
+    // determines the noise, so re-emitted rows stay consistent
+    val noised = mem.toDF().groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        round(col("n") + Privacy.laplaceNoise(col("k"), 1.0, 5L), 6).as("noisy_n"))
+    val q = noised.writeStream.outputMode("complete")
+      .format("memory").queryName("dp_stream").start()
+    rows.grouped(120).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table("dp_stream")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stream == batch, "stream release must equal the batch release bit-for-bit")
+  }
 }
+
+/** Key row for the DP streaming twin (top-level for the encoder). */
+case class StKey(k: String)
