@@ -3320,6 +3320,14 @@ object SparkEntry {
     "q_conformal" -> { (s, dir) =>
       graft.operators.Calibrate.conformal(Sources.table(s, dir, "events"),
         "event_type", "value", col("event_id") % 2 === 1, alpha = 0.1)
+    },
+    // Theil–Sen robust per-user trend (Forecast.theilSen): median
+    // pairwise slope — the outlier-proof twin of q_ols_trend.
+    "q_theil_sen" -> { (s, dir) =>
+      graft.operators.Forecast.theilSen(Sources.table(s, dir, "events"),
+          "user_id", "ts", "value", "event_id", epochBaseMicros = 1704067200000000L)
+        .select(col("key").as("user_id"), col("n"),
+          col("slope"), col("intercept"))
     }
   )
 
@@ -7671,6 +7679,28 @@ object SparkEntry {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r) AS rk,
         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal FROM cal)
         |SELECT event_type, n_cal, round(mean_train, 6) AS mean_train, round(r, 6) AS qhat
-        |FROM rk WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)""".stripMargin
+        |FROM rk WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)""".stripMargin,
+    // pairwise slopes → two-rank median, residual medians off the
+    // broadcast slope — replayed rank-for-rank
+    "q_theil_sen" ->
+      """WITH pts AS (SELECT user_id AS key,
+        |    FLOOR((epoch_us(ts) - 1704067200000000) / 1000000.0) AS x,
+        |    value AS y, event_id AS o FROM events),
+        |pairs AS (SELECT a.key, (b.y - a.y) / (b.x - a.x) AS s
+        |  FROM pts a JOIN pts b ON a.key = b.key AND a.o < b.o AND b.x <> a.x),
+        |ms AS (SELECT key, avg(s) AS slope FROM (
+        |    SELECT key, s, row_number() OVER (PARTITION BY key ORDER BY s) AS rk,
+        |      count(*) OVER (PARTITION BY key) AS n FROM pairs)
+        |  WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT) OR rk = n // 2 + 1 GROUP BY key),
+        |res AS (SELECT pts.key, pts.y - ms.slope * pts.x AS b
+        |  FROM pts JOIN ms ON pts.key = ms.key),
+        |mi AS (SELECT key, avg(b) AS intercept FROM (
+        |    SELECT key, b, row_number() OVER (PARTITION BY key ORDER BY b) AS rk,
+        |      count(*) OVER (PARTITION BY key) AS n FROM res)
+        |  WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT) OR rk = n // 2 + 1 GROUP BY key)
+        |SELECT n.key AS user_id, n.n, round(ms.slope, 6) + 0.0 AS slope,
+        |  round(mi.intercept, 6) + 0.0 AS intercept
+        |FROM (SELECT key, count(*) AS n FROM pts GROUP BY 1) n
+        |LEFT JOIN ms ON n.key = ms.key LEFT JOIN mi ON n.key = mi.key""".stripMargin
   )
 }

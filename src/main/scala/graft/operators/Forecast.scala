@@ -148,4 +148,48 @@ object Forecast {
           (col("sy").cast("double") - sxy / sxx * col("sx").cast("double")) / n).as("intercept"),
         when(sxx =!= 0.0 && syy =!= 0.0, sxy * sxy / (sxx * syy)).as("r2"))
   }
+
+  /** Theil–Sen robust trend (Theil 1950; Sen 1968): per-key slope =
+    * MEDIAN of all pairwise slopes, intercept = median of (y − slope·x)
+    * — a 29%-breakdown estimator where [[olsTrend]]'s least squares
+    * follows any single wild point. Same re-based whole-second axis.
+    * Median = mean of the ⌈n/2⌉ and ⌊n/2⌋+1 order statistics (exact
+    * ranks, no interpolation-mode ambiguity).
+    *
+    * Scale shape: the pair set is a per-key equi self-join — O(n_k²)
+    * pairs bounded by the PER-KEY row count (the operator's documented
+    * contract; series with millions of points per key want the
+    * repeated-median or sampled variant, not this exact form). The
+    * slope medians are |keys| rows broadcast back for the intercept
+    * pass. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               ordCol: String, epochBaseMicros: Long): DataFrame = {
+    val x = floor((unix_micros(col(tsCol)) - epochBaseMicros).cast("double") / lit(1000000.0))
+    val pts = df.select(col(keyCol).as("key"), x.as("x"),
+      col(valCol).cast("double").as("y"), col(ordCol).as("o"))
+    val pairs = pts.alias("a")
+      .join(pts.alias("b"), col("a.key") === col("b.key") && col("a.o") < col("b.o"))
+      .filter(col("b.x") =!= col("a.x"))
+      .select(col("a.key").as("key"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("s"))
+    def medianOf(d: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col(vCol))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      d.withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(n))
+        .filter(col("__rk") === ceil(col("__n") / 2.0).cast("long") ||
+          col("__rk") === (col("__n") / 2 + 1))
+        .groupBy("key").agg(avg(col(vCol)).as(out), first(col("__n")).as(s"__cnt_$out"))
+    }
+    val slope = medianOf(pairs, "s", "slope").select(col("key"), col("slope"))
+    val resid = pts.join(broadcast(slope), "key")
+      .select(col("key"), col("slope"), (col("y") - col("slope") * col("x")).as("b"))
+    val intercept = medianOf(resid.select(col("key"), col("b")), "b", "intercept")
+      .select(col("key"), col("intercept"))
+    pts.groupBy("key").agg(count(lit(1)).as("n"))
+      .join(slope, Seq("key"), "left").join(intercept, Seq("key"), "left")
+      .select(col("key"), col("n"),
+        round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"))
+  }
 }

@@ -293,6 +293,23 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(tight.getAs[Double]("qhat") == 100.0)
   }
 
+  test("theilSen: immune to the outlier that drags OLS") {
+    import java.sql.Timestamp
+    val base = 1704067200000000L
+    def ts(sec: Long) = new Timestamp((base + sec * 1000000L) / 1000)
+    // y = 2x + 1 exactly, plus one wild point at x=10
+    val rows = (0L to 9L).map(i => ("k", ts(i), 2.0 * i + 1, i)) :+
+      (("k", ts(10L), 1000.0, 10L))
+    val d = rows.toDF("user_id", "ts", "value", "event_id")
+    val r = graft.operators.Forecast.theilSen(d, "user_id", "ts", "value",
+      "event_id", base).head()
+    assert(r.getAs[Double]("slope") == 2.0, "median slope shrugs off the outlier")
+    assert(r.getAs[Double]("intercept") == 1.0)
+    val ols = graft.operators.Forecast.olsTrend(d, "user_id", "ts", "value", base)
+      .head().getAs[Double]("slope")
+    assert(ols > 10.0, s"OLS must be dragged by the outlier (got $ols)")
+  }
+
   // ---- Similarity.clusterPurity ----
 
   test("clusterPurity: dominant label, smallest-label tie, exact purity") {
