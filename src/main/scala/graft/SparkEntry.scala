@@ -3328,6 +3328,31 @@ object SparkEntry {
           "user_id", "ts", "value", "event_id", epochBaseMicros = 1704067200000000L)
         .select(col("key").as("user_id"), col("n"),
           col("slope"), col("intercept"))
+    },
+    // per-language release datasheet (CorpusStats.datasheet): counts,
+    // dup rate, mean quality, tag-vs-content language agreement — the
+    // nutrition label, one grouped aggregate.
+    "q_datasheet" -> { (s, dir) =>
+      graft.llm.CorpusStats.datasheet(
+        Sources.table(s, dir, "documents"), "lang", "text")
+    },
+    // curriculum ordering (composition): epoch upsampling → hash
+    // sharding → quality-descending rank within (epoch, shard) — the
+    // deterministic training-order table a data loader consumes.
+    "q_curriculum" -> { (s, dir) =>
+      val docs = Sources.table(s, dir, "documents")
+      val epochs = graft.llm.Mixture.repeatEpochs(docs, "lang", "doc_id",
+        Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0), seed = 21L)
+      // md5-60bit shard bridge (xxhash64 has no SQL twin)
+      val sharded = epochs.withColumn("shard",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(4L)).cast("int"))
+        .withColumn("quality", graft.llm.TextAnalysis.qualityScore(col("text")))
+      sharded.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("epoch", "shard")
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .select(col("doc_id"), col("epoch"), col("shard"), col("quality"), col("rank"))
     }
   )
 
@@ -7701,6 +7726,66 @@ object SparkEntry {
         |SELECT n.key AS user_id, n.n, round(ms.slope, 6) + 0.0 AS slope,
         |  round(mi.intercept, 6) + 0.0 AS intercept
         |FROM (SELECT key, count(*) AS n FROM pts GROUP BY 1) n
-        |LEFT JOIN ms ON n.key = ms.key LEFT JOIN mi ON n.key = mi.key""".stripMargin
+        |LEFT JOIN ms ON n.key = ms.key LEFT JOIN mi ON n.key = mi.key""".stripMargin,
+    // the q_quality score and q_langid vote table, aggregated per lang
+    "q_datasheet" ->
+      """WITH per AS (SELECT lang, text, md5(text) AS fp,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS nt,
+        |    round((least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE) / 64.0, 1.0)
+        |      + CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(text, ' +')) AS DOUBLE)
+        |      + least((CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(text, ' +')) AS DOUBLE)) * 5.0, 1.0)) / 3.0, 6) AS q,
+        |    CASE
+        |      WHEN greatest(
+        |        len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))),
+        |        len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t))),
+        |        len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t))),
+        |        len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['el','la','los','y','es','un','una','en','por','para'], t)))) = 0 THEN 'und'
+        |      WHEN len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t)))
+        |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+        |       AND len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t)))
+        |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t)))
+        |       AND len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t)))
+        |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['el','la','los','y','es','un','una','en','por','para'], t))) THEN 'fr'
+        |      WHEN len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['el','la','los','y','es','un','una','en','por','para'], t)))
+        |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+        |       AND len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['el','la','los','y','es','un','una','en','por','para'], t)))
+        |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t))) THEN 'es'
+        |      WHEN len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+        |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], t))) THEN 'en'
+        |      ELSE 'de' END AS lang_pred
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+        |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+        |  round(CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS tag_agreement
+        |FROM per GROUP BY 1""".stripMargin,
+    // repeat-epoch replay + md5 shard bridge + quality-desc rank
+    "q_curriculum" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    CASE lang WHEN 'en' THEN 2.0 ELSE 1.0 END AS f FROM documents),
+         |ids AS (SELECT DISTINCT doc_id AS i FROM d),
+         |${unitCte("cu", "ids", 21L)},
+         |c AS (SELECT doc_id, lang, text,
+         |    CAST(FLOOR(f) AS INT) + CASE WHEN u < f - FLOOR(f) THEN 1 ELSE 0 END AS copies
+         |  FROM d JOIN cuu ON cuu.i = d.doc_id),
+         |ep AS (SELECT doc_id, text, CAST(unnest(range(0, copies)) AS INT) AS epoch
+         |  FROM c WHERE copies > 0),
+         |scored AS (SELECT doc_id, epoch,
+         |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS INT) AS shard,
+         |    round((least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE) / 64.0, 1.0)
+         |      + CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+         |        / CAST(len(string_split_regex(text, ' +')) AS DOUBLE)
+         |      + least((CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+         |        / CAST(len(string_split_regex(text, ' +')) AS DOUBLE)) * 5.0, 1.0)) / 3.0, 6) AS quality
+         |  FROM ep)
+         |SELECT doc_id, epoch, shard, quality,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard
+         |    ORDER BY quality DESC, doc_id) AS INT) AS rank
+         |FROM scored""".stripMargin
   )
 }

@@ -209,6 +209,32 @@ object CorpusStats {
           col("n_docs").cast("double"), 6).as("novelty"))
   }
 
+  /** Per-language dataset datasheet (the "nutrition label" a corpus
+    * release ships, Gebru et al. 2021 in one-aggregate form): doc and
+    * token counts, exact-dup rate, mean quality score, and the
+    * agreement rate between the recorded language tag and the content
+    * language id — tag/content disagreement is the classic mislabeled-
+    * subset smell. ONE grouped aggregate over per-row projections;
+    * quality means accumulate in exact decimals. */
+  def datasheet(df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val q = TextAnalysis.qualityScore(t).cast("decimal(18,6)")
+    val agree = when(TextAnalysis.langId(t) === col(langCol), 1L).otherwise(0L)
+    df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(t).cast("long")).as("n_tokens"),
+        count_distinct(md5(t)).as("n_distinct"),
+        sum(q).as("__q"),
+        sum(agree).as("__ag"))
+      .select(col(langCol), col("n_docs"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("__q").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"),
+        round(col("__ag").cast("double") / col("n_docs").cast("double"), 6)
+          .as("tag_agreement"))
+  }
+
   /** Content-addressable dataset manifest — the auditable-release
     * primitive: shard every document by id, digest each shard as the
     * md5 of its id-ordered per-doc fingerprints, and append a root row
