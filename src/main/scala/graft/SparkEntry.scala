@@ -2854,6 +2854,15 @@ object SparkEntry {
         col("event_id"))
       graft.operators.Intervals.mergeOverlaps(iv, "user_id", "s", "e", "event_id")
     },
+    // Coverage gaps between merged islands (Intervals.gaps): the
+    // missing-data report over the same synthetic intervals.
+    "q_gaps" -> { (s, dir) =>
+      val us = unix_micros(col("ts"))
+      val iv = Sources.table(s, dir, "events").select(col("user_id"),
+        us.as("s"), (us + ((col("event_id") % 7) + 1) * 3600000000L).as("e"),
+        col("event_id"))
+      graft.operators.Intervals.gaps(iv, "user_id", "s", "e", "event_id")
+    },
     // Association rules (Behavior.associationRules): market-basket
     // pairs over order baskets of 40 pseudo-categories — support /
     // confidence / lift, distinct-per-basket semantics.
@@ -6950,6 +6959,20 @@ object SparkEntry {
         |SELECT k AS key, CAST(island AS BIGINT) AS island, min(s) AS start, max(e) AS "end",
         |  count(*) AS n_src, max(e) - min(s) AS covered
         |FROM isl GROUP BY 1, 2""".stripMargin,
+    // the island table above + lead(start) — one more window
+    "q_gaps" ->
+      """WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + ((event_id % 7) + 1) * 3600000000 AS e, event_id AS o FROM events),
+        |m AS (SELECT *, MAX(e) OVER (PARTITION BY k ORDER BY s, e, o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+        |isl AS (SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY s, e, o
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+        |mg AS (SELECT k, island, min(s) AS start, max(e) AS "end"
+        |  FROM isl GROUP BY 1, 2),
+        |nx AS (SELECT *, lead("start", 1) OVER (PARTITION BY k ORDER BY island) AS ns FROM mg)
+        |SELECT k AS key, "end" AS gap_start, ns AS gap_end, ns - "end" AS gap_len
+        |FROM nx WHERE ns IS NOT NULL""".stripMargin,
     // distinct per-basket items, unit-keyed pair self-join, same ratios
     "q_assoc_rules" ->
       """WITH ui AS (SELECT DISTINCT l_orderkey AS u, 'c' || (l_partkey % 40) AS i FROM lineitem),
