@@ -235,6 +235,18 @@ object CorpusStats {
           .as("tag_agreement"))
   }
 
+  /** Arrival-time twin of [[noveltyByDay]]'s n_new lane for a live
+    * ingest feed: stateful first-occurrence dedup on the fingerprint
+    * (state = one row per DISTINCT fingerprint, exactly the batch
+    * form's grouping key) followed by a per-day count. When the feed
+    * arrives in day order — the ingest reality — first-arrival equals
+    * the batch min-day and the counts match exactly (parity spec).
+    * Run in complete output mode. */
+  def noveltyOnline(stream: DataFrame, dayCol: String, textCol: String): DataFrame =
+    stream.select(col(dayCol).as("day"), md5(col(textCol)).as("fp"))
+      .dropDuplicates("fp")
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+
   /** Content-addressable dataset manifest — the auditable-release
     * primitive: shard every document by id, digest each shard as the
     * md5 of its id-ordered per-doc fingerprints, and append a root row

@@ -127,3 +127,43 @@ class PrivacySpec extends AnyFunSuite {
 
 /** Key row for the DP streaming twin (top-level for the encoder). */
 case class StKey(k: String)
+
+/** Day-stamped doc row for the novelty streaming twin. */
+case class StDayDoc(day: Int, text: String)
+
+/** In-order ingest parity for the novelty monitor. */
+class NoveltyStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("noveltyOnline == batch noveltyByDay n_new when the feed arrives in day order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions._
+    implicit val enc = Encoders.product[StDayDoc]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // 6 days, repeats drawn from a shrinking novel pool
+    val rows = (0 until 6).flatMap { d =>
+      (0 until 50).map { i =>
+        val novel = rnd.nextDouble() < math.max(0.2, 1.0 - d * 0.2)
+        StDayDoc(d, if (novel) s"fresh $d $i" else s"seen ${rnd.nextInt(40)}")
+      }
+    }
+    val batch = graft.llm.CorpusStats.noveltyByDay(
+        spark.createDataset(rows).toDF(), "day", "text")
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_new")).toMap
+
+    val mem = MemoryStream[StDayDoc]
+    val q = graft.llm.CorpusStats.noveltyOnline(mem.toDF(), "day", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("novelty_stream").start()
+    rows.groupBy(_.day).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      mem.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val stream = spark.table("novelty_stream")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stream == batch,
+      "in-day-order arrival must reproduce the batch min-day novelty counts")
+  }
+}
