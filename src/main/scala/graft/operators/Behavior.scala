@@ -157,10 +157,9 @@ object Behavior {
         min(when(col(typeCol) === convType, t)).as("tc"))
       .filter(col("tc").isNotNull)
       .select((col("tc") - col("t0")).as("t2c"), col("user"))
-    val ranked = per
-      .withColumn("__r", row_number().over(Window.orderBy(col("t2c"), col("user"))))
-      .withColumn("__n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // per-USER table — distributed two-level rank, not a global window
+    val ranked = Ranking.withGlobalOrder(per,
+      Seq(col("t2c"), col("user")), rankCol = "__r", countCol = Some("__n"))
     val pcts = events.sparkSession.createDataFrame(
       percentiles.map(Tuple1(_))).toDF("p_pct")
     ranked.join(broadcast(pcts),
@@ -285,17 +284,22 @@ object Behavior {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary"))
-    val n = Window.partitionBy()
-    def score(c: Column, asc: Boolean) = {
-      val w = Window.orderBy(if (asc) c.asc else c.desc, col("u"))
-      ceil(row_number().over(w) * lit(q.toLong) / count(lit(1)).over(n).cast("double"))
-        .cast("int")
-    }
+    // three distributed ranks over the per-UNIT table (one range
+    // Exchange each, never a single-partition sort); the shared total
+    // count rides the last call's offsets table
     // recency: smaller is better → rank DESC so the most recent gets q
-    per.select(col("u"), col("recency_days"), col("frequency"), col("monetary"),
-      score(col("recency_days"), asc = false).as("r_score"),
-      score(col("frequency"), asc = true).as("f_score"),
-      score(col("monetary"), asc = true).as("m_score"))
+    val ranked = Ranking.withGlobalOrder(
+      Ranking.withGlobalOrder(
+        Ranking.withGlobalOrder(per,
+          Seq(col("recency_days").desc, col("u")), rankCol = "__rr"),
+        Seq(col("frequency"), col("u")), rankCol = "__rf"),
+      Seq(col("monetary"), col("u")), rankCol = "__rm", countCol = Some("__n"))
+    def score(r: Column) =
+      ceil(r * lit(q.toLong) / col("__n").cast("double")).cast("int")
+    ranked.select(col("u"), col("recency_days"), col("frequency"), col("monetary"),
+      score(col("__rr")).as("r_score"),
+      score(col("__rf")).as("f_score"),
+      score(col("__rm")).as("m_score"))
   }
 
   /** Top event paths: the k most common ordered type sequences over
@@ -330,18 +334,20 @@ object Behavior {
     * draws included. The B·n draw table joins the indexed units on the
     * drawn index (broadcast — the unit table was already reduced to one
     * row per unit); resample sums are DECIMAL-exact; the CI is read at
-    * DISCRETE ranks ⌈αB⌉ (order statistics, no interpolation). The unit
-    * indexing window is global but runs on the REDUCED per-unit table —
-    * the same bounded-domain pattern as the survival curve.
+    * DISCRETE ranks ⌈αB⌉ (order statistics, no interpolation). Unit
+    * indexing is [[Ranking.withGlobalOrder]]'s distributed rank (a
+    * per-unit table can still be huge); only the B-row resample-means
+    * rank keeps a bare ordered window (bounded by nBoot).
     *
     * Returns one row: (n_units, n_boot, est, ci_lo, ci_hi). */
   def bootstrapCi(perUnit: DataFrame, idCol: String, valueCol: String,
                   nBoot: Int, seed: Long, alpha: Double = 0.05): DataFrame = {
     val spark = perUnit.sparkSession
-    val units = perUnit.select(col(idCol).as("uid"),
-        col(valueCol).cast("decimal(18,2)").as("y"))
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("uid")) - 1)
+    val units = Ranking.withGlobalOrder(
+        perUnit.select(col(idCol).as("uid"),
+          col(valueCol).cast("decimal(18,2)").as("y")),
+        Seq(col("uid")), rankCol = "__rk")
+      .withColumn("idx", col("__rk") - 1).drop("__rk")
     val n = units.count()
     val nD = n.toDouble
     val draws = spark.range(nBoot.toLong * n).select(

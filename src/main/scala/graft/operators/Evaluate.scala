@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * stability (PSI), and Gini concentration — the standard "is the
   * model/segment still behaving" dashboard trio.
   *
-  * All three run on ENTITY-scale tables (per-user scores, per-bin
-  * counts, per-customer spend), not event-scale ones — the global
-  * ordered windows here follow the [[Behavior.rfm]] precedent: the
-  * corpus-scale work is the upstream aggregate that built the entity
-  * table; what's sorted globally is one row per entity/bin. Ratios are
-  * formed from exact integer/DECIMAL sums and divided once. */
+  * The ranked readouts (gains/ABC/Gini) run over ENTITY-scale tables —
+  * billions of rows at 100 TB — so their global orderings ride
+  * [[Ranking.withGlobalOrder]]'s two-level distributed rank (range
+  * Exchange + per-partition window + broadcast offsets), never a
+  * single-partition sort; only the ≤buckets/≤bins summary tables use
+  * bare ordered windows. Ratios are formed from exact integer/DECIMAL
+  * sums and divided once. */
 object Evaluate {
 
   /** Cumulative gains/lift by score decile (or any `buckets`): rank by
@@ -23,11 +24,8 @@ object Evaluate {
   def gainsTable(df: DataFrame, labelCol: String, scoreCol: String,
                  ordCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets $buckets must be >= 2")
-    val w = Window.orderBy(col(scoreCol).desc, col(ordCol))
-    val ranked = df
-      .withColumn("__r", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ranked = Ranking.withGlobalOrder(df,
+      Seq(col(scoreCol).desc, col(ordCol)), rankCol = "__r", countCol = Some("__n"))
     val perBucket = ranked
       .withColumn("bucket",
         ceil(col("__r") * buckets / col("__n").cast("double")).cast("int"))
@@ -84,23 +82,20 @@ object Evaluate {
     * value DESC (ties by `ordCol`), cumulative share of the exact
     * total, class A while share ≤ `aCut`, B while ≤ `bCut`, else C.
     * The share is one double division of exact decimal cum/total per
-    * entity, so class boundaries are engine-stable. Runs on the
-    * ENTITY table ([[gainsTable]]'s global-window caveat). */
+    * entity, so class boundaries are engine-stable. The running sum is
+    * [[Ranking.withGlobalOrder]]'s distributed prefix — the entity
+    * table never single-partition-sorts. */
   def abcClassify(df: DataFrame, idCol: String, valueCol: String,
                   aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
     require(0 < aCut && aCut < bCut && bCut < 1, "need 0 < aCut < bCut < 1")
     val v = col(valueCol).cast("decimal(28,2)")
-    val wCum = Window.orderBy(col(valueCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(col(valueCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.withColumn("__cum", sum(v).over(wCum))
-      .withColumn("__tot", sum(v).over(wAll))
-      .withColumn("cum_share", col("__cum").cast("double") / col("__tot").cast("double"))
+    Ranking.withGlobalOrder(df, Seq(col(valueCol).desc, col(idCol)),
+        rankCol = "__rk", sums = Seq((v, "__cum")))
+      .withColumn("cum_share", col("__cum").cast("double") / col("__cum_tot").cast("double"))
       .withColumn("abc_class",
         when(col("cum_share") <= aCut, "A")
           .when(col("cum_share") <= bCut, "B").otherwise("C"))
-      .drop("__cum", "__tot")
+      .drop("__rk", "__cum", "__cum_tot")
   }
 
   /** Period-over-period price/volume/mix decomposition (the "why did
@@ -137,8 +132,8 @@ object Evaluate {
     * independent. One row: (n, total, gini). */
   def gini(df: DataFrame, valueCol: String, ordCol: String): DataFrame = {
     val x = col(valueCol).cast("decimal(28,2)")
-    val ranked = df
-      .withColumn("__i", row_number().over(Window.orderBy(col(valueCol), col(ordCol))))
+    val ranked = Ranking.withGlobalOrder(df,
+      Seq(col(valueCol), col(ordCol)), rankCol = "__i")
     ranked.agg(
       count(lit(1)).as("n"),
       sum(x).as("__s"),

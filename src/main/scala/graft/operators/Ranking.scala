@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordering — the two-level ranking that replaces a
+  * single-partition `row_number().over(Window.orderBy(...))` on
+  * entity-scale tables.
+  *
+  * An empty-partitionSpec window funnels its WHOLE input through ONE
+  * task: fine for a ≤bins histogram, a scale-killer for a per-user or
+  * per-part table (billions of rows at 100 TB on one executor). The
+  * classic fix is the zipWithIndex shape, expressed here declaratively:
+  *
+  *  1. ONE range Exchange on the sort key (partition i's keys all
+  *     precede partition j's for i < j — Spark's own global-sort
+  *     machinery, skew-resistant via sampled bounds);
+  *  2. capture the partition id, then rank/cumsum WITHIN each captured
+  *     id — a balanced window, every partition its own group;
+  *  3. per-partition row counts / sums form a ≤P-row summary whose
+  *     prefix sums are the cross-partition offsets — broadcast back.
+  *
+  * global rank = offset(pid) + local rank. The summary's own prefix
+  * window IS global but bounded by the shuffle-partition count — the
+  * bounded-domain exception the plan census whitelists.
+  *
+  * The range-partitioned input is persist-barriered
+  * ([[graft.util.Caching.barrier]]): the rank branch and the offsets
+  * branch MUST observe the same partition ids, and two independent
+  * executions of a range exchange may sample different bounds. The
+  * barrier also keeps the input to ONE scan.
+  */
+object Ranking {
+
+  /** `df` + a dense 1-based global row number `rankCol` over the TOTAL
+    * order `sortCols` (callers must tie-break to totality), plus for
+    * each `(expr, name)` in `sums` a running sum `name` and its grand
+    * total s"${name}_tot", plus (optionally) the total row count
+    * `countCol` — all computed without a single-partition sort and
+    * bit-identical to their global-window forms. */
+  def withGlobalOrder(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                      sums: Seq[(Column, String)] = Nil,
+                      countCol: Option[String] = None): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = graft.util.Caching.barrier(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__go_pid", spark_partition_id()))
+    val wLoc = Window.partitionBy("__go_pid").orderBy(sortCols: _*)
+    val wCum = wLoc.rowsBetween(Window.unboundedPreceding, 0)
+    val local = sums.zipWithIndex.foldLeft(
+      parted.withColumn("__go_lr", row_number().over(wLoc))) {
+      case (d, ((c, _), i)) => d.withColumn(s"__go_lc_$i", sum(c).over(wCum))
+    }
+    val perAggs = count(lit(1)).as("__go_c") +:
+      sums.zipWithIndex.map { case ((c, _), i) => sum(c).as(s"__go_pc_$i") }
+    val per = parted.groupBy(col("__go_pid")).agg(perAggs.head, perAggs.tail: _*)
+    // ≤P-row summary: prefix offsets + grand totals (bounded domain)
+    val wOff = Window.orderBy("__go_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("__go_pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = sums.zipWithIndex.foldLeft(
+      per.withColumn("__go_roff", coalesce(sum(col("__go_c")).over(wOff), lit(0L)))
+        .withColumn("__go_n", sum(col("__go_c")).over(wTot))) {
+      case (d, (_, i)) => d
+        .withColumn(s"__go_soff_$i", sum(col(s"__go_pc_$i")).over(wOff))
+        .withColumn(s"__go_stot_$i", sum(col(s"__go_pc_$i")).over(wTot))
+    }
+    val offCols = col("__go_pid") +: col("__go_roff") +: col("__go_n") +:
+      sums.indices.flatMap(i => Seq(col(s"__go_soff_$i"), col(s"__go_stot_$i")))
+    val joined = local.join(broadcast(offs.select(offCols: _*)), "__go_pid")
+      .withColumn(rankCol, col("__go_roff") + col("__go_lr"))
+    val withSums = sums.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, name), i)) => d
+        // null-ignoring running-sum semantics, matched piecewise: null
+        // offset = no non-null values in preceding partitions (local
+        // cumsum alone IS the global one); null local cumsum under a
+        // non-null offset = no non-null values yet in THIS partition
+        // (the offset alone is the global sum so far)
+        .withColumn(name, when(col(s"__go_soff_$i").isNull, col(s"__go_lc_$i"))
+          .otherwise(col(s"__go_soff_$i") + coalesce(col(s"__go_lc_$i"), lit(0))))
+        .withColumn(s"${name}_tot", col(s"__go_stot_$i"))
+    }
+    val withCount = countCol.fold(withSums)(n => withSums.withColumn(n, col("__go_n")))
+    val internal = Seq("__go_pid", "__go_lr", "__go_roff", "__go_n") ++
+      sums.indices.flatMap(i => Seq(s"__go_lc_$i", s"__go_pc_$i", s"__go_soff_$i", s"__go_stot_$i"))
+    withCount.drop(internal: _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranking
+
+/** Parity of the two-level distributed rank against the single-window
+  * global form — rank, running sum (incl. null lanes), totals — plus
+  * the plan property the refactor exists for: no empty-partitionSpec
+  * Window over the entity-scale input.
+  */
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = {
+    // 500 rows over a value domain with heavy ties; ord makes the order
+    // total; every 7th value is null to exercise sum-null semantics
+    (1 to 500).map { i =>
+      val v: java.lang.Double = if (i % 7 == 0) null else (i % 23).toDouble
+      (v, i.toLong)
+    }.toDF("v", "ord")
+  }
+
+  test("withGlobalOrder matches the global-window rank/cumsum/total bit-for-bit") {
+    val df = fixture
+    val dist = Ranking.withGlobalOrder(df,
+        Seq(col("v").desc_nulls_last, col("ord")), rankCol = "r",
+        sums = Seq((col("v").cast("decimal(28,2)"), "cum")),
+        countCol = Some("n"))
+      .select(col("ord"), col("r"), col("cum").cast("string"),
+        col("cum_tot").cast("string"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    graft.util.Caching.release()
+    val w = Window.orderBy(col("v").desc_nulls_last, col("ord"))
+    val glob = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v").cast("decimal(28,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_tot", sum(col("v").cast("decimal(28,2)"))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("ord"), col("r"), col("cum").cast("string"),
+        col("cum_tot").cast("string"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    assert(dist == glob)
+  }
+
+  test("all-null sum lane and empty input behave like the global window") {
+    val allNull = Seq.tabulate(20)(i => (null: java.lang.Double, i.toLong)).toDF("v", "ord")
+    val out = Ranking.withGlobalOrder(allNull, Seq(col("ord")), "r",
+        sums = Seq((col("v"), "cum")), countCol = Some("n"))
+      .select("ord", "r", "cum", "cum_tot", "n").collect()
+    graft.util.Caching.release()
+    assert(out.length == 20)
+    assert(out.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.getLong(4) == 20L))
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0 until 20).map(i => i.toLong -> (i + 1).toLong).toMap)
+
+    val empty = spark.emptyDataset[(Double, Long)].toDF("v", "ord")
+    assert(Ranking.withGlobalOrder(empty, Seq(col("ord")), "r").count() == 0)
+    graft.util.Caching.release()
+  }
+
+  test("rank is dense across range-partition boundaries (32 shuffle partitions)") {
+    val df = (1 to 2000).map(i => (i.toLong % 997, i.toLong)).toDF("v", "ord")
+    val ranks = Ranking.withGlobalOrder(df, Seq(col("v"), col("ord")), "r")
+      .select("r").as[Long].collect().sorted
+    graft.util.Caching.release()
+    assert(ranks.toSeq == (1L to 2000L))
+  }
+
+  test("plan: no empty-partitionSpec Window over the ranked input (only the ≤P-row summary)") {
+    val df = fixture
+    val plan = Ranking.withGlobalOrder(df, Seq(col("v"), col("ord")), "r")
+      .queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    // the only bare ordered windows sit above the per-partition-id
+    // Aggregate (≤ shuffle-partitions rows) — never above the raw input
+    assert(globalWindows.forall(_.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined))
+    graft.util.Caching.release()
+  }
+}
