@@ -3271,13 +3271,15 @@ object SparkEntry {
         keep = Seq("l_orderkey", "l_linenumber"))
     },
     // per-domain epoch upsampling (Mixture.repeatEpochs): en×2.5, de×2,
-    // fr×0.5, es×1, zh dropped — E[copies] exact via counter-mode
-    // fractional top-up.
+    // fr×0.5, es×1, zh EXPLICITLY dropped (factor 0 — unlisted domains
+    // now default to pass-through 1.0) via counter-mode fractional
+    // top-up.
     "q_repeat_epochs" -> { (s, dir) =>
       graft.llm.Mixture.repeatEpochs(
           Sources.table(s, dir, "documents").select("doc_id", "lang"),
           "lang", "doc_id",
-          Map("en" -> 2.5, "de" -> 2.0, "fr" -> 0.5, "es" -> 1.0), seed = 13L)
+          Map("en" -> 2.5, "de" -> 2.0, "fr" -> 0.5, "es" -> 1.0, "zh" -> 0.0),
+          seed = 13L)
         .select(col("doc_id"), col("lang"), col("epoch"))
     },
     // crawl-freshness monitor (CorpusStats.noveltyByDay): first-seen
@@ -7517,7 +7519,8 @@ object SparkEntry {
         |        (CAST(n AS DOUBLE) + 20.0), 6) AS mean_shrunk
         |FROM per, g""".stripMargin,
     // counter-mode replay: same splitmix mixer on doc_id·2^20 + pos,
-    // keep iff u >= rate, rebuild in position order
+    // keep iff u >= rate, rebuild in position order; empty/token-free
+    // docs rejoin as ('', 0, 0) — the row-preserving contract
     "q_word_dropout" ->
       s"""WITH d AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS l FROM documents),
@@ -7525,14 +7528,18 @@ object SparkEntry {
          |ids AS (SELECT DISTINCT doc_id * 1048576 + pos AS i FROM toks),
          |${unitCte("wd", "ids", 9L)},
          |k AS (SELECT doc_id, pos, tok, u FROM toks
-         |  JOIN wdu ON wdu.i = doc_id * 1048576 + pos)
-         |SELECT doc_id,
+         |  JOIN wdu ON wdu.i = doc_id * 1048576 + pos),
+         |agg AS (SELECT doc_id,
          |  coalesce(array_to_string(list_transform(
          |    list_sort(list({'p': pos, 't': tok}) FILTER (WHERE u >= 0.2)),
          |    x -> x.t), ' '), '') AS text_aug,
          |  count(*) AS n_tokens,
          |  CAST(SUM(CASE WHEN u < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-         |FROM k GROUP BY 1""".stripMargin,
+         |FROM k GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(agg.text_aug, '') AS text_aug,
+         |  coalesce(agg.n_tokens, 0) AS n_tokens,
+         |  coalesce(agg.n_dropped, 0) AS n_dropped
+         |FROM documents d0 LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_vocab_coverage" ->
       """WITH w AS (SELECT lang,
         |    unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS tok
@@ -7717,17 +7724,22 @@ object SparkEntry {
         |    CAST(CAST(SUM(CAST(digest AS HUGEINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT) AS digest
         |  FROM per)
         |SELECT * FROM per UNION ALL SELECT * FROM root""".stripMargin,
-    // same train-mean, same residual, same clamped ceil((n+1)·0.9) rank
+    // same train-mean, same residual, same clamped ceil((n+1)·0.9)
+    // rank; every group emits (missing-split groups get null qhat)
     "q_conformal" ->
-      """WITH tr AS (SELECT event_type,
+      """WITH g AS (SELECT DISTINCT event_type FROM events),
+        |tr AS (SELECT event_type,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_train
         |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
-        |cal AS (SELECT e.event_type, abs(e.value - tr.mean_train) AS r, tr.mean_train
+        |cal AS (SELECT e.event_type, abs(e.value - tr.mean_train) AS r
         |  FROM events e JOIN tr USING (event_type) WHERE e.event_id % 2 = 1),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r) AS rk,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal FROM cal)
-        |SELECT event_type, n_cal, round(mean_train, 6) AS mean_train, round(r, 6) AS qhat
-        |FROM rk WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)""".stripMargin,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal FROM cal),
+        |certs AS (SELECT event_type, n_cal, round(r, 6) AS qhat
+        |  FROM rk WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal))
+        |SELECT g.event_type, coalesce(certs.n_cal, 0) AS n_cal,
+        |  round(tr.mean_train, 6) AS mean_train, certs.qhat
+        |FROM g LEFT JOIN certs USING (event_type) LEFT JOIN tr USING (event_type)""".stripMargin,
     // pairwise slopes → two-rank median, residual medians off the
     // broadcast slope — replayed rank-for-rank
     "q_theil_sen" ->

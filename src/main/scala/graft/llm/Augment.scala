@@ -28,8 +28,11 @@ object Augment {
     * standard denoising-view generator): drop each whitespace token
     * independently with probability `rate`, decided by the unit draw on
     * `doc_id * PosStride + position` under `seed`. Returns (id,
-    * text_aug, n_tokens, n_dropped); token order is preserved via the
-    * position sort inside the rebuild. */
+    * text_aug, n_tokens, n_dropped) for EVERY input row — a document
+    * with null or token-free text survives as (id, '', 0, 0) via the
+    * left join back to the input ids (a corpus transform must not lose
+    * rows); token order is preserved via the position sort inside the
+    * rebuild. */
   def wordDropout(df: DataFrame, idCol: String, textCol: String,
                   rate: Double, seed: Long = 42L): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
@@ -39,7 +42,7 @@ object Augment {
       .withColumn("u", graft.functions.VectorExprs.unitDraw(
         col("id") * PosStride + col("pos"), seed))
       .withColumn("kept", col("u") >= rate)
-    exploded.groupBy("id")
+    val agg = exploded.groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
         // collect_list skips nulls, so dropped tokens vanish here while
@@ -49,6 +52,12 @@ object Augment {
           array_sort(collect_list(when(col("kept"),
             struct(col("pos"), col("tok"))))),
           s => s.getField("tok")), " ").as("text_aug"))
-      .select(col("id").as(idCol), col("text_aug"), col("n_tokens"), col("n_dropped"))
+    // posexplode emits zero rows for empty/null docs — rejoin so they
+    // come back as (id, '', 0, 0) instead of silently vanishing
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_aug"), lit("")).as("text_aug"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 }

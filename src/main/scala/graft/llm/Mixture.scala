@@ -196,15 +196,20 @@ object Mixture {
     * mixture knob): each row is repeated `floor(f)` times plus one more
     * for the first `frac(f)` share of rows by counter-mode draw —
     * E[copies] = f exactly, deterministic, replayable. Adds `epoch`
-    * (0-based copy index) to every emitted row. A factor of 0 drops the
-    * domain; fractional factors < 1 are plain subsampling.
+    * (0-based copy index) to every emitted row. A factor of 0 DROPS the
+    * domain (zero output rows); fractional factors < 1 are plain
+    * subsampling. Domains absent from `factors` get `defaultFactor`
+    * (1.0 = pass through unchanged) — to drop unlisted domains, pass
+    * defaultFactor = 0 or list them explicitly at 0.
     *
     * Shape: a literal CASE lookup + one explode — zero shuffle; the
     * blow-up is the OUTPUT size, which is the point. */
   def repeatEpochs(df: DataFrame, domainCol: String, idCol: String,
-                   factors: Map[String, Double], seed: Long = 42L): DataFrame = {
-    require(factors.values.forall(_ >= 0), "repeat factors must be >= 0")
-    val base = factors.foldLeft(lit(0.0)) { case (acc, (dom, f)) =>
+                   factors: Map[String, Double], seed: Long = 42L,
+                   defaultFactor: Double = 1.0): DataFrame = {
+    require(factors.values.forall(_ >= 0) && defaultFactor >= 0,
+      "repeat factors must be >= 0")
+    val base = factors.foldLeft(lit(defaultFactor)) { case (acc, (dom, f)) =>
       when(col(domainCol) === dom, lit(f)).otherwise(acc)
     }
     val whole = floor(base).cast("int")

@@ -21,10 +21,13 @@ object Binning {
 
   /** Equal-width bin id in [0, bins): `least(floor((x-lo)/w), bins-1)`
     * with the max value clamped into the last bin. `lo`/`hi` come from
-    * one bounds aggregate broadcast back over the scan. */
+    * one bounds aggregate broadcast back over the scan. A constant
+    * feature (hi == lo) degenerates to 0/0 = NaN → null bin ids that
+    * `least` would silently skip — guard it to bin 0 explicitly. */
   private def binId(x: Column, lo: Column, hi: Column, bins: Int): Column = {
     val w = (hi - lo) / lit(bins.toDouble)
-    least(floor((x - lo) / w).cast("int"), lit(bins - 1))
+    when(hi === lo, lit(0))
+      .otherwise(least(floor((x - lo) / w).cast("int"), lit(bins - 1)))
   }
 
   /** Weight-of-Evidence table over equal-width bins of `featureCol`

@@ -119,11 +119,16 @@ object Calibrate {
     *
     * Shape: one train aggregate (exact decimal sums → broadcast means),
     * one residual projection, one rank window per group over the
-    * calibration rows only. Output (group, n_cal, mean_train, qhat). */
+    * calibration rows only. Output: ONE row for EVERY group present in
+    * `df` — (group, n_cal, mean_train, qhat). A group with no train
+    * rows has null mean_train (and null qhat); a group with train rows
+    * but no calibration rows has n_cal = 0 and null qhat — "no
+    * certificate available" is visible, never silently absent. */
   def conformal(df: DataFrame, groupCol: String, valueCol: String,
                 calFlag: Column, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha $alpha out of (0,1)")
     val x = col(valueCol).cast("decimal(18,4)")
+    val groups = df.select(col(groupCol)).distinct()
     val means = df.filter(!calFlag).groupBy(col(groupCol))
       .agg((sum(x).cast("double") / count(lit(1)).cast("double")).as("mean_train"))
     val resid = df.filter(calFlag)
@@ -131,13 +136,15 @@ object Calibrate {
       .withColumn("r", abs(col(valueCol).cast("double") - col("mean_train")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("r"))
-    resid
+    val certs = resid
       .withColumn("rk", row_number().over(w))
       .withColumn("n_cal", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
       .filter(col("rk") ===
         least(ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"), col("n_cal")))
-      .select(col(groupCol), col("n_cal"),
-        round(col("mean_train"), 6).as("mean_train"), round(col("r"), 6).as("qhat"))
+      .select(col(groupCol), col("n_cal"), round(col("r"), 6).as("qhat"))
+    groups.join(certs, Seq(groupCol), "left").join(means, Seq(groupCol), "left")
+      .select(col(groupCol), coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        round(col("mean_train"), 6).as("mean_train"), col("qhat"))
   }
 }

@@ -166,6 +166,59 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(hi.subsetOf(lo), "tokens kept at rate .4 must be kept at rate .1")
   }
 
+  test("wordDropout: null and token-free docs survive as (id, '', 0, 0)") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, null: String), (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = Augment.wordDropout(d, "doc_id", "text", rate = 0.2, seed = 3L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "corpus transform must not lose rows")
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[String]("text_aug") == "")
+      assert(out(id).getAs[Long]("n_tokens") == 0L)
+      assert(out(id).getAs[Long]("n_dropped") == 0L)
+    }
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+  }
+
+  test("woeBins/bestSplitStump: constant feature lands every row in bin 0, stays finite") {
+    val const = Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false)).toDF("x", "y")
+    val t = Binning.woeBins(const, "x", col("y"), bins = 4).collect()
+    assert(t.length == 1 && t.head.getAs[Int]("bin") == 0)
+    assert(t.head.getAs[Long]("n") == 4L)
+    assert(!t.head.getAs[Double]("woe").isNaN)
+    // a constant feature has no split with a non-empty right side
+    assert(Binning.bestSplitStump(const, "x", col("y"), bins = 4).count() == 0)
+  }
+
+  test("repeatEpochs: unlisted domains default to pass-through (factor 1)") {
+    val d = Seq((1L, "en"), (2L, "xx"), (3L, "xx")).toDF("doc_id", "lang")
+    val out = graft.llm.Mixture.repeatEpochs(d, "lang", "doc_id",
+      Map("en" -> 2.0), seed = 3L).collect()
+    val perDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perDoc == Map(1L -> 2, 2L -> 1, 3L -> 1),
+      "absent domain must mean factor 1, not silent drop")
+    // explicit 0 still drops
+    val dropped = graft.llm.Mixture.repeatEpochs(d, "lang", "doc_id",
+      Map("en" -> 2.0), seed = 3L, defaultFactor = 0.0).collect()
+    assert(dropped.forall(_.getString(1) == "en"))
+  }
+
+  test("conformal: groups missing a split emit with null qhat, never vanish") {
+    import graft.operators.Calibrate
+    // g1: both splits; g2: train-only; g3: cal-only
+    val d = Seq(("g1", 1.0, 0L), ("g1", 2.0, 1L), ("g1", 3.0, 2L), ("g1", 4.0, 3L),
+      ("g2", 5.0, 0L), ("g2", 6.0, 2L), ("g3", 7.0, 1L), ("g3", 8.0, 3L))
+      .toDF("g", "v", "id")
+    val out = Calibrate.conformal(d, "g", "v", col("id") % 2 === 1, alpha = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("g1", "g2", "g3"))
+    assert(out("g1").getAs[Long]("n_cal") == 2L && !out("g1").isNullAt(3))
+    assert(out("g2").getAs[Long]("n_cal") == 0L && out("g2").isNullAt(3))
+    assert(out("g2").getAs[Double]("mean_train") == 5.5)
+    assert(out("g3").isNullAt(2) && out("g3").isNullAt(3),
+      "no train rows: mean_train and qhat must both be null")
+  }
+
   // ---- TextAnalysis.vocabCoverage ----
 
   test("vocabCoverage: full coverage when vocab holds every word; OOV otherwise") {

@@ -99,6 +99,35 @@ class PrivacySpec extends AnyFunSuite {
       s"brute reciprocal pairs at τ must survive banding: ${brute -- banded}")
   }
 
+  test("mutualNearest/Banded: overlapping id spaces — equal ids are distinct vectors") {
+    // a and b reuse id 0: the cross-set search must still consider the
+    // (a:0, b:0) pair (r13 ADVICE — the self-match filter silently ate
+    // shared-id pairs in independently keyed corpora)
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val a = Seq((0L, v(1, 0, 0)), (1L, v(0, 1, 0))).toDF("vec_id", "embedding")
+    val b = Seq((0L, v(0.9, 0.1, 0)), (1L, v(0.1, 0.9, 0))).toDF("vec_id", "embedding")
+    val pairs = Similarity.mutualNearest(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 0L), (1L, 1L)))
+    // banded arm: side-tagged union keys keep the shared ids apart and
+    // map back to the original (typed) ids
+    val sf = TestSpark.sf
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ea = e.filter(col("vec_id") % 2 === 0)
+    // collide the id spaces: odd ids shifted down onto the even ones
+    val eb = e.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val tau = 0.4
+    val banded = Similarity.mutualNearestBanded(ea, eb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caching.release()
+    val brute = Similarity.mutualNearest(ea, eb).filter(col("cosine") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.forall { case (x, y) => x % 2 == 0 && y % 2 == 0 })
+    assert(brute.subsetOf(banded),
+      s"shared-id fixture: brute reciprocal τ-pairs must survive banding: ${brute -- banded}")
+  }
+
   test("DP release streaming twin: noised stream counts == batch dpHistogram after replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.Encoders
