@@ -21,6 +21,11 @@ object PlanAudit {
         args.lift(2).map(_.toInt).getOrElse(4))
       spark.stop(); return
     }
+    if (args.headOption.contains("census")) {
+      census(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"),
+        args.lift(2).getOrElse("/tmp/plan_census.json"))
+      spark.stop(); return
+    }
     val interesting = args.drop(1) match {
       case Array() => Seq("q1_lineitem_agg", "q2_revenue_by_nation", "q_filter",
         "q_stats_basic", "q_sample_asof", "q_knn", "q_dedup_exact")
@@ -51,6 +56,50 @@ object PlanAudit {
       } catch { case t: Throwable => println(s"$name ERROR ${t.getClass.getSimpleName}") }
       graft.util.Caching.release()
     }
+  }
+
+  /** Suite-wide plan-shape census → JSON, the mechanical regression gate
+    * (tools/plan_check.py compares it against tools/plan_budget.json —
+    * verify_gate fails on growth). Two numbers per query:
+    *
+    *  - `exchanges`: distinct Exchange operators in the executed plan —
+    *    each is a full materialize-and-repartition, THE compounding unit
+    *    of cost at 100 TB (the [[exchangeCensus]] plan_id dedupe rule);
+    *  - `global_windows`: logical Window nodes with an EMPTY
+    *    partitionSpec — each funnels its whole input through one task.
+    *    The r13 verdict's scale-killer pattern: a budget of N pins the
+    *    query's bare ordered windows to its known bounded-domain tables
+    *    (≤bins histograms, ≤P partition summaries); any NEW one fails
+    *    the gate instead of shipping silently.
+    *
+    * Counts are plan-shape properties, independent of data scale — the
+    * census runs at sf0.001 because some operators execute bounded
+    * fit/sizing jobs (counts, sketch bounds) while BUILDING the frame. */
+  def census(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+             outPath: String): Unit = {
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cell = try {
+        val df = fn(spark, sfDir)
+        val gw = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.size
+        val plan = df.queryExecution.executedPlan.toString
+        def count(kind: String) =
+          s"Exchange $kind[^\\[]*\\[plan_id=(\\d+)\\]".r
+            .findAllMatchIn(plan).map(_.group(1)).toSet.size
+        val x = count("hashpartitioning") + count("SinglePartition") +
+          count("rangepartitioning")
+        s"""{"exchanges": $x, "global_windows": $gw}"""
+      } catch {
+        case t: Throwable => s"""{"error": "${t.getClass.getSimpleName}"}"""
+      }
+      graft.util.Caching.release()
+      s""""$name": $cell"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      entries.mkString("{\n", ",\n", "\n}\n"))
+    println(s"plan census: ${entries.size} queries -> $outPath")
   }
 
   /** Suite-wide shuffle census: per-query count of Exchange operators in

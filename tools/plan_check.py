@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Plan-shape regression gate: compare a fresh PlanAudit census against
+the checked-in budget (tools/plan_budget.json).
+
+Fails (exit 1) when any query EXCEEDS its budgeted exchange count or
+empty-partitionSpec window count, when a query errored during census,
+or when a query has no budget row (new queries must be budgeted
+consciously — that is the point of the gate). Under-budget queries are
+reported as improvements; refresh the budget with:
+
+  sbt -batch "runMain graft.PlanAudit census /root/testdata/sf0.001 tools/plan_budget.json"
+
+Usage: plan_check.py <census.json> <budget.json>
+"""
+import json
+import sys
+
+
+def main(census_path, budget_path):
+    census = json.load(open(census_path))
+    budget = json.load(open(budget_path))
+    fails, improved, missing = [], [], []
+    for name, got in sorted(census.items()):
+        if "error" in got:
+            fails.append(f"{name}: census ERROR {got['error']}")
+            continue
+        want = budget.get(name)
+        if want is None:
+            missing.append(name)
+            continue
+        for k in ("exchanges", "global_windows"):
+            if got[k] > want[k]:
+                fails.append(f"{name}: {k} {want[k]} -> {got[k]} (over budget)")
+            elif got[k] < want[k]:
+                improved.append(f"{name}: {k} {want[k]} -> {got[k]}")
+    stale = sorted(set(budget) - set(census))
+    if missing:
+        fails.append(f"unbudgeted queries (add to {budget_path}): {', '.join(missing)}")
+    if improved:
+        print("improvements (refresh the budget to lock them in):")
+        for line in improved:
+            print(f"  {line}")
+    if stale:
+        print(f"stale budget rows (queries gone): {', '.join(stale)}")
+    if fails:
+        print("PLAN BUDGET FAILURES:")
+        for line in fails:
+            print(f"  {line}")
+        return 1
+    print(f"plan budget OK: {len(census)} queries within "
+          f"exchange/global-window budgets")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

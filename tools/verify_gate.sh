@@ -28,8 +28,18 @@ echo "== verify_gate: DuckDB oracle compare -> correctness_local.json"
 python3 tools/oracle_check.py "$SF_DIR" "$OUT_DIR" --json correctness_local.json
 check_rc=$?
 
-if [ $verify_rc -ne 0 ] || [ $check_rc -ne 0 ]; then
-  echo "== verify_gate: FAILED (verify=$verify_rc check=$check_rc)"
+# Plan-shape budget: exchange + empty-partitionSpec-window counts per
+# query vs tools/plan_budget.json — a new shuffle or a new global sort
+# is a loud failure, exactly like a hash mismatch (VERDICT r13 #7).
+echo "== verify_gate: plan census vs tools/plan_budget.json"
+sbt -batch "runMain graft.PlanAudit census /root/testdata/sf0.001 /tmp/plan_census.json"
+census_rc=$?
+plan_rc=1
+[ $census_rc -eq 0 ] && python3 tools/plan_check.py /tmp/plan_census.json tools/plan_budget.json
+plan_rc=$?
+
+if [ $verify_rc -ne 0 ] || [ $check_rc -ne 0 ] || [ $plan_rc -ne 0 ]; then
+  echo "== verify_gate: FAILED (verify=$verify_rc check=$check_rc plan=$plan_rc)"
   exit 1
 fi
 echo "== verify_gate: ALL GREEN"
