@@ -3340,6 +3340,16 @@ object SparkEntry {
         .select(col("key").as("user_id"), col("n"),
           col("slope"), col("intercept"))
     },
+    // bounded-pair production arm (Forecast.theilSenSampled): 8
+    // counter-mode partners per point — O(n·m) pairs per key, fat-key
+    // safe; the oracle replays the drawn pairing design end-to-end.
+    "q_theil_sen_fast" -> { (s, dir) =>
+      graft.operators.Forecast.theilSenSampled(Sources.table(s, dir, "events"),
+          "user_id", "ts", "value", "event_id",
+          epochBaseMicros = 1704067200000000L, m = 8, seed = 17L)
+        .select(col("key").as("user_id"), col("n"),
+          col("slope"), col("intercept"))
+    },
     // per-language release datasheet (CorpusStats.datasheet): counts,
     // dup rate, mean quality, tag-vs-content language agreement — the
     // nutrition label, one grouped aggregate.
@@ -7762,6 +7772,39 @@ object SparkEntry {
         |  round(mi.intercept, 6) + 0.0 AS intercept
         |FROM (SELECT key, count(*) AS n FROM pts GROUP BY 1) n
         |LEFT JOIN ms ON n.key = ms.key LEFT JOIN mi ON n.key = mi.key""".stripMargin,
+    // sampled-pair replay: same time-ranked index, same counter-mode
+    // partner draw (i·64 + d under seed 17), same two-rank medians
+    "q_theil_sen_fast" ->
+      s"""WITH pts AS (SELECT user_id AS key,
+         |    FLOOR((epoch_us(ts) - 1704067200000000) / 1000000.0) AS x,
+         |    value AS y, event_id AS o FROM events),
+         |idx AS (SELECT key, x, y,
+         |    row_number() OVER (PARTITION BY key ORDER BY x, o) - 1 AS i,
+         |    count(*) OVER (PARTITION BY key) AS n FROM pts),
+         |dr AS (SELECT key, x, y, i, n, unnest(range(0, 8)) AS d
+         |  FROM idx WHERE n >= 2),
+         |ids AS (SELECT DISTINCT i * 64 + d AS i FROM dr),
+         |${unitCte("tf", "ids", 17L)},
+         |pj AS (SELECT dr.key, dr.x, dr.y, dr.n,
+         |    (dr.i + 1 + CAST(FLOOR(u * (dr.n - 1)) AS BIGINT)) % dr.n AS j
+         |  FROM dr JOIN tfu ON tfu.i = dr.i * 64 + dr.d),
+         |pairs AS (SELECT pj.key, (p2.y - pj.y) / (p2.x - pj.x) AS s
+         |  FROM pj JOIN idx p2 ON p2.key = pj.key AND p2.i = pj.j
+         |  WHERE p2.x <> pj.x),
+         |ms AS (SELECT key, avg(s) AS slope FROM (
+         |    SELECT key, s, row_number() OVER (PARTITION BY key ORDER BY s) AS rk,
+         |      count(*) OVER (PARTITION BY key) AS n FROM pairs)
+         |  WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT) OR rk = n // 2 + 1 GROUP BY key),
+         |res AS (SELECT pts.key, pts.y - ms.slope * pts.x AS b
+         |  FROM pts JOIN ms ON pts.key = ms.key),
+         |mi AS (SELECT key, avg(b) AS intercept FROM (
+         |    SELECT key, b, row_number() OVER (PARTITION BY key ORDER BY b) AS rk,
+         |      count(*) OVER (PARTITION BY key) AS n FROM res)
+         |  WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT) OR rk = n // 2 + 1 GROUP BY key)
+         |SELECT n.key AS user_id, n.n, round(ms.slope, 6) + 0.0 AS slope,
+         |  round(mi.intercept, 6) + 0.0 AS intercept
+         |FROM (SELECT key, count(*) AS n FROM pts GROUP BY 1) n
+         |LEFT JOIN ms ON n.key = ms.key LEFT JOIN mi ON n.key = mi.key""".stripMargin,
     // the q_quality score and q_langid vote table, aggregated per lang
     "q_datasheet" ->
       """WITH per AS (SELECT lang, text, md5(text) AS fp,

@@ -164,14 +164,64 @@ object Forecast {
     * pass. */
   def theilSen(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
                ordCol: String, epochBaseMicros: Long): DataFrame = {
-    val x = floor((unix_micros(col(tsCol)) - epochBaseMicros).cast("double") / lit(1000000.0))
-    val pts = df.select(col(keyCol).as("key"), x.as("x"),
-      col(valCol).cast("double").as("y"), col(ordCol).as("o"))
+    val pts = tsPoints(df, keyCol, tsCol, valCol, ordCol, epochBaseMicros)
     val pairs = pts.alias("a")
       .join(pts.alias("b"), col("a.key") === col("b.key") && col("a.o") < col("b.o"))
       .filter(col("b.x") =!= col("a.x"))
       .select(col("a.key").as("key"),
         ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("s"))
+    tsReadout(pts, pairs)
+  }
+
+  /** The 100 TB arm of [[theilSen]]: slope = per-key median over a
+    * BOUNDED sampled pair set — each point draws `m` partners by
+    * counter-mode draw (j = (i + 1 + ⌊u·(n−1)⌋) mod n over the key's
+    * time-ranked indices: uniform over the other points, never self,
+    * long baselines included), so the pair table is O(n·m) instead of
+    * the exact arm's O(n²) per key and a fat key cannot melt a reducer.
+    * Deterministic under any partitioning AND replayable in ANSI SQL
+    * (the [[graft.operators.Behavior.bootstrapCi]] mixer discipline:
+    * draw counter = i·64 + d, shared across keys — a fixed
+    * pseudo-random pairing design, not per-key state). Duplicate
+    * sampled pairs keep their multiplicity (standard sampled
+    * Theil–Sen); the intercept pass is the exact arm's (O(n) rows per
+    * key). The exact [[theilSen]] stays the small-key verifier —
+    * the q_mutual_nn / q_mutual_nn_lsh pairing. */
+  def theilSenSampled(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                      ordCol: String, epochBaseMicros: Long,
+                      m: Int = 8, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && m <= 64, s"pairs-per-point m $m out of [1, 64] (counter stride)")
+    val pts = tsPoints(df, keyCol, tsCol, valCol, ordCol, epochBaseMicros)
+    val wk = Window.partitionBy("key").orderBy(col("x"), col("o"))
+    val idx = pts
+      .withColumn("i", (row_number().over(wk) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("key")))
+    val drawn = idx.filter(col("n") >= 2)
+      .withColumn("d", explode(sequence(lit(0L), lit(m - 1L))))
+      .withColumn("u", graft.functions.VectorExprs.unitDraw(
+        col("i") * 64L + col("d"), seed))
+      .withColumn("j", (col("i") + 1L +
+        floor(col("u") * (col("n") - 1L).cast("double")).cast("long")) % col("n"))
+    val partners = idx.select(col("key"), col("i").as("j"),
+      col("x").as("x2"), col("y").as("y2"))
+    val pairs = drawn.join(partners, Seq("key", "j"))
+      .filter(col("x2") =!= col("x"))
+      .select(col("key"), ((col("y2") - col("y")) / (col("x2") - col("x"))).as("s"))
+    tsReadout(pts, pairs)
+  }
+
+  /** Shared (key, x, y, o) projection: whole-second re-based axis. */
+  private def tsPoints(df: DataFrame, keyCol: String, tsCol: String,
+                       valCol: String, ordCol: String,
+                       epochBaseMicros: Long): DataFrame = {
+    val x = floor((unix_micros(col(tsCol)) - epochBaseMicros).cast("double") / lit(1000000.0))
+    df.select(col(keyCol).as("key"), x.as("x"),
+      col(valCol).cast("double").as("y"), col(ordCol).as("o"))
+  }
+
+  /** Shared slope-median → residual-median → (key, n, slope, intercept)
+    * readout over any per-key slope-sample table. */
+  private def tsReadout(pts: DataFrame, pairs: DataFrame): DataFrame = {
     def medianOf(d: DataFrame, vCol: String, out: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("key").orderBy(col(vCol))

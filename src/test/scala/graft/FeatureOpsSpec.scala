@@ -363,6 +363,44 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(ols > 10.0, s"OLS must be dragged by the outlier (got $ols)")
   }
 
+  test("theilSenSampled: matches the exact arm on clean trends, stays robust, bounded pairs") {
+    import java.sql.Timestamp
+    val base = 1704067200000000L
+    def ts(sec: Long) = new Timestamp((base + sec * 1000000L) / 1000)
+    // clean y = 3x - 2: EVERY pair slope is 3, so any sampled subset's
+    // median is 3 — sampled must equal exact bit-for-bit
+    val clean = (0L to 49L).map(i => ("k", ts(i), 3.0 * i - 2, i))
+      .toDF("user_id", "ts", "value", "event_id")
+    val ex = graft.operators.Forecast.theilSen(clean, "user_id", "ts", "value",
+      "event_id", base).head()
+    val sm = graft.operators.Forecast.theilSenSampled(clean, "user_id", "ts", "value",
+      "event_id", base, m = 4, seed = 17L).head()
+    assert(sm.getAs[Double]("slope") == ex.getAs[Double]("slope"))
+    assert(sm.getAs[Double]("intercept") == ex.getAs[Double]("intercept"))
+    assert(sm.getAs[Long]("n") == 50L)
+    // outlier fixture: sampled median still shrugs it off (most sampled
+    // pairs avoid the wild point)
+    val rows = (0L to 9L).map(i => ("k", ts(i), 2.0 * i + 1, i)) :+
+      (("k", ts(10L), 1000.0, 10L))
+    val d = rows.toDF("user_id", "ts", "value", "event_id")
+    val r = graft.operators.Forecast.theilSenSampled(d, "user_id", "ts", "value",
+      "event_id", base, m = 8, seed = 17L).head()
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.5,
+      s"sampled median must stay near the robust slope, got ${r.getAs[Double]("slope")}")
+    // determinism under partitioning (counter-mode draws, no RNG state)
+    val r2 = graft.operators.Forecast.theilSenSampled(d.repartition(8), "user_id",
+      "ts", "value", "event_id", base, m = 8, seed = 17L).head()
+    assert(r2.getAs[Double]("slope") == r.getAs[Double]("slope") &&
+      r2.getAs[Double]("intercept") == r.getAs[Double]("intercept"))
+    // pair-count bound: n·m rows, never n² (the scale contract)
+    val big = (0L to 199L).map(i => ("k", ts(i), i * 1.0 + (i % 7), i))
+      .toDF("user_id", "ts", "value", "event_id")
+    val bigR = graft.operators.Forecast.theilSenSampled(big, "user_id", "ts",
+      "value", "event_id", base, m = 8, seed = 17L).head()
+    assert(bigR.getAs[Long]("n") == 200L)
+    assert(math.abs(bigR.getAs[Double]("slope") - 1.0) < 0.2)
+  }
+
   // ---- Similarity.clusterPurity ----
 
   test("clusterPurity: dominant label, smallest-label tie, exact purity") {
