@@ -2080,6 +2080,47 @@ object SparkEntry {
           col(Tick.VALUE).getField("v").as("val_v"),
           col("part"), col("off"), col("live").cast(IntegerType).as("live"))
     },
+    // TableServer wire contract as a driver row (websocket.py:312-390 /
+    // perspective.py:237-246 semantics): publish the event stream into
+    // an indexed delta-updates table with one subscriber attached
+    // BEFORE the feed (schema frame, then per-update deltas — only
+    // changed fields + index, suppressed when nothing changed, monotone
+    // per-subscriber messageIDs) and one AFTER (schema frame, then the
+    // last-row-per-index snapshot in first-seen order, chunks of 100).
+    // The captured JSON frame log is parsed BACK through from_json and
+    // hashed against an oracle that replays the whole contract in SQL —
+    // the q_kafka_replay trick, closing the last prominent spec-only
+    // sink surface.
+    "q_tableserver" -> { (s, dir) =>
+      import graft.streaming.TableServer
+      val src = ev(s, dir)
+      val columns = Map(Tick.KEY -> "uid", "event_type" -> "et", Tick.VALUE -> "v")
+      val srv = new TableServer(deltaUpdates = true)
+      val t = srv.createTable("events", index = Some("uid"),
+        schema = TableServer.perspectiveSchema(src.df.schema, columns))
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      t.subscribe(j => frames += (("live", j)))
+      srv.publishBatch(t, src, columns)
+      t.subscribe(j => frames += (("late", j)))
+      import s.implicits._
+      val recType = ArrayType(StructType(Seq(StructField("uid", StringType),
+        StructField("et", StringType), StructField("v", DoubleType))))
+      frames.toSeq.toDF("sub", "j")
+        .select(col("sub"),
+          get_json_object(col("j"), "$.messageID").cast(LongType).as("message_id"),
+          get_json_object(col("j"), "$.messageType").as("message_type"),
+          // the schema frame's data is a column→type map, not records —
+          // represent it as one null record so the frame keeps its row
+          when(col("message_type") === "schema",
+            array(lit(null).cast(recType.elementType)))
+            .otherwise(from_json(get_json_object(col("j"), "$.data"), recType))
+            .as("data"))
+        .select(col("sub"), col("message_id"), col("message_type"),
+          posexplode(col("data")).as(Seq("rec_pos", "rec")))
+        .select(col("sub"), col("message_id"), col("message_type"),
+          col("rec_pos").cast(LongType).as("rec_pos"),
+          col("rec.uid").as("uid"), col("rec.et").as("et"), col("rec.v").as("v"))
+    },
     // PushMode.LAST_VALUE (common_definitions.py:274-289): same-(key,ts)
     // cycles collapse to the last tick — dup-ts stream built by hour
     // truncation, like the other q_dupts_* fixtures.
@@ -5965,6 +6006,37 @@ object SparkEntry {
         |FROM (SELECT *, epoch_us(ts) - CASE WHEN event_type = 'error'
         |        THEN 3600000000 ELSE 0 END AS tf,
         |      CAST(user_id % 32 AS INT) AS part FROM events)""".stripMargin,
+    // full wire replay: live sub = schema frame + per-update deltas
+    // (changed fields only, suppressed when nothing changed, messageID =
+    // emitted rank); late sub = schema frame + last-row-per-uid snapshot
+    // in first-seen order, chunks of 100
+    "q_tableserver" ->
+      """WITH feed AS (SELECT CAST(user_id AS VARCHAR) AS uid, event_type AS et,
+        |    value AS v, epoch_us(ts) AS t, event_id AS o FROM events),
+        |lagd AS (SELECT uid, et, v, t, o,
+        |    lag(et) OVER (PARTITION BY uid ORDER BY t, o) AS pet,
+        |    lag(v)  OVER (PARTITION BY uid ORDER BY t, o) AS pv FROM feed),
+        |em AS (SELECT *, (pet IS NULL) AS f,
+        |    (pet IS NULL OR et <> pet OR v <> pv) AS emitted FROM lagd),
+        |ups AS (SELECT uid,
+        |    CASE WHEN f OR et <> pet THEN et END AS et_out,
+        |    CASE WHEN f OR v <> pv THEN v END AS v_out,
+        |    row_number() OVER (ORDER BY t, o) AS mid
+        |  FROM em WHERE emitted),
+        |lastv AS (SELECT uid, et, v FROM feed
+        |  QUALIFY row_number() OVER (PARTITION BY uid ORDER BY t DESC, o DESC) = 1),
+        |seen AS (SELECT uid, row_number() OVER (ORDER BY min(t), min(o)) - 1 AS r
+        |  FROM feed GROUP BY uid),
+        |snap AS (SELECT s.uid, s.r, l.et, l.v FROM seen s JOIN lastv l ON s.uid = l.uid)
+        |SELECT 'live' AS sub, 0 AS message_id, 'schema' AS message_type,
+        |  0 AS rec_pos, CAST(NULL AS VARCHAR) AS uid,
+        |  CAST(NULL AS VARCHAR) AS et, CAST(NULL AS DOUBLE) AS v
+        |UNION ALL
+        |SELECT 'live', mid, 'update', 0, uid, et_out, v_out FROM ups
+        |UNION ALL
+        |SELECT 'late', 0, 'schema', 0, NULL, NULL, NULL
+        |UNION ALL
+        |SELECT 'late', 1 + r // 100, 'snap', r % 100, uid, et, v FROM snap""".stripMargin,
     "q_dupts_last" ->
       """SELECT event_id, epoch_us(date_trunc('hour', ts)) AS ts_us, value AS val_v
         |FROM events
