@@ -241,7 +241,16 @@ object CorpusStats {
     * form's grouping key) followed by a per-day count. When the feed
     * arrives in day order — the ingest reality — first-arrival equals
     * the batch min-day and the counts match exactly (parity spec).
-    * Run in complete output mode. */
+    * Run in complete output mode.
+    *
+    * Late-arrival contract (pinned by spec across shuffled micro-
+    * batches): a fingerprint is counted new in the EVENT DAY of its
+    * FIRST-ARRIVING row — late rows for an already-seen fingerprint are
+    * dropped, and a fingerprint whose first arrival is a late row
+    * counts toward that late row's own event day (arrival-time
+    * semantics, the monitoring-feed contract). Σ n_new is the distinct
+    * fingerprint count under ANY arrival order; per-day attribution
+    * equals the batch min-day exactly when arrival is day-ordered. */
   def noveltyOnline(stream: DataFrame, dayCol: String, textCol: String): DataFrame =
     stream.select(col(dayCol).as("day"), md5(col(textCol)).as("fp"))
       .dropDuplicates("fp")

@@ -195,4 +195,45 @@ class NoveltyStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stream == batch,
       "in-day-order arrival must reproduce the batch min-day novelty counts")
   }
+
+  test("noveltyOnline late arrivals: first-arrival-wins, counted in the arriving row's event day") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[StDayDoc]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 6).flatMap { d =>
+      (0 until 40).map { i =>
+        val novel = rnd.nextDouble() < 0.5
+        StDayDoc(d, if (novel) s"fresh $d $i" else s"seen ${rnd.nextInt(30)}")
+      }
+    }
+    // shuffled ARRIVAL order in micro-batches of 25 — days interleave,
+    // so some fingerprints first arrive via a late (higher-day) row
+    val arrival = rnd.shuffle(rows)
+    // the pinned contract, replayed sequentially over the arrival order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    arrival.foreach(r => if (seen.add(r.text)) expected(r.day) += 1L)
+
+    val mem = MemoryStream[StDayDoc]
+    val q = graft.llm.CorpusStats.noveltyOnline(mem.toDF(), "day", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("novelty_late").start()
+    arrival.grouped(25).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table("novelty_late")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stream == expected.toMap,
+      "first-arrival-wins attribution must hold across shuffled micro-batches")
+    // order-invariant total: Σ n_new = distinct fingerprints
+    assert(stream.values.sum == rows.map(_.text).distinct.length)
+    // and the deviation from batch min-day attribution is real on this
+    // fixture (otherwise the spec pins nothing)
+    val batch = graft.llm.CorpusStats.noveltyByDay(
+        spark.createDataset(rows).toDF(), "day", "text")
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_new")).toMap
+    assert(stream != batch,
+      "shuffled fixture must actually exercise late-arrival attribution")
+  }
 }
