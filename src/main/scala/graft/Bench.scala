@@ -121,7 +121,12 @@ object Bench {
     * one-line suite-vs-isolated lookup in the record instead of a round
     * of re-measurement. */
   private val CanaryQueries =
-    Seq("q_simhash_pairs", "q_sync", "q_weighted_var", "q_dedup_best")
+    Seq("q_simhash_pairs", "q_sync", "q_weighted_var", "q_dedup_best",
+      // r14 additions: the r13 unexplained mover (pinned: fixture-basis
+      // +0.1 s from the documents rechunk split, NOT a code change —
+      // rechunk-off reproduces r12's 0.59 min) and the suite top-N that
+      // had never had isolated numbers
+      "q_warc_gzip", "q_kcore", "q_label_prop", "q_cross_sectional")
 
   /** Content-identical multi-file copy of the fixture dir under /tmp.
     * The driver fixtures are ONE parquet row group per table, so a big

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** Fat-key A/B for the Theil–Sen arms: one synthetic key with `n`
+  * points (the skew case the sampled arm exists for — per-key pair
+  * count n²/2 exact vs n·m sampled). The driver fixture's per-key n is
+  * a constant 67 at every sf (keys grow, keys don't fatten), so the
+  * bench rows never show the quadratic wall; this does.
+  *
+  * Usage: runMain graft.ProfileTheilSen [n] [m]
+  */
+object ProfileTheilSen {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(20000)
+    val m = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = 1704067200000000L
+    val fat = spark.range(n.toLong).select(
+      lit("k").as("user_id"),
+      timestamp_micros(lit(base) + col("id") * 1000000L).as("ts"),
+      (col("id") % 977 + pmod(col("id") * 37, lit(11))).cast("double").as("value"),
+      col("id").as("event_id"))
+    fat.count() // materialize the range outside the timed region
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"""{"theilsen_ab":"$tag","n":$n,"m":$m,"rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+    time("sampled") {
+      graft.operators.Forecast.theilSenSampled(fat, "user_id", "ts", "value",
+        "event_id", base, m = m, seed = 17L).count()
+    }
+    graft.util.Caching.release()
+    time("exact") {
+      graft.operators.Forecast.theilSen(fat, "user_id", "ts", "value",
+        "event_id", base).count()
+    }
+    spark.stop()
+  }
+}
