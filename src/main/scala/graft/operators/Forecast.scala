@@ -186,7 +186,15 @@ object Forecast {
     * sampled pairs keep their multiplicity (standard sampled
     * Theil–Sen); the intercept pass is the exact arm's (O(n) rows per
     * key). The exact [[theilSen]] stays the small-key verifier —
-    * the q_mutual_nn / q_mutual_nn_lsh pairing. */
+    * the q_mutual_nn / q_mutual_nn_lsh pairing.
+    *
+    * Crossover (measured, [[graft.ProfileTheilSen]]): below n_k ≈ 2m
+    * the sampled machinery (two ranking windows + the partner join)
+    * costs more than the n_k²/2 pairs it avoids — the driver fixture's
+    * constant n_k = 67 reads exact 4.10 s vs sampled 4.95 s at sf1 —
+    * while ONE fat key of 20k points reads sampled 9.9 s vs exact
+    * 688 s (69×). Exact for bounded per-key ticks; this arm when any
+    * key can run hot. */
   def theilSenSampled(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
                       ordCol: String, epochBaseMicros: Long,
                       m: Int = 8, seed: Long = 42L): DataFrame = {

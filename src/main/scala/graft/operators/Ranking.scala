@@ -43,6 +43,32 @@ object Ranking {
                       sums: Seq[(Column, String)] = Nil,
                       countCol: Option[String] = None): DataFrame = {
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (sums.isEmpty) {
+      // rank-only fast path: sortWithinPartitions + the partition-
+      // encoded monotonic id REPLACE the per-pid rank window, cutting
+      // the second entity-scale Exchange (hashpartitioning(pid)) the
+      // window would force — the only shuffle left is the range one.
+      // mid = pid << 33 | in-partition offset (assigned in the sorted,
+      // cached order), so pid and local rank are pure projections.
+      val parted = graft.util.Caching.barrier(
+        df.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
+          .withColumn("__go_mid", monotonically_increasing_id()))
+      val pid = shiftrightunsigned(col("__go_mid"), 33)
+      val localRank = col("__go_mid").bitwiseAND((1L << 33) - 1) + 1L
+      val per = parted.groupBy(pid.as("__go_pid")).agg(count(lit(1)).as("__go_c"))
+      val wOff = Window.orderBy("__go_pid").rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.orderBy("__go_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offs = per
+        .withColumn("__go_roff", coalesce(sum(col("__go_c")).over(wOff), lit(0L)))
+        .withColumn("__go_n", sum(col("__go_c")).over(wTot))
+        .select(col("__go_pid"), col("__go_roff"), col("__go_n"))
+      val joined = parted.withColumn("__go_pid", pid)
+        .join(broadcast(offs), "__go_pid")
+        .withColumn(rankCol, col("__go_roff") + localRank)
+      val withCount = countCol.fold(joined)(n => joined.withColumn(n, col("__go_n")))
+      return withCount.drop("__go_pid", "__go_mid", "__go_roff", "__go_n")
+    }
     val parted = graft.util.Caching.barrier(
       df.repartitionByRange(p, sortCols: _*)
         .withColumn("__go_pid", spark_partition_id()))

@@ -65,12 +65,17 @@ class RankingSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
-  test("rank is dense across range-partition boundaries (32 shuffle partitions)") {
+  test("rank-only fast path: dense across boundaries, order-correct, counted (32 partitions)") {
     val df = (1 to 2000).map(i => (i.toLong % 997, i.toLong)).toDF("v", "ord")
-    val ranks = Ranking.withGlobalOrder(df, Seq(col("v"), col("ord")), "r")
-      .select("r").as[Long].collect().sorted
+    val out = Ranking.withGlobalOrder(df, Seq(col("v"), col("ord")), "r",
+        countCol = Some("n"))
+      .select("v", "ord", "r", "n").collect()
     graft.util.Caching.release()
-    assert(ranks.toSeq == (1L to 2000L))
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to 2000L))
+    assert(out.forall(_.getLong(3) == 2000L))
+    // rank order agrees with the sort order (the global-window form)
+    val byRank = out.sortBy(_.getLong(2)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(byRank.toSeq == byRank.toSeq.sorted)
   }
 
   test("plan: no empty-partitionSpec Window over the ranked input (only the ≤P-row summary)") {
