@@ -126,6 +126,14 @@ class PrivacySpec extends AnyFunSuite {
     assert(banded.forall { case (x, y) => x % 2 == 0 && y % 2 == 0 })
     assert(brute.subsetOf(banded),
       s"shared-id fixture: brute reciprocal τ-pairs must survive banding: ${brute -- banded}")
+    // string-id fallback path (non-integral keys tag "a:"/"b:"): same
+    // pair set as the integral arithmetic-tag path, original ids back
+    val sa = ea.select(concat(lit("u"), col("vec_id")).as("vec_id"), col("embedding"))
+    val sb = eb.select(concat(lit("u"), col("vec_id")).as("vec_id"), col("embedding"))
+    val bandedStr = Similarity.mutualNearestBanded(sa, sb, tau)
+      .collect().map(r => (r.getString(0).drop(1).toLong, r.getString(1).drop(1).toLong)).toSet
+    graft.util.Caching.release()
+    assert(bandedStr == banded, "string-tag fallback must match the arithmetic-tag path")
   }
 
   test("DP release streaming twin: noised stream counts == batch dpHistogram after replay") {
