@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** Entity-scale A/B for the r14 distributed-ranking refit: rank `n`
+  * rows by a value column with (a) the bare
+  * `row_number().over(Window.orderBy(...))` — ONE task sorts the
+  * world — vs (b) `operators.Ranking.withGlobalOrder` — a range
+  * Exchange + balanced per-partition ranks. The driver fixtures cap
+  * entity tables at ~15k rows where the global window is unbeatable
+  * (its fixed cost is one tiny sort; the refit costs ~0.5 s of extra
+  * jobs — the documented q_rfm overhead); this shows the regime the
+  * refit exists for.
+  *
+  * Usage: runMain graft.ProfileRanking [n]
+  */
+object ProfileRanking {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(20000000L)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // hash-scrambled values so the range sampler sees an unsorted input
+    val df = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1000000L)).cast("double").as("v"),
+      col("id").as("ord"))
+    df.count() // materialize planning overhead outside the timed region
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"""{"ranking_ab":"$tag","n":$n,"checksum":$out,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+    time("distributed") {
+      val r = graft.operators.Ranking.withGlobalOrder(
+        df, Seq(col("v"), col("ord")), rankCol = "r")
+      // checksum folds every rank so nothing is optimized away
+      val s = r.agg(sum(col("r").bitwiseXOR(col("ord")))).head().getLong(0)
+      graft.util.Caching.release()
+      s
+    }
+    time("global_window") {
+      val r = df.withColumn("r", row_number().over(Window.orderBy(col("v"), col("ord"))))
+      r.agg(sum(col("r").bitwiseXOR(col("ord")))).head().getLong(0)
+    }
+    spark.stop()
+  }
+}
