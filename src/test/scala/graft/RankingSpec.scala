@@ -78,6 +78,39 @@ class RankingSpec extends AnyFunSuite {
     assert(byRank.toSeq == byRank.toSeq.sorted)
   }
 
+  test("law: both paths == global window on seeded random cases (skew, negatives, nulls)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { _ =>
+      val n = 50 + rnd.nextInt(1500)
+      val domain = 1 + rnd.nextInt(40) // small domain → heavy ties
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Double =
+          if (rnd.nextDouble() < 0.1) null
+          else (rnd.nextInt(domain) - domain / 2).toDouble // negatives included
+        (v, i.toLong)
+      }
+      val df = rows.toDF("v", "ord").repartition(1 + rnd.nextInt(8))
+      val sort = Seq(col("v").desc_nulls_last, col("ord"))
+      val w = Window.orderBy(sort: _*)
+      val glob = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("v").cast("decimal(28,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("string"))
+        .select("ord", "r", "cum")
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+      val fast = Ranking.withGlobalOrder(df, sort, "r")
+        .select("ord", "r").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      graft.util.Caching.release()
+      val full = Ranking.withGlobalOrder(df, sort, "r",
+          sums = Seq((col("v").cast("decimal(28,2)"), "cum")))
+        .select(col("ord"), col("r"), col("cum").cast("string"))
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+      graft.util.Caching.release()
+      assert(fast == glob.view.mapValues(_._1).toMap, s"fast path diverged at n=$n")
+      assert(full == glob, s"sum path diverged at n=$n")
+    }
+  }
+
   test("plan: no empty-partitionSpec Window over the ranked input (only the ≤P-row summary)") {
     val df = fixture
     val plan = Ranking.withGlobalOrder(df, Seq(col("v"), col("ord")), "r")
