@@ -2093,7 +2093,12 @@ object SparkEntry {
     // sink surface.
     "q_tableserver" -> { (s, dir) =>
       import graft.streaming.TableServer
-      val src = ev(s, dir)
+      // every-7th-event feed: all uids still present (multi-chunk
+      // snapshot), deltas/suppression/ids equally exercised, and the
+      // DRIVER-bound publish loop — the contract's own single-process
+      // shape — doesn't dominate the bench suite
+      val src = graft.ts.TickStream(
+        ev(s, dir).df.filter(col(Tick.SEQ) % 7 === 0))
       val columns = Map(Tick.KEY -> "uid", "event_type" -> "et", Tick.VALUE -> "v")
       val srv = new TableServer(deltaUpdates = true)
       val t = srv.createTable("events", index = Some("uid"),
@@ -6012,7 +6017,8 @@ object SparkEntry {
     // in first-seen order, chunks of 100
     "q_tableserver" ->
       """WITH feed AS (SELECT CAST(user_id AS VARCHAR) AS uid, event_type AS et,
-        |    value AS v, epoch_us(ts) AS t, event_id AS o FROM events),
+        |    value AS v, epoch_us(ts) AS t, event_id AS o FROM events
+        |  WHERE event_id % 7 = 0),
         |lagd AS (SELECT uid, et, v, t, o,
         |    lag(et) OVER (PARTITION BY uid ORDER BY t, o) AS pet,
         |    lag(v)  OVER (PARTITION BY uid ORDER BY t, o) AS pv FROM feed),

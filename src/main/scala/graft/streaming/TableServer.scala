@@ -181,7 +181,17 @@ private[streaming] object Json {
     case other => str(String.valueOf(other))
   }
 
-  private def str(s: String): String =
+  private def str(s: String): String = {
+    // fast path: typical field names/values need no escaping — skip the
+    // per-char flatMap allocation storm on the 100k-update publish loop
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') clean = false
+      i += 1
+    }
+    if (clean) return "\"" + s + "\""
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -191,4 +201,5 @@ private[streaming] object Json {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+  }
 }
