@@ -2556,6 +2556,46 @@ object SparkEntry {
         Sources.table(s, dir, "documents").withColumn("conv", conv), "doc_id", "conv")
         .withColumn("valid_alt", col("valid_alt").cast(LongType))
     },
+    // Preference-pair audit (Chat.preferenceAudit): synthetic DPO
+    // triples from documents — prompts collide mod 97 (dup counting),
+    // every 11th pair is identical (labeling-bug lane), completions are
+    // different-length text chunks (length-bias lane).
+    "q_pref_audit" -> { (s, dir) =>
+      val chosen = substring(col("text"), 1, 120)
+      val rejected = when(col("doc_id") % 11 === 0, chosen)
+        .otherwise(substring(col("text"), 61, 90))
+      val pairs = Sources.table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("p"), (col("doc_id") % 97).cast(StringType)).as("prompt"),
+        chosen.as("chosen"), rejected.as("rejected"))
+      graft.llm.Chat.preferenceAudit(pairs, "doc_id", "prompt", "chosen", "rejected")
+    },
+    // Cohen's kappa (RankTests.cohenKappa): two synthetic raters off
+    // integer arithmetic on (value, user_id) — partial agreement by
+    // construction; every ratio from exact counts.
+    "q_kappa_cohen" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events")
+      val la = pmod(floor(col("value")).cast(LongType), lit(3L)).cast(IntegerType)
+      val lb = pmod(floor(col("value")).cast(LongType) + col("user_id"), lit(3L))
+        .cast(IntegerType)
+      val ratings = e.select(col("event_id").as("item"), lit("a").as("rater"), la.as("label"))
+        .unionByName(
+          e.select(col("event_id").as("item"), lit("b").as("rater"), lb.as("label")))
+      graft.operators.RankTests.cohenKappa(ratings, "item", "rater", "label", "a", "b")
+        .select(col("n_items"), round(col("po"), 8).as("po"),
+          round(col("pe"), 8).as("pe"), round(col("kappa"), 8).as("kappa"))
+    },
+    // Fleiss' kappa (RankTests.fleissKappa): 20 ratings per item
+    // (item = event_id div 20 — exact panels at every dense-id sf),
+    // 4 labels from (value, event_id) arithmetic.
+    "q_kappa_fleiss" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events")
+      val ratings = e.select(expr("event_id div 20").as("item"),
+        pmod(floor(col("value")).cast(LongType) + col("event_id") % 7, lit(4L))
+          .cast(IntegerType).as("label"))
+      graft.operators.RankTests.fleissKappa(ratings, "item", "label", n = 20)
+        .select(col("n_items"), col("n_raters"), round(col("p_bar"), 8).as("p_bar"),
+          round(col("pe"), 8).as("pe"), round(col("kappa"), 8).as("kappa"))
+    },
     // Credential scrubbing (Redact.redactSecrets): deterministic synthetic
     // AWS/GitHub/40-hex tokens from doc_id; byte-exact redacted text +
     // per-class counts.
@@ -6618,6 +6658,62 @@ object SparkEntry {
         |    ELSE 0.0 END AS mask_ratio,
         |  CAST(1 AS BIGINT) AS valid_alt
         |FROM p""".stripMargin,
+    // same chunking, same prompt-dup aggregate, same token regex
+    "q_pref_audit" ->
+      """WITH pr AS (SELECT doc_id, 'p' || CAST(doc_id % 97 AS VARCHAR) AS prompt,
+        |    substr(text, 1, 120) AS chosen,
+        |    CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 120)
+        |         ELSE substr(text, 61, 90) END AS rejected
+        |  FROM documents),
+        |d AS (SELECT prompt, count(*) AS n_prompt_dups FROM pr GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(chosen, '\S+')) AS BIGINT) AS n_tok_chosen,
+        |  CAST(len(regexp_extract_all(rejected, '\S+')) AS BIGINT) AS n_tok_rejected,
+        |  CAST(chosen = rejected AS INT) AS identical,
+        |  CAST(len(regexp_extract_all(chosen, '\S+'))
+        |     > len(regexp_extract_all(rejected, '\S+')) AS INT) AS chosen_longer,
+        |  d.n_prompt_dups
+        |FROM pr JOIN d USING (prompt)""".stripMargin,
+    // exact-count marginals, one double division per ratio
+    "q_kappa_cohen" ->
+      """WITH r AS (SELECT event_id AS item,
+        |    CAST(CAST(FLOOR(value) AS BIGINT) % 3 AS INT) AS la,
+        |    CAST((CAST(FLOOR(value) AS BIGINT) + user_id) % 3 AS INT) AS lb
+        |  FROM events),
+        |cells AS (SELECT la, lb, count(*) AS c FROM r GROUP BY 1, 2),
+        |n AS (SELECT SUM(c) AS n, SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+        |  FROM cells),
+        |ma AS (SELECT la AS l, SUM(c) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT lb AS l, SUM(c) AS cb FROM cells GROUP BY 1),
+        |pp AS (SELECT SUM(ca * cb) AS sab FROM ma JOIN mb USING (l)),
+        |vals AS (SELECT n.n, CAST(agree AS DOUBLE) / CAST(n.n AS DOUBLE) AS po,
+        |    CAST(sab AS DOUBLE) / CAST(n.n * n.n AS DOUBLE) AS pe FROM n, pp)
+        |SELECT CAST(n AS BIGINT) AS n_items, round(po, 8) AS po,
+        |  round(pe, 8) AS pe,
+        |  round((po - pe) / (1.0 - pe), 8) AS kappa
+        |FROM vals""".stripMargin,
+    // constant-n panels only (HAVING = 20), the classic estimator
+    "q_kappa_fleiss" ->
+      """WITH r AS (SELECT event_id // 20 AS item,
+        |    CAST((CAST(FLOOR(value) AS BIGINT) + event_id % 7) % 4 AS INT) AS label
+        |  FROM events),
+        |cells AS (SELECT item, label, count(*) AS c FROM r GROUP BY 1, 2),
+        |items AS (SELECT item, SUM(c) AS ni, SUM(c * c) AS s2 FROM cells
+        |  GROUP BY 1 HAVING SUM(c) = 20),
+        |kept AS (SELECT cells.* FROM cells JOIN items USING (item)),
+        |pl AS (SELECT label, SUM(c) AS cl FROM kept GROUP BY 1),
+        |b AS (SELECT count(*) AS n_items, SUM(s2) AS ss2 FROM items),
+        |pp AS (SELECT SUM(cl * cl) AS sl2 FROM pl),
+        |vals AS (SELECT n_items,
+        |    CAST(ss2 - n_items * 20 AS DOUBLE)
+        |      / CAST(n_items * 20 * 19 AS DOUBLE) AS p_bar,
+        |    CAST(sl2 AS DOUBLE)
+        |      / CAST((n_items * 20) * (n_items * 20) AS DOUBLE) AS pe
+        |  FROM b, pp)
+        |SELECT n_items, CAST(20 AS BIGINT) AS n_raters,
+        |  round(p_bar, 8) AS p_bar, round(pe, 8) AS pe,
+        |  round((p_bar - pe) / (1.0 - pe), 8) AS kappa
+        |FROM vals""".stripMargin,
     "q_redact_secrets" ->
       """WITH p AS (SELECT doc_id, substr(text, 1, 20)
         |    || ' key AKIA' || lpad(CAST((doc_id * 31) % 10000000000000000 AS VARCHAR), 16, '0')

@@ -62,4 +62,31 @@ object Chat {
         .otherwise(0.0).as("mask_ratio"),
       validAlternation(t).as("valid_alt"))
   }
+
+  /** Preference-pair (RLHF/DPO) data audit — the pre-training-run QA
+    * for (prompt, chosen, rejected) triples, per pair:
+    * token counts of both completions, `chosen_longer` (the raw
+    * material of the classic LENGTH-BIAS failure where the reward model
+    * learns "longer is better"), `identical` (chosen == rejected — a
+    * labeling bug, zero preference signal), and `n_prompt_dups` (how
+    * many pairs share this prompt — duplicated prompts overweight their
+    * preferences and leak across train/eval splits).
+    *
+    * Shape: one prompt-keyed count aggregate joined back (the only
+    * Exchange); everything else is a codegen projection. Aggregate the
+    * output for the corpus readout: avg(chosen_longer) IS the
+    * length-bias rate a healthy dataset keeps near 0.5. */
+  def preferenceAudit(df: DataFrame, idCol: String, promptCol: String,
+                      chosenCol: String, rejectedCol: String): DataFrame = {
+    val dups = df.groupBy(col(promptCol).as("__p"))
+      .agg(count(lit(1)).as("n_prompt_dups"))
+    df.select(col(idCol), col(promptCol).as("__p"),
+        toks(col(chosenCol)).as("n_tok_chosen"),
+        toks(col(rejectedCol)).as("n_tok_rejected"),
+        (col(chosenCol) === col(rejectedCol)).cast("int").as("identical"))
+      .withColumn("chosen_longer",
+        (col("n_tok_chosen") > col("n_tok_rejected")).cast("int"))
+      .join(dups, "__p")
+      .drop("__p")
+  }
 }

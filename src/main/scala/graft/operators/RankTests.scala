@@ -241,4 +241,76 @@ object RankTests {
           (col("n").cast("double") * (least(col("__rx"), col("__ry")).cast("double") - 1)))))
       .select(col("n"), col("cells"), col("dof"), col("chi2"), col("cramers_v"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two raters' labels: chance-
+    * corrected agreement κ = (p_o − p_e)/(1 − p_e) over the items BOTH
+    * raters labeled (inner join on the item key); p_e from the joined
+    * set's per-rater label marginals. The labeled-data QA readout run
+    * before trusting any annotation batch.
+    *
+    * Shape: one item-keyed join (each side one row per item) + one
+    * label-pair aggregate + two ≤|labels| marginal tables — every ratio
+    * formed from exact counts, one double division each, so both
+    * engines compute identical bits. One row: (n_items, po, pe, kappa);
+    * kappa is null when p_e = 1 (both raters constant — no chance
+    * correction exists). */
+  def cohenKappa(df: DataFrame, itemCol: String, raterCol: String,
+                 labelCol: String, raterA: String, raterB: String): DataFrame = {
+    val a = df.filter(col(raterCol) === raterA)
+      .select(col(itemCol).as("__i"), col(labelCol).as("__la"))
+    val b = df.filter(col(raterCol) === raterB)
+      .select(col(itemCol).as("__i"), col(labelCol).as("__lb"))
+    val j = a.join(b, "__i")
+    val cells = j.groupBy(col("__la"), col("__lb")).agg(count(lit(1)).as("c"))
+    // marginals off the ≤|labels|² cell table — the corpus is scanned once
+    val ma = cells.groupBy(col("__la").as("__l")).agg(sum(col("c")).as("ca"))
+    val mb = cells.groupBy(col("__lb").as("__l")).agg(sum(col("c")).as("cb"))
+    val n = cells.agg(sum(col("c")).as("n"),
+      sum(when(col("__la") === col("__lb"), col("c")).otherwise(0L)).as("agree"))
+    val pe = ma.join(mb, "__l")
+      .agg(sum(col("ca") * col("cb")).as("__sab"))
+    n.crossJoin(pe)
+      .select(col("n").as("n_items"),
+        (col("agree").cast("double") / col("n").cast("double")).as("po"),
+        (col("__sab").cast("double") /
+          (col("n") * col("n")).cast("double")).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") =!= 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) for N items each rated by exactly `n`
+    * raters into categorical labels: per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)), κ = (P̄ − p_e)/(1 − p_e) with
+    * p_e = Σ_j p_j². Items whose rating count differs from `n` are
+    * EXCLUDED (the classic estimator assumes constant n; ragged panels
+    * want Krippendorff, out of scope) — excluded counts are visible as
+    * n_items vs the caller's expectation. One (item, label) aggregate +
+    * one item aggregate + one ≤|labels| table; exact-count arithmetic,
+    * one double division per ratio. One row:
+    * (n_items, n_raters, p_bar, pe, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"fleissKappa needs n >= 2 raters per item, got $n")
+    val cells = df.groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("c")).as("__ni"), sum(col("c") * col("c")).as("__s2"))
+      .filter(col("__ni") === n)
+    val kept = cells.join(items.select(col("__i")), "__i")
+    val perLabel = kept.groupBy(col("__l")).agg(sum(col("c")).as("cl"))
+    val base = items.agg(count(lit(1)).as("n_items"),
+      sum(col("__s2")).as("__ss2"))
+    val pe = perLabel.agg(
+      sum((col("cl") * col("cl")).cast("decimal(38,0)")).as("__sl2"))
+    base.crossJoin(pe)
+      .select(col("n_items"), lit(n).cast("long").as("n_raters"),
+        // P̄ = (Σ_i Σ_j n_ij² − N·n) / (N·n·(n−1))
+        ((col("__ss2") - col("n_items") * n).cast("double") /
+          (col("n_items") * n * (n - 1)).cast("double")).as("p_bar"),
+        (col("__sl2").cast("double") /
+          ((col("n_items") * n).cast("decimal(38,0)") *
+            (col("n_items") * n).cast("decimal(38,0)")).cast("double")).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") =!= 1.0, (col("p_bar") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

@@ -146,4 +146,80 @@ class RankSkylineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getAs[Double]("norm")).toMap
     assert(out(("g1", 10.0)) == 6.0 && out(("g2", 2.0)) == 6.0 && out(("g2", 4.0)) == 4.0)
   }
+
+  test("cohenKappa: textbook 2-rater case, perfect agreement, constant-rater null") {
+    // classic 50-item yes/no example: a=20 both-yes, d=15 both-no,
+    // b=10 (A yes, B no), c=5 → po=0.7, pe=0.5·0.6+0.5·0.4=0.5, κ=0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.zipWithIndex.flatMap { case ((la, lb), i) =>
+      Seq((i.toLong, "a", la), (i.toLong, "b", lb))
+    }.toDF("item", "rater", "label")
+    val r = RankTests.cohenKappa(df, "item", "rater", "label", "a", "b").head
+    assert(r.getAs[Long]("n_items") == 50L)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-12)
+    // perfect agreement → κ = 1
+    val same = (0 until 9).flatMap(i =>
+      Seq((i.toLong, "a", s"l${i % 3}"), (i.toLong, "b", s"l${i % 3}")))
+      .toDF("item", "rater", "label")
+    assert(RankTests.cohenKappa(same, "item", "rater", "label", "a", "b")
+      .head.getAs[Double]("kappa") == 1.0)
+    // both raters constant → pe = 1, κ null (no chance correction exists)
+    val const = (0 until 6).flatMap(i =>
+      Seq((i.toLong, "a", "x"), (i.toLong, "b", "x"))).toDF("item", "rater", "label")
+    val rc = RankTests.cohenKappa(const, "item", "rater", "label", "a", "b").head
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+    // items lacking one rater's label are excluded (inner join)
+    val ragged = df.unionByName(Seq((99L, "a", "y")).toDF("item", "rater", "label"))
+    assert(RankTests.cohenKappa(ragged, "item", "rater", "label", "a", "b")
+      .head.getAs[Long]("n_items") == 50L)
+  }
+
+  test("fleissKappa: Fleiss 1971 worked example and ragged-panel exclusion") {
+    // the canonical n=14-rater, 10-subject, 5-category table from the
+    // 1971 paper (κ ≈ 0.210); rows expand the counts per (subject, cat)
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = table.zipWithIndex.flatMap { case (counts, subj) =>
+      counts.zipWithIndex.flatMap { case (c, cat) =>
+        Seq.fill(c)((subj.toLong, cat))
+      }
+    }
+    val df = rows.toDF("item", "label")
+    val r = RankTests.fleissKappa(df, "item", "label", n = 14).head
+    assert(r.getAs[Long]("n_items") == 10L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 0.378021978) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.209930) < 1e-4)
+    // an item with a different rating count is excluded, not corrupting
+    val ragged = df.unionByName(Seq((99L, 0), (99L, 1)).toDF("item", "label"))
+    assert(RankTests.fleissKappa(ragged, "item", "label", n = 14)
+      .head.getAs[Long]("n_items") == 10L)
+  }
+
+  test("preferenceAudit: length bias, identical pairs, prompt dups") {
+    import graft.llm.Chat
+    val df = Seq(
+      (1L, "p1", "a b c", "a b"),      // chosen longer
+      (2L, "p1", "x", "x y z"),        // rejected longer, dup prompt
+      (3L, "p2", "same text", "same text"), // identical
+      (4L, "p3", "", "w")              // empty chosen
+    ).toDF("id", "prompt", "chosen", "rejected")
+    val out = Chat.preferenceAudit(df, "id", "prompt", "chosen", "rejected")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "audit must not lose pairs")
+    assert(out(1L).getAs[Int]("chosen_longer") == 1 &&
+      out(1L).getAs[Long]("n_tok_chosen") == 3L &&
+      out(1L).getAs[Long]("n_prompt_dups") == 2L)
+    assert(out(2L).getAs[Int]("chosen_longer") == 0)
+    assert(out(3L).getAs[Int]("identical") == 1 &&
+      out(3L).getAs[Int]("chosen_longer") == 0)
+    assert(out(4L).getAs[Long]("n_tok_chosen") == 0L &&
+      out(4L).getAs[Int]("identical") == 0)
+  }
 }
