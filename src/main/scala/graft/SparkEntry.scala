@@ -2596,6 +2596,18 @@ object SparkEntry {
         .select(col("n_items"), col("n_raters"), round(col("p_bar"), 8).as("p_bar"),
           round(col("pe"), 8).as("pe"), round(col("kappa"), 8).as("kappa"))
     },
+    // Krippendorff's alpha (RankTests.krippendorffAlpha): the RAGGED
+    // panel fleissKappa excludes — every 13th rating dropped, so item
+    // sizes vary 18-20; fixed-point coincidences keep the sum exact.
+    "q_kripp_alpha" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events").filter(col("event_id") % 13 =!= 0)
+      val ratings = e.select(expr("event_id div 20").as("item"),
+        pmod(floor(col("value")).cast(LongType) + col("event_id") % 7, lit(4L))
+          .cast(IntegerType).as("label"))
+      graft.operators.RankTests.krippendorffAlpha(ratings, "item", "label")
+        .select(col("n_items"), col("n_ratings"), round(col("a_o"), 8).as("a_o"),
+          round(col("a_e"), 8).as("a_e"), round(col("alpha"), 8).as("alpha"))
+    },
     // Credential scrubbing (Redact.redactSecrets): deterministic synthetic
     // AWS/GitHub/40-hex tokens from doc_id; byte-exact redacted text +
     // per-class counts.
@@ -6713,6 +6725,27 @@ object SparkEntry {
         |SELECT n_items, CAST(20 AS BIGINT) AS n_raters,
         |  round(p_bar, 8) AS p_bar, round(pe, 8) AS pe,
         |  round((p_bar - pe) / (1.0 - pe), 8) AS kappa
+        |FROM vals""".stripMargin,
+    // same fixed-point integral divide, HUGEINT-safe, BIGINT-cast sums
+    "q_kripp_alpha" ->
+      """WITH r AS (SELECT event_id // 20 AS item,
+        |    CAST((CAST(FLOOR(value) AS BIGINT) + event_id % 7) % 4 AS INT) AS label
+        |  FROM events WHERE event_id % 13 <> 0),
+        |cells AS (SELECT item, label, count(*) AS c FROM r GROUP BY 1, 2),
+        |items AS (SELECT item, SUM(c) AS ni FROM cells GROUP BY 1 HAVING SUM(c) >= 2),
+        |kept AS (SELECT cells.*, items.ni FROM cells JOIN items USING (item)),
+        |ao AS (SELECT SUM((CAST(c AS HUGEINT) * (c - 1) * 1000000000000) // (ni - 1))
+        |    AS ao_num FROM kept),
+        |pl AS (SELECT label, SUM(c) AS cl FROM kept GROUP BY 1),
+        |ae AS (SELECT SUM(CAST(cl AS HUGEINT) * (cl - 1)) AS ae_num FROM pl),
+        |b AS (SELECT count(*) AS n_items, CAST(SUM(ni) AS BIGINT) AS n_ratings FROM items),
+        |vals AS (SELECT n_items, n_ratings,
+        |    CAST(ao_num AS DOUBLE) / (CAST(n_ratings AS DOUBLE) * 1e12) AS a_o,
+        |    CAST(ae_num AS DOUBLE)
+        |      / CAST(CAST(n_ratings AS HUGEINT) * (n_ratings - 1) AS DOUBLE) AS a_e
+        |  FROM b, ao, ae)
+        |SELECT n_items, n_ratings, round(a_o, 8) AS a_o, round(a_e, 8) AS a_e,
+        |  round((a_o - a_e) / (1.0 - a_e), 8) AS alpha
         |FROM vals""".stripMargin,
     "q_redact_secrets" ->
       """WITH p AS (SELECT doc_id, substr(text, 1, 20)

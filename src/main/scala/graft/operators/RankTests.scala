@@ -313,4 +313,46 @@ object RankTests {
       .withColumn("kappa",
         when(col("pe") =!= 1.0, (col("p_bar") - col("pe")) / (lit(1.0) - col("pe"))))
   }
+
+  /** Krippendorff's alpha (nominal metric; Krippendorff 2004 §11) — the
+    * agreement coefficient for RAGGED panels, the case [[fleissKappa]]'s
+    * constant-n estimator excludes: items may carry any number of
+    * ratings ≥ 2 (singletons contribute nothing and are dropped).
+    * α = (A_o − A_e)/(1 − A_e) with
+    * A_o = Σ_i Σ_c n_ic(n_ic−1)/(n_i−1) / n_total (observed matched
+    * coincidences) and A_e = Σ_c n_c(n_c−1) / (n_total(n_total−1)).
+    *
+    * Determinism: the per-item fractional coincidence
+    * n_ic(n_ic−1)/(n_i−1) is NOT summed as a double (a float sum over
+    * items would be partitioning-dependent) — it is an exact
+    * fixed-point integer, (n_ic(n_ic−1)·10¹²) div (n_i−1), summed in
+    * DECIMAL(38,0): order-independent, and DuckDB replays the integral
+    * divide bit-for-bit. One (item, label) aggregate + one item
+    * aggregate + one ≤|labels| table. One row:
+    * (n_items, n_ratings, a_o, a_e, alpha); alpha null when A_e = 1
+    * (a single label dominates every rating). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy(col("__i")).agg(sum(col("c")).as("ni"))
+      .filter(col("ni") >= 2)
+    val kept = cells.join(items, "__i")
+    // fixed-point matched coincidences: (c(c−1)·10¹²) div (ni−1)
+    val occ = kept.select(expr(
+      "(CAST(c AS DECIMAL(38,0)) * (c - 1) * 1000000000000) div (ni - 1)").as("occ"))
+      .agg(sum(col("occ").cast("decimal(38,0)")).as("__ao_num"))
+    val perLabel = kept.groupBy(col("__l")).agg(sum(col("c")).as("cl"))
+    val ae = perLabel.agg(sum((col("cl").cast("decimal(38,0)") *
+      (col("cl") - 1)).cast("decimal(38,0)")).as("__ae_num"))
+    val base = items.agg(count(lit(1)).as("n_items"), sum(col("ni")).as("n_ratings"))
+    base.crossJoin(occ).crossJoin(ae)
+      .select(col("n_items"), col("n_ratings"),
+        (col("__ao_num").cast("double") /
+          (col("n_ratings").cast("double") * lit(1e12))).as("a_o"),
+        (col("__ae_num").cast("double") /
+          (col("n_ratings").cast("decimal(38,0)") *
+            (col("n_ratings") - 1).cast("decimal(38,0)")).cast("double")).as("a_e"))
+      .withColumn("alpha",
+        when(col("a_e") =!= 1.0, (col("a_o") - col("a_e")) / (lit(1.0) - col("a_e"))))
+  }
 }

@@ -202,6 +202,27 @@ class RankSkylineSpec extends AnyFunSuite {
       .head.getAs[Long]("n_items") == 10L)
   }
 
+  test("krippendorffAlpha: hand case on a ragged panel, perfect/degenerate extremes") {
+    // i1: [a,a]  i2: [a,b]  i3: [b,b,b]  → A_o = 5/7, A_e = 3/7, α = 1/2
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (9L, "a") /* singleton: dropped */)
+      .toDF("item", "label")
+    val r = RankTests.krippendorffAlpha(df, "item", "label").head
+    assert(r.getAs[Long]("n_items") == 3L && r.getAs[Long]("n_ratings") == 7L)
+    assert(math.abs(r.getAs[Double]("a_o") - 5.0 / 7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("a_e") - 3.0 / 7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("alpha") - 0.5) < 1e-9)
+    // perfect agreement on every item → α = 1
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"), (2L, "y"))
+      .toDF("item", "label")
+    assert(math.abs(RankTests.krippendorffAlpha(perfect, "item", "label")
+      .head.getAs[Double]("alpha") - 1.0) < 1e-12)
+    // one label everywhere → A_e = 1, α null
+    val const = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("item", "label")
+    val rc = RankTests.krippendorffAlpha(const, "item", "label").head
+    assert(rc.isNullAt(rc.fieldIndex("alpha")))
+  }
+
   test("preferenceAudit: length bias, identical pairs, prompt dups") {
     import graft.llm.Chat
     val df = Seq(
