@@ -2596,6 +2596,24 @@ object SparkEntry {
         .select(col("n_items"), col("n_raters"), round(col("p_bar"), 8).as("p_bar"),
           round(col("pe"), 8).as("pe"), round(col("kappa"), 8).as("kappa"))
     },
+    // Arena win matrix (Chat.winMatrix): synthetic model battles with
+    // BT-flavored win odds P(a beats b) = (ib+1)/(ia+ib+2); Wilson 95%
+    // bounds closed-form from exact counts.
+    "q_win_matrix" -> { (s, dir) =>
+      graft.llm.Chat.winMatrix(syntheticBattles(s, dir), "winner", "loser")
+        .select(col("model_a"), col("model_b"), col("n_battles"), col("wins_a"),
+          round(col("win_rate_a"), 8).as("win_rate_a"),
+          round(col("wilson_lo"), 8).as("wilson_lo"),
+          round(col("wilson_hi"), 8).as("wilson_hi"))
+    },
+    // Bradley–Terry strengths (Chat.bradleyTerry): two MM rounds over
+    // the M²-bounded pair matrix, ordered folds — the oracle replays
+    // both rounds with the same sorted list_reduce (q_pagerank's rule).
+    "q_bradley_terry" -> { (s, dir) =>
+      graft.llm.Chat.bradleyTerry(syntheticBattles(s, dir), "winner", "loser", iters = 2)
+        .select(col("model"), col("n_wins"), col("n_losses"),
+          round(col("strength"), 8).as("strength"))
+    },
     // Krippendorff's alpha (RankTests.krippendorffAlpha): the RAGGED
     // panel fleissKappa excludes — every 13th rating dropped, so item
     // sizes vary 18-20; fixed-point coincidences keep the sum exact.
@@ -3474,6 +3492,22 @@ object SparkEntry {
         .select(col("doc_id"), col("epoch"), col("shard"), col("quality"), col("rank"))
     }
   )
+
+  /** Synthetic model-arena battles for the rating queries: five models,
+    * opponent offset 1..4 (never self), winner decided by modular
+    * counter arithmetic with P(a wins) = (ib+1)/(ia+ib+2) — a
+    * BT-shaped, deterministic, engine-replayable generator. */
+  private def syntheticBattles(s: SparkSession, dir: String): DataFrame = {
+    val ia = pmod(col("user_id"), lit(5L))
+    val ib = pmod(ia + 1L + pmod(col("event_id"), lit(4L)), lit(5L))
+    val aWins = pmod(floor(col("value")).cast(LongType) * 7 + col("event_id"),
+      ia + ib + 2) <= ib
+    Sources.table(s, dir, "events")
+      .select(concat(lit("m"), ia.cast(StringType)).as("ma"),
+        concat(lit("m"), ib.cast(StringType)).as("mb"), aWins.as("aw"))
+      .select(when(col("aw"), col("ma")).otherwise(col("mb")).as("winner"),
+        when(col("aw"), col("mb")).otherwise(col("ma")).as("loser"))
+  }
 
   /** Skewed synthetic domain for the mixture queries: residue-class
     * buckets of doc_id mod 31 sized 1:2:4:8:16 — integer CASE arithmetic,
@@ -6726,6 +6760,70 @@ object SparkEntry {
         |  round(p_bar, 8) AS p_bar, round(pe, 8) AS pe,
         |  round((p_bar - pe) / (1.0 - pe), 8) AS kappa
         |FROM vals""".stripMargin,
+    // battles replayed from the same modular generator; Wilson terms in
+    // the same operation order (z² computed as 1.96 * 1.96 both sides)
+    "q_win_matrix" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN aw THEN ma ELSE mb END AS winner,
+        |    CASE WHEN aw THEN mb ELSE ma END AS loser
+        |  FROM (SELECT 'm' || CAST(user_id % 5 AS VARCHAR) AS ma,
+        |      'm' || CAST((user_id % 5 + 1 + event_id % 4) % 5 AS VARCHAR) AS mb,
+        |      (CAST(FLOOR(value) AS BIGINT) * 7 + event_id)
+        |        % (user_id % 5 + (user_id % 5 + 1 + event_id % 4) % 5 + 2)
+        |        <= (user_id % 5 + 1 + event_id % 4) % 5 AS aw
+        |    FROM events)),
+        |g AS (SELECT LEAST(winner, loser) AS model_a, GREATEST(winner, loser) AS model_b,
+        |    count(*) AS n_battles,
+        |    CAST(SUM(CASE WHEN winner = LEAST(winner, loser) THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+        |  FROM b GROUP BY 1, 2),
+        |v AS (SELECT *, CAST(wins_a AS DOUBLE) / CAST(n_battles AS DOUBLE) AS p,
+        |    CAST(n_battles AS DOUBLE) AS n, 1.96 * 1.96 AS z2 FROM g)
+        |SELECT model_a, model_b, n_battles, wins_a,
+        |  round(p, 8) AS win_rate_a,
+        |  round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        |    - (1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n), 8) AS wilson_lo,
+        |  round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        |    + (1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n), 8) AS wilson_hi
+        |FROM v""".stripMargin,
+    // two unrolled MM rounds, each denominator and the normalizer an
+    // ORDERED sorted-list fold — the q_pagerank replay discipline
+    "q_bradley_terry" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN aw THEN ma ELSE mb END AS winner,
+        |    CASE WHEN aw THEN mb ELSE ma END AS loser
+        |  FROM (SELECT 'm' || CAST(user_id % 5 AS VARCHAR) AS ma,
+        |      'm' || CAST((user_id % 5 + 1 + event_id % 4) % 5 AS VARCHAR) AS mb,
+        |      (CAST(FLOOR(value) AS BIGINT) * 7 + event_id)
+        |        % (user_id % 5 + (user_id % 5 + 1 + event_id % 4) % 5 + 2)
+        |        <= (user_id % 5 + 1 + event_id % 4) % 5 AS aw
+        |    FROM events)),
+        |dir AS (SELECT winner AS i, loser AS j, 1 AS w FROM b
+        |  UNION ALL SELECT loser, winner, 0 FROM b),
+        |m AS (SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij, count(*) AS tij
+        |  FROM dir GROUP BY 1, 2),
+        |wins AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS n_wins,
+        |    CAST(SUM(tij - nij) AS BIGINT) AS n_losses FROM m GROUP BY 1),
+        |s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM wins),
+        |d1 AS (SELECT m.i, list_reduce(list_transform(list_sort(list(
+        |      struct_pack(k := m.j, t := CAST(m.tij AS DOUBLE) / (si.w + sj.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS den
+        |  FROM m JOIN s0 si ON si.i = m.i JOIN s0 sj ON sj.i = m.j GROUP BY m.i),
+        |u1 AS (SELECT wins.i, CAST(n_wins AS DOUBLE) / den AS w0
+        |  FROM wins JOIN d1 ON d1.i = wins.i),
+        |t1 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |    struct_pack(k := i, t := w0))), x -> x.t), (a, c) -> a + c) AS s FROM u1),
+        |s1 AS (SELECT i, w0 / t1.s AS w FROM u1, t1),
+        |d2 AS (SELECT m.i, list_reduce(list_transform(list_sort(list(
+        |      struct_pack(k := m.j, t := CAST(m.tij AS DOUBLE) / (si.w + sj.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS den
+        |  FROM m JOIN s1 si ON si.i = m.i JOIN s1 sj ON sj.i = m.j GROUP BY m.i),
+        |u2 AS (SELECT wins.i, CAST(n_wins AS DOUBLE) / den AS w0
+        |  FROM wins JOIN d2 ON d2.i = wins.i),
+        |t2 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |    struct_pack(k := i, t := w0))), x -> x.t), (a, c) -> a + c) AS s FROM u2),
+        |s2 AS (SELECT i, w0 / t2.s AS w FROM u2, t2)
+        |SELECT wins.i AS model, n_wins, n_losses, round(s2.w, 8) AS strength
+        |FROM wins JOIN s2 ON s2.i = wins.i""".stripMargin,
     // same fixed-point integral divide, HUGEINT-safe, BIGINT-cast sums
     "q_kripp_alpha" ->
       """WITH r AS (SELECT event_id // 20 AS item,

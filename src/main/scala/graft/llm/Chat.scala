@@ -89,4 +89,81 @@ object Chat {
       .join(dups, "__p")
       .drop("__p")
   }
+
+  /** Pairwise win-rate matrix with the Wilson score interval — the
+    * model-arena readout before any rating model: per unordered model
+    * pair (a < b), battles, a's wins, a's win rate, and the 95% Wilson
+    * bounds (Wilson 1927 — the interval that stays sane at small n and
+    * extreme rates, unlike the normal approximation). One grouped
+    * count; every ratio from exact counts, closed-form doubles. */
+  def winMatrix(battles: DataFrame, winnerCol: String, loserCol: String,
+                z: Double = 1.96): DataFrame = {
+    val a = least(col(winnerCol), col(loserCol))
+    val b = greatest(col(winnerCol), col(loserCol))
+    val base = battles
+      .select(a.as("model_a"), b.as("model_b"),
+        (col(winnerCol) === a).cast("long").as("__aw"))
+      .groupBy("model_a", "model_b")
+      .agg(count(lit(1)).as("n_battles"), sum(col("__aw")).as("wins_a"))
+    val n = col("n_battles").cast("double")
+    val p = col("wins_a").cast("double") / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    base.select(col("model_a"), col("model_b"), col("n_battles"), col("wins_a"),
+      p.as("win_rate_a"),
+      (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+  }
+
+  /** Bradley–Terry strengths from battle outcomes (Bradley & Terry
+    * 1952; the LMSYS-arena rating computation) by `iters` rounds of the
+    * MM update (Hunter 2004): wᵢ ← Wᵢ / Σⱼ tᵢⱼ/(wᵢ+wⱼ), renormalized to
+    * Σw = 1 each round. Wᵢ = i's total wins, tᵢⱼ = battles between i
+    * and j. A model with zero wins converges to strength 0 (its true
+    * MLE); ties are not modeled (drop or split them upstream).
+    *
+    * 100 TB shape: the corpus-scale work is ONE (winner, loser)
+    * aggregate down to the M²-bounded directed pair matrix; the MM
+    * rounds run on the DRIVER over that matrix (the [[graft.llm.Ivf]]
+    * centroid precedent — models number in the hundreds; a per-round
+    * DataFrame join chain would double the logical plan every round),
+    * with every double sum folded in SORTED model order so the result
+    * is partitioning-invariant bit-for-bit and the oracle replays each
+    * round with the same sorted list_reduce (the q_pagerank
+    * discipline). Output: (model, n_wins, n_losses, strength). */
+  def bradleyTerry(battles: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val spark = battles.sparkSession
+    val dir = battles.select(col(winnerCol).as("i"), col(loserCol).as("j"),
+        lit(1L).as("__w"))
+      .unionByName(battles.select(col(loserCol).as("i"), col(winnerCol).as("j"),
+        lit(0L).as("__w")))
+    // per DIRECTED (i, j): i's wins over j and total battles between them
+    val m = dir.groupBy("i", "j")
+      .agg(sum(col("__w")).as("nij"), count(lit(1)).as("tij"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val models = m.map(_._1).distinct.sorted
+    val winCnt = models.map(i => i -> m.filter(_._1 == i).map(_._3).sum).toMap
+    val lossCnt = models.map(i => i -> m.filter(_._1 == i).map(x => x._4 - x._3).sum).toMap
+    // opponents of i in sorted-j order: the fold order the oracle replays
+    val opp = models.map(i =>
+      i -> m.filter(_._1 == i).sortBy(_._2).map(x => (x._2, x._4))).toMap
+    var w = models.map(_ -> 1.0).toMap
+    (1 to iters).foreach { _ =>
+      val unnorm = models.map { i =>
+        var den = 0.0
+        opp(i).foreach { case (j, tij) => den += tij.toDouble / (w(i) + w(j)) }
+        i -> winCnt(i).toDouble / den
+      }.toMap
+      var total = 0.0
+      models.foreach(i => total += unnorm(i))
+      w = models.map(i => i -> unnorm(i) / total).toMap
+    }
+    import spark.implicits._
+    models.toSeq.map(i => (i, winCnt(i), lossCnt(i), w(i)))
+      .toDF("model", "n_wins", "n_losses", "strength")
+  }
 }

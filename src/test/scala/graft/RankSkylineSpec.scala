@@ -223,6 +223,47 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("alpha")))
   }
 
+  test("winMatrix: counts, rate, and a Wilson interval that behaves") {
+    import graft.llm.Chat
+    // a beats b 3 of 4; pair key is unordered (min, max)
+    val b = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"), ("c", "a"))
+      .toDF("winner", "loser")
+    val out = Chat.winMatrix(b, "winner", "loser")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_battles") == 4L && ab.getAs[Long]("wins_a") == 3L)
+    assert(ab.getAs[Double]("win_rate_a") == 0.75)
+    val (lo, hi) = (ab.getAs[Double]("wilson_lo"), ab.getAs[Double]("wilson_hi"))
+    assert(lo > 0.0 && lo < 0.75 && hi > 0.75 && hi < 1.0,
+      s"Wilson bounds must bracket p strictly inside (0,1) at n=4: [$lo, $hi]")
+    // one battle, loser side: p=0, Wilson lower stays 0, upper < 1
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("wins_a") == 0L)
+    assert(ac.getAs[Double]("wilson_lo") == 0.0 && ac.getAs[Double]("wilson_hi") < 1.0)
+  }
+
+  test("bradleyTerry: recovers the generator's strength order, partition-invariant") {
+    import graft.llm.Chat
+    val rnd = new scala.util.Random(5)
+    // true strengths 1 : 2 : 4 — P(i beats j) = s_i/(s_i+s_j)
+    val s = Map("weak" -> 1.0, "mid" -> 2.0, "strong" -> 4.0)
+    val models = s.keys.toSeq.sorted
+    val battles = (1 to 3000).map { _ =>
+      val Seq(x, y) = rnd.shuffle(models).take(2)
+      if (rnd.nextDouble() < s(x) / (s(x) + s(y))) (x, y) else (y, x)
+    }.toDF("winner", "loser")
+    val out = Chat.bradleyTerry(battles, "winner", "loser", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(out("strong") > out("mid") && out("mid") > out("weak"))
+    // ratio recovery within sampling tolerance at n=3000
+    assert(math.abs(out("strong") / out("weak") - 4.0) < 1.5)
+    assert(math.abs(out.values.sum - 1.0) < 1e-12, "strengths normalize to 1")
+    // ordered folds: identical bits under any partitioning
+    val out2 = Chat.bradleyTerry(battles.repartition(13), "winner", "loser", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(out2 == out)
+  }
+
   test("preferenceAudit: length bias, identical pairs, prompt dups") {
     import graft.llm.Chat
     val df = Seq(
