@@ -264,6 +264,33 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("winMatrix live leaderboard: complete-mode stream == batch after replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import graft.llm.Chat
+    implicit val enc = Encoders.product[(String, String)]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    val ms = Seq("m0", "m1", "m2", "m3")
+    val battles = (1 to 400).map { _ =>
+      val Seq(x, y) = rnd.shuffle(ms).take(2)
+      if (rnd.nextBoolean()) (x, y) else (y, x)
+    }
+    val batch = Chat.winMatrix(battles.toDF("winner", "loser"), "winner", "loser")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("wilson_lo"))).toMap
+    val mem = MemoryStream[(String, String)]
+    val q = Chat.winMatrix(mem.toDF().toDF("winner", "loser"), "winner", "loser")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_stream").start()
+    battles.grouped(50).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table("win_stream")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("wilson_lo"))).toMap
+    assert(stream == batch, "the arena leaderboard is ONE streaming aggregate")
+  }
+
   test("preferenceAudit: length bias, identical pairs, prompt dups") {
     import graft.llm.Chat
     val df = Seq(
