@@ -2596,6 +2596,28 @@ object SparkEntry {
         .select(col("n_items"), col("n_raters"), round(col("p_bar"), 8).as("p_bar"),
           round(col("pe"), 8).as("pe"), round(col("kappa"), 8).as("kappa"))
     },
+    // Average precision (Evaluate.averagePrecision): PR-curve area over
+    // the q_gains scoring table — rides the distributed rank + fixed-
+    // point precision terms; the imbalanced-label twin of q_auc.
+    "q_avg_precision" -> { (s, dir) =>
+      val per = Sources.table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("label"))
+      graft.operators.Evaluate.averagePrecision(per, "label", "score", "user_id")
+        .select(col("n"), col("n_pos"), round(col("ap"), 8).as("ap"))
+    },
+    // NDCG@10 (Relevance.ndcg): 50 synthetic queries, graded relevance
+    // event_id%4 — per-query windows, quantized gain terms.
+    "q_ndcg" -> { (s, dir) =>
+      val r = Sources.table(s, dir, "events").select(
+        pmod(col("user_id"), lit(50L)).as("query"), col("value").as("score"),
+        pmod(col("event_id"), lit(4L)).cast(IntegerType).as("rel"),
+        col("event_id").as("o"))
+      graft.llm.Relevance.ndcg(r, "query", "score", "rel", "o", k = 10)
+        .select(col("query"), col("n_rated"), round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"), round(col("ndcg"), 6).as("ndcg"))
+    },
     // Arena win matrix (Chat.winMatrix): synthetic model battles with
     // BT-flavored win odds P(a beats b) = (ib+1)/(ia+ib+2); Wilson 95%
     // bounds closed-form from exact counts.
@@ -6760,6 +6782,44 @@ object SparkEntry {
         |  round(p_bar, 8) AS p_bar, round(pe, 8) AS pe,
         |  round((p_bar - pe) / (1.0 - pe), 8) AS kappa
         |FROM vals""".stripMargin,
+    // same rank, same running positive count, same fixed-point
+    // precision terms ((cum·10^15) // k), one division at the end
+    "q_avg_precision" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT label, row_number() OVER (ORDER BY score DESC, user_id) AS r,
+        |    SUM(label) OVER (ORDER BY score DESC, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM per),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(label) AS BIGINT) AS n_pos,
+        |    SUM(CASE WHEN label = 1
+        |      THEN (CAST(cum AS HUGEINT) * 1000000000000000) // r END) AS ap_num
+        |  FROM r)
+        |SELECT n, n_pos,
+        |  round(CAST(ap_num AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e15), 8) AS ap
+        |FROM t""".stripMargin,
+    // per-query windows, the same quantized (2^rel-1)/ln(pos+1) terms
+    "q_ndcg" ->
+      """WITH r AS (SELECT user_id % 50 AS query, value AS score,
+        |    CAST(event_id % 4 AS INT) AS rel, event_id AS o FROM events),
+        |g AS (SELECT query, rel,
+        |    row_number() OVER (PARTITION BY query ORDER BY score DESC, o) AS pd,
+        |    row_number() OVER (PARTITION BY query ORDER BY rel DESC, o) AS pi
+        |  FROM r),
+        |s AS (SELECT query, count(*) AS n_rated,
+        |    SUM(CASE WHEN pd <= 10 THEN CAST(FLOOR(
+        |      (pow(2.0, rel) - 1.0) / ln(pd + 1.0) * 1e12) AS HUGEINT) END) AS d,
+        |    SUM(CASE WHEN pi <= 10 THEN CAST(FLOOR(
+        |      (pow(2.0, rel) - 1.0) / ln(pi + 1.0) * 1e12) AS HUGEINT) END) AS i
+        |  FROM g GROUP BY 1)
+        |SELECT query, n_rated,
+        |  round(CAST(coalesce(d, 0) AS DOUBLE) / 1e12, 6) AS dcg,
+        |  round(CAST(coalesce(i, 0) AS DOUBLE) / 1e12, 6) AS idcg,
+        |  round((CAST(coalesce(d, 0) AS DOUBLE) / 1e12)
+        |    / (CAST(coalesce(i, 0) AS DOUBLE) / 1e12), 6) AS ndcg
+        |FROM s""".stripMargin,
     // battles replayed from the same modular generator; Wilson terms in
     // the same operation order (z² computed as 1.96 * 1.96 both sides)
     "q_win_matrix" ->

@@ -189,4 +189,42 @@ object Relevance {
       .select(col("term"), col("df_t"), col("total_tf"),
         array_join(transform(col("__top"), s => s.getField("p")), ",").as("postings"))
   }
+
+  /** NDCG@k (Järvelin & Kekäläinen 2002, exponential gains): per query,
+    * DCG@k = Σ_{pos≤k} (2^rel − 1)/ln(pos+1) over the (score DESC, ord)
+    * ranking, IDCG@k the same sum over the IDEAL (rel DESC, ord)
+    * ranking, ndcg = DCG/IDCG — the retrieval-eval standard beside
+    * [[graft.llm.Similarity.recallAtK]] (recall ignores ORDER inside
+    * the top-k; NDCG grades it). The log base cancels in the ratio, so
+    * ln replaces log2 outright (not just bit-stably).
+    *
+    * Determinism: both rankings are per-QUERY windows (balanced — the
+    * parallelism axis is the query set); each position's gain term is
+    * quantized to a fixed-point integer (⌊term·10¹²⌋ — ln on small
+    * integer arguments is bit-identical across engines, the q_entropy
+    * precedent) and summed EXACTLY, so DCG/IDCG are
+    * partitioning-invariant and the oracle replays every term. Output:
+    * one row per query — (query, n_rated, dcg, idcg, ndcg), null ndcg
+    * when no positive gain exists (all rel 0). */
+  def ndcg(df: DataFrame, queryCol: String, scoreCol: String, relCol: String,
+           ordCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreCol).desc, col(ordCol))
+    val byRel = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(relCol).desc, col(ordCol))
+    def gainQ(pos: Column): Column = when(pos <= k, floor(
+      (pow(lit(2.0), col(relCol).cast("double")) - 1.0) /
+        log(pos.cast("double") + 1.0) * lit(1e12)).cast("decimal(38,0)"))
+    val ranked = df
+      .withColumn("__gd", gainQ(row_number().over(byScore)))
+      .withColumn("__gi", gainQ(row_number().over(byRel)))
+    ranked.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_rated"),
+        sum(col("__gd")).as("__d"), sum(col("__gi")).as("__i"))
+      .select(col("query"), col("n_rated"),
+        (coalesce(col("__d"), lit(0)).cast("double") / lit(1e12)).as("dcg"),
+        (coalesce(col("__i"), lit(0)).cast("double") / lit(1e12)).as("idcg"))
+      .withColumn("ndcg", when(col("idcg") =!= 0.0, col("dcg") / col("idcg")))
+  }
 }

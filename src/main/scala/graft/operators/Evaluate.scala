@@ -126,6 +126,36 @@ object Evaluate {
         ((col("q1") - col("q0")) * (col("__pp1") - col("__pp0"))).as("mix_effect"))
   }
 
+  /** Average precision (area under the precision–recall curve by the
+    * standard step estimator): AP = Σ_{k: label_k=1} P(k) / n_pos with
+    * P(k) = cum_pos(k)/k over the (score DESC, ord) total order — the
+    * imbalanced-label complement of the ROC AUC (q_auc), where a tiny
+    * positive class makes ROC look deceptively good.
+    *
+    * Scale + determinism: the ranking and running positive count ride
+    * [[Ranking.withGlobalOrder]] (one entity-scale range Exchange,
+    * never a single-partition sort), and the per-positive precision
+    * terms are FIXED-POINT integers ((cum·10¹⁵) div k, the
+    * [[RankTests.krippendorffAlpha]] trick) summed in DECIMAL — the
+    * floating sum over millions of positives would be
+    * partitioning-dependent; the quantized sum is exact, replayable,
+    * and off by < n_pos·10⁻¹⁵ from the real number. One row:
+    * (n, n_pos, ap). */
+  def averagePrecision(df: DataFrame, labelCol: String, scoreCol: String,
+                       ordCol: String): DataFrame = {
+    val ranked = Ranking.withGlobalOrder(df,
+      Seq(col(scoreCol).desc, col(ordCol)), rankCol = "__r",
+      sums = Seq((col(labelCol).cast("long"), "__cum")), countCol = Some("__n"))
+    ranked
+      .withColumn("__term", when(col(labelCol) === 1, expr(
+        "(CAST(__cum AS DECIMAL(38,0)) * 1000000000000000) div __r")))
+      .agg(max(col("__n")).as("n"), max(col("__cum_tot")).as("n_pos"),
+        sum(col("__term").cast("decimal(38,0)")).as("__ap_num"))
+      .select(col("n"), col("n_pos"),
+        (col("__ap_num").cast("double") /
+          (col("n_pos").cast("double") * lit(1e15))).as("ap"))
+  }
+
   /** Gini coefficient of `valueCol` (nonnegative) with the ranked
     * form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending (value, ord)
     * order; both sums accumulate in DECIMAL so G is partitioning-

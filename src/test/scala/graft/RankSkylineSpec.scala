@@ -264,6 +264,45 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("averagePrecision: hand case 5/6, perfect ranking = 1, degenerate all-negative") {
+    import graft.operators.Evaluate
+    // score order: (3.0,label 1), (2.0,0), (1.0,1) → AP = (1/1 + 2/3)/2
+    val df = Seq((3.0, 1, 1L), (2.0, 0, 2L), (1.0, 1, 3L)).toDF("score", "label", "o")
+    val r = Evaluate.averagePrecision(df, "label", "score", "o").head
+    graft.util.Caching.release()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_pos") == 2L)
+    assert(math.abs(r.getAs[Double]("ap") - 5.0 / 6) < 1e-9)
+    // positives ranked first → AP = 1 (up to quantization 1e-15)
+    val perfect = Seq((3.0, 1, 1L), (2.0, 1, 2L), (1.0, 0, 3L)).toDF("score", "label", "o")
+    assert(math.abs(Evaluate.averagePrecision(perfect, "label", "score", "o")
+      .head.getAs[Double]("ap") - 1.0) < 1e-12)
+    graft.util.Caching.release()
+  }
+
+  test("ndcg: perfect order scores 1, inverted order strictly less, ties to ideal") {
+    import graft.llm.Relevance
+    // one query, rels 3,2,1,0 — scores aligned with rel → ndcg = 1
+    val perfect = Seq((1L, 4.0, 3, 1L), (1L, 3.0, 2, 2L), (1L, 2.0, 1, 3L), (1L, 1.0, 0, 4L))
+      .toDF("q", "score", "rel", "o")
+    val p = Relevance.ndcg(perfect, "q", "score", "rel", "o", k = 10).head
+    assert(p.getAs[Double]("ndcg") == 1.0)
+    assert(p.getAs[Double]("dcg") == p.getAs[Double]("idcg"))
+    // inverted scores: dcg < idcg
+    val inv = Seq((1L, 1.0, 3, 1L), (1L, 2.0, 2, 2L), (1L, 3.0, 1, 3L), (1L, 4.0, 0, 4L))
+      .toDF("q", "score", "rel", "o")
+    val i = Relevance.ndcg(inv, "q", "score", "rel", "o", k = 10).head
+    assert(i.getAs[Double]("ndcg") < 1.0 && i.getAs[Double]("ndcg") > 0.0)
+    // all-zero relevance → null ndcg (no positive gain exists)
+    val zero = Seq((1L, 2.0, 0, 1L), (1L, 1.0, 0, 2L)).toDF("q", "score", "rel", "o")
+    val z = Relevance.ndcg(zero, "q", "score", "rel", "o", k = 10).head
+    assert(z.isNullAt(z.fieldIndex("ndcg")))
+    // k truncation: only top-k positions contribute
+    val long = (1 to 30).map(j => (1L, 31.0 - j, if (j <= 15) 1 else 0, j.toLong))
+      .toDF("q", "score", "rel", "o")
+    val t = Relevance.ndcg(long, "q", "score", "rel", "o", k = 10).head
+    assert(t.getAs[Double]("ndcg") == 1.0, "top-10 all-relevant is ideal at k=10")
+  }
+
   test("winMatrix live leaderboard: complete-mode stream == batch after replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.Encoders
