@@ -2618,6 +2618,16 @@ object SparkEntry {
         .select(col("query"), col("n_rated"), round(col("dcg"), 6).as("dcg"),
           round(col("idcg"), 6).as("idcg"), round(col("ndcg"), 6).as("ndcg"))
     },
+    // MRR (Relevance.mrr): rel>=2 counts as a hit over the q_ndcg
+    // ranking fixture — fixed-point reciprocal ranks, exact mean.
+    "q_mrr" -> { (s, dir) =>
+      val r = Sources.table(s, dir, "events").select(
+        pmod(col("user_id"), lit(50L)).as("query"), col("value").as("score"),
+        when(pmod(col("event_id"), lit(4L)) >= 2, 1).otherwise(0).as("rel"),
+        col("event_id").as("o"))
+      graft.llm.Relevance.mrr(r, "query", "score", "rel", "o")
+        .select(col("n_queries"), col("n_hit"), round(col("mrr"), 8).as("mrr"))
+    },
     // Arena win matrix (Chat.winMatrix): synthetic model battles with
     // BT-flavored win odds P(a beats b) = (ib+1)/(ia+ib+2); Wilson 95%
     // bounds closed-form from exact counts.
@@ -6820,6 +6830,25 @@ object SparkEntry {
         |  round((CAST(coalesce(d, 0) AS DOUBLE) / 1e12)
         |    / (CAST(coalesce(i, 0) AS DOUBLE) / 1e12), 6) AS ndcg
         |FROM s""".stripMargin,
+    // same first-relevant position, same quantized reciprocal ranks
+    "q_mrr" ->
+      """WITH r AS (SELECT user_id % 50 AS query, value AS score,
+        |    CASE WHEN event_id % 4 >= 2 THEN 1 ELSE 0 END AS rel, event_id AS o
+        |  FROM events),
+        |g AS (SELECT query, rel,
+        |    row_number() OVER (PARTITION BY query ORDER BY score DESC, o) AS pos
+        |  FROM r),
+        |fr AS (SELECT query, MIN(pos) AS fp FROM g WHERE rel > 0 GROUP BY 1),
+        |q AS (SELECT DISTINCT query FROM r),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |    CAST(count(fp) AS BIGINT) AS n_hit,
+        |    SUM(CASE WHEN fp IS NOT NULL
+        |      THEN CAST(1000000000000000 AS HUGEINT) // fp END) AS rr
+        |  FROM q LEFT JOIN fr USING (query))
+        |SELECT n_queries, n_hit,
+        |  round(CAST(coalesce(rr, 0) AS DOUBLE)
+        |    / (CAST(n_queries AS DOUBLE) * 1e15), 8) AS mrr
+        |FROM t""".stripMargin,
     // battles replayed from the same modular generator; Wilson terms in
     // the same operation order (z² computed as 1.96 * 1.96 both sides)
     "q_win_matrix" ->

@@ -206,6 +206,34 @@ object Relevance {
     * partitioning-invariant and the oracle replays every term. Output:
     * one row per query — (query, n_rated, dcg, idcg, ndcg), null ndcg
     * when no positive gain exists (all rel 0). */
+  /** Mean reciprocal rank over a query set: per query, RR = 1/position
+    * of the FIRST relevant result in the (score DESC, ord) ranking (0
+    * when nothing relevant); the corpus row is the exact-count mean of
+    * the per-query fixed-point RRs — the "how fast does the user hit
+    * something useful" single number beside [[ndcg]]. Same per-query
+    * window shape; the mean sums quantized ⌊10¹⁵/pos⌋ integers, so it
+    * is partitioning-invariant and exactly replayable. Output one row:
+    * (n_queries, n_hit, mrr). */
+  def mrr(df: DataFrame, queryCol: String, scoreCol: String, relCol: String,
+          ordCol: String): DataFrame = {
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreCol).desc, col(ordCol))
+    val firstRel = df
+      .withColumn("__pos", row_number().over(byScore))
+      .filter(col(relCol) > 0)
+      .groupBy(col(queryCol)).agg(min(col("__pos")).as("__fp"))
+    val queries = df.select(col(queryCol)).distinct()
+    queries.join(firstRel, Seq(queryCol), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("__fp")).as("n_hit"),
+        sum(when(col("__fp").isNotNull, expr(
+          "CAST(1000000000000000 AS DECIMAL(38,0)) div __fp"))
+          .cast("decimal(38,0)")).as("__rr"))
+      .select(col("n_queries"), col("n_hit"),
+        (coalesce(col("__rr"), lit(0)).cast("double") /
+          (col("n_queries").cast("double") * lit(1e15))).as("mrr"))
+  }
+
   def ndcg(df: DataFrame, queryCol: String, scoreCol: String, relCol: String,
            ordCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")

@@ -303,6 +303,18 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(t.getAs[Double]("ndcg") == 1.0, "top-10 all-relevant is ideal at k=10")
   }
 
+  test("mrr: hand case, hitless queries count in the denominator") {
+    import graft.llm.Relevance
+    // q1: first relevant at pos 2 → 1/2; q2: at pos 1 → 1; q3: no hit → 0
+    val df = Seq(
+      (1L, 3.0, 0, 1L), (1L, 2.0, 1, 2L), (1L, 1.0, 1, 3L),
+      (2L, 5.0, 1, 4L), (3L, 9.0, 0, 5L), (3L, 8.0, 0, 6L))
+      .toDF("q", "score", "rel", "o")
+    val r = Relevance.mrr(df, "q", "score", "rel", "o").head
+    assert(r.getAs[Long]("n_queries") == 3L && r.getAs[Long]("n_hit") == 2L)
+    assert(math.abs(r.getAs[Double]("mrr") - 0.5) < 1e-9) // (0.5 + 1 + 0)/3
+  }
+
   test("winMatrix live leaderboard: complete-mode stream == batch after replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.Encoders
