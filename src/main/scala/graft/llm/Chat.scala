@@ -75,12 +75,15 @@ object Chat {
     * Shape: one prompt-keyed count aggregate joined back (the only
     * Exchange); everything else is a codegen projection. Aggregate the
     * output for the corpus readout: avg(chosen_longer) IS the
-    * length-bias rate a healthy dataset keeps near 0.5. */
+    * length-bias rate a healthy dataset keeps near 0.5. Null prompts
+    * normalize to '' (they dup-count as one group and their rows
+    * SURVIVE — an equi-join on a null key would silently drop them). */
   def preferenceAudit(df: DataFrame, idCol: String, promptCol: String,
                       chosenCol: String, rejectedCol: String): DataFrame = {
-    val dups = df.groupBy(col(promptCol).as("__p"))
+    val p = coalesce(col(promptCol).cast("string"), lit(""))
+    val dups = df.groupBy(p.as("__p"))
       .agg(count(lit(1)).as("n_prompt_dups"))
-    df.select(col(idCol), col(promptCol).as("__p"),
+    df.select(col(idCol), p.as("__p"),
         toks(col(chosenCol)).as("n_tok_chosen"),
         toks(col(rejectedCol)).as("n_tok_rejected"),
         (col(chosenCol) === col(rejectedCol)).cast("int").as("identical"))
@@ -95,12 +98,15 @@ object Chat {
     * pair (a < b), battles, a's wins, a's win rate, and the 95% Wilson
     * bounds (Wilson 1927 — the interval that stays sane at small n and
     * extreme rates, unlike the normal approximation). One grouped
-    * count; every ratio from exact counts, closed-form doubles. */
+    * count; every ratio from exact counts, closed-form doubles.
+    * Self-battles (winner = loser — upstream data bugs) are EXCLUDED,
+    * not silently folded into a degenerate (m, m) row. */
   def winMatrix(battles: DataFrame, winnerCol: String, loserCol: String,
                 z: Double = 1.96): DataFrame = {
     val a = least(col(winnerCol), col(loserCol))
     val b = greatest(col(winnerCol), col(loserCol))
     val base = battles
+      .filter(col(winnerCol) =!= col(loserCol))
       .select(a.as("model_a"), b.as("model_b"),
         (col(winnerCol) === a).cast("long").as("__aw"))
       .groupBy("model_a", "model_b")
@@ -136,9 +142,12 @@ object Chat {
                    iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     val spark = battles.sparkSession
-    val dir = battles.select(col(winnerCol).as("i"), col(loserCol).as("j"),
+    // a self-battle would put t_ii/(2w_i) terms into the MM denominator
+    // and silently bias every strength — exclude, like [[winMatrix]]
+    val clean = battles.filter(col(winnerCol) =!= col(loserCol))
+    val dir = clean.select(col(winnerCol).as("i"), col(loserCol).as("j"),
         lit(1L).as("__w"))
-      .unionByName(battles.select(col(loserCol).as("i"), col(winnerCol).as("j"),
+      .unionByName(clean.select(col(loserCol).as("i"), col(winnerCol).as("j"),
         lit(0L).as("__w")))
     // per DIRECTED (i, j): i's wins over j and total battles between them
     val m = dir.groupBy("i", "j")

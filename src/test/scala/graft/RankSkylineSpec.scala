@@ -361,5 +361,24 @@ class RankSkylineSpec extends AnyFunSuite {
       out(3L).getAs[Int]("chosen_longer") == 0)
     assert(out(4L).getAs[Long]("n_tok_chosen") == 0L &&
       out(4L).getAs[Int]("identical") == 0)
+    // null prompts survive (normalized to one '' group, never join-dropped)
+    val withNull = df.unionByName(
+      Seq((5L, null: String, "a", "b"), (6L, null: String, "c", "d"))
+        .toDF("id", "prompt", "chosen", "rejected"))
+    val on = Chat.preferenceAudit(withNull, "id", "prompt", "chosen", "rejected")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_prompt_dups")).toMap
+    assert(on.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(on(5L) == 2L && on(6L) == 2L)
+  }
+
+  test("winMatrix/bradleyTerry: self-battles are excluded, not folded in") {
+    import graft.llm.Chat
+    val b = Seq(("a", "b"), ("a", "a"), ("b", "a"), ("b", "b")).toDF("winner", "loser")
+    val wm = Chat.winMatrix(b, "winner", "loser").collect()
+    assert(wm.length == 1 && wm.head.getAs[Long]("n_battles") == 2L)
+    val bt = Chat.bradleyTerry(b, "winner", "loser", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    // 1-1 record each → equal strengths
+    assert(math.abs(bt("a") - bt("b")) < 1e-12)
   }
 }
