@@ -256,6 +256,29 @@ object CorpusStats {
       .dropDuplicates("fp")
       .groupBy("day").agg(count(lit(1)).as("n_new"))
 
+  /** BOUNDED-state arm of [[noveltyOnline]] for feeds whose distinct-
+    * fingerprint state cannot live forever (the 100 TB streaming
+    * reality): dedup via `dropDuplicatesWithinWatermark` — state per
+    * fingerprint is held only `delay` past the watermark — and count
+    * first arrivals per event-time day window, emitted in APPEND mode
+    * once the day finalizes.
+    *
+    * The contract this buys and its price, both pinned by spec: within
+    * the watermark horizon the counts equal the unbounded arm (and the
+    * batch min-day form under in-order arrival); a duplicate arriving
+    * MORE than `delay` after its original's watermark expiry counts as
+    * new again — bounded state cannot distinguish it, which is exactly
+    * the re-crawl-after-a-quarter case a novelty MONITOR should surface
+    * anyway. */
+  def noveltyOnlineBounded(stream: DataFrame, tsCol: String, textCol: String,
+                           delay: String): DataFrame =
+    stream.select(col(tsCol).as("ts"), md5(col(textCol)).as("fp"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .groupBy(window(col("ts"), "1 day").as("__w"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("__w.start").as("day"), col("n_new"))
+
   /** Content-addressable dataset manifest — the auditable-release
     * primitive: shard every document by id, digest each shard as the
     * md5 of its id-ordered per-doc fingerprints, and append a root row

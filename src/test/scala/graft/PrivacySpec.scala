@@ -244,4 +244,44 @@ class NoveltyStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stream != batch,
       "shuffled fixture must actually exercise late-arrival attribution")
   }
+
+  test("noveltyOnlineBounded: == batch within the watermark horizon; re-counts past it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import java.sql.Timestamp
+    implicit val enc = Encoders.product[(Timestamp, String)]
+    implicit val sq = spark.sqlContext
+    def ts(day: Int, h: Int = 0) = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day).atTime(h, 0))
+    // day 0: a,b,c new; day 1: a dup (within delay), d new; day 2: b dup, e new
+    val inWindow = Seq(
+      ts(0) -> "a", ts(0) -> "b", ts(0, 5) -> "c",
+      ts(1) -> "a", ts(1, 3) -> "d",
+      ts(2) -> "b", ts(2, 7) -> "e")
+    // a day-20 batch advances the watermark to day 17 so the day-0/1
+    // dedup state (expiry day 3/4) is EVICTED before 'a' reappears
+    // (the watermark a batch runs under comes from the previous batch)
+    val bump = Seq(ts(20) -> "bump")
+    // day 30: 'a' again — its dedup state expired → counts NEW
+    val late = Seq(ts(30) -> "a", ts(30, 1) -> "z")
+    val flush = Seq(ts(60) -> "flush") // push the watermark past day 30
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = graft.llm.CorpusStats.noveltyOnlineBounded(
+        mem.toDF().toDF("ts", "text"), "ts", "text", delay = "3 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("novelty_bounded").start()
+    Seq(inWindow, bump, late, flush).foreach { g =>
+      mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val out = spark.table("novelty_bounded")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    // within the horizon: the batch min-day counts (a,b,c | d | e)
+    assert(out.getOrElse("2024-01-01", 0L) == 3L)
+    assert(out.getOrElse("2024-01-02", 0L) == 1L)
+    assert(out.getOrElse("2024-01-03", 0L) == 1L)
+    // past the horizon: the expired duplicate re-counts — the documented
+    // bounded-state contract (and the signal a novelty monitor wants)
+    assert(out.getOrElse("2024-01-31", 0L) == 2L,
+      s"day-30 batch must count both z (new) and a (state expired): $out")
+  }
 }
