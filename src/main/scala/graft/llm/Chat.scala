@@ -145,10 +145,12 @@ object Chat {
     // a self-battle would put t_ii/(2w_i) terms into the MM denominator
     // and silently bias every strength — exclude, like [[winMatrix]]
     val clean = battles.filter(col(winnerCol) =!= col(loserCol))
-    val dir = clean.select(col(winnerCol).as("i"), col(loserCol).as("j"),
-        lit(1L).as("__w"))
-      .unionByName(clean.select(col(loserCol).as("i"), col(winnerCol).as("j"),
-        lit(0L).as("__w")))
+    // model ids cast to string up front so any orderable id type works
+    // (winMatrix accepts any type; the driver-side collect reads strings)
+    val wS = col(winnerCol).cast("string")
+    val lS = col(loserCol).cast("string")
+    val dir = clean.select(wS.as("i"), lS.as("j"), lit(1L).as("__w"))
+      .unionByName(clean.select(lS.as("i"), wS.as("j"), lit(0L).as("__w")))
     // per DIRECTED (i, j): i's wins over j and total battles between them
     val m = dir.groupBy("i", "j")
       .agg(sum(col("__w")).as("nij"), count(lit(1)).as("tij"))

@@ -190,22 +190,6 @@ object Relevance {
         array_join(transform(col("__top"), s => s.getField("p")), ",").as("postings"))
   }
 
-  /** NDCG@k (Järvelin & Kekäläinen 2002, exponential gains): per query,
-    * DCG@k = Σ_{pos≤k} (2^rel − 1)/ln(pos+1) over the (score DESC, ord)
-    * ranking, IDCG@k the same sum over the IDEAL (rel DESC, ord)
-    * ranking, ndcg = DCG/IDCG — the retrieval-eval standard beside
-    * [[graft.llm.Similarity.recallAtK]] (recall ignores ORDER inside
-    * the top-k; NDCG grades it). The log base cancels in the ratio, so
-    * ln replaces log2 outright (not just bit-stably).
-    *
-    * Determinism: both rankings are per-QUERY windows (balanced — the
-    * parallelism axis is the query set); each position's gain term is
-    * quantized to a fixed-point integer (⌊term·10¹²⌋ — ln on small
-    * integer arguments is bit-identical across engines, the q_entropy
-    * precedent) and summed EXACTLY, so DCG/IDCG are
-    * partitioning-invariant and the oracle replays every term. Output:
-    * one row per query — (query, n_rated, dcg, idcg, ndcg), null ndcg
-    * when no positive gain exists (all rel 0). */
   /** Mean reciprocal rank over a query set: per query, RR = 1/position
     * of the FIRST relevant result in the (score DESC, ord) ranking (0
     * when nothing relevant); the corpus row is the exact-count mean of
@@ -234,6 +218,22 @@ object Relevance {
           (col("n_queries").cast("double") * lit(1e15))).as("mrr"))
   }
 
+  /** NDCG@k (Järvelin & Kekäläinen 2002, exponential gains): per query,
+    * DCG@k = Σ_{pos≤k} (2^rel − 1)/ln(pos+1) over the (score DESC, ord)
+    * ranking, IDCG@k the same sum over the IDEAL (rel DESC, ord)
+    * ranking, ndcg = DCG/IDCG — the retrieval-eval standard beside
+    * [[graft.llm.Similarity.recallAtK]] (recall ignores ORDER inside
+    * the top-k; NDCG grades it). The log base cancels in the ratio, so
+    * ln replaces log2 outright (not just bit-stably).
+    *
+    * Determinism: both rankings are per-QUERY windows (balanced — the
+    * parallelism axis is the query set); each position's gain term is
+    * quantized to a fixed-point integer (⌊term·10¹²⌋ — ln on small
+    * integer arguments is bit-identical across engines, the q_entropy
+    * precedent) and summed EXACTLY, so DCG/IDCG are
+    * partitioning-invariant and the oracle replays every term. Output:
+    * one row per query — (query, n_rated, dcg, idcg, ndcg), null ndcg
+    * when no positive gain exists (all rel 0). */
   def ndcg(df: DataFrame, queryCol: String, scoreCol: String, relCol: String,
            ordCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")

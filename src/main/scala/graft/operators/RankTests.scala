@@ -267,13 +267,15 @@ object RankTests {
     val mb = cells.groupBy(col("__lb").as("__l")).agg(sum(col("c")).as("cb"))
     val n = cells.agg(sum(col("c")).as("n"),
       sum(when(col("__la") === col("__lb"), col("c")).otherwise(0L)).as("agree"))
+    // counts cast to DECIMAL(38,0) BEFORE multiplying: ca·cb and n²
+    // overflow Long once per-label marginals pass ~3e9 items
     val pe = ma.join(mb, "__l")
-      .agg(sum(col("ca") * col("cb")).as("__sab"))
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("__sab"))
     n.crossJoin(pe)
       .select(col("n").as("n_items"),
         (col("agree").cast("double") / col("n").cast("double")).as("po"),
         (col("__sab").cast("double") /
-          (col("n") * col("n")).cast("double")).as("pe"))
+          (col("n").cast("decimal(38,0)") * col("n")).cast("double")).as("pe"))
       .withColumn("kappa",
         when(col("pe") =!= 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
@@ -300,16 +302,18 @@ object RankTests {
     val perLabel = kept.groupBy(col("__l")).agg(sum(col("c")).as("cl"))
     val base = items.agg(count(lit(1)).as("n_items"),
       sum(col("__s2")).as("__ss2"))
+    // cl cast to DECIMAL(38,0) BEFORE squaring (cl² overflows Long past
+    // ~3e9 ratings per label); same cast-first discipline for (N·n)²
     val pe = perLabel.agg(
-      sum((col("cl") * col("cl")).cast("decimal(38,0)")).as("__sl2"))
+      sum(col("cl").cast("decimal(38,0)") * col("cl")).as("__sl2"))
     base.crossJoin(pe)
       .select(col("n_items"), lit(n).cast("long").as("n_raters"),
         // P̄ = (Σ_i Σ_j n_ij² − N·n) / (N·n·(n−1))
         ((col("__ss2") - col("n_items") * n).cast("double") /
           (col("n_items") * n * (n - 1)).cast("double")).as("p_bar"),
         (col("__sl2").cast("double") /
-          ((col("n_items") * n).cast("decimal(38,0)") *
-            (col("n_items") * n).cast("decimal(38,0)")).cast("double")).as("pe"))
+          ((col("n_items").cast("decimal(38,0)") * n) *
+            (col("n_items").cast("decimal(38,0)") * n)).cast("double")).as("pe"))
       .withColumn("kappa",
         when(col("pe") =!= 1.0, (col("p_bar") - col("pe")) / (lit(1.0) - col("pe"))))
   }

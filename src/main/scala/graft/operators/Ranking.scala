@@ -50,6 +50,10 @@ object Ranking {
       // window would force — the only shuffle left is the range one.
       // mid = pid << 33 | in-partition offset (assigned in the sorted,
       // cached order), so pid and local rank are pure projections.
+      // HARD LIMIT: a single range partition past 2^33 (~8.6B) rows
+      // would carry the offset into the pid bits and corrupt every
+      // rank — the ≤P-row summary below asserts each partition count
+      // stays under the bound, so a violation fails loudly.
       val parted = graft.util.Caching.barrier(
         df.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
           .withColumn("__go_mid", monotonically_increasing_id()))
@@ -60,7 +64,11 @@ object Ranking {
       val wTot = Window.orderBy("__go_pid")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val offs = per
-        .withColumn("__go_roff", coalesce(sum(col("__go_c")).over(wOff), lit(0L)))
+        .withColumn("__go_roff", coalesce(sum(col("__go_c")).over(wOff), lit(0L)) +
+          coalesce(assert_true(col("__go_c") < (1L << 33), concat(
+            lit("withGlobalOrder: range partition exceeds the 2^33-row mid "),
+            lit("encoding limit: "), col("__go_c").cast("string")))
+            .cast("long"), lit(0L)))
         .withColumn("__go_n", sum(col("__go_c")).over(wTot))
         .select(col("__go_pid"), col("__go_roff"), col("__go_n"))
       val joined = parted.withColumn("__go_pid", pid)
