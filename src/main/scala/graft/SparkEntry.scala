@@ -3263,6 +3263,20 @@ object SparkEntry {
         "is_purchase", "value")
         .select(col("n_pos"), col("n_neg"), round(col("auc"), 8).as("auc"))
     },
+    // Dense-score AUC (RankTests.auc, dense arm): a fully continuous
+    // synthetic score (value·10⁶ + event_id — |distinct| = |rows|, the
+    // shape that single-partition-sorts the bounded arm) ranked via
+    // Ranking.withGlobalOrder; exact integer ranks, bit-equal to the
+    // oracle's sequential window replay.
+    "q_auc_dense" -> { (s, dir) =>
+      graft.operators.RankTests.auc(
+        Sources.table(s, dir, "events")
+          .withColumn("is_purchase",
+            when(col("event_type") === "purchase", 1).otherwise(0))
+          .withColumn("score", col("value") * lit(1000000.0) + col("event_id")),
+        "is_purchase", "score", dense = true)
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 8).as("auc"))
+    },
     // Mutual information (RankTests.mutualInformation): the same
     // returnflag × linestatus table as q_chi2, in nats + normalized.
     "q_mutual_info" -> { (s, dir) =>
@@ -7782,6 +7796,21 @@ object SparkEntry {
     "q_auc" ->
       """WITH f AS (SELECT CASE WHEN event_type='purchase' THEN 'p' ELSE 'n' END AS g,
         |    value AS v FROM events),
+        |pv AS (SELECT v, sum(CASE WHEN g='p' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g='n' THEN 1 ELSE 0 END) AS cb FROM f GROUP BY 1),
+        |r AS (SELECT *, ca+cb AS t, COALESCE(sum(ca+cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM pv),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos, CAST(sum(cb) AS BIGINT) AS n_neg,
+        |    CAST(sum(ca*(2*cum+t+1)) AS BIGINT) AS r2a FROM r)
+        |SELECT n_pos, n_neg,
+        |  round((CAST(r2a AS DOUBLE)/2 - CAST(n_pos AS DOUBLE)*(CAST(n_pos AS DOUBLE)+1)/2) /
+        |    (CAST(n_pos AS DOUBLE)*CAST(n_neg AS DOUBLE)), 8) AS auc
+        |FROM a""".stripMargin,
+    // identical rank-sum readout on the fully dense synthetic score —
+    // the oracle's single window replays what Spark computes distributed
+    "q_auc_dense" ->
+      """WITH f AS (SELECT CASE WHEN event_type='purchase' THEN 'p' ELSE 'n' END AS g,
+        |    value*1000000 + event_id AS v FROM events),
         |pv AS (SELECT v, sum(CASE WHEN g='p' THEN 1 ELSE 0 END) AS ca,
         |    sum(CASE WHEN g='n' THEN 1 ELSE 0 END) AS cb FROM f GROUP BY 1),
         |r AS (SELECT *, ca+cb AS t, COALESCE(sum(ca+cb) OVER (ORDER BY v

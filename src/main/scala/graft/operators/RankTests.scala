@@ -20,16 +20,53 @@ import org.apache.spark.sql.functions._
   * integer trick (average ranks are half-integers) so every statistic
   * up to the final z/D division is EXACT integer arithmetic —
   * partitioning-independent and bit-replayable by any SQL engine.
+  *
+  * CONTINUOUS columns break that boundedness argument — a raw model
+  * score or an un-bucketed price has |distinct| ≈ |rows|, and the
+  * "bounded" window becomes a single-partition sort of the corpus. Two
+  * defenses, both per the r14 verdict:
+  *
+  *  - every bounded arm carries a LOUD cardinality guard (the
+  *    [[Skyline]] `maxCandidates` precedent): an `assert_true` rides
+  *    the same window spec as the prefix sum (zero extra plan nodes)
+  *    and kills the query the moment the value table's scan passes
+  *    `maxDistinct` rows, instead of silently stalling the cluster;
+  *  - `dense = true` switches the prefix machinery to
+  *    [[Ranking.withGlobalOrder]] — a range-partitioned two-level
+  *    prefix sum with NO single-partition sort. The rank arithmetic
+  *    stays exact integers, so both arms return bit-identical results;
+  *    dense is pure plan shape. (The guard fires after the pathological
+  *    sort started, so for columns KNOWN continuous pass dense=true up
+  *    front; the guard is the misuse tripwire, not the scale plan.)
   */
 object RankTests {
+
+  /** Bounded-arm ceiling on the per-distinct-value table. A single-task
+    * sort of this many short rows is seconds — past it the window is a
+    * scale defect, not a readout. */
+  val MaxBoundedDistinct: Long = 8L << 20 // 8.4M
+
+  /** In-window tripwire: `pos1` is the 1-based position of the current
+    * row in the value-table scan (a count over the SAME window spec as
+    * the prefix sum, so it merges into the existing Window node — plan
+    * shape unchanged). Evaluates to 0L, or raises once the scan passes
+    * `maxDistinct` rows. */
+  private[operators] def cardinalityGuard(pos1: Column, maxDistinct: Long, op: String): Column =
+    coalesce(assert_true(pos1 <= lit(maxDistinct), concat(
+      lit(s"$op: distinct-value table exceeds maxDistinct=$maxDistinct; "),
+      lit("the bounded arm would single-partition-sort it - pass dense=true "),
+      lit("(exact, range-partitioned) or bucket the column first")))
+      .cast("long"), lit(0L))
 
   /** Mann-Whitney U (Wilcoxon rank-sum) for `valueCol` between groups
     * `a` and `b` of `groupCol`. Average ranks for ties; tie-corrected
     * normal approximation, no continuity correction. One row:
     * (n_a, n_b, r_a, u_a, u_b, z) with r_a the rank sum of group a.
+    * `dense = true` for continuous value columns (see object doc).
     */
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
-                  a: String, b: String): DataFrame = {
+                  a: String, b: String, dense: Boolean = false,
+                  maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
     val perValue = df
       .filter(col(groupCol) === a || col(groupCol) === b)
       .groupBy(col(valueCol).as("v"))
@@ -37,9 +74,18 @@ object RankTests {
            sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
       .withColumn("t", col("ca") + col("cb"))
     // value-cardinality table from here on (see scaladoc)
-    val wPrev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perValue.withColumn("cum",
-      coalesce(sum(col("t")).over(wPrev), lit(0L)))
+    val ranked = if (dense) {
+      // exclusive prefix = withGlobalOrder's inclusive running sum − t
+      Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
+          sums = Seq((col("t"), "__ti")))
+        .withColumn("cum", col("__ti") - col("t"))
+        .drop("__vr", "__ti", "__ti_tot")
+    } else {
+      val wPrev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      perValue.withColumn("cum",
+        coalesce(sum(col("t")).over(wPrev), lit(0L)) +
+          cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct, "RankTests.mannWhitney"))
+    }
     // 2×(average rank of a tie block) = 2·cumBefore + t + 1 — integer
     val r2 = lit(2) * col("cum") + col("t") + lit(1)
     val agg = ranked.agg(
@@ -72,22 +118,35 @@ object RankTests {
     * integer |cumA·n_b − cumB·n_a| (max over value blocks), divided
     * once at the end. One row: (n_a, n_b, d, ks_stat) with
     * ks_stat = D·√(n_a·n_b/(n_a+n_b)) — the quantity compared against
-    * the Kolmogorov distribution's critical values. */
+    * the Kolmogorov distribution's critical values.
+    * `dense = true` for continuous value columns (see object doc). */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
-             a: String, b: String): DataFrame = {
+             a: String, b: String, dense: Boolean = false,
+             maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
     val perValue = df
       .filter(col(groupCol) === a || col(groupCol) === b)
       .groupBy(col(valueCol).as("v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
            sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
-    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = perValue
-      .withColumn("cum_a", sum(col("ca")).over(wCum))
-      .withColumn("cum_b", sum(col("cb")).over(wCum))
-      .withColumn("na", max(col("cum_a")).over(wAll))
-      .withColumn("nb", max(col("cum_b")).over(wAll))
+    val cum = if (dense) {
+      // inclusive running sums + grand totals straight off the
+      // two-level prefix machinery — no single-partition window
+      Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
+          sums = Seq((col("ca"), "cum_a"), (col("cb"), "cum_b")))
+        .withColumn("na", col("cum_a_tot"))
+        .withColumn("nb", col("cum_b_tot"))
+        .drop("__vr", "cum_a_tot", "cum_b_tot")
+    } else {
+      val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perValue
+        .withColumn("cum_a", sum(col("ca")).over(wCum) +
+          cardinalityGuard(count(lit(1)).over(wCum), maxDistinct, "RankTests.ksTest"))
+        .withColumn("cum_b", sum(col("cb")).over(wCum))
+        .withColumn("na", max(col("cum_a")).over(wAll))
+        .withColumn("nb", max(col("cum_b")).over(wAll))
+    }
     cum.agg(
       max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
       max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("num"))
@@ -105,22 +164,35 @@ object RankTests {
     * exact DECIMAL — no per-row sort: each variable's average rank
     * comes off its own per-distinct-value count table ([[mannWhitney]]
     * 's construction) and joins back by value (both tables broadcast
-    * at bounded value cardinality — quantize continuous inputs first).
-    * One row: (n, rho). */
-  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    * at bounded value cardinality — for continuous inputs pass
+    * `dense = true`: the count tables rank via
+    * [[Ranking.withGlobalOrder]] and join back as ordinary shuffled
+    * joins instead of broadcasts). One row: (n, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               dense: Boolean = false,
+               maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
     def rankTable(c: String) = {
       val pv = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
-      val wPrev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-      pv.withColumn("__cum", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
-        .select(col("__v"), (lit(2) * col("__cum") + col("__t") + 1).as("__r2"))
+      if (dense) {
+        Ranking.withGlobalOrder(pv, Seq(col("__v")), rankCol = "__vr",
+            sums = Seq((col("__t"), "__ti")))
+          .select(col("__v"),
+            (lit(2) * (col("__ti") - col("__t")) + col("__t") + 1).as("__r2"))
+      } else {
+        val wPrev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        pv.withColumn("__cum", coalesce(sum(col("__t")).over(wPrev), lit(0L)) +
+            cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct, "RankTests.spearman"))
+          .select(col("__v"), (lit(2) * col("__cum") + col("__t") + 1).as("__r2"))
+      }
     }
     val rx = rankTable(xCol).withColumnRenamed("__v", "__vx")
       .withColumnRenamed("__r2", "__rx")
     val ry = rankTable(yCol).withColumnRenamed("__v", "__vy")
       .withColumnRenamed("__r2", "__ry")
+    def side(t: DataFrame) = if (dense) t else broadcast(t)
     val paired = df
-      .join(broadcast(rx), col(xCol) === col("__vx"))
-      .join(broadcast(ry), col(yCol) === col("__vy"))
+      .join(side(rx), col(xCol) === col("__vx"))
+      .join(side(ry), col(yCol) === col("__vy"))
     def d19(c: Column) = c.cast("decimal(19,0)")
     val agg = paired.agg(
       count(lit(1)).as("n"),
@@ -173,13 +245,17 @@ object RankTests {
     * probabilistic AUC definition P(s⁺>s⁻) + ½P(s⁺=s⁻). Same
     * value-cardinality shape as [[mannWhitney]]: one aggregate per
     * distinct score, never a per-row sort. `labelCol` is 0/1. One row:
-    * (n_pos, n_neg, auc). */
-  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    * (n_pos, n_neg, auc). AUC's most common input is a CONTINUOUS model
+    * score where |distinct| ≈ |rows| — pass `dense = true` there (see
+    * object doc; identical bits, range-partitioned plan). */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String,
+          dense: Boolean = false,
+          maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
     val tagged = df.select(
       when(col(labelCol).cast("int") === 1, lit("p")).otherwise(lit("n")).as("__l"),
       col(scoreCol).as("__s"))
     // positives should rank HIGH on score; U counts (pos > neg) pairs
-    mannWhitney(tagged, "__l", "__s", "p", "n")
+    mannWhitney(tagged, "__l", "__s", "p", "n", dense, maxDistinct)
       .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
         (col("u_a") / (col("n_a").cast("double") * col("n_b").cast("double"))).as("auc"))
   }

@@ -27,27 +27,64 @@ object Survival {
     * observed, e.g. days) and `observedCol` (true = the event — churn,
     * death — happened at that time; false = right-censored). Returns the
     * KM table: one row per distinct duration t — n_risk (at risk just
-    * before t), d (events at t), c (censored at t), survival = S(t). */
+    * before t), d (events at t), c (censored at t), survival = S(t).
+    *
+    * The bounded arm carries [[RankTests.cardinalityGuard]]'s tripwire:
+    * CONTINUOUS durations (µs-resolution event times) make the
+    * per-duration table entity-scale and the ordered window a
+    * single-partition sort — the guard fails the query loudly at
+    * `maxDistinct` rows. `dense = true` is the production arm for that
+    * case: both prefix passes ride [[Ranking.withGlobalOrder]] (no
+    * single-partition sort; the curve table itself is legitimately
+    * entity-scale output there). n_risk/d/c stay exact; the survival
+    * product quantizes each ln(1 − d/n) term to ⌊term·10¹²⌋ before the
+    * distributed sum (the q_entropy fixed-point precedent — float
+    * running sums across partitions would be order-dependent), so dense
+    * survival differs from the exact arm by ≤ |steps|·1e-12 —
+    * spec-pinned in RankSkylineSpec. */
   def kaplanMeier(subjects: DataFrame, durationCol: String,
-                  observedCol: String): DataFrame = {
+                  observedCol: String, dense: Boolean = false,
+                  maxDistinct: Long = RankTests.MaxBoundedDistinct): DataFrame = {
     val perT = subjects
       .select(col(durationCol).cast("long").as("t"),
         col(observedCol).cast("int").as("obs"))
       .groupBy("t")
       .agg(count(lit(1)).as("at_t"), sum(col("obs")).as("d"),
         (count(lit(1)) - sum(col("obs"))).as("c"))
-    // bounded domain from here on: |rows| = distinct durations
-    val wAll = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    val total = Window.partitionBy()
-    perT
-      .withColumn("n_risk", sum(col("at_t")).over(total) -
-        coalesce(sum(col("at_t")).over(wPrev), lit(0L)))
-      .withColumn("dead_here", col("d") === col("n_risk"))
-      .withColumn("survival",
-        when(max(col("dead_here").cast("int")).over(wAll) === 1, lit(0.0))
-          .otherwise(exp(sum(log(lit(1.0) - col("d").cast("double") /
-            col("n_risk").cast("double"))).over(wAll))))
-      .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+    if (dense) {
+      // pass 1: at-risk counts = grand total − exclusive prefix of at_t
+      val g1 = Ranking.withGlobalOrder(perT, Seq(col("t")), rankCol = "__vr",
+          sums = Seq((col("at_t"), "__ci")))
+        .withColumn("n_risk", col("__ci_tot") - (col("__ci") - col("at_t")))
+        .drop("__vr", "__ci", "__ci_tot")
+      // pass 2: running sums of the dead indicator and the quantized
+      // log term (forced 0 at a dead step — ln 0 = −∞ would wrap the
+      // long; the output there is pinned to 0.0 by the indicator)
+      val dead = (col("d") === col("n_risk")).cast("long")
+      val qlog = when(col("d") === col("n_risk"), lit(0L))
+        .otherwise(floor(log(lit(1.0) - col("d").cast("double") /
+          col("n_risk").cast("double")) * lit(1e12)).cast("long"))
+      Ranking.withGlobalOrder(g1, Seq(col("t")), rankCol = "__vr2",
+          sums = Seq((qlog, "__ls"), (dead, "__ds")))
+        .withColumn("survival", when(col("__ds") >= 1, lit(0.0))
+          .otherwise(exp(col("__ls").cast("double") / lit(1e12))))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+    } else {
+      // bounded domain from here on: |rows| = distinct durations
+      val wAll = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      val total = Window.partitionBy()
+      perT
+        .withColumn("n_risk", sum(col("at_t")).over(total) -
+          coalesce(sum(col("at_t")).over(wPrev), lit(0L)) +
+          RankTests.cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+            "Survival.kaplanMeier"))
+        .withColumn("dead_here", col("d") === col("n_risk"))
+        .withColumn("survival",
+          when(max(col("dead_here").cast("int")).over(wAll) === 1, lit(0.0))
+            .otherwise(exp(sum(log(lit(1.0) - col("d").cast("double") /
+              col("n_risk").cast("double"))).over(wAll))))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+    }
   }
 }

@@ -381,4 +381,67 @@ class RankSkylineSpec extends AnyFunSuite {
     // 1-1 record each → equal strengths
     assert(math.abs(bt("a") - bt("b")) < 1e-12)
   }
+
+  // deterministic dense fixture: 400 rows, ~97% distinct values, heavy
+  // on neither group — exercises both arms' tie and prefix handling
+  private def denseFixture = {
+    val rows = (0 until 400).map { i =>
+      val g = if (i % 3 == 0) "A" else "B"
+      val v = ((i * 2654435761L) % 10007).toDouble / 7.0
+      (g, v, if (i % 3 == 0) 1 else 0)
+    }
+    spark.createDataFrame(rows).toDF("g", "v", "y")
+  }
+
+  test("dense arms return bit-identical results to the bounded windows") {
+    val df = denseFixture
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    assert(rows(RankTests.mannWhitney(df, "g", "v", "A", "B", dense = true)) ==
+      rows(RankTests.mannWhitney(df, "g", "v", "A", "B")))
+    assert(rows(RankTests.ksTest(df, "g", "v", "A", "B", dense = true)) ==
+      rows(RankTests.ksTest(df, "g", "v", "A", "B")))
+    assert(rows(RankTests.auc(df, "y", "v", dense = true)) ==
+      rows(RankTests.auc(df, "y", "v")))
+    // spearman: y = the 0/1 label against the dense value (tie-heavy x)
+    assert(rows(RankTests.spearman(df, "v", "y", dense = true)) ==
+      rows(RankTests.spearman(df, "v", "y")))
+    graft.util.Caching.release()
+  }
+
+  test("kaplanMeier dense arm matches the exact curve within quantization") {
+    import graft.operators.Survival
+    val subj = spark.createDataFrame((0 until 300).map { i =>
+      (((i * 48271L) % 997).toLong, i % 4 != 0) // dense durations, 25% censored
+    }).toDF("dur", "obs")
+    val exact = Survival.kaplanMeier(subj, "dur", "obs")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
+    val dense = Survival.kaplanMeier(subj, "dur", "obs", dense = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
+    assert(dense.keySet == exact.keySet)
+    // ⌊ln·10¹²⌋ quantization: ≤1e-12 per step, ≤|steps| ulps total
+    dense.foreach { case (t, s) => assert(math.abs(s - exact(t)) < 1e-8) }
+    // exact columns identical
+    val a = Survival.kaplanMeier(subj, "dur", "obs").select("t", "n_risk", "d", "c")
+    val b = Survival.kaplanMeier(subj, "dur", "obs", dense = true)
+      .select("t", "n_risk", "d", "c")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    graft.util.Caching.release()
+  }
+
+  test("bounded arms fail loudly past maxDistinct instead of sorting on") {
+    val df = denseFixture
+    def fires(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception](body.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxDistinct")), s"wrong error: $e")
+    }
+    fires(RankTests.mannWhitney(df, "g", "v", "A", "B", maxDistinct = 10))
+    fires(RankTests.ksTest(df, "g", "v", "A", "B", maxDistinct = 10))
+    fires(RankTests.auc(df, "y", "v", maxDistinct = 10))
+    fires(RankTests.spearman(df, "v", "y", maxDistinct = 10))
+    fires(graft.operators.Survival.kaplanMeier(
+      df.select(col("v").cast("long").as("dur"), (col("y") === 1).as("obs")),
+      "dur", "obs", maxDistinct = 10))
+  }
 }
