@@ -274,32 +274,57 @@ object Behavior {
     * conversion spend), each scored into `q` quantile bands by the
     * DISCRETE rank formula ⌈rank·q/n⌉ (total order via the unit id
     * tie-break — reproducible anywhere, no interpolation). Higher score
-    * = better (more recent / frequent / valuable). */
+    * = better (more recent / frequent / valuable).
+    *
+    * Scale shape (r15 refit): band k's cut is the ORDER STATISTIC at
+    * rank ⌊k·n/q⌋ — per-row ranks are never needed, because
+    * ⌈rank·q/n⌉ = 1 + #{k < q : rank > ⌊k·n/q⌋} and rank > j ⟺ the
+    * row's (value, u) tuple comes after rank j's tuple. So the three
+    * [[Ranking.withGlobalOrder]] passes of r13/r14 (three range
+    * Exchanges + three persist barriers + three broadcast joins)
+    * collapse to [[Selection.orderStatistics]] — a handful of
+    * aggregate-only scans resolving all 3·(q−1) boundary tuples
+    * exactly — and band assignment is a pure projection over literal
+    * boundaries. ZERO entity-scale shuffles beyond the per-unit
+    * aggregate itself; identical output bit-for-bit. */
   def rfm(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
           valueCol: String, convType: String, nowMicros: Long, q: Int): DataFrame = {
-    val per = events.filter(col(typeCol) === convType)
+    require(q >= 1, s"q $q must be >= 1")
+    val per = graft.util.Caching.barrier(events.filter(col(typeCol) === convType)
       .groupBy(col(userCol).as("u"))
       .agg(
         floor((lit(nowMicros) - max(unix_micros(col(tsCol)))) / lit(86400000000.0))
           .as("recency_days"),
         count(lit(1)).as("frequency"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary"))
-    // three distributed ranks over the per-UNIT table (one range
-    // Exchange each, never a single-partition sort); the shared total
-    // count rides the last call's offsets table
-    // recency: smaller is better → rank DESC so the most recent gets q
-    val ranked = Ranking.withGlobalOrder(
-      Ranking.withGlobalOrder(
-        Ranking.withGlobalOrder(per,
-          Seq(col("recency_days").desc, col("u")), rankCol = "__rr"),
-        Seq(col("frequency"), col("u")), rankCol = "__rf"),
-      Seq(col("monetary"), col("u")), rankCol = "__rm", countCol = Some("__n"))
-    def score(r: Column) =
-      ceil(r * lit(q.toLong) / col("__n").cast("double")).cast("int")
-    ranked.select(col("u"), col("recency_days"), col("frequency"), col("monetary"),
-      score(col("__rr")).as("r_score"),
-      score(col("__rf")).as("f_score"),
-      score(col("__rm")).as("m_score"))
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary")))
+    val n = per.count()
+    val base = per.select(col("u"), col("recency_days"), col("frequency"),
+      col("monetary"))
+    if (n == 0)
+      return base.select(col("u"), col("recency_days"), col("frequency"),
+        col("monetary"), lit(1).as("r_score"), lit(1).as("f_score"),
+        lit(1).as("m_score"))
+    val cuts = (1 until q).map(k => k.toLong * n / q)
+    val wanted = cuts.filter(_ >= 1)
+    // recency: smaller is better → order DESC so the most recent gets q
+    val dims = Seq(
+      Selection.Dim("recency_days", desc = true, wanted),
+      Selection.Dim("frequency", desc = false, wanted),
+      Selection.Dim("monetary", desc = false, wanted))
+    val bounds =
+      if (wanted.isEmpty) Seq.fill(3)(Map.empty[Long, Selection.Boundary])
+      else Selection.orderStatistics(per, "u", dims, n)
+    def score(vCol: String, desc: Boolean, b: Map[Long, Selection.Boundary]) = {
+      // a cut at rank 0 (n < q) is exceeded by every row
+      val always = cuts.count(_ == 0)
+      val terms = cuts.filter(_ >= 1).map(j =>
+        Selection.after(col(vCol), col("u"), desc, b(j)).cast("int"))
+      terms.foldLeft(lit(1 + always))(_ + _).cast("int")
+    }
+    base.select(col("u"), col("recency_days"), col("frequency"), col("monetary"),
+      score("recency_days", desc = true, bounds(0)).as("r_score"),
+      score("frequency", desc = false, bounds(1)).as("f_score"),
+      score("monetary", desc = false, bounds(2)).as("m_score"))
   }
 
   /** Top event paths: the k most common ordered type sequences over

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics ("give me the tuple at rank j")
+  * without a global sort — the Floyd–Rivest selection shape (Floyd &
+  * Rivest, CACM 1975) expressed as a fixed number of map-combined
+  * aggregate scans:
+  *
+  *  1. a deterministic hash-sample of the table brackets each target
+  *     rank between two sampled tuples (concentration bounds make the
+  *     bracket width ~ n/√s for sample size s);
+  *  2. one aggregate scan per round computes, for EVERY in-flight
+  *     target at once, the exact count of rows before its bracket, the
+  *     exact count inside it, and a fresh in-bracket sub-sample — each
+  *     round shrinks every bracket by ~√(round sample);
+  *  3. once a bracket is small enough to collect outright, the exact
+  *     boundary is read off the sorted bracket on the driver.
+  *
+  * Every rank request resolves to the EXACT tuple — sampling only
+  * steers where the scans look, never the answer (a bracket that
+  * misses its target resets to the full range and retries, so a
+  * pathological hash interaction costs rounds, not correctness). All
+  * sampling is counter-mode (`xxhash64(tie, salt)`), so the whole
+  * procedure is deterministic under any partitioning — the
+  * [[graft.functions.VectorExprs]] unitDraw discipline.
+  *
+  * Scale shape: no shuffle of the data AT ALL — each round is one
+  * map-combined aggregate over the (caller-persisted) input, moving a
+  * few thousand sampled tuples to the driver; convergence is
+  * log_√s(n) rounds (3 scans bracket a rank in 10¹² rows at the
+  * default sample sizes). This is what [[Ranking.withGlobalOrder]]'s
+  * range-Exchange machinery reduces to when only a HANDFUL of ranks
+  * are needed (quantile bands, percentile cuts) rather than every
+  * row's rank.
+  *
+  * Total order: (value [desc], tie asc); the tie column must be
+  * row-unique and both columns non-null — callers feed per-entity
+  * aggregates keyed by the entity id, which satisfies both.
+  */
+object Selection {
+
+  /** One dimension of an order-statistics request: the value column,
+    * its direction, and the 1-based ranks wanted in that order. */
+  case class Dim(valueCol: String, desc: Boolean, ranks: Seq[Long])
+
+  /** The exact tuple at a requested rank. */
+  case class Boundary(value: Any, tie: Any)
+
+  /** Column predicate: row tuple (v, tie) comes strictly AFTER `b` in
+    * (value [desc], tie asc) order — i.e. its rank exceeds b's rank. */
+  def after(v: Column, tie: Column, desc: Boolean, b: Boundary): Column = {
+    val vAfter = if (desc) v < lit(b.value) else v > lit(b.value)
+    vAfter || (v === lit(b.value) && tie > lit(b.tie))
+  }
+
+  private def before(v: Column, tie: Column, desc: Boolean, b: Boundary): Column = {
+    val vBefore = if (desc) v > lit(b.value) else v < lit(b.value)
+    vBefore || (v === lit(b.value) && tie < lit(b.tie))
+  }
+
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+
+  private def ord(desc: Boolean): Ordering[(Any, Any)] = new Ordering[(Any, Any)] {
+    def compare(x: (Any, Any), y: (Any, Any)): Int = {
+      val c = cmpAny(x._1, y._1)
+      val cv = if (desc) -c else c
+      if (cv != 0) cv else cmpAny(x._2, y._2)
+    }
+  }
+
+  // per-target refinement state: the current bracket (None = ±∞), the
+  // sub-sample modulus for the next scan, and the widen-retry count
+  private final case class Target(dim: Int, rank: Long,
+                                  var lo: Option[Boundary], var hi: Option[Boundary],
+                                  var modulus: Long, var resets: Int,
+                                  var result: Option[Boundary])
+
+  /** Resolve every requested rank of every dimension to its exact
+    * boundary tuple. `df` is scanned a handful of times — persist it
+    * first ([[graft.util.Caching.barrier]]); `n` is its exact row
+    * count (the caller has it from the same materialization). Returns
+    * one rank→Boundary map per input dim. */
+  def orderStatistics(df: DataFrame, tieCol: String, dims: Seq[Dim], n: Long,
+                      sampleTarget: Int = 200000, roundSample: Int = 20000,
+                      collectCap: Int = 65536): Seq[Map[Long, Boundary]] = {
+    require(dims.nonEmpty, "need at least one dimension")
+    // each round shrinks a bracket by ~√(roundSample)/6 — below 256 the
+    // factor nears 1 and the refinement cannot converge in the round cap
+    require(roundSample >= 256, s"roundSample $roundSample must be >= 256")
+    dims.foreach(d => d.ranks.foreach(r =>
+      require(r >= 1 && r <= n, s"rank $r out of [1, $n] for ${d.valueCol}")))
+    val vCols = dims.indices.map(i => s"__v$i")
+    val proj = df.select(
+      dims.zipWithIndex.map { case (d, i) => col(d.valueCol).as(s"__v$i") } :+
+        col(tieCol).as("__u"): _*)
+    def tuples(rows: Seq[Row], dim: Int): Seq[(Any, Any)] =
+      rows.map(r => (r.get(dim), r.get(dims.length))).sorted(ord(dims(dim).desc))
+
+    // fast path: the whole table fits the sample budget — one collect
+    if (n <= sampleTarget) {
+      val all = proj.collect().toSeq
+      require(all.forall(r => !r.anyNull),
+        "orderStatistics: null in a value or tie column")
+      return dims.zipWithIndex.map { case (d, i) =>
+        val sorted = tuples(all, i)
+        d.ranks.distinct.map(r => r -> {
+          val t = sorted((r - 1).toInt); Boundary(t._1, t._2)
+        }).toMap
+      }
+    }
+
+    // round 0: global hash-sample, bracket every target
+    val m0 = math.max(1L, n / sampleTarget)
+    val sample0 = proj
+      .filter(pmod(xxhash64(col("__u"), lit(0L)), lit(m0)) === 0)
+      .collect().toSeq
+    require(sample0.forall(r => !r.anyNull),
+      "orderStatistics: null in a value or tie column")
+    require(sample0.nonEmpty, s"orderStatistics: empty hash-sample at 1/$m0")
+    val targets = dims.zipWithIndex.flatMap { case (d, i) =>
+      val sorted = tuples(sample0, i)
+      val s = sorted.length
+      val margin = (3 * math.sqrt(s.toDouble)).toLong + 2
+      d.ranks.distinct.map { r =>
+        val p = r / m0 // expected sample position of rank r (1-based)
+        val lo = if (p - margin >= 1) Some(sorted((p - margin - 1).toInt)) else None
+        val hi = if (p + margin <= s) Some(sorted((p + margin - 1).toInt)) else None
+        // bracket size estimate ≈ 2·margin·m0 → sub-sample to roundSample
+        val est = 2 * margin * m0
+        Target(i, r, lo.map(t => Boundary(t._1, t._2)), hi.map(t => Boundary(t._1, t._2)),
+          modulus = if (est <= collectCap) 1L else math.max(1L, est / roundSample),
+          resets = 0, result = None)
+      }
+    }
+
+    var round = 1
+    while (targets.exists(_.result.isEmpty)) {
+      require(round <= 12, s"orderStatistics: no convergence after $round rounds")
+      val live = targets.filter(_.result.isEmpty)
+      // ONE aggregate scan answers every live target: exact
+      // before-bracket count, exact in-bracket count, in-bracket sample
+      val aggs = live.zipWithIndex.flatMap { case (t, ti) =>
+        val v = col(s"__v${t.dim}"); val u = col("__u"); val desc = dims(t.dim).desc
+        val inB = t.lo.map(b => !before(v, u, desc, b)).getOrElse(lit(true)) &&
+          t.hi.map(b => !after(v, u, desc, b)).getOrElse(lit(true))
+        val bel = t.lo.map(b => sum(before(v, u, desc, b).cast("long")))
+          .getOrElse(sum(lit(0L)))
+        val keep = if (t.modulus == 1L) inB else inB &&
+          pmod(xxhash64(u, lit(round * 4096L + ti)), lit(t.modulus)) === 0
+        Seq(bel.as(s"__b$ti"), sum(inB.cast("long")).as(s"__c$ti"),
+          collect_list(when(keep, struct(v.as("v"), u.as("u")))).as(s"__s$ti"))
+      }
+      val row = proj.agg(aggs.head, aggs.tail: _*).head()
+      live.zipWithIndex.foreach { case (t, ti) =>
+        val below = row.getLong(row.fieldIndex(s"__b$ti"))
+        val cin = row.getLong(row.fieldIndex(s"__c$ti"))
+        val got = row.getSeq[Row](row.fieldIndex(s"__s$ti"))
+          .map(r => (r.get(0), r.get(1))).sorted(ord(dims(t.dim).desc))
+        if (!(t.rank > below && t.rank <= below + cin)) {
+          // sampling misled the bracket: reset to the full range — the
+          // invariant then holds trivially and only rounds are lost
+          t.resets += 1; t.lo = None; t.hi = None
+          t.modulus = math.max(1L, n / roundSample)
+        } else if (t.modulus == 1L && got.length == cin) {
+          val b = got((t.rank - below - 1).toInt)
+          t.result = Some(Boundary(b._1, b._2))
+        } else if (got.nonEmpty) {
+          // refine: estimate the target's position within the sorted
+          // sub-sample, keep a ±3√s safety margin inside the bracket
+          val ss = got.length
+          val pos = ((t.rank - below).toDouble * ss / cin).toLong
+          val margin = (3 * math.sqrt(ss.toDouble)).toLong + 2
+          if (pos - margin >= 1) t.lo = Some {
+            val x = got((pos - margin - 1).toInt); Boundary(x._1, x._2)
+          }
+          if (pos + margin <= ss) t.hi = Some {
+            val x = got((pos + margin - 1).toInt); Boundary(x._1, x._2)
+          }
+          val est = math.max(1L, 2 * margin * cin / ss)
+          t.modulus = if (est <= collectCap) 1L else math.max(1L, est / roundSample)
+        } else {
+          // degenerate sub-sample (hash drew nothing): raise the rate
+          t.modulus = math.max(1L, t.modulus / 16)
+        }
+      }
+      round += 1
+    }
+    dims.indices.map { i =>
+      targets.filter(_.dim == i).map(t => t.rank -> t.result.get).toMap
+    }
+  }
+}

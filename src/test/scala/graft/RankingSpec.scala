@@ -126,4 +126,109 @@ class RankingSpec extends AnyFunSuite {
     }.isDefined))
     graft.util.Caching.release()
   }
+
+  // ---- Selection.orderStatistics (the aggregate-only exact selector) ----
+
+  import graft.operators.Selection
+
+  private def selFixture(n: Int) = {
+    // heavy ties on v (23 distinct), unique tie column, deterministic
+    (1 to n).map(i => (((i * 48271L) % 23).toDouble, i.toLong)).toDF("v", "ord")
+  }
+
+  test("orderStatistics: multi-round sampling path equals brute-force sort") {
+    val n = 5000
+    val df = selFixture(n)
+    val local = (1 to n).map(i => (((i * 48271L) % 23).toDouble, i.toLong))
+    val ranks = Seq(1L, 7L, n / 3L, n / 2L, n - 1L, n.toLong)
+    val dims = Seq(Selection.Dim("v", desc = false, ranks),
+      Selection.Dim("v", desc = true, ranks))
+    // tiny sample budgets force the bracket-refinement rounds
+    val got = Selection.orderStatistics(df, "ord", dims, n,
+      sampleTarget = 300, roundSample = 256, collectCap = 60)
+    val asc = local.sortBy(identity)
+    val desc = local.sortBy { case (v, o) => (-v, o) }
+    ranks.foreach { r =>
+      assert(got(0)(r) == Selection.Boundary(asc(r.toInt - 1)._1, asc(r.toInt - 1)._2),
+        s"asc rank $r")
+      assert(got(1)(r) == Selection.Boundary(desc(r.toInt - 1)._1, desc(r.toInt - 1)._2),
+        s"desc rank $r")
+    }
+  }
+
+  test("orderStatistics: string tie column and fast path agree with sort") {
+    val n = 900
+    val rows = (1 to n).map(i => ((i % 11).toLong, f"u${(i * 7919) % n}%05d"))
+    val df = rows.toDF("v", "u")
+    val ranks = Seq(1L, 450L, 900L)
+    // fast path (n <= sampleTarget)
+    val fast = Selection.orderStatistics(df, "u",
+      Seq(Selection.Dim("v", desc = false, ranks)), n)
+    // sampled path on the same data
+    val slow = Selection.orderStatistics(df, "u",
+      Seq(Selection.Dim("v", desc = false, ranks)), n,
+      sampleTarget = 100, roundSample = 256, collectCap = 64)
+    val sorted = rows.sortBy(identity)
+    ranks.foreach { r =>
+      val want = Selection.Boundary(sorted(r.toInt - 1)._1, sorted(r.toInt - 1)._2)
+      assert(fast(0)(r) == want && slow(0)(r) == want, s"rank $r")
+    }
+  }
+
+  test("rfm bands: selection-based banding equals the rank-formula replay") {
+    // ties everywhere: many users share frequency/monetary; band edges
+    // fall INSIDE tie blocks so the u tie-break decides the band
+    val now = 1700000000000000L
+    val events = (1 to 400).map { i =>
+      val u = (i % 97).toLong // 97 users, ~4 purchases each
+      val ts = new java.sql.Timestamp((now - (i % 13).toLong * 86400000000L) / 1000)
+      (u, ts, "purchase", (i % 5).toDouble + 1.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val got = graft.operators.Behavior
+      .rfm(events, "user_id", "ts", "event_type", "value", "purchase", now, q = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    graft.util.Caching.release()
+    // local replay of ceil(rank*q/n) with row_number over (dim, u)
+    val per = events.groupBy(col("user_id").as("u"))
+      .agg(floor((lit(now) - max(unix_micros(col("ts")))) / lit(86400000000.0))
+        .as("r"), count(lit(1)).as("f"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("m"))
+      .collect().map(x => (x.getLong(0), x.getAs[Any](1).toString.toDouble,
+        x.getLong(2), x.getDouble(3)))
+    val n = per.length
+    def band(rank: Int) = math.ceil(rank.toDouble * 5 / n).toInt
+    val rr = per.sortBy(p => (-p._2, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> band(i + 1) }.toMap
+    val ff = per.sortBy(p => (p._3, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> band(i + 1) }.toMap
+    val mm = per.sortBy(p => (p._4, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> band(i + 1) }.toMap
+    per.foreach { p =>
+      assert(got(p._1) == ((rr(p._1), ff(p._1), mm(p._1))), s"user ${p._1}")
+    }
+  }
+
+  test("rfm: degenerate q=1 and n<q give full-range bands, empty input empty") {
+    val now = 1700000000000000L
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1699990000000L), "purchase", 5.0),
+      (2L, new java.sql.Timestamp(1699990001000L), "purchase", 7.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val q1 = graft.operators.Behavior
+      .rfm(ev, "user_id", "ts", "event_type", "value", "purchase", now, q = 1)
+      .collect()
+    assert(q1.forall(r => r.getInt(4) == 1 && r.getInt(5) == 1 && r.getInt(6) == 1))
+    // n=2 < q=5: bands still span via the zero-rank cuts
+    val q5 = graft.operators.Behavior
+      .rfm(ev, "user_id", "ts", "event_type", "value", "purchase", now, q = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    // m: user 1 (5.0) rank 1 -> ceil(1*5/2)=3; user 2 (7.0) rank 2 -> 5
+    assert(q5(1L) == 3 && q5(2L) == 5)
+    val empty = graft.operators.Behavior
+      .rfm(ev.filter(lit(false)), "user_id", "ts", "event_type", "value",
+        "purchase", now, q = 5)
+    assert(empty.count() == 0 && empty.columns.length == 7)
+    graft.util.Caching.release()
+  }
 }
