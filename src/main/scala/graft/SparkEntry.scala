@@ -2646,6 +2646,26 @@ object SparkEntry {
         .select(col("model"), col("n_wins"), col("n_losses"),
           round(col("strength"), 8).as("strength"))
     },
+    // Split-tie Bradley–Terry (Chat.bradleyTerrySplitTies): the
+    // tie-heavy arena shape — W = wins + ties/2 carried as the exact
+    // integer 2W; same two MM rounds with ordered folds.
+    "q_bradley_terry_ties" -> { (s, dir) =>
+      graft.llm.Chat.bradleyTerrySplitTies(syntheticBattlesTies(s, dir),
+        "ma", "mb", "winner", iters = 2)
+        .select(col("model"), col("n_wins"), col("n_losses"), col("n_ties"),
+          round(col("strength"), 8).as("strength"))
+    },
+    // Tie-aware win matrix (Chat.winMatrixTies): decisive wins + ties
+    // per unordered pair; split-tie rate with its Wilson interval.
+    "q_win_matrix_ties" -> { (s, dir) =>
+      graft.llm.Chat.winMatrixTies(syntheticBattlesTies(s, dir),
+        "ma", "mb", "winner")
+        .select(col("model_a"), col("model_b"), col("n_battles"),
+          col("wins_a"), col("ties"),
+          round(col("win_rate_a"), 8).as("win_rate_a"),
+          round(col("wilson_lo"), 8).as("wilson_lo"),
+          round(col("wilson_hi"), 8).as("wilson_hi"))
+    },
     // Krippendorff's alpha (RankTests.krippendorffAlpha): the RAGGED
     // panel fleissKappa excludes — every 13th rating dropped, so item
     // sizes vary 18-20; fixed-point coincidences keep the sum exact.
@@ -3553,6 +3573,25 @@ object SparkEntry {
         concat(lit("m"), ib.cast(StringType)).as("mb"), aWins.as("aw"))
       .select(when(col("aw"), col("ma")).otherwise(col("mb")).as("winner"),
         when(col("aw"), col("mb")).otherwise(col("ma")).as("loser"))
+  }
+
+  /** [[syntheticBattles]] with ~18% ties: outcome index o ranges over
+    * ia+ib+7 residues — o < 2 is a tie (winner NULL), o ≤ ib+2 model a
+    * wins, else model b (higher-index models win more, as in the
+    * decisive fixture). Integer arithmetic end to end. */
+  private def syntheticBattlesTies(s: SparkSession, dir: String): DataFrame = {
+    val ia = pmod(col("user_id"), lit(5L))
+    val ib = pmod(ia + 1L + pmod(col("event_id"), lit(4L)), lit(5L))
+    val o = pmod(floor(col("value")).cast(LongType) * 7 + col("event_id"),
+      ia + ib + 7)
+    Sources.table(s, dir, "events")
+      .select(concat(lit("m"), ia.cast(StringType)).as("ma"),
+        concat(lit("m"), ib.cast(StringType)).as("mb"),
+        o.as("o"), ib.as("bi"))
+      .select(col("ma"), col("mb"),
+        when(col("o") < 2, lit(null).cast(StringType))
+          .when(col("o") <= col("bi") + 2, col("ma"))
+          .otherwise(col("mb")).as("winner"))
   }
 
   /** Skewed synthetic domain for the mixture queries: residue-class
@@ -6927,6 +6966,76 @@ object SparkEntry {
         |s2 AS (SELECT i, w0 / t2.s AS w FROM u2, t2)
         |SELECT wins.i AS model, n_wins, n_losses, round(s2.w, 8) AS strength
         |FROM wins JOIN s2 ON s2.i = wins.i""".stripMargin,
+    // the decisive-fixture MM replay with W = (2·wins + ties)/2 — the
+    // 2× integer trick keeps the half-win totals exact on both engines
+    "q_bradley_terry_ties" ->
+      """WITH b AS (SELECT ma, mb,
+        |    CASE WHEN o < 2 THEN NULL WHEN o <= bi + 2 THEN ma ELSE mb END AS winner
+        |  FROM (SELECT 'm' || CAST(user_id % 5 AS VARCHAR) AS ma,
+        |      'm' || CAST((user_id % 5 + 1 + event_id % 4) % 5 AS VARCHAR) AS mb,
+        |      (CAST(FLOOR(value) AS BIGINT) * 7 + event_id)
+        |        % (user_id % 5 + (user_id % 5 + 1 + event_id % 4) % 5 + 7) AS o,
+        |      (user_id % 5 + 1 + event_id % 4) % 5 AS bi
+        |    FROM events)),
+        |dir AS (SELECT ma AS i, mb AS j,
+        |    CASE WHEN winner IS NULL THEN 1 WHEN winner = ma THEN 2 ELSE 0 END AS w2
+        |  FROM b
+        |  UNION ALL SELECT mb, ma,
+        |    CASE WHEN winner IS NULL THEN 1 WHEN winner = mb THEN 2 ELSE 0 END FROM b),
+        |m AS (SELECT i, j, CAST(SUM(w2) AS BIGINT) AS n2ij,
+        |    CAST(SUM(CASE WHEN w2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dij,
+        |    CAST(SUM(CASE WHEN w2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS eij,
+        |    count(*) AS tij
+        |  FROM dir GROUP BY 1, 2),
+        |wins AS (SELECT i, CAST(SUM(dij) AS BIGINT) AS n_wins,
+        |    CAST(SUM(tij - dij - eij) AS BIGINT) AS n_losses,
+        |    CAST(SUM(eij) AS BIGINT) AS n_ties,
+        |    CAST(SUM(n2ij) AS DOUBLE) / 2 AS ww FROM m GROUP BY 1),
+        |s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM wins),
+        |d1 AS (SELECT m.i, list_reduce(list_transform(list_sort(list(
+        |      struct_pack(k := m.j, t := CAST(m.tij AS DOUBLE) / (si.w + sj.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS den
+        |  FROM m JOIN s0 si ON si.i = m.i JOIN s0 sj ON sj.i = m.j GROUP BY m.i),
+        |u1 AS (SELECT wins.i, ww / den AS w0 FROM wins JOIN d1 ON d1.i = wins.i),
+        |t1 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |    struct_pack(k := i, t := w0))), x -> x.t), (a, c) -> a + c) AS s FROM u1),
+        |s1 AS (SELECT i, w0 / t1.s AS w FROM u1, t1),
+        |d2 AS (SELECT m.i, list_reduce(list_transform(list_sort(list(
+        |      struct_pack(k := m.j, t := CAST(m.tij AS DOUBLE) / (si.w + sj.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS den
+        |  FROM m JOIN s1 si ON si.i = m.i JOIN s1 sj ON sj.i = m.j GROUP BY m.i),
+        |u2 AS (SELECT wins.i, ww / den AS w0 FROM wins JOIN d2 ON d2.i = wins.i),
+        |t2 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |    struct_pack(k := i, t := w0))), x -> x.t), (a, c) -> a + c) AS s FROM u2),
+        |s2 AS (SELECT i, w0 / t2.s AS w FROM u2, t2)
+        |SELECT wins.i AS model, n_wins, n_losses, n_ties, round(s2.w, 8) AS strength
+        |FROM wins JOIN s2 ON s2.i = wins.i""".stripMargin,
+    // split-tie rate (wins + ties/2)/n with the same Wilson chain
+    "q_win_matrix_ties" ->
+      """WITH b AS (SELECT ma, mb,
+        |    CASE WHEN o < 2 THEN NULL WHEN o <= bi + 2 THEN ma ELSE mb END AS winner
+        |  FROM (SELECT 'm' || CAST(user_id % 5 AS VARCHAR) AS ma,
+        |      'm' || CAST((user_id % 5 + 1 + event_id % 4) % 5 AS VARCHAR) AS mb,
+        |      (CAST(FLOOR(value) AS BIGINT) * 7 + event_id)
+        |        % (user_id % 5 + (user_id % 5 + 1 + event_id % 4) % 5 + 7) AS o,
+        |      (user_id % 5 + 1 + event_id % 4) % 5 AS bi
+        |    FROM events)),
+        |g AS (SELECT LEAST(ma, mb) AS model_a, GREATEST(ma, mb) AS model_b,
+        |    count(*) AS n_battles,
+        |    CAST(SUM(CASE WHEN winner = LEAST(ma, mb) THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+        |    CAST(SUM(CASE WHEN winner IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ties
+        |  FROM b GROUP BY 1, 2),
+        |v AS (SELECT *,
+        |    (CAST(wins_a AS DOUBLE) + CAST(ties AS DOUBLE) / 2)
+        |      / CAST(n_battles AS DOUBLE) AS p,
+        |    CAST(n_battles AS DOUBLE) AS n, 1.96 * 1.96 AS z2 FROM g)
+        |SELECT model_a, model_b, n_battles, wins_a, ties,
+        |  round(p, 8) AS win_rate_a,
+        |  round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        |    - (1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n), 8) AS wilson_lo,
+        |  round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        |    + (1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n), 8) AS wilson_hi
+        |FROM v""".stripMargin,
     // same fixed-point integral divide, HUGEINT-safe, BIGINT-cast sums
     "q_kripp_alpha" ->
       """WITH r AS (SELECT event_id // 20 AS item,

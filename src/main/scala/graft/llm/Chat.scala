@@ -177,4 +177,106 @@ object Chat {
     models.toSeq.map(i => (i, winCnt(i), lossCnt(i), w(i)))
       .toDF("model", "n_wins", "n_losses", "strength")
   }
+
+  /** [[winMatrix]] for arena data WITH ties — the shape real
+    * preference logs actually have (LMSYS "tie" / "both bad" rows are
+    * a large fraction of battles). `battles` carries the two model-id
+    * columns and `winnerCol`, which must equal one side or be NULL
+    * (= tie); any other non-null winner raises per row (a loud data
+    * bug, not a silent fold into either side). Same ONE
+    * streaming-compatible grouped aggregate as [[winMatrix]]; per
+    * unordered pair (a < b): battles (ties included), a's DECISIVE
+    * wins, ties, the split-tie rate (wins_a + ties/2)/n, and its
+    * Wilson interval (conservative — the split-tie estimator's
+    * variance is at most the binomial's). */
+  def winMatrixTies(battles: DataFrame, aCol: String, bCol: String,
+                    winnerCol: String, z: Double = 1.96): DataFrame = {
+    val aS = col(aCol).cast("string")
+    val bS = col(bCol).cast("string")
+    val wS = col(winnerCol).cast("string")
+    val guard = when(wS.isNull || wS === aS || wS === bS, lit(0L))
+      .otherwise(raise_error(concat(
+        lit("winMatrixTies: winner is neither side nor NULL (tie): "), wS)))
+    val a = least(aS, bS)
+    val b = greatest(aS, bS)
+    val base = battles
+      .filter(aS =!= bS)
+      .select(a.as("model_a"), b.as("model_b"),
+        (when(wS.isNotNull && wS === a, 1L).otherwise(0L) + guard).as("__aw"),
+        wS.isNull.cast("long").as("__tie"))
+      .groupBy("model_a", "model_b")
+      .agg(count(lit(1)).as("n_battles"), sum(col("__aw")).as("wins_a"),
+        sum(col("__tie")).as("ties"))
+    val n = col("n_battles").cast("double")
+    val p = (col("wins_a").cast("double") + col("ties").cast("double") / 2) / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    base.select(col("model_a"), col("model_b"), col("n_battles"),
+      col("wins_a"), col("ties"), p.as("win_rate_a"),
+      (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+  }
+
+  /** [[bradleyTerry]] with SPLIT ties: each tie contributes half a win
+    * to both sides (Wᵢ = wins + ties/2 — the standard arena treatment;
+    * the exact Rao–Kupper tie model adds a nuisance threshold
+    * parameter the split approximation sidesteps while preserving the
+    * win-total sufficient statistic). Input shape matches
+    * [[winMatrixTies]]: model columns `aCol`/`bCol` plus `winnerCol`
+    * = one side or NULL (tie); anything else raises per row. The MM
+    * update is unchanged — Wᵢ just becomes the half-integer
+    * (2·wins + ties)/2, carried as an exact integer numerator so the
+    * driver folds and the oracle replay stay bit-identical. Same
+    * 100 TB shape as [[bradleyTerry]]: ONE aggregate to the
+    * M²-bounded directed pair matrix, MM rounds on the driver in
+    * sorted model order. Output:
+    * (model, n_wins, n_losses, n_ties, strength). */
+  def bradleyTerrySplitTies(battles: DataFrame, aCol: String, bCol: String,
+                            winnerCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val spark = battles.sparkSession
+    val aS = col(aCol).cast("string")
+    val bS = col(bCol).cast("string")
+    val wS = col(winnerCol).cast("string")
+    val guard = when(wS.isNull || wS === aS || wS === bS, lit(0L))
+      .otherwise(raise_error(concat(
+        lit("bradleyTerrySplitTies: winner is neither side nor NULL (tie): "), wS)))
+    val clean = battles.filter(aS =!= bS)
+    // directed (i, j): w2 = 2·(i beat j) + (tie) — the 2× trick keeps
+    // the half-win totals exact integers
+    def w2(me: Column): Column =
+      when(wS.isNull, 1L).when(wS === me, 2L).otherwise(0L)
+    val dir = clean.select(aS.as("i"), bS.as("j"), (w2(aS) + guard).as("__w2"))
+      .unionByName(clean.select(bS.as("i"), aS.as("j"), w2(bS).as("__w2")))
+    val m = dir.groupBy("i", "j")
+      .agg(sum(col("__w2")).as("n2ij"),
+        sum(when(col("__w2") === 2L, 1L).otherwise(0L)).as("dij"),
+        sum(when(col("__w2") === 1L, 1L).otherwise(0L)).as("eij"),
+        count(lit(1)).as("tij"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val models = m.map(_._1).distinct.sorted
+    val win2 = models.map(i => i -> m.filter(_._1 == i).map(_._3).sum).toMap
+    val decCnt = models.map(i => i -> m.filter(_._1 == i).map(_._4).sum).toMap
+    val tieCnt = models.map(i => i -> m.filter(_._1 == i).map(_._5).sum).toMap
+    val lossCnt = models.map(i =>
+      i -> m.filter(_._1 == i).map(x => x._6 - x._4 - x._5).sum).toMap
+    val opp = models.map(i =>
+      i -> m.filter(_._1 == i).sortBy(_._2).map(x => (x._2, x._6))).toMap
+    var w = models.map(_ -> 1.0).toMap
+    (1 to iters).foreach { _ =>
+      val unnorm = models.map { i =>
+        var den = 0.0
+        opp(i).foreach { case (j, tij) => den += tij.toDouble / (w(i) + w(j)) }
+        i -> win2(i).toDouble / 2 / den
+      }.toMap
+      var total = 0.0
+      models.foreach(i => total += unnorm(i))
+      w = models.map(i => i -> unnorm(i) / total).toMap
+    }
+    import spark.implicits._
+    models.toSeq.map(i => (i, decCnt(i), lossCnt(i), tieCnt(i), w(i)))
+      .toDF("model", "n_wins", "n_losses", "n_ties", "strength")
+  }
 }

@@ -382,6 +382,56 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(math.abs(bt("a") - bt("b")) < 1e-12)
   }
 
+  test("bradleyTerrySplitTies: zero ties equals bradleyTerry; ties pull even") {
+    import graft.llm.Chat
+    val decisive = Seq(("a", "b", "a"), ("a", "b", "a"), ("a", "b", "b"),
+      ("b", "c", "b"), ("a", "c", "a")).toDF("ma", "mb", "winner")
+    val viaTies = Chat.bradleyTerrySplitTies(decisive, "ma", "mb", "winner", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    val plain = Chat.bradleyTerry(
+      decisive.select(col("winner"),
+        when(col("winner") === col("ma"), col("mb")).otherwise(col("ma")).as("loser")),
+      "winner", "loser", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    viaTies.foreach { case (m, (w, l, t, s)) =>
+      assert(t == 0L && (w, l) == (plain(m)._1, plain(m)._2))
+      assert(math.abs(s - plain(m)._3) < 1e-15, s"model $m")
+    }
+    // all-ties: every model converges to equal strength
+    val allTies = Seq(("a", "b", null: String), ("b", "c", null: String),
+      ("a", "c", null: String)).toDF("ma", "mb", "winner")
+    val eq = Chat.bradleyTerrySplitTies(allTies, "ma", "mb", "winner", iters = 5)
+      .collect().map(_.getDouble(4))
+    assert(eq.forall(s => math.abs(s - 1.0 / 3) < 1e-9))
+    // a winner that is neither side raises loudly
+    val bad = Seq(("a", "b", "zzz")).toDF("ma", "mb", "winner")
+    val e = intercept[Exception](
+      Chat.bradleyTerrySplitTies(bad, "ma", "mb", "winner").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("neither side")))
+  }
+
+  test("winMatrixTies: tie column, split-tie rate, guard on bad winner") {
+    import graft.llm.Chat
+    val b = Seq(("a", "b", "a"), ("a", "b", "a"), ("b", "a", null: String),
+      ("a", "b", "b")).toDF("ma", "mb", "winner")
+    val r = Chat.winMatrixTies(b, "ma", "mb", "winner").head
+    assert(r.getAs[Long]("n_battles") == 4 && r.getAs[Long]("wins_a") == 2 &&
+      r.getAs[Long]("ties") == 1)
+    assert(math.abs(r.getAs[Double]("win_rate_a") - 2.5 / 4) < 1e-15)
+    assert(r.getAs[Double]("wilson_lo") < 2.5 / 4 &&
+      2.5 / 4 < r.getAs[Double]("wilson_hi"))
+    val bad = Seq(("a", "b", "c")).toDF("ma", "mb", "winner")
+    val e = intercept[Exception](
+      Chat.winMatrixTies(bad, "ma", "mb", "winner").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("neither side")))
+  }
+
   // deterministic dense fixture: 400 rows, ~97% distinct values, heavy
   // on neither group — exercises both arms' tie and prefix handling
   private def denseFixture = {
