@@ -28,6 +28,10 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): TickStream = Sources.events(s, dir)
 
+  // q_websocket runs a real streaming query into a memory sink; names
+  // must be fresh per invocation (bench re-runs the query)
+  private val wsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Entity-resolution fixture: each document's lowercased 30-char
     * prefix as a "clean" record (rid = 2·doc_id) plus a "dirty" twin
     * (rid = 2·doc_id+1) with ONE char deleted at position
@@ -2645,6 +2649,56 @@ object SparkEntry {
       graft.llm.Chat.bradleyTerry(syntheticBattles(s, dir), "winner", "loser", iters = 2)
         .select(col("model"), col("n_wins"), col("n_losses"),
           round(col("strength"), 8).as("strength"))
+    },
+    // WebSocket adapter wire contract (WebSocketAdapter.QueueListener →
+    // PushQueue → streaming read + AdapterStatus side-channel), replayed
+    // frame-for-frame the q_tableserver way: a deterministic JSON frame
+    // stream (every 17th event; every 3rd frame delivered FRAGMENTED to
+    // exercise reassembly) is pumped through the real listener callbacks
+    // (onOpen/onText/onClose — the exact code path a live socket runs),
+    // read back through the real DataSourceV2 push source, and decoded
+    // with from_json. Status ticks ride negative seq slots. The oracle
+    // replays the frame order, keyOf routing, and lifecycle rows in SQL.
+    "q_websocket" -> { (s, dir) =>
+      import graft.streaming.{AdapterStatus, PushQueue, WebSocketAdapter}
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = s"oracle_ws_${wsRun.incrementAndGet()}"
+      PushQueue.clear(qn); PushQueue.clear(s"status:$qn")
+      val listener = new WebSocketAdapter.QueueListener(qn,
+        keyOf = m => if (m.contains("\"et\":\"purchase\"")) "buy" else "other")
+      listener.onOpen(null)
+      val frames = Sources.table(s, dir, "events")
+        .filter(col("event_id") % 17 === 0).orderBy("event_id")
+        .select(to_json(struct(col("event_id").as("id"),
+          col("event_type").as("et"), col("value").as("v"))).as("j"))
+        .collect().map(_.getString(0))
+      frames.zipWithIndex.foreach { case (f, i) =>
+        if (i % 3 == 0 && f.length > 8) { // fragmented delivery
+          listener.onText(null, f.substring(0, 8), false)
+          listener.onText(null, f.substring(8), true)
+        } else listener.onText(null, f, true)
+      }
+      listener.onClose(null, 1000, "done")
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("et", StringType), StructField("v", DoubleType)))
+      val qd = WebSocketAdapter.stream(s, qn)
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val qs = AdapterStatus.stream(s, qn)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"${qn}_status").trigger(Trigger.ProcessingTime(0)).start()
+      try { qd.processAllAvailable(); qs.processAllAvailable() }
+      finally { qd.stop(); qs.stop() }
+      val data = s.table(qn)
+        .select(col("seq"), col("key"), from_json(col("text"), schema).as("m"))
+        .select(col("seq"), col("key"), col("m.id").as("id"),
+          col("m.et").as("et"), col("m.v").as("v"))
+      val status = s.table(s"${qn}_status")
+        .select((lit(-1L) - col("status_code")).as("seq"),
+          concat(lit("status:"), col("msg"), lit(":"), col("level")).as("key"),
+          lit(null).cast(LongType).as("id"), lit(null).cast(StringType).as("et"),
+          lit(null).cast(DoubleType).as("v"))
+      data.unionByName(status)
     },
     // Split-tie Bradley–Terry (Chat.bradleyTerrySplitTies): the
     // tie-heavy arena shape — W = wins + ties/2 carried as the exact
@@ -6966,6 +7020,18 @@ object SparkEntry {
         |s2 AS (SELECT i, w0 / t2.s AS w FROM u2, t2)
         |SELECT wins.i AS model, n_wins, n_losses, round(s2.w, 8) AS strength
         |FROM wins JOIN s2 ON s2.i = wins.i""".stripMargin,
+    // frame order (seq = delivery index), keyOf routing, JSON round
+    // trip, and the two lifecycle status ticks on negative seq slots
+    "q_websocket" ->
+      """WITH f AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS seq,
+        |    CASE WHEN event_type = 'purchase' THEN 'buy' ELSE 'other' END AS key,
+        |    event_id AS id, event_type AS et, value AS v
+        |  FROM events WHERE event_id % 17 = 0)
+        |SELECT seq, key, id, et, v FROM f
+        |UNION ALL SELECT -1, 'status:connected:1',
+        |  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |UNION ALL SELECT -1001, 'status:done:2',
+        |  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)""".stripMargin,
     // the decisive-fixture MM replay with W = (2·wins + ties)/2 — the
     // 2× integer trick keeps the half-win totals exact on both engines
     "q_bradley_terry_ties" ->

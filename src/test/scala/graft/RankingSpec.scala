@@ -127,6 +127,40 @@ class RankingSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("skew: 90%-constant sort key still range-partitions evenly (tie-break sampled)") {
+    // a binary-ish score (90% one value) is the shape that degenerates
+    // a range exchange when bounds are sampled on the key alone; the
+    // contract demands a TOTAL order, and the tie-break column must let
+    // the partitioner split the constant block
+    val n = 100000
+    val df = (1 to n).map(i =>
+      (if (i % 10 == 0) i.toDouble else 42.0, i.toLong)).toDF("v", "ord")
+      .repartition(32)
+    // AQE would (correctly) coalesce 100k tiny rows into few partitions
+    // and mask what the RANGE BOUNDS did — the property under test
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sizes = try {
+      val ranked = Ranking.withGlobalOrder(df, Seq(col("v"), col("ord")), "r")
+      val s = ranked.withColumn("p", spark_partition_id())
+        .groupBy("p").count().collect().map(_.getLong(1))
+      val chk = ranked.agg(sum(col("r")), count(lit(1))).head
+      assert(chk.getLong(0) == n.toLong * (n + 1) / 2 && chk.getLong(1) == n)
+      s
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      graft.util.Caching.release()
+    }
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = sizes.length
+    val maxP = sizes.max
+    // the RangePartitioner samples the FULL sort tuple (value, tie), so
+    // the constant block splits by the tie-break: every configured
+    // partition is populated and none carries a skew multiple
+    assert(parts == p, s"degenerated to $parts of $p partitions")
+    assert(maxP <= 2 * n / parts, s"skewed: max $maxP of ${n / parts} mean")
+  }
+
   // ---- Selection.orderStatistics (the aggregate-only exact selector) ----
 
   import graft.operators.Selection
