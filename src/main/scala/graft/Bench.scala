@@ -126,7 +126,11 @@ object Bench {
       // +0.1 s from the documents rechunk split, NOT a code change —
       // rechunk-off reproduces r12's 0.59 min) and the suite top-N that
       // had never had isolated numbers
-      "q_warc_gzip", "q_kcore", "q_label_prop", "q_cross_sectional")
+      "q_warc_gzip", "q_kcore", "q_label_prop", "q_cross_sectional",
+      // r15 additions: the r14 verdict's unattributed >1.3× suite-min
+      // movers (all untouched code) — isolated pins each round settle
+      // suite-interleaving vs regression mechanically
+      "q_bfs", "q_useragent", "q4_order_rank", "q_poisson_timer")
 
   /** Content-identical multi-file copy of the fixture dir under /tmp.
     * The driver fixtures are ONE parquet row group per table, so a big
