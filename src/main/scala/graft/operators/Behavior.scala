@@ -145,26 +145,35 @@ object Behavior {
     * construction), read out as the DISCRETE ⌈p·n⌉ order statistics
     * for each requested percentile ([[Robust.winsorize]]'s rank rule —
     * actual data values, engine-replayable). One row per percentile:
-    * (p_pct, n_converted, t2c_us). */
+    * (p_pct, n_converted, t2c_us).
+    *
+    * r15 refit: a handful of order statistics IS
+    * [[Selection.orderStatistics]]'s whole job — the r14 distributed
+    * rank (range Exchange + barrier + broadcast percentile join)
+    * collapses to the per-user aggregate plus a few aggregate-only
+    * selection scans; the result is a literal local table. Identical
+    * values (same ⌈p·n/100⌉ double chain as the oracle). */
   def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
                     typeCol: String, convType: String,
                     percentiles: Seq[Int]): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
       "percentiles must be within [1, 100]")
+    val spark = events.sparkSession
+    import spark.implicits._
     val t = unix_micros(col(tsCol))
-    val per = events.groupBy(col(userCol).as("user"))
+    val per = graft.util.Caching.barrier(events.groupBy(col(userCol).as("user"))
       .agg(min(t).as("t0"),
         min(when(col(typeCol) === convType, t)).as("tc"))
       .filter(col("tc").isNotNull)
-      .select((col("tc") - col("t0")).as("t2c"), col("user"))
-    // per-USER table — distributed two-level rank, not a global window
-    val ranked = Ranking.withGlobalOrder(per,
-      Seq(col("t2c"), col("user")), rankCol = "__r", countCol = Some("__n"))
-    val pcts = events.sparkSession.createDataFrame(
-      percentiles.map(Tuple1(_))).toDF("p_pct")
-    ranked.join(broadcast(pcts),
-        col("__r") === greatest(ceil(col("p_pct") * col("__n") / lit(100.0)), lit(1L)))
-      .select(col("p_pct"), col("__n").as("n_converted"), col("t2c").as("t2c_us"))
+      .select((col("tc") - col("t0")).as("t2c"), col("user")))
+    val n = per.count()
+    if (n == 0)
+      return Seq.empty[(Int, Long, Long)].toDF("p_pct", "n_converted", "t2c_us")
+    def rank(p: Int): Long = math.max(math.ceil(p * n / 100.0).toLong, 1L)
+    val bounds = Selection.orderStatistics(per, "user",
+      Seq(Selection.Dim("t2c", desc = false, percentiles.map(rank).distinct)), n)
+    percentiles.map(p => (p, n, bounds.head(rank(p)).value.asInstanceOf[Long]))
+      .toDF("p_pct", "n_converted", "t2c_us")
   }
 
   /** Marketing attribution: each conversion event credited to the

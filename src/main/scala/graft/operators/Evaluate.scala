@@ -20,18 +20,55 @@ object Evaluate {
   /** Cumulative gains/lift by score decile (or any `buckets`): rank by
     * score DESC with `ordCol` making ties total, bucket by the discrete
     * ⌈rank·b/n⌉ formula ([[Behavior.rfm]]'s), then per-bucket capture
-    * and lift against the base rate. `labelCol` is 0/1. */
+    * and lift against the base rate. `labelCol` is 0/1.
+    *
+    * r15 refit (the [[Behavior.rfm]] argument): the per-row rank is
+    * never needed — bucket(x) = 1 + #{k < b : (score, ord) after the
+    * order statistic at rank ⌊k·n/b⌋}, so the r14 distributed rank
+    * (range Exchange + barrier + broadcast offsets) collapses to
+    * [[Selection.orderStatistics]]'s aggregate-only scans + a pure
+    * boundary-literal projection feeding ONE hash aggregate.
+    * (score, ord) must be row-unique and non-null — the same totality
+    * contract the ranked form already required. */
   def gainsTable(df: DataFrame, labelCol: String, scoreCol: String,
                  ordCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets $buckets must be >= 2")
-    val ranked = Ranking.withGlobalOrder(df,
-      Seq(col(scoreCol).desc, col(ordCol)), rankCol = "__r", countCol = Some("__n"))
-    val perBucket = ranked
-      .withColumn("bucket",
-        ceil(col("__r") * buckets / col("__n").cast("double")).cast("int"))
-      .groupBy("bucket")
+    val spark = df.sparkSession
+    val proj = graft.util.Caching.barrier(df.select(col(scoreCol).as("__s"),
+      col(ordCol).as("__o"), col(labelCol).cast("long").as("__y")))
+    val n = proj.count()
+    if (n == 0) return spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("capture",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("lift",
+          org.apache.spark.sql.types.DoubleType))))
+    val cuts = (1 until buckets).map(k => k.toLong * n / buckets)
+    val wanted = cuts.filter(_ >= 1)
+    val bounds =
+      if (wanted.isEmpty) Map.empty[Long, Selection.Boundary]
+      else Selection.orderStatistics(proj, "__o",
+        Seq(Selection.Dim("__s", desc = true, wanted)), n).head
+    val always = cuts.count(_ == 0)
+    val bucket = cuts.filter(_ >= 1)
+      .map(j => Selection.after(col("__s"), col("__o"), desc = true, bounds(j))
+        .cast("int"))
+      .foldLeft(lit(1 + always))(_ + _).cast("int")
+    val perBucket = proj
+      .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(labelCol).cast("long")).as("n_pos"))
+        sum(col("__y")).as("n_pos"))
     val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
