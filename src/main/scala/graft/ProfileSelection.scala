@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** Entity-scale A/B for the r15 selection refit: band `n` rows into
+  * `q` quantile buckets (the rfm/gains shape — bucket =
+  * ⌈rank·q/n⌉) three ways:
+  *
+  *  (a) `Selection.orderStatistics` boundaries + pure-projection
+  *      banding — aggregate-only scans, zero shuffle of the data;
+  *  (b) `Ranking.withGlobalOrder` per-row rank then the band formula
+  *      — one range Exchange + broadcast offsets (the r14 plan);
+  *  (c) the bare global window — ONE task sorts the world (the r13
+  *      plan the refits replaced; skipped above 50M rows).
+  *
+  * All three must agree on a full band checksum — the A/B is only
+  * valid if the answers are bit-identical.
+  *
+  * Usage: runMain graft.ProfileSelection [n] [q]
+  */
+object ProfileSelection {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(20000000L)
+    val q = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // hash-scrambled dense values + heavy-tie lane (30% constant) so the
+    // selector's tie-block bracketing is exercised, not just dense keys
+    val df = spark.range(n).select(
+      when(pmod(col("id"), lit(10L)) < 3, lit(42.0))
+        .otherwise(pmod(xxhash64(col("id")), lit(100000000L)).cast("double")).as("v"),
+      col("id").as("ord"))
+    df.count()
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"""{"selection_ab":"$tag","n":$n,"q":$q,"checksum":$out,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+    time("selection") {
+      val proj = graft.util.Caching.barrier(df)
+      val cuts = (1 until q).map(k => k.toLong * n / q).filter(_ >= 1)
+      val b = graft.operators.Selection.orderStatistics(proj, "ord",
+        Seq(graft.operators.Selection.Dim("v", desc = false, cuts)), n).head
+      val band = cuts
+        .map(j => graft.operators.Selection
+          .after(col("v"), col("ord"), desc = false, b(j)).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+      val s = proj.agg(sum(band.cast("long") * col("ord"))).head().getLong(0)
+      graft.util.Caching.release()
+      s
+    }
+    time("distributed_rank") {
+      val r = graft.operators.Ranking.withGlobalOrder(
+        df, Seq(col("v"), col("ord")), rankCol = "r", countCol = Some("nn"))
+      val band = ceil(col("r") * q / col("nn").cast("double")).cast("long")
+      val s = r.agg(sum(band * col("ord"))).head().getLong(0)
+      graft.util.Caching.release()
+      s
+    }
+    if (n <= 50000000L) time("global_window") {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("ord"))
+      val r = df.withColumn("r", row_number().over(w).cast("long"))
+      val band = ceil(col("r") * q / lit(n.toDouble)).cast("long")
+      r.agg(sum(band * col("ord"))).head().getLong(0)
+    }
+    spark.stop()
+  }
+}

@@ -38,6 +38,23 @@ import org.apache.spark.sql.functions._
   * Total order: (value [desc], tie asc); the tie column must be
   * row-unique and both columns non-null — callers feed per-entity
   * aggregates keyed by the entity id, which satisfies both.
+  *
+  * Where each arm wins (measured, `ProfileSelection` 20M rows,
+  * local[32], identical checksums): under the `sampleTarget` fast path
+  * (≤200k rows — every driver fixture and most per-entity tables) one
+  * collect beats everything; in the multi-round regime ON ONE BOX the
+  * range-shuffle rank is ~3× faster (13.9 vs 4.8 s at 20M — a local
+  * "shuffle" is memcpy, while each selection round re-scans the
+  * persisted input evaluating ~3·|targets| predicates per row); both
+  * beat the single-task global window (19.8 s). On a real cluster the
+  * trade reverses with size: withGlobalOrder moves the WHOLE table
+  * through the network exchange, selection moves only map-side partial
+  * aggregates and a few thousand sampled tuples — O(corpus) network vs
+  * O(kB·rounds) — so for the 100 TB target the aggregate-only shape is
+  * the one that survives. Operators that need only boundaries (rfm,
+  * gains, timeToConvert) use this; per-row outputs (gini's Lorenz
+  * shares, bootstrap's resample index) stay on
+  * [[Ranking.withGlobalOrder]].
   */
 object Selection {
 
