@@ -3200,6 +3200,17 @@ object SparkEntry {
         "l_quantity", "price_k")
         .select(col("n"), round(col("rho"), 8).as("rho"))
     },
+    // Kendall τ-b (RankTests.kendallTau): quantity vs $1k-bucketed
+    // price — the same cell table as q_spearman through the dominance
+    // self-join; exact DECIMAL pair counts, tie-adjusted denominator.
+    "q_kendall" -> { (s, dir) =>
+      graft.operators.RankTests.kendallTau(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("price_k", floor(col("l_extendedprice") / lit(1000.0)).cast(LongType)),
+        "l_quantity", "price_k")
+        .select(col("n"), col("concordant"), col("discordant"),
+          round(col("tau_b"), 8).as("tau_b"))
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -7755,6 +7766,28 @@ object SparkEntry {
         |SELECT n, round(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0 THEN
         |  (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 8) AS rho
         |FROM ag""".stripMargin,
+    // cell-table dominance self-join; exact HUGEINT pair counts, one
+    // fixed IEEE chain for the tie-adjusted denominator
+    "q_kendall" ->
+      """WITH d AS (SELECT l_quantity AS x,
+        |    CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS y FROM lineitem),
+        |cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS discordant
+        |  FROM cells a JOIN cells b ON b.x < a.x),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n12
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n22
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |v AS (SELECT n, concordant, discordant,
+        |    CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE) AS n02, n12, n22
+        |  FROM nn, cd, tx, ty)
+        |SELECT n, concordant, discordant,
+        |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
+        |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
+        |FROM v""".stripMargin,
     // exact Σx/Σx² per side, fixed IEEE chain for mean/var/t/df
     "q_welch_t" ->
       """WITH sd AS (SELECT l_returnflag AS g, count(*) AS n,

@@ -209,6 +209,59 @@ object RankTests {
             (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
   }
 
+  /** Kendall rank correlation τ-b (Kendall 1945, the tie-adjusted
+    * form): τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with C/D the concordant/
+    * discordant pair counts, n₀ = n(n−1)/2 and n₁/n₂ the within-ties
+    * pair counts of each variable. Complements [[spearman]]: τ is the
+    * probability-scale "how often do the two orders agree", robust to
+    * the rank-gap sensitivity ρ inherits from squared ranks.
+    *
+    * Scale shape: ONE hash aggregate collapses the corpus to the
+    * (x, y) cell table; C and D are then a cell-table DOMINANCE
+    * self-join (x′ < x, y′ ≶ y — each unordered pair counted once) —
+    * |cells|² work, so both columns must be categorical/bucketed.
+    * That boundedness is enforced EAGERLY (`maxCells`, default 100k →
+    * ≤10¹⁰ cheap codegen comparisons): the cell table is barriered and
+    * counted before the quadratic join is even planned — the
+    * [[Skyline]] cap discipline. Every count is exact DECIMAL(38,0);
+    * the τ denominator is a fixed IEEE chain both engines replay.
+    * One row: (n, concordant, discordant, tau_b); τ null when either
+    * variable is constant. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCells: Long = 100000): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.util.Caching.barrier(
+      df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c")))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTau: $nCells cells exceeds maxCells=$maxCells; the dominance " +
+        "self-join is |cells|^2 - bucket the continuous column(s) first")
+    val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    val cd = cells.join(broadcast(right), col("x2") < col("x"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    val nn = cells.agg(sum(col("c")).as("n"))
+    def ties(key: String, out: String) = cells.groupBy(col(key))
+      .agg(sum(col("c")).as("__t"))
+      .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+        .cast("decimal(38,0)").as(out))
+    nn.crossJoin(cd).crossJoin(ties("x", "__tx2")).crossJoin(ties("y", "__ty2"))
+      .select(col("n"),
+        coalesce(col("__c"), lit(0)).cast("double").as("concordant"),
+        coalesce(col("__d"), lit(0)).cast("double").as("discordant"),
+        (d38(col("n")) * (col("n") - 1)).cast("double").as("__n02"),
+        col("__tx2").cast("double").as("__n12"),
+        col("__ty2").cast("double").as("__n22"))
+      .withColumn("tau_b",
+        when((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")) > 0,
+          lit(2.0) * (col("concordant") - col("discordant")) /
+            sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
+      .select(col("n"), col("concordant"), col("discordant"), col("tau_b"))
+  }
+
   /** Welch's unequal-variance t-test from DECIMAL power sums: one
     * map-combined aggregate per group collects exact Σx and Σx²;
     * mean/variance/t/df are then a fixed chain of IEEE ops over exact

@@ -142,7 +142,10 @@ object Selection {
       val s = sorted.length
       val margin = (3 * math.sqrt(s.toDouble)).toLong + 2
       d.ranks.distinct.map { r =>
-        val p = r / m0 // expected sample position of rank r (1-based)
+        // expected sample position of rank r (1-based), clamped: a
+        // light hash-sample can come back shorter than n/m0, and an
+        // unclamped p would index past the sorted sample
+        val p = math.min(r / m0, s.toLong)
         val lo = if (p - margin >= 1) Some(sorted((p - margin - 1).toInt)) else None
         val hi = if (p + margin <= s) Some(sorted((p + margin - 1).toInt)) else None
         // bracket size estimate ≈ 2·margin·m0 → sub-sample to roundSample

@@ -382,6 +382,61 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(math.abs(bt("a") - bt("b")) < 1e-12)
   }
 
+  test("kendallTau: monotone 1, inverse -1, textbook tie case, guards") {
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    assert(RankTests.kendallTau(up, "x", "y").head.getAs[Double]("tau_b") == 1.0)
+    val dn = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("x", "y")
+    assert(RankTests.kendallTau(dn, "x", "y").head.getAs[Double]("tau_b") == -1.0)
+    // x=(1,1,2), y=(1,2,3): C=2, D=0, n0=3, n1=1, n2=0 → 2/√6
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r = RankTests.kendallTau(tied, "x", "y").head
+    assert(r.getAs[Double]("concordant") == 2.0 && r.getAs[Double]("discordant") == 0.0)
+    assert(math.abs(r.getAs[Double]("tau_b") - 2.0 / math.sqrt(6.0)) < 1e-12)
+    // constant column → null tau, not a divide-by-zero
+    val const = Seq((1.0, 5.0), (1.0, 7.0)).toDF("x", "y")
+    val rc = RankTests.kendallTau(const, "x", "y").head
+    assert(rc.isNullAt(rc.fieldIndex("tau_b")))
+    // the eager cells cap fires loudly on a continuous column
+    val dense = denseFixture
+    val e = intercept[IllegalArgumentException](
+      RankTests.kendallTau(dense, "v", "y", maxCells = 10))
+    assert(e.getMessage.contains("maxCells"))
+    graft.util.Caching.release()
+  }
+
+  test("winMatrixTies live leaderboard: complete-mode stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import graft.llm.Chat
+    implicit val enc = Encoders.product[(String, String, String)]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val ms = Seq("m0", "m1", "m2", "m3")
+    val battles = (1 to 300).map { _ =>
+      val Seq(x, y) = rnd.shuffle(ms).take(2)
+      val w = rnd.nextInt(4) match {
+        case 0 => null: String // ~25% ties
+        case 1 => y
+        case _ => x
+      }
+      (x, y, w)
+    }
+    def snap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getAs[Double]("wilson_lo"))).toMap
+    val batch = snap(Chat.winMatrixTies(
+      battles.toDF("ma", "mb", "winner"), "ma", "mb", "winner").collect())
+    val mem = MemoryStream[(String, String, String)]
+    val q = Chat.winMatrixTies(mem.toDF().toDF("ma", "mb", "winner"),
+        "ma", "mb", "winner")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_ties_stream").start()
+    battles.grouped(60).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    assert(snap(spark.table("win_ties_stream").collect()) == batch,
+      "the tie-aware leaderboard is ONE streaming aggregate")
+  }
+
   test("bradleyTerrySplitTies: zero ties equals bradleyTerry; ties pull even") {
     import graft.llm.Chat
     val decisive = Seq(("a", "b", "a"), ("a", "b", "a"), ("a", "b", "b"),
