@@ -3200,6 +3200,29 @@ object SparkEntry {
         "l_quantity", "price_k")
         .select(col("n"), round(col("rho"), 8).as("rho"))
     },
+    // McNemar's paired test (RankTests.mcnemar): same-item A/B model
+    // correctness — discordant counts + continuity-corrected χ².
+    "q_mcnemar" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events").select(
+        expr("event_id div 2").as("item"),
+        when(col("event_id") % 2 === 0, "A").otherwise("B").as("system"),
+        (floor(col("value")) % 3 === 0).cast(IntegerType).as("correct"))
+      graft.operators.RankTests.mcnemar(e, "item", "system", "correct", "A", "B")
+        .select(col("n_items"), col("n_both_right"), col("n_both_wrong"),
+          col("b"), col("c"), round(col("chi2"), 8).as("chi2"))
+    },
+    // Rank-biased overlap (Relevance.rbo): two deterministic score
+    // orders per query; exact quantized weight folds, k=10, p=0.9.
+    "q_rbo" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events").select(
+        pmod(col("user_id"), lit(37L)).as("q"),
+        col("value").as("sa"),
+        pmod(floor(col("value") * 7), lit(101L)).as("sb"),
+        col("event_id").as("ord"))
+      graft.llm.Relevance.rbo(e, "q", "sa", "sb", "ord", k = 10, p = 0.9)
+        .select(col("query"), col("n_rated"), col("overlap_k"),
+          round(col("rbo"), 8).as("rbo"))
+    },
     // Kendall τ-b (RankTests.kendallTau): quantity vs $1k-bucketed
     // price — the same cell table as q_spearman through the dominance
     // self-join; exact DECIMAL pair counts, tie-adjusted denominator.
@@ -7766,6 +7789,48 @@ object SparkEntry {
         |SELECT n, round(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0 THEN
         |  (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 8) AS rho
         |FROM ag""".stripMargin,
+    // inner join on the item key; discordant counts b/c exact, the
+    // continuity-corrected (|b−c|−1)²/(b+c) two IEEE ops
+    "q_mcnemar" ->
+      """WITH e AS (SELECT event_id // 2 AS item,
+        |    CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS system,
+        |    CASE WHEN CAST(FLOOR(value) AS BIGINT) % 3 = 0 THEN 1 ELSE 0 END AS correct
+        |  FROM events),
+        |j AS (SELECT a.item, a.correct AS ca, b.correct AS cb
+        |  FROM (SELECT * FROM e WHERE system = 'A') a
+        |  JOIN (SELECT * FROM e WHERE system = 'B') b USING (item)),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CASE WHEN ca = 1 AND cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_right,
+        |    CAST(SUM(CASE WHEN ca = 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_wrong,
+        |    CAST(SUM(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM j)
+        |SELECT n_items, n_both_right, n_both_wrong, b, c,
+        |  round(CASE WHEN b + c > 0 THEN
+        |    (CAST(abs(b - c) AS DOUBLE) - 1.0) * (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      / CAST(b + c AS DOUBLE) END, 8) AS chi2
+        |FROM g""".stripMargin,
+    // the same quantized weight literals as the Spark side (generated
+    // from Relevance.rboWeights), so the fold is bit-for-bit
+    "q_rbo" -> {
+      val w = graft.llm.Relevance.rboWeights(10, 0.9)
+      val cases = (1 to 10).map(m => s"WHEN gm = $m THEN ${w(m - 1)}").mkString(" ")
+      s"""WITH e AS (SELECT user_id % 37 AS q, value AS sa,
+         |    CAST(FLOOR(value * 7) AS BIGINT) % 101 AS sb, event_id AS ord
+         |  FROM events),
+         |r AS (SELECT q,
+         |    row_number() OVER (PARTITION BY q ORDER BY sa DESC, ord) AS ra,
+         |    row_number() OVER (PARTITION BY q ORDER BY sb DESC, ord) AS rb
+         |  FROM e),
+         |wt AS (SELECT q, CASE $cases ELSE 0 END AS w
+         |  FROM (SELECT q, GREATEST(ra, rb) AS gm FROM r)),
+         |g AS (SELECT q AS query, CAST(count(*) AS BIGINT) AS n_rated,
+         |    CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_k,
+         |    CAST(SUM(w) AS DOUBLE) AS num FROM wt GROUP BY 1)
+         |SELECT query, n_rated, overlap_k,
+         |  round(${1.0 - 0.9} * num / 1e15, 8) AS rbo
+         |FROM g""".stripMargin
+    },
     // cell-table dominance self-join; exact HUGEINT pair counts, one
     // fixed IEEE chain for the tie-adjusted denominator
     "q_kendall" ->

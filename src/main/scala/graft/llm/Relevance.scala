@@ -255,4 +255,50 @@ object Relevance {
         (coalesce(col("__i"), lit(0)).cast("double") / lit(1e12)).as("idcg"))
       .withColumn("ndcg", when(col("idcg") =!= 0.0, col("dcg") / col("idcg")))
   }
+
+  /** The exact per-depth weight table of [[rbo]], quantized once on the
+    * driver so both engines fold identical integers:
+    * W(m) = ⌊Σ_{d=m..k} p^{d−1}/d · 10¹⁵⌋. Public so oracle SQL can be
+    * generated from the same literals. */
+  def rboWeights(k: Int, p: Double): IndexedSeq[Long] = {
+    val term = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => math.floor(term.drop(m - 1).sum * 1e15).toLong)
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) truncated
+    * at depth `k`: RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d —
+    * the top-weighted "how similar are two rankings of the same
+    * candidates" readout (comparing a new ranker against production, a
+    * cheap scorer against an oracle). `p` is the persistence (0.9 ≈
+    * top-10 dominates).
+    *
+    * Shape: an item sits in both depth-d prefixes iff
+    * d ≥ m = max(rank_A, rank_B), so the double sum collapses to
+    * Σ_items W(m_i) with W the ≤k-entry weight table — per-query
+    * windows for the two ranks (balanced, the [[ndcg]] axis), then ONE
+    * aggregate summing EXACT quantized weights (order-independent;
+    * [[rboWeights]] literals are shared with the oracle, so the
+    * replay is bit-for-bit). Output per query:
+    * (query, n_rated, overlap_k, rbo). */
+  def rbo(df: DataFrame, queryCol: String, scoreACol: String,
+          scoreBCol: String, ordCol: String, k: Int, p: Double): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k $k must be in [1, 1000]")
+    require(p > 0 && p < 1, s"persistence p $p must be in (0, 1)")
+    val w = rboWeights(k, p)
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreACol).desc, col(ordCol))
+    val byB = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreBCol).desc, col(ordCol))
+    val m = greatest(row_number().over(byA), row_number().over(byB))
+    // element_at on a literal array: m ≤ k guard keeps it in range
+    val wArr = array(w.map(x => lit(x)): _*)
+    val ranked = df.withColumn("__w",
+      when(m <= k, element_at(wArr, m)).otherwise(lit(0L)))
+    ranked.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_rated"),
+        sum((col("__w") > 0).cast("long")).as("overlap_k"),
+        sum(col("__w")).as("__num"))
+      .select(col("query"), col("n_rated"), col("overlap_k"),
+        (lit(1.0 - p) * col("__num").cast("double") / lit(1e15)).as("rbo"))
+  }
 }

@@ -371,6 +371,36 @@ object RankTests {
       .select(col("n"), col("cells"), col("dof"), col("chi2"), col("cramers_v"))
   }
 
+  /** McNemar's test (McNemar 1947) for paired binary outcomes — THE
+    * "is model B actually better than model A on the same eval set"
+    * significance readout: over items BOTH systems answered (inner
+    * join on the item key), count the DISCORDANT pairs b (A right,
+    * B wrong) and c (A wrong, B right); concordant items carry no
+    * signal. Reports the continuity-corrected statistic
+    * χ² = (|b−c|−1)²/(b+c) (Edwards 1948; 1 df) — the large-sample
+    * standard; callers with tiny b+c should read b, c directly and
+    * binomial-test upstream. One item-keyed join + ONE aggregate;
+    * exact counts, two IEEE ops. One row:
+    * (n_items, n_both_right, n_both_wrong, b, c, chi2) — χ² null when
+    * b + c = 0 (no discordance, no evidence either way). */
+  def mcnemar(df: DataFrame, itemCol: String, systemCol: String,
+              correctCol: String, sysA: String, sysB: String): DataFrame = {
+    val a = df.filter(col(systemCol) === sysA)
+      .select(col(itemCol).as("__i"), col(correctCol).cast("int").as("__ca"))
+    val b = df.filter(col(systemCol) === sysB)
+      .select(col(itemCol).as("__i"), col(correctCol).cast("int").as("__cb"))
+    a.join(b, "__i")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("__ca") === 1 && col("__cb") === 1).cast("long")).as("n_both_right"),
+        sum((col("__ca") === 0 && col("__cb") === 0).cast("long")).as("n_both_wrong"),
+        sum((col("__ca") === 1 && col("__cb") === 0).cast("long")).as("b"),
+        sum((col("__ca") === 0 && col("__cb") === 1).cast("long")).as("c"))
+      .withColumn("chi2", when(col("b") + col("c") > 0,
+        (abs(col("b") - col("c")).cast("double") - 1.0) *
+          (abs(col("b") - col("c")).cast("double") - 1.0) /
+          (col("b") + col("c")).cast("double")))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two raters' labels: chance-
     * corrected agreement κ = (p_o − p_e)/(1 − p_e) over the items BOTH
     * raters labeled (inner join on the item key); p_e from the joined

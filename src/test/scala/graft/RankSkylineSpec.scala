@@ -382,6 +382,51 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(math.abs(bt("a") - bt("b")) < 1e-12)
   }
 
+  test("mcnemar: discordant counts, continuity-corrected chi2, no-signal null") {
+    // 10 items: A right on 1-6, B right on 4-9 → b=3 (A-only), c=3
+    // (B-only), both_right=3 (4-6), both_wrong=1 (10)
+    val rows = (1 to 10).flatMap { i =>
+      Seq((i.toLong, "A", if (i <= 6) 1 else 0), (i.toLong, "B", if (i >= 4 && i <= 9) 1 else 0))
+    }.toDF("item", "system", "correct")
+    val r = RankTests.mcnemar(rows, "item", "system", "correct", "A", "B").head
+    assert(r.getAs[Long]("n_items") == 10 && r.getAs[Long]("n_both_right") == 3 &&
+      r.getAs[Long]("n_both_wrong") == 1 && r.getAs[Long]("b") == 3 &&
+      r.getAs[Long]("c") == 3)
+    // |b-c|=0 → (0-1)²/6
+    assert(math.abs(r.getAs[Double]("chi2") - 1.0 / 6.0) < 1e-15)
+    // perfectly concordant systems → chi2 null (no discordance)
+    val conc = (1 to 4).flatMap(i =>
+      Seq((i.toLong, "A", i % 2), (i.toLong, "B", i % 2))).toDF("item", "system", "correct")
+    val rc = RankTests.mcnemar(conc, "item", "system", "correct", "A", "B").head
+    assert(rc.isNullAt(rc.fieldIndex("chi2")))
+  }
+
+  test("rbo: identical rankings 1-p^k, disjoint prefixes 0, order sensitivity") {
+    import graft.llm.Relevance
+    val k = 5; val p = 0.9
+    // one query, 8 items; scoreB == scoreA → identical rankings
+    val same = (1 to 8).map(i => ("q1", 100.0 - i, 100.0 - i, i.toLong))
+      .toDF("q", "sa", "sb", "ord")
+    val r1 = Relevance.rbo(same, "q", "sa", "sb", "ord", k, p).head
+    // full overlap: RBO@k = (1−p)·Σ p^{d−1} = 1 − p^k (quantized ≤ 5e-15/term)
+    assert(math.abs(r1.getAs[Double]("rbo") - (1 - math.pow(p, k))) < 1e-9)
+    assert(r1.getAs[Long]("overlap_k") == k)
+    // scoreB reverses the order: top-5 of A = items 1-5, of B = 8-4 —
+    // overlap only where max(ra, rb) <= 5 (items 4, 5)
+    val rev = (1 to 8).map(i => ("q1", 100.0 - i, i.toDouble, i.toLong))
+      .toDF("q", "sa", "sb", "ord")
+    val r2 = Relevance.rbo(rev, "q", "sa", "sb", "ord", k, p).head
+    assert(r2.getAs[Long]("overlap_k") == 2)
+    assert(r2.getAs[Double]("rbo") < r1.getAs[Double]("rbo"))
+    // fully disjoint prefixes: 10 items, A ranks 1-5 top, B ranks 6-10
+    // top, k=5 → overlap 0, rbo 0
+    val dis = (1 to 10).map(i =>
+      ("q1", 100.0 - i, if (i > 5) 100.0 - i else -i.toDouble, i.toLong))
+      .toDF("q", "sa", "sb", "ord")
+    val r3 = Relevance.rbo(dis, "q", "sa", "sb", "ord", k, p).head
+    assert(r3.getAs[Long]("overlap_k") == 0 && r3.getAs[Double]("rbo") == 0.0)
+  }
+
   test("kendallTau: monotone 1, inverse -1, textbook tie case, guards") {
     val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
     assert(RankTests.kendallTau(up, "x", "y").head.getAs[Double]("tau_b") == 1.0)
