@@ -3211,6 +3211,17 @@ object SparkEntry {
         .select(col("n_items"), col("n_both_right"), col("n_both_wrong"),
           col("b"), col("c"), round(col("chi2"), 8).as("chi2"))
     },
+    // Cochran's Q (RankTests.cochranQ): three systems on shared items
+    // (event_id div 3 × event_id % 3); the ragged tail is excluded.
+    "q_cochran_q" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events").select(
+        expr("event_id div 3").as("item"),
+        concat(lit("s"), (col("event_id") % 3).cast(StringType)).as("system"),
+        (floor(col("value") * 11) % 4 === 0).cast(IntegerType).as("correct"))
+      graft.operators.RankTests.cochranQ(e, "item", "system", "correct")
+        .select(col("n_items"), col("k"), round(col("q_stat"), 8).as("q_stat"),
+          col("df"))
+    },
     // Rank-biased overlap (Relevance.rbo): two deterministic score
     // orders per query; exact quantized weight folds, k=10, p=0.9.
     "q_rbo" -> { (s, dir) =>
@@ -7810,6 +7821,28 @@ object SparkEntry {
         |    (CAST(abs(b - c) AS DOUBLE) - 1.0) * (CAST(abs(b - c) AS DOUBLE) - 1.0)
         |      / CAST(b + c AS DOUBLE) END, 8) AS chi2
         |FROM g""".stripMargin,
+    // exact integer sums into the expanded (k−1)(kΣT²−N²)/(kN−ΣU²)
+    "q_cochran_q" ->
+      """WITH e AS (SELECT event_id // 3 AS item,
+        |    's' || CAST(event_id % 3 AS VARCHAR) AS system,
+        |    CASE WHEN CAST(FLOOR(value * 11) AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS c
+        |  FROM events),
+        |kk AS (SELECT count(DISTINCT system) AS k FROM e),
+        |items AS (SELECT item, count(*) AS cnt, SUM(c) AS u FROM e GROUP BY 1),
+        |kept AS (SELECT item, u FROM items, kk WHERE cnt = k),
+        |ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(u) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS u2 FROM kept),
+        |st AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t), 0) AS HUGEINT) AS t2
+        |  FROM (SELECT e.system, SUM(e.c) AS t FROM e JOIN kept USING (item) GROUP BY 1)),
+        |v AS (SELECT n_items, CAST(k AS BIGINT) AS k, n, u2, t2 FROM ia, st, kk)
+        |SELECT n_items, k,
+        |  round(CASE WHEN CAST(k AS HUGEINT) * n - u2 > 0 THEN
+        |    CAST(k - 1 AS DOUBLE) *
+        |      CAST(CAST(k AS HUGEINT) * t2 - CAST(n AS HUGEINT) * n AS DOUBLE)
+        |      / CAST(CAST(k AS HUGEINT) * n - u2 AS DOUBLE) END, 8) AS q_stat,
+        |  k - 1 AS df
+        |FROM v""".stripMargin,
     // the same quantized weight literals as the Spark side (generated
     // from Relevance.rboWeights), so the fold is bit-for-bit
     "q_rbo" -> {

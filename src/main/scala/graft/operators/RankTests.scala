@@ -401,6 +401,50 @@ object RankTests {
           (col("b") + col("c")).cast("double")))
   }
 
+  /** Cochran's Q (Cochran 1950) — [[mcnemar]] generalized to k ≥ 2
+    * systems scored on the SAME items: do the k systems have equal
+    * marginal success rates? Q = (k−1)(k·ΣT_j² − N²)/(k·N − ΣU_i²)
+    * (the expanded integer form of k(k−1)Σ(T_j − N/k)²/(kN − ΣU²)),
+    * χ² with k−1 df. Items missing any system's verdict are EXCLUDED
+    * (the [[fleissKappa]] constant-panel discipline — visible via
+    * n_items); k is taken from the data (distinct systems).
+    *
+    * Shape: one (item) aggregate (map-combined) for the U_i sums, one
+    * ≤k-row system table for the T_j, every sum an exact integer;
+    * Q is a fixed IEEE chain over exact operands. One row:
+    * (n_items, k, q_stat, df); Q null when the denominator is 0
+    * (every item all-right or all-wrong — no within-item variance). */
+  def cochranQ(df: DataFrame, itemCol: String, systemCol: String,
+               correctCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(itemCol).as("__i"), col(systemCol).as("__s"),
+      col(correctCol).cast("long").as("__c"))
+    val kTab = base.agg(countDistinct(col("__s")).as("__k"))
+    val items = base.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__c")).as("__u"))
+      .crossJoin(broadcast(kTab))
+      .filter(col("__cnt") === col("__k"))
+    // k comes from the ≤k-row system table (not the kept items) so an
+    // all-ragged input still reports the true panel width
+    val itemAgg = items.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__u")), lit(0L)).as("__n"),
+      coalesce(sum(d38(col("__u")) * col("__u")), lit(0))
+        .cast("decimal(38,0)").as("__u2"))
+    val sysT = base.join(items.select(col("__i")), "__i")
+      .groupBy(col("__s")).agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(d38(col("__t")) * col("__t")), lit(0))
+        .cast("decimal(38,0)").as("__t2"))
+    itemAgg.crossJoin(sysT).crossJoin(broadcast(kTab))
+      .withColumn("k", col("__k"))
+      .withColumn("q_stat", when(
+        d38(col("k")) * col("__n") - col("__u2") > 0,
+        ((col("k") - 1).cast("double") *
+          (d38(col("k")) * col("__t2") - d38(col("__n")) * col("__n")).cast("double")) /
+          (d38(col("k")) * col("__n") - col("__u2")).cast("double")))
+      .select(col("n_items"), col("k"), col("q_stat"),
+        (col("k") - 1).as("df"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two raters' labels: chance-
     * corrected agreement κ = (p_o − p_e)/(1 − p_e) over the items BOTH
     * raters labeled (inner join on the item key); p_e from the joined

@@ -401,6 +401,30 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("chi2")))
   }
 
+  test("cochranQ: hand-computed 3-system panel, ragged exclusion, degenerate null") {
+    // u = (3,1,2,0), T = (3,2,1): Q = 2·(3·14 − 36)/(3·6 − 14) = 3.0
+    val rows = Seq(
+      (1L, "s1", 1), (1L, "s2", 1), (1L, "s3", 1),
+      (2L, "s1", 1), (2L, "s2", 0), (2L, "s3", 0),
+      (3L, "s1", 1), (3L, "s2", 1), (3L, "s3", 0),
+      (4L, "s1", 0), (4L, "s2", 0), (4L, "s3", 0))
+      .toDF("item", "system", "correct")
+    val r = RankTests.cochranQ(rows, "item", "system", "correct").head
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("k") == 3 &&
+      r.getAs[Long]("df") == 2)
+    assert(math.abs(r.getAs[Double]("q_stat") - 3.0) < 1e-12)
+    // a ragged item (missing s3) is excluded, Q recomputed over the rest
+    val ragged = rows.unionByName(Seq((5L, "s1", 1), (5L, "s2", 1))
+      .toDF("item", "system", "correct"))
+    assert(RankTests.cochranQ(ragged, "item", "system", "correct")
+      .head.getAs[Long]("n_items") == 4)
+    // all-concordant items → zero within-item variance → null Q
+    val conc = Seq((1L, "s1", 1), (1L, "s2", 1), (2L, "s1", 0), (2L, "s2", 0))
+      .toDF("item", "system", "correct")
+    val rc = RankTests.cochranQ(conc, "item", "system", "correct").head
+    assert(rc.isNullAt(rc.fieldIndex("q_stat")))
+  }
+
   test("rbo: identical rankings 1-p^k, disjoint prefixes 0, order sensitivity") {
     import graft.llm.Relevance
     val k = 5; val p = 0.9
