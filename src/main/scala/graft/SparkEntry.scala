@@ -3222,6 +3222,17 @@ object SparkEntry {
         .select(col("n_items"), col("k"), round(col("q_stat"), 8).as("q_stat"),
           col("df"))
     },
+    // Friedman's test (RankTests.friedman): three systems' graded
+    // scores on shared items, heavy within-item ties (7-value domain).
+    "q_friedman" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events").select(
+        expr("event_id div 3").as("item"),
+        concat(lit("s"), (col("event_id") % 3).cast(StringType)).as("system"),
+        pmod(floor(col("value")), lit(7L)).as("score"))
+      graft.operators.RankTests.friedman(e, "item", "system", "score")
+        .select(col("n_items"), col("k"), round(col("chi2"), 8).as("chi2"),
+          col("df"))
+    },
     // Rank-biased overlap (Relevance.rbo): two deterministic score
     // orders per query; exact quantized weight folds, k=10, p=0.9.
     "q_rbo" -> { (s, dir) =>
@@ -7843,6 +7854,36 @@ object SparkEntry {
         |      / CAST(CAST(k AS HUGEINT) * n - u2 AS DOUBLE) END, 8) AS q_stat,
         |  k - 1 AS df
         |FROM v""".stripMargin,
+    // within-item average ranks as 2× integers; the tie-corrected
+    // statistic is a ratio of two exact HUGEINT quantities
+    "q_friedman" ->
+      """WITH e AS (SELECT event_id // 3 AS item,
+        |    's' || CAST(event_id % 3 AS VARCHAR) AS system,
+        |    CAST(FLOOR(value) AS BIGINT) % 7 AS score FROM events),
+        |kk AS (SELECT count(DISTINCT system) AS k FROM e),
+        |keep AS (SELECT item FROM e GROUP BY item
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |kept AS (SELECT e.* FROM e JOIN keep USING (item)),
+        |blocks AS (SELECT item, score, count(*) AS t FROM kept GROUP BY 1, 2),
+        |r2tab AS (SELECT item, score,
+        |    2*COALESCE(SUM(t) OVER (PARTITION BY item ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM blocks),
+        |rr AS (SELECT kept.system, r2 FROM kept JOIN r2tab USING (item, score)),
+        |ss AS (SELECT CAST(SUM(CAST(R2 AS HUGEINT)*R2) AS HUGEINT) AS sumr2sq_sys
+        |  FROM (SELECT system, SUM(r2) AS R2 FROM rr GROUP BY 1)),
+        |tt AS (SELECT CAST(SUM(CAST(r2 AS HUGEINT)*r2) AS HUGEINT) AS sumr2sq FROM rr),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM keep),
+        |v2 AS (SELECT n_items, CAST(k AS BIGINT) AS k, sumr2sq_sys, sumr2sq
+        |  FROM ni, kk, ss, tt),
+        |f AS (SELECT n_items, k,
+        |    sumr2sq_sys - CAST(k AS HUGEINT)*n_items*n_items*(k+1)*(k+1) AS num,
+        |    sumr2sq - CAST(n_items AS HUGEINT)*k*(k+1)*(k+1) AS den FROM v2)
+        |SELECT n_items, k,
+        |  round(CASE WHEN den > 0 THEN
+        |    CAST(k-1 AS DOUBLE)*CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END, 8) AS chi2,
+        |  k - 1 AS df
+        |FROM f""".stripMargin,
     // the same quantized weight literals as the Spark side (generated
     // from Relevance.rboWeights), so the fold is bit-for-bit
     "q_rbo" -> {

@@ -445,6 +445,64 @@ object RankTests {
         (col("k") - 1).as("df"))
   }
 
+  /** Friedman's test (Friedman 1937; tie-corrected form, Conover 1999)
+    * — [[cochranQ]]'s graded-score sibling: k systems score the SAME
+    * items on a continuous/ordinal metric; are the systems' rank
+    * profiles equal? Scores rank WITHIN each item (average ranks for
+    * ties); with the 2×rank integer trick every sum is exact:
+    * χ² = (k−1)·(Σ_j R2_j² − k·N²(k+1)²) / (Σ_ij r2² − N·k(k+1)²),
+    * k−1 df (both parenthesized terms are 4× their classic forms —
+    * the factor cancels). Items missing any system are EXCLUDED (the
+    * constant-panel discipline).
+    *
+    * Shape: one (item, score) aggregate, a window PARTITIONED BY item
+    * (balanced — the item axis is the parallelism), one join back on
+    * (item, score), then a ≤k-row system table. One row:
+    * (n_items, k, chi2, df); χ² null when every item is fully tied
+    * (zero rank variance). */
+  def friedman(df: DataFrame, itemCol: String, systemCol: String,
+               scoreCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = graft.util.Caching.barrier(
+      df.select(col(itemCol).as("__i"), col(systemCol).as("__s"),
+        col(scoreCol).as("__v")))
+    val kTab = base.agg(countDistinct(col("__s")).as("__k"))
+    val cnt = base.groupBy(col("__i")).agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(kTab)).filter(col("__cnt") === col("__k"))
+      .select(col("__i"))
+    // the (item, score) block table CARRIES its systems, so each row's
+    // rank attaches by explode — no corpus join back on (item, score)
+    val blocks = graft.util.Caching.barrier(base.join(cnt, "__i")
+      .groupBy(col("__i"), col("__v"))
+      .agg(count(lit(1)).as("__t"), collect_list(col("__s")).as("__ss")))
+    val wPrev = Window.partitionBy("__i").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankedRows = blocks.withColumn("__cum",
+        coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+      .select(explode(col("__ss")).as("__s"),
+        (lit(2) * col("__cum") + col("__t") + 1).as("__r2"))
+    val sysSums = rankedRows.groupBy(col("__s")).agg(sum(col("__r2")).as("__R2"))
+      .agg(coalesce(sum(d38(col("__R2")) * col("__R2")), lit(0))
+        .cast("decimal(38,0)").as("__ssq_sys"))
+    val totals = rankedRows.agg(
+      sum(d38(col("__r2")) * col("__r2")).as("__ssq_all"))
+    val nItems = blocks.agg(countDistinct(col("__i")).as("n_items"))
+    nItems.crossJoin(sysSums)
+      .crossJoin(totals)
+      .crossJoin(broadcast(kTab))
+      .withColumn("k", col("__k"))
+      .withColumn("__num",
+        col("__ssq_sys").cast("decimal(38,0)") - d38(col("k")) * col("n_items") * col("n_items") *
+          (col("k") + 1) * (col("k") + 1))
+      .withColumn("__den",
+        coalesce(col("__ssq_all"), lit(0)).cast("decimal(38,0)") -
+          d38(col("n_items")) * col("k") * (col("k") + 1) * (col("k") + 1))
+      .withColumn("chi2", when(col("__den") > 0,
+        (col("k") - 1).cast("double") * col("__num").cast("double") /
+          col("__den").cast("double")))
+      .select(col("n_items"), col("k"), col("chi2"), (col("k") - 1).as("df"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two raters' labels: chance-
     * corrected agreement κ = (p_o − p_e)/(1 − p_e) over the items BOTH
     * raters labeled (inner join on the item key); p_e from the joined

@@ -425,6 +425,39 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("q_stat")))
   }
 
+  test("friedman: textbook chi2=6.5, tie handling, fully-tied null, ragged exclusion") {
+    // ranks per item: (1,2,3),(1,2,3),(1,3,2),(1,2,3) → χ² = 6.5
+    val rows = Seq(
+      (1L, "s1", 1.0), (1L, "s2", 2.0), (1L, "s3", 3.0),
+      (2L, "s1", 1.0), (2L, "s2", 2.0), (2L, "s3", 3.0),
+      (3L, "s1", 1.0), (3L, "s2", 3.0), (3L, "s3", 2.0),
+      (4L, "s1", 1.0), (4L, "s2", 2.0), (4L, "s3", 3.0))
+      .toDF("item", "system", "score")
+    val r = RankTests.friedman(rows, "item", "system", "score").head
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("k") == 3 &&
+      r.getAs[Long]("df") == 2)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.5) < 1e-12)
+    // within-item ties average: scores (1,1,2) → ranks (1.5,1.5,3),
+    // r2 = (3,3,6); R = (3,3,6), A−C = 27−24 = 3, Σ(R−4)² = 6 →
+    // χ² = 2·6/3 = 4.0 (tie-corrected Conover form, exact)
+    val tied = Seq(
+      (1L, "s1", 1.0), (1L, "s2", 1.0), (1L, "s3", 2.0),
+      (2L, "s1", 1.0), (2L, "s2", 1.0), (2L, "s3", 2.0))
+      .toDF("item", "system", "score")
+    val rt = RankTests.friedman(tied, "item", "system", "score").head
+    assert(rt.getAs[Long]("n_items") == 2)
+    assert(math.abs(rt.getAs[Double]("chi2") - 4.0) < 1e-12)
+    // fully tied items → zero rank variance → null
+    val flat = Seq((1L, "s1", 1.0), (1L, "s2", 1.0), (2L, "s1", 2.0), (2L, "s2", 2.0))
+      .toDF("item", "system", "score")
+    val rf = RankTests.friedman(flat, "item", "system", "score").head
+    assert(rf.isNullAt(rf.fieldIndex("chi2")))
+    // ragged item excluded
+    val ragged = rows.unionByName(Seq((5L, "s1", 9.0)).toDF("item", "system", "score"))
+    assert(RankTests.friedman(ragged, "item", "system", "score")
+      .head.getAs[Long]("n_items") == 4)
+  }
+
   test("rbo: identical rankings 1-p^k, disjoint prefixes 0, order sensitivity") {
     import graft.llm.Relevance
     val k = 5; val p = 0.9
