@@ -3222,6 +3222,19 @@ object SparkEntry {
         .select(col("n_items"), col("k"), round(col("q_stat"), 8).as("q_stat"),
           col("df"))
     },
+    // Wilcoxon signed-rank (RankTests.wilcoxonSignedRank): paired A/B
+    // scores on shared items, 5-value domain → zero-diffs dropped,
+    // heavy |d| ties exercise the average-rank integers.
+    "q_wilcoxon" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events").select(
+        expr("event_id div 2").as("item"),
+        when(col("event_id") % 2 === 0, "A").otherwise("B").as("system"),
+        pmod(floor(col("value") * 3), lit(5L)).as("score"))
+      graft.operators.RankTests.wilcoxonSignedRank(e, "item", "system",
+        "score", "A", "B")
+        .select(col("n_pairs"), col("n_zero"), col("w_pos"),
+          round(col("z"), 8).as("z"))
+    },
     // Friedman's test (RankTests.friedman): three systems' graded
     // scores on shared items, heavy within-item ties (7-value domain).
     "q_friedman" -> { (s, dir) =>
@@ -7854,6 +7867,32 @@ object SparkEntry {
         |      / CAST(CAST(k AS HUGEINT) * n - u2 AS DOUBLE) END, 8) AS q_stat,
         |  k - 1 AS df
         |FROM v""".stripMargin,
+    // |d|-ranked 2× integers over the per-difference table; zeros
+    // dropped, tie-corrected variance
+    "q_wilcoxon" ->
+      """WITH e AS (SELECT event_id // 2 AS item,
+        |    CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS system,
+        |    CAST(FLOOR(value * 3) AS BIGINT) % 5 AS score FROM events),
+        |j AS (SELECT a.score - b.score AS d
+        |  FROM (SELECT * FROM e WHERE system = 'A') a
+        |  JOIN (SELECT * FROM e WHERE system = 'B') b USING (item)),
+        |zz AS (SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM j),
+        |pv AS (SELECT abs(d) AS v, count(*) AS t,
+        |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos
+        |  FROM j WHERE d <> 0 GROUP BY 1),
+        |r AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM pv),
+        |a AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(cpos*(2*cum+t+1)) AS BIGINT) AS w2,
+        |    CAST(SUM(t*t*t - t) AS BIGINT) AS ties FROM r),
+        |v2 AS (SELECT n_pairs, n_zero,
+        |    COALESCE(CAST(w2 AS DOUBLE)/2, 0.0) AS w_pos,
+        |    CAST(n_pairs AS DOUBLE) AS n,
+        |    CAST(COALESCE(ties, 0) AS DOUBLE) AS tiesd FROM a, zz)
+        |SELECT n_pairs, n_zero, w_pos,
+        |  round(CASE WHEN n*(n+1)*(2*n+1)/24 - tiesd/48 > 0 THEN
+        |    (w_pos - n*(n+1)/4)/sqrt(n*(n+1)*(2*n+1)/24 - tiesd/48) END, 8) AS z
+        |FROM v2""".stripMargin,
     // within-item average ranks as 2× integers; the tie-corrected
     // statistic is a ratio of two exact HUGEINT quantities
     "q_friedman" ->

@@ -445,6 +445,61 @@ object RankTests {
         (col("k") - 1).as("df"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED two-system
+    * continuous-metric test ([[mannWhitney]] is the unpaired form;
+    * [[mcnemar]] the paired binary): per item both systems scored, the
+    * differences d = a − b rank by |d| (zeros dropped — the classic
+    * treatment; average ranks for |d| ties), W⁺ = rank sum of the
+    * positive differences, z from the tie-corrected normal
+    * approximation z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * Same value-cardinality shape as [[mannWhitney]] — one item-keyed
+    * join, ONE aggregate to the per-|d| table, the 2×rank integer
+    * trick, the same `dense`/`maxDistinct` arms for continuous |d|.
+    * One row: (n_pairs, n_zero, w_pos, z); z null when every pair ties
+    * (n = 0 or zero variance). */
+  def wilcoxonSignedRank(df: DataFrame, itemCol: String, systemCol: String,
+                         scoreCol: String, sysA: String, sysB: String,
+                         dense: Boolean = false,
+                         maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+    val a = df.filter(col(systemCol) === sysA)
+      .select(col(itemCol).as("__i"), col(scoreCol).as("__va"))
+    val b = df.filter(col(systemCol) === sysB)
+      .select(col(itemCol).as("__i"), col(scoreCol).as("__vb"))
+    val d = a.join(b, "__i").select((col("__va") - col("__vb")).as("__d"))
+    val zeros = d.agg(sum((col("__d") === 0).cast("long")).as("n_zero"))
+    val perValue = d.filter(col("__d") =!= 0)
+      .groupBy(abs(col("__d")).as("v"))
+      .agg(count(lit(1)).as("t"),
+        sum((col("__d") > 0).cast("long")).as("cpos"))
+    val ranked = if (dense) {
+      Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
+          sums = Seq((col("t"), "__ti")))
+        .withColumn("cum", col("__ti") - col("t"))
+        .drop("__vr", "__ti", "__ti_tot")
+    } else {
+      val wPrev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      perValue.withColumn("cum",
+        coalesce(sum(col("t")).over(wPrev), lit(0L)) +
+          cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+            "RankTests.wilcoxonSignedRank"))
+    }
+    val r2 = lit(2) * col("cum") + col("t") + lit(1)
+    val agg = ranked.agg(
+      coalesce(sum(col("t")), lit(0L)).as("n_pairs"),
+      sum(col("cpos") * r2).as("__w2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("__ties"))
+    agg.crossJoin(zeros)
+      .withColumn("w_pos", coalesce(col("__w2").cast("double") / 2, lit(0.0)))
+      .withColumn("__n", col("n_pairs").cast("double"))
+      .withColumn("__var",
+        col("__n") * (col("__n") + 1) * (lit(2) * col("__n") + 1) / 24 -
+          coalesce(col("__ties"), lit(0L)).cast("double") / 48)
+      .withColumn("z", when(col("__var") > 0,
+        (col("w_pos") - col("__n") * (col("__n") + 1) / 4) / sqrt(col("__var"))))
+      .select(col("n_pairs"), col("n_zero"), col("w_pos"), col("z"))
+  }
+
   /** Friedman's test (Friedman 1937; tie-corrected form, Conover 1999)
     * — [[cochranQ]]'s graded-score sibling: k systems score the SAME
     * items on a continuous/ordinal metric; are the systems' rank

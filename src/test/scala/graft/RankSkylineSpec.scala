@@ -425,6 +425,42 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("q_stat")))
   }
 
+  test("wilcoxonSignedRank: textbook z, |d| ties averaged, zeros dropped, dense parity") {
+    // diffs (+1,+2,+3,−4): W+ = 6, n = 4, var = 7.5 → z = 1/√7.5
+    def mk(diffs: Seq[Double]) = diffs.zipWithIndex.flatMap { case (d, i) =>
+      Seq((i.toLong, "A", 10.0 + d), (i.toLong, "B", 10.0))
+    }.toDF("item", "system", "score")
+    val r = RankTests.wilcoxonSignedRank(mk(Seq(1, 2, 3, -4)),
+      "item", "system", "score", "A", "B").head
+    assert(r.getAs[Long]("n_pairs") == 4 && r.getAs[Long]("n_zero") == 0)
+    assert(r.getAs[Double]("w_pos") == 6.0)
+    assert(math.abs(r.getAs[Double]("z") - 1.0 / math.sqrt(7.5)) < 1e-12)
+    // ties on |d|: diffs (+1,−1,+2): ranks (1.5,1.5,3), W+ = 4.5,
+    // var = 3.5 − 6/48 = 3.375; a zero diff is dropped but counted
+    val rt = RankTests.wilcoxonSignedRank(mk(Seq(1, -1, 2, 0)),
+      "item", "system", "score", "A", "B").head
+    assert(rt.getAs[Long]("n_pairs") == 3 && rt.getAs[Long]("n_zero") == 1)
+    assert(rt.getAs[Double]("w_pos") == 4.5)
+    assert(math.abs(rt.getAs[Double]("z") - 1.5 / math.sqrt(3.375)) < 1e-12)
+    // all-zero diffs → n 0, null z
+    val rz = RankTests.wilcoxonSignedRank(mk(Seq(0, 0)),
+      "item", "system", "score", "A", "B").head
+    assert(rz.getAs[Long]("n_pairs") == 0 && rz.isNullAt(rz.fieldIndex("z")))
+    // dense arm bit-parity on a continuous-diff fixture
+    val cont = (0 until 300).map { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        ((i * 2654435761L) % 9973).toDouble / 11.0)
+    }.toDF("__row", "ignore", "x")
+      .select((col("__row") / 2).cast("long").as("item"),
+        when(col("__row") % 2 === 0, "A").otherwise("B").as("system"),
+        col("x").as("score"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    assert(rows(RankTests.wilcoxonSignedRank(cont, "item", "system", "score",
+        "A", "B", dense = true)) ==
+      rows(RankTests.wilcoxonSignedRank(cont, "item", "system", "score", "A", "B")))
+    graft.util.Caching.release()
+  }
+
   test("friedman: textbook chi2=6.5, tie handling, fully-tied null, ragged exclusion") {
     // ranks per item: (1,2,3),(1,2,3),(1,3,2),(1,2,3) → χ² = 6.5
     val rows = Seq(
