@@ -2588,6 +2588,21 @@ object SparkEntry {
         .select(col("n_items"), round(col("po"), 8).as("po"),
           round(col("pe"), 8).as("pe"), round(col("kappa"), 8).as("kappa"))
     },
+    // Weighted (quadratic) kappa (RankTests.weightedKappa): the same
+    // two synthetic raters on an ORDINAL 0-4 scale; κ_w from exact
+    // integer Σw·o and Σw·e (the weight normalization cancels).
+    "q_kappa_weighted" -> { (s, dir) =>
+      val e = Sources.table(s, dir, "events")
+      val la = pmod(floor(col("value")).cast(LongType), lit(5L)).cast(IntegerType)
+      val lb = pmod(floor(col("value")).cast(LongType) + col("user_id") % 3, lit(5L))
+        .cast(IntegerType)
+      val ratings = e.select(col("event_id").as("item"), lit("a").as("rater"), la.as("label"))
+        .unionByName(
+          e.select(col("event_id").as("item"), lit("b").as("rater"), lb.as("label")))
+      graft.operators.RankTests.weightedKappa(ratings, "item", "rater", "label",
+        "a", "b")
+        .select(col("n_items"), round(col("kappa_w"), 8).as("kappa_w"))
+    },
     // Fleiss' kappa (RankTests.fleissKappa): 20 ratings per item
     // (item = event_id div 20 — exact panels at every dense-id sf),
     // 4 labels from (value, event_id) arithmetic.
@@ -6946,6 +6961,26 @@ object SparkEntry {
         |  round(pe, 8) AS pe,
         |  round((po - pe) / (1.0 - pe), 8) AS kappa
         |FROM vals""".stripMargin,
+    // κ_w = 1 − n·Σ(i−j)²o / Σ(i−j)²·ra·cb — all-integer numerators
+    "q_kappa_weighted" ->
+      """WITH r AS (SELECT event_id AS item,
+        |    CAST(FLOOR(value) AS BIGINT) % 5 AS la,
+        |    (CAST(FLOOR(value) AS BIGINT) + user_id % 3) % 5 AS lb
+        |  FROM events),
+        |cells AS (SELECT la, lb, count(*) AS c FROM r GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CAST(abs(la - lb) AS HUGEINT) * abs(la - lb) * c), 0)
+        |      AS HUGEINT) AS wo FROM cells),
+        |ma AS (SELECT la, SUM(c) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT lb, SUM(c) AS cb FROM cells GROUP BY 1),
+        |we AS (SELECT CAST(COALESCE(SUM(CAST(abs(la - lb) AS HUGEINT)
+        |      * abs(la - lb) * ca * cb), 0) AS HUGEINT) AS we
+        |  FROM ma, mb)
+        |SELECT n AS n_items,
+        |  round(CASE WHEN we > 0 THEN
+        |    1.0 - CAST(CAST(n AS HUGEINT) * wo AS DOUBLE) / CAST(we AS DOUBLE)
+        |  END, 8) AS kappa_w
+        |FROM n, we""".stripMargin,
     // constant-n panels only (HAVING = 20), the classic estimator
     "q_kappa_fleiss" ->
       """WITH r AS (SELECT event_id // 20 AS item,

@@ -596,6 +596,49 @@ object RankTests {
         when(col("pe") =!= 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
+  /** Weighted Cohen's kappa (Cohen 1968) for ORDINAL labels — the
+    * annotation-QA coefficient when disagreeing by one grade is better
+    * than by four (1–5 quality scores, harm severities). With
+    * disagreement weights w_ij = (i−j)² (quadratic, the standard) or
+    * |i−j| (linear), the weight normalization CANCELS in
+    * κ_w = 1 − Σw·o / Σw·e, and e_ij = ra_i·cb_j/n, so
+    * κ_w = 1 − n·Σ w_ij·o_ij / Σ w_ij·ra_i·cb_j — every term an exact
+    * integer (DECIMAL(38,0) — the [[cohenKappa]] overflow discipline).
+    *
+    * Shape: one item-keyed join + one ≤|labels|² cell aggregate; the
+    * e-side double sum runs over the ≤|labels|² marginal cross join.
+    * One row: (n_items, kappa_w); null when the raters' marginals are
+    * both concentrated on one label (Σw·e = 0 — no chance
+    * disagreement to correct against). Labels must be numeric. */
+  def weightedKappa(df: DataFrame, itemCol: String, raterCol: String,
+                    labelCol: String, raterA: String, raterB: String,
+                    quadratic: Boolean = true): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val a = df.filter(col(raterCol) === raterA)
+      .select(col(itemCol).as("__i"), col(labelCol).cast("long").as("__la"))
+    val b = df.filter(col(raterCol) === raterB)
+      .select(col(itemCol).as("__i"), col(labelCol).cast("long").as("__lb"))
+    val cells = a.join(b, "__i")
+      .groupBy(col("__la"), col("__lb")).agg(count(lit(1)).as("c"))
+    def w(i: Column, j: Column): Column = {
+      val diff = abs(i - j)
+      if (quadratic) d38(diff) * diff else d38(diff)
+    }
+    val obs = cells.agg(sum(col("c")).as("n"),
+      coalesce(sum(w(col("__la"), col("__lb")) * col("c")), lit(0))
+        .cast("decimal(38,0)").as("__wo"))
+    val ma = cells.groupBy(col("__la")).agg(sum(col("c")).as("ca"))
+    val mb = cells.groupBy(col("__lb")).agg(sum(col("c")).as("cb"))
+    val exp = ma.crossJoin(mb)
+      .agg(coalesce(sum(w(col("__la"), col("__lb")) * col("ca") * col("cb")),
+        lit(0)).cast("decimal(38,0)").as("__we"))
+    obs.crossJoin(exp)
+      .select(col("n").as("n_items"),
+        when(col("__we") > 0, lit(1.0) -
+          (d38(col("n")) * col("__wo")).cast("double") /
+            col("__we").cast("double")).as("kappa_w"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) for N items each rated by exactly `n`
     * raters into categorical labels: per-item agreement
     * P_i = (Σ_j n_ij² − n)/(n(n−1)), κ = (P̄ − p_e)/(1 − p_e) with

@@ -425,6 +425,32 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("q_stat")))
   }
 
+  test("weightedKappa: hand-computed quadratic 9/13 and linear 1/2, perfect = 1") {
+    // pairs (la, lb): (0,0), (1,2), (2,2), (0,1)
+    val pairs = Seq((1L, 0, 0), (2L, 1, 2), (3L, 2, 2), (4L, 0, 1))
+    val ratings = pairs.flatMap { case (i, la, lb) =>
+      Seq((i, "a", la), (i, "b", lb))
+    }.toDF("item", "rater", "label")
+    val rq = RankTests.weightedKappa(ratings, "item", "rater", "label", "a", "b").head
+    assert(rq.getAs[Long]("n_items") == 4)
+    // wo = 2, we = 26 → κ_w = 1 − 8/26 = 9/13
+    assert(math.abs(rq.getAs[Double]("kappa_w") - 9.0 / 13.0) < 1e-12)
+    val rl = RankTests.weightedKappa(ratings, "item", "rater", "label", "a", "b",
+      quadratic = false).head
+    // linear: wo = 2, we = 16 → 1 − 8/16
+    assert(math.abs(rl.getAs[Double]("kappa_w") - 0.5) < 1e-12)
+    // perfect agreement → exactly 1
+    val perfect = Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 3), (2L, "b", 3))
+      .toDF("item", "rater", "label")
+    assert(RankTests.weightedKappa(perfect, "item", "rater", "label", "a", "b")
+      .head.getAs[Double]("kappa_w") == 1.0)
+    // both raters constant on one label → Σw·e = 0 → null
+    val const = Seq((1L, "a", 2), (1L, "b", 2), (2L, "a", 2), (2L, "b", 2))
+      .toDF("item", "rater", "label")
+    val rc = RankTests.weightedKappa(const, "item", "rater", "label", "a", "b").head
+    assert(rc.isNullAt(rc.fieldIndex("kappa_w")))
+  }
+
   test("wilcoxonSignedRank: textbook z, |d| ties averaged, zeros dropped, dense parity") {
     // diffs (+1,+2,+3,−4): W+ = 6, n = 4, var = 7.5 → z = 1/√7.5
     def mk(diffs: Seq[Double]) = diffs.zipWithIndex.flatMap { case (d, i) =>
