@@ -188,7 +188,9 @@ object Chat {
     * unordered pair (a < b): battles (ties included), a's DECISIVE
     * wins, ties, the split-tie rate (wins_a + ties/2)/n, and its
     * Wilson interval (conservative — the split-tie estimator's
-    * variance is at most the binomial's). */
+    * variance is at most the binomial's). Model ids are compared and
+    * reported as strings (the [[bradleyTerry]] cast discipline), so
+    * any orderable id type works. */
   def winMatrixTies(battles: DataFrame, aCol: String, bCol: String,
                     winnerCol: String, z: Double = 1.96): DataFrame = {
     val aS = col(aCol).cast("string")
