@@ -32,13 +32,21 @@ object Skyline {
 
   /** 2-D skyline, both criteria minimized, duplicates of a frontier
     * point all kept (a point does not dominate its equal — no strict
-    * coordinate). Returns the input rows that are on the frontier. */
-  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    * coordinate). Returns the input rows that are on the frontier.
+    * The per-x envelope window is bounded by |distinct x| and carries
+    * [[RankTests.cardinalityGuard]]'s tripwire — a CONTINUOUS x would
+    * single-partition-sort the corpus; bucket it first (r15, the
+    * rank-family guard discipline). */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                maxDistinct: Long = RankTests.MaxBoundedDistinct): DataFrame = {
     val perX = df.groupBy(col(xCol).as("__x")).agg(min(col(yCol)).as("__miny"))
     val wPrev = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
-    // keep x-block iff its min-y strictly undercuts every smaller x
+    // keep x-block iff its min-y strictly undercuts every smaller x;
+    // null __prevmin (first row) survives the +0L guard term
     val frontier = perX
-      .withColumn("__prevmin", min(col("__miny")).over(wPrev))
+      .withColumn("__prevmin", min(col("__miny")).over(wPrev) +
+        RankTests.cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+          "Skyline.skyline2d"))
       .filter(col("__prevmin").isNull || col("__miny") < col("__prevmin"))
       .select(col("__x"), col("__miny"))
     df.join(broadcast(frontier),

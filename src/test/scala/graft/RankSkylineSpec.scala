@@ -712,5 +712,7 @@ class RankSkylineSpec extends AnyFunSuite {
     fires(graft.operators.Survival.kaplanMeier(
       df.select(col("v").cast("long").as("dur"), (col("y") === 1).as("obs")),
       "dur", "obs", maxDistinct = 10))
+    fires(Skyline.skyline2d(df.select(col("v").as("x"), col("v").as("yy")),
+      "x", "yy", maxDistinct = 10))
   }
 }

@@ -190,6 +190,21 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("orderStatistics: one giant tie block selects by the tie-break alone") {
+    // every value identical — brackets can only discriminate on the
+    // tie column, the worst case for value-based bracketing
+    val n = 4000
+    val df = (1 to n).map(i => (1.0, ((i * 48271L) % 100003))).toDF("v", "ord")
+    val ranks = Seq(1L, n / 2L, n.toLong)
+    val got = Selection.orderStatistics(df, "ord",
+      Seq(Selection.Dim("v", desc = false, ranks)), n,
+      sampleTarget = 250, roundSample = 256, collectCap = 64)
+    val sorted = (1 to n).map(i => ((i * 48271L) % 100003)).sorted
+    ranks.foreach { r =>
+      assert(got(0)(r) == Selection.Boundary(1.0, sorted(r.toInt - 1)), s"rank $r")
+    }
+  }
+
   test("orderStatistics: string tie column and fast path agree with sort") {
     val n = 900
     val rows = (1 to n).map(i => ((i % 11).toLong, f"u${(i * 7919) % n}%05d"))
