@@ -3237,6 +3237,18 @@ object SparkEntry {
         .select(col("n_items"), col("k"), round(col("q_stat"), 8).as("q_stat"),
           col("df"))
     },
+    // mSPRT always-valid p (Behavior.msprt): returned vs refused
+    // lineitem prices, mixture scale 100 — the peeking-safe sequential
+    // companion to q_welch_t, from the same exact power sums.
+    "q_msprt" -> { (s, dir) =>
+      graft.operators.Behavior.msprt(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "A", "R", tau = 100.0)
+        .select(col("n_a"), col("n_b"), round(col("mean_a"), 8).as("mean_a"),
+          round(col("mean_b"), 8).as("mean_b"), round(col("theta"), 8).as("theta"),
+          round(col("lambda"), 8).as("lambda"),
+          round(col("p_always_valid"), 8).as("p_always_valid"))
+    },
     // Wilcoxon signed-rank (RankTests.wilcoxonSignedRank): paired A/B
     // scores on shared items, 5-value domain → zero-diffs dropped,
     // heavy |d| ties exercise the average-rank integers.
@@ -7902,6 +7914,31 @@ object SparkEntry {
         |      / CAST(CAST(k AS HUGEINT) * n - u2 AS DOUBLE) END, 8) AS q_stat,
         |  k - 1 AS df
         |FROM v""".stripMargin,
+    // the welch power-sum shape into the normal-mixture Λ closed form
+    "q_msprt" ->
+      """WITH sd AS (SELECT l_returnflag AS g, count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |      CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        |  FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY 1),
+        |j AS (SELECT a.n AS n_a, b.n AS n_b, a.s1 AS s1a, a.s2 AS s2a,
+        |    b.s1 AS s1b, b.s2 AS s2b
+        |  FROM (SELECT * FROM sd WHERE g='A') a, (SELECT * FROM sd WHERE g='R') b),
+        |m AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |    s1a/CAST(n_a AS DOUBLE) AS mean_a, s1b/CAST(n_b AS DOUBLE) AS mean_b,
+        |    s1a/CAST(n_a AS DOUBLE) - s1b/CAST(n_b AS DOUBLE) AS theta,
+        |    ((s2a - s1a*s1a/CAST(n_a AS DOUBLE)) + (s2b - s1b*s1b/CAST(n_b AS DOUBLE)))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)
+        |      * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)) AS v
+        |  FROM j),
+        |l AS (SELECT *, CASE WHEN n_a > 1 AND n_b > 1 AND v > 0 THEN
+        |    sqrt(v/(v + 10000.0)) * exp(theta*theta*10000.0/(2.0*v*(v + 10000.0)))
+        |  END AS lambda FROM m)
+        |SELECT n_a, n_b, round(mean_a, 8) AS mean_a, round(mean_b, 8) AS mean_b,
+        |  round(theta, 8) AS theta, round(lambda, 8) AS lambda,
+        |  round(CASE WHEN lambda IS NOT NULL THEN least(1.0, 1.0/lambda) END, 8)
+        |    AS p_always_valid
+        |FROM l""".stripMargin,
     // |d|-ranked 2× integers over the per-difference table; zeros
     // dropped, tie-corrected variance
     "q_wilcoxon" ->

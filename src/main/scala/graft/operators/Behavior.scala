@@ -99,6 +99,49 @@ object Behavior {
     stats.crossJoin(wide)
   }
 
+  /** Mixture sequential probability ratio test (mSPRT; Johari, Koomen,
+    * Pekelis & Walsh, KDD 2017 — the "always-valid p-value" behind
+    * peeking-safe experiment dashboards): for the two-sample mean
+    * difference θ̂ = x̄_a − x̄_b with estimated variance
+    * σ²_θ = s²_pool·(1/n_a + 1/n_b), the normal-mixture likelihood
+    * ratio is Λ = √(σ²_θ/(σ²_θ+τ²)) · exp(θ̂²τ²/(2σ²_θ(σ²_θ+τ²)));
+    * p_always_valid = min(1, 1/Λ) may be read at ANY interim look
+    * without inflating the false-positive rate. `tau` is the mixture
+    * scale (≈ the effect size the test is powered for).
+    *
+    * Shape: [[RankTests.welchT]]'s one-aggregate-per-arm DECIMAL power
+    * sums; Λ is a fixed IEEE chain over exact operands, replayable.
+    * One row: (n_a, n_b, mean_a, mean_b, theta, lambda, p_always_valid);
+    * nulls when either arm is empty or the pooled variance is 0. */
+  def msprt(df: DataFrame, groupCol: String, valueCol: String,
+            a: String, b: String, tau: Double): DataFrame = {
+    require(tau > 0, s"tau $tau must be > 0")
+    val x = col(valueCol).cast("decimal(18,4)")
+    def side(tag: String, out: String) = df.filter(col(groupCol) === tag)
+      .agg(count(lit(1)).as(s"n_$out"),
+        sum(x).cast("double").as(s"s1_$out"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as(s"s2_$out"))
+    val j = side(a, "a").crossJoin(side(b, "b"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"s1_$s") / nD(s)
+    // pooled variance: (SSa + SSb)/(n_a + n_b − 2), SS = S2 − S1²/n
+    def ss(s: String) = col(s"s2_$s") - col(s"s1_$s") * col(s"s1_$s") / nD(s)
+    val s2p = (ss("a") + ss("b")) / (nD("a") + nD("b") - 2)
+    val varTheta = s2p * (lit(1.0) / nD("a") + lit(1.0) / nD("b"))
+    val t2 = lit(tau * tau)
+    val theta = mean("a") - mean("b")
+    j.select(col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        theta.as("theta"), varTheta.as("__v"))
+      .withColumn("lambda", when(col("n_a") > 1 && col("n_b") > 1 && col("__v") > 0,
+        sqrt(col("__v") / (col("__v") + t2)) *
+          exp(col("theta") * col("theta") * t2 /
+            (lit(2.0) * col("__v") * (col("__v") + t2)))))
+      .withColumn("p_always_valid",
+        when(col("lambda").isNotNull, least(lit(1.0), lit(1.0) / col("lambda"))))
+      .drop("__v")
+  }
+
   /** Cohort retention: users grouped by first-seen day; one row per
     * (cohort_day, day_offset) with the distinct users active that day.
     * Offsets are whole days from the cohort day (offset 0 = cohort day). */

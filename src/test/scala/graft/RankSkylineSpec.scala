@@ -425,6 +425,26 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("q_stat")))
   }
 
+  test("msprt: closed-form lambda, null-effect p=1, degenerate-variance null") {
+    import graft.operators.Behavior
+    // A=(0,2), B=(10,12): s2p=2, v=2, theta=-10, tau=1 →
+    // Λ = √(2/3)·exp(100/12), p = 1/Λ
+    val df = Seq(("A", 0.0), ("A", 2.0), ("B", 10.0), ("B", 12.0)).toDF("g", "x")
+    val r = Behavior.msprt(df, "g", "x", "A", "B", tau = 1.0).head
+    val v = 2.0
+    val lam = math.sqrt(v / (v + 1)) * math.exp(100.0 * 1 / (2 * v * (v + 1)))
+    assert(math.abs(r.getAs[Double]("lambda") - lam) < 1e-9 * lam)
+    assert(math.abs(r.getAs[Double]("p_always_valid") - 1 / lam) < 1e-12)
+    // zero effect: theta = 0 → Λ = √(v/(v+τ²)) < 1 → p clamps to 1
+    val same = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0)).toDF("g", "x")
+    assert(Behavior.msprt(same, "g", "x", "A", "B", tau = 1.0)
+      .head.getAs[Double]("p_always_valid") == 1.0)
+    // constant arms → zero pooled variance → null, not a divide-by-zero
+    val const = Seq(("A", 5.0), ("A", 5.0), ("B", 7.0), ("B", 7.0)).toDF("g", "x")
+    val rc = Behavior.msprt(const, "g", "x", "A", "B", tau = 1.0).head
+    assert(rc.isNullAt(rc.fieldIndex("lambda")))
+  }
+
   test("weightedKappa: hand-computed quadratic 9/13 and linear 1/2, perfect = 1") {
     // pairs (la, lb): (0,0), (1,2), (2,2), (0,1)
     val pairs = Seq((1L, 0, 0), (2L, 1, 2), (3L, 2, 2), (4L, 0, 1))
