@@ -209,4 +209,55 @@ class LawsSpec extends AnyFunSuite {
     // attach is the keyed identity
     assert(Dynamic.attach(trigger).df.collect().length == 4)
   }
+
+  test("law: dense rank-test arms == bounded arms on seeded random shapes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RankTests
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    (1 to 5).foreach { trial =>
+      // mixed shapes per trial: varying size, tie rate, group balance
+      val n = 200 + r.nextInt(800)
+      val tieDomain = 1 + r.nextInt(if (trial % 2 == 0) 10 else 5000)
+      val df = (0 until n).map { i =>
+        val g = if (r.nextInt(100) < 20 + r.nextInt(60)) "A" else "B"
+        val v = r.nextInt(tieDomain).toDouble + (if (trial % 3 == 0) 0.5 else 0.0)
+        (g, v, if (g == "A") 1 else 0, i.toLong)
+      }.toDF("g", "v", "y", "ord")
+      assert(rows(RankTests.mannWhitney(df, "g", "v", "A", "B", dense = true)) ==
+        rows(RankTests.mannWhitney(df, "g", "v", "A", "B")), s"mw trial $trial")
+      assert(rows(RankTests.ksTest(df, "g", "v", "A", "B", dense = true)) ==
+        rows(RankTests.ksTest(df, "g", "v", "A", "B")), s"ks trial $trial")
+      assert(rows(RankTests.auc(df, "y", "v", dense = true)) ==
+        rows(RankTests.auc(df, "y", "v")), s"auc trial $trial")
+      assert(rows(RankTests.spearman(df, "v", "y", dense = true)) ==
+        rows(RankTests.spearman(df, "v", "y")), s"sp trial $trial")
+      graft.util.Caching.release()
+    }
+  }
+
+  test("law: orderStatistics == brute-force sort on seeded random shapes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Selection
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    (1 to 4).foreach { trial =>
+      val n = 500 + r.nextInt(3000)
+      val tieDomain = 1 + r.nextInt(if (trial % 2 == 0) 7 else 100000)
+      val data = (0 until n).map(i => (r.nextInt(tieDomain).toDouble, i.toLong))
+      val df = data.toDF("v", "ord")
+      val ranks = Seq(1L, 1L + r.nextInt(n).toLong, n.toLong).distinct
+      val got = Selection.orderStatistics(df, "ord",
+        Seq(Selection.Dim("v", desc = trial % 2 == 0, ranks)), n,
+        sampleTarget = 200, roundSample = 256, collectCap = 64)
+      val sorted =
+        if (trial % 2 == 0) data.sortBy { case (v, o) => (-v, o) }
+        else data.sorted
+      ranks.foreach { rk =>
+        val want = Selection.Boundary(sorted(rk.toInt - 1)._1, sorted(rk.toInt - 1)._2)
+        assert(got(0)(rk) == want, s"trial $trial rank $rk")
+      }
+    }
+  }
 }
