@@ -109,19 +109,27 @@ object Behavior {
     * without inflating the false-positive rate. `tau` is the mixture
     * scale (≈ the effect size the test is powered for).
     *
-    * Shape: [[RankTests.welchT]]'s one-aggregate-per-arm DECIMAL power
-    * sums; Λ is a fixed IEEE chain over exact operands, replayable.
-    * One row: (n_a, n_b, mean_a, mean_b, theta, lambda, p_always_valid);
-    * nulls when either arm is empty or the pooled variance is 0. */
+    * Shape: ONE aggregate of conditional DECIMAL power sums (not the
+    * per-arm join [[RankTests.welchT]] uses) — deliberately, because a
+    * single grouped aggregate is STREAMING-COMPATIBLE: the always-
+    * valid p exists precisely to be read continuously, and the same
+    * plan runs complete-mode over a live stream (parity spec), each
+    * micro-batch emitting the current interim verdict. Λ is a fixed
+    * IEEE chain over exact operands, replayable. One row:
+    * (n_a, n_b, mean_a, mean_b, theta, lambda, p_always_valid);
+    * nulls when either arm has < 2 rows or the pooled variance is 0. */
   def msprt(df: DataFrame, groupCol: String, valueCol: String,
             a: String, b: String, tau: Double): DataFrame = {
     require(tau > 0, s"tau $tau must be > 0")
     val x = col(valueCol).cast("decimal(18,4)")
-    def side(tag: String, out: String) = df.filter(col(groupCol) === tag)
-      .agg(count(lit(1)).as(s"n_$out"),
-        sum(x).cast("double").as(s"s1_$out"),
-        sum((x * x).cast("decimal(38,8)")).cast("double").as(s"s2_$out"))
-    val j = side(a, "a").crossJoin(side(b, "b"))
+    val isA = col(groupCol) === a
+    val j = df.filter(isA || col(groupCol) === b).agg(
+      sum(isA.cast("long")).as("n_a"),
+      sum(when(isA, x)).cast("double").as("s1_a"),
+      sum(when(isA, (x * x).cast("decimal(38,8)"))).cast("double").as("s2_a"),
+      sum((!isA).cast("long")).as("n_b"),
+      sum(when(!isA, x)).cast("double").as("s1_b"),
+      sum(when(!isA, (x * x).cast("decimal(38,8)"))).cast("double").as("s2_b"))
     def nD(s: String) = col(s"n_$s").cast("double")
     def mean(s: String) = col(s"s1_$s") / nD(s)
     // pooled variance: (SSa + SSb)/(n_a + n_b − 2), SS = S2 − S1²/n

@@ -445,6 +445,37 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("lambda")))
   }
 
+  test("msprt live monitor: complete-mode stream == batch at every interim look") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import graft.operators.Behavior
+    implicit val enc = Encoders.product[(String, Double)]
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val obs = (1 to 240).map { i =>
+      val g = if (i % 2 == 0) "A" else "B"
+      (g, rnd.nextGaussian() + (if (g == "A") 0.8 else 0.0))
+    }
+    val mem = MemoryStream[(String, Double)]
+    val q = Behavior.msprt(mem.toDF().toDF("g", "x"), "g", "x", "A", "B", tau = 0.5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("msprt_live").start()
+    try {
+      var fed = Seq.empty[(String, Double)]
+      obs.grouped(80).foreach { g =>
+        fed = fed ++ g
+        mem.addData(g: _*); q.processAllAvailable()
+        // the interim verdict equals the batch computation on the data so far
+        val live = spark.table("msprt_live").head
+        val batch = Behavior.msprt(fed.toDF("g", "x"), "g", "x", "A", "B", 0.5).head
+        assert(live.getAs[Double]("p_always_valid") ==
+          batch.getAs[Double]("p_always_valid"), s"at n=${fed.size}")
+      }
+      // with a real 0.8σ effect at n=240 the monitor should have fired
+      assert(spark.table("msprt_live").head.getAs[Double]("p_always_valid") < 0.05)
+    } finally q.stop()
+  }
+
   test("weightedKappa: hand-computed quadratic 9/13 and linear 1/2, perfect = 1") {
     // pairs (la, lb): (0,0), (1,2), (2,2), (0,1)
     val pairs = Seq((1L, 0, 0), (2L, 1, 2), (3L, 2, 2), (4L, 0, 1))
