@@ -3237,6 +3237,24 @@ object SparkEntry {
         .select(col("n_items"), col("k"), round(col("q_stat"), 8).as("q_stat"),
           col("df"))
     },
+    // Exact distributed order statistics (Selection.orderStatistics):
+    // five quantile boundaries of lineitem price under a FORCED
+    // multi-round sampled path (sampleTarget 2000 « 60k rows) — the
+    // selection engine itself under the oracle gate, not just specs.
+    "q_order_stats" -> { (s, dir) =>
+      import s.implicits._
+      val proj = graft.util.Caching.barrier(Sources.table(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("tie")))
+      val n = proj.count()
+      val ranks = Seq(1L, n / 4, n / 2, 3 * n / 4, n).distinct.filter(_ >= 1)
+      val b = graft.operators.Selection.orderStatistics(proj, "tie",
+        Seq(graft.operators.Selection.Dim("v", desc = false, ranks)), n,
+        sampleTarget = 2000, roundSample = 512, collectCap = 256).head
+      ranks.map(r => (r, b(r).value.asInstanceOf[Double],
+          b(r).tie.asInstanceOf[Long]))
+        .toDF("rank", "v", "tie")
+    },
     // mSPRT always-valid p (Behavior.msprt): returned vs refused
     // lineitem prices, mixture scale 100 — the peeking-safe sequential
     // companion to q_welch_t, from the same exact power sums.
@@ -7914,6 +7932,17 @@ object SparkEntry {
         |      / CAST(CAST(k AS HUGEINT) * n - u2 AS DOUBLE) END, 8) AS q_stat,
         |  k - 1 AS df
         |FROM v""".stripMargin,
+    // the sampled selector must land on the SAME tuples the full sort
+    // does — row_number selection is the ground truth
+    "q_order_stats" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    l_orderkey*10 + l_linenumber AS tie,
+        |    row_number() OVER (ORDER BY l_extendedprice,
+        |      l_orderkey*10 + l_linenumber) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT rn AS rank, v, tie FROM r
+        |WHERE rn IN (1, n//4, n//2, 3*n//4, n)""".stripMargin,
     // the welch power-sum shape into the normal-mixture Λ closed form
     "q_msprt" ->
       """WITH sd AS (SELECT l_returnflag AS g, count(*) AS n,
