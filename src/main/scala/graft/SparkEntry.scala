@@ -7977,7 +7977,8 @@ object SparkEntry {
         |j AS (SELECT a.score - b.score AS d
         |  FROM (SELECT * FROM e WHERE system = 'A') a
         |  JOIN (SELECT * FROM e WHERE system = 'B') b USING (item)),
-        |zz AS (SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM j),
+        |zz AS (SELECT CAST(COALESCE(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero
+        |  FROM j WHERE d IS NOT NULL),
         |pv AS (SELECT abs(d) AS v, count(*) AS t,
         |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos
         |  FROM j WHERE d <> 0 GROUP BY 1),

@@ -123,7 +123,11 @@ object Behavior {
     require(tau > 0, s"tau $tau must be > 0")
     val x = col(valueCol).cast("decimal(18,4)")
     val isA = col(groupCol) === a
-    val j = df.filter(isA || col(groupCol) === b).agg(
+    // null metric values are excluded from BOTH the counts and the
+    // power sums (counting them only in n would silently bias every
+    // mean/variance); |x| ≥ 1e14 overflows the DECIMAL(18,4) cast and
+    // fails loudly under ANSI mode rather than nulling
+    val j = df.filter((isA || col(groupCol) === b) && col(valueCol).isNotNull).agg(
       sum(isA.cast("long")).as("n_a"),
       sum(when(isA, x)).cast("double").as("s1_a"),
       sum(when(isA, (x * x).cast("decimal(38,8)"))).cast("double").as("s2_a"),

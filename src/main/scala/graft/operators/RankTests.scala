@@ -466,8 +466,14 @@ object RankTests {
       .select(col(itemCol).as("__i"), col(scoreCol).as("__va"))
     val b = df.filter(col(systemCol) === sysB)
       .select(col(itemCol).as("__i"), col(scoreCol).as("__vb"))
+    // null-score pairs (either side's score null → null difference) are
+    // EXCLUDED explicitly — visible to the caller as n_pairs + n_zero
+    // falling short of the joined item count, never silently folded
+    // into either bucket
     val d = a.join(b, "__i").select((col("__va") - col("__vb")).as("__d"))
-    val zeros = d.agg(sum((col("__d") === 0).cast("long")).as("n_zero"))
+      .filter(col("__d").isNotNull)
+    val zeros = d.agg(
+      coalesce(sum((col("__d") === 0).cast("long")), lit(0L)).as("n_zero"))
     val perValue = d.filter(col("__d") =!= 0)
       .groupBy(abs(col("__d")).as("v"))
       .agg(count(lit(1)).as("t"),

@@ -77,8 +77,13 @@ object Selection {
     vBefore || (v === lit(b.value) && tie < lit(b.tie))
   }
 
-  private def cmpAny(a: Any, b: Any): Int =
-    a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+  private def cmpAny(a: Any, b: Any): Int = a match {
+    case c: java.lang.Comparable[_] =>
+      c.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(
+      s"Selection: value/tie type ${a.getClass.getName} is not Comparable - " +
+        "order statistics need an orderable column (numeric, string, date, timestamp)")
+  }
 
   private def ord(desc: Boolean): Ordering[(Any, Any)] = new Ordering[(Any, Any)] {
     def compare(x: (Any, Any), y: (Any, Any)): Int = {
@@ -148,10 +153,14 @@ object Selection {
         val p = math.min(r / m0, s.toLong)
         val lo = if (p - margin >= 1) Some(sorted((p - margin - 1).toInt)) else None
         val hi = if (p + margin <= s) Some(sorted((p + margin - 1).toInt)) else None
-        // bracket size estimate ≈ 2·margin·m0 → sub-sample to roundSample
+        // bracket size estimate ≈ 2·margin·m0 → sub-sample to
+        // roundSample (same outright threshold as the refinement
+        // rounds; no exact in-bracket count exists yet, so the 3σ-
+        // margined estimate is the only gate here)
         val est = 2 * margin * m0
         Target(i, r, lo.map(t => Boundary(t._1, t._2)), hi.map(t => Boundary(t._1, t._2)),
-          modulus = if (est <= collectCap) 1L else math.max(1L, est / roundSample),
+          modulus = if (est <= math.max(collectCap.toLong, roundSample.toLong)) 1L
+            else math.max(2L, est / roundSample),
           resets = 0, result = None)
       }
     }
@@ -200,10 +209,36 @@ object Selection {
             val x = got((pos + margin - 1).toInt); Boundary(x._1, x._2)
           }
           val est = math.max(1L, 2 * margin * cin / ss)
-          t.modulus = if (est <= collectCap) 1L else math.max(1L, est / roundSample)
+          // Collect-outright (modulus 1) gate. A round's driver
+          // transfer is ~roundSample tuples per target ANYWAY, so the
+          // effective outright threshold is max(collectCap,
+          // roundSample) — a collectCap below roundSample cannot bound
+          // anything the sampling rounds don't already move (and the
+          // sub-sample shrink floor, ~6·cin/√roundSample per round,
+          // makes brackets below that threshold unreachable by more
+          // sampling). Two protections beyond the estimate itself:
+          //  - est is a sample estimate and can undershoot; the EXACT
+          //    enclosing-bracket count (cin) hard-bounds the new
+          //    bracket, so a suspiciously large enclosure (> 64× the
+          //    threshold) keeps sub-sampling at the cin-exact rate
+          //    instead of trusting est;
+          //  - the sub-sample modulus never bottoms out at 1, which
+          //    would collect the ENTIRE bracket regardless of size.
+          val outright = math.max(collectCap.toLong, roundSample.toLong)
+          t.modulus =
+            if (est <= outright && cin <= 64L * outright) 1L
+            else if (est > outright) math.max(2L, est / roundSample)
+            else math.max(2L, cin / roundSample)
         } else {
-          // degenerate sub-sample (hash drew nothing): raise the rate
-          t.modulus = math.max(1L, t.modulus / 16)
+          // degenerate sub-sample (hash drew nothing): re-draw at the
+          // rate the EXACT in-bracket count prescribes (expected draw
+          // ≈ roundSample; the salt changes every round so a repeat
+          // modulus still draws fresh). Never bottom out at modulus 1
+          // while the bracket exceeds the outright threshold — the
+          // previous /16 spiral could reach 1 and collect the ENTIRE
+          // bracket (after a reset, the entire table) to the driver.
+          t.modulus = if (cin <= math.max(collectCap.toLong, roundSample.toLong)) 1L
+            else math.max(2L, cin / roundSample)
         }
       }
       round += 1

@@ -43,10 +43,16 @@ object Skyline {
     val wPrev = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
     // keep x-block iff its min-y strictly undercuts every smaller x;
     // null __prevmin (first row) survives the +0L guard term
+    // the guard rides __prevmin as the CONDITION of a `when` (its count
+    // merges into the same Window node, and a condition is evaluated
+    // for every row — a separate AND-ed column would be short-circuited
+    // away for rows the frontier predicate already rejects, and ADDING
+    // the long guard term to the min would force yCol numeric and break
+    // date/timestamp criteria)
     val frontier = perX
-      .withColumn("__prevmin", min(col("__miny")).over(wPrev) +
-        RankTests.cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
-          "Skyline.skyline2d"))
+      .withColumn("__prevmin",
+        when(RankTests.cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+          "Skyline.skyline2d") === 0L, min(col("__miny")).over(wPrev)))
       .filter(col("__prevmin").isNull || col("__miny") < col("__prevmin"))
       .select(col("__x"), col("__miny"))
     df.join(broadcast(frontier),
