@@ -75,6 +75,51 @@ object PlanAudit {
     * Counts are plan-shape properties, independent of data scale — the
     * census runs at sf0.001 because some operators execute bounded
     * fit/sizing jobs (counts, sketch bounds) while BUILDING the frame. */
+  /** Count the shuffle exchanges that would actually EXECUTE, by plan
+    * tree walk: (hash, single, range). A persist-barriered subtree's
+    * plan string is embedded TWICE per InMemoryRelation (the compiled
+    * cachedPlan plus the original child, each with its own plan_id),
+    * so the earlier string/plan_id counting over-reported every
+    * barrier-using query by one per cached exchange; here each cached
+    * relation's plan is counted once (dedup by its CachedRDDBuilder —
+    * the unit Spark itself dedups materialization by). Subquery plans
+    * are included; BroadcastExchange is excluded as before (a
+    * broadcast moves one small side, not a corpus). */
+  private def shuffleCounts(root: org.apache.spark.sql.execution.SparkPlan): (Int, Int, Int) = {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val seen = scala.collection.mutable.Set.empty[AnyRef]
+    var hash = 0; var single = 0; var range = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case e: ShuffleExchangeLike => e.outputPartitioning match {
+          case _: HashPartitioning => hash += 1
+          case SinglePartition => single += 1
+          case _: RangePartitioning => range += 1
+          case _ =>
+        }
+        case _ =>
+      }
+      p.subqueries.foreach(walk)
+      p match {
+        case s: InMemoryTableScanExec =>
+          if (seen.add(s.relation.cacheBuilder)) walk(s.relation.cachedPlan)
+        // initialPlan = inputPlan AFTER EnsureRequirements (exchanges
+        // inserted, nothing executed yet) — inputPlan has no Exchange
+        // nodes at all; package-private in Scala, public in bytecode
+        case a: AdaptiveSparkPlanExec =>
+          walk(a.getClass.getMethod("initialPlan").invoke(a)
+            .asInstanceOf[org.apache.spark.sql.execution.SparkPlan])
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(root)
+    (hash, single, range)
+  }
+
   def census(spark: org.apache.spark.sql.SparkSession, sfDir: String,
              outPath: String): Unit = {
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -84,12 +129,8 @@ object PlanAudit {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
         }.size
-        val plan = df.queryExecution.executedPlan.toString
-        def count(kind: String) =
-          s"Exchange $kind[^\\[]*\\[plan_id=(\\d+)\\]".r
-            .findAllMatchIn(plan).map(_.group(1)).toSet.size
-        val x = count("hashpartitioning") + count("SinglePartition") +
-          count("rangepartitioning")
+        val (h, s1, r) = shuffleCounts(df.queryExecution.executedPlan)
+        val x = h + s1 + r
         s"""{"exchanges": $x, "global_windows": $gw}"""
       } catch {
         case t: Throwable => s"""{"error": "${t.getClass.getSimpleName}"}"""
@@ -113,17 +154,8 @@ object PlanAudit {
                      threshold: Int): Unit = {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        // dedupe by plan_id: a persist-barriered subtree's Exchange is
-        // EXECUTED once but its InMemoryRelation plan string is embedded
-        // at every scan site — counting occurrences over-reported e.g.
-        // gate (one cached Exchange read by three output branches) as 4
-        def count(kind: String) =
-          s"Exchange $kind[^\\[]*\\[plan_id=(\\d+)\\]".r
-            .findAllMatchIn(plan).map(_.group(1)).toSet.size
-        val hash = count("hashpartitioning")
-        val single = count("SinglePartition")
-        val range = count("rangepartitioning")
+        val (hash, single, range) =
+          shuffleCounts(fn(spark, sfDir).queryExecution.executedPlan)
         val total = hash + single + range
         if (total >= threshold)
           println(s"$name exchanges=$total (hash=$hash single=$single range=$range)")

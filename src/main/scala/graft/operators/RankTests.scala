@@ -35,9 +35,24 @@ import org.apache.spark.sql.functions._
   *    [[Ranking.withGlobalOrder]] — a range-partitioned two-level
   *    prefix sum with NO single-partition sort. The rank arithmetic
   *    stays exact integers, so both arms return bit-identical results;
-  *    dense is pure plan shape. (The guard fires after the pathological
-  *    sort started, so for columns KNOWN continuous pass dense=true up
-  *    front; the guard is the misuse tripwire, not the scale plan.)
+  *    dense is pure plan shape.
+  *
+  * Since r16 the arm choice is no longer caller knowledge: by default
+  * (`adaptive = true`) the per-distinct-value table is persist-
+  * barriered and exact-counted BEFORE the window is planned, and the
+  * dense machinery is auto-selected past `maxDistinct` — a caller who
+  * doesn't know their column is continuous never starts the
+  * pathological single-partition sort (the r15 guard fired only
+  * mid-sort). The probe costs nothing extra: the corpus scan that
+  * builds the value table runs exactly once either way (the count
+  * materializes the persisted table the window then reads), and for
+  * continuous columns the dense arm persists a same-sized table inside
+  * withGlobalOrder regardless. Both arms are bit-identical, so the
+  * route is unobservable in the output. Pass `dense = true` to skip
+  * the probe when the column is KNOWN continuous; pass
+  * `adaptive = false` to pin the bounded arm, where the in-window
+  * `assert_true` guard remains the loud backstop. Note `adaptive`
+  * makes these builders EAGER (the probe runs a job at call time).
   */
 object RankTests {
 
@@ -58,6 +73,19 @@ object RankTests {
       lit("(exact, range-partitioned) or bucket the column first")))
       .cast("long"), lit(0L))
 
+  /** Adaptive arm router (see object doc): persist-barrier the
+    * per-distinct-value table, exact-count it, and pick the plan shape
+    * on the REAL cardinality. Returns the (barriered, when probed)
+    * table and whether to use the dense machinery. */
+  private def routeArm(perValue: DataFrame, dense: Boolean, adaptive: Boolean,
+                       maxDistinct: Long): (DataFrame, Boolean) =
+    if (dense) (perValue, true)
+    else if (!adaptive) (perValue, false)
+    else {
+      val b = graft.util.Caching.barrier(perValue)
+      (b, b.count() > maxDistinct)
+    }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) for `valueCol` between groups
     * `a` and `b` of `groupCol`. Average ranks for ties; tie-corrected
     * normal approximation, no continuity correction. One row:
@@ -66,15 +94,17 @@ object RankTests {
     */
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
                   a: String, b: String, dense: Boolean = false,
-                  maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
-    val perValue = df
+                  maxDistinct: Long = MaxBoundedDistinct,
+                  adaptive: Boolean = true): DataFrame = {
+    val perValue0 = df
       .filter(col(groupCol) === a || col(groupCol) === b)
       .groupBy(col(valueCol).as("v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
            sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
       .withColumn("t", col("ca") + col("cb"))
+    val (perValue, useDense) = routeArm(perValue0, dense, adaptive, maxDistinct)
     // value-cardinality table from here on (see scaladoc)
-    val ranked = if (dense) {
+    val ranked = if (useDense) {
       // exclusive prefix = withGlobalOrder's inclusive running sum − t
       Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
           sums = Seq((col("t"), "__ti")))
@@ -122,13 +152,15 @@ object RankTests {
     * `dense = true` for continuous value columns (see object doc). */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
              a: String, b: String, dense: Boolean = false,
-             maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
-    val perValue = df
+             maxDistinct: Long = MaxBoundedDistinct,
+             adaptive: Boolean = true): DataFrame = {
+    val perValue0 = df
       .filter(col(groupCol) === a || col(groupCol) === b)
       .groupBy(col(valueCol).as("v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
            sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
-    val cum = if (dense) {
+    val (perValue, useDense) = routeArm(perValue0, dense, adaptive, maxDistinct)
+    val cum = if (useDense) {
       // inclusive running sums + grand totals straight off the
       // two-level prefix machinery — no single-partition window
       Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
@@ -170,10 +202,14 @@ object RankTests {
     * joins instead of broadcasts). One row: (n, rho). */
   def spearman(df: DataFrame, xCol: String, yCol: String,
                dense: Boolean = false,
-               maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
-    def rankTable(c: String) = {
-      val pv = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
-      if (dense) {
+               maxDistinct: Long = MaxBoundedDistinct,
+               adaptive: Boolean = true): DataFrame = {
+    // each column routes on its OWN cardinality: a bounded x joined
+    // back as a broadcast pairs fine with a continuous, shuffled y
+    def rankTable(c: String): (DataFrame, Boolean) = {
+      val pv0 = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
+      val (pv, useDense) = routeArm(pv0, dense, adaptive, maxDistinct)
+      val ranked = if (useDense) {
         Ranking.withGlobalOrder(pv, Seq(col("__v")), rankCol = "__vr",
             sums = Seq((col("__t"), "__ti")))
           .select(col("__v"),
@@ -184,15 +220,16 @@ object RankTests {
             cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct, "RankTests.spearman"))
           .select(col("__v"), (lit(2) * col("__cum") + col("__t") + 1).as("__r2"))
       }
+      (ranked, useDense)
     }
-    val rx = rankTable(xCol).withColumnRenamed("__v", "__vx")
-      .withColumnRenamed("__r2", "__rx")
-    val ry = rankTable(yCol).withColumnRenamed("__v", "__vy")
-      .withColumnRenamed("__r2", "__ry")
-    def side(t: DataFrame) = if (dense) t else broadcast(t)
+    val (rx0, denseX) = rankTable(xCol)
+    val rx = rx0.withColumnRenamed("__v", "__vx").withColumnRenamed("__r2", "__rx")
+    val (ry0, denseY) = rankTable(yCol)
+    val ry = ry0.withColumnRenamed("__v", "__vy").withColumnRenamed("__r2", "__ry")
+    def side(t: DataFrame, d: Boolean) = if (d) t else broadcast(t)
     val paired = df
-      .join(side(rx), col(xCol) === col("__vx"))
-      .join(side(ry), col(yCol) === col("__vy"))
+      .join(side(rx, denseX), col(xCol) === col("__vx"))
+      .join(side(ry, denseY), col(yCol) === col("__vy"))
     def d19(c: Column) = c.cast("decimal(19,0)")
     val agg = paired.agg(
       count(lit(1)).as("n"),
@@ -303,12 +340,13 @@ object RankTests {
     * object doc; identical bits, range-partitioned plan). */
   def auc(df: DataFrame, labelCol: String, scoreCol: String,
           dense: Boolean = false,
-          maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+          maxDistinct: Long = MaxBoundedDistinct,
+          adaptive: Boolean = true): DataFrame = {
     val tagged = df.select(
       when(col(labelCol).cast("int") === 1, lit("p")).otherwise(lit("n")).as("__l"),
       col(scoreCol).as("__s"))
     // positives should rank HIGH on score; U counts (pos > neg) pairs
-    mannWhitney(tagged, "__l", "__s", "p", "n", dense, maxDistinct)
+    mannWhitney(tagged, "__l", "__s", "p", "n", dense, maxDistinct, adaptive)
       .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
         (col("u_a") / (col("n_a").cast("double") * col("n_b").cast("double"))).as("auc"))
   }
@@ -461,7 +499,8 @@ object RankTests {
   def wilcoxonSignedRank(df: DataFrame, itemCol: String, systemCol: String,
                          scoreCol: String, sysA: String, sysB: String,
                          dense: Boolean = false,
-                         maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+                         maxDistinct: Long = MaxBoundedDistinct,
+                         adaptive: Boolean = true): DataFrame = {
     val a = df.filter(col(systemCol) === sysA)
       .select(col(itemCol).as("__i"), col(scoreCol).as("__va"))
     val b = df.filter(col(systemCol) === sysB)
@@ -474,11 +513,12 @@ object RankTests {
       .filter(col("__d").isNotNull)
     val zeros = d.agg(
       coalesce(sum((col("__d") === 0).cast("long")), lit(0L)).as("n_zero"))
-    val perValue = d.filter(col("__d") =!= 0)
+    val perValue0 = d.filter(col("__d") =!= 0)
       .groupBy(abs(col("__d")).as("v"))
       .agg(count(lit(1)).as("t"),
         sum((col("__d") > 0).cast("long")).as("cpos"))
-    val ranked = if (dense) {
+    val (perValue, useDense) = routeArm(perValue0, dense, adaptive, maxDistinct)
+    val ranked = if (useDense) {
       Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
           sums = Seq((col("t"), "__ti")))
         .withColumn("cum", col("__ti") - col("t"))

@@ -756,14 +756,55 @@ class RankSkylineSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("maxDistinct")), s"wrong error: $e")
     }
-    fires(RankTests.mannWhitney(df, "g", "v", "A", "B", maxDistinct = 10))
-    fires(RankTests.ksTest(df, "g", "v", "A", "B", maxDistinct = 10))
-    fires(RankTests.auc(df, "y", "v", maxDistinct = 10))
-    fires(RankTests.spearman(df, "v", "y", maxDistinct = 10))
+    // adaptive=false pins the bounded arm — with the r16 adaptive
+    // default these columns would auto-route dense instead of firing
+    fires(RankTests.mannWhitney(df, "g", "v", "A", "B", maxDistinct = 10, adaptive = false))
+    fires(RankTests.ksTest(df, "g", "v", "A", "B", maxDistinct = 10, adaptive = false))
+    fires(RankTests.auc(df, "y", "v", maxDistinct = 10, adaptive = false))
+    fires(RankTests.spearman(df, "v", "y", maxDistinct = 10, adaptive = false))
     fires(graft.operators.Survival.kaplanMeier(
       df.select(col("v").cast("long").as("dur"), (col("y") === 1).as("obs")),
       "dur", "obs", maxDistinct = 10))
     fires(Skyline.skyline2d(df.select(col("v").as("x"), col("v").as("yy")),
       "x", "yy", maxDistinct = 10))
+  }
+
+  test("adaptive routing: continuous columns auto-route dense, zero guard trips") {
+    val df = denseFixture // v: ~400 distinct values over 400 rows
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    // maxDistinct=10 forces the route: the bounded arm would trip the
+    // guard (previous test), the adaptive default must instead pick the
+    // dense machinery and return the dense arm's exact bits
+    assert(rows(RankTests.mannWhitney(df, "g", "v", "A", "B", maxDistinct = 10)) ==
+      rows(RankTests.mannWhitney(df, "g", "v", "A", "B", dense = true)))
+    assert(rows(RankTests.ksTest(df, "g", "v", "A", "B", maxDistinct = 10)) ==
+      rows(RankTests.ksTest(df, "g", "v", "A", "B", dense = true)))
+    assert(rows(RankTests.auc(df, "y", "v", maxDistinct = 10)) ==
+      rows(RankTests.auc(df, "y", "v", dense = true)))
+    assert(rows(RankTests.spearman(df, "v", "y", maxDistinct = 10)) ==
+      rows(RankTests.spearman(df, "v", "y", dense = true)))
+    val paired = df.select((monotonically_increasing_id() % 200).as("item"),
+      when(col("g") === "A", "A").otherwise("B").as("sys"), col("v"))
+    assert(rows(RankTests.wilcoxonSignedRank(paired, "item", "sys", "v", "A", "B",
+        maxDistinct = 10)) ==
+      rows(RankTests.wilcoxonSignedRank(paired, "item", "sys", "v", "A", "B",
+        dense = true)))
+    graft.util.Caching.release()
+  }
+
+  test("adaptive routing: bounded columns keep the bounded plan's exact bits") {
+    // 6 distinct values — the probe must pick the bounded arm and the
+    // output must equal the pinned-bounded (adaptive=false) run
+    val df = spark.createDataFrame((0 until 300).map { i =>
+      (if (i % 3 == 0) "A" else "B", (i % 6).toDouble, i % 2)
+    }).toDF("g", "v", "y")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    assert(rows(RankTests.mannWhitney(df, "g", "v", "A", "B")) ==
+      rows(RankTests.mannWhitney(df, "g", "v", "A", "B", adaptive = false)))
+    assert(rows(RankTests.ksTest(df, "g", "v", "A", "B")) ==
+      rows(RankTests.ksTest(df, "g", "v", "A", "B", adaptive = false)))
+    assert(rows(RankTests.spearman(df, "v", "y")) ==
+      rows(RankTests.spearman(df, "v", "y", adaptive = false)))
+    graft.util.Caching.release()
   }
 }
