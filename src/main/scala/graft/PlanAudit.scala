@@ -23,7 +23,7 @@ object PlanAudit {
     }
     if (args.headOption.contains("census")) {
       census(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"),
-        args.lift(2).getOrElse("/tmp/plan_census.json"))
+        args.lift(2).getOrElse("/tmp/plan_census.json"), args.drop(3).toSet)
       spark.stop(); return
     }
     val interesting = args.drop(1) match {
@@ -121,8 +121,9 @@ object PlanAudit {
   }
 
   def census(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-             outPath: String): Unit = {
-    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+             outPath: String, only: Set[String] = Set.empty): Unit = {
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       val cell = try {
         val df = fn(spark, sfDir)
         val gw = df.queryExecution.optimizedPlan.collect {

@@ -3314,6 +3314,19 @@ object SparkEntry {
         .select(col("n"), col("concordant"), col("discordant"),
           round(col("tau_b"), 8).as("tau_b"))
     },
+    // Kendall τ-b on FULLY CONTINUOUS columns (|distinct| ≈ |rows|):
+    // maxCells=1000 forces the r16 production arm — bucket-decomposed
+    // exact pair counts (dense-grid 2-D prefix sums + two per-bucket
+    // Fenwick sorted scans, O(n log n), no quadratic join). Bit-equal
+    // to the quadratic arm the oracle replays as an inequality join.
+    "q_kendall_dense" -> { (s, dir) =>
+      graft.operators.RankTests.kendallTau(
+        Sources.table(s, dir, "orders")
+          .withColumn("yv", col("o_totalprice") + (col("o_orderkey") % 1000) * lit(37.0)),
+        "o_totalprice", "yv", maxCells = 1000)
+        .select(col("n"), col("concordant"), col("discordant"),
+          round(col("tau_b"), 8).as("tau_b"))
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -8051,6 +8064,29 @@ object SparkEntry {
     "q_kendall" ->
       """WITH d AS (SELECT l_quantity AS x,
         |    CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS y FROM lineitem),
+        |cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS discordant
+        |  FROM cells a JOIN cells b ON b.x < a.x),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n12
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n22
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |v AS (SELECT n, concordant, discordant,
+        |    CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE) AS n02, n12, n22
+        |  FROM nn, cd, tx, ty)
+        |SELECT n, concordant, discordant,
+        |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
+        |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
+        |FROM v""".stripMargin,
+    // same exact-count contract as q_kendall, continuous fixture: the
+    // quadratic pair join DuckDB runs here is what the Spark side's
+    // bucket-decomposed arm reproduces bit-for-bit
+    "q_kendall_dense" ->
+      """WITH d AS (SELECT o_totalprice AS x,
+        |    o_totalprice + (o_orderkey % 1000) * 37.0 AS y FROM orders),
         |cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
         |cd AS (SELECT
         |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS concordant,

@@ -254,32 +254,41 @@ object RankTests {
     * the rank-gap sensitivity ρ inherits from squared ranks.
     *
     * Scale shape: ONE hash aggregate collapses the corpus to the
-    * (x, y) cell table; C and D are then a cell-table DOMINANCE
-    * self-join (x′ < x, y′ ≶ y — each unordered pair counted once) —
-    * |cells|² work, so both columns must be categorical/bucketed.
-    * That boundedness is enforced EAGERLY (`maxCells`, default 100k →
-    * ≤10¹⁰ cheap codegen comparisons): the cell table is barriered and
-    * counted before the quadratic join is even planned — the
-    * [[Skyline]] cap discipline. Every count is exact DECIMAL(38,0);
-    * the τ denominator is a fixed IEEE chain both engines replay.
-    * One row: (n, concordant, discordant, tau_b); τ null when either
-    * variable is constant. */
+    * (x, y) cell table; the arm is then routed on the EXACT cell count
+    * (the cell table is barriered and counted up front — the [[Skyline]]
+    * cap discipline, and since r16 a ROUTER rather than a killer):
+    *
+    *  - `|cells| ≤ maxCells` (categorical/bucketed columns): C and D
+    *    via a cell-table DOMINANCE broadcast self-join (x′ < x,
+    *    y′ ≶ y — each unordered pair counted once), |cells|² cheap
+    *    codegen comparisons;
+    *  - past `maxCells` (continuous columns): [[KendallContinuous]] —
+    *    the bucket-decomposed exact count (2-D prefix sums over a
+    *    dense block grid for cross-bucket pairs + two per-bucket
+    *    Fenwick sorted scans), O(|cells| log |cells|) with two cell
+    *    shuffles and NO quadratic join. Both arms are exact integer
+    *    arithmetic and bit-identical.
+    *
+    * Every count is exact DECIMAL(38,0); the τ denominator is a fixed
+    * IEEE chain both engines replay. One row:
+    * (n, concordant, discordant, tau_b); τ null when either variable
+    * is constant. Like the adaptive rank arms, this builder is EAGER
+    * (the routing count runs a job at call time). */
   def kendallTau(df: DataFrame, xCol: String, yCol: String,
-                 maxCells: Long = 100000): DataFrame = {
+                 maxCells: Long = 100000, buckets: Int = 1024): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     val cells = graft.util.Caching.barrier(
       df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c")))
     val nCells = cells.count()
-    require(nCells <= maxCells,
-      s"kendallTau: $nCells cells exceeds maxCells=$maxCells; the dominance " +
-        "self-join is |cells|^2 - bucket the continuous column(s) first")
-    val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
-    val cd = cells.join(broadcast(right), col("x2") < col("x"))
-      .agg(
-        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    val cd = if (nCells <= maxCells) {
+      val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+      cells.join(broadcast(right), col("x2") < col("x"))
+        .agg(
+          sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+            .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+          sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+            .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    } else KendallContinuous.cd(cells, buckets)
     val nn = cells.agg(sum(col("c")).as("n"))
     def ties(key: String, out: String) = cells.groupBy(col(key))
       .agg(sum(col("c")).as("__t"))

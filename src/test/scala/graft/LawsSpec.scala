@@ -237,6 +237,34 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: kendallTau continuous arm == quadratic arm on seeded random shapes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RankTests
+    import spark.implicits._
+    val r = new scala.util.Random(29)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    (1 to 5).foreach { trial =>
+      // per-trial shape mix: fully continuous, tie-heavy on one axis,
+      // anti-correlated, null-bearing; tiny bucket counts so every
+      // decomposition class (far/sameX/sameY) carries real pairs
+      val n = 300 + r.nextInt(900)
+      val xDom = if (trial % 2 == 0) 12 else 1000000 // duplicate-heavy x vs continuous
+      val base = (0 until n).map { i =>
+        val x = r.nextInt(xDom).toDouble
+        val y = (if (trial % 3 == 0) -x else x) * 0.3 + r.nextDouble() * xDom * 0.2
+        (x, y, i.toLong)
+      }.toDF("x", "y", "ord")
+      val df = if (trial % 2 == 1)
+        base.withColumn("y", when(col("ord") % 17 === 0, lit(null)).otherwise(col("y")))
+      else base
+      val bounded = rows(RankTests.kendallTau(df, "x", "y", maxCells = 1L << 40))
+      val routed = rows(RankTests.kendallTau(df, "x", "y",
+        maxCells = 1, buckets = 2 + r.nextInt(30)))
+      assert(routed == bounded, s"kendall trial $trial")
+      graft.util.Caching.release()
+    }
+  }
+
   test("law: orderStatistics == brute-force sort on seeded random shapes") {
     import org.apache.spark.sql.functions._
     import graft.operators.Selection

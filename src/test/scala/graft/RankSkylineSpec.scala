@@ -611,11 +611,19 @@ class RankSkylineSpec extends AnyFunSuite {
     val const = Seq((1.0, 5.0), (1.0, 7.0)).toDF("x", "y")
     val rc = RankTests.kendallTau(const, "x", "y").head
     assert(rc.isNullAt(rc.fieldIndex("tau_b")))
-    // the eager cells cap fires loudly on a continuous column
+    // past maxCells the eager count ROUTES to the continuous arm
+    // (r16; the r15 cap used to kill the query here) — identical bits
     val dense = denseFixture
-    val e = intercept[IllegalArgumentException](
-      RankTests.kendallTau(dense, "v", "y", maxCells = 10))
-    assert(e.getMessage.contains("maxCells"))
+    val bounded = RankTests.kendallTau(dense, "v", "y").collect().map(_.toSeq).toSeq
+    val routed = RankTests.kendallTau(dense, "v", "y", maxCells = 10, buckets = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(routed == bounded)
+    // the per-bucket buffer backstop stays loud
+    val cells = dense.groupBy(col("v").as("x"), col("y").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val e = intercept[Exception](
+      graft.operators.KendallContinuous.cd(cells, buckets = 2, maxBucketCells = 3).collect())
+    assert(e.getMessage.contains("maxBucketCells"))
     graft.util.Caching.release()
   }
 
