@@ -33,16 +33,24 @@ object ProfileSelection {
         .otherwise(pmod(xxhash64(col("id")), lit(100000000L)).cast("double")).as("v"),
       col("id").as("ord"))
     df.count()
+    // two passes: the first slot of a fresh JVM pays ~2x in codegen/JIT/
+    // cache-allocator warmup (measured: the same arm swings 13.8 vs 4.9 s
+    // purely by position) - pass 1 warms, pass 2 is the record
+    var warm = true
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val out = f
-      println(f"""{"selection_ab":"$tag","n":$n,"q":$q,"checksum":$out,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      if (!warm)
+        println(f"""{"selection_ab":"$tag","n":$n,"q":$q,"checksum":$out,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
     }
+    for (pass <- 1 to 2) {
+    warm = pass == 1
     time("selection") {
       val proj = graft.util.Caching.barrier(df)
       val cuts = (1 until q).map(k => k.toLong * n / q).filter(_ >= 1)
       val b = graft.operators.Selection.orderStatistics(proj, "ord",
-        Seq(graft.operators.Selection.Dim("v", desc = false, cuts)), n).head
+        Seq(graft.operators.Selection.Dim("v", desc = false, cuts)), n,
+        localRankArm = false).head // pin the refinement engine
       val band = cuts
         .map(j => graft.operators.Selection
           .after(col("v"), col("ord"), desc = false, b(j)).cast("int"))
@@ -59,11 +67,28 @@ object ProfileSelection {
       graft.util.Caching.release()
       s
     }
-    if (n <= 50000000L) time("global_window") {
+    // r16 auto-pick: defaults route a local session past the fast path
+    // to the rank arm — this row must track distributed_rank within
+    // noise (and must never lose >1.2x to the best manual arm)
+    time("auto") {
+      val proj = graft.util.Caching.barrier(df)
+      val cuts = (1 until q).map(k => k.toLong * n / q).filter(_ >= 1)
+      val b = graft.operators.Selection.orderStatistics(proj, "ord",
+        Seq(graft.operators.Selection.Dim("v", desc = false, cuts)), n).head
+      val band = cuts
+        .map(j => graft.operators.Selection
+          .after(col("v"), col("ord"), desc = false, b(j)).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+      val s = proj.agg(sum(band.cast("long") * col("ord"))).head().getLong(0)
+      graft.util.Caching.release()
+      s
+    }
+    if (n <= 50000000L && !warm) time("global_window") {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("ord"))
       val r = df.withColumn("r", row_number().over(w).cast("long"))
       val band = ceil(col("r") * q / lit(n.toDouble)).cast("long")
       r.agg(sum(band * col("ord"))).head().getLong(0)
+    }
     }
     spark.stop()
   }

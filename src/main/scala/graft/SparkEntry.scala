@@ -3250,7 +3250,8 @@ object SparkEntry {
       val ranks = Seq(1L, n / 4, n / 2, 3 * n / 4, n).distinct.filter(_ >= 1)
       val b = graft.operators.Selection.orderStatistics(proj, "tie",
         Seq(graft.operators.Selection.Dim("v", desc = false, ranks)), n,
-        sampleTarget = 2000, roundSample = 512, collectCap = 256).head
+        sampleTarget = 2000, roundSample = 512, collectCap = 256,
+        localRankArm = false).head // pin the refinement engine under the oracle
       ranks.map(r => (r, b(r).value.asInstanceOf[Double],
           b(r).tie.asInstanceOf[Long]))
         .toDF("rank", "v", "tie")

@@ -51,10 +51,13 @@ import org.apache.spark.sql.functions._
   * through the network exchange, selection moves only map-side partial
   * aggregates and a few thousand sampled tuples — O(corpus) network vs
   * O(kB·rounds) — so for the 100 TB target the aggregate-only shape is
-  * the one that survives. Operators that need only boundaries (rfm,
-  * gains, timeToConvert) use this; per-row outputs (gini's Lorenz
-  * shares, bootstrap's resample index) stay on
-  * [[Ranking.withGlobalOrder]].
+  * the one that survives. Since r16 that pick is mechanical
+  * (`localRankArm`, see [[orderStatistics]]): single-box sessions past
+  * the fast path auto-route to the rank arm, clusters keep the
+  * refinement engine; both arms resolve identical tuples. Operators
+  * that need only boundaries (rfm, gains, timeToConvert) use this;
+  * per-row outputs (gini's Lorenz shares, bootstrap's resample index)
+  * stay on [[Ranking.withGlobalOrder]].
   */
 object Selection {
 
@@ -104,10 +107,24 @@ object Selection {
     * boundary tuple. `df` is scanned a handful of times — persist it
     * first ([[graft.util.Caching.barrier]]); `n` is its exact row
     * count (the caller has it from the same materialization). Returns
-    * one rank→Boundary map per input dim. */
+    * one rank→Boundary map per input dim.
+    *
+    * `localRankArm` (default on) is the r16 regime switch: when the
+    * session runs on a single box (`sparkContext.isLocal`) and the
+    * table outgrows the one-collect fast path, the boundaries come
+    * from [[Ranking.withGlobalOrder]] instead of the multi-round
+    * refinement — a local "shuffle" is memcpy, and the measured
+    * crossover (ProfileSelection, 20M rows) has the range-shuffle rank
+    * ~3× ahead there. On a cluster the trade reverses with size
+    * (O(corpus) network vs O(kB·rounds)), so non-local sessions keep
+    * the aggregate-only engine. Both arms resolve the same exact tuple
+    * under (value [desc], tie asc) — the pick is unobservable in
+    * output. Pass `localRankArm = false` to pin the refinement engine
+    * (tests, and the q_order_stats oracle row, do). */
   def orderStatistics(df: DataFrame, tieCol: String, dims: Seq[Dim], n: Long,
                       sampleTarget: Int = 200000, roundSample: Int = 20000,
-                      collectCap: Int = 65536): Seq[Map[Long, Boundary]] = {
+                      collectCap: Int = 65536,
+                      localRankArm: Boolean = true): Seq[Map[Long, Boundary]] = {
     require(dims.nonEmpty, "need at least one dimension")
     // each round shrinks a bracket by ~√(roundSample)/6 — below 256 the
     // factor nears 1 and the refinement cannot converge in the round cap
@@ -131,6 +148,25 @@ object Selection {
         d.ranks.distinct.map(r => r -> {
           val t = sorted((r - 1).toInt); Boundary(t._1, t._2)
         }).toMap
+      }
+    }
+
+    // local-regime switch (see scaladoc): one range exchange per dim
+    // beats the multi-round refinement when the exchange is intra-box
+    if (localRankArm && df.sparkSession.sparkContext.isLocal) {
+      return dims.zipWithIndex.map { case (d, i) =>
+        val v = col(s"__v$i")
+        val ranks = d.ranks.distinct
+        val rows = Ranking.withGlobalOrder(proj,
+            Seq(if (d.desc) v.desc else v.asc, col("__u").asc), rankCol = "__r")
+          .filter(col("__r").isin(ranks: _*))
+          .select(col("__r"), v, col("__u")).collect()
+        require(rows.forall(r => !r.anyNull),
+          "orderStatistics: null in a value or tie column")
+        val m = rows.map(r => r.getLong(0) -> Boundary(r.get(1), r.get(2))).toMap
+        require(m.size == ranks.size,
+          s"orderStatistics: rank arm resolved ${m.size}/${ranks.size} ranks")
+        m
       }
     }
 

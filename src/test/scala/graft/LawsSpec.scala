@@ -276,7 +276,13 @@ class LawsSpec extends AnyFunSuite {
       val data = (0 until n).map(i => (r.nextInt(tieDomain).toDouble, i.toLong))
       val df = data.toDF("v", "ord")
       val ranks = Seq(1L, 1L + r.nextInt(n).toLong, n.toLong).distinct
+      // refinement engine pinned (local sessions would auto-route past it)
       val got = Selection.orderStatistics(df, "ord",
+        Seq(Selection.Dim("v", desc = trial % 2 == 0, ranks)), n,
+        sampleTarget = 200, roundSample = 256, collectCap = 64,
+        localRankArm = false)
+      // r16 local-regime auto-pick (rank arm here): identical tuples
+      val auto = Selection.orderStatistics(df, "ord",
         Seq(Selection.Dim("v", desc = trial % 2 == 0, ranks)), n,
         sampleTarget = 200, roundSample = 256, collectCap = 64)
       val sorted =
@@ -285,7 +291,9 @@ class LawsSpec extends AnyFunSuite {
       ranks.foreach { rk =>
         val want = Selection.Boundary(sorted(rk.toInt - 1)._1, sorted(rk.toInt - 1)._2)
         assert(got(0)(rk) == want, s"trial $trial rank $rk")
+        assert(auto(0)(rk) == want, s"auto trial $trial rank $rk")
       }
+      graft.util.Caching.release()
     }
   }
 }
