@@ -2724,6 +2724,17 @@ object SparkEntry {
         .select(col("model"), col("n_wins"), col("n_losses"), col("n_ties"),
           round(col("strength"), 8).as("strength"))
     },
+    // Rao–Kupper Bradley–Terry (Chat.bradleyTerryRaoKupper): the EXACT
+    // published tie model — strengths + tie threshold θ by cyclic MM
+    // (Hunter 2004), two rounds, every double fold in sorted order so
+    // DuckDB replays each half-round bit-for-bit.
+    "q_bradley_terry_rk" -> { (s, dir) =>
+      graft.llm.Chat.bradleyTerryRaoKupper(syntheticBattlesTies(s, dir),
+        "ma", "mb", "winner", iters = 2)
+        .select(col("model"), col("n_wins"), col("n_losses"), col("n_ties"),
+          round(col("strength"), 8).as("strength"),
+          round(col("theta"), 8).as("theta"))
+    },
     // Tie-aware win matrix (Chat.winMatrixTies): decisive wins + ties
     // per unordered pair; split-tie rate with its Wilson interval.
     "q_win_matrix_ties" -> { (s, dir) =>
@@ -7224,6 +7235,72 @@ object SparkEntry {
         |s2 AS (SELECT i, w0 / t2.s AS w FROM u2, t2)
         |SELECT wins.i AS model, n_wins, n_losses, n_ties, round(s2.w, 8) AS strength
         |FROM wins JOIN s2 ON s2.i = wins.i""".stripMargin,
+    // Rao–Kupper cyclic MM: per round a sorted-fold w update at frozen
+    // θ, then Hunter's closed-form θ step on the fresh strengths
+    "q_bradley_terry_rk" ->
+      """WITH b AS (SELECT ma, mb,
+        |    CASE WHEN o < 2 THEN NULL WHEN o <= bi + 2 THEN ma ELSE mb END AS winner
+        |  FROM (SELECT 'm' || CAST(user_id % 5 AS VARCHAR) AS ma,
+        |      'm' || CAST((user_id % 5 + 1 + event_id % 4) % 5 AS VARCHAR) AS mb,
+        |      (CAST(FLOOR(value) AS BIGINT) * 7 + event_id)
+        |        % (user_id % 5 + (user_id % 5 + 1 + event_id % 4) % 5 + 7) AS o,
+        |      (user_id % 5 + 1 + event_id % 4) % 5 AS bi
+        |    FROM events)),
+        |dir AS (SELECT ma AS i, mb AS j,
+        |    CASE WHEN winner IS NULL THEN 1 WHEN winner = ma THEN 2 ELSE 0 END AS w2
+        |  FROM b
+        |  UNION ALL SELECT mb, ma,
+        |    CASE WHEN winner IS NULL THEN 1 WHEN winner = mb THEN 2 ELSE 0 END FROM b),
+        |m AS (SELECT i, j,
+        |    CAST(SUM(CASE WHEN w2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dij,
+        |    CAST(SUM(CASE WHEN w2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS eij,
+        |    count(*) AS tij
+        |  FROM dir GROUP BY 1, 2),
+        |wins AS (SELECT i, CAST(SUM(dij) AS BIGINT) AS n_wins,
+        |    CAST(SUM(tij - dij - eij) AS BIGINT) AS n_losses,
+        |    CAST(SUM(eij) AS BIGINT) AS n_ties,
+        |    CAST(SUM(dij) + SUM(eij) AS DOUBLE) AS wi FROM m GROUP BY 1),
+        |e AS (SELECT CAST(SUM(eij) AS DOUBLE) / 2 AS ties FROM m),
+        |s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM wins),
+        |d1 AS (SELECT m.i, list_reduce(list_transform(list_sort(list(
+        |      struct_pack(k := m.j,
+        |        t := CAST(m.dij + m.eij AS DOUBLE) / (si.w + 1.0 * sj.w)
+        |           + CAST(m.tij - m.dij AS DOUBLE) * 1.0 / (sj.w + 1.0 * si.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS den
+        |  FROM m JOIN s0 si ON si.i = m.i JOIN s0 sj ON sj.i = m.j GROUP BY m.i),
+        |u1 AS (SELECT wins.i, wi / den AS w0 FROM wins JOIN d1 ON d1.i = wins.i),
+        |t1 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |    struct_pack(k := i, t := w0))), x -> x.t), (a, c) -> a + c) AS s FROM u1),
+        |s1 AS (SELECT i, w0 / t1.s AS w FROM u1, t1),
+        |c1 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |      struct_pack(p := m.i, q := m.j,
+        |        t := CAST(m.dij + m.eij AS DOUBLE) * sj.w / (si.w + 1.0 * sj.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS cc
+        |  FROM m JOIN s1 si ON si.i = m.i JOIN s1 sj ON sj.i = m.j),
+        |th1 AS (SELECT CASE WHEN e.ties > 0 THEN
+        |    e.ties / c1.cc + sqrt((e.ties / c1.cc) * (e.ties / c1.cc) + 1.0)
+        |  ELSE 1.0 END AS th FROM e, c1),
+        |d2 AS (SELECT m.i, list_reduce(list_transform(list_sort(list(
+        |      struct_pack(k := m.j,
+        |        t := CAST(m.dij + m.eij AS DOUBLE) / (si.w + th1.th * sj.w)
+        |           + CAST(m.tij - m.dij AS DOUBLE) * th1.th / (sj.w + th1.th * si.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS den
+        |  FROM m JOIN s1 si ON si.i = m.i JOIN s1 sj ON sj.i = m.j, th1 GROUP BY m.i),
+        |u2 AS (SELECT wins.i, wi / den AS w0 FROM wins JOIN d2 ON d2.i = wins.i),
+        |t2 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |    struct_pack(k := i, t := w0))), x -> x.t), (a, c) -> a + c) AS s FROM u2),
+        |s2 AS (SELECT i, w0 / t2.s AS w FROM u2, t2),
+        |c2 AS (SELECT list_reduce(list_transform(list_sort(list(
+        |      struct_pack(p := m.i, q := m.j,
+        |        t := CAST(m.dij + m.eij AS DOUBLE) * sj.w / (si.w + th1.th * sj.w)))),
+        |      x -> x.t), (a, c) -> a + c) AS cc
+        |  FROM m JOIN s2 si ON si.i = m.i JOIN s2 sj ON sj.i = m.j, th1),
+        |th2 AS (SELECT CASE WHEN e.ties > 0 THEN
+        |    e.ties / c2.cc + sqrt((e.ties / c2.cc) * (e.ties / c2.cc) + 1.0)
+        |  ELSE 1.0 END AS th FROM e, c2)
+        |SELECT wins.i AS model, n_wins, n_losses, n_ties,
+        |  round(s2.w, 8) AS strength, round(th2.th, 8) AS theta
+        |FROM wins JOIN s2 ON s2.i = wins.i, th2""".stripMargin,
     // split-tie rate (wins + ties/2)/n with the same Wilson chain
     "q_win_matrix_ties" ->
       """WITH b AS (SELECT ma, mb,

@@ -281,4 +281,92 @@ object Chat {
     models.toSeq.map(i => (i, decCnt(i), lossCnt(i), tieCnt(i), w(i)))
       .toDF("model", "n_wins", "n_losses", "n_ties", "strength")
   }
+
+  /** Bradley–Terry with the EXACT tie model (Rao & Kupper 1967) — the
+    * published treatment for arena data where [[bradleyTerrySplitTies]]
+    * is the pragmatic approximation: a tie-rate threshold θ ≥ 1 enters
+    * the likelihood as P(i beats j) = wᵢ/(wᵢ+θwⱼ),
+    * P(tie) = (θ²−1)wᵢwⱼ/((wᵢ+θwⱼ)(wⱼ+θwᵢ)). Fitted by cyclic MM
+    * (Hunter 2004, "MM algorithms for generalized Bradley–Terry
+    * models"): per round, every strength updates with θ frozen —
+    *
+    *   wᵢ ← Wᵢ / Σⱼ [ (dᵢⱼ+eᵢⱼ)/(wᵢ+θwⱼ) + (dⱼᵢ+eᵢⱼ)·θ/(wⱼ+θwᵢ) ]
+    *
+    * with Wᵢ = dᵢ + eᵢ the EXACT INTEGER coefficient of ln wᵢ (a tie
+    * contributes a full ln wᵢ under RK, not the split arm's half-win),
+    * then θ gets Hunter's closed-form minorization step on the fresh
+    * strengths — with E = total ties and
+    * C = Σ_{(i,j) ordered} (dᵢⱼ+eᵢⱼ)·wⱼ/(wᵢ+θwⱼ):
+    *
+    *   θ ← E/C + √((E/C)² + 1)   (≥ 1 by construction; E = 0 → θ = 1)
+    *
+    * Same input contract as [[winMatrixTies]] (winner = one side or
+    * NULL = tie, anything else raises per row) and the same 100 TB
+    * shape as [[bradleyTerry]]: ONE aggregate to the M²-bounded
+    * directed pair matrix, MM on the driver with every double fold in
+    * sorted (model) / sorted (i, j) order so the result is
+    * partitioning-invariant and the oracle replays each half-round
+    * bit-for-bit. Output:
+    * (model, n_wins, n_losses, n_ties, strength, theta). */
+  def bradleyTerryRaoKupper(battles: DataFrame, aCol: String, bCol: String,
+                            winnerCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val spark = battles.sparkSession
+    val aS = col(aCol).cast("string")
+    val bS = col(bCol).cast("string")
+    val wS = col(winnerCol).cast("string")
+    val guard = when(wS.isNull || wS === aS || wS === bS, lit(0L))
+      .otherwise(raise_error(concat(
+        lit("bradleyTerryRaoKupper: winner is neither side nor NULL (tie): "), wS)))
+    val clean = battles.filter(aS =!= bS)
+    def w2(me: Column): Column =
+      when(wS.isNull, 1L).when(wS === me, 2L).otherwise(0L)
+    val dir = clean.select(aS.as("i"), bS.as("j"), (w2(aS) + guard).as("__w2"))
+      .unionByName(clean.select(bS.as("i"), aS.as("j"), w2(bS).as("__w2")))
+    // directed (i, j): dij = i's decisive wins over j, eij = ties, tij = battles
+    val m = dir.groupBy("i", "j")
+      .agg(sum(when(col("__w2") === 2L, 1L).otherwise(0L)).as("dij"),
+        sum(when(col("__w2") === 1L, 1L).otherwise(0L)).as("eij"),
+        count(lit(1)).as("tij"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val models = m.map(_._1).distinct.sorted
+    val decCnt = models.map(i => i -> m.filter(_._1 == i).map(_._3).sum).toMap
+    val tieCnt = models.map(i => i -> m.filter(_._1 == i).map(_._4).sum).toMap
+    val lossCnt = models.map(i =>
+      i -> m.filter(_._1 == i).map(x => x._5 - x._3 - x._4).sum).toMap
+    // opponents of i in sorted-j order; dji + eij = tij − dij comes
+    // from the same directed row, so one row feeds both denominators
+    val opp = models.map(i =>
+      i -> m.filter(_._1 == i).sortBy(_._2).map(x => (x._2, x._3, x._4, x._5))).toMap
+    val pairsSorted = m.sortBy(x => (x._1, x._2))
+    val tiesTotal = m.map(_._4).sum / 2 // each unordered tie counted twice
+    var w = models.map(_ -> 1.0).toMap
+    var theta = 1.0
+    (1 to iters).foreach { _ =>
+      val unnorm = models.map { i =>
+        var den = 0.0
+        opp(i).foreach { case (j, dij, eij, tij) =>
+          den += (dij + eij).toDouble / (w(i) + theta * w(j)) +
+            (tij - dij).toDouble * theta / (w(j) + theta * w(i))
+        }
+        i -> (decCnt(i) + tieCnt(i)).toDouble / den
+      }.toMap
+      var total = 0.0
+      models.foreach(i => total += unnorm(i))
+      w = models.map(i => i -> unnorm(i) / total).toMap
+      // θ half-round on the fresh strengths, denominators frozen at θ
+      var c = 0.0
+      pairsSorted.foreach { case (i, j, dij, eij, _) =>
+        c += (dij + eij).toDouble * w(j) / (w(i) + theta * w(j))
+      }
+      if (tiesTotal > 0L) {
+        val r = tiesTotal.toDouble / c
+        theta = r + math.sqrt(r * r + 1.0)
+      }
+    }
+    import spark.implicits._
+    models.toSeq.map(i => (i, decCnt(i), lossCnt(i), tieCnt(i), w(i), theta))
+      .toDF("model", "n_wins", "n_losses", "n_ties", "strength", "theta")
+  }
 }

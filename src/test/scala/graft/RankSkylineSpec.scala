@@ -692,6 +692,48 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("neither side")))
   }
 
+  test("bradleyTerryRaoKupper: no ties reduces to BT with theta 1; ties raise theta") {
+    import graft.llm.Chat
+    // zero ties: theta stays exactly 1 and every w-round is the plain
+    // BT update (theta=1 makes both denominators (w_i + w_j))
+    val decisive = Seq(("a", "b", "a"), ("a", "b", "a"), ("a", "b", "b"),
+      ("b", "c", "b"), ("a", "c", "a")).toDF("ma", "mb", "winner")
+    val rk = Chat.bradleyTerryRaoKupper(decisive, "ma", "mb", "winner", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val plain = Chat.bradleyTerry(
+      decisive.select(col("winner"),
+        when(col("winner") === col("ma"), col("mb")).otherwise(col("ma")).as("loser")),
+      "winner", "loser", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rk.foreach { case (m, (_, _, t, s, th)) =>
+      assert(t == 0L && th == 1.0)
+      assert(math.abs(s - plain(m)) < 1e-15, s"model $m")
+    }
+    // symmetric battles with ties: strengths stay equal, theta > 1 and
+    // grows with the tie fraction (the RK threshold is the tie-rate dial)
+    def arena(ties: Int) = (Seq(("a", "b", "a"), ("a", "b", "b")) ++
+      Seq.fill(ties)(("a", "b", null: String))).toDF("ma", "mb", "winner")
+    val lo = Chat.bradleyTerryRaoKupper(arena(1), "ma", "mb", "winner", iters = 6)
+      .collect()
+    val hi = Chat.bradleyTerryRaoKupper(arena(8), "ma", "mb", "winner", iters = 6)
+      .collect()
+    assert(lo.map(_.getDouble(4)).forall(s => math.abs(s - 0.5) < 1e-12))
+    val thLo = lo.head.getDouble(5); val thHi = hi.head.getDouble(5)
+    assert(thLo > 1.0 && thHi > thLo, s"theta lo=$thLo hi=$thHi")
+    // partition invariance: driver folds are sorted, not arrival-order
+    val shuffled = Chat.bradleyTerryRaoKupper(arena(8).repartition(13),
+      "ma", "mb", "winner", iters = 6).collect()
+    assert(shuffled.map(_.toSeq).toSeq == hi.map(_.toSeq).toSeq)
+    // guard parity with the split arm
+    val bad = Seq(("a", "b", "zzz")).toDF("ma", "mb", "winner")
+    val e = intercept[Exception](
+      Chat.bradleyTerryRaoKupper(bad, "ma", "mb", "winner").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("neither side")))
+  }
+
   test("winMatrixTies: tie column, split-tie rate, guard on bad winner") {
     import graft.llm.Chat
     val b = Seq(("a", "b", "a"), ("a", "b", "a"), ("b", "a", null: String),
