@@ -2674,6 +2674,40 @@ object SparkEntry {
     // read back through the real DataSourceV2 push source, and decoded
     // with from_json. Status ticks ride negative seq slots. The oracle
     // replays the frame order, keyOf routing, and lifecycle rows in SQL.
+    // Push / push-pull / generic-push adapter wire contract as a driver
+    // row (the q_websocket replay pattern, VERDICT r15 #6): seeded
+    // history (the PULL side) replays FIRST through the real
+    // DataSourceV2 MicroBatchStream, a live wave lands in the same
+    // first trigger, and a second wave pushed AFTER a committed offset
+    // arrives in a later micro-batch — replay→live in ONE stream, the
+    // pushpulladapter.py contract. Every tick derives from the events
+    // table, so the oracle replays the exact row set in SQL.
+    "q_push_adapter" -> { (s, dir) =>
+      import graft.streaming.PushQueue
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = s"oracle_push_${wsRun.incrementAndGet()}"
+      PushQueue.clear(qn)
+      def wave(m: Long) = Sources.table(s, dir, "events")
+        .filter(col("event_id") % 23 === m).orderBy("event_id")
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .collect().map(r => PushQueue.PushedTick(
+          key = r.getAs[String]("event_type"),
+          tsMicros = r.getAs[Long]("event_id") * 1000L,
+          seq = r.getAs[Long]("event_id"), value = r.getAs[Double]("value"),
+          text = s"u${r.getAs[Long]("user_id")}"))
+      PushQueue.seed(qn, wave(0).toSeq) // history: replays before any live tick
+      wave(1).foreach(t => PushQueue.push(qn, t.key, t.tsMicros, t.seq, t.value, t.text))
+      val q = PushQueue.readStream(s, qn)
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        q.processAllAvailable() // history + wave 1 committed
+        wave(2).foreach(t => PushQueue.push(qn, t.key, t.tsMicros, t.seq, t.value, t.text))
+        q.processAllAvailable() // live wave past the committed offset
+      } finally q.stop()
+      s.table(qn).select(col("key"), unix_micros(col("ts")).as("ts_us"),
+        col("seq"), col("value"), col("text"))
+    },
     "q_websocket" -> { (s, dir) =>
       import graft.streaming.{AdapterStatus, PushQueue, WebSocketAdapter}
       import org.apache.spark.sql.streaming.Trigger
@@ -7181,6 +7215,12 @@ object SparkEntry {
         |FROM wins JOIN s2 ON s2.i = wins.i""".stripMargin,
     // frame order (seq = delivery index), keyOf routing, JSON round
     // trip, and the two lifecycle status ticks on negative seq slots
+    // the push log is exactly the three event waves; ts is the pushed
+    // micros, text the generic payload — order irrelevant (hash sorts)
+    "q_push_adapter" ->
+      """SELECT event_type AS key, event_id * 1000 AS ts_us, event_id AS seq,
+        |  value, 'u' || CAST(user_id AS VARCHAR) AS text
+        |FROM events WHERE event_id % 23 < 3""".stripMargin,
     "q_websocket" ->
       """WITH f AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS seq,
         |    CASE WHEN event_type = 'purchase' THEN 'buy' ELSE 'other' END AS key,
