@@ -362,6 +362,18 @@ object Behavior {
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary")))
     val n = per.count()
+    rfmScores(per, n, q)
+  }
+
+  /** Band-scoring core of [[rfm]], shared with the live runner
+    * ([[graft.streaming.BehaviorStream.RfmLive]] re-resolves the same
+    * boundaries per micro-batch): `per` is the (u, recency_days,
+    * frequency, monetary) per-unit table with `n` exact rows,
+    * MATERIALIZED by the caller (persist barrier or local checkpoint —
+    * [[Selection.orderStatistics]] scans it several times). Output is
+    * a pure projection over the 3·(q−1) boundary literals, so batch
+    * and stream agree bit-for-bit on identical `per` rows. */
+  private[graft] def rfmScores(per: DataFrame, n: Long, q: Int): DataFrame = {
     val base = per.select(col("u"), col("recency_days"), col("frequency"),
       col("monetary"))
     if (n == 0)

@@ -54,4 +54,70 @@ object BehaviorStream {
           out.iterator
       }
   }
+
+  /** Live RFM leaderboard — the streaming boundary refresh for the
+    * selection-backed banding family (VERDICT r15 #5): rfm / gains /
+    * timeToConvert resolve a handful of boundary LITERALS, so a live
+    * twin needs no per-row streaming state for the banding at all —
+    * each micro-batch folds its per-unit partial aggregates into a
+    * running per-unit table (all three aggregates are mergeable: max
+    * event micros, count, exact DECIMAL spend), then re-resolves the
+    * 3·(q−1) boundaries on the refreshed table and publishes the full
+    * banded snapshot. Boundaries ride [[graft.operators.Selection]]'s
+    * aggregate-only scans (broadcast-refresh shape — a few literals,
+    * no state store), so a 100 TB live leaderboard re-resolves bands
+    * with O(kB·rounds) network per trigger.
+    *
+    * Wire into `events.writeStream.foreachBatch(live.foreachBatch _)`;
+    * read the latest banded table from [[RfmLive.snapshot]]. The
+    * running per-unit table is local-checkpointed each batch (lineage
+    * truncation + the materialization [[Selection.orderStatistics]]
+    * needs); swap the in-session store for a keyed upsert sink
+    * (Delta/Hudi) when the unit universe outgrows one cluster's cache.
+    *
+    * Parity contract (spec-pinned): because the merged per-unit
+    * aggregates are exactly the batch aggregates (decimal addition is
+    * exact and associative; max/count trivially so) and
+    * [[graft.operators.Behavior.rfmScores]] is a pure projection over
+    * the boundary literals, the snapshot after the last batch is
+    * BIT-IDENTICAL to `Behavior.rfm` over the same events. */
+  final class RfmLive(userCol: String, tsCol: String, typeCol: String,
+                      valueCol: String, convType: String,
+                      nowMicros: Long, q: Int) {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+
+    @volatile private var store: DataFrame = null // (u, __mx, __cnt, __sm)
+    @volatile private var latest: DataFrame = null
+
+    def foreachBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val part = batch.filter(col(typeCol) === convType)
+        .groupBy(col(userCol).as("u"))
+        .agg(max(unix_micros(col(tsCol))).as("__mx"),
+          count(lit(1)).as("__cnt"),
+          sum(col(valueCol).cast("decimal(18,2)")).as("__sm"))
+      val merged = if (store == null) part
+        else store.unionByName(part).groupBy("u")
+          .agg(max(col("__mx")).as("__mx"), sum(col("__cnt")).as("__cnt"),
+            sum(col("__sm")).cast("decimal(18,2)").as("__sm"))
+      // eager local checkpoint: truncates cross-batch lineage AND
+      // materializes the table orderStatistics scans several times;
+      // dropping the previous store reference lets the ContextCleaner
+      // evict its checkpoint blocks (no manual unpersist — a reader may
+      // still hold the previous snapshot for one batch)
+      val next = merged.localCheckpoint(true)
+      store = next
+      val per = next.select(col("u"),
+        floor((lit(nowMicros) - col("__mx")) / lit(86400000000.0)).as("recency_days"),
+        col("__cnt").as("frequency"), col("__sm").cast("double").as("monetary"))
+      latest = graft.operators.Behavior.rfmScores(per, next.count(), q)
+    }
+
+    /** The banded table as of the last completed batch. */
+    def snapshot: DataFrame = {
+      val l = latest
+      require(l != null, "RfmLive: no batch processed yet")
+      l
+    }
+  }
 }

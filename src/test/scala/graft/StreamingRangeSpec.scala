@@ -12,6 +12,7 @@ import graft.operators.{RangeJoin, Sessionize}
 case class PointRow(p_id: Long, p_user: Long, p_ts: Timestamp)
 case class IntervalRow(i_id: Long, i_user: Long, lo: Timestamp, hi: Timestamp)
 case class SessRow(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+case class RfmRow(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
 /** Streaming twins of the range-join and sessionization batch arms:
   * Structured Streaming's stream-stream interval join and
@@ -97,6 +98,37 @@ class StreamingRangeSpec extends AnyFunSuite {
         assert(byStage.getOrElse(i, (0L, 0L)) == batch(i), s"stage $i")
       }
     } finally q.stop()
+  }
+
+  test("RfmLive boundary refresh: streamed snapshot == batch Behavior.rfm, bit-identical") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evd = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val now = 1706745600000000L
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.toVector).sortBy(_.head.asInstanceOf[Long]).toVector
+    val batch = canon(graft.operators.Behavior
+      .rfm(evd, "user_id", "ts", "event_type", "value", "purchase", now, 5).collect())
+    graft.util.Caching.release()
+
+    // same events in ts order, three micro-batches: each batch folds its
+    // per-unit partials into the running store and re-resolves the band
+    // boundaries (a handful of literals - no streaming state)
+    val rows = evd.select("user_id", "ts", "event_type", "value")
+      .as[RfmRow].collect().sortBy(_.ts.getTime)
+    val live = new graft.streaming.BehaviorStream.RfmLive(
+      "user_id", "ts", "event_type", "value", "purchase", now, 5)
+    val mem = MemoryStream[RfmRow]
+    val q = mem.toDF().writeStream.foreachBatch(live.foreachBatch _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { c =>
+        mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(canon(live.snapshot.collect()) == batch,
+      "merged per-unit aggregates + re-resolved boundaries must replay batch rfm exactly")
+    graft.util.Caching.release()
   }
 
   test("session_window streaming == batch Sessionize on fixture events") {
