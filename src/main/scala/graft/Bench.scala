@@ -130,7 +130,12 @@ object Bench {
       // r15 additions: the r14 verdict's unattributed >1.3× suite-min
       // movers (all untouched code) — isolated pins each round settle
       // suite-interleaving vs regression mechanically
-      "q_bfs", "q_useragent", "q4_order_rank", "q_poisson_timer")
+      "q_bfs", "q_useragent", "q4_order_rank", "q_poisson_timer",
+      // r16 addition: the r15 round's one unattributed >1.3× mover
+      // (0.59 → 0.85 s with no Db.scala commits — embedded Derby
+      // shares the bench JVM's disk/lock budget, so its suite median
+      // inherits whatever the co-scheduled queries are doing)
+      "q_jdbc_roundtrip")
 
   /** Content-identical multi-file copy of the fixture dir under /tmp.
     * The driver fixtures are ONE parquet row group per table, so a big
