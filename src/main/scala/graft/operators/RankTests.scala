@@ -591,14 +591,20 @@ object RankTests {
         coalesce(sum(col("__t")).over(wPrev), lit(0L)))
       .select(explode(col("__ss")).as("__s"),
         (lit(2) * col("__cum") + col("__t") + 1).as("__r2"))
-    val sysSums = rankedRows.groupBy(col("__s")).agg(sum(col("__r2")).as("__R2"))
-      .agg(coalesce(sum(d38(col("__R2")) * col("__R2")), lit(0))
-        .cast("decimal(38,0)").as("__ssq_sys"))
-    val totals = rankedRows.agg(
-      sum(d38(col("__r2")) * col("__r2")).as("__ssq_all"))
+    // ONE pass over the exploded ranks: the ≤k-row per-system table
+    // carries both Σr2 (for Σ_j R2_j²) and Σr2² partials (decimal
+    // addition is associative, so the folded total is bit-identical to
+    // the r15 whole-table aggregate this replaces — which re-ran the
+    // window+explode a second time just for Σr2²)
+    val perSys = rankedRows.groupBy(col("__s"))
+      .agg(sum(col("__r2")).as("__R2"),
+        sum(d38(col("__r2")) * col("__r2")).as("__sq"))
+    val sums = perSys.agg(
+      coalesce(sum(d38(col("__R2")) * col("__R2")), lit(0))
+        .cast("decimal(38,0)").as("__ssq_sys"),
+      sum(col("__sq")).as("__ssq_all"))
     val nItems = blocks.agg(countDistinct(col("__i")).as("n_items"))
-    nItems.crossJoin(sysSums)
-      .crossJoin(totals)
+    nItems.crossJoin(sums)
       .crossJoin(broadcast(kTab))
       .withColumn("k", col("__k"))
       .withColumn("__num",
