@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.GraftSession
+
+/** A/B for the r16 Kendall continuous arm: exact C/D pair counts on a
+  * fully continuous (x, y) — every row its own cell — three ways:
+  *
+  *  (a) the quadratic dominance broadcast self-join (the bounded arm,
+  *      |cells|² comparisons) — only run while |cells|² stays sane;
+  *  (b) [[graft.operators.KendallContinuous]] — dense-grid 2-D prefix
+  *      sums + two per-bucket Fenwick sorted scans, O(n log n);
+  *
+  * plus (b) alone at 10× and 100× the crossover size, where (a) would
+  * be 10¹²+ comparisons. Valid only if (a) and (b) return identical
+  * (concordant, discordant, tau_b) bits at every common size.
+  *
+  * Usage: runMain graft.ProfileKendall [nSmall] [factors...]
+  */
+object ProfileKendall {
+  def main(args: Array[String]): Unit = {
+    val nSmall = args.lift(0).map(_.toLong).getOrElse(30000L)
+    val factors = if (args.length > 1) args.drop(1).map(_.toLong).toSeq else Seq(10L, 100L)
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fixture(n: Long) = {
+      // continuous x, y correlated with hash noise — |distinct| = |rows|
+      val d = spark.range(n).select(
+        (col("id") + pmod(xxhash64(col("id")), lit(1000000L)) / lit(1e6)).as("x"),
+        (col("id") * 0.6 + pmod(xxhash64(col("id"), lit(1L)), lit(n * 2)).cast("double")).as("y"))
+      d.count(); d
+    }
+    def time(tag: String, n: Long)(f: => String): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"""{"kendall_ab":"$tag","n":$n,"result":"$out","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+    def run(df: org.apache.spark.sql.DataFrame, maxCells: Long): String = {
+      val r = graft.operators.RankTests.kendallTau(df, "x", "y", maxCells = maxCells).head()
+      graft.util.Caching.release()
+      s"C=${r.getDouble(1)} D=${r.getDouble(2)} tau=${r.getDouble(3)}"
+    }
+    for (pass <- 1 to 2) { // pass 1 warms the JVM, pass 2 is the record
+      val small = fixture(nSmall)
+      time(if (pass == 1) "warm_quadratic" else "quadratic", nSmall)(run(small, Long.MaxValue))
+      time(if (pass == 1) "warm_continuous" else "continuous", nSmall)(run(small, 1L))
+    }
+    factors.foreach { k =>
+      val n = nSmall * k
+      val big = fixture(n)
+      time("continuous", n)(run(big, 1L))
+    }
+    spark.stop()
+  }
+}

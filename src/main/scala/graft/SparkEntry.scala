@@ -3373,6 +3373,20 @@ object SparkEntry {
         .select(col("n"), col("concordant"), col("discordant"),
           round(col("tau_b"), 8).as("tau_b"))
     },
+    // Full rank-association family (RankTests.rankAssociation): τ-a,
+    // τ-b, Stuart τ-c, Goodman–Kruskal γ, Somers' D both directions —
+    // one pass of the kendall machinery (same cells, same C/D arms).
+    "q_rank_assoc" -> { (s, dir) =>
+      graft.operators.RankTests.rankAssociation(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("price_k", floor(col("l_extendedprice") / lit(1000.0)).cast(LongType)),
+        "l_quantity", "price_k")
+        .select(col("n"), col("concordant"), col("discordant"),
+          round(col("tau_a"), 8).as("tau_a"), round(col("tau_b"), 8).as("tau_b"),
+          round(col("tau_c"), 8).as("tau_c"), round(col("gamma"), 8).as("gamma"),
+          round(col("somers_d_yx"), 8).as("somers_d_yx"),
+          round(col("somers_d_xy"), 8).as("somers_d_xy"))
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -8221,6 +8235,39 @@ object SparkEntry {
         |SELECT n, concordant, discordant,
         |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
         |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
+        |FROM v""".stripMargin,
+    // same exact C/D/tie machinery as q_kendall plus distinct counts;
+    // every association measure is one fixed IEEE chain
+    "q_rank_assoc" ->
+      """WITH d AS (SELECT l_quantity AS x,
+        |    CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS y FROM lineitem),
+        |cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS discordant
+        |  FROM cells a JOIN cells b ON b.x < a.x),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS dx,
+        |    CAST(COUNT(DISTINCT y) AS BIGINT) AS dy FROM cells),
+        |tx AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n12
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n22
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |v AS (SELECT n, concordant, discordant,
+        |    CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE) AS n02, n12, n22,
+        |    CAST(LEAST(dx, dy) AS DOUBLE) AS m,
+        |    concordant - discordant AS cmd
+        |  FROM nn, cd, tx, ty)
+        |SELECT n, concordant, discordant,
+        |  round(CASE WHEN n02 > 0 THEN 2.0 * cmd / n02 END, 8) AS tau_a,
+        |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
+        |    2.0*cmd/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b,
+        |  round(CASE WHEN n > 0 AND m > 1 THEN
+        |    2.0 * m * cmd / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (m - 1)) END, 8) AS tau_c,
+        |  round(CASE WHEN concordant + discordant > 0 THEN
+        |    cmd / (concordant + discordant) END, 8) AS gamma,
+        |  round(CASE WHEN n02 - n12 > 0 THEN 2.0 * cmd / (n02 - n12) END, 8) AS somers_d_yx,
+        |  round(CASE WHEN n02 - n22 > 0 THEN 2.0 * cmd / (n02 - n22) END, 8) AS somers_d_xy
         |FROM v""".stripMargin,
     // exact Σx/Σx² per side, fixed IEEE chain for mean/var/t/df
     "q_welch_t" ->

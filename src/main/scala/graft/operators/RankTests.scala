@@ -275,7 +275,22 @@ object RankTests {
     * is constant. Like the adaptive rank arms, this builder is EAGER
     * (the routing count runs a job at call time). */
   def kendallTau(df: DataFrame, xCol: String, yCol: String,
-                 maxCells: Long = 100000, buckets: Int = 1024): DataFrame = {
+                 maxCells: Long = 100000, buckets: Int = 1024): DataFrame =
+    kendallStats(df, xCol, yCol, maxCells, buckets, withDistinct = false)
+      .withColumn("tau_b",
+        when((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")) > 0,
+          lit(2.0) * (col("concordant") - col("discordant")) /
+            sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
+      .select(col("n"), col("concordant"), col("discordant"), col("tau_b"))
+
+  /** Shared sufficient-statistics frame for the pairwise-association
+    * family: one row with n, exact C/D (as doubles of exact integers),
+    * the DOUBLED pair terms __n02 = n(n−1), __n12/__n22 = Σ t(t−1)
+    * over x/y tie blocks, and (when `withDistinct`) the distinct value
+    * counts __dx/__dy. Arm routing per the [[kendallTau]] doc. */
+  private def kendallStats(df: DataFrame, xCol: String, yCol: String,
+                           maxCells: Long, buckets: Int,
+                           withDistinct: Boolean): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     val cells = graft.util.Caching.barrier(
       df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c")))
@@ -289,23 +304,67 @@ object RankTests {
           sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
             .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
     } else KendallContinuous.cd(cells, buckets)
-    val nn = cells.agg(sum(col("c")).as("n"))
+    val nAggs = sum(col("c")).as("n") +:
+      (if (withDistinct) Seq(countDistinct(col("x")).as("__dx"),
+        countDistinct(col("y")).as("__dy")) else Nil)
+    val nn = cells.agg(nAggs.head, nAggs.tail: _*)
     def ties(key: String, out: String) = cells.groupBy(col(key))
       .agg(sum(col("c")).as("__t"))
       .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
         .cast("decimal(38,0)").as(out))
     nn.crossJoin(cd).crossJoin(ties("x", "__tx2")).crossJoin(ties("y", "__ty2"))
-      .select(col("n"),
-        coalesce(col("__c"), lit(0)).cast("double").as("concordant"),
-        coalesce(col("__d"), lit(0)).cast("double").as("discordant"),
-        (d38(col("n")) * (col("n") - 1)).cast("double").as("__n02"),
-        col("__tx2").cast("double").as("__n12"),
-        col("__ty2").cast("double").as("__n22"))
-      .withColumn("tau_b",
+      .select(col("n") +:
+        coalesce(col("__c"), lit(0)).cast("double").as("concordant") +:
+        coalesce(col("__d"), lit(0)).cast("double").as("discordant") +:
+        (d38(col("n")) * (col("n") - 1)).cast("double").as("__n02") +:
+        col("__tx2").cast("double").as("__n12") +:
+        col("__ty2").cast("double").as("__n22") +:
+        (if (withDistinct) Seq(col("__dx"), col("__dy")) else Nil): _*)
+  }
+
+  /** The full pairwise rank-association readout from ONE pass of
+    * [[kendallTau]]'s machinery (same cell collapse, same C/D arms,
+    * same routing): alongside τ-b —
+    *
+    *  - **τ-a** = (C−D)/n₀: the untied-denominator form;
+    *  - **τ-c** (Stuart 1953) = 2m(C−D)/(n²(m−1)), m = min(|x|, |y|)
+    *    distinct values — the rectangular-table correction;
+    *  - **Goodman–Kruskal γ** (1954) = (C−D)/(C+D): ties ignored
+    *    entirely — the ordinal-table association measure;
+    *  - **Somers' D** (1962), both directions, named by the DEPENDENT
+    *    variable (Agresti's d_{YX} convention; texts disagree on the
+    *    letters, so the denominators are the contract):
+    *    `somers_d_yx` = (C−D)/(n₀−n₁) (pairs untied on x) and
+    *    `somers_d_xy` = (C−D)/(n₀−n₂) (pairs untied on y). With a
+    *    continuous score x against a binary outcome y, `somers_d_xy`
+    *    (untied-on-outcome pairs — exactly AUC's pos×neg pairs) is THE
+    *    model-discrimination metric: Gini = 2·AUC−1, spec-pinned.
+    *
+    * All from exact integer C/D/tie terms; each ratio is one fixed
+    * IEEE chain. Degenerate denominators yield null, not a throw. One
+    * row: (n, concordant, discordant, tau_a, tau_b, tau_c, gamma,
+    * somers_d_yx, somers_d_xy). Eager, like [[kendallTau]]. */
+  def rankAssociation(df: DataFrame, xCol: String, yCol: String,
+                      maxCells: Long = 100000, buckets: Int = 1024): DataFrame = {
+    val s = kendallStats(df, xCol, yCol, maxCells, buckets, withDistinct = true)
+    val cmd = col("concordant") - col("discordant")
+    val m = least(col("__dx"), col("__dy")).cast("double")
+    s.select(col("n"), col("concordant"), col("discordant"),
+        when(col("__n02") > 0, lit(2.0) * cmd / col("__n02")).as("tau_a"),
         when((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")) > 0,
-          lit(2.0) * (col("concordant") - col("discordant")) /
-            sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
-      .select(col("n"), col("concordant"), col("discordant"), col("tau_b"))
+          lit(2.0) * cmd /
+            sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22"))))
+          .as("tau_b"),
+        when(col("n") > 0 && m > 1,
+          lit(2.0) * m * cmd /
+            (col("n").cast("double") * col("n").cast("double") * (m - 1)))
+          .as("tau_c"),
+        when(col("concordant") + col("discordant") > 0,
+          cmd / (col("concordant") + col("discordant"))).as("gamma"),
+        when(col("__n02") - col("__n12") > 0,
+          lit(2.0) * cmd / (col("__n02") - col("__n12"))).as("somers_d_yx"),
+        when(col("__n02") - col("__n22") > 0,
+          lit(2.0) * cmd / (col("__n02") - col("__n22"))).as("somers_d_xy"))
   }
 
   /** Welch's unequal-variance t-test from DECIMAL power sums: one

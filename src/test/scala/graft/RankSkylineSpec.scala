@@ -692,6 +692,34 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("neither side")))
   }
 
+  test("rankAssociation: textbook monotone table; Somers' D(y|x) on binary y == 2*AUC-1") {
+    // perfectly monotone, no ties: every measure is exactly 1
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    val r = RankTests.rankAssociation(up, "x", "y").head
+    Seq("tau_a", "tau_b", "tau_c", "gamma", "somers_d_yx", "somers_d_xy")
+      .foreach(c => assert(r.getAs[Double](c) == 1.0, c))
+    // binary outcome y vs continuous score x: the untied-on-outcome
+    // direction (somers_d_xy: denominator = AUC's pos×neg pairs) obeys
+    // the Gini/model-discrimination identity 2*AUC - 1
+    val scored = Seq((2.0, 1), (4.0, 1), (1.0, 0), (3.0, 0), (3.0, 0), (5.0, 1))
+      .toDF("s", "label")
+    val d = RankTests.rankAssociation(scored, "s", "label").head.getAs[Double]("somers_d_xy")
+    val auc = RankTests.auc(scored, "label", "s").head.getAs[Double]("auc")
+    assert(math.abs(d - (2 * auc - 1)) < 1e-12, s"somers $d vs auc $auc")
+    // gamma ignores ties entirely: (C-D)/(C+D)
+    val rr = RankTests.rankAssociation(scored, "s", "label").head
+    assert(rr.getAs[Double]("gamma") ==
+      (rr.getAs[Double]("concordant") - rr.getAs[Double]("discordant")) /
+        (rr.getAs[Double]("concordant") + rr.getAs[Double]("discordant")))
+    // constant y: direction-dependent nulls, no divide-by-zero
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    val rc = RankTests.rankAssociation(const, "x", "y").head
+    assert(rc.isNullAt(rc.fieldIndex("tau_b")) && rc.isNullAt(rc.fieldIndex("gamma")) &&
+      rc.isNullAt(rc.fieldIndex("somers_d_xy")) && rc.isNullAt(rc.fieldIndex("tau_c")))
+    assert(rc.getAs[Double]("somers_d_yx") == 0.0) // untied-x pairs exist, all y-tied
+    graft.util.Caching.release()
+  }
+
   test("bradleyTerryRaoKupper: no ties reduces to BT with theta 1; ties raise theta") {
     import graft.llm.Chat
     // zero ties: theta stays exactly 1 and every w-round is the plain
