@@ -273,9 +273,15 @@ object RankTests {
     * IEEE chain both engines replay. One row:
     * (n, concordant, discordant, tau_b); τ null when either variable
     * is constant. Like the adaptive rank arms, this builder is EAGER
-    * (the routing count runs a job at call time). */
+    * (the routing count runs a job at call time).
+    *
+    * Default `maxCells` sits at the MEASURED arm crossover
+    * (ProfileKendall, local[32], warm: quadratic 4.4 s vs continuous
+    * 3.7 s at 30k fully-distinct cells; the continuous arm then takes
+    * 100× the cells for 2× the wall — 3M cells in 7.6 s where the
+    * join would be 9·10¹² comparisons). */
   def kendallTau(df: DataFrame, xCol: String, yCol: String,
-                 maxCells: Long = 100000, buckets: Int = 1024): DataFrame =
+                 maxCells: Long = 30000, buckets: Int = 1024): DataFrame =
     kendallStats(df, xCol, yCol, maxCells, buckets, withDistinct = false)
       .withColumn("tau_b",
         when((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")) > 0,
@@ -345,7 +351,7 @@ object RankTests {
     * row: (n, concordant, discordant, tau_a, tau_b, tau_c, gamma,
     * somers_d_yx, somers_d_xy). Eager, like [[kendallTau]]. */
   def rankAssociation(df: DataFrame, xCol: String, yCol: String,
-                      maxCells: Long = 100000, buckets: Int = 1024): DataFrame = {
+                      maxCells: Long = 30000, buckets: Int = 1024): DataFrame = {
     val s = kendallStats(df, xCol, yCol, maxCells, buckets, withDistinct = true)
     val cmd = col("concordant") - col("discordant")
     val m = least(col("__dx"), col("__dy")).cast("double")
