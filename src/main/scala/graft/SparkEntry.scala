@@ -3373,6 +3373,18 @@ object SparkEntry {
         .select(col("n"), col("concordant"), col("discordant"),
           round(col("tau_b"), 8).as("tau_b"))
     },
+    // Mann–Kendall trend test (RankTests.mannKendall): is the event
+    // metric drifting over time — S = C−D against the ts axis with
+    // Kendall's full both-sides tie-corrected null variance; the
+    // injected event_id/500 drift makes S strongly positive.
+    "q_mann_kendall" -> { (s, dir) =>
+      graft.operators.RankTests.mannKendall(
+        Sources.table(s, dir, "events")
+          .withColumn("yv", col("value") + col("event_id") / lit(500.0)),
+        "ts", "yv")
+        .select(col("n"), col("s"), round(col("var_s"), 4).as("var_s"),
+          round(col("z"), 8).as("z"))
+    },
     // Full rank-association family (RankTests.rankAssociation): τ-a,
     // τ-b, Stuart τ-c, Goodman–Kruskal γ, Somers' D both directions —
     // one pass of the kendall machinery (same cells, same C/D arms).
@@ -8235,6 +8247,40 @@ object SparkEntry {
         |SELECT n, concordant, discordant,
         |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
         |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
+        |FROM v""".stripMargin,
+    // S = C−D over the (ts, y) cell table; Kendall's full tie-corrected
+    // variance from the same per-block HUGEINT sums; ±1 continuity z
+    "q_mann_kendall" ->
+      """WITH d AS (SELECT ts AS x, value + event_id / 500.0 AS y FROM events),
+        |cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS cc,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS dd
+        |  FROM cells a JOIN cells b ON b.x < a.x),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS tx2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS tx25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS tx3
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS ty2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS ty25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS ty3
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |v AS (SELECT n, cc - dd AS s,
+        |    CASE WHEN n >= 3 THEN
+        |      (CAST(CAST(n AS HUGEINT)*(n-1)*(2*n+5) AS DOUBLE) - tx25 - ty25) / 18.0
+        |      + (CASE WHEN n >= 3 THEN tx3 * ty3
+        |          / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2))
+        |         ELSE 0.0 END)
+        |      + tx2 * ty2 / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |    END AS var_s
+        |  FROM nn, cd, tx, ty)
+        |SELECT n, s, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN var_s > 0 THEN
+        |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+        |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
         |FROM v""".stripMargin,
     // same exact C/D/tie machinery as q_kendall plus distinct counts;
     // every association measure is one fixed IEEE chain

@@ -298,18 +298,7 @@ object RankTests {
                            maxCells: Long, buckets: Int,
                            withDistinct: Boolean): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
-    val cells = graft.util.Caching.barrier(
-      df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c")))
-    val nCells = cells.count()
-    val cd = if (nCells <= maxCells) {
-      val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
-      cells.join(broadcast(right), col("x2") < col("x"))
-        .agg(
-          sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-            .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-          sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-            .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
-    } else KendallContinuous.cd(cells, buckets)
+    val (cells, cd) = cellsAndCd(df, xCol, yCol, maxCells, buckets)
     val nAggs = sum(col("c")).as("n") +:
       (if (withDistinct) Seq(countDistinct(col("x")).as("__dx"),
         countDistinct(col("y")).as("__dy")) else Nil)
@@ -326,6 +315,27 @@ object RankTests {
         col("__tx2").cast("double").as("__n12") +:
         col("__ty2").cast("double").as("__n22") +:
         (if (withDistinct) Seq(col("__dx"), col("__dy")) else Nil): _*)
+  }
+
+  /** The (barriered cell table, one-row exact C/D frame) pair shared
+    * by the whole pairwise-association family — the cell collapse plus
+    * the routed C/D arms per the [[kendallTau]] doc. */
+  private def cellsAndCd(df: DataFrame, xCol: String, yCol: String,
+                         maxCells: Long, buckets: Int): (DataFrame, DataFrame) = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.util.Caching.barrier(
+      df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c")))
+    val nCells = cells.count()
+    val cd = if (nCells <= maxCells) {
+      val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+      cells.join(broadcast(right), col("x2") < col("x"))
+        .agg(
+          sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+            .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+          sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+            .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    } else KendallContinuous.cd(cells, buckets)
+    (cells, cd)
   }
 
   /** The full pairwise rank-association readout from ONE pass of
@@ -371,6 +381,60 @@ object RankTests {
           lit(2.0) * cmd / (col("__n02") - col("__n12"))).as("somers_d_yx"),
         when(col("__n02") - col("__n22") > 0,
           lit(2.0) * cmd / (col("__n02") - col("__n22"))).as("somers_d_xy"))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) — "is this
+    * metric drifting" over a time axis: S = Σ_{i<j in time}
+    * sign(y_j − y_i) is exactly C − D of [[kendallTau]]'s machinery
+    * with x = time, so the same cell collapse and the same two C/D
+    * arms (quadratic join / [[KendallContinuous]]) apply — a fully
+    * continuous metric rides the O(n log n) arm. Simultaneous
+    * observations (tied time) contribute no pair, the standard
+    * convention. The null variance carries Kendall's FULL both-sides
+    * tie correction (Kendall, Rank Correlation Methods §4; the usual
+    * hydrology form keeps only the first bracket):
+    *
+    *   Var(S) = [n(n−1)(2n+5) − Σtx(tx−1)(2tx+5) − Σty(ty−1)(2ty+5)]/18
+    *          + [Σtx(tx−1)(tx−2)·Σty(ty−1)(ty−2)] / (9n(n−1)(n−2))
+    *          + [Σtx(tx−1)·Σty(ty−1)] / (2n(n−1))
+    *
+    * with all tie sums exact DECIMAL(38,0) off the cell table. z gets
+    * the ±1 continuity correction (0 at S = 0); null when Var ≤ 0 or
+    * n < 3. One row: (n, s, var_s, z). Eager, like [[kendallTau]]. */
+  def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
+                  maxCells: Long = 30000, buckets: Int = 1024): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val (cells, cd) = cellsAndCd(df, tsCol, valueCol, maxCells, buckets)
+    val nn = cells.agg(sum(col("c")).as("n"))
+    // per tie-block sums: Σt(t−1), Σt(t−1)(2t+5), Σt(t−1)(t−2)
+    def ties(key: String, tag: String) = cells.groupBy(col(key))
+      .agg(sum(col("c")).as("__t"))
+      .agg(
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}2"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (lit(2) * col("__t") + 5)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}25"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}3"))
+    val nD = col("n").cast("double")
+    val s = coalesce(col("__c"), lit(0)).cast("double") -
+      coalesce(col("__d"), lit(0)).cast("double")
+    val varS =
+      ((d38(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5)).cast("double") -
+        col("__tx25").cast("double") - col("__ty25").cast("double")) / 18.0 +
+      when(col("n") >= 3,
+        col("__tx3").cast("double") * col("__ty3").cast("double") /
+          (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
+      col("__tx2").cast("double") * col("__ty2").cast("double") /
+        (lit(2.0) * nD * (nD - 1))
+    nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
+      .select(col("n"), s.as("s"),
+        when(col("n") >= 3, varS).as("var_s"))
+      .withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("n"), col("s"), col("var_s"), col("z"))
   }
 
   /** Welch's unequal-variance t-test from DECIMAL power sums: one

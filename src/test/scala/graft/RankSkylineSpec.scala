@@ -720,6 +720,30 @@ class RankSkylineSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("mannKendall: textbook monotone trend, tie-killed variance, arm parity") {
+    // y=(1,2,3) over t=(1,2,3): S=3, no ties -> Var = n(n-1)(2n+5)/18 = 66/18
+    val up = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
+    val r = RankTests.mannKendall(up, "t", "y").head
+    assert(r.getAs[Double]("s") == 3.0)
+    assert(math.abs(r.getAs[Double]("var_s") - 66.0 / 18) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(66.0 / 18)) < 1e-12)
+    // fully tied metric: the y tie block cancels the first bracket -> var 0, z null
+    val flat = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("t", "y")
+    val rf = RankTests.mannKendall(flat, "t", "y").head
+    assert(rf.getAs[Double]("s") == 0.0 && rf.isNullAt(rf.fieldIndex("z")))
+    // S == C - D of kendallTau on the same axes; continuous arm identical
+    val rnd = new scala.util.Random(41)
+    val mixed = (1 to 400).map(i => (i.toLong / 3, rnd.nextInt(9).toDouble))
+      .toDF("t", "y")
+    val mk = RankTests.mannKendall(mixed, "t", "y").head
+    val kt = RankTests.kendallTau(mixed, "t", "y").head
+    assert(mk.getAs[Double]("s") ==
+      kt.getAs[Double]("concordant") - kt.getAs[Double]("discordant"))
+    val mkC = RankTests.mannKendall(mixed, "t", "y", maxCells = 1, buckets = 7).head
+    assert(mkC.toSeq == mk.toSeq, "continuous arm must replay the bounded bits")
+    graft.util.Caching.release()
+  }
+
   test("bradleyTerryRaoKupper: no ties reduces to BT with theta 1; ties raise theta") {
     import graft.llm.Chat
     // zero ties: theta stays exactly 1 and every w-round is the plain
