@@ -3373,6 +3373,18 @@ object SparkEntry {
         .select(col("n"), col("concordant"), col("discordant"),
           round(col("tau_b"), 8).as("tau_b"))
     },
+    // Per-segment AUC (RankTests.aucBy): per event-type model
+    // discrimination — one segment-partitioned window, each segment's
+    // row bit-equal to running the global auc on that slice.
+    "q_auc_by" -> { (s, dir) =>
+      graft.operators.RankTests.aucBy(
+        Sources.table(s, dir, "events")
+          .withColumn("label", when(col("event_id") % 4 >= 2, 1).otherwise(0))
+          .withColumn("score", floor(col("value") * 10).cast(LongType)),
+        "event_type", "label", "score")
+        .select(col("segment"), col("n_pos"), col("n_neg"),
+          round(col("auc"), 8).as("auc"))
+    },
     // Mann–Kendall trend test (RankTests.mannKendall): is the event
     // metric drifting over time — S = C−D against the ts axis with
     // Kendall's full both-sides tie-corrected null variance; the
@@ -8248,6 +8260,29 @@ object SparkEntry {
         |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
         |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
         |FROM v""".stripMargin,
+    // per-segment rank-sum AUC: segment-partitioned exclusive prefix,
+    // 2x-rank integers, the same u_a/n_pos*n_neg IEEE chain per row
+    "q_auc_by" ->
+      """WITH d AS (SELECT event_type AS seg,
+        |    CASE WHEN event_id % 4 >= 2 THEN 1 ELSE 0 END AS l,
+        |    CAST(floor(value * 10) AS BIGINT) AS v FROM events),
+        |per AS (SELECT seg, v,
+        |    CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    count(*) AS t
+        |  FROM d GROUP BY 1, 2),
+        |r AS (SELECT seg, ca, cb, t, COALESCE(SUM(t) OVER (PARTITION BY seg
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM per),
+        |a AS (SELECT seg, CAST(SUM(ca) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cb) AS BIGINT) AS n_neg,
+        |    CAST(SUM(ca * (2 * cum + t + 1)) AS BIGINT) AS r2a
+        |  FROM r GROUP BY 1)
+        |SELECT seg AS segment, n_pos, n_neg,
+        |  round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (CAST(r2a AS DOUBLE) / 2 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 8) AS auc
+        |FROM a""".stripMargin,
     // S = C−D over the (ts, y) cell table; Kendall's full tie-corrected
     // variance from the same per-block HUGEINT sums; ±1 continuity z
     "q_mann_kendall" ->

@@ -489,6 +489,76 @@ object RankTests {
         (col("u_a") / (col("n_a").cast("double") * col("n_b").cast("double"))).as("auc"))
   }
 
+  /** Per-segment [[mannWhitney]] — the eval-dashboard shape ("is B
+    * better than A in every region"): ONE (segment, value) aggregate,
+    * ONE window PARTITIONED BY segment (balanced — the segment axis is
+    * the parallelism; the r13 plan-census rule's good case), one
+    * per-segment aggregate. Same exact 2×rank integer arithmetic as
+    * the global test, so each segment's row is bit-identical to
+    * running [[mannWhitney]] on that segment alone (spec-pinned). A
+    * continuous metric makes each segment's value table segment-sized
+    * — the in-window guard kills that loudly at `maxDistinct` (the
+    * per-segment twin of the global bounded arm's tripwire); bucket
+    * the metric first. One row per segment:
+    * (segment, n_a, n_b, r_a, u_a, u_b, z). */
+  def mannWhitneyBy(df: DataFrame, segCol: String, groupCol: String,
+                    valueCol: String, a: String, b: String,
+                    maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+    val perValue = df
+      .filter(col(groupCol) === a || col(groupCol) === b)
+      .groupBy(col(segCol).as("segment"), col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
+           sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val wPrev = Window.partitionBy("segment").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue.withColumn("cum",
+      coalesce(sum(col("t")).over(wPrev), lit(0L)) +
+        cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+          "RankTests.mannWhitneyBy"))
+    val r2 = lit(2) * col("cum") + col("t") + lit(1)
+    val agg = ranked.groupBy("segment").agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca") * r2).as("r2_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+    agg.select(
+      col("segment"), col("n_a"), col("n_b"),
+      (col("r2_a").cast("double") / 2).as("r_a"),
+      (col("r2_a").cast("double") / 2 -
+        col("n_a").cast("double") * (col("n_a").cast("double") + 1) / 2).as("u_a"),
+      (col("n_a").cast("double") * col("n_b").cast("double") -
+        (col("r2_a").cast("double") / 2 -
+          col("n_a").cast("double") * (col("n_a").cast("double") + 1) / 2)).as("u_b"),
+      col("tie_sum"))
+      .withColumn("__n", col("n_a").cast("double") + col("n_b").cast("double"))
+      .withColumn("__var",
+        col("n_a").cast("double") * col("n_b").cast("double") / 12 *
+          ((col("__n") + 1) - col("tie_sum").cast("double") /
+            (col("__n") * (col("__n") - 1))))
+      .withColumn("z",
+        when(col("__var") > 0,
+          (col("u_a") - col("n_a").cast("double") * col("n_b").cast("double") / 2) /
+            sqrt(col("__var"))))
+      .drop("tie_sum", "__n", "__var")
+  }
+
+  /** Per-segment ROC AUC — per-cohort model discrimination, THE eval
+    * slice readout — by the same rank-sum identity as [[auc]], riding
+    * [[mannWhitneyBy]]'s segment-partitioned machinery. One row per
+    * segment: (segment, n_pos, n_neg, auc); a segment missing either
+    * class yields null auc (0·n pairs), not a throw. */
+  def aucBy(df: DataFrame, segCol: String, labelCol: String, scoreCol: String,
+            maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+    val tagged = df.select(col(segCol).as("__seg"),
+      when(col(labelCol).cast("int") === 1, lit("p")).otherwise(lit("n")).as("__l"),
+      col(scoreCol).as("__s"))
+    mannWhitneyBy(tagged, "__seg", "__l", "__s", "p", "n", maxDistinct)
+      .select(col("segment"), col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("u_a") / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("auc"))
+  }
+
   /** Mutual information I(X;Y) in nats between two categorical
     * columns, plus the normalized variant I/min(H(X),H(Y)). Same
     * one-aggregate cell table as [[chiSquare]]; the log terms are

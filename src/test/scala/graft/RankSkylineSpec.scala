@@ -720,6 +720,44 @@ class RankSkylineSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("mannWhitneyBy/aucBy: each segment row == the global test on that slice") {
+    val rnd = new scala.util.Random(53)
+    val df = (1 to 600).map { i =>
+      val seg = s"s${i % 4}"
+      val g = if (rnd.nextBoolean()) "A" else "B"
+      (seg, g, rnd.nextInt(25).toDouble, if (g == "A") 1 else 0)
+    }.toDF("seg", "g", "v", "y")
+    val by = RankTests.mannWhitneyBy(df, "seg", "g", "v", "A", "B")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    (0 until 4).foreach { k =>
+      val slice = df.filter(col("seg") === s"s$k")
+      val global = RankTests.mannWhitney(slice, "g", "v", "A", "B").head.toSeq
+      assert(by(s"s$k") == global, s"segment s$k")
+      graft.util.Caching.release()
+    }
+    val aucs = RankTests.aucBy(df, "seg", "y", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    (0 until 4).foreach { k =>
+      val slice = df.filter(col("seg") === s"s$k")
+      assert(aucs(s"s$k") == RankTests.auc(slice, "y", "v").head.getAs[Double]("auc"))
+      graft.util.Caching.release()
+    }
+    // a segment missing one class: null auc, not NaN or a throw
+    val oneClass = Seq(("z", 1, 1.0), ("z", 1, 2.0), ("w", 1, 2.0), ("w", 0, 1.0))
+      .toDF("seg", "y", "v")
+    val r1 = RankTests.aucBy(oneClass, "seg", "y", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r1("z").isNullAt(3) && r1("w").getAs[Double]("auc") == 1.0)
+    // per-segment cardinality guard fires loudly
+    val dense = (1 to 500).map(i => ("one", if (i % 2 == 0) "A" else "B", i * 1.0))
+      .toDF("seg", "g", "v")
+    val e = intercept[Exception](
+      RankTests.mannWhitneyBy(dense, "seg", "g", "v", "A", "B", maxDistinct = 50).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxDistinct")))
+  }
+
   test("mannKendall: textbook monotone trend, tie-killed variance, arm parity") {
     // y=(1,2,3) over t=(1,2,3): S=3, no ties -> Var = n(n-1)(2n+5)/18 = 66/18
     val up = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
