@@ -3373,6 +3373,19 @@ object SparkEntry {
         .select(col("n"), col("concordant"), col("discordant"),
           round(col("tau_b"), 8).as("tau_b"))
     },
+    // Seasonal Mann–Kendall (RankTests.seasonalMannKendall): trend
+    // with a 7-season (synthetic day-of-week) split — pairs compare
+    // within season only; S and Var sum across seasons, the variance
+    // total folded in sorted season order for IEEE replay.
+    "q_seasonal_mk" -> { (s, dir) =>
+      graft.operators.RankTests.seasonalMannKendall(
+        Sources.table(s, dir, "events")
+          .withColumn("season", pmod(col("event_id"), lit(7L)))
+          .withColumn("yv", col("value") + col("event_id") / lit(500.0)),
+        "season", "ts", "yv")
+        .select(col("n"), col("n_seasons"), col("s"),
+          round(col("var_s"), 4).as("var_s"), round(col("z"), 8).as("z"))
+    },
     // Per-segment AUC (RankTests.aucBy): per event-type model
     // discrimination — one segment-partitioned window, each segment's
     // row bit-equal to running the global auc on that slice.
@@ -8260,6 +8273,48 @@ object SparkEntry {
         |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
         |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
         |FROM v""".stripMargin,
+    // per-season S/Var replay; the double variance total folds in
+    // sorted season order (list_sort + list_reduce, 0.0-seeded)
+    "q_seasonal_mk" ->
+      """WITH d AS (SELECT event_id % 7 AS g, ts AS x,
+        |    value + event_id / 500.0 AS y FROM events),
+        |cells AS (SELECT g, x, y, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS cc,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS dd
+        |  FROM cells a JOIN cells b ON b.g = a.g AND b.x < a.x GROUP BY 1),
+        |tx AS (SELECT g,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS tx2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS tx25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS tx3
+        |  FROM (SELECT g, x, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT g,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS ty2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS ty25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS ty3
+        |  FROM (SELECT g, y, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS gn FROM cells GROUP BY 1),
+        |per AS (SELECT ng.g, gn,
+        |    COALESCE(cc, 0) - COALESCE(dd, 0) AS sg,
+        |    CASE WHEN gn >= 2 THEN
+        |      (CAST(CAST(gn AS HUGEINT)*(gn-1)*(2*gn+5) AS DOUBLE) - tx25 - ty25) / 18.0
+        |      + (CASE WHEN gn >= 3 THEN tx3 * ty3
+        |          / (9.0 * CAST(gn AS DOUBLE) * (CAST(gn AS DOUBLE) - 1) * (CAST(gn AS DOUBLE) - 2))
+        |         ELSE 0.0 END)
+        |      + tx2 * ty2 / (2.0 * CAST(gn AS DOUBLE) * (CAST(gn AS DOUBLE) - 1))
+        |    ELSE 0.0 END AS vg
+        |  FROM ng LEFT JOIN cd ON cd.g = ng.g
+        |    LEFT JOIN tx ON tx.g = ng.g LEFT JOIN ty ON ty.g = ng.g),
+        |tot AS (SELECT CAST(SUM(gn) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_seasons, SUM(sg) AS s,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(g := g, t := vg))),
+        |      x -> x.t), (a, c) -> a + c) AS var_s
+        |  FROM per)
+        |SELECT n, n_seasons, s, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN var_s > 0 THEN
+        |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+        |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
+        |FROM tot""".stripMargin,
     // per-segment rank-sum AUC: segment-partitioned exclusive prefix,
     // 2x-rank integers, the same u_a/n_pos*n_neg IEEE chain per row
     "q_auc_by" ->

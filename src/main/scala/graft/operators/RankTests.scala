@@ -437,6 +437,89 @@ object RankTests {
       .select(col("n"), col("s"), col("var_s"), col("z"))
   }
 
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984) — [[mannKendall]]
+    * for metrics with periodicity (hour-of-day load, day-of-week
+    * engagement): pairs compare only WITHIN a season, so a periodic
+    * baseline cannot masquerade as trend. S = Σ_seasons S_g and
+    * Var = Σ_seasons Var_g (independence across seasons, the standard
+    * form without the serial-correlation covariance term — documented
+    * deviation from the full Hirsch–Slack covariance estimator, which
+    * needs per-timestamp alignment).
+    *
+    * Shape: ONE (season, ts, value) cell aggregate; C/D per season via
+    * a season-keyed dominance join (the broadcast side is the whole
+    * cell table — bounded by `maxCells` ACROSS seasons, enforced
+    * eagerly); tie terms from two per-(season, block) aggregates; one
+    * ≤|seasons|-row reduce. Each season's (S_g, Var_g) is bit-identical
+    * to [[mannKendall]] on that season alone (spec-pinned). One row:
+    * (n, n_seasons, s, var_s, z). */
+  def seasonalMannKendall(df: DataFrame, seasonCol: String, tsCol: String,
+                          valueCol: String, maxCells: Long = 30000): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.util.Caching.barrier(
+      df.groupBy(col(seasonCol).as("g"), col(tsCol).as("x"), col(valueCol).as("y"))
+        .agg(count(lit(1)).as("c")))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"seasonalMannKendall: $nCells cells exceeds maxCells=$maxCells; the " +
+        "per-season dominance join broadcasts the cell table - bucket ts or " +
+        "the metric first (or run mannKendall per season, which routes " +
+        "continuous columns to the O(n log n) arm)")
+    val right = cells.select(col("g").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("c").as("c2"))
+    val cd = cells.join(broadcast(right),
+        col("g2") === col("g") && col("x2") < col("x"))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    def ties(key: String, tag: String) = cells.groupBy(col("g"), col(key))
+      .agg(sum(col("c")).as("__t"))
+      .groupBy(col("g"))
+      .agg(
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}2"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (lit(2) * col("__t") + 5)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}25"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}3"))
+    val nG = cells.groupBy(col("g")).agg(sum(col("c")).as("gn"))
+    val nD = col("gn").cast("double")
+    val sG = coalesce(col("__c"), lit(0)).cast("double") -
+      coalesce(col("__d"), lit(0)).cast("double")
+    val varG =
+      ((d38(col("gn")) * (col("gn") - 1) * (lit(2) * col("gn") + 5)).cast("double") -
+        col("__tx25").cast("double") - col("__ty25").cast("double")) / 18.0 +
+      when(col("gn") >= 3,
+        col("__tx3").cast("double") * col("__ty3").cast("double") /
+          (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
+      col("__tx2").cast("double") * col("__ty2").cast("double") /
+        (lit(2.0) * nD * (nD - 1))
+    val perSeason = nG
+      .join(cd, Seq("g"), "left")
+      .join(ties("x", "tx"), Seq("g"), "left")
+      .join(ties("y", "ty"), Seq("g"), "left")
+      .select(col("g"), col("gn"), sG.as("sg"),
+        // gn = 1 has zero pairs AND a 0/0 third term — contribute 0;
+        // the (n−2)-divided second term stays gated inside varG
+        when(col("gn") >= 2, varG).otherwise(lit(0.0)).as("vg"))
+    // ≤|seasons| rows: n/S sums are exact integers (order-free); the
+    // variance total is a DOUBLE sum, folded in sorted season order
+    // (sort_array + aggregate) so the IEEE chain replays anywhere
+    val total = perSeason
+      .agg(sum(col("gn")).as("n"), count(lit(1)).as("n_seasons"),
+        sum(col("sg")).as("s"),
+        aggregate(sort_array(collect_list(struct(col("g"), col("vg")))),
+          lit(0.0), (acc, x) => acc + x.getField("vg")).as("var_s"))
+    total.withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("n"), col("n_seasons"), col("s"), col("var_s"), col("z"))
+  }
+
   /** Welch's unequal-variance t-test from DECIMAL power sums: one
     * map-combined aggregate per group collects exact Σx and Σx²;
     * mean/variance/t/df are then a fixed chain of IEEE ops over exact

@@ -782,6 +782,38 @@ class RankSkylineSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("seasonalMannKendall: sums per-season mannKendall; periodic baseline is not trend") {
+    val rnd = new scala.util.Random(61)
+    val df = (1 to 300).map { i =>
+      (i.toLong % 5, i.toLong, rnd.nextInt(12).toDouble + (i / 40.0))
+    }.toDF("g", "t", "y")
+    val r = RankTests.seasonalMannKendall(df, "g", "t", "y").head
+    // S and Var are the sums of the per-season mannKendall rows
+    var sSum = 0.0; var vSum = 0.0
+    (0L until 5L).foreach { k =>
+      val mk = RankTests.mannKendall(df.filter(col("g") === k), "t", "y").head
+      sSum += mk.getAs[Double]("s"); vSum += mk.getAs[Double]("var_s")
+      graft.util.Caching.release()
+    }
+    assert(r.getAs[Double]("s") == sSum)
+    assert(math.abs(r.getAs[Double]("var_s") - vSum) < 1e-9)
+    assert(r.getAs[Long]("n_seasons") == 5)
+    // a pure periodic signal (y = season id) has NO within-season pairs
+    // that move: S = 0 and every y-block is fully tied within season
+    val periodic = (1 to 140).map(i => (i.toLong % 7, i.toLong, (i % 7).toDouble))
+      .toDF("g", "t", "y")
+    val rp = RankTests.seasonalMannKendall(periodic, "g", "t", "y").head
+    assert(rp.getAs[Double]("s") == 0.0 && rp.isNullAt(rp.fieldIndex("z")))
+    // global mannKendall on the same periodic signal sees spurious pairs
+    val rg = RankTests.mannKendall(periodic, "t", "y").head
+    assert(rg.getAs[Double]("var_s") > 0)
+    // the eager cell cap stays loud
+    val e = intercept[IllegalArgumentException](
+      RankTests.seasonalMannKendall(df, "g", "t", "y", maxCells = 10))
+    assert(e.getMessage.contains("maxCells"))
+    graft.util.Caching.release()
+  }
+
   test("bradleyTerryRaoKupper: no ties reduces to BT with theta 1; ties raise theta") {
     import graft.llm.Chat
     // zero ties: theta stays exactly 1 and every w-round is the plain
