@@ -3376,13 +3376,18 @@ object SparkEntry {
     // Seasonal Mann–Kendall (RankTests.seasonalMannKendall): trend
     // with a 7-season (synthetic day-of-week) split — pairs compare
     // within season only; S and Var sum across seasons, the variance
-    // total folded in sorted season order for IEEE replay.
+    // total folded in sorted season order for IEEE replay. Day-grain
+    // time axis and a /4-bucketed metric keep the cell table ≤ ~5k at
+    // EVERY sf (the eager cap is a require here, not a router — the
+    // continuous-column path is q_mann_kendall's job).
     "q_seasonal_mk" -> { (s, dir) =>
+      val day = floor(unix_micros(col("ts")) / lit(86400000000L))
       graft.operators.RankTests.seasonalMannKendall(
         Sources.table(s, dir, "events")
           .withColumn("season", pmod(col("event_id"), lit(7L)))
-          .withColumn("yv", col("value") + col("event_id") / lit(500.0)),
-        "season", "ts", "yv")
+          .withColumn("day", day)
+          .withColumn("yv", floor(col("value") / 4.0) + col("day") / lit(2.0)),
+        "season", "day", "yv")
         .select(col("n"), col("n_seasons"), col("s"),
           round(col("var_s"), 4).as("var_s"), round(col("z"), 8).as("z"))
     },
@@ -8276,8 +8281,10 @@ object SparkEntry {
     // per-season S/Var replay; the double variance total folds in
     // sorted season order (list_sort + list_reduce, 0.0-seeded)
     "q_seasonal_mk" ->
-      """WITH d AS (SELECT event_id % 7 AS g, ts AS x,
-        |    value + event_id / 500.0 AS y FROM events),
+      """WITH d AS (SELECT event_id % 7 AS g,
+        |    floor(epoch_us(ts) / 86400000000) AS x,
+        |    floor(value / 4.0) + floor(epoch_us(ts) / 86400000000) / 2.0 AS y
+        |  FROM events),
         |cells AS (SELECT g, x, y, count(*) AS c FROM d GROUP BY 1, 2, 3),
         |cd AS (SELECT a.g,
         |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS cc,
