@@ -97,12 +97,15 @@ private[graft] object KendallContinuous {
 
   /** Exact (concordant, discordant) for `cells` = the (x, y, c) cell
     * table (column names fixed by the caller), as ONE row
-    * `(__c, __d)` DECIMAL(38,0). `buckets` caps the per-axis bucket
-    * count (the grid is ≤ buckets², the per-bucket memory ~|cells| /
-    * buckets); `maxBucketCells` is a loud backstop on a single
-    * bucket's in-memory buffer (a bucket only degenerates when one
-    * value carries a macroscopic fraction of all cells — pre-bucket
-    * such a column instead). */
+    * `(__c, __d)` DECIMAL(38,0). `buckets` sets the per-axis bucket
+    * count (the grid is ≤ buckets² rows, distributed; the per-bucket
+    * scan memory is ~|cells| / buckets) — it AUTO-RAISES past the
+    * requested value when |cells| would overflow the per-bucket buffer
+    * at that count (expected bucket kept ≤ maxBucketCells/4, axis cap
+    * 65536 → grid ≤ 4.3G rows, reach ~10¹² cells), so the only way to
+    * hit `maxBucketCells`, the loud in-scan backstop, is SKEW: one
+    * value carrying a macroscopic fraction of all cells — pre-bucket
+    * such a column instead. */
   def cd(cells: DataFrame, buckets: Int = 1024,
          maxBucketCells: Int = 1 << 26): DataFrame = {
     val spark = cells.sparkSession
@@ -119,7 +122,13 @@ private[graft] object KendallContinuous {
     val m = math.max(1L, nCells / 40000L)
     val sampled = nn.filter(pmod(xxhash64(col("x"), col("y"), lit(0x6b7461L)), lit(m)) === 0)
       .select("x", "y").collect()
-    val nb = math.max(2, math.min(buckets, math.ceil(math.sqrt(nCells.toDouble)).toInt))
+    // per-axis bucket count: ≤ √|cells| (tiny inputs shouldn't pay the
+    // grid), ≥ the caller's ask, auto-raised so an EXPECTED bucket
+    // stays ≤ maxBucketCells/4 (see scaladoc), hard axis cap 65536
+    val nbNeeded = math.min(65536L, nCells / math.max(1, maxBucketCells / 4) + 1)
+    val nb = math.max(2, math.min(
+      math.max(buckets.toLong, nbNeeded),
+      math.ceil(math.sqrt(nCells.toDouble)).toLong).toInt)
     def boundsFrom(vs: Array[Any]): Array[Any] = {
       if (vs.isEmpty) return Array.empty
       val sorted = vs.sorted(anyOrd)

@@ -41,18 +41,25 @@ import org.apache.spark.sql.functions._
   * (`adaptive = true`) the per-distinct-value table is persist-
   * barriered and exact-counted BEFORE the window is planned, and the
   * dense machinery is auto-selected past `maxDistinct` — a caller who
-  * doesn't know their column is continuous never starts the
-  * pathological single-partition sort (the r15 guard fired only
-  * mid-sort). The probe costs nothing extra: the corpus scan that
-  * builds the value table runs exactly once either way (the count
-  * materializes the persisted table the window then reads), and for
-  * continuous columns the dense arm persists a same-sized table inside
-  * withGlobalOrder regardless. Both arms are bit-identical, so the
-  * route is unobservable in the output. Pass `dense = true` to skip
-  * the probe when the column is KNOWN continuous; pass
-  * `adaptive = false` to pin the bounded arm, where the in-window
-  * `assert_true` guard remains the loud backstop. Note `adaptive`
-  * makes these builders EAGER (the probe runs a job at call time).
+  * doesn't know their column is continuous never starts a
+  * PATHOLOGICAL single-partition sort (the r15 guard fired only
+  * mid-sort). At corpus scale the probe costs nothing extra: the scan
+  * that builds the value table runs exactly once either way (the
+  * count materializes the persisted table the window then reads), and
+  * for continuous columns the dense arm persists a same-sized table
+  * inside withGlobalOrder regardless. On SMALL inputs, though, the
+  * probe is a whole extra job against a sub-second query (measured
+  * ~2× on the sf0.1 bench rows), and a small input cannot make the
+  * bounded window catastrophic in the first place — so the probe is
+  * gated ([[AdaptiveProbeBytes]]): it runs when the input's optimizer
+  * size estimate exceeds 256 MiB or the caller tightened
+  * `maxDistinct`; otherwise the one-job bounded plan (guard included)
+  * runs directly. Both arms are bit-identical, so gating and routing
+  * are unobservable in the output. Pass `dense = true` to skip the
+  * probe when the column is KNOWN continuous; pass `adaptive = false`
+  * to pin the bounded arm, where the in-window `assert_true` guard
+  * remains the loud backstop. Note `adaptive` past the gate makes
+  * these builders EAGER (the probe runs a job at call time).
   */
 object RankTests {
 
@@ -73,14 +80,30 @@ object RankTests {
       lit("(exact, range-partitioned) or bucket the column first")))
       .cast("long"), lit(0L))
 
+  /** Inputs whose optimizer size estimate stays under this skip the
+    * adaptive probe when `maxDistinct` is the default: the probe costs
+    * one extra eager job + persist (measured ~2× on the sf0.1 bench's
+    * sub-second rank rows, r16), and a value table fed by a ≤256 MiB
+    * scan cannot make the bounded window CATASTROPHIC — the worst case
+    * is a few-seconds single-task sort with the `assert_true` guard
+    * still ruling out the absurd. Probing re-engages when the input
+    * estimate exceeds this OR the caller tightened `maxDistinct`
+    * (explicit concern → explicit probe). */
+  val AdaptiveProbeBytes: Long = 256L << 20
+
   /** Adaptive arm router (see object doc): persist-barrier the
     * per-distinct-value table, exact-count it, and pick the plan shape
     * on the REAL cardinality. Returns the (barriered, when probed)
-    * table and whether to use the dense machinery. */
+    * table and whether to use the dense machinery. The probe is gated
+    * by [[AdaptiveProbeBytes]] — small-input defaults keep the
+    * one-job bounded plan. */
   private def routeArm(perValue: DataFrame, dense: Boolean, adaptive: Boolean,
                        maxDistinct: Long): (DataFrame, Boolean) =
     if (dense) (perValue, true)
     else if (!adaptive) (perValue, false)
+    else if (maxDistinct >= MaxBoundedDistinct &&
+        perValue.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(AdaptiveProbeBytes)) (perValue, false)
     else {
       val b = graft.util.Caching.barrier(perValue)
       (b, b.count() > maxDistinct)
