@@ -8366,7 +8366,7 @@ object SparkEntry {
         |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS ty3
         |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
         |v AS (SELECT n, cc - dd AS s,
-        |    CASE WHEN n >= 3 THEN
+        |    CASE WHEN n >= 2 THEN
         |      (CAST(CAST(n AS HUGEINT)*(n-1)*(2*n+5) AS DOUBLE) - tx25 - ty25) / 18.0
         |      + (CASE WHEN n >= 3 THEN tx3 * ty3
         |          / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2))

@@ -50,10 +50,17 @@ import org.apache.spark.sql.types._
 private[graft] object KendallContinuous {
 
   /** Total order used for bucket boundaries and exact in-bucket
-    * comparisons. Row values of one column share a runtime type; all
-    * orderable Spark atomic types surface as `java.lang.Comparable`. */
+    * comparisons — it must agree with the QUADRATIC arm's Spark-side
+    * `<` for arm bit-identity. Strings therefore compare in Spark's
+    * UTF-8 BINARY order (Java's UTF-16 `String.compareTo` disagrees
+    * for U+E000..U+FFFF vs supplementary code points); every other
+    * orderable Spark atomic type's `Comparable` matches Spark. */
   private val anyOrd: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = a match {
+      case s: String =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
+            b.asInstanceOf[String]))
       case c: java.lang.Comparable[_] =>
         c.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
       case _ => throw new IllegalArgumentException(
@@ -135,7 +142,8 @@ private[graft] object KendallContinuous {
       val out = ArrayBuffer.empty[Any]
       var k = 1
       while (k < nb) {
-        val v = sorted(math.min(sorted.length - 1, k * sorted.length / nb))
+        // k.toLong: at the 65536 axis cap k*length wraps a 32-bit Int
+        val v = sorted(math.min(sorted.length - 1L, k.toLong * sorted.length / nb).toInt)
         if (out.isEmpty || anyOrd.compare(out.last, v) != 0) out += v
         k += 1
       }

@@ -144,7 +144,8 @@ object RankTests {
     val agg = ranked.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
       sum(col("ca") * r2).as("r2_a"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+      sum((col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)")).as("tie_sum")) // exact: a 3e9-row tie block cubes past Long
     agg.select(
       col("n_a"), col("n_b"),
       (col("r2_a").cast("double") / 2).as("r_a"),
@@ -423,7 +424,7 @@ object RankTests {
     *
     * with all tie sums exact DECIMAL(38,0) off the cell table. z gets
     * the ±1 continuity correction (0 at S = 0); null when Var ≤ 0 or
-    * n < 3. One row: (n, s, var_s, z). Eager, like [[kendallTau]]. */
+    * n < 2. One row: (n, s, var_s, z). Eager, like [[kendallTau]]. */
   def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
                   maxCells: Long = 30000, buckets: Int = 1024): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
@@ -452,7 +453,10 @@ object RankTests {
         (lit(2.0) * nD * (nD - 1))
     nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
       .select(col("n"), s.as("s"),
-        when(col("n") >= 3, varS).as("var_s"))
+        // n = 2 is valid (the (n−2)-divided term is gated inside varS);
+        // gating n ≥ 3 here would also break the spec-pinned per-season
+        // parity with [[seasonalMannKendall]]'s 2-row seasons
+        when(col("n") >= 2, varS).as("var_s"))
       .withColumn("z", when(col("var_s") > 0,
         when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
           .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
@@ -474,7 +478,9 @@ object RankTests {
     * cell table — bounded by `maxCells` ACROSS seasons, enforced
     * eagerly); tie terms from two per-(season, block) aggregates; one
     * ≤|seasons|-row reduce. Each season's (S_g, Var_g) is bit-identical
-    * to [[mannKendall]] on that season alone (spec-pinned). One row:
+    * to [[mannKendall]] on that season alone (spec-pinned; the one
+    * divergence is a 1-observation season, which contributes zero
+    * here where the standalone test reports null). One row:
     * (n, n_seasons, s, var_s, z). */
   def seasonalMannKendall(df: DataFrame, seasonCol: String, tsCol: String,
                           valueCol: String, maxCells: Long = 30000): DataFrame = {
@@ -626,7 +632,8 @@ object RankTests {
     val agg = ranked.groupBy("segment").agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
       sum(col("ca") * r2).as("r2_a"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+      sum((col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)")).as("tie_sum")) // exact: a 3e9-row tie block cubes past Long
     agg.select(
       col("segment"), col("n_a"), col("n_b"),
       (col("r2_a").cast("double") / 2).as("r_a"),
@@ -848,7 +855,8 @@ object RankTests {
     val agg = ranked.agg(
       coalesce(sum(col("t")), lit(0L)).as("n_pairs"),
       sum(col("cpos") * r2).as("__w2"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("__ties"))
+      sum((col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)")).as("__ties"))
     agg.crossJoin(zeros)
       .withColumn("w_pos", coalesce(col("__w2").cast("double") / 2, lit(0.0)))
       .withColumn("__n", col("n_pairs").cast("double"))

@@ -81,6 +81,14 @@ object Selection {
   }
 
   private def cmpAny(a: Any, b: Any): Int = a match {
+    // Spark's UTF-8 BINARY string order, not Java's UTF-16 compareTo:
+    // the fast path's driver sort must pick the same rank-j tuple the
+    // rank arm and the after()/before() Spark predicates would
+    // (they disagree for U+E000..U+FFFF vs supplementary code points)
+    case s: String =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
+          b.asInstanceOf[String]))
     case c: java.lang.Comparable[_] =>
       c.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
     case _ => throw new IllegalArgumentException(

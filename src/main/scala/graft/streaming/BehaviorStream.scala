@@ -96,10 +96,15 @@ object BehaviorStream {
         .agg(max(unix_micros(col(tsCol))).as("__mx"),
           count(lit(1)).as("__cnt"),
           sum(col(valueCol).cast("decimal(18,2)")).as("__sm"))
-      val merged = if (store == null) part
-        else store.unionByName(part).groupBy("u")
+      // __sm is carried at decimal(28,2) — the exact type batch rfm's
+      // sum(decimal(18,2)) produces — so the live total saturates at
+      // the SAME bound as the batch arm (a (18,2) re-cast here would
+      // null a >10^16 spend the batch arm still represents)
+      val widened = part.withColumn("__sm", col("__sm").cast("decimal(28,2)"))
+      val merged = if (store == null) widened
+        else store.unionByName(widened).groupBy("u")
           .agg(max(col("__mx")).as("__mx"), sum(col("__cnt")).as("__cnt"),
-            sum(col("__sm")).cast("decimal(18,2)").as("__sm"))
+            sum(col("__sm")).cast("decimal(28,2)").as("__sm"))
       // eager local checkpoint: truncates cross-batch lineage AND
       // materializes the table orderStatistics scans several times;
       // dropping the previous store reference lets the ContextCleaner
@@ -111,6 +116,13 @@ object BehaviorStream {
         floor((lit(nowMicros) - col("__mx")) / lit(86400000000.0)).as("recency_days"),
         col("__cnt").as("frequency"), col("__sm").cast("double").as("monetary"))
       latest = graft.operators.Behavior.rfmScores(per, next.count(), q)
+      // rfmScores resolves its boundaries EAGERLY (they are literals in
+      // `latest`), so the persist barriers its orderStatistics call
+      // registered on THIS streaming thread are already consumed —
+      // release them here or they pin cache forever (the registry is
+      // per-thread; no other thread can release them, and `latest`
+      // does not reference them)
+      graft.util.Caching.release()
     }
 
     /** The banded table as of the last completed batch. */

@@ -758,6 +758,28 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("maxDistinct")))
   }
 
+  test("kendall arms agree on Spark's UTF-8 string order (U+E000 vs supplementary)") {
+    // Java UTF-16 compareTo says "" > U+10000, Spark's UTF-8
+    // binary order says the opposite — the continuous arm must side
+    // with Spark or routing would change the answer on such strings
+    val hi = new String(Character.toChars(0x10000))
+    val rows = Seq(("", 1.0), (hi, 2.0), ("a", 0.5), ("b", 3.0))
+    val df = (rows ++ rows.map { case (s, v) => (s, v + 0.25) }).toDF("x", "y")
+    val bounded = RankTests.kendallTau(df, "x", "y").collect().map(_.toSeq).toSeq
+    val routed = RankTests.kendallTau(df, "x", "y", maxCells = 1, buckets = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(routed == bounded)
+    // Selection: the driver fast path must pick the same rank tuple the
+    // Spark-side after() predicate logic implies
+    val sdf = Seq(("", 1L), (hi, 2L), ("a", 3L), ("b", 4L)).toDF("v", "ord")
+    val b = graft.operators.Selection.orderStatistics(sdf, "ord",
+      Seq(graft.operators.Selection.Dim("v", desc = false, Seq(3L))), 4L)
+    // UTF-8 order: "a" < "b" < U+E000 < U+10000 → rank 3 = U+E000
+    // (Java's UTF-16 order would put U+10000 there instead)
+    assert(b.head(3L).value == "")
+    graft.util.Caching.release()
+  }
+
   test("mannKendall: textbook monotone trend, tie-killed variance, arm parity") {
     // y=(1,2,3) over t=(1,2,3): S=3, no ties -> Var = n(n-1)(2n+5)/18 = 66/18
     val up = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
@@ -765,6 +787,10 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("s") == 3.0)
     assert(math.abs(r.getAs[Double]("var_s") - 66.0 / 18) < 1e-12)
     assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(66.0 / 18)) < 1e-12)
+    // n = 2 is valid: var = 2*1*9/18 = 1 (the seasonal per-season parity case)
+    val two = Seq((1L, 1.0), (2L, 2.0)).toDF("t", "y")
+    val r2 = RankTests.mannKendall(two, "t", "y").head
+    assert(r2.getAs[Double]("var_s") == 1.0 && r2.getAs[Double]("s") == 1.0)
     // fully tied metric: the y tie block cancels the first bracket -> var 0, z null
     val flat = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("t", "y")
     val rf = RankTests.mannKendall(flat, "t", "y").head

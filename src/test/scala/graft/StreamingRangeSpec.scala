@@ -131,6 +131,33 @@ class StreamingRangeSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("RfmLive: boundary re-resolve releases its stream-thread barriers") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // enough DISTINCT units that the second batch's per-unit table
+    // passes orderStatistics' fast path (200k) and the local rank arm
+    // registers persist barriers ON THE STREAM THREAD — the leak class
+    // the r16 review found: nobody but foreachBatch itself can release
+    // a per-thread registry, so growth across batches must stay at the
+    // store checkpoint, not 3 barriers per batch
+    def wave(lo: Int, hi: Int) = (lo until hi).map(i =>
+      RfmRow(i.toLong, new Timestamp(1700000000000L + i), "buy", 1.0))
+    val live = new graft.streaming.BehaviorStream.RfmLive(
+      "user_id", "ts", "event_type", "value", "buy", 1706745600000000L, 5)
+    val mem = MemoryStream[RfmRow]
+    val q = mem.toDF().writeStream.foreachBatch(live.foreachBatch _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(wave(0, 105000).toIndexedSeq: _*); q.processAllAvailable()
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      mem.addData(wave(105000, 210000).toIndexedSeq: _*); q.processAllAvailable()
+      val after2 = spark.sparkContext.getPersistentRDDs.size
+      assert(after2 - after1 <= 2,
+        s"RfmLive grew persistent RDDs $after1 -> $after2 in one rank-arm batch")
+      assert(live.snapshot.count() == 210000L)
+    } finally q.stop()
+  }
+
   test("session_window streaming == batch Sessionize on fixture events") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
