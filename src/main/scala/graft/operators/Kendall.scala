@@ -114,14 +114,18 @@ private[graft] object KendallContinuous {
     * value carrying a macroscopic fraction of all cells — pre-bucket
     * such a column instead. */
   def cd(cells: DataFrame, buckets: Int = 1024,
-         maxBucketCells: Int = 1 << 26): DataFrame = {
+         maxBucketCells: Int = 1 << 26, nCellsHint: Long = -1L): DataFrame = {
     val spark = cells.sparkSession
     val nn = cells.filter(col("x").isNotNull && col("y").isNotNull)
 
     // -- bucket boundaries from a deterministic hash-sample ----------
     // (counter-mode xxhash64 — partitioning-independent; boundaries
-    // steer work placement only, the counts below are exact either way)
-    val nCells = nn.count()
+    // steer work placement only, the counts below are exact either way).
+    // `nCellsHint` (the caller's routing count, ≥ the non-null count)
+    // skips the recount job — it only steers the sample rate and the
+    // bucket count, never the answer: a degenerate sample just means
+    // fewer buckets, and an all-null table flows through as zeros.
+    val nCells = if (nCellsHint >= 0L) nCellsHint else nn.count()
     if (nCells == 0L)
       return spark.createDataFrame(
         java.util.List.of(Row(dec(BigInt(0)), dec(BigInt(0)))), partialSchema)

@@ -358,7 +358,7 @@ object RankTests {
             .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
           sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
             .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
-    } else KendallContinuous.cd(cells, buckets)
+    } else KendallContinuous.cd(cells, buckets, nCellsHint = nCells)
     (cells, cd)
   }
 
