@@ -3373,6 +3373,17 @@ object SparkEntry {
         .select(col("n"), col("concordant"), col("discordant"),
           round(col("tau_b"), 8).as("tau_b"))
     },
+    // Jonckheere–Terpstra (RankTests.jonckheereTerpstra): does order
+    // total increase with priority — k=5 ordered groups, continuous
+    // value (J = sum of ordered pairwise U's = MK on (order idx, v);
+    // J carried x4 exact, MK tie-corrected z).
+    "q_jt" -> { (s, dir) =>
+      graft.operators.RankTests.jonckheereTerpstra(
+        Sources.table(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .select(col("n"), col("k"), col("j_stat"), col("s"),
+          round(col("var_s"), 4).as("var_s"), round(col("z"), 8).as("z"))
+    },
     // Seasonal Mann–Kendall (RankTests.seasonalMannKendall): trend
     // with a 7-season (synthetic day-of-week) split — pairs compare
     // within season only; S and Var sum across seasons, the variance
@@ -8277,6 +8288,49 @@ object SparkEntry {
         |SELECT n, concordant, discordant,
         |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
         |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
+        |FROM v""".stripMargin,
+    // J = C + cross-group-tie/2 carried x4 in HUGEINT; the MK
+    // tie-corrected variance with group sizes as the x tie blocks
+    "q_jt" ->
+      """WITH d AS (SELECT CASE o_orderpriority
+        |      WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+        |      WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+        |      WHEN '5-LOW' THEN 4 END AS x, o_totalprice AS y FROM orders),
+        |cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS HUGEINT) AS cc,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS HUGEINT) AS dd
+        |  FROM cells a JOIN cells b ON b.x < a.x),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS k,
+        |    CAST(COALESCE(SUM(CAST(c AS HUGEINT)*(c-1)), 0) AS HUGEINT) AS cc2
+        |  FROM cells),
+        |tx AS (SELECT
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS tx2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS tx25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS tx3
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS HUGEINT) AS ty2i,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS ty2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS ty25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS ty3
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |v AS (SELECT n, k,
+        |    CAST(4*cc + ty2i - cc2 AS DOUBLE) / 4 AS j_stat,
+        |    CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE) AS s,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(CAST(n AS HUGEINT)*(n-1)*(2*n+5) AS DOUBLE) - tx25 - ty25) / 18.0
+        |      + (CASE WHEN n >= 3 THEN tx3 * ty3
+        |          / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2))
+        |         ELSE 0.0 END)
+        |      + tx2 * ty2 / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |    END AS var_s
+        |  FROM nn, cd, tx, ty)
+        |SELECT n, k, j_stat, s, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN var_s > 0 THEN
+        |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+        |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
         |FROM v""".stripMargin,
     // per-season S/Var replay; the double variance total folds in
     // sorted season order (list_sort + list_reduce, 0.0-seeded)

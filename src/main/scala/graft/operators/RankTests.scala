@@ -549,6 +549,77 @@ object RankTests {
       .select(col("n"), col("n_seasons"), col("s"), col("var_s"), col("z"))
   }
 
+  /** Jonckheere–Terpstra test (Jonckheere 1954, Terpstra 1952) — the
+    * k-group ORDERED-alternative test ("does the metric increase with
+    * dose/priority/cohort"): J = Σ_{i<j in group order} U_ij, the sum
+    * of all pairwise Mann–Whitney U's taken in the caller's group
+    * order, half credit for cross-group value ties. Far more powerful
+    * than Kruskal–Wallis when the alternative IS ordered.
+    *
+    * The whole test is [[mannKendall]] in disguise — J relates to
+    * Kendall's S between the group ORDER INDEX and the value by
+    * J = C + (cross-group value ties)/2, and the standardized z uses
+    * exactly the MK tie-corrected null variance with the group-size
+    * tie blocks on the x side. So this rides [[kendallTau]]'s shared
+    * machinery end to end: one (order-index, value) cell aggregate,
+    * the routed C/D arms (a CONTINUOUS metric takes the O(n log n)
+    * bucket-decomposed arm automatically), per-block tie sums, all
+    * exact integers. J is carried ×4 (4C + 2·tieV − 2·tieCell is
+    * integer) so both engines replay it exactly. Rows outside
+    * `groupsInOrder` are excluded. One row:
+    * (n, k, j_stat, s, var_s, z); z is the MK continuity-corrected
+    * form — null when the variance degenerates. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+                         groupsInOrder: Seq[String],
+                         maxCells: Long = 30000, buckets: Int = 1024): DataFrame = {
+    require(groupsInOrder.size >= 2 && groupsInOrder.distinct.size == groupsInOrder.size,
+      "jonckheereTerpstra: need >= 2 distinct ordered groups")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val og = groupsInOrder.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (g, i)) => when(col(groupCol) === g, lit(i)).otherwise(acc)
+    }
+    val keyed = df.filter(col(groupCol).isin(groupsInOrder: _*))
+      .select(og.as("__og"), col(valueCol).as("__jv"))
+    val (cells, cd) = cellsAndCd(keyed, "__og", "__jv", maxCells, buckets)
+    val nn = cells.agg(sum(col("c")).as("n"),
+      countDistinct(col("x")).as("k"),
+      coalesce(sum(d38(col("c")) * (col("c") - 1)), lit(0))
+        .cast("decimal(38,0)").as("__cc2"))
+    def ties(key: String, tag: String) = cells.groupBy(col(key))
+      .agg(sum(col("c")).as("__t"))
+      .agg(
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}2"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (lit(2) * col("__t") + 5)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}25"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}3"))
+    val nD = col("n").cast("double")
+    val s = coalesce(col("__c"), lit(0)).cast("double") -
+      coalesce(col("__d"), lit(0)).cast("double")
+    // J×4 = 4C + 2·(value-tie pairs) − 2·(same-(group,value) pairs):
+    // ty2 = 2×(value-tie pairs), cc2 = 2×(cell-tie pairs), both exact
+    val j4 = lit(4) * coalesce(col("__c"), lit(0)).cast("decimal(38,0)") +
+      col("__ty2") - col("__cc2")
+    val varS =
+      ((d38(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5)).cast("double") -
+        col("__tx25").cast("double") - col("__ty25").cast("double")) / 18.0 +
+      when(col("n") >= 3,
+        col("__tx3").cast("double") * col("__ty3").cast("double") /
+          (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
+      col("__tx2").cast("double") * col("__ty2").cast("double") /
+        (lit(2.0) * nD * (nD - 1))
+    nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
+      .select(col("n"), col("k"),
+        (j4.cast("double") / 4).as("j_stat"), s.as("s"),
+        when(col("n") >= 2, varS).as("var_s"))
+      .withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("n"), col("k"), col("j_stat"), col("s"), col("var_s"), col("z"))
+  }
+
   /** Welch's unequal-variance t-test from DECIMAL power sums: one
     * map-combined aggregate per group collects exact Σx and Σx²;
     * mean/variance/t/df are then a fixed chain of IEEE ops over exact

@@ -780,6 +780,40 @@ class RankSkylineSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("jonckheereTerpstra: textbook J and z; J == sum of ordered pairwise U's") {
+    // A=[1,2] < B=[3,4]: every cross pair ascends -> J=4; S=4. The
+    // GROUP sizes are x-tie blocks, so Var(S) = [4*3*13 - 2*(2*1*9)]/18
+    // = 120/18 - which is exactly 4x Hollander-Wolfe's untied Var(J) =
+    // [N^2(2N+3) - sum n_i^2(2n_i+3)]/72 = 120/72 (S = 2J - pairs)
+    val ab = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r = RankTests.jonckheereTerpstra(ab, "g", "v", Seq("A", "B")).head
+    assert(r.getAs[Double]("j_stat") == 4.0 && r.getAs[Double]("s") == 4.0)
+    assert(math.abs(r.getAs[Double]("var_s") - 120.0 / 18) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 3.0 / math.sqrt(120.0 / 18)) < 1e-12)
+    // k=3 with ties: J must equal the sum of pairwise Mann-Whitney U's
+    // of the LATER group over each earlier one (half-credit ties)
+    val rnd = new scala.util.Random(67)
+    val df = (1 to 240).map(i => (s"g${i % 3}", rnd.nextInt(8).toDouble)).toDF("g", "v")
+    val order = Seq("g0", "g1", "g2")
+    val jt = RankTests.jonckheereTerpstra(df, "g", "v", order).head
+    var uSum = 0.0
+    for (i <- 0 until 3; j <- (i + 1) until 3) {
+      uSum += RankTests.mannWhitney(df, "g", "v", order(i), order(j))
+        .head.getAs[Double]("u_b")
+      graft.util.Caching.release()
+    }
+    assert(jt.getAs[Double]("j_stat") == uSum, s"J=${jt.getAs[Double]("j_stat")} vs $uSum")
+    assert(jt.getAs[Long]("k") == 3)
+    // continuous arm replays the bounded bits
+    val jtC = RankTests.jonckheereTerpstra(df, "g", "v", order,
+      maxCells = 1, buckets = 5).head
+    assert(jtC.toSeq == jt.toSeq)
+    // rows outside the ordered groups are excluded, not folded in
+    val extra = df.unionByName(Seq(("zz", 99.0)).toDF("g", "v"))
+    assert(RankTests.jonckheereTerpstra(extra, "g", "v", order).head.toSeq == jt.toSeq)
+    graft.util.Caching.release()
+  }
+
   test("mannKendall: textbook monotone trend, tie-killed variance, arm parity") {
     // y=(1,2,3) over t=(1,2,3): S=3, no ties -> Var = n(n-1)(2n+5)/18 = 66/18
     val up = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
