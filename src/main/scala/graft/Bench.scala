@@ -135,7 +135,52 @@ object Bench {
       // (0.59 → 0.85 s with no Db.scala commits — embedded Derby
       // shares the bench JVM's disk/lock budget, so its suite median
       // inherits whatever the co-scheduled queries are doing)
-      "q_jdbc_roundtrip")
+      "q_jdbc_roundtrip",
+      // r17 additions (VERDICT r16 #8): the r16 DRIVER record's three
+      // unexplained spikes (6.0/4.2/5.0 s vs 0.95/0.78/0.57 r15 —
+      // quartile analysis says front-loaded contention); isolated rows
+      // carry their contention factor mechanically from now on
+      "q_bm25", "q_boxplot", "q_autocorr")
+
+  /** Fixed-work, IO-free calibration controls (VERDICT r16 #1): every
+    * bench record carries the host's measured speed on two pinned
+    * workloads, so cross-round suite comparisons normalize
+    * MECHANICALLY instead of re-deriving a host basis from "untouched"
+    * queries that are themselves scan-bound.
+    *
+    *  - `codegen_fold`: a seeded `spark.range` hash fold, 200M rows in
+    *    32 pinned partitions — whole-stage codegen across every core,
+    *    zero IO, zero shuffle; tracks the multi-core basis the suite's
+    *    aggregate-bound queries see.
+    *  - `jvm_spin`: 200M xorshift iterations on the driver thread —
+    *    single-core scalar speed; tracks clock/steal without any
+    *    Spark machinery.
+    *
+    * Run at suite START and END (1 warm pass + 5 measured, median):
+    * the r16 driver record's signature — first-quartile geomean 2.02
+    * vs ~1.4 later — is exactly a pre/post calibration DELTA, visible
+    * in one field instead of a forensic quartile analysis. */
+  def calibrate(spark: SparkSession, passes: Int = 5): (Double, Double) = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val fold = (0 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(sum(xxhash64(col("id") + 1234567L))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var sink = 0L
+    val spin = (0 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      sink ^= x
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (sink == 42L) println("") // keep the spin live past the JIT
+    (median(fold.tail), median(spin.tail)) // drop the warm pass
+  }
 
   /** Content-identical multi-file copy of the fixture dir under /tmp.
     * The driver fixtures are ONE parquet row group per table, so a big
@@ -218,6 +263,9 @@ object Bench {
     val unknown = wanted -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown bench queries: $unknown")
     val suite = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
+    // pre-suite calibration (fixed work, IO-free): the record's
+    // mechanical host basis — see [[calibrate]]
+    val calPre = calibrate(spark)
     val results = measure(spark, suite, sfDir, iters)
     // contention canaries: re-measure the oscillators with the suite
     // idle (5 passes each, machine otherwise quiet) — suite-median /
@@ -225,14 +273,17 @@ object Bench {
     val canaries =
       if (args.nonEmpty) Seq.empty
       else measure(spark, suite.filter(q => CanaryQueries.contains(q._1)), sfDir, iters = 5)
+    val calPost = calibrate(spark)
+    val cal = Some((calPre, calPost))
     // Record file FIRST, summary line LAST: the driver keeps only a
     // ~2 KB stdout tail, so nothing may print after the summary.
     // Full-suite runs own bench/medians_latest.json; a FILTERED ad-hoc
     // run must not overwrite the suite record it would otherwise clobber
     // (r10/r11 operational pitfall — required a manual git checkout).
-    if (args.isEmpty) writeRecordFile(results, iters, sfDir, canaries)
-    else writeRecordFile(results, iters, sfDir, canaries,
+    if (args.isEmpty) writeRecordFile(results, iters, sfDir, canaries, cal)
+    else writeRecordFile(results, iters, sfDir, canaries, cal,
       out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_filtered.json"))
+    println(s"""{"bench_calibration":{"pre":{"codegen_fold":${f(calPre._1)},"jvm_spin":${f(calPre._2)}},"post":{"codegen_fold":${f(calPost._1)},"jvm_spin":${f(calPost._2)}}}}""")
     renderLines(results, iters, sfDir).foreach(println)
     spark.stop()
   }
@@ -244,6 +295,7 @@ object Bench {
     * query so diffs and partial reads stay meaningful. */
   def writeRecordFile(results: Seq[QueryResult], iters: Int, sfDir: String,
                       canaries: Seq[QueryResult] = Seq.empty,
+                      calibration: Option[((Double, Double), (Double, Double))] = None,
                       out: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
                         "/root/repo/bench/medians_latest.json")): Unit = {
     val rows = results.map { r =>
@@ -264,8 +316,11 @@ object Bench {
       else s""","canaries":{
               |${canaryRows.mkString(",\n")}
               |}""".stripMargin
+    val calBlock = calibration.map { case ((preF, preS), (postF, postS)) =>
+      s""","calibration":{"pre":{"codegen_fold":${f(preF)},"jvm_spin":${f(preS)}},"post":{"codegen_fold":${f(postF)},"jvm_spin":${f(postS)}}}"""
+    }.getOrElse("")
     val json =
-      s"""{"sf":${jstr(sfDir)},"iters":$iters,"total_sec":${f(total)},"n_queries":${results.size}$canaryBlock,
+      s"""{"sf":${jstr(sfDir)},"iters":$iters,"total_sec":${f(total)},"n_queries":${results.size}$calBlock$canaryBlock,
          |"queries":{
          |${rows.mkString(",\n")}
          |}}""".stripMargin

@@ -83,7 +83,11 @@ object ProfileSelection {
       graft.util.Caching.release()
       s
     }
-    if (n <= 50000000L && !warm) time("global_window") {
+    // runs in BOTH passes like the other arms (time() discards pass 1) —
+    // the old !warm gate made this the only cold row, biasing the
+    // recorded comparison against it by the file's own ~2x first-slot
+    // effect (ADVICE r16)
+    if (n <= 50000000L) time("global_window") {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("ord"))
       val r = df.withColumn("r", row_number().over(w).cast("long"))
       val band = ceil(col("r") * q / lit(n.toDouble)).cast("long")

@@ -49,23 +49,47 @@ import org.apache.spark.sql.types._
   */
 private[graft] object KendallContinuous {
 
+  /** Column types this arm can order on the JVM side — the router
+    * ([[RankTests]] cellsAndCd) must NOT send anything else here:
+    * arrays/structs/maps are Spark-orderable but carry no JVM
+    * `Comparable`, so a large cell table on such a column stays on the
+    * quadratic arm (bounded by its hard cap) instead of failing
+    * mid-scan (ADVICE r16). */
+  private[operators] def supports(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BinaryType | BooleanType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Total order used for bucket boundaries and exact in-bucket
     * comparisons — it must agree with the QUADRATIC arm's Spark-side
     * `<` for arm bit-identity. Strings therefore compare in Spark's
     * UTF-8 BINARY order (Java's UTF-16 `String.compareTo` disagrees
-    * for U+E000..U+FFFF vs supplementary code points); every other
-    * orderable Spark atomic type's `Comparable` matches Spark. */
+    * for U+E000..U+FFFF vs supplementary code points); binary columns
+    * in Spark's unsigned lexicographic byte order (Java's signed
+    * `Byte` would flip 0x80..0xFF); every other [[supports]]-listed
+    * type's `Comparable` matches Spark. */
   private val anyOrd: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = a match {
       case s: String =>
         org.apache.spark.unsafe.types.UTF8String.fromString(s)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
             b.asInstanceOf[String]))
+      case ab: Array[Byte] =>
+        val bb = b.asInstanceOf[Array[Byte]]
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        while (i < n) {
+          val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        ab.length - bb.length
       case c: java.lang.Comparable[_] =>
         c.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
       case _ => throw new IllegalArgumentException(
         s"kendallTau: column type ${a.getClass.getName} is not Comparable - " +
-          "tau needs orderable columns (numeric, string, date, timestamp)")
+          "tau needs orderable columns (numeric, string, binary, date, timestamp)")
     }
   }
 

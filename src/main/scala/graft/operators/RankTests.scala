@@ -87,23 +87,42 @@ object RankTests {
     * scan cannot make the bounded window CATASTROPHIC — the worst case
     * is a few-seconds single-task sort with the `assert_true` guard
     * still ruling out the absurd. Probing re-engages when the input
-    * estimate exceeds this OR the caller tightened `maxDistinct`
-    * (explicit concern → explicit probe). */
+    * estimate exceeds this OR the byte-derived ROW estimate could
+    * reach `maxDistinct` (a near-unique column in a small-but-dense
+    * file must still auto-route; ADVICE r16) OR the caller tightened
+    * `maxDistinct` (explicit concern → explicit probe). */
   val AdaptiveProbeBytes: Long = 256L << 20
+
+  /** Upper-ish bound on a frame's row count from size stats alone:
+    * optimizer bytes over the schema's declared per-row width. Parquet
+    * encodings can beat `defaultSize` (the bytes UNDER-estimate
+    * in-memory rows), so gates built on this keep a safety factor AND
+    * a loud in-plan backstop — never a silent fallthrough. */
+  private def estRowsUB(df: DataFrame): BigInt = {
+    val width = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes / width
+  }
 
   /** Adaptive arm router (see object doc): persist-barrier the
     * per-distinct-value table, exact-count it, and pick the plan shape
     * on the REAL cardinality. Returns the (barriered, when probed)
     * table and whether to use the dense machinery. The probe is gated
-    * by [[AdaptiveProbeBytes]] — small-input defaults keep the
-    * one-job bounded plan. */
+    * by [[AdaptiveProbeBytes]] plus a row-estimate margin — small-input
+    * defaults keep the one-job bounded plan. Residual (documented, not
+    * silent): a file whose encoding beats the optimizer's byte estimate
+    * by >4× AND carries a near-unique column can slip the gate; such a
+    * query then trips the in-window `assert_true` guard LOUDLY (message
+    * says `dense = true`) instead of auto-routing — the gate narrows
+    * auto-routing, it never corrupts a readout. */
   private def routeArm(perValue: DataFrame, dense: Boolean, adaptive: Boolean,
                        maxDistinct: Long): (DataFrame, Boolean) =
     if (dense) (perValue, true)
     else if (!adaptive) (perValue, false)
-    else if (maxDistinct >= MaxBoundedDistinct &&
-        perValue.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          BigInt(AdaptiveProbeBytes)) (perValue, false)
+    else if (maxDistinct >= MaxBoundedDistinct && {
+        val st = perValue.queryExecution.optimizedPlan.stats
+        st.sizeInBytes <= BigInt(AdaptiveProbeBytes) &&
+          estRowsUB(perValue) <= BigInt(maxDistinct / 4)
+      }) (perValue, false)
     else {
       val b = graft.util.Caching.barrier(perValue)
       (b, b.count() > maxDistinct)
@@ -341,24 +360,70 @@ object RankTests {
         (if (withDistinct) Seq(col("__dx"), col("__dy")) else Nil): _*)
   }
 
-  /** The (barriered cell table, one-row exact C/D frame) pair shared
-    * by the whole pairwise-association family — the cell collapse plus
-    * the routed C/D arms per the [[kendallTau]] doc. */
+  /** The continuous arm is only reached past `maxCells`; a cell table
+    * on a type the arm cannot JVM-order (array/struct — Spark-orderable
+    * but not `Comparable`) stays quadratic up to this hard cap instead
+    * (≈5·10⁹ comparisons worst case — slow but bounded and LOUD at the
+    * cap, never an `IllegalArgumentException` mid-scan; ADVICE r16). */
+  private[operators] val QuadraticOnlyCells: Long = 100000
+
+  /** The (cell table, one-row exact C/D frame) pair shared by the
+    * whole pairwise-association family — the cell collapse plus the
+    * routed C/D arms per the [[kendallTau]] doc.
+    *
+    * Routing-count gate (VERDICT r16 #4): when the INPUT's byte-derived
+    * row estimate already bounds the cell count under `maxCells`
+    * (cells ≤ input rows), the quadratic arm is safe by construction —
+    * the barrier+count routing job is skipped entirely and the cell
+    * aggregate stays lazy inside the caller's one final job. Because
+    * parquet encodings can beat the byte estimate, the gated path
+    * carries a LOUD in-plan backstop: a running count over the
+    * broadcast build side aborts the join at 4·`maxCells` (before any
+    * quadratic work on the probe side) with the `dense = true`
+    * remediation — mis-estimates cost an error message, never a
+    * 10¹²-pair join. Past the gate the probe runs as before and routes
+    * by the REAL cardinality. */
   private def cellsAndCd(df: DataFrame, xCol: String, yCol: String,
                          maxCells: Long, buckets: Int): (DataFrame, DataFrame) = {
     def d38(c: Column) = c.cast("decimal(38,0)")
-    val cells = graft.util.Caching.barrier(
-      df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c")))
-    val nCells = cells.count()
-    val cd = if (nCells <= maxCells) {
-      val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    def quadratic(cells: DataFrame, guardCap: Option[Long]): DataFrame = {
+      val c2 = guardCap match {
+        case Some(cap) =>
+          // running count over the build side trips BEFORE the probe
+          // side streams — the backstop for the provable-small gate
+          val wg = Window.orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
+          col("c") + coalesce(assert_true(count(lit(1)).over(wg) + 1 <= lit(cap), concat(
+            lit("kendallTau: cell table exceeds the provable-small routing estimate "),
+            lit(s"(cap $cap) - the input's size stats under-counted its rows; "),
+            lit("pass dense=true (exact, bucket-decomposed) or raise maxCells")))
+            .cast("long"), lit(0L))
+        case None => col("c")
+      }
+      val right = cells.select(col("x").as("x2"), col("y").as("y2"), c2.as("c2"))
       cells.join(broadcast(right), col("x2") < col("x"))
         .agg(
           sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
             .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
           sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
             .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
-    } else KendallContinuous.cd(cells, buckets, nCellsHint = nCells)
+    }
+    val cells0 = df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c"))
+    val armOk = KendallContinuous.supports(cells0.schema("x").dataType) &&
+      KendallContinuous.supports(cells0.schema("y").dataType)
+    if (armOk && estRowsUB(df) <= BigInt(maxCells))
+      return (cells0, quadratic(cells0, Some(maxCells * 4)))
+    val cells = graft.util.Caching.barrier(cells0)
+    val nCells = cells.count()
+    val cd =
+      if (nCells <= maxCells) quadratic(cells, None)
+      else if (armOk) KendallContinuous.cd(cells, buckets, nCellsHint = nCells)
+      else {
+        require(nCells <= QuadraticOnlyCells,
+          s"kendallTau: $nCells cells exceeds maxCells=$maxCells on a column type " +
+            "the continuous arm cannot order (array/struct) and the quadratic hard " +
+            s"cap $QuadraticOnlyCells - bucket or project the column to an atomic type first")
+        quadratic(cells, None)
+      }
     (cells, cd)
   }
 
@@ -909,7 +974,18 @@ object RankTests {
       .groupBy(abs(col("__d")).as("v"))
       .agg(count(lit(1)).as("t"),
         sum((col("__d") > 0).cast("long")).as("cpos"))
-    val (perValue, useDense) = routeArm(perValue0, dense, adaptive, maxDistinct)
+    // the per-|d| table sits on an item self-join whose conservative
+    // JOIN size estimate keeps [[routeArm]]'s byte gate from ever
+    // disengaging the probe (VERDICT r16 #1): the pair count — hence
+    // the distinct-|d| count — is bounded by EITHER side's scan, so
+    // gate on the two pre-join filtered scans' stats instead
+    val smallSides = maxDistinct >= MaxBoundedDistinct &&
+      Seq(a, b).forall { s =>
+        val st = s.queryExecution.optimizedPlan.stats
+        st.sizeInBytes <= BigInt(AdaptiveProbeBytes) &&
+          estRowsUB(s) <= BigInt(maxDistinct / 4)
+      }
+    val (perValue, useDense) = routeArm(perValue0, dense, adaptive && !smallSides, maxDistinct)
     val ranked = if (useDense) {
       Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
           sums = Seq((col("t"), "__ti")))

@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions._
   * Total order: (value [desc], tie asc); the tie column must be
   * row-unique and both columns non-null — callers feed per-entity
   * aggregates keyed by the entity id, which satisfies both.
+  * Null-freeness is enforced IN-SCAN across all arms (a null raises
+  * with the offending column's name): the r16 arms checked only the
+  * rows they happened to collect, so a null could silently shift every
+  * rank under the local rank arm (ADVICE r16).
   *
   * Where each arm wins (measured, `ProfileSelection` 20M rows,
   * local[32], identical checksums): under the `sampleTarget` fast path
@@ -140,9 +144,19 @@ object Selection {
     dims.foreach(d => d.ranks.foreach(r =>
       require(r >= 1 && r <= n, s"rank $r out of [1, $n] for ${d.valueCol}")))
     val vCols = dims.indices.map(i => s"__v$i")
+    // in-scan null guard, uniform across ALL arms (ADVICE r16): the
+    // rank arm's range sort would place nulls FIRST under asc and
+    // silently shift every rank, and the refinement arm only inspects
+    // sampled rows — so reject nulls in the projection itself (zero
+    // extra jobs; evaluated on every row every arm reads)
+    def nonNull(c: Column, name: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"orderStatistics: null in column '$name' - value and tie columns " +
+          "must be null-free (filter or coalesce first)")).cast(df.schema(name).dataType))
+        .otherwise(c)
     val proj = df.select(
-      dims.zipWithIndex.map { case (d, i) => col(d.valueCol).as(s"__v$i") } :+
-        col(tieCol).as("__u"): _*)
+      dims.zipWithIndex.map { case (d, i) => nonNull(col(d.valueCol), d.valueCol).as(s"__v$i") } :+
+        nonNull(col(tieCol), tieCol).as("__u"): _*)
     def tuples(rows: Seq[Row], dim: Int): Seq[(Any, Any)] =
       rows.map(r => (r.get(dim), r.get(dims.length))).sorted(ord(dims(dim).desc))
 

@@ -72,8 +72,15 @@ object BehaviorStream {
     * read the latest banded table from [[RfmLive.snapshot]]. The
     * running per-unit table is local-checkpointed each batch (lineage
     * truncation + the materialization [[Selection.orderStatistics]]
-    * needs); swap the in-session store for a keyed upsert sink
-    * (Delta/Hudi) when the unit universe outgrows one cluster's cache.
+    * needs). When the unit universe outgrows one cluster's cache (or
+    * the leaderboard must survive a restart), pass `storePath=`: the
+    * per-unit table then lives as versioned parquet under that path —
+    * each batch reads the last committed version, merges, writes
+    * `v{batchId}` and moves the `_LATEST` pointer last (write-ahead;
+    * a crash mid-write leaves the previous version committed and the
+    * batch replays) — cluster cache holds nothing between batches and
+    * a restarted query resumes from the committed store. Snapshot
+    * parity between the arms is spec-pinned.
     *
     * Parity contract (spec-pinned): because the merged per-unit
     * aggregates are exactly the batch aggregates (decimal addition is
@@ -83,14 +90,23 @@ object BehaviorStream {
     * BIT-IDENTICAL to `Behavior.rfm` over the same events. */
   final class RfmLive(userCol: String, tsCol: String, typeCol: String,
                       valueCol: String, convType: String,
-                      nowMicros: Long, q: Int) {
+                      nowMicros: Long, q: Int,
+                      storePath: Option[String] = None) {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
 
     @volatile private var store: DataFrame = null // (u, __mx, __cnt, __sm)
     @volatile private var latest: DataFrame = null
 
+    // durable arm: the committed version pointer. Read once at
+    // construction (resume-after-restart), then maintained per batch.
+    private val latestPtr = storePath.map(p => java.nio.file.Paths.get(p, "_LATEST"))
+    private def committedVersion: Option[String] =
+      latestPtr.filter(java.nio.file.Files.exists(_))
+        .map(p => java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
+
     def foreachBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val spark = batch.sparkSession
       val part = batch.filter(col(typeCol) === convType)
         .groupBy(col(userCol).as("u"))
         .agg(max(unix_micros(col(tsCol))).as("__mx"),
@@ -101,16 +117,41 @@ object BehaviorStream {
       // the SAME bound as the batch arm (a (18,2) re-cast here would
       // null a >10^16 spend the batch arm still represents)
       val widened = part.withColumn("__sm", col("__sm").cast("decimal(28,2)"))
-      val merged = if (store == null) widened
-        else store.unionByName(widened).groupBy("u")
+      val prev = storePath match {
+        case Some(p) => committedVersion.map(v =>
+          spark.read.parquet(s"$p/$v").select(col("u"), col("__mx"),
+            col("__cnt"), col("__sm").cast("decimal(28,2)").as("__sm")))
+        case None => Option(store)
+      }
+      val merged = prev match {
+        case None => widened
+        case Some(st) => st.unionByName(widened).groupBy("u")
           .agg(max(col("__mx")).as("__mx"), sum(col("__cnt")).as("__cnt"),
             sum(col("__sm")).cast("decimal(28,2)").as("__sm"))
-      // eager local checkpoint: truncates cross-batch lineage AND
-      // materializes the table orderStatistics scans several times;
-      // dropping the previous store reference lets the ContextCleaner
-      // evict its checkpoint blocks (no manual unpersist — a reader may
-      // still hold the previous snapshot for one batch)
-      val next = merged.localCheckpoint(true)
+      }
+      val next = storePath match {
+        case Some(p) =>
+          // durable keyed upsert: write the merged table as a NEW
+          // version, then move the pointer (last, atomically) — the
+          // read side never sees a half-written version, a crash
+          // before the pointer move leaves the previous version
+          // committed, and cluster cache holds nothing between batches
+          merged.write.mode("overwrite").parquet(s"$p/v$batchId")
+          val tmp = latestPtr.get.resolveSibling("_LATEST.tmp")
+          java.nio.file.Files.writeString(tmp, s"v$batchId")
+          java.nio.file.Files.move(tmp, latestPtr.get,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          spark.read.parquet(s"$p/v$batchId")
+        case None =>
+          // eager local checkpoint: truncates cross-batch lineage AND
+          // materializes the table orderStatistics scans several times;
+          // dropping the previous store reference lets the
+          // ContextCleaner evict its checkpoint blocks (no manual
+          // unpersist — a reader may still hold the previous snapshot
+          // for one batch)
+          merged.localCheckpoint(true)
+      }
       store = next
       val per = next.select(col("u"),
         floor((lit(nowMicros) - col("__mx")) / lit(86400000000.0)).as("recency_days"),
@@ -125,7 +166,15 @@ object BehaviorStream {
       graft.util.Caching.release()
     }
 
-    /** The banded table as of the last completed batch. */
+    /** The banded table as of the last completed batch.
+      *
+      * Validity window (in-memory arm): the returned frame reads the
+      * CURRENT store checkpoint, and the store reference drops one
+      * batch later — so a snapshot held across TWO OR MORE subsequent
+      * batches may lose its checkpoint blocks to the ContextCleaner
+      * (ADVICE r16). Consume it within one batch, `.collect()` it, or
+      * construct the leaderboard with `storePath=` (durable-arm
+      * snapshots read committed parquet and never expire). */
     def snapshot: DataFrame = {
       val l = latest
       require(l != null, "RfmLive: no batch processed yet")
