@@ -161,12 +161,14 @@ object Bench {
     * vs ~1.4 later — is exactly a pre/post calibration DELTA, visible
     * in one field instead of a forensic quartile analysis. */
   def calibrate(spark: SparkSession, passes: Int = 5): (Double, Double) = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val fold = (0 to passes).map { _ =>
       val t0 = System.nanoTime()
+      // shiftright bounds the summand to ±2^31 so 200M terms stay well
+      // inside a Long under ANSI arithmetic
       spark.range(0L, 200000000L, 1L, 32)
-        .select(sum(xxhash64(col("id") + 1234567L))).head()
+        .select(sum(shiftright(xxhash64(col("id") + 1234567L), 32))).head()
       (System.nanoTime() - t0) / 1e9
     }
     var sink = 0L

@@ -372,17 +372,19 @@ object RankTests {
     * routed C/D arms per the [[kendallTau]] doc.
     *
     * Routing-count gate (VERDICT r16 #4): when the INPUT's byte-derived
-    * row estimate already bounds the cell count under `maxCells`
-    * (cells ≤ input rows), the quadratic arm is safe by construction —
-    * the barrier+count routing job is skipped entirely and the cell
-    * aggregate stays lazy inside the caller's one final job. Because
-    * parquet encodings can beat the byte estimate, the gated path
-    * carries a LOUD in-plan backstop: a running count over the
-    * broadcast build side aborts the join at 4·`maxCells` (before any
-    * quadratic work on the probe side) with the `dense = true`
-    * remediation — mis-estimates cost an error message, never a
-    * 10¹²-pair join. Past the gate the probe runs as before and routes
-    * by the REAL cardinality. */
+    * row estimate bounds the cell count under `maxCells` WITH a 4×
+    * compression margin (cells ≤ input rows; parquet encodings beat
+    * `defaultSize`, so the raw estimate alone misfired by ~4× on the
+    * sf0.1 events table and silently ran a 10¹⁰-pair nested-loop join
+    * — measured 137 s where the probed plan routes continuous in 4 s),
+    * the quadratic arm is safe by construction — the barrier+count
+    * routing job is skipped entirely and the cell aggregate stays lazy
+    * inside the caller's one final job. The gated path still carries a
+    * LOUD in-plan backstop AT `maxCells` — zero silent zone: a running
+    * count over the broadcast build side aborts the join the moment
+    * the cell table exceeds what probed routing would ever hand the
+    * quadratic arm, with the `dense = true` remediation. Past the gate
+    * the probe runs as before and routes by the REAL cardinality. */
   private def cellsAndCd(df: DataFrame, xCol: String, yCol: String,
                          maxCells: Long, buckets: Int): (DataFrame, DataFrame) = {
     def d38(c: Column) = c.cast("decimal(38,0)")
@@ -410,8 +412,8 @@ object RankTests {
     val cells0 = df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c"))
     val armOk = KendallContinuous.supports(cells0.schema("x").dataType) &&
       KendallContinuous.supports(cells0.schema("y").dataType)
-    if (armOk && estRowsUB(df) <= BigInt(maxCells))
-      return (cells0, quadratic(cells0, Some(maxCells * 4)))
+    if (armOk && estRowsUB(df) * 4 <= BigInt(maxCells))
+      return (cells0, quadratic(cells0, Some(maxCells)))
     val cells = graft.util.Caching.barrier(cells0)
     val nCells = cells.count()
     val cd =
