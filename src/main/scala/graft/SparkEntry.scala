@@ -3440,6 +3440,29 @@ object SparkEntry {
           round(col("somers_d_yx"), 8).as("somers_d_yx"),
           round(col("somers_d_xy"), 8).as("somers_d_xy"))
     },
+    // Per-segment Kendall τ-b (RankTests.kendallTauBy): does the
+    // quantity/price association hold per returnflag — segment-keyed
+    // dominance join, per-segment exact C/D/tie terms, each row
+    // bit-equal to the global kendallTau on that slice.
+    "q_kendall_by" -> { (s, dir) =>
+      graft.operators.RankTests.kendallTauBy(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("price_k", floor(col("l_extendedprice") / lit(1000.0)).cast(LongType)),
+        "l_returnflag", "l_quantity", "price_k")
+        .select(col("segment"), col("n"), col("concordant"), col("discordant"),
+          round(col("tau_b"), 8).as("tau_b"))
+    },
+    // Per-segment Spearman ρ (RankTests.spearmanBy): rank tables off
+    // (segment, value) aggregates, segment-partitioned windows, exact
+    // decimal 2×rank sums into the per-segment Pearson closed form.
+    "q_spearman_by" -> { (s, dir) =>
+      graft.operators.RankTests.spearmanBy(
+        Sources.table(s, dir, "events")
+          .withColumn("xv", floor(col("value") * 50).cast(LongType))
+          .withColumn("yv", pmod(col("event_id"), lit(97L))),
+        "event_type", "xv", "yv")
+        .select(col("segment"), col("n"), round(col("rho"), 8).as("rho"))
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -8289,6 +8312,52 @@ object SparkEntry {
         |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
         |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
         |FROM v""".stripMargin,
+    // q_kendall's exact pair counts sliced per segment: the dominance
+    // join keys on segment, the tie sums group per (segment, block)
+    "q_kendall_by" ->
+      """WITH d AS (SELECT l_returnflag AS segment, l_quantity AS x,
+        |    CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS y FROM lineitem),
+        |cells AS (SELECT segment, x, y, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.segment,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS discordant
+        |  FROM cells a JOIN cells b ON b.segment = a.segment AND b.x < a.x GROUP BY 1),
+        |nn AS (SELECT segment, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |tx AS (SELECT segment, CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n12
+        |  FROM (SELECT segment, SUM(c) AS t FROM cells GROUP BY segment, x) GROUP BY 1),
+        |ty AS (SELECT segment, CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS n22
+        |  FROM (SELECT segment, SUM(c) AS t FROM cells GROUP BY segment, y) GROUP BY 1),
+        |v AS (SELECT nn.segment AS segment, n,
+        |    COALESCE(concordant, 0) AS concordant, COALESCE(discordant, 0) AS discordant,
+        |    CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE) AS n02, n12, n22
+        |  FROM nn LEFT JOIN cd ON cd.segment = nn.segment
+        |    JOIN tx ON tx.segment = nn.segment JOIN ty ON ty.segment = nn.segment)
+        |SELECT segment, n, concordant, discordant,
+        |  round(CASE WHEN (n02-n12)*(n02-n22) > 0 THEN
+        |    2.0*(concordant-discordant)/sqrt((n02-n12)*(n02-n22)) END, 8) AS tau_b
+        |FROM v""".stripMargin,
+    // q_spearman's 2×avg-rank construction with every window and join
+    // additionally keyed by segment
+    "q_spearman_by" ->
+      """WITH d AS (SELECT event_type AS segment,
+        |    CAST(floor(value*50) AS BIGINT) AS x,
+        |    CAST(event_id % 97 AS BIGINT) AS y FROM events),
+        |rxp AS (SELECT segment, x, count(*) AS t FROM d GROUP BY 1, 2),
+        |rx AS (SELECT segment, x, 2*COALESCE(sum(t) OVER (PARTITION BY segment ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 FROM rxp),
+        |ryp AS (SELECT segment, y, count(*) AS t FROM d GROUP BY 1, 2),
+        |ry AS (SELECT segment, y, 2*COALESCE(sum(t) OVER (PARTITION BY segment ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 FROM ryp),
+        |p AS (SELECT d.segment AS segment, CAST(rx.r2 AS HUGEINT) AS a, CAST(ry.r2 AS HUGEINT) AS b
+        |  FROM d JOIN rx ON d.segment = rx.segment AND d.x = rx.x
+        |         JOIN ry ON d.segment = ry.segment AND d.y = ry.y),
+        |ag AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sx, CAST(sum(b) AS DOUBLE) AS sy,
+        |    CAST(sum(a*a) AS DOUBLE) AS sxx, CAST(sum(b*b) AS DOUBLE) AS syy,
+        |    CAST(sum(a*b) AS DOUBLE) AS sxy FROM p GROUP BY 1)
+        |SELECT segment, n, round(CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0 THEN
+        |  (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 8) AS rho
+        |FROM ag""".stripMargin,
     // J = C + cross-group-tie/2 carried x4 in HUGEINT; the MK
     // tie-corrected variance with group sizes as the x tie blocks
     "q_jt" ->

@@ -810,6 +810,108 @@ object RankTests {
           .as("auc"))
   }
 
+  /** Per-segment Kendall τ-b — "does the association hold in every
+    * cohort", [[mannWhitneyBy]]'s sibling for the correlation readout:
+    * ONE (segment, x, y) cell aggregate, a SEGMENT-KEYED dominance
+    * join (equi on segment + x′ < x — distributes by segment, the
+    * balanced shape; per-segment work is |cells_g|², so the cap gates
+    * on the LARGEST segment off the same groupBy, not the total), the
+    * per-(segment, block) tie sums, and per-segment τ-b from the same
+    * exact integer C/D/tie terms as [[kendallTau]] — each segment's
+    * row is bit-identical to the global test on that slice
+    * (spec-pinned). A segment past `maxCells` errs EAGERLY with the
+    * per-heavy-segment remediation (the continuous arm is a global
+    * machine; run [[kendallTau]] on that slice — it auto-routes). One
+    * row per segment: (segment, n, concordant, discordant, tau_b). */
+  def kendallTauBy(df: DataFrame, segCol: String, xCol: String, yCol: String,
+                   maxCells: Long = 30000): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.util.Caching.barrier(
+      df.groupBy(col(segCol).as("segment"), col(xCol).as("x"), col(yCol).as("y"))
+        .agg(count(lit(1)).as("c")))
+    val maxPerSeg = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
+      .agg(coalesce(max(col("__nc")), lit(0L))).head().getLong(0)
+    require(maxPerSeg <= maxCells,
+      s"kendallTauBy: a segment carries $maxPerSeg cells (maxCells=$maxCells); " +
+        "the dominance join would be quadratic in that segment - run kendallTau " +
+        "on the heavy slice (it auto-routes the O(n log n) continuous arm) or " +
+        "bucket the metric first")
+    val right = cells.select(col("segment").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("c").as("c2"))
+    val cd = cells.join(right, col("g2") === col("segment") && col("x2") < col("x"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    def ties(key: String, out: String) = cells.groupBy(col("segment"), col(key))
+      .agg(sum(col("c")).as("__t"))
+      .groupBy(col("segment"))
+      .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+        .cast("decimal(38,0)").as(out))
+    cells.groupBy(col("segment")).agg(sum(col("c")).as("n"))
+      .join(cd, Seq("segment"), "left")
+      .join(ties("x", "__n12"), Seq("segment"), "left")
+      .join(ties("y", "__n22"), Seq("segment"), "left")
+      .select(col("segment"), col("n"),
+        coalesce(col("__c"), lit(0)).cast("double").as("concordant"),
+        coalesce(col("__d"), lit(0)).cast("double").as("discordant"),
+        (d38(col("n")) * (col("n") - 1)).cast("double").as("__n02"),
+        col("__n12").cast("double").as("__n12"),
+        col("__n22").cast("double").as("__n22"))
+      .withColumn("tau_b",
+        when((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")) > 0,
+          lit(2.0) * (col("concordant") - col("discordant")) /
+            sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
+      .select(col("segment"), col("n"), col("concordant"), col("discordant"),
+        col("tau_b"))
+  }
+
+  /** Per-segment Spearman ρ — [[spearman]] sliced like
+    * [[kendallTauBy]]: each variable's average-rank table comes off a
+    * (segment, value) aggregate ranked by a SEGMENT-PARTITIONED window
+    * (balanced — the segment axis is the parallelism; the per-segment
+    * cardinality guard is the bounded arm's tripwire, per segment),
+    * joins back on (segment, value) as ordinary shuffled joins, and
+    * the Pearson closed form folds per segment from exact DECIMAL
+    * 2×rank sums — each segment's ρ is bit-identical to [[spearman]]
+    * on that slice (spec-pinned). One row per segment:
+    * (segment, n, rho). */
+  def spearmanBy(df: DataFrame, segCol: String, xCol: String, yCol: String,
+                 maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+    def rankTable(c: String, vOut: String, rOut: String): DataFrame = {
+      val pv = df.groupBy(col(segCol).as("__sg"), col(c).as(vOut))
+        .agg(count(lit(1)).as("__t"))
+      val wPrev = Window.partitionBy("__sg").orderBy(vOut)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pv.withColumn("__cum", coalesce(sum(col("__t")).over(wPrev), lit(0L)) +
+          cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+            "RankTests.spearmanBy"))
+        .select(col("__sg"), col(vOut), (lit(2) * col("__cum") + col("__t") + 1).as(rOut))
+    }
+    val rx = rankTable(xCol, "__vx", "__rx")
+    val ry = rankTable(yCol, "__vy", "__ry")
+    val paired = df
+      .join(rx, col(segCol) === col("__sg") && col(xCol) === col("__vx"))
+      .drop("__sg")
+      .join(ry, col(segCol) === col("__sg") && col(yCol) === col("__vy"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val agg = paired.groupBy(col(segCol).as("segment")).agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("__rx"))).cast("double").as("sx"),
+      sum(d19(col("__ry"))).cast("double").as("sy"),
+      sum((d19(col("__rx")) * d19(col("__rx"))).cast("decimal(38,0)")).cast("double").as("sxx"),
+      sum((d19(col("__ry")) * d19(col("__ry"))).cast("decimal(38,0)")).cast("double").as("syy"),
+      sum((d19(col("__rx")) * d19(col("__ry"))).cast("decimal(38,0)")).cast("double").as("sxy"))
+    agg.select(col("segment"), col("n"),
+      when((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
+  }
+
   /** Mutual information I(X;Y) in nats between two categorical
     * columns, plus the normalized variant I/min(H(X),H(Y)). Same
     * one-aggregate cell table as [[chiSquare]]; the log terms are

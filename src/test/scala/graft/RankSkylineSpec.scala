@@ -758,6 +758,40 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("maxDistinct")))
   }
 
+  test("kendallTauBy/spearmanBy: each segment row == the global test on that slice") {
+    val rnd = new scala.util.Random(71)
+    val df = (1 to 800).map { i =>
+      val seg = s"s${i % 3}"
+      val x = rnd.nextInt(20).toDouble
+      (seg, x, x * (i % 3) + rnd.nextInt(15).toDouble) // per-seg association
+    }.toDF("seg", "x", "y")
+    val kBy = RankTests.kendallTauBy(df, "seg", "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    graft.util.Caching.release()
+    val sBy = RankTests.spearmanBy(df, "seg", "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    (0 until 3).foreach { k =>
+      val slice = df.filter(col("seg") === s"s$k")
+      val kg = RankTests.kendallTau(slice, "x", "y").head.toSeq
+      assert(kBy(s"s$k") == kg, s"kendall segment s$k")
+      graft.util.Caching.release()
+      val sg = RankTests.spearman(slice, "x", "y").head.toSeq
+      assert(sBy(s"s$k") == sg, s"spearman segment s$k")
+      graft.util.Caching.release()
+    }
+    // a heavy segment errs eagerly with the per-slice remediation
+    val dense = (1 to 400).map(i => ("one", i * 1.0, i * 2.0)).toDF("seg", "x", "y")
+    val e = intercept[Exception](RankTests.kendallTauBy(dense, "seg", "x", "y", maxCells = 100))
+    assert(e.getMessage.contains("kendallTau"), e.getMessage)
+    graft.util.Caching.release()
+    // spearmanBy per-segment cardinality guard fires loudly
+    val e2 = intercept[Exception](
+      RankTests.spearmanBy(dense, "seg", "x", "y", maxDistinct = 50).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.contains("maxDistinct")))
+  }
+
   test("kendall arms agree on Spark's UTF-8 string order (U+E000 vs supplementary)") {
     // Java UTF-16 compareTo says "" > U+10000, Spark's UTF-8
     // binary order says the opposite — the continuous arm must side
