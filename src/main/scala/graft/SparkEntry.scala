@@ -3426,6 +3426,50 @@ object SparkEntry {
         .select(col("n"), col("s"), round(col("var_s"), 4).as("var_s"),
           round(col("z"), 8).as("z"))
     },
+    // Per-segment Mann–Kendall (RankTests.mannKendallBy): weekly trend
+    // readout — day-grain x, /4-bucketed metric with the day/2 drift
+    // (cells ≤ ~900/segment at EVERY sf); each segment row bit-equal to
+    // the global mannKendall on that week, and the frame the streaming
+    // twin (TrendStream.mannKendallStream) replays window-by-window.
+    "q_mk_by" -> { (s, dir) =>
+      val day = floor(unix_micros(col("ts")) / lit(86400000000L))
+      graft.operators.RankTests.mannKendallBy(
+        Sources.table(s, dir, "events")
+          .withColumn("day", day)
+          .withColumn("week", floor(col("day") / lit(7.0)))
+          .withColumn("yv", floor(col("value") / 4.0) + col("day") / lit(2.0)),
+        "week", "day", "yv")
+        .select(col("segment"), col("n"), col("s"),
+          round(col("var_s"), 4).as("var_s"), round(col("z"), 8).as("z"))
+    },
+    // Two-sided CUSUM per event type (ChangePoint.cusumBy): scale-4
+    // quantized exact integers end to end — running sums + running
+    // mins per key, first-crossing alarms; the injected event_id/500
+    // drift trips the positive side.
+    "q_cusum" -> { (s, dir) =>
+      graft.operators.ChangePoint.cusumBy(
+        Sources.table(s, dir, "events")
+          .withColumn("xv", col("value") + col("event_id") / lit(500.0)),
+        "event_type", "event_id", "xv",
+        mu0 = BigDecimal(50), k = BigDecimal(2), h = BigDecimal(500))
+        .select(col("key"), col("n"), round(col("s_pos_max"), 8).as("s_pos_max"),
+          round(col("s_neg_max"), 8).as("s_neg_max"),
+          col("alarm_pos_ts"), col("alarm_neg_ts"))
+    },
+    // Exact AMOC split per event type (ChangePoint.amocSplitBy): the
+    // SSE-gain-maximizing single change point from per-key prefix
+    // sums — gain carried as an exact scaled integer into one fixed
+    // IEEE chain; the injected +30/5000-events step is the shift.
+    "q_changepoint" -> { (s, dir) =>
+      graft.operators.ChangePoint.amocSplitBy(
+        Sources.table(s, dir, "events")
+          .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0)),
+        "event_type", "event_id", "xv")
+        .select(col("key"), col("n"), col("split_ts"), col("n_left"),
+          round(col("gain"), 6).as("gain"),
+          round(col("mean_left"), 8).as("mean_left"),
+          round(col("mean_right"), 8).as("mean_right"))
+    },
     // Full rank-association family (RankTests.rankAssociation): τ-a,
     // τ-b, Stuart τ-c, Goodman–Kruskal γ, Somers' D both directions —
     // one pass of the kendall machinery (same cells, same C/D arms).
@@ -8445,6 +8489,94 @@ object SparkEntry {
         |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
         |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
         |FROM tot""".stripMargin,
+    // per-segment MK: the seasonal-MK per-season machinery emitted per
+    // segment (no cross-season sum) — same HUGEINT tie terms, same
+    // per-slice varS chain, continuity-corrected z per row
+    "q_mk_by" ->
+      """WITH d AS (SELECT CAST(floor(floor(epoch_us(ts) / 86400000000) / 7.0) AS BIGINT) AS segment,
+        |    floor(epoch_us(ts) / 86400000000) AS x,
+        |    floor(value / 4.0) + floor(epoch_us(ts) / 86400000000) / 2.0 AS y
+        |  FROM events),
+        |cells AS (SELECT segment, x, y, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.segment,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS cc,
+        |    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT)*b.c END), 0) AS DOUBLE) AS dd
+        |  FROM cells a JOIN cells b ON b.segment = a.segment AND b.x < a.x GROUP BY 1),
+        |tx AS (SELECT segment,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS tx2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS tx25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS tx3
+        |  FROM (SELECT segment, x, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT segment,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)), 0) AS DOUBLE) AS ty2,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)), 0) AS DOUBLE) AS ty25,
+        |    CAST(COALESCE(SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)), 0) AS DOUBLE) AS ty3
+        |  FROM (SELECT segment, y, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ng AS (SELECT segment, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |per AS (SELECT ng.segment AS segment, n,
+        |    COALESCE(cc, 0) - COALESCE(dd, 0) AS s,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(CAST(n AS HUGEINT)*(n-1)*(2*n+5) AS DOUBLE) - tx25 - ty25) / 18.0
+        |      + (CASE WHEN n >= 3 THEN tx3 * ty3
+        |          / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2))
+        |         ELSE 0.0 END)
+        |      + tx2 * ty2 / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |    END AS var_s
+        |  FROM ng LEFT JOIN cd ON cd.segment = ng.segment
+        |    LEFT JOIN tx ON tx.segment = ng.segment
+        |    LEFT JOIN ty ON ty.segment = ng.segment)
+        |SELECT segment, n, s, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN var_s > 0 THEN
+        |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+        |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
+        |FROM per""".stripMargin,
+    // CUSUM as prefix sums: S+ = C - min(0, running min C) on scale-4
+    // scaled HUGEINTs; first-crossing alarms via min(CASE)
+    "q_cusum" ->
+      """WITH d AS (SELECT event_type AS key, event_id AS ord,
+        |    CAST(CAST(value + event_id / 500.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xq
+        |  FROM events),
+        |r AS (SELECT key, ord,
+        |    sum(xq - 520000) OVER w AS cp,
+        |    sum(480000 - xq) OVER w AS cn
+        |  FROM d WINDOW w AS (PARTITION BY key ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT key, ord,
+        |    cp - LEAST(0, min(cp) OVER w) AS sp,
+        |    cn - LEAST(0, min(cn) OVER w) AS sn
+        |  FROM r WINDOW w AS (PARTITION BY key ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(max(sp) AS DOUBLE) / 10000.0, 8) AS s_pos_max,
+        |  round(CAST(max(sn) AS DOUBLE) / 10000.0, 8) AS s_neg_max,
+        |  min(CASE WHEN sp > 5000000 THEN ord END) AS alarm_pos_ts,
+        |  min(CASE WHEN sn > 5000000 THEN ord END) AS alarm_neg_ts
+        |FROM t GROUP BY 1""".stripMargin,
+    // AMOC: gain = (S_l*n - S*n_l)^2/(n*n_l*n_r) on scaled HUGEINTs,
+    // one fixed IEEE chain; argmax by (gain DESC, ord ASC)
+    "q_changepoint" ->
+      """WITH d AS (SELECT event_type AS key, event_id AS ord,
+        |    CAST(CAST(value + floor(event_id / 5000.0) * 30.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xq
+        |  FROM events),
+        |w AS (SELECT key, ord,
+        |    CAST(count(*) OVER wc AS BIGINT) AS i,
+        |    sum(xq) OVER wc AS si,
+        |    CAST(count(*) OVER wa AS BIGINT) AS n,
+        |    sum(xq) OVER wa AS s
+        |  FROM d WINDOW
+        |    wc AS (PARTITION BY key ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (PARTITION BY key)),
+        |c AS (SELECT key, ord, i, n, si, s,
+        |    CAST(si*n - s*i AS DOUBLE) AS a,
+        |    CAST(i*(n-i)*n AS DOUBLE) AS dn
+        |  FROM w WHERE i < n),
+        |g AS (SELECT key, ord, i, n, si, s, a*a/dn/1e8 AS gain FROM c),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY gain DESC, ord ASC) AS rn FROM g)
+        |SELECT key, n, ord AS split_ts, i AS n_left, round(gain, 6) AS gain,
+        |  round(CAST(si AS DOUBLE) / 10000.0 / i, 8) AS mean_left,
+        |  round(CAST(s - si AS DOUBLE) / 10000.0 / (n - i), 8) AS mean_right
+        |FROM p WHERE rn = 1""".stripMargin,
     // per-segment rank-sum AUC: segment-partitioned exclusive prefix,
     // 2x-rank integers, the same u_a/n_pos*n_neg IEEE chain per row
     "q_auc_by" ->

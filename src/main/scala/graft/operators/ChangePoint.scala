@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-point detection over keyed ordered series — the natural
+  * consumer of the trend battery ([[RankTests.mannKendall]] says "is
+  * it drifting"; this family says "WHERE did the level shift"):
+  *
+  *  - [[cusumBy]] — the classic one-sided CUSUM pair (Page 1954)
+  *    against a caller-fixed target: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ₀ − k)
+  *    and its mirror. The recursion is NOT a prefix sum, but it
+  *    collapses to one: S⁺ₜ = Cₜ − min(0, min_{j≤t} Cⱼ) with
+  *    Cₜ = Σ(xᵢ − μ₀ − k) — so the whole operator is two running sums
+  *    + two running mins per key, ONE key-partitioned sort, no
+  *    iteration, no state.
+  *  - [[pageHinkleyBy]] — Page–Hinkley (Page 1954 §5, the running-mean
+  *    form): mₜ = Σ_{i≤t}(xᵢ − x̄ᵢ − δ) with x̄ᵢ the RUNNING mean;
+  *    PHₜ = mₜ − min m (increase) / max m − mₜ (decrease). Two window
+  *    passes over the same key-partitioned sort.
+  *  - [[amocSplitBy]] — At-Most-One-Changepoint exact SSE split
+  *    (binary segmentation depth 1, Scott & Knott 1974): the split τ
+  *    maximizing the between-segment SSE gain
+  *    gain(τ) = (S_l·n − S·n_l)² / (n·n_l·n_r), all from per-key
+  *    prefix sums — O(n) work after one key-partitioned sort, never a
+  *    per-split rescan.
+  *  - [[binarySegmentationBy]] — recursive [[amocSplitBy]] within
+  *    accepted segments, `depth` rounds: each round ONE window pass
+  *    per (key, segment) + one bounded split-table join; the split
+  *    table never touches the driver.
+  *
+  * Exactness contract (the repo's oracle discipline): [[cusumBy]] and
+  * [[amocSplitBy]] quantize the metric to DECIMAL scale 4 and carry
+  * every statistic as exact scaled integers (DECIMAL(38,0) /
+  * HUGEINT-replayable); every emitted double is one fixed IEEE chain
+  * from exact operands. [[pageHinkleyBy]]'s running mean is
+  * inherently rational — it runs in doubles with a strict
+  * left-fold-in-ts-order semantics (Spark's running-frame window),
+  * spec-pinned against a driver reference fold rather than a SQL
+  * oracle.
+  *
+  * Order contract: `tsCol` must be unique within a key (feed a
+  * composite/sequence column otherwise) — a duplicate order key would
+  * make every cumulative statistic partition-order-dependent.
+  *
+  * Scale shape: everything rides ONE `partitionBy(key)` exchange; the
+  * per-key series sorts within its partition (the per-stream operator
+  * discipline — at 100 TB the key axis is the parallelism). Alarm
+  * semantics: first-crossing detection readout, NO post-alarm reset
+  * (the repeated-alarm variant re-zeroes S after each signal — a
+  * documented deviation; feed segments back through for repeats).
+  *
+  * Reference relevance: csp's stats family exists to monitor live
+  * series (`/root/reference/csp/stats.py` rolling mean/var); detecting
+  * the level shift those dashboards watch for is the canonical
+  * downstream, and the streaming twins
+  * ([[graft.streaming.ChangePointStream]]) keep csp's
+  * event-at-a-time shape.
+  */
+object ChangePoint {
+
+  /** Metric quantization scale shared by the exact members (4 decimal
+    * places — the repo's decimal(18,4) metric discipline). */
+  val Scale = 4
+  private val ScaleFactor = 10000L
+
+  /** `v` as an exact scale-4 integer (DECIMAL(38,0)). */
+  private def q4(v: Column): Column =
+    (v.cast("decimal(18,4)") * ScaleFactor).cast("decimal(38,0)")
+
+  private def q4(v: BigDecimal): java.math.BigDecimal =
+    v.setScale(Scale, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(Scale)
+
+  /** Two-sided CUSUM per key against target `mu0` with slack `k` and
+    * alarm threshold `h` (all quantized to scale 4). One row per key:
+    * (key, n, s_pos_max, s_neg_max, alarm_pos_ts, alarm_neg_ts) —
+    * the max excursion of each one-sided statistic and the FIRST
+    * order-key where it crossed `h` (null = never). Doubles are one
+    * cast from exact scaled integers. */
+  def cusumBy(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+              mu0: BigDecimal, k: BigDecimal, h: BigDecimal): DataFrame = {
+    val up = lit(q4(mu0 + k))    // per-tick drain of S⁺
+    val dn = lit(q4(mu0 - k))    // per-tick feed of S⁻
+    val hq = lit(q4(h))
+    val wCum = Window.partitionBy("__k").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      q4(col(valueCol)).as("__x"))
+    val zero = lit(0).cast("decimal(38,0)")
+    val run = base
+      .withColumn("__cp", sum(col("__x") - up).over(wCum))
+      .withColumn("__cn", sum(dn - col("__x")).over(wCum))
+      .select(col("__k"), col("__t"),
+        (col("__cp") - least(zero, min(col("__cp")).over(wCum))).as("__sp"),
+        (col("__cn") - least(zero, min(col("__cn")).over(wCum))).as("__sn"))
+    run.groupBy(col("__k").as("key")).agg(
+      count(lit(1)).as("n"),
+      (max(col("__sp")).cast("double") / ScaleFactor.toDouble).as("s_pos_max"),
+      (max(col("__sn")).cast("double") / ScaleFactor.toDouble).as("s_neg_max"),
+      min(when(col("__sp") > hq, col("__t"))).as("alarm_pos_ts"),
+      min(when(col("__sn") > hq, col("__t"))).as("alarm_neg_ts"))
+  }
+
+  /** Page–Hinkley per key: drift magnitude `delta`, alarm threshold
+    * `lambda`. One row per key:
+    * (key, n, ph_inc_max, ph_dec_max, alarm_inc_ts, alarm_dec_ts).
+    * Runs in doubles (the running mean is rational); the fold order is
+    * the ts order within each key — deterministic under any
+    * partitioning, spec-pinned against a driver reference fold. */
+  def pageHinkleyBy(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, delta: Double, lambda: Double): DataFrame = {
+    val wCum = Window.partitionBy("__k").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(valueCol).cast("double").as("__x"))
+    // pass 1: running mean; pass 2: m_t and its running extremes —
+    // same partitioning+ordering, one sort
+    val m = base
+      .withColumn("__xbar", avg(col("__x")).over(wCum))
+      .withColumn("__m", sum(col("__x") - col("__xbar") - lit(delta)).over(wCum))
+    val ph = m.select(col("__k"), col("__t"),
+      (col("__m") - min(col("__m")).over(wCum)).as("__inc"),
+      (max(col("__m")).over(wCum) - col("__m")).as("__dec"))
+    ph.groupBy(col("__k").as("key")).agg(
+      count(lit(1)).as("n"),
+      max(col("__inc")).as("ph_inc_max"),
+      max(col("__dec")).as("ph_dec_max"),
+      min(when(col("__inc") > lambda, col("__t"))).as("alarm_inc_ts"),
+      min(when(col("__dec") > lambda, col("__t"))).as("alarm_dec_ts"))
+  }
+
+  /** The exact best single split per key: for every boundary position
+    * τ (left segment = first τ rows in ts order), the between-segment
+    * SSE gain is gain(τ) = A(τ)² / (n·n_l·n_r) with
+    * A = S_l·n − S·n_l — entirely prefix sums. A is carried as an
+    * exact scale-4 integer; the reported gain divides once through a
+    * fixed IEEE chain (A_dbl²/denom/10⁸), so the argmax and every
+    * emitted double replay bit-for-bit in the SQL oracle. Tie-break:
+    * highest gain, then earliest split. Keys with n < 2 have no valid
+    * split and are omitted. One row per key:
+    * (key, n, split_ts, n_left, gain, mean_left, mean_right) — the
+    * split is the LAST ts of the left segment. */
+  def amocSplitBy(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame =
+    amocCore(df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      q4(col(valueCol)).as("__x")))
+
+  /** [[amocSplitBy]] on a pre-projected (__k, __t, __x[scaled int])
+    * frame — shared with [[binarySegmentationBy]], where __k is the
+    * (key, segment) composite. */
+  private def amocCore(base: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("__k").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("__k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pre = base
+      .withColumn("__i", count(lit(1)).over(wCum))
+      .withColumn("__si", sum(col("__x")).over(wCum))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__x")).over(wAll))
+      .filter(col("__i") < col("__n"))
+    // A = S_l·n − S·n_l (exact scaled integer); gain = A²/(n·n_l·n_r)
+    // de-scaled by 10⁸ — the fixed IEEE chain of the scaladoc
+    val a4 = (col("__si") * col("__n") - col("__s") * col("__i")).cast("decimal(38,0)")
+    val denom = (col("__i") * (col("__n") - col("__i")) * col("__n")).cast("double")
+    val cand = pre.select(col("__k"), col("__t"), col("__i"), col("__n"),
+        col("__si"), col("__s"), a4.cast("double").as("__a"), denom.as("__dn"))
+      .withColumn("gain", col("__a") * col("__a") / col("__dn") / lit(1e8))
+    val wPick = Window.partitionBy("__k").orderBy(col("gain").desc, col("__t").asc)
+    cand.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("__k").as("key"), col("__n").as("n"), col("__t").as("split_ts"),
+        col("__i").as("n_left"), col("gain"),
+        (col("__si").cast("double") / ScaleFactor.toDouble / col("__i").cast("double"))
+          .as("mean_left"),
+        ((col("__s") - col("__si")).cast("double") / ScaleFactor.toDouble /
+          (col("__n") - col("__i")).cast("double")).as("mean_right"))
+  }
+
+  /** Recursive binary segmentation: `depth` rounds of [[amocSplitBy]]
+    * within the segments accepted so far; a split is accepted when its
+    * gain ≥ `minGain` AND both sides have ≥ `minSize` rows. Returns
+    * the final segmentation, one row per (key, segment):
+    * (key, segment, n, start_ts, end_ts, mean) with `segment` the
+    * 0-based index in ts order. Each round is one window pass per
+    * (key, segment) plus one (key, segment)-keyed join against the
+    * ≤|keys|·2ʳ-row split table — bounded, distributed, never
+    * collected. Splits are bit-identical to running [[amocSplitBy]]
+    * on each accepted segment's rows (spec-pinned). */
+  def binarySegmentationBy(df: DataFrame, keyCol: String, tsCol: String,
+                           valueCol: String, depth: Int,
+                           minSize: Long = 2, minGain: Double = 0.0): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth $depth out of [1, 16]")
+    var cur = graft.util.Caching.barrier(
+      df.select(col(keyCol).as("__key"), lit(0L).as("__seg"),
+        col(tsCol).as("__t"), q4(col(valueCol)).as("__xq")))
+    for (_ <- 1 to depth) {
+      val splits = amocCore(cur.select(
+          struct(col("__key"), col("__seg")).as("__k"), col("__t"),
+          col("__xq").as("__x")))
+        .filter(col("gain") >= minGain &&
+          col("n_left") >= minSize && (col("n") - col("n_left")) >= minSize)
+        .select(col("key.__key").as("__key"), col("key.__seg").as("__seg"),
+          col("split_ts").as("__cut"))
+      // re-number: rows past the cut move to segment 2s+1, the rest to
+      // 2s — ts order is preserved because parents split contiguously
+      cur = graft.util.Caching.barrier(cur
+        .join(splits, Seq("__key", "__seg"), "left")
+        .select(col("__key"),
+          when(col("__cut").isNull, col("__seg") * 2)
+            .when(col("__t") <= col("__cut"), col("__seg") * 2)
+            .otherwise(col("__seg") * 2 + 1).as("__seg"),
+          col("__t"), col("__xq")))
+    }
+    // densify segment ids to a 0-based ts-ordered index per key
+    val perSeg = cur.groupBy(col("__key"), col("__seg")).agg(
+      count(lit(1)).as("n"), min(col("__t")).as("start_ts"),
+      max(col("__t")).as("end_ts"),
+      (sum(col("__xq")).cast("double") / ScaleFactor.toDouble /
+        count(lit(1)).cast("double")).as("mean"))
+    val wIdx = Window.partitionBy("__key").orderBy("start_ts")
+    perSeg.withColumn("segment", row_number().over(wIdx) - 1)
+      .select(col("__key").as("key"), col("segment"), col("n"),
+        col("start_ts"), col("end_ts"), col("mean"))
+  }
+}

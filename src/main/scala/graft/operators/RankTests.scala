@@ -616,6 +616,71 @@ object RankTests {
       .select(col("n"), col("n_seasons"), col("s"), col("var_s"), col("z"))
   }
 
+  /** Per-segment Mann–Kendall — "is the metric trending in every
+    * cohort / tumbling window": [[mannKendall]] sliced like
+    * [[kendallTauBy]] (segment-keyed dominance join gated on the
+    * LARGEST segment's cell count; per-(segment, block) tie sums), each
+    * segment's (s, var_s, z) bit-identical to the global test on that
+    * slice (spec-pinned — and the batch frame
+    * [[graft.streaming.TrendStream.mannKendallStream]] replays live,
+    * window-by-window). One row per segment:
+    * (segment, n, s, var_s, z). */
+  def mannKendallBy(df: DataFrame, segCol: String, tsCol: String,
+                    valueCol: String, maxCells: Long = 30000): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.util.Caching.barrier(
+      df.groupBy(col(segCol).as("segment"), col(tsCol).as("x"), col(valueCol).as("y"))
+        .agg(count(lit(1)).as("c")))
+    val maxPerSeg = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
+      .agg(coalesce(max(col("__nc")), lit(0L))).head().getLong(0)
+    require(maxPerSeg <= maxCells,
+      s"mannKendallBy: a segment carries $maxPerSeg cells (maxCells=$maxCells); " +
+        "run mannKendall on the heavy slice (it auto-routes the O(n log n) " +
+        "continuous arm) or bucket the metric/time axis first")
+    val right = cells.select(col("segment").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("c").as("c2"))
+    val cd = cells.join(right, col("g2") === col("segment") && col("x2") < col("x"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    def ties(key: String, tag: String) = cells.groupBy(col("segment"), col(key))
+      .agg(sum(col("c")).as("__t"))
+      .groupBy(col("segment"))
+      .agg(
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}2"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (lit(2) * col("__t") + 5)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}25"),
+        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
+          .cast("decimal(38,0)").as(s"__${tag}3"))
+    val nD = col("n").cast("double")
+    val s = coalesce(col("__c"), lit(0)).cast("double") -
+      coalesce(col("__d"), lit(0)).cast("double")
+    // the EXACT varS chain of [[mannKendall]] — per-slice bit parity
+    val varS =
+      ((d38(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5)).cast("double") -
+        col("__tx25").cast("double") - col("__ty25").cast("double")) / 18.0 +
+      when(col("n") >= 3,
+        col("__tx3").cast("double") * col("__ty3").cast("double") /
+          (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
+      col("__tx2").cast("double") * col("__ty2").cast("double") /
+        (lit(2.0) * nD * (nD - 1))
+    cells.groupBy(col("segment")).agg(sum(col("c")).as("n"))
+      .join(cd, Seq("segment"), "left")
+      .join(ties("x", "tx"), Seq("segment"), "left")
+      .join(ties("y", "ty"), Seq("segment"), "left")
+      .select(col("segment"), col("n"), s.as("s"),
+        when(col("n") >= 2, varS).as("var_s"))
+      .withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("segment"), col("n"), col("s"), col("var_s"), col("z"))
+  }
+
   /** Jonckheere–Terpstra test (Jonckheere 1954, Terpstra 1952) — the
     * k-group ORDERED-alternative test ("does the metric increase with
     * dose/priority/cohort"): J = Σ_{i<j in group order} U_ij, the sum

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Live twins of [[graft.operators.ChangePoint]]'s online detectors —
+  * csp's natural shape for them: CUSUM and Page–Hinkley are
+  * arrival-order recurrences with O(1) per-key state, so the streaming
+  * arm IS the textbook algorithm and the batch arm is its replay.
+  *
+  * Parity contracts (spec-pinned, bit-identical):
+  *  - [[cusumStream]] carries the same scale-4 quantized integers as
+  *    `ChangePoint.cusumBy` (quantization via `BigDecimal.valueOf`,
+  *    exactly Spark's double→DECIMAL(18,4) cast) — every emitted
+  *    readout is integer-exact, so the final per-key row equals the
+  *    batch row on the same events regardless of batch boundaries.
+  *  - [[pageHinkleyStream]] replays `pageHinkleyBy`'s IEEE chain in
+  *    the same fold order (running sum → mean → term → running m →
+  *    extremes), so doubles match bit-for-bit under in-order delivery.
+  *
+  * In-order contract (the repo's sim-mode discipline, as
+  * [[BehaviorStream.funnelStream]]): events must arrive in ts order
+  * per key across batches; within a batch they are sorted. State is a
+  * handful of scalars per key — no buffering, no timeout. */
+object ChangePointStream {
+
+  case class CpEvent(key: String, tsMicros: Long, value: Double)
+
+  /** Scaled-integer CUSUM state. Long at scale 4 saturates past
+    * ±9.2·10¹⁴ in metric units — loud via Math.addExact, not a wrap. */
+  case class CpState(n: Long, cp: Long, cpMin: Long, cn: Long, cnMin: Long,
+                     spMax: Long, snMax: Long,
+                     alarmPos: Option[Long], alarmNeg: Option[Long])
+
+  case class CpReadout(key: String, n: Long, sPosMax: Double, sNegMax: Double,
+                       alarmPosTs: Option[Long], alarmNegTs: Option[Long])
+
+  /** Spark's double→DECIMAL(18,4) cast, as a scaled Long:
+    * BigDecimal.valueOf (Double.toString semantics) + HALF_UP. */
+  private[graft] def quant4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Per-key two-sided CUSUM against target `mu0`, slack `k`,
+    * threshold `h` — emits the refreshed per-key readout on every
+    * batch the key appears in (Update semantics); the latest row per
+    * key is the answer. */
+  def cusumStream(events: Dataset[CpEvent], mu0: BigDecimal, k: BigDecimal,
+                  h: BigDecimal): Dataset[CpReadout] = {
+    implicit val stEnc = Encoders.product[CpState]
+    implicit val outEnc = Encoders.product[CpReadout]
+    implicit val keyEnc = Encoders.STRING
+    def q(b: BigDecimal): Long =
+      b.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue().longValueExact()
+    val upQ = q(mu0 + k); val dnQ = q(mu0 - k); val hQ = q(h)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CpEvent],
+         state: org.apache.spark.sql.streaming.GroupState[CpState]) =>
+          var st = state.getOption.getOrElse(
+            CpState(0L, 0L, 0L, 0L, 0L, 0L, 0L, None, None))
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            val xq = quant4(e.value)
+            val cp = Math.addExact(st.cp, xq - upQ)
+            val cpMin = math.min(st.cpMin, cp) // min over prefix, floored at 0 (cpMin starts 0)
+            val sp = cp - math.min(0L, cpMin)
+            val cn = Math.addExact(st.cn, dnQ - xq)
+            val cnMin = math.min(st.cnMin, cn)
+            val sn = cn - math.min(0L, cnMin)
+            st = CpState(st.n + 1, cp, cpMin, cn, cnMin,
+              math.max(st.spMax, sp), math.max(st.snMax, sn),
+              st.alarmPos.orElse(if (sp > hQ) Some(e.tsMicros) else None),
+              st.alarmNeg.orElse(if (sn > hQ) Some(e.tsMicros) else None))
+          }
+          state.update(st)
+          if (st.n == 0L) Iterator.empty
+          else Iterator.single(CpReadout(key, st.n,
+            st.spMax.toDouble / 10000.0, st.snMax.toDouble / 10000.0,
+            st.alarmPos, st.alarmNeg))
+      }
+  }
+
+  case class PhState(n: Long, sum: Double, m: Double, mMin: Double, mMax: Double,
+                     incMax: Double, decMax: Double,
+                     alarmInc: Option[Long], alarmDec: Option[Long])
+
+  case class PhReadout(key: String, n: Long, phIncMax: Double, phDecMax: Double,
+                       alarmIncTs: Option[Long], alarmDecTs: Option[Long])
+
+  /** Per-key Page–Hinkley (running-mean form), drift `delta`, alarm
+    * threshold `lambda` — the same IEEE fold as
+    * `ChangePoint.pageHinkleyBy`, event-at-a-time. */
+  def pageHinkleyStream(events: Dataset[CpEvent], delta: Double,
+                        lambda: Double): Dataset[PhReadout] = {
+    implicit val stEnc = Encoders.product[PhState]
+    implicit val outEnc = Encoders.product[PhReadout]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CpEvent],
+         state: org.apache.spark.sql.streaming.GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0.0, 0.0, Double.MaxValue, Double.MinValue,
+              Double.MinValue, Double.MinValue, None, None))
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            // EXACTLY pageHinkleyBy's window chain, in its fold order:
+            // running sum → mean → term = (x − x̄) − δ → running m →
+            // inc/dec against m's running extremes INCLUDING this row
+            val n1 = st.n + 1
+            val sum1 = st.sum + e.value
+            val xbar = sum1 / n1.toDouble
+            val m1 = st.m + ((e.value - xbar) - delta)
+            val mMin1 = math.min(st.mMin, m1)
+            val mMax1 = math.max(st.mMax, m1)
+            val inc = m1 - mMin1
+            val dec = mMax1 - m1
+            st = PhState(n1, sum1, m1, mMin1, mMax1,
+              math.max(st.incMax, inc), math.max(st.decMax, dec),
+              st.alarmInc.orElse(if (inc > lambda) Some(e.tsMicros) else None),
+              st.alarmDec.orElse(if (dec > lambda) Some(e.tsMicros) else None))
+          }
+          state.update(st)
+          if (st.n == 0L) Iterator.empty
+          else Iterator.single(PhReadout(key, st.n, st.incMax, st.decMax,
+            st.alarmInc, st.alarmDec))
+      }
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Live trend monitor — the streaming twin of the Mann–Kendall frame
+  * (VERDICT r16 #3): csp is a streaming engine and "is this metric
+  * trending" is natively a live question. Per TUMBLING WINDOW, the
+  * full tie-corrected MK readout (S, Var(S), continuity-corrected z)
+  * over that window's rows — the psiStream shape (bounded per-window
+  * state, refreshed emission per batch), with the window bound making
+  * the quadratic C/D fold safe by construction.
+  *
+  * State per window: the (ts, value) CELL table (counts of repeated
+  * observations), capped at `maxCells` with the batch family's loud
+  * remediation — a tumbling window whose cell table outgrows the cap
+  * needs a bucketed metric, exactly like the batch operator. Every
+  * batch a window receives events, the refreshed (w_start, n, s,
+  * var_s, z) row re-emits (Update semantics; latest row per window is
+  * the answer).
+  *
+  * Parity contract (spec-pinned): the fold replays
+  * [[graft.operators.RankTests.mannKendall]]'s exact machinery — C/D
+  * and the tie sums as exact BigIntegers, then THE SAME IEEE chain in
+  * the same operation order for var_s and z — so each window's final
+  * row is bit-identical to the batch test on that window's rows, and
+  * to [[graft.operators.RankTests.mannKendallBy]] with the window
+  * start as the segment (the oracle-replayable batch frame). */
+object TrendStream {
+
+  case class MkEvent(tsMicros: Long, value: Double)
+  case class MkCell(ts: Long, v: Double, c: Long)
+  case class MkState(cells: List[MkCell])
+  case class MkReadout(wStart: Long, n: Long, s: Double,
+                       varS: Option[Double], z: Option[Double])
+
+  /** The batch operator's (s, var_s, z) from a window's cell table —
+    * exact integer C/D/tie terms, then [[graft.operators.RankTests
+    * .mannKendall]]'s IEEE chain verbatim. Driver/executor-side Scala;
+    * O(cells²) on a window-bounded table. */
+  private[streaming] def mkFromCells(cells: Seq[MkCell]): (Long, Double, Option[Double], Option[Double]) = {
+    val cs = cells.toArray
+    var cAcc = BigInt(0); var dAcc = BigInt(0)
+    var i = 0
+    while (i < cs.length) {
+      var j = 0
+      while (j < cs.length) {
+        if (cs(j).ts < cs(i).ts) {
+          if (cs(j).v < cs(i).v) cAcc += BigInt(cs(i).c) * cs(j).c
+          else if (cs(j).v > cs(i).v) dAcc += BigInt(cs(i).c) * cs(j).c
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def tieSums(key: MkCell => Any): (BigInt, BigInt, BigInt) = {
+      var t2 = BigInt(0); var t25 = BigInt(0); var t3 = BigInt(0)
+      cs.groupBy(key).foreach { case (_, g) =>
+        val t = BigInt(g.map(_.c).sum)
+        t2 += t * (t - 1)
+        t25 += t * (t - 1) * (2 * t + 5)
+        t3 += t * (t - 1) * (t - 2)
+      }
+      (t2, t25, t3)
+    }
+    val (tx2, tx25, tx3) = tieSums(_.ts)
+    val (ty2, ty25, ty3) = tieSums(_.v)
+    val n = cs.map(_.c).sum
+    def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    val s = dbl(cAcc) - dbl(dAcc)
+    val nD = n.toDouble
+    // mannKendall's varS expression, operation for operation:
+    // ((n(n−1)(2n+5))_d − tx25_d − ty25_d)/18 + [n≥3] tx3·ty3/(9n(n−1)(n−2))
+    //   + tx2·ty2/(2n(n−1)); null (None) when n < 2
+    val varS =
+      if (n < 2) None
+      else Some(
+        (dbl(BigInt(n) * (n - 1) * (2 * n + 5)) - dbl(tx25) - dbl(ty25)) / 18.0 +
+          (if (n >= 3) dbl(tx3) * dbl(ty3) / (9.0 * nD * (nD - 1) * (nD - 2)) else 0.0) +
+          dbl(tx2) * dbl(ty2) / (2.0 * nD * (nD - 1)))
+    val z = varS.filter(_ > 0).map { v =>
+      if (s > 0) (s - 1) / math.sqrt(v)
+      else if (s < 0) (s + 1) / math.sqrt(v)
+      else 0.0
+    }
+    (n, s, varS, z)
+  }
+
+  /** Per-tumbling-window Mann–Kendall over a live series. `windowMicros`
+    * sets the tumbling grain on the event-time axis. */
+  def mannKendallStream(events: Dataset[MkEvent], windowMicros: Long,
+                        maxCells: Int = 10000): Dataset[MkReadout] = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    implicit val stEnc = Encoders.product[MkState]
+    implicit val outEnc = Encoders.product[MkReadout]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(e => Math.floorDiv(e.tsMicros, windowMicros) * windowMicros)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (wStart: Long, it: Iterator[MkEvent],
+         state: org.apache.spark.sql.streaming.GroupState[MkState]) =>
+          val m = scala.collection.mutable.HashMap.empty[(Long, Double), Long]
+          state.getOption.foreach(_.cells.foreach(c => m((c.ts, c.v)) = c.c))
+          it.foreach { e =>
+            val k = (e.tsMicros, e.value)
+            m(k) = m.getOrElse(k, 0L) + 1L
+            require(m.size <= maxCells,
+              s"mannKendallStream: window $wStart exceeds maxCells=$maxCells " +
+                "distinct (ts, value) cells - bucket the metric or time axis, " +
+                "or widen maxCells")
+          }
+          val cells = m.iterator.map { case ((t, v), c) => MkCell(t, v, c) }.toList
+          state.update(MkState(cells))
+          val (n, s, varS, z) = mkFromCells(cells)
+          Iterator.single(MkReadout(wStart, n, s, varS, z))
+      }
+  }
+}

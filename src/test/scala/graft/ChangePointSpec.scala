@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ChangePoint
+import graft.streaming.{ChangePointStream, TrendStream}
+import graft.streaming.ChangePointStream.CpEvent
+import graft.streaming.TrendStream.MkEvent
+
+/** Change-point family: the window-collapsed batch arms must equal the
+  * textbook recursions (driver reference folds), the exact AMOC split
+  * must equal brute-force SSE, and every streaming twin must replay
+  * its batch arm bit-for-bit across micro-batch boundaries. */
+class ChangePointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def quant(v: Double): Long = ChangePointStream.quant4(v)
+
+  // deterministic series with a level shift at i = 600 and a couple of keys
+  private def series(key: String, n: Int, shiftAt: Int, shift: Double,
+                     seed: Int): Seq[(String, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (key, i.toLong,
+      50.0 + rnd.nextGaussian() * 4 + (if (i >= shiftAt) shift else 0.0)))
+  }
+
+  private lazy val rows =
+    series("a", 900, 600, 12.0, 11) ++ series("b", 700, 350, -9.0, 23) ++
+      Seq(("c", 0L, 42.0)) // single-row key: no valid split, no variance
+
+  test("cusumBy == the classic max(0, S + x - mu - k) recursion, exactly") {
+    import spark.implicits._
+    val df = rows.toDF("k", "t", "v")
+    val mu0 = BigDecimal(50); val k = BigDecimal(1); val h = BigDecimal(60)
+    val got = ChangePoint.cusumBy(df, "k", "t", "v", mu0, k, h)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val upQ = 510000L; val dnQ = 490000L; val hQ = 600000L
+    rows.groupBy(_._1).foreach { case (key, rs) =>
+      var sp = 0L; var sn = 0L; var spMax = 0L; var snMax = 0L
+      var ap: Option[Long] = None; var an: Option[Long] = None
+      rs.sortBy(_._2).foreach { case (_, t, v) =>
+        val xq = quant(v)
+        sp = math.max(0L, sp + xq - upQ)
+        sn = math.max(0L, sn + dnQ - xq)
+        spMax = math.max(spMax, sp); snMax = math.max(snMax, sn)
+        if (ap.isEmpty && sp > hQ) ap = Some(t)
+        if (an.isEmpty && sn > hQ) an = Some(t)
+      }
+      val r = got(key)
+      assert(r.getLong(1) == rs.length.toLong, key)
+      assert(r.getDouble(2) == spMax.toDouble / 10000.0, s"$key s_pos_max")
+      assert(r.getDouble(3) == snMax.toDouble / 10000.0, s"$key s_neg_max")
+      assert(Option(r.get(4)).map(_.asInstanceOf[Long]) == ap, s"$key alarm_pos")
+      assert(Option(r.get(5)).map(_.asInstanceOf[Long]) == an, s"$key alarm_neg")
+    }
+  }
+
+  test("pageHinkleyBy == the running-mean PH recursion, bit-for-bit") {
+    import spark.implicits._
+    val df = rows.toDF("k", "t", "v")
+    val delta = 0.4; val lambda = 40.0
+    val got = ChangePoint.pageHinkleyBy(df, "k", "t", "v", delta, lambda)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (key, rs) =>
+      var n = 0L; var sum = 0.0; var m = 0.0
+      var mMin = Double.MaxValue; var mMax = Double.MinValue
+      var incMax = Double.MinValue; var decMax = Double.MinValue
+      var ai: Option[Long] = None; var ad: Option[Long] = None
+      rs.sortBy(_._2).foreach { case (_, t, v) =>
+        n += 1; sum += v
+        val xbar = sum / n.toDouble
+        m += ((v - xbar) - delta)
+        mMin = math.min(mMin, m); mMax = math.max(mMax, m)
+        val inc = m - mMin; val dec = mMax - m
+        incMax = math.max(incMax, inc); decMax = math.max(decMax, dec)
+        if (ai.isEmpty && inc > lambda) ai = Some(t)
+        if (ad.isEmpty && dec > lambda) ad = Some(t)
+      }
+      val r = got(key)
+      assert(r.getLong(1) == n, key)
+      assert(r.getDouble(2) == incMax, s"$key ph_inc_max")
+      assert(r.getDouble(3) == decMax, s"$key ph_dec_max")
+      assert(Option(r.get(4)).map(_.asInstanceOf[Long]) == ai, s"$key alarm_inc")
+      assert(Option(r.get(5)).map(_.asInstanceOf[Long]) == ad, s"$key alarm_dec")
+    }
+  }
+
+  test("amocSplitBy == brute-force SSE argmax; finds the injected shifts") {
+    import spark.implicits._
+    val df = rows.toDF("k", "t", "v")
+    val got = ChangePoint.amocSplitBy(df, "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("c"), "single-row key has no valid split")
+    rows.groupBy(_._1).filter(_._2.length >= 2).foreach { case (key, rs) =>
+      val xs = rs.sortBy(_._2).map { case (_, t, v) => (t, quant(v)) }
+      val n = xs.length.toLong
+      val s = xs.map(x => BigInt(x._2)).sum
+      var best = (-1.0, Long.MaxValue, 0L) // (gain, ts, i)
+      var si = BigInt(0)
+      xs.zipWithIndex.dropRight(1).foreach { case ((t, xq), idx) =>
+        val i = idx + 1L
+        si += xq
+        val a = (si * n - s * i).toDouble
+        val dn = (i * (n - i) * n).toDouble
+        val gain = a * a / dn / 1e8
+        if (gain > best._1 || (gain == best._1 && t < best._2)) best = (gain, t, i)
+      }
+      val r = got(key)
+      assert(r.getLong(2) == best._2, s"$key split_ts")
+      assert(r.getLong(3) == best._3, s"$key n_left")
+      assert(r.getDouble(4) == best._1, s"$key gain")
+      // the injected shift is found within a small neighbourhood
+      val expect = if (key == "a") 600L else 350L
+      assert(math.abs(r.getLong(2) - (expect - 1)) <= 3, s"$key found ${r.getLong(2)}")
+    }
+  }
+
+  test("binarySegmentationBy: accepted splits == recursive amocSplitBy; means exact") {
+    import spark.implicits._
+    // two shifts per key so depth 2 has real work at both levels
+    val two = series("a", 600, 200, 10.0, 31).map { case (k, t, v) =>
+      (k, t, v + (if (t >= 450) 8.0 else 0.0)) }
+    val df = two.toDF("k", "t", "v")
+    val (depth, minSize, minGain) = (2, 20L, 1.0)
+    val segs = ChangePoint.binarySegmentationBy(df, "k", "t", "v",
+      depth, minSize, minGain).collect()
+      .sortBy(_.getInt(1)).toSeq
+    graft.util.Caching.release()
+    // reference: recursive amocSplitBy over the accepted slices, with
+    // the SAME accept criteria (gain >= minGain, both sides >= minSize)
+    var bounds = Seq((0L, 599L))
+    for (_ <- 1 to depth) {
+      bounds = bounds.flatMap { case (lo, hi) =>
+        val slice = two.filter(x => x._2 >= lo && x._2 <= hi)
+        if (slice.length < 2) Seq((lo, hi))
+        else {
+          val r = ChangePoint.amocSplitBy(slice.toDF("k", "t", "v"), "k", "t", "v").head
+          val cut = r.getLong(2); val nl = r.getLong(3); val n = r.getLong(1)
+          if (r.getDouble(4) >= minGain && nl >= minSize && (n - nl) >= minSize)
+            Seq((lo, cut), (cut + 1, hi))
+          else Seq((lo, hi))
+        }
+      }
+    }
+    assert(bounds.length >= 3, s"fixture should split at least twice: $bounds")
+    assert(segs.length == bounds.length,
+      s"expected ${bounds.length} segments, got ${segs.length}")
+    segs.zip(bounds).foreach { case (r, (lo, hi)) =>
+      assert(r.getLong(3) == lo && r.getLong(4) == hi,
+        s"segment ${r.getInt(1)}: [${r.getLong(3)}, ${r.getLong(4)}] vs [$lo, $hi]")
+      val slice = two.filter(x => x._2 >= lo && x._2 <= hi)
+      val mean = slice.map(x => BigInt(quant(x._3))).sum.toDouble / 10000.0 /
+        slice.length.toDouble
+      assert(r.getDouble(5) == mean, s"segment mean at [$lo, $hi]")
+    }
+  }
+
+  test("cusumStream/pageHinkleyStream replay the batch arms across batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val df = rows.toDF("k", "t", "v")
+    val mu0 = BigDecimal(50); val k = BigDecimal(1); val h = BigDecimal(60)
+    val batchCp = ChangePoint.cusumBy(df, "k", "t", "v", mu0, k, h)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val batchPh = ChangePoint.pageHinkleyBy(df, "k", "t", "v", 0.4, 40.0)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+
+    val evs = rows.sortBy(_._2).map { case (key, t, v) => CpEvent(key, t, v) }
+    val memC = MemoryStream[CpEvent]
+    val qc = ChangePointStream.cusumStream(memC.toDS(), mu0, k, h)
+      .writeStream.format("memory").queryName("cp_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val memP = MemoryStream[CpEvent]
+    val qp = ChangePointStream.pageHinkleyStream(memP.toDS(), 0.4, 40.0)
+      .writeStream.format("memory").queryName("ph_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      evs.grouped(evs.length / 4 + 1).foreach { c =>
+        memC.addData(c.toIndexedSeq: _*); qc.processAllAvailable()
+        memP.addData(c.toIndexedSeq: _*); qp.processAllAvailable()
+      }
+      // latest emission per key = the answer (Update semantics)
+      def latest(tab: String) = spark.table(tab).collect()
+        .zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (key, rs) => key -> rs.maxBy(_._2)._1 }
+      latest("cp_out").foreach { case (key, r) =>
+        assert(Seq(r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.get(4), r.get(5)) == batchCp(key), s"cusum $key")
+      }
+      latest("ph_out").foreach { case (key, r) =>
+        assert(Seq(r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.get(4), r.get(5)) == batchPh(key), s"ph $key")
+      }
+    } finally { qc.stop(); qp.stop() }
+  }
+
+  test("mannKendallStream: final window rows == batch mannKendall / mannKendallBy") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    // 4 tumbling windows of 1000 us, drifting metric, repeated cells
+    val evs = (0 until 1200).map(i =>
+      MkEvent(i.toLong * 3 + 17, rnd.nextInt(30).toDouble + i / 200.0))
+    val df = evs.toDF("tsMicros", "value")
+      .withColumn("w", (col("tsMicros") - pmod(col("tsMicros"), lit(1000L))))
+    val batchBy = graft.operators.RankTests
+      .mannKendallBy(df, "w", "tsMicros", "value")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    graft.util.Caching.release()
+
+    val mem = MemoryStream[MkEvent]
+    val q = TrendStream.mannKendallStream(mem.toDS(), 1000L)
+      .writeStream.format("memory").queryName("mk_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      evs.grouped(300).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val live = spark.table("mk_out").collect()
+        .zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (w, rs) => w -> rs.maxBy(_._2)._1 }
+      assert(live.keySet == batchBy.keySet)
+      live.foreach { case (w, r) =>
+        assert(Seq(r.getLong(1), r.getDouble(2), r.get(3), r.get(4)) == batchBy(w),
+          s"window $w")
+        // and == the global batch test on that window's rows
+        val slice = df.filter(col("w") === w)
+        val g = graft.operators.RankTests
+          .mannKendall(slice, "tsMicros", "value").head
+        assert(Seq(r.getDouble(2), r.get(3), r.get(4)) ==
+          Seq(g.getDouble(1), g.get(2), g.get(3)), s"window $w vs global")
+        graft.util.Caching.release()
+      }
+    } finally q.stop()
+  }
+
+  test("mannKendallStream: cell cap trips loudly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MkEvent]
+    val q = TrendStream.mannKendallStream(mem.toDS(), 1000000L, maxCells = 50)
+      .writeStream.format("memory").queryName("mk_cap").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((0 until 60).map(i => MkEvent(i.toLong, i * 1.0)).toIndexedSeq: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxCells")))
+    } finally q.stop()
+  }
+}
