@@ -131,6 +131,53 @@ class StreamingRangeSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("RfmLive durable arm: parquet store replays the in-memory arm and survives a restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evd = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val now = 1706745600000000L
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.toVector).sortBy(_.head.asInstanceOf[Long]).toVector
+    val batch = canon(graft.operators.Behavior
+      .rfm(evd, "user_id", "ts", "event_type", "value", "purchase", now, 5).collect())
+    graft.util.Caching.release()
+
+    val store = java.nio.file.Files.createTempDirectory("rfm_store").toString
+    val rows = evd.select("user_id", "ts", "event_type", "value")
+      .as[RfmRow].collect().sortBy(_.ts.getTime)
+    val halves = rows.grouped(rows.length / 2 + 1).toSeq
+
+    // instance 1 processes the first half, then is DISCARDED — the
+    // committed _LATEST version is the only carry-over
+    val live1 = new graft.streaming.BehaviorStream.RfmLive(
+      "user_id", "ts", "event_type", "value", "purchase", now, 5,
+      storePath = Some(store))
+    val mem1 = MemoryStream[RfmRow]
+    val q1 = mem1.toDF().writeStream.foreachBatch(live1.foreachBatch _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try { mem1.addData(halves.head.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // instance 2 RESUMES from the committed store and sees only the rest
+    val live2 = new graft.streaming.BehaviorStream.RfmLive(
+      "user_id", "ts", "event_type", "value", "purchase", now, 5,
+      storePath = Some(store))
+    val mem2 = MemoryStream[RfmRow]
+    val q2 = mem2.toDF().writeStream.foreachBatch(live2.foreachBatch _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try { mem2.addData(halves(1).toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    assert(canon(live2.snapshot.collect()) == batch,
+      "resumed durable store + merged partials must replay batch rfm exactly")
+    // the committed store is versioned parquet with an atomic pointer
+    val ptr = java.nio.file.Paths.get(store, "_LATEST")
+    assert(java.nio.file.Files.exists(ptr))
+    val v = java.nio.file.Files.readString(ptr).trim
+    assert(spark.read.parquet(s"$store/$v").count() > 0)
+    graft.util.Caching.release()
+  }
+
   test("RfmLive: boundary re-resolve releases its stream-thread barriers") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
