@@ -618,44 +618,24 @@ object RankTests {
 
   /** Per-segment Mann–Kendall — "is the metric trending in every
     * cohort / tumbling window": [[mannKendall]] sliced like
-    * [[kendallTauBy]] (segment-keyed dominance join gated on the
-    * LARGEST segment's cell count; per-(segment, block) tie sums), each
+    * [[kendallTauBy]], with the SAME per-segment adaptive routing —
+    * bounded segments share the segment-keyed dominance join, a
+    * continuous-metric segment past `maxCells` takes the
+    * [[KendallContinuous]] arm individually (driver-sequenced, capped
+    * at [[MaxHeavySegments]]); per-(segment, block) tie sums, each
     * segment's (s, var_s, z) bit-identical to the global test on that
-    * slice (spec-pinned — and the batch frame
+    * slice regardless of arm (spec-pinned — and the batch frame
     * [[graft.streaming.TrendStream.mannKendallStream]] replays live,
     * window-by-window). One row per segment:
     * (segment, n, s, var_s, z). */
   def mannKendallBy(df: DataFrame, segCol: String, tsCol: String,
-                    valueCol: String, maxCells: Long = 30000): DataFrame = {
+                    valueCol: String, maxCells: Long = 30000,
+                    buckets: Int = 1024): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     val cells = graft.util.Caching.barrier(
       df.groupBy(col(segCol).as("segment"), col(tsCol).as("x"), col(valueCol).as("y"))
         .agg(count(lit(1)).as("c")))
-    val maxPerSeg = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
-      .agg(coalesce(max(col("__nc")), lit(0L))).head().getLong(0)
-    require(maxPerSeg <= maxCells,
-      s"mannKendallBy: a segment carries $maxPerSeg cells (maxCells=$maxCells); " +
-        "run mannKendall on the heavy slice (it auto-routes the O(n log n) " +
-        "continuous arm) or bucket the metric/time axis first")
-    val right = cells.select(col("segment").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), col("c").as("c2"))
-    val cd = cells.join(right, col("g2") === col("segment") && col("x2") < col("x"))
-      .groupBy(col("segment"))
-      .agg(
-        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
-    def ties(key: String, tag: String) = cells.groupBy(col("segment"), col(key))
-      .agg(sum(col("c")).as("__t"))
-      .groupBy(col("segment"))
-      .agg(
-        coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
-          .cast("decimal(38,0)").as(s"__${tag}2"),
-        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (lit(2) * col("__t") + 5)), lit(0))
-          .cast("decimal(38,0)").as(s"__${tag}25"),
-        coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
-          .cast("decimal(38,0)").as(s"__${tag}3"))
+    val (heavy, light) = splitHeavySegments(cells, maxCells, "mannKendallBy")
     val nD = col("n").cast("double")
     val s = coalesce(col("__c"), lit(0)).cast("double") -
       coalesce(col("__d"), lit(0)).cast("double")
@@ -668,10 +648,7 @@ object RankTests {
           (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
       col("__tx2").cast("double") * col("__ty2").cast("double") /
         (lit(2.0) * nD * (nD - 1))
-    cells.groupBy(col("segment")).agg(sum(col("c")).as("n"))
-      .join(cd, Seq("segment"), "left")
-      .join(ties("x", "tx"), Seq("segment"), "left")
-      .join(ties("y", "ty"), Seq("segment"), "left")
+    def mkFrame(joined: DataFrame): DataFrame = joined
       .select(col("segment"), col("n"), s.as("s"),
         when(col("n") >= 2, varS).as("var_s"))
       .withColumn("z", when(col("var_s") > 0,
@@ -679,6 +656,42 @@ object RankTests {
           .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
           .otherwise(lit(0.0))))
       .select(col("segment"), col("n"), col("s"), col("var_s"), col("z"))
+    def tieAggs(tag: String) = Seq(
+      coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+        .cast("decimal(38,0)").as(s"__${tag}2"),
+      coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (lit(2) * col("__t") + 5)), lit(0))
+        .cast("decimal(38,0)").as(s"__${tag}25"),
+      coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
+        .cast("decimal(38,0)").as(s"__${tag}3"))
+    val right = light.select(col("segment").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("c").as("c2"))
+    val cd = light.join(right, col("g2") === col("segment") && col("x2") < col("x"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    def ties(key: String, tag: String) = light.groupBy(col("segment"), col(key))
+      .agg(sum(col("c")).as("__t"))
+      .groupBy(col("segment"))
+      .agg(tieAggs(tag).head, tieAggs(tag).tail: _*)
+    val lightOut = mkFrame(
+      light.groupBy(col("segment")).agg(sum(col("c")).as("n"))
+        .join(cd, Seq("segment"), "left")
+        .join(ties("x", "tx"), Seq("segment"), "left")
+        .join(ties("y", "ty"), Seq("segment"), "left"))
+    heavy.foldLeft(lightOut) { case (acc, (seg, nCells)) =>
+      val sc = cells.filter(col("segment") <=> lit(seg)).select("x", "y", "c")
+      def segTies(key: String, tag: String) = sc.groupBy(col(key))
+        .agg(sum(col("c")).as("__t"))
+        .agg(tieAggs(tag).head, tieAggs(tag).tail: _*)
+      val one = sc.agg(sum(col("c")).as("n"))
+        .crossJoin(KendallContinuous.cd(sc, buckets, nCellsHint = nCells))
+        .crossJoin(segTies("x", "tx")).crossJoin(segTies("y", "ty"))
+        .withColumn("segment", lit(seg))
+      acc.unionByName(mkFrame(one))
+    }
   }
 
   /** Jonckheere–Terpstra test (Jonckheere 1954, Terpstra 1952) — the
@@ -875,62 +888,100 @@ object RankTests {
           .as("auc"))
   }
 
+  /** Ceiling on how many segments may exceed `maxCells` in the
+    * By-family's adaptive routing: each heavy segment runs the
+    * [[KendallContinuous]] machinery as its own driver-sequenced call
+    * (a few jobs each), so an unbounded heavy set would turn the
+    * operator into a driver loop over the whole key space. */
+  private[operators] val MaxHeavySegments = 32
+
+  /** (barriered cell table, heavy rows (segment, count), light cells):
+    * the By-family's per-segment routing — ONE groupBy yields every
+    * segment's cell count; segments past `maxCells` route to the
+    * continuous arm individually, the rest stay on the segment-keyed
+    * dominance join. */
+  private def splitHeavySegments(cells: DataFrame, maxCells: Long, op: String)
+      : (Seq[(Any, Long)], DataFrame) = {
+    val heavy = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
+      .filter(col("__nc") > maxCells).collect()
+      .map(r => (r.get(0), r.getLong(1))).toSeq
+    require(heavy.size <= MaxHeavySegments,
+      s"$op: ${heavy.size} segments exceed maxCells=$maxCells and the " +
+        s"per-heavy-segment continuous arm is capped at $MaxHeavySegments " +
+        "driver-sequenced calls - bucket the metric or raise maxCells")
+    require(heavy.forall(_._1 != null),
+      s"$op: a NULL segment exceeds maxCells - filter null segments first")
+    val light =
+      if (heavy.isEmpty) cells
+      else cells.filter(!coalesce(
+        col("segment").isin(heavy.map(_._1): _*), lit(false)))
+    (heavy, light)
+  }
+
   /** Per-segment Kendall τ-b — "does the association hold in every
     * cohort", [[mannWhitneyBy]]'s sibling for the correlation readout:
-    * ONE (segment, x, y) cell aggregate, a SEGMENT-KEYED dominance
-    * join (equi on segment + x′ < x — distributes by segment, the
-    * balanced shape; per-segment work is |cells_g|², so the cap gates
-    * on the LARGEST segment off the same groupBy, not the total), the
-    * per-(segment, block) tie sums, and per-segment τ-b from the same
-    * exact integer C/D/tie terms as [[kendallTau]] — each segment's
-    * row is bit-identical to the global test on that slice
-    * (spec-pinned). A segment past `maxCells` errs EAGERLY with the
-    * per-heavy-segment remediation (the continuous arm is a global
-    * machine; run [[kendallTau]] on that slice — it auto-routes). One
-    * row per segment: (segment, n, concordant, discordant, tau_b). */
+    * ONE (segment, x, y) cell aggregate routes every segment off its
+    * own cell count (one groupBy) — segments under `maxCells` share a
+    * SEGMENT-KEYED dominance join (equi on segment + x′ < x —
+    * distributes by segment, the balanced shape; per-segment work is
+    * |cells_g|²), segments past it (continuous metrics) each take the
+    * O(n log n) [[KendallContinuous]] arm (driver-sequenced, capped at
+    * [[MaxHeavySegments]]), reading the same barriered cell table. The
+    * per-(segment, block) tie sums and τ-b come from the same exact
+    * integer C/D/tie terms as [[kendallTau]] — each segment's row is
+    * bit-identical to the global test on that slice regardless of arm
+    * (spec-pinned). One row per segment:
+    * (segment, n, concordant, discordant, tau_b). */
   def kendallTauBy(df: DataFrame, segCol: String, xCol: String, yCol: String,
-                   maxCells: Long = 30000): DataFrame = {
+                   maxCells: Long = 30000, buckets: Int = 1024): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     val cells = graft.util.Caching.barrier(
       df.groupBy(col(segCol).as("segment"), col(xCol).as("x"), col(yCol).as("y"))
         .agg(count(lit(1)).as("c")))
-    val maxPerSeg = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
-      .agg(coalesce(max(col("__nc")), lit(0L))).head().getLong(0)
-    require(maxPerSeg <= maxCells,
-      s"kendallTauBy: a segment carries $maxPerSeg cells (maxCells=$maxCells); " +
-        "the dominance join would be quadratic in that segment - run kendallTau " +
-        "on the heavy slice (it auto-routes the O(n log n) continuous arm) or " +
-        "bucket the metric first")
-    val right = cells.select(col("segment").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), col("c").as("c2"))
-    val cd = cells.join(right, col("g2") === col("segment") && col("x2") < col("x"))
-      .groupBy(col("segment"))
-      .agg(
-        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
-    def ties(key: String, out: String) = cells.groupBy(col("segment"), col(key))
-      .agg(sum(col("c")).as("__t"))
-      .groupBy(col("segment"))
-      .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
-        .cast("decimal(38,0)").as(out))
-    cells.groupBy(col("segment")).agg(sum(col("c")).as("n"))
-      .join(cd, Seq("segment"), "left")
-      .join(ties("x", "__n12"), Seq("segment"), "left")
-      .join(ties("y", "__n22"), Seq("segment"), "left")
-      .select(col("segment"), col("n"),
-        coalesce(col("__c"), lit(0)).cast("double").as("concordant"),
-        coalesce(col("__d"), lit(0)).cast("double").as("discordant"),
-        (d38(col("n")) * (col("n") - 1)).cast("double").as("__n02"),
-        col("__n12").cast("double").as("__n12"),
-        col("__n22").cast("double").as("__n22"))
+    val (heavy, light) = splitHeavySegments(cells, maxCells, "kendallTauBy")
+    def tauFrame(nn: DataFrame): DataFrame = nn
+      .withColumn("concordant", coalesce(col("__c"), lit(0)).cast("double"))
+      .withColumn("discordant", coalesce(col("__d"), lit(0)).cast("double"))
+      .withColumn("__n02", (d38(col("n")) * (col("n") - 1)).cast("double"))
       .withColumn("tau_b",
         when((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")) > 0,
           lit(2.0) * (col("concordant") - col("discordant")) /
             sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
       .select(col("segment"), col("n"), col("concordant"), col("discordant"),
         col("tau_b"))
+    val right = light.select(col("segment").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("c").as("c2"))
+    val cd = light.join(right, col("g2") === col("segment") && col("x2") < col("x"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    def ties(src: DataFrame, key: String, out: String) =
+      src.groupBy(col("segment"), col(key))
+        .agg(sum(col("c")).as("__t"))
+        .groupBy(col("segment"))
+        .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+          .cast("decimal(38,0)").as(out))
+    val lightOut = tauFrame(
+      light.groupBy(col("segment")).agg(sum(col("c")).as("n"))
+        .join(cd, Seq("segment"), "left")
+        .join(ties(light, "x", "__n12"), Seq("segment"), "left")
+        .join(ties(light, "y", "__n22"), Seq("segment"), "left"))
+    heavy.foldLeft(lightOut) { case (acc, (seg, nCells)) =>
+      val sc = cells.filter(col("segment") <=> lit(seg)).select("x", "y", "c")
+      val one = sc.agg(sum(col("c")).as("n"))
+        .crossJoin(KendallContinuous.cd(sc, buckets, nCellsHint = nCells))
+        .crossJoin(sc.groupBy(col("x")).agg(sum(col("c")).as("__t"))
+          .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+            .cast("decimal(38,0)").as("__n12")))
+        .crossJoin(sc.groupBy(col("y")).agg(sum(col("c")).as("__t"))
+          .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+            .cast("decimal(38,0)").as("__n22")))
+        .withColumn("segment", lit(seg))
+      acc.unionByName(tauFrame(one))
+    }
   }
 
   /** Per-segment Spearman ρ — [[spearman]] sliced like

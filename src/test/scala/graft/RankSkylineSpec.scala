@@ -779,17 +779,41 @@ class RankSkylineSpec extends AnyFunSuite {
       assert(sBy(s"s$k") == sg, s"spearman segment s$k")
       graft.util.Caching.release()
     }
-    // a heavy segment errs eagerly with the per-slice remediation
-    val dense = (1 to 400).map(i => ("one", i * 1.0, i * 2.0)).toDF("seg", "x", "y")
-    val e = intercept[Exception](RankTests.kendallTauBy(dense, "seg", "x", "y", maxCells = 100))
-    assert(e.getMessage.contains("kendallTau"), e.getMessage)
-    graft.util.Caching.release()
     // spearmanBy per-segment cardinality guard fires loudly
+    val dense = (1 to 400).map(i => ("one", i * 1.0, i * 2.0)).toDF("seg", "x", "y")
     val e2 = intercept[Exception](
       RankTests.spearmanBy(dense, "seg", "x", "y", maxDistinct = 50).collect())
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e2).exists(_.contains("maxDistinct")))
+  }
+
+  test("kendallTauBy/mannKendallBy heavy segments auto-route the continuous arm, bit-equal") {
+    val rnd = new scala.util.Random(83)
+    // s0: 350 fully-distinct cells (heavy past maxCells=100, routes
+    // KendallContinuous); s1/s2: bounded (stay on the dominance join)
+    val df = ((0 until 350).map(i => ("s0", i * 1.0 + 0.5, rnd.nextInt(1000) * 1.0)) ++
+      (0 until 300).map(i => ("s1", rnd.nextInt(8) * 1.0, rnd.nextInt(9) * 1.0)) ++
+      (0 until 250).map(i => ("s2", rnd.nextInt(6) * 1.0, rnd.nextInt(6) * 1.0)))
+      .toDF("seg", "x", "y")
+    val kBy = RankTests.kendallTauBy(df, "seg", "x", "y", maxCells = 100)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    graft.util.Caching.release()
+    val mBy = RankTests.mannKendallBy(df, "seg", "x", "y", maxCells = 100)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    graft.util.Caching.release()
+    assert(kBy.keySet == Set("s0", "s1", "s2") && mBy.keySet == kBy.keySet)
+    Seq("s0", "s1", "s2").foreach { k =>
+      val slice = df.filter(col("seg") === k)
+      // global arms on the slice: s0's distinct cells force the same
+      // continuous machinery, s1/s2 the quadratic join — all bit-equal
+      val kg = RankTests.kendallTau(slice, "x", "y", maxCells = 100).head.toSeq
+      assert(kBy(k) == kg, s"kendallTauBy segment $k")
+      graft.util.Caching.release()
+      val mg = RankTests.mannKendall(slice, "x", "y", maxCells = 100).head.toSeq
+      assert(mBy(k) == mg, s"mannKendallBy segment $k")
+      graft.util.Caching.release()
+    }
   }
 
   test("kendall arms agree on Spark's UTF-8 string order (U+E000 vs supplementary)") {
