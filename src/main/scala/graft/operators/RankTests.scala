@@ -380,10 +380,11 @@ object RankTests {
     * the quadratic arm is safe by construction — the barrier+count
     * routing job is skipped entirely and the cell aggregate stays lazy
     * inside the caller's one final job. The gated path still carries a
-    * LOUD in-plan backstop AT `maxCells` — zero silent zone: a running
-    * count over the broadcast build side aborts the join the moment
-    * the cell table exceeds what probed routing would ever hand the
-    * quadratic arm, with the `dense = true` remediation. Past the gate
+    * LOUD in-plan backstop: a bucketed running count over the
+    * broadcast build side aborts the join by 2·`maxCells` cells
+    * (pigeonhole over 16 hash buckets — ≤4× the probed arm's worst
+    * quadratic work, never the 35× blowup the unbucketed mis-route
+    * measured), with the `dense = true` remediation. Past the gate
     * the probe runs as before and routes by the REAL cardinality. */
   private def cellsAndCd(df: DataFrame, xCol: String, yCol: String,
                          maxCells: Long, buckets: Int): (DataFrame, DataFrame) = {
@@ -392,9 +393,17 @@ object RankTests {
       val c2 = guardCap match {
         case Some(cap) =>
           // running count over the build side trips BEFORE the probe
-          // side streams — the backstop for the provable-small gate
-          val wg = Window.orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
-          col("c") + coalesce(assert_true(count(lit(1)).over(wg) + 1 <= lit(cap), concat(
+          // side streams — the backstop for the provable-small gate.
+          // The count windows over 16 HASH BUCKETS (not a bare ordered
+          // window — that would be a global-window plan regression):
+          // max bucket ≥ total/16, so a per-bucket cap of 2·cap/16
+          // guarantees the abort by 2·cap total cells (≤4× the probed
+          // arm's worst quadratic work) and cannot false-trip below
+          // cap total except under astronomical hash skew.
+          val wg = Window.partitionBy(pmod(xxhash64(col("x"), col("y"), lit(0x67647464L)), lit(16)))
+            .orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
+          col("c") + coalesce(assert_true(
+            count(lit(1)).over(wg) + 1 <= lit(math.max(1L, 2 * cap / 16)), concat(
             lit("kendallTau: cell table exceeds the provable-small routing estimate "),
             lit(s"(cap $cap) - the input's size stats under-counted its rows; "),
             lit("pass dense=true (exact, bucket-decomposed) or raise maxCells")))
@@ -412,8 +421,15 @@ object RankTests {
     val cells0 = df.groupBy(col(xCol).as("x"), col(yCol).as("y")).agg(count(lit(1)).as("c"))
     val armOk = KendallContinuous.supports(cells0.schema("x").dataType) &&
       KendallContinuous.supports(cells0.schema("y").dataType)
-    if (armOk && estRowsUB(df) * 4 <= BigInt(maxCells))
-      return (cells0, quadratic(cells0, Some(maxCells)))
+    if (armOk && estRowsUB(df) * 4 <= BigInt(maxCells)) {
+      // barrier WITHOUT the count: the persist dedupes the cell
+      // aggregate across the final job's five consuming branches (and
+      // keeps the census exchange count at the probed plan's shape);
+      // the cache populates inside the caller's one job — no eager
+      // routing job, which is the whole point of the gate
+      val cb = graft.util.Caching.barrier(cells0)
+      return (cb, quadratic(cb, Some(maxCells)))
+    }
     val cells = graft.util.Caching.barrier(cells0)
     val nCells = cells.count()
     val cd =
