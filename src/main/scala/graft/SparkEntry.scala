@@ -3446,7 +3446,7 @@ object SparkEntry {
     // quantized exact integers end to end — running sums + running
     // mins per key, first-crossing alarms; the injected event_id/500
     // drift trips the positive side.
-    "q_cusum" -> { (s, dir) =>
+    "q_cusum_by" -> { (s, dir) =>
       graft.operators.ChangePoint.cusumBy(
         Sources.table(s, dir, "events")
           .withColumn("xv", col("value") + col("event_id") / lit(500.0)),
@@ -8532,7 +8532,7 @@ object SparkEntry {
         |FROM per""".stripMargin,
     // CUSUM as prefix sums: S+ = C - min(0, running min C) on scale-4
     // scaled HUGEINTs; first-crossing alarms via min(CASE)
-    "q_cusum" ->
+    "q_cusum_by" ->
       """WITH d AS (SELECT event_type AS key, event_id AS ord,
         |    CAST(CAST(value + event_id / 500.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xq
         |  FROM events),
