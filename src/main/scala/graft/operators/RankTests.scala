@@ -651,7 +651,7 @@ object RankTests {
     val cells = graft.util.Caching.barrier(
       df.groupBy(col(segCol).as("segment"), col(tsCol).as("x"), col(valueCol).as("y"))
         .agg(count(lit(1)).as("c")))
-    val (heavy, light) = splitHeavySegments(cells, maxCells, "mannKendallBy")
+    val (heavy, light, guarded) = splitHeavySegments(df, cells, maxCells, "mannKendallBy")
     val nD = col("n").cast("double")
     val s = coalesce(col("__c"), lit(0)).cast("double") -
       coalesce(col("__d"), lit(0)).cast("double")
@@ -679,8 +679,9 @@ object RankTests {
         .cast("decimal(38,0)").as(s"__${tag}25"),
       coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
         .cast("decimal(38,0)").as(s"__${tag}3"))
+    val c2g = if (guarded) col("c") + segGuard(maxCells, "mannKendallBy") else col("c")
     val right = light.select(col("segment").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), col("c").as("c2"))
+      col("y").as("y2"), c2g.as("c2"))
     val cd = light.join(right, col("g2") === col("segment") && col("x2") < col("x"))
       .groupBy(col("segment"))
       .agg(
@@ -911,13 +912,18 @@ object RankTests {
     * operator into a driver loop over the whole key space. */
   private[operators] val MaxHeavySegments = 32
 
-  /** (barriered cell table, heavy rows (segment, count), light cells):
-    * the By-family's per-segment routing — ONE groupBy yields every
+  /** (heavy rows (segment, count), light cells, guard flag): the
+    * By-family's per-segment routing — ONE groupBy yields every
     * segment's cell count; segments past `maxCells` route to the
     * continuous arm individually, the rest stay on the segment-keyed
-    * dominance join. */
-  private def splitHeavySegments(cells: DataFrame, maxCells: Long, op: String)
-      : (Seq[(Any, Long)], DataFrame) = {
+    * dominance join. When the PRE-AGGREGATE input's row estimate
+    * already bounds every segment under `maxCells` (with the
+    * [[cellsAndCd]] 4× compression margin), the eager routing collect
+    * is skipped entirely — no segment CAN be heavy — and the join arm
+    * instead carries the bucketed in-plan backstop (guard flag). */
+  private def splitHeavySegments(df: DataFrame, cells: DataFrame, maxCells: Long,
+                                 op: String): (Seq[(Any, Long)], DataFrame, Boolean) = {
+    if (estRowsUB(df) * 4 <= BigInt(maxCells)) return (Nil, cells, true)
     val heavy = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
       .filter(col("__nc") > maxCells).collect()
       .map(r => (r.get(0), r.getLong(1))).toSeq
@@ -931,7 +937,24 @@ object RankTests {
       if (heavy.isEmpty) cells
       else cells.filter(!coalesce(
         col("segment").isin(heavy.map(_._1): _*), lit(false)))
-    (heavy, light)
+    (heavy, light, false)
+  }
+
+  /** The By-family's gated-path backstop — [[cellsAndCd]]'s bucketed
+    * running count, additionally partitioned by segment: aborts the
+    * dominance join's build by 2·`maxCells` cells in ANY ONE segment
+    * (pigeonhole over 16 hash buckets within the segment), so a size-
+    * stats mis-estimate costs a loud error, never a quadratic grind. */
+  private def segGuard(cap: Long, op: String): Column = {
+    val wg = Window.partitionBy(col("segment"),
+        pmod(xxhash64(col("x"), col("y"), lit(0x67647365L)), lit(16)))
+      .orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
+    coalesce(assert_true(
+      count(lit(1)).over(wg) + 1 <= lit(math.max(1L, 2 * cap / 16)), concat(
+        lit(s"$op: a segment's cell table exceeds the provable-small routing "),
+        lit(s"estimate (cap $cap) - the input's size stats under-counted its "),
+        lit("rows; raise maxCells or bucket the metric")))
+      .cast("long"), lit(0L))
   }
 
   /** Per-segment Kendall τ-b — "does the association hold in every
@@ -954,7 +977,7 @@ object RankTests {
     val cells = graft.util.Caching.barrier(
       df.groupBy(col(segCol).as("segment"), col(xCol).as("x"), col(yCol).as("y"))
         .agg(count(lit(1)).as("c")))
-    val (heavy, light) = splitHeavySegments(cells, maxCells, "kendallTauBy")
+    val (heavy, light, guarded) = splitHeavySegments(df, cells, maxCells, "kendallTauBy")
     def tauFrame(nn: DataFrame): DataFrame = nn
       .withColumn("concordant", coalesce(col("__c"), lit(0)).cast("double"))
       .withColumn("discordant", coalesce(col("__d"), lit(0)).cast("double"))
@@ -965,8 +988,9 @@ object RankTests {
             sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
       .select(col("segment"), col("n"), col("concordant"), col("discordant"),
         col("tau_b"))
+    val c2g = if (guarded) col("c") + segGuard(maxCells, "kendallTauBy") else col("c")
     val right = light.select(col("segment").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), col("c").as("c2"))
+      col("y").as("y2"), c2g.as("c2"))
     val cd = light.join(right, col("g2") === col("segment") && col("x2") < col("x"))
       .groupBy(col("segment"))
       .agg(
