@@ -3507,6 +3507,28 @@ object SparkEntry {
         "event_type", "xv", "yv")
         .select(col("segment"), col("n"), round(col("rho"), 8).as("rho"))
     },
+    // Kruskal-Wallis H (RankTests.kruskalWallis): are the returnflag
+    // groups' price-rank distributions equal — tie-corrected, 2×rank
+    // integers, the per-group R²/n fold in sorted group order.
+    "q_kruskal" -> { (s, dir) =>
+      graft.operators.RankTests.kruskalWallis(
+        Sources.table(s, dir, "lineitem")
+          .withColumn("price_b", floor(col("l_extendedprice") / lit(10.0)).cast(LongType)),
+        "l_returnflag", "price_b")
+        .select(col("n"), col("k"), round(col("h_stat"), 8).as("h_stat"), col("df"))
+    },
+    // Pettitt change-point test (ChangePoint.pettittBy): rank-based
+    // nonparametric split per event type — U_t = 2S_t − t(n+1) exact
+    // integers off the 2×rank trick, integer argmax, one IEEE p chain.
+    "q_pettitt" -> { (s, dir) =>
+      graft.operators.ChangePoint.pettittBy(
+        Sources.table(s, dir, "events")
+          .withColumn("xv", floor(col("value") / 4.0) +
+            floor(col("event_id") / lit(5000.0)) * lit(10.0)),
+        "event_type", "event_id", "xv")
+        .select(col("key"), col("n"), col("k_stat"), col("split_ts"),
+          col("u_at_split"), round(col("p_value"), 8).as("p_value"))
+    },
     // Welch t-test (RankTests.welchT): returned vs refused prices from
     // exact decimal power sums; Welch-Satterthwaite df.
     "q_welch_t" -> { (s, dir) =>
@@ -8530,6 +8552,54 @@ object SparkEntry {
         |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
         |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
         |FROM per""".stripMargin,
+    // pooled 2x-rank integers; the per-group R^2/n fold replays in
+    // sorted group order (list_reduce over list_sort), one H chain
+    "q_kruskal" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice/10.0) AS BIGINT) AS v FROM lineitem),
+        |pv AS (SELECT v, count(*) AS t FROM d GROUP BY 1),
+        |r AS (SELECT v, t, COALESCE(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM pv),
+        |vg AS (SELECT g, v, count(*) AS tg FROM d GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(SUM(tg) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(tg AS HUGEINT) * (2*cum + t + 1)) AS HUGEINT) AS R2
+        |  FROM vg JOIN r USING (v) GROUP BY 1),
+        |tt AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT)*t*t - t), 0) AS DOUBLE) AS T FROM pv),
+        |ag AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(g := g,
+        |        r2d := CAST(R2 AS DOUBLE), ng := ng))),
+        |      x -> x.r2d * x.r2d / (4.0 * CAST(x.ng AS DOUBLE))), (a, c) -> a + c) AS sumterm
+        |  FROM pg)
+        |SELECT n, k,
+        |  round(CASE WHEN 1.0 - T/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0 THEN
+        |    (12.0/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1)) * sumterm - 3.0*(CAST(n AS DOUBLE)+1))
+        |    / (1.0 - T/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) END, 8) AS h_stat,
+        |  k - 1 AS df
+        |FROM ag, tt""".stripMargin,
+    // U_t = 2S_t - t(n+1) exact integers; integer argmax (|U| DESC,
+    // ord ASC); the approximate p is one IEEE chain
+    "q_pettitt" ->
+      """WITH d AS (SELECT event_type AS key, event_id AS ord,
+        |    floor(value / 4.0) + floor(event_id / 5000.0) * 10.0 AS v FROM events),
+        |pv AS (SELECT key, v, count(*) AS c FROM d GROUP BY 1, 2),
+        |r AS (SELECT key, v, 2*COALESCE(sum(c) OVER (PARTITION BY key ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM pv),
+        |u AS (SELECT d.key AS key, ord,
+        |    CAST(count(*) OVER wc AS BIGINT) AS i,
+        |    CAST(sum(r2) OVER wc AS BIGINT) AS s2,
+        |    CAST(count(*) OVER wa AS BIGINT) AS n
+        |  FROM d JOIN r ON d.key = r.key AND d.v = r.v
+        |  WINDOW wc AS (PARTITION BY d.key ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (PARTITION BY d.key)),
+        |c AS (SELECT key, ord, i, n, s2 - i * (n + 1) AS uu FROM u WHERE i < n),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY abs(uu) DESC, ord ASC) AS rn FROM c)
+        |SELECT key, n, abs(uu) AS k_stat, ord AS split_ts, uu AS u_at_split,
+        |  round(LEAST(1.0, 2.0 * exp(-6.0 * CAST(abs(uu) AS DOUBLE) * CAST(abs(uu) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+        |       + CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))), 8) AS p_value
+        |FROM p WHERE rn = 1""".stripMargin,
     // CUSUM as prefix sums: S+ = C - min(0, running min C) on scale-4
     // scaled HUGEINTs; first-crossing alarms via min(CASE)
     "q_cusum_by" ->

@@ -179,6 +179,67 @@ object ChangePoint {
           (col("__n") - col("__i")).cast("double")).as("mean_right"))
   }
 
+  /** Pettitt's test (Pettitt 1979) per key — the RANK-based
+    * nonparametric change point ([[amocSplitBy]] is the mean/SSE
+    * form; this one is outlier-robust and distribution-free):
+    * Uₜ = Σ_{i≤t} Σ_{j>t} sign(xᵢ − xⱼ) (Pettitt's original sign
+    * convention — positive U means the EARLY segment ranks higher),
+    * K = max_{1≤t<n} |Uₜ|, approximate significance
+    * p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * Exactness: with average ranks carried as the 2×rank integers
+    * (r2ᵢ = 2·rankᵢ, [[graft.operators.RankTests.mannWhitney]]'s
+    * trick), the rank identity Uₜ = 2·Sₜ − t(n+1) = Σ_{i≤t} r2ᵢ −
+    * t(n+1) makes Uₜ an EXACT INTEGER even under average-rank ties —
+    * so K, the split and every comparison are integer-exact; only the
+    * final p is one IEEE chain. Shape: a per-(key, value) count table
+    * ranked by a key-partitioned window (in-window cardinality guard
+    * at `maxDistinct` per key — bucket a continuous metric first),
+    * joined back on (key, value), then ONE ts-ordered prefix sum and
+    * an integer argmax (|U| desc, ts asc). `tsCol` must be unique
+    * within a key. Keys with n < 2 are omitted. One row per key:
+    * (key, n, k_stat, split_ts, u_at_split, p_value). */
+  def pettittBy(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+                maxDistinct: Long = 8L << 20): DataFrame = {
+    val base = graft.util.Caching.barrier(
+      df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(valueCol).as("__v")))
+    val pv = base.groupBy(col("__k").as("__rk"), col("__v").as("__rv"))
+      .agg(count(lit(1)).as("__c"))
+    val wPrev = Window.partitionBy("__rk").orderBy("__rv")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val guard = coalesce(assert_true(
+      count(lit(1)).over(wPrev) + 1 <= lit(maxDistinct), concat(
+        lit(s"pettittBy: a key exceeds maxDistinct=$maxDistinct distinct "),
+        lit("values - bucket the metric first"))).cast("long"), lit(0L))
+    val ranked = pv.withColumn("__cum",
+        coalesce(sum(col("__c")).over(wPrev), lit(0L)) + guard)
+      .select(col("__rk"), col("__rv"),
+        (lit(2) * col("__cum") + col("__c") + 1).as("__r2"))
+    val wCum = Window.partitionBy("__k").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("__k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val u = base
+      .join(ranked, col("__k") === col("__rk") && col("__v") <=> col("__rv"))
+      .withColumn("__i", count(lit(1)).over(wCum))
+      .withColumn("__s2", sum(col("__r2")).over(wCum))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__i") < col("__n"))
+      .select(col("__k"), col("__t"), col("__i"), col("__n"),
+        (col("__s2") - col("__i") * (col("__n") + 1)).as("__u"))
+    val wPick = Window.partitionBy("__k").orderBy(abs(col("__u")).desc, col("__t").asc)
+    val nD = col("n").cast("double")
+    u.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("__k").as("key"), col("__n").as("n"),
+        abs(col("__u")).as("k_stat"), col("__t").as("split_ts"),
+        col("__u").as("u_at_split"))
+      .withColumn("p_value", least(lit(1.0),
+        lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double") *
+          col("k_stat").cast("double") / (nD * nD * nD + nD * nD))))
+  }
+
   /** Recursive binary segmentation: `depth` rounds of [[amocSplitBy]]
     * within the segments accepted so far; a split is accepted when its
     * gain ≥ `minGain` AND both sides have ≥ `minSize` rows. Returns

@@ -782,6 +782,74 @@ object RankTests {
       .select(col("n"), col("k"), col("j_stat"), col("s"), col("var_s"), col("z"))
   }
 
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952, tie-corrected) — the
+    * k-group UNORDERED-alternative rank test ([[jonckheereTerpstra]]
+    * is the ordered sibling; [[mannWhitney]] the k=2 case): are the k
+    * groups' rank distributions equal?
+    *
+    *   H = [12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)]
+    *
+    * Same value-cardinality shape as [[mannWhitney]]: ONE aggregate to
+    * the per-distinct-value table (the routed bounded/dense arms and
+    * the in-window guard apply unchanged), the 2×rank integer trick
+    * (R2_g = 2R_g exact, Σ R_g²/n_g = Σ R2_g²/(4n_g)), a (value,
+    * group) count table joined back on the value, and a ≤k-row
+    * per-group table whose R²/n fold runs in SORTED group order
+    * (sort_array + aggregate — the [[seasonalMannKendall]] IEEE-replay
+    * discipline, since per-group division makes the terms doubles).
+    * One row: (n, k, h_stat, df); h null when every value ties (zero
+    * tie-corrected denominator). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    dense: Boolean = false,
+                    maxDistinct: Long = MaxBoundedDistinct,
+                    adaptive: Boolean = true): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = graft.util.Caching.barrier(
+      df.select(col(groupCol).as("__g"), col(valueCol).as("__v")))
+    val perValue0 = base.groupBy(col("__v").as("v")).agg(count(lit(1)).as("t"))
+    val (perValue, useDense) = routeArm(perValue0, dense, adaptive, maxDistinct)
+    val ranked = if (useDense) {
+      Ranking.withGlobalOrder(perValue, Seq(col("v")), rankCol = "__vr",
+          sums = Seq((col("t"), "__ti")))
+        .withColumn("cum", col("__ti") - col("t"))
+        .select(col("v"), col("t"), col("cum"))
+    } else {
+      val wPrev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      perValue.withColumn("cum",
+        coalesce(sum(col("t")).over(wPrev), lit(0L)) +
+          cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+            "RankTests.kruskalWallis"))
+        .select(col("v"), col("t"), col("cum"))
+    }
+    val r2 = lit(2) * col("cum") + col("t") + lit(1) // 2×average rank, exact
+    val vg = base.groupBy(col("__g"), col("__v").as("v")).agg(count(lit(1)).as("tg"))
+    val perGroup = vg.join(ranked, "v")
+      .groupBy(col("__g"))
+      .agg(sum(col("tg")).as("__ng"),
+        sum(d38(col("tg")) * r2).cast("decimal(38,0)").as("__R2"))
+    val ties = ranked.agg(
+      coalesce(sum(d38(col("t")) * col("t") * col("t") - col("t")), lit(0))
+        .cast("decimal(38,0)").as("__T"))
+    // ≤k rows: Σ R_g²/n_g folds in sorted group order — each term is
+    // one IEEE chain over exact operands, the fold order is pinned
+    val agg = perGroup.agg(
+      sum(col("__ng")).as("n"), count(lit(1)).as("k"),
+      aggregate(sort_array(collect_list(struct(col("__g"),
+          col("__R2").cast("double").as("r2d"), col("__ng").as("ng")))),
+        lit(0.0), (acc, x) => acc +
+          x.getField("r2d") * x.getField("r2d") /
+            (lit(4.0) * x.getField("ng").cast("double"))).as("__sumTerm"))
+    val nD = col("n").cast("double")
+    agg.crossJoin(ties)
+      .withColumn("__h0",
+        lit(12.0) / (nD * (nD + 1)) * col("__sumTerm") - lit(3.0) * (nD + 1))
+      .withColumn("__c",
+        lit(1.0) - col("__T").cast("double") / (nD * nD * nD - nD))
+      .select(col("n"), col("k"),
+        when(col("__c") > 0, col("__h0") / col("__c")).as("h_stat"),
+        (col("k") - 1).as("df"))
+  }
+
   /** Welch's unequal-variance t-test from DECIMAL power sums: one
     * map-combined aggregate per group collects exact Σx and Σx²;
     * mean/variance/t/df are then a fixed chain of IEEE ops over exact

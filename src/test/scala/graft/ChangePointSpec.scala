@@ -158,6 +158,41 @@ class ChangePointSpec extends AnyFunSuite {
     }
   }
 
+  test("pettittBy == the brute-force double-loop U statistic; ranks absorb ties") {
+    import spark.implicits._
+    // shifted series with deliberate ties (quantized to integers)
+    val data = rows.map { case (k, t, v) => (k, t, math.floor(v / 3.0) * 3.0) }
+    val df = data.toDF("k", "t", "v")
+    val got = ChangePoint.pettittBy(df, "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    graft.util.Caching.release()
+    assert(!got.contains("c"), "single-row key has no valid split")
+    data.groupBy(_._1).filter(_._2.length >= 2).foreach { case (key, rs) =>
+      val xs = rs.sortBy(_._2).map(x => (x._2, x._3))
+      val n = xs.length
+      var best = (Long.MinValue, Long.MaxValue, 0L) // (|U|, ts, U)
+      (1 until n).foreach { t =>
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += java.lang.Double.compare(xs(i)._2, xs(j)._2).sign
+        val k = math.abs(u)
+        if (k > best._1 || (k == best._1 && xs(t - 1)._1 < best._2))
+          best = (k, xs(t - 1)._1, u)
+      }
+      val r = got(key)
+      assert(r.getLong(2) == best._1, s"$key k_stat")
+      assert(r.getLong(3) == best._2, s"$key split_ts")
+      assert(r.getLong(4) == best._3, s"$key u_at_split")
+      val nD = n.toDouble
+      val p = math.min(1.0, 2.0 * math.exp(
+        -6.0 * best._1.toDouble * best._1.toDouble / (nD * nD * nD + nD * nD)))
+      assert(r.getDouble(5) == p, s"$key p_value")
+      // the injected shift is found near the truth (rank test, noisy)
+      val expect = if (key == "a") 600L else 350L
+      assert(math.abs(r.getLong(3) - (expect - 1)) <= 10, s"$key found ${r.getLong(3)}")
+    }
+  }
+
   test("cusumStream/pageHinkleyStream replay the batch arms across batch boundaries") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -788,6 +788,44 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(msgs(e2).exists(_.contains("maxDistinct")))
   }
 
+  test("kruskalWallis: tie-corrected H == brute-force pooled-rank computation") {
+    val rnd = new scala.util.Random(97)
+    val data = (1 to 900).map { i =>
+      val g = s"g${i % 4}"
+      (g, rnd.nextInt(40).toDouble + (i % 4) * 1.5) // shifted groups, heavy ties
+    }
+    val df = data.toDF("g", "v")
+    val r = RankTests.kruskalWallis(df, "g", "v").head
+    graft.util.Caching.release()
+    // brute force: pooled average ranks, the textbook tie-corrected H
+    val sorted = data.map(_._2).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.length }
+    val n = data.length.toDouble
+    val byG = data.groupBy(_._1)
+    val sumTerm = byG.toSeq.sortBy(_._1).map { case (_, xs) =>
+      val rg = xs.map(x => rank(x._2)).sum
+      rg * rg / xs.length
+    }.sum
+    val tieT = data.map(_._2).groupBy(identity)
+      .map { case (_, xs) => val t = xs.length.toDouble; t * t * t - t }.sum
+    val h = (12.0 / (n * (n + 1)) * sumTerm - 3 * (n + 1)) /
+      (1.0 - tieT / (n * n * n - n))
+    assert(r.getLong(0) == 900L && r.getLong(1) == 4L && r.getLong(3) == 3L)
+    assert(math.abs(r.getDouble(2) - h) < 1e-9, s"H ${r.getDouble(2)} vs $h")
+    // k=2 consistency: H == z² of the tie-corrected Mann-Whitney
+    val two = data.filter(x => x._1 == "g0" || x._1 == "g1").toDF("g", "v")
+    val h2 = RankTests.kruskalWallis(two, "g", "v").head.getDouble(2)
+    graft.util.Caching.release()
+    val z = RankTests.mannWhitney(two, "g", "v", "g0", "g1").head.getAs[Double]("z")
+    graft.util.Caching.release()
+    assert(math.abs(h2 - z * z) < 1e-9, s"H $h2 vs z^2 ${z * z}")
+    // all-tied input: null H, not a divide-by-zero
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    assert(RankTests.kruskalWallis(const, "g", "v").head.isNullAt(2))
+    graft.util.Caching.release()
+  }
+
   test("kendallTauBy/mannKendallBy heavy segments auto-route the continuous arm, bit-equal") {
     val rnd = new scala.util.Random(83)
     // s0: 350 fully-distinct cells (heavy past maxCells=100, routes
