@@ -3507,6 +3507,28 @@ object SparkEntry {
         "event_type", "xv", "yv")
         .select(col("segment"), col("n"), round(col("rho"), 8).as("rho"))
     },
+    // One-way ANOVA F (RankTests.oneWayAnova): k-group mean test from
+    // one aggregate of exact decimal power sums; per-group S²/n terms
+    // fold in sorted group order.
+    "q_anova" -> { (s, dir) =>
+      graft.operators.RankTests.oneWayAnova(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .select(col("n"), col("k"), round(col("f_stat"), 8).as("f_stat"),
+          col("df1"), col("df2"),
+          round(col("ss_between"), 4).as("ss_between"),
+          round(col("ss_within"), 4).as("ss_within"))
+    },
+    // Brown-Forsythe (RankTests.brownForsythe): robust spread
+    // homogeneity — per-group exact decimal median (doubled, no
+    // division), ANOVA on z2 = |2x − (m1+m2)|, SS readouts /4.
+    "q_brown_forsythe" -> { (s, dir) =>
+      graft.operators.RankTests.brownForsythe(
+        Sources.table(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("n"), col("k"), round(col("f_stat"), 8).as("f_stat"),
+          col("df1"), col("df2"),
+          round(col("ss_between"), 4).as("ss_between"),
+          round(col("ss_within"), 4).as("ss_within"))
+    },
     // Kruskal-Wallis H (RankTests.kruskalWallis): are the returnflag
     // groups' price-rank distributions equal — tie-corrected, 2×rank
     // integers, the per-group R²/n fold in sorted group order.
@@ -8552,6 +8574,65 @@ object SparkEntry {
         |    CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
         |         WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END, 8) AS z
         |FROM per""".stripMargin,
+    // exact decimal power sums; per-group S^2/n in sorted-fold order,
+    // then one F chain
+    "q_anova" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS x FROM lineitem),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, SUM(x) AS sg,
+        |    SUM(CAST(CAST(x AS DECIMAL(28,4)) * CAST(x AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS qg
+        |  FROM d GROUP BY 1),
+        |ag AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(sg) AS DOUBLE) AS s, CAST(SUM(qg) AS DOUBLE) AS q,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(g := g,
+        |        sgd := CAST(sg AS DOUBLE), ng := ng))),
+        |      x -> x.sgd * x.sgd / CAST(x.ng AS DOUBLE)), (a, c) -> a + c) AS sumterm
+        |  FROM pg)
+        |SELECT n, k,
+        |  round(CASE WHEN q - sumterm > 0 AND k > 1 AND n > k THEN
+        |    ((sumterm - s*s/CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+        |    / ((q - sumterm) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 8) AS f_stat,
+        |  k - 1 AS df1, n - k AS df2,
+        |  round(sumterm - s*s/CAST(n AS DOUBLE), 4) AS ss_between,
+        |  round(q - sumterm, 4) AS ss_within
+        |FROM ag""".stripMargin,
+    // per-group doubled median from the (group, value) count table (no
+    // decimal division anywhere), ANOVA on z2 = |2x - (m1+m2)|, SS/4
+    "q_brown_forsythe" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DECIMAL(18,4)) AS x FROM lineitem),
+        |pv AS (SELECT g, x AS v, count(*) AS c FROM b GROUP BY 1, 2),
+        |r AS (SELECT g, v, c,
+        |    COALESCE(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS ng FROM pv),
+        |m1 AS (SELECT g, v AS mv1 FROM r
+        |  WHERE cum < CAST(floor((ng + 1) / 2.0) AS BIGINT)
+        |    AND CAST(floor((ng + 1) / 2.0) AS BIGINT) <= cum + c),
+        |m2 AS (SELECT g, v AS mv2 FROM r
+        |  WHERE cum < CAST(floor((ng + 2) / 2.0) AS BIGINT)
+        |    AND CAST(floor((ng + 2) / 2.0) AS BIGINT) <= cum + c),
+        |md AS (SELECT g, CAST(mv1 + mv2 AS DECIMAL(19,4)) AS med2
+        |  FROM m1 JOIN m2 USING (g)),
+        |z AS (SELECT b.g AS g,
+        |    abs(CAST(x * 2 AS DECIMAL(19,4)) - med2) AS z2
+        |  FROM b JOIN md ON b.g = md.g),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, SUM(z2) AS sg,
+        |    SUM(CAST(z2*z2 AS DECIMAL(38,8))) AS qg FROM z GROUP BY 1),
+        |ag AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(sg) AS DOUBLE) AS s, CAST(SUM(qg) AS DOUBLE) AS q,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(g := g,
+        |        sgd := CAST(sg AS DOUBLE), ng := ng))),
+        |      x -> x.sgd * x.sgd / CAST(x.ng AS DOUBLE)), (a, c) -> a + c) AS sumterm
+        |  FROM pg)
+        |SELECT n, k,
+        |  round(CASE WHEN q - sumterm > 0 AND k > 1 AND n > k THEN
+        |    ((sumterm - s*s/CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+        |    / ((q - sumterm) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 8) AS f_stat,
+        |  k - 1 AS df1, n - k AS df2,
+        |  round((sumterm - s*s/CAST(n AS DOUBLE)) / 4.0, 4) AS ss_between,
+        |  round((q - sumterm) / 4.0, 4) AS ss_within
+        |FROM ag""".stripMargin,
     // pooled 2x-rank integers; the per-group R^2/n fold replays in
     // sorted group order (list_reduce over list_sort), one H chain
     "q_kruskal" ->

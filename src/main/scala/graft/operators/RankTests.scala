@@ -850,6 +850,94 @@ object RankTests {
         (col("k") - 1).as("df"))
   }
 
+  /** One-way ANOVA F — the k-group mean test ([[welchT]] is the
+    * 2-group unequal-variance form; [[kruskalWallis]] the rank twin):
+    * F = [SSB/(k−1)] / [SSW/(n−k)] with SSB = Σ_g S_g²/n_g − S²/n and
+    * SSW = Q − Σ_g S_g²/n_g, all from ONE map-combined aggregate of
+    * exact DECIMAL power sums per group (x at scale 4, Σx exact, Σx²
+    * exact at scale 8). The per-group S_g²/n_g terms divide — so they
+    * fold in SORTED group order ([[kruskalWallis]]'s IEEE-replay
+    * discipline); everything after is a fixed chain. One row:
+    * (n, k, f_stat, df1, df2, ss_between, ss_within); F null when
+    * SSW = 0 (all groups constant) or n ≤ k. */
+  def oneWayAnova(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    anovaCore(df, col(groupCol), col(valueCol).cast("decimal(18,4)"))
+
+  /** [[oneWayAnova]] on an ALREADY-exact decimal metric column (shared
+    * with [[brownForsythe]], whose |x − median| carries scale 5): the
+    * power sums stay exact decimals of whatever scale the metric has —
+    * only the final F chain is IEEE. */
+  private def anovaCore(df: DataFrame, g: Column, x: Column): DataFrame = {
+    val perGroup = df.groupBy(g.as("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(x).as("__sg"),
+        sum((x * x).cast("decimal(38,8)")).as("__qg"))
+    val agg = perGroup.agg(
+      sum(col("__ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("__sg")).cast("double").as("__s"),
+      sum(col("__qg")).cast("double").as("__q"),
+      aggregate(sort_array(collect_list(struct(col("__g"),
+          col("__sg").cast("double").as("sgd"), col("__ng").as("ng")))),
+        lit(0.0), (acc, g) => acc +
+          g.getField("sgd") * g.getField("sgd") / g.getField("ng").cast("double"))
+        .as("__sumTerm"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    agg
+      .withColumn("ss_between", col("__sumTerm") - col("__s") * col("__s") / nD)
+      .withColumn("ss_within", col("__q") - col("__sumTerm"))
+      .withColumn("f_stat",
+        when(col("ss_within") > 0 && col("k") > 1 && col("n") > col("k"),
+          (col("ss_between") / (kD - 1)) / (col("ss_within") / (nD - kD))))
+      .select(col("n"), col("k"), col("f_stat"),
+        (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+        col("ss_between"), col("ss_within"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974;
+    * Levene's test with the MEDIAN center — the robust form): are the
+    * k groups' spreads equal? z = |x − median_g| per row, then
+    * [[oneWayAnova]] on z. Exactness via the DOUBLED metric (the
+    * 2×rank discipline transplanted to values): the per-group median
+    * doubles to m₁+m₂ — an exact scale-4 decimal with NO division, so
+    * it replays in engines whose decimal division degrades to double —
+    * and the core runs on z₂ = |2x − (m₁+m₂)| ≡ 2z. F is
+    * scale-invariant (the z₂ chain IS the reported statistic); the SS
+    * readouts divide once by 4.0 at the end. One row:
+    * (n, k, f_stat, df1, df2, ss_between, ss_within). */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    maxDistinct: Long = MaxBoundedDistinct): DataFrame = {
+    val base = graft.util.Caching.barrier(
+      df.select(col(groupCol).as("__g"), col(valueCol).cast("decimal(18,4)").as("__x")))
+    val pv = base.groupBy(col("__g").as("__mg"), col("__x").as("__mv"))
+      .agg(count(lit(1)).as("__c"))
+    val wPrev = Window.partitionBy("__mg").orderBy("__mv")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("__mg")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = pv
+      .withColumn("__cum", coalesce(sum(col("__c")).over(wPrev), lit(0L)) +
+        cardinalityGuard(count(lit(1)).over(wPrev) + 1, maxDistinct,
+          "RankTests.brownForsythe"))
+      .withColumn("__ng", sum(col("__c")).over(wAll))
+    // the two middle positions (equal for odd n); each group's median
+    // block satisfies cum < p <= cum + c — exact decimal average
+    def pick(p: Column, out: String) = ranked
+      .filter(col("__cum") < p && p <= col("__cum") + col("__c"))
+      .select(col("__mg"), col("__mv").as(out))
+    val p1 = floor((col("__ng") + 1) / lit(2.0)).cast("long")
+    val p2 = floor((col("__ng") + 2) / lit(2.0)).cast("long")
+    val med = pick(p1, "__m1").join(pick(p2, "__m2"), "__mg")
+      .select(col("__mg"),
+        (col("__m1") + col("__m2")).cast("decimal(19,4)").as("__med2"))
+    val z2 = base.join(med, col("__g") === col("__mg"))
+      .select(col("__g"),
+        abs((col("__x") * 2).cast("decimal(19,4)") - col("__med2")).as("__z2"))
+    anovaCore(z2, col("__g"), col("__z2"))
+      .select(col("n"), col("k"), col("f_stat"), col("df1"), col("df2"),
+        (col("ss_between") / 4.0).as("ss_between"),
+        (col("ss_within") / 4.0).as("ss_within"))
+  }
+
   /** Welch's unequal-variance t-test from DECIMAL power sums: one
     * map-combined aggregate per group collects exact Σx and Σx²;
     * mean/variance/t/df are then a fixed chain of IEEE ops over exact

@@ -826,6 +826,56 @@ class RankSkylineSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("oneWayAnova/brownForsythe == brute-force F on quantized values") {
+    val rnd = new scala.util.Random(131)
+    val data = (1 to 600).map { i =>
+      val g = s"g${i % 3}"
+      // different means AND spreads per group; scale-4 exact values
+      val v = math.rint((20 + (i % 3) * 5 + rnd.nextGaussian() * (2 + (i % 3)) ) * 10000) / 10000.0
+      (g, v)
+    }
+    val df = data.toDF("g", "v")
+    val r = RankTests.oneWayAnova(df, "g", "v").head
+    def bruteF(xs: Seq[(String, Double)]): (Double, Double, Double) = {
+      val n = xs.length.toDouble
+      val byG = xs.groupBy(_._1).toSeq.sortBy(_._1)
+      val s = xs.map(_._2).sum
+      val sumTerm = byG.map { case (_, g) =>
+        val sg = g.map(_._2).sum; sg * sg / g.length }.sum
+      val q = xs.map(x => x._2 * x._2).sum
+      val ssb = sumTerm - s * s / n
+      val ssw = q - sumTerm
+      val k = byG.length.toDouble
+      ((ssb / (k - 1)) / (ssw / (n - k)), ssb, ssw)
+    }
+    val (f, ssb, ssw) = bruteF(data)
+    assert(r.getLong(0) == 600L && r.getLong(1) == 3L &&
+      r.getLong(3) == 2L && r.getLong(4) == 597L)
+    assert(math.abs(r.getDouble(2) - f) < 1e-9, s"F ${r.getDouble(2)} vs $f")
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < 1e-6 &&
+      math.abs(r.getAs[Double]("ss_within") - ssw) < 1e-6)
+    // Brown-Forsythe == brute force on |x - median_g| (average-of-two
+    // middles median, the operator's exact-decimal definition)
+    val bf = RankTests.brownForsythe(df, "g", "v").head
+    graft.util.Caching.release()
+    val z = data.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val m = (sorted((n - 1) / 2) + sorted(n / 2)) / 2
+      xs.map(x => (g, math.abs(x._2 - m)))
+    }
+    val (fz, zssb, zssw) = bruteF(z)
+    // the reference fold runs in doubles (median halving + |d| sums);
+    // the operator is exact decimal until the final chain — allow the
+    // reference's own rounding drift
+    assert(math.abs(bf.getDouble(2) - fz) / fz < 1e-6, s"BF ${bf.getDouble(2)} vs $fz")
+    assert(math.abs(bf.getAs[Double]("ss_between") - zssb) < 1e-4 &&
+      math.abs(bf.getAs[Double]("ss_within") - zssw) < 1e-4)
+    // constant groups: null F, not a divide-by-zero
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    assert(RankTests.oneWayAnova(const, "g", "v").head.isNullAt(2))
+  }
+
   test("kendallTauBy/mannKendallBy heavy segments auto-route the continuous arm, bit-equal") {
     val rnd = new scala.util.Random(83)
     // s0: 350 fully-distinct cells (heavy past maxCells=100, routes
