@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical invariants of the SparkEntry query registry — the class
+  * of defect the r17 q_cusum collision exposed: Scala's Map literal
+  * silently keeps the LAST duplicate key, so a new entry reusing an
+  * existing name REPLACES that operator's coverage row with no
+  * compile- or run-time signal. The maps themselves cannot witness the
+  * collision (it is gone by construction), so this spec scans the
+  * SOURCE: every query key must appear exactly twice — once in
+  * `queries`, once in `oracleSql`. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every query key appears exactly twice in SparkEntry.scala (query + oracle)") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val keyed = """"(q[0-9_][a-z0-9_]*)"\s*->""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val counts = keyed.groupBy(identity).view.mapValues(_.size).toMap
+    val dups = counts.filter(_._2 > 2)
+    val singles = counts.filter(_._2 < 2)
+    assert(dups.isEmpty,
+      s"duplicate registry keys (a later Map entry silently SHADOWS the earlier " +
+        s"operator's row): $dups")
+    assert(singles.isEmpty,
+      s"keys with a query but no oracle (or vice versa): $singles")
+  }
+
+  test("queries and oracleSql key sets match (the driver's cross-check, locally)") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "every queries entry needs an oracleSql entry and vice versa")
+    assert(SparkEntry.queries.nonEmpty)
+  }
+}
