@@ -3470,6 +3470,18 @@ object SparkEntry {
           round(col("mean_left"), 8).as("mean_left"),
           round(col("mean_right"), 8).as("mean_right"))
     },
+    // Depth-2 binary segmentation (ChangePoint.binarySegmentationBy):
+    // recursive exact AMOC within accepted segments — the oracle
+    // replays both recursion levels (split → re-window per (key, seg)
+    // → split) with the same accept criteria and gain chain.
+    "q_binary_seg" -> { (s, dir) =>
+      graft.operators.ChangePoint.binarySegmentationBy(
+        Sources.table(s, dir, "events")
+          .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0)),
+        "event_type", "event_id", "xv", depth = 2, minSize = 100, minGain = 5.0)
+        .select(col("key"), col("segment"), col("n"), col("start_ts"),
+          col("end_ts"), round(col("mean"), 8).as("mean"))
+    },
     // Full rank-association family (RankTests.rankAssociation): τ-a,
     // τ-b, Stuart τ-c, Goodman–Kruskal γ, Somers' D both directions —
     // one pass of the kendall machinery (same cells, same C/D arms).
@@ -8728,6 +8740,56 @@ object SparkEntry {
         |  round(CAST(si AS DOUBLE) / 10000.0 / i, 8) AS mean_left,
         |  round(CAST(s - si AS DOUBLE) / 10000.0 / (n - i), 8) AS mean_right
         |FROM p WHERE rn = 1""".stripMargin,
+    // both recursion levels replayed: split -> re-window per (key,
+    // seg) -> split, same accept criteria and gain chain; final ids
+    // densified by segment start like the operator
+    "q_binary_seg" ->
+      """WITH d AS (SELECT event_type AS key, event_id AS ord,
+        |    CAST(CAST(value + floor(event_id / 5000.0) * 30.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xq
+        |  FROM events),
+        |w1 AS (SELECT key, ord, xq,
+        |    CAST(count(*) OVER wc AS BIGINT) AS i, sum(xq) OVER wc AS si,
+        |    CAST(count(*) OVER wa AS BIGINT) AS n, sum(xq) OVER wa AS s
+        |  FROM d WINDOW
+        |    wc AS (PARTITION BY key ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (PARTITION BY key)),
+        |g1 AS (SELECT key, ord, i, n,
+        |    CAST(si*n - s*i AS DOUBLE) AS a, CAST(i*(n-i)*n AS DOUBLE) AS dn
+        |  FROM w1 WHERE i < n),
+        |gg1 AS (SELECT key, ord, i, n, a*a/dn/1e8 AS gain FROM g1),
+        |p1 AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY gain DESC, ord ASC) AS rn FROM gg1),
+        |s1 AS (SELECT key, ord AS cut1 FROM p1
+        |  WHERE rn = 1 AND gain >= 5.0 AND i >= 100 AND n - i >= 100),
+        |e1 AS (SELECT d.key AS key, ord, xq,
+        |    CASE WHEN cut1 IS NOT NULL AND ord > cut1 THEN 1 ELSE 0 END AS seg
+        |  FROM d LEFT JOIN s1 ON d.key = s1.key),
+        |w2 AS (SELECT key, seg, ord, xq,
+        |    CAST(count(*) OVER wc AS BIGINT) AS i, sum(xq) OVER wc AS si,
+        |    CAST(count(*) OVER wa AS BIGINT) AS n, sum(xq) OVER wa AS s
+        |  FROM e1 WINDOW
+        |    wc AS (PARTITION BY key, seg ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (PARTITION BY key, seg)),
+        |g2 AS (SELECT key, seg, ord, i, n,
+        |    CAST(si*n - s*i AS DOUBLE) AS a, CAST(i*(n-i)*n AS DOUBLE) AS dn
+        |  FROM w2 WHERE i < n),
+        |gg2 AS (SELECT key, seg, ord, i, n, a*a/dn/1e8 AS gain FROM g2),
+        |p2 AS (SELECT *, row_number() OVER (PARTITION BY key, seg
+        |    ORDER BY gain DESC, ord ASC) AS rn FROM gg2),
+        |s2 AS (SELECT key, seg, ord AS cut2 FROM p2
+        |  WHERE rn = 1 AND gain >= 5.0 AND i >= 100 AND n - i >= 100),
+        |e2 AS (SELECT e1.key AS key,
+        |    e1.seg * 2 + (CASE WHEN cut2 IS NOT NULL AND e1.ord > cut2 THEN 1 ELSE 0 END) AS seg,
+        |    e1.ord AS ord, e1.xq AS xq
+        |  FROM e1 LEFT JOIN s2 ON e1.key = s2.key AND e1.seg = s2.seg),
+        |per AS (SELECT key, seg, CAST(count(*) AS BIGINT) AS n,
+        |    min(ord) AS start_ts, max(ord) AS end_ts,
+        |    CAST(SUM(xq) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM e2 GROUP BY 1, 2)
+        |SELECT key,
+        |  CAST(row_number() OVER (PARTITION BY key ORDER BY start_ts) - 1 AS INTEGER) AS segment,
+        |  n, start_ts, end_ts, round(mean, 8) AS mean
+        |FROM per""".stripMargin,
     // per-segment rank-sum AUC: segment-partitioned exclusive prefix,
     // 2x-rank integers, the same u_a/n_pos*n_neg IEEE chain per row
     "q_auc_by" ->

@@ -86,6 +86,80 @@ object TrendStream {
     (n, s, varS, z)
   }
 
+  case class PtReadout(wStart: Long, n: Long, kStat: Long, splitTs: Long,
+                       uAtSplit: Long, pValue: Double)
+
+  /** [[graft.operators.ChangePoint.pettittBy]]'s readout from a
+    * window's cell table — the same 2×rank integers, the same
+    * Uₜ = Σr2 − t(n+1) identity, the same integer argmax and IEEE p
+    * chain. Requires the batch operator's unique-ts contract (every
+    * cell count 1). Returns null for n < 2. */
+  private[streaming] def pettittFromCells(cells: Seq[MkCell]): Option[PtReadout] = {
+    require(cells.forall(_.c == 1L),
+      "pettittStream: duplicate (ts, value) events - ts must be unique per window")
+    val rows = cells.sortBy(c => (c.ts, c.v)).toArray
+    val n = rows.length
+    if (n < 2) return None
+    // 2×average rank per distinct value: 2·cumBefore + t + 1
+    val byV = rows.map(_.v).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    val r2 = scala.collection.mutable.HashMap.empty[Double, Long]
+    byV.keys.toSeq.sorted.foreach { v =>
+      val t = byV(v)
+      r2(v) = 2 * cum + t + 1
+      cum += t
+    }
+    var s2 = 0L
+    var bestK = Long.MinValue; var bestTs = Long.MaxValue; var bestU = 0L
+    var i = 0
+    while (i < n - 1) {
+      s2 += r2(rows(i).v)
+      val u = s2 - (i + 1).toLong * (n + 1)
+      val k = math.abs(u)
+      if (k > bestK) { bestK = k; bestTs = rows(i).ts; bestU = u }
+      i += 1
+    }
+    val nD = n.toDouble
+    // StrictMath.exp, not Math.exp: Spark's codegen'd EXP is
+    // StrictMath, and the intrinsic differs by 1 ULP on some inputs —
+    // the parity spec caught exactly that
+    val p = math.min(1.0, 2.0 * java.lang.StrictMath.exp(
+      -6.0 * bestK.toDouble * bestK.toDouble / (nD * nD * nD + nD * nD)))
+    Some(PtReadout(0L, n, bestK, bestTs, bestU, p))
+  }
+
+  /** Per-tumbling-window Pettitt change-point monitor — the live twin
+    * of [[graft.operators.ChangePoint.pettittBy]] with the window
+    * start as the key, riding [[mannKendallStream]]'s bounded
+    * cell-table state (under the unique-ts contract each cell is one
+    * row). Emits the refreshed per-window readout every batch the
+    * window receives events; the final row per window is bit-identical
+    * to the batch test on that window's rows (spec-pinned). */
+  def pettittStream(events: Dataset[MkEvent], windowMicros: Long,
+                    maxRows: Int = 10000): Dataset[PtReadout] = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    implicit val stEnc = Encoders.product[MkState]
+    implicit val outEnc = Encoders.product[PtReadout]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(e => Math.floorDiv(e.tsMicros, windowMicros) * windowMicros)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (wStart: Long, it: Iterator[MkEvent],
+         state: org.apache.spark.sql.streaming.GroupState[MkState]) =>
+          val m = scala.collection.mutable.HashMap.empty[(Long, Double), Long]
+          state.getOption.foreach(_.cells.foreach(c => m((c.ts, c.v)) = c.c))
+          it.foreach { e =>
+            val k = (e.tsMicros, e.value)
+            m(k) = m.getOrElse(k, 0L) + 1L
+            require(m.size <= maxRows,
+              s"pettittStream: window $wStart exceeds maxRows=$maxRows - " +
+                "shorten the window or thin the stream")
+          }
+          val cells = m.iterator.map { case ((t, v), c) => MkCell(t, v, c) }.toList
+          state.update(MkState(cells))
+          pettittFromCells(cells).map(_.copy(wStart = wStart)).iterator
+      }
+  }
+
   /** Per-tumbling-window Mann–Kendall over a live series. `windowMicros`
     * sets the tumbling grain on the event-time axis. */
   def mannKendallStream(events: Dataset[MkEvent], windowMicros: Long,

@@ -270,6 +270,35 @@ class ChangePointSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pettittStream: final window rows == batch pettittBy on the window slices") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    // 4 windows; a level shift inside each; ties via integer values
+    val evs = (0 until 1200).map(i => MkEvent(i.toLong * 3 + 11,
+      rnd.nextInt(25).toDouble + (if (i % 400 > 200) 8.0 else 0.0)))
+    val df = evs.toDF("tsMicros", "value")
+      .withColumn("w", (col("tsMicros") - pmod(col("tsMicros"), lit(1000L))))
+    val batch = graft.operators.ChangePoint
+      .pettittBy(df, "w", "tsMicros", "value")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    graft.util.Caching.release()
+    val mem = MemoryStream[MkEvent]
+    val q = TrendStream.pettittStream(mem.toDS(), 1000L)
+      .writeStream.format("memory").queryName("pt_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      evs.grouped(350).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val live = spark.table("pt_out").collect()
+        .zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (w, rs) => w -> rs.maxBy(_._2)._1 }
+      assert(live.keySet == batch.keySet)
+      live.foreach { case (w, r) =>
+        assert(r.toSeq.drop(1) == batch(w), s"window $w: ${r.toSeq} vs ${batch(w)}")
+      }
+    } finally q.stop()
+  }
+
   test("mannKendallStream: cell cap trips loudly") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
