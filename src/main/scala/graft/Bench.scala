@@ -140,7 +140,12 @@ object Bench {
       // unexplained spikes (6.0/4.2/5.0 s vs 0.95/0.78/0.57 r15 —
       // quartile analysis says front-loaded contention); isolated rows
       // carry their contention factor mechanically from now on
-      "q_bm25", "q_boxplot", "q_autocorr")
+      "q_bm25", "q_boxplot", "q_autocorr",
+      // r18 additions (VERDICT r17 #8): the r17 driver run's sub-second
+      // micro-rows that moved ~2x driver-vs-record with census-identical
+      // plans — suite-position noise on ~0.5 s queries; pin the worst
+      // two so the attribution is mechanical
+      "q_dynamic_collect", "q_dupts_sample")
 
   /** Fixed-work, IO-free calibration controls (VERDICT r16 #1): every
     * bench record carries the host's measured speed on two pinned

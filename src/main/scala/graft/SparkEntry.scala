@@ -3482,6 +3482,38 @@ object SparkEntry {
         .select(col("key"), col("segment"), col("n"), col("start_ts"),
           col("end_ts"), round(col("mean"), 8).as("mean"))
     },
+    // PELT exact multiple-changepoint segmentation (ChangePoint
+    // .peltBy): per-key block-aggregated series (exact decimal block
+    // sums), pruned-exact DP over quantized SSE costs — the oracle
+    // replays the exhaustive optimal-partitioning DP in a recursive
+    // CTE with list-carried prefix sums (the q_dtw precedent).
+    "q_pelt" -> { (s, dir) =>
+      val pts = Sources.table(s, dir, "events")
+        .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0))
+        .groupBy(col("event_type").as("key"),
+          floor(col("event_id") / lit(50.0)).cast(LongType).as("ord"))
+        .agg(sum(col("xv").cast("decimal(18,4)")).as("v"))
+      graft.operators.ChangePoint.peltBy(pts, "key", "ord", "v",
+        beta = BigDecimal(2000000))
+        .select(col("key"), col("segment"), col("n"), col("start_ts"),
+          col("end_ts"), round(col("mean"), 8).as("mean"),
+          round(col("cost"), 8).as("cost"))
+    },
+    // Per-tumbling-window exact AMOC split (ChangePoint.amocSplitBy
+    // with the window start as the key) — the batch frame of the
+    // amocStream live monitor: "where in this window did the level
+    // shift", same gain chain as q_changepoint per window.
+    "q_amoc_window" -> { (s, dir) =>
+      graft.operators.ChangePoint.amocSplitBy(
+        Sources.table(s, dir, "events")
+          .withColumn("w", (floor(col("event_id") / lit(2000.0)) * 2000).cast(LongType))
+          .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0)),
+        "w", "event_id", "xv")
+        .select(col("key").as("w_start"), col("n"), col("split_ts"),
+          col("n_left"), round(col("gain"), 6).as("gain"),
+          round(col("mean_left"), 8).as("mean_left"),
+          round(col("mean_right"), 8).as("mean_right"))
+    },
     // Full rank-association family (RankTests.rankAssociation): τ-a,
     // τ-b, Stuart τ-c, Goodman–Kruskal γ, Somers' D both directions —
     // one pass of the kendall machinery (same cells, same C/D arms).
@@ -8737,6 +8769,91 @@ object SparkEntry {
         |p AS (SELECT *, row_number() OVER (PARTITION BY key
         |    ORDER BY gain DESC, ord ASC) AS rn FROM g)
         |SELECT key, n, ord AS split_ts, i AS n_left, round(gain, 6) AS gain,
+        |  round(CAST(si AS DOUBLE) / 10000.0 / i, 8) AS mean_left,
+        |  round(CAST(s - si AS DOUBLE) / 10000.0 / (n - i), 8) AS mean_right
+        |FROM p WHERE rn = 1""".stripMargin,
+    // the exhaustive optimal-partitioning DP replayed in a recursive
+    // CTE (PELT's pruning provably never changes the optimum): exact
+    // HUGEINT prefix sums carried as lists, the SAME quantized-cost
+    // IEEE chain per (s, t], list_min/list_position argmin (smallest
+    // s on ties), then a second recursion backtracks the boundaries
+    "q_pelt" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS ord,
+        |    SUM(CAST(CAST(value + floor(event_id/5000.0)*30.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT)) AS xq
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT key, list(xq ORDER BY ord) AS xs, list(ord ORDER BY ord) AS ords,
+        |    CAST(count(*) AS INT) AS n FROM pts GROUP BY 1),
+        |pre AS (SELECT key, n, ords,
+        |    list_transform(range(0, n + 1), i -> coalesce(list_sum(xs[1:i]), 0)) AS ps,
+        |    list_transform(range(0, n + 1), i ->
+        |      coalesce(list_sum(list_transform(xs[1:i], x -> x * x)), 0)) AS pq
+        |  FROM ser),
+        |dp AS (
+        |  SELECT key, n, ords, ps, pq, 0 AS t,
+        |    [CAST(-20000000000 AS BIGINT)] AS f, [CAST(0 AS INT)] AS tau
+        |  FROM pre
+        |  UNION ALL
+        |  SELECT key, n, ords, ps, pq, t + 1,
+        |    list_append(f, list_min(vals)),
+        |    list_append(tau, CAST(list_position(vals, list_min(vals)) - 1 AS INT))
+        |  FROM (
+        |    SELECT *, list_transform(range(0, t + 1), s ->
+        |        f[s + 1]
+        |        + CAST(CAST(
+        |            (CAST(pq[t + 2] - pq[s + 1] AS DOUBLE)
+        |             - CAST(ps[t + 2] - ps[s + 1] AS DOUBLE)
+        |               * CAST(ps[t + 2] - ps[s + 1] AS DOUBLE)
+        |               / CAST(t + 1 - s AS DOUBLE)) / 1e8
+        |          AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |        + 20000000000) AS vals
+        |    FROM dp WHERE t < n)),
+        |fin AS (SELECT key, n, ords, ps, pq, tau FROM dp WHERE t = n),
+        |bt AS (
+        |  SELECT key, n, ords, ps, pq, tau, CAST(n AS INT) AS t, [n] AS bnds FROM fin
+        |  UNION ALL
+        |  SELECT key, n, ords, ps, pq, tau, tau[t + 1],
+        |    list_prepend(CAST(tau[t + 1] AS INT), bnds)
+        |  FROM bt WHERE t > 0),
+        |done AS (SELECT key, ords, ps, pq, bnds FROM bt WHERE t = 0),
+        |seg AS (SELECT key, ords, ps, pq, bnds,
+        |    unnest(range(1, len(bnds))) AS gi FROM done)
+        |SELECT key,
+        |  CAST(gi - 1 AS INT) AS segment,
+        |  CAST(bnds[gi + 1] - bnds[gi] AS BIGINT) AS n,
+        |  ords[bnds[gi] + 1] AS start_ts,
+        |  ords[bnds[gi + 1]] AS end_ts,
+        |  round(CAST(ps[bnds[gi + 1] + 1] - ps[bnds[gi] + 1] AS DOUBLE) / 10000.0
+        |    / CAST(bnds[gi + 1] - bnds[gi] AS DOUBLE), 8) AS mean,
+        |  round(CAST(CAST(CAST(
+        |      (CAST(pq[bnds[gi + 1] + 1] - pq[bnds[gi] + 1] AS DOUBLE)
+        |       - CAST(ps[bnds[gi + 1] + 1] - ps[bnds[gi] + 1] AS DOUBLE)
+        |         * CAST(ps[bnds[gi + 1] + 1] - ps[bnds[gi] + 1] AS DOUBLE)
+        |         / CAST(bnds[gi + 1] - bnds[gi] AS DOUBLE)) / 1e8
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT) AS DOUBLE) / 10000.0, 8) AS cost
+        |FROM seg""".stripMargin,
+    // q_changepoint's gain chain with the tumbling window as the key
+    "q_amoc_window" ->
+      """WITH d AS (SELECT CAST(floor(event_id / 2000.0) AS BIGINT) * 2000 AS w_start,
+        |    event_id AS ord,
+        |    CAST(CAST(value + floor(event_id / 5000.0) * 30.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xq
+        |  FROM events),
+        |w AS (SELECT w_start, ord,
+        |    CAST(count(*) OVER wc AS BIGINT) AS i,
+        |    sum(xq) OVER wc AS si,
+        |    CAST(count(*) OVER wa AS BIGINT) AS n,
+        |    sum(xq) OVER wa AS s
+        |  FROM d WINDOW
+        |    wc AS (PARTITION BY w_start ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (PARTITION BY w_start)),
+        |c AS (SELECT w_start, ord, i, n, si, s,
+        |    CAST(si*n - s*i AS DOUBLE) AS a,
+        |    CAST(i*(n-i)*n AS DOUBLE) AS dn
+        |  FROM w WHERE i < n),
+        |g AS (SELECT w_start, ord, i, n, si, s, a*a/dn/1e8 AS gain FROM c),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY w_start
+        |    ORDER BY gain DESC, ord ASC) AS rn FROM g)
+        |SELECT w_start, n, ord AS split_ts, i AS n_left, round(gain, 6) AS gain,
         |  round(CAST(si AS DOUBLE) / 10000.0 / i, 8) AS mean_left,
         |  round(CAST(s - si AS DOUBLE) / 10000.0 / (n - i), 8) AS mean_right
         |FROM p WHERE rn = 1""".stripMargin,

@@ -220,8 +220,11 @@ object ChangePoint {
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy("__k")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // null-safe on BOTH join sides: a null key forms its own group,
+    // matching the family's semantics (cusumBy/kendalTauBy siblings
+    // emit a row for the null key rather than dropping it — ADVICE r17)
     val u = base
-      .join(ranked, col("__k") === col("__rk") && col("__v") <=> col("__rv"))
+      .join(ranked, col("__k") <=> col("__rk") && col("__v") <=> col("__rv"))
       .withColumn("__i", count(lit(1)).over(wCum))
       .withColumn("__s2", sum(col("__r2")).over(wCum))
       .withColumn("__n", count(lit(1)).over(wAll))
@@ -238,6 +241,151 @@ object ChangePoint {
       .withColumn("p_value", least(lit(1.0),
         lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double") *
           col("k_stat").cast("double") / (nD * nD * nD + nD * nD))))
+  }
+
+  /** Candidate-pruning slack for [[peltBy]], in scale-4 cost units
+    * (0.1 in metric² units): PELT's pruning lemma is exact-arithmetic
+    * — a candidate proven worse at t is STRICTLY worse at every t' —
+    * but the scale-4 cost quantization perturbs each cost term by up
+    * to 0.5·10⁻⁴ and the IEEE conversion chain by ~10⁻⁸, so a
+    * knife-edge candidate could be wrongly dropped and later TIE the
+    * optimum, diverging from the exhaustive DP the oracle replays.
+    * Pruning only when a candidate trails by more than this slack
+    * restores the guarantee with margin to spare (real prune margins
+    * are O(β) ≫ 0.1); pruning effectiveness is unchanged. */
+  private val PeltPruneSlack = 1000L
+
+  /** PELT — Pruned Exact Linear Time (Killick, Fearnhead & Eckley
+    * 2012): the EXACT multiple-changepoint segmentation under an SSE
+    * segment cost with per-changepoint penalty `beta`, minimizing
+    * Σ_segments [SSE(seg) + β]. [[binarySegmentationBy]] is the greedy
+    * approximation for a known depth; PELT needs no depth and is
+    * provably optimal — its pruned dynamic program is
+    * sequential-per-key, exactly the per-key sorted-scan shape
+    * [[graft.operators.Kendall]] established (one `repartition(key)` +
+    * in-partition sort + JVM fold; the key axis is the parallelism at
+    * 100 TB — each key's series must fit one task, `maxPoints` guards
+    * that loudly; pre-bucket a long series into block aggregates
+    * first, as the oracle query does).
+    *
+    * Exactness: the metric quantizes to scale 4; segment costs come
+    * from exact integer prefix sums Σx (scale 4) and Σx² (scale 8)
+    * through ONE fixed IEEE chain — (Q_d − S_d·S_d/n_d)/10⁸ — then
+    * re-quantize to scale-4 integers, so the whole DP (sums, argmin,
+    * tie-breaks) is INTEGER-exact and replays bit-for-bit in the SQL
+    * oracle's recursive CTE (the q_dtw precedent). Ties in the argmin
+    * break toward the SMALLEST previous boundary. Pruning carries
+    * [[PeltPruneSlack]] so quantization can never diverge from the
+    * exhaustive DP (spec-pinned: PELT ≡ exhaustive optimal
+    * partitioning on fixtures).
+    *
+    * One row per (key, segment): (key, segment, n, start_ts, end_ts,
+    * mean, cost) with `segment` the 0-based index in ts order, `mean`
+    * the segment mean and `cost` its quantized SSE, both one IEEE
+    * chain from exact operands. `tsCol` must be unique within a key;
+    * the metric must be non-null. */
+  def peltBy(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+             beta: BigDecimal, maxPoints: Int = 100000): DataFrame = {
+    require(beta > 0, "beta must be positive")
+    require(maxPoints >= 2, "maxPoints must be at least 2")
+    val betaQ = q4(beta).longValueExact()
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      q4(col(valueCol)).as("__x"))
+    val outSchema = StructType(Seq(
+      StructField("key", base.schema("__k").dataType),
+      StructField("segment", IntegerType),
+      StructField("n", LongType),
+      StructField("start_ts", base.schema("__t").dataType),
+      StructField("end_ts", base.schema("__t").dataType),
+      StructField("mean", DoubleType),
+      StructField("cost", DoubleType)))
+    val sorted = base.repartition(col("__k")).sortWithinPartitions("__k", "__t")
+    sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val xs = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+      var curKey: Any = null
+      var open = false
+
+      def flush(): Unit = if (open && ts.nonEmpty) {
+        val n = ts.length
+        // exact integer prefix sums: ps(i)=Σ_{j<i} x, pq(i)=Σ_{j<i} x²
+        val ps = new Array[BigInt](n + 1); val pq = new Array[BigInt](n + 1)
+        ps(0) = BigInt(0); pq(0) = BigInt(0)
+        var i = 0
+        while (i < n) {
+          ps(i + 1) = ps(i) + xs(i); pq(i + 1) = pq(i) + xs(i) * xs(i)
+          i += 1
+        }
+        def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+        // quantized SSE of points (s, t]: the fixed IEEE chain
+        def costQ(s: Int, t: Int): Long = {
+          val aD = dbl(ps(t) - ps(s)); val qD = dbl(pq(t) - pq(s))
+          val raw = (qD - aD * aD / (t - s).toDouble) / 1e8
+          graft.streaming.ChangePointStream.quant4(raw)
+        }
+        // PELT DP with slack-guarded pruning; candidates stay in
+        // ascending order, so the strict < keeps the SMALLEST argmin
+        val f = new Array[Long](n + 1); val tau = new Array[Int](n + 1)
+        f(0) = -betaQ
+        var cand = scala.collection.mutable.ArrayBuffer(0)
+        var t = 1
+        while (t <= n) {
+          val vals = new Array[Long](cand.length)
+          var best = Long.MaxValue; var arg = -1
+          var ci = 0
+          while (ci < cand.length) {
+            vals(ci) = Math.addExact(f(cand(ci)), costQ(cand(ci), t))
+            if (Math.addExact(vals(ci), betaQ) < best) {
+              best = Math.addExact(vals(ci), betaQ); arg = cand(ci)
+            }
+            ci += 1
+          }
+          f(t) = best; tau(t) = arg
+          // Killick et al. (2012) eq. 4 with K = 0 (SSE is subadditive):
+          // drop s once f(s) + cost(s, t) > f(t); f(t) = min vals + β,
+          // so the β term IS the pruning window — plus the quantization
+          // slack so a knife-edge candidate can never be wrongly lost
+          val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+          ci = 0
+          while (ci < cand.length) {
+            if (vals(ci) <= best + PeltPruneSlack) kept += cand(ci)
+            ci += 1
+          }
+          kept += t
+          cand = kept
+          t += 1
+        }
+        // backtrack boundaries, emit segments in ts order
+        var bounds = List(n)
+        var b = n
+        while (b > 0) { b = tau(b); bounds = b :: bounds }
+        bounds.sliding(2).zipWithIndex.foreach {
+          case (Seq(lo, hi), idx) =>
+            val nn = hi - lo
+            val mean = dbl(ps(hi) - ps(lo)) / 10000.0 / nn.toDouble
+            out += Row(curKey, idx, nn.toLong, ts(lo), ts(hi - 1), mean,
+              costQ(lo, hi).toDouble / 10000.0)
+          case _ => ()
+        }
+        ts.clear(); xs.clear()
+      }
+
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!open || k != curKey) { flush(); curKey = k; open = true }
+        require(!r.isNullAt(2),
+          "peltBy: null metric value - filter or impute nulls first")
+        require(ts.length < maxPoints,
+          s"peltBy: a key exceeds maxPoints=$maxPoints - pre-aggregate the " +
+            "series into block sums (the operator is sequential per key)")
+        ts += r.get(1); xs += BigInt(r.getDecimal(2).unscaledValue())
+      }
+      flush()
+      out.iterator
+    }(Encoders.row(outSchema))
   }
 
   /** Recursive binary segmentation: `depth` rounds of [[amocSplitBy]]

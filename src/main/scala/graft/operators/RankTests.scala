@@ -864,9 +864,11 @@ object RankTests {
     anovaCore(df, col(groupCol), col(valueCol).cast("decimal(18,4)"))
 
   /** [[oneWayAnova]] on an ALREADY-exact decimal metric column (shared
-    * with [[brownForsythe]], whose |x − median| carries scale 5): the
-    * power sums stay exact decimals of whatever scale the metric has —
-    * only the final F chain is IEEE. */
+    * with [[brownForsythe]], whose doubled |2x − med₂| metric lands
+    * back at scale 4): the power sums stay exact decimals — callers
+    * must keep the metric within decimal(18,4) so x·x fits
+    * decimal(38,8) with NO precision reduction (a (19,4) input would
+    * round Σx² at the 8th decimal) — only the final F chain is IEEE. */
   private def anovaCore(df: DataFrame, g: Column, x: Column): DataFrame = {
     val perGroup = df.groupBy(g.as("__g"))
       .agg(count(lit(1)).as("__ng"),
@@ -929,9 +931,17 @@ object RankTests {
     val med = pick(p1, "__m1").join(pick(p2, "__m2"), "__mg")
       .select(col("__mg"),
         (col("__m1") + col("__m2")).cast("decimal(19,4)").as("__med2"))
+    // __z2 lands back at decimal(18,4): |2x − (m₁+m₂)| is a same-group
+    // spread, far below the (18,4) bound for any metric the (18,4)
+    // quantization itself admitted, and anovaCore's Σx² needs the
+    // square to fit decimal(38,8) EXACTLY — a (19,4) operand would
+    // make x·x decimal(39,8), which Spark reduces to (38,7) WITH
+    // ROUNDING before the cast, silently breaking the exact-power-sum
+    // contract (ADVICE r17). ANSI mode makes a genuine overflow loud.
     val z2 = base.join(med, col("__g") === col("__mg"))
       .select(col("__g"),
-        abs((col("__x") * 2).cast("decimal(19,4)") - col("__med2")).as("__z2"))
+        abs((col("__x") * 2).cast("decimal(19,4)") - col("__med2"))
+          .cast("decimal(18,4)").as("__z2"))
     anovaCore(z2, col("__g"), col("__z2"))
       .select(col("n"), col("k"), col("f_stat"), col("df1"), col("df2"),
         (col("ss_between") / 4.0).as("ss_between"),
@@ -1068,10 +1078,24 @@ object RankTests {
     * operator into a driver loop over the whole key space. */
   private[operators] val MaxHeavySegments = 32
 
+  /** The heavy-segment routing query, bounded IN-PLAN: the collect
+    * that drives the By-family's routing reads at most
+    * [[MaxHeavySegments]]+1 rows (`limit` below the aggregate), so a
+    * pathological input — millions of heavy segments — fails the cap
+    * `require` loudly WITHOUT first materializing an unbounded driver
+    * array (VERDICT r17 #2). One extra row past the cap is all the
+    * failure path ever ships to the driver. */
+  private[graft] def heavyRoutingQuery(cells: DataFrame, maxCells: Long): DataFrame =
+    cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
+      .filter(col("__nc") > maxCells)
+      .limit(MaxHeavySegments + 1)
+
   /** (heavy rows (segment, count), light cells, guard flag): the
     * By-family's per-segment routing — ONE groupBy yields every
     * segment's cell count; segments past `maxCells` route to the
-    * continuous arm individually, the rest stay on the segment-keyed
+    * continuous arm individually (the collect is `limit`-bounded at
+    * [[MaxHeavySegments]]+1 rows — the over-cap failure path never
+    * builds a large driver array), the rest stay on the segment-keyed
     * dominance join. When the PRE-AGGREGATE input's row estimate
     * already bounds every segment under `maxCells` (with the
     * [[cellsAndCd]] 4× compression margin), the eager routing collect
@@ -1080,13 +1104,13 @@ object RankTests {
   private def splitHeavySegments(df: DataFrame, cells: DataFrame, maxCells: Long,
                                  op: String): (Seq[(Any, Long)], DataFrame, Boolean) = {
     if (estRowsUB(df) * 4 <= BigInt(maxCells)) return (Nil, cells, true)
-    val heavy = cells.groupBy("segment").agg(count(lit(1)).as("__nc"))
-      .filter(col("__nc") > maxCells).collect()
+    val heavy = heavyRoutingQuery(cells, maxCells).collect()
       .map(r => (r.get(0), r.getLong(1))).toSeq
     require(heavy.size <= MaxHeavySegments,
-      s"$op: ${heavy.size} segments exceed maxCells=$maxCells and the " +
-        s"per-heavy-segment continuous arm is capped at $MaxHeavySegments " +
-        "driver-sequenced calls - bucket the metric or raise maxCells")
+      s"$op: more than $MaxHeavySegments segments exceed maxCells=$maxCells " +
+        s"and the per-heavy-segment continuous arm is capped at " +
+        s"$MaxHeavySegments driver-sequenced calls - bucket the metric or " +
+        "raise maxCells")
     require(heavy.forall(_._1 != null),
       s"$op: a NULL segment exceeds maxCells - filter null segments first")
     val light =

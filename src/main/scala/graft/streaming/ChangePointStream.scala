@@ -20,17 +20,34 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *
   * In-order contract (the repo's sim-mode discipline, as
   * [[BehaviorStream.funnelStream]]): events must arrive in ts order
-  * per key across batches; within a batch they are sorted. State is a
-  * handful of scalars per key — no buffering, no timeout. */
+  * per key across batches; within a batch they are sorted, and ts must
+  * be unique per key (the batch arms' order contract). The contract is
+  * CHECKED, not trusted (VERDICT r17 #3): state carries the last
+  * applied ts, and a cross-batch straggler (or an in-batch duplicate)
+  * raises loudly instead of silently corrupting the running
+  * statistics the batch twin would disagree with. State is a handful
+  * of scalars per key — no buffering, no timeout. */
 object ChangePointStream {
 
   case class CpEvent(key: String, tsMicros: Long, value: Double)
 
   /** Scaled-integer CUSUM state. Long at scale 4 saturates past
-    * ±9.2·10¹⁴ in metric units — loud via Math.addExact, not a wrap. */
+    * ±9.2·10¹⁴ in metric units — loud via Math.addExact, not a wrap.
+    * `lastTs` enforces the in-order contract across batches. */
   case class CpState(n: Long, cp: Long, cpMin: Long, cn: Long, cnMin: Long,
                      spMax: Long, snMax: Long,
-                     alarmPos: Option[Long], alarmNeg: Option[Long])
+                     alarmPos: Option[Long], alarmNeg: Option[Long],
+                     lastTs: Long)
+
+  /** The in-order/unique-ts contract check shared by both detectors:
+    * events apply in strictly increasing ts order per key, across
+    * batch boundaries. */
+  private def checkInOrder(op: String, key: String, ts: Long, lastTs: Long): Unit =
+    require(ts > lastTs,
+      s"$op: out-of-order event for key $key (ts=$ts after ts=$lastTs) - " +
+        "the streaming twins require in-order, unique-ts delivery per key " +
+        "(the batch arms' order contract); replay through the batch " +
+        "operator for late data")
 
   case class CpReadout(key: String, n: Long, sPosMax: Double, sNegMax: Double,
                        alarmPosTs: Option[Long], alarmNegTs: Option[Long])
@@ -60,8 +77,9 @@ object ChangePointStream {
         (key: String, it: Iterator[CpEvent],
          state: org.apache.spark.sql.streaming.GroupState[CpState]) =>
           var st = state.getOption.getOrElse(
-            CpState(0L, 0L, 0L, 0L, 0L, 0L, 0L, None, None))
+            CpState(0L, 0L, 0L, 0L, 0L, 0L, 0L, None, None, Long.MinValue))
           it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            checkInOrder("cusumStream", key, e.tsMicros, st.lastTs)
             val xq = quant4(e.value)
             val cp = Math.addExact(st.cp, xq - upQ)
             val cpMin = math.min(st.cpMin, cp) // min over prefix, floored at 0 (cpMin starts 0)
@@ -72,7 +90,8 @@ object ChangePointStream {
             st = CpState(st.n + 1, cp, cpMin, cn, cnMin,
               math.max(st.spMax, sp), math.max(st.snMax, sn),
               st.alarmPos.orElse(if (sp > hQ) Some(e.tsMicros) else None),
-              st.alarmNeg.orElse(if (sn > hQ) Some(e.tsMicros) else None))
+              st.alarmNeg.orElse(if (sn > hQ) Some(e.tsMicros) else None),
+              e.tsMicros)
           }
           state.update(st)
           if (st.n == 0L) Iterator.empty
@@ -84,7 +103,8 @@ object ChangePointStream {
 
   case class PhState(n: Long, sum: Double, m: Double, mMin: Double, mMax: Double,
                      incMax: Double, decMax: Double,
-                     alarmInc: Option[Long], alarmDec: Option[Long])
+                     alarmInc: Option[Long], alarmDec: Option[Long],
+                     lastTs: Long)
 
   case class PhReadout(key: String, n: Long, phIncMax: Double, phDecMax: Double,
                        alarmIncTs: Option[Long], alarmDecTs: Option[Long])
@@ -103,8 +123,9 @@ object ChangePointStream {
          state: org.apache.spark.sql.streaming.GroupState[PhState]) =>
           var st = state.getOption.getOrElse(
             PhState(0L, 0.0, 0.0, Double.MaxValue, Double.MinValue,
-              Double.MinValue, Double.MinValue, None, None))
+              Double.MinValue, Double.MinValue, None, None, Long.MinValue))
           it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            checkInOrder("pageHinkleyStream", key, e.tsMicros, st.lastTs)
             // EXACTLY pageHinkleyBy's window chain, in its fold order:
             // running sum → mean → term = (x − x̄) − δ → running m →
             // inc/dec against m's running extremes INCLUDING this row
@@ -119,7 +140,8 @@ object ChangePointStream {
             st = PhState(n1, sum1, m1, mMin1, mMax1,
               math.max(st.incMax, inc), math.max(st.decMax, dec),
               st.alarmInc.orElse(if (inc > lambda) Some(e.tsMicros) else None),
-              st.alarmDec.orElse(if (dec > lambda) Some(e.tsMicros) else None))
+              st.alarmDec.orElse(if (dec > lambda) Some(e.tsMicros) else None),
+              e.tsMicros)
           }
           state.update(st)
           if (st.n == 0L) Iterator.empty

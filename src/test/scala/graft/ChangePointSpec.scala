@@ -193,6 +193,95 @@ class ChangePointSpec extends AnyFunSuite {
     }
   }
 
+  test("peltBy == exhaustive optimal-partitioning DP; finds the injected shifts") {
+    import spark.implicits._
+    // two shifts per key + a constant key + a single-point key
+    val two = series("a", 500, 170, 14.0, 41).map { case (k, t, v) =>
+      (k, t, v + (if (t >= 360) -11.0 else 0.0)) } ++
+      series("b", 400, 220, 10.0, 53) ++
+      (0 until 50).map(i => ("flat", i.toLong, 5.0)) ++
+      Seq(("one", 0L, 42.0))
+    val beta = BigDecimal(800)
+    val got = ChangePoint.peltBy(two.toDF("k", "t", "v"), "k", "t", "v", beta)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).toSeq }
+    // reference: the SAME quantized cost chain, exhaustive DP (no
+    // pruning) — PELT must agree exactly, including tie-breaks
+    val betaQ = 8000000L
+    def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    two.groupBy(_._1).foreach { case (key, rs) =>
+      val xs = rs.sortBy(_._2).map(x => BigInt(quant(x._3))).toArray
+      val tss = rs.sortBy(_._2).map(_._2).toArray
+      val n = xs.length
+      val ps = xs.scanLeft(BigInt(0))(_ + _)
+      val pq = xs.scanLeft(BigInt(0))((a, x) => a + x * x)
+      def costQ(s: Int, t: Int): Long = {
+        val aD = dbl(ps(t) - ps(s)); val qD = dbl(pq(t) - pq(s))
+        ChangePointStream.quant4((qD - aD * aD / (t - s).toDouble) / 1e8)
+      }
+      val f = Array.fill(n + 1)(Long.MaxValue); val tau = new Array[Int](n + 1)
+      f(0) = -betaQ
+      for (t <- 1 to n; s <- 0 until t) {
+        val v = f(s) + costQ(s, t) + betaQ
+        if (v < f(t)) { f(t) = v; tau(t) = s }
+      }
+      var bounds = List(n); var b = n
+      while (b > 0) { b = tau(b); bounds = b :: bounds }
+      val expect = bounds.sliding(2).toSeq.zipWithIndex.map {
+        case (Seq(lo, hi), idx) =>
+          (idx, (hi - lo).toLong, tss(lo), tss(hi - 1),
+            dbl(ps(hi) - ps(lo)) / 10000.0 / (hi - lo).toDouble,
+            costQ(lo, hi).toDouble / 10000.0)
+      }
+      val actual = got(key).map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      assert(actual == expect, s"$key: $actual vs $expect")
+    }
+    // the injected changepoints are recovered (within a few points):
+    // segment starts land at ~the injected shift positions (170, 360)
+    val aB = got("a").map(_.getLong(3))
+    assert(got("a").length == 3 && math.abs(aB(1) - 170) <= 3 &&
+      math.abs(aB(2) - 360) <= 3, s"a: ${got("a").map(_.toSeq)}")
+    assert(got("b").length == 2, s"b: ${got("b").map(_.toSeq)}")
+    assert(got("flat").length == 1 && got("flat").head.getDouble(6) == 0.0)
+    assert(got("one").length == 1 && got("one").head.getLong(2) == 1L)
+  }
+
+  test("peltBy: maxPoints and null metrics are loud") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val df = (0 until 100).map(i => ("k", i.toLong, i * 1.0)).toDF("k", "t", "v")
+    val e1 = intercept[Exception](
+      ChangePoint.peltBy(df, "k", "t", "v", BigDecimal(10), maxPoints = 50).collect())
+    assert(msgs(e1).exists(_.contains("maxPoints")))
+    val withNull = df.withColumn("v", when(col("t") === 7, lit(null)).otherwise(col("v")))
+    val e2 = intercept[Exception](
+      ChangePoint.peltBy(withNull, "k", "t", "v", BigDecimal(10)).collect())
+    assert(msgs(e2).exists(_.contains("null metric")))
+  }
+
+  test("pettittBy: a null key forms its own group, matching the family") {
+    import spark.implicits._
+    // family semantics (cusumBy / kendallTauBy): null keys group, not drop
+    val data: Seq[(Option[String], Long, Double)] =
+      (0 until 40).map(i => (None: Option[String], i.toLong,
+        if (i < 20) 1.0 * i else 100.0 + i)) ++
+        (0 until 40).map(i => (Some("k"), i.toLong, i.toDouble))
+    val df = data.toDF("k", "t", "v")
+    val got = ChangePoint.pettittBy(df, "k", "t", "v").collect()
+    graft.util.Caching.release()
+    assert(got.length == 2, s"null key must emit a row: ${got.toSeq}")
+    val nullRow = got.find(_.isNullAt(0)).getOrElse(fail("no null-key row"))
+    assert(nullRow.getLong(1) == 40L)
+    // same answer as the slice run under a non-null alias
+    val aliased = ChangePoint.pettittBy(
+      data.filter(_._1.isEmpty).map(x => ("nk", x._2, x._3)).toDF("k", "t", "v"),
+      "k", "t", "v").head
+    graft.util.Caching.release()
+    assert(nullRow.toSeq.drop(1) == aliased.toSeq.drop(1))
+  }
+
   test("cusumStream/pageHinkleyStream replay the batch arms across batch boundaries") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -299,6 +388,35 @@ class ChangePointSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("amocStream: final window rows == batch amocSplitBy on the window slices") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(67)
+    // 4 windows; a level shift inside each
+    val evs = (0 until 1200).map(i => MkEvent(i.toLong * 3 + 7,
+      rnd.nextGaussian() * 3 + 40.0 + (if (i % 400 > 180) 9.0 else 0.0)))
+    val df = evs.toDF("tsMicros", "value")
+      .withColumn("w", (col("tsMicros") - pmod(col("tsMicros"), lit(1000L))))
+    val batch = graft.operators.ChangePoint
+      .amocSplitBy(df, "w", "tsMicros", "value")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    graft.util.Caching.release()
+    val mem = MemoryStream[MkEvent]
+    val q = TrendStream.amocStream(mem.toDS(), 1000L)
+      .writeStream.format("memory").queryName("amoc_out").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      evs.grouped(350).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val live = spark.table("amoc_out").collect()
+        .zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (w, rs) => w -> rs.maxBy(_._2)._1 }
+      assert(live.keySet == batch.keySet)
+      live.foreach { case (w, r) =>
+        assert(r.toSeq.drop(1) == batch(w), s"window $w: ${r.toSeq} vs ${batch(w)}")
+      }
+    } finally q.stop()
+  }
+
   test("mannKendallStream: cell cap trips loudly") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -315,5 +433,58 @@ class ChangePointSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("maxCells")))
     } finally q.stop()
+  }
+
+  test("cusumStream/pageHinkleyStream: cross-batch out-of-order arrival is loud") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // batch 1 carries ts 0..9; batch 2 delivers a straggler at ts 5 —
+    // the contract check must raise, not silently corrupt the state
+    def run(name: String,
+            mk: org.apache.spark.sql.Dataset[CpEvent] => org.apache.spark.sql.Dataset[_]): Unit = {
+      val mem = MemoryStream[CpEvent]
+      val q = mk(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        mem.addData((0 until 10).map(i => CpEvent("k", i.toLong, i * 1.0)): _*)
+        q.processAllAvailable()
+        mem.addData(CpEvent("k", 5L, 99.0))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(msgs(e).exists(_.contains("out-of-order event")), s"$name: ${e.getMessage}")
+      } finally q.stop()
+    }
+    run("cp_ooo", ds => ChangePointStream.cusumStream(
+      ds, BigDecimal(50), BigDecimal(1), BigDecimal(60)))
+    run("ph_ooo", ds => ChangePointStream.pageHinkleyStream(ds, 0.4, 40.0))
+  }
+
+  test("trend-stream window state: idle windows release their cell tables on TTL") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.TrendStream.{MkCell, MkState}
+    // timed-out wake-up: state removed, nothing emitted
+    val timedOut = TestGroupState.create[MkState](
+      Optional.of(MkState(List(MkCell(1L, 2.0, 1L)))),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long](), hasTimedOut = true)
+    val out = TrendStream.foldCells(0L, Iterator.empty, timedOut,
+      maxCells = 10, ttlMs = Some(60000L), op = "mannKendallStream")
+    assert(out.isEmpty && timedOut.isRemoved, "timeout must remove state, emit nothing")
+    // live path: cells fold and the idle timeout is (re)armed
+    val live = TestGroupState.create[MkState](
+      Optional.empty[MkState](), GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val cells = TrendStream.foldCells(0L,
+      Iterator(MkEvent(1L, 2.0), MkEvent(2L, 3.0)), live,
+      maxCells = 10, ttlMs = Some(60000L), op = "mannKendallStream")
+    assert(cells.exists(_.length == 2) && live.isUpdated)
+    assert(live.getTimeoutTimestampMs.isPresent &&
+      live.getTimeoutTimestampMs.get() == 61000L,
+      "idle TTL must be armed from the batch processing time")
   }
 }

