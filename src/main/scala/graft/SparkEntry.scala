@@ -3499,6 +3499,23 @@ object SparkEntry {
           col("end_ts"), round(col("mean"), 8).as("mean"),
           round(col("cost"), 8).as("cost"))
     },
+    // Bayesian online change-point detection (ChangePoint
+    // .bocpdBernoulliBy, Adams & MacKay 2007): run-length posterior
+    // over block indicators under Beta(1,1)-Bernoulli — rational
+    // arithmetic only, so the oracle's recursive CTE replays every
+    // posterior bit-for-bit; the MAP run length collapses at the
+    // injected drift (block ~100 at sf0.01).
+    "q_bocpd" -> { (s, dir) =>
+      val pts = Sources.table(s, dir, "events")
+        .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0))
+        .groupBy(col("event_type").as("key"),
+          floor(col("event_id") / lit(50.0)).cast(LongType).as("ord"))
+        .agg(when(sum(col("xv").cast("decimal(18,4)")) > 650, 1).otherwise(0).as("x"))
+      graft.operators.ChangePoint.bocpdBernoulliBy(pts, "key", "ord", "x",
+        hazard = 0.01)
+        .select(col("key"), col("ts").as("ord"), col("run_map"),
+          round(col("p_change"), 8).as("p_change"))
+    },
     // Per-tumbling-window exact AMOC split (ChangePoint.amocSplitBy
     // with the window start as the key) — the batch frame of the
     // amocStream live monitor: "where in this window did the level
@@ -8832,6 +8849,46 @@ object SparkEntry {
         |         / CAST(bnds[gi + 1] - bnds[gi] AS DOUBLE)) / 1e8
         |    AS DECIMAL(18,4)) * 10000 AS BIGINT) AS DOUBLE) / 10000.0, 8) AS cost
         |FROM seg""".stripMargin,
+    // the full Adams-MacKay recursion replayed: list-carried DOUBLE
+    // run-length posteriors + INT success counts per key, the same
+    // rational predictive (1+s)/(2+r), ascending changepoint/norm
+    // folds (list_reduce), growth w*(1-h), one normalization per
+    // step; MAP run via list_position (first max = smallest r)
+    "q_bocpd" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS ord,
+        |    CASE WHEN SUM(CAST(value + floor(event_id/5000.0)*30.0 AS DECIMAL(18,4))) > 650
+        |         THEN 1 ELSE 0 END AS x
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT key, list(x ORDER BY ord) AS xs, list(ord ORDER BY ord) AS ords,
+        |    CAST(count(*) AS INT) AS n FROM pts GROUP BY 1),
+        |dp AS (
+        |  SELECT key, n, xs, ords, 0 AS t,
+        |    [CAST(1.0 AS DOUBLE)] AS probs, [0] AS succ,
+        |    CAST(NULL AS BIGINT) AS run_map, CAST(NULL AS DOUBLE) AS p_change
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT key, n, xs, ords, t + 1,
+        |    list_transform(np, p -> p / nrm) AS probs,
+        |    list_prepend(0, list_transform(succ, s -> s + x)) AS succ,
+        |    CAST(list_position(list_transform(np, p -> p / nrm),
+        |         list_max(list_transform(np, p -> p / nrm))) - 1 AS BIGINT) AS run_map,
+        |    np[1] / nrm AS p_change
+        |  FROM (
+        |    SELECT *, list_reduce(np, (a, b) -> a + b) AS nrm
+        |    FROM (
+        |      SELECT *, list_prepend(
+        |          list_reduce(list_transform(ws, w -> w * 0.01), (a, b) -> a + b),
+        |          list_transform(ws, w -> w * (1.0 - 0.01))) AS np
+        |      FROM (
+        |        SELECT *, xs[t + 1] AS x,
+        |          list_transform(range(0, len(probs)), r ->
+        |            probs[CAST(r + 1 AS INT)] * (CASE WHEN xs[t + 1] = 1
+        |              THEN (1 + succ[CAST(r + 1 AS INT)]) / (2.0 + r)
+        |              ELSE (1 + r - succ[CAST(r + 1 AS INT)]) / (2.0 + r) END)) AS ws
+        |        FROM dp WHERE t < n))))
+        |SELECT key, ords[t] AS ord, run_map, round(p_change, 8) AS p_change
+        |FROM dp WHERE t >= 1""".stripMargin,
     // q_changepoint's gain chain with the tumbling window as the key
     "q_amoc_window" ->
       """WITH d AS (SELECT CAST(floor(event_id / 2000.0) AS BIGINT) * 2000 AS w_start,

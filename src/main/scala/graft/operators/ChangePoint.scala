@@ -388,6 +388,116 @@ object ChangePoint {
     }(Encoders.row(outSchema))
   }
 
+  /** One Bayesian-online-change-point update (Adams & MacKay 2007)
+    * for the Beta(1,1)–Bernoulli model — the numeric core SHARED by
+    * the batch arm ([[bocpdBernoulliBy]]) and the live twin
+    * ([[graft.streaming.ChangePointStream.bocpdStream]]), so their
+    * outputs are bit-identical by construction. `probs(r)` is the
+    * normalized run-length posterior, `succ(r)` the successes inside
+    * a length-r run. Every operation is rational arithmetic in a
+    * FIXED fold order (predictive (1+s)/(2+r); ascending changepoint
+    * and normalizer sums; growth w·(1−h)), so the SQL oracle replays
+    * the chain bit-for-bit — no special functions, no libm. Returns
+    * the next (probs, succ). */
+  private[graft] def bocpdStep(probs: Array[Double], succ: Array[Int], x: Int,
+                               hazard: Double): (Array[Double], Array[Int]) = {
+    val L = probs.length
+    val keep = 1.0 - hazard
+    val growth = new Array[Double](L)
+    var cp = 0.0
+    var r = 0
+    while (r < L) {
+      val denom = (2 + r).toDouble
+      val pred =
+        if (x == 1) (1 + succ(r)).toDouble / denom
+        else (1 + r - succ(r)).toDouble / denom
+      val w = probs(r) * pred
+      cp += w * hazard
+      growth(r) = w * keep
+      r += 1
+    }
+    val np = new Array[Double](L + 1)
+    np(0) = cp
+    System.arraycopy(growth, 0, np, 1, L)
+    var norm = 0.0
+    r = 0
+    while (r <= L) { norm += np(r); r += 1 }
+    r = 0
+    while (r <= L) { np(r) = np(r) / norm; r += 1 }
+    val ns = new Array[Int](L + 1)
+    r = 0
+    while (r < L) { ns(r + 1) = succ(r) + x; r += 1 }
+    (np, ns)
+  }
+
+  /** First index of the maximum (ascending scan, strict >) — the MAP
+    * run length with the smallest-r tie-break the oracle's
+    * list_position replays. */
+  private[graft] def argmaxFirst(a: Array[Double]): Int = {
+    var best = 0; var i = 1
+    while (i < a.length) { if (a(i) > a(best)) best = i; i += 1 }
+    best
+  }
+
+  /** Bayesian online change-point detection per key (Adams & MacKay
+    * 2007) on a BINARY metric — "did this rate just change": the
+    * run-length posterior under a Beta(1,1)–Bernoulli model with
+    * constant hazard h, emitting one row PER EVENT:
+    * (key, ts, run_map, p_change) — the MAP run length and the
+    * posterior probability that a change point just occurred
+    * (run length 0). This is the canonical ONLINE production
+    * detector; [[peltBy]] is its exact retrospective complement.
+    *
+    * Exactness: the Bernoulli predictive keeps every update RATIONAL
+    * — (1+s)/(2+r), hazard mixing, one normalization per step — so
+    * unlike Gaussian BOCPD there is no libm in the chain and the SQL
+    * oracle replays it bit-for-bit (recursive CTE over list-carried
+    * posteriors, the q_pelt precedent). Shape: the [[peltBy]]
+    * per-key sorted scan (`repartition(key)` + in-partition sort +
+    * JVM fold — the key axis is the parallelism); the posterior
+    * vector grows one entry per event, O(n²) work and O(n) state per
+    * key, guarded loudly at `maxPoints` — pre-aggregate long series
+    * into block indicators first (as q_bocpd does). `xCol` must be
+    * 0/1 and non-null; `tsCol` unique per key. */
+  def bocpdBernoulliBy(df: DataFrame, keyCol: String, tsCol: String,
+                       xCol: String, hazard: Double,
+                       maxPoints: Int = 5000): DataFrame = {
+    require(hazard > 0 && hazard < 1, s"hazard $hazard out of (0, 1)")
+    require(maxPoints >= 1, "maxPoints must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(xCol).cast("int").as("__x"))
+    val outSchema = StructType(Seq(
+      StructField("key", base.schema("__k").dataType),
+      StructField("ts", base.schema("__t").dataType),
+      StructField("run_map", LongType),
+      StructField("p_change", DoubleType)))
+    val sorted = base.repartition(col("__k")).sortWithinPartitions("__k", "__t")
+    sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var curKey: Any = null
+      var open = false
+      var probs = Array(1.0); var succ = Array(0); var n = 0
+      def reset(): Unit = { probs = Array(1.0); succ = Array(0); n = 0 }
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!open || k != curKey) { reset(); curKey = k; open = true }
+        require(!r.isNullAt(2), "bocpdBernoulliBy: null metric - binarize first")
+        val x = r.getInt(2)
+        require(x == 0 || x == 1, s"bocpdBernoulliBy: xCol must be 0/1, got $x")
+        n += 1
+        require(n <= maxPoints,
+          s"bocpdBernoulliBy: a key exceeds maxPoints=$maxPoints - " +
+            "pre-aggregate the series into block indicators")
+        val (np, ns) = bocpdStep(probs, succ, x, hazard)
+        probs = np; succ = ns
+        out += Row(curKey, r.get(1), argmaxFirst(probs).toLong, probs(0))
+      }
+      out.iterator
+    }(Encoders.row(outSchema))
+  }
+
   /** Recursive binary segmentation: `depth` rounds of [[amocSplitBy]]
     * within the segments accepted so far; a split is accepted when its
     * gain ≥ `minGain` AND both sides have ≥ `minSize` rows. Returns

@@ -101,6 +101,56 @@ object ChangePointStream {
       }
   }
 
+  case class BcEvent(key: String, tsMicros: Long, x: Int)
+  case class BcState(probs: List[Double], succ: List[Int], lastTs: Long)
+  case class BcReadout(key: String, tsMicros: Long, runMap: Long, pChange: Double)
+
+  /** Live Bayesian online change-point detection per key — the
+    * event-at-a-time form of
+    * [[graft.operators.ChangePoint.bocpdBernoulliBy]] (BOCPD *is* an
+    * online algorithm; the batch arm is its replay). Emits one
+    * readout per event (Append semantics): the MAP run length and
+    * p(change point) after that event. Both arms call the SAME
+    * [[graft.operators.ChangePoint.bocpdStep]] numeric core, so the
+    * streams' rows are bit-identical to the batch frame under the
+    * in-order contract (checked via lastTs, like [[cusumStream]]).
+    * State is the O(n)-per-key run-length posterior — guarded loudly
+    * at `maxPoints` events per key; feed block indicators, not raw
+    * ticks, for unbounded streams. */
+  def bocpdStream(events: Dataset[BcEvent], hazard: Double,
+                  maxPoints: Int = 5000): Dataset[BcReadout] = {
+    require(hazard > 0 && hazard < 1, s"hazard $hazard out of (0, 1)")
+    implicit val stEnc = Encoders.product[BcState]
+    implicit val outEnc = Encoders.product[BcReadout]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BcEvent],
+         state: org.apache.spark.sql.streaming.GroupState[BcState]) =>
+          var st = state.getOption.getOrElse(
+            BcState(List(1.0), List(0), Long.MinValue))
+          var probs = st.probs.toArray
+          var succ = st.succ.toArray
+          var lastTs = st.lastTs
+          val out = scala.collection.mutable.ArrayBuffer.empty[BcReadout]
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            checkInOrder("bocpdStream", key, e.tsMicros, lastTs)
+            require(e.x == 0 || e.x == 1,
+              s"bocpdStream: x must be 0/1, got ${e.x}")
+            require(probs.length <= maxPoints,
+              s"bocpdStream: key $key exceeds maxPoints=$maxPoints events - " +
+                "pre-aggregate the stream into block indicators")
+            val (np, ns) = graft.operators.ChangePoint.bocpdStep(
+              probs, succ, e.x, hazard)
+            probs = np; succ = ns; lastTs = e.tsMicros
+            out += BcReadout(key, e.tsMicros,
+              graft.operators.ChangePoint.argmaxFirst(probs).toLong, probs(0))
+          }
+          state.update(BcState(probs.toList, succ.toList, lastTs))
+          out.iterator
+      }
+  }
+
   case class PhState(n: Long, sum: Double, m: Double, mMin: Double, mMax: Double,
                      incMax: Double, decMax: Double,
                      alarmInc: Option[Long], alarmDec: Option[Long],

@@ -247,6 +247,58 @@ class ChangePointSpec extends AnyFunSuite {
     assert(got("one").length == 1 && got("one").head.getLong(2) == 1L)
   }
 
+  test("peltBy property: == exhaustive DP on random regimes, betas and tie shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816)
+    def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    // one frame with many (trial, key) series: random lengths, random
+    // shift regimes, constant stretches (cost ties), mixed magnitudes
+    val trials = (0 until 24).map { trial =>
+      val n = 2 + rnd.nextInt(59)
+      val beta = Seq(0.1, 1.0, 25.0, 400.0)(rnd.nextInt(4))
+      val shifts = (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(n)).sorted
+      val vals = (0 until n).map { i =>
+        val level = 10.0 * shifts.count(_ <= i)
+        if (rnd.nextBoolean()) level + rnd.nextInt(5) // ties + integer plateaus
+        else level + rnd.nextDouble() * 4
+      }
+      (trial, beta, vals)
+    }
+    trials.groupBy(_._2).foreach { case (beta, group) =>
+      val df = group.flatMap { case (trial, _, vals) =>
+        vals.zipWithIndex.map { case (v, i) => (s"t$trial", i.toLong, v) }
+      }.toDF("k", "t", "v")
+      val got = ChangePoint.peltBy(df, "k", "t", "v", BigDecimal(beta))
+        .collect().groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(r =>
+          (r.getLong(3), r.getLong(4))).toSeq }
+      group.foreach { case (trial, _, vals) =>
+        val xs = vals.map(v => BigInt(quant(v))).toArray
+        val n = xs.length
+        val betaQ = (BigDecimal(beta) * 10000).toLongExact
+        val ps = xs.scanLeft(BigInt(0))(_ + _)
+        val pq = xs.scanLeft(BigInt(0))((a, x) => a + x * x)
+        def costQ(s: Int, t: Int): Long = {
+          val aD = dbl(ps(t) - ps(s)); val qD = dbl(pq(t) - pq(s))
+          ChangePointStream.quant4((qD - aD * aD / (t - s).toDouble) / 1e8)
+        }
+        val f = Array.fill(n + 1)(Long.MaxValue); val tau = new Array[Int](n + 1)
+        f(0) = -betaQ
+        for (t <- 1 to n; s <- 0 until t) {
+          val v = f(s) + costQ(s, t) + betaQ
+          if (v < f(t)) { f(t) = v; tau(t) = s }
+        }
+        var bounds = List(n); var b = n
+        while (b > 0) { b = tau(b); bounds = b :: bounds }
+        val expect = bounds.sliding(2).toSeq.collect {
+          case Seq(lo, hi) => (lo.toLong, (hi - 1).toLong)
+        }
+        assert(got(s"t$trial") == expect,
+          s"trial $trial beta $beta n $n: ${got(s"t$trial")} vs $expect")
+      }
+    }
+  }
+
   test("peltBy: maxPoints and null metrics are loud") {
     import spark.implicits._
     def msgs(t: Throwable): Seq[String] =
@@ -259,6 +311,82 @@ class ChangePointSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       ChangePoint.peltBy(withNull, "k", "t", "v", BigDecimal(10)).collect())
     assert(msgs(e2).exists(_.contains("null metric")))
+  }
+
+  test("bocpdBernoulliBy == independent reference fold; flags the planted rate flip") {
+    import spark.implicits._
+    // rate flips 0.1 -> 0.9 at i = 120; an independent (re-derived, not
+    // shared-code) Adams-MacKay Beta(1,1)-Bernoulli fold must match
+    // bit-for-bit, and the posterior must actually SEE the flip
+    val rnd = new scala.util.Random(83)
+    val xs = (0 until 200).map(i =>
+      if (rnd.nextDouble() < (if (i < 120) 0.1 else 0.9)) 1 else 0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val h = 0.01
+    val got = graft.operators.ChangePoint
+      .bocpdBernoulliBy(df, "k", "t", "x", hazard = h)
+      .collect().sortBy(_.getLong(1))
+    assert(got.length == 200)
+    // reference fold, written from the paper, no shared code
+    var probs = Vector(1.0); var succ = Vector(0)
+    val expect = xs.map { x =>
+      val ws = probs.indices.map { r =>
+        val pred = if (x == 1) (1.0 + succ(r)) / (2.0 + r)
+                   else (1.0 + r - succ(r)) / (2.0 + r)
+        probs(r) * pred
+      }
+      var cp = 0.0
+      ws.foreach(w => cp += w * h)
+      val np = cp +: ws.map(_ * (1.0 - h))
+      var norm = 0.0
+      np.foreach(norm += _)
+      probs = np.map(_ / norm).toVector
+      succ = 0 +: succ.map(_ + x)
+      val map = probs.indices.maxBy(i => (probs(i), -i))
+      (map.toLong, probs(0))
+    }
+    got.zip(expect).zipWithIndex.foreach { case ((r, (m, p)), i) =>
+      assert(r.getLong(2) == m && r.getDouble(3) == p,
+        s"event $i: (${r.getLong(2)}, ${r.getDouble(3)}) vs ($m, $p)")
+    }
+    // the flip shows as a MAP run-length COLLAPSE (the BOCPD detection
+    // signal — the per-step p(r=0) itself stays pinned near the hazard
+    // prior, which the band check documents)
+    val mapRuns = got.map(_.getLong(2))
+    assert(mapRuns(119) > 80 && mapRuns.slice(121, 140).min < 25,
+      s"MAP run must reset after the flip: ${mapRuns.slice(115, 140).toSeq}")
+    val pAt = got.map(_.getDouble(3))
+    assert(pAt.forall(p => p > 0.2 * h && p < 5 * h),
+      s"p(r=0) should hover near the hazard prior: min ${pAt.min} max ${pAt.max}")
+  }
+
+  test("bocpdStream == batch bocpdBernoulliBy across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(97)
+    val evs = (0 until 150).flatMap { i =>
+      Seq(ChangePointStream.BcEvent("a", i.toLong,
+            if (rnd.nextDouble() < (if (i < 70) 0.2 else 0.8)) 1 else 0),
+          ChangePointStream.BcEvent("b", i.toLong, i % 3 min 1))
+    }
+    val batch = graft.operators.ChangePoint.bocpdBernoulliBy(
+      evs.map(e => (e.key, e.tsMicros, e.x)).toDF("k", "t", "x"),
+      "k", "t", "x", hazard = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val mem = MemoryStream[ChangePointStream.BcEvent]
+    val q = ChangePointStream.bocpdStream(mem.toDS(), 0.02)
+      .writeStream.format("memory").queryName("bc_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      evs.grouped(80).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val live = spark.table("bc_out").collect()
+      assert(live.length == evs.length)
+      live.foreach { r =>
+        val k = (r.getString(0), r.getLong(1))
+        assert((r.getLong(2), r.getDouble(3)) == batch(k), s"$k")
+      }
+    } finally q.stop()
   }
 
   test("pettittBy: a null key forms its own group, matching the family") {
