@@ -3505,12 +3505,24 @@ object SparkEntry {
     // arithmetic only, so the oracle's recursive CTE replays every
     // posterior bit-for-bit; the MAP run length collapses at the
     // injected drift (block ~100 at sf0.01).
+    // The block grain ADAPTS to the data (max(50, ceil(max_id/2000)) —
+    // a fixed ~2000-point posterior budget per key once the data
+    // outgrows the 50-id grain): BOCPD's uncapped posterior is O(n²)
+    // by construction, so the scale contract is a fixed point budget
+    // with coarser blocks, not more points — the maxPoints guard
+    // enforces it loudly. The indicator threshold scales with the
+    // grain (13/id-unit) so the drift stays detectable at any sf.
     "q_bocpd" -> { (s, dir) =>
-      val pts = Sources.table(s, dir, "events")
+      val ev = Sources.table(s, dir, "events")
         .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0))
+      val grain = Sources.table(s, dir, "events").agg(
+        greatest(lit(50L),
+          ceil((max(col("event_id")) + 1) / lit(2000.0)).cast(LongType)).as("__g"))
+      val pts = ev.crossJoin(broadcast(grain))
         .groupBy(col("event_type").as("key"),
-          floor(col("event_id") / lit(50.0)).cast(LongType).as("ord"))
-        .agg(when(sum(col("xv").cast("decimal(18,4)")) > 650, 1).otherwise(0).as("x"))
+          floor(col("event_id") / col("__g")).cast(LongType).as("ord"))
+        .agg(when(sum(col("xv").cast("decimal(18,4)")) > lit(13) * first(col("__g")), 1)
+          .otherwise(0).as("x"))
       graft.operators.ChangePoint.bocpdBernoulliBy(pts, "key", "ord", "x",
         hazard = 0.01)
         .select(col("key"), col("ts").as("ord"), col("run_map"),
@@ -8856,10 +8868,12 @@ object SparkEntry {
     // step; MAP run via list_position (first max = smallest r)
     "q_bocpd" ->
       """WITH RECURSIVE
-        |pts AS (SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS ord,
-        |    CASE WHEN SUM(CAST(value + floor(event_id/5000.0)*30.0 AS DECIMAL(18,4))) > 650
+        |grain AS (SELECT greatest(50, CAST(ceil((max(event_id) + 1) / 2000.0) AS BIGINT)) AS g
+        |  FROM events),
+        |pts AS (SELECT event_type AS key, CAST(floor(event_id / g) AS BIGINT) AS ord,
+        |    CASE WHEN SUM(CAST(value + floor(event_id/5000.0)*30.0 AS DECIMAL(18,4))) > 13 * any_value(g)
         |         THEN 1 ELSE 0 END AS x
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events, grain GROUP BY 1, 2),
         |ser AS (SELECT key, list(x ORDER BY ord) AS xs, list(ord ORDER BY ord) AS ords,
         |    CAST(count(*) AS INT) AS n FROM pts GROUP BY 1),
         |dp AS (
