@@ -389,6 +389,25 @@ class ChangePointSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("peltBy/bocpdBernoulliBy: a null key forms its own group, matching the family") {
+    import spark.implicits._
+    val data: Seq[(Option[String], Long, Double)] =
+      (0 until 60).map(i => (None: Option[String], i.toLong,
+        if (i < 30) 5.0 else 50.0)) ++
+        (0 until 60).map(i => (Some("k"), i.toLong, i.toDouble))
+    val df = data.toDF("k", "t", "v")
+    val pelt = ChangePoint.peltBy(df, "k", "t", "v", BigDecimal(100))
+      .collect().groupBy(r => Option(r.get(0)))
+    assert(pelt.contains(None) && pelt(None).map(_.getLong(2)).sum == 60L,
+      "null key must segment its own 60-row series")
+    assert(pelt(None).length == 2, "the planted step splits the null-key series")
+    val xdf = df.withColumn("x", when(col("v") >= 50, 1).otherwise(0))
+    val bocpd = ChangePoint.bocpdBernoulliBy(xdf, "k", "t", "x", 0.02)
+      .collect().groupBy(r => Option(r.get(0)))
+    assert(bocpd.contains(None) && bocpd(None).length == 60,
+      "null key must emit one BOCPD row per event")
+  }
+
   test("pettittBy: a null key forms its own group, matching the family") {
     import spark.implicits._
     // family semantics (cusumBy / kendallTauBy): null keys group, not drop
