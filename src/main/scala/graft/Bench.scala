@@ -145,7 +145,11 @@ object Bench {
       // micro-rows that moved ~2x driver-vs-record with census-identical
       // plans — suite-position noise on ~0.5 s queries; pin the worst
       // two so the attribution is mechanical
-      "q_dynamic_collect", "q_dupts_sample")
+      "q_dynamic_collect", "q_dupts_sample",
+      // r19 additions (VERDICT r18 #4): both have moved >2x across two
+      // different rounds with census-identical plans in untouched files
+      // — make the suite-contention attribution mechanical like q_bm25
+      "q_er_pairs", "q_avg_precision")
 
   /** Fixed-work, IO-free calibration controls (VERDICT r16 #1): every
     * bench record carries the host's measured speed on two pinned

@@ -32,6 +32,14 @@ object SparkEntry {
   // must be fresh per invocation (bench re-runs the query)
   private val wsRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // q_pelt's per-changepoint penalty — ONE definition feeding both the
+  // Scala entry and the oracle recursion's scaled literal (ADVICE r18:
+  // the 20000000000 literal was hand-coupled to this in two places;
+  // now the SQL interpolates PeltBetaQ)
+  private val PeltBeta = BigDecimal(2000000)
+  private val PeltBetaQ: Long =
+    PeltBeta.setScale(4).bigDecimal.unscaledValue().longValueExact()
+
   /** Entity-resolution fixture: each document's lowercased 30-char
     * prefix as a "clean" record (rid = 2·doc_id) plus a "dirty" twin
     * (rid = 2·doc_id+1) with ONE char deleted at position
@@ -3488,13 +3496,12 @@ object SparkEntry {
     // replays the exhaustive optimal-partitioning DP in a recursive
     // CTE with list-carried prefix sums (the q_dtw precedent).
     "q_pelt" -> { (s, dir) =>
-      val pts = Sources.table(s, dir, "events")
-        .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0))
-        .groupBy(col("event_type").as("key"),
-          floor(col("event_id") / lit(50.0)).cast(LongType).as("ord"))
-        .agg(sum(col("xv").cast("decimal(18,4)")).as("v"))
+      val pts = graft.operators.ChangePoint.blockSeries(
+        Sources.table(s, dir, "events")
+          .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0)),
+        "event_type", "event_id", "xv", grain = lit(50.0))
       graft.operators.ChangePoint.peltBy(pts, "key", "ord", "v",
-        beta = BigDecimal(2000000))
+        beta = PeltBeta)
         .select(col("key"), col("segment"), col("n"), col("start_ts"),
           col("end_ts"), round(col("mean"), 8).as("mean"),
           round(col("cost"), 8).as("cost"))
@@ -3518,15 +3525,41 @@ object SparkEntry {
       val grain = Sources.table(s, dir, "events").agg(
         greatest(lit(50L),
           ceil((max(col("event_id")) + 1) / lit(2000.0)).cast(LongType)).as("__g"))
-      val pts = ev.crossJoin(broadcast(grain))
-        .groupBy(col("event_type").as("key"),
-          floor(col("event_id") / col("__g")).cast(LongType).as("ord"))
-        .agg(when(sum(col("xv").cast("decimal(18,4)")) > lit(13) * first(col("__g")), 1)
-          .otherwise(0).as("x"))
+      val pts = graft.operators.ChangePoint.blockIndicator(
+        ev.crossJoin(broadcast(grain)), "event_type", "event_id", "xv",
+        grain = col("__g"), threshPerUnit = lit(13))
       graft.operators.ChangePoint.bocpdBernoulliBy(pts, "key", "ord", "x",
         hazard = 0.01)
         .select(col("key"), col("ts").as("ord"), col("run_map"),
           round(col("p_change"), 8).as("p_change"))
+    },
+    // Gaussian BOCPD (ChangePoint.bocpdGaussianBy, Adams & MacKay
+    // 2007 with a Normal–Inverse-Gamma model): the CONTINUOUS-metric
+    // online detector — no hand-binarization; the detector watches
+    // per-block LEVEL means directly (blockMeans: exact decimal block
+    // sum, one cast, one division). Integer-ν Student-t predictives
+    // keep the whole posterior on +,−,×,÷,sqrt (gamma ratios by exact
+    // recurrence, half-integer powers by multiplication folds), so
+    // the recursive-CTE oracle replays every posterior bit-for-bit —
+    // the q_bocpd precedent extended to the continuous model. Fixed
+    // ~200-point budget per key (the O(n³)-by-construction scale
+    // contract: coarser blocks, never more points).
+    "q_bocpd_gauss" -> { (s, dir) =>
+      val ev = Sources.table(s, dir, "events")
+        .withColumn("xv", col("value") + floor(col("event_id") / lit(5000.0)) * lit(30.0))
+      val grain = Sources.table(s, dir, "events").agg(
+        greatest(lit(50L),
+          ceil((max(col("event_id")) + 1) / lit(200.0)).cast(LongType)).as("__g"))
+      val pts = graft.operators.ChangePoint.blockMeans(
+        ev.crossJoin(broadcast(grain)), "event_type", "event_id", "xv",
+        grain = col("__g"))
+      graft.operators.ChangePoint.bocpdGaussianBy(pts, "key", "ord", "x",
+        hazard = 0.02,
+        prior = graft.operators.ChangePoint.GaussianPrior(
+          mu0 = 50.0, kappa0 = 1.0, alpha0 = 1.0, beta0 = 100.0))
+        .select(col("key"), col("ts").as("ord"), col("run_map"),
+          round(col("p_change"), 8).as("p_change"),
+          round(col("mu_map"), 8).as("mu_map"))
     },
     // Per-tumbling-window exact AMOC split (ChangePoint.amocSplitBy
     // with the window start as the key) — the batch frame of the
@@ -8807,7 +8840,7 @@ object SparkEntry {
     // IEEE chain per (s, t], list_min/list_position argmin (smallest
     // s on ties), then a second recursion backtracks the boundaries
     "q_pelt" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |pts AS (SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS ord,
         |    SUM(CAST(CAST(value + floor(event_id/5000.0)*30.0 AS DECIMAL(18,4)) * 10000 AS HUGEINT)) AS xq
         |  FROM events GROUP BY 1, 2),
@@ -8820,7 +8853,7 @@ object SparkEntry {
         |  FROM ser),
         |dp AS (
         |  SELECT key, n, ords, ps, pq, 0 AS t,
-        |    [CAST(-20000000000 AS BIGINT)] AS f, [CAST(0 AS INT)] AS tau
+        |    [CAST(-$PeltBetaQ AS BIGINT)] AS f, [CAST(0 AS INT)] AS tau
         |  FROM pre
         |  UNION ALL
         |  SELECT key, n, ords, ps, pq, t + 1,
@@ -8835,7 +8868,7 @@ object SparkEntry {
         |               * CAST(ps[t + 2] - ps[s + 1] AS DOUBLE)
         |               / CAST(t + 1 - s AS DOUBLE)) / 1e8
         |          AS DECIMAL(18,4)) * 10000 AS BIGINT)
-        |        + 20000000000) AS vals
+        |        + $PeltBetaQ) AS vals
         |    FROM dp WHERE t < n)),
         |fin AS (SELECT key, n, ords, ps, pq, tau FROM dp WHERE t = n),
         |bt AS (
@@ -8902,6 +8935,99 @@ object SparkEntry {
         |              ELSE (1 + r - succ[CAST(r + 1 AS INT)]) / (2.0 + r) END)) AS ws
         |        FROM dp WHERE t < n))))
         |SELECT key, ords[t] AS ord, run_map, round(p_change, 8) AS p_change
+        |FROM dp WHERE t >= 1""".stripMargin,
+    // the GAUSSIAN Adams-MacKay recursion replayed bit-for-bit: the
+    // posterior carries (probs, mu, beta) lists per key; per run
+    // length r the Student-t predictive (nu = 2 + r, kappa = 1 + r,
+    // alpha = 1 + r/2) runs the SAME fixed chain as bocpdGaussianStep
+    // — sigma = sqrt(beta*(kap+1)/(alp*kap)), z = (x-mu)/sigma,
+    // b = 1 + z*z/nu, pdf = g(nu)/(sqrt(nu*pi)*sigma)/b^((nu+1)/2) —
+    // with g(nu) the exact gamma-ratio recurrence g(1)=1/sqrt(pi),
+    // g(m+1)=(m/2)/g(m) (each from-scratch list_reduce fold shares
+    // the Scala incremental chain's prefix, so values are identical)
+    // and the half-integer power a 1.0-seeded multiplication fold
+    // (* sqrt(b) when the exponent is odd) — no libm anywhere, so
+    // every double replays. NIG updates and mixing as in the Scala
+    // core: mu' = (kap*mu+x)/(kap+1), beta' = beta+kap*(x-mu)^2/
+    // (2*(kap+1)), ascending changepoint/normalizer folds.
+    "q_bocpd_gauss" ->
+      """WITH RECURSIVE
+        |grain AS (SELECT greatest(50, CAST(ceil((max(event_id) + 1) / 200.0) AS BIGINT)) AS g
+        |  FROM events),
+        |pts AS (SELECT event_type AS key, CAST(floor(event_id / g) AS BIGINT) AS ord,
+        |    CAST(SUM(CAST(value + floor(event_id/5000.0)*30.0 AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) AS x
+        |  FROM events, grain GROUP BY 1, 2),
+        |ser AS (SELECT key, list(x ORDER BY ord) AS xs, list(ord ORDER BY ord) AS ords,
+        |    CAST(count(*) AS INT) AS n FROM pts GROUP BY 1),
+        |gst AS (SELECT key, n, xs, ords,
+        |    list_transform(range(1, n + 4), nu ->
+        |      list_reduce(list_prepend(1.0/sqrt(pi()),
+        |        list_transform(range(1, nu), m -> CAST(m AS DOUBLE))),
+        |        (g, m) -> (m/2.0)/g)) AS gsl
+        |  FROM ser),
+        |dp AS (
+        |  SELECT key, n, xs, ords, gsl, 0 AS t,
+        |    [CAST(1.0 AS DOUBLE)] AS probs, [CAST(50.0 AS DOUBLE)] AS mu,
+        |    [CAST(100.0 AS DOUBLE)] AS beta,
+        |    CAST(NULL AS BIGINT) AS run_map, CAST(NULL AS DOUBLE) AS p_change,
+        |    CAST(NULL AS DOUBLE) AS mu_map
+        |  FROM gst
+        |  UNION ALL
+        |  SELECT key, n, xs, ords, gsl, t + 1,
+        |    list_transform(np, p -> p / nrm) AS probs,
+        |    nmu AS mu, nbeta AS beta,
+        |    CAST(list_position(list_transform(np, p -> p / nrm),
+        |         list_max(list_transform(np, p -> p / nrm))) - 1 AS BIGINT) AS run_map,
+        |    np[1] / nrm AS p_change,
+        |    nmu[CAST(list_position(list_transform(np, p -> p / nrm),
+        |         list_max(list_transform(np, p -> p / nrm))) AS INT)] AS mu_map
+        |  FROM (
+        |    SELECT *, list_reduce(np, (a, b) -> a + b) AS nrm,
+        |      list_prepend(CAST(50.0 AS DOUBLE), list_transform(range(0, len(probs)), r ->
+        |        ((1.0 + CAST(r AS DOUBLE)) * mu[CAST(r + 1 AS INT)] + x)
+        |          / ((1.0 + CAST(r AS DOUBLE)) + 1.0))) AS nmu,
+        |      list_prepend(CAST(100.0 AS DOUBLE), list_transform(range(0, len(probs)), r ->
+        |        beta[CAST(r + 1 AS INT)]
+        |          + (1.0 + CAST(r AS DOUBLE)) * (x - mu[CAST(r + 1 AS INT)])
+        |            * (x - mu[CAST(r + 1 AS INT)])
+        |            / (2.0 * ((1.0 + CAST(r AS DOUBLE)) + 1.0)))) AS nbeta
+        |    FROM (
+        |      SELECT *, list_prepend(
+        |          list_reduce(list_transform(ws, w -> w * 0.02), (a, b) -> a + b),
+        |          list_transform(ws, w -> w * (1.0 - 0.02))) AS np
+        |      FROM (
+        |        SELECT *, list_transform(range(0, len(probs)), r ->
+        |            probs[CAST(r + 1 AS INT)] * (
+        |              gsl[CAST(2 + r AS INT)]
+        |              / (sqrt((2 + r) * pi()) * sigl[CAST(r + 1 AS INT)])
+        |              / (CASE WHEN (3 + r) % 2 = 0
+        |                  THEN list_reduce(list_prepend(1.0,
+        |                      list_transform(range(0, (3 + r) // 2),
+        |                        j -> bbl[CAST(r + 1 AS INT)])),
+        |                    (a, c) -> a * c)
+        |                  ELSE list_reduce(list_prepend(1.0,
+        |                      list_transform(range(0, (2 + r) // 2),
+        |                        j -> bbl[CAST(r + 1 AS INT)])),
+        |                    (a, c) -> a * c) * sqrt(bbl[CAST(r + 1 AS INT)])
+        |                  END))) AS ws
+        |        FROM (
+        |          SELECT *, list_transform(range(0, len(probs)), r ->
+        |              1.0 + zzl[CAST(r + 1 AS INT)] * zzl[CAST(r + 1 AS INT)]
+        |                / (2 + r)) AS bbl
+        |          FROM (
+        |            SELECT *, list_transform(range(0, len(probs)), r ->
+        |                (x - mu[CAST(r + 1 AS INT)]) / sigl[CAST(r + 1 AS INT)]) AS zzl
+        |            FROM (
+        |              SELECT *, xs[t + 1] AS x,
+        |                list_transform(range(0, len(probs)), r ->
+        |                  sqrt(beta[CAST(r + 1 AS INT)]
+        |                    * ((1.0 + CAST(r AS DOUBLE)) + 1.0)
+        |                    / ((1.0 + CAST(r AS DOUBLE) * 0.5)
+        |                      * (1.0 + CAST(r AS DOUBLE))))) AS sigl
+        |              FROM dp WHERE t < n)))))))
+        |SELECT key, ords[t] AS ord, run_map, round(p_change, 8) AS p_change,
+        |  round(mu_map, 8) AS mu_map
         |FROM dp WHERE t >= 1""".stripMargin,
     // q_changepoint's gain chain with the tumbling window as the key
     "q_amoc_window" ->

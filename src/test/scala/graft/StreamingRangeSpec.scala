@@ -204,6 +204,13 @@ class StreamingRangeSpec extends AnyFunSuite {
     // every event landed exactly once despite the vacuuming
     assert(live.snapshot.agg(sum(col("frequency"))).head.getLong(0) == 8L)
     graft.util.Caching.release()
+    // keepVersions = 1 would let the NEXT batch's vacuum delete the
+    // version the published snapshot lazily reads (ADVICE r18) — floor 2
+    val e = intercept[IllegalArgumentException](
+      new graft.streaming.BehaviorStream.RfmLive(
+        "user_id", "ts", "event_type", "value", "buy", 0L, 5,
+        storePath = Some(store), keepVersions = 1))
+    assert(e.getMessage.contains("at least 2"), e.getMessage)
   }
 
   test("RfmLive: boundary re-resolve releases its stream-thread barriers") {
