@@ -26,6 +26,15 @@ object PlanAudit {
         args.lift(2).getOrElse("/tmp/plan_census.json"), args.drop(3).toSet)
       spark.stop(); return
     }
+    if (args.headOption.contains("stages")) {
+      // stage-time read wants the bench's execution basis, not local[8]
+      spark.stop()
+      val s32 = GraftSession.builder(master = "local[32]").getOrCreate()
+      s32.sparkContext.setLogLevel("ERROR")
+      stageProfile(s32, args.lift(1).getOrElse("/root/testdata/sf0.01"),
+        args.drop(2).toSeq)
+      s32.stop(); return
+    }
     val interesting = args.drop(1) match {
       case Array() => Seq("q1_lineitem_agg", "q2_revenue_by_nation", "q_filter",
         "q_stats_basic", "q_sample_asof", "q_knn", "q_dedup_exact")
@@ -142,6 +151,64 @@ object PlanAudit {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       entries.mkString("{\n", ",\n", "\n}\n"))
     println(s"plan census: ${entries.size} queries -> $outPath")
+  }
+
+  /** Per-stage wall/CPU/shuffle profile for named queries — the
+    * "stage-time read" that attributes a scale exponent to its bound
+    * (VERDICT r18 #5): for each stage, wall time (completion −
+    * submission), summed executor RUN time, task count and shuffle/input
+    * bytes. The cpu/wall ratio is the effective parallelism — a keyed
+    * window whose partition key has 5 distinct values reads ~≤5× on 32
+    * cores (key-cardinality-bound), a scan reads ~20–30×, a
+    * single-task sort reads ~1×. Run twice (warm-up discarded
+    * implicitly by reading the SECOND run's stages).
+    * Usage: runMain graft.PlanAudit stages <sfDir> <query...> */
+  def stageProfile(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                   queries: Seq[String]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    final case class St(id: Int, name: String, wallMs: Long, runMs: Long,
+                        tasks: Int, inputMB: Long, shufReadMB: Long,
+                        shufWriteMB: Long)
+    queries.foreach { name =>
+      val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+      val listener = new SparkListener {
+        override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+          val si = ev.stageInfo
+          val m = si.taskMetrics
+          stages.synchronized {
+            stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(120),
+              (for {c <- si.completionTime; s <- si.submissionTime} yield c - s)
+                .getOrElse(-1L),
+              m.executorRunTime, si.numTasks,
+              m.inputMetrics.bytesRead >> 20,
+              m.shuffleReadMetrics.totalBytesRead >> 20,
+              m.shuffleWriteMetrics.bytesWritten >> 20)
+          }
+        }
+      }
+      // warm-up pass (page cache + codegen), then the measured pass
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      graft.util.Caching.release()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.util.Caching.release()
+      // listener bus is async: wait for the stage events to drain
+      var last = -1
+      var spins = 0
+      while (spins < 40 && stages.synchronized(stages.size) != last) {
+        last = stages.synchronized(stages.size); Thread.sleep(100); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"\n== $name @ $sfDir: wall ${wall}%.2f s, ${stages.size} stages ==")
+      stages.sortBy(-_.runMs).foreach { s =>
+        val par = if (s.wallMs > 0) s.runMs.toDouble / s.wallMs else 0.0
+        println(f"  stage ${s.id}%3d wall ${s.wallMs / 1000.0}%7.2fs cpu ${s.runMs / 1000.0}%8.2fs " +
+          f"par ${par}%5.1fx tasks ${s.tasks}%3d in ${s.inputMB}%5dMB " +
+          f"sr ${s.shufReadMB}%5dMB sw ${s.shufWriteMB}%5dMB  ${s.name}")
+      }
+    }
   }
 
   /** Suite-wide shuffle census: per-query count of Exchange operators in
