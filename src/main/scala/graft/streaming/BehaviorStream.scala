@@ -114,44 +114,18 @@ object BehaviorStream {
                       nowMicros: Long, q: Int,
                       storePath: Option[String] = None,
                       keepVersions: Int = 3) {
-    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
-    import org.apache.hadoop.fs.{FileSystem, Path}
 
-    // >= 2, not >= 1 (ADVICE r18): the published `latest`/`store`
-    // frames lazily read the version committed THIS batch; with
-    // keepVersions = 1 the NEXT batch's vacuum would delete exactly
-    // that version, so a consumer touching snapshot() concurrently
-    // with the following commit could hit FileNotFoundException on
-    // the deleted parquet dir. Two is the floor at which a published
-    // snapshot always survives the next commit's vacuum.
-    require(keepVersions >= 2, "keepVersions must be at least 2 - the " +
-      "previously published snapshot must survive the next batch's vacuum")
+    // the version/commit/replay/vacuum machinery lives in the shared
+    // util (VERDICT r18 #7 — extracted when CorpusStatsLive became its
+    // second consumer); the keepVersions >= 2 floor (ADVICE r18) is
+    // enforced there
+    private val durable: Option[graft.util.DurableVersionedStore] =
+      storePath.map(p => new graft.util.DurableVersionedStore(p, keepVersions))
 
     @volatile private var store: DataFrame = null // (u, __mx, __cnt, __sm)
     @volatile private var latest: DataFrame = null
-
-    private val VersionRe = "^v(\\d+)$".r
-
-    // durable arm: everything through the Hadoop FileSystem API —
-    // resolved from the session the BATCH rides, so the store path's
-    // scheme (file:/hdfs:/s3a:) picks the right implementation
-    private def fsBase(spark: SparkSession): (FileSystem, Path) = {
-      val base = new Path(storePath.get)
-      (base.getFileSystem(spark.sessionState.newHadoopConf()), base)
-    }
-
-    /** Version numbers under the store carrying the `_COMMITTED`
-      * marker (ascending). The max is the committed store. */
-    private def committedVersions(fs: FileSystem, base: Path): Seq[Long] =
-      if (!fs.exists(base)) Nil
-      else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
-        st.getPath.getName match {
-          case VersionRe(n) if fs.exists(new Path(st.getPath, "_COMMITTED")) =>
-            Some(n.toLong)
-          case _ => None
-        }
-      }.sorted
 
     /** Refresh the published snapshot off the new per-unit table. */
     private def publish(next: DataFrame): Unit = {
@@ -176,16 +150,11 @@ object BehaviorStream {
       // merge already committed (crash between the marker create and
       // the offset-log advance); merging again would double-count
       // __cnt/__sm, so re-publish the committed snapshot and stop
-      val durablePrev: Option[Long] = storePath match {
-        case Some(p) =>
-          val (fs, base) = fsBase(spark)
-          val committed = committedVersions(fs, base)
-          if (committed.exists(_ >= batchId)) {
-            publish(spark.read.parquet(s"$p/v${committed.max}"))
-            return
-          }
-          committed.lastOption
-        case None => None
+      durable.foreach { d =>
+        d.replayedSnapshot(spark, batchId).foreach { committed =>
+          publish(committed)
+          return
+        }
       }
       val part = batch.filter(col(typeCol) === convType)
         .groupBy(col(userCol).as("u"))
@@ -197,10 +166,10 @@ object BehaviorStream {
       // the SAME bound as the batch arm (a (18,2) re-cast here would
       // null a >10^16 spend the batch arm still represents)
       val widened = part.withColumn("__sm", col("__sm").cast("decimal(28,2)"))
-      val prev = storePath match {
-        case Some(p) => durablePrev.map(v =>
-          spark.read.parquet(s"$p/v$v").select(col("u"), col("__mx"),
-            col("__cnt"), col("__sm").cast("decimal(28,2)").as("__sm")))
+      val prev = durable match {
+        case Some(d) => d.latestCommitted(spark).map(_.select(col("u"),
+          col("__mx"), col("__cnt"),
+          col("__sm").cast("decimal(28,2)").as("__sm")))
         case None => Option(store)
       }
       val merged = prev match {
@@ -209,30 +178,13 @@ object BehaviorStream {
           .agg(max(col("__mx")).as("__mx"), sum(col("__cnt")).as("__cnt"),
             sum(col("__sm")).cast("decimal(28,2)").as("__sm"))
       }
-      val next = storePath match {
-        case Some(p) =>
-          // durable keyed upsert: write the merged table as a NEW
-          // version, then create the _COMMITTED marker (the commit
-          // point — one file create, portable to object stores). The
-          // read side only ever reads marker-carrying versions, so a
-          // half-written dir is invisible; a crash before the marker
-          // leaves the previous version committed and the batch
-          // replays; cluster cache holds nothing between batches.
-          merged.write.mode("overwrite").parquet(s"$p/v$batchId")
-          val (fs, base) = fsBase(spark)
-          fs.create(new Path(base, s"v$batchId/_COMMITTED"), true).close()
-          // retention/vacuum: keep the keepVersions highest committed
-          // versions; everything older — committed or crash debris —
-          // goes, so the store holds O(keepVersions) table copies
-          val keep = committedVersions(fs, base).takeRight(keepVersions).toSet
-          fs.listStatus(base).foreach { st =>
-            st.getPath.getName match {
-              case VersionRe(n) if n.toLong < batchId && !keep.contains(n.toLong) =>
-                fs.delete(st.getPath, true)
-              case _ => ()
-            }
-          }
-          spark.read.parquet(s"$p/v$batchId")
+      val next = durable match {
+        case Some(d) =>
+          // durable keyed upsert: version write + _COMMITTED marker +
+          // vacuum, all in the shared store; the returned frame reads
+          // the committed files, so cluster cache holds nothing
+          // between batches
+          d.commit(merged, batchId)
         case None =>
           // eager local checkpoint: truncates cross-batch lineage AND
           // materializes the table orderStatistics scans several times;
@@ -262,11 +214,10 @@ object BehaviorStream {
       * window, or materialize first (`.collect()` /
       * `.localCheckpoint(true)`) for an unbounded hold.
       *
-      * The durable `_COMMITTED`-marker protocol is currently
-      * RfmLive-internal (VERDICT r18 #7): if another foreachBatch
-      * live store lands, extract the version/commit/replay/vacuum
-      * machinery into a shared `util.DurableVersionedStore` first
-      * rather than copying it. */
+      * The durable `_COMMITTED`-marker protocol lives in the shared
+      * [[graft.util.DurableVersionedStore]] (extracted per VERDICT r18
+      * #7 when [[graft.llm.CorpusStatsLive]] became its second
+      * consumer). */
     def snapshot: DataFrame = {
       val l = latest
       require(l != null, "RfmLive: no batch processed yet")

@@ -1,0 +1,126 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Durable versioned-parquet table store for `foreachBatch` live stores —
+  * the `_COMMITTED`-marker commit protocol extracted from
+  * [[graft.streaming.BehaviorStream.RfmLive]] (VERDICT r18 #7: the
+  * machinery is shared the moment a second consumer lands, never copied).
+  *
+  * A consumer's per-batch cycle is three calls:
+  * {{{
+  *   store.replayedSnapshot(spark, batchId) match {
+  *     case Some(committed) => publish(committed)        // replayed batch
+  *     case None =>
+  *       val prev   = store.latestCommitted(spark)        // previous state
+  *       val merged = mergePartials(prev, batchPartials)  // consumer logic
+  *       publish(store.commit(merged, batchId))           // durable commit
+  *   }
+  * }}}
+  *
+  * Protocol (object-store-real — all I/O through the Hadoop `FileSystem`
+  * API resolved from the batch session's configuration, so `file:` /
+  * `hdfs:` / `s3a:` URIs all work):
+  *  - each batch writes its merged table as a NEW directory `v{batchId}`,
+  *    then creates the single-file `_COMMITTED` marker inside it — the
+  *    marker create IS the commit point (no rename-overwrite, which is
+  *    neither atomic nor portable on object stores; no pointer file a
+  *    crash window could lose). The read side only ever reads
+  *    marker-carrying versions, so a half-written dir is invisible.
+  *  - a crash BEFORE the marker leaves the previous version committed and
+  *    the batch replays; a crash AFTER the marker but before the
+  *    streaming offset log advances makes Spark re-run the same batchId —
+  *    [[replayedSnapshot]] detects that (a committed version at or past
+  *    the batchId) and the consumer re-publishes WITHOUT re-merging, so
+  *    replays can never double-count.
+  *  - retention: after each commit the `keepVersions` highest committed
+  *    versions are kept and every older version dir — committed or crash
+  *    debris — is deleted, so a long-running store holds O(keepVersions)
+  *    table copies, not one per batch.
+  *
+  * SINGLE-WRITER assumption: exactly one streaming query (one
+  * checkpointed writer) owns a store path — the protocol does not
+  * arbitrate concurrent writers. Restart-resume requires batchIds to
+  * continue monotonically across restarts (i.e. the query runs with a
+  * `checkpointLocation`, Spark's normal foreachBatch contract); a fresh
+  * query whose batchIds restart at 0 must use a fresh store path.
+  *
+  * Snapshot validity window: a published snapshot lazily reads the
+  * version committed by its batch, and retention keeps only the
+  * `keepVersions` highest committed versions — so a held snapshot
+  * expires after `keepVersions - 1` further batches commit (its backing
+  * dir is vacuumed). Consume within that window, or materialize first
+  * (`.collect()` / `.localCheckpoint(true)`) for an unbounded hold.
+  * `keepVersions >= 2` is the floor at which the snapshot published by
+  * one batch always survives the NEXT batch's vacuum (ADVICE r18). */
+final class DurableVersionedStore(path: String, keepVersions: Int = 3) {
+
+  require(keepVersions >= 2, "keepVersions must be at least 2 - the " +
+    "previously published snapshot must survive the next batch's vacuum")
+
+  private val VersionRe = "^v(\\d+)$".r
+
+  private def fsBase(spark: SparkSession): (FileSystem, Path) = {
+    val base = new Path(path)
+    (base.getFileSystem(spark.sessionState.newHadoopConf()), base)
+  }
+
+  /** Version numbers under the store carrying the `_COMMITTED` marker
+    * (ascending). The max is the committed store. One `listStatus` per
+    * call — retention keeps the directory O(keepVersions) small. */
+  def committedVersions(spark: SparkSession): Seq[Long] = {
+    val (fs, base) = fsBase(spark)
+    committedVersions(fs, base)
+  }
+
+  private def committedVersions(fs: FileSystem, base: Path): Seq[Long] =
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if fs.exists(new Path(st.getPath, "_COMMITTED")) =>
+          Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+
+  /** The latest committed table, or None for a virgin store. */
+  def latestCommitted(spark: SparkSession): Option[DataFrame] =
+    committedVersions(spark).lastOption.map(v =>
+      spark.read.parquet(s"$path/v$v"))
+
+  /** Replay guard — call FIRST in `foreachBatch`. Some(latest committed
+    * table) iff a version at or past `batchId` is already committed,
+    * i.e. Spark is re-running a batch whose merge already landed (crash
+    * between the marker create and the offset-log advance). The consumer
+    * must then re-publish WITHOUT re-merging (merging again would
+    * double-count its partials). */
+  def replayedSnapshot(spark: SparkSession, batchId: Long): Option[DataFrame] = {
+    val committed = committedVersions(spark)
+    if (committed.exists(_ >= batchId))
+      Some(spark.read.parquet(s"$path/v${committed.max}"))
+    else None
+  }
+
+  /** Durably commit `merged` as version `batchId`: write the new version
+    * dir, create the `_COMMITTED` marker (the commit point), vacuum
+    * versions older than the `keepVersions` highest committed, and
+    * return the table RE-READ from the committed files (so the returned
+    * frame carries no lineage into the batch's sources — cluster cache
+    * holds nothing between batches). */
+  def commit(merged: DataFrame, batchId: Long): DataFrame = {
+    val spark = merged.sparkSession
+    merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+    val (fs, base) = fsBase(spark)
+    fs.create(new Path(base, s"v$batchId/_COMMITTED"), true).close()
+    val keep = committedVersions(fs, base).takeRight(keepVersions).toSet
+    fs.listStatus(base).foreach { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if n.toLong < batchId && !keep.contains(n.toLong) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    spark.read.parquet(s"$path/v$batchId")
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The durable versioned store's SECOND consumer (VERDICT r18 #7 — the
+  * extraction trigger): CorpusStatsLive's per-key mergeable aggregates
+  * must replay one batch aggregate bit-for-bit on the exact columns,
+  * survive a restart from the committed store, and no-op on a replayed
+  * batchId — the same contract RfmLive pins, now through the shared
+  * `util.DurableVersionedStore`. Plus direct unit coverage of the
+  * store's own API (virgin reads, commit/replay semantics, retention
+  * with crash debris). */
+class CorpusStatsLiveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+        col("doc_id") * lit(1000000L)))
+
+  /** The INDEPENDENT batch expression of the snapshot's exact columns
+    * (docs/total_tokens/total_chars/last_micros) per language. */
+  private def batchExact(df: DataFrame): Vector[Vector[Any]] =
+    df.groupBy(col("lang")).agg(
+        count(lit(1)).as("docs"),
+        sum(graft.llm.TextAnalysis.tokenCount(col("text"))).cast("long")
+          .as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        max(unix_micros(col("ts"))).as("last_micros"))
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toVector
+
+  private def snapExact(live: graft.llm.CorpusStatsLive): Vector[Vector[Any]] =
+    live.snapshot.select("lang", "docs", "total_tokens", "total_chars",
+        "last_micros")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toVector
+
+  test("in-memory arm: merged per-key aggregates == one batch aggregate; " +
+    "HLL distinct within the sketch's error of exact") {
+    val d = docs
+    val expected = batchExact(d)
+    val exactFp = d.groupBy(col("lang"))
+      .agg(countDistinct(graft.llm.TextAnalysis.fingerprint(col("text")))
+        .as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val live = new graft.llm.CorpusStatsLive("lang", "text", "ts")
+    // three micro-batches by doc_id ranges (disjoint cover)
+    val n = d.count()
+    val cuts = Seq(0L -> n / 3, n / 3 -> 2 * n / 3, 2 * n / 3 -> (n + 1))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      live.foreachBatch(d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        i.toLong)
+    }
+    assert(snapExact(live) == expected,
+      "exact columns must replay the one-shot batch aggregate bit-for-bit")
+    // lgConfigK=12 → relative std error ~1.04/√4096 ≈ 1.6%; check 3σ
+    live.snapshot.select("lang", "distinct_fps", "docs", "dup_rate_est")
+      .collect().foreach { r =>
+        val exact = exactFp(r.getString(0)).toDouble
+        val est = r.getLong(1).toDouble
+        assert(math.abs(est - exact) <= math.max(3.0, 0.05 * exact),
+          s"lang ${r.getString(0)}: HLL estimate $est vs exact $exact")
+        val dup = r.getDouble(3)
+        assert(dup >= 0.0 && dup <= 1.0, s"dup_rate_est $dup out of [0,1]")
+      }
+  }
+
+  test("durable arm: restart resumes from the committed store; a replayed " +
+    "batchId never re-merges") {
+    val d = docs
+    val expected = batchExact(d)
+    val store = "file:" +
+      java.nio.file.Files.createTempDirectory("corpus_live").toString
+    val n = d.count()
+    val half1 = d.filter(col("doc_id") < n / 2)
+    val half2 = d.filter(col("doc_id") >= n / 2)
+
+    val live1 = new graft.llm.CorpusStatsLive("lang", "text", "ts",
+      storePath = Some(store))
+    live1.foreachBatch(half1, 0L)
+    // writer 1 discarded; writer 2 resumes off the committed version
+    val live2 = new graft.llm.CorpusStatsLive("lang", "text", "ts",
+      storePath = Some(store))
+    live2.foreachBatch(half2, 1L)
+    assert(snapExact(live2) == expected,
+      "resumed durable store + merged partials must replay the batch " +
+        "aggregate exactly")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/v1/_COMMITTED")))
+    // idempotent replay: same batchId again must be a no-op merge
+    live2.foreachBatch(half2, 1L)
+    assert(snapExact(live2) == expected,
+      "a replayed batchId must re-publish, never re-merge")
+  }
+
+  test("DurableVersionedStore API: virgin reads, commit/replay, retention " +
+    "vacuums crash debris") {
+    import spark.implicits._
+    val path = "file:" +
+      java.nio.file.Files.createTempDirectory("dvs_unit").toString
+    val s = new graft.util.DurableVersionedStore(path, keepVersions = 2)
+    assert(s.latestCommitted(spark).isEmpty && s.committedVersions(spark).isEmpty)
+    assert(s.replayedSnapshot(spark, 0L).isEmpty)
+
+    s.commit(Seq((1L, "a")).toDF("id", "v"), 0L)
+    assert(s.committedVersions(spark) == Seq(0L))
+    // replay guard fires for an already-committed id, not a future one
+    assert(s.replayedSnapshot(spark, 0L).map(_.count()) == Some(1L))
+    assert(s.replayedSnapshot(spark, 1L).isEmpty)
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // an uncommitted half-written version (markerless): invisible to
+    // reads now, vacuumed by the next commit whose batchId passes it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/v50"))
+    assert(s.latestCommitted(spark).map(_.count()) == Some(1L))
+
+    (101L to 103L).foreach(b => s.commit(Seq((b, "x")).toDF("id", "v"), b))
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(dirs == Seq("v102", "v103"),
+      s"retention must keep exactly keepVersions=2 committed versions " +
+        s"and vacuum the v50 debris, got $dirs")
+
+    val e = intercept[IllegalArgumentException](
+      new graft.util.DurableVersionedStore(path, keepVersions = 1))
+    assert(e.getMessage.contains("at least 2"), e.getMessage)
+  }
+}
