@@ -3561,6 +3561,42 @@ object SparkEntry {
           round(col("p_change"), 8).as("p_change"),
           round(col("mu_map"), 8).as("mu_map"))
     },
+    // Banded left matrix profile (MatrixProfile.leftProfileBy — Yeh
+    // et al. ICDM 2016 definition, STOMP's per-diagonal recursion,
+    // Zhu et al. 2016): per event type, block the value series into
+    // exact 50-id sums, then every length-8 window's distance to its
+    // nearest EARLIER window within lags 8..39 — motif (profile min)
+    // and discord (profile max) discovery, the questions the
+    // change-point battery doesn't answer. All distances are EXACT
+    // scale-8 integers (quantized series, Math.*Exact), so the oracle
+    // replays by direct summation — exactness makes the O(1)-state
+    // recursion and the O(w) definition IDENTICAL, and the one IEEE
+    // readout (sqrt/10⁴) is a correctly-rounded op in both engines.
+    "q_matrix_profile" -> { (s, dir) =>
+      val pts = graft.operators.ChangePoint.blockSeries(
+        Sources.table(s, dir, "events"), "event_type", "event_id", "value",
+        grain = lit(50.0))
+      graft.operators.MatrixProfile.leftProfileBy(pts, "key", "ord", "v",
+          w = 8, band = 32)
+        .withColumn("dist", round(col("dist"), 8))
+    },
+    // Z-NORMALIZED banded left matrix profile (leftProfileZBy) — the
+    // literature's default semantics: dz² = 2w(1 − r) with r the
+    // windows' Pearson correlation, i.e. SHAPE similarity independent
+    // of level and amplitude (the raw profile above sees a level
+    // shift as distance; this one sees through it). One fixed IEEE
+    // chain from exact integer sums (Σx, Σx², Σxy via the same
+    // diagonal recursion), replayed verbatim by the oracle; constant
+    // windows carry no shape — skipped as candidates, no row as
+    // queries (both engines filter a > 0).
+    "q_matrix_profile_z" -> { (s, dir) =>
+      val pts = graft.operators.ChangePoint.blockSeries(
+        Sources.table(s, dir, "events"), "event_type", "event_id", "value",
+        grain = lit(50.0))
+      graft.operators.MatrixProfile.leftProfileZBy(pts, "key", "ord", "v",
+          w = 8, band = 32)
+        .withColumn("dist", round(col("dist"), 8))
+    },
     // Per-tumbling-window exact AMOC split (ChangePoint.amocSplitBy
     // with the window start as the key) — the batch frame of the
     // amocStream live monitor: "where in this window did the level
@@ -9054,6 +9090,92 @@ object SparkEntry {
         |  round(CAST(si AS DOUBLE) / 10000.0 / i, 8) AS mean_left,
         |  round(CAST(s - si AS DOUBLE) / 10000.0 / (n - i), 8) AS mean_right
         |FROM p WHERE rn = 1""".stripMargin,
+    // the banded left matrix profile by DIRECT summation (the
+    // definition) — exact integers make it identical to the Spark
+    // arm's per-diagonal recursion; ties break (dist2, then smallest
+    // neighbor), the one IEEE readout is a correctly-rounded sqrt
+    "q_matrix_profile" ->
+      """WITH blocks AS (
+        |  SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS bord,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS q
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT key, bord, q,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY bord) - 1 AS BIGINT) AS i
+        |  FROM blocks),
+        |nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |pairs AS (
+        |  SELECT sa.key, sa.i AS i, sb.i AS j
+        |  FROM s sa
+        |  JOIN s sb ON sb.key = sa.key AND sb.i BETWEEN sa.i - 39 AND sa.i - 8
+        |  JOIN nn ON nn.key = sa.key
+        |  WHERE sa.i <= nn.n - 8),
+        |dist AS (
+        |  SELECT p.key, p.i, p.j,
+        |    CAST(SUM((x.q - y.q) * (x.q - y.q)) AS BIGINT) AS d2
+        |  FROM pairs p
+        |  JOIN s x ON x.key = p.key AND x.i BETWEEN p.i AND p.i + 7
+        |  JOIN s y ON y.key = p.key AND y.i = x.i - (p.i - p.j)
+        |  GROUP BY 1, 2, 3),
+        |sel AS (
+        |  SELECT key, i, j, d2,
+        |    row_number() OVER (PARTITION BY key, i ORDER BY d2, j) AS rn
+        |  FROM dist)
+        |SELECT sel.key AS key, sel.i AS ord, s2.bord AS ts, sel.j AS nn_ord,
+        |  sel.i - sel.j AS nn_lag, sel.d2 AS dist2,
+        |  round(sqrt(CAST(sel.d2 AS DOUBLE)) / 10000.0, 8) AS dist
+        |FROM sel JOIN s s2 ON s2.key = sel.key AND s2.i = sel.i
+        |WHERE sel.rn = 1""".stripMargin,
+    // the z-normalized banded profile: window sums by frame, the dot
+    // product by direct summation, then the SAME fixed IEEE chain as
+    // the Scala core (num/sqrt(a·b), 2·w·(1−r), greatest-0 guard) —
+    // every operand an exact BIGINT, so the doubles agree bit-for-bit
+    "q_matrix_profile_z" ->
+      """WITH blocks AS (
+        |  SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS bord,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS q
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT key, bord, q,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY bord) - 1 AS BIGINT) AS i
+        |  FROM blocks),
+        |nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |ws AS (
+        |  SELECT key, i, bord,
+        |    CAST(SUM(q) OVER wd AS BIGINT) AS sw,
+        |    CAST(SUM(q * q) OVER wd AS BIGINT) AS qw
+        |  FROM s WINDOW wd AS (PARTITION BY key ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+        |pairs AS (
+        |  SELECT sa.key, sa.i AS i, sb.i AS j, sa.bord AS bord,
+        |    sa.sw AS si, sa.qw AS qi, sb.sw AS sj, sb.qw AS qj
+        |  FROM ws sa
+        |  JOIN ws sb ON sb.key = sa.key AND sb.i BETWEEN sa.i - 39 AND sa.i - 8
+        |  JOIN nn ON nn.key = sa.key
+        |  WHERE sa.i <= nn.n - 8
+        |    AND 8 * sa.qw - sa.sw * sa.sw > 0
+        |    AND 8 * sb.qw - sb.sw * sb.sw > 0),
+        |qt AS (
+        |  SELECT p.key, p.i, p.j, CAST(SUM(x.q * y.q) AS BIGINT) AS qt
+        |  FROM pairs p
+        |  JOIN s x ON x.key = p.key AND x.i BETWEEN p.i AND p.i + 7
+        |  JOIN s y ON y.key = p.key AND y.i = x.i - (p.i - p.j)
+        |  GROUP BY 1, 2, 3),
+        |dz AS (
+        |  SELECT p.key, p.i, p.j, p.bord,
+        |    greatest(0.0, 2.0 * 8.0 * (1.0
+        |      - CAST(8 * qt.qt - p.si * p.sj AS DOUBLE)
+        |        / sqrt(CAST(8 * p.qi - p.si * p.si AS DOUBLE)
+        |             * CAST(8 * p.qj - p.sj * p.sj AS DOUBLE)))) AS dz2
+        |  FROM pairs p
+        |  JOIN qt ON qt.key = p.key AND qt.i = p.i AND qt.j = p.j),
+        |sel AS (
+        |  SELECT key, i, j, bord, dz2,
+        |    row_number() OVER (PARTITION BY key, i ORDER BY dz2, j) AS rn
+        |  FROM dz)
+        |SELECT key, i AS ord, bord AS ts, j AS nn_ord, i - j AS nn_lag,
+        |  round(sqrt(dz2), 8) AS dist
+        |FROM sel WHERE rn = 1""".stripMargin,
     // both recursion levels replayed: split -> re-window per (key,
     // seg) -> split, same accept criteria and gain chain; final ids
     // densified by segment start like the operator

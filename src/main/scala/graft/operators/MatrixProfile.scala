@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded left matrix profile — time-series motif and discord discovery
+  * (Yeh et al., "Matrix Profile I", ICDM 2016; the incremental
+  * per-diagonal recursion is STOMP's, Zhu et al. ICDM 2016): for every
+  * length-`w` window of a per-key series, the distance to its nearest
+  * EARLIER window within a bounded lag band. A near-zero profile value
+  * is a motif (the window repeats); the profile maximum is the discord
+  * (the series' most anomalous window) — the two questions the
+  * change-point battery (level shifts) does not answer. Two distance
+  * semantics, one core:
+  *
+  *  - [[leftProfileBy]]: RAW squared Euclidean distance — exact scale-8
+  *    integers end to end, level shifts count as differences.
+  *  - [[leftProfileZBy]]: Z-NORMALIZED distance (the literature's
+  *    default — shape similarity independent of level and amplitude):
+  *    dz² = 2w(1 − r) with r the Pearson correlation of the two
+  *    windows, computed through ONE fixed IEEE chain from exact
+  *    integer sums (Σx, Σx², Σxy), so the SQL oracle replays it
+  *    bit-for-bit. Zero-variance (constant) windows carry no shape:
+  *    they are skipped as candidates and emit no row as queries.
+  *
+  * Spark-first shape: the reference literature computes an all-pairs
+  * O(n²) profile with FFT dot products; at 100 TB all-pairs is the
+  * wrong contract and FFT doubles are not oracle-replayable. This
+  * operator is the BANDED profile: candidates are the `band` lags
+  * `minLag .. minLag+band−1` (minLag ≥ w by default — non-overlapping
+  * windows, the trivial-match exclusion zone), so work is O(n·band)
+  * per key via the exact per-diagonal dot-product recursion
+  * QT(d,i) = QT(d,i−1) − q_{i−1}·q_{i−d−1} + q_{i+w−1}·q_{i−d+w−1}
+  * (raw dist² falls out exactly as Q_i + Q_j − 2·QT) and state is
+  * O(w + band). The per-key sorted-scan fold is the
+  * [[ChangePoint.peltBy]] shape (repartition(key) + in-partition sort +
+  * JVM fold; the key axis is the parallelism; `maxPoints` guards
+  * loudly — pre-bucket long series with [[ChangePoint.blockSeries]]).
+  * The full (bidirectional) profile is the composition min(left
+  * profile, left profile of the reversed series) — the left form is
+  * the one with a true online twin.
+  *
+  * Exactness: the metric quantizes to scale-4 integers, every sum is
+  * an exact Long (Math.*Exact — overflow raises loudly: w·(2·10⁴·
+  * |x|max)² must stay under 2⁶³, i.e. |x| ≲ 7·10⁴ metric units at
+  * w = 16), ties break to the SMALLEST neighbor position, and the
+  * IEEE readouts (raw: sqrt(dist2)/10⁴; z: the r chain) are fixed
+  * operation sequences on exact operands — bit-equal in any IEEE
+  * engine, so the SQL oracles replay every row by direct summation
+  * (exact integers make the recursion and the definition IDENTICAL,
+  * not merely close).
+  *
+  * One row per key per window start i ≥ minLag: (key, ord = i (0-based
+  * rank in ts order), ts = window-start event ts, nn_ord = the
+  * nearest earlier window start, nn_lag = ord − nn_ord, then raw:
+  * dist2 = exact scale-8 integer distance² and dist = sqrt(dist2)/10⁴;
+  * z: dist = √(2w(1−r))). `tsCol` must be unique per key (checked
+  * in-scan); the metric non-null. */
+object MatrixProfile {
+
+  /** Per-key incremental state for the shared core: `pts`/`tss` ring
+    * buffers of the last `w + minLag + band` points (quantized) and
+    * the last `w` order keys; derived (all recomputable from the
+    * rings — the stream twin persists only rings + n): `diag(c)` =
+    * QT(minLag+c, i) for the last completed window i, `winS`/`winQ`
+    * rings of the last `minLag + band` window sums Σx / Σx², `curS`/
+    * `curQ` the running sums of the last w points, `n` points seen. */
+  private[graft] final class MpState(val w: Int, val minLag: Int,
+                                     val band: Int) {
+    val cap: Int = w + minLag + band
+    val sumCap: Int = minLag + band
+    val pts = new Array[Long](cap)
+    val tss = new Array[Any](w)
+    val diag = new Array[Long](band)
+    val winS = new Array[Long](sumCap)
+    val winQ = new Array[Long](sumCap)
+    var curS = 0L
+    var curQ = 0L
+    var n: Long = 0L
+
+    def pt(idx: Long): Long = pts((idx % cap).toInt)
+    def put(idx: Long, q: Long): Unit = pts((idx % cap).toInt) = q
+    def ts(idx: Long): Any = tss((idx % w).toInt)
+    def putTs(idx: Long, t: Any): Unit = tss((idx % w).toInt) = t
+    def wS(wi: Long): Long = winS((wi % sumCap).toInt)
+    def wQ(wi: Long): Long = winQ((wi % sumCap).toInt)
+
+    /** Rebuild every derived field from the `pts` ring and `n` — the
+      * stream twin calls this after restoring the rings, so its
+      * persisted state is just (pts, tss, n): exact Long arithmetic
+      * makes the recomputation identical to the incremental updates. */
+    def recomputeDerived(): Unit = {
+      val i = n - w // last completed window start, or negative
+      curS = 0L; curQ = 0L
+      val lo = math.max(0L, n - w)
+      var p = lo
+      while (p < n) {
+        curS = Math.addExact(curS, pt(p))
+        curQ = Math.addExact(curQ, Math.multiplyExact(pt(p), pt(p)))
+        p += 1
+      }
+      val wlo = math.max(0L, i - sumCap + 1)
+      var wi = wlo
+      while (wi <= i) {
+        var s = 0L; var q2 = 0L
+        var k = 0
+        while (k < w) {
+          val v = pt(wi + k)
+          s = Math.addExact(s, v)
+          q2 = Math.addExact(q2, Math.multiplyExact(v, v))
+          k += 1
+        }
+        winS((wi % sumCap).toInt) = s
+        winQ((wi % sumCap).toInt) = q2
+        wi += 1
+      }
+      var c = 0
+      while (c < band) {
+        val j = i - (minLag + c)
+        if (i >= 0 && j >= 0) {
+          var s = 0L
+          var k = 0
+          while (k < w) {
+            s = Math.addExact(s, Math.multiplyExact(pt(i + k), pt(j + k)))
+            k += 1
+          }
+          diag(c) = s
+        }
+        c += 1
+      }
+    }
+  }
+
+  /** One arrival — the numeric core SHARED by the batch arms and the
+    * live twins in [[graft.streaming.MatrixProfileStream]]
+    * (bit-identical by construction, the bocpdStep pattern): ingest
+    * quantized point q_t, advance every valid diagonal's dot product
+    * (full O(w) sum the first time a diagonal comes in range, O(1)
+    * incremental after), and return the completed window's
+    * (ord, ts, nnOrd, dist2 | dz2) — or null if no window completed,
+    * no earlier candidate exists yet, or (z mode) the window is
+    * constant. All sums are EXACT Long (Math.*Exact raises loudly on
+    * a magnitude/window combination past the documented bound); the z
+    * readout is the one fixed IEEE chain the oracle replays. */
+  private[graft] def mpStep(st: MpState, q: Long, t: Any,
+                            zNorm: Boolean): Array[Any] = {
+    val tIdx = st.n // index of the arriving point
+    st.put(tIdx, q)
+    st.putTs(tIdx, t) // last w order keys: window start i = tIdx−w+1 stays
+    st.curS = Math.addExact(st.curS, q)
+    st.curQ = Math.addExact(st.curQ, Math.multiplyExact(q, q))
+    if (tIdx >= st.w) {
+      val old = st.pt(tIdx - st.w)
+      st.curS = Math.subtractExact(st.curS, old)
+      st.curQ = Math.subtractExact(st.curQ, Math.multiplyExact(old, old))
+    }
+    st.n += 1
+    val i = tIdx - st.w + 1 // start of the window this point completes
+    if (i >= 0) {
+      st.winS((i % st.sumCap).toInt) = st.curS
+      st.winQ((i % st.sumCap).toInt) = st.curQ
+    }
+    if (i < st.minLag) return null
+    val wL = st.w.toLong
+    // z mode: a constant window carries no shape — no row
+    val ai = if (zNorm) Math.subtractExact(Math.multiplyExact(wL, st.wQ(i)),
+      Math.multiplyExact(st.wS(i), st.wS(i))) else 0L
+    var bestRaw = Long.MaxValue
+    var bestZ = Double.MaxValue
+    var bestJ = -1L
+    var c = 0
+    while (c < st.band) {
+      val d = st.minLag + c
+      val j = i - d
+      if (j >= 0) {
+        if (j == 0) {
+          // first window on this diagonal: full exact dot product
+          var s = 0L
+          var k = 0
+          while (k < st.w) {
+            s = Math.addExact(s,
+              Math.multiplyExact(st.pt(i + k), st.pt(k.toLong)))
+            k += 1
+          }
+          st.diag(c) = s
+        } else {
+          st.diag(c) = Math.addExact(
+            Math.subtractExact(st.diag(c),
+              Math.multiplyExact(st.pt(i - 1), st.pt(j - 1))),
+            Math.multiplyExact(st.pt(tIdx), st.pt(tIdx - d)))
+        }
+        if (!zNorm) {
+          // raw dist² = Q_i + Q_j − 2·QT, exact
+          val d2 = Math.subtractExact(Math.addExact(st.wQ(i), st.wQ(j)),
+            Math.multiplyExact(2L, st.diag(c)))
+          // tie-break to the SMALLEST neighbor position: j shrinks as
+          // c grows, so equality replaces (j < bestJ always holds)
+          if (d2 < bestRaw || (d2 == bestRaw && j < bestJ)) {
+            bestRaw = d2; bestJ = j
+          }
+        } else if (ai > 0L) {
+          val bj = Math.subtractExact(Math.multiplyExact(wL, st.wQ(j)),
+            Math.multiplyExact(st.wS(j), st.wS(j)))
+          if (bj > 0L) {
+            // the ONE IEEE chain (oracle-replayed): r, then
+            // dz² = max(0, 2w(1−r)) — the max guards the ±ulp where a
+            // perfect match rounds r a hair past 1
+            val num = Math.subtractExact(
+              Math.multiplyExact(wL, st.diag(c)),
+              Math.multiplyExact(st.wS(i), st.wS(j)))
+            val r = num.toDouble / Math.sqrt(ai.toDouble * bj.toDouble)
+            val dz2 = math.max(0.0, 2.0 * wL.toDouble * (1.0 - r))
+            if (dz2 < bestZ || (dz2 == bestZ && j < bestJ)) {
+              bestZ = dz2; bestJ = j
+            }
+          }
+        }
+      }
+      c += 1
+    }
+    if (bestJ < 0) null
+    else if (zNorm) Array(i, st.ts(i), bestJ, bestZ)
+    else Array(i, st.ts(i), bestJ, bestRaw)
+  }
+
+  private def profile(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, w: Int, band: Int, minLag: Int,
+                      maxPoints: Int, zNorm: Boolean): DataFrame = {
+    val lag = if (minLag < 0) w else minLag
+    require(w >= 2, s"window w=$w must be at least 2")
+    require(band >= 1, "band must be at least 1")
+    require(lag >= w, s"minLag=$lag must be >= w=$w - overlapping windows " +
+      "trivially match themselves (the exclusion-zone contract)")
+    require(maxPoints >= w, "maxPoints must be at least w")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(valueCol).cast("decimal(18,4)").as("__x"))
+    val distCols =
+      if (zNorm) Seq(StructField("dist", DoubleType))
+      else Seq(StructField("dist2", LongType), StructField("dist", DoubleType))
+    val outSchema = StructType(Seq(
+      StructField("key", base.schema("__k").dataType),
+      StructField("ord", LongType),
+      StructField("ts", base.schema("__t").dataType),
+      StructField("nn_ord", LongType),
+      StructField("nn_lag", LongType)) ++ distCols)
+    val opName = if (zNorm) "leftProfileZBy" else "leftProfileBy"
+    val sorted = base.repartition(col("__k")).sortWithinPartitions("__k", "__t")
+    sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var curKey: Any = null
+      var open = false
+      var st: MpState = null
+      var lastTs: Any = null
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!open || k != curKey) {
+          st = new MpState(w, lag, band); curKey = k; open = true
+          lastTs = null
+        }
+        require(!r.isNullAt(2),
+          s"$opName: null metric value - filter or impute nulls first")
+        require(st.n == 0 || lastTs != r.get(1),
+          s"$opName: duplicate order key ${r.get(1)} within a key - " +
+            "tsCol must be unique per key (feed a composite/sequence column)")
+        lastTs = r.get(1)
+        require(st.n < maxPoints,
+          s"$opName: a key exceeds maxPoints=$maxPoints - " +
+            "pre-aggregate the series into block sums (blockSeries)")
+        val q = r.getDecimal(2).unscaledValue().longValueExact()
+        val res = mpStep(st, q, r.get(1), zNorm)
+        if (res != null) {
+          val i = res(0).asInstanceOf[Long]
+          val j = res(2).asInstanceOf[Long]
+          if (zNorm) {
+            val dz2 = res(3).asInstanceOf[Double]
+            out += Row(curKey, i, res(1), j, i - j, Math.sqrt(dz2))
+          } else {
+            val d2 = res(3).asInstanceOf[Long]
+            out += Row(curKey, i, res(1), j, i - j, d2,
+              Math.sqrt(d2.toDouble) / 1e4)
+          }
+        }
+      }
+      out.iterator
+    }(Encoders.row(outSchema))
+  }
+
+  /** Raw squared-Euclidean banded left profile — see the object doc.
+    * Output: (key, ord, ts, nn_ord, nn_lag, dist2, dist). */
+  def leftProfileBy(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, w: Int, band: Int,
+                    minLag: Int = -1, maxPoints: Int = 100000): DataFrame =
+    profile(df, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
+      zNorm = false)
+
+  /** Z-normalized banded left profile (the literature's semantics:
+    * shape similarity, level/amplitude-invariant) — see the object
+    * doc. Constant windows emit no row and never match. Output:
+    * (key, ord, ts, nn_ord, nn_lag, dist = √(2w(1−r))). */
+  def leftProfileZBy(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, w: Int, band: Int,
+                     minLag: Int = -1, maxPoints: Int = 100000): DataFrame =
+    profile(df, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
+      zNorm = true)
+}

@@ -42,7 +42,7 @@ object ChangePointStream {
   /** The in-order/unique-ts contract check shared by both detectors:
     * events apply in strictly increasing ts order per key, across
     * batch boundaries. */
-  private def checkInOrder(op: String, key: String, ts: Long, lastTs: Long): Unit =
+  private[streaming] def checkInOrder(op: String, key: String, ts: Long, lastTs: Long): Unit =
     require(ts > lastTs,
       s"$op: out-of-order event for key $key (ts=$ts after ts=$lastTs) - " +
         "the streaming twins require in-order, unique-ts delivery per key " +
