@@ -93,7 +93,17 @@ object Forecast {
         col(valCol).cast("double").as("y"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1).flatMapGroups { (key, it) =>
-        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val rows = it.toArray.sortBy(_._2)
+        // in-scan order contract (the peltBy discipline): a duplicate
+        // ord would make the sorted fold's tie order partition-dependent
+        var d = 1
+        while (d < rows.length) {
+          require(rows(d)._2 != rows(d - 1)._2,
+            s"holtWinters: duplicate order key ${rows(d)._2} within key " +
+              s"$key - ordCol must be unique per key")
+          d += 1
+        }
+        val ys = rows.map(_._3)
         if (ys.isEmpty) Iterator.empty
         else {
           val s = new Array[Double](period)
@@ -102,11 +112,8 @@ object Forecast {
           out(0) = (key, 0, ys(0), None, l, b)
           var t = 1
           while (t < ys.length) {
-            val slot = t % period
-            val fitted = l + b + s(slot)
-            val lNew = alpha * (ys(t) - s(slot)) + (1 - alpha) * (l + b)
-            val bNew = beta * (lNew - l) + (1 - beta) * b
-            s(slot) = gamma * (ys(t) - lNew) + (1 - gamma) * s(slot)
+            val (fitted, lNew, bNew) =
+              hwStep(l, b, s, t % period, ys(t), alpha, beta, gamma)
             l = lNew; b = bNew
             out(t) = (key, t, ys(t), Some(fitted), l, b)
             t += 1
@@ -114,6 +121,22 @@ object Forecast {
           out.iterator
         }
       }.toDF(keyCol, "t", "y", "fitted", "level", "trend")
+  }
+
+  /** One Holt-Winters update — the numeric core SHARED by
+    * [[holtWinters]] and the live twin
+    * [[graft.streaming.ForecastStream.holtWintersStream]] (the
+    * bocpdStep pattern: sharing the fixed-association double
+    * expressions makes batch≡stream bit-parity a construction
+    * property). Mutates `s(slot)`; returns (fitted, l', b'). */
+  private[graft] def hwStep(l: Double, b: Double, s: Array[Double], slot: Int,
+                            y: Double, alpha: Double, beta: Double,
+                            gamma: Double): (Double, Double, Double) = {
+    val fitted = l + b + s(slot)
+    val lNew = alpha * (y - s(slot)) + (1 - alpha) * (l + b)
+    val bNew = beta * (lNew - l) + (1 - beta) * b
+    s(slot) = gamma * (y - lNew) + (1 - gamma) * s(slot)
+    (fitted, lNew, bNew)
   }
 
   /** Per-key OLS trend — slope/intercept/R² of value against elapsed
