@@ -3597,6 +3597,21 @@ object SparkEntry {
           w = 8, band = 32)
         .withColumn("dist", round(col("dist"), 8))
     },
+    // FULL (bidirectional) banded profile (fullProfileBy) — the
+    // literature's matrix profile artifact: nearest neighbor among
+    // both earlier AND later windows (nn_lag negative = later),
+    // composed as min(forward scan, reversed scan) where the reversed
+    // arm tie-breaks first-wins (= smallest ORIGINAL neighbor), so the
+    // cross-arm struct-min reproduces the oracle's global
+    // ORDER BY (dist2, j) exactly.
+    "q_matrix_profile_full" -> { (s, dir) =>
+      val pts = graft.operators.ChangePoint.blockSeries(
+        Sources.table(s, dir, "events"), "event_type", "event_id", "value",
+        grain = lit(50.0))
+      graft.operators.MatrixProfile.fullProfileBy(pts, "key", "ord", "v",
+          w = 8, band = 32)
+        .withColumn("dist", round(col("dist"), 8))
+    },
     // Per-tumbling-window exact AMOC split (ChangePoint.amocSplitBy
     // with the window start as the key) — the batch frame of the
     // amocStream live monitor: "where in this window did the level
@@ -9163,19 +9178,53 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3),
         |dz AS (
         |  SELECT p.key, p.i, p.j, p.bord,
-        |    greatest(0.0, 2.0 * 8.0 * (1.0
+        |    sqrt(greatest(0.0, 2.0 * 8.0 * (1.0
         |      - CAST(8 * qt.qt - p.si * p.sj AS DOUBLE)
         |        / sqrt(CAST(8 * p.qi - p.si * p.si AS DOUBLE)
-        |             * CAST(8 * p.qj - p.sj * p.sj AS DOUBLE)))) AS dz2
+        |             * CAST(8 * p.qj - p.sj * p.sj AS DOUBLE))))) AS dzd
         |  FROM pairs p
         |  JOIN qt ON qt.key = p.key AND qt.i = p.i AND qt.j = p.j),
         |sel AS (
-        |  SELECT key, i, j, bord, dz2,
-        |    row_number() OVER (PARTITION BY key, i ORDER BY dz2, j) AS rn
+        |  SELECT key, i, j, bord, dzd,
+        |    row_number() OVER (PARTITION BY key, i ORDER BY dzd, j) AS rn
         |  FROM dz)
         |SELECT key, i AS ord, bord AS ts, j AS nn_ord, i - j AS nn_lag,
-        |  round(sqrt(dz2), 8) AS dist
+        |  round(dzd, 8) AS dist
         |FROM sel WHERE rn = 1""".stripMargin,
+    // the FULL profile: same direct summation, candidates from BOTH
+    // sides of the band (both windows complete), global (d2, j) argmin
+    "q_matrix_profile_full" ->
+      """WITH blocks AS (
+        |  SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS bord,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS q
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT key, bord, q,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY bord) - 1 AS BIGINT) AS i
+        |  FROM blocks),
+        |nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |pairs AS (
+        |  SELECT sa.key, sa.i AS i, sb.i AS j
+        |  FROM s sa
+        |  JOIN s sb ON sb.key = sa.key AND abs(sb.i - sa.i) BETWEEN 8 AND 39
+        |  JOIN nn ON nn.key = sa.key
+        |  WHERE sa.i <= nn.n - 8 AND sb.i <= nn.n - 8),
+        |dist AS (
+        |  SELECT p.key, p.i, p.j,
+        |    CAST(SUM((x.q - y.q) * (x.q - y.q)) AS BIGINT) AS d2
+        |  FROM pairs p
+        |  JOIN s x ON x.key = p.key AND x.i BETWEEN p.i AND p.i + 7
+        |  JOIN s y ON y.key = p.key AND y.i = x.i - (p.i - p.j)
+        |  GROUP BY 1, 2, 3),
+        |sel AS (
+        |  SELECT key, i, j, d2,
+        |    row_number() OVER (PARTITION BY key, i ORDER BY d2, j) AS rn
+        |  FROM dist)
+        |SELECT sel.key AS key, sel.i AS ord, s2.bord AS ts, sel.j AS nn_ord,
+        |  sel.i - sel.j AS nn_lag, sel.d2 AS dist2,
+        |  round(sqrt(CAST(sel.d2 AS DOUBLE)) / 10000.0, 8) AS dist
+        |FROM sel JOIN s s2 ON s2.key = sel.key AND s2.i = sel.i
+        |WHERE sel.rn = 1""".stripMargin,
     // both recursion levels replayed: split -> re-window per (key,
     // seg) -> split, same accept criteria and gain chain; final ids
     // densified by segment start like the operator

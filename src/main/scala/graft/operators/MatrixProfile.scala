@@ -143,7 +143,11 @@ object MatrixProfile {
     * a magnitude/window combination past the documented bound); the z
     * readout is the one fixed IEEE chain the oracle replays. */
   private[graft] def mpStep(st: MpState, q: Long, t: Any,
-                            zNorm: Boolean): Array[Any] = {
+                            zNorm: Boolean): Array[Any] =
+    mpStep(st, q, t, zNorm, tieKeepFirst = false)
+
+  private[graft] def mpStep(st: MpState, q: Long, t: Any,
+                            zNorm: Boolean, tieKeepFirst: Boolean): Array[Any] = {
     val tIdx = st.n // index of the arriving point
     st.put(tIdx, q)
     st.putTs(tIdx, t) // last w order keys: window start i = tIdx−w+1 stays
@@ -193,9 +197,13 @@ object MatrixProfile {
           // raw dist² = Q_i + Q_j − 2·QT, exact
           val d2 = Math.subtractExact(Math.addExact(st.wQ(i), st.wQ(j)),
             Math.multiplyExact(2L, st.diag(c)))
-          // tie-break to the SMALLEST neighbor position: j shrinks as
-          // c grows, so equality replaces (j < bestJ always holds)
-          if (d2 < bestRaw || (d2 == bestRaw && j < bestJ)) {
+          // tie-break: j shrinks as c grows, so REPLACING on equality
+          // keeps the smallest neighbor position (the forward arms'
+          // contract); tieKeepFirst keeps the first candidate instead —
+          // the REVERSED scan's j are descending in reversed coords =
+          // ascending original positions, so first-wins is again the
+          // smallest ORIGINAL neighbor (fullProfileBy's composition)
+          if (d2 < bestRaw || (!tieKeepFirst && d2 == bestRaw && j < bestJ)) {
             bestRaw = d2; bestJ = j
           }
         } else if (ai > 0L) {
@@ -209,9 +217,13 @@ object MatrixProfile {
               Math.multiplyExact(wL, st.diag(c)),
               Math.multiplyExact(st.wS(i), st.wS(j)))
             val r = num.toDouble / Math.sqrt(ai.toDouble * bj.toDouble)
-            val dz2 = math.max(0.0, 2.0 * wL.toDouble * (1.0 - r))
-            if (dz2 < bestZ || (dz2 == bestZ && j < bestJ)) {
-              bestZ = dz2; bestJ = j
+            // compare on the SQRT'd distance, not dz²: adjacent dz²
+            // doubles can collide under sqrt, and the candidate scan,
+            // fullProfile's cross-arm min and the SQL ORDER BY must all
+            // rank by the same measure or a collision flips a tie-break
+            val dz = Math.sqrt(math.max(0.0, 2.0 * wL.toDouble * (1.0 - r)))
+            if (dz < bestZ || (!tieKeepFirst && dz == bestZ && j < bestJ)) {
+              bestZ = dz; bestJ = j
             }
           }
         }
@@ -223,9 +235,19 @@ object MatrixProfile {
     else Array(i, st.ts(i), bestJ, bestRaw)
   }
 
+  /** The shared fold. `reversed = true` runs the SAME left-profile scan
+    * over the key's series in DESCENDING order — a "left neighbor" in
+    * reversed coordinates is a RIGHT (later) neighbor in original ones —
+    * and remaps indices back at key flush (original window start
+    * i = n − w − i_rev; the original window-start order key is the
+    * ARRIVING point of the reversed window). Reversed ties keep the
+    * FIRST candidate (= the smallest original neighbor position), so
+    * [[fullProfileBy]]'s min-of-both-arms composition reproduces the
+    * global (distance, smallest-neighbor) argmin exactly. */
   private def profile(df: DataFrame, keyCol: String, tsCol: String,
                       valueCol: String, w: Int, band: Int, minLag: Int,
-                      maxPoints: Int, zNorm: Boolean): DataFrame = {
+                      maxPoints: Int, zNorm: Boolean,
+                      reversed: Boolean = false): DataFrame = {
     val lag = if (minLag < 0) w else minLag
     require(w >= 2, s"window w=$w must be at least 2")
     require(band >= 1, "band must be at least 1")
@@ -246,16 +268,34 @@ object MatrixProfile {
       StructField("nn_ord", LongType),
       StructField("nn_lag", LongType)) ++ distCols)
     val opName = if (zNorm) "leftProfileZBy" else "leftProfileBy"
-    val sorted = base.repartition(col("__k")).sortWithinPartitions("__k", "__t")
+    val sorted = base.repartition(col("__k")).sortWithinPartitions(
+      col("__k"), if (reversed) col("__t").desc else col("__t").asc)
     sorted.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      // reversed rows wait for the key's n before index remapping
+      val pend = scala.collection.mutable.ArrayBuffer.empty[(Long, Any, Long, Any)]
       var curKey: Any = null
       var open = false
       var st: MpState = null
       var lastTs: Any = null
+      def emit(key: Any, i: Long, ts: Any, j: Long, measure: Any): Unit =
+        if (zNorm)
+          out += Row(key, i, ts, j, i - j, measure.asInstanceOf[Double])
+        else {
+          val d2 = measure.asInstanceOf[Long]
+          out += Row(key, i, ts, j, i - j, d2, Math.sqrt(d2.toDouble) / 1e4)
+        }
+      def flushKey(): Unit = if (reversed && open && pend.nonEmpty) {
+        val n = st.n
+        pend.foreach { case (iR, tsS, jR, m) =>
+          emit(curKey, n - w - iR, tsS, n - w - jR, m)
+        }
+        pend.clear()
+      }
       it.foreach { r =>
         val k = r.get(0)
         if (!open || k != curKey) {
+          flushKey()
           st = new MpState(w, lag, band); curKey = k; open = true
           lastTs = null
         }
@@ -269,20 +309,15 @@ object MatrixProfile {
           s"$opName: a key exceeds maxPoints=$maxPoints - " +
             "pre-aggregate the series into block sums (blockSeries)")
         val q = r.getDecimal(2).unscaledValue().longValueExact()
-        val res = mpStep(st, q, r.get(1), zNorm)
+        val res = mpStep(st, q, r.get(1), zNorm, tieKeepFirst = reversed)
         if (res != null) {
           val i = res(0).asInstanceOf[Long]
           val j = res(2).asInstanceOf[Long]
-          if (zNorm) {
-            val dz2 = res(3).asInstanceOf[Double]
-            out += Row(curKey, i, res(1), j, i - j, Math.sqrt(dz2))
-          } else {
-            val d2 = res(3).asInstanceOf[Long]
-            out += Row(curKey, i, res(1), j, i - j, d2,
-              Math.sqrt(d2.toDouble) / 1e4)
-          }
+          if (reversed) pend += ((i, r.get(1), j, res(3)))
+          else emit(curKey, i, res(1), j, res(3))
         }
       }
+      flushKey()
       out.iterator
     }(Encoders.row(outSchema))
   }
@@ -304,4 +339,58 @@ object MatrixProfile {
                      minLag: Int = -1, maxPoints: Int = 100000): DataFrame =
     profile(df, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
       zNorm = true)
+
+  private def fullCompose(left: DataFrame, right: DataFrame,
+                          measureCols: Seq[String]): DataFrame = {
+    // min of both arms by (measure, neighbor position): each arm's
+    // winner is its side's (measure, smallest-j) argmin, so the struct
+    // min across the two IS the global one — exactly the oracle's
+    // ORDER BY measure, j LIMIT 1 over candidates from both directions
+    val m = struct((measureCols :+ "nn_ord").map(col): _*)
+    left.unionByName(right)
+      .groupBy("key", "ord", "ts")
+      .agg(min(m).as("__m"))
+      .select(Seq(col("key"), col("ord"), col("ts"),
+        col("__m.nn_ord").as("nn_ord"),
+        (col("ord") - col("__m.nn_ord")).as("nn_lag")) ++
+        measureCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** The FULL (bidirectional) banded profile — the literature's matrix
+    * profile artifact: each window's nearest neighbor among BOTH
+    * earlier and later windows within the lag band (|ord − nn_ord| in
+    * `minLag..minLag+band−1`). Composition of the forward scan and the
+    * same scan over the reversed series (the input rides a
+    * `Caching.barrier` so the two arms share one scan/prepare instead
+    * of replanning it — caller releases per the repo's barrier
+    * discipline; one extra keyed exchange for the min-merge);
+    * `nn_lag` is negative for a later neighbor. The full profile has
+    * no online form — a window's right neighbors are the future —
+    * which is why the LEFT profile is the streaming twin. Output
+    * schema = [[leftProfileBy]]'s. */
+  def fullProfileBy(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, w: Int, band: Int,
+                    minLag: Int = -1, maxPoints: Int = 100000): DataFrame = {
+    val b = graft.util.Caching.barrier(df)
+    fullCompose(
+      profile(b, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
+        zNorm = false),
+      profile(b, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
+        zNorm = false, reversed = true),
+      Seq("dist2", "dist"))
+  }
+
+  /** [[fullProfileBy]]'s z-normalized arm — full bidirectional SHAPE
+    * profile. Output schema = [[leftProfileZBy]]'s. */
+  def fullProfileZBy(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, w: Int, band: Int,
+                     minLag: Int = -1, maxPoints: Int = 100000): DataFrame = {
+    val b = graft.util.Caching.barrier(df)
+    fullCompose(
+      profile(b, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
+        zNorm = true),
+      profile(b, keyCol, tsCol, valueCol, w, band, minLag, maxPoints,
+        zNorm = true, reversed = true),
+      Seq("dist"))
+  }
 }

@@ -33,6 +33,11 @@ object ForecastStream {
          state: org.apache.spark.sql.streaming.GroupState[HwState]) =>
           val prev = state.getOption.getOrElse(
             HwState(0.0, 0.0, List.fill(period)(0.0), 0L, Long.MinValue))
+          require(prev.s.length == period,
+            s"holtWintersStream: restored seasonal state has period " +
+              s"${prev.s.length} but the query was built with $period - " +
+              "a restarted query must keep its period (or start a fresh " +
+              "checkpoint)")
           var l = prev.l; var b = prev.b; var t = prev.t
           val s = prev.s.toArray
           var lastTs = prev.lastTs

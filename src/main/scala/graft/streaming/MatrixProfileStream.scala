@@ -101,6 +101,6 @@ object MatrixProfileStream {
     implicit val outEnc = Encoders.product[MpZReadout]
     run(events, w, band, minLag, zNorm = true, "leftProfileZStream",
       (key, i, t, j, res) => MpZReadout(key, i, t, j, i - j,
-        Math.sqrt(res(3).asInstanceOf[Double])))
+        res(3).asInstanceOf[Double]))
   }
 }

@@ -140,12 +140,12 @@ class MatrixProfileSpec extends AnyFunSuite {
           val qt = (0 until w).map(k => xs(i + k) * xs(j + k)).sum
           val r = (w.toLong * qt - s(i) * s(j)).toDouble /
             Math.sqrt(ai.toDouble * bj.toDouble)
-          (math.max(0.0, 2.0 * w * (1.0 - r)), j.toLong)
+          (Math.sqrt(math.max(0.0, 2.0 * w * (1.0 - r))), j.toLong)
         }
         if (cands.isEmpty) None
         else {
-          val (dz2, j) = cands.minBy(identity)
-          Some((i.toLong, j, Math.sqrt(dz2)))
+          val (dz, j) = cands.minBy(identity)
+          Some((i.toLong, j, dz))
         }
       }
     }
@@ -219,6 +219,73 @@ class MatrixProfileSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(live == batch,
       "z stream rows must be bit-identical to the batch profile")
+  }
+
+  /** Exhaustive bidirectional reference: candidates from BOTH sides of
+    * the band, global (dist2, smallest-neighbor) argmin. */
+  private def bruteFull(xs: Array[Long], w: Int, lag: Int, band: Int)
+      : Seq[(Long, Long, Long)] =
+    (0 to xs.length - w).flatMap { i =>
+      val cands = for {
+        j <- 0 to xs.length - w
+        d = math.abs(i - j)
+        if d >= lag && d < lag + band
+      } yield {
+        var s = BigInt(0)
+        (0 until w).foreach { k =>
+          val df = BigInt(xs(i + k)) - BigInt(xs(j + k))
+          s += df * df
+        }
+        (s, j.toLong)
+      }
+      if (cands.isEmpty) None
+      else {
+        val (d2, j) = cands.minBy(identity)
+        Some((i.toLong, j, d2.bigInteger.longValueExact()))
+      }
+    }
+
+  test("fullProfileBy == exhaustive bidirectional reference incl. global " +
+    "tie-breaks (seeded tie-rich property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    val w = 4; val band = 7; val lag = 5
+    val xs = Array.fill(45)((rnd.nextInt(7) - 3) * 0.5)
+    val rows = xs.zipWithIndex.map { case (x, i) => MpRow("f", i.toLong, x) }
+    val got = graft.operators.MatrixProfile
+      .fullProfileBy(rows.toSeq.toDF(), "key", "ord", "x", w, band, lag)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(4),
+        r.getDouble(6)))
+      .sortBy(_._1).toSeq
+    val q = xs.map(x => (x * 10000.0).round)
+    val want = bruteFull(q, w, lag, band).map { case (i, j, d2) =>
+      (i, j, d2, i - j, Math.sqrt(d2.toDouble) / 1e4)
+    }
+    assert(got == want, "the two-arm composition must reproduce the " +
+      "global bidirectional argmin exactly, ties to the smallest neighbor")
+    // windows past the left band's reach still profile (right neighbors)
+    assert(got.exists(t => t._1 < lag && t._4 < 0),
+      "an early window must match a LATER neighbor (negative lag)")
+    graft.util.Caching.release() // the composition's shared-scan barrier
+  }
+
+  test("fullProfileZBy: a shape planted only LATER is found with negative " +
+    "lag; left arm alone cannot see it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val w = 5
+    val xs = Array.fill(40)(rnd.nextInt(100) / 10.0)
+    (0 until w).foreach(k => xs(25 + k) = xs(3 + k) + 7.0) // 3's shape at 25
+    val rows = xs.zipWithIndex.map { case (x, i) => MpRow("g", i.toLong, x) }
+      .toSeq.toDF()
+    val full3 = graft.operators.MatrixProfile
+      .fullProfileZBy(rows, "key", "ord", "x", w, 30).filter(col("ord") === 3)
+      .head()
+    assert(full3.getLong(3) == 25L && full3.getLong(4) == -22L &&
+      full3.getDouble(5) == 0.0,
+      s"window 3 must find its later twin at 25, got $full3")
+    graft.util.Caching.release()
   }
 
   test("loud contracts: duplicate order key, null metric, overlapping " +
