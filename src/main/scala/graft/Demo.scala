@@ -127,6 +127,21 @@ object Demo {
       org.apache.spark.sql.functions.concat(col("text"),
         org.apache.spark.sql.functions.lit(" caffÃ©"))).as("t"))
     println(s"mojibake repair: ${fixed.filter(col("t").endsWith(" caffé")).count()}/${docs.count()} decorated docs repaired")
+
+    // ---- matrix profile tour (round 19): block the event series, then
+    // motif (profile min) and discord (profile max) per event type
+    val blocks = graft.operators.ChangePoint.blockSeries(
+      ev.df, "event_type", "seq", "value",
+      grain = org.apache.spark.sql.functions.lit(20.0))
+    val prof = graft.operators.MatrixProfile.fullProfileZBy(
+      blocks, "key", "ord", "v", w = 6, band = 16)
+    val discords = prof.withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")
+            .orderBy(col("dist").desc, col("ord"))))
+      .filter(col("rk") === 1).drop("rk")
+    println("per-type discord (most anomalous 6-block window, z-profile):")
+    discords.show(5, truncate = false)
     graft.util.Caching.release()
     spark.stop()
   }
