@@ -110,6 +110,13 @@ final class DurableVersionedStore(path: String, keepVersions: Int = 3) {
     * holds nothing between batches). */
   def commit(merged: DataFrame, batchId: Long): DataFrame = {
     val spark = merged.sparkSession
+    // a replayed batch must re-publish via replayedSnapshot, never
+    // re-commit: reaching here with an already-committed id means the
+    // consumer skipped the replay guard and its merge double-counted
+    require(!committedVersions(spark).exists(_ >= batchId),
+      s"DurableVersionedStore: version v$batchId (or later) is already " +
+        "committed - call replayedSnapshot(spark, batchId) FIRST and " +
+        "re-publish its result instead of re-merging")
     merged.write.mode("overwrite").parquet(s"$path/v$batchId")
     val (fs, base) = fsBase(spark)
     fs.create(new Path(base, s"v$batchId/_COMMITTED"), true).close()

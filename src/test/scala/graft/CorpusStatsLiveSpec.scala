@@ -128,5 +128,11 @@ class CorpusStatsLiveSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       new graft.util.DurableVersionedStore(path, keepVersions = 1))
     assert(e.getMessage.contains("at least 2"), e.getMessage)
+
+    // committing an already-committed batchId is a protocol violation
+    // (the consumer skipped the replay guard), not a silent overwrite
+    val e2 = intercept[IllegalArgumentException](
+      s.commit(Seq((9L, "y")).toDF("id", "v"), 103L))
+    assert(e2.getMessage.contains("replayedSnapshot"), e2.getMessage)
   }
 }
