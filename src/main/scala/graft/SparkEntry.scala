@@ -2501,6 +2501,24 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value", maxLag = 3)
         .select(col("user_id"), col("lag_k"), col("n_pairs"), col("acf"))
     },
+    // Lead-lag cross-correlation (Anomaly.crossCorr): which event type
+    // LEADS purchases, by how many 50-id blocks — per type, the
+    // Pearson correlation of (type block sum, purchase block sum
+    // `lag_k` blocks later) for lags −4..4; a positive-lag peak reads
+    // "this type leads purchases". Same decimal-exact chain as
+    // q_autocorr; the two series share ONE barriered blockSeries scan.
+    "q_cross_corr" -> { (s, dir) =>
+      val blocks = graft.util.Caching.barrier(
+        graft.operators.ChangePoint.blockSeries(
+          Sources.table(s, dir, "events"), "event_type", "event_id", "value",
+          grain = lit(50.0)))
+      val a = blocks.filter(col("key") =!= "purchase")
+        .select(col("key"), col("ord"), col("v").cast("double").as("a"))
+      val b = blocks.filter(col("key") === "purchase")
+        .select(col("ord"), col("v").cast("double").as("b"))
+      graft.operators.Anomaly.crossCorr(a.join(broadcast(b), "ord"),
+        "key", "ord", "ord", "a", "b", maxLag = 4)
+    },
     // Ordered funnel with a 7-day conversion deadline (Behavior.funnel):
     // view → click → purchase; the oracle replays the per-step min-time
     // joins and the exact microsecond lag sums.
@@ -7262,6 +7280,32 @@ object SparkEntry {
         |    * CAST(SUM(CAST(y*y AS DECIMAL(28,4))) * count(*)
         |      - SUM(CAST(y AS DECIMAL(18,2))) * SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)) AS acf
         |FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the lead-lag pairs replayed as a row_number band self-join:
+    // s2.rn = s1.rn + k is exactly Spark's lead(b, k) row-offset
+    // pairing, and the correlation chain is q_autocorr's verbatim
+    "q_cross_corr" ->
+      """WITH blocks AS (
+        |  SELECT event_type AS key, CAST(floor(event_id / 50.0) AS BIGINT) AS ord,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT key, ord, CAST(v AS DOUBLE) AS a FROM blocks WHERE key <> 'purchase'),
+        |b AS (SELECT ord, CAST(v AS DOUBLE) AS b FROM blocks WHERE key = 'purchase'),
+        |j AS (SELECT a.key,
+        |    row_number() OVER (PARTITION BY a.key ORDER BY a.ord) AS rn,
+        |    a.a, b.b
+        |  FROM a JOIN b USING (ord)),
+        |pairs AS (
+        |  SELECT s1.key, CAST(s2.rn - s1.rn AS INT) AS lag_k, s1.a AS x, s2.b AS y
+        |  FROM j s1
+        |  JOIN j s2 ON s2.key = s1.key AND s2.rn BETWEEN s1.rn - 4 AND s1.rn + 4)
+        |SELECT key, lag_k, count(*) AS n_pairs,
+        |  CAST(SUM(CAST(x*y AS DECIMAL(28,4))) * count(*)
+        |      - SUM(CAST(x AS DECIMAL(18,2))) * SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)
+        |  / sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,4))) * count(*)
+        |      - SUM(CAST(x AS DECIMAL(18,2))) * SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+        |    * CAST(SUM(CAST(y*y AS DECIMAL(28,4))) * count(*)
+        |      - SUM(CAST(y AS DECIMAL(18,2))) * SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)) AS xcf
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH u1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
         |    FROM events WHERE event_type = 'view' GROUP BY 1),

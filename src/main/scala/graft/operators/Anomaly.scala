@@ -101,26 +101,80 @@ object Anomaly {
   def autocorr(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
                valCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, "autocorr needs maxLag >= 1")
+    val pairs = shiftedPairs(df, keyCol, tsCol, ordCol, valCol,
+      (1 to maxLag).map(k => k ->
+        ((ws: org.apache.spark.sql.expressions.WindowSpec) =>
+          lag(col(valCol), k).over(ws))))
+    pearsonByLag(pairs, keyCol, col(valCol), col("__y"), "acf")
+  }
+
+  /** One window pass for ALL lags: every shifted column shares the one
+    * (key)-partitioned window spec, so Catalyst plans a single
+    * WindowExec — one keyed exchange + one sort for the whole lag
+    * battery (the unionByName-per-lag formulation planned one exchange
+    * PER LAG: 10 exchanges for a ±4 battery) — then an explode stacks
+    * (lag_k, shifted) pairs shuffle-free for the grouped sums. */
+  private def shiftedPairs(df: DataFrame, keyCol: String, tsCol: String,
+                           ordCol: String, xCol: String,
+                           shifts: Seq[(Int, org.apache.spark.sql.expressions.WindowSpec => Column)])
+      : DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
-    val lags = (1 to maxLag).map { k =>
-      df.select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
-        .withColumn("__prev", lag(col(valCol), k).over(w))
-        .filter(col("__prev").isNotNull)
-        .withColumn("lag_k", lit(k))
-    }
-    val pairs = lags.reduce(_ unionByName _)
-    val x = col(valCol)
-    val y = col("__prev")
+    val cols = Seq(keyCol, tsCol, ordCol, xCol).distinct.map(col) ++
+      shifts.map { case (k, mk) => mk(w).as(s"__y_$k") }
+    df.select(cols: _*)
+      .select(col(keyCol), col(xCol),
+        explode(array(shifts.map { case (k, _) =>
+          struct(lit(k).as("lag_k"), col(s"__y_$k").as("__y"))
+        }: _*)).as("__p"))
+      .select(col(keyCol), col(xCol),
+        col("__p.lag_k").as("lag_k"), col("__p.__y").as("__y"))
+      .filter(col("__y").isNotNull)
+  }
+
+  /** Lag-k CROSS-correlation per key for lags −maxLag..maxLag — the
+    * lead-lag diagnostic [[autocorr]] cannot answer: Pearson
+    * correlation of the row-offset pairs (a_t, b_{t+lag}) in (tsCol,
+    * ordCol) order, so a positive-lag peak reads "`a` LEADS `b` by
+    * that many rows" (lag 0 is the plain aligned correlation; feed
+    * [[ChangePoint.blockSeries]] outputs joined on the block ord for
+    * regular grids). Same decimal-exact sum chain and closed-form
+    * double readout as [[autocorr]]; a zero-variance slice yields a
+    * non-finite xcf, never a throw. One window pass per lag on one
+    * keyed partitioning + one grouped aggregate — no self-join.
+    * Output: (key, lag_k, n_pairs, xcf). */
+  def crossCorr(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                aCol: String, bCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "crossCorr needs maxLag >= 1")
+    val pairs = shiftedPairs(df, keyCol, tsCol, ordCol, aCol,
+      (-maxLag to maxLag).map(k => k ->
+        ((ws: org.apache.spark.sql.expressions.WindowSpec) =>
+          if (k >= 0) lead(col(bCol), k).over(ws)
+          else lag(col(bCol), -k).over(ws))))
+    pearsonByLag(pairs, keyCol, col(aCol), col("__y"), "xcf")
+  }
+
+  /** The shared (key, lag_k)-grouped exact-decimal Pearson chain behind
+    * [[autocorr]] and [[crossCorr]]: map-side-combinable sums, then one
+    * closed-form double expression an external engine replays. A
+    * zero-variance slice yields NULL (the olsTrend degenerate-input
+    * rule — under ANSI mode the raw division would throw); the exact
+    * decimal variance terms make that test exact, never an epsilon. */
+  private def pearsonByLag(pairs: DataFrame, keyCol: String, x: Column,
+                           y: Column, out: String): DataFrame = {
+    val num =
+      (col("__sxy") * col("n_pairs") - col("__sx") * col("__sy")).cast("double")
+    val dx =
+      (col("__sxx") * col("n_pairs") - col("__sx") * col("__sx")).cast("double")
+    val dy =
+      (col("__syy") * col("n_pairs") - col("__sy") * col("__sy")).cast("double")
     pairs.groupBy(col(keyCol), col("lag_k"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(dec(x)).as("__sx"), sum(dec(y)).as("__sy"),
         sum((x * y).cast("decimal(28,4)")).as("__sxy"),
         sum((x * x).cast("decimal(28,4)")).as("__sxx"),
         sum((y * y).cast("decimal(28,4)")).as("__syy"))
-      .withColumn("acf",
-        (col("__sxy") * col("n_pairs") - col("__sx") * col("__sy")).cast("double") /
-          sqrt((col("__sxx") * col("n_pairs") - col("__sx") * col("__sx")).cast("double") *
-               (col("__syy") * col("n_pairs") - col("__sy") * col("__sy")).cast("double")))
+      .withColumn(out, when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+        .otherwise(num / sqrt(dx * dy)))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 }

@@ -107,4 +107,57 @@ class AnomalySpec extends AnyFunSuite {
     assert(math.abs(out(1) + 1.0) < 1e-9)
     assert(math.abs(out(2) - 1.0) < 1e-9)
   }
+
+  private def twoSeries(as: Seq[Double], bs: Seq[Double]) =
+    as.zip(bs).zipWithIndex.map { case ((a, b), i) =>
+      ("k", i.toLong, a, b)
+    }.toDF("key", "ord", "a", "b")
+
+  test("crossCorr: a planted 2-row lead peaks at lag +2 with xcf = 1; " +
+    "lag 0 equals the plain Pearson correlation") {
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 50).map(_ => rnd.nextInt(100) / 4.0)
+    val b = (0 until 50).map(i => if (i >= 2) a(i - 2) * 3.0 + 1.0 else 0.25)
+    val out = Anomaly.crossCorr(twoSeries(a, b), "key", "ord", "ord",
+        "a", "b", maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag_k") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("xcf"))).toMap
+    assert(out.keySet == (-3 to 3).toSet)
+    // b_{t+2} = 3·a_t + 1 exactly (affine) → perfect correlation at +2
+    assert(math.abs(out(2)._2 - 1.0) < 1e-9, s"lag+2 xcf = ${out(2)._2}")
+    assert((-3 to 3).filter(_ != 2).forall(k => out(k)._2 < 0.9),
+      "no other lag may read as the leader")
+    assert(out(2)._1 == 48L && out(-3)._1 == 47L && out(0)._1 == 50L,
+      "pair counts must shrink by the lag magnitude")
+    // lag 0 == the classic aligned Pearson corr (computed per the same
+    // decimal-rounded chain, here on exact .25-grid values)
+    val n = 50.0
+    val sx = a.sum; val sy = b.sum
+    val sxy = a.zip(b).map { case (x, y) => x * y }.sum
+    val sxx = a.map(x => x * x).sum; val syy = b.map(y => y * y).sum
+    val ref = (sxy * n - sx * sy) /
+      math.sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))
+    assert(math.abs(out(0)._2 - ref) < 1e-6, s"${out(0)._2} vs $ref")
+  }
+
+  test("crossCorr: swapping the series mirrors the lag axis; a constant " +
+    "slice yields null, not a throw") {
+    val rnd = new scala.util.Random(23)
+    val a = (0 until 30).map(_ => rnd.nextInt(40) / 2.0)
+    val b = (0 until 30).map(_ => rnd.nextInt(40) / 2.0)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("xcf")).toMap
+    val ab = m(Anomaly.crossCorr(twoSeries(a, b), "key", "ord", "ord",
+      "a", "b", maxLag = 2))
+    val ba = m(Anomaly.crossCorr(twoSeries(b, a), "key", "ord", "ord",
+      "a", "b", maxLag = 2))
+    (-2 to 2).foreach { k =>
+      assert(math.abs(ab(k) - ba(-k)) < 1e-9,
+        s"xcf_ab($k) must equal xcf_ba(${-k})")
+    }
+    val const = Anomaly.crossCorr(twoSeries(a.map(_ => 7.0), b),
+      "key", "ord", "ord", "a", "b", maxLag = 1)
+    assert(const.count() == 3 && const.filter(col("xcf").isNotNull).count() == 0,
+      "zero variance must surface as null (olsTrend rule), never as a throw")
+  }
 }
