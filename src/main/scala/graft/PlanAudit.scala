@@ -26,6 +26,30 @@ object PlanAudit {
         args.lift(2).getOrElse("/tmp/plan_census.json"), args.drop(3).toSet)
       spark.stop(); return
     }
+    if (args.headOption.contains("explain")) {
+      // formatted-plan dumps for the optimization-round evidence files:
+      //   runMain graft.PlanAudit explain <sfDir> <outDir> <suffix> q1 q2 …
+      // writes <outDir>/<query>_<suffix>.txt with .explain("formatted")
+      // output on the BENCH basis (local[32], bench-rechunked fixtures
+      // give the same plan shape; sfDir picks the data).
+      spark.stop()
+      val s32 = GraftSession.builder(master = "local[32]").getOrCreate()
+      s32.sparkContext.setLogLevel("ERROR")
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      val outDir = args.lift(2).getOrElse("/root/repo/plans/r19")
+      val suffix = args.lift(3).getOrElse("before")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(4).foreach { name =>
+        val df = SparkEntry.queries(name)(s32, dir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
+        graft.util.Caching.release()
+        println(s"wrote $outDir/${name}_$suffix.txt")
+      }
+      s32.stop(); return
+    }
     if (args.headOption.contains("stages")) {
       // stage-time read wants the bench's execution basis, not local[8]
       spark.stop()
