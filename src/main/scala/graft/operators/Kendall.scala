@@ -126,6 +126,136 @@ private[graft] object KendallContinuous {
 
   private def dec(b: BigInt): java.math.BigDecimal = new java.math.BigDecimal(b.bigInteger)
 
+  /** Exact (C, D) of ONE segment's cell buffer, already sorted by
+    * (x, y): the pass-A sorted scan — group cells by equal x (ties
+    * contribute no pair), count each cell's already-inserted weight
+    * below/above its y with a Fenwick tree over the segment's
+    * compressed y values, insert equal-x groups atomically. Weighted by
+    * cell multiplicity; all-integer. O(k log k) for k cells where the
+    * dominance join this replaces (r19) fans out C(k, 2) pair rows. */
+  private def bufferCd(cells: Array[(Any, Any, Long)]): (BigInt, BigInt) = {
+    var cAcc = BigInt(0); var dAcc = BigInt(0)
+    val ys = cells.map(_._2).sorted(anyOrd)
+    val yU = ArrayBuffer.empty[Any]
+    for (v <- ys) if (yU.isEmpty || anyOrd.compare(yU.last, v) != 0) yU += v
+    val yArr = yU.toArray
+    def yOf(v: Any): Int = {
+      var lo = 0; var hi = yArr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (anyOrd.compare(yArr(mid), v) < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val bit = new Bit(yArr.length)
+    var ins = 0L
+    var i = 0
+    while (i < cells.length) {
+      var j = i
+      while (j < cells.length && anyOrd.compare(cells(j)._1, cells(i)._1) == 0) j += 1
+      var k = i
+      while (k < j) {
+        val yi = yOf(cells(k)._2); val w = cells(k)._3
+        cAcc += BigInt(w) * bit.prefix(yi - 1)
+        dAcc += BigInt(w) * (ins - bit.prefix(yi))
+        k += 1
+      }
+      k = i
+      while (k < j) { bit.add(yOf(cells(k)._2), cells(k)._3); ins += cells(k)._3; k += 1 }
+      i = j
+    }
+    (cAcc, dAcc)
+  }
+
+  /** Exact per-segment (concordant, discordant) via ONE segment-keyed
+    * Exchange + a per-segment sorted scan ([[bufferCd]]) — the
+    * O(k log k) replacement for the per-segment dominance JOIN (r19):
+    * the join fans out Σ_g C(k_g, 2) pair rows through an exchange and
+    * an aggregate (37M rows on q_kendall_by's 3 × 5k-cell table at
+    * sf0.1) where the scan moves each cell once and compares
+    * k log k times, bit-identical integer counts.
+    *
+    * Input columns (segment, x, y, c); x/y must be [[supports]]-listed
+    * (the caller routes array/struct cells to the join arm). Output one
+    * row per segment with ≥1 non-null-(x, y) cell: (segment, __c, __d)
+    * — a pair-less segment gets (0, 0); a segment whose every cell has
+    * null x or y is absent, exactly the join's contract (the caller's
+    * left join + coalesce covers both).
+    *
+    * `guardCap`: on the provable-small gated route (routing decided on
+    * size stats, no count job ran) a segment accumulating more than
+    * 2·cap cells aborts the scan loudly with the remediation message —
+    * the in-scan twin of the dominance join's bucketed running-count
+    * guard, same 2·cap trip point. */
+  def segmentScanCd(cells: DataFrame, guardCap: Option[Long], op: String): DataFrame = {
+    val segType = cells.schema("segment").dataType
+    val outSchema = StructType(Seq(
+      StructField("segment", segType),
+      StructField("__c", DecimalType(38, 0)), StructField("__d", DecimalType(38, 0))))
+    val capMsg = guardCap.map(cap =>
+      s"$op: a segment's cell table exceeds the provable-small routing " +
+        s"estimate (cap $cap) - the input's size stats under-counted its " +
+        "rows; raise maxCells or bucket the metric")
+    val cap = guardCap.map(c => math.max(1L, 2 * c)).getOrElse(Long.MaxValue)
+    cells.filter(col("x").isNotNull && col("y").isNotNull)
+      .select(col("segment"), col("x"), col("y"), col("c").cast(LongType))
+      .repartition(col("segment")).sortWithinPartitions("segment", "x", "y")
+      .mapPartitions { it =>
+        val out = ArrayBuffer.empty[Row]
+        val buf = ArrayBuffer.empty[(Any, Any, Long)]
+        var curSeg: Any = null
+        var open = false
+        def flush(): Unit = if (open) {
+          val (c, d) = bufferCd(buf.toArray)
+          buf.clear()
+          out += Row(curSeg, dec(c), dec(d))
+        }
+        it.foreach { r =>
+          val seg = r.get(0)
+          if (!open || !java.util.Objects.equals(seg, curSeg)) {
+            flush(); curSeg = seg; open = true
+          }
+          require(buf.length < cap, capMsg.getOrElse(""))
+          buf += ((r.get(1), r.get(2), r.getLong(3)))
+        }
+        flush()
+        out.iterator
+      }(Encoders.row(outSchema))
+  }
+
+  /** [[segmentScanCd]] for the UNSEGMENTED cell table: single-task
+    * sorted scan (no cell-table exchange — `coalesce(1)` over the
+    * caller's persist-barriered cells; the scan is only ever routed
+    * cell tables bounded by `maxCells`, so one task is the right
+    * shape), then a ≤1-row global aggregate so the result is EXACTLY
+    * one row (__c, __d) even when the optimizer collapses an empty
+    * cell table to a zero-partition relation — the all-null empty
+    * aggregate is bit-for-bit the join arm's, and the callers'
+    * coalesce covers it. */
+  def globalScanCd(cells: DataFrame, guardCap: Option[Long], op: String): DataFrame = {
+    val capMsg = guardCap.map(cap =>
+      s"$op: cell table exceeds the provable-small routing estimate " +
+        s"(cap $cap) - the input's size stats under-counted its rows; " +
+        "pass dense=true (exact, bucket-decomposed) or raise maxCells")
+    val cap = guardCap.map(c => math.max(1L, 2 * c)).getOrElse(Long.MaxValue)
+    val outSchema = StructType(Seq(
+      StructField("pc", DecimalType(38, 0)), StructField("pd", DecimalType(38, 0))))
+    cells.filter(col("x").isNotNull && col("y").isNotNull)
+      .select(col("x"), col("y"), col("c").cast(LongType))
+      .coalesce(1).sortWithinPartitions("x", "y")
+      .mapPartitions { it =>
+        val buf = ArrayBuffer.empty[(Any, Any, Long)]
+        it.foreach { r =>
+          require(buf.length < cap, capMsg.getOrElse(""))
+          buf += ((r.get(0), r.get(1), r.getLong(2)))
+        }
+        val (c, d) = bufferCd(buf.toArray)
+        Iterator.single(Row(dec(c), dec(d)))
+      }(Encoders.row(outSchema))
+      .agg(sum(col("pc")).cast("decimal(38,0)").as("__c"),
+           sum(col("pd")).cast("decimal(38,0)").as("__d"))
+  }
+
   /** Exact (concordant, discordant) for `cells` = the (x, y, c) cell
     * table (column names fixed by the caller), as ONE row
     * `(__c, __d)` DECIMAL(38,0). `buckets` sets the per-axis bucket

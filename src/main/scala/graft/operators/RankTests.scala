@@ -389,28 +389,11 @@ object RankTests {
   private def cellsAndCd(df: DataFrame, xCol: String, yCol: String,
                          maxCells: Long, buckets: Int): (DataFrame, DataFrame) = {
     def d38(c: Column) = c.cast("decimal(38,0)")
-    def quadratic(cells: DataFrame, guardCap: Option[Long]): DataFrame = {
-      val c2 = guardCap match {
-        case Some(cap) =>
-          // running count over the build side trips BEFORE the probe
-          // side streams — the backstop for the provable-small gate.
-          // The count windows over 16 HASH BUCKETS (not a bare ordered
-          // window — that would be a global-window plan regression):
-          // max bucket ≥ total/16, so a per-bucket cap of 2·cap/16
-          // guarantees the abort by 2·cap total cells (≤4× the probed
-          // arm's worst quadratic work) and cannot false-trip below
-          // cap total except under astronomical hash skew.
-          val wg = Window.partitionBy(pmod(xxhash64(col("x"), col("y"), lit(0x67647464L)), lit(16)))
-            .orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
-          col("c") + coalesce(assert_true(
-            count(lit(1)).over(wg) + 1 <= lit(math.max(1L, 2 * cap / 16)), concat(
-            lit("kendallTau: cell table exceeds the provable-small routing estimate "),
-            lit(s"(cap $cap) - the input's size stats under-counted its rows; "),
-            lit("pass dense=true (exact, bucket-decomposed) or raise maxCells")))
-            .cast("long"), lit(0L))
-        case None => col("c")
-      }
-      val right = cells.select(col("x").as("x2"), col("y").as("y2"), c2.as("c2"))
+    // array/struct cells only: Spark-orderable but not JVM-Comparable,
+    // so the sorted-scan arm can't take them — they keep the bounded
+    // dominance join (≤ QuadraticOnlyCells, loud past it)
+    def quadratic(cells: DataFrame): DataFrame = {
+      val right = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
       cells.join(broadcast(right), col("x2") < col("x"))
         .agg(
           sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
@@ -426,21 +409,30 @@ object RankTests {
       // aggregate across the final job's five consuming branches (and
       // keeps the census exchange count at the probed plan's shape);
       // the cache populates inside the caller's one job — no eager
-      // routing job, which is the whole point of the gate
+      // routing job, which is the whole point of the gate. The scan's
+      // in-task cell cap (2·maxCells) is the gated route's loud
+      // backstop, replacing the old bucketed running-count window
+      // (r19: the dominance join it guarded fanned out C(cells, 2)
+      // pair rows — the scan does cells·log cells comparisons for
+      // bit-identical integer counts, and drops the guard window's
+      // exchange from the plan).
       val cb = graft.util.Caching.barrier(cells0)
-      return (cb, quadratic(cb, Some(maxCells)))
+      return (cb, KendallContinuous.globalScanCd(cb, Some(maxCells), "kendallTau"))
     }
     val cells = graft.util.Caching.barrier(cells0)
     val nCells = cells.count()
     val cd =
-      if (nCells <= maxCells) quadratic(cells, None)
+      if (nCells <= maxCells) {
+        if (armOk) KendallContinuous.globalScanCd(cells, None, "kendallTau")
+        else quadratic(cells)
+      }
       else if (armOk) KendallContinuous.cd(cells, buckets, nCellsHint = nCells)
       else {
         require(nCells <= QuadraticOnlyCells,
           s"kendallTau: $nCells cells exceeds maxCells=$maxCells on a column type " +
             "the continuous arm cannot order (array/struct) and the quadratic hard " +
             s"cap $QuadraticOnlyCells - bucket or project the column to an atomic type first")
-        quadratic(cells, None)
+        quadratic(cells)
       }
     (cells, cd)
   }
@@ -557,9 +549,10 @@ object RankTests {
     * needs per-timestamp alignment).
     *
     * Shape: ONE (season, ts, value) cell aggregate; C/D per season via
-    * a season-keyed dominance join (the broadcast side is the whole
-    * cell table — bounded by `maxCells` ACROSS seasons, enforced
-    * eagerly); tie terms from two per-(season, block) aggregates; one
+    * the season-keyed sorted scan ([[segmentedCd]] — one Exchange,
+    * O(k log k) per season; the cell table is bounded by `maxCells`
+    * ACROSS seasons, enforced eagerly); tie terms from two
+    * per-(season, block) aggregates; one
     * ≤|seasons|-row reduce. Each season's (S_g, Var_g) is bit-identical
     * to [[mannKendall]] on that season alone (spec-pinned; the one
     * divergence is a 1-observation season, which contributes zero
@@ -574,19 +567,14 @@ object RankTests {
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"seasonalMannKendall: $nCells cells exceeds maxCells=$maxCells; the " +
-        "per-season dominance join broadcasts the cell table - bucket ts or " +
-        "the metric first (or run mannKendall per season, which routes " +
+        "per-season scan buffers each season's cells in one task - bucket ts " +
+        "or the metric first (or run mannKendall per season, which routes " +
         "continuous columns to the O(n log n) arm)")
-    val right = cells.select(col("g").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), col("c").as("c2"))
-    val cd = cells.join(broadcast(right),
-        col("g2") === col("g") && col("x2") < col("x"))
-      .groupBy(col("g"))
-      .agg(
-        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    // per-season C/D: the segment-keyed sorted scan (r19 — replaces the
+    // season-keyed dominance join, whose pair fan-out is Σ_g C(k_g, 2))
+    val cd = segmentedCd(cells.select(col("g").as("segment"), col("x"),
+        col("y"), col("c")), guardCap = None, "seasonalMannKendall")
+      .withColumnRenamed("segment", "g")
     def ties(key: String, tag: String) = cells.groupBy(col("g"), col(key))
       .agg(sum(col("c")).as("__t"))
       .groupBy(col("g"))
@@ -635,8 +623,8 @@ object RankTests {
   /** Per-segment Mann–Kendall — "is the metric trending in every
     * cohort / tumbling window": [[mannKendall]] sliced like
     * [[kendallTauBy]], with the SAME per-segment adaptive routing —
-    * bounded segments share the segment-keyed dominance join, a
-    * continuous-metric segment past `maxCells` takes the
+    * bounded segments share the segment-keyed sorted scan
+    * ([[segmentedCd]]), a continuous-metric segment past `maxCells` takes the
     * [[KendallContinuous]] arm individually (driver-sequenced, capped
     * at [[MaxHeavySegments]]); per-(segment, block) tie sums, each
     * segment's (s, var_s, z) bit-identical to the global test on that
@@ -679,16 +667,8 @@ object RankTests {
         .cast("decimal(38,0)").as(s"__${tag}25"),
       coalesce(sum(d38(col("__t")) * (col("__t") - 1) * (col("__t") - 2)), lit(0))
         .cast("decimal(38,0)").as(s"__${tag}3"))
-    val c2g = if (guarded) col("c") + segGuard(maxCells, "mannKendallBy") else col("c")
-    val right = light.select(col("segment").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), c2g.as("c2"))
-    val cd = light.join(right, col("g2") === col("segment") && col("x2") < col("x"))
-      .groupBy(col("segment"))
-      .agg(
-        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    val cd = segmentedCd(light,
+      if (guarded) Some(maxCells) else None, "mannKendallBy")
     def ties(key: String, tag: String) = light.groupBy(col("segment"), col(key))
       .agg(sum(col("c")).as("__t"))
       .groupBy(col("segment"))
@@ -1120,11 +1100,41 @@ object RankTests {
     (heavy, light, false)
   }
 
+  /** Per-segment exact C/D for the By-family's light path: the
+    * segment-keyed sorted scan ([[KendallContinuous.segmentScanCd]] —
+    * one Exchange, O(k log k) per segment) when the cell types are
+    * JVM-orderable, else the segment-keyed dominance join (array/struct
+    * cells; Spark-orderable but not Comparable — bounded by the
+    * caller's routing, guarded by [[segGuard]] on the gated route).
+    * r19: the join was the ONLY arm before; its pair fan-out is
+    * Σ_g C(k_g, 2) rows through an exchange + aggregate — 37M rows on
+    * q_kendall_by's 3 × 5k-cell table at sf0.1 — for counts the scan
+    * produces bit-identically from k log k comparisons. */
+  private def segmentedCd(cells: DataFrame, guardCap: Option[Long],
+                          op: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val armOk = KendallContinuous.supports(cells.schema("x").dataType) &&
+      KendallContinuous.supports(cells.schema("y").dataType)
+    if (armOk) return KendallContinuous.segmentScanCd(cells, guardCap, op)
+    val c2g = guardCap.map(cap => col("c") + segGuard(cap, op)).getOrElse(col("c"))
+    val right = cells.select(col("segment").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), c2g.as("c2"))
+    cells.join(right, col("g2") === col("segment") && col("x2") < col("x"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
+        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
+          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+  }
+
   /** The By-family's gated-path backstop — [[cellsAndCd]]'s bucketed
     * running count, additionally partitioned by segment: aborts the
     * dominance join's build by 2·`maxCells` cells in ANY ONE segment
     * (pigeonhole over 16 hash buckets within the segment), so a size-
-    * stats mis-estimate costs a loud error, never a quadratic grind. */
+    * stats mis-estimate costs a loud error, never a quadratic grind.
+    * (r19: only the array/struct-cell fallback join still uses it —
+    * the sorted-scan arm carries the same 2·cap abort in-task.) */
   private def segGuard(cap: Long, op: String): Column = {
     val wg = Window.partitionBy(col("segment"),
         pmod(xxhash64(col("x"), col("y"), lit(0x67647365L)), lit(16)))
@@ -1141,9 +1151,9 @@ object RankTests {
     * cohort", [[mannWhitneyBy]]'s sibling for the correlation readout:
     * ONE (segment, x, y) cell aggregate routes every segment off its
     * own cell count (one groupBy) — segments under `maxCells` share a
-    * SEGMENT-KEYED dominance join (equi on segment + x′ < x —
-    * distributes by segment, the balanced shape; per-segment work is
-    * |cells_g|²), segments past it (continuous metrics) each take the
+    * SEGMENT-KEYED sorted scan ([[segmentedCd]] — distributes by
+    * segment, the balanced shape; per-segment work is
+    * |cells_g| log |cells_g|), segments past it (continuous metrics) each take the
     * O(n log n) [[KendallContinuous]] arm (driver-sequenced, capped at
     * [[MaxHeavySegments]]), reading the same barriered cell table. The
     * per-(segment, block) tie sums and τ-b come from the same exact
@@ -1168,16 +1178,8 @@ object RankTests {
             sqrt((col("__n02") - col("__n12")) * (col("__n02") - col("__n22")))))
       .select(col("segment"), col("n"), col("concordant"), col("discordant"),
         col("tau_b"))
-    val c2g = if (guarded) col("c") + segGuard(maxCells, "kendallTauBy") else col("c")
-    val right = light.select(col("segment").as("g2"), col("x").as("x2"),
-      col("y").as("y2"), c2g.as("c2"))
-    val cd = light.join(right, col("g2") === col("segment") && col("x2") < col("x"))
-      .groupBy(col("segment"))
-      .agg(
-        sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__c"),
-        sum(when(col("y2") > col("y"), d38(col("c")) * col("c2"))
-          .otherwise(lit(0)).cast("decimal(38,0)")).as("__d"))
+    val cd = segmentedCd(light,
+      if (guarded) Some(maxCells) else None, "kendallTauBy")
     def ties(src: DataFrame, key: String, out: String) =
       src.groupBy(col("segment"), col(key))
         .agg(sum(col("c")).as("__t"))

@@ -71,8 +71,15 @@ object GraftSession {
       // through >100 distinct plans in one session (the interleaved
       // bench; a long-lived multi-query service) evicts every query's
       // classes between its own runs — each pass pays full Janino
-      // recompilation. 1000 entries keeps the cache a cache.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // recompilation. r19: 1000 was still too small — the full suite
+      // compiles ~3k distinct fragments per pass (369 queries × ~8
+      // codegen units), so at 1000 every pass re-Janino'd and re-JIT'd
+      // everything: suite pass totals were flat (366/363/345 s) while
+      // 5-pass ISOLATED reruns of the same queries ran ~2× faster warm
+      // (canary block, bench/medians_r18.json). 8192 retains the whole
+      // suite's classes (~tens of KB each — well under heap pressure;
+      // GC measured at 1.6% of bench wall before the change).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -1229,6 +1229,71 @@ class RankSkylineSpec extends AnyFunSuite {
     graft.util.Caching.release()
   }
 
+  test("segmentScanCd/globalScanCd: bit-equal to the brute-force pair count (r19 scan arm)") {
+    // randomized weighted cell table with heavy ties, null x/y cells and
+    // a null segment — the scan must reproduce the dominance join's
+    // semantics exactly: null x or y never pairs; equal x or equal y is
+    // a tie (neither C nor D); weights multiply
+    val rnd = new scala.util.Random(4119)
+    val rows = (0 until 400).map { _ =>
+      val seg = rnd.nextInt(4) match {
+        case 0 => null; case k => s"s$k"
+      }
+      val x = if (rnd.nextInt(20) == 0) null
+              else java.lang.Double.valueOf(rnd.nextInt(12).toDouble)
+      val y = if (rnd.nextInt(20) == 0) null
+              else java.lang.Long.valueOf(rnd.nextInt(9).toLong)
+      (seg, x, y)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 7),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType))))
+    val cells = df.groupBy(col("seg").as("segment"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    // driver brute force over the collected cell table
+    val cellRows = cells.collect().map(r => (r.getString(0),
+      Option(r.get(1)).map(_.asInstanceOf[Double]),
+      Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+    def brute(sel: ((String, Option[Double], Option[Long], Long)) => Boolean)
+        : (BigInt, BigInt) = {
+      val cs = cellRows.filter(sel).filter(t => t._2.isDefined && t._3.isDefined)
+      var c = BigInt(0); var d = BigInt(0)
+      for (a <- cs; b <- cs if a._2.get < b._2.get) {
+        if (a._3.get < b._3.get) c += BigInt(a._4) * b._4
+        else if (a._3.get > b._3.get) d += BigInt(a._4) * b._4
+      }
+      (c, d)
+    }
+    val scan = graft.operators.KendallContinuous
+      .segmentScanCd(cells, None, "spec").collect()
+      .map(r => Option(r.getString(0)) ->
+        (BigInt(r.getDecimal(1).toBigInteger), BigInt(r.getDecimal(2).toBigInteger))).toMap
+    for (seg <- Seq(null, "s1", "s2", "s3")) {
+      val (bc, bd) = brute(_._1 == seg)
+      assert(scan(Option(seg)) == ((bc, bd)), s"segment $seg")
+    }
+    // global arm: segment ignored, exactly one row, (0, 0) on empty
+    val g = graft.operators.KendallContinuous
+      .globalScanCd(cells, None, "spec").collect()
+    assert(g.length == 1)
+    val (gc, gd) = brute(_ => true)
+    assert(BigInt(g(0).getDecimal(0).toBigInteger) == gc &&
+      BigInt(g(0).getDecimal(1).toBigInteger) == gd)
+    // empty cell table still yields exactly one row — the all-null
+    // empty aggregate, bit-for-bit the old join arm's behavior
+    val empty = graft.operators.KendallContinuous.globalScanCd(
+      cells.filter(lit(false)), None, "spec").collect()
+    assert(empty.length == 1 && empty(0).isNullAt(0) && empty(0).isNullAt(1))
+    // gated-route backstop stays loud: a segment past 2·cap cells aborts
+    val e = intercept[Exception](graft.operators.KendallContinuous
+      .segmentScanCd(cells, Some(2L), "spec").collect())
+    assert(e.getMessage.contains("provable-small"))
+    graft.util.Caching.release()
+  }
+
   test("adaptive routing: bounded columns keep the bounded plan's exact bits") {
     // 6 distinct values — the probe must pick the bounded arm and the
     // output must equal the pinned-bounded (adaptive=false) run
