@@ -3376,8 +3376,8 @@ object SparkEntry {
           round(col("rbo"), 8).as("rbo"))
     },
     // Kendall τ-b (RankTests.kendallTau): quantity vs $1k-bucketed
-    // price — the same cell table as q_spearman through the dominance
-    // self-join; exact DECIMAL pair counts, tie-adjusted denominator.
+    // price — the same cell table as q_spearman through the sorted-scan
+    // C/D fold (r19); exact DECIMAL pair counts, tie-adjusted denominator.
     "q_kendall" -> { (s, dir) =>
       graft.operators.RankTests.kendallTau(
         Sources.table(s, dir, "lineitem")
@@ -3661,7 +3661,7 @@ object SparkEntry {
     },
     // Per-segment Kendall τ-b (RankTests.kendallTauBy): does the
     // quantity/price association hold per returnflag — segment-keyed
-    // dominance join, per-segment exact C/D/tie terms, each row
+    // sorted scan (r19), per-segment exact C/D/tie terms, each row
     // bit-equal to the global kendallTau on that slice.
     "q_kendall_by" -> { (s, dir) =>
       graft.operators.RankTests.kendallTauBy(
