@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which is why no
+// driver-captured bench record ever JSON-parsed (BENCH_r01–r19 all have
+// "parsed": null — the one exception, r13, is a tail truncation that
+// happened to cut exactly before a bare '{'). The bench's one-line
+// summary contract needs bare JSON on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

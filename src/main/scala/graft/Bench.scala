@@ -149,7 +149,13 @@ object Bench {
       // r19 additions (VERDICT r18 #4): both have moved >2x across two
       // different rounds with census-identical plans in untouched files
       // — make the suite-contention attribution mechanical like q_bm25
-      "q_er_pairs", "q_avg_precision")
+      "q_er_pairs", "q_avg_precision",
+      // r20 additions (VERDICT r19 #5): the two biggest rows of the r19
+      // DRIVER record were unattributed local[32] contention spikes
+      // (q_ngram_overlap 13.4 s, q_blocklist 5.8 s vs 1.2/1.0 s in the
+      // builder's runs, census-identical plans, untouched code) — pin
+      // them so the suite-vs-isolated ratio is on record every run
+      "q_ngram_overlap", "q_blocklist")
 
   /** Fixed-work, IO-free calibration controls (VERDICT r16 #1): every
     * bench record carries the host's measured speed on two pinned
@@ -291,9 +297,11 @@ object Bench {
     // Full-suite runs own bench/medians_latest.json; a FILTERED ad-hoc
     // run must not overwrite the suite record it would otherwise clobber
     // (r10/r11 operational pitfall — required a manual git checkout).
-    if (args.isEmpty) writeRecordFile(results, iters, sfDir, canaries, cal)
+    if (args.isEmpty) writeRecordFile(results, iters, sfDir, canaries, cal,
+      cpus = cpus.toInt)
     else writeRecordFile(results, iters, sfDir, canaries, cal,
-      out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_filtered.json"))
+      out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_filtered.json"),
+      cpus = cpus.toInt)
     println(s"""{"bench_calibration":{"pre":{"codegen_fold":${f(calPre._1)},"jvm_spin":${f(calPre._2)}},"post":{"codegen_fold":${f(calPost._1)},"jvm_spin":${f(calPost._2)}}}}""")
     renderLines(results, iters, sfDir).foreach(println)
     spark.stop()
@@ -308,7 +316,8 @@ object Bench {
                       canaries: Seq[QueryResult] = Seq.empty,
                       calibration: Option[((Double, Double), (Double, Double))] = None,
                       out: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-                        "/root/repo/bench/medians_latest.json")): Unit = {
+                        "/root/repo/bench/medians_latest.json"),
+                      cpus: Int = -1): Unit = {
     val rows = results.map { r =>
       val err = r.err.map(e => s""","err":${jstr(e)},"err_count":${r.errCount}""").getOrElse("")
       val samples = r.samples.map(f).mkString("[", ",", "]")
@@ -330,14 +339,27 @@ object Bench {
     val calBlock = calibration.map { case ((preF, preS), (postF, postS)) =>
       s""","calibration":{"pre":{"codegen_fold":${f(preF)},"jvm_spin":${f(preS)}},"post":{"codegen_fold":${f(postF)},"jvm_spin":${f(postS)}}}"""
     }.getOrElse("")
+    // cpus stamped into the record (VERDICT r19 #2): the driver runs the
+    // bench at BOTH 32 and 8 cores, and the 8-core run used to silently
+    // clobber the 32-core medians_latest.json — any tool comparing
+    // "latest" records then compared across core counts.
+    val cpusField = if (cpus > 0) s""","cpus":$cpus""" else ""
     val json =
-      s"""{"sf":${jstr(sfDir)},"iters":$iters,"total_sec":${f(total)},"n_queries":${results.size}$calBlock$canaryBlock,
+      s"""{"sf":${jstr(sfDir)},"iters":$iters$cpusField,"total_sec":${f(total)},"n_queries":${results.size}$calBlock$canaryBlock,
          |"queries":{
          |${rows.mkString(",\n")}
          |}}""".stripMargin
-    val p = java.nio.file.Paths.get(out)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(p, json)
-    println(s"""{"bench_record_file":${jstr(out)}}""")
+    def write(path: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, json)
+      println(s"""{"bench_record_file":${jstr(path)}}""")
+    }
+    write(out)
+    // per-core-count twin alongside the default record file: a later
+    // run at a DIFFERENT core count overwrites medians_latest.json but
+    // never the 32-core record (bench/medians_c32.json survives)
+    if (cpus > 0 && out.endsWith("medians_latest.json"))
+      write(out.replace("medians_latest.json", s"medians_c$cpus.json"))
   }
 }

@@ -56,16 +56,28 @@ object Hierarchy {
              values: DataFrame, nodeCol: String, valueCol: String,
              maxDepth: Int): DataFrame = {
     val cl = closure(edges, childCol, parentCol, maxDepth)
+    // Null-node value rows contribute nowhere (the old self-pair union
+    // joined them away on down === node); filter them up front so the
+    // value table is consumed ONCE below.
     val v = values.select(col(nodeCol).as("node"),
-      col(valueCol).cast("decimal(28,2)").as("v"))
-    // self-pairs make "subtree incl. self" one union, not a special
-    // case; distinct collapses DAG diamonds so a value counts once
-    // per ancestor no matter how many paths reach it
-    val reach = cl.select(col("ancestor").as("up"), col("node").as("down"))
-      .unionByName(v.select(col("node").as("up"), col("node").as("down")))
-      .distinct()
-    reach.join(v, col("down") === col("node"))
-      .groupBy(col("up").as("node"))
+        col(valueCol).cast("decimal(28,2)").as("v"))
+      .filter(col("node").isNotNull)
+    // r20 restructure: the old shape (self-pair union + closure join)
+    // consumed the caller's per-node value aggregate TWICE, and the
+    // plan recomputed it once per consumer (a 600k-row lineitem
+    // aggregate twice on q_hierarchy; a persist barrier was measured
+    // WORSE both rounds — the cache fill serializes the two branches).
+    // Instead each value row carries its ancestor SET (≤ maxDepth
+    // entries, collect_set collapses DAG diamonds exactly like the old
+    // reach.distinct) and explodes into one contribution per ancestor
+    // plus itself — the value aggregate sits under exactly one plan
+    // subtree, so it computes once with no barrier.
+    val anc = cl.groupBy(col("node"))
+      .agg(collect_set(col("ancestor")).as("__ups"))
+    v.join(anc, Seq("node"), "left")
+      .select(explode(when(col("__ups").isNull, array(col("node")))
+        .otherwise(concat(col("__ups"), array(col("node"))))).as("__up"), col("v"))
+      .groupBy(col("__up").as("node"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("v")).cast("double").as("subtree_total"))
   }

@@ -105,6 +105,49 @@ private[graft] object KendallContinuous {
     lo
   }
 
+  /** Value equality for segment keys in the sorted scan — consistent
+    * with the repartition/sort that grouped them. `Objects.equals`
+    * alone is REFERENCE equality for `Array[Byte]` (BinaryType
+    * segments), which would open a new group on every row of a binary
+    * segment and emit duplicated (segment, 0, 0) partials (ADVICE r19);
+    * mirror Spark's `Row.equals` and compare binary by content. Struct
+    * segments arrive as Rows (value `equals`, binary members included)
+    * and array segments as Seqs — [[segGroupable]] keeps any Seq with
+    * binary leaves (element reference equality) on the join arm. */
+  private[operators] def sameKey(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => java.util.Objects.equals(a, b)
+  }
+
+  /** Segment types whose JVM values group correctly under [[sameKey]]:
+    * everything except a type with BinaryType nested INSIDE an array/
+    * map (a Scala Seq compares `Array[Byte]` elements by reference).
+    * Top-level binary is special-cased in [[sameKey]]; binary directly
+    * under a struct is safe (Spark `Row.equals` compares it by
+    * content). The router sends non-groupable segment types to the
+    * dominance-join arm, which never compares keys on the JVM. */
+  private[operators] def segGroupable(dt: DataType): Boolean = {
+    def noBinary(t: DataType): Boolean = t match {
+      case BinaryType => false
+      case s: StructType => s.fields.forall(f => binaryOkInStruct(f.dataType))
+      case a: ArrayType => noBinary(a.elementType)
+      case m: MapType => noBinary(m.keyType) && noBinary(m.valueType)
+      case _ => true
+    }
+    def binaryOkInStruct(t: DataType): Boolean = t match {
+      case BinaryType => true // Row.equals handles direct binary members
+      case s: StructType => s.fields.forall(f => binaryOkInStruct(f.dataType))
+      case a: ArrayType => noBinary(a.elementType)
+      case m: MapType => noBinary(m.keyType) && noBinary(m.valueType)
+      case _ => true
+    }
+    dt match {
+      case BinaryType => true // sameKey special case
+      case s: StructType => s.fields.forall(f => binaryOkInStruct(f.dataType))
+      case other => noBinary(other)
+    }
+  }
+
   /** Fenwick tree over `n` slots with Long weights (weights are cell
     * counts; any per-bucket sum is ≤ total rows, which fits a Long). */
   private final class Bit(n: Int) {
@@ -121,8 +164,24 @@ private[graft] object KendallContinuous {
     }
   }
 
-  private val partialSchema = StructType(Seq(
-    StructField("pc", DecimalType(38, 0)), StructField("pd", DecimalType(38, 0))))
+  /** Partial-row schema of the fused C/D + sufficient-statistics union
+    * (r20): alongside the concordant/discordant partials, the two
+    * bucket-keyed scan passes carry the per-axis tie sums, the total
+    * weight, the distinct-value counts and the cell-tie sum — the
+    * quantities every [[graft.operators.RankTests]] caller previously
+    * recomputed through THREE standalone groupBy chains over the same
+    * cell table (guide §2.3 aggregate-before-shuffle, §2.4 share the
+    * exchange). A field is NULL in partials that don't own it, so the
+    * final sum() folds exactly the owning pass's contribution. */
+  private val statsPartialSchema = StructType(Seq(
+    StructField("pc", DecimalType(38, 0)), StructField("pd", DecimalType(38, 0)),
+    StructField("pn", LongType), StructField("pdx", LongType),
+    StructField("pcc2", DecimalType(38, 0)),
+    StructField("ptx2", DecimalType(38, 0)), StructField("ptx25", DecimalType(38, 0)),
+    StructField("ptx3", DecimalType(38, 0)),
+    StructField("pdy", LongType),
+    StructField("pty2", DecimalType(38, 0)), StructField("pty25", DecimalType(38, 0)),
+    StructField("pty3", DecimalType(38, 0))))
 
   private def dec(b: BigInt): java.math.BigDecimal = new java.math.BigDecimal(b.bigInteger)
 
@@ -212,7 +271,7 @@ private[graft] object KendallContinuous {
         }
         it.foreach { r =>
           val seg = r.get(0)
-          if (!open || !java.util.Objects.equals(seg, curSeg)) {
+          if (!open || !sameKey(seg, curSeg)) {
             flush(); curSeg = seg; open = true
           }
           require(buf.length < cap, capMsg.getOrElse(""))
@@ -256,17 +315,44 @@ private[graft] object KendallContinuous {
            sum(col("pd")).cast("decimal(38,0)").as("__d"))
   }
 
-  /** Exact (concordant, discordant) for `cells` = the (x, y, c) cell
-    * table (column names fixed by the caller), as ONE row
-    * `(__c, __d)` DECIMAL(38,0). `buckets` sets the per-axis bucket
-    * count (the grid is ≤ buckets² rows, distributed; the per-bucket
-    * scan memory is ~|cells| / buckets) — it AUTO-RAISES past the
-    * requested value when |cells| would overflow the per-bucket buffer
-    * at that count (expected bucket kept ≤ maxBucketCells/4, axis cap
-    * 65536 → grid ≤ 4.3G rows, reach ~10¹² cells), so the only way to
-    * hit `maxBucketCells`, the loud in-scan backstop, is SKEW: one
-    * value carrying a macroscopic fraction of all cells — pre-bucket
-    * such a column instead. */
+  /** Exact (concordant, discordant) PLUS the pairwise-association
+    * family's sufficient statistics for `cells` = the (x, y, c) cell
+    * table (column names fixed by the caller), as ONE row:
+    *
+    *   `__c, __d`                 exact C/D, DECIMAL(38,0) (as before);
+    *   `__n`                      Σc over ALL cells (null-bearing too;
+    *                              null when the table is empty — the
+    *                              `sum` contract the callers' standalone
+    *                              aggregate had);
+    *   `__dx, __dy`               distinct non-null x / y (the
+    *                              `countDistinct` contract);
+    *   `__cc2`                    Σ c(c−1) over all cells;
+    *   `__tx2/__tx25/__tx3`       Σ t(t−1) / t(t−1)(2t+5) / t(t−1)(t−2)
+    *                              over x tie blocks (the null-x block
+    *                              included, matching `groupBy(x)`);
+    *   `__ty2/__ty25/__ty3`       the y-axis twins.
+    *
+    * r20 fusion (guide §2.3/§2.4): every RankTests caller used to
+    * recompute n and the per-axis tie sums through three standalone
+    * groupBy chains over this same cell table — two ~|cells|-key hash
+    * exchanges plus three single-partition reduce exchanges per query.
+    * Tie blocks never span buckets (bucketing is value-monotone and
+    * tie-consistent), so pass A's bx-keyed scan sees every x tie block
+    * whole and pass B's by-keyed scan every y block: the tie sums fold
+    * into the scans' existing exchanges for free. Cells with a null x
+    * or y are excluded from C/D (the dominance-join contract) but DO
+    * count toward n, the cell-tie sum and the other axis's tie blocks —
+    * they ride the scans tagged bucket −1 plus one tiny whole-table
+    * aggregate for the null-x/null-y blocks themselves.
+    *
+    * `buckets` sets the per-axis bucket count (the grid is ≤ buckets²
+    * rows, distributed; the per-bucket scan memory is ~|cells| /
+    * buckets) — it AUTO-RAISES past the requested value when |cells|
+    * would overflow the per-bucket buffer at that count (expected
+    * bucket kept ≤ maxBucketCells/4, axis cap 65536 → grid ≤ 4.3G rows,
+    * reach ~10¹² cells), so the only way to hit `maxBucketCells`, the
+    * loud in-scan backstop, is SKEW: one value carrying a macroscopic
+    * fraction of all cells — pre-bucket such a column instead. */
   def cd(cells: DataFrame, buckets: Int = 1024,
          maxBucketCells: Int = 1 << 26, nCellsHint: Long = -1L): DataFrame = {
     val spark = cells.sparkSession
@@ -278,12 +364,9 @@ private[graft] object KendallContinuous {
     // `nCellsHint` (the caller's routing count, ≥ the non-null count)
     // skips the recount job — it only steers the sample rate and the
     // bucket count, never the answer: a degenerate sample just means
-    // fewer buckets, and an all-null table flows through as zeros.
+    // fewer buckets (an empty one still flows through: 1-cell grid,
+    // empty scans, stats off the null-side aggregate alone).
     val nCells = if (nCellsHint >= 0L) nCellsHint else nn.count()
-    if (nCells == 0L)
-      return spark.createDataFrame(
-        java.util.List.of(Row(dec(BigInt(0)), dec(BigInt(0)))), partialSchema)
-        .select(col("pc").as("__c"), col("pd").as("__d"))
     val m = math.max(1L, nCells / 40000L)
     val sampled = nn.filter(pmod(xxhash64(col("x"), col("y"), lit(0x6b7461L)), lit(m)) === 0)
       .select("x", "y").collect()
@@ -315,14 +398,19 @@ private[graft] object KendallContinuous {
     val bBy = spark.sparkContext.broadcast(by)
 
     // -- tag every cell with its (x-bucket, y-bucket) ----------------
+    // ALL cells are tagged (r20): a null x or y gets bucket −1 — such
+    // cells never enter C/D (far filters both ≥ 0; the scans skip the
+    // −1 side in their Fenwick phases) but still carry their weight
+    // into n, the cell-tie sum and the OTHER axis's tie blocks.
     val tagSchema = StructType(Seq(
-      StructField("x", nn.schema("x").dataType), StructField("y", nn.schema("y").dataType),
+      StructField("x", cells.schema("x").dataType), StructField("y", cells.schema("y").dataType),
       StructField("c", LongType), StructField("bx", IntegerType), StructField("by", IntegerType)))
     val tagged = graft.util.Caching.barrier(
-      nn.select(col("x"), col("y"), col("c").cast(LongType)).mapPartitions { it =>
+      cells.select(col("x"), col("y"), col("c").cast(LongType)).mapPartitions { it =>
         val xb = bBx.value; val yb = bBy.value
         it.map(r => Row(r.get(0), r.get(1), r.getLong(2),
-          bucketOf(xb, r.get(0)), bucketOf(yb, r.get(1))))
+          if (r.isNullAt(0)) -1 else bucketOf(xb, r.get(0)),
+          if (r.isNullAt(1)) -1 else bucketOf(yb, r.get(1))))
       }(Encoders.row(tagSchema)))
 
     // -- far pairs: dense block grid + 2-D prefix sums ---------------
@@ -332,7 +420,8 @@ private[graft] object KendallContinuous {
     // far_D = Σ g·S_D, far_C = Σ g·S_C. The grid is dense (missing
     // blocks as g=0) because P at a missing block is NOT zero — the
     // suffix/prefix along y must see it.
-    val blocks = tagged.groupBy("bx", "by").agg(sum("c").as("g"))
+    val blocks = tagged.filter(col("bx") >= 0 && col("by") >= 0)
+      .groupBy("bx", "by").agg(sum("c").as("g"))
     val grid = spark.range(nbx).select(col("id").cast(IntegerType).as("bx"))
       .crossJoin(spark.range(nby).select(col("id").cast(IntegerType).as("by")))
       .join(blocks, Seq("bx", "by"), "left")
@@ -344,6 +433,8 @@ private[graft] object KendallContinuous {
     val wDn = Window.partitionBy("bx").orderBy("by")
       .rowsBetween(Window.unboundedPreceding, -1)
     def d38(c: Column) = c.cast("decimal(38,0)")
+    def nulDec = lit(null).cast("decimal(38,0)")
+    def nulLong = lit(null).cast(LongType)
     val far = grid
       .withColumn("p", coalesce(sum(col("g")).over(wP), lit(0L)))
       .select(col("g"),
@@ -351,15 +442,26 @@ private[graft] object KendallContinuous {
         coalesce(sum(col("p")).over(wDn), lit(0L)).as("sc"))
       .agg(coalesce(sum(d38(col("g")) * col("sc")), lit(0)).cast("decimal(38,0)").as("pc"),
            coalesce(sum(d38(col("g")) * col("sd")), lit(0)).cast("decimal(38,0)").as("pd"))
+      .select(col("pc"), col("pd"), nulLong.as("pn"), nulLong.as("pdx"),
+        nulDec.as("pcc2"), nulDec.as("ptx2"), nulDec.as("ptx25"), nulDec.as("ptx3"),
+        nulLong.as("pdy"), nulDec.as("pty2"), nulDec.as("pty25"), nulDec.as("pty3"))
 
     // -- near pass A: same x-bucket, exact (x, y) --------------------
     // sorted scan in x order, Fenwick over the bucket's compressed y:
     // previously-inserted cells have x' < x (equal-x groups insert
     // atomically), so BIT-above = discordant, BIT-below = concordant.
+    // r20: the same equal-x runs ARE the x tie blocks, so this pass
+    // also owns n, distinct-x, the cell-tie sum and the x tie sums for
+    // every non-null-x cell — null-y cells ride along for those stats
+    // and are skipped in both Fenwick phases.
     val xIdx = 0; val yIdx = 1; val cIdx = 2
-    val passA = tagged.repartition(col("bx")).sortWithinPartitions("bx")
+    val passA = tagged.filter(col("bx") >= 0)
+      .repartition(col("bx")).sortWithinPartitions("bx")
       .mapPartitions { it =>
         var cAcc = BigInt(0); var dAcc = BigInt(0)
+        var nAcc = 0L; var dxAcc = 0L; var cc2 = BigInt(0)
+        var tx2 = BigInt(0); var tx25 = BigInt(0); var tx3 = BigInt(0)
+        var sawAny = false
         val buf = ArrayBuffer.empty[(Any, Any, Long)]
         var curB = Int.MinValue; var open = false
         def flush(): Unit = if (buf.nonEmpty) {
@@ -367,8 +469,8 @@ private[graft] object KendallContinuous {
           buf.clear()
           java.util.Arrays.sort(cells, (a: (Any, Any, Long), b: (Any, Any, Long)) =>
             anyOrd.compare(a._1, b._1))
-          // compress this bucket's y values
-          val ys = cells.map(_._2).sorted(anyOrd)
+          // compress this bucket's NON-NULL y values (null y carries no pair)
+          val ys = cells.iterator.map(_._2).filter(_ != null).toArray.sorted(anyOrd)
           val yU = ArrayBuffer.empty[Any]
           for (v <- ys) if (yU.isEmpty || anyOrd.compare(yU.last, v) != 0) yU += v
           val yArr = yU.toArray
@@ -386,21 +488,45 @@ private[graft] object KendallContinuous {
           while (i < cells.length) {
             var j = i
             while (j < cells.length && anyOrd.compare(cells(j)._1, cells(i)._1) == 0) j += 1
+            // x tie block [i, j): every cell (null-y included) weighs in
+            var t = 0L
             var k = i
             while (k < j) {
-              val yi = yOf(cells(k)._2); val w = cells(k)._3
-              val below = bit.prefix(yi - 1)
-              val above = ins - bit.prefix(yi)
-              cAcc += BigInt(w) * below
-              dAcc += BigInt(w) * above
+              val w = cells(k)._3
+              t += w
+              if (w > 1) cc2 += BigInt(w) * (w - 1)
+              k += 1
+            }
+            nAcc += t; dxAcc += 1
+            if (t > 1) {
+              val tb = BigInt(t)
+              tx2 += tb * (t - 1)
+              tx25 += tb * (t - 1) * (2 * tb + 5)
+              tx3 += tb * (t - 1) * (tb - 2)
+            }
+            k = i
+            while (k < j) {
+              if (cells(k)._2 != null) {
+                val yi = yOf(cells(k)._2); val w = cells(k)._3
+                val below = bit.prefix(yi - 1)
+                val above = ins - bit.prefix(yi)
+                cAcc += BigInt(w) * below
+                dAcc += BigInt(w) * above
+              }
               k += 1
             }
             k = i
-            while (k < j) { bit.add(yOf(cells(k)._2), cells(k)._3); ins += cells(k)._3; k += 1 }
+            while (k < j) {
+              if (cells(k)._2 != null) {
+                bit.add(yOf(cells(k)._2), cells(k)._3); ins += cells(k)._3
+              }
+              k += 1
+            }
             i = j
           }
         }
         it.foreach { r =>
+          sawAny = true
           val b = r.getInt(3)
           if (!open || b != curB) { flush(); curB = b; open = true }
           require(buf.length < maxBucketCells,
@@ -410,17 +536,30 @@ private[graft] object KendallContinuous {
           buf += ((r.get(xIdx), r.get(yIdx), r.getLong(cIdx)))
         }
         flush()
-        Iterator.single(Row(dec(cAcc), dec(dAcc)))
-      }(Encoders.row(partialSchema))
+        // stats NULL on an empty partition: Σc over an empty table must
+        // stay null (the callers' sum() contract), never a literal 0
+        Iterator.single(if (sawAny)
+          Row(dec(cAcc), dec(dAcc), nAcc, dxAcc, dec(cc2),
+            dec(tx2), dec(tx25), dec(tx3), null, null, null, null)
+        else Row(dec(cAcc), dec(dAcc), null, null, null,
+          null, null, null, null, null, null, null))
+      }(Encoders.row(statsPartialSchema))
 
     // -- near pass B: same y-bucket, different x-bucket --------------
     // sorted scan in DESCENDING y order, Fenwick over x-bucket index:
     // inserted cells have y' > y (equal-y groups atomic), so BIT
     // strictly-left (bx' < bx) = discordant, strictly-right = concordant;
     // equal bx is pass A's territory and is excluded by strictness.
-    val passB = tagged.repartition(col("by")).sortWithinPartitions("by")
+    // r20: the equal-y runs ARE the y tie blocks — this pass owns
+    // distinct-y and the y tie sums; null-x cells (bx = −1) ride along
+    // for those and are skipped in both Fenwick phases.
+    val passB = tagged.filter(col("by") >= 0)
+      .repartition(col("by")).sortWithinPartitions("by")
       .mapPartitions { it =>
         var cAcc = BigInt(0); var dAcc = BigInt(0)
+        var dyAcc = 0L
+        var ty2 = BigInt(0); var ty25 = BigInt(0); var ty3 = BigInt(0)
+        var sawAny = false
         val buf = ArrayBuffer.empty[(Any, Int, Long)] // (y, bx, c)
         var curB = Int.MinValue; var open = false
         def flush(): Unit = if (buf.nonEmpty) {
@@ -434,21 +573,39 @@ private[graft] object KendallContinuous {
           while (i < cells.length) {
             var j = i
             while (j < cells.length && anyOrd.compare(cells(j)._1, cells(i)._1) == 0) j += 1
+            // y tie block [i, j): every cell (null-x included) weighs in
+            var t = 0L
             var k = i
+            while (k < j) { t += cells(k)._3; k += 1 }
+            dyAcc += 1
+            if (t > 1) {
+              val tb = BigInt(t)
+              ty2 += tb * (t - 1)
+              ty25 += tb * (t - 1) * (2 * tb + 5)
+              ty3 += tb * (t - 1) * (tb - 2)
+            }
+            k = i
             while (k < j) {
-              val bxi = cells(k)._2; val w = cells(k)._3
-              val left = bit.prefix(bxi - 1)
-              val right = ins - bit.prefix(bxi)
-              dAcc += BigInt(w) * left
-              cAcc += BigInt(w) * right
+              val bxi = cells(k)._2
+              if (bxi >= 0) {
+                val w = cells(k)._3
+                val left = bit.prefix(bxi - 1)
+                val right = ins - bit.prefix(bxi)
+                dAcc += BigInt(w) * left
+                cAcc += BigInt(w) * right
+              }
               k += 1
             }
             k = i
-            while (k < j) { bit.add(cells(k)._2, cells(k)._3); ins += cells(k)._3; k += 1 }
+            while (k < j) {
+              if (cells(k)._2 >= 0) { bit.add(cells(k)._2, cells(k)._3); ins += cells(k)._3 }
+              k += 1
+            }
             i = j
           }
         }
         it.foreach { r =>
+          sawAny = true
           val b = r.getInt(4)
           if (!open || b != curB) { flush(); curB = b; open = true }
           require(buf.length < maxBucketCells,
@@ -458,11 +615,50 @@ private[graft] object KendallContinuous {
           buf += ((r.get(yIdx), r.getInt(3), r.getLong(cIdx)))
         }
         flush()
-        Iterator.single(Row(dec(cAcc), dec(dAcc)))
-      }(Encoders.row(partialSchema))
+        Iterator.single(if (sawAny)
+          Row(dec(cAcc), dec(dAcc), null, null, null, null, null, null,
+            dyAcc, dec(ty2), dec(ty25), dec(ty3))
+        else Row(dec(cAcc), dec(dAcc), null, null, null, null, null, null,
+          null, null, null, null))
+      }(Encoders.row(statsPartialSchema))
 
-    far.unionAll(passA).unionAll(passB)
+    // -- null-bearing cells: the null-x / null-y tie blocks ----------
+    // groupBy(key) treats every null as ONE block, so the null-x block's
+    // weight is Σc over bx = −1 cells (any y) — whole by construction
+    // (never split across the scans), computed by one tiny map-combined
+    // aggregate over the cached tagged table. Null-x cells' n and
+    // cell-tie contributions live here too (pass A never sees them).
+    val nullSide = tagged.filter(col("bx") === -1 || col("by") === -1)
+      .agg(sum(when(col("bx") === -1, col("c"))).as("t0x"),
+           sum(when(col("bx") === -1, d38(col("c")) * (col("c") - 1))).as("cc0"),
+           sum(when(col("by") === -1, col("c"))).as("t0y"))
+      .select(nulDec.as("pc"), nulDec.as("pd"),
+        col("t0x").as("pn"), nulLong.as("pdx"),
+        col("cc0").cast("decimal(38,0)").as("pcc2"),
+        (d38(col("t0x")) * (col("t0x") - 1)).cast("decimal(38,0)").as("ptx2"),
+        (d38(col("t0x")) * (col("t0x") - 1) * (lit(2) * col("t0x") + 5))
+          .cast("decimal(38,0)").as("ptx25"),
+        (d38(col("t0x")) * (col("t0x") - 1) * (col("t0x") - 2))
+          .cast("decimal(38,0)").as("ptx3"),
+        nulLong.as("pdy"),
+        (d38(col("t0y")) * (col("t0y") - 1)).cast("decimal(38,0)").as("pty2"),
+        (d38(col("t0y")) * (col("t0y") - 1) * (lit(2) * col("t0y") + 5))
+          .cast("decimal(38,0)").as("pty25"),
+        (d38(col("t0y")) * (col("t0y") - 1) * (col("t0y") - 2))
+          .cast("decimal(38,0)").as("pty3"))
+
+    far.unionAll(passA).unionAll(passB).unionAll(nullSide)
       .agg(sum(col("pc")).cast("decimal(38,0)").as("__c"),
-           sum(col("pd")).cast("decimal(38,0)").as("__d"))
+           sum(col("pd")).cast("decimal(38,0)").as("__d"),
+           sum(col("pn")).as("__n"),
+           coalesce(sum(col("pdx")), lit(0L)).as("__dx"),
+           coalesce(sum(col("pdy")), lit(0L)).as("__dy"),
+           coalesce(sum(col("pcc2")), lit(0)).cast("decimal(38,0)").as("__cc2"),
+           coalesce(sum(col("ptx2")), lit(0)).cast("decimal(38,0)").as("__tx2"),
+           coalesce(sum(col("ptx25")), lit(0)).cast("decimal(38,0)").as("__tx25"),
+           coalesce(sum(col("ptx3")), lit(0)).cast("decimal(38,0)").as("__tx3"),
+           coalesce(sum(col("pty2")), lit(0)).cast("decimal(38,0)").as("__ty2"),
+           coalesce(sum(col("pty25")), lit(0)).cast("decimal(38,0)").as("__ty25"),
+           coalesce(sum(col("pty3")), lit(0)).cast("decimal(38,0)").as("__ty3"))
   }
 }

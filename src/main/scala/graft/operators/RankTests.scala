@@ -341,17 +341,22 @@ object RankTests {
                            maxCells: Long, buckets: Int,
                            withDistinct: Boolean): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
-    val (cells, cd) = cellsAndCd(df, xCol, yCol, maxCells, buckets)
-    val nAggs = sum(col("c")).as("n") +:
-      (if (withDistinct) Seq(countDistinct(col("x")).as("__dx"),
-        countDistinct(col("y")).as("__dy")) else Nil)
-    val nn = cells.agg(nAggs.head, nAggs.tail: _*)
-    def ties(key: String, out: String) = cells.groupBy(col(key))
-      .agg(sum(col("c")).as("__t"))
-      .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
-        .cast("decimal(38,0)").as(out))
-    nn.crossJoin(cd).crossJoin(ties("x", "__tx2")).crossJoin(ties("y", "__ty2"))
-      .select(col("n") +:
+    val (cells, cd, fused) = cellsAndCd(df, xCol, yCol, maxCells, buckets)
+    // continuous arm: n/tie/distinct stats ride the scan passes' own
+    // exchanges (r20 fusion) — the groupBy chains below would recompute
+    // them through two ~|cells|-key exchanges + three reduces
+    val base = if (fused) cd.withColumnRenamed("__n", "n") else {
+      val nAggs = sum(col("c")).as("n") +:
+        (if (withDistinct) Seq(countDistinct(col("x")).as("__dx"),
+          countDistinct(col("y")).as("__dy")) else Nil)
+      val nn = cells.agg(nAggs.head, nAggs.tail: _*)
+      def ties(key: String, out: String) = cells.groupBy(col(key))
+        .agg(sum(col("c")).as("__t"))
+        .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
+          .cast("decimal(38,0)").as(out))
+      nn.crossJoin(cd).crossJoin(ties("x", "__tx2")).crossJoin(ties("y", "__ty2"))
+    }
+    base.select(col("n") +:
         coalesce(col("__c"), lit(0)).cast("double").as("concordant") +:
         coalesce(col("__d"), lit(0)).cast("double").as("discordant") +:
         (d38(col("n")) * (col("n") - 1)).cast("double").as("__n02") +:
@@ -367,9 +372,17 @@ object RankTests {
     * cap, never an `IllegalArgumentException` mid-scan; ADVICE r16). */
   private[operators] val QuadraticOnlyCells: Long = 100000
 
-  /** The (cell table, one-row exact C/D frame) pair shared by the
-    * whole pairwise-association family — the cell collapse plus the
-    * routed C/D arms per the [[kendallTau]] doc.
+  /** The (cell table, one-row exact C/D frame, statsFused flag) triple
+    * shared by the whole pairwise-association family — the cell
+    * collapse plus the routed C/D arms per the [[kendallTau]] doc.
+    * When `statsFused` is true the C/D frame came from
+    * [[KendallContinuous.cd]] and ALREADY carries the family's
+    * sufficient statistics (n, per-axis tie sums, distinct counts,
+    * cell-tie sum) folded into the scan passes' exchanges (r20, guide
+    * §2.3/§2.4) — callers must read them off that row instead of
+    * re-aggregating the cell table through standalone groupBy chains.
+    * The bounded arms keep their original cheap chains (their cell
+    * tables are ≤ maxCells rows).
     *
     * Routing-count gate (VERDICT r16 #4): when the INPUT's byte-derived
     * row estimate bounds the cell count under `maxCells` WITH a 4×
@@ -387,7 +400,7 @@ object RankTests {
     * measured), with the `dense = true` remediation. Past the gate
     * the probe runs as before and routes by the REAL cardinality. */
   private def cellsAndCd(df: DataFrame, xCol: String, yCol: String,
-                         maxCells: Long, buckets: Int): (DataFrame, DataFrame) = {
+                         maxCells: Long, buckets: Int): (DataFrame, DataFrame, Boolean) = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     // array/struct cells only: Spark-orderable but not JVM-Comparable,
     // so the sorted-scan arm can't take them — they keep the bounded
@@ -417,24 +430,23 @@ object RankTests {
       // bit-identical integer counts, and drops the guard window's
       // exchange from the plan).
       val cb = graft.util.Caching.barrier(cells0)
-      return (cb, KendallContinuous.globalScanCd(cb, Some(maxCells), "kendallTau"))
+      return (cb, KendallContinuous.globalScanCd(cb, Some(maxCells), "kendallTau"), false)
     }
     val cells = graft.util.Caching.barrier(cells0)
     val nCells = cells.count()
-    val cd =
-      if (nCells <= maxCells) {
-        if (armOk) KendallContinuous.globalScanCd(cells, None, "kendallTau")
-        else quadratic(cells)
-      }
-      else if (armOk) KendallContinuous.cd(cells, buckets, nCellsHint = nCells)
-      else {
-        require(nCells <= QuadraticOnlyCells,
-          s"kendallTau: $nCells cells exceeds maxCells=$maxCells on a column type " +
-            "the continuous arm cannot order (array/struct) and the quadratic hard " +
-            s"cap $QuadraticOnlyCells - bucket or project the column to an atomic type first")
-        quadratic(cells)
-      }
-    (cells, cd)
+    if (nCells <= maxCells) {
+      val cd = if (armOk) KendallContinuous.globalScanCd(cells, None, "kendallTau")
+               else quadratic(cells)
+      (cells, cd, false)
+    }
+    else if (armOk) (cells, KendallContinuous.cd(cells, buckets, nCellsHint = nCells), true)
+    else {
+      require(nCells <= QuadraticOnlyCells,
+        s"kendallTau: $nCells cells exceeds maxCells=$maxCells on a column type " +
+          "the continuous arm cannot order (array/struct) and the quadratic hard " +
+          s"cap $QuadraticOnlyCells - bucket or project the column to an atomic type first")
+      (cells, quadratic(cells), false)
+    }
   }
 
   /** The full pairwise rank-association readout from ONE pass of
@@ -503,7 +515,7 @@ object RankTests {
   def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
                   maxCells: Long = 30000, buckets: Int = 1024): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
-    val (cells, cd) = cellsAndCd(df, tsCol, valueCol, maxCells, buckets)
+    val (cells, cd, fused) = cellsAndCd(df, tsCol, valueCol, maxCells, buckets)
     val nn = cells.agg(sum(col("c")).as("n"))
     // per tie-block sums: Σt(t−1), Σt(t−1)(2t+5), Σt(t−1)(t−2)
     def ties(key: String, tag: String) = cells.groupBy(col(key))
@@ -526,7 +538,9 @@ object RankTests {
           (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
       col("__tx2").cast("double") * col("__ty2").cast("double") /
         (lit(2.0) * nD * (nD - 1))
-    nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
+    val base = if (fused) cd.withColumnRenamed("__n", "n")
+      else nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
+    base
       .select(col("n"), s.as("s"),
         // n = 2 is valid (the (n−2)-divided term is gated inside varS);
         // gating n ≥ 3 here would also break the spec-pinned per-season
@@ -680,12 +694,10 @@ object RankTests {
         .join(ties("y", "ty"), Seq("segment"), "left"))
     heavy.foldLeft(lightOut) { case (acc, (seg, nCells)) =>
       val sc = cells.filter(col("segment") <=> lit(seg)).select("x", "y", "c")
-      def segTies(key: String, tag: String) = sc.groupBy(col(key))
-        .agg(sum(col("c")).as("__t"))
-        .agg(tieAggs(tag).head, tieAggs(tag).tail: _*)
-      val one = sc.agg(sum(col("c")).as("n"))
-        .crossJoin(KendallContinuous.cd(sc, buckets, nCellsHint = nCells))
-        .crossJoin(segTies("x", "tx")).crossJoin(segTies("y", "ty"))
+      // n and both axes' tie sums ride the continuous arm's one-row
+      // frame (r20 fusion) — no standalone per-segment aggregates
+      val one = KendallContinuous.cd(sc, buckets, nCellsHint = nCells)
+        .withColumnRenamed("__n", "n")
         .withColumn("segment", lit(seg))
       acc.unionByName(mkFrame(one))
     }
@@ -722,7 +734,7 @@ object RankTests {
     }
     val keyed = df.filter(col(groupCol).isin(groupsInOrder: _*))
       .select(og.as("__og"), col(valueCol).as("__jv"))
-    val (cells, cd) = cellsAndCd(keyed, "__og", "__jv", maxCells, buckets)
+    val (cells, cd, fused) = cellsAndCd(keyed, "__og", "__jv", maxCells, buckets)
     val nn = cells.agg(sum(col("c")).as("n"),
       countDistinct(col("x")).as("k"),
       coalesce(sum(d38(col("c")) * (col("c") - 1)), lit(0))
@@ -751,7 +763,9 @@ object RankTests {
           (lit(9.0) * nD * (nD - 1) * (nD - 2))).otherwise(lit(0.0)) +
       col("__tx2").cast("double") * col("__ty2").cast("double") /
         (lit(2.0) * nD * (nD - 1))
-    nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
+    val base = if (fused) cd.withColumnRenamed("__n", "n").withColumnRenamed("__dx", "k")
+      else nn.crossJoin(cd).crossJoin(ties("x", "tx")).crossJoin(ties("y", "ty"))
+    base
       .select(col("n"), col("k"),
         (j4.cast("double") / 4).as("j_stat"), s.as("s"),
         when(col("n") >= 2, varS).as("var_s"))
@@ -1114,12 +1128,17 @@ object RankTests {
                           op: String): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     val armOk = KendallContinuous.supports(cells.schema("x").dataType) &&
-      KendallContinuous.supports(cells.schema("y").dataType)
+      KendallContinuous.supports(cells.schema("y").dataType) &&
+      KendallContinuous.segGroupable(cells.schema("segment").dataType)
     if (armOk) return KendallContinuous.segmentScanCd(cells, guardCap, op)
     val c2g = guardCap.map(cap => col("c") + segGuard(cap, op)).getOrElse(col("c"))
     val right = cells.select(col("segment").as("g2"), col("x").as("x2"),
       col("y").as("y2"), c2g.as("c2"))
-    cells.join(right, col("g2") === col("segment") && col("x2") < col("x"))
+    // null-safe segment equality: the scan arm counts a null segment's
+    // pairs (groupBy semantics — one null block), so the fallback join
+    // must too; a plain === silently returned C = D = 0 for null
+    // segments on this arm only (ADVICE r19)
+    cells.join(right, col("g2") <=> col("segment") && col("x2") < col("x"))
       .groupBy(col("segment"))
       .agg(
         sum(when(col("y2") < col("y"), d38(col("c")) * col("c2"))
@@ -1193,14 +1212,12 @@ object RankTests {
         .join(ties(light, "y", "__n22"), Seq("segment"), "left"))
     heavy.foldLeft(lightOut) { case (acc, (seg, nCells)) =>
       val sc = cells.filter(col("segment") <=> lit(seg)).select("x", "y", "c")
-      val one = sc.agg(sum(col("c")).as("n"))
-        .crossJoin(KendallContinuous.cd(sc, buckets, nCellsHint = nCells))
-        .crossJoin(sc.groupBy(col("x")).agg(sum(col("c")).as("__t"))
-          .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
-            .cast("decimal(38,0)").as("__n12")))
-        .crossJoin(sc.groupBy(col("y")).agg(sum(col("c")).as("__t"))
-          .agg(coalesce(sum(d38(col("__t")) * (col("__t") - 1)), lit(0))
-            .cast("decimal(38,0)").as("__n22")))
+      // the continuous arm's one-row frame already carries n and the
+      // per-axis tie sums off its scan passes (r20 fusion) — no
+      // standalone per-segment aggregate chains
+      val one = KendallContinuous.cd(sc, buckets, nCellsHint = nCells)
+        .select(col("__n").as("n"), col("__c"), col("__d"),
+          col("__tx2").as("__n12"), col("__ty2").as("__n22"))
         .withColumn("segment", lit(seg))
       acc.unionByName(tauFrame(one))
     }

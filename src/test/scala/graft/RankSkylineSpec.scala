@@ -1309,4 +1309,127 @@ class RankSkylineSpec extends AnyFunSuite {
       rows(RankTests.spearman(df, "v", "y", adaptive = false)))
     graft.util.Caching.release()
   }
+
+  test("KendallContinuous.cd: fused stats == brute force (nulls, ties, weights)") {
+    // r20 fusion: the one-row frame must carry n / distinct counts /
+    // cell-tie / per-axis tie sums EXACTLY as the standalone groupBy
+    // chains computed them — null x/y cells count toward n, cc2 and the
+    // OTHER axis's blocks; null blocks are one block per axis; distinct
+    // counts exclude nulls (the countDistinct contract); C/D exclude
+    // any null-bearing cell.
+    val rnd = new scala.util.Random(7213)
+    val raw = (0 until 3000).map { _ =>
+      val x = if (rnd.nextInt(15) == 0) null
+              else java.lang.Double.valueOf(rnd.nextInt(40).toDouble)
+      val y = if (rnd.nextInt(15) == 0) null
+              else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+      (x, y)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(raw.map(r => org.apache.spark.sql.Row(r._1, r._2)), 5),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType))))
+    val cells = df.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    // tiny buckets force non-trivial far/near decomposition
+    val got = graft.operators.KendallContinuous.cd(cells, buckets = 4).head()
+    val cr = cells.collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+      Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
+    // brute force
+    var bc = BigInt(0); var bd = BigInt(0)
+    val nnCells = cr.filter(t => t._1.isDefined && t._2.isDefined)
+    for (a <- nnCells; b <- nnCells if a._1.get < b._1.get) {
+      if (a._2.get < b._2.get) bc += BigInt(a._3) * b._3
+      else if (a._2.get > b._2.get) bd += BigInt(a._3) * b._3
+    }
+    val n = cr.map(_._3).sum
+    val dx = cr.flatMap(_._1).distinct.length
+    val dy = cr.flatMap(_._2).distinct.length
+    val cc2 = cr.map(t => BigInt(t._3) * (t._3 - 1)).sum
+    def tieSums(blocks: Seq[Long]): (BigInt, BigInt, BigInt) = (
+      blocks.map(t => BigInt(t) * (t - 1)).sum,
+      blocks.map(t => BigInt(t) * (t - 1) * (2 * t + 5)).sum,
+      blocks.map(t => BigInt(t) * (t - 1) * (t - 2)).sum)
+    // groupBy semantics: nulls form ONE block per axis
+    val xBlocks = cr.groupBy(_._1).map(_._2.map(_._3).sum).toSeq
+    val yBlocks = cr.groupBy(_._2).map(_._2.map(_._3).sum).toSeq
+    val (tx2, tx25, tx3) = tieSums(xBlocks)
+    val (ty2, ty25, ty3) = tieSums(yBlocks)
+    def gd(i: Int) = BigInt(got.getDecimal(i).toBigInteger)
+    assert(gd(got.fieldIndex("__c")) == bc && gd(got.fieldIndex("__d")) == bd)
+    assert(got.getLong(got.fieldIndex("__n")) == n)
+    assert(got.getLong(got.fieldIndex("__dx")) == dx)
+    assert(got.getLong(got.fieldIndex("__dy")) == dy)
+    assert(gd(got.fieldIndex("__cc2")) == cc2)
+    assert(gd(got.fieldIndex("__tx2")) == tx2 && gd(got.fieldIndex("__tx25")) == tx25 &&
+      gd(got.fieldIndex("__tx3")) == tx3)
+    assert(gd(got.fieldIndex("__ty2")) == ty2 && gd(got.fieldIndex("__ty25")) == ty25 &&
+      gd(got.fieldIndex("__ty3")) == ty3)
+    // empty cell table: C/D are 0 (the far grid's zero row), n is null
+    // (the sum-over-empty contract), distinct/tie stats are 0
+    val empty = graft.operators.KendallContinuous.cd(
+      cells.filter(lit(false)), buckets = 4).head()
+    def ed(name: String) = BigInt(empty.getDecimal(empty.fieldIndex(name)).toBigInteger)
+    assert(ed("__c") == 0 && ed("__d") == 0)
+    assert(empty.isNullAt(empty.fieldIndex("__n")))
+    assert(empty.getLong(empty.fieldIndex("__dx")) == 0)
+    assert(ed("__tx25") == 0)
+    graft.util.Caching.release()
+  }
+
+  test("segmentScanCd: binary segments group by CONTENT, not reference (ADVICE r19)") {
+    val rows = (0 until 60).map { i =>
+      // fresh Array[Byte] instance per row — Objects.equals would open
+      // a new group every row and emit duplicated zero partials
+      (Array((i % 3).toByte, 7.toByte), (i % 5).toDouble, (i * 13 % 7).toLong)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType))))
+    val cells = df.groupBy(col("seg").as("segment"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val got = graft.operators.KendallContinuous
+      .segmentScanCd(cells, None, "spec").collect()
+    // exactly one row per distinct segment content
+    assert(got.length == 3, s"expected 3 segment rows, got ${got.length}")
+    val cr = cells.collect().map(r => (r.getAs[Array[Byte]](0)(0),
+      r.getDouble(1), r.getLong(2), r.getLong(3)))
+    for (s <- 0 until 3) {
+      val cs = cr.filter(_._1 == s.toByte)
+      var c = BigInt(0); var d = BigInt(0)
+      for (a <- cs; b <- cs if a._2 < b._2) {
+        if (a._3 < b._3) c += BigInt(a._4) * b._4
+        else if (a._3 > b._3) d += BigInt(a._4) * b._4
+      }
+      val row = got.find(_.getAs[Array[Byte]](0)(0) == s.toByte).get
+      assert(BigInt(row.getDecimal(1).toBigInteger) == c &&
+        BigInt(row.getDecimal(2).toBigInteger) == d, s"segment $s")
+    }
+    graft.util.Caching.release()
+  }
+
+  test("segmentedCd arms agree on null segments (ADVICE r19: null-safe join)") {
+    // array-typed x forces the dominance-join arm; a scalar twin with
+    // the same order structure rides the scan arm — the null segment's
+    // C/D must match (the join previously used ===, yielding 0/0)
+    val rnd = new scala.util.Random(915)
+    val rows = (0 until 80).map { _ =>
+      val seg = if (rnd.nextInt(3) == 0) null else s"s${rnd.nextInt(2)}"
+      (seg, rnd.nextInt(6), rnd.nextInt(5).toLong)
+    }
+    val scal = rows.toDF("seg", "xv", "y")
+    val arr = scal.select(col("seg"), array(col("xv")).as("xv"), col("y"))
+    def tauBy(df: org.apache.spark.sql.DataFrame) =
+      RankTests.kendallTauBy(df, "seg", "xv", "y")
+        .collect().map(r => Option(r.get(0)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+    val a = tauBy(arr)   // join arm (array x is not JVM-orderable)
+    val s = tauBy(scal)  // scan arm
+    assert(a.keySet == s.keySet)
+    for (k <- a.keySet) assert(a(k) == s(k), s"segment $k")
+    graft.util.Caching.release()
+  }
 }
