@@ -401,25 +401,35 @@ object TextKernels {
   private def segStart(lr: Int, k: Int, i: Int): Int =
     i * (lr / k) + math.max(0, i - (k - lr % k))
 
-  def passJoinSegs(u: UTF8String, d: Int): Array[Any] = {
+  /** One 64-bit join key per (substring hash, segment index, partner
+    * length) triple — r20: the PassJoin candidate join used to shuffle
+    * the triple as a 3-column struct (h, i, lr → three 8-byte UnsafeRow
+    * slots); folding i and lr into the FNV chain halves the shuffled
+    * row and makes the equi-join single-column. A key COLLISION only
+    * ADDS a candidate pair, which the exact bounded levenshtein verify
+    * rejects — every true pair still shares the exact (segment, i, lr)
+    * triple, hence the exact packed key: no false negatives. */
+  private def segKey(h: Long, i: Int, lr: Int): Long =
+    ((h ^ i) * 0x100000001b3L ^ lr) * 0x100000001b3L
+
+  def passJoinSegs(u: UTF8String, d: Int): Array[Long] = {
     val s = u.toString
     val k = d + 1
     val l = s.length
-    val out = new Array[Any](k)
+    val out = new Array[Long](k)
     var i = 0
     while (i < k) {
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(
-        segHash(s, segStart(l, k, i), segLen(l, k, i)), i, l)
+      out(i) = segKey(segHash(s, segStart(l, k, i), segLen(l, k, i)), i, l)
       i += 1
     }
     out
   }
 
-  def passJoinProbes(u: UTF8String, d: Int): Array[Any] = {
+  def passJoinProbes(u: UTF8String, d: Int): Array[Long] = {
     val s = u.toString
     val k = d + 1
     val l = s.length
-    val out = new scala.collection.mutable.ArrayBuffer[Any](k * k)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](k * k)
     var lr = math.max(k, l - d)
     while (lr <= l) {
       val delta = l - lr
@@ -431,7 +441,7 @@ object TextKernels {
         var t = math.max(0, p - slack)
         val hi = math.min(l - len, p + delta + slack)
         while (t <= hi) {
-          out += org.apache.spark.sql.catalyst.InternalRow(segHash(s, t, len), i, lr)
+          out += segKey(segHash(s, t, len), i, lr)
           t += 1
         }
         i += 1
@@ -894,13 +904,12 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  private val passJoinStruct = StructType(Seq(StructField("h", LongType, false),
-    StructField("i", IntegerType, false), StructField("lr", IntegerType, false)))
-
-  /** One row per segment: struct(h, i, lr) for this string's own d+1
-    * partition (the INDEX side of the join). */
+  /** One packed 64-bit key per segment of this string's own d+1
+    * partition (the INDEX side of the join) — see TextKernels.segKey
+    * for the packing contract (collisions only add verified-away
+    * candidates). */
   case class PassJoinSegs(child: Expression, d: Int) extends UnaryExpression {
-    override def dataType: DataType = ArrayType(passJoinStruct, containsNull = false)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       new GenericArrayData(TextKernels.passJoinSegs(input.asInstanceOf[UTF8String], d))
     override protected def doGenCode(
@@ -914,12 +923,12 @@ object VectorExprs {
   }
 
   /** The PROBE side: for every partner length lr ∈ [max(k, l−d), l],
-    * segment i, and start t in the admissible window, struct(h, i, lr)
+    * segment i, and start t in the admissible window, the packed key
     * of this string's substring — any true partner with |r| ≤ |s| hits
     * at least one of these keys. ~(d+1)² · d rows per string, constant
     * in corpus size. */
   case class PassJoinProbes(child: Expression, d: Int) extends UnaryExpression {
-    override def dataType: DataType = ArrayType(passJoinStruct, containsNull = false)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       new GenericArrayData(TextKernels.passJoinProbes(input.asInstanceOf[UTF8String], d))
     override protected def doGenCode(

@@ -106,19 +106,23 @@ object EditDedup {
         .select(col(idCol).as("__id"), col(textCol).as("__t"),
           length(col(textCol)).as("__l")))
     val long = base.filter(col("__l") > c)
+    // r20: the (h, i, lr) struct key is packed into ONE 64-bit key
+    // inside the kernels (TextKernels.segKey) — the candidate shuffle
+    // carries (id, key) instead of (id, h, i, lr), halving its bytes,
+    // and the equi-join compares one long. Key collisions only add
+    // candidates; the exact bounded levenshtein below rejects them, so
+    // the verified pair set is unchanged (spec-asserted == exactPairs).
     val segs = long.select(col("__id").as("rid"),
-        explode(graft.functions.VectorExprs.passJoinSegs(col("__t"), maxDist)).as("__g"))
-      .select(col("rid"), col("__g.h"), col("__g.i"), col("__g.lr"))
+      explode(graft.functions.VectorExprs.passJoinSegs(col("__t"), maxDist)).as("__hk"))
     val probes = long.select(col("__id").as("sid"),
-        explode(graft.functions.VectorExprs.passJoinProbes(col("__t"), maxDist)).as("__g"))
-      .select(col("sid"), col("__g.h"), col("__g.i"), col("__g.lr"))
+      explode(graft.functions.VectorExprs.passJoinProbes(col("__t"), maxDist)).as("__hk"))
     // the probe side is ~(d+1)²·d rows per doc AFTER its explode, but
     // the optimizer sizes it from the pre-explode relation and happily
     // broadcasts 4 GB (measured: 63 s wall, 7% utilization at 50k docs).
     // Force a shuffled hash join with the ×(d+1) segment side as build —
     // also the only shape that survives when neither side fits a
     // broadcast at corpus scale.
-    val cand = segs.hint("shuffle_hash").join(probes, Seq("h", "i", "lr"))
+    val cand = segs.hint("shuffle_hash").join(probes, Seq("__hk"))
       .filter(col("rid") =!= col("sid"))
       .select(least(col("rid"), col("sid")).as("id1"),
         greatest(col("rid"), col("sid")).as("id2"))

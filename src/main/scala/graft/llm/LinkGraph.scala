@@ -170,7 +170,11 @@ object LinkGraph {
       .select(least(col(u), col(v)).as("a"), greatest(col(u), col(v)).as("b"))
       .distinct().localCheckpoint()
     def peelOnce(df: DataFrame): DataFrame = {
-      val keep = df.select(col("a").as("x")).union(df.select(col("b").as("x")))
+      // degree build reads the (checkpointed) edge set ONCE via explode
+      // — the union-of-two-selects shape scanned it twice per peel, and
+      // each round builds two keep tables (r20; guide §2.3: the
+      // map-side partial aggregate sees the same 2|E| rows either way)
+      val keep = df.select(explode(array(col("a"), col("b"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("x")
       df.join(keep.select(col("x").as("a")), "a")
@@ -185,7 +189,8 @@ object LinkGraph {
       // job count without touching the fixpoint the loop detects. A/B on
       // the sf0.1 co-purchase core: 1 peel/round 5.9 s, 2 peels 4.8 s,
       // 3 peels 6.3 s (the deeper lazy plan costs more than the saved
-      // round-trip) — two is the measured optimum.
+      // round-trip) — two is the measured optimum. Re-measured r20 with
+      // the explode degree build: 2 peels 4.9 s, 3 peels 6.4 s — still two.
       val nxt = peelOnce(peelOnce(cur)).localCheckpoint()
       val m = nxt.count()
       done = m == n || m == 0L
@@ -252,6 +257,12 @@ object LinkGraph {
     val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
+      // NOTE (r20, measured and kept as-is): repartition(a) before the
+      // count would let both aggregates share one exchange (hash(a)
+      // satisfies the (a, label) clustering too), but it shuffles the
+      // RAW join rows where this shape shuffles map-side-COMBINED
+      // (a, label) partials (guide §2.3) — wall was flat at sf0.1 and
+      // the combined exchange is the scale-correct side of the trade.
       val contrib = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a"), col("label")).agg(count(lit(1)).as("c"))
       val pick = contrib.groupBy("a")
